@@ -1,0 +1,66 @@
+"""Benchmark harness: runs the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Each query is fully materialized through the `noop` sink so Catalyst
+cannot prune work the way a bare count() would; timings include plan +
+execution, excluding session startup (reported separately inside the
+JSON for context)."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    t0 = time.time()
+    from icnarc_to_philips_linkage_spark.plans.registry import all_queries
+    from icnarc_to_philips_linkage_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    startup = time.time() - t0
+
+    names = os.environ.get("BENCH_QUERIES")
+    queries = all_queries()
+    selected = names.split(",") if names else list(queries)
+    unknown = [n for n in selected if n not in queries]
+    if unknown:
+        print(
+            f"error: unknown BENCH_QUERIES {unknown}; known: {sorted(queries)}",
+            file=sys.stderr,
+        )
+        return 2
+
+    timings: dict[str, float] = {}
+    for name in selected:
+        fn, _ = queries[name]
+        t = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "startup_sec": round(startup, 3),
+                "n_queries": len(timings),
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,182 @@
+"""Profiling / cohort-summary aggregations (SURVEY.md §2.4 A3-A14,
+§2.5 W1/W3, §2.6 O1-O3).
+
+These are the reference's frequency tables, completeness profiles,
+median/IQR summaries and histograms (``clean_encounterids.py:202-245``,
+notebook cells 28-68), re-expressed as single-pass hash aggregations.
+Scale notes per function; the common theme is: one shuffle per grouped
+aggregate, map-side partials always on, top-k via TakeOrderedAndProject
+(never a global sort), and percent-of-total via an unpartitioned window
+over the *aggregated* (tiny) table — never over the raw fact table.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def frequency_table(
+    df: DataFrame, keys: Sequence[str] | str, count_col: str | None = None
+) -> DataFrame:
+    """A3: group counts. ``count_col`` counts non-nulls of that column
+    (the reference's ``agg({'encounterId':'count'})``); None counts rows."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    cnt = F.count(count_col) if count_col else F.count(F.lit(1))
+    return df.groupBy(*keys).agg(cnt.alias("n"))
+
+
+def percent_of_total(
+    freq: DataFrame, count_col: str = "n", out_col: str = "pct"
+) -> DataFrame:
+    """W1: percent-of-total over a frequency table. The unpartitioned
+    window runs on the post-aggregation table (|groups| rows, already tiny)
+    — AQE collapses it to a single partition; the raw data is never
+    re-scanned."""
+    w = Window.partitionBy()
+    return freq.withColumn(out_col, F.col(count_col) / F.sum(count_col).over(w))
+
+
+def completeness(
+    df: DataFrame, group_col: str, entity_col: str, approx: bool = False
+) -> DataFrame:
+    """A5: per-group distinct-entity counts (record completeness per
+    Variable, cell 57). ``approx=True`` swaps in HLL
+    (approx_count_distinct) — at 100 TB an exact COUNT(DISTINCT) needs a
+    per-(group, entity) pre-shuffle; HLL is one pass, mergeable, ~2%
+    error."""
+    agg = (
+        F.approx_count_distinct(entity_col)
+        if approx
+        else F.countDistinct(entity_col)
+    )
+    return df.groupBy(group_col).agg(agg.alias("n_entities"))
+
+
+def group_stats(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    sample_std: bool = True,
+) -> DataFrame:
+    """A7/A10: per-group mean/std. pandas ``std`` is sample (ddof=1) →
+    stddev_samp; numpy ``np.std`` is population (ddof=0) → stddev_pop.
+    Both computed in the same single aggregation."""
+    std = F.stddev_samp(value_col) if sample_std else F.stddev_pop(value_col)
+    return df.groupBy(*keys).agg(
+        F.count(value_col).alias("n"),
+        F.avg(value_col).alias("mean"),
+        std.alias("std"),
+    )
+
+
+def percentiles_exact(
+    df: DataFrame, value_col: str, probs: Sequence[float] = (0.25, 0.5, 0.75)
+) -> DataFrame:
+    """A8: exact percentiles with linear interpolation — matches
+    ``np.percentile`` and the DuckDB oracle's ``quantile_cont``. One row
+    out, columns ``p{25,50,75,...}``. Exact percentile sorts per group;
+    for 100 TB interactive profiling use ``percentiles_approx``."""
+    arr = F.expr(
+        f"percentile({value_col}, array({', '.join(f'{p}D' for p in probs)}))"
+    )
+    row = df.agg(arr.alias("_p"))
+    return row.select(
+        *[
+            F.element_at("_p", i + 1).alias(f"p{int(p * 100)}")
+            for i, p in enumerate(probs)
+        ]
+    )
+
+
+def percentiles_approx(
+    df: DataFrame,
+    value_col: str,
+    probs: Sequence[float] = (0.25, 0.5, 0.75),
+    accuracy: int = 10000,
+) -> DataFrame:
+    """A8 at scale: t-digest-style mergeable sketch, single pass, no sort."""
+    row = df.agg(
+        F.percentile_approx(value_col, list(probs), accuracy).alias("_p")
+    )
+    return row.select(
+        *[
+            F.element_at("_p", i + 1).alias(f"p{int(p * 100)}")
+            for i, p in enumerate(probs)
+        ]
+    )
+
+
+def conditional_rates(df: DataFrame, conds: dict[str, Column]) -> DataFrame:
+    """A9: named conditional counts + rates in ONE pass over the data
+    (``sum(gender=='Male')`` etc., clean_encounterids.py:214-245)."""
+    aggs = [F.count(F.lit(1)).alias("n_total")]
+    for name, cond in conds.items():
+        aggs.append(F.count(F.when(cond, 1)).alias(f"n_{name}"))
+    out = df.agg(*aggs)
+    for name in conds:
+        out = out.withColumn(f"rate_{name}", F.col(f"n_{name}") / F.col("n_total"))
+    return out
+
+
+def histogram(
+    df: DataFrame,
+    value_col: str,
+    bins: int = 20,
+    min_max: tuple[float, float] | None = None,
+) -> DataFrame:
+    """A14: equal-width histogram as a query. Two passes when min/max are
+    unknown (a columnar scan each — parquet min/max statistics usually
+    answer the first pass without reading data pages); the bin pass is a
+    single hash aggregation on ≤``bins`` groups.
+
+    Bin rule matches numpy: right-exclusive edges, last bin inclusive
+    (x == max lands in bin ``bins-1``)."""
+    if min_max is None:
+        mn_mx = df.agg(
+            F.min(value_col).alias("mn"), F.max(value_col).alias("mx")
+        )
+        src = df.crossJoin(F.broadcast(mn_mx))
+    else:
+        src = df.withColumn("mn", F.lit(min_max[0])).withColumn(
+            "mx", F.lit(min_max[1])
+        )
+    bin_expr = F.least(
+        F.floor(
+            (F.col(value_col) - F.col("mn"))
+            * float(bins)
+            / (F.col("mx") - F.col("mn"))
+        ).cast("int"),
+        F.lit(bins - 1),
+    )
+    return (
+        src.filter(F.col(value_col).isNotNull())
+        .withColumn("bin", bin_expr)
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def top_k(
+    df: DataFrame, order_cols: Sequence[Column | str], k: int
+) -> DataFrame:
+    """O2/O3/W3: top-k. ``orderBy(...).limit(k)`` plans as
+    TakeOrderedAndProject — per-partition heaps + driver merge, never a
+    global sort — exactly what ``TOP 100 ... ORDER BY`` should be at
+    scale. Callers must include a unique tie-break column for
+    deterministic results."""
+    return df.orderBy(*order_cols).limit(k)
+
+
+def group_time_stats(
+    df: DataFrame, keys: Sequence[str], ts_col: str
+) -> DataFrame:
+    """A6: per-group count / min(ts) / max(ts) (per-(stay, variable)
+    recording stats, cell 59)."""
+    return df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(ts_col).alias(f"{ts_col}_min"),
+        F.max(ts_col).alias(f"{ts_col}_max"),
+    )

@@ -1,0 +1,27 @@
+"""The engine's query registry — the single source for __spark_entry__.
+
+Merges the per-area query modules. Each value is ``(fn, oracle_sql)``
+where ``fn(spark, sf_dir) -> DataFrame`` and ``oracle_sql`` is a DuckDB
+SQL string producing the identical result on the same parquet tables
+(None ⇒ not SQL-expressible; the driver records a rows-only check).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from icnarc_to_philips_linkage_spark.plans import relational
+
+_MODULES = [relational]
+
+
+def all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
+    out: dict[str, tuple] = {}
+    for mod in _MODULES:
+        for name, pair in mod.QUERIES.items():
+            if name in out:
+                raise ValueError(f"duplicate query name: {name}")
+            out[name] = pair
+    return out

@@ -1,0 +1,822 @@
+"""Relational operator queries over the driver testdata (SURVEY.md §2).
+
+Each entry exercises one operator family from the SURVEY §2 inventory on
+the TPC-H-ish tables, paired with a DuckDB oracle SQL string for the
+driver's t2 differential check. Keys are the SURVEY op IDs.
+
+Determinism rules (shared with the oracle):
+- Float SUMs go through ``decimal_sum`` — exact, order-independent,
+  identical across engines (IEEE double summation is not associative, so
+  a raw double SUM differs run-to-run under Spark's partial aggregation).
+- AVG = exact-decimal-sum / count, computed as one double division.
+- first/last per group use min_by/max_by (DuckDB arg_min/arg_max) on an
+  explicit ordering column.
+- top-k always carries a unique tie-break column.
+- collect_list is sorted then joined to a string (DuckDB string_agg with
+  ORDER BY) so array ordering can't differ.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from icnarc_to_philips_linkage_spark.functions.expressions import (
+    decimal_sum,
+    decode_map,
+    seconds_of_day,
+)
+from icnarc_to_philips_linkage_spark.operators import dedup, profile
+from icnarc_to_philips_linkage_spark.plans.tables import load
+
+# ---------------------------------------------------------------- flagship
+
+
+def q1_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """Flagship: scan→filter→hash-agg, TPC-H Q1 shape (A1/A4/A7/A9 family;
+    reference analog: the per-group LOS/age summaries of
+    clean_encounterids.py:202-245). Whole pipeline is one codegen'd stage
+    + one shuffle; sums exact via decimal."""
+    l = load(spark, sf, "lineitem").filter(F.col("l_shipdate") <= "1999-12-31")
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            decimal_sum("l_quantity").alias("sum_qty"),
+            decimal_sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
+            )
+            .cast("double")
+            .alias("sum_disc_price"),
+            (decimal_sum("l_quantity") / F.count(F.lit(1))).alias("avg_qty"),
+            (decimal_sum("l_extendedprice") / F.count(F.lit(1))).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+           AS sum_disc_price,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1999-12-31 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+# ------------------------------------------------------------- filters (F)
+
+
+def f1_ne_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """F1: inequality filter (Unit ID != 14 analog). NULL semantics note in
+    SURVEY §2.2 — no NULL nationkeys here, pushdown-friendly either way."""
+    return (
+        load(spark, sf, "customer")
+        .filter(F.col("c_nationkey") != 14)
+        .select("c_custkey", "c_name", "c_nationkey")
+    )
+
+
+F1_SQL = "SELECT c_custkey, c_name, c_nationkey FROM customer WHERE c_nationkey != 14"
+
+
+def f2_f8_conjunctive(spark: SparkSession, sf: str) -> DataFrame:
+    """F2+F8: not-null + conjunctive predicates, aggregated per group."""
+    l = load(spark, sf, "lineitem")
+    return (
+        l.filter(
+            F.col("l_shipdate").isNotNull()
+            & (F.col("l_returnflag") == "N")
+            & (F.col("l_quantity") > 25)
+        )
+        .groupBy("l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), decimal_sum("l_quantity").alias("sum_qty"))
+    )
+
+
+F2_SQL = """
+SELECT l_linestatus, COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+WHERE l_shipdate IS NOT NULL AND l_returnflag = 'N' AND l_quantity > 25
+GROUP BY l_linestatus
+"""
+
+
+def f4_in_list(spark: SparkSession, sf: str) -> DataFrame:
+    """F4: IN-list membership (attributeId isin analog)."""
+    return (
+        load(spark, sf, "orders")
+        .filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    )
+
+
+F4_SQL = """
+SELECT o_orderkey, o_orderpriority, o_totalprice
+FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+"""
+
+
+def f5_not_in(spark: SparkSession, sf: str) -> DataFrame:
+    """F5: NOT-IN exclusion list (cell 63 variable exclusion analog)."""
+    return (
+        load(spark, sf, "part")
+        .filter(~F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))
+        .select("p_partkey", "p_brand")
+    )
+
+
+F5_SQL = """
+SELECT p_partkey, p_brand FROM part
+WHERE p_brand NOT IN ('Brand#1', 'Brand#2', 'Brand#3')
+"""
+
+
+def f6_like(spark: SparkSession, sf: str) -> DataFrame:
+    """F6: LIKE pattern scan over a dimension (longLabel LIKE '%heart rate%'
+    analog, variable_location_in_ICCA.sql:28)."""
+    return (
+        load(spark, sf, "part")
+        .filter(F.col("p_type").like("%BRASS%"))
+        .select("p_partkey", "p_type")
+    )
+
+
+F6_SQL = "SELECT p_partkey, p_type FROM part WHERE p_type LIKE '%BRASS%'"
+
+
+def f7_semi_subquery(spark: SparkSession, sf: str) -> DataFrame:
+    """F7: IN-subquery → left-semi join (Catalyst RewritePredicateSubquery
+    does the same for the SQL form)."""
+    l = load(spark, sf, "lineitem")
+    small = load(spark, sf, "part").filter(F.col("p_size") < 10).select("p_partkey")
+    return (
+        l.join(F.broadcast(small), l.l_partkey == small.p_partkey, "left_semi")
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+F7_SQL = """
+SELECT l_returnflag, COUNT(*) AS n FROM lineitem
+WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size < 10)
+GROUP BY l_returnflag
+"""
+
+# --------------------------------------------------------------- joins (J)
+
+
+def j1_left_correction(spark: SparkSession, sf: str) -> DataFrame:
+    """J1+E1/E2: broadcast left join against a small 'corrections' dim,
+    then coalesce-with-fallback — the known-error correction pattern
+    (clean_encounterids.py:67-78)."""
+    o = load(spark, sf, "orders")
+    corrections = (
+        load(spark, sf, "customer")
+        .filter(F.col("c_acctbal") < 0)
+        .select("c_custkey", "c_mktsegment")
+    )
+    return (
+        o.join(F.broadcast(corrections), o.o_custkey == corrections.c_custkey, "left")
+        .select(
+            "o_orderkey",
+            F.coalesce("c_mktsegment", F.lit("NA")).alias("segment_corrected"),
+        )
+    )
+
+
+J1_SQL = """
+SELECT o_orderkey, COALESCE(c.c_mktsegment, 'NA') AS segment_corrected
+FROM orders o
+LEFT JOIN (SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal < 0) c
+  ON o.o_custkey = c.c_custkey
+"""
+
+
+def j2_core_linkage(spark: SparkSession, sf: str) -> DataFrame:
+    """J2: the core linkage inner equi-join (philips⋈icnarc analog),
+    aggregated per segment. Shuffle join on the key; AQE picks
+    broadcast when the dim side fits."""
+    o = load(spark, sf, "orders")
+    c = load(spark, sf, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            decimal_sum("o_totalprice").alias("sum_totalprice"),
+        )
+    )
+
+
+J2_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_totalprice
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def j3_composite_key(spark: SparkSession, sf: str) -> DataFrame:
+    """J3: composite-key equi-join (['ICNARC number','Unit ID'] analog):
+    join lineitem back to its own (partkey, suppkey)-grain rollup."""
+    l = load(spark, sf, "lineitem")
+    dim = l.groupBy("l_partkey", "l_suppkey").agg(F.count(F.lit(1)).alias("pair_n"))
+    return (
+        l.join(dim, on=["l_partkey", "l_suppkey"], how="inner")
+        .groupBy("pair_n")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+J3_SQL = """
+WITH dim AS (
+  SELECT l_partkey, l_suppkey, COUNT(*) AS pair_n
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+)
+SELECT pair_n, COUNT(*) AS n_rows
+FROM lineitem JOIN dim USING (l_partkey, l_suppkey)
+GROUP BY pair_n
+"""
+
+
+def j4_cohort_semi(spark: SparkSession, sf: str) -> DataFrame:
+    """J4 (engine default): cohort restriction as a left-semi join — no
+    row duplication, cohort side never materialized wide."""
+    l = load(spark, sf, "lineitem")
+    cohort = (
+        load(spark, sf, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    return l.join(cohort, l.l_orderkey == cohort.o_orderkey, "left_semi").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+J4_SEMI_SQL = """
+SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+"""
+
+
+def j4_cohort_right(spark: SparkSession, sf: str) -> DataFrame:
+    """J4 (strict parity): the reference's how='right' join, which also
+    emits an all-null row for cohort members with zero events (cell 49)."""
+    l = load(spark, sf, "lineitem").select("l_orderkey", "l_linenumber")
+    cohort = (
+        load(spark, sf, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("cohort_key"))
+        .distinct()
+    )
+    return l.join(cohort, l.l_orderkey == cohort.cohort_key, "right").select(
+        "cohort_key", "l_linenumber"
+    )
+
+
+J4_RIGHT_SQL = """
+SELECT c.cohort_key, l.l_linenumber
+FROM (SELECT l_orderkey, l_linenumber FROM lineitem) l
+RIGHT JOIN (SELECT DISTINCT o_orderkey AS cohort_key FROM orders
+            WHERE o_orderpriority = '1-URGENT') c
+  ON l.l_orderkey = c.cohort_key
+"""
+
+
+def j4_anti(spark: SparkSession, sf: str) -> DataFrame:
+    """Left-anti join (beyond-reference completeness: the complement of the
+    semi-join): customers with no orders."""
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders").select("o_custkey")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+J4_ANTI_SQL = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def j8_star_3way(spark: SparkSession, sf: str) -> DataFrame:
+    """J8: dim⋈fact⋈dim star chain (D_Attribute⋈PtAssessment⋈D_Intervention
+    analog) — both dims broadcast, fact streams through."""
+    r = load(spark, sf, "region")
+    n = load(spark, sf, "nation")
+    c = load(spark, sf, "customer")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            (decimal_sum("c_acctbal") / F.count(F.lit(1))).alias("avg_acctbal"),
+        )
+    )
+
+
+J8_SQL = """
+SELECT r_name, COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def j9_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """J9: literal-dict decode as a constant-folded CASE chain (diagnosis
+    code / admission-type decode analog), then re-aggregate (A4)."""
+    o = load(spark, sf, "orders")
+    decoded = o.withColumn(
+        "status_label",
+        decode_map(
+            "o_orderstatus",
+            {"O": "OPEN", "F": "FINISHED", "P": "PARTIAL"},
+            default=F.lit("UNKNOWN"),
+        ),
+    )
+    return decoded.groupBy("status_label").agg(F.count(F.lit(1)).alias("n"))
+
+
+J9_SQL = """
+SELECT CASE o_orderstatus WHEN 'O' THEN 'OPEN' WHEN 'F' THEN 'FINISHED'
+            WHEN 'P' THEN 'PARTIAL' ELSE 'UNKNOWN' END AS status_label,
+       COUNT(*) AS n
+FROM orders GROUP BY 1
+"""
+
+# -------------------------------------------------------- aggregations (A)
+
+
+def a1_dedup_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """A1/A2: dedup-merge of fragments via the engine's dedup_merge —
+    min/max/sum/count plus sorted collect_list, all one hash aggregation.
+    (encounter-fragment merge analog, clean_encounterids.py:129-158)."""
+    l = load(spark, sf, "lineitem").withColumn(
+        "qty_dec", F.col("l_quantity").cast("decimal(18,2)")
+    )
+    merged = dedup.dedup_merge(
+        l,
+        keys=["l_orderkey"],
+        policies={
+            "l_shipdate": ["min", "max"],
+            "qty_dec": "sum",
+            "l_linenumber": ["count", "list"],
+        },
+        order_col="l_shipdate",
+    )
+    return merged.select(
+        "l_orderkey",
+        F.col("l_shipdate_min").alias("first_ship"),
+        F.col("l_shipdate_max").alias("last_ship"),
+        F.col("qty_dec").cast("double").alias("sum_qty"),
+        F.col("l_linenumber_count").alias("n_lines"),
+        F.array_join(F.col("l_linenumber_list").cast("array<string>"), ",").alias(
+            "line_numbers"
+        ),
+    )
+
+
+A1_SQL = """
+SELECT l_orderkey,
+       MIN(l_shipdate) AS first_ship,
+       MAX(l_shipdate) AS last_ship,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       COUNT(l_linenumber) AS n_lines,
+       STRING_AGG(CAST(l_linenumber AS VARCHAR), ',' ORDER BY l_linenumber) AS line_numbers
+FROM lineitem GROUP BY l_orderkey
+"""
+
+
+def a5_completeness(spark: SparkSession, sf: str) -> DataFrame:
+    """A5: distinct-entity count per group (record completeness per
+    Variable, cell 57)."""
+    return profile.completeness(
+        load(spark, sf, "events"), "event_type", "user_id"
+    )
+
+
+A5_SQL = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_entities
+FROM events GROUP BY event_type
+"""
+
+
+def a6_group_time_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """A6: per-(entity, variable) count/min/max of observation time
+    (cell 59)."""
+    return profile.group_time_stats(
+        load(spark, sf, "events"), ["user_id", "event_type"], "ts"
+    )
+
+
+A6_SQL = """
+SELECT user_id, event_type, COUNT(*) AS n,
+       MIN(ts) AS ts_min, MAX(ts) AS ts_max
+FROM events GROUP BY user_id, event_type
+"""
+
+
+def a8_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """A8: exact median + IQR, linear interpolation (np.percentile parity;
+    clean_encounterids.py:205-211)."""
+    out = profile.percentiles_exact(
+        load(spark, sf, "orders"), "o_totalprice", (0.25, 0.5, 0.75)
+    )
+    return out.select(
+        F.round("p25", 6).alias("p25"),
+        F.round("p50", 6).alias("p50"),
+        F.round("p75", 6).alias("p75"),
+    )
+
+
+A8_SQL = """
+SELECT ROUND(q[1], 6) AS p25, ROUND(q[2], 6) AS p50, ROUND(q[3], 6) AS p75
+FROM (SELECT quantile_cont(o_totalprice, [0.25, 0.5, 0.75]) AS q FROM orders)
+"""
+
+
+def a9_conditional_rates(spark: SparkSession, sf: str) -> DataFrame:
+    """A9: named conditional counts + rates in one pass
+    (clean_encounterids.py:214-218 gender/missingness rates)."""
+    o = load(spark, sf, "orders")
+    return profile.conditional_rates(
+        o,
+        {
+            "open": F.col("o_orderstatus") == "O",
+            "urgent": F.col("o_orderpriority") == "1-URGENT",
+            "big": F.col("o_totalprice") > 200000,
+        },
+    )
+
+
+A9_SQL = """
+SELECT COUNT(*) AS n_total,
+       COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_open,
+       COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS n_urgent,
+       COUNT(CASE WHEN o_totalprice > 200000 THEN 1 END) AS n_big,
+       COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) * 1.0 / COUNT(*) AS rate_open,
+       COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) * 1.0 / COUNT(*) AS rate_urgent,
+       COUNT(CASE WHEN o_totalprice > 200000 THEN 1 END) * 1.0 / COUNT(*) AS rate_big
+FROM orders
+"""
+
+
+def a10_group_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """A7+A10: per-group mean/std — population std (np.std ddof=0 parity,
+    cell 68), rounded to kill last-ulp engine differences."""
+    stats = profile.group_stats(
+        load(spark, sf, "events"), ["event_type"], "value", sample_std=False
+    )
+    return stats.select(
+        "event_type",
+        "n",
+        F.round("mean", 4).alias("mean"),
+        F.round("std", 4).alias("std"),
+    )
+
+
+A10_SQL = """
+SELECT event_type, COUNT(value) AS n,
+       ROUND(AVG(value), 4) AS mean,
+       ROUND(STDDEV_POP(value), 4) AS std
+FROM events GROUP BY event_type
+"""
+
+
+def a11_distinct_scalar(spark: SparkSession, sf: str) -> DataFrame:
+    """A11: uniqueness check as a query (cell 10 is_unique assert)."""
+    return dedup.uniqueness_check(load(spark, sf, "orders"), ["o_orderkey"])
+
+
+A11_SQL = """
+SELECT COUNT(*) AS n_rows, COUNT(DISTINCT o_orderkey) AS n_keys,
+       COUNT(*) = COUNT(DISTINCT o_orderkey) AS is_unique
+FROM orders
+"""
+
+
+def a12_duplicate_groups(spark: SparkSession, sf: str) -> DataFrame:
+    """A12: duplicate-key group inspection (view_non_unique_ids)."""
+    return dedup.duplicate_groups(load(spark, sf, "lineitem"), ["l_orderkey"])
+
+
+A12_SQL = """
+SELECT l_orderkey, COUNT(*) AS n_rows FROM lineitem
+GROUP BY l_orderkey HAVING COUNT(*) > 1
+"""
+
+
+def a13_grouped_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """A13: grouped MIN + COUNT(DISTINCT) (variable_location_in_ICCA.sql:49-57)."""
+    return (
+        load(spark, sf, "lineitem")
+        .groupBy("l_partkey")
+        .agg(
+            F.min("l_returnflag").alias("first_flag"),
+            F.countDistinct("l_orderkey").alias("frequency"),
+        )
+    )
+
+
+A13_SQL = """
+SELECT l_partkey, MIN(l_returnflag) AS first_flag,
+       COUNT(DISTINCT l_orderkey) AS frequency
+FROM lineitem GROUP BY l_partkey
+"""
+
+
+def a14_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """A14: 20-bin equal-width histogram as a query (plt.hist analog),
+    numpy bin-edge semantics."""
+    return profile.histogram(load(spark, sf, "lineitem"), "l_extendedprice", 20)
+
+
+A14_SQL = """
+WITH mm AS (SELECT MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx FROM lineitem)
+SELECT LEAST(CAST(FLOOR((l_extendedprice - mn) * 20.0 / (mx - mn)) AS INT), 19) AS bin,
+       COUNT(*) AS n
+FROM lineitem, mm
+WHERE l_extendedprice IS NOT NULL
+GROUP BY 1
+"""
+
+# ------------------------------------------------- windows / sort / union
+
+
+def w1_pct_of_total(spark: SparkSession, sf: str) -> DataFrame:
+    """W1: percent-of-total over a frequency table (cell 28 mortality
+    percentages)."""
+    freq = profile.frequency_table(load(spark, sf, "orders"), "o_orderpriority")
+    return profile.percent_of_total(freq).select(
+        "o_orderpriority", "n", F.round("pct", 6).alias("pct")
+    )
+
+
+W1_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n,
+       ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (), 6) AS pct
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def w2_first_last_by_time(spark: SparkSession, sf: str) -> DataFrame:
+    """W2: deterministic per-group first/last by event time — min_by/max_by,
+    the engine's replacement for pandas order-dependent first/last."""
+    e = load(spark, sf, "events")
+    return e.groupBy("user_id").agg(
+        F.min_by("event_type", "ts").alias("first_event"),
+        F.max_by("event_type", "ts").alias("last_event"),
+        F.min("ts").alias("first_ts"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+W2_SQL = """
+SELECT user_id,
+       ARG_MIN(event_type, ts) AS first_event,
+       ARG_MAX(event_type, ts) AS last_event,
+       MIN(ts) AS first_ts,
+       COUNT(*) AS n_events
+FROM events GROUP BY user_id
+"""
+
+
+def w4_lag_gap(spark: SparkSession, sf: str) -> DataFrame:
+    """Beyond-reference window op: per-entity event-gap via LAG over an
+    explicit (ts, event_id) ordering — sessionization building block."""
+    e = load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        (F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)).alias(
+            "gap_us"
+        ),
+    )
+
+
+W4_SQL = """
+SELECT event_id, user_id,
+       epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS gap_us
+FROM events
+"""
+
+
+def w5_running_sum(spark: SparkSession, sf: str) -> DataFrame:
+    """Beyond-reference: cumulative sum per entity (running decimal-exact
+    total), rows-unbounded-preceding frame."""
+    e = load(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias(
+            "running_value"
+        ),
+    )
+
+
+W5_SQL = """
+SELECT event_id, user_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+FROM events
+"""
+
+
+def o2_top_k(spark: SparkSession, sf: str) -> DataFrame:
+    """O2/W3: top-k by aggregate (TOP 100 ORDER BY frequency analog) —
+    TakeOrderedAndProject, unique tie-break on user_id."""
+    totals = (
+        load(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(decimal_sum("value").alias("total_value"))
+    )
+    return profile.top_k(totals, [F.desc("total_value"), F.asc("user_id")], 10)
+
+
+O2_SQL = """
+SELECT user_id, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY user_id
+ORDER BY total_value DESC, user_id ASC LIMIT 10
+"""
+
+
+def u1_union_by_name(spark: SparkSession, sf: str) -> DataFrame:
+    """U1: by-name vertical union of two same-schema extracts
+    (PtAssessment ∪ PtLabResult analog, cell 47), then re-aggregated."""
+    e = load(spark, sf, "events")
+    hi = e.filter(F.col("value") > 100).select("event_type", "event_id")
+    clicks = e.filter(F.col("event_type") == "click").select("event_id", "event_type")
+    return (
+        hi.unionByName(clicks)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+U1_SQL = """
+SELECT event_type, COUNT(*) AS n FROM (
+  SELECT event_type, event_id FROM events WHERE value > 100
+  UNION ALL
+  SELECT event_type, event_id FROM events WHERE event_type = 'click'
+) GROUP BY event_type
+"""
+
+# ------------------------------------------------------- expressions (E)
+
+
+def e5_datetime_derive(spark: SparkSession, sf: str) -> DataFrame:
+    """E5/E6/E7/E14 family: timestamp decomposition + day arithmetic —
+    the derived-variable stage (age / LOS / time-of-day) on events."""
+    e = load(spark, sf, "events")
+    return e.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.hour("ts").alias("hr"),
+        seconds_of_day("ts").alias("secs_of_day"),
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).alias(
+            "days_since_epoch_start"
+        ),
+    )
+
+
+E5_SQL = """
+SELECT event_id,
+       strftime(ts, '%Y-%m-%d') AS day,
+       EXTRACT(hour FROM ts) AS hr,
+       EXTRACT(hour FROM ts) * 3600 + EXTRACT(minute FROM ts) * 60
+           + CAST(FLOOR(EXTRACT(second FROM ts)) AS INT) AS secs_of_day,
+       date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS days_since_epoch_start
+FROM events
+"""
+
+
+def e10_typed_value(spark: SparkSession, sf: str) -> DataFrame:
+    """E10+E11: typed-value selection + lossy numeric coercion — the EAV
+    value resolution (cell 51) mapped onto events.props JSON-ish payload."""
+    e = load(spark, sf, "events")
+    prop_num = F.regexp_extract("props", r"([0-9]+(\.[0-9]+)?)", 1).cast("double")
+    return e.select(
+        "event_id",
+        F.when(F.col("event_type").isin("signup", "error"), prop_num)
+        .otherwise(F.col("value"))
+        .alias("value_resolved"),
+    )
+
+
+E10_SQL = """
+SELECT event_id,
+       CASE WHEN event_type IN ('signup', 'error')
+            THEN CAST(regexp_extract(props, '([0-9]+(\\.[0-9]+)?)', 1) AS DOUBLE)
+            ELSE value END AS value_resolved
+FROM events
+"""
+
+
+def e9_math(spark: SparkSession, sf: str) -> DataFrame:
+    """E9/E12/E17 family: arithmetic / pow / sqrt / abs scalar math (BMI,
+    unit conversions, percentage math)."""
+    p = load(spark, sf, "part").filter(F.col("p_size") > 0)
+    return p.select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") / F.pow(F.col("p_size").cast("double") / 10.0, 2), 6).alias(
+            "price_per_sq"
+        ),
+        F.round(F.sqrt("p_retailprice"), 6).alias("sqrt_price"),
+        F.round(F.abs(F.col("p_retailprice") - 1000.0), 2).alias("abs_diff"),
+    )
+
+
+E9_SQL = """
+SELECT p_partkey,
+       ROUND(p_retailprice / POW(CAST(p_size AS DOUBLE) / 10.0, 2), 6) AS price_per_sq,
+       ROUND(SQRT(p_retailprice), 6) AS sqrt_price,
+       ROUND(ABS(p_retailprice - 1000.0), 2) AS abs_diff
+FROM part WHERE p_size > 0
+"""
+
+
+def e_string_ops(spark: SparkSession, sf: str) -> DataFrame:
+    """String expression surface: upper/substring/length/concat/trim/
+    regexp_extract (the reference's label munging, SURVEY §2.8)."""
+    c = load(spark, sf, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_mktsegment").alias("seg_upper"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.length("c_name").alias("name_len"),
+        F.concat_ws("|", "c_mktsegment", F.col("c_nationkey").cast("string")).alias(
+            "seg_nation"
+        ),
+        F.regexp_extract("c_name", r"([0-9]+)", 1).alias("name_digits"),
+    )
+
+
+E_STRING_SQL = """
+SELECT c_custkey,
+       UPPER(c_mktsegment) AS seg_upper,
+       SUBSTRING(c_name, 1, 8) AS name_prefix,
+       LENGTH(c_name) AS name_len,
+       CONCAT_WS('|', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS seg_nation,
+       regexp_extract(c_name, '([0-9]+)', 1) AS name_digits
+FROM customer
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "f1_ne_filter": (f1_ne_filter, F1_SQL),
+    "f2_f8_conjunctive": (f2_f8_conjunctive, F2_SQL),
+    "f4_in_list": (f4_in_list, F4_SQL),
+    "f5_not_in": (f5_not_in, F5_SQL),
+    "f6_like": (f6_like, F6_SQL),
+    "f7_semi_subquery": (f7_semi_subquery, F7_SQL),
+    "j1_left_correction": (j1_left_correction, J1_SQL),
+    "j2_core_linkage": (j2_core_linkage, J2_SQL),
+    "j3_composite_key": (j3_composite_key, J3_SQL),
+    "j4_cohort_semi": (j4_cohort_semi, J4_SEMI_SQL),
+    "j4_cohort_right": (j4_cohort_right, J4_RIGHT_SQL),
+    "j4_anti": (j4_anti, J4_ANTI_SQL),
+    "j8_star_3way": (j8_star_3way, J8_SQL),
+    "j9_decode": (j9_decode, J9_SQL),
+    "a1_dedup_merge": (a1_dedup_merge, A1_SQL),
+    "a5_completeness": (a5_completeness, A5_SQL),
+    "a6_group_time_stats": (a6_group_time_stats, A6_SQL),
+    "a8_percentiles": (a8_percentiles, A8_SQL),
+    "a9_conditional_rates": (a9_conditional_rates, A9_SQL),
+    "a10_group_stats": (a10_group_stats, A10_SQL),
+    "a11_distinct_scalar": (a11_distinct_scalar, A11_SQL),
+    "a12_duplicate_groups": (a12_duplicate_groups, A12_SQL),
+    "a13_grouped_distinct": (a13_grouped_distinct, A13_SQL),
+    "a14_histogram": (a14_histogram, A14_SQL),
+    "w1_pct_of_total": (w1_pct_of_total, W1_SQL),
+    "w2_first_last_by_time": (w2_first_last_by_time, W2_SQL),
+    "w4_lag_gap": (w4_lag_gap, W4_SQL),
+    "w5_running_sum": (w5_running_sum, W5_SQL),
+    "o2_top_k": (o2_top_k, O2_SQL),
+    "u1_union_by_name": (u1_union_by_name, U1_SQL),
+    "e5_datetime_derive": (e5_datetime_derive, E5_SQL),
+    "e10_typed_value": (e10_typed_value, E10_SQL),
+    "e9_math": (e9_math, E9_SQL),
+    "e_string_ops": (e_string_ops, E_STRING_SQL),
+}
