@@ -1,0 +1,182 @@
+"""Large-scale deduplication operators: exact, MinHash+LSH, SimHash,
+n-gram Jaccard.
+
+Scale design (the point of these ops):
+
+- **Exact dedup** is a hash-groupBy on a content digest — one shuffle on
+  md5(text), which is uniformly distributed, so no skew, and map-side
+  partial aggregation collapses local duplicates before the shuffle.
+- **MinHash+LSH** avoids the O(n²) pair space: signatures are computed
+  per document (map-only after one shuffle to aggregate shingles),
+  banding turns near-duplicate detection into an equi-join on
+  (band_index, band_hash) — a shuffle join whose key cardinality grows
+  with corpus size, so it stays balanced at 100 TB. Only candidate pairs
+  (tiny fraction) reach the exact Jaccard verification join.
+- **SimHash** is map-only per document; bucket-by-simhash is again an
+  equi-join.
+
+Hashing: md5 over strings everywhere, because it is engine-portable
+(identical in Spark, DuckDB, Python) — the lexicographic MIN over md5
+hex digests is a uniform-permutation min-hash. No Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from icnarc_to_philips_linkage_spark.operators.text import shingles, tokens
+
+
+def exact_dedup_groups(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact duplicate groups: content digest → (digest, keeper id, copy
+    count). Keeper = min id (deterministic)."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def doc_shingles(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(id, shingle) exploded distinct word-n-gram shingle sets."""
+    return (
+        df.select(F.col(id_col), tokens(text_col).alias("_toks"))
+        .select(F.col(id_col), F.explode(shingles("_toks", n)).alias("shingle"))
+    )
+
+
+def minhash_signatures(
+    sh: DataFrame, id_col: str = "doc_id", k: int = 8
+) -> DataFrame:
+    """k-permutation MinHash signature per document from an exploded
+    shingle table: h_i = MIN(md5(i || ':' || shingle)). One hash
+    aggregation computes all k mins (single shuffle on the doc id)."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(k)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_bands(
+    sig: DataFrame, id_col: str = "doc_id", k: int = 8, bands: int = 4
+) -> DataFrame:
+    """Split the k-wide signature into ``bands`` bands of k/bands rows;
+    band hash = md5(concat of the band's mins). Output long-form
+    (id, band_idx, band_hash) via a stack unpivot (no shuffle)."""
+    r = k // bands
+    pairs = []
+    for b in range(bands):
+        cols = [f"h{b * r + j}" for j in range(r)]
+        pairs.append(f"{b}, md5(concat({', '.join(cols)}))")
+    stack = f"stack({bands}, {', '.join(pairs)}) as (band_idx, band_hash)"
+    return sig.select(F.col(id_col), F.expr(stack))
+
+
+def lsh_candidate_pairs(bands_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Distinct candidate pairs (a < b) sharing any band bucket — an
+    equi-join on (band_idx, band_hash), the step that replaces the O(n²)
+    scan. Dedup via DISTINCT keeps one row per pair regardless of how
+    many bands collide."""
+    a = bands_df.select(
+        F.col(id_col).alias("id_a"), "band_idx", "band_hash"
+    )
+    b = bands_df.select(
+        F.col(id_col).alias("id_b"), "band_idx", "band_hash"
+    )
+    return (
+        a.join(b, on=["band_idx", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame, sh: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs: |A∩B| via a shingle
+    equi-join restricted to the candidate set, |A|/|B| from per-doc
+    shingle counts. Join order: the candidate pair set is the small side
+    and drives the probe."""
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    sh_a = sh.select(F.col(id_col).alias("id_a"), F.col("shingle"))
+    sh_b = sh.select(F.col(id_col).alias("id_b"), F.col("shingle"))
+    common = (
+        pairs.join(sh_a, "id_a")
+        .join(sh_b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 8,
+    bands: int = 4,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Full pipeline: shingle → MinHash → LSH bands → candidate pairs →
+    exact-Jaccard verify → near-duplicate pairs above threshold."""
+    sh = doc_shingles(df, id_col, text_col, n)
+    sig = minhash_signatures(sh, id_col, k)
+    cand = lsh_candidate_pairs(lsh_bands(sig, id_col, k, bands), id_col)
+    return jaccard_verify(cand, sh, id_col).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+_HEX = "0123456789abcdef"
+
+
+def simhash16(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """16-bit SimHash per document from distinct tokens: bit i of the
+    token's md5 votes ±1; the sign of each bit-sum forms the hash.
+    Implemented as 16 conditional aggregates over the exploded token
+    table — one shuffle, integer math only (engine-portable: the oracle
+    reproduces it bit-for-bit). Width 16 keeps the expression tree small;
+    the construction generalizes to 64 by widening the loop."""
+    toks = df.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok")
+    ).withColumn("th", F.md5(F.col("tok")))
+    aggs = []
+    for i in range(16):
+        hex_idx = i // 4 + 1  # 1-based substring position into the digest
+        bit_in_char = 3 - (i % 4)  # high bit first
+        hexval = F.conv(F.substring("th", hex_idx, 1), 16, 10).cast("int")
+        bit = F.shiftright(hexval, bit_in_char).bitwiseAND(F.lit(1))
+        aggs.append(
+            F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"s{i}")
+        )
+    sums = toks.groupBy(id_col).agg(*aggs)
+    hash_expr = None
+    for i in range(16):
+        term = F.when(F.col(f"s{i}") > 0, F.lit(1 << (15 - i))).otherwise(0)
+        hash_expr = term if hash_expr is None else hash_expr + term
+    return sums.select(F.col(id_col), hash_expr.cast("int").alias("simhash"))

@@ -1,0 +1,183 @@
+"""Multimodal column handling: image/audio/video as opaque ``binary``
+columns with typed metadata.
+
+The Spark-side plumbing here is real and tested — schemas, Arrow-batched
+``mapInPandas`` signatures, partition behavior. The *codec* step (actual
+JPEG/WAV/MP4 decode) is stubbed: the container has no image/audio
+libraries, so ``decode_media`` raises ``NotImplementedError`` unless
+``fake=True``, which substitutes a deterministic md5-derived fake
+decode. Swapping in a real codec changes ONE function body and nothing
+about the distributed plan.
+
+Scale design: media payloads travel as Arrow binary batches; per-batch
+Python cost is amortized via ``mapInPandas`` (never row-at-a-time UDFs);
+`spark.sql.execution.arrow.maxRecordsPerBatch` bounds batch memory so a
+partition of 100 MB videos cannot OOM an executor. Feature extraction
+keys nothing — zero shuffles; downstream joins use ``media_id``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("media_type", StringType(), False),  # image|audio|video
+        StructField("payload", BinaryType(), True),
+        StructField("meta", MapType(StringType(), StringType()), True),
+    ]
+)
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("media_type", StringType(), False),
+        StructField("n_bytes", LongType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("n_frames", IntegerType(), True),
+        StructField("content_hash", StringType(), True),
+    ]
+)
+
+FEATURE_DIM = 16
+
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("features", ArrayType(FloatType()), True),
+    ]
+)
+
+
+def documents_as_media(docs: DataFrame) -> DataFrame:
+    """Adapter: treat the documents table's text as binary payloads, the
+    shape every real media table has (used by tests and the
+    multimodal_meta query)."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("media_type"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.create_map(F.lit("source"), F.col("source")).alias("meta"),
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int, str]:
+    """DETERMINISTIC FAKE decode — stands in for PIL/ffmpeg, which are not
+    in this container. Derives plausible dimensions from the content
+    digest so results are stable across runs and partitionings."""
+    digest = hashlib.md5(payload).hexdigest()
+    width = 64 + int(digest[:4], 16) % 1024
+    height = 64 + int(digest[4:8], 16) % 1024
+    n_frames = 1 + int(digest[8:12], 16) % 64
+    return width, height, n_frames, digest
+
+
+def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
+    """Decode binary payloads to typed metadata via Arrow-batched
+    mapInPandas. ``fake=False`` documents the real-codec contract:
+    raises NotImplementedError (no image/audio libs in this container)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not fake:
+                raise NotImplementedError(
+                    "real media decode requires PIL/ffmpeg; not available "
+                    "in this container — pass fake=True for the "
+                    "deterministic stub"
+                )
+            rows = []
+            for media_id, media_type, payload in zip(
+                pdf["media_id"], pdf["media_type"], pdf["payload"]
+            ):
+                if payload is None:
+                    rows.append((media_id, media_type, None, None, None, None, None))
+                    continue
+                w, h, nf, digest = _fake_decode(bytes(payload))
+                rows.append(
+                    (media_id, media_type, len(payload), w, h, nf, digest)
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in DECODED_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(batches, DECODED_SCHEMA)
+
+
+def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
+    """Feature extraction (embedding) over media payloads — same batched
+    contract as decode_media; the fake derives FEATURE_DIM floats from
+    the digest."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not fake:
+                raise NotImplementedError(
+                    "real feature extraction requires a vision/audio model"
+                )
+            out = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    out.append((media_id, None))
+                    continue
+                digest = hashlib.md5(bytes(payload)).digest()
+                feats = [
+                    (digest[i] - 128) / 128.0 for i in range(FEATURE_DIM)
+                ]
+                out.append((media_id, feats))
+            yield pd.DataFrame(out, columns=["media_id", "features"])
+
+    return df.mapInPandas(batches, FEATURES_SCHEMA)
+
+
+def resize_plan(df: DataFrame, max_dim: int = 224) -> DataFrame:
+    """Resize planning on decoded metadata — pure Catalyst (no payload
+    touch): compute target dims preserving aspect ratio. The actual pixel
+    resample belongs in the (stubbed) codec step; planning it relationally
+    means the expensive decode only runs for rows that need it."""
+    scale = F.least(
+        F.lit(1.0),
+        F.lit(max_dim) / F.greatest(F.col("width"), F.col("height")),
+    )
+    return df.select(
+        "media_id",
+        "width",
+        "height",
+        F.round(F.col("width") * scale).cast("int").alias("target_width"),
+        F.round(F.col("height") * scale).cast("int").alias("target_height"),
+        (scale < 1.0).alias("needs_resize"),
+    )
+
+
+def sample_frames(df: DataFrame, every_n: int = 8) -> DataFrame:
+    """Frame-sampling plan for video rows: one output row per kept frame
+    index — an explode over a generated sequence, no payload touch until
+    the codec step consumes (media_id, frame_idx)."""
+    return (
+        df.filter(F.col("media_type") == "video")
+        .select(
+            "media_id",
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.col("n_frames") - 1, F.lit(every_n)
+                )
+            ).alias("frame_idx"),
+        )
+    )

@@ -1,0 +1,186 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine`` / ``dot``: higher-order-function expressions (zip_with +
+  aggregate fold) — JVM-side, no UDF, exact left-to-right double
+  accumulation (reproducible across engines).
+- ``knn_brute_force``: baseline exact top-k — broadcast the query set,
+  stream the corpus, rank per query with a window. At 100 TB corpus the
+  broadcast side is the (small) query batch and the corpus is never
+  shuffled: the only shuffle is the per-query top-k aggregation, whose
+  key count = |queries|.
+- ``ivf_topk``: the scale path — a coarse quantizer (here: the stored
+  cluster ``label``; in production k-means centroids) restricts each
+  query to its nearest partition, cutting scan cost by the number of
+  cells. Same pattern as FAISS IVF-Flat, expressed as two joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: Column | str) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    sq = F.transform(a, lambda x: x.cast("double") * x.cast("double"))
+    return F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine(a: Column | str, b: Column | str) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def knn_brute_force(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector.
+
+    Output: (query_id, neighbor_id, cos_sim) — similarity rounded to 6
+    decimals and ranked on (rounded sim DESC, neighbor_id ASC) so the
+    result set is deterministic under any execution order."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    sims = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine("q_vec", "c_vec"), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def centroids_by_label(
+    corpus: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Element-wise mean vector per cell: posexplode → (label, pos) avg →
+    re-assemble ordered array. Two shuffles over |corpus|×dim rows —
+    run once, cache/persist the (tiny) result."""
+    exploded = corpus.select(
+        F.col(label_col), F.posexplode(F.col(vec_col)).alias("pos", "v")
+    )
+    means = exploded.groupBy(label_col, "pos").agg(
+        F.avg(F.col("v").cast("double")).alias("m")
+    )
+    return (
+        means.groupBy(label_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("pos"), F.col("m")))
+            ).alias("pm")
+        )
+        .select(
+            F.col(label_col),
+            F.expr("transform(pm, x -> x.m)").alias("centroid"),
+        )
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """IVF-style ANN: route each query to its nearest cell centroid
+    (broadcast join against the tiny centroid table), then exact top-k
+    inside that cell only — probing 1/|cells| of the corpus."""
+    cents = centroids_by_label(corpus, label_col, vec_col)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    scored = q.crossJoin(F.broadcast(cents)).select(
+        "query_id",
+        "q_vec",
+        F.col(label_col),
+        F.round(cosine("q_vec", "centroid"), 6).alias("cent_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cent_sim"), F.asc(label_col)
+    )
+    routed = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "q_vec", label_col)
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col(label_col),
+    )
+    sims = (
+        c.join(F.broadcast(routed), on=label_col)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine("q_vec", "c_vec"), 6).alias("cos_sim"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        sims.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, blocked: only pairs within
+    the same block (cluster label / LSH bucket) are compared — the
+    standard way to keep pair generation linear-ish instead of O(n²).
+    Output (id_a < id_b, cos_sim ≥ threshold)."""
+    a = corpus.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("vec_a"),
+        F.col(block_col),
+    )
+    b = corpus.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vec_b"),
+        F.col(block_col),
+    )
+    return (
+        a.join(b, on=block_col)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine("vec_a", "vec_b"), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -1,0 +1,127 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All pure Catalyst column expressions (split / transform / filter /
+aggregate higher-order functions) — no Python UDFs, so the hot path
+stays inside whole-stage codegen and scales linearly with input bytes.
+At 100 TB these are embarrassingly parallel map-side ops: no shuffle at
+all unless the caller aggregates.
+
+Ops: token counting, quality scoring (length / punctuation / stopword
+ratios), heuristic language ID (marker-word scoring), document
+fingerprinting (min-hash of rolling word shingles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Deterministic marker lexicons for the language-ID heuristic. A real
+# deployment swaps in per-language character-n-gram profiles; the operator
+# shape (score per language → argmax with fixed priority) is unchanged.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "is"),
+    "de": ("der", "die", "das", "und", "ist", "ein"),
+    "fr": ("le", "la", "et", "les", "est", "une"),
+    "es": ("el", "los", "de", "y", "es", "una"),
+}
+
+STOPWORDS: tuple[str, ...] = (
+    "the", "a", "an", "of", "and", "or", "to", "in", "is", "it",
+)
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization of lowercased, trimmed text."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(F.lower(c)), r"\s+")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def _in_list_sql(words: tuple[str, ...]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+def marker_hits(toks_col: str, words: tuple[str, ...]) -> Column:
+    """Count of tokens belonging to a marker set — higher-order filter,
+    evaluated per row with no shuffle."""
+    return F.expr(f"size(filter({toks_col}, w -> w IN ({_in_list_sql(words)})))")
+
+
+def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-scoring columns: n_chars, n_tokens, avg token length,
+    punctuation ratio, stopword ratio. One projection, zero shuffles."""
+    out = df.withColumn("_toks", tokens(text_col))
+    n_chars = F.length(F.col(text_col))
+    no_ws = F.regexp_replace(F.col(text_col), r"\s+", "")
+    non_alnum = F.regexp_replace(F.lower(no_ws), r"[a-z0-9]", "")
+    return (
+        out.withColumn("n_chars_calc", n_chars)
+        .withColumn("n_tokens", F.size("_toks"))
+        .withColumn(
+            "avg_token_len",
+            F.round(F.length(no_ws) / F.greatest(F.size("_toks"), F.lit(1)), 6),
+        )
+        .withColumn(
+            "punct_ratio",
+            F.round(F.length(non_alnum) / F.greatest(n_chars, F.lit(1)), 6),
+        )
+        .withColumn(
+            "stopword_ratio",
+            F.round(
+                marker_hits("_toks", STOPWORDS)
+                / F.greatest(F.size("_toks"), F.lit(1)),
+                6,
+            ),
+        )
+        .drop("_toks")
+    )
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: marker-word score per language, argmax with
+    a fixed priority order (en > de > fr > es > unknown) for ties."""
+    out = df.withColumn("_toks", tokens(text_col))
+    for lang, words in LANG_MARKERS.items():
+        out = out.withColumn(f"score_{lang}", marker_hits("_toks", words))
+    langs = list(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"score_{lg}") for lg in langs])
+    pred = F.when(best == 0, F.lit("unknown"))
+    for lg in langs:  # fixed priority: first lang reaching the max wins
+        pred = pred.when(F.col(f"score_{lg}") == best, F.lit(lg))
+    return out.withColumn("lang_pred", pred).drop("_toks")
+
+
+def shingles(toks_col: str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a token-array column. Rows with
+    fewer than n tokens yield the whole text as a single shingle."""
+    return F.expr(
+        f"""
+        CASE WHEN size({toks_col}) < {n}
+             THEN array(concat_ws(' ', {toks_col}))
+             ELSE array_distinct(transform(
+                    sequence(1, size({toks_col}) - {n - 1}),
+                    i -> concat_ws(' ', slice({toks_col}, i, {n}))))
+        END
+        """
+    )
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Document fingerprint: min over rolling word-shingle hashes — the
+    1-hash MinHash, a locality-sensitive rolling-hash fingerprint. md5 is
+    used as the mixing function because it is identical in every engine
+    (our oracle included); the min over hex strings is a valid uniform
+    permutation min."""
+    out = df.withColumn("_toks", tokens(text_col))
+    fp = F.expr(
+        "array_min(transform(_sh, s -> md5(s)))"
+    )
+    return (
+        out.withColumn("_sh", shingles("_toks", n))
+        .withColumn("fingerprint", fp)
+        .drop("_toks", "_sh")
+    )

