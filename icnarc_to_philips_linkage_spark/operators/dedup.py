@@ -71,6 +71,8 @@ def dedup_merge(
     """
     aggs: list[Column] = []
     for col, pol in policies.items():
+        if col in keys:  # the key identifies the group; no agg needed
+            continue
         pols = [pol] if isinstance(pol, str) else list(pol)
         for p in pols:
             alias = col if len(pols) == 1 else f"{col}_{p}"
@@ -105,6 +107,52 @@ def uniqueness_check(df: DataFrame, keys: Sequence[str]) -> DataFrame:
         "n_rows",
         "n_keys",
         (F.col("n_rows") == F.col("n_keys")).alias("is_unique"),
+    )
+
+
+def combine_non_unique_philips_encounters(
+    df: DataFrame, mode: str = "concat"
+) -> DataFrame:
+    """A1: merge Philips stay *fragments* sharing a corrected encounterId
+    (clean_encounterids.py:129-158): earliest inTime, latest outTime,
+    summed LOS, min age; fragment provenance kept as counts + sorted
+    lists in 'concat' mode. pandas' order-dependent first/last/``list``
+    become inTime-ordered min_by/max_by and sorted collect_list."""
+    policies = {
+        "ptCensusId": ["count", "list"] if mode == "concat" else "first",
+        "age": "min",
+        "inTime": "min",
+        "outTime": "max",
+        "tNumber": "first",
+        "encounterId_original": ["count", "list"] if mode == "concat" else "first",
+        "lengthOfStay (mins)": "sum",
+        "gender": "last" if mode == "concat" else "first",
+        "error_type": "first_non_na",
+    }
+    policies = {k: v for k, v in policies.items() if k in df.columns}
+    return dedup_merge(df, ["encounterId"], policies, order_col="inTime")
+
+
+def combine_non_unique_encounters(df: DataFrame, mode: str = "concat") -> DataFrame:
+    """A2: the post-linkage merge keyed on the ICNARC-side link key
+    (clean_encounterids.py:160-198), adding the ICNARC columns."""
+    policies = {
+        "encounterId": ["count", "list"] if mode == "concat" else "first",
+        "Unit ID": "min",
+        "ICNARC number": ["count", "list"] if mode == "concat" else "first",
+        "CIS Patient ID Original": "first",
+        "CIS Episode ID": ["count", "list"] if mode == "concat" else "first",
+        "Readmission during this hospital stay": "first",
+        "age": "min",
+        "inTime": "min",
+        "outTime": "max",
+        "lengthOfStay (mins)": "sum",
+        "gender": "last" if mode == "concat" else "first",
+        "error_type": "first_non_na",
+    }
+    policies = {k: v for k, v in policies.items() if k in df.columns}
+    return dedup_merge(
+        df, ["CIS Patient ID Original"], policies, order_col="inTime"
     )
 
 

@@ -1,0 +1,118 @@
+"""Source readers (SURVEY.md §2.1 S3-S5, S7).
+
+- CSV / TSV scans are native Spark scans (splittable, predicate/column
+  pushdown where the format allows).
+- The ``.rpt`` TSV export carries a non-data footer the reference asks
+  users to "delete manually" (clean_encounterids.py:17-19); the engine
+  replaces that with a parse-guard filter — distributed-safe, since
+  "last five lines of the file" is not a well-defined concept across
+  splits.
+- Excel dimensions are driver-side reads (they are ≤ a few hundred rows
+  by construction — issue lists, interventions key) materialized into
+  broadcast-sized DataFrames.
+- JDBC extraction (the T-SQL star-schema queries of
+  variable_location_in_ICCA.sql) maps to ``spark.read.jdbc`` with
+  pushed-down predicates.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def _parse_dates(df: DataFrame, date_cols: Sequence[str] | None) -> DataFrame:
+    for c in date_cols or ():
+        if c in df.columns:
+            df = df.withColumn(c, F.to_timestamp(F.col(f"`{c}`")))
+    return df
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None = None,
+    date_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """S4: CSV scan (ICNARC numbers file, clean_encounterids.py:36)."""
+    reader = spark.read.option("header", True)
+    reader = reader.schema(schema) if schema else reader.option("inferSchema", True)
+    return _parse_dates(reader.csv(path), date_cols)
+
+
+def read_tsv_report(
+    spark: SparkSession,
+    path: str,
+    key_col: str,
+    schema: StructType | None = None,
+    date_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """S5: tab-separated ``.rpt`` extract with footer guard. Rows whose
+    key column doesn't parse as an integer (the '(N rows affected)'
+    trailer and blank lines) are dropped by predicate instead of manual
+    editing — same effect, works on any split of the file."""
+    reader = spark.read.option("header", True).option("sep", "\t")
+    reader = reader.schema(schema) if schema else reader.option("inferSchema", False)
+    df = reader.csv(path)
+    guarded = df.filter(F.col(f"`{key_col}`").cast("long").isNotNull())
+    return _parse_dates(guarded, date_cols)
+
+
+def read_excel_dim(
+    spark: SparkSession, path: str, sheet: str | int = 0
+) -> DataFrame:
+    """S3: Excel dimension scan (issue lists, interventions key, CMP
+    properties). Driver-side pandas/openpyxl read → createDataFrame:
+    these dims are broadcast-sized by construction (≤ hundreds of rows),
+    so a distributed scan would be pure overhead. Requires openpyxl;
+    raises a clear error when absent (not installed in this container —
+    tests exercise the DataFrame path via ``dim_from_rows``)."""
+    try:
+        import pandas as pd
+    except ImportError as e:  # pragma: no cover
+        raise ImportError("read_excel_dim requires pandas") from e
+    try:
+        pdf = pd.read_excel(path, sheet_name=sheet)
+    except ImportError as e:
+        raise ImportError(
+            "read_excel_dim requires an Excel engine (openpyxl); "
+            "load the dimension another way or install openpyxl"
+        ) from e
+    return spark.createDataFrame(pdf)
+
+
+def dim_from_rows(
+    spark: SparkSession, rows: list[dict], schema: StructType | str | None = None
+) -> DataFrame:
+    """Dimension constructor for literal/in-memory dims (tests, decode
+    tables). Always broadcast-sized."""
+    if schema is not None:
+        return spark.createDataFrame(rows, schema)
+    return spark.createDataFrame(rows)
+
+
+def read_jdbc_pushdown(
+    spark: SparkSession,
+    url: str,
+    table_or_query: str,
+    predicates: Sequence[str] | None = None,
+    **options: str,
+) -> DataFrame:
+    """S7: JDBC extraction (the ICCA Reporting-DB queries). A
+    ``(SELECT ...) t`` subquery or dbtable plus Spark-pushed predicates
+    reproduces the reference's hand-written T-SQL narrowing — the
+    'don't clog the server' guidance (variable_location_in_ICCA.sql:7-9)
+    becomes pushed filters instead of supervision."""
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table_or_query)
+    )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    if predicates:
+        return reader.load().filter(" AND ".join(f"({p})" for p in predicates))
+    return reader.load()

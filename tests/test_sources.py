@@ -1,0 +1,100 @@
+"""Source-layer tests: distributed XML ingest (S1/S2), TSV footer guard
+(S5), CSV reader (S4), parquet checkpoint (S6)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from icnarc_to_philips_linkage_spark.sources import readers, writers, xml
+
+ICNARC_XML = """<?xml version="1.0"?>
+<export xmlns="http://icnarc.example/ns">
+  <patient>
+    <ICNARCNO>2015001</ICNARCNO>
+    <CMPNO>H91</CMPNO>
+    <SEX>F</SEX>
+    <HT>170</HT>
+    <WT>68</WT>
+  </patient>
+  <patient>
+    <ICNARCNO>2015002</ICNARCNO>
+    <CMPNO>B16</CMPNO>
+    <SEX>M</SEX>
+    <WT>80</WT>
+    <UNUSEDTAG> </UNUSEDTAG>
+  </patient>
+</export>
+"""
+
+
+@pytest.fixture(scope="module")
+def xml_path(tmp_path_factory):
+    d = tmp_path_factory.mktemp("xmlsrc")
+    (d / "export.xml").write_text(ICNARC_XML)
+    return str(d / "export.xml")
+
+
+@pytest.fixture(scope="module")
+def cmp_properties(spark):
+    rows = [
+        Row(CODE="ICNARCNO", Description="ICNARC Number"),
+        Row(CODE="CMPNO", Description="ICNARC CMP Number"),
+        Row(CODE="SEX", Description="Sex"),
+        Row(CODE="HT", Description="Height in cm"),
+        Row(CODE="WT", Description="Weight in kg"),
+        Row(CODE="NOTINDATA", Description="Absent Column"),  # pruned path
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_xml_ingest_namespace_strip_and_pivot(spark, xml_path, cmp_properties):
+    wide = xml.parse_icnarc_xml(spark, xml_path, cmp_properties)
+    # pruning: absent code contributes no column; blank-text tag dropped
+    assert set(wide.columns) == {
+        "ICNARC Number", "ICNARC CMP Number", "Sex", "Height in cm", "Weight in kg"
+    }
+    rows = {r["ICNARC Number"]: r for r in wide.collect()}
+    assert rows["2015001"]["Sex"] == "F"
+    assert rows["2015001"]["Height in cm"] == "170"
+    assert rows["2015002"]["Height in cm"] is None, "missing tag → NULL"
+    # everything string-typed (reference's string-first model)
+    assert all(t == "string" for _, t in wide.dtypes)
+
+
+RPT = (
+    "encounterId\tptCensusId\tinTime\n"
+    "101\t1\t2016-01-01 10:00:00\n"
+    "102\t2\t2016-02-01 08:00:00\n"
+    "\n"
+    "(2 rows affected)\n"
+    "Completion time: 2019-01-01\n"
+)
+
+
+def test_tsv_footer_guard(spark, tmp_path):
+    p = tmp_path / "extract.rpt"
+    p.write_text(RPT)
+    df = readers.read_tsv_report(
+        spark, str(p), key_col="encounterId", date_cols=["inTime"]
+    )
+    rows = df.collect()
+    assert len(rows) == 2, "footer lines must be dropped by the parse guard"
+    assert dict(df.dtypes)["inTime"] == "timestamp"
+    assert {r.encounterId for r in rows} == {"101", "102"}
+
+
+def test_csv_reader(spark, tmp_path):
+    p = tmp_path / "ids.csv"
+    p.write_text("ICNARC number,Unit ID,CIS Patient ID\n1,1,101\n2,14,102\n")
+    df = readers.read_csv(spark, str(p))
+    assert df.count() == 2
+    assert df.filter(F.col("`Unit ID`") != 14).count() == 1
+
+
+def test_parquet_checkpoint_roundtrip(spark, tmp_path):
+    df = spark.range(100).withColumn("v", F.col("id") * 2)
+    out = writers.checkpoint_parquet(spark, df, str(tmp_path / "ckpt"))
+    assert out.count() == 100
+    assert out.agg(F.sum("v")).collect()[0][0] == 9900
