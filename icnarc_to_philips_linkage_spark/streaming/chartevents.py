@@ -1,0 +1,153 @@
+"""Structured Streaming surface for EAV observation streams.
+
+The reference processes its time-series table (chartevents: ~1 record/hr
+flowsheet + ~1/day labs) as a static batch (SURVEY §2.9), but it stores
+BOTH ``chartTime`` (event time) and ``storeTime`` (arrival time) — the
+exact late-data distinction Structured Streaming watermarks model. This
+module is the streaming extension of the same schema:
+
+- file/parquet ``readStream`` source with schema enforcement;
+- watermarked tumbling / sliding window aggregates per variable;
+- lateness profiling (storeTime − chartTime) to *choose* the watermark;
+- gap-based sessionization via ``session_window``;
+- the same typed-value + dimension-decoration ops as batch (the
+  DataFrame expressions are identical — one definition serves both).
+
+Scale: windowed aggregation state is keyed by (window, variable-ish
+keys); watermarking bounds state size; ``availableNow`` triggers give
+batch-backfill semantics with streaming code.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+CHARTEVENTS_SCHEMA = StructType(
+    [
+        StructField("encounterId", LongType(), True),
+        StructField("chartTime", TimestampType(), True),
+        StructField("storeTime", TimestampType(), True),
+        StructField("interventionId", LongType(), True),
+        StructField("attributeId", LongType(), True),
+        StructField("valueNumber", DoubleType(), True),
+        StructField("valueString", StringType(), True),
+    ]
+)
+
+
+def read_chartevents_stream(
+    spark: SparkSession, path: str, fmt: str = "parquet"
+) -> DataFrame:
+    """File-source stream over a chartevents-shaped directory. New files
+    are discovered per micro-batch; schema is pinned (streams cannot
+    infer)."""
+    return spark.readStream.format(fmt).schema(CHARTEVENTS_SCHEMA).load(path)
+
+
+def windowed_variable_stats(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Per-(window, interventionId, attributeId) count/mean/min/max of
+    the numeric value, watermarked on event time. Late rows beyond the
+    watermark are dropped and the corresponding state is evictable —
+    this is what bounds memory on an unbounded stream."""
+    win = (
+        F.window("chartTime", window, slide)
+        if slide
+        else F.window("chartTime", window)
+    )
+    return (
+        events.withWatermark("chartTime", watermark)
+        .groupBy(win.alias("w"), "interventionId", "attributeId")
+        .agg(
+            F.count("valueNumber").alias("n"),
+            F.avg("valueNumber").alias("mean_value"),
+            F.min("valueNumber").alias("min_value"),
+            F.max("valueNumber").alias("max_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "interventionId",
+            "attributeId",
+            "n",
+            "mean_value",
+            "min_value",
+            "max_value",
+        )
+    )
+
+
+def lateness_profile(events: DataFrame, window: str = "1 hour") -> DataFrame:
+    """Distribution of arrival lag (storeTime − chartTime) per window —
+    the measurement that justifies a watermark choice. The reference
+    stores both timestamps; this op turns them into an operational
+    signal."""
+    lag_s = (
+        F.unix_timestamp("storeTime") - F.unix_timestamp("chartTime")
+    ).alias("lag_s")
+    return (
+        events.withWatermark("chartTime", "1 day")
+        .groupBy(F.window("chartTime", window).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(lag_s).alias("mean_lag_s"),
+            F.max(lag_s).alias("max_lag_s"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "n",
+            "mean_lag_s",
+            "max_lag_s",
+        )
+    )
+
+
+def sessionize(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Gap-based session windows per stay: consecutive observations
+    closer than ``gap`` merge into one session (native session_window —
+    state merges windows as rows arrive, watermark closes sessions)."""
+    return (
+        events.withWatermark("chartTime", watermark)
+        .groupBy(
+            F.session_window("chartTime", gap).alias("s"), "encounterId"
+        )
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+        .select(
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "encounterId",
+            "n_obs",
+        )
+    )
+
+
+def run_to_memory_sink(
+    df: DataFrame,
+    query_name: str,
+    output_mode: str = "append",
+) -> "object":
+    """Execute a streaming frame with the available-now trigger into an
+    in-memory table (tests / backfills): processes everything currently
+    in the source, then stops."""
+    return (
+        df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,105 @@
+"""Structured Streaming tests: file-source stream → watermarked windowed
+aggregates / lateness profile / sessionization, driven with the
+available-now trigger into memory sinks, including a late-data batch
+landing as a second file."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+
+from icnarc_to_philips_linkage_spark.streaming import chartevents as ce
+
+
+def ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def _row(enc, chart, store, iv=3363, att=629, num=70.0):
+    return Row(
+        encounterId=enc, chartTime=ts(chart), storeTime=ts(store),
+        interventionId=iv, attributeId=att, valueNumber=num, valueString=None,
+    )
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("stream")
+    batch1 = [
+        _row(101, "2016-01-01T10:05", "2016-01-01T10:06", num=70.0),
+        _row(101, "2016-01-01T10:45", "2016-01-01T10:50", num=80.0),
+        _row(101, "2016-01-01T11:05", "2016-01-01T11:06", num=90.0),
+        _row(102, "2016-01-01T10:10", "2016-01-01T10:20", num=60.0),
+        # session gap: next obs for 102 is 2h later
+        _row(102, "2016-01-01T13:00", "2016-01-01T13:01", num=62.0),
+    ]
+    spark.createDataFrame(batch1, ce.CHARTEVENTS_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(d / "in"))
+    return d
+
+
+def _drain(q):
+    q.awaitTermination(120)
+
+
+def test_windowed_stats_available_now(spark, stream_dir):
+    src = ce.read_chartevents_stream(spark, str(stream_dir / "in"))
+    agg = ce.windowed_variable_stats(src, window="1 hour", watermark="2 hours")
+    q = ce.run_to_memory_sink(agg, "win_stats", output_mode="complete")
+    _drain(q)
+    rows = spark.sql("SELECT * FROM win_stats").collect()
+    by_win = {(r.window_start, r.interventionId): r for r in rows}
+    r10 = by_win[(ts("2016-01-01T10:00"), 3363)]
+    assert r10.n == 3 and r10.min_value == 60.0 and r10.max_value == 80.0
+    r11 = by_win[(ts("2016-01-01T11:00"), 3363)]
+    assert r11.n == 1 and r11.mean_value == 90.0
+
+
+def test_late_data_second_batch(spark, stream_dir):
+    """A second file lands containing one in-watermark late row and the
+    stream (restarted with availableNow, same source) reflects it; the
+    lateness profile quantifies arrival lag."""
+    late = [
+        # charted 10:30 but stored much later — late arrival
+        _row(101, "2016-01-01T10:30", "2016-01-01T12:30", num=100.0),
+    ]
+    spark.createDataFrame(late, ce.CHARTEVENTS_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(stream_dir / "in"))
+    src = ce.read_chartevents_stream(spark, str(stream_dir / "in"))
+    agg = ce.windowed_variable_stats(src, window="1 hour", watermark="2 hours")
+    q = ce.run_to_memory_sink(agg, "win_stats2", output_mode="complete")
+    _drain(q)
+    rows = spark.sql(
+        "SELECT * FROM win_stats2 WHERE window_start = timestamp'2016-01-01 10:00:00'"
+    ).collect()
+    r = [x for x in rows if x.interventionId == 3363][0]
+    assert r.n == 4 and r.max_value == 100.0
+
+    prof = ce.lateness_profile(src, window="1 hour")
+    q2 = ce.run_to_memory_sink(prof, "lateness", output_mode="complete")
+    _drain(q2)
+    lag = {
+        r.window_start: r for r in spark.sql("SELECT * FROM lateness").collect()
+    }
+    assert lag[ts("2016-01-01T10:00")].max_lag_s == 7200.0
+
+
+def test_sessionization(spark, stream_dir):
+    src = ce.read_chartevents_stream(spark, str(stream_dir / "in"))
+    sess = ce.sessionize(src, gap="30 minutes", watermark="2 hours")
+    q = ce.run_to_memory_sink(sess, "sessions", output_mode="complete")
+    _drain(q)
+    rows = spark.sql("SELECT * FROM sessions ORDER BY encounterId, session_start").collect()
+    by_enc = {}
+    for r in rows:
+        by_enc.setdefault(r.encounterId, []).append(r)
+    # 102's two observations are 2h50m apart → two sessions
+    assert len(by_enc[102]) == 2
+    assert all(r.n_obs == 1 for r in by_enc[102])
+    # 101: 10:05, 10:30(late file), 10:45, 11:05 all within 30-min gaps → one session
+    assert len(by_enc[101]) == 1
+    assert by_enc[101][0].n_obs == 4
