@@ -36,6 +36,13 @@ def main() -> int:
         )
         return 2
 
+    # JVM/codegen/parquet-reader warmup so per-query timings measure the
+    # plans, not first-query initialization (startup_sec reports the rest)
+    warm = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    warm.limit(1000).groupBy("l_returnflag").count().write.format(
+        "noop"
+    ).mode("overwrite").save()
+
     timings: dict[str, float] = {}
     for name in selected:
         fn, _ = queries[name]

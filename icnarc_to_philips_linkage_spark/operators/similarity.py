@@ -37,6 +37,26 @@ def cosine(a: Column | str, b: Column | str) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def norm_sq(a: Column | str) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    sq = F.transform(a, lambda x: x.cast("double") * x.cast("double"))
+    return F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def cosine_with_norms(
+    a: Column | str, b: Column | str, norm_sq_a: Column | str, norm_sq_b: Column | str
+) -> Column:
+    """Cosine with per-vector squared norms hoisted out of the pair loop:
+    the higher-order folds are interpreted (not codegen'd), so computing
+    each vector's norm once per ROW instead of once per PAIR cuts the
+    fold work from 3 to 1 per pair. Arithmetic order matches ``cosine``
+    exactly — dot / (sqrt(na) * sqrt(nb)) — so results are bit-identical
+    (and oracle-identical)."""
+    na = F.col(norm_sq_a) if isinstance(norm_sq_a, str) else norm_sq_a
+    nb = F.col(norm_sq_b) if isinstance(norm_sq_b, str) else norm_sq_b
+    return dot(a, b) / (F.sqrt(na) * F.sqrt(nb))
+
+
 def knn_brute_force(
     corpus: DataFrame,
     queries: DataFrame,
@@ -50,10 +70,14 @@ def knn_brute_force(
     decimals and ranked on (rounded sim DESC, neighbor_id ASC) so the
     result set is deterministic under any execution order."""
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm_sq(vec_col).alias("q_nsq"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm_sq(vec_col).alias("c_nsq"),
     )
     sims = (
         c.crossJoin(F.broadcast(q))
@@ -61,7 +85,9 @@ def knn_brute_force(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine("q_vec", "c_vec"), 6).alias("cos_sim"),
+            F.round(
+                cosine_with_norms("q_vec", "c_vec", "q_nsq", "c_nsq"), 6
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -132,6 +158,7 @@ def ivf_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
+        norm_sq(vec_col).alias("c_nsq"),
         F.col(label_col),
     )
     sims = (
@@ -140,7 +167,10 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine("q_vec", "c_vec"), 6).alias("cos_sim"),
+            F.round(
+                cosine_with_norms("q_vec", "c_vec", norm_sq("q_vec"), "c_nsq"),
+                6,
+            ).alias("cos_sim"),
         )
     )
     w2 = Window.partitionBy("query_id").orderBy(
@@ -167,11 +197,13 @@ def embedding_near_dup_pairs(
     a = corpus.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("vec_a"),
+        norm_sq(vec_col).alias("nsq_a"),
         F.col(block_col),
     )
     b = corpus.select(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("vec_b"),
+        norm_sq(vec_col).alias("nsq_b"),
         F.col(block_col),
     )
     return (
@@ -180,7 +212,9 @@ def embedding_near_dup_pairs(
         .select(
             "id_a",
             "id_b",
-            F.round(cosine("vec_a", "vec_b"), 6).alias("cos_sim"),
+            F.round(
+                cosine_with_norms("vec_a", "vec_b", "nsq_a", "nsq_b"), 6
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )

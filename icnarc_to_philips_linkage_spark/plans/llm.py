@@ -11,6 +11,7 @@ result sets deterministic.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints resolve here
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -317,6 +318,28 @@ FROM toks
 """
 
 
+def ud2_pandas_udf_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """UD2: the engine's *escape hatch* surface — an Arrow-batched scalar
+    pandas UDF — demonstrated on a computation that also has a native
+    form (token counting), so the oracle can fully check it. Policy
+    (SURVEY §2.10): native expressions first; this path exists for
+    semantics Catalyst can't express, and is Arrow-vectorized, never
+    row-at-a-time."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def n_tokens(texts: pd.Series) -> pd.Series:
+        return texts.str.strip().str.lower().str.split(r"\s+").str.len()
+
+    d = load(spark, sf, "documents")
+    return d.select("doc_id", n_tokens("text").alias("n_tokens"))
+
+
+UD2_SQL = f"""
+SELECT doc_id, len({_TOKS}) AS n_tokens FROM documents
+"""
+
+
 def multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
     """Multimodal plumbing demo: text treated as an opaque binary payload
     — byte length + content digest, the typed-metadata pattern every
@@ -349,5 +372,6 @@ QUERIES: dict[str, tuple] = {
     "text_quality": (text_quality, _quality_sql()),
     "text_lang_id": (text_lang_id, _lang_id_sql()),
     "text_fingerprint": (text_fingerprint, _fingerprint_sql()),
+    "ud2_pandas_udf_tokens": (ud2_pandas_udf_tokens, UD2_SQL),
     "multimodal_meta": (multimodal_meta, MULTIMODAL_SQL),
 }

@@ -12,9 +12,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from icnarc_to_philips_linkage_spark.plans import llm, relational
+from icnarc_to_philips_linkage_spark.plans import llm, relational, sql_surface
 
-_MODULES = [relational, llm]
+_MODULES = [relational, llm, sql_surface]
 
 
 def all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:

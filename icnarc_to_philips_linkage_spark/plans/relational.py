@@ -171,6 +171,19 @@ WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size < 10)
 GROUP BY l_returnflag
 """
 
+def f3_eq_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """F3: equality filter (chartevents['Variable']==var analog)."""
+    return (
+        load(spark, sf, "orders")
+        .filter(F.col("o_orderstatus") == "P")
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+    )
+
+
+F3_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus FROM orders WHERE o_orderstatus = 'P'
+"""
+
 # --------------------------------------------------------------- joins (J)
 
 
@@ -355,6 +368,77 @@ SELECT CASE o_orderstatus WHEN 'O' THEN 'OPEN' WHEN 'F' THEN 'FINISHED'
             WHEN 'P' THEN 'PARTIAL' ELSE 'UNKNOWN' END AS status_label,
        COUNT(*) AS n
 FROM orders GROUP BY 1
+"""
+
+def j5_decorate_dim_misses(spark: SparkSession, sf: str) -> DataFrame:
+    """J5: broadcast left-join decoration on a composite key where some
+    fact keys have no dimension row (null Variable path, FIXTURES §5
+    quirk). Dim = the (partkey, suppkey) pairs of low-size parts only;
+    other pairs decorate as NULL → 'unknown'."""
+    l = load(spark, sf, "lineitem")
+    dim = (
+        l.join(
+            load(spark, sf, "part").filter(F.col("p_size") < 25),
+            l.l_partkey == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.count(F.lit(1)).alias("pair_n"))
+        .withColumn("pair_label", F.concat(F.lit("pair_"), F.col("pair_n")))
+        .drop("pair_n")
+    )
+    return (
+        l.join(F.broadcast(dim), on=["l_partkey", "l_suppkey"], how="left")
+        .groupBy(F.coalesce("pair_label", F.lit("unknown")).alias("pair_label"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+J5_SQL = """
+WITH dim AS (
+  SELECT l_partkey, l_suppkey, 'pair_' || COUNT(*) AS pair_label
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size < 25)
+  GROUP BY l_partkey, l_suppkey
+)
+SELECT COALESCE(d.pair_label, 'unknown') AS pair_label, COUNT(*) AS n
+FROM lineitem l LEFT JOIN dim d USING (l_partkey, l_suppkey)
+GROUP BY 1
+"""
+
+
+def j6_attach_stay_attribute(spark: SparkSession, sf: str) -> DataFrame:
+    """J6+E13: per-(entity, variable) counts joined back to a per-entity
+    attribute, then a rate (sampling-frequency analog, cells 59-60)."""
+    e = load(spark, sf, "events")
+    per_user = e.groupBy("user_id").agg(
+        ((F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))) / 3.6e9).alias(
+            "span_hours"
+        )
+    )
+    counts = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return counts.join(per_user, on="user_id", how="inner").select(
+        "user_id",
+        "event_type",
+        "n",
+        F.round(F.col("n") / F.col("span_hours"), 6).alias("rate_per_hour"),
+    )
+
+
+J6_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 3.6e9 AS span_hours
+  FROM events GROUP BY user_id
+),
+counts AS (
+  SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY 1, 2
+)
+SELECT c.user_id, c.event_type, c.n,
+       ROUND(c.n / p.span_hours, 6) AS rate_per_hour
+FROM counts c JOIN per_user p USING (user_id)
 """
 
 # -------------------------------------------------------- aggregations (A)
@@ -553,6 +637,50 @@ WHERE l_extendedprice IS NOT NULL
 GROUP BY 1
 """
 
+def a7_sample_std(spark: SparkSession, sf: str) -> DataFrame:
+    """A7: per-group mean + SAMPLE std (pandas .std ddof=1 parity —
+    distinct from A10's population std)."""
+    stats = profile.group_stats(
+        load(spark, sf, "events"), ["event_type"], "value", sample_std=True
+    )
+    return stats.select(
+        "event_type", "n",
+        F.round("mean", 4).alias("mean"),
+        F.round("std", 4).alias("std_samp"),
+    )
+
+
+A7_SQL = """
+SELECT event_type, COUNT(value) AS n,
+       ROUND(AVG(value), 4) AS mean,
+       ROUND(STDDEV_SAMP(value), 4) AS std_samp
+FROM events GROUP BY event_type
+"""
+
+
+def ud1_first_non_na(spark: SparkSession, sf: str) -> DataFrame:
+    """UD1: the reference's custom aggregate (first value != 'NA' else
+    'NA', clean_encounterids.py:122-127) as a native composition —
+    deterministic via MIN over qualifying values."""
+    e = load(spark, sf, "events").withColumn(
+        "flag", F.when(F.col("value") > 150, F.col("event_type")).otherwise(F.lit("NA"))
+    )
+    return e.groupBy("user_id").agg(
+        F.coalesce(
+            F.min(F.when(F.col("flag") != "NA", F.col("flag"))), F.lit("NA")
+        ).alias("first_flag")
+    )
+
+
+UD1_SQL = """
+SELECT user_id,
+       COALESCE(MIN(CASE WHEN flag != 'NA' THEN flag END), 'NA') AS first_flag
+FROM (SELECT user_id,
+             CASE WHEN value > 150 THEN event_type ELSE 'NA' END AS flag
+      FROM events)
+GROUP BY user_id
+"""
+
 # ------------------------------------------------- windows / sort / union
 
 
@@ -682,6 +810,43 @@ SELECT event_type, COUNT(*) AS n FROM (
 ) GROUP BY event_type
 """
 
+def set_intersect(spark: SparkSession, sf: str) -> DataFrame:
+    """Beyond-reference set op: INTERSECT of two key sets (customers
+    with urgent orders ∩ customers with big orders)."""
+    o = load(spark, sf, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    big = o.filter(F.col("o_totalprice") > 200000).select("o_custkey")
+    return urgent.intersect(big)
+
+
+SET_INTERSECT_SQL = """
+SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_totalprice > 200000
+"""
+
+
+def set_except(spark: SparkSession, sf: str) -> DataFrame:
+    """Beyond-reference set op: EXCEPT (customers with any order minus
+    customers with an open order)."""
+    o = load(spark, sf, "orders")
+    return (
+        o.select("o_custkey")
+        .exceptAll(
+            o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+        )
+        .distinct()
+    )
+
+
+SET_EXCEPT_SQL = """
+SELECT DISTINCT o_custkey FROM (
+  SELECT o_custkey FROM orders
+  EXCEPT ALL
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+)
+"""
+
 # ------------------------------------------------------- expressions (E)
 
 
@@ -786,6 +951,13 @@ FROM customer
 QUERIES: dict[str, tuple] = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "f1_ne_filter": (f1_ne_filter, F1_SQL),
+    "f3_eq_filter": (f3_eq_filter, F3_SQL),
+    "j5_decorate_dim_misses": (j5_decorate_dim_misses, J5_SQL),
+    "j6_attach_stay_attribute": (j6_attach_stay_attribute, J6_SQL),
+    "a7_sample_std": (a7_sample_std, A7_SQL),
+    "ud1_first_non_na": (ud1_first_non_na, UD1_SQL),
+    "set_intersect": (set_intersect, SET_INTERSECT_SQL),
+    "set_except": (set_except, SET_EXCEPT_SQL),
     "f2_f8_conjunctive": (f2_f8_conjunctive, F2_SQL),
     "f4_in_list": (f4_in_list, F4_SQL),
     "f5_not_in": (f5_not_in, F5_SQL),

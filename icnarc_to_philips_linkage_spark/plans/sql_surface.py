@@ -1,0 +1,179 @@
+"""Spark SQL surface (SURVEY.md §3 'entry point 2', §2.2 F6-F8) plus
+advanced analytics beyond the reference (rollup/cube/grouping sets,
+ranking windows, batch sessionization, pivot/unpivot).
+
+Most queries here are SHARED-TEXT: one ANSI SQL string executed verbatim
+by both the engine (``spark.sql`` over registered temp views) and the
+DuckDB oracle — demonstrating that the engine's SQL surface is standard.
+Only pivot/unpivot use DataFrame-API operators (their SQL syntax is
+dialect-specific) with an equivalent conditional-aggregation oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icnarc_to_philips_linkage_spark.plans.tables import load, register_views
+
+
+def _sql(text: str):
+    def run(spark: SparkSession, sf: str) -> DataFrame:
+        register_views(spark, sf)
+        return spark.sql(text)
+
+    return run
+
+
+# F6+A13+O2: the reference's dimension-discovery query shape
+# (variable_location_in_ICCA.sql:28,49-57 — LIKE scan, grouped MIN +
+# COUNT(DISTINCT), TOP-k with deterministic tie-break)
+SQL_DIM_SEARCH = """
+SELECT p_brand, MIN(p_name) AS first_name, COUNT(DISTINCT p_type) AS n_types
+FROM part
+WHERE p_type LIKE '%STEEL%'
+GROUP BY p_brand
+ORDER BY n_types DESC, p_brand
+LIMIT 10
+"""
+
+# F7+F8: IN-subquery fact filtering with conjunctive predicates
+# (variable_location_in_ICCA.sql:84,97)
+SQL_IN_SUBQUERY = """
+SELECT l_returnflag, COUNT(*) AS n,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM lineitem
+WHERE l_partkey IN (SELECT p_partkey FROM part
+                    WHERE p_size < 15 AND p_type LIKE '%BRASS%')
+GROUP BY l_returnflag
+"""
+
+# correlated EXISTS (subquery family completeness)
+SQL_EXISTS = """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+"""
+
+# beyond-reference: hierarchical aggregates
+SQL_ROLLUP = """
+SELECT r_name, n_name, COUNT(*) AS n_customers
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP(r_name, n_name)
+"""
+
+SQL_CUBE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY CUBE(l_returnflag, l_linestatus)
+"""
+
+SQL_GROUPING_SETS = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+# ranking window family; unique ORDER BY makes every rank deterministic
+SQL_WINDOW_RANK = """
+SELECT * FROM (
+  SELECT c_custkey, c_mktsegment, c_acctbal,
+         RANK() OVER (PARTITION BY c_mktsegment
+                      ORDER BY c_acctbal DESC, c_custkey) AS rnk,
+         DENSE_RANK() OVER (PARTITION BY c_mktsegment
+                            ORDER BY c_acctbal DESC, c_custkey) AS drnk,
+         NTILE(4) OVER (PARTITION BY c_mktsegment
+                        ORDER BY c_acctbal DESC, c_custkey) AS quartile,
+         ROUND(PERCENT_RANK() OVER (PARTITION BY c_mktsegment
+                                    ORDER BY c_acctbal DESC, c_custkey), 6)
+             AS pct_rank
+  FROM customer) t
+WHERE rnk <= 5
+"""
+
+# batch sessionization: lag → new-session flag → running-sum session id →
+# per-session aggregate (the batch twin of streaming/chartevents.sessionize)
+SQL_SESSIONIZE = """
+WITH seq AS (
+  SELECT user_id, event_id, ts,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events),
+flags AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM seq),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS session_id
+  FROM flags)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end
+FROM sess GROUP BY user_id, session_id
+"""
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def s2_pivot_wide(spark: SparkSession, sf: str) -> DataFrame:
+    """S2 family: long→wide pivot (the CMP wide-table construction
+    pattern) via the DataFrame pivot operator with explicit pivot values
+    (no extra distinct-scan pass; required for a deterministic schema on
+    a 100 TB input)."""
+    e = load(spark, sf, "events")
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+        )
+        .withColumnsRenamed({t: f"{t}_value" for t in EVENT_TYPES})
+    )
+
+
+S2_PIVOT_SQL = "SELECT user_id,\n" + ",\n".join(
+    f"  CAST(SUM(CASE WHEN event_type = '{t}' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS {t}_value"
+    for t in EVENT_TYPES
+) + "\nFROM events GROUP BY user_id"
+
+
+def u2_unpivot_melt(spark: SparkSession, sf: str) -> DataFrame:
+    """Wide→long unpivot (melt) — the inverse of S2, needed whenever a
+    wide CMP-style table feeds an EAV consumer."""
+    l = load(spark, sf, "lineitem")
+    return l.melt(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice"],
+        variableColumnName="metric",
+        valueColumnName="metric_value",
+    )
+
+
+U2_UNPIVOT_SQL = """
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS metric_value
+FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "sql_dim_search": (_sql(SQL_DIM_SEARCH), SQL_DIM_SEARCH),
+    "sql_in_subquery": (_sql(SQL_IN_SUBQUERY), SQL_IN_SUBQUERY),
+    "sql_exists_correlated": (_sql(SQL_EXISTS), SQL_EXISTS),
+    "sql_rollup": (_sql(SQL_ROLLUP), SQL_ROLLUP),
+    "sql_cube": (_sql(SQL_CUBE), SQL_CUBE),
+    "sql_grouping_sets": (_sql(SQL_GROUPING_SETS), SQL_GROUPING_SETS),
+    "sql_window_rank": (_sql(SQL_WINDOW_RANK), SQL_WINDOW_RANK),
+    "sql_sessionize": (_sql(SQL_SESSIONIZE), SQL_SESSIONIZE),
+    "s2_pivot_wide": (s2_pivot_wide, S2_PIVOT_SQL),
+    "u2_unpivot_melt": (u2_unpivot_melt, U2_UNPIVOT_SQL),
+}

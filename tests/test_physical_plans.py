@@ -1,0 +1,100 @@
+"""Physical-plan properties (the 100 TB story, SURVEY §4): these tests
+pin the plans we *want* — broadcast joins where a side is dimension-
+sized, parquet filter/column pushdown reaching the scan, top-k as
+TakeOrderedAndProject (no global sort), and whole-stage codegen over
+the expression-heavy paths."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from icnarc_to_philips_linkage_spark.plans.registry import all_queries
+from icnarc_to_philips_linkage_spark.plans.tables import load
+from tests.conftest import SF_SMOKE
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_dimension_joins_broadcast(spark):
+    fn, _ = all_queries()["j8_star_3way"]
+    plan = plan_of(fn(spark, SF_SMOKE))
+    assert plan.count("BroadcastHashJoin") >= 2, (
+        "both dims of the star chain must broadcast; fact side must not "
+        f"shuffle:\n{plan}"
+    )
+    assert "SortMergeJoin" not in plan
+
+
+def test_semi_join_stays_semi_and_broadcasts(spark):
+    fn, _ = all_queries()["f7_semi_subquery"]
+    plan = plan_of(fn(spark, SF_SMOKE))
+    assert "LeftSemi" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    df = (
+        load(spark, SF_SMOKE, "lineitem")
+        .filter(F.col("l_quantity") > 45)
+        .select("l_orderkey", "l_quantity")
+    )
+    plan = plan_of(df)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)" in plan.replace(
+        "\n", " "
+    ) or "GreaterThan(l_quantity" in plan, plan
+
+
+def test_column_pruning_reaches_parquet_scan(spark):
+    df = load(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_quantity")
+    plan = plan_of(df)
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan, (
+        "projection must prune the scan to exactly the 2 referenced "
+        f"columns:\n{plan}"
+    )
+
+
+def test_topk_is_take_ordered_not_global_sort(spark):
+    fn, _ = all_queries()["o2_top_k"]
+    plan = plan_of(fn(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_flagship_is_single_shuffle_with_partial_agg(spark):
+    fn, _ = all_queries()["q1_pricing_summary"]
+    df = fn(spark, SF_SMOKE)
+    plan = plan_of(df)
+    # partial (map-side) aggregation before the single exchange
+    assert plan.count("Exchange") == 1, plan
+    assert "partial" in plan.lower()
+    # codegen spans only materialize in the AQE final plan — execute first
+    df.collect()
+    final_plan = plan_of(df)
+    assert "isFinalPlan=true" in final_plan
+    # '*(n)' node prefixes mark whole-stage-codegen spans in the tree string
+    assert "*(" in final_plan, final_plan
+
+
+def test_expression_ops_have_no_python_udfs(spark):
+    """The text / expression operators must stay JVM-side: no
+    BatchEvalPython / ArrowEvalPython nodes anywhere."""
+    for name in ["text_quality", "text_lang_id", "text_fingerprint",
+                 "e5_datetime_derive", "e10_typed_value", "j9_decode"]:
+        fn, _ = all_queries()[name]
+        plan = plan_of(fn(spark, SF_SMOKE))
+        assert "EvalPython" not in plan, f"{name} fell off the JVM:\n{plan}"
+
+
+def test_knn_broadcasts_query_side(spark):
+    fn, _ = all_queries()["sim_knn_brute_force"]
+    plan = plan_of(fn(spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, (
+        f"corpus must stream against broadcast queries:\n{plan}"
+    )
+
+
+def test_aqe_enabled_in_session(spark):
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
