@@ -183,6 +183,83 @@ def ivf_topk(
     )
 
 
+def _hyperplane(plane_id: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane: md5-derived components in
+    [-1, 1). Engine-portable and seed-free (same planes every run)."""
+    import hashlib
+
+    comps = []
+    for i in range(dim):
+        h = hashlib.md5(f"rhlsh:{plane_id}:{i}".encode()).hexdigest()
+        comps.append((int(h[:8], 16) / 0x7FFFFFFF) - 1.0)
+    return comps
+
+
+def rh_lsh_signature(
+    vec_col: Column | str, planes: list[list[float]]
+) -> Column:
+    """Random-hyperplane LSH bucket id: bit p = sign(v · h_p). The planes
+    are literal arrays — constant-folded, broadcast with the plan, no
+    data pass to build them."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    sig = F.lit(0)
+    for p, plane in enumerate(planes):
+        lit = F.array(*[F.lit(x) for x in plane])
+        bit = (dot(v, lit) > 0).cast("int")
+        sig = sig + bit * (1 << p)
+    return sig
+
+
+def ann_rh_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 6,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """LSH-bucketed ANN: hash corpus and queries with the same
+    hyperplanes, search only the query's bucket (cosine-similar vectors
+    collide with probability (1 − θ/π)^planes). The bucket join replaces
+    the cross join — at 100 TB the corpus is scanned once to bucket and
+    the per-query probe is |corpus| / 2^planes on average. Recall is
+    tunable via n_planes (fewer planes → bigger buckets → higher recall);
+    multi-probe extensions hash with several plane sets and union."""
+    planes = [_hyperplane(p, dim) for p in range(n_planes)]
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm_sq(vec_col).alias("c_nsq"),
+        rh_lsh_signature(vec_col, planes).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm_sq(vec_col).alias("q_nsq"),
+        rh_lsh_signature(vec_col, planes).alias("bucket"),
+    )
+    sims = (
+        c.join(F.broadcast(q), on="bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine_with_norms("q_vec", "c_vec", "q_nsq", "c_nsq"), 6
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame,
     threshold: float = 0.95,

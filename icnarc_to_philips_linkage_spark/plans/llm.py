@@ -215,6 +215,64 @@ QUALIFY row_number() OVER (
 
 # Synthetic embeddings top out near cosine 0.47 within a label; 0.3 keeps
 # the threshold branch meaningfully exercised (~1% of blocked pairs).
+N_PLANES = 6
+
+
+def sim_ann_rh_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH-bucketed ANN (random hyperplanes): approximate top-5 — only
+    the query's bucket is probed. The oracle reproduces the identical
+    literal hyperplanes, so even this *approximate* op is exactly
+    checkable."""
+    emb = load(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < KNN_QUERY_LIMIT)
+    return similarity.ann_rh_lsh(emb, q, k=5, n_planes=N_PLANES, dim=DIM)
+
+
+def _rh_lsh_sql() -> str:
+    planes = [similarity._hyperplane(p, DIM) for p in range(N_PLANES)]
+
+    def plane_lit(plane: list[float]) -> str:
+        return "[" + ", ".join(repr(x) for x in plane) + "]"
+
+    def dot_plane(v: str, plane: list[float]) -> str:
+        return (
+            f"list_sum(list_transform(generate_series(1, {DIM}), "
+            f"i -> CAST({v}[i] AS DOUBLE) * ({plane_lit(plane)})[i]))"
+        )
+
+    bucket = " + ".join(
+        f"CAST({dot_plane('embedding', plane)} > 0 AS INT) * {1 << p}"
+        for p, plane in enumerate(planes)
+    )
+    return f"""
+WITH hashed AS (
+  SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM hashed
+      WHERE vec_id < {KNN_QUERY_LIMIT}),
+sims AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         {_cos_sql('q.qv', 'c.embedding')} AS cos_sim
+  FROM hashed c JOIN q USING (bucket)
+  WHERE c.vec_id != q.query_id
+)
+SELECT query_id, neighbor_id, cos_sim FROM sims
+QUALIFY row_number() OVER (
+  PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) <= 5
+"""
+
+
+def cluster_kmeans(spark: SparkSession, sf: str) -> DataFrame:
+    """Iterative k-means cluster sizes — the non-SQL-expressible
+    (iterative) category: no oracle; the driver records a rows-only
+    check, and tests/test_llm_ops.py checks determinism + coverage."""
+    from icnarc_to_philips_linkage_spark.operators import clustering
+
+    emb = load(spark, sf, "embeddings")
+    assignments = clustering.kmeans(emb, k=8, max_iter=3)
+    return clustering.cluster_sizes(assignments)
+
+
 NEAR_DUP_T = 0.3
 
 
@@ -369,6 +427,8 @@ QUERIES: dict[str, tuple] = {
     "dedup_embedding_cosine": (dedup_embedding_cosine, _near_dup_sql()),
     "sim_knn_brute_force": (sim_knn_brute_force, _knn_sql()),
     "sim_ivf_topk": (sim_ivf_topk, _ivf_sql()),
+    "sim_ann_rh_lsh": (sim_ann_rh_lsh, _rh_lsh_sql()),
+    "cluster_kmeans": (cluster_kmeans, None),
     "text_quality": (text_quality, _quality_sql()),
     "text_lang_id": (text_lang_id, _lang_id_sql()),
     "text_fingerprint": (text_fingerprint, _fingerprint_sql()),

@@ -92,6 +92,40 @@ def test_ivf_matches_brute_force_within_cell(spark, emb):
         assert len(neigh_labels) == 1, "IVF must search exactly one cell"
 
 
+def test_rh_lsh_recall_vs_brute_force(spark, emb):
+    """Bucketed ANN recall@5 vs exact top-5: with 6 planes on
+    near-orthogonal vectors recall is modest by design — assert the
+    plumbing (every result is in the query's bucket ⇒ subset of exact
+    ordering within bucket) and a sane floor (>0)."""
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = similarity.knn_brute_force(emb, q, k=5)
+    approx = similarity.ann_rh_lsh(emb, q, k=5, n_planes=4)
+    exact_sets = {}
+    for r in exact.collect():
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = tot = 0
+    for r in approx.collect():
+        tot += 1
+        if r.neighbor_id in exact_sets.get(r.query_id, set()):
+            hits += 1
+    assert tot > 0
+    assert hits > 0, "LSH with 4 planes must recover some exact neighbors"
+
+
+def test_kmeans_deterministic_and_total(spark, emb):
+    from icnarc_to_philips_linkage_spark.operators import clustering
+
+    a1 = clustering.kmeans(emb, k=4, max_iter=2)
+    a2 = clustering.kmeans(emb.repartition(13), k=4, max_iter=2)
+    r1 = sorted(map(tuple, a1.collect()))
+    r2 = sorted(map(tuple, a2.collect()))
+    assert r1 == r2, "kmeans must be partitioning-independent"
+    assert len(r1) == emb.count(), "every vector assigned exactly once"
+    sizes = clustering.cluster_sizes(a1).collect()
+    assert sum(r.n for r in sizes) == emb.count()
+    assert len(sizes) >= 2
+
+
 def test_multimodal_decode_stub_contract(spark, docs):
     media = multimodal.documents_as_media(docs.limit(50))
     with pytest.raises(Exception) as exc_info:
