@@ -42,6 +42,14 @@ def main() -> int:
     warm.limit(1000).groupBy("l_returnflag").count().write.format(
         "noop"
     ).mode("overwrite").save()
+    # higher-order-function + hash codepaths (text/similarity queries)
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    docs.select(
+        F.md5("text"),
+        F.expr("aggregate(transform(split(text, ' '), x -> length(x)), 0, (a, x) -> a + x)"),
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in selected:

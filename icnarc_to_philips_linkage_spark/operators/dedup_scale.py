@@ -141,8 +141,18 @@ def minhash_lsh_dedup(
     threshold: float = 0.4,
 ) -> DataFrame:
     """Full pipeline: shingle → MinHash → LSH bands → candidate pairs →
-    exact-Jaccard verify → near-duplicate pairs above threshold."""
-    sh = doc_shingles(df, id_col, text_col, n)
+    exact-Jaccard verify → near-duplicate pairs above threshold.
+
+    The shingle table feeds FOUR consumers (signatures, both sides of
+    the intersection join, sizes); persisting it trades one
+    materialization for three recomputations of tokenize+shingle+explode
+    — the right call at any scale (MEMORY_AND_DISK spills instead of
+    OOMing on a 100 TB corpus)."""
+    from pyspark import StorageLevel
+
+    sh = doc_shingles(df, id_col, text_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     sig = minhash_signatures(sh, id_col, k)
     cand = lsh_candidate_pairs(lsh_bands(sig, id_col, k, bands), id_col)
     return jaccard_verify(cand, sh, id_col).filter(

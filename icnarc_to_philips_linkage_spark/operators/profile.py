@@ -40,15 +40,19 @@ def percent_of_total(
 
 
 def completeness(
-    df: DataFrame, group_col: str, entity_col: str, approx: bool = False
+    df: DataFrame,
+    group_col: str,
+    entity_col: str,
+    approx: bool = False,
+    rsd: float = 0.02,
 ) -> DataFrame:
     """A5: per-group distinct-entity counts (record completeness per
     Variable, cell 57). ``approx=True`` swaps in HLL
-    (approx_count_distinct) — at 100 TB an exact COUNT(DISTINCT) needs a
-    per-(group, entity) pre-shuffle; HLL is one pass, mergeable, ~2%
-    error."""
+    (approx_count_distinct, relative std dev ``rsd``) — at 100 TB an
+    exact COUNT(DISTINCT) needs a per-(group, entity) pre-shuffle; HLL
+    is one pass and mergeable."""
     agg = (
-        F.approx_count_distinct(entity_col)
+        F.approx_count_distinct(entity_col, rsd)
         if approx
         else F.countDistinct(entity_col)
     )
