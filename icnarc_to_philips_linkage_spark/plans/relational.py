@@ -948,7 +948,71 @@ FROM customer
 """
 
 
+def ts_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join (custom operator, union+window composition): each
+    click event matched to the user's most recent purchase value at or
+    before it. DuckDB's native ASOF JOIN is the oracle."""
+    from icnarc_to_philips_linkage_spark.operators.timeseries import asof_join
+
+    e = load(spark, sf, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts"), "value"
+    )
+    return asof_join(
+        clicks, purchases, key="user_id", left_ts="ts",
+        right_ts="pts", value_col="value", out_col="last_purchase_value",
+    ).select("event_id", "user_id", "ts", "last_purchase_value")
+
+
+TS_ASOF_SQL = """
+SELECT l.event_id, l.user_id, l.ts, r.value AS last_purchase_value
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
+ASOF LEFT JOIN
+     (SELECT user_id, ts AS pts, value FROM events WHERE event_type = 'purchase') r
+  ON l.user_id = r.user_id AND l.ts >= r.pts
+"""
+
+
+def ts_resample_ffill(spark: SparkSession, sf: str) -> DataFrame:
+    """Hourly resample + forward fill per user (hypertable-rollup-style
+    custom operator as a native composition)."""
+    from icnarc_to_philips_linkage_spark.operators.timeseries import resample_ffill
+
+    e = load(spark, sf, "events")
+    return resample_ffill(
+        e, key="user_id", ts_col="ts", value_col="value", tiebreak="event_id"
+    )
+
+
+TS_RESAMPLE_SQL = """
+WITH per_bucket AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket,
+         arg_max(value, ts) AS obs
+  FROM events GROUP BY 1, 2
+),
+spans AS (
+  SELECT user_id, date_trunc('hour', MIN(ts)) AS s, date_trunc('hour', MAX(ts)) AS e
+  FROM events GROUP BY user_id
+),
+grid AS (
+  SELECT user_id, unnest(generate_series(s, e, INTERVAL 1 HOUR)) AS grid_ts
+  FROM spans
+)
+SELECT g.user_id, g.grid_ts,
+       last_value(p.obs IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.grid_ts
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill
+FROM grid g LEFT JOIN per_bucket p
+  ON g.user_id = p.user_id AND g.grid_ts = p.bucket
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "ts_asof_join": (ts_asof_join, TS_ASOF_SQL),
+    "ts_resample_ffill": (ts_resample_ffill, TS_RESAMPLE_SQL),
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "f1_ne_filter": (f1_ne_filter, F1_SQL),
     "f3_eq_filter": (f3_eq_filter, F3_SQL),

@@ -1,0 +1,65 @@
+"""As-of join and resample+ffill semantics on hand-built fixtures:
+at-or-before tie matching, no-prior-row NULLs, gap filling."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+
+from icnarc_to_philips_linkage_spark.operators.timeseries import (
+    asof_join,
+    resample_ffill,
+)
+
+
+def ts(m: int) -> dt.datetime:
+    return dt.datetime(2016, 1, 1) + dt.timedelta(minutes=m)
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [Row(k=1, lts=ts(10), lid="a"),
+         Row(k=1, lts=ts(30), lid="b"),
+         Row(k=1, lts=ts(5), lid="pre"),   # before any right row
+         Row(k=2, lts=ts(60), lid="c"),    # key with no right rows at all
+         Row(k=1, lts=ts(20), lid="tie")]  # exactly at a right timestamp
+    )
+    right = spark.createDataFrame(
+        [Row(k=1, rts=ts(8), v=1.0),
+         Row(k=1, rts=ts(20), v=2.0),
+         Row(k=1, rts=ts(25), v=3.0)]
+    )
+    out = asof_join(left, right, "k", "lts", "rts", "v")
+    got = {r.lid: r.asof_value for r in out.collect()}
+    assert got == {
+        "pre": None,   # nothing at-or-before 05
+        "a": 1.0,      # 08 <= 10
+        "tie": 2.0,    # equal timestamps match (at-or-before)
+        "b": 3.0,      # latest of {8,20,25} <= 30
+        "c": None,     # key never seen on right
+    }
+    assert out.count() == left.count(), "every left row preserved"
+
+
+def test_resample_ffill_semantics(spark):
+    events = spark.createDataFrame(
+        [Row(k=1, t=ts(10), v=10.0, i=1),
+         Row(k=1, t=ts(50), v=11.0, i=2),     # same hour: later wins
+         Row(k=1, t=ts(200), v=12.0, i=3)]    # hour 3; hours 1-2 empty
+    )
+    out = resample_ffill(events, "k", "t", "v", "1 hour", tiebreak="i")
+    rows = sorted((r.grid_ts, r.value_ffill) for r in out.collect())
+    assert rows == [
+        (ts(0), 11.0),     # bucket 00: last obs in bucket (tie by ts)
+        (ts(60), 11.0),    # empty hour → carried forward
+        (ts(120), 11.0),
+        (ts(180), 12.0),
+    ]
+
+
+def test_resample_rejects_multi_unit_steps(spark):
+    events = spark.createDataFrame([Row(k=1, t=ts(0), v=1.0, i=1)])
+    with pytest.raises(ValueError):
+        resample_ffill(events, "k", "t", "v", "2 hours")
