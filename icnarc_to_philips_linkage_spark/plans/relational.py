@@ -658,6 +658,52 @@ FROM events GROUP BY event_type
 """
 
 
+def a8b_grouped_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """A8 grouped: exact median+IQR per group (per-priority price
+    distribution) — one sorted-agg pass per group."""
+    o = load(spark, sf, "orders")
+    p = o.groupBy("o_orderpriority").agg(
+        F.expr(
+            "percentile(o_totalprice, array(0.25D, 0.5D, 0.75D))"
+        ).alias("_p")
+    )
+    return p.select(
+        "o_orderpriority",
+        F.round(F.element_at("_p", 1), 6).alias("p25"),
+        F.round(F.element_at("_p", 2), 6).alias("p50"),
+        F.round(F.element_at("_p", 3), 6).alias("p75"),
+    )
+
+
+A8B_SQL = """
+SELECT o_orderpriority,
+       ROUND(quantile_cont(o_totalprice, 0.25), 6) AS p25,
+       ROUND(quantile_cont(o_totalprice, 0.50), 6) AS p50,
+       ROUND(quantile_cont(o_totalprice, 0.75), 6) AS p75
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def a15_corr_covar(spark: SparkSession, sf: str) -> DataFrame:
+    """Beyond-reference bivariate stats: Pearson correlation + sample
+    covariance per group, single pass."""
+    l = load(spark, sf, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+            "covar_qty_price"
+        ),
+    )
+
+
+A15_SQL = """
+SELECT l_returnflag,
+       ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 4) AS covar_qty_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def ud1_first_non_na(spark: SparkSession, sf: str) -> DataFrame:
     """UD1: the reference's custom aggregate (first value != 'NA' else
     'NA', clean_encounterids.py:122-127) as a native composition —
@@ -1019,6 +1065,8 @@ QUERIES: dict[str, tuple] = {
     "j5_decorate_dim_misses": (j5_decorate_dim_misses, J5_SQL),
     "j6_attach_stay_attribute": (j6_attach_stay_attribute, J6_SQL),
     "a7_sample_std": (a7_sample_std, A7_SQL),
+    "a8b_grouped_percentiles": (a8b_grouped_percentiles, A8B_SQL),
+    "a15_corr_covar": (a15_corr_covar, A15_SQL),
     "ud1_first_non_na": (ud1_first_non_na, UD1_SQL),
     "set_intersect": (set_intersect, SET_INTERSECT_SQL),
     "set_except": (set_except, SET_EXCEPT_SQL),
