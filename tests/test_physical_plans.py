@@ -6,7 +6,6 @@ the expression-heavy paths."""
 
 from __future__ import annotations
 
-import pytest
 from pyspark.sql import functions as F
 
 from icnarc_to_philips_linkage_spark.plans.registry import all_queries

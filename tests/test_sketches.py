@@ -4,7 +4,6 @@ within documented bounds of the exact operators on real testdata."""
 from __future__ import annotations
 
 import pytest
-from pyspark.sql import functions as F
 
 from icnarc_to_philips_linkage_spark.operators import profile
 from icnarc_to_philips_linkage_spark.plans.tables import load
