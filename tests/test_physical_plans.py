@@ -94,6 +94,15 @@ def test_knn_broadcasts_query_side(spark):
     )
 
 
+def test_asof_join_is_single_shuffle(spark):
+    """The union+window as-of join must shuffle exactly once (on the
+    key) — no range-join explosion, no extra exchanges."""
+    fn, _ = all_queries()["ts_asof_join"]
+    plan = plan_of(fn(spark, SF_SMOKE))
+    assert plan.count("Exchange") == 1, plan
+    assert "Window" in plan
+
+
 def test_aqe_enabled_in_session(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"

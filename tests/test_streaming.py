@@ -103,3 +103,38 @@ def test_sessionization(spark, stream_dir):
     # 101: 10:05, 10:30(late file), 10:45, 11:05 all within 30-min gaps → one session
     assert len(by_enc[101]) == 1
     assert by_enc[101][0].n_obs == 4
+
+
+def test_stateful_alarm_runs(spark, stream_dir):
+    """applyInPandasWithState custom operator: consecutive-threshold
+    alarms with cross-trigger state."""
+    from icnarc_to_philips_linkage_spark.streaming.stateful import alarm_runs
+
+    d = stream_dir / "alarm_in"
+    rows = [
+        _row(201, "2016-01-01T10:00", "2016-01-01T10:01", num=160.0),
+        _row(201, "2016-01-01T10:10", "2016-01-01T10:11", num=170.0),
+        _row(201, "2016-01-01T10:20", "2016-01-01T10:21", num=180.0),  # run=3 → alarm
+        _row(201, "2016-01-01T10:30", "2016-01-01T10:31", num=90.0),   # reset
+        _row(201, "2016-01-01T10:40", "2016-01-01T10:41", num=200.0),
+        _row(202, "2016-01-01T10:00", "2016-01-01T10:01", num=155.0),
+        _row(202, "2016-01-01T10:05", "2016-01-01T10:06", num=156.0),
+    ]
+    spark.createDataFrame(rows, ce.CHARTEVENTS_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(d))
+    src = ce.read_chartevents_stream(spark, str(d))
+    q = (
+        alarm_runs(src, threshold_value=150.0, min_run=3)
+        .writeStream.format("memory")
+        .queryName("alarms")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM alarms").collect()
+    assert len(rows) == 1, rows
+    r = rows[0]
+    assert r.encounterId == 201 and r.run_length == 3
+    assert r.alarm_ts == ts("2016-01-01T10:20")
