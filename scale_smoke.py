@@ -1,0 +1,105 @@
+"""Scale smoke: generate a ~100M-row synthetic events table (≈170× the
+sf0.1 bench) in a scratch dir and time representative operators on it.
+Not part of the driver bench — evidence that the plans hold far past the
+test scale factors. Run: python scale_smoke.py [n_rows]."""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+
+from pyspark.sql import functions as F
+
+
+def main() -> int:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000_000
+    from icnarc_to_philips_linkage_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="scale-smoke",
+        extra_conf={"spark.driver.memory": "48g"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    d = tempfile.mkdtemp(prefix="scale-smoke-")
+    t0 = time.time()
+    (
+        spark.range(n)
+        .select(
+            F.col("id").alias("event_id"),
+            F.timestamp_micros(
+                F.lit(1704067200000000) + F.col("id") * 50_000
+            ).alias("ts"),
+            F.pmod(F.xxhash64("id"), F.lit(1_000_000)).alias("user_id"),
+            F.element_at(
+                F.array(*[F.lit(x) for x in ("click", "view", "purchase", "error", "signup")]),
+                (F.pmod(F.xxhash64("id", F.lit(1)), F.lit(5)) + 1).cast("int"),
+            ).alias("event_type"),
+            (F.pmod(F.xxhash64("id", F.lit(2)), F.lit(100000)) / 100.0).alias("value"),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{d}/events")
+    )
+    gen_sec = round(time.time() - t0, 1)
+    e = spark.read.parquet(f"{d}/events")
+
+    timings = {}
+
+    def bench(name, df):
+        t = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t, 2)
+
+    bench(
+        "hash_agg_per_type",
+        e.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sv"),
+        ),
+    )
+    bench(
+        "window_topk_per_user_sample",
+        e.filter(F.col("user_id") < 10_000)
+        .groupBy("user_id")
+        .agg(F.max("value").alias("mx"))
+        .orderBy(F.desc("mx"), "user_id")
+        .limit(100),
+    )
+    bench(
+        "distinct_users",
+        e.agg(F.approx_count_distinct("user_id", 0.01).alias("u")),
+    )
+    from icnarc_to_philips_linkage_spark.operators.timeseries import asof_join
+
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts"), "value"
+    )
+    bench(
+        "asof_join_clicks_purchases",
+        asof_join(clicks, purchases, "user_id", "ts", "pts", "value"),
+    )
+    bench(
+        "dedup_merge_user_day",
+        e.groupBy("user_id", F.date_trunc("day", "ts").alias("day")).agg(
+            F.min("ts"), F.max("ts"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double"),
+            F.count(F.lit(1)),
+        ),
+    )
+    print(
+        json.dumps(
+            {"n_rows": n, "gen_sec": gen_sec, "timings_sec": timings}
+        )
+    )
+    shutil.rmtree(d, ignore_errors=True)
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
