@@ -1056,8 +1056,46 @@ FROM grid g LEFT JOIN per_bucket p
 """
 
 
+def stream_batch_windowed_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """The streaming windowed-stats transformation executed in batch mode
+    (same function, watermark=None) — batch/stream unification over the
+    events table mapped onto the chartevents schema."""
+    from icnarc_to_philips_linkage_spark.streaming.chartevents import (
+        windowed_variable_stats,
+    )
+
+    e = load(spark, sf, "events").select(
+        F.col("user_id").alias("interventionId"),
+        F.lit(0).cast("long").alias("attributeId"),
+        F.col("ts").alias("chartTime"),
+        F.col("value").alias("valueNumber"),
+    )
+    out = windowed_variable_stats(e, window="1 hour", watermark=None)
+    return out.select(
+        "window_start",
+        "interventionId",
+        "n",
+        F.round("mean_value", 4).alias("mean_value"),
+        "min_value",
+        "max_value",
+    )
+
+
+STREAM_BATCH_SQL = """
+SELECT date_trunc('hour', ts) AS window_start,
+       user_id AS interventionId,
+       COUNT(value) AS n,
+       ROUND(AVG(value), 4) AS mean_value,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "ts_asof_join": (ts_asof_join, TS_ASOF_SQL),
+    "stream_batch_windowed_stats": (stream_batch_windowed_stats, STREAM_BATCH_SQL),
     "ts_resample_ffill": (ts_resample_ffill, TS_RESAMPLE_SQL),
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "f1_ne_filter": (f1_ne_filter, F1_SQL),

@@ -57,20 +57,26 @@ def windowed_variable_stats(
     events: DataFrame,
     window: str = "1 hour",
     slide: str | None = None,
-    watermark: str = "2 hours",
+    watermark: str | None = "2 hours",
 ) -> DataFrame:
     """Per-(window, interventionId, attributeId) count/mean/min/max of
     the numeric value, watermarked on event time. Late rows beyond the
     watermark are dropped and the corresponding state is evictable —
-    this is what bounds memory on an unbounded stream."""
+    this is what bounds memory on an unbounded stream.
+
+    ``watermark=None`` runs the identical transformation on a *batch*
+    frame (backfills, the t2 oracle query) — one definition, both
+    execution modes."""
     win = (
         F.window("chartTime", window, slide)
         if slide
         else F.window("chartTime", window)
     )
+    src = (
+        events.withWatermark("chartTime", watermark) if watermark else events
+    )
     return (
-        events.withWatermark("chartTime", watermark)
-        .groupBy(win.alias("w"), "interventionId", "attributeId")
+        src.groupBy(win.alias("w"), "interventionId", "attributeId")
         .agg(
             F.count("valueNumber").alias("n"),
             F.avg("valueNumber").alias("mean_value"),
