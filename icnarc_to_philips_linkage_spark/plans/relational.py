@@ -1093,9 +1093,99 @@ GROUP BY 1, 2
 """
 
 
+def scd2_changelog(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD2 history rebuild from a change log (CDC emulation — the
+    anti-join+union+window MERGE recipe's window half)."""
+    from icnarc_to_philips_linkage_spark.operators.scd import scd2_from_changelog
+
+    e = load(spark, sf, "events")
+    return scd2_from_changelog(e, key="user_id", ts_col="ts", attrs=["value"])
+
+
+SCD2_SQL = """
+SELECT user_id, value,
+       ts AS valid_from,
+       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
+       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL AS is_current
+FROM events
+"""
+
+
+def j_full_outer(spark: SparkSession, sf: str) -> DataFrame:
+    """Full-outer join (join-type completeness beyond the reference):
+    customer roster vs per-customer order counts."""
+    c = load(spark, sf, "customer").select("c_custkey")
+    o = (
+        load(spark, sf, "orders")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return c.join(o, c.c_custkey == o.custkey, "full_outer").select(
+        "c_custkey", "custkey", "n_orders"
+    )
+
+
+J_FULL_OUTER_SQL = """
+SELECT c.c_custkey, o.custkey, o.n_orders
+FROM (SELECT c_custkey FROM customer) c
+FULL OUTER JOIN (SELECT o_custkey AS custkey, COUNT(*) AS n_orders
+                 FROM orders GROUP BY 1) o
+  ON c.c_custkey = o.custkey
+"""
+
+
+def e_null_safe_eq(spark: SparkSession, sf: str) -> DataFrame:
+    """Null-safe equality (<=> / IS NOT DISTINCT FROM) — NULL-vs-NULL
+    compares true, unlike plain '='."""
+    o = load(spark, sf, "orders")
+    a = F.nullif(F.col("o_orderstatus"), F.lit("P"))
+    b = F.nullif(F.col("o_orderstatus"), F.lit("O"))
+    return o.select(
+        "o_orderkey",
+        a.eqNullSafe(b).alias("nse"),
+        (a == b).alias("plain_eq"),
+    )
+
+
+E_NULL_SAFE_SQL = """
+SELECT o_orderkey,
+       NULLIF(o_orderstatus, 'P') IS NOT DISTINCT FROM NULLIF(o_orderstatus, 'O') AS nse,
+       NULLIF(o_orderstatus, 'P') = NULLIF(o_orderstatus, 'O') AS plain_eq
+FROM orders
+"""
+
+
+def arr_collect_ops(spark: SparkSession, sf: str) -> DataFrame:
+    """Array-function family: sorted distinct collection, membership,
+    cardinality per group."""
+    o = load(spark, sf, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.array_join(
+            F.array_sort(F.collect_set("o_orderpriority")), ","
+        ).alias("priorities"),
+        F.size(F.collect_set("o_orderpriority")).alias("n_priorities"),
+        F.array_contains(
+            F.collect_set("o_orderpriority"), "1-URGENT"
+        ).alias("has_urgent"),
+    )
+
+
+ARR_OPS_SQL = """
+SELECT o_custkey,
+       string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS priorities,
+       COUNT(DISTINCT o_orderpriority) AS n_priorities,
+       BOOL_OR(o_orderpriority = '1-URGENT') AS has_urgent
+FROM orders GROUP BY o_custkey
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "ts_asof_join": (ts_asof_join, TS_ASOF_SQL),
     "stream_batch_windowed_stats": (stream_batch_windowed_stats, STREAM_BATCH_SQL),
+    "scd2_changelog": (scd2_changelog, SCD2_SQL),
+    "j_full_outer": (j_full_outer, J_FULL_OUTER_SQL),
+    "e_null_safe_eq": (e_null_safe_eq, E_NULL_SAFE_SQL),
+    "arr_collect_ops": (arr_collect_ops, ARR_OPS_SQL),
     "ts_resample_ffill": (ts_resample_ffill, TS_RESAMPLE_SQL),
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "f1_ne_filter": (f1_ne_filter, F1_SQL),
