@@ -32,9 +32,12 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     TIMESTAMP). The cast is a cheap codegen'd projection, not a UDF."""
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # timestamp semantics must not depend on who built the SparkSession
-    # (the driver harness may not have gone through session.get_spark)
+    # semantics must not depend on who built the SparkSession (the driver
+    # harness may not have gone through session.get_spark): pin timezone
+    # and non-ANSI casts (Spark 4 defaults ANSI on, where lossy casts
+    # throw instead of yielding NULL — the engine's E11 coercion model)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         if dict(df.dtypes).get("ts") == "bigint":
