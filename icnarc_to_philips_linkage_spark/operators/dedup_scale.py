@@ -160,6 +160,78 @@ def minhash_lsh_dedup(
     )
 
 
+def connected_components(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 20
+) -> DataFrame:
+    """Connected components over an undirected pair graph by min-label
+    propagation: every node's label converges to the smallest id in its
+    component. Iterations needed = component diameter (near-dup
+    clusters are shallow); each iteration is one join + one aggregate.
+    Deterministic — no RNG, min is order-free.
+
+    Returns (node, component) where component = min node id reachable."""
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(
+                F.col(id_b).alias("src"), F.col(id_a).alias("dst")
+            )
+        )
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(
+                labels.withColumnRenamed("node", "src"), on="src"
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, on="node", how="left")
+            .select(
+                "node",
+                F.least(
+                    "component", F.coalesce("nbr_min", "component")
+                ).alias("component"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels.cache()
+        if changed == 0:
+            break
+    return labels
+
+
+def near_dup_clusters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **minhash_kwargs,
+) -> DataFrame:
+    """End-to-end near-dup clustering: MinHash-LSH pairs → connected
+    components → (doc_id, cluster_id, keep) where keep marks the
+    cluster's smallest id (the deterministic survivor)."""
+    pairs = minhash_lsh_dedup(df, id_col, text_col, **minhash_kwargs)
+    comp = connected_components(pairs)
+    return comp.select(
+        F.col("node").alias(id_col),
+        F.col("component").alias("cluster_id"),
+        (F.col("node") == F.col("component")).alias("keep"),
+    )
+
+
 _HEX = "0123456789abcdef"
 
 

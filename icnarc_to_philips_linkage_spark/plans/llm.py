@@ -121,6 +121,41 @@ WHERE ROUND(co.n_common * 1.0 / (na.n_sh + nb.n_sh - co.n_common), 6) >= {JACCAR
 """
 
 
+def dedup_near_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup clusters: LSH pairs → connected components → keeper
+    marking. Spark side iterates min-label propagation; the oracle
+    computes the same closure with a recursive CTE."""
+    return dedup_scale.near_dup_clusters(
+        load(spark, sf, "documents"),
+        n=SHINGLE_N,
+        k=MINHASH_K,
+        bands=MINHASH_BANDS,
+        threshold=JACCARD_T,
+    )
+
+
+def _near_clusters_sql() -> str:
+    pairs_sql = _minhash_sql().strip().rstrip(";")
+    return f"""
+WITH RECURSIVE pairs AS (
+{pairs_sql}
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node AS doc_id, MIN(lbl) AS cluster_id,
+       node = MIN(lbl) AS keep
+FROM reach GROUP BY node
+"""
+
+
 def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     """16-bit SimHash per document (bit-exact integer construction)."""
     return dedup_scale.simhash16(load(spark, sf, "documents"))
@@ -423,6 +458,7 @@ FROM documents
 QUERIES: dict[str, tuple] = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, _minhash_sql()),
+    "dedup_near_clusters": (dedup_near_clusters, _near_clusters_sql()),
     "dedup_simhash": (dedup_simhash, _simhash_sql()),
     "dedup_embedding_cosine": (dedup_embedding_cosine, _near_dup_sql()),
     "sim_knn_brute_force": (sim_knn_brute_force, _knn_sql()),

@@ -165,3 +165,17 @@ def test_frame_sampling(spark, docs):
     for mid, expected in nf.items():
         got = [r.frame_idx for r in rows if r.media_id == mid]
         assert got == list(range(0, expected, 8))
+
+
+def test_connected_components_chain_and_triangle(spark):
+    """Min-label propagation: a 4-node chain (diameter 3) and a separate
+    triangle resolve to their component minima."""
+    from pyspark.sql import Row
+
+    pairs = spark.createDataFrame(
+        [Row(id_a=1, id_b=2), Row(id_a=2, id_b=3), Row(id_a=3, id_b=4),
+         Row(id_a=10, id_b=11), Row(id_a=11, id_b=12), Row(id_a=10, id_b=12)]
+    )
+    comp = {r.node: r.component
+            for r in dedup_scale.connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10}
