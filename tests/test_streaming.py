@@ -138,3 +138,24 @@ def test_stateful_alarm_runs(spark, stream_dir):
     r = rows[0]
     assert r.encounterId == 201 and r.run_length == 3
     assert r.alarm_ts == ts("2016-01-01T10:20")
+
+
+def test_sliding_window_stats(spark, stream_dir):
+    """Sliding windows: 1-hour window sliding every 30 min — each event
+    lands in two windows."""
+    src = ce.read_chartevents_stream(spark, str(stream_dir / "in"))
+    agg = ce.windowed_variable_stats(
+        src, window="1 hour", slide="30 minutes", watermark="2 hours"
+    )
+    q = ce.run_to_memory_sink(agg, "win_slide", output_mode="complete")
+    _drain(q)
+    rows = spark.sql(
+        "SELECT * FROM win_slide WHERE interventionId = 3363"
+    ).collect()
+    starts = sorted({r.window_start for r in rows})
+    # events at 10:05..11:05 → window starts 09:30,10:00,10:30,11:00
+    assert ts("2016-01-01T09:30") in starts and ts("2016-01-01T10:30") in starts
+    n_by_start = {r.window_start: r.n for r in rows}
+    # 10:00 window covers 10:05 and 10:45 (stay 101), 10:30 (late file),
+    # and 10:10 (stay 102 — grouping is per intervention, not per stay)
+    assert n_by_start[ts("2016-01-01T10:00")] == 4
