@@ -1179,8 +1179,49 @@ FROM orders GROUP BY o_custkey
 """
 
 
+def fuzzy_link_names(spark: SparkSession, sf: str) -> DataFrame:
+    """Blocked fuzzy linkage (probabilistic counterpart of J2): match
+    each customer name to its nearest OTHER customer name within a
+    15-char prefix block, Levenshtein ≤ 1 — the 'transcription typo'
+    candidate set a real linkage pipeline reviews by hand."""
+    from icnarc_to_philips_linkage_spark.operators.fuzzy import (
+        best_match,
+        fuzzy_join,
+    )
+
+    c = load(spark, sf, "customer").select("c_custkey", "c_name")
+    r = c.select(
+        F.col("c_custkey").alias("match_key"), F.col("c_name").alias("match_name")
+    )
+    cand = fuzzy_join(
+        c, r, "c_name", "match_name", max_distance=1, prefix_len=15
+    ).filter(F.col("c_custkey") != F.col("match_key"))
+    return best_match(cand, "c_custkey", "match_key").select(
+        "c_custkey", "match_key", "edit_distance"
+    )
+
+
+FUZZY_SQL = """
+WITH b AS (
+  SELECT c_custkey, c_name,
+         substr(regexp_replace(lower(c_name), '[^a-z0-9]', '', 'g'), 1, 15) AS blk
+  FROM customer),
+cand AS (
+  SELECT l.c_custkey, r.c_custkey AS match_key,
+         levenshtein(l.c_name, r.c_name) AS edit_distance
+  FROM b l JOIN b r USING (blk)
+  WHERE l.c_custkey != r.c_custkey
+    AND levenshtein(l.c_name, r.c_name) <= 1
+)
+SELECT c_custkey, match_key, edit_distance FROM cand
+QUALIFY row_number() OVER (
+  PARTITION BY c_custkey ORDER BY edit_distance ASC, match_key ASC) = 1
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "ts_asof_join": (ts_asof_join, TS_ASOF_SQL),
+    "fuzzy_link_names": (fuzzy_link_names, FUZZY_SQL),
     "stream_batch_windowed_stats": (stream_batch_windowed_stats, STREAM_BATCH_SQL),
     "scd2_changelog": (scd2_changelog, SCD2_SQL),
     "j_full_outer": (j_full_outer, J_FULL_OUTER_SQL),
