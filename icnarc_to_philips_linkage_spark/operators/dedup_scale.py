@@ -232,9 +232,6 @@ def near_dup_clusters(
     )
 
 
-_HEX = "0123456789abcdef"
-
-
 def simhash16(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

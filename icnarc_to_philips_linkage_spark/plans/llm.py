@@ -433,6 +433,48 @@ SELECT doc_id, len({_TOKS}) AS n_tokens FROM documents
 """
 
 
+def curate_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end curation composite — the whole point of the engine in
+    ONE lazy plan: quality-score → threshold filter → exact-dedup keeper
+    selection → surviving corpus with quality columns. Catalyst fuses
+    the scoring projection into the scan; the only shuffle is the dedup
+    groupBy."""
+    d = text.with_quality(load(spark, sf, "documents"))
+    filtered = d.filter(
+        (F.col("n_tokens") >= 20) & (F.col("punct_ratio") <= 0.2)
+    )
+    keepers = (
+        filtered.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    return (
+        filtered.join(keepers, on="doc_id", how="left_semi")
+        .select("doc_id", "n_tokens", "stopword_ratio", "punct_ratio")
+    )
+
+
+CURATE_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, text,
+         len({_TOKS}) AS n_tokens,
+         ROUND(len(list_filter({_TOKS}, w -> w IN ({', '.join(repr(w) for w in STOPWORDS)}))) * 1.0
+               / GREATEST(len({_TOKS}), 1), 6) AS stopword_ratio,
+         ROUND(LENGTH(regexp_replace(lower(regexp_replace(text, '\\s+', '', 'g')), '[a-z0-9]', '', 'g')) * 1.0
+               / GREATEST(LENGTH(text), 1), 6) AS punct_ratio
+  FROM documents
+),
+filtered AS (
+  SELECT * FROM scored WHERE n_tokens >= 20 AND punct_ratio <= 0.2
+),
+keepers AS (
+  SELECT MIN(doc_id) AS doc_id FROM filtered GROUP BY md5(text)
+)
+SELECT f.doc_id, f.n_tokens, f.stopword_ratio, f.punct_ratio
+FROM filtered f WHERE f.doc_id IN (SELECT doc_id FROM keepers)
+"""
+
+
 def multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
     """Multimodal plumbing demo: text treated as an opaque binary payload
     — byte length + content digest, the typed-metadata pattern every
@@ -469,5 +511,6 @@ QUERIES: dict[str, tuple] = {
     "text_lang_id": (text_lang_id, _lang_id_sql()),
     "text_fingerprint": (text_fingerprint, _fingerprint_sql()),
     "ud2_pandas_udf_tokens": (ud2_pandas_udf_tokens, UD2_SQL),
+    "curate_documents": (curate_documents, CURATE_SQL),
     "multimodal_meta": (multimodal_meta, MULTIMODAL_SQL),
 }
