@@ -163,6 +163,31 @@ def histogram(
     )
 
 
+def plausibility_band_filter(
+    df: DataFrame,
+    value_col: str,
+    low_p: float = 0.01,
+    high_p: float = 0.99,
+) -> DataFrame:
+    """Percentile-band plausibility filter — the queryable form of the
+    reference's eyeball-the-histogram step (cells 65-66: per-variable
+    distributions checked for clinical plausibility). Keeps rows whose
+    value lies within [p_low, p_high]. Two passes: a percentile
+    aggregate (one row, broadcast) + a codegen'd filter."""
+    bounds = df.agg(
+        F.expr(
+            f"percentile(`{value_col}`, array({low_p}D, {high_p}D))"
+        ).alias("_b")
+    ).select(
+        F.element_at("_b", 1).alias("lo"), F.element_at("_b", 2).alias("hi")
+    )
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .filter(F.col(value_col).between(F.col("lo"), F.col("hi")))
+        .drop("lo", "hi")
+    )
+
+
 def top_k(
     df: DataFrame, order_cols: Sequence[Column | str], k: int
 ) -> DataFrame:

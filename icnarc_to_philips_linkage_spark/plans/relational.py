@@ -704,6 +704,28 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def a16_plausibility_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """A14/A8 composite: percentile-band plausibility filter (the
+    reference's histogram-eyeballing as a query), re-aggregated."""
+    e = load(spark, sf, "events")
+    kept = profile.plausibility_band_filter(e, "value", 0.01, 0.99)
+    return kept.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        decimal_sum("value").alias("sum_kept"),
+    )
+
+
+A16_SQL = """
+WITH b AS (SELECT quantile_cont(value, 0.01) AS lo,
+                  quantile_cont(value, 0.99) AS hi FROM events)
+SELECT event_type, COUNT(*) AS n_kept,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_kept
+FROM events, b
+WHERE value BETWEEN lo AND hi
+GROUP BY event_type
+"""
+
+
 def ud1_first_non_na(spark: SparkSession, sf: str) -> DataFrame:
     """UD1: the reference's custom aggregate (first value != 'NA' else
     'NA', clean_encounterids.py:122-127) as a native composition —
@@ -1236,6 +1258,7 @@ QUERIES: dict[str, tuple] = {
     "a7_sample_std": (a7_sample_std, A7_SQL),
     "a8b_grouped_percentiles": (a8b_grouped_percentiles, A8B_SQL),
     "a15_corr_covar": (a15_corr_covar, A15_SQL),
+    "a16_plausibility_filter": (a16_plausibility_filter, A16_SQL),
     "ud1_first_non_na": (ud1_first_non_na, UD1_SQL),
     "set_intersect": (set_intersect, SET_INTERSECT_SQL),
     "set_except": (set_except, SET_EXCEPT_SQL),
