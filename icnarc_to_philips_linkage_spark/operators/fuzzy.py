@@ -37,7 +37,12 @@ def fuzzy_join(
     """Candidate fuzzy matches: equi-join on the blocking key, then a
     Levenshtein filter. Emits every within-threshold pair with its
     distance; use ``best_match`` to reduce to one match per left row."""
-    l = left.withColumn("__blk", blocking_key(left_col, prefix_len))
+    # spread the probe side across the cluster by block: a small input
+    # (few file splits) would otherwise evaluate every within-block
+    # comparison on one or two tasks, serializing the Levenshtein work
+    l = left.withColumn("__blk", blocking_key(left_col, prefix_len)).repartition(
+        "__blk"
+    )
     r = right.withColumn("__blk", blocking_key(right_col, prefix_len))
     return (
         l.join(r, on="__blk")
