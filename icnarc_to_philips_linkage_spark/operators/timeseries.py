@@ -81,6 +81,37 @@ def resample_ffill(
     Scale: the grid explode is proportional to key-count × span/step
     (not to raw event count); both aggregations hash-shuffle on the key
     once each."""
+    return _resample(events, key, ts_col, value_col, step, tiebreak, "ffill")
+
+
+def resample_interpolate(
+    events: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    step: str = "1 hour",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Per-key regular grid with LINEAR interpolation between the
+    nearest observed buckets (vitals-style gap filling): grid points
+    between two observations get the time-weighted blend; points before
+    the first / after the last observation carry the edge value.
+
+    Native composition — two IGNORE NULLS window passes (last-before
+    looking back, first-after looking forward) plus arithmetic; no
+    pandas, no per-group collect."""
+    return _resample(events, key, ts_col, value_col, step, tiebreak, "interpolate")
+
+
+def _resample(
+    events: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    step: str,
+    tiebreak: str | None,
+    mode: str,
+) -> DataFrame:
     n, unit = step.split()
     if n != "1":
         raise ValueError(
@@ -113,11 +144,48 @@ def resample_ffill(
         ],
         how="left",
     ).select(grid[key], "grid_ts", "__obs")
-    w = (
+    w_back = (
         Window.partitionBy(key)
         .orderBy("grid_ts")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return joined.withColumn(
-        "value_ffill", F.last("__obs", ignorenulls=True).over(w)
-    ).select(key, "grid_ts", "value_ffill")
+    if mode == "ffill":
+        return joined.withColumn(
+            "value_ffill", F.last("__obs", ignorenulls=True).over(w_back)
+        ).select(key, "grid_ts", "value_ffill")
+
+    w_fwd = (
+        Window.partitionBy(key)
+        .orderBy("grid_ts")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    ts_us = F.unix_micros(F.col("grid_ts"))
+    obs_ts = F.when(F.col("__obs").isNotNull(), ts_us)
+    prev_v = F.last("__obs", ignorenulls=True).over(w_back)
+    prev_t = F.last(obs_ts, ignorenulls=True).over(w_back)
+    next_v = F.first("__obs", ignorenulls=True).over(w_fwd)
+    next_t = F.first(obs_ts, ignorenulls=True).over(w_fwd)
+    frac = (ts_us - F.col("__pt")) / (F.col("__nt") - F.col("__pt"))
+    # NOT rounded: the op sequence (sub, div, sub, mul, add) is fully
+    # deterministic, so the raw doubles are bit-identical across engines
+    # and partitionings — while ROUND itself is NOT portable (Spark
+    # rounds the binary expansion, DuckDB the shortest decimal repr;
+    # they disagree at half-point values, which 2-decimal inputs ×
+    # dyadic time fractions hit systematically)
+    interp = F.when(
+        F.col("__pv").isNull(), F.col("__nv")  # before first obs
+    ).when(
+        F.col("__nv").isNull(), F.col("__pv")  # after last obs
+    ).when(
+        F.col("__nt") == F.col("__pt"), F.col("__pv")  # on an observation
+    ).otherwise(
+        F.col("__pv") + (F.col("__nv") - F.col("__pv")) * frac
+    )
+    return (
+        joined.withColumn("__pv", prev_v)
+        .withColumn("__pt", prev_t)
+        .withColumn("__nv", next_v)
+        .withColumn("__nt", next_t)
+        .withColumn("value_interp", interp)
+        .select(key, "grid_ts", "value_interp")
+    )

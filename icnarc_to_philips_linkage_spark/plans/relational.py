@@ -1241,8 +1241,65 @@ QUALIFY row_number() OVER (
 """
 
 
+def ts_resample_interp(spark: SparkSession, sf: str) -> DataFrame:
+    """Linear interpolation over the hourly grid (two IGNORE NULLS
+    window passes + arithmetic — vitals-style gap filling)."""
+    from icnarc_to_philips_linkage_spark.operators.timeseries import (
+        resample_interpolate,
+    )
+
+    e = load(spark, sf, "events")
+    return resample_interpolate(
+        e, key="user_id", ts_col="ts", value_col="value", tiebreak="event_id"
+    )
+
+
+TS_INTERP_SQL = """
+WITH per_bucket AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket,
+         arg_max(value, ts) AS obs
+  FROM events GROUP BY 1, 2
+),
+spans AS (
+  SELECT user_id, date_trunc('hour', MIN(ts)) AS s, date_trunc('hour', MAX(ts)) AS e
+  FROM events GROUP BY user_id
+),
+grid AS (
+  SELECT user_id, unnest(generate_series(s, e, INTERVAL 1 HOUR)) AS grid_ts
+  FROM spans
+),
+j AS (
+  SELECT g.user_id, g.grid_ts, p.obs
+  FROM grid g LEFT JOIN per_bucket p
+    ON g.user_id = p.user_id AND g.grid_ts = p.bucket
+),
+w AS (
+  SELECT user_id, grid_ts,
+    last_value(obs IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY grid_ts
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+    last_value(CASE WHEN obs IS NOT NULL THEN epoch_us(grid_ts) END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY grid_ts
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+    first_value(obs IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY grid_ts
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+    first_value(CASE WHEN obs IS NOT NULL THEN epoch_us(grid_ts) END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY grid_ts
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+  FROM j
+)
+SELECT user_id, grid_ts,
+       CASE WHEN pv IS NULL THEN nv
+            WHEN nv IS NULL THEN pv
+            WHEN nt = pt THEN pv
+            ELSE pv + (nv - pv) * ((epoch_us(grid_ts) - pt) / (nt - pt))
+       END AS value_interp
+FROM w
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "ts_asof_join": (ts_asof_join, TS_ASOF_SQL),
+    "ts_resample_interp": (ts_resample_interp, TS_INTERP_SQL),
     "fuzzy_link_names": (fuzzy_link_names, FUZZY_SQL),
     "stream_batch_windowed_stats": (stream_batch_windowed_stats, STREAM_BATCH_SQL),
     "scd2_changelog": (scd2_changelog, SCD2_SQL),

@@ -63,3 +63,23 @@ def test_resample_rejects_multi_unit_steps(spark):
     events = spark.createDataFrame([Row(k=1, t=ts(0), v=1.0, i=1)])
     with pytest.raises(ValueError):
         resample_ffill(events, "k", "t", "v", "2 hours")
+
+
+def test_resample_interpolate_semantics(spark):
+    from icnarc_to_philips_linkage_spark.operators.timeseries import (
+        resample_interpolate,
+    )
+
+    events = spark.createDataFrame(
+        [Row(k=1, t=ts(0), v=10.0, i=1),       # hour 0
+         Row(k=1, t=ts(240), v=50.0, i=2)]     # hour 4; hours 1-3 interpolate
+    )
+    out = resample_interpolate(events, "k", "t", "v", "1 hour", tiebreak="i")
+    rows = sorted((r.grid_ts, r.value_interp) for r in out.collect())
+    assert rows == [
+        (ts(0), 10.0),
+        (ts(60), 20.0),
+        (ts(120), 30.0),
+        (ts(180), 40.0),
+        (ts(240), 50.0),
+    ]
