@@ -64,14 +64,28 @@ def group_stats(
     keys: Sequence[str],
     value_col: str,
     sample_std: bool = True,
+    exact_mean_scale: int | None = None,
 ) -> DataFrame:
     """A7/A10: per-group mean/std. pandas ``std`` is sample (ddof=1) →
     stddev_samp; numpy ``np.std`` is population (ddof=0) → stddev_pop.
-    Both computed in the same single aggregation."""
+    Both computed in the same single aggregation.
+
+    ``exact_mean_scale=k`` computes the mean as exact-decimal-sum ÷
+    count: for data with ≤k decimal places the result is
+    order-independent and bit-reproducible (a plain double AVG varies in
+    the last ulps with partial-aggregation order)."""
     std = F.stddev_samp(value_col) if sample_std else F.stddev_pop(value_col)
+    if exact_mean_scale is None:
+        mean = F.avg(value_col)
+    else:
+        mean = (
+            F.sum(F.col(value_col).cast(f"decimal(28,{exact_mean_scale})"))
+            .cast("double")
+            / F.count(value_col)
+        )
     return df.groupBy(*keys).agg(
         F.count(value_col).alias("n"),
-        F.avg(value_col).alias("mean"),
+        mean.alias("mean"),
         std.alias("std"),
     )
 

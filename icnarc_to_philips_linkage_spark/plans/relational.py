@@ -562,19 +562,23 @@ def a10_group_stats(spark: SparkSession, sf: str) -> DataFrame:
     """A7+A10: per-group mean/std — population std (np.std ddof=0 parity,
     cell 68), rounded to kill last-ulp engine differences."""
     stats = profile.group_stats(
-        load(spark, sf, "events"), ["event_type"], "value", sample_std=False
+        load(spark, sf, "events"),
+        ["event_type"],
+        "value",
+        sample_std=False,
+        exact_mean_scale=2,
     )
     return stats.select(
         "event_type",
         "n",
-        F.round("mean", 4).alias("mean"),
+        F.col("mean"),  # decimal-exact ÷ count: bit-reproducible, no round
         F.round("std", 4).alias("std"),
     )
 
 
 A10_SQL = """
 SELECT event_type, COUNT(value) AS n,
-       ROUND(AVG(value), 4) AS mean,
+       CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) / COUNT(value) AS mean,
        ROUND(STDDEV_POP(value), 4) AS std
 FROM events GROUP BY event_type
 """
@@ -641,18 +645,22 @@ def a7_sample_std(spark: SparkSession, sf: str) -> DataFrame:
     """A7: per-group mean + SAMPLE std (pandas .std ddof=1 parity —
     distinct from A10's population std)."""
     stats = profile.group_stats(
-        load(spark, sf, "events"), ["event_type"], "value", sample_std=True
+        load(spark, sf, "events"),
+        ["event_type"],
+        "value",
+        sample_std=True,
+        exact_mean_scale=2,
     )
     return stats.select(
         "event_type", "n",
-        F.round("mean", 4).alias("mean"),
+        F.col("mean"),
         F.round("std", 4).alias("std_samp"),
     )
 
 
 A7_SQL = """
 SELECT event_type, COUNT(value) AS n,
-       ROUND(AVG(value), 4) AS mean,
+       CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) / COUNT(value) AS mean,
        ROUND(STDDEV_SAMP(value), 4) AS std_samp
 FROM events GROUP BY event_type
 """
@@ -1097,7 +1105,7 @@ def stream_batch_windowed_stats(spark: SparkSession, sf: str) -> DataFrame:
         "window_start",
         "interventionId",
         "n",
-        F.round("mean_value", 4).alias("mean_value"),
+        "mean_value",  # decimal-exact ÷ count, bit-reproducible
         "min_value",
         "max_value",
     )
@@ -1107,7 +1115,7 @@ STREAM_BATCH_SQL = """
 SELECT date_trunc('hour', ts) AS window_start,
        user_id AS interventionId,
        COUNT(value) AS n,
-       ROUND(AVG(value), 4) AS mean_value,
+       CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) / COUNT(value) AS mean_value,
        MIN(value) AS min_value,
        MAX(value) AS max_value
 FROM events

@@ -75,11 +75,17 @@ def windowed_variable_stats(
     src = (
         events.withWatermark("chartTime", watermark) if watermark else events
     )
+    # decimal-exact mean: order-independent across partial aggregation
+    # (and across engines in the oracle check) for fixed-scale inputs
+    mean = (
+        F.sum(F.col("valueNumber").cast("decimal(28,2)")).cast("double")
+        / F.count("valueNumber")
+    )
     return (
         src.groupBy(win.alias("w"), "interventionId", "attributeId")
         .agg(
             F.count("valueNumber").alias("n"),
-            F.avg("valueNumber").alias("mean_value"),
+            mean.alias("mean_value"),
             F.min("valueNumber").alias("min_value"),
             F.max("valueNumber").alias("max_value"),
         )
