@@ -95,6 +95,55 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("lang_pred", pred).drop("_toks")
 
 
+# characteristic character-trigrams per language (toy profiles — a real
+# deployment trains these from corpora; the operator shape is identical)
+CHAR_TRIGRAM_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "ing", "ion", "and"),
+    "de": ("der", "sch", "ein", "und"),
+    "fr": ("les", "ent", "que", "une"),
+    "es": ("los", "que", "ión", "una"),
+}
+
+BPE_ISH_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]+"
+
+
+def chargram_hits(text_col: Column | str, gram: str) -> Column:
+    """Occurrences of one character n-gram — counted via split length
+    (codegen'd, no UDF): count = size(split(text, gram)) - 1."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    escaped = "".join(
+        f"\\{ch}" if not ch.isalnum() else ch for ch in gram
+    )
+    return F.size(F.split(F.lower(c), escaped)) - 1
+
+
+def with_lang_id_chargram(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Character-n-gram language ID: per-language score = total hits of
+    that language's characteristic trigrams; argmax with fixed priority
+    (the n-gram-profile variant of with_lang_id's marker-word scoring)."""
+    out = df
+    for lang, grams in CHAR_TRIGRAM_PROFILES.items():
+        score = None
+        for g in grams:
+            h = chargram_hits(text_col, g)
+            score = h if score is None else score + h
+        out = out.withColumn(f"cscore_{lang}", score)
+    langs = list(CHAR_TRIGRAM_PROFILES)
+    best = F.greatest(*[F.col(f"cscore_{lg}") for lg in langs])
+    pred = F.when(best == 0, F.lit("unknown"))
+    for lg in langs:
+        pred = pred.when(F.col(f"cscore_{lg}") == best, F.lit(lg))
+    return out.withColumn("lang_pred_chargram", pred)
+
+
+def bpe_ish_token_count(text_col: Column | str) -> Column:
+    """BPE-style pre-tokenization count: alpha runs, digit runs, and
+    punctuation runs each count as one token (the chunking a BPE
+    tokenizer's pre-tokenizer regex produces, sans merges)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.size(F.regexp_extract_all(F.lower(c), F.lit(BPE_ISH_PATTERN), 0))
+
+
 def shingles(toks_col: str, n: int = 3) -> Column:
     """Distinct word n-gram shingles from a token-array column. Rows with
     fewer than n tokens yield the whole text as a single shingle."""

@@ -389,6 +389,60 @@ FROM scored
 """
 
 
+def text_lang_id_chargram(spark: SparkSession, sf: str) -> DataFrame:
+    """Character-trigram-profile language ID (the n-gram variant)."""
+    df = text.with_lang_id_chargram(load(spark, sf, "documents"))
+    return df.select(
+        "doc_id",
+        *[f"cscore_{lg}" for lg in text.CHAR_TRIGRAM_PROFILES],
+        "lang_pred_chargram",
+    )
+
+
+def _lang_chargram_sql() -> str:
+    def hits(g: str) -> str:
+        # occurrences via split-length, mirroring the Spark expression
+        backslash = chr(92)
+        esc = "".join(
+            (backslash + ch) if not ch.isalnum() else ch
+            for ch in g.replace("'", "''")
+        )
+        return f"(len(string_split_regex(lower(text), '{esc}')) - 1)"
+
+    score_cols = ",\n       ".join(
+        " + ".join(hits(g) for g in grams) + f" AS cscore_{lg}"
+        for lg, grams in text.CHAR_TRIGRAM_PROFILES.items()
+    )
+    langs = list(text.CHAR_TRIGRAM_PROFILES)
+    best = f"GREATEST({', '.join('cscore_' + lg for lg in langs)})"
+    whens = " ".join(f"WHEN cscore_{lg} = {best} THEN '{lg}'" for lg in langs)
+    return f"""
+WITH scored AS (
+  SELECT doc_id,
+       {score_cols}
+  FROM documents
+)
+SELECT doc_id, {', '.join('cscore_' + lg for lg in langs)},
+       CASE WHEN {best} = 0 THEN 'unknown' {whens} END AS lang_pred_chargram
+FROM scored
+"""
+
+
+def text_bpe_ish_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE-pre-tokenizer-style token counting (alpha/digit/punct runs)."""
+    d = load(spark, sf, "documents")
+    return d.select(
+        "doc_id", text.bpe_ish_token_count("text").alias("n_bpe_tokens")
+    )
+
+
+BPE_SQL = f"""
+SELECT doc_id,
+       len(regexp_extract_all(lower(text), '{text.BPE_ISH_PATTERN}')) AS n_bpe_tokens
+FROM documents
+"""
+
+
 def text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     return text.with_fingerprint(load(spark, sf, "documents")).select(
         "doc_id", "fingerprint"
@@ -509,6 +563,8 @@ QUERIES: dict[str, tuple] = {
     "cluster_kmeans": (cluster_kmeans, None),
     "text_quality": (text_quality, _quality_sql()),
     "text_lang_id": (text_lang_id, _lang_id_sql()),
+    "text_lang_id_chargram": (text_lang_id_chargram, _lang_chargram_sql()),
+    "text_bpe_ish_tokens": (text_bpe_ish_tokens, BPE_SQL),
     "text_fingerprint": (text_fingerprint, _fingerprint_sql()),
     "ud2_pandas_udf_tokens": (ud2_pandas_udf_tokens, UD2_SQL),
     "curate_documents": (curate_documents, CURATE_SQL),
