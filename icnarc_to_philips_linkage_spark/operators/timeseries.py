@@ -154,17 +154,22 @@ def _resample(
             "value_ffill", F.last("__obs", ignorenulls=True).over(w_back)
         ).select(key, "grid_ts", "value_ffill")
 
+    # forward fill expressed as a BACKWARD running frame over descending
+    # order: Spark evaluates (currentRow, unboundedFollowing) frames by
+    # re-scanning the tail for every row — O(n²) per partition (measured
+    # 17× slower at sf0.1) — while running unboundedPreceding frames are
+    # incremental O(n)
     w_fwd = (
         Window.partitionBy(key)
-        .orderBy("grid_ts")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.desc("grid_ts"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     ts_us = F.unix_micros(F.col("grid_ts"))
     obs_ts = F.when(F.col("__obs").isNotNull(), ts_us)
     prev_v = F.last("__obs", ignorenulls=True).over(w_back)
     prev_t = F.last(obs_ts, ignorenulls=True).over(w_back)
-    next_v = F.first("__obs", ignorenulls=True).over(w_fwd)
-    next_t = F.first(obs_ts, ignorenulls=True).over(w_fwd)
+    next_v = F.last("__obs", ignorenulls=True).over(w_fwd)
+    next_t = F.last(obs_ts, ignorenulls=True).over(w_fwd)
     frac = (ts_us - F.col("__pt")) / (F.col("__nt") - F.col("__pt"))
     # NOT rounded: the op sequence (sub, div, sub, mul, add) is fully
     # deterministic, so the raw doubles are bit-identical across engines
