@@ -84,6 +84,42 @@ def resample_ffill(
     return _resample(events, key, ts_col, value_col, step, tiebreak, "ffill")
 
 
+def ewma_smooth(
+    events: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Exponentially-weighted moving average per key — the engine's
+    grouped-map ``applyInPandas`` exemplar (SURVEY §2.10 UD2 policy:
+    native first; this recursion s_t = α·x_t + (1−α)·s_{t−1} has no
+    bounded-window native form, so it earns the Arrow escape hatch).
+
+    Each group arrives as ONE pandas DataFrame (Arrow-batched); groups
+    distribute across executors by the groupBy shuffle, so scale-out is
+    by key cardinality. Output: (key, ts, value, ewma)."""
+    import pandas as pd
+
+    out_schema = ", ".join(
+        [
+            f"`{key}` long",
+            f"`{ts_col}` timestamp",
+            f"`{value_col}` double",
+            "ewma double",
+        ]
+    )
+
+    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col)
+        pdf["ewma"] = pdf[value_col].ewm(alpha=alpha, adjust=False).mean()
+        return pdf[[key, ts_col, value_col, "ewma"]]
+
+    return events.select(key, ts_col, value_col).groupBy(key).applyInPandas(
+        smooth, schema=out_schema
+    )
+
+
 def resample_interpolate(
     events: DataFrame,
     key: str,

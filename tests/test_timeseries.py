@@ -83,3 +83,23 @@ def test_resample_interpolate_semantics(spark):
         (ts(180), 40.0),
         (ts(240), 50.0),
     ]
+
+
+def test_ewma_grouped_map(spark):
+    from icnarc_to_philips_linkage_spark.operators.timeseries import ewma_smooth
+
+    events = spark.createDataFrame(
+        [Row(k=1, t=ts(0), v=10.0, i=1),
+         Row(k=1, t=ts(60), v=20.0, i=2),
+         Row(k=1, t=ts(120), v=30.0, i=3),
+         Row(k=2, t=ts(0), v=5.0, i=4)]
+    )
+    out = ewma_smooth(events, "k", "t", "v", alpha=0.5)
+    rows = {(r.k, r.t): r.ewma for r in out.collect()}
+    assert rows[(1, ts(0))] == 10.0
+    assert rows[(1, ts(60))] == 15.0          # 0.5*20 + 0.5*10
+    assert rows[(1, ts(120))] == 22.5         # 0.5*30 + 0.5*15
+    assert rows[(2, ts(0))] == 5.0
+    # partitioning-independent
+    out2 = ewma_smooth(events.repartition(7), "k", "t", "v", alpha=0.5)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, out2.collect()))
