@@ -127,6 +127,27 @@ def percentiles_approx(
     )
 
 
+def hll_partitioned_distinct(
+    df: DataFrame,
+    part_col: str,
+    entity_col: str,
+) -> DataFrame:
+    """Mergeable-sketch pattern (DataSketches HLL, Spark ≥3.5): build one
+    sketch per partition-ish group, then UNION-merge sketches to answer
+    the global distinct — the shape that lets 100 TB pipelines maintain
+    per-day sketches and answer arbitrary date-range distincts without
+    rescanning. Returns one row: merged estimate + per-group row count."""
+    per_part = df.groupBy(part_col).agg(
+        F.hll_sketch_agg(entity_col).alias("sketch")
+    )
+    return per_part.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias(
+            "distinct_estimate"
+        ),
+        F.count(F.lit(1)).alias("n_partitions"),
+    )
+
+
 def conditional_rates(df: DataFrame, conds: dict[str, Column]) -> DataFrame:
     """A9: named conditional counts + rates in ONE pass over the data
     (``sum(gender=='Male')`` etc., clean_encounterids.py:214-245)."""

@@ -297,6 +297,18 @@ QUALIFY row_number() OVER (
 """
 
 
+def sketch_hll_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable HLL sketch columns (DataSketches): per-group sketches
+    union-merged into a global distinct estimate. Sketch binaries are
+    engine-specific, so this is a rows-only check; the accuracy bound is
+    pytest-asserted against the exact distinct (tests/test_sketches)."""
+    from icnarc_to_philips_linkage_spark.operators import profile as prof
+
+    return prof.hll_partitioned_distinct(
+        load(spark, sf, "lineitem"), "l_returnflag", "l_orderkey"
+    )
+
+
 def cluster_kmeans(spark: SparkSession, sf: str) -> DataFrame:
     """Iterative k-means cluster sizes — the non-SQL-expressible
     (iterative) category: no oracle; the driver records a rows-only
@@ -561,6 +573,7 @@ QUERIES: dict[str, tuple] = {
     "sim_ivf_topk": (sim_ivf_topk, _ivf_sql()),
     "sim_ann_rh_lsh": (sim_ann_rh_lsh, _rh_lsh_sql()),
     "cluster_kmeans": (cluster_kmeans, None),
+    "sketch_hll_merge": (sketch_hll_merge, None),
     "text_quality": (text_quality, _quality_sql()),
     "text_lang_id": (text_lang_id, _lang_id_sql()),
     "text_lang_id_chargram": (text_lang_id_chargram, _lang_chargram_sql()),

@@ -45,3 +45,14 @@ def test_histogram_bin_totals(spark, lineitem):
     hist = profile.histogram(lineitem, "l_extendedprice", bins=20).collect()
     assert sum(r.n for r in hist) == lineitem.count()
     assert {r.bin for r in hist} <= set(range(20))
+
+
+def test_hll_partitioned_sketch_merge(spark, lineitem):
+    """Per-group sketches union-merged ≈ global exact distinct."""
+    exact = lineitem.select("l_orderkey").distinct().count()
+    row = profile.hll_partitioned_distinct(
+        lineitem, "l_returnflag", "l_orderkey"
+    ).collect()[0]
+    assert row.n_partitions == 3
+    assert abs(row.distinct_estimate - exact) / exact < 0.05, (
+        row.distinct_estimate, exact)
