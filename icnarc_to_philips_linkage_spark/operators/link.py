@@ -45,6 +45,7 @@ def cohort_restrict(
     cohort: DataFrame,
     key: str = "encounterId",
     mode: str = "semi",
+    broadcast_cohort: bool = True,
 ) -> DataFrame:
     """J4: restrict an event stream to a cohort.
 
@@ -54,12 +55,19 @@ def cohort_restrict(
 
     ``mode='right'`` (strict parity with notebook cell 49): pandas
     ``how='right'`` also emits an all-null event row for cohort members
-    with zero events — reproduced exactly."""
+    with zero events — reproduced exactly.
+
+    ``broadcast_cohort=False`` drops the broadcast hint for cohorts too
+    large for executor memory — the join becomes a shuffle semi join
+    (AQE still promotes it back to broadcast if the distinct key set
+    turns out small at runtime)."""
     keys = cohort.select(key).distinct()
+    if broadcast_cohort:
+        keys = F.broadcast(keys)
     if mode == "semi":
-        return events.join(F.broadcast(keys), on=key, how="left_semi")
+        return events.join(keys, on=key, how="left_semi")
     if mode == "right":
-        return events.join(F.broadcast(keys), on=key, how="right")
+        return events.join(keys, on=key, how="right")
     raise ValueError(f"mode must be 'semi' or 'right', got {mode!r}")
 
 
