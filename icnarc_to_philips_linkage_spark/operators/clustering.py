@@ -1,14 +1,16 @@
 """Iterative k-means over embedding columns — the engine's exemplar of a
 genuinely non-SQL-expressible (iterative) algorithm, built purely from
-DataFrame ops: assign = broadcast-join argmin over centroids, update =
-posexplode + per-(cluster, pos) mean. Used for curation tasks (cluster
-sampling, dedup blocking, coverage analysis) on training corpora.
+DataFrame ops: assign = literal-centroid argmin (narrow map, zero
+shuffle), update = posexplode + per-(cluster, pos) mean. Used for
+curation tasks (cluster sampling, dedup blocking, coverage analysis) on
+training corpora.
 
-Scale shape per iteration: one broadcast join (centroids are k×dim,
-tiny) + one shuffle keyed on (cluster, position) whose cardinality is
-k·dim regardless of corpus size. The corpus is cached across
-iterations; convergence is measured by centroid movement, not by
-re-reading data.
+Scale shape per iteration: assignment is embarrassingly parallel (the
+k×dim centroids fold into the plan as literals), and the only shuffle
+is the update aggregate keyed on (cluster, position) — map-side partial
+means make its shuffle cardinality k·dim·partitions regardless of
+corpus size. The corpus is cached across iterations; convergence is
+measured by centroid movement, not by re-reading data.
 
 Determinism: initial centroids are the k lowest-id vectors (no RNG), so
 a rows-only correctness check is stable across runs and partitionings.
@@ -19,29 +21,39 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from icnarc_to_philips_linkage_spark.operators.similarity import dot, norm_sq
+from icnarc_to_philips_linkage_spark.operators.similarity import norm_sq
 
 
-def _assign(points: DataFrame, cents: DataFrame) -> DataFrame:
+def _assign(points: DataFrame, cents: list) -> DataFrame:
     """Nearest centroid per point by squared euclidean distance:
-    |v|² − 2·v·c + |c|² (norms precomputed per side, dot per pair)."""
-    scored = points.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        "embedding",
-        "p_nsq",
-        "cluster",
-        (
-            F.col("p_nsq")
-            - 2.0 * dot("embedding", "centroid")
-            + F.col("c_nsq")
-        ).alias("dist_sq"),
+    |v|² − 2·v·c + |c|² (point norms precomputed, centroid norms
+    driver-side). The collected centroids (k×dim, tiny) fold into the
+    plan as literal arrays, so assignment is a NARROW map — no join, no
+    shuffle, no row blowup; argmin is array_min over (dist², cluster)
+    structs, whose field-order comparison gives a deterministic
+    lowest-cluster tie-break."""
+    # Single typed Literal nodes (not k·dim CreateArray expressions):
+    # keeps the analyzed plan and generated code small and compile-fast.
+    cent_vecs = F.lit([[float(x) for x in c.centroid] for c in cents])
+    cent_nsq = F.lit([float(c.c_nsq) for c in cents])
+    cent_ids = F.lit([int(c.cluster) for c in cents])
+    scored = F.transform(
+        cent_vecs,
+        lambda c, i: F.struct(
+            (
+                F.col("p_nsq")
+                - 2.0
+                * F.aggregate(
+                    F.zip_with("embedding", c, lambda a, b: a * b),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                + cent_nsq[i]
+            ).alias("dist_sq"),
+            cent_ids[i].alias("cluster"),
+        ),
     )
-    w = Window.partitionBy("vec_id").orderBy(F.asc("dist_sq"), F.asc("cluster"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "p_nsq", "cluster")
-    )
+    return points.withColumn("cluster", F.array_min(scored)["cluster"])
 
 
 def _update(assigned: DataFrame) -> DataFrame:
@@ -91,14 +103,14 @@ def kmeans(
             F.col("p_nsq").alias("c_nsq"),
         )
     )
-    # materialize centroids each round: k rows to the driver, re-broadcast
+    # materialize centroids each round: k rows to the driver, folded
+    # back into the next assignment plan as literals (no re-broadcast
+    # join — see _assign)
     cents = cents.collect()
     for _ in range(max_iter):
-        cents_df = points.sparkSession.createDataFrame(cents)
-        assigned = _assign(points, cents_df)
+        assigned = _assign(points, cents)
         cents = _update(assigned).collect()
-    final = _assign(points, points.sparkSession.createDataFrame(cents))
-    return final.select("vec_id", "cluster")
+    return _assign(points, cents).select("vec_id", "cluster")
 
 
 def cluster_sizes(assignments: DataFrame) -> DataFrame:

@@ -185,6 +185,8 @@ def connected_components(
         .distinct()
         .withColumn("component", F.col("node"))
     )
+    labels = labels.localCheckpoint(eager=True)
+    prev_sum = labels.agg(F.sum("component")).first()[0]
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(
@@ -193,6 +195,10 @@ def connected_components(
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("component").alias("nbr_min"))
         )
+        # localCheckpoint BEFORE consuming: truncates the per-iteration
+        # lineage (else iteration N replans/re-executes iterations 1..N-1
+        # — quadratic) and materializes once for both the convergence
+        # count and the next join.
         new_labels = (
             labels.join(neighbor_min, on="node", how="left")
             .select(
@@ -201,16 +207,16 @@ def connected_components(
                     "component", F.coalesce("nbr_min", "component")
                 ).alias("component"),
             )
+            .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels.cache()
-        if changed == 0:
+        # Min-propagation only ever lowers labels, so the label-sum is
+        # strictly decreasing until convergence — an unchanged sum IS
+        # convergence. One scan of the checkpointed labels; no join.
+        new_sum = new_labels.agg(F.sum("component")).first()[0]
+        labels = new_labels
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels
 
 
