@@ -14,8 +14,6 @@ import os
 import sys
 import time
 
-import pandas as pd
-
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -52,20 +50,12 @@ def main() -> int:
         F.md5("text"),
         F.expr("aggregate(transform(split(text, ' '), x -> length(x)), 0, (a, x) -> a + x)"),
     ).write.format("noop").mode("overwrite").save()
-    # Python-worker startup (pandas UDF / grouped-map paths): spinning up
-    # the Arrow-connected worker pool is one-time session init, not part
-    # of any query's plan cost — pay it here, once, on every core.
-    from pyspark.sql.functions import pandas_udf as _pudf
-
-    @_pudf("int")
-    def _warm_len(s: pd.Series) -> pd.Series:
-        return s.str.len()
-
-    warm.limit(6400).repartition(
-        int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    ).select(
-        _warm_len(F.col("l_returnflag").cast("string"))
-    ).write.format("noop").mode("overwrite").save()
+    # NOTE deliberately NO pandas-UDF warmup: pre-spawning the 32-worker
+    # Python pool was measured to SLOW the sweep — the resident workers
+    # add 10-25s of jitter to later driver-action-heavy queries (e.g.
+    # dedup_near_clusters 17-31s with the pool vs 3.4-4.6s without),
+    # far outweighing the ~1s of worker spin-up it saves the first
+    # pandas-UDF query.
 
     timings: dict[str, float] = {}
     for name in selected:
@@ -73,6 +63,11 @@ def main() -> int:
         t = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t, 3)
+        # Isolate queries from each other: drop caches/persists a query
+        # left behind so later timings measure their own plans, not an
+        # earlier query's warm cache, and the JVM heap stays flat across
+        # the 80+ query sweep (cache buildup → GC pressure → noise).
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

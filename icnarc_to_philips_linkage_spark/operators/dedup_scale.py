@@ -160,24 +160,78 @@ def minhash_lsh_dedup(
     )
 
 
-def connected_components(
-    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 20
-) -> DataFrame:
-    """Connected components over an undirected pair graph by min-label
-    propagation: every node's label converges to the smallest id in its
-    component. Iterations needed = component diameter (near-dup
-    clusters are shallow); each iteration is one join + one aggregate.
-    Deterministic — no RNG, min is order-free.
+def _union_find_components(edge_rows: list) -> dict:
+    """Driver-side union-find with min-id roots and path compression.
+    Result (node → smallest reachable id) is independent of edge order."""
+    parent: dict = {}
 
-    Returns (node, component) where component = min node id reachable."""
-    edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .unionByName(
-            pairs.select(
-                F.col(id_b).alias("src"), F.col(id_a).alias("dst")
-            )
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edge_rows:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra  # smaller id stays root → component = min id
+    nodes = {n for e in edge_rows for n in e}
+    return {n: find(n) for n in nodes}
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+    driver_threshold: int = 2_000_000,
+) -> DataFrame:
+    """Connected components over an undirected pair graph.
+
+    Adaptive physical strategy (same principle as broadcast-join
+    selection): after LSH banding + Jaccard verification the pair graph
+    is orders of magnitude smaller than the corpus, so when the distinct
+    edge count is at most ``driver_threshold`` (2M edges ≈ 32 MB of
+    longs — broadcast-sized) the edges are collected and resolved with
+    driver-side union-find in one pass. An iterative distributed loop on
+    a graph that small is pure latency: every iteration pays join +
+    shuffle + checkpoint job overhead to move a few thousand rows.
+
+    Above the threshold: min-label propagation — every node's label
+    converges to the smallest id in its component. Iterations needed =
+    component diameter (near-dup clusters are shallow); each iteration
+    is one join + one aggregate.
+
+    Both paths are deterministic (no RNG; min and union-find with min-id
+    roots are edge-order-free) and return (node, component) where
+    component = min node id reachable."""
+    undirected = (
+        pairs.select(
+            F.least(id_a, id_b).alias("src"),
+            F.greatest(id_a, id_b).alias("dst"),
         )
         .distinct()
+        .cache()
+    )
+    n_edges = undirected.count()
+    if n_edges <= driver_threshold:
+        comp = _union_find_components(
+            [(r.src, r.dst) for r in undirected.collect()]
+        )
+        undirected.unpersist()
+        return pairs.sparkSession.createDataFrame(
+            sorted(comp.items()), "node long, component long"
+        )
+    edges = (
+        undirected.unionByName(
+            undirected.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
         .cache()
     )
     labels = (

@@ -167,15 +167,20 @@ def test_frame_sampling(spark, docs):
         assert got == list(range(0, expected, 8))
 
 
-def test_connected_components_chain_and_triangle(spark):
-    """Min-label propagation: a 4-node chain (diameter 3) and a separate
-    triangle resolve to their component minima."""
+@pytest.mark.parametrize("driver_threshold", [2_000_000, 0])
+def test_connected_components_chain_and_triangle(spark, driver_threshold):
+    """A 4-node chain (diameter 3) and a separate triangle resolve to
+    their component minima on BOTH physical paths: driver-side
+    union-find (threshold high) and distributed min-label propagation
+    (threshold 0). Reversed-duplicate edge (12,10) must collapse."""
     from pyspark.sql import Row
 
     pairs = spark.createDataFrame(
         [Row(id_a=1, id_b=2), Row(id_a=2, id_b=3), Row(id_a=3, id_b=4),
-         Row(id_a=10, id_b=11), Row(id_a=11, id_b=12), Row(id_a=10, id_b=12)]
+         Row(id_a=10, id_b=11), Row(id_a=11, id_b=12), Row(id_a=10, id_b=12),
+         Row(id_a=12, id_b=10)]
     )
     comp = {r.node: r.component
-            for r in dedup_scale.connected_components(pairs).collect()}
+            for r in dedup_scale.connected_components(
+                pairs, driver_threshold=driver_threshold).collect()}
     assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10}
