@@ -12,9 +12,12 @@ they stay in whole-stage codegen and scale as single-shuffle plans:
   shuffle on the key — no range-join explosion, no per-row probing; at
   100 TB this is the plan you want (a naive theta-join l.ts >= r.ts is
   quadratic per key).
-- **Resample + ffill** (hypertable-rollup-style): per-key time grid via
-  ``sequence`` explode, bucket aggregation (deterministic last-by-time),
-  and ``last(..., ignorenulls)`` forward fill over the grid.
+- **Resample + ffill / interpolate** (hypertable-rollup-style): bucket
+  aggregation (deterministic last-by-time), then one ``lead()`` pass
+  gives each observed bucket its successor, and exploding
+  ``sequence(bucket, next_bucket - step)`` emits that bucket's grid
+  segment with the fill/interpolation neighbors already on the row —
+  no grid-to-observation join, no second pass over raw events.
 """
 
 from __future__ import annotations
@@ -162,71 +165,61 @@ def _resample(
         .groupBy(key, "__bucket")
         .agg(F.max_by(value_col, order).alias("__obs"))
     )
-    spans = events.groupBy(key).agg(
-        F.date_trunc(unit, F.min(ts_col)).alias("__start"),
-        F.date_trunc(unit, F.max(ts_col)).alias("__end"),
+    # Segment formulation: each observed bucket owns the grid points
+    # from itself up to (excluding) the NEXT observed bucket, known via
+    # one lead() pass; the final bucket owns just itself. Because the
+    # grid spans exactly [first observed bucket, last observed bucket],
+    # this explode emits the identical grid to a spans×sequence cross
+    # — but with the carried/neighboring observations already on the
+    # row. Plan: ONE scan of events, one (key,bucket) hash aggregate,
+    # one window sort on key — no second events aggregate for spans, no
+    # grid-to-buckets join, no descending re-sort. 5 shuffles → 2.
+    w = Window.partitionBy(key).orderBy("__bucket")
+    step_expr = F.expr(f"INTERVAL {step}")
+    seg = per_bucket.select(
+        key,
+        "__bucket",
+        "__obs",
+        F.lead("__bucket").over(w).alias("__nb"),
+        F.lead("__obs").over(w).alias("__nv"),
     )
-    grid = spans.select(
-        F.col(key),
+    exploded = seg.select(
+        key,
+        "__bucket",
+        "__obs",
+        "__nb",
+        "__nv",
         F.explode(
-            F.sequence("__start", "__end", F.expr(f"INTERVAL {step}"))
+            F.sequence(
+                F.col("__bucket"),
+                F.coalesce(F.col("__nb") - step_expr, F.col("__bucket")),
+                step_expr,
+            )
         ).alias("grid_ts"),
     )
-    joined = grid.join(
-        per_bucket,
-        on=[
-            grid[key] == per_bucket[key],
-            grid["grid_ts"] == per_bucket["__bucket"],
-        ],
-        how="left",
-    ).select(grid[key], "grid_ts", "__obs")
-    w_back = (
-        Window.partitionBy(key)
-        .orderBy("grid_ts")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     if mode == "ffill":
-        return joined.withColumn(
-            "value_ffill", F.last("__obs", ignorenulls=True).over(w_back)
-        ).select(key, "grid_ts", "value_ffill")
+        # the owning bucket's observation IS the forward-filled value
+        return exploded.select(
+            key, "grid_ts", F.col("__obs").alias("value_ffill")
+        )
 
-    # forward fill expressed as a BACKWARD running frame over descending
-    # order: Spark evaluates (currentRow, unboundedFollowing) frames by
-    # re-scanning the tail for every row — O(n²) per partition (measured
-    # 17× slower at sf0.1) — while running unboundedPreceding frames are
-    # incremental O(n)
-    w_fwd = (
-        Window.partitionBy(key)
-        .orderBy(F.desc("grid_ts"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     ts_us = F.unix_micros(F.col("grid_ts"))
-    obs_ts = F.when(F.col("__obs").isNotNull(), ts_us)
-    prev_v = F.last("__obs", ignorenulls=True).over(w_back)
-    prev_t = F.last(obs_ts, ignorenulls=True).over(w_back)
-    next_v = F.last("__obs", ignorenulls=True).over(w_fwd)
-    next_t = F.last(obs_ts, ignorenulls=True).over(w_fwd)
-    frac = (ts_us - F.col("__pt")) / (F.col("__nt") - F.col("__pt"))
+    pt = F.unix_micros(F.col("__bucket"))
+    nt = F.unix_micros(F.col("__nb"))
+    frac = (ts_us - pt) / (nt - pt)
     # NOT rounded: the op sequence (sub, div, sub, mul, add) is fully
     # deterministic, so the raw doubles are bit-identical across engines
     # and partitionings — while ROUND itself is NOT portable (Spark
     # rounds the binary expansion, DuckDB the shortest decimal repr;
     # they disagree at half-point values, which 2-decimal inputs ×
-    # dyadic time fractions hit systematically)
-    interp = F.when(
-        F.col("__pv").isNull(), F.col("__nv")  # before first obs
-    ).when(
-        F.col("__nv").isNull(), F.col("__pv")  # after last obs
-    ).when(
-        F.col("__nt") == F.col("__pt"), F.col("__pv")  # on an observation
-    ).otherwise(
-        F.col("__pv") + (F.col("__nv") - F.col("__pv")) * frac
+    # dyadic time fractions hit systematically). On-observation points
+    # return __obs directly (not obs + 0·Δ) so a -0.0 observation
+    # survives bit-exactly.
+    interp = (
+        F.when(F.col("__nv").isNull(), F.col("__obs"))  # tail bucket
+        .when(ts_us == pt, F.col("__obs"))  # on an observation
+        .otherwise(
+            F.col("__obs") + (F.col("__nv") - F.col("__obs")) * frac
+        )
     )
-    return (
-        joined.withColumn("__pv", prev_v)
-        .withColumn("__pt", prev_t)
-        .withColumn("__nv", next_v)
-        .withColumn("__nt", next_t)
-        .withColumn("value_interp", interp)
-        .select(key, "grid_ts", "value_interp")
-    )
+    return exploded.select(key, "grid_ts", interp.alias("value_interp"))
