@@ -53,6 +53,37 @@ def doc_shingles(
     )
 
 
+def shingle_sets(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(id, sh_arr) distinct word-n-gram shingle SET per document as one
+    array row — the un-exploded twin of ``doc_shingles``. Map-only."""
+    return df.select(F.col(id_col), tokens(text_col).alias("_toks")).select(
+        F.col(id_col), shingles("_toks", n).alias("sh_arr")
+    )
+
+
+def minhash_signatures_arr(
+    sets_df: DataFrame, id_col: str = "doc_id", k: int = 8
+) -> DataFrame:
+    """k-permutation MinHash signature per document from shingle-set
+    arrays: h_i = array_min(md5(i || ':' || shingle)) — a pure
+    higher-order-function projection. Same values as
+    ``minhash_signatures`` (lexicographic min over the same digests)
+    with NO shuffle at all: each document's k mins fold in one map pass,
+    instead of exploding |shingles| rows and hash-aggregating them back
+    together."""
+    sig_cols = [
+        F.array_min(
+            F.transform(
+                "sh_arr", lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s))
+            )
+        ).alias(f"h{i}")
+        for i in range(k)
+    ]
+    return sets_df.select(F.col(id_col), *sig_cols)
+
+
 def minhash_signatures(
     sh: DataFrame, id_col: str = "doc_id", k: int = 8
 ) -> DataFrame:
@@ -140,23 +171,39 @@ def minhash_lsh_dedup(
     bands: int = 4,
     threshold: float = 0.4,
 ) -> DataFrame:
-    """Full pipeline: shingle → MinHash → LSH bands → candidate pairs →
-    exact-Jaccard verify → near-duplicate pairs above threshold.
+    """Full pipeline: shingle sets → MinHash → LSH bands → candidate
+    pairs → exact-Jaccard verify → near-duplicate pairs above threshold.
 
-    The shingle table feeds FOUR consumers (signatures, both sides of
-    the intersection join, sizes); persisting it trades one
-    materialization for three recomputations of tokenize+shingle+explode
-    — the right call at any scale (MEMORY_AND_DISK spills instead of
-    OOMing on a 100 TB corpus)."""
+    Physical shape (array-set formulation): signatures and bands are
+    pure map-side projections over the per-doc shingle-set array — the
+    ONLY corpus-wide shuffle is the band-bucket equi-join that produces
+    candidate pairs. Verification joins the (tiny) candidate set back to
+    the shingle arrays and computes |A∩B| with array_intersect per pair
+    — no exploded (id, shingle) shuffle, no intersection join. The
+    shingle-set table feeds three consumers (signatures, both verify
+    sides); persisting it trades one materialization for two
+    recomputations of tokenize+shingle (MEMORY_AND_DISK spills instead
+    of OOMing on a 100 TB corpus)."""
     from pyspark import StorageLevel
 
-    sh = doc_shingles(df, id_col, text_col, n).persist(
+    sets = shingle_sets(df, id_col, text_col, n).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    sig = minhash_signatures(sh, id_col, k)
+    sig = minhash_signatures_arr(sets, id_col, k)
     cand = lsh_candidate_pairs(lsh_bands(sig, id_col, k, bands), id_col)
-    return jaccard_verify(cand, sh, id_col).filter(
-        F.col("jaccard") >= threshold
+    sh_a = sets.select(F.col(id_col).alias("id_a"), F.col("sh_arr").alias("__sh_a"))
+    sh_b = sets.select(F.col(id_col).alias("id_b"), F.col("sh_arr").alias("__sh_b"))
+    common = F.size(F.array_intersect("__sh_a", "__sh_b"))
+    union = F.size("__sh_a") + F.size("__sh_b") - common
+    return (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(common / union, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
     )
 
 
