@@ -344,23 +344,35 @@ def simhash16(
 ) -> DataFrame:
     """16-bit SimHash per document from distinct tokens: bit i of the
     token's md5 votes ±1; the sign of each bit-sum forms the hash.
-    Implemented as 16 conditional aggregates over the exploded token
-    table — one shuffle, integer math only (engine-portable: the oracle
-    reproduces it bit-for-bit). Width 16 keeps the expression tree small;
-    the construction generalizes to 64 by widening the loop."""
-    toks = df.select(
-        F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok")
-    ).withColumn("th", F.md5(F.col("tok")))
-    aggs = []
+
+    Map-only: each document's token digests are one array (md5 computed
+    ONCE per token), and the 16 bit-sums are higher-order ``aggregate``
+    folds over it — no explode, no groupBy shuffle; a document never
+    leaves its input partition. Integer math only (engine-portable: the
+    oracle reproduces it bit-for-bit). Width 16 keeps the expression
+    tree small; the construction generalizes to 64 by widening the
+    loop."""
+    with_ths = df.select(
+        F.col(id_col),
+        F.transform(
+            F.array_distinct(tokens(text_col)), lambda t: F.md5(t)
+        ).alias("__ths"),
+    )
+    def bit_sum(hex_idx: int, bit_in_char: int):
+        # factory closure: pyspark introspects lambda arity, so the bit
+        # position must bind via closure, not default args
+        def merge(acc, th):
+            hexval = F.conv(F.substring(th, hex_idx, 1), 16, 10).cast("int")
+            bit = F.shiftright(hexval, bit_in_char).bitwiseAND(F.lit(1))
+            return acc + F.when(bit == 1, 1).otherwise(-1)
+
+        return F.aggregate("__ths", F.lit(0), merge)
+
+    sum_cols = []
     for i in range(16):
-        hex_idx = i // 4 + 1  # 1-based substring position into the digest
-        bit_in_char = 3 - (i % 4)  # high bit first
-        hexval = F.conv(F.substring("th", hex_idx, 1), 16, 10).cast("int")
-        bit = F.shiftright(hexval, bit_in_char).bitwiseAND(F.lit(1))
-        aggs.append(
-            F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"s{i}")
-        )
-    sums = toks.groupBy(id_col).agg(*aggs)
+        # hex_idx: 1-based substring position into the digest; bit: high first
+        sum_cols.append(bit_sum(i // 4 + 1, 3 - (i % 4)).alias(f"s{i}"))
+    sums = with_ths.select(F.col(id_col), *sum_cols)
     hash_expr = None
     for i in range(16):
         term = F.when(F.col(f"s{i}") > 0, F.lit(1 << (15 - i))).otherwise(0)
