@@ -139,11 +139,14 @@ def ivf_topk(
     inside that cell only — probing 1/|cells| of the corpus."""
     cents = centroids_by_label(corpus, label_col, vec_col)
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm_sq(vec_col).alias("q_nsq"),
     )
     scored = q.crossJoin(F.broadcast(cents)).select(
         "query_id",
         "q_vec",
+        "q_nsq",
         F.col(label_col),
         F.round(cosine("q_vec", "centroid"), 6).alias("cent_sim"),
     )
@@ -153,7 +156,7 @@ def ivf_topk(
     routed = (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("query_id", "q_vec", label_col)
+        .select("query_id", "q_vec", "q_nsq", label_col)
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -167,8 +170,10 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
+            # q_nsq carried through routing: the fold runs once per
+            # query row, not once per probed candidate pair
             F.round(
-                cosine_with_norms("q_vec", "c_vec", norm_sq("q_vec"), "c_nsq"),
+                cosine_with_norms("q_vec", "c_vec", "q_nsq", "c_nsq"),
                 6,
             ).alias("cos_sim"),
         )

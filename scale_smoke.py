@@ -91,6 +91,45 @@ def main() -> int:
             F.count(F.lit(1)),
         ),
     )
+    from icnarc_to_philips_linkage_spark.operators.timeseries import (
+        resample_interpolate,
+    )
+
+    # 50k-user slice: the grid explode is keys × span/step by design
+    # (100M rows over ~58 days × 1M users would be a 1.4B-row grid —
+    # the slice keeps the smoke bounded while driving the same plan)
+    bench(
+        "resample_interp_hourly_50k_users",
+        resample_interpolate(
+            e.filter(F.col("user_id") < 50_000),
+            key="user_id", ts_col="ts", value_col="value",
+            tiebreak="event_id",
+        ),
+    )
+    from icnarc_to_philips_linkage_spark.operators.dedup_scale import (
+        lsh_bands,
+        minhash_signatures_arr,
+        shingle_sets,
+    )
+
+    # synthetic text corpus of ~30-word docs — exercises the map-only
+    # signature path + band unpivot (cost is md5-bound: ~230 digests/doc)
+    docs = spark.range(min(n // 200, 500_000)).select(
+        F.col("id").alias("doc_id"),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(29)),
+                lambda i: F.conv(
+                    F.substring(F.md5(F.concat(F.col("id"), i)), 1, 4), 16, 10
+                ),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    bench(
+        "minhash_bands_500k_docs",
+        lsh_bands(minhash_signatures_arr(shingle_sets(docs))),
+    )
     print(
         json.dumps(
             {"n_rows": n, "gen_sec": gen_sec, "timings_sec": timings}

@@ -106,3 +106,39 @@ def test_asof_join_is_single_shuffle(spark):
 def test_aqe_enabled_in_session(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+
+
+def test_simhash_is_map_only(spark):
+    """SimHash must be a pure per-row projection: md5 once per token
+    into an array, 16 higher-order folds — zero exchanges, zero
+    generates (no explode)."""
+    fn, _ = all_queries()["dedup_simhash"]
+    plan = plan_of(fn(spark, SF_SMOKE))
+    assert "Exchange" not in plan, f"simhash must not shuffle:\n{plan}"
+    assert "Generate" not in plan, f"simhash must not explode:\n{plan}"
+
+
+def test_minhash_signatures_have_no_aggregate(spark):
+    """MinHash signatures fold map-only from the shingle-set array; the
+    pipeline's only aggregates are the candidate-pair DISTINCT (and
+    nothing sorts per document)."""
+    from icnarc_to_philips_linkage_spark.operators.dedup_scale import (
+        minhash_signatures_arr,
+        shingle_sets,
+    )
+
+    docs = load(spark, SF_SMOKE, "documents")
+    plan = plan_of(minhash_signatures_arr(shingle_sets(docs)))
+    assert "Exchange" not in plan, f"signatures must not shuffle:\n{plan}"
+    assert "Aggregate" not in plan, f"signatures must not aggregate:\n{plan}"
+
+
+def test_resample_interp_is_two_exchange_one_sort_plan(spark):
+    """Segment-formulation resampling: (key,bucket) aggregate exchange +
+    key exchange for the lead() window; exactly one Window node and no
+    join of the grid back to observations."""
+    fn, _ = all_queries()["ts_resample_interp"]
+    plan = plan_of(fn(spark, SF_SMOKE))
+    assert plan.count("Exchange") == 2, plan
+    assert plan.count("Window") == 1, plan
+    assert "Join" not in plan, f"grid must not join observations:\n{plan}"
