@@ -4,10 +4,10 @@
   aggregate fold) — JVM-side, no UDF, exact left-to-right double
   accumulation (reproducible across engines).
 - ``knn_brute_force``: baseline exact top-k — broadcast the query set,
-  stream the corpus, rank per query with a window. At 100 TB corpus the
-  broadcast side is the (small) query batch and the corpus is never
-  shuffled: the only shuffle is the per-query top-k aggregation, whose
-  key count = |queries|.
+  stream the corpus, reduce with a two-level partial top-k
+  (``topk_per_key``): scored rows spread over queries × partitions
+  reducers (no per-query skew), and only partitions × k rows per query
+  reach the final merge.
 - ``ivf_topk``: the scale path — a coarse quantizer (here: the stored
   cluster ``label``; in production k-means centroids) restricts each
   query to its nearest partition, cutting scan cost by the number of
@@ -57,6 +57,50 @@ def cosine_with_norms(
     return dot(a, b) / (F.sqrt(na) * F.sqrt(nb))
 
 
+def topk_per_key(
+    sims: DataFrame,
+    key: str,
+    k: int,
+    sim_col: str = "cos_sim",
+    id_col: str = "neighbor_id",
+) -> DataFrame:
+    """Exact top-k rows per key from a (key, id, sim) candidate table,
+    ranked (sim DESC, id ASC), without a skewed per-key window.
+
+    A plain ``Window.partitionBy(key)`` sends EVERY candidate row to
+    |keys| reducers — with a handful of query vectors against a 100 TB
+    corpus that is a few tasks sorting almost the whole corpus. Grouping
+    level 1 on (key, spark_partition_id) instead spreads the same bytes
+    over keys × partitions reducers, each sorting only one partition's
+    slice of one key (the group is map-local, so the partial
+    collect_list completes map-side); its final agg slices to k, and
+    the level-2 merge shuffles just partitions × k rows per key.
+    Results are exactly the global top-k (top-k merge is associative)
+    with the same deterministic (−sim, id) ordering a window gives."""
+    ranked = F.struct(
+        (-F.col(sim_col)).alias("__neg"), F.col(id_col).alias(id_col)
+    )
+    partial = (
+        sims.withColumn("__part", F.spark_partition_id())
+        .groupBy(key, "__part")
+        .agg(
+            F.slice(F.array_sort(F.collect_list(ranked)), 1, k).alias("__top")
+        )
+    )
+    merged = (
+        partial.select(key, F.explode("__top").alias("r"))
+        .groupBy(key)
+        .agg(
+            F.slice(F.array_sort(F.collect_list("r")), 1, k).alias("__top")
+        )
+    )
+    return merged.select(key, F.explode("__top").alias("r")).select(
+        key,
+        F.col(f"r.{id_col}").alias(id_col),
+        (-F.col("r.__neg")).alias(sim_col),
+    )
+
+
 def knn_brute_force(
     corpus: DataFrame,
     queries: DataFrame,
@@ -90,14 +134,7 @@ def knn_brute_force(
             ).alias("cos_sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos_sim"), F.asc("neighbor_id")
-    )
-    return (
-        sims.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .drop("rn")
-    )
+    return topk_per_key(sims, "query_id", k)
 
 
 def centroids_by_label(
@@ -178,14 +215,7 @@ def ivf_topk(
             ).alias("cos_sim"),
         )
     )
-    w2 = Window.partitionBy("query_id").orderBy(
-        F.desc("cos_sim"), F.asc("neighbor_id")
-    )
-    return (
-        sims.withColumn("rn", F.row_number().over(w2))
-        .filter(F.col("rn") <= k)
-        .drop("rn")
-    )
+    return topk_per_key(sims, "query_id", k)
 
 
 def _hyperplane(plane_id: int, dim: int) -> list[float]:
@@ -255,14 +285,7 @@ def ann_rh_lsh(
             ).alias("cos_sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos_sim"), F.asc("neighbor_id")
-    )
-    return (
-        sims.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .drop("rn")
-    )
+    return topk_per_key(sims, "query_id", k)
 
 
 def embedding_near_dup_pairs(

@@ -92,6 +92,12 @@ def test_knn_broadcasts_query_side(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, (
         f"corpus must stream against broadcast queries:\n{plan}"
     )
+    # two-level partial top-k, not a per-query window: a window would
+    # shuffle every scored corpus row onto |queries| tasks
+    assert "Window" not in plan, f"knn top-k must not window-sort:\n{plan}"
+    assert "partial_collect_list" in plan.lower() or "objhashaggregate" in plan.lower(), (
+        f"expected map-side partial top-k aggregation:\n{plan}"
+    )
 
 
 def test_asof_join_is_single_shuffle(spark):
