@@ -230,6 +230,53 @@ def _union_find_components(edge_rows: list) -> dict:
     return {n: find(n) for n in nodes}
 
 
+def ngram_jaccard_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard near-dup pairs with single-permutation
+    MinHash blocking: documents sharing their minimum shingle digest
+    (the h0 permutation of ``minhash_signatures_arr``) land in one
+    block; within-block pairs get exact set Jaccard on the shingle
+    arrays. Collision probability for a pair equals its true Jaccard,
+    so high-similarity pairs block together with high probability while
+    pair generation stays an equi-join (never O(n²)). The full-recall
+    variant is ``minhash_lsh_dedup`` (k permutations, banded)."""
+    sets = shingle_sets(df, id_col, text_col, n)
+    blocked = sets.select(
+        F.col(id_col),
+        "sh_arr",
+        F.array_min(
+            F.transform("sh_arr", lambda s: F.md5(F.concat(F.lit("0:"), s)))
+        ).alias("__block"),
+    )
+    a = blocked.select(
+        F.col("__block"),
+        F.col(id_col).alias("id_a"),
+        F.col("sh_arr").alias("__sh_a"),
+    )
+    b = blocked.select(
+        F.col("__block"),
+        F.col(id_col).alias("id_b"),
+        F.col("sh_arr").alias("__sh_b"),
+    )
+    common = F.size(F.array_intersect("__sh_a", "__sh_b"))
+    union = F.size("__sh_a") + F.size("__sh_b") - common
+    return (
+        a.join(b, on="__block")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(common / union, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",

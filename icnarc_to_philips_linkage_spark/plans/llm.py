@@ -121,6 +121,36 @@ WHERE ROUND(co.n_common * 1.0 / (na.n_sh + nb.n_sh - co.n_common), 6) >= {JACCAR
 """
 
 
+NGRAM_T = 0.3
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact n-gram Jaccard pairs under 1-permutation MinHash blocking
+    (the shared-min-shingle block; equi-join, never O(n²))."""
+    return dedup_scale.ngram_jaccard_dedup(
+        load(spark, sf, "documents"), n=SHINGLE_N, threshold=NGRAM_T
+    )
+
+
+def _ngram_jaccard_sql() -> str:
+    return f"""
+WITH {_shingle_cte()},
+sets AS (
+  SELECT doc_id, list(shingle) AS sh,
+         MIN(md5('0:' || shingle)) AS block
+  FROM sh GROUP BY doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND(len(list_intersect(a.sh, b.sh)) * 1.0 /
+             (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+         AS jaccard
+FROM sets a JOIN sets b ON a.block = b.block AND a.doc_id < b.doc_id
+WHERE ROUND(len(list_intersect(a.sh, b.sh)) * 1.0 /
+            (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+      >= {NGRAM_T}
+"""
+
+
 def dedup_near_clusters(spark: SparkSession, sf: str) -> DataFrame:
     """Near-dup clusters: LSH pairs → connected components → keeper
     marking. Spark side iterates min-label propagation; the oracle
@@ -566,6 +596,7 @@ FROM documents
 QUERIES: dict[str, tuple] = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, _minhash_sql()),
+    "dedup_ngram_jaccard": (dedup_ngram_jaccard, _ngram_jaccard_sql()),
     "dedup_near_clusters": (dedup_near_clusters, _near_clusters_sql()),
     "dedup_simhash": (dedup_simhash, _simhash_sql()),
     "dedup_embedding_cosine": (dedup_embedding_cosine, _near_dup_sql()),

@@ -167,6 +167,29 @@ def test_frame_sampling(spark, docs):
         assert got == list(range(0, expected, 8))
 
 
+def test_ngram_jaccard_blocks_catch_exact_and_near_dups(spark):
+    """1-permutation blocking is exact for identical shingle sets
+    (jaccard 1.0 pairs always share their min digest) and must agree
+    with full exact Jaccard on every pair it emits."""
+    from pyspark.sql import Row
+
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),
+        Row(doc_id=2, text="the quick brown fox jumps over the lazy dog"),
+        Row(doc_id=3, text="the quick brown fox jumps over a lazy dog"),
+        Row(doc_id=4, text="completely different text about spark engines"),
+    ])
+    pairs = {(r.id_a, r.id_b): r.jaccard
+             for r in dedup_scale.ngram_jaccard_dedup(docs, threshold=0.1).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 4) not in pairs and (2, 4) not in pairs
+    # doc 3 differs in one word -> if blocked with 1/2, jaccard must be
+    # the true set jaccard (7 shingles each, 4 shared with n=3)
+    for key in [(1, 3), (2, 3)]:
+        if key in pairs:
+            assert pairs[key] == pytest.approx(4 / 10, abs=1e-6)
+
+
 @pytest.mark.parametrize("driver_threshold", [2_000_000, 0])
 def test_connected_components_chain_and_triangle(spark, driver_threshold):
     """A 4-node chain (diameter 3) and a separate triangle resolve to
