@@ -1,0 +1,103 @@
+"""Deterministic sampling / dataset splitting for training-data
+pipelines.
+
+Random `df.sample()` is seed-dependent per partitioning and not
+reproducible across engines or re-runs with different file splits. These
+operators derive membership from a content hash instead: md5 of
+(salt, id), compared as an 8-hex-char prefix string against a threshold
+— a pure map-side predicate, no RNG, no shuffle, identical in any
+engine with md5 (Spark, DuckDB, Python). Re-running on re-partitioned /
+re-ordered data, or on another engine, yields the SAME split — the
+property a train/test boundary must have to avoid leakage across
+pipeline versions.
+
+The salt names the split decision: different salts give independent
+samples; the same salt always reproduces the same one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_HEX_SPACE = 16**8  # the 8-hex-char prefix spans [0, 16^8)
+
+
+def _threshold_hex(fraction: float) -> str:
+    """8-hex threshold so that P(prefix < threshold) ≈ fraction.
+    fraction ≥ 1 returns 'g' — lexicographically above every hex string
+    (a 9-digit '100000000' would compare BELOW 'ffffffff' as a string)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    n = int(fraction * _HEX_SPACE)
+    return "g" if n >= _HEX_SPACE else format(n, "08x")
+
+
+def hash_bucket(id_col: Column | str, salt: str) -> Column:
+    """The sampling key: first 8 hex chars of md5(salt || ':' || id).
+    Uniform on the hex-string space; lexicographic comparison on it is
+    numeric comparison."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.substring(
+        F.md5(F.concat(F.lit(f"{salt}:"), c.cast("string"))), 1, 8
+    )
+
+
+def hash_sample(
+    df: DataFrame, id_col: str, fraction: float, salt: str = "sample"
+) -> DataFrame:
+    """Deterministic ~``fraction`` sample: keep rows whose hash bucket
+    falls below the threshold. Map-only predicate — pushes into the
+    scan's filter stage, costs one md5 per row, never shuffles."""
+    return df.filter(hash_bucket(id_col, salt) < F.lit(_threshold_hex(fraction)))
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    fractions: dict[str, float],
+    salt: str = "split",
+    split_col: str = "split",
+) -> DataFrame:
+    """Partition rows into named splits (e.g. train/val/test) by
+    consecutive hash bands: {'train': .8, 'val': .1, 'test': .1} labels
+    every row with exactly one split. Fractions must sum to ≤ 1; any
+    remainder is labeled NULL (dropped by convention). Deterministic and
+    engine-portable like ``hash_sample``."""
+    total = sum(fractions.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"fractions sum to {total} > 1")
+    bucket = hash_bucket(id_col, salt)
+    expr = None
+    cum = 0.0
+    for name, frac in fractions.items():
+        cum += frac
+        cond = bucket < F.lit(_threshold_hex(cum))
+        expr = (
+            F.when(cond, F.lit(name))
+            if expr is None
+            else expr.when(cond, F.lit(name))
+        )
+    return df.withColumn(split_col, expr)
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "stratified",
+) -> DataFrame:
+    """Per-stratum deterministic sampling: each stratum value gets its
+    own keep-fraction (e.g. downsample dominant languages, keep all of
+    rare ones). Still a pure map-side predicate — the per-stratum
+    threshold folds into a CASE chain; no shuffle, no per-group pass."""
+    bucket = hash_bucket(id_col, salt)
+    thr = None
+    for value, frac in fractions.items():
+        cond = F.col(strata_col) == value
+        t = F.lit(_threshold_hex(frac))
+        thr = F.when(cond, t) if thr is None else thr.when(cond, t)
+    thr = thr.otherwise(F.lit(_threshold_hex(default_fraction)))
+    return df.filter(bucket < thr)

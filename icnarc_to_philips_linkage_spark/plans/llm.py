@@ -15,7 +15,12 @@ import pandas as pd  # module-level: pandas_udf type hints resolve here
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from icnarc_to_philips_linkage_spark.operators import dedup_scale, similarity, text
+from icnarc_to_philips_linkage_spark.operators import (
+    dedup_scale,
+    sampling,
+    similarity,
+    text,
+)
 from icnarc_to_philips_linkage_spark.operators.text import LANG_MARKERS, STOPWORDS
 from icnarc_to_philips_linkage_spark.plans.tables import load
 
@@ -529,6 +534,76 @@ SELECT doc_id, len({_TOKS}) AS n_tokens FROM documents
 """
 
 
+SPLIT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
+STRATA_FRACTIONS = {"en": 0.5}  # downsample the dominant language
+STRATA_DEFAULT = 1.0
+
+
+def sample_hash_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic train/val/test split (hash-band membership — no
+    RNG, stable under repartitioning and across engines), summarized per
+    split."""
+    docs = load(spark, sf, "documents")
+    split = sampling.hash_split(docs, "doc_id", SPLIT_FRACTIONS)
+    return split.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("chars_total"),
+    )
+
+
+def _split_sql() -> str:
+    from icnarc_to_philips_linkage_spark.operators.sampling import (
+        _threshold_hex,
+    )
+
+    cases, cum = [], 0.0
+    for name, frac in SPLIT_FRACTIONS.items():
+        cum += frac  # same accumulation order as hash_split → same floats
+        cases.append(f"WHEN bucket < '{_threshold_hex(cum)}' THEN '{name}'")
+    return f"""
+WITH b AS (
+  SELECT n_chars,
+         substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) AS bucket
+  FROM documents
+)
+SELECT CASE {' '.join(cases)} END AS split,
+       COUNT(*) AS n_docs, SUM(n_chars) AS chars_total
+FROM b GROUP BY 1
+"""
+
+
+def sample_stratified_lang(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-stratum deterministic downsampling (keep 50% of 'en', all of
+    the rest), summarized per language."""
+    docs = load(spark, sf, "documents")
+    s = sampling.stratified_hash_sample(
+        docs, "doc_id", "lang", STRATA_FRACTIONS,
+        default_fraction=STRATA_DEFAULT,
+    )
+    return s.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("chars_total"),
+    )
+
+
+def _stratified_sql() -> str:
+    from icnarc_to_philips_linkage_spark.operators.sampling import (
+        _threshold_hex,
+    )
+
+    whens = " ".join(
+        f"WHEN lang = '{v}' THEN '{_threshold_hex(f)}'"
+        for v, f in STRATA_FRACTIONS.items()
+    )
+    return f"""
+SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS chars_total
+FROM documents
+WHERE substr(md5('stratified:' || CAST(doc_id AS VARCHAR)), 1, 8)
+      < CASE {whens} ELSE '{_threshold_hex(STRATA_DEFAULT)}' END
+GROUP BY lang
+"""
+
+
 def curate_documents(spark: SparkSession, sf: str) -> DataFrame:
     """End-to-end curation composite — the whole point of the engine in
     ONE lazy plan: quality-score → threshold filter → exact-dedup keeper
@@ -611,6 +686,8 @@ QUERIES: dict[str, tuple] = {
     "text_bpe_ish_tokens": (text_bpe_ish_tokens, BPE_SQL),
     "text_fingerprint": (text_fingerprint, _fingerprint_sql()),
     "ud2_pandas_udf_tokens": (ud2_pandas_udf_tokens, UD2_SQL),
+    "sample_hash_split": (sample_hash_split, _split_sql()),
+    "sample_stratified_lang": (sample_stratified_lang, _stratified_sql()),
     "curate_documents": (curate_documents, CURATE_SQL),
     "multimodal_meta": (multimodal_meta, MULTIMODAL_SQL),
 }

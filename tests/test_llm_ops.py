@@ -167,6 +167,34 @@ def test_frame_sampling(spark, docs):
         assert got == list(range(0, expected, 8))
 
 
+def test_hash_sampling_is_deterministic_and_partition_free(spark):
+    """Hash sampling must give the identical row set regardless of
+    partitioning; fraction 1.0 keeps everything, 0.0 nothing; splits are
+    exclusive and exhaustive when fractions sum to 1."""
+    from icnarc_to_philips_linkage_spark.operators import sampling
+
+    df = spark.range(2000).withColumnRenamed("id", "doc_id")
+    s1 = {r.doc_id for r in sampling.hash_sample(df, "doc_id", 0.3).collect()}
+    s2 = {r.doc_id for r in
+          sampling.hash_sample(df.repartition(7), "doc_id", 0.3).collect()}
+    assert s1 == s2
+    assert 0.2 < len(s1) / 2000 < 0.4  # ~binomial around 0.3
+    assert sampling.hash_sample(df, "doc_id", 1.0).count() == 2000
+    assert sampling.hash_sample(df, "doc_id", 0.0).count() == 0
+
+    split = sampling.hash_split(
+        df, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    counts = {r["split"]: r["n"] for r in
+              split.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert None not in counts and sum(counts.values()) == 2000
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    # same salt → train membership is a superset-disjoint band structure:
+    # re-deriving the split yields identical assignment
+    again = {r.doc_id: r["split"] for r in split.collect()}
+    assert {r.doc_id: r["split"] for r in split.collect()} == again
+
+
 def test_ngram_jaccard_blocks_catch_exact_and_near_dups(spark):
     """1-permutation blocking is exact for identical shingle sets
     (jaccard 1.0 pairs always share their min digest) and must agree
