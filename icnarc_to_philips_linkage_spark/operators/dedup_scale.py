@@ -245,14 +245,18 @@ def ngram_jaccard_dedup(
     so high-similarity pairs block together with high probability while
     pair generation stays an equi-join (never O(n²)). The full-recall
     variant is ``minhash_lsh_dedup`` (k permutations, banded)."""
+    from pyspark import StorageLevel
+
     sets = shingle_sets(df, id_col, text_col, n)
+    # persisted: both sides of the self-join read this table — without
+    # it the tokenize+shingle+digest work runs twice
     blocked = sets.select(
         F.col(id_col),
         "sh_arr",
         F.array_min(
             F.transform("sh_arr", lambda s: F.md5(F.concat(F.lit("0:"), s)))
         ).alias("__block"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     a = blocked.select(
         F.col("__block"),
         F.col(id_col).alias("id_a"),
