@@ -1,0 +1,103 @@
+"""Regenerate PLANS.md: execute each flagship query at sf0.001 and
+capture its AQE-final physical plan. Run: python tools/gen_plans.py
+(rewrites PLANS.md in place; section commentary lives here so the doc
+stays in sync with the plans)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SECTIONS: list[tuple[str, str]] = [
+    (
+        "q1_pricing_summary",
+        "One codegen'd scan+partial-agg stage, one exchange, final agg. "
+        "Decimal sums inside the hash aggregate.",
+    ),
+    (
+        "j8_star_3way",
+        "Dim⋈fact⋈dim chain: both dimension sides broadcast; the fact "
+        "table streams and never shuffles.",
+    ),
+    (
+        "j4_cohort_semi",
+        "Cohort restriction plans as a broadcast left-semi join — the "
+        "events side streams.",
+    ),
+    (
+        "o2_top_k",
+        "TOP 100 ORDER BY plans as TakeOrderedAndProject — per-partition "
+        "top-k then merge, no global sort.",
+    ),
+    (
+        "ts_asof_join",
+        "Union-and-window as-of join: both sides project to a common "
+        "shape, union, ONE exchange on the key, one running-frame window "
+        "pass. No range-join explosion.",
+    ),
+    (
+        "dedup_minhash_lsh",
+        "Array-set formulation: shingle sets and the k MinHash mins are "
+        "pure projections (array_min over transform — no per-doc "
+        "aggregate); band unpivot feeds the candidate equi-join "
+        "(broadcast at this SF, shuffle-on-(band, hash) at scale); the "
+        "only corpus-keyed exchange left is the candidate-pair DISTINCT, "
+        "and Jaccard verification intersects the two cached shingle "
+        "arrays per candidate pair.",
+    ),
+    (
+        "ts_resample_interp",
+        "Segment formulation: one scan of events, one (key, bucket) hash "
+        "aggregate, ONE sort for the lead() window, then "
+        "explode(sequence(bucket, next_bucket - step)) emits each "
+        "bucket's grid slice with the interpolation neighbors already on "
+        "the row — no spans re-aggregation, no grid-to-observation join, "
+        "no descending second window pass.",
+    ),
+]
+
+SF = "/root/testdata/sf0.001"
+MAX_LINES = 60
+MAX_WIDTH = 200
+
+
+def main() -> int:
+    from icnarc_to_philips_linkage_spark.plans.registry import all_queries
+    from icnarc_to_philips_linkage_spark.session import get_spark
+
+    spark = get_spark(app_name="gen-plans")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = all_queries()
+    out = [
+        "# PLANS — final physical plans of flagship queries (sf0.001, "
+        "post-AQE where executed)",
+        "",
+        "Regenerate: `python tools/gen_plans.py` — pasted from Spark's "
+        "executedPlan after a full collect (AQE-final).",
+    ]
+    for name, blurb in SECTIONS:
+        fn, _ = queries[name]
+        df = fn(spark, SF)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        lines = []
+        for line in plan.splitlines():
+            if "== Initial Plan ==" in line:
+                break
+            lines.append(line[:MAX_WIDTH])
+            if len(lines) >= MAX_LINES:
+                break
+        out += ["", f"## {name}", "", blurb, "", "```", *lines, "```"]
+        spark.catalog.clearCache()
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "PLANS.md"), "w") as f:
+        f.write("\n".join(out) + "\n")
+    print(f"PLANS.md regenerated: {len(SECTIONS)} sections")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
