@@ -50,6 +50,15 @@ def main() -> int:
         F.md5("text"),
         F.expr("aggregate(transform(split(text, ' '), x -> length(x)), 0, (a, x) -> a + x)"),
     ).write.format("noop").mode("overwrite").save()
+    # first-touch each remaining table (footer/schema read + file index)
+    # so whichever query reads a table first isn't charged for it
+    from icnarc_to_philips_linkage_spark.plans.tables import load as _load
+
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "events", "embeddings"]:
+        _load(spark, sf_dir, t).limit(1).write.format("noop").mode(
+            "overwrite"
+        ).save()
     # NOTE deliberately NO pandas-UDF warmup: pre-spawning the 32-worker
     # Python pool was measured to SLOW the sweep — the resident workers
     # add 10-25s of jitter to later driver-action-heavy queries (e.g.
