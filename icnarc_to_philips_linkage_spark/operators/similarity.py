@@ -288,6 +288,60 @@ def ann_rh_lsh(
     return topk_per_key(sims, "query_id", k)
 
 
+def ann_rh_lsh_multiprobe(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 6,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe variant of ``ann_rh_lsh``: each query probes its own
+    bucket AND every Hamming-1 neighbor (one hyperplane vote flipped) —
+    the standard recall repair for vectors near a cutting plane. The
+    corpus is still hashed ONCE; only the (small, broadcast) query side
+    fans out ×(1 + n_planes), so probe cost grows with the query batch,
+    not the corpus. Deterministic, exact within the probed set."""
+    planes = [_hyperplane(p, dim) for p in range(n_planes)]
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm_sq(vec_col).alias("c_nsq"),
+        rh_lsh_signature(vec_col, planes).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm_sq(vec_col).alias("q_nsq"),
+        rh_lsh_signature(vec_col, planes).alias("__home"),
+    )
+    # probe set = home bucket XOR {0, 1<<0, ..., 1<<(p-1)}
+    flips = F.array(F.lit(0), *[F.lit(1 << p) for p in range(n_planes)])
+    q_probes = q.select(
+        "query_id",
+        "q_vec",
+        "q_nsq",
+        F.explode(
+            F.transform(flips, lambda m: F.col("__home").bitwiseXOR(m))
+        ).alias("bucket"),
+    )
+    sims = (
+        c.join(F.broadcast(q_probes), on="bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine_with_norms("q_vec", "c_vec", "q_nsq", "c_nsq"), 6
+            ).alias("cos_sim"),
+        )
+        # no pair dedup needed: a query's n+1 probe buckets are distinct
+        # and a corpus vector lives in exactly one bucket
+    )
+    return topk_per_key(sims, "query_id", k)
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame,
     threshold: float = 0.95,

@@ -332,6 +332,56 @@ QUALIFY row_number() OVER (
 """
 
 
+def sim_ann_rh_lsh_multiprobe(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-probe LSH ANN: each query also probes every Hamming-1
+    neighbor bucket (recall repair for vectors near a cutting plane);
+    corpus hashed once, query side fans out ×(1+planes)."""
+    emb = load(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < KNN_QUERY_LIMIT)
+    return similarity.ann_rh_lsh_multiprobe(
+        emb, q, k=5, n_planes=N_PLANES, dim=DIM
+    )
+
+
+def _rh_lsh_multiprobe_sql() -> str:
+    planes = [similarity._hyperplane(p, DIM) for p in range(N_PLANES)]
+
+    def plane_lit(plane: list[float]) -> str:
+        return "[" + ", ".join(repr(x) for x in plane) + "]"
+
+    def dot_plane(v: str, plane: list[float]) -> str:
+        return (
+            f"list_sum(list_transform(generate_series(1, {DIM}), "
+            f"i -> CAST({v}[i] AS DOUBLE) * ({plane_lit(plane)})[i]))"
+        )
+
+    bucket = " + ".join(
+        f"CAST({dot_plane('embedding', plane)} > 0 AS INT) * {1 << p}"
+        for p, plane in enumerate(planes)
+    )
+    masks = ", ".join(str(m) for m in [0] + [1 << p for p in range(N_PLANES)])
+    return f"""
+WITH hashed AS (
+  SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+),
+q AS (
+  SELECT h.vec_id AS query_id, h.embedding AS qv,
+         xor(h.bucket, m.mask) AS bucket
+  FROM hashed h CROSS JOIN (SELECT unnest([{masks}]) AS mask) m
+  WHERE h.vec_id < {KNN_QUERY_LIMIT}
+),
+sims AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         {_cos_sql('q.qv', 'c.embedding')} AS cos_sim
+  FROM hashed c JOIN q USING (bucket)
+  WHERE c.vec_id != q.query_id
+)
+SELECT query_id, neighbor_id, cos_sim FROM sims
+QUALIFY row_number() OVER (
+  PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) <= 5
+"""
+
+
 def sketch_hll_merge(spark: SparkSession, sf: str) -> DataFrame:
     """Mergeable HLL sketch columns (DataSketches): per-group sketches
     union-merged into a global distinct estimate. Sketch binaries are
@@ -678,6 +728,7 @@ QUERIES: dict[str, tuple] = {
     "sim_knn_brute_force": (sim_knn_brute_force, _knn_sql()),
     "sim_ivf_topk": (sim_ivf_topk, _ivf_sql()),
     "sim_ann_rh_lsh": (sim_ann_rh_lsh, _rh_lsh_sql()),
+    "sim_ann_rh_lsh_multiprobe": (sim_ann_rh_lsh_multiprobe, _rh_lsh_multiprobe_sql()),
     "cluster_kmeans": (cluster_kmeans, None),
     "sketch_hll_merge": (sketch_hll_merge, None),
     "text_quality": (text_quality, _quality_sql()),

@@ -112,6 +112,29 @@ def test_rh_lsh_recall_vs_brute_force(spark, emb):
     assert hits > 0, "LSH with 4 planes must recover some exact neighbors"
 
 
+def test_multiprobe_recall_at_least_single_probe(spark, emb):
+    """Hamming-1 multi-probe must recall at least every neighbor the
+    single-probe variant finds (its probe set strictly contains the home
+    bucket), and typically more."""
+    q = emb.filter(F.col("vec_id") < 5)
+    exact_sets = {}
+    for r in similarity.knn_brute_force(emb, q, k=5).collect():
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    def recall(df):
+        hits = tot = 0
+        for r in df.collect():
+            tot += 1
+            hits += r.neighbor_id in exact_sets.get(r.query_id, set())
+        return hits
+
+    single = recall(similarity.ann_rh_lsh(emb, q, k=5, n_planes=4))
+    multi = recall(
+        similarity.ann_rh_lsh_multiprobe(emb, q, k=5, n_planes=4)
+    )
+    assert multi >= single
+
+
 def test_kmeans_deterministic_and_total(spark, emb):
     from icnarc_to_philips_linkage_spark.operators import clustering
 
