@@ -1,5 +1,6 @@
-"""Time-series operators Spark lacks natively: as-of join and
-regular-grid resampling with forward fill.
+"""Time-series operators Spark lacks natively: as-of join,
+point-in-interval (range) join, and regular-grid resampling with
+forward fill.
 
 Both are implemented as *compositions of built-in operators* (SURVEY §7
 custom-operator policy: composition > pandas UDF > mapPartitions), so
@@ -24,6 +25,76 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+_UNIT_US = {
+    "second": 1_000_000,
+    "minute": 60_000_000,
+    "hour": 3_600_000_000,
+    "day": 86_400_000_000,
+}
+
+
+def _bucket_us(bucket: str) -> int:
+    n, unit = bucket.split()
+    return int(n) * _UNIT_US[unit.rstrip("s")]
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_col: str,
+    end_col: str,
+    key: str | None = None,
+    bucket: str = "1 day",
+) -> DataFrame:
+    """Point-in-interval (range) join: every (point, interval) pair with
+    ``start <= point_ts < end`` (half-open), optionally also matching on
+    an equality ``key`` — chartevents-within-stay time-window linkage,
+    the range-predicate sibling of the reference's key-based cohort join
+    (SURVEY §2.3 J4; `dataset_curation.ipynb` cell 49 restricts by
+    encounterId — this is the [inTime, outTime) containment variant).
+
+    Scale design: a raw theta-join ``s <= t < e`` plans as a broadcast
+    nested loop (quadratic probe; dies at 100 TB). Instead both sides are
+    mapped to coarse integer time buckets — each point to ONE bucket,
+    each interval EXPLODED to the buckets it covers (fan-out bounded by
+    interval span / bucket width; pick ``bucket`` near the typical span)
+    — turning it into an *equi*-join on (bucket [, key]) that
+    shuffle-partitions/broadcasts like any other, followed by the exact
+    containment filter. Since a point owns exactly one bucket and an
+    interval covers it at most once, no dedup pass is needed.
+
+    Invalid (end <= start) and NULL-bounded intervals match nothing and
+    are dropped up front. Column names must be disjoint apart from
+    ``key``. Returns point ⨝ interval columns for matched pairs (inner);
+    re-attach empty intervals with a left join on the interval key.
+    """
+    us = _bucket_us(bucket)
+    # end is exclusive: a degenerate [s, s) interval covers nothing
+    iv = intervals.filter(F.col(end_col) > F.col(start_col)).withColumn(
+        "__b",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_micros(F.col(start_col)) / F.lit(us)),
+                F.floor(
+                    (F.unix_micros(F.col(end_col)) - F.lit(1)) / F.lit(us)
+                ),
+            )
+        ),
+    )
+    pt = points.withColumn(
+        "__b", F.floor(F.unix_micros(F.col(point_ts)) / F.lit(us))
+    )
+    on = ["__b"] + ([key] if key else [])
+    return (
+        iv.join(pt, on=on, how="inner")
+        .filter(
+            (F.col(point_ts) >= F.col(start_col))
+            & (F.col(point_ts) < F.col(end_col))
+        )
+        .drop("__b")
+    )
 
 
 def asof_join(

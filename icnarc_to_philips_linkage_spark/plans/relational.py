@@ -1086,6 +1086,66 @@ FROM grid g LEFT JOIN per_bucket p
 """
 
 
+def ts_interval_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Point-in-interval join (bucketed-equi custom operator): each
+    purchase opens a per-user session window [ts, ts + (1 + event_id %
+    48) hours); count/sum the user's clicks inside it, keeping empty
+    windows. Oracle is DuckDB's native non-equi LEFT JOIN."""
+    from icnarc_to_philips_linkage_spark.operators.timeseries import interval_join
+
+    e = load(spark, sf, "events")
+    hours = F.lit(1) + F.col("event_id") % F.lit(48)
+    iv = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("interval_id"),
+        "user_id",
+        F.col("ts").alias("s"),
+        F.timestamp_micros(
+            F.unix_micros("ts") + hours * F.lit(3_600_000_000)
+        ).alias("e"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    matched = interval_join(
+        clicks, iv, point_ts="ts", start_col="s", end_col="e",
+        key="user_id", bucket="1 day",
+    )
+    agg = matched.groupBy("interval_id", "user_id").agg(
+        F.count("ts").alias("n_clicks"),
+        F.sum(F.col("value").cast("decimal(28,2)"))
+        .cast("double")
+        .alias("sum_click_value"),
+    )
+    return (
+        iv.select("interval_id", "user_id")
+        .join(agg, ["interval_id", "user_id"], "left")
+        .select(
+            "interval_id",
+            "user_id",
+            F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+            "sum_click_value",
+        )
+    )
+
+
+TS_INTERVAL_SQL = """
+WITH iv AS (
+  SELECT event_id AS interval_id, user_id, ts AS s,
+         make_timestamp(epoch_us(ts) + (1 + event_id % 48) * 3600000000) AS e
+  FROM events WHERE event_type = 'purchase'
+),
+clicks AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+)
+SELECT iv.interval_id, iv.user_id,
+       COUNT(c.ts) AS n_clicks,
+       CAST(SUM(CAST(c.value AS DECIMAL(28,2))) AS DOUBLE) AS sum_click_value
+FROM iv LEFT JOIN clicks c
+  ON c.user_id = iv.user_id AND c.ts >= iv.s AND c.ts < iv.e
+GROUP BY iv.interval_id, iv.user_id
+"""
+
+
 def stream_batch_windowed_stats(spark: SparkSession, sf: str) -> DataFrame:
     """The streaming windowed-stats transformation executed in batch mode
     (same function, watermark=None) — batch/stream unification over the
@@ -1307,6 +1367,7 @@ FROM w
 
 QUERIES: dict[str, tuple] = {
     "ts_asof_join": (ts_asof_join, TS_ASOF_SQL),
+    "ts_interval_join": (ts_interval_join, TS_INTERVAL_SQL),
     "ts_resample_interp": (ts_resample_interp, TS_INTERP_SQL),
     "fuzzy_link_names": (fuzzy_link_names, FUZZY_SQL),
     "stream_batch_windowed_stats": (stream_batch_windowed_stats, STREAM_BATCH_SQL),

@@ -148,3 +148,14 @@ def test_resample_interp_is_two_exchange_one_sort_plan(spark):
     assert plan.count("Exchange") == 2, plan
     assert plan.count("Window") == 1, plan
     assert "Join" not in plan, f"grid must not join observations:\n{plan}"
+
+
+def test_interval_join_is_equi_not_nested_loop(spark):
+    """The bucketed point-in-interval join must plan as an equi-join on
+    (bucket, key) — never a BroadcastNestedLoopJoin / CartesianProduct,
+    which is what a raw range predicate would produce and what dies at
+    scale."""
+    fn, _ = all_queries()["ts_interval_join"]
+    plan = plan_of(fn(spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

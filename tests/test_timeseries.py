@@ -103,3 +103,57 @@ def test_ewma_grouped_map(spark):
     # partitioning-independent
     out2 = ewma_smooth(events.repartition(7), "k", "t", "v", alpha=0.5)
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, out2.collect()))
+
+
+def test_interval_join_semantics(spark):
+    from icnarc_to_philips_linkage_spark.operators.timeseries import (
+        interval_join,
+    )
+
+    intervals = spark.createDataFrame(
+        [Row(k=1, iid="w1", s=ts(0), e=ts(60)),
+         Row(k=1, iid="w2", s=ts(30), e=ts(90)),     # overlaps w1
+         Row(k=1, iid="empty", s=ts(200), e=ts(210)),
+         Row(k=1, iid="bad", s=ts(50), e=ts(50)),    # degenerate [s, s)
+         Row(k=2, iid="other", s=ts(0), e=ts(60))]   # different key
+    )
+    points = spark.createDataFrame(
+        [Row(k=1, pid="p0", t=ts(0)),     # on w1 start (inclusive)
+         Row(k=1, pid="p45", t=ts(45)),   # inside w1 AND w2
+         Row(k=1, pid="p60", t=ts(60)),   # w1 end (exclusive), in w2
+         Row(k=1, pid="p100", t=ts(100)), # in no interval
+         Row(k=2, pid="q10", t=ts(10))]   # key 2 only
+    )
+    out = interval_join(
+        points, intervals, point_ts="t", start_col="s", end_col="e",
+        key="k", bucket="1 hour",
+    )
+    got = sorted((r.iid, r.pid) for r in out.collect())
+    assert got == [
+        ("other", "q10"),
+        ("w1", "p0"),
+        ("w1", "p45"),
+        ("w2", "p45"),
+        ("w2", "p60"),
+    ]
+
+
+def test_interval_join_keyless_and_bucket_spanning(spark):
+    from icnarc_to_philips_linkage_spark.operators.timeseries import (
+        interval_join,
+    )
+
+    # one interval spanning many buckets; no equality key at all
+    intervals = spark.createDataFrame(
+        [Row(iid="long", s=ts(10), e=ts(10 + 36 * 60))]  # 36 hours
+    )
+    points = spark.createDataFrame(
+        [Row(pid="in1", t=ts(15)),
+         Row(pid="in2", t=ts(10 + 24 * 60)),     # a day later, inside
+         Row(pid="out", t=ts(10 + 40 * 60))]
+    )
+    out = interval_join(
+        points, intervals, point_ts="t", start_col="s", end_col="e",
+        bucket="1 hour",
+    )
+    assert sorted(r.pid for r in out.collect()) == ["in1", "in2"]
