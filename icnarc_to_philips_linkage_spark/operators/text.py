@@ -174,3 +174,47 @@ def with_fingerprint(df: DataFrame, text_col: str = "text", n: int = 3) -> DataF
         .withColumn("fingerprint", fp)
         .drop("_toks", "_sh")
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    doc_id: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Per-document top-k terms by TF-IDF (corpus-level quality / rare-
+    term signal for training-data curation; the classic two-aggregate
+    doc×term pipeline).
+
+    Scale shape: ONE pass over the corpus builds the (doc, term)
+    frequency table; document frequency is re-aggregated FROM that table
+    (never a second corpus scan), so the expensive explode happens once.
+    The corpus size N joins in as a broadcast 1-row scalar; the idf join
+    is keyed on the term dictionary (≪ corpus, AQE handles stopword
+    skew); the final top-k is a per-doc row_number window. Scores are
+    rounded to 6 decimals BEFORE ranking with a term-name tie-break, so
+    the ranking is deterministic and engine-portable (last-ulp ln()
+    differences cannot reorder).
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        doc_id, F.explode(tokens(text_col)).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy(doc_id, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = df.select(F.count("*").cast("double").alias("__n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("__n_docs") / F.col("df")), 6),
+        )
+    )
+    w = Window.partitionBy(doc_id).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(doc_id, "term", "tf", "tfidf", "rk")
+    )

@@ -718,8 +718,40 @@ FROM documents
 """
 
 
+def text_tfidf_topterms(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-3 terms per document by TF-IDF: one corpus explode feeds both
+    the term-frequency and document-frequency aggregates; scores rounded
+    to 6dp before a term-tiebroken rank (engine-portable ordering)."""
+    return text.tfidf_top_terms(load(spark, sf, "documents"), k=3)
+
+
+TFIDF_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks WHERE term <> ''
+  GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         ROUND(tf.tf * ln(n.n_docs / dfreq.df), 6) AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+  FROM scored
+)
+SELECT doc_id, term, tf, tfidf, rk FROM ranked WHERE rk <= 3
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "text_tfidf_topterms": (text_tfidf_topterms, TFIDF_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, _minhash_sql()),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, _ngram_jaccard_sql()),
     "dedup_near_clusters": (dedup_near_clusters, _near_clusters_sql()),

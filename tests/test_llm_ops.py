@@ -258,3 +258,38 @@ def test_connected_components_chain_and_triangle(spark, driver_threshold):
             for r in dedup_scale.connected_components(
                 pairs, driver_threshold=driver_threshold).collect()}
     assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_tfidf_top_terms_semantics(spark):
+    """Hand-computed TF-IDF on a 4-doc corpus: corpus-wide terms get
+    idf=ln(1)=0, rarer terms outrank them; rank ties break by term name;
+    k truncates per doc."""
+    import math
+
+    from pyspark.sql import Row
+
+    from icnarc_to_philips_linkage_spark.operators.text import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="apple banana apple"),
+         Row(doc_id=2, text="apple cherry"),
+         Row(doc_id=3, text="apple date date date"),
+         Row(doc_id=4, text="apple")]
+    )
+    out = tfidf_top_terms(docs, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.rk, r.term, r.tf, r.tfidf))
+    for v in by_doc.values():
+        v.sort()
+    ln = lambda x: round(x, 6)
+    # 'apple' is in all 4 docs -> idf = ln(4/4) = 0 everywhere
+    assert by_doc[1] == [
+        (1, "banana", 1, ln(math.log(4 / 1))),  # unique term wins
+        (2, "apple", 2, 0.0),
+    ]
+    # doc 3: 'date' tf=3, df=1
+    assert by_doc[3][0] == (1, "date", 3, ln(3 * math.log(4 / 1)))
+    # doc 4 has only the zero-scored corpus-wide term
+    assert by_doc[4] == [(1, "apple", 1, 0.0)]
+    assert all(len(v) <= 2 for v in by_doc.values()), "k=2 enforced"
