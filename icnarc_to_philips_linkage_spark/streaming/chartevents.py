@@ -163,3 +163,62 @@ def run_to_memory_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+ALARM_SCHEMA = StructType(
+    [
+        StructField("encounterId", LongType(), True),
+        StructField("alarmTime", TimestampType(), True),
+        StructField("alarmType", StringType(), True),
+    ]
+)
+
+
+def read_alarm_stream(
+    spark: SparkSession, path: str, fmt: str = "parquet"
+) -> DataFrame:
+    """File-source stream over an alarm-annotation directory."""
+    return spark.readStream.format(fmt).schema(ALARM_SCHEMA).load(path)
+
+
+def join_obs_to_alarms(
+    obs: DataFrame,
+    alarms: DataFrame,
+    tolerance: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: each observation paired
+    with the same encounter's alarms raised within ``[chartTime -
+    tolerance, chartTime]`` (annotating measurements with the alarm
+    context that preceded them).
+
+    Both sides carry an event-time watermark AND the join condition
+    bounds their event-time distance — the two requirements that let
+    Structured Streaming evict buffered state: either side's rows can be
+    dropped once the other side's watermark has passed their
+    match-eligibility horizon. Without the time-range term, stream-
+    stream join state grows without bound. State is keyed by
+    encounterId (the equi half of the condition), so scale-out follows
+    key cardinality exactly like the windowed aggregates.
+
+    Works identically on batch frames (the same expressions, no
+    watermark needed) — the engine's batch/stream unification policy.
+    """
+    o = obs.withWatermark("chartTime", watermark).alias("o")
+    a = alarms.withWatermark("alarmTime", watermark).alias("a")
+    return o.join(
+        a,
+        F.expr(
+            f"""
+            o.encounterId = a.encounterId AND
+            a.alarmTime >= o.chartTime - INTERVAL {tolerance} AND
+            a.alarmTime <= o.chartTime
+            """
+        ),
+    ).select(
+        F.col("o.encounterId").alias("encounterId"),
+        "chartTime",
+        "valueNumber",
+        "alarmTime",
+        "alarmType",
+    )

@@ -159,3 +159,48 @@ def test_sliding_window_stats(spark, stream_dir):
     # 10:00 window covers 10:05 and 10:45 (stay 101), 10:30 (late file),
     # and 10:10 (stay 102 — grouping is per intervention, not per stay)
     assert n_by_start[ts("2016-01-01T10:00")] == 4
+
+
+def test_stream_stream_join_obs_to_alarms(spark, tmp_path):
+    """Watermarked stream-stream interval join: alarms pair with the
+    same encounter's observations within the 15-minute tolerance; alarms
+    after the observation or outside the window match nothing."""
+    obs_rows = [
+        _row(101, "2016-01-01T10:05", "2016-01-01T10:06", num=70.0),
+        _row(101, "2016-01-01T10:45", "2016-01-01T10:50", num=80.0),
+        _row(102, "2016-01-01T10:10", "2016-01-01T10:20", num=60.0),
+    ]
+    odir = tmp_path / "obs"
+    spark.createDataFrame(obs_rows, ce.CHARTEVENTS_SCHEMA).coalesce(
+        1
+    ).write.parquet(str(odir))
+    alarms = [
+        Row(encounterId=101, alarmTime=ts("2016-01-01T10:00"),
+            alarmType="brady"),       # 5 min before 10:05 obs -> matches
+        Row(encounterId=101, alarmTime=ts("2016-01-01T10:44"),
+            alarmType="desat"),       # 1 min before 10:45 obs -> matches
+        Row(encounterId=101, alarmTime=ts("2016-01-01T10:20"),
+            alarmType="stale"),       # >15 min before any later obs
+        Row(encounterId=102, alarmTime=ts("2016-01-01T10:10"),
+            alarmType="exact"),       # exactly at 102's 10:10 obs
+        Row(encounterId=999, alarmTime=ts("2016-01-01T10:05"),
+            alarmType="orphan"),      # encounter with no observations
+    ]
+    adir = tmp_path / "alarms"
+    spark.createDataFrame(alarms, ce.ALARM_SCHEMA).coalesce(1).write.parquet(
+        str(adir)
+    )
+    obs = ce.read_chartevents_stream(spark, str(odir))
+    al = ce.read_alarm_stream(spark, str(adir))
+    joined = ce.join_obs_to_alarms(obs, al, tolerance="15 minutes")
+    q = ce.run_to_memory_sink(joined, "obs_alarms")
+    _drain(q)
+    got = sorted(
+        (r.encounterId, r.alarmType, r.chartTime.isoformat())
+        for r in spark.sql("SELECT * FROM obs_alarms").collect()
+    )
+    assert got == [
+        (101, "brady", "2016-01-01T10:05:00"),
+        (101, "desat", "2016-01-01T10:45:00"),
+        (102, "exact", "2016-01-01T10:10:00"),
+    ]
