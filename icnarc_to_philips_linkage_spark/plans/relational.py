@@ -641,6 +641,30 @@ WHERE l_extendedprice IS NOT NULL
 GROUP BY 1
 """
 
+def a14b_equidepth_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Equi-depth 10-bin histogram (quantile bins, no global sort):
+    exact percentile boundaries broadcast, map-side bin assignment."""
+    return profile.equi_depth_histogram(
+        load(spark, sf, "lineitem"), "l_extendedprice", 10
+    )
+
+
+A14B_SQL = """
+WITH b AS (
+  SELECT quantile_cont(l_extendedprice,
+                       [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bounds
+  FROM lineitem
+)
+SELECT len(list_filter(b.bounds, x -> l.l_extendedprice > x)) AS bin,
+       COUNT(*) AS n,
+       MIN(l_extendedprice) AS bin_min,
+       MAX(l_extendedprice) AS bin_max
+FROM lineitem l CROSS JOIN b
+WHERE l_extendedprice IS NOT NULL
+GROUP BY bin
+"""
+
+
 def a7_sample_std(spark: SparkSession, sf: str) -> DataFrame:
     """A7: per-group mean + SAMPLE std (pandas .std ddof=1 parity —
     distinct from A10's population std)."""
@@ -1411,6 +1435,7 @@ QUERIES: dict[str, tuple] = {
     "a12_duplicate_groups": (a12_duplicate_groups, A12_SQL),
     "a13_grouped_distinct": (a13_grouped_distinct, A13_SQL),
     "a14_histogram": (a14_histogram, A14_SQL),
+    "a14b_equidepth_histogram": (a14b_equidepth_histogram, A14B_SQL),
     "w1_pct_of_total": (w1_pct_of_total, W1_SQL),
     "w2_first_last_by_time": (w2_first_last_by_time, W2_SQL),
     "w4_lag_gap": (w4_lag_gap, W4_SQL),

@@ -130,6 +130,31 @@ def main() -> int:
         "minhash_bands_500k_docs",
         lsh_bands(minhash_signatures_arr(shingle_sets(docs))),
     )
+    from icnarc_to_philips_linkage_spark.operators.timeseries import (
+        interval_join,
+    )
+
+    # ~20M purchase windows (1-24h) × ~20M clicks: the bucketed equi
+    # path — interval explode fan-out ≤ 2 at the 1-day bucket
+    iv = purchases.select(
+        F.col("user_id"),
+        F.col("pts").alias("s"),
+        F.timestamp_micros(
+            F.unix_micros("pts")
+            + (F.lit(1) + F.pmod(F.unix_micros("pts"), F.lit(24)))
+            * F.lit(3_600_000_000)
+        ).alias("iv_end"),
+    )
+    bench(
+        "interval_join_clicks_in_purchase_windows",
+        interval_join(
+            clicks, iv, point_ts="ts", start_col="s", end_col="iv_end",
+            key="user_id", bucket="1 day",
+        ).groupBy("user_id").agg(F.count(F.lit(1)).alias("n")),
+    )
+    from icnarc_to_philips_linkage_spark.operators.text import tfidf_top_terms
+
+    bench("tfidf_top3_500k_docs", tfidf_top_terms(docs, k=3))
     print(
         json.dumps(
             {"n_rows": n, "gen_sec": gen_sec, "timings_sec": timings}

@@ -56,3 +56,35 @@ def test_hll_partitioned_sketch_merge(spark, lineitem):
     assert row.n_partitions == 3
     assert abs(row.distinct_estimate - exact) / exact < 0.05, (
         row.distinct_estimate, exact)
+
+
+def test_equi_depth_histogram_balanced_bins(spark, lineitem):
+    """Quantile bins hold ~equal counts even on skewed data, cover all
+    rows, and bin extents tile the value range in order."""
+    n_rows = lineitem.count()
+    hist = sorted(
+        profile.equi_depth_histogram(
+            lineitem, "l_extendedprice", bins=10
+        ).collect(),
+        key=lambda r: r.bin,
+    )
+    assert sum(r.n for r in hist) == n_rows
+    assert [r.bin for r in hist] == list(range(10))
+    # depth balance: every bin within 2x of the ideal tenth
+    for r in hist:
+        assert n_rows / 20 <= r.n <= n_rows / 5, (r.bin, r.n)
+    # bins are ordered, non-overlapping ranges
+    for lo, hi in zip(hist, hist[1:]):
+        assert lo.bin_max <= hi.bin_min
+
+
+def test_equi_depth_histogram_approx_mode(spark, lineitem):
+    """The percentile_approx scale path lands within a few percent of
+    the exact bin depths."""
+    n_rows = lineitem.count()
+    hist = profile.equi_depth_histogram(
+        lineitem, "l_extendedprice", bins=10, exact=False
+    ).collect()
+    assert sum(r.n for r in hist) == n_rows
+    for r in hist:
+        assert abs(r.n - n_rows / 10) / (n_rows / 10) < 0.25, (r.bin, r.n)

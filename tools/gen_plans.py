@@ -48,6 +48,14 @@ SECTIONS: list[tuple[str, str]] = [
         "arrays per candidate pair.",
     ),
     (
+        "ts_interval_join",
+        "Point-in-interval range join: intervals explode to the coarse "
+        "time buckets they cover, points map to one bucket each, and "
+        "containment runs as a shuffled equi-join on (bucket, key) plus "
+        "an exact filter — no BroadcastNestedLoopJoin, no "
+        "CartesianProduct anywhere in the plan.",
+    ),
+    (
         "ts_resample_interp",
         "Segment formulation: one scan of events, one (key, bucket) hash "
         "aggregate, ONE sort for the lead() window, then "
