@@ -101,3 +101,45 @@ def stratified_hash_sample(
         thr = F.when(cond, t) if thr is None else thr.when(cond, t)
     thr = thr.otherwise(F.lit(_threshold_hex(default_fraction)))
     return df.filter(bucket < thr)
+
+
+def weighted_hash_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    scale: float = 1.0,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic weight-proportional Bernoulli sampling: each row is
+    kept with probability ``min(1, scale * w / max(w))`` — quality-
+    proportional document selection for training-data curation, with the
+    same reproducibility contract as ``hash_sample`` (membership depends
+    only on (salt, id, weight distribution), never on partitioning,
+    ordering, or engine).
+
+    The per-row probability becomes a per-row 8-hex threshold
+    (``floor(p * 16^8)`` printf'd as hex — integer→hex formatting agrees
+    across engines) compared against the row's hash bucket. One max()
+    aggregate broadcast back is the only non-map work; p is rounded to
+    6dp BEFORE the floor so the threshold integer is engine-portable.
+    ``p >= 1`` rows use the above-every-hex sentinel ('g') and are
+    always kept.
+    """
+    mx = df.agg(F.max(F.col(weight_col)).cast("double").alias("__wmax"))
+    p = F.round(
+        F.least(
+            F.lit(1.0),
+            F.lit(scale) * F.col(weight_col).cast("double") / F.col("__wmax"),
+        ),
+        6,
+    )
+    thr = F.when(p >= 1.0, F.lit("g")).otherwise(
+        F.format_string(
+            "%08x", F.floor(p * F.lit(float(_HEX_SPACE))).cast("long")
+        )
+    )
+    return (
+        df.crossJoin(F.broadcast(mx))
+        .filter(hash_bucket(id_col, salt) < thr)
+        .drop("__wmax")
+    )

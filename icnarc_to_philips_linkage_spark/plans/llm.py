@@ -589,6 +589,29 @@ STRATA_FRACTIONS = {"en": 0.5}  # downsample the dominant language
 STRATA_DEFAULT = 1.0
 
 
+def sample_weighted_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Weight-proportional deterministic sampling: documents kept with
+    probability min(1, 0.5 * n_chars / max(n_chars)) — longer (here
+    standing in for higher-quality) documents oversampled, membership
+    reproducible across engines and partitionings."""
+    docs = load(spark, sf, "documents")
+    return sampling.weighted_hash_sample(
+        docs, "doc_id", "n_chars", scale=0.5, salt="wq"
+    ).select("doc_id", "n_chars")
+
+
+_WQ_P = "round(LEAST(1.0, 0.5 * CAST(n_chars AS DOUBLE) / wmax), 6)"
+WEIGHTED_SAMPLE_SQL = f"""
+WITH mx AS (SELECT CAST(MAX(n_chars) AS DOUBLE) AS wmax FROM documents)
+SELECT doc_id, n_chars
+FROM documents, mx
+WHERE substr(md5('wq:' || CAST(doc_id AS VARCHAR)), 1, 8) <
+      CASE WHEN {_WQ_P} >= 1.0 THEN 'g'
+           ELSE printf('%08x', CAST(FLOOR({_WQ_P} * 4294967296.0) AS BIGINT))
+      END
+"""
+
+
 def sample_hash_split(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic train/val/test split (hash-band membership — no
     RNG, stable under repartitioning and across engines), summarized per
@@ -770,6 +793,7 @@ QUERIES: dict[str, tuple] = {
     "text_fingerprint": (text_fingerprint, _fingerprint_sql()),
     "ud2_pandas_udf_tokens": (ud2_pandas_udf_tokens, UD2_SQL),
     "sample_hash_split": (sample_hash_split, _split_sql()),
+    "sample_weighted_quality": (sample_weighted_quality, WEIGHTED_SAMPLE_SQL),
     "sample_stratified_lang": (sample_stratified_lang, _stratified_sql()),
     "curate_documents": (curate_documents, CURATE_SQL),
     "multimodal_meta": (multimodal_meta, MULTIMODAL_SQL),

@@ -293,3 +293,34 @@ def test_tfidf_top_terms_semantics(spark):
     # doc 4 has only the zero-scored corpus-wide term
     assert by_doc[4] == [(1, "apple", 1, 0.0)]
     assert all(len(v) <= 2 for v in by_doc.values()), "k=2 enforced"
+
+
+def test_weighted_hash_sample_proportional_and_deterministic(spark):
+    """Weight-proportional sampling: inclusion rate tracks w/max(w);
+    weight == max (p >= 1) rows are always kept; membership is identical
+    under repartitioning."""
+    from icnarc_to_philips_linkage_spark.operators import sampling
+
+    df = spark.range(3000).select(
+        F.col("id").alias("doc_id"),
+        # thirds with weights 1, 5, 10 -> p = 0.1, 0.5, 1.0 at scale=1
+        F.when(F.col("id") % 3 == 0, 1)
+        .when(F.col("id") % 3 == 1, 5)
+        .otherwise(10)
+        .alias("w"),
+    )
+    out = sampling.weighted_hash_sample(df, "doc_id", "w", scale=1.0)
+    rates = {
+        r.w: r.n / 1000
+        for r in out.groupBy("w").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert rates[10] == 1.0, "p>=1 stratum kept in full"
+    assert 0.06 < rates[1] < 0.14
+    assert 0.44 < rates[5] < 0.56
+    again = {
+        r.doc_id
+        for r in sampling.weighted_hash_sample(
+            df.repartition(11), "doc_id", "w", scale=1.0
+        ).collect()
+    }
+    assert {r.doc_id for r in out.collect()} == again
