@@ -10,13 +10,19 @@ clustered on the filter column. These writers produce that clustering:
 - ``write_hive_partitioned``: directory partitioning for categorical /
   date columns — partition pruning eliminates directories before any
   I/O happens.
+- ``write_zordered``: Z-order (Morton-curve) clustering on TWO columns
+  — a single-column sort gives perfect skipping on one dimension and
+  none on the other; bit-interleaving rank-normalized values keeps
+  every file's min/max envelope tight on BOTH, so filters on either
+  column (or both) prune row groups.
 """
 
 from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
 
 
 def write_range_sorted(
@@ -41,3 +47,68 @@ def write_hive_partitioned(
     mode: str = "overwrite",
 ) -> None:
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def _zorder_value(bits: int) -> Column:
+    """Morton interleave of the normalized cell ids ``__ca``/``__cb``
+    (bit i of each lands at output bits 2i / 2i+1). Pure Catalyst
+    ``aggregate`` fold — map-side, codegen'd, no Python."""
+    return F.expr(
+        f"""
+        aggregate(sequence(0, {bits - 1}), 0L,
+                  (acc, i) -> acc
+                    | shiftleft(shiftright(__ca, i) & 1L, 2 * i)
+                    | shiftleft(shiftright(__cb, i) & 1L, 2 * i + 1))
+        """
+    )
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    n_files: int,
+    bits: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Cluster on the Z-order curve over (``col_a``, ``col_b``) and
+    write ``n_files`` parquet files.
+
+    Both columns are min-max normalized into 2^``bits`` cells (one
+    broadcast agg pass — at 100 TB, sample or use catalog stats
+    instead), bit-interleaved into a single Morton key, then
+    range-partitioned + sorted on that key. NULLs in either column sort
+    first (cell 0). The curve key is dropped before writing — layout is
+    the only product."""
+    mm = df.agg(
+        F.min(col_a).cast("double").alias("__mna"),
+        F.max(col_a).cast("double").alias("__mxa"),
+        F.min(col_b).cast("double").alias("__mnb"),
+        F.max(col_b).cast("double").alias("__mxb"),
+    )
+
+    def cell(c: str, mn: str, mx: str) -> Column:
+        span = F.col(mx) - F.col(mn)
+        p = F.when(span <= 0, F.lit(0.0)).otherwise(
+            (F.col(c).cast("double") - F.col(mn)) / span
+        )
+        return F.coalesce(
+            F.least(
+                F.floor(p * F.lit(float(2**bits))).cast("long"),
+                F.lit(2**bits - 1),
+            ),
+            F.lit(0),
+        )
+
+    (
+        df.crossJoin(F.broadcast(mm))
+        .withColumn("__ca", cell(col_a, "__mna", "__mxa"))
+        .withColumn("__cb", cell(col_b, "__mnb", "__mxb"))
+        .withColumn("__z", _zorder_value(bits))
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__ca", "__cb", "__z", "__mna", "__mxa", "__mnb", "__mxb")
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -149,3 +149,42 @@ def test_range_sorted_layout_enables_file_skipping(spark, tmp_path):
         "\n", " "
     ) or "bucket" in plan
     assert hive_df.filter(F.col("bucket") == 1).count() == 25000
+
+
+def test_zorder_layout_tightens_both_column_envelopes(spark, tmp_path):
+    """Z-order clustering: per-file min/max envelopes are tight on BOTH
+    interleaved columns, where a single-column sort leaves the second
+    column's envelope at (nearly) the full range in every file — the
+    property that lets parquet row-group stats prune on either filter
+    column."""
+    from icnarc_to_philips_linkage_spark.sources import layout
+
+    # 256x256 grid -> x and y each uniform on [0, 255]
+    df = spark.range(256 * 256).select(
+        (F.col("id") % 256).alias("x"), (F.col("id") / 256).cast("long").alias("y")
+    )
+    layout.write_zordered(df, str(tmp_path / "z"), "x", "y", n_files=16)
+    layout.write_range_sorted(df, str(tmp_path / "xsort"), ["x"], n_files=16)
+
+    def mean_extents(path):
+        per_file = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(
+                (F.max("x") - F.min("x")).alias("ex"),
+                (F.max("y") - F.min("y")).alias("ey"),
+            )
+            .agg(F.avg("ex").alias("ax"), F.avg("ey").alias("ay"))
+            .collect()[0]
+        )
+        return per_file.ax, per_file.ay
+
+    zx, zy = mean_extents(str(tmp_path / "z"))
+    sx, sy = mean_extents(str(tmp_path / "xsort"))
+    assert layout and spark.read.parquet(str(tmp_path / "z")).count() == 256 * 256
+    # x-sort: perfect on x, useless on y
+    assert sx < 32 and sy > 224, (sx, sy)
+    # z-order: tight on BOTH (16 files ~ 4x4 curve cells -> extent ~64-128)
+    assert zx < 160 and zy < 160, (zx, zy)
+    # and each dimension individually far better than the x-sort's y
+    assert max(zx, zy) < sy / 1.4
