@@ -218,3 +218,51 @@ def tfidf_top_terms(
         .filter(F.col("rk") <= k)
         .select(doc_id, "term", "tf", "tfidf", "rk")
     )
+
+
+def with_repetition(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Repetition quality signal: fraction of word n-grams that are
+    duplicates of an earlier n-gram in the same document (high ratio =
+    boilerplate / looping text — a standard curation filter). Pure
+    map-side higher-order expressions; rows with fewer than ``n`` tokens
+    score 0."""
+    out = df.withColumn("_toks", tokens(text_col))
+    grams = F.expr(
+        f"""
+        CASE WHEN size(_toks) < {n} THEN array()
+             ELSE transform(sequence(1, size(_toks) - {n - 1}),
+                            i -> concat_ws(' ', slice(_toks, i, {n})))
+        END
+        """
+    )
+    o = out.withColumn("_grams", grams)
+    n_g = F.size("_grams")
+    n_d = F.size(F.array_distinct("_grams"))
+    return (
+        o.withColumn("n_grams", n_g)
+        .withColumn(
+            "dup_gram_ratio",
+            F.when(n_g <= 0, F.lit(0.0)).otherwise(
+                F.round((n_g - n_d) / n_g, 6)
+            ),
+        )
+        .drop("_toks", "_grams")
+    )
+
+
+def corpus_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-level vocabulary profile in ONE pass over the exploded
+    tokens: total tokens, vocabulary size, hapax count (terms seen
+    exactly once — the long-tail signal), and type-token ratio. The
+    per-term aggregate shuffles on the term dictionary; the final
+    single-row reduce is a partial-aggregated scalar."""
+    toks = df.select(F.explode(tokens(text_col)).alias("term")).filter(
+        F.col("term") != ""
+    )
+    per_term = toks.groupBy("term").agg(F.count("*").alias("c"))
+    return per_term.agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("vocab"),
+        F.count_if(F.col("c") == 1).alias("hapax"),
+        F.round(F.count("*") / F.sum("c"), 6).alias("type_token_ratio"),
+    )

@@ -772,9 +772,59 @@ SELECT doc_id, term, tf, tfidf, rk FROM ranked WHERE rk <= 3
 """
 
 
+def text_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Duplicate word-trigram ratio per document (boilerplate / looping-
+    text curation signal) — map-only higher-order expressions."""
+    return text.with_repetition(load(spark, sf, "documents")).select(
+        "doc_id", "n_grams", "dup_gram_ratio"
+    )
+
+
+REPETITION_SQL = f"""
+WITH g AS (
+  SELECT doc_id,
+         CASE WHEN len({_TOKS}) < 3 THEN []
+              ELSE list_transform(generate_series(1, len({_TOKS}) - 2),
+                                  i -> array_to_string(({_TOKS})[i:i+2], ' '))
+         END AS grams
+  FROM documents
+)
+SELECT doc_id,
+       len(grams) AS n_grams,
+       CASE WHEN len(grams) <= 0 THEN 0.0
+            ELSE ROUND((len(grams) - len(list_distinct(grams))) * 1.0
+                       / len(grams), 6)
+       END AS dup_gram_ratio
+FROM g
+"""
+
+
+def text_corpus_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus vocabulary profile: token total, vocabulary size, hapax
+    count, type-token ratio — one pass over the exploded corpus."""
+    return text.corpus_stats(load(spark, sf, "documents"))
+
+
+CORPUS_STATS_SQL = f"""
+WITH per_term AS (
+  SELECT term, COUNT(*) AS c
+  FROM (SELECT unnest({_TOKS}) AS term FROM documents)
+  WHERE term <> ''
+  GROUP BY term
+)
+SELECT SUM(c) AS n_tokens,
+       COUNT(*) AS vocab,
+       COUNT(*) FILTER (c = 1) AS hapax,
+       ROUND(COUNT(*) * 1.0 / SUM(c), 6) AS type_token_ratio
+FROM per_term
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "text_tfidf_topterms": (text_tfidf_topterms, TFIDF_SQL),
+    "text_repetition": (text_repetition, REPETITION_SQL),
+    "text_corpus_stats": (text_corpus_stats, CORPUS_STATS_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, _minhash_sql()),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, _ngram_jaccard_sql()),
     "dedup_near_clusters": (dedup_near_clusters, _near_clusters_sql()),

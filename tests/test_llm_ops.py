@@ -324,3 +324,32 @@ def test_weighted_hash_sample_proportional_and_deterministic(spark):
         ).collect()
     }
     assert {r.doc_id for r in out.collect()} == again
+
+
+def test_repetition_and_corpus_stats(spark):
+    """dup_gram_ratio: 0 for all-distinct trigrams, high for looping
+    text, 0 for sub-trigram docs; corpus_stats counts tokens, vocab, and
+    hapax terms exactly."""
+    from pyspark.sql import Row
+
+    from icnarc_to_philips_linkage_spark.operators.text import (
+        corpus_stats,
+        with_repetition,
+    )
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="a b c d e"),          # 3 distinct trigrams
+         Row(doc_id=2, text="x y x y x y x y"),    # loop: 6 grams, 2 distinct
+         Row(doc_id=3, text="one two")]            # too short -> 0 grams
+    )
+    rep = {r.doc_id: (r.n_grams, r.dup_gram_ratio)
+           for r in with_repetition(docs).collect()}
+    assert rep[1] == (3, 0.0)
+    assert rep[2] == (6, round(4 / 6, 6))
+    assert rep[3] == (0, 0.0)
+
+    stats = corpus_stats(docs).collect()[0]
+    # tokens: 5 + 8 + 2 = 15; vocab: a b c d e x y one two = 9
+    # hapax: a b c d e one two = 7 (x appears 4x, y 4x)
+    assert (stats.n_tokens, stats.vocab, stats.hapax) == (15, 9, 7)
+    assert stats.type_token_ratio == round(9 / 15, 6)
