@@ -820,11 +820,101 @@ FROM per_term
 """
 
 
+def text_pmi_bigrams(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-25 bigram collocations by pointwise mutual information
+    (count >= 5 floor): bigram and unigram counts each aggregate one
+    exploded pass; the two unigram joins are dictionary-keyed; corpus
+    totals ride along as a broadcast 1-row scalar. PMI rounds to 6dp
+    before the (pmi, w1, w2) top-k so ordering is engine-portable."""
+    d = load(spark, sf, "documents")
+    t = d.select(text.tokens("text").alias("t"))
+    uni = (
+        t.select(F.explode("t").alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("cu"))
+    )
+    bi = (
+        t.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1),"
+                    " i -> struct(element_at(t, i) AS w1,"
+                    "             element_at(t, i + 1) AS w2))"
+                )
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("cb"))
+    )
+    totals = uni.agg(F.sum("cu").cast("double").alias("__nu")).crossJoin(
+        bi.agg(F.sum("cb").cast("double").alias("__nb"))
+    )
+    scored = (
+        bi.filter(F.col("cb") >= 5)
+        .join(uni.select(F.col("w").alias("w1"), F.col("cu").alias("cu1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("cu").alias("cu2")), "w2")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "pmi",
+            F.round(
+                F.log(
+                    (F.col("cb") / F.col("__nb"))
+                    / ((F.col("cu1") / F.col("__nu")) * (F.col("cu2") / F.col("__nu")))
+                ),
+                6,
+            ),
+        )
+    )
+    return (
+        scored.select("w1", "w2", "cb", "pmi")
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(25)
+    )
+
+
+PMI_SQL = f"""
+WITH t AS (SELECT {_TOKS} AS t FROM documents),
+uni AS (
+  SELECT w, COUNT(*) AS cu
+  FROM (SELECT unnest(t) AS w FROM t) WHERE w <> '' GROUP BY w
+),
+bi AS (
+  SELECT w1, w2, COUNT(*) AS cb
+  FROM (
+    SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                                 i -> {{'w1': t[i], 'w2': t[i + 1]}}),
+                  recursive := true)
+    FROM t
+  )
+  WHERE w1 <> '' AND w2 <> ''
+  GROUP BY w1, w2
+),
+tot AS (
+  SELECT (SELECT CAST(SUM(cu) AS DOUBLE) FROM uni) AS nu,
+         (SELECT CAST(SUM(cb) AS DOUBLE) FROM bi) AS nb
+)
+SELECT bi.w1, bi.w2, bi.cb,
+       ROUND(ln((bi.cb / tot.nb) /
+                ((u1.cu / tot.nu) * (u2.cu / tot.nu))), 6) AS pmi
+FROM bi
+JOIN uni u1 ON u1.w = bi.w1
+JOIN uni u2 ON u2.w = bi.w2
+CROSS JOIN tot
+WHERE bi.cb >= 5
+ORDER BY pmi DESC, bi.w1, bi.w2
+LIMIT 25
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "text_tfidf_topterms": (text_tfidf_topterms, TFIDF_SQL),
     "text_repetition": (text_repetition, REPETITION_SQL),
     "text_corpus_stats": (text_corpus_stats, CORPUS_STATS_SQL),
+    "text_pmi_bigrams": (text_pmi_bigrams, PMI_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, _minhash_sql()),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, _ngram_jaccard_sql()),
     "dedup_near_clusters": (dedup_near_clusters, _near_clusters_sql()),

@@ -862,6 +862,37 @@ def w5_running_sum(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def w6_time_range_avg(spark: SparkSession, sf: str) -> DataFrame:
+    """Beyond-reference: trailing 1-hour moving average per user via a
+    RANGE window frame over event-time micros — frame membership is
+    time-based (all peers at equal timestamps included), not row-count-
+    based, so results are partitioning- and tie-order-independent."""
+    e = load(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        (
+            F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double")
+            / F.count("value").over(w)
+        ).alias("trail_avg_1h"),
+    )
+
+
+W6_SQL = """
+SELECT event_id, user_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+       / COUNT(value) OVER w AS trail_avg_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+
 W5_SQL = """
 SELECT event_id, user_id,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
@@ -1466,6 +1497,7 @@ QUERIES: dict[str, tuple] = {
     "w2_first_last_by_time": (w2_first_last_by_time, W2_SQL),
     "w4_lag_gap": (w4_lag_gap, W4_SQL),
     "w5_running_sum": (w5_running_sum, W5_SQL),
+    "w6_time_range_avg": (w6_time_range_avg, W6_SQL),
     "o2_top_k": (o2_top_k, O2_SQL),
     "u1_union_by_name": (u1_union_by_name, U1_SQL),
     "e5_datetime_derive": (e5_datetime_derive, E5_SQL),

@@ -353,3 +353,16 @@ def test_repetition_and_corpus_stats(spark):
     # hapax: a b c d e one two = 7 (x appears 4x, y 4x)
     assert (stats.n_tokens, stats.vocab, stats.hapax) == (15, 9, 7)
     assert stats.type_token_ratio == round(9 / 15, 6)
+
+
+def test_pmi_bigrams_contract(spark):
+    """PMI collocations: exactly top-25, every pair above the count
+    floor, scores monotonically non-increasing."""
+    from icnarc_to_philips_linkage_spark.plans.llm import text_pmi_bigrams
+
+    sf = "/root/testdata/sf0.001"
+    out = text_pmi_bigrams(spark, sf).collect()
+    assert len(out) == 25
+    assert all(r.cb >= 5 for r in out)
+    pmis = [r.pmi for r in out]
+    assert pmis == sorted(pmis, reverse=True)
