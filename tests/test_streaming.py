@@ -204,3 +204,69 @@ def test_stream_stream_join_obs_to_alarms(spark, tmp_path):
         (101, "desat", "2016-01-01T10:45:00"),
         (102, "exact", "2016-01-01T10:10:00"),
     ]
+
+
+def test_stream_stream_join_drops_late_alarms_past_watermark(spark, tmp_path):
+    """Watermark state persists via checkpoint across availableNow runs:
+    a second batch's in-time alarm still joins (the observation is
+    buffered in state), while an alarm older than the restored watermark
+    is dropped on input — bounded state, provably enforced."""
+    odir, adir, ck, outdir = (
+        str(tmp_path / d) for d in ("obs", "alarms", "ck", "out")
+    )
+    obs1 = [
+        _row(201, "2016-01-01T10:00", "2016-01-01T10:01", num=1.0),
+        _row(201, "2016-01-01T10:45", "2016-01-01T10:46", num=2.0),
+        _row(201, "2016-01-01T18:00", "2016-01-01T18:01", num=3.0),
+    ]
+    alarms1 = [
+        Row(encounterId=201, alarmTime=ts("2016-01-01T09:58"), alarmType="a1"),
+        Row(encounterId=201, alarmTime=ts("2016-01-01T17:58"), alarmType="a2"),
+    ]
+    spark.createDataFrame(obs1, ce.CHARTEVENTS_SCHEMA).coalesce(1).write.parquet(odir)
+    spark.createDataFrame(alarms1, ce.ALARM_SCHEMA).coalesce(1).write.parquet(adir)
+
+    def run():
+        # file sink: the one that supports checkpoint recovery — output
+        # accumulates across runs, so assertions are cumulative
+        joined = ce.join_obs_to_alarms(
+            ce.read_chartevents_stream(spark, odir),
+            ce.read_alarm_stream(spark, adir),
+            tolerance="15 minutes",
+            watermark="2 hours",
+        )
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", outdir)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q)
+        return sorted(
+            (r.alarmType, r.chartTime.isoformat())
+            for r in spark.read.parquet(outdir).collect()
+        )
+
+    assert run() == [
+        ("a1", "2016-01-01T10:00:00"),
+        ("a2", "2016-01-01T18:00:00"),
+    ]
+    # watermark after run 1: min(18:00, 17:58) - 2h = 15:58
+    alarms2 = [
+        # late: 10:40 < 15:58 -> dropped (would otherwise match the
+        # 10:45 observation within tolerance)
+        Row(encounterId=201, alarmTime=ts("2016-01-01T10:40"), alarmType="late"),
+        # in-time: matches the buffered 18:00 observation
+        Row(encounterId=201, alarmTime=ts("2016-01-01T17:50"), alarmType="a3"),
+    ]
+    spark.createDataFrame(alarms2, ce.ALARM_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(adir)
+    # cumulative: run-1 matches + the in-time a3; the late alarm absent
+    assert run() == [
+        ("a1", "2016-01-01T10:00:00"),
+        ("a2", "2016-01-01T18:00:00"),
+        ("a3", "2016-01-01T18:00:00"),
+    ]
