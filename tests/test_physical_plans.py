@@ -159,3 +159,30 @@ def test_interval_join_is_equi_not_nested_loop(spark):
     plan = plan_of(fn(spark, SF_SMOKE))
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_new_text_and_window_queries_stay_jvm_side(spark):
+    """TF-IDF, PMI, repetition, corpus stats, debounce, and the RANGE
+    window never fall back to Python evaluation — all higher-order /
+    window expressions stay in Catalyst."""
+    for name in (
+        "text_tfidf_topterms",
+        "text_pmi_bigrams",
+        "text_repetition",
+        "text_corpus_stats",
+        "dedup_debounce",
+        "w6_time_range_avg",
+    ):
+        fn, _ = all_queries()[name]
+        plan = plan_of(fn(spark, SF_SMOKE))
+        assert "EvalPython" not in plan, (name, plan)
+
+
+def test_debounce_and_range_window_single_shuffle(spark):
+    """Both lag-based debounce and the RANGE-frame trailing mean are
+    one-exchange window plans."""
+    for name in ("dedup_debounce", "w6_time_range_avg"):
+        fn, _ = all_queries()[name]
+        plan = plan_of(fn(spark, SF_SMOKE))
+        assert plan.count("Exchange") == 1, (name, plan)
+        assert "Window" in plan
