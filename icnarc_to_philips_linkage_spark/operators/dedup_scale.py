@@ -43,6 +43,38 @@ def exact_dedup_groups(
     )
 
 
+def incremental_ingest(
+    incoming: DataFrame,
+    existing: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental corpus ingest: drop incoming documents whose content
+    digest already exists in the corpus (anti join), then exact-dedup
+    WITHIN the batch (min-id keeper) — the don't-retrain-on-what-you-
+    have step of a continuously-fed training pipeline.
+
+    Scale shape: the anti join shuffles both sides on the digest; the
+    within-batch groupBy reuses that partitioning (the join output is
+    already digest-partitioned, so no third exchange appears). At 100 TB
+    the existing-corpus side is a digest-only projection — and when even
+    that is too hot, the standard refinement is a Bloom filter of
+    existing digests broadcast as a pre-filter, with this anti join as
+    the exact confirmation behind it."""
+    inc = incoming.select(
+        F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col)
+    )
+    ex = existing.select(F.md5(F.col(text_col)).alias("content_hash"))
+    return (
+        inc.join(ex, "content_hash", "left_anti")
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_batch_copies"),
+        )
+    )
+
+
 def doc_shingles(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:

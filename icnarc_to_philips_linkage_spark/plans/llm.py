@@ -72,6 +72,33 @@ FROM documents GROUP BY 1
 """
 
 
+def dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental ingest dedup: sources src10+ are the incoming batch,
+    src0-src9 the existing corpus; drop incoming docs already present by
+    content digest, dedup the remainder within-batch."""
+    d = load(spark, sf, "documents")
+    batch_no = F.substring("source", 4, 10).cast("int")
+    return dedup_scale.incremental_ingest(
+        d.filter(batch_no >= 10), d.filter(batch_no < 10)
+    )
+
+
+DEDUP_INCREMENTAL_SQL = """
+WITH ex AS (
+  SELECT DISTINCT md5(text) AS content_hash
+  FROM documents WHERE CAST(SUBSTR(source, 4) AS INT) < 10
+),
+inc AS (
+  SELECT doc_id, md5(text) AS content_hash
+  FROM documents WHERE CAST(SUBSTR(source, 4) AS INT) >= 10
+)
+SELECT content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_batch_copies
+FROM inc
+WHERE content_hash NOT IN (SELECT content_hash FROM ex)
+GROUP BY content_hash
+"""
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash+LSH near-dup pairs with exact-Jaccard verification."""
     return dedup_scale.minhash_lsh_dedup(
@@ -911,6 +938,7 @@ LIMIT 25
 
 QUERIES: dict[str, tuple] = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "dedup_incremental": (dedup_incremental, DEDUP_INCREMENTAL_SQL),
     "text_tfidf_topterms": (text_tfidf_topterms, TFIDF_SQL),
     "text_repetition": (text_repetition, REPETITION_SQL),
     "text_corpus_stats": (text_corpus_stats, CORPUS_STATS_SQL),

@@ -366,3 +366,41 @@ def test_pmi_bigrams_contract(spark):
     assert all(r.cb >= 5 for r in out)
     pmis = [r.pmi for r in out]
     assert pmis == sorted(pmis, reverse=True)
+
+
+def test_incremental_ingest_drops_known_and_dedups_batch(spark):
+    """Incoming docs already in the corpus vanish; fresh dups collapse
+    to one keeper with a copy count; the within-batch groupBy reuses the
+    anti join's digest partitioning (no third exchange)."""
+    from pyspark.sql import Row
+
+    existing = spark.createDataFrame(
+        [Row(doc_id=1, text="alpha"), Row(doc_id=2, text="beta")]
+    )
+    incoming = spark.createDataFrame(
+        [Row(doc_id=10, text="alpha"),   # already in corpus -> dropped
+         Row(doc_id=11, text="gamma"),
+         Row(doc_id=12, text="gamma"),   # in-batch dup of 11
+         Row(doc_id=13, text="delta")]
+    )
+    out = dedup_scale.incremental_ingest(incoming, existing)
+    got = {r.keep_id: r.n_batch_copies for r in out.collect()}
+    assert got == {11: 2, 13: 1}
+    # on the shuffled (at-scale) path, the within-batch groupBy reuses
+    # the anti join's digest partitioning: exactly the join's two hash
+    # exchanges, no third for the aggregate
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        shuffled = dedup_scale.incremental_ingest(incoming, existing)
+        shuffled.collect()
+        plan = (
+            shuffled._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+            .split("== Initial Plan ==")[0]
+        )
+        assert plan.count("Exchange hashpartitioning") == 2, plan
+        assert "BroadcastExchange" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
