@@ -165,8 +165,46 @@ SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineite
 """
 
 
+# correlated SCALAR subquery (Catalyst rewrites to an aggregate + join);
+# the inner AVG goes through decimal so partial-agg order can't move it
+SQL_SCALAR_SUBQUERY = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders o
+WHERE o_totalprice > 2 * (SELECT AVG(CAST(o2.o_totalprice AS DECIMAL(18,2)))
+                          FROM orders o2
+                          WHERE o2.o_custkey = o.o_custkey)
+"""
+
+# NOT EXISTS anti form (the SQL spelling of the J4 anti join):
+# customers who never placed a top-decile order
+SQL_NOT_EXISTS = """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 450000)
+"""
+
+# chained CTEs feeding a join + re-aggregation
+SQL_CTE_CHAIN = """
+WITH big AS (
+  SELECT o_custkey, COUNT(*) AS n
+  FROM orders WHERE o_totalprice > 100000 GROUP BY o_custkey
+),
+seg AS (SELECT c_custkey, c_mktsegment FROM customer)
+SELECT s.c_mktsegment,
+       COUNT(*) AS n_big_buyers,
+       SUM(b.n) AS n_big_orders
+FROM big b JOIN seg s ON s.c_custkey = b.o_custkey
+GROUP BY s.c_mktsegment
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "sql_dim_search": (_sql(SQL_DIM_SEARCH), SQL_DIM_SEARCH),
+    "sql_scalar_subquery": (_sql(SQL_SCALAR_SUBQUERY), SQL_SCALAR_SUBQUERY),
+    "sql_not_exists": (_sql(SQL_NOT_EXISTS), SQL_NOT_EXISTS),
+    "sql_cte_chain": (_sql(SQL_CTE_CHAIN), SQL_CTE_CHAIN),
     "sql_in_subquery": (_sql(SQL_IN_SUBQUERY), SQL_IN_SUBQUERY),
     "sql_exists_correlated": (_sql(SQL_EXISTS), SQL_EXISTS),
     "sql_rollup": (_sql(SQL_ROLLUP), SQL_ROLLUP),
