@@ -1141,6 +1141,29 @@ FROM grid g LEFT JOIN per_bucket p
 """
 
 
+def e14_time_of_day_hist(spark: SparkSession, sf: str) -> DataFrame:
+    """E14+A14 (notebook cell 40): timestamp → time-of-day histogram —
+    hour-of-day frequency with percent-of-total."""
+    e = load(spark, sf, "events")
+    out = e.groupBy(F.hour("ts").alias("hod")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total = Window.partitionBy()
+    return out.select(
+        "hod",
+        "n",
+        F.round(F.col("n") * 100.0 / F.sum("n").over(total), 6).alias("pct"),
+    )
+
+
+E14_SQL = """
+WITH h AS (
+  SELECT date_part('hour', ts) AS hod, COUNT(*) AS n FROM events GROUP BY 1
+)
+SELECT hod, n, ROUND(n * 100.0 / SUM(n) OVER (), 6) AS pct FROM h
+"""
+
+
 def dedup_debounce(spark: SparkSession, sf: str) -> DataFrame:
     """Event debounce (at-least-once feed hygiene): drop events within
     10 minutes of the previous event for the same (user, type) — one
@@ -1449,6 +1472,7 @@ QUERIES: dict[str, tuple] = {
     "ts_asof_join": (ts_asof_join, TS_ASOF_SQL),
     "ts_interval_join": (ts_interval_join, TS_INTERVAL_SQL),
     "dedup_debounce": (dedup_debounce, DEBOUNCE_SQL),
+    "e14_time_of_day_hist": (e14_time_of_day_hist, E14_SQL),
     "ts_resample_interp": (ts_resample_interp, TS_INTERP_SQL),
     "fuzzy_link_names": (fuzzy_link_names, FUZZY_SQL),
     "stream_batch_windowed_stats": (stream_batch_windowed_stats, STREAM_BATCH_SQL),
