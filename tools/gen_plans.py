@@ -56,6 +56,13 @@ SECTIONS: list[tuple[str, str]] = [
         "CartesianProduct anywhere in the plan.",
     ),
     (
+        "dedup_incremental",
+        "Incremental ingest: digest anti join (both sides exchange on "
+        "the content hash), and the within-batch keeper aggregate sits "
+        "directly on the join output — partitioning reuse, no third "
+        "exchange.",
+    ),
+    (
         "ts_resample_interp",
         "Segment formulation: one scan of events, one (key, bucket) hash "
         "aggregate, ONE sort for the lead() window, then "
