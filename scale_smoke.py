@@ -155,6 +155,37 @@ def main() -> int:
     from icnarc_to_philips_linkage_spark.operators.text import tfidf_top_terms
 
     bench("tfidf_top3_500k_docs", tfidf_top_terms(docs, k=3))
+
+    # skewed join: ~20% of fact rows share ONE key (hot key = 20M rows).
+    # Three physical answers, all timed: AQE skew-split on the sort-merge
+    # join (the adaptive default), explicit salting (guaranteed layout),
+    # and — for contrast — AQE disabled via a merge hint on a
+    # non-splittable shuffled-hash join is omitted because a 20M-row
+    # single task makes the smoke take minutes by design.
+    # (Grouped SUM/COUNT is deliberately NOT the demo: map-side partial
+    # aggregation already absorbs key skew for algebraic aggregates.)
+    from icnarc_to_philips_linkage_spark.operators.scale import salted_join
+
+    skewed = e.withColumn(
+        "sk_user",
+        F.when(F.pmod(F.xxhash64("event_id", F.lit(7)), F.lit(5)) == 0, F.lit(0))
+        .otherwise(F.col("user_id")),
+    ).select("sk_user", "value")
+    dim = (
+        spark.range(1_000_000)
+        .select(F.col("id").alias("sk_user"))
+        .withColumn("grp", F.pmod("sk_user", F.lit(100)).cast("int"))
+    )
+    joined = skewed.join(dim.hint("merge"), "sk_user").groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    bench("skewed_join_aqe_skew_split", joined)
+    bench(
+        "skewed_join_salted",
+        salted_join(skewed, dim, "sk_user", salts=32).groupBy("grp").agg(
+            F.count(F.lit(1)).alias("n")
+        ),
+    )
     print(
         json.dumps(
             {"n_rows": n, "gen_sec": gen_sec, "timings_sec": timings}
