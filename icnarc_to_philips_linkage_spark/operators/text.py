@@ -266,3 +266,42 @@ def corpus_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.count_if(F.col("c") == 1).alias("hapax"),
         F.round(F.count("*") / F.sum("c"), 6).alias("type_token_ratio"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    doc_id: str = "doc_id",
+    text_col: str = "text",
+    width: int = 50,
+    overlap: int = 10,
+) -> DataFrame:
+    """Context-window chunking: split each document into ``width``-token
+    chunks advancing by ``width - overlap`` tokens (the stride), the
+    standard prep for fixed-context training/embedding.
+
+    Native composition — explode a stride sequence and slice the token
+    array per chunk; everything stays in whole-stage codegen and the
+    fan-out is rows × ceil(tokens/stride), purely map-side. (A Python
+    UDTF expressing the same op exists in tests as the §2.10 escape-
+    hatch demonstration; this native form is the production path.)
+    """
+    if not 0 <= overlap < width:
+        raise ValueError(f"need 0 <= overlap < width, got {overlap=} {width=}")
+    stride = width - overlap
+    out = df.withColumn("_toks", tokens(text_col))
+    return (
+        out.withColumn(
+            "_start",
+            F.explode(
+                F.expr(f"sequence(1, greatest(size(_toks), 1), {stride})")
+            ),
+        )
+        .select(
+            doc_id,
+            ((F.col("_start") - 1) / stride).cast("int").alias("chunk_idx"),
+            F.expr(f"concat_ws(' ', slice(_toks, _start, {width}))").alias(
+                "chunk"
+            ),
+            F.expr(f"size(slice(_toks, _start, {width}))").alias("chunk_tokens"),
+        )
+    )

@@ -936,6 +936,29 @@ LIMIT 25
 """
 
 
+def text_chunk_windows(spark: SparkSession, sf: str) -> DataFrame:
+    """Context-window chunking: 50-token chunks, 10-token overlap
+    (stride 40) — map-side explode+slice, the LLM-context prep step."""
+    return text.chunk_documents(
+        load(spark, sf, "documents"), width=50, overlap=10
+    )
+
+
+CHUNK_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS s FROM documents),
+st AS (
+  SELECT doc_id, s,
+         unnest(generate_series(1, greatest(len(s), 1), 40)) AS start
+  FROM t
+)
+SELECT doc_id,
+       CAST((start - 1) / 40 AS INT) AS chunk_idx,
+       array_to_string(s[start:start + 49], ' ') AS chunk,
+       len(s[start:start + 49]) AS chunk_tokens
+FROM st
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_incremental": (dedup_incremental, DEDUP_INCREMENTAL_SQL),
@@ -943,6 +966,7 @@ QUERIES: dict[str, tuple] = {
     "text_repetition": (text_repetition, REPETITION_SQL),
     "text_corpus_stats": (text_corpus_stats, CORPUS_STATS_SQL),
     "text_pmi_bigrams": (text_pmi_bigrams, PMI_SQL),
+    "text_chunk_windows": (text_chunk_windows, CHUNK_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, _minhash_sql()),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, _ngram_jaccard_sql()),
     "dedup_near_clusters": (dedup_near_clusters, _near_clusters_sql()),

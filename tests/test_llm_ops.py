@@ -404,3 +404,49 @@ def test_incremental_ingest_drops_known_and_dedups_batch(spark):
         assert "BroadcastExchange" not in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_chunker_native_and_udtf_agree(spark):
+    """Context-window chunking: hand-checked boundaries on the native
+    path, and a Python UDTF (the §2.10 escape hatch the reference never
+    needed) must produce the identical chunk set. Production uses the
+    native explode+slice — the UDTF exists to prove the surface."""
+    from pyspark.sql import Row
+    from pyspark.sql.functions import udtf
+
+    from icnarc_to_philips_linkage_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text=" ".join(f"w{i}" for i in range(95))),
+         Row(doc_id=2, text="just a few tokens"),
+         Row(doc_id=3, text="x")]
+    )
+    native = chunk_documents(docs, width=50, overlap=10)
+    got = sorted(
+        (r.doc_id, r.chunk_idx, r.chunk_tokens) for r in native.collect()
+    )
+    # doc 1: 95 tokens, stride 40 -> starts 1, 41, 81 -> 50, 50, 15 tokens
+    assert got == [
+        (1, 0, 50), (1, 1, 50), (1, 2, 15),
+        (2, 0, 4),
+        (3, 0, 1),
+    ]
+
+    @udtf(returnType="chunk_idx int, chunk string, chunk_tokens int")
+    class ChunkUdtf:
+        def eval(self, text: str):
+            toks = text.strip().lower().split()
+            stride, width = 40, 50
+            for k, start in enumerate(range(0, max(len(toks), 1), stride)):
+                window = toks[start:start + width]
+                yield k, " ".join(window), len(window)
+
+    spark.udtf.register("chunk_udtf", ChunkUdtf)
+    docs.createOrReplaceTempView("chunk_docs")
+    via_udtf = spark.sql(
+        """SELECT d.doc_id, c.chunk_idx, c.chunk, c.chunk_tokens
+           FROM chunk_docs d, LATERAL chunk_udtf(d.text) c"""
+    )
+    assert sorted(map(tuple, native.collect())) == sorted(
+        map(tuple, via_udtf.collect())
+    )
