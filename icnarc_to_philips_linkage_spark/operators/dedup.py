@@ -182,12 +182,18 @@ def debounce(
     inside one gap; for duplicate-suppression that difference is noise.
     ``tiebreak`` pins a total order under equal timestamps.
     """
-    n, unit = gap.split()
-    us = int(n) * {
+    units = {
         "second": 1_000_000,
         "minute": 60_000_000,
         "hour": 3_600_000_000,
-    }[unit.rstrip("s")]
+    }
+    try:
+        n, unit = gap.split()
+        us = int(n) * units[unit.rstrip("s")]
+    except (ValueError, KeyError):
+        raise ValueError(
+            f"gap must look like '<n> {'|'.join(units)}[s]', got {gap!r}"
+        ) from None
     from pyspark.sql import Window
 
     order = [F.col(ts_col)] + ([F.col(tiebreak)] if tiebreak else [])

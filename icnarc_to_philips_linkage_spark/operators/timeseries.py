@@ -35,8 +35,14 @@ _UNIT_US = {
 
 
 def _bucket_us(bucket: str) -> int:
-    n, unit = bucket.split()
-    return int(n) * _UNIT_US[unit.rstrip("s")]
+    try:
+        n, unit = bucket.split()
+        return int(n) * _UNIT_US[unit.rstrip("s")]
+    except (ValueError, KeyError):
+        raise ValueError(
+            f"bucket must look like '<n> {'|'.join(_UNIT_US)}[s]', "
+            f"got {bucket!r}"
+        ) from None
 
 
 def interval_join(

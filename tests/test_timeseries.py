@@ -7,6 +7,7 @@ import datetime as dt
 
 import pytest
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from icnarc_to_philips_linkage_spark.operators.timeseries import (
     asof_join,
@@ -176,3 +177,18 @@ def test_debounce_semantics(spark):
         ).collect()
     )
     assert kept == [1, 3, 5]
+
+
+def test_malformed_step_specs_raise_clean_errors(spark):
+    from icnarc_to_philips_linkage_spark.operators.dedup import debounce
+    from icnarc_to_philips_linkage_spark.operators.timeseries import (
+        interval_join,
+    )
+
+    df = spark.createDataFrame([Row(k=1, t=ts(0))])
+    with pytest.raises(ValueError, match="bucket must look like"):
+        interval_join(df, df.withColumnRenamed("t", "s").withColumn(
+            "e", F.col("s")), point_ts="t", start_col="s", end_col="e",
+            bucket="fortnight")
+    with pytest.raises(ValueError, match="gap must look like"):
+        debounce(df, ["k"], "t", gap="5 parsecs")
