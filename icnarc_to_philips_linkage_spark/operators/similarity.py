@@ -377,3 +377,42 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def recall_at_k(truth: DataFrame, approx: DataFrame) -> DataFrame:
+    """ANN quality evaluation: per-query recall of an approximate
+    neighbor list against exact top-k ground truth, plus the macro mean
+    — the measure-don't-guess harness for tuning plane counts / probe
+    fan-outs / IVF cells at scale.
+
+    Both inputs are (query_id, neighbor_id) frames. A semi-ish inner
+    join on the pair counts hits; truth cardinality per query is the
+    denominator (missing queries in ``approx`` score 0 via the left
+    join). One row out: (n_queries, mean_recall); per-query detail on
+    the ``per_query`` column as a sorted array of (query_id, recall)
+    structs for bounded output."""
+    t = truth.select("query_id", "neighbor_id")
+    a = approx.select("query_id", "neighbor_id")
+    hits = (
+        t.join(a, ["query_id", "neighbor_id"], "inner")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    per_q = (
+        t.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_truth"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.round(
+                F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_truth"), 6
+            ).alias("recall"),
+        )
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.round(F.avg("recall"), 6).alias("mean_recall"),
+        F.array_sort(
+            F.collect_list(F.struct("query_id", "recall"))
+        ).alias("per_query"),
+    )

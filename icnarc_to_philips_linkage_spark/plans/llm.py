@@ -325,6 +325,20 @@ def sim_ann_rh_lsh(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.ann_rh_lsh(emb, q, k=5, n_planes=N_PLANES, dim=DIM)
 
 
+def sim_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """ANN index evaluation: recall@5 of multi-probe LSH against exact
+    brute-force top-5 (Spark-vs-Spark — inherently not SQL-expressible
+    against the base tables, so the driver records a rows-only check;
+    the component queries each carry full oracles)."""
+    emb = load(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < KNN_QUERY_LIMIT)
+    truth = similarity.knn_brute_force(emb, q, k=5)
+    approx = similarity.ann_rh_lsh_multiprobe(
+        emb, q, k=5, n_planes=N_PLANES, dim=DIM
+    )
+    return similarity.recall_at_k(truth, approx)
+
+
 def _rh_lsh_sql() -> str:
     planes = [similarity._hyperplane(p, DIM) for p in range(N_PLANES)]
 
@@ -977,6 +991,7 @@ QUERIES: dict[str, tuple] = {
     "sim_ann_rh_lsh": (sim_ann_rh_lsh, _rh_lsh_sql()),
     "sim_ann_rh_lsh_multiprobe": (sim_ann_rh_lsh_multiprobe, _rh_lsh_multiprobe_sql()),
     "cluster_kmeans": (cluster_kmeans, None),
+    "sim_recall_eval": (sim_recall_eval, None),
     "sketch_hll_merge": (sketch_hll_merge, None),
     "text_quality": (text_quality, _quality_sql()),
     "text_lang_id": (text_lang_id, _lang_id_sql()),

@@ -450,3 +450,23 @@ def test_chunker_native_and_udtf_agree(spark):
     assert sorted(map(tuple, native.collect())) == sorted(
         map(tuple, via_udtf.collect())
     )
+
+
+def test_recall_at_k_boundaries(spark):
+    """recall(truth, truth) == 1; disjoint approx == 0; missing queries
+    count as 0 in the macro mean."""
+    from pyspark.sql import Row
+
+    truth = spark.createDataFrame(
+        [Row(query_id=1, neighbor_id=10), Row(query_id=1, neighbor_id=11),
+         Row(query_id=2, neighbor_id=20)]
+    )
+    perfect = similarity.recall_at_k(truth, truth).collect()[0]
+    assert (perfect.n_queries, perfect.mean_recall) == (2, 1.0)
+
+    partial = spark.createDataFrame(
+        [Row(query_id=1, neighbor_id=10), Row(query_id=1, neighbor_id=99)]
+    )  # q1: 1 of 2 hit; q2: absent -> 0
+    r = similarity.recall_at_k(truth, partial).collect()[0]
+    assert r.mean_recall == 0.25
+    assert [(x.query_id, x.recall) for x in r.per_query] == [(1, 0.5), (2, 0.0)]
