@@ -270,3 +270,60 @@ def test_stream_stream_join_drops_late_alarms_past_watermark(spark, tmp_path):
         ("a2", "2016-01-01T18:00:00"),
         ("a3", "2016-01-01T18:00:00"),
     ]
+
+
+def test_cdc_apply_stream_maintains_scd2_table(spark, tmp_path):
+    """foreachBatch CDC apply: two change batches fold into an SCD2
+    parquet table — versions close at update timestamps, latest row per
+    key is current, and the pointer survives a second run."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from icnarc_to_philips_linkage_spark.streaming import cdc_apply
+
+    schema = StructType(
+        [
+            StructField("encounterId", LongType(), True),
+            StructField("changed_at", TimestampType(), True),
+            StructField("ward", StringType(), True),
+        ]
+    )
+    cdir, tdir, ck = (str(tmp_path / d) for d in ("changes", "table", "ck"))
+    b1 = [
+        Row(encounterId=1, changed_at=ts("2016-01-01T10:00"), ward="ICU"),
+        Row(encounterId=1, changed_at=ts("2016-01-02T09:00"), ward="HDU"),
+        Row(encounterId=2, changed_at=ts("2016-01-01T12:00"), ward="ICU"),
+    ]
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(cdir)
+
+    def run():
+        src = spark.readStream.format("parquet").schema(schema).load(cdir)
+        q = cdc_apply.apply_cdc_stream(
+            src, tdir, key="encounterId", ts_col="changed_at",
+            attrs=["ward"], checkpoint_dir=ck,
+        )
+        _drain(q)
+        return {
+            (r.encounterId, r.ward): (r.valid_to, r.is_current)
+            for r in cdc_apply.read_scd2_table(spark, tdir).collect()
+        }
+
+    state = run()
+    assert state[(1, "ICU")] == (ts("2016-01-02T09:00"), False)
+    assert state[(1, "HDU")] == (None, True)
+    assert state[(2, "ICU")] == (None, True)
+
+    b2 = [Row(encounterId=2, changed_at=ts("2016-01-03T08:00"), ward="Theatre")]
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(
+        cdir
+    )
+    state = run()
+    assert state[(2, "ICU")] == (ts("2016-01-03T08:00"), False)
+    assert state[(2, "Theatre")] == (None, True)
+    assert state[(1, "HDU")] == (None, True), "untouched key passes through"
+    assert len(state) == 4
