@@ -287,3 +287,36 @@ def equi_depth_histogram(
             F.max(value_col).alias("bin_max"),
         )
     )
+
+
+def standardize(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    out_col: str = "zscore",
+    exact_mean_scale: int = 2,
+) -> DataFrame:
+    """Per-group z-score standardization (feature engineering): x →
+    (x − group mean) / group population std, NULL for degenerate groups
+    (std 0 or a single row).
+
+    One grouped aggregate computes the moments (decimal-exact mean —
+    order-independent — and population std), joined back broadcast-or-
+    shuffled by group cardinality; the scoring itself is map-side. The
+    z-score is rounded to 6dp so ranking/thresholding on it is engine-
+    portable."""
+    stats = group_stats(
+        df, keys, value_col, sample_std=False,
+        exact_mean_scale=exact_mean_scale,
+    ).select(*keys, F.col("mean").alias("__mu"), F.col("std").alias("__sd"))
+    return (
+        df.join(stats, list(keys))
+        .withColumn(
+            out_col,
+            F.when(
+                F.col("__sd") > 0,
+                F.round((F.col(value_col) - F.col("__mu")) / F.col("__sd"), 6),
+            ),
+        )
+        .drop("__mu", "__sd")
+    )

@@ -1141,6 +1141,29 @@ FROM grid g LEFT JOIN per_bucket p
 """
 
 
+def feat_standardize(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group z-score standardization of event values (feature
+    engineering): decimal-exact group mean, population std, 6dp-rounded
+    score; map-side scoring after one moments aggregate."""
+    e = load(spark, sf, "events")
+    return profile.standardize(e, ["event_type"], "value").select(
+        "event_id", "event_type", "value", "zscore"
+    )
+
+
+FEAT_STANDARDIZE_SQL = """
+WITH s AS (
+  SELECT event_type,
+         CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) / COUNT(value) AS mu,
+         stddev_pop(value) AS sd
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, e.value,
+       CASE WHEN s.sd > 0 THEN ROUND((e.value - s.mu) / s.sd, 6) END AS zscore
+FROM events e JOIN s USING (event_type)
+"""
+
+
 def e14_time_of_day_hist(spark: SparkSession, sf: str) -> DataFrame:
     """E14+A14 (notebook cell 40): timestamp → time-of-day histogram —
     hour-of-day frequency with percent-of-total."""
@@ -1473,6 +1496,7 @@ QUERIES: dict[str, tuple] = {
     "ts_interval_join": (ts_interval_join, TS_INTERVAL_SQL),
     "dedup_debounce": (dedup_debounce, DEBOUNCE_SQL),
     "e14_time_of_day_hist": (e14_time_of_day_hist, E14_SQL),
+    "feat_standardize": (feat_standardize, FEAT_STANDARDIZE_SQL),
     "ts_resample_interp": (ts_resample_interp, TS_INTERP_SQL),
     "fuzzy_link_names": (fuzzy_link_names, FUZZY_SQL),
     "stream_batch_windowed_stats": (stream_batch_windowed_stats, STREAM_BATCH_SQL),

@@ -88,3 +88,23 @@ def test_equi_depth_histogram_approx_mode(spark, lineitem):
     assert sum(r.n for r in hist) == n_rows
     for r in hist:
         assert abs(r.n - n_rows / 10) / (n_rows / 10) < 0.25, (r.bin, r.n)
+
+
+def test_standardize_semantics(spark):
+    """Hand-checked z-scores; degenerate (constant / singleton) groups
+    yield NULL."""
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [Row(g="a", x=1.0), Row(g="a", x=2.0), Row(g="a", x=3.0),
+         Row(g="b", x=5.0), Row(g="b", x=5.0),   # zero variance
+         Row(g="c", x=7.0)]                      # singleton
+    )
+    out = {(r.g, r.x): r.zscore
+           for r in profile.standardize(df, ["g"], "x").collect()}
+    # group a: mu=2, pop sd=sqrt(2/3)
+    sd = (2 / 3) ** 0.5
+    assert out[("a", 1.0)] == round(-1 / sd, 6)
+    assert out[("a", 2.0)] == 0.0
+    assert out[("a", 3.0)] == round(1 / sd, 6)
+    assert out[("b", 5.0)] is None and out[("c", 7.0)] is None
