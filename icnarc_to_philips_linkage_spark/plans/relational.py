@@ -1141,6 +1141,41 @@ FROM grid g LEFT JOIN per_bucket p
 """
 
 
+def o5_topk_per_group_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group top-k WITHOUT a window: collect_list + array_sort +
+    slice inside one hash aggregate — for small k this replaces the
+    window formulation's full per-partition sort with an O(group size)
+    gather and map-side partial top-k is possible; the oracle states the
+    same result as a ROW_NUMBER window, proving plan equivalence."""
+    e = load(spark, sf, "events").filter(F.col("value").isNotNull())
+    top = (
+        e.groupBy("event_type")
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(F.struct("value", "event_id"))
+                ),
+                -3,
+                3,
+            ).alias("top3")
+        )
+        .select("event_type", F.explode("top3").alias("t"))
+    )
+    return top.select("event_type", "t.value", "t.event_id")
+
+
+O5_SQL = """
+SELECT event_type, value, event_id
+FROM (
+  SELECT event_type, value, event_id,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id DESC) AS rn
+  FROM events WHERE value IS NOT NULL
+)
+WHERE rn <= 3
+"""
+
+
 def feat_standardize(spark: SparkSession, sf: str) -> DataFrame:
     """Per-group z-score standardization of event values (feature
     engineering): decimal-exact group mean, population std, 6dp-rounded
@@ -1497,6 +1532,7 @@ QUERIES: dict[str, tuple] = {
     "dedup_debounce": (dedup_debounce, DEBOUNCE_SQL),
     "e14_time_of_day_hist": (e14_time_of_day_hist, E14_SQL),
     "feat_standardize": (feat_standardize, FEAT_STANDARDIZE_SQL),
+    "o5_topk_per_group_agg": (o5_topk_per_group_agg, O5_SQL),
     "ts_resample_interp": (ts_resample_interp, TS_INTERP_SQL),
     "fuzzy_link_names": (fuzzy_link_names, FUZZY_SQL),
     "stream_batch_windowed_stats": (stream_batch_windowed_stats, STREAM_BATCH_SQL),
