@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from icnarc_to_philips_linkage_spark.operators.text import shingles, tokens
 
@@ -105,15 +106,18 @@ def minhash_signatures_arr(
     with NO shuffle at all: each document's k mins fold in one map pass,
     instead of exploding |shingles| rows and hash-aggregating them back
     together."""
-    sig_cols = [
-        F.array_min(
-            F.transform(
-                "sh_arr", lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s))
-            )
+    # The salt index must bind via a factory closure with a
+    # SINGLE-parameter lambda: a two-parameter lambda (even with a
+    # default arg, `lambda s, i=i:`) is treated by Spark as the
+    # (element, index) HOF form, so the positional index Column would
+    # shadow the default and stringify into a nondeterministic salt.
+    def _h(i: int):
+        salt = F.lit(f"{i}:")
+        return F.array_min(
+            F.transform("sh_arr", lambda s: F.md5(F.concat(salt, s)))
         ).alias(f"h{i}")
-        for i in range(k)
-    ]
-    return sets_df.select(F.col(id_col), *sig_cols)
+
+    return sets_df.select(F.col(id_col), *[_h(i) for i in range(k)])
 
 
 def minhash_signatures(
@@ -349,12 +353,22 @@ def connected_components(
     )
     n_edges = undirected.count()
     if n_edges <= driver_threshold:
+        # Schema follows the id column's actual type (string doc ids
+        # work the same as longs); collect as plain 2-tuples, not Row
+        # objects, to keep driver memory near the raw edge payload.
+        id_type = undirected.schema["src"].dataType
         comp = _union_find_components(
-            [(r.src, r.dst) for r in undirected.collect()]
+            [tuple(r) for r in undirected.collect()]
         )
         undirected.unpersist()
+        out_schema = T.StructType(
+            [
+                T.StructField("node", id_type, False),
+                T.StructField("component", id_type, False),
+            ]
+        )
         return pairs.sparkSession.createDataFrame(
-            sorted(comp.items()), "node long, component long"
+            sorted(comp.items()), out_schema
         )
     edges = (
         undirected.unionByName(

@@ -234,6 +234,41 @@ def top_k(
     return df.orderBy(*order_cols).limit(k)
 
 
+def grouped_top_k_agg(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_cols: Sequence[str],
+    k: int,
+) -> DataFrame:
+    """Per-group top-k (descending by ``order_cols``) as ONE hash
+    aggregate — collect_list + array_sort + reverse + slice — instead of
+    a window: no per-partition sort of the whole input, and map-side
+    partial aggregation applies. Intended for small k with modest group
+    sizes.
+
+    The slice MUST be positive-indexed on the reversed (descending)
+    array: ``slice(a, -k, k)`` returns an EMPTY array whenever the group
+    has fewer than k rows (|start| beyond length), silently dropping
+    small groups a ROW_NUMBER formulation keeps.
+
+    Returns group_cols + order_cols, exploded back to rows."""
+    top = df.groupBy(*group_cols).agg(
+        F.slice(
+            F.reverse(
+                F.array_sort(F.collect_list(F.struct(*order_cols)))
+            ),
+            1,
+            k,
+        ).alias("__topk")
+    )
+    exploded = top.select(
+        *group_cols, F.explode("__topk").alias("__t")
+    )
+    return exploded.select(
+        *group_cols, *[F.col(f"__t.{c}").alias(c) for c in order_cols]
+    )
+
+
 def group_time_stats(
     df: DataFrame, keys: Sequence[str], ts_col: str
 ) -> DataFrame:

@@ -126,10 +126,19 @@ def weighted_hash_sample(
     always kept.
     """
     mx = df.agg(F.max(F.col(weight_col)).cast("double").alias("__wmax"))
+    # Clamp to [0, 1]: a negative weight would make floor(p * 16^8) a
+    # negative long whose 16-char two's-complement hex sorts ABOVE every
+    # 8-char bucket (always kept); clamping at 0 makes negative-weight
+    # rows never kept, the intended probability-0 semantics.
     p = F.round(
-        F.least(
-            F.lit(1.0),
-            F.lit(scale) * F.col(weight_col).cast("double") / F.col("__wmax"),
+        F.greatest(
+            F.lit(0.0),
+            F.least(
+                F.lit(1.0),
+                F.lit(scale)
+                * F.col(weight_col).cast("double")
+                / F.col("__wmax"),
+            ),
         ),
         6,
     )

@@ -92,11 +92,17 @@ inc AS (
   SELECT doc_id, md5(text) AS content_hash
   FROM documents WHERE CAST(SUBSTR(source, 4) AS INT) >= 10
 )
-SELECT content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_batch_copies
-FROM inc
-WHERE content_hash NOT IN (SELECT content_hash FROM ex)
-GROUP BY content_hash
+SELECT i.content_hash, MIN(i.doc_id) AS keep_id,
+       COUNT(*) AS n_batch_copies
+FROM inc i
+WHERE NOT EXISTS (
+  SELECT 1 FROM ex e WHERE e.content_hash = i.content_hash
+)
+GROUP BY i.content_hash
 """
+# NOT EXISTS, not NOT IN: with any NULL hash (NULL text) NOT IN's
+# three-valued logic empties the whole result while Spark's left_anti
+# keeps NULL-hash incoming rows; NOT EXISTS matches anti-join semantics.
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:

@@ -1146,22 +1146,19 @@ def o5_topk_per_group_agg(spark: SparkSession, sf: str) -> DataFrame:
     slice inside one hash aggregate — for small k this replaces the
     window formulation's full per-partition sort with an O(group size)
     gather and map-side partial top-k is possible; the oracle states the
-    same result as a ROW_NUMBER window, proving plan equivalence."""
+    same result as a ROW_NUMBER window, proving plan equivalence.
+
+    Sort descending (reverse) and take a POSITIVE slice: slice(a, -3, 3)
+    returns an EMPTY array when the group has fewer than 3 rows (|start|
+    beyond length), silently dropping small groups the window oracle
+    keeps."""
     e = load(spark, sf, "events").filter(F.col("value").isNotNull())
-    top = (
-        e.groupBy("event_type")
-        .agg(
-            F.slice(
-                F.array_sort(
-                    F.collect_list(F.struct("value", "event_id"))
-                ),
-                -3,
-                3,
-            ).alias("top3")
-        )
-        .select("event_type", F.explode("top3").alias("t"))
+    return profile.grouped_top_k_agg(
+        e.select("event_type", "value", "event_id"),
+        ["event_type"],
+        ["value", "event_id"],
+        3,
     )
-    return top.select("event_type", "t.value", "t.event_id")
 
 
 O5_SQL = """
