@@ -29,6 +29,16 @@ def _col(c: Column | str) -> Column:
     return F.col(c) if isinstance(c, str) else c
 
 
+def ts_micros(c: Column | str) -> Column:
+    """Microseconds since epoch, tolerant of TIMESTAMP_NTZ input.
+
+    ``F.unix_micros`` rejects TIMESTAMP_NTZ (what parquet ``timestamp[us]``
+    without a TZ reads as); casting first maps NTZ wall-clock to the same
+    instant under the engine's pinned UTC session TZ, and is a Catalyst
+    no-op when the input is already TIMESTAMP."""
+    return F.unix_micros(_col(c).cast("timestamp"))
+
+
 def combine_date_time(date_col: Column | str, time_col: Column | str) -> Column:
     """ICNARC stores separate date and time string columns; concatenate and
     parse (E5). NULL in either part yields NULL (concat_ws would silently

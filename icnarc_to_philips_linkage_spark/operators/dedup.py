@@ -20,6 +20,8 @@ from collections.abc import Mapping, Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.expressions import ts_micros
+
 
 def _policy_expr(col: str, policy: str, order_col: str, alias: str) -> Column:
     p = policy.lower()
@@ -198,12 +200,12 @@ def debounce(
 
     order = [F.col(ts_col)] + ([F.col(tiebreak)] if tiebreak else [])
     w = Window.partitionBy(*keys).orderBy(*order)
-    prev = F.lag(F.unix_micros(F.col(ts_col))).over(w)
+    prev = F.lag(ts_micros(ts_col)).over(w)
     return (
         df.withColumn("__prev", prev)
         .filter(
             F.col("__prev").isNull()
-            | (F.unix_micros(F.col(ts_col)) - F.col("__prev") > F.lit(us))
+            | (ts_micros(ts_col) - F.col("__prev") > F.lit(us))
         )
         .drop("__prev")
     )

@@ -130,18 +130,25 @@ def weighted_hash_sample(
     # negative long whose 16-char two's-complement hex sorts ABOVE every
     # 8-char bucket (always kept); clamping at 0 makes negative-weight
     # rows never kept, the intended probability-0 semantics.
-    p = F.round(
-        F.greatest(
-            F.lit(0.0),
-            F.least(
-                F.lit(1.0),
-                F.lit(scale)
-                * F.col(weight_col).cast("double")
-                / F.col("__wmax"),
+    # Degenerate max: if every weight is <= 0 the ratio is NULL (wmax=0)
+    # or sign-inverted (wmax<0) — and least/greatest SKIP NULLs, so the
+    # clamp alone would resolve to p=1 and keep everything. No row has
+    # positive weight, so nothing should be sampled: pin p = 0.
+    p = F.when(
+        F.col("__wmax") > 0.0,
+        F.round(
+            F.greatest(
+                F.lit(0.0),
+                F.least(
+                    F.lit(1.0),
+                    F.lit(scale)
+                    * F.col(weight_col).cast("double")
+                    / F.col("__wmax"),
+                ),
             ),
+            6,
         ),
-        6,
-    )
+    ).otherwise(F.lit(0.0))
     thr = F.when(p >= 1.0, F.lit("g")).otherwise(
         F.format_string(
             "%08x", F.floor(p * F.lit(float(_HEX_SPACE))).cast("long")

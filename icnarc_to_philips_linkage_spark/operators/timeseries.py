@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.expressions import ts_micros
+
 _UNIT_US = {
     "second": 1_000_000,
     "minute": 60_000_000,
@@ -45,6 +47,45 @@ def _bucket_us(bucket: str) -> int:
         ) from None
 
 
+def derive_bucket_us(
+    intervals: DataFrame,
+    start_col: str,
+    end_col: str,
+    max_fanout: int = 64,
+) -> int:
+    """Data-aware bucket width for ``interval_join``: one aggregate over
+    the interval table returns median and max span, and the bucket is
+
+        ``max(median_span, max_span / max_fanout)``
+
+    which provably bounds the per-interval explode rows at
+    ``max_fanout + 1`` (rows = floor((e-1)/b) - floor(s/b) + 1
+    <= span/b + 1 <= max_fanout + 1) while keeping the typical interval
+    at ~1-2 buckets (median-span sizing). The single collected row is a
+    2-value aggregate — broadcast-sized by construction.
+
+    The trade-off is explicit: a pathological giant interval no longer
+    explodes proportionally to its span; instead buckets get coarser, so
+    each *point* meets a few more candidate intervals in its bucket and
+    the exact containment filter discards them — bounded blow-up on the
+    build side instead of unbounded blow-up on the probe side.
+    """
+    if max_fanout < 1:
+        raise ValueError(f"max_fanout must be >= 1, got {max_fanout}")
+    span = ts_micros(end_col) - ts_micros(start_col)
+    row = (
+        intervals.filter(F.col(end_col) > F.col(start_col))
+        .agg(
+            F.percentile_approx(span, F.lit(0.5)).alias("med"),
+            F.max(span).alias("mx"),
+        )
+        .collect()[0]
+    )
+    if row.med is None:  # no valid intervals
+        return _UNIT_US["day"]
+    return int(max(row.med, row.mx / max_fanout, 1))
+
+
 def interval_join(
     points: DataFrame,
     intervals: DataFrame,
@@ -52,7 +93,7 @@ def interval_join(
     start_col: str,
     end_col: str,
     key: str | None = None,
-    bucket: str = "1 day",
+    bucket: str | int = "1 day",
 ) -> DataFrame:
     """Point-in-interval (range) join: every (point, interval) pair with
     ``start <= point_ts < end`` (half-open), optionally also matching on
@@ -75,22 +116,32 @@ def interval_join(
     are dropped up front. Column names must be disjoint apart from
     ``key``. Returns point ⨝ interval columns for matched pairs (inner);
     re-attach empty intervals with a left join on the interval key.
+
+    ``bucket`` accepts '<n> <unit>', a raw microsecond int, or
+    ``"auto"`` — the data-aware default from ``derive_bucket_us``
+    (median interval span, clamped so no interval explodes to more than
+    65 bucket rows).
     """
-    us = _bucket_us(bucket)
+    if bucket == "auto":
+        us = derive_bucket_us(intervals, start_col, end_col)
+    elif isinstance(bucket, int):
+        if bucket < 1:
+            raise ValueError(f"bucket micros must be >= 1, got {bucket}")
+        us = bucket
+    else:
+        us = _bucket_us(bucket)
     # end is exclusive: a degenerate [s, s) interval covers nothing
     iv = intervals.filter(F.col(end_col) > F.col(start_col)).withColumn(
         "__b",
         F.explode(
             F.sequence(
-                F.floor(F.unix_micros(F.col(start_col)) / F.lit(us)),
-                F.floor(
-                    (F.unix_micros(F.col(end_col)) - F.lit(1)) / F.lit(us)
-                ),
+                F.floor(ts_micros(start_col) / F.lit(us)),
+                F.floor((ts_micros(end_col) - F.lit(1)) / F.lit(us)),
             )
         ),
     )
     pt = points.withColumn(
-        "__b", F.floor(F.unix_micros(F.col(point_ts)) / F.lit(us))
+        "__b", F.floor(ts_micros(point_ts) / F.lit(us))
     )
     on = ["__b"] + ([key] if key else [])
     return (
@@ -280,9 +331,9 @@ def _resample(
             key, "grid_ts", F.col("__obs").alias("value_ffill")
         )
 
-    ts_us = F.unix_micros(F.col("grid_ts"))
-    pt = F.unix_micros(F.col("__bucket"))
-    nt = F.unix_micros(F.col("__nb"))
+    ts_us = ts_micros("grid_ts")
+    pt = ts_micros("__bucket")
+    nt = ts_micros("__nb")
     frac = (ts_us - pt) / (nt - pt)
     # NOT rounded: the op sequence (sub, div, sub, mul, add) is fully
     # deterministic, so the raw doubles are bit-identical across engines

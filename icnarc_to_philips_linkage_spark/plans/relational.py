@@ -25,6 +25,7 @@ from icnarc_to_philips_linkage_spark.functions.expressions import (
     decimal_sum,
     decode_map,
     seconds_of_day,
+    ts_micros,
 )
 from icnarc_to_philips_linkage_spark.operators import dedup, profile
 from icnarc_to_philips_linkage_spark.plans.tables import load
@@ -412,7 +413,7 @@ def j6_attach_stay_attribute(spark: SparkSession, sf: str) -> DataFrame:
     attribute, then a rate (sampling-frequency analog, cells 59-60)."""
     e = load(spark, sf, "events")
     per_user = e.groupBy("user_id").agg(
-        ((F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))) / 3.6e9).alias(
+        ((ts_micros(F.max("ts")) - ts_micros(F.min("ts"))) / 3.6e9).alias(
             "span_hours"
         )
     )
@@ -830,9 +831,7 @@ def w4_lag_gap(spark: SparkSession, sf: str) -> DataFrame:
     return e.select(
         "event_id",
         "user_id",
-        (F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)).alias(
-            "gap_us"
-        ),
+        (ts_micros("ts") - F.lag(ts_micros("ts")).over(w)).alias("gap_us"),
     )
 
 
@@ -870,7 +869,7 @@ def w6_time_range_avg(spark: SparkSession, sf: str) -> DataFrame:
     e = load(spark, sf, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_micros(F.col("ts")))
+        .orderBy(ts_micros("ts"))
         .rangeBetween(-3_600_000_000, 0)
     )
     return e.select(
@@ -1258,7 +1257,7 @@ def ts_interval_join(spark: SparkSession, sf: str) -> DataFrame:
         "user_id",
         F.col("ts").alias("s"),
         F.timestamp_micros(
-            F.unix_micros("ts") + hours * F.lit(3_600_000_000)
+            ts_micros("ts") + hours * F.lit(3_600_000_000)
         ).alias("e"),
     )
     clicks = e.filter(F.col("event_type") == "click").select(

@@ -40,10 +40,16 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.ansi.enabled", "false")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             # integer DIV — a double division would lose precision at
             # nanosecond epoch magnitudes (~1.7e18 > 2^53)
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # parquet timestamp[us] without TZ reads as TIMESTAMP_NTZ, which
+            # unix_micros() et al. reject; under the pinned UTC session TZ
+            # this cast keeps the same instant (wall clock == UTC instant)
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -470,3 +470,67 @@ def test_recall_at_k_boundaries(spark):
     r = similarity.recall_at_k(truth, partial).collect()[0]
     assert r.mean_recall == 0.25
     assert [(x.query_id, x.recall) for x in r.per_query] == [(1, 0.5), (2, 0.0)]
+
+
+def test_weighted_hash_sample_nonpositive_weights(spark):
+    """Regression (ADVICE r2): rows with weight <= 0 are never sampled,
+    and an ALL-nonpositive corpus samples nothing — the NULL/negative
+    __wmax degenerate case must not resolve to p=1 via least/greatest
+    null-skipping."""
+    from icnarc_to_philips_linkage_spark.operators import sampling
+
+    mixed = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        # negative, zero, and positive strata
+        F.when(F.col("id") % 3 == 0, -5.0)
+        .when(F.col("id") % 3 == 1, 0.0)
+        .otherwise(10.0)
+        .alias("w"),
+    )
+    kept = sampling.weighted_hash_sample(mixed, "doc_id", "w").collect()
+    assert kept, "positive-weight rows should be sampled"
+    assert all(r.w > 0 for r in kept), "w<=0 row sampled"
+
+    for bad_w in (-5.0, 0.0):
+        allbad = spark.range(100).select(
+            F.col("id").alias("doc_id"), F.lit(bad_w).alias("w")
+        )
+        assert (
+            sampling.weighted_hash_sample(allbad, "doc_id", "w").count() == 0
+        ), f"all-{bad_w} corpus must sample nothing"
+
+
+def test_grouped_top_k_agg_keeps_small_groups(spark):
+    """Regression (ADVICE r2): groups with fewer than k rows survive
+    in full (the slice(-k, k) formulation returned an empty array for
+    them)."""
+    from pyspark.sql import Row
+
+    from icnarc_to_philips_linkage_spark.operators import profile
+
+    df = spark.createDataFrame(
+        [Row(g="big", v=i) for i in range(5)]
+        + [Row(g="small", v=100), Row(g="tiny", v=7)]
+    )
+    out = profile.grouped_top_k_agg(df, ["g"], ["v"], k=3)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.g, []).append(r.v)
+    assert sorted(got["big"], reverse=True) == [4, 3, 2]
+    assert got["small"] == [100], "group with 1 < k rows dropped"
+    assert got["tiny"] == [7]
+
+
+def test_minhash_arr_equals_exploded(spark, docs):
+    """Regression (ADVICE r2): the map-only array MinHash must produce
+    byte-identical signatures to the exploded groupBy formulation —
+    would have caught the lambda-arity salt-binding bug."""
+    sets_df = dedup_scale.shingle_sets(docs)
+    sh = dedup_scale.doc_shingles(docs)
+    via_arr = sorted(
+        map(tuple, dedup_scale.minhash_signatures_arr(sets_df).collect())
+    )
+    via_agg = sorted(
+        map(tuple, dedup_scale.minhash_signatures(sh).collect())
+    )
+    assert via_arr == via_agg

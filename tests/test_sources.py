@@ -188,3 +188,70 @@ def test_zorder_layout_tightens_both_column_envelopes(spark, tmp_path):
     assert zx < 160 and zy < 160, (zx, zy)
     # and each dimension individually far better than the x-sort's y
     assert max(zx, zy) < sy / 1.4
+
+
+def _gen_wardwatcher_xml(n: int) -> tuple[str, list[dict]]:
+    """Deterministic WardWatcher-shaped export with ``n`` <patient>
+    records + the expected {code: text} dicts (the independent oracle —
+    computed by the generator, not by the parser under test).
+    Missing/blank tags are injected on arithmetic patterns so the
+    NULL-handling paths are exercised at volume."""
+    units = ["H91", "B16", "K02", "Z44"]
+    recs, parts = [], []
+    for i in range(n):
+        rec = {
+            "ICNARCNO": f"2015{i:04d}",
+            "CMPNO": units[i % len(units)],
+            "SEX": "FM"[i % 2],
+        }
+        if i % 3 != 0:  # HT missing for every third patient
+            rec["HT"] = str(150 + i % 40)
+        if i % 7 != 0:  # WT missing for every seventh
+            rec["WT"] = str(45 + i % 60)
+        body = "".join(f"<{k}>{v}</{k}>" for k, v in rec.items())
+        if i % 5 == 0:  # blank-text tag: must be dropped by the parser
+            body += "<SPARE> </SPARE>"
+        parts.append(f"<patient>{body}</patient>")
+        recs.append(rec)
+    doc = (
+        '<?xml version="1.0"?>\n'
+        '<export xmlns="http://icnarc.example/ns">'
+        + "".join(parts)
+        + "</export>"
+    )
+    return doc, recs
+
+
+def test_xml_ingest_end_to_end_oracle(spark, tmp_path, cmp_properties):
+    """S1+S2 end to end at volume (VERDICT r2 item 5): 200 synthetic
+    patients → distributed parse → CMP widen → parquet sink → DuckDB
+    reads the sink and the rows match the generator's own expectation
+    exactly (count, NULL pattern, every value)."""
+    import duckdb
+
+    doc, recs = _gen_wardwatcher_xml(200)
+    p = tmp_path / "export.xml"
+    p.write_text(doc)
+
+    wide = xml.parse_icnarc_xml(spark, str(p), cmp_properties)
+    sink = str(tmp_path / "wide_parquet")
+    wide.write.mode("overwrite").parquet(sink)
+
+    desc = {
+        "ICNARCNO": "ICNARC Number",
+        "CMPNO": "ICNARC CMP Number",
+        "SEX": "Sex",
+        "HT": "Height in cm",
+        "WT": "Weight in kg",
+    }
+    expected = sorted(
+        tuple(r.get(code) for code in desc) for r in recs
+    )
+    cols = ", ".join(f'"{d}"' for d in desc.values())
+    got = sorted(
+        tuple(row)
+        for row in duckdb.sql(
+            f"SELECT {cols} FROM read_parquet('{sink}/*.parquet')"
+        ).fetchall()
+    )
+    assert got == expected
