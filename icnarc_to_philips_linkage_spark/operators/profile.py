@@ -282,7 +282,7 @@ def group_time_stats(
 
 
 def equi_depth_histogram(
-    df: DataFrame, value_col: str, bins: int = 10, exact: bool = True
+    df: DataFrame, value_col: str, bins: int = 10, exact: bool = False
 ) -> DataFrame:
     """Equi-depth (quantile-bin) histogram: ~equal row counts per bin,
     with each bin's count/min/max — the distribution profile that
@@ -291,11 +291,16 @@ def equi_depth_histogram(
     Scale design: the naive formulation is ``ntile(bins)`` over a global
     ORDER BY — a single-partition window sort that cannot scale. Here
     the ``bins-1`` interior boundaries come from ONE percentile
-    aggregate (exact for oracle parity; ``exact=False`` swaps in the
-    mergeable single-pass ``percentile_approx`` sketch for 100 TB), are
-    broadcast as a 1-row array, and bin assignment is a map-side
-    higher-order count of boundaries below the value — then a hash
-    aggregate on ≤``bins`` groups. No global sort at any point.
+    aggregate, are broadcast as a 1-row array, and bin assignment is a
+    map-side higher-order count of boundaries below the value — then a
+    hash aggregate on ≤``bins`` groups. No global sort at any point.
+
+    The DEFAULT boundary aggregate is the mergeable single-pass
+    ``percentile_approx`` sketch — constant memory per partition, the
+    only formulation that survives 100 TB. ``exact=True`` swaps in exact
+    ``percentile``, which buffers every value in one aggregation buffer:
+    reserve it for oracle-parity checks and small profiling runs, never
+    production-scale data.
 
     NULL values are excluded (they belong to no bin, matching
     ``ntile``-over-non-null semantics).

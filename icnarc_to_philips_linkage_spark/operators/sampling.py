@@ -134,17 +134,16 @@ def weighted_hash_sample(
     # or sign-inverted (wmax<0) — and least/greatest SKIP NULLs, so the
     # clamp alone would resolve to p=1 and keep everything. No row has
     # positive weight, so nothing should be sampled: pin p = 0.
+    # A NULL weight makes the ratio NULL the same way (least/greatest
+    # would skip it and the clamp would keep the row); coalescing the
+    # weight to 0 gives NULL-weight rows probability 0 instead.
+    w = F.coalesce(F.col(weight_col).cast("double"), F.lit(0.0))
     p = F.when(
         F.col("__wmax") > 0.0,
         F.round(
             F.greatest(
                 F.lit(0.0),
-                F.least(
-                    F.lit(1.0),
-                    F.lit(scale)
-                    * F.col(weight_col).cast("double")
-                    / F.col("__wmax"),
-                ),
+                F.least(F.lit(1.0), F.lit(scale) * w / F.col("__wmax")),
             ),
             6,
         ),

@@ -94,6 +94,7 @@ def interval_join(
     end_col: str,
     key: str | None = None,
     bucket: str | int = "1 day",
+    bucket_max_fanout: int = 64,
 ) -> DataFrame:
     """Point-in-interval (range) join: every (point, interval) pair with
     ``start <= point_ts < end`` (half-open), optionally also matching on
@@ -118,12 +119,19 @@ def interval_join(
     re-attach empty intervals with a left join on the interval key.
 
     ``bucket`` accepts '<n> <unit>', a raw microsecond int, or
-    ``"auto"`` — the data-aware default from ``derive_bucket_us``
-    (median interval span, clamped so no interval explodes to more than
-    65 bucket rows).
+    ``"auto"`` — the data-aware width from ``derive_bucket_us`` (median
+    interval span, clamped so no interval explodes to more than
+    ``bucket_max_fanout + 1`` bucket rows; ``bucket_max_fanout`` is
+    ignored for non-auto buckets). NOTE: ``"auto"`` runs a driver-side
+    2-value aggregate (``derive_bucket_us``'s ``collect``) EAGERLY at
+    plan-construction time — the call triggers a Spark job before any
+    action on the returned DataFrame, so keep it out of per-row loops
+    and analysis-only contexts.
     """
     if bucket == "auto":
-        us = derive_bucket_us(intervals, start_col, end_col)
+        us = derive_bucket_us(
+            intervals, start_col, end_col, max_fanout=bucket_max_fanout
+        )
     elif isinstance(bucket, int):
         if bucket < 1:
             raise ValueError(f"bucket micros must be >= 1, got {bucket}")

@@ -644,9 +644,11 @@ GROUP BY 1
 
 def a14b_equidepth_histogram(spark: SparkSession, sf: str) -> DataFrame:
     """Equi-depth 10-bin histogram (quantile bins, no global sort):
-    exact percentile boundaries broadcast, map-side bin assignment."""
+    exact percentile boundaries broadcast, map-side bin assignment.
+    ``exact=True`` is pinned HERE (oracle parity needs bit-identical
+    quantiles); the operator's default is the approx sketch."""
     return profile.equi_depth_histogram(
-        load(spark, sf, "lineitem"), "l_extendedprice", 10
+        load(spark, sf, "lineitem"), "l_extendedprice", 10, exact=True
     )
 
 

@@ -479,17 +479,20 @@ def test_weighted_hash_sample_nonpositive_weights(spark):
     null-skipping."""
     from icnarc_to_philips_linkage_spark.operators import sampling
 
-    mixed = spark.range(300).select(
+    mixed = spark.range(400).select(
         F.col("id").alias("doc_id"),
-        # negative, zero, and positive strata
-        F.when(F.col("id") % 3 == 0, -5.0)
-        .when(F.col("id") % 3 == 1, 0.0)
+        # negative, zero, NULL, and positive strata
+        F.when(F.col("id") % 4 == 0, -5.0)
+        .when(F.col("id") % 4 == 1, 0.0)
+        .when(F.col("id") % 4 == 2, None)
         .otherwise(10.0)
         .alias("w"),
     )
     kept = sampling.weighted_hash_sample(mixed, "doc_id", "w").collect()
     assert kept, "positive-weight rows should be sampled"
-    assert all(r.w > 0 for r in kept), "w<=0 row sampled"
+    assert all(
+        r.w is not None and r.w > 0 for r in kept
+    ), "NULL or w<=0 row sampled"
 
     for bad_w in (-5.0, 0.0):
         allbad = spark.range(100).select(

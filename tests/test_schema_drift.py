@@ -97,11 +97,21 @@ def _write_events_variant(tmpdir: str, encoding: str) -> str:
     return d
 
 
+@pytest.fixture(scope="module")
+def ts_query_baseline(spark):
+    """Expected rows per ts-family query, collected ONCE from SF_SMOKE
+    (not per encoding — 4 encodings × 6 queries would redo this 24×)."""
+    return {
+        name: sorted(map(tuple, _QUERIES[name][0](spark, SF_SMOKE).collect()))
+        for name in _TS_QUERIES
+    }
+
+
 @pytest.mark.parametrize(
     "encoding",
     ["bigint_nanos", "timestamp_nanos", "timestamp_ntz", "timestamp_utc"],
 )
-def test_ts_encoding_invariance(spark, tmp_path, encoding):
+def test_ts_encoding_invariance(spark, tmp_path, encoding, ts_query_baseline):
     """The loader must normalize every physical ts encoding to TIMESTAMP
     and every ts-family query must return byte-identical rows."""
     d = _write_events_variant(str(tmp_path), encoding)
@@ -110,8 +120,7 @@ def test_ts_encoding_invariance(spark, tmp_path, encoding):
     )
     for name in _TS_QUERIES:
         fn, _ = _QUERIES[name]
-        want = sorted(map(tuple, fn(spark, SF_SMOKE).collect()))
         got = sorted(map(tuple, fn(spark, d).collect()))
-        assert got == want, (
+        assert got == ts_query_baseline[name], (
             f"{name} differs when events.ts is stored as {encoding}"
         )

@@ -64,7 +64,7 @@ def test_equi_depth_histogram_balanced_bins(spark, lineitem):
     n_rows = lineitem.count()
     hist = sorted(
         profile.equi_depth_histogram(
-            lineitem, "l_extendedprice", bins=10
+            lineitem, "l_extendedprice", bins=10, exact=True
         ).collect(),
         key=lambda r: r.bin,
     )
@@ -88,6 +88,22 @@ def test_equi_depth_histogram_approx_mode(spark, lineitem):
     assert sum(r.n for r in hist) == n_rows
     for r in hist:
         assert abs(r.n - n_rows / 10) / (n_rows / 10) < 0.25, (r.bin, r.n)
+
+
+def test_equi_depth_histogram_defaults_to_approx_sketch(spark, lineitem):
+    """Regression (VERDICT r3): the DEFAULT boundary aggregate must be
+    the mergeable percentile_approx sketch, not exact percentile (which
+    buffers every value in one aggregation buffer — a scale-killer when
+    callers take the default)."""
+    default_plan = profile.equi_depth_histogram(
+        lineitem, "l_extendedprice"
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert "percentile_approx(" in default_plan, default_plan
+    assert "percentile(" not in default_plan.replace("percentile_approx(", "")
+    exact_plan = profile.equi_depth_histogram(
+        lineitem, "l_extendedprice", exact=True
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert "percentile(" in exact_plan.replace("percentile_approx(", "")
 
 
 def test_standardize_semantics(spark):
