@@ -75,11 +75,14 @@ FROM documents GROUP BY 1
 def dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
     """Incremental ingest dedup: sources src10+ are the incoming batch,
     src0-src9 the existing corpus; drop incoming docs already present by
-    content digest, dedup the remainder within-batch."""
+    content digest, dedup the remainder within-batch. Runs the Bloom
+    prefilter path (bloom over the incoming batch pruning the corpus
+    side) — the oracle SQL is unchanged because false positives ride
+    through to the exact anti join."""
     d = load(spark, sf, "documents")
     batch_no = F.substring("source", 4, 10).cast("int")
     return dedup_scale.incremental_ingest(
-        d.filter(batch_no >= 10), d.filter(batch_no < 10)
+        d.filter(batch_no >= 10), d.filter(batch_no < 10), bloom_bits=1 << 20
     )
 
 

@@ -406,6 +406,93 @@ def test_incremental_ingest_drops_known_and_dedups_batch(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_incremental_ingest_bloom_prefilter(spark):
+    """Bloom prefilter path (VERDICT r3 item 4): identical results to
+    the plain anti join — including under a deliberately tiny,
+    collision-heavy bloom (64 bits) where most existing rows are false
+    positives — and the physical plan shows the bitmap broadcast +
+    bloom predicate applied to the existing side BEFORE the anti join's
+    exchange."""
+    from pyspark.sql import Row
+
+    existing = spark.createDataFrame(
+        [Row(doc_id=i, text=f"doc {i}") for i in range(50)]
+    )
+    incoming = spark.createDataFrame(
+        [Row(doc_id=100, text="doc 7"),      # already in corpus
+         Row(doc_id=101, text="fresh one"),
+         Row(doc_id=102, text="fresh one"),  # in-batch dup
+         Row(doc_id=103, text="fresh two")]
+    )
+    plain = {
+        (r.keep_id, r.n_batch_copies)
+        for r in dedup_scale.incremental_ingest(incoming, existing).collect()
+    }
+    assert plain == {(101, 2), (103, 1)}
+    for bits, k in [(1 << 20, 5), (64, 2)]:  # designed fp rate / fp-heavy
+        bloomed = {
+            (r.keep_id, r.n_batch_copies)
+            for r in dedup_scale.incremental_ingest(
+                incoming, existing, bloom_bits=bits, bloom_k=k
+            ).collect()
+        }
+        assert bloomed == plain, (bits, k)
+
+    # the prefilter must land on the existing-corpus side before its
+    # exchange: BroadcastExchange for the 1-row bitmap, and the bloom
+    # bit-test filter between the corpus scan and the anti join
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = dedup_scale.incremental_ingest(
+            incoming, existing, bloom_bits=1 << 20
+        )
+        df.collect()
+        plan = (
+            df._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+            .split("== Initial Plan ==")[0]
+        )
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+        anti_part = plan[plan.index("LeftAnti"):]
+        assert "shiftright" in anti_part and "xxhash64" in anti_part, (
+            f"bloom bit-test must sit under the anti join's existing "
+            f"side:\n{plan}"
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bloom_bitmap_no_false_negatives(spark):
+    """Every inserted value tests positive; a disjoint probe set at the
+    designed sizing tests almost entirely negative."""
+    from icnarc_to_philips_linkage_spark.operators.dedup_scale import (
+        bloom_bitmap,
+        bloom_might_contain,
+    )
+
+    vals = spark.range(500).select(
+        F.md5(F.col("id").cast("string")).alias("h")
+    )
+    bf = bloom_bitmap(vals, "h", num_bits=1 << 13, k=5)  # ~16 bits/item
+    hits = (
+        vals.crossJoin(F.broadcast(bf))
+        .filter(bloom_might_contain("h", "bloom", 1 << 13, 5))
+        .count()
+    )
+    assert hits == 500, "false negative: an inserted value tested absent"
+    probe = spark.range(1000, 3000).select(
+        F.md5(F.col("id").cast("string")).alias("h")
+    )
+    fp = (
+        probe.crossJoin(F.broadcast(bf))
+        .filter(bloom_might_contain("h", "bloom", 1 << 13, 5))
+        .count()
+    )
+    assert fp / 2000 < 0.05, f"false-positive rate {fp/2000} way above design"
+
+
 def test_chunker_native_and_udtf_agree(spark):
     """Context-window chunking: hand-checked boundaries on the native
     path, and a Python UDTF (the §2.10 escape hatch the reference never

@@ -57,10 +57,12 @@ SECTIONS: list[tuple[str, str]] = [
     ),
     (
         "dedup_incremental",
-        "Incremental ingest: digest anti join (both sides exchange on "
-        "the content hash), and the within-batch keeper aggregate sits "
-        "directly on the join output — partitioning reuse, no third "
-        "exchange.",
+        "Incremental ingest with Bloom prefilter: a bitmap built over "
+        "the incoming batch's digests (DataFrame aggregates only) is "
+        "broadcast and prunes the existing-corpus side BEFORE the anti "
+        "join's exchange; the anti join stays the exact confirmation, "
+        "and the within-batch keeper aggregate reuses the join's digest "
+        "partitioning — no third exchange.",
     ),
     (
         "ts_resample_interp",
