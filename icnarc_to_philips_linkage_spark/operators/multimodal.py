@@ -90,19 +90,48 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int, str]:
     return width, height, n_frames, digest
 
 
+def _real_decode(payload: bytes, media_type: str):
+    """Real codec step, resolved by optional import AT DECODE TIME (on
+    the executor): Pillow for images when installed; audio/video would
+    take PyAV the same way. Raises NotImplementedError when the library
+    for the media type is absent — so the same code runs real decodes
+    wherever the executor image ships the libs, and degrades to the
+    explicit stub error here (no image/audio libs in this container).
+    Returns (width, height, n_frames, digest) or None for an
+    undecodable payload (quarantine row, NULL metadata)."""
+    if media_type == "image":
+        try:
+            import io
+
+            from PIL import Image
+        except ImportError as e:
+            raise NotImplementedError(
+                "real image decode requires Pillow; not installed in this "
+                "container — pass fake=True for the deterministic stub"
+            ) from e
+        try:
+            with Image.open(io.BytesIO(payload)) as img:
+                width, height = img.size
+                n_frames = int(getattr(img, "n_frames", 1))
+        except Exception:
+            return None  # undecodable payload -> NULL-metadata row
+        return width, height, n_frames, hashlib.md5(payload).hexdigest()
+    raise NotImplementedError(
+        f"real {media_type} decode requires an av/ffmpeg binding; not "
+        "installed in this container — pass fake=True for the "
+        "deterministic stub"
+    )
+
+
 def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
     """Decode binary payloads to typed metadata via Arrow-batched
-    mapInPandas. ``fake=False`` documents the real-codec contract:
-    raises NotImplementedError (no image/audio libs in this container)."""
+    mapInPandas. ``fake=False`` runs the real codec where the optional
+    library is installed (Pillow for images) and raises
+    NotImplementedError where it isn't; ``fake=True`` is the
+    deterministic md5-derived stub."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if not fake:
-                raise NotImplementedError(
-                    "real media decode requires PIL/ffmpeg; not available "
-                    "in this container — pass fake=True for the "
-                    "deterministic stub"
-                )
             rows = []
             for media_id, media_type, payload in zip(
                 pdf["media_id"], pdf["media_type"], pdf["payload"]
@@ -110,7 +139,15 @@ def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
                 if payload is None:
                     rows.append((media_id, media_type, None, None, None, None, None))
                     continue
-                w, h, nf, digest = _fake_decode(bytes(payload))
+                decoded = (
+                    _fake_decode(bytes(payload))
+                    if fake
+                    else _real_decode(bytes(payload), media_type)
+                )
+                if decoded is None:
+                    rows.append((media_id, media_type, len(payload), None, None, None, None))
+                    continue
+                w, h, nf, digest = decoded
                 rows.append(
                     (media_id, media_type, len(payload), w, h, nf, digest)
                 )

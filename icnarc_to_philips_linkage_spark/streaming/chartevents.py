@@ -148,6 +148,34 @@ def sessionize(
     )
 
 
+def dedup_stream(
+    events: DataFrame,
+    keys: tuple[str, ...] = (
+        "encounterId",
+        "chartTime",
+        "interventionId",
+        "attributeId",
+    ),
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """At-least-once feed hygiene on the stream itself:
+    ``dropDuplicatesWithinWatermark`` keeps the first row per key and
+    drops re-deliveries that arrive within the watermark delay — the
+    streaming twin of the batch ``debounce``/exact-dedup operators.
+
+    Why WithinWatermark and not plain ``dropDuplicates``: the plain form
+    keys state by the full key forever (unbounded on an unbounded
+    stream); the watermarked form evicts a key's state once the event-
+    time watermark passes its horizon, so state size follows the
+    duplicate-arrival window, not stream history. The trade-off is
+    explicit and matches real feeds: a duplicate redelivered LATER than
+    the watermark delay is no longer deduplicated — size ``watermark``
+    to the feed's redelivery guarantee."""
+    return events.withWatermark(
+        "chartTime", watermark
+    ).dropDuplicatesWithinWatermark(list(keys))
+
+
 def run_to_memory_sink(
     df: DataFrame,
     query_name: str,

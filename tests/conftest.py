@@ -1,12 +1,17 @@
 from __future__ import annotations
 
+import os
 import tempfile
 
 import pytest
 
 from icnarc_to_philips_linkage_spark.session import get_spark
 
-SF_SMOKE = "/root/testdata/sf0.001"
+# Override with SPARK_GRAFT_TEST_SF to run the oracle differentials at
+# another scale — the pre-snapshot runbook step runs them at sf0.01
+# (the driver's t2 scale): SPARK_GRAFT_TEST_SF=/root/testdata/sf0.01
+#   python -m pytest tests/test_oracle.py -q
+SF_SMOKE = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
 SF_T2 = "/root/testdata/sf0.01"
 
 

@@ -165,6 +165,35 @@ def test_multimodal_decode_stub_contract(spark, docs):
     assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
 
 
+def test_multimodal_real_decode_when_pillow_present(spark):
+    """Real-codec path (VERDICT r3 item 6): where Pillow is installed,
+    decode_media(fake=False) decodes actual image bytes — dimensions
+    from the codec, undecodable payloads quarantined as NULL-metadata
+    rows. Skips (with the enabling condition) where Pillow is absent."""
+    pytest.importorskip(
+        "PIL", reason="Pillow not installed in this container; "
+        "test runs wherever the executor image ships it"
+    )
+    import io
+
+    from PIL import Image
+    from pyspark.sql import Row
+
+    buf = io.BytesIO()
+    Image.new("RGB", (320, 200)).save(buf, format="PNG")
+    rows = [
+        Row(media_id=1, media_type="image", payload=bytearray(buf.getvalue()),
+            meta={}),
+        Row(media_id=2, media_type="image", payload=bytearray(b"not an image"),
+            meta={}),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    got = {r.media_id: r for r in
+           multimodal.decode_media(media, fake=False).collect()}
+    assert (got[1].width, got[1].height, got[1].n_frames) == (320, 200, 1)
+    assert got[2].width is None and got[2].n_bytes == 12
+
+
 def test_multimodal_features_and_resize(spark, docs):
     media = multimodal.documents_as_media(docs.limit(20))
     feats = multimodal.extract_features(media).collect()

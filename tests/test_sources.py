@@ -255,3 +255,60 @@ def test_xml_ingest_end_to_end_oracle(spark, tmp_path, cmp_properties):
         ).fetchall()
     )
     assert got == expected
+
+
+def test_jdbc_pushdown_reaches_scan(spark, tmp_path):
+    """S7 close-out (VERDICT r3 item 5): run the ICCA-style extraction
+    against a REAL JDBC database — embedded Derby, which ships in
+    Spark's own jars — and assert the reference's hand-written T-SQL
+    narrowing (interventionId IN-list + label LIKE,
+    variable_location_in_ICCA.sql:49-99) lands in the JDBC scan's
+    PushedFilters instead of being evaluated Spark-side."""
+    jvm = spark._jvm
+    jvm.java.lang.System.setProperty(
+        "derby.stream.error.file", str(tmp_path / "derby.log")
+    )
+    url = f"jdbc:derby:{tmp_path}/icca_db;create=true"
+    try:
+        conn = jvm.java.sql.DriverManager.getConnection(url)
+    except Exception:  # pragma: no cover — Derby is bundled with Spark
+        pytest.skip(
+            "embedded Derby unavailable; run where Spark's bundled "
+            "derby*.jar is on the driver classpath"
+        )
+    st = conn.createStatement()
+    st.execute(
+        "CREATE TABLE interventions (interventionId INT, "
+        "shortLabel VARCHAR(64), conceptLabel VARCHAR(64))"
+    )
+    rows = [
+        (0, "HR", "Heart Rate"),
+        (1, "SpO2", "Oxygen Saturation"),
+        (2, "NBP", "NIBP Mean"),
+        (3, "RR", "Respiratory Rate"),
+        (4, "Temp", "Temperature"),
+    ]
+    for i, sl, cl in rows:
+        st.execute(f"INSERT INTO interventions VALUES ({i}, '{sl}', '{cl}')")
+    conn.close()
+
+    df = readers.read_jdbc_pushdown(
+        spark,
+        url,
+        "interventions",
+        predicates=[
+            "interventionId IN (0, 1, 3)",
+            "conceptLabel LIKE '%Rate%'",
+        ],
+        driver="org.apache.derby.jdbc.EmbeddedDriver",
+    )
+    got = sorted((r.INTERVENTIONID, r.SHORTLABEL) for r in df.collect())
+    assert got == [(0, "HR"), (3, "RR")]
+
+    plan = df._jdf.queryExecution().executedPlan().toString().replace("\n", " ")
+    assert "PushedFilters: [" in plan, f"no PushedFilters in JDBC scan:\n{plan}"
+    pushed = plan.split("PushedFilters: [", 1)[1]
+    assert "In(INTERVENTIONID" in pushed, pushed
+    assert "StringContains(CONCEPTLABEL,Rate)" in pushed, pushed
+    # and nothing is re-evaluated Spark-side as a post-scan Filter node
+    assert "Filter (" not in plan or "*In(" in pushed, plan

@@ -272,6 +272,56 @@ def test_stream_stream_join_drops_late_alarms_past_watermark(spark, tmp_path):
     ]
 
 
+def test_stream_dedup_within_watermark_drops_late_duplicate(spark, tmp_path):
+    """Streaming dedup (VERDICT r3 item 8): dropDuplicatesWithinWatermark
+    keeps the first delivery per key and — across a SECOND checkpointed
+    availableNow run — drops a redelivery of an earlier row arriving
+    within the watermark, while fresh keys pass. File sink + checkpoint,
+    cumulative assertions (the CDC-test pattern)."""
+    indir, ck, outdir = (str(tmp_path / d) for d in ("in", "ck", "out"))
+    batch1 = [
+        _row(301, "2016-01-01T10:00", "2016-01-01T10:01", num=1.0),
+        # same-batch duplicate delivery (same key, later store time)
+        _row(301, "2016-01-01T10:00", "2016-01-01T10:09", num=1.0),
+        _row(301, "2016-01-01T10:30", "2016-01-01T10:31", num=2.0),
+    ]
+    spark.createDataFrame(batch1, ce.CHARTEVENTS_SCHEMA).coalesce(1).write.parquet(indir)
+
+    def run():
+        deduped = ce.dedup_stream(
+            ce.read_chartevents_stream(spark, indir), watermark="2 hours"
+        )
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", outdir)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q)
+        return sorted(
+            r.chartTime.isoformat() for r in spark.read.parquet(outdir).collect()
+        )
+
+    assert run() == ["2016-01-01T10:00:00", "2016-01-01T10:30:00"]
+    # watermark after run 1: 10:30 - 2h = 08:30 < 10:00, so the 10:00
+    # key's dedup state is retained in the checkpoint; a second-run
+    # redelivery must be dropped while a fresh key passes
+    batch2 = [
+        _row(301, "2016-01-01T10:00", "2016-01-01T11:15", num=1.0),  # redelivery
+        _row(301, "2016-01-01T11:00", "2016-01-01T11:01", num=3.0),  # fresh
+    ]
+    spark.createDataFrame(batch2, ce.CHARTEVENTS_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(indir)
+    assert run() == [
+        "2016-01-01T10:00:00",
+        "2016-01-01T10:30:00",
+        "2016-01-01T11:00:00",
+    ]
+
+
 def test_cdc_apply_stream_maintains_scd2_table(spark, tmp_path):
     """foreachBatch CDC apply: two change batches fold into an SCD2
     parquet table — versions close at update timestamps, latest row per
