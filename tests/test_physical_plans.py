@@ -139,6 +139,31 @@ def test_minhash_signatures_have_no_aggregate(spark):
     assert "Aggregate" not in plan, f"signatures must not aggregate:\n{plan}"
 
 
+def test_minhash_lsh_tokenizes_corpus_once(spark):
+    """The persisted shingle-set stage (VERDICT r3 item 2) must be the
+    ONLY consumer of the documents parquet: signatures and both
+    Jaccard-verify sides read the InMemoryRelation, so tokenize+shingle
+    runs once — the plan shows exactly one parquet FileScan of
+    documents and ≥3 in-memory scans of the cached sets."""
+    fn, _ = all_queries()["dedup_minhash_lsh"]
+    df = fn(spark, SF_SMOKE)
+    try:
+        plan = plan_of(df)
+        # the plan text reprints the cached relation's build plan under
+        # every consumer, so FileScan appears once PER InMemoryRelation
+        # replay — an uncached consumer would add a FileScan beyond the
+        # InMemoryRelation count
+        assert plan.count("InMemoryTableScan") >= 3, plan
+        assert plan.count("FileScan parquet") == plan.count(
+            "InMemoryRelation"
+        ), (
+            f"every corpus scan must come from the cached shingle-set "
+            f"relation, none direct:\n{plan}"
+        )
+    finally:
+        spark.catalog.clearCache()
+
+
 def test_resample_interp_is_two_exchange_one_sort_plan(spark):
     """Segment-formulation resampling: (key,bucket) aggregate exchange +
     key exchange for the lead() window; exactly one Window node and no
