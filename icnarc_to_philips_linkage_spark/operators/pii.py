@@ -1,0 +1,50 @@
+"""PII scrubbing for training-data pipelines: regex redaction of
+emails, phone numbers, and long ID-like digit runs, with per-document
+redaction counts.
+
+Pure native column expressions (``regexp_count`` + ``regexp_replace``
+chains) — zero Python in the hot path, so scrubbing is a map-side
+projection that scales with input bytes and pushes through whole-stage
+codegen. Patterns are deliberately engine-portable (shared by Java
+regex and RE2, so the DuckDB oracle runs the identical spec): a real
+deployment extends ``PII_PATTERNS`` with locale-specific rules; the
+operator shape does not change.
+
+Pattern order matters and is part of the contract: emails are redacted
+before digit rules so an address's digits are never double-counted as
+an ID; each kind's count is taken on the text state its replacement
+sees.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("phone", r"\b\d{3}[-.]\d{3,4}[-.]\d{4}\b"),
+    ("long_id", r"\b\d{8,}\b"),
+)
+
+
+def scrub_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    patterns: tuple[tuple[str, str], ...] = PII_PATTERNS,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Redact every pattern match to ``[KIND]`` and append an
+    ``n_<kind>`` count column per pattern. Counts are evaluated on the
+    text as previous patterns left it (sequential semantics), so a
+    span consumed by an earlier rule is never recounted by a later
+    one. NULL text yields NULL counts and NULL output (unknown in,
+    unknown out)."""
+    out_col = out_col or text_col
+    cur = F.col(text_col)
+    counts = []
+    for kind, pat in patterns:
+        counts.append(F.regexp_count(cur, F.lit(pat)).alias(f"n_{kind}"))
+        cur = F.regexp_replace(cur, pat, f"[{kind.upper()}]")
+    others = [c for c in df.columns if c != text_col]
+    return df.select(*others, *counts, cur.alias(out_col))

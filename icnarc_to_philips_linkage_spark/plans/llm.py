@@ -982,7 +982,99 @@ FROM st
 """
 
 
+DECONTAM_N = 13  # canonical benchmark-overlap n-gram length
+# doc_id % mod == 0 plays the benchmark set; 31 gives a nonzero
+# contaminated set at every test scale (2/2/17 docs at sf0.001/.01/.1)
+DECONTAM_BENCH_MOD = 31
+
+
+def decontam_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination: training docs (doc_id % 31 != 0)
+    sharing any 13-gram with the benchmark split (doc_id % 31 == 0) —
+    broadcast gram semi-join, training side never shuffles pre-join."""
+    from icnarc_to_philips_linkage_spark.operators import decontam
+
+    d = load(spark, sf, "documents")
+    bench = d.filter((F.col("doc_id") % DECONTAM_BENCH_MOD) == 0)
+    train = d.filter((F.col("doc_id") % DECONTAM_BENCH_MOD) != 0)
+    return decontam.contamination_report(train, bench, n=DECONTAM_N)
+
+
+def _decontam_sql() -> str:
+    n, mod = DECONTAM_N, DECONTAM_BENCH_MOD
+    terms = ", ".join(f"t[i+{j}]" for j in range(n))
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id, unnest(
+      CASE WHEN len(t) < {n} THEN [array_to_string(t, ' ')]
+           ELSE list_transform(generate_series(1, len(t) - {n - 1}),
+                               i -> concat_ws(' ', {terms}))
+      END) AS g
+    FROM toks)
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % {mod} = 0),
+train AS (SELECT doc_id, g FROM grams WHERE doc_id % {mod} <> 0)
+SELECT t.doc_id, COUNT(*) AS n_shared_grams
+FROM train t JOIN bench b USING (g)
+GROUP BY t.doc_id
+"""
+
+
+def pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    """PII scrub end-to-end: deterministic synthetic PII (an email, a
+    phone, a long id derived from doc_id) is appended to each document,
+    then redacted by the native regexp chain; the query returns the
+    per-kind counts and an md5 of the scrubbed text so the oracle
+    verifies the redacted payload exactly."""
+    from icnarc_to_philips_linkage_spark.operators import pii
+
+    d = load(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact doc"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com tel 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit("-1234 ref "),
+            (F.col("doc_id") + 10_000_000).cast("string"),
+        ).alias("text"),
+    )
+    return pii.scrub_pii(d).select(
+        "doc_id",
+        "n_email",
+        "n_phone",
+        "n_long_id",
+        F.md5("text").alias("scrubbed_hash"),
+    )
+
+
+def _pii_sql() -> str:
+    from icnarc_to_philips_linkage_spark.operators.pii import PII_PATTERNS
+
+    cur = (
+        "text || ' contact doc' || CAST(doc_id AS VARCHAR) || "
+        "'@example.com tel 555-' || "
+        "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || "
+        "'-1234 ref ' || CAST(doc_id + 10000000 AS VARCHAR)"
+    )
+    counts = []
+    for kind, pat in PII_PATTERNS:
+        counts.append(
+            f"len(regexp_extract_all({cur}, '{pat}')) AS n_{kind}"
+        )
+        cur = f"regexp_replace({cur}, '{pat}', '[{kind.upper()}]', 'g')"
+    return f"""
+SELECT doc_id, {', '.join(counts)}, md5({cur}) AS scrubbed_hash
+FROM documents
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "decontam_report": (decontam_report, _decontam_sql()),
+    "pii_scrub": (pii_scrub, _pii_sql()),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_incremental": (dedup_incremental, DEDUP_INCREMENTAL_SQL),
     "text_tfidf_topterms": (text_tfidf_topterms, TFIDF_SQL),

@@ -653,3 +653,61 @@ def test_minhash_arr_equals_exploded(spark, docs):
         map(tuple, dedup_scale.minhash_signatures(sh).collect())
     )
     assert via_arr == via_agg
+
+
+def test_decontamination_flags_and_removes_overlaps(spark):
+    """A training doc sharing one 13-gram with the benchmark is flagged
+    with the right distinct-gram count; clean docs are untouched; short
+    documents (< n tokens) use the whole-text-gram convention."""
+    from pyspark.sql import Row
+
+    from icnarc_to_philips_linkage_spark.operators import decontam
+
+    leak = " ".join(f"w{i}" for i in range(13))  # exactly one 13-gram
+    bench = spark.createDataFrame(
+        [Row(doc_id=900, text=f"question: {leak} answer: yes"),
+         Row(doc_id=901, text="tiny bench doc")]
+    )
+    train = spark.createDataFrame(
+        [Row(doc_id=1, text=f"prefix {leak} suffix"),    # contaminated
+         Row(doc_id=2, text="completely unrelated text about nothing"),
+         Row(doc_id=3, text="tiny bench doc"),           # short-doc exact hit
+         Row(doc_id=4, text=leak)]                       # whole doc IS the gram
+    )
+    rep = {r.doc_id: r.n_shared_grams
+           for r in decontam.contamination_report(train, bench).collect()}
+    assert rep == {1: 1, 3: 1, 4: 1}
+    clean = decontam.decontaminate(train, bench)
+    assert sorted(r.doc_id for r in clean.collect()) == [2]
+
+    # the overlap join must broadcast the benchmark gram set
+    plan = (
+        decontam.contamination_report(train, bench)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_pii_scrub_semantics(spark):
+    """Hand-checked redaction: email consumed before digit rules (its
+    digits never recounted), phone and long-id hit independently,
+    clean text passes through byte-identical, NULL stays NULL."""
+    from pyspark.sql import Row
+
+    from icnarc_to_philips_linkage_spark.operators import pii
+
+    rows = [
+        Row(doc_id=1, text="mail a.b-c_9@ex-ample.co.uk now"),
+        Row(doc_id=2, text="call 555-0199-1234 re acct 123456789"),
+        Row(doc_id=3, text="nothing sensitive 123 here"),
+        Row(doc_id=4, text=None),
+    ]
+    out = {r.doc_id: r for r in
+           pii.scrub_pii(spark.createDataFrame(rows)).collect()}
+    assert out[1].text == "mail [EMAIL] now"
+    assert (out[1].n_email, out[1].n_phone, out[1].n_long_id) == (1, 0, 0)
+    assert out[2].text == "call [PHONE] re acct [LONG_ID]"
+    assert (out[2].n_email, out[2].n_phone, out[2].n_long_id) == (0, 1, 1)
+    assert out[3].text == "nothing sensitive 123 here"
+    assert (out[3].n_email, out[3].n_phone, out[3].n_long_id) == (0, 0, 0)
+    assert out[4].text is None and out[4].n_email is None
