@@ -343,6 +343,88 @@ def minhash_lsh_dedup(
     )
 
 
+def write_lsh_index(
+    docs: DataFrame,
+    table_name: str,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 8,
+    bands: int = 4,
+    buckets: int = 64,
+) -> None:
+    """Persist the corpus's LSH band table BUCKETED by band key — the
+    build-once/probe-many index for incremental near-dup checks.
+
+    At 100 TB the corpus band table is the big side of every probe
+    join; bucketing it at write time (`bucketBy` + `sortBy`) stores it
+    pre-hash-partitioned on the join key, so each probe batch joins
+    WITHOUT re-shuffling the corpus — only the (small) incoming batch
+    exchanges. This is the batch analog of a database index: pay the
+    layout cost once at ingest, spend zero corpus shuffles per probe.
+
+    ``band_key`` folds the band index into the hash so the single-key
+    bucketing covers the (band_idx, band_hash) pair-equality the
+    in-memory path joins on; cross-band md5 collisions would only add
+    candidates for the exact-Jaccard verifier to discard."""
+    bands_df = lsh_bands(
+        minhash_signatures_arr(shingle_sets(docs, id_col, text_col, n), id_col, k),
+        id_col,
+        k,
+        bands,
+    ).select(
+        F.col(id_col),
+        F.md5(F.concat_ws(":", "band_idx", "band_hash")).alias("band_key"),
+    )
+    (
+        bands_df.write.mode("overwrite")
+        .bucketBy(buckets, "band_key")
+        .sortBy("band_key")
+        .option("path", path)
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
+
+
+def probe_lsh_index(
+    spark,
+    table_name: str,
+    incoming: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Candidate near-dup pairs (incoming_id, corpus_id) against a
+    persisted ``write_lsh_index`` table: the incoming batch's bands are
+    computed map-side with the SAME (n, k, bands) parameters and joined
+    on the bucketed band key — the corpus side streams from its buckets
+    with no exchange. Feed survivors to exact Jaccard (``jaccard_verify``
+    / the array-intersect path) exactly like the in-memory pipeline."""
+    qb = lsh_bands(
+        minhash_signatures_arr(
+            shingle_sets(incoming, id_col, text_col, n), id_col, k
+        ),
+        id_col,
+        k,
+        bands,
+    ).select(
+        F.col(id_col).alias("incoming_id"),
+        F.md5(F.concat_ws(":", "band_idx", "band_hash")).alias("band_key"),
+    )
+    idx = spark.table(table_name).select(
+        F.col(id_col).alias("corpus_id"), "band_key"
+    )
+    return (
+        idx.join(qb, "band_key")
+        .filter(F.col("incoming_id") != F.col("corpus_id"))
+        .select("incoming_id", "corpus_id")
+        .distinct()
+    )
+
+
 def _union_find_components(edge_rows: list) -> dict:
     """Driver-side union-find with min-id roots and path compression.
     Result (node → smallest reachable id) is independent of edge order."""

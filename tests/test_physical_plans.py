@@ -145,6 +145,9 @@ def test_minhash_lsh_tokenizes_corpus_once(spark):
     Jaccard-verify sides read the InMemoryRelation, so tokenize+shingle
     runs once — the plan shows exactly one parquet FileScan of
     documents and ≥3 in-memory scans of the cached sets."""
+    # other modules may have cached the raw documents table, which
+    # would nest a second InMemoryRelation into this plan — start clean
+    spark.catalog.clearCache()
     fn, _ = all_queries()["dedup_minhash_lsh"]
     df = fn(spark, SF_SMOKE)
     try:

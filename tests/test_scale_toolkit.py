@@ -79,3 +79,66 @@ def test_bucketed_join_elides_shuffle(spark):
         assert "Exchange hashpartitioning" not in agg_plan, agg_plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+
+
+def test_lsh_index_bucketed_probe_no_corpus_shuffle(spark, tmp_path):
+    """Persisted LSH index: probing a bucketed band table must (a) give
+    the same candidate pairs as the in-memory LSH pipeline and (b) scan
+    the corpus side straight from its buckets — the probe plan's only
+    hash exchange belongs to the incoming batch."""
+    from icnarc_to_philips_linkage_spark.operators import dedup_scale as ds
+    from icnarc_to_philips_linkage_spark.plans.tables import load
+    from tests.conftest import SF_SMOKE
+
+    docs = load(spark, SF_SMOKE, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    table = "lsh_idx_test"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    ds.write_lsh_index(corpus, table, str(tmp_path / "lsh_idx"))
+    try:
+        got = ds.probe_lsh_index(spark, table, batch)
+
+        # (a) parity with the in-memory band join on the same params
+        cb = ds.lsh_bands(
+            ds.minhash_signatures_arr(ds.shingle_sets(corpus))
+        ).select(F.col("doc_id").alias("corpus_id"), "band_idx", "band_hash")
+        bb = ds.lsh_bands(
+            ds.minhash_signatures_arr(ds.shingle_sets(batch))
+        ).select(F.col("doc_id").alias("incoming_id"), "band_idx", "band_hash")
+        want = (
+            cb.join(bb, ["band_idx", "band_hash"])
+            .filter(F.col("incoming_id") != F.col("corpus_id"))
+            .select("incoming_id", "corpus_id")
+            .distinct()
+        )
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+        assert got.count() > 0, "smoke data should produce candidates"
+
+        # (b) bucketed corpus side: disable broadcast so the join must
+        # hash-partition — only the probe side may exchange
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            df = ds.probe_lsh_index(spark, table, batch)
+            df.collect()
+            plan = (
+                df._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+                .split("== Initial Plan ==")[0]
+            )
+            n_exchanges = plan.count("Exchange hashpartitioning")
+            # distinct() adds its own exchange; the join itself must
+            # reuse the bucket layout for the corpus side: join-side
+            # exchanges = 1 (incoming only), +1 for the distinct
+            assert n_exchanges <= 2, (
+                f"corpus side must not re-shuffle (bucketed):\n{plan}"
+            )
+            assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan, plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
