@@ -1,0 +1,196 @@
+"""Product quantization (PQ) for embedding columns: compress vectors to
+``m`` small codes against per-subspace k-means codebooks, then answer
+top-k queries by asymmetric distance computation (ADC) over the codes —
+the memory-side of large-scale ANN (IVF routes, PQ compresses; compose
+with ``similarity.ivf_topk``'s cell routing for IVF-PQ).
+
+Scale design mirrors ``clustering.kmeans``:
+
+- **Training** is iterative but JOINT across subspaces: one corpus pass
+  per iteration assigns all m sub-codes map-side (codebooks fold into
+  the plan as literals — no join), and the update aggregate is keyed on
+  (subspace, code, position) — cardinality m·ksub·(dim/m) = dim·ksub
+  regardless of corpus size, so the shuffle is constant-width.
+- **Encoding** is a pure narrow map: dim floats in, m small ints out —
+  a 16× payload reduction at the defaults (64 float32 → 8 bytes),
+  which is what lets a 100 TB embedding corpus fit an ANN scan tier.
+- **Search** broadcasts the (tiny) query-side distance tables and scans
+  codes map-side; per-candidate cost is m array lookups instead of a
+  dim-wide dot product. Top-k uses the same partial-then-merge
+  aggregation as the exact kNN path (no global sort).
+
+Determinism: no RNG anywhere — codebooks initialize from the ksub
+lowest-id vectors' subvectors and ties break on the lowest code — so
+results are stable across partitionings and engines (rows-only
+correctness check, like k-means; quality is pinned by a recall-vs-
+brute-force test instead of a SQL oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from icnarc_to_philips_linkage_spark.operators.similarity import topk_per_key
+
+
+def _sub_dist_structs(vec_col, s: int, d: int, codebook: list):
+    """Array of (dist², code) structs for subspace ``s`` — argmin via
+    array_min's struct ordering (lowest code wins ties)."""
+    cent = F.lit([[float(x) for x in c] for c in codebook])
+    sub = F.slice(vec_col, s * d + 1, d)
+    return F.transform(
+        cent,
+        lambda c, i: F.struct(
+            F.aggregate(
+                F.zip_with(sub, c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("dist_sq"),
+            i.alias("code"),
+        ),
+    )
+
+
+def _codes_col(vec_col, codebooks: list, d: int):
+    """array<int> of m nearest-sub-centroid codes — narrow map, the
+    codebooks are plan literals."""
+    return F.array(
+        *[
+            F.array_min(_sub_dist_structs(vec_col, s, d, cb))["code"]
+            for s, cb in enumerate(codebooks)
+        ]
+    )
+
+
+def pq_train(
+    df: DataFrame,
+    dim: int,
+    m: int = 8,
+    ksub: int = 16,
+    max_iter: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list:
+    """Train per-subspace codebooks; returns ``codebooks[s][c]`` as
+    plain Python lists (m·ksub·dim/m floats — driver/literal sized by
+    construction). One corpus pass per iteration for ALL subspaces."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    d = dim // m
+    points = df.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+    ).cache()
+    seed = [
+        [float(x) for x in r.embedding]
+        for r in points.orderBy("vec_id").limit(ksub).collect()
+    ]
+    if len(seed) < ksub:
+        raise ValueError(f"need >= ksub={ksub} vectors, got {len(seed)}")
+    codebooks = [
+        [vec[s * d : (s + 1) * d] for vec in seed] for s in range(m)
+    ]
+    for _ in range(max_iter):
+        coded = points.withColumn(
+            "codes", _codes_col("embedding", codebooks, d)
+        )
+        # one aggregate updates every codebook: (subspace, code, pos
+        # within subspace) means — m·ksub·d groups total
+        means = (
+            coded.select(
+                F.posexplode("embedding").alias("pos", "v"), "codes"
+            )
+            .select(
+                (F.col("pos") / d).cast("int").alias("s"),
+                (F.col("pos") % d).alias("p"),
+                F.element_at("codes", (F.col("pos") / d).cast("int") + 1).alias(
+                    "code"
+                ),
+                F.col("v").cast("double").alias("v"),
+            )
+            .groupBy("s", "code", "p")
+            .agg(F.avg("v").alias("mv"))
+            .collect()
+        )
+        new = [
+            [list(codebooks[s][c]) for c in range(ksub)] for s in range(m)
+        ]  # empty codes keep their previous centroid
+        for r in means:
+            new[r.s][r.code][r.p] = r.mv
+        codebooks = new
+    points.unpersist()
+    return codebooks
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, codes array<int>) — the compressed corpus. Narrow map."""
+    d = len(codebooks[0][0])
+    return df.select(
+        F.col(id_col).alias("vec_id"),
+        _codes_col(vec_col, codebooks, d).alias("codes"),
+    )
+
+
+def pq_search(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebooks: list,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC top-k: per query build the m×ksub squared-distance table to
+    every sub-centroid (map-side, codebook literals), broadcast the
+    (tiny) query table, and score each code row with m lookups. Output
+    (query_id, neighbor_id, adc_dist) — distance rounded to 6dp, ranked
+    (dist ASC, neighbor_id ASC) for determinism."""
+    d = len(codebooks[0][0])
+    m = len(codebooks)
+    dtab = F.array(
+        *[
+            F.transform(
+                _sub_dist_structs(vec_col, s, d, codebooks[s]),
+                lambda x: x["dist_sq"],
+            )
+            for s in range(m)
+        ]
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), dtab.alias("__dtab")
+    )
+    scored = (
+        codes.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        "__dtab",
+                        "codes",
+                        lambda t, c: F.element_at(t, c + F.lit(1)),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ).alias("__neg_alias"),
+        )
+        # topk_per_key ranks DESCENDING on a similarity; negate the
+        # distance so smallest-distance wins, then flip back
+        .select(
+            "query_id",
+            "neighbor_id",
+            (-F.col("__neg_alias")).alias("neg_dist"),
+        )
+    )
+    out = topk_per_key(scored, "query_id", k, sim_col="neg_dist")
+    return out.select(
+        "query_id", "neighbor_id", (-F.col("neg_dist")).alias("adc_dist")
+    )

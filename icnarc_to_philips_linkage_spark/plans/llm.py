@@ -455,6 +455,20 @@ def cluster_kmeans(spark: SparkSession, sf: str) -> DataFrame:
     return clustering.cluster_sizes(assignments)
 
 
+def sim_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantized ANN: train per-subspace codebooks (iterative,
+    like k-means — rows-only check), encode the corpus to m=8 codes,
+    ADC top-5 for the query vectors. Deterministic end to end (lowest-id
+    init, lowest-code/lowest-id tie-breaks); quality is pinned by the
+    planted-duplicate and neighborhood-structure tests."""
+    from icnarc_to_philips_linkage_spark.operators import pq
+
+    emb = load(spark, sf, "embeddings")
+    books = pq.pq_train(emb, dim=DIM, m=8, ksub=16, max_iter=2)
+    queries = emb.filter(F.col("vec_id") < KNN_QUERY_LIMIT)
+    return pq.pq_search(queries, pq.pq_encode(emb, books), books, k=5)
+
+
 NEAR_DUP_T = 0.3
 
 
@@ -1092,6 +1106,7 @@ QUERIES: dict[str, tuple] = {
     "sim_ann_rh_lsh": (sim_ann_rh_lsh, _rh_lsh_sql()),
     "sim_ann_rh_lsh_multiprobe": (sim_ann_rh_lsh_multiprobe, _rh_lsh_multiprobe_sql()),
     "cluster_kmeans": (cluster_kmeans, None),
+    "sim_pq_topk": (sim_pq_topk, None),
     "sim_recall_eval": (sim_recall_eval, None),
     "sketch_hll_merge": (sketch_hll_merge, None),
     "text_quality": (text_quality, _quality_sql()),

@@ -34,6 +34,7 @@ _BUILD_EXECUTES = {
     "cluster_kmeans",
     "dedup_near_clusters",
     "sim_recall_eval",
+    "sim_pq_topk",  # pq_train collects codebooks at construction
 }
 
 
