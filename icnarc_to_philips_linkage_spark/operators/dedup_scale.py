@@ -54,18 +54,19 @@ def _bloom_position_sql(value_col: str, num_bits: int, i: int) -> str:
 
 def bloom_bitmap(
     df: DataFrame, value_col: str, num_bits: int = 1 << 20, k: int = 5
-) -> DataFrame:
-    """Bloom-filter bitmap over ``df[value_col]`` as a ONE-row DataFrame
-    with an ``array<long>`` column ``bloom`` of ``num_bits/64`` words —
-    built entirely from DataFrame aggregates (no driver-side sketch, no
-    internal APIs), so it broadcasts like any other tiny relation.
-
-    Shape: explode the k bit positions per row (map-only), bit_or the
-    per-position masks grouped by 64-bit word (one shuffle of at most
+) -> list:
+    """Bloom-filter bitmap over ``df[value_col]`` as a Python list of
+    ``num_bits/64`` int64 words, built by ONE distributed aggregation:
+    explode the k bit positions per row (map-only), bit_or the
+    per-position masks grouped by 64-bit word (a shuffle of at most
     ``num_bits/64`` distinct keys, partially aggregated map-side), then
-    fold the sparse (word, bits) rows into one dense array via a
-    collect_list→map→transform over the word index. The single output
-    row is ``num_bits/8`` bytes — 128 KiB at the default 2^20 bits.
+    collect the sparse (word, bits) rows — bounded by the parameter, not
+    the data: 128 KiB at the default 2^20 bits — and densify driver-side.
+
+    The list folds into downstream plans as a LITERAL array (the
+    k-means-centroids pattern): probing is then an O(1) array index per
+    hash, no broadcast join, no per-row map lookup. EAGER: calling this
+    runs a Spark job.
 
     Size ``num_bits`` at ~10 bits per expected distinct item for a ~1%
     false-positive rate; false positives only cost extra work downstream
@@ -74,7 +75,6 @@ def bloom_bitmap(
         raise ValueError(f"num_bits must be a positive multiple of 64, got {num_bits}")
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    n_words = num_bits // 64
     pos = [
         F.expr(_bloom_position_sql(value_col, num_bits, i)) for i in range(k)
     ]
@@ -86,36 +86,50 @@ def bloom_bitmap(
         )
         .groupBy("__w")
         .agg(F.bit_or("__m").alias("__bits"))
+        .collect()
     )
-    return words.agg(
-        F.map_from_entries(
-            F.collect_list(F.struct("__w", "__bits"))
-        ).alias("__map")
-    ).select(
-        F.transform(
-            F.sequence(F.lit(0).cast("long"), F.lit(n_words - 1).cast("long")),
-            lambda w: F.coalesce(F.element_at("__map", w), F.lit(0).cast("long")),
-        ).alias("bloom")
-    )
+    bitmap = [0] * (num_bits // 64)
+    for r in words:
+        bitmap[r["__w"]] = r["__bits"]
+    return bitmap
+
+
+# int64 single-bit masks; bit 63 is the sign bit, matching SQL
+# shiftleft(1L, 63) on the build side
+_POW2 = [1 << j for j in range(63)] + [-(1 << 63)]
+
+
+def _long_array_lit(values: list):
+    """Typed array<long> literal via ONE parsed SQL expression.
+    ``F.lit(list)`` round-trips every element through the py4j gateway
+    (a 16k-word bitmap costs ~10 s to even construct); the parser takes
+    the whole array in a single string and Catalyst constant-folds it
+    to one Literal node."""
+    return F.expr("array(" + ",".join(f"{v}L" for v in values) + ")")
 
 
 def bloom_might_contain(
-    value_col: str, bloom_col: str, num_bits: int, k: int = 5
+    value_col: str, bitmap: list, num_bits: int, k: int = 5
 ):
     """Predicate Column: all k Bloom bits for ``value_col`` are set in
-    the ``bloom_col`` bitmap array. No false negatives (a value that was
-    added always tests true); false positives at the filter's designed
-    rate. Pure map-side expression — pair with a broadcast of the
-    one-row ``bloom_bitmap`` output."""
-    checks = []
+    the literal ``bitmap`` (a ``bloom_bitmap`` result). No false
+    negatives (a value that was added always tests true); false
+    positives at the filter's designed rate. Pure map-side expression
+    against typed array literals — O(1) array indexes per hash, no
+    variable shifts (bit test is ``word & mask != 0`` with the mask
+    looked up from a 64-entry powers-of-two literal)."""
+    bm = _long_array_lit(bitmap)
+    masks = _long_array_lit(_POW2)
+    cond = None
     for i in range(k):
-        p = _bloom_position_sql(value_col, num_bits, i)
-        checks.append(
-            f"(shiftright(element_at({bloom_col}, "
-            f"cast(shiftright({p}, 6) as int) + 1), "
-            f"cast({p} % 64 as int)) & 1) = 1"
+        p = F.expr(_bloom_position_sql(value_col, num_bits, i))
+        word = F.element_at(bm, F.shiftright(p, 6).cast("int") + F.lit(1))
+        mask = F.element_at(
+            masks, F.pmod(p, F.lit(64)).cast("int") + F.lit(1)
         )
-    return F.expr(" AND ".join(checks))
+        c = word.bitwiseAND(mask) != F.lit(0)
+        cond = c if cond is None else cond & c
+    return cond
 
 
 def incremental_ingest(
@@ -123,7 +137,7 @@ def incremental_ingest(
     existing: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    bloom_bits: int | None = None,
+    bloom_bits: int | str | None = None,
     bloom_k: int = 5,
 ) -> DataFrame:
     """Incremental corpus ingest: drop incoming documents whose content
@@ -146,25 +160,29 @@ def incremental_ingest(
     false negatives cannot occur, and a pruned existing row by
     definition matches no incoming digest.
 
-    Size ``bloom_bits`` at ~10 bits per expected incoming-batch row
-    (2^20 covers a ~100k-doc batch at ~1% fp). ``None`` disables the
-    prefilter — right when the two sides are comparably sized."""
+    Size ``bloom_bits`` at ~16 bits per expected incoming-batch row, or
+    pass ``"auto"`` to have it sized from the batch's row count
+    (clamped to [2^13, 2^22] — the plan-literal bitmap should stay
+    plan-sized; far larger batches deserve a persisted filter).
+    ``None`` disables the prefilter — right when the two sides are
+    comparably sized. NOTE: a non-None ``bloom_bits`` builds the bitmap
+    EAGERLY at plan-construction time (a count for ``"auto"`` plus the
+    ``bloom_bitmap`` aggregation over the incoming batch) — the same
+    documented trade-off as ``interval_join(bucket='auto')``."""
     inc = incoming.select(
         F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col)
     )
     ex = existing.select(F.md5(F.col(text_col)).alias("content_hash"))
     if bloom_bits is not None:
-        bf = bloom_bitmap(
+        if bloom_bits == "auto":
+            n = inc.count()
+            bloom_bits = max(1 << 13, min(1 << 22, 16 * max(n, 1)))
+            bloom_bits -= bloom_bits % 64
+        bm = bloom_bitmap(
             inc.select("content_hash"), "content_hash", bloom_bits, bloom_k
         )
-        ex = (
-            ex.crossJoin(F.broadcast(bf))
-            .filter(
-                bloom_might_contain(
-                    "content_hash", "bloom", bloom_bits, bloom_k
-                )
-            )
-            .drop("bloom")
+        ex = ex.filter(
+            bloom_might_contain("content_hash", bm, bloom_bits, bloom_k)
         )
     return (
         inc.join(ex, "content_hash", "left_anti")

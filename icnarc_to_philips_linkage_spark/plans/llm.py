@@ -82,7 +82,7 @@ def dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
     d = load(spark, sf, "documents")
     batch_no = F.substring("source", 4, 10).cast("int")
     return dedup_scale.incremental_ingest(
-        d.filter(batch_no >= 10), d.filter(batch_no < 10), bloom_bits=1 << 20
+        d.filter(batch_no >= 10), d.filter(batch_no < 10), bloom_bits="auto"
     )
 
 
