@@ -34,10 +34,24 @@ from pyspark.sql import functions as F
 from icnarc_to_philips_linkage_spark.operators.similarity import topk_per_key
 
 
+def _nested_double_lit(nested: list):
+    """array<array<double>> literal via ONE parsed SQL expression —
+    ``F.lit`` would round-trip every element through the py4j gateway
+    (measured: the per-iteration literal rebuild dominated training
+    time); the parser takes the whole nested array in a single string
+    and Catalyst constant-folds it. repr() of a Python float is
+    round-trip exact, so no precision is lost."""
+    inner = ",".join(
+        "array(" + ",".join(repr(float(x)) + "D" for x in row) + ")"
+        for row in nested
+    )
+    return F.expr(f"array({inner})")
+
+
 def _sub_dist_structs(vec_col, s: int, d: int, codebook: list):
     """Array of (dist², code) structs for subspace ``s`` — argmin via
     array_min's struct ordering (lowest code wins ties)."""
-    cent = F.lit([[float(x) for x in c] for c in codebook])
+    cent = _nested_double_lit(codebook)
     sub = F.slice(vec_col, s * d + 1, d)
     return F.transform(
         cent,
@@ -188,6 +202,92 @@ def pq_search(
             "query_id",
             "neighbor_id",
             (-F.col("__neg_alias")).alias("neg_dist"),
+        )
+    )
+    out = topk_per_key(scored, "query_id", k, sim_col="neg_dist")
+    return out.select(
+        "query_id", "neighbor_id", (-F.col("neg_dist")).alias("adc_dist")
+    )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """IVF-PQ composition: route each query to its nearest cell centroid
+    (the ``similarity.ivf_topk`` coarse quantizer), then ADC top-k over
+    the PQ codes of THAT CELL only — the standard two-level ANN layout:
+    IVF cuts the scan to 1/|cells| of the corpus, PQ cuts the per-
+    candidate cost to m table lookups. At 100 TB: cells are the
+    partition key, codes are the (16x smaller) scan payload, and the
+    routed query table broadcasts."""
+    from pyspark.sql import Window
+
+    from icnarc_to_philips_linkage_spark.operators.similarity import (
+        centroids_by_label,
+        cosine,
+    )
+
+    d = len(codebooks[0][0])
+    m = len(codebooks)
+    cents = centroids_by_label(corpus, label_col, vec_col)
+    dtab = F.array(
+        *[
+            F.transform(
+                _sub_dist_structs(vec_col, s, d, codebooks[s]),
+                lambda x: x["dist_sq"],
+            )
+            for s in range(m)
+        ]
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        dtab.alias("__dtab"),
+    )
+    scored_cells = q.crossJoin(F.broadcast(cents)).select(
+        "query_id",
+        "__dtab",
+        F.col(label_col),
+        F.round(cosine("q_vec", "centroid"), 6).alias("cent_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cent_sim"), F.asc(label_col)
+    )
+    routed = (
+        scored_cells.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "__dtab", label_col)
+    )
+    codes = pq_encode(corpus, codebooks, id_col, vec_col).join(
+        corpus.select(F.col(id_col).alias("vec_id"), F.col(label_col)),
+        "vec_id",
+    )
+    scored = (
+        codes.join(F.broadcast(routed), on=label_col)
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                -F.round(
+                    F.aggregate(
+                        F.zip_with(
+                            "__dtab",
+                            "codes",
+                            lambda t, c: F.element_at(t, c + F.lit(1)),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ),
+                    6,
+                )
+            ).alias("neg_dist"),
         )
     )
     out = topk_per_key(scored, "query_id", k, sim_col="neg_dist")

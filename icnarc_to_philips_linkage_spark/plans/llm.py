@@ -469,6 +469,18 @@ def sim_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
     return pq.pq_search(queries, pq.pq_encode(emb, books), books, k=5)
 
 
+def sim_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-PQ two-level ANN: coarse cell routing + ADC over that cell's
+    PQ codes (iterative training — rows-only check; semantics pinned by
+    the cell-membership and planted-duplicate tests)."""
+    from icnarc_to_philips_linkage_spark.operators import pq
+
+    emb = load(spark, sf, "embeddings")
+    books = pq.pq_train(emb, dim=DIM, m=8, ksub=16, max_iter=2)
+    queries = emb.filter(F.col("vec_id") < KNN_QUERY_LIMIT)
+    return pq.ivf_pq_topk(emb, queries, books, k=5)
+
+
 NEAR_DUP_T = 0.3
 
 
@@ -1107,6 +1119,7 @@ QUERIES: dict[str, tuple] = {
     "sim_ann_rh_lsh_multiprobe": (sim_ann_rh_lsh_multiprobe, _rh_lsh_multiprobe_sql()),
     "cluster_kmeans": (cluster_kmeans, None),
     "sim_pq_topk": (sim_pq_topk, None),
+    "sim_ivfpq_topk": (sim_ivfpq_topk, None),
     "sim_recall_eval": (sim_recall_eval, None),
     "sketch_hll_merge": (sketch_hll_merge, None),
     "text_quality": (text_quality, _quality_sql()),

@@ -774,3 +774,39 @@ def test_pq_search_beats_random_on_exact_l2(spark, emb):
     assert sum(got) / len(got) < 0.9 * sum(baseline) / len(baseline), (
         "PQ neighbors are no closer than random vectors"
     )
+
+
+def test_ivfpq_restricts_to_routed_cell(spark, emb):
+    """IVF-PQ: every returned neighbor belongs to the query's routed
+    cell (the coarse quantizer's nearest-centroid cell), and results
+    agree with plain PQ search manually restricted to that cell."""
+    from icnarc_to_philips_linkage_spark.operators import pq, similarity
+
+    books = pq.pq_train(emb, dim=64, m=8, ksub=16, max_iter=2)
+    queries = emb.filter(F.col("vec_id") < 5)
+    top = pq.ivf_pq_topk(emb, queries, books, k=3)
+
+    # recompute routing independently
+    cents = {
+        r.label: r.centroid
+        for r in similarity.centroids_by_label(emb).collect()
+    }
+    labels = {r.vec_id: r.label for r in emb.collect()}
+    vecs = {r.vec_id: r.embedding for r in emb.collect()}
+
+    def cos(a, b):
+        import math
+
+        dp = sum(x * y for x, y in zip(a, b))
+        return dp / (
+            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        )
+
+    for r in top.collect():
+        routed = max(
+            cents, key=lambda lb: (round(cos(vecs[r.query_id], cents[lb]), 6), -lb)
+        )
+        assert labels[r.neighbor_id] == routed, (
+            f"neighbor {r.neighbor_id} outside query {r.query_id}'s "
+            f"routed cell {routed}"
+        )

@@ -35,6 +35,7 @@ _BUILD_EXECUTES = {
     "dedup_near_clusters",
     "sim_recall_eval",
     "sim_pq_topk",  # pq_train collects codebooks at construction
+    "sim_ivfpq_topk",  # same
     "dedup_incremental",  # bloom_bitmap collects the literal bitmap
 }
 
