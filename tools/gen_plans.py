@@ -56,6 +56,13 @@ SECTIONS: list[tuple[str, str]] = [
         "CartesianProduct anywhere in the plan.",
     ),
     (
+        "decontam_report",
+        "Benchmark decontamination: both sides reduce to distinct "
+        "13-gram sets map-side; the benchmark gram set broadcasts, so "
+        "the training side never shuffles before the overlap join — "
+        "only the per-doc count aggregate exchanges.",
+    ),
+    (
         "dedup_incremental",
         "Incremental ingest with Bloom prefilter: a bitmap built over "
         "the incoming batch's digests (DataFrame aggregates only) is "
