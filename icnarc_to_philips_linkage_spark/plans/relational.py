@@ -533,6 +533,16 @@ FROM (SELECT quantile_cont(o_totalprice, [0.25, 0.5, 0.75]) AS q FROM orders)
 """
 
 
+def a8c_kll_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """A8 at scale via the DataSketches KLL builtin: per-source sketches
+    folded by the binary merge (the rolling-profile shape). Rows-only
+    check — the sketch is randomized — with closeness-to-exact and
+    merged-equals-global pinned by unit tests."""
+    return profile.kll_quantiles_merged(
+        load(spark, sf, "orders"), ["o_orderpriority"], "o_totalprice"
+    )
+
+
 def a9_conditional_rates(spark: SparkSession, sf: str) -> DataFrame:
     """A9: named conditional counts + rates in one pass
     (clean_encounterids.py:214-218 gender/missingness rates)."""
@@ -1568,6 +1578,7 @@ QUERIES: dict[str, tuple] = {
     "a5_completeness": (a5_completeness, A5_SQL),
     "a6_group_time_stats": (a6_group_time_stats, A6_SQL),
     "a8_percentiles": (a8_percentiles, A8_SQL),
+    "a8c_kll_quantiles": (a8c_kll_quantiles, None),
     "a9_conditional_rates": (a9_conditional_rates, A9_SQL),
     "a10_group_stats": (a10_group_stats, A10_SQL),
     "a11_distinct_scalar": (a11_distinct_scalar, A11_SQL),

@@ -124,3 +124,35 @@ def test_standardize_semantics(spark):
     assert out[("a", 2.0)] == 0.0
     assert out[("a", 3.0)] == round(1 / sd, 6)
     assert out[("b", 5.0)] is None and out[("c", 7.0)] is None
+
+
+def test_kll_quantiles_close_to_exact_and_mergeable(spark, lineitem):
+    """KLL sketch quantiles land within a few percent RANK error of the
+    exact values, and per-group sketches folded by the binary merge
+    give (approximately) the global answer — the property that makes a
+    sketch column a rolling 100 TB profile."""
+    exact = profile.percentiles_exact(
+        lineitem, "l_extendedprice", (0.25, 0.5, 0.75)
+    ).collect()[0]
+    vals = sorted(
+        r.l_extendedprice
+        for r in lineitem.select("l_extendedprice").collect()
+        if r.l_extendedprice is not None
+    )
+    n = len(vals)
+
+    def rank_err(est, p):
+        import bisect
+
+        return abs(bisect.bisect_left(vals, est) / n - p)
+
+    direct = profile.kll_quantiles(
+        lineitem, "l_extendedprice", (0.25, 0.5, 0.75)
+    ).collect()[0]
+    merged = profile.kll_quantiles_merged(
+        lineitem, ["l_returnflag"], "l_extendedprice", (0.25, 0.5, 0.75)
+    ).collect()[0]
+    for row in (direct, merged):
+        for p, col in ((0.25, "p25"), (0.5, "p50"), (0.75, "p75")):
+            err = rank_err(getattr(row, col), p)
+            assert err < 0.05, (col, getattr(row, col), getattr(exact, col), err)
