@@ -137,3 +137,34 @@ def numeric_coerce(c: Column | str) -> Column:
     pandas ``to_numeric(errors='coerce')`` (requires non-ANSI cast mode,
     which session.py pins)."""
     return _col(c).cast("double")
+
+
+def parsed_long_array_lit(values: Sequence[int]) -> Column:
+    """Typed ``array<long>`` literal via ONE parsed SQL expression.
+    ``F.lit(list)`` round-trips every element through the py4j gateway
+    as a separate CreateArray child (~10 s merely to CONSTRUCT a
+    16k-element literal, measured); the parser takes the whole array in
+    a single string and Catalyst constant-folds it to one Literal
+    node. Shared by the Bloom prefilter and anything else folding a
+    driver-side artifact into the plan."""
+    return F.expr("array(" + ",".join(f"{int(v)}L" for v in values) + ")")
+
+
+def parsed_nested_double_lit(nested: Sequence[Sequence[float]]) -> Column:
+    """``array<array<double>>`` literal via one parsed SQL expression —
+    the nested twin of ``parsed_long_array_lit`` (PQ codebooks, k-means
+    centroid tables). ``repr()`` of a finite Python float round-trips
+    exactly; non-finite values have no SQL literal form and are
+    rejected loudly rather than parsed into garbage."""
+    import math
+
+    def fmt(x: float) -> str:
+        fx = float(x)
+        if not math.isfinite(fx):
+            raise ValueError(f"non-finite value {x!r} has no SQL literal form")
+        return repr(fx) + "D"
+
+    inner = ",".join(
+        "array(" + ",".join(fmt(x) for x in row) + ")" for row in nested
+    )
+    return F.expr(f"array({inner})")

@@ -26,6 +26,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from icnarc_to_philips_linkage_spark.functions.expressions import (
+    parsed_long_array_lit as _long_array_lit,
+)
 from icnarc_to_philips_linkage_spark.operators.text import shingles, tokens
 
 
@@ -99,15 +102,6 @@ def bloom_bitmap(
 _POW2 = [1 << j for j in range(63)] + [-(1 << 63)]
 
 
-def _long_array_lit(values: list):
-    """Typed array<long> literal via ONE parsed SQL expression.
-    ``F.lit(list)`` round-trips every element through the py4j gateway
-    (a 16k-word bitmap costs ~10 s to even construct); the parser takes
-    the whole array in a single string and Catalyst constant-folds it
-    to one Literal node."""
-    return F.expr("array(" + ",".join(f"{v}L" for v in values) + ")")
-
-
 def bloom_might_contain(
     value_col: str, bitmap: list, num_bits: int, k: int = 5
 ):
@@ -175,7 +169,13 @@ def incremental_ingest(
     ex = existing.select(F.md5(F.col(text_col)).alias("content_hash"))
     if bloom_bits is not None:
         if bloom_bits == "auto":
-            n = inc.count()
+            # count the RAW incoming frame: no md5 projection for the
+            # pruner to keep, so the sizing job is a plain row count.
+            # The digest is still computed twice overall (bitmap build
+            # + final plan) — the batch side is the small one by
+            # contract, and persisting it here would leak a cache whose
+            # lifetime this function cannot manage.
+            n = incoming.count()
             bloom_bits = max(1 << 13, min(1 << 22, 16 * max(n, 1)))
             bloom_bits -= bloom_bits % 64
         bm = bloom_bitmap(

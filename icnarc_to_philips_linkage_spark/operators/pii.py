@@ -39,12 +39,18 @@ def scrub_pii(
     text as previous patterns left it (sequential semantics), so a
     span consumed by an earlier rule is never recounted by a later
     one. NULL text yields NULL counts and NULL output (unknown in,
-    unknown out)."""
+    unknown out).
+
+    With the default ``out_col`` (None) the text column is replaced in
+    place; naming a DIFFERENT ``out_col`` keeps the original text
+    column alongside the scrubbed one (the audit/diff shape)."""
     out_col = out_col or text_col
+    if out_col != text_col and out_col in df.columns:
+        raise ValueError(f"out_col {out_col!r} collides with an existing column")
     cur = F.col(text_col)
     counts = []
     for kind, pat in patterns:
         counts.append(F.regexp_count(cur, F.lit(pat)).alias(f"n_{kind}"))
         cur = F.regexp_replace(cur, pat, f"[{kind.upper()}]")
-    others = [c for c in df.columns if c != text_col]
+    others = [c for c in df.columns if c != text_col or out_col != text_col]
     return df.select(*others, *counts, cur.alias(out_col))

@@ -31,21 +31,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from icnarc_to_philips_linkage_spark.functions.expressions import (
+    parsed_nested_double_lit as _nested_double_lit,
+)
 from icnarc_to_philips_linkage_spark.operators.similarity import topk_per_key
-
-
-def _nested_double_lit(nested: list):
-    """array<array<double>> literal via ONE parsed SQL expression —
-    ``F.lit`` would round-trip every element through the py4j gateway
-    (measured: the per-iteration literal rebuild dominated training
-    time); the parser takes the whole nested array in a single string
-    and Catalyst constant-folds it. repr() of a Python float is
-    round-trip exact, so no precision is lost."""
-    inner = ",".join(
-        "array(" + ",".join(repr(float(x)) + "D" for x in row) + ")"
-        for row in nested
-    )
-    return F.expr(f"array({inner})")
 
 
 def _sub_dist_structs(vec_col, s: int, d: int, codebook: list):
@@ -264,9 +253,13 @@ def ivf_pq_topk(
         .filter(F.col("rn") == 1)
         .select("query_id", "__dtab", label_col)
     )
-    codes = pq_encode(corpus, codebooks, id_col, vec_col).join(
-        corpus.select(F.col(id_col).alias("vec_id"), F.col(label_col)),
-        "vec_id",
+    # one narrow projection carries the cell label WITH the codes —
+    # a pq_encode + join-back-on-id would re-scan and shuffle the full
+    # corpus just to re-attach a column sitting in the same rows
+    codes = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(label_col),
+        _codes_col(vec_col, codebooks, d).alias("codes"),
     )
     scored = (
         codes.join(F.broadcast(routed), on=label_col)

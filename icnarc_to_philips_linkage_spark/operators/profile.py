@@ -127,6 +127,20 @@ def percentiles_approx(
     )
 
 
+def _kll_quantile_cols(probs: Sequence[float]) -> list:
+    """Quantile projections off a ``_sk`` sketch column, NULL for an
+    empty sketch (zero rows / all-NULL input produces a valid empty
+    sketch whose get_quantile THROWS — the n-guard restores the sibling
+    percentile paths' NULL-on-empty contract)."""
+    n = F.expr("kll_sketch_get_n_double(_sk)")
+    return [
+        F.when(
+            n > 0, F.kll_sketch_get_quantile_double("_sk", F.lit(p))
+        ).alias(f"p{int(p * 100)}")
+        for p in probs
+    ]
+
+
 def kll_quantiles(
     df: DataFrame,
     value_col: str,
@@ -143,14 +157,7 @@ def kll_quantiles(
     partition/day/source and re-merged later, which is what a 100 TB
     rolling profile actually needs (see ``kll_quantiles_merged``)."""
     sk = df.agg(F.kll_sketch_agg_double(value_col, F.lit(k)).alias("_sk"))
-    return sk.select(
-        *[
-            F.kll_sketch_get_quantile_double("_sk", F.lit(p)).alias(
-                f"p{int(p * 100)}"
-            )
-            for p in probs
-        ]
-    )
+    return sk.select(*_kll_quantile_cols(probs))
 
 
 def kll_quantiles_merged(
@@ -161,29 +168,16 @@ def kll_quantiles_merged(
     k: int = 200,
 ) -> DataFrame:
     """The mergeability proof: build one KLL sketch PER GROUP (the shape
-    a per-partition/per-day profile job produces), then fold them into a
-    single global sketch with the binary merge — same answer as
+    a per-partition/per-day profile job produces), then combine them
+    with the ``kll_merge_agg_double`` MERGE AGGREGATE — same answer as
     sketching the whole column, within sketch error, without re-reading
-    the data. The fold runs over a collect_list of ≤|groups| serialized
-    sketches (each ~KB), so the final merge is one tiny row."""
+    the data. Zero groups / all-NULL values yield NULL quantiles, not an
+    error (the rolling-profile job must survive an empty day)."""
     per = df.groupBy(*keys).agg(
         F.kll_sketch_agg_double(value_col, F.lit(k)).alias("_sk")
     )
-    merged = per.agg(F.collect_list("_sk").alias("_sks")).select(
-        F.aggregate(
-            F.expr("slice(_sks, 2, size(_sks) - 1)"),
-            F.element_at("_sks", 1),
-            lambda acc, x: F.kll_sketch_merge_double(acc, x),
-        ).alias("_sk")
-    )
-    return merged.select(
-        *[
-            F.kll_sketch_get_quantile_double("_sk", F.lit(p)).alias(
-                f"p{int(p * 100)}"
-            )
-            for p in probs
-        ]
-    )
+    merged = per.agg(F.expr("kll_merge_agg_double(_sk)").alias("_sk"))
+    return merged.select(*_kll_quantile_cols(probs))
 
 
 def hll_partitioned_distinct(

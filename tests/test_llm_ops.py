@@ -810,3 +810,19 @@ def test_ivfpq_restricts_to_routed_cell(spark, emb):
             f"neighbor {r.neighbor_id} outside query {r.query_id}'s "
             f"routed cell {routed}"
         )
+
+
+def test_pii_scrub_out_col_keeps_original(spark):
+    """Regression (r4 review): a distinct out_col must KEEP the original
+    text column (the audit shape), and a colliding out_col errors."""
+    from pyspark.sql import Row
+
+    from icnarc_to_philips_linkage_spark.operators import pii
+
+    df = spark.createDataFrame([Row(doc_id=1, text="mail a@b.io now")])
+    out = pii.scrub_pii(df, out_col="clean").collect()[0]
+    assert out.text == "mail a@b.io now"
+    assert out.clean == "mail [EMAIL] now"
+    assert out.n_email == 1
+    with pytest.raises(ValueError, match="collides"):
+        pii.scrub_pii(df, out_col="doc_id")

@@ -156,3 +156,23 @@ def test_kll_quantiles_close_to_exact_and_mergeable(spark, lineitem):
         for p, col in ((0.25, "p25"), (0.5, "p50"), (0.75, "p75")):
             err = rank_err(getattr(row, col), p)
             assert err < 0.05, (col, getattr(row, col), getattr(exact, col), err)
+
+
+def test_kll_quantiles_empty_and_allnull_yield_nulls(spark):
+    """Regression (r4 review): zero rows / all-NULL values must produce
+    NULL quantiles like the sibling percentile paths — not a
+    KLL_INVALID_INPUT_SKETCH_BUFFER crash (a rolling profile job must
+    survive an empty day)."""
+    from pyspark.sql import functions as F
+
+    empty = spark.range(0).select(
+        F.col("id").cast("double").alias("v"), F.lit("g").alias("k")
+    )
+    allnull = spark.range(5).select(
+        F.lit(None).cast("double").alias("v"), F.lit("g").alias("k")
+    )
+    for df in (empty, allnull):
+        r1 = profile.kll_quantiles(df, "v").collect()
+        assert len(r1) == 1 and all(v is None for v in r1[0])
+        r2 = profile.kll_quantiles_merged(df, ["k"], "v").collect()
+        assert len(r2) == 1 and all(v is None for v in r2[0])
