@@ -22,6 +22,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    DoubleType,
     IntegerType,
     LongType,
     StructField,
@@ -82,4 +83,80 @@ def alarm_runs(
         stateStructType=ALARM_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+DEBOUNCE_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("encounterId", LongType()),
+        StructField("interventionId", LongType()),
+        StructField("chartTime", TimestampType()),
+        StructField("valueNumber", DoubleType()),
+    ]
+)
+
+
+def _debounce_processor(gap_seconds: int):
+    """StatefulProcessor factory for ``debounce_stream`` — defined at
+    module level so the class pickles cleanly to executors."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    gap_us = gap_seconds * 1_000_000
+
+    class DebounceProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._last = handle.getValueState("last_accepted_us", "us long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            last = self._last.get()
+            last_us = last[0] if last is not None else None
+            for pdf in rows:
+                pdf = pdf.sort_values("chartTime")
+                keep = []
+                for _, row in pdf.iterrows():
+                    us = int(row["chartTime"].value // 1000)
+                    if last_us is None or us - last_us >= gap_us:
+                        keep.append(row)
+                        last_us = us
+                if keep:
+                    out = pd.DataFrame(keep)
+                    yield out[
+                        [f.name for f in DEBOUNCE_OUTPUT_SCHEMA.fields]
+                    ]
+            if last_us is not None:
+                self._last.update((last_us,))
+
+        def close(self) -> None:
+            pass
+
+    return DebounceProcessor()
+
+
+def debounce_stream(events: DataFrame, gap_seconds: int = 600) -> DataFrame:
+    """Streaming twin of the batch ``dedup.debounce`` operator via
+    ``transformWithStateInPandas`` (the Spark 4 arbitrary-state API):
+    per (encounterId, interventionId), drop events arriving within
+    ``gap_seconds`` of the previously ACCEPTED event — at-least-once
+    feed rate hygiene where the state (one long per key: the last
+    accepted event time) must persist across micro-batches, which a
+    window cannot express.
+
+    vs ``applyInPandasWithState`` (``alarm_runs`` above): same state
+    semantics, but the processor object carries typed named state
+    (``getValueState``), supports TTL and timers, and runs on the
+    RocksDB state store — the API Structured Streaming is converging
+    on. Requires
+    ``spark.sql.streaming.stateStore.providerClass`` =
+    ``...RocksDBStateStoreProvider`` (set per query/session), and the
+    Python worker needs ``protobuf`` installed (the state protocol is
+    proto-based; not shipped in this container — the test skips with
+    that reason where absent)."""
+    return events.groupBy("encounterId", "interventionId").transformWithStateInPandas(
+        _debounce_processor(gap_seconds),
+        outputStructType=DEBOUNCE_OUTPUT_SCHEMA,
+        outputMode="Append",
+        timeMode="None",
     )

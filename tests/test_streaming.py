@@ -377,3 +377,79 @@ def test_cdc_apply_stream_maintains_scd2_table(spark, tmp_path):
     assert state[(2, "Theatre")] == (None, True)
     assert state[(1, "HDU")] == (None, True), "untouched key passes through"
     assert len(state) == 4
+
+
+def test_transform_with_state_debounce_stream(spark, tmp_path):
+    """transformWithStateInPandas debounce (streaming twin of the batch
+    dedup.debounce): events within gap_seconds of the previously
+    ACCEPTED event per key are dropped, and the last-accepted timestamp
+    survives a SECOND checkpointed availableNow run via the RocksDB
+    state store."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithStateInPandas's Python worker speaks a "
+        "protobuf state protocol; protobuf is not installed in this "
+        "container — test runs wherever it is",
+    )
+    from icnarc_to_philips_linkage_spark.streaming import stateful
+
+    indir, ck, outdir = (str(tmp_path / d) for d in ("in", "ck", "out"))
+    batch1 = [
+        _row(401, "2016-01-01T10:00", "2016-01-01T10:00", num=1.0),
+        _row(401, "2016-01-01T10:05", "2016-01-01T10:05", num=2.0),  # <10min: drop
+        _row(401, "2016-01-01T10:12", "2016-01-01T10:12", num=3.0),  # >=10min: keep
+        _row(402, "2016-01-01T10:03", "2016-01-01T10:03", num=4.0),  # other key
+    ]
+    spark.createDataFrame(batch1, ce.CHARTEVENTS_SCHEMA).coalesce(1).write.parquet(indir)
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+
+    def run():
+        deb = stateful.debounce_stream(
+            ce.read_chartevents_stream(spark, indir), gap_seconds=600
+        )
+        q = (
+            deb.writeStream.format("parquet")
+            .option("path", outdir)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q)
+        return sorted(
+            (r.encounterId, r.chartTime.isoformat())
+            for r in spark.read.parquet(outdir).collect()
+        )
+
+    try:
+        assert run() == [
+            (401, "2016-01-01T10:00:00"),
+            (401, "2016-01-01T10:12:00"),
+            (402, "2016-01-01T10:03:00"),
+        ]
+        # run 2: state must remember 401's last accepted = 10:12
+        batch2 = [
+            _row(401, "2016-01-01T10:18", "2016-01-01T10:18", num=5.0),  # <10min of 10:12: drop
+            _row(401, "2016-01-01T10:25", "2016-01-01T10:25", num=6.0),  # >=10min: keep
+        ]
+        spark.createDataFrame(batch2, ce.CHARTEVENTS_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(indir)
+        assert run() == [
+            (401, "2016-01-01T10:00:00"),
+            (401, "2016-01-01T10:12:00"),
+            (401, "2016-01-01T10:25:00"),
+            (402, "2016-01-01T10:03:00"),
+        ]
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
