@@ -151,3 +151,32 @@ def read_jdbc_pushdown(
     if predicates:
         return reader.load().filter(" AND ".join(f"({p})" for p in predicates))
     return reader.load()
+
+
+def read_json_lines(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    date_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """JSON-lines scan with a PINNED schema — inference is a full extra
+    pass over the data and locks in whatever the first sample looked
+    like, so at 100 TB the schema is always declared. PERMISSIVE mode
+    nulls fields that fail to conform instead of failing the scan
+    (pair with ``read_csv_with_quarantine``'s pattern when the bad
+    rows themselves matter)."""
+    return _parse_dates(
+        spark.read.schema(schema).json(path), date_cols
+    )
+
+
+def read_orc(
+    spark: SparkSession,
+    path: str,
+    columns: Sequence[str] | None = None,
+) -> DataFrame:
+    """ORC scan — like parquet, a columnar format whose scans support
+    predicate pushdown, column pruning, and split planning natively;
+    the optional projection keeps ReadSchema minimal from the start."""
+    df = spark.read.orc(path)
+    return df.select(*columns) if columns else df

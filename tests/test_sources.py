@@ -312,3 +312,34 @@ def test_jdbc_pushdown_reaches_scan(spark, tmp_path):
     assert "StringContains(CONCEPTLABEL,Rate)" in pushed, pushed
     # and nothing is re-evaluated Spark-side as a post-scan Filter node
     assert "Filter (" not in plan or "*In(" in pushed, plan
+
+
+def test_json_lines_and_orc_roundtrip(spark, tmp_path):
+    """JSON-lines scan with pinned schema (malformed field nulls, scan
+    survives) and ORC write/read roundtrip with pruned projection."""
+    jdir = tmp_path / "j"
+    jdir.mkdir()
+    (jdir / "part-0.jsonl").write_text(
+        '{"id": 1, "name": "alpha", "score": 2.5}\n'
+        '{"id": 2, "name": "beta", "score": "not-a-number"}\n'
+        '{"id": 3, "name": "gamma"}\n'
+    )
+    df = readers.read_json_lines(
+        spark, str(jdir), "id long, name string, score double"
+    )
+    rows = {r.id for r in df.collect() if r.id is not None}
+    assert {1, 3} <= rows
+    ok = {r.id: (r.name, r.score) for r in df.collect() if r.id is not None}
+    assert ok[1] == ("alpha", 2.5)
+    assert ok[3] == ("gamma", None)
+
+    odir = str(tmp_path / "o")
+    src = spark.createDataFrame(
+        [Row(a=i, b=f"s{i}", c=float(i)) for i in range(10)]
+    )
+    src.write.orc(odir)
+    back = readers.read_orc(spark, odir, columns=["a", "c"])
+    assert back.columns == ["a", "c"]
+    assert sorted(r.a for r in back.collect()) == list(range(10))
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema: struct<a:bigint,c:double>" in plan.replace("\n", " "), plan
