@@ -1116,9 +1116,102 @@ FROM documents
 """
 
 
+def reconcile_sources(spark: SparkSession, sf: str) -> DataFrame:
+    """Table reconciliation (migration cutover check): documents vs a
+    deterministically perturbed copy of itself — every 13th key
+    dropped (only_left), every 7th text modified (value_mismatch), a
+    shifted-id block appended (only_right), the rest equal — so all
+    four diff statuses are exercised with nonzero counts."""
+    from icnarc_to_philips_linkage_spark.operators import reconcile
+
+    d = load(spark, sf, "documents").select("doc_id", "text")
+    changed = F.when(
+        F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" [MOD]"))
+    ).otherwise(F.col("text"))
+    right = (
+        d.filter(F.col("doc_id") % 13 != 0)
+        .select("doc_id", changed.alias("text"))
+        .unionByName(
+            d.filter(F.col("doc_id") % 11 == 0).select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return reconcile.diff_summary(d, right, ["doc_id"])
+
+
+RECONCILE_SQL = """
+WITH l AS (
+  SELECT doc_id, md5(concat_ws('|', coalesce(CAST(text AS VARCHAR), '<&NULL&>'))) AS dl
+  FROM documents
+),
+rsrc AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' [MOD]' ELSE text END AS text
+  FROM documents WHERE doc_id % 13 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 11 = 0
+),
+r AS (
+  SELECT doc_id, md5(concat_ws('|', coalesce(CAST(text AS VARCHAR), '<&NULL&>'))) AS dr
+  FROM rsrc
+),
+d AS (
+  SELECT CASE WHEN r.doc_id IS NULL THEN 'only_left'
+              WHEN l.doc_id IS NULL THEN 'only_right'
+              WHEN dl <> dr THEN 'value_mismatch'
+              ELSE 'equal' END AS status
+  FROM l FULL OUTER JOIN r ON l.doc_id = r.doc_id
+)
+SELECT COUNT(*) FILTER (status = 'equal') AS n_equal,
+       COUNT(*) FILTER (status = 'value_mismatch') AS n_value_mismatch,
+       COUNT(*) FILTER (status = 'only_left') AS n_only_left,
+       COUNT(*) FILTER (status = 'only_right') AS n_only_right
+FROM d
+"""
+
+
+def quality_gate(spark: SparkSession, sf: str) -> DataFrame:
+    """Declarative expectations over documents in one aggregate:
+    not-null text, token-count range, source-form regex, language
+    membership — the nightly quality-gate report row."""
+    from icnarc_to_philips_linkage_spark.operators import checks
+    from icnarc_to_philips_linkage_spark.operators.text import token_count
+
+    d = load(spark, sf, "documents").withColumn(
+        "n_toks", token_count("text")
+    )
+    return checks.check_report(
+        d,
+        [
+            checks.not_null("text"),
+            checks.in_range("n_toks", 5, 80),
+            checks.matches("source", r"src[0-9]+"),
+            checks.not_null("doc_id"),
+        ],
+    )
+
+
+QUALITY_GATE_SQL = f"""
+WITH t AS (
+  SELECT *, len({_TOKS}) AS n_toks FROM documents
+)
+SELECT COUNT(*) AS n_rows,
+       COUNT(*) FILTER (text IS NULL) AS viol_text_not_null,
+       COUNT(*) FILTER (NOT (n_toks IS NULL OR (n_toks >= 5 AND n_toks <= 80)))
+         AS viol_n_toks_in_range,
+       COUNT(*) FILTER (NOT (source IS NULL OR regexp_full_match(source, 'src[0-9]+')))
+         AS viol_source_matches,
+       COUNT(*) FILTER (doc_id IS NULL) AS viol_doc_id_not_null
+FROM t
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "decontam_report": (decontam_report, _decontam_sql()),
     "pii_scrub": (pii_scrub, _pii_sql()),
+    "reconcile_sources": (reconcile_sources, RECONCILE_SQL),
+    "quality_gate": (quality_gate, QUALITY_GATE_SQL),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_incremental": (dedup_incremental, DEDUP_INCREMENTAL_SQL),
     "text_tfidf_topterms": (text_tfidf_topterms, TFIDF_SQL),

@@ -826,3 +826,62 @@ def test_pii_scrub_out_col_keeps_original(spark):
     assert out.n_email == 1
     with pytest.raises(ValueError, match="collides"):
         pii.scrub_pii(df, out_col="doc_id")
+
+
+def test_table_diff_classifies_all_statuses(spark):
+    """Hand-built diff: only_left / only_right / value_mismatch / equal
+    each hit; NULL values compare equal to NULL (reconciliation
+    semantics); column ORDER differences do not read as mismatches."""
+    from pyspark.sql import Row
+
+    from icnarc_to_philips_linkage_spark.operators import reconcile
+
+    left = spark.createDataFrame(
+        [Row(k=1, a="x", b=None), Row(k=2, a="y", b="v"),
+         Row(k=3, a="z", b="w")]
+    )
+    # k=1 equal (incl. NULL==NULL), k=2 value differs, k=3 missing,
+    # k=4 extra; columns deliberately in a different order
+    right = spark.createDataFrame(
+        [Row(b=None, k=1, a="x"), Row(b="CHANGED", k=2, a="y"),
+         Row(b="n", k=4, a="m")]
+    )
+    got = {r.k: r.status
+           for r in reconcile.table_diff(left, right, ["k"]).collect()}
+    assert got == {1: "equal", 2: "value_mismatch",
+                   3: "only_left", 4: "only_right"}
+    s = reconcile.diff_summary(left, right, ["k"]).collect()[0]
+    assert (s.n_equal, s.n_value_mismatch, s.n_only_left, s.n_only_right) == (
+        1, 1, 1, 1
+    )
+
+
+def test_check_report_and_uniqueness(spark):
+    """Expectations: per-constraint violation counts in one aggregate;
+    NULL-pass semantics for range/regex; uniqueness as a groupBy."""
+    from pyspark.sql import Row
+
+    from icnarc_to_philips_linkage_spark.operators import checks
+
+    df = spark.createDataFrame(
+        [Row(id=1, v=5.0, code="AB12"),
+         Row(id=2, v=500.0, code="XY!!"),   # v out of range, code malformed
+         Row(id=3, v=None, code=None),      # NULLs pass range/regex
+         Row(id=1, v=7.0, code="CD34")]     # duplicate id
+    )
+    rep = checks.check_report(
+        df,
+        [
+            checks.not_null("v"),
+            checks.in_range("v", 0, 100),
+            checks.matches("code", "[A-Z]{2}[0-9]{2}"),
+        ],
+    ).collect()[0]
+    assert rep.n_rows == 4
+    assert rep.viol_v_not_null == 1
+    assert rep.viol_v_in_range == 1
+    assert rep.viol_code_matches == 1
+    bad = checks.violating_rows(df, checks.in_range("v", 0, 100)).collect()
+    assert [r.id for r in bad] == [2]
+    dups = checks.uniqueness_violations(df, ["id"]).collect()
+    assert [(r.id, r.n) for r in dups] == [(1, 2)]
