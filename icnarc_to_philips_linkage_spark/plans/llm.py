@@ -1207,7 +1207,49 @@ FROM t
 """
 
 
+PACK_CONTEXT_LEN = 512
+
+
+def pack_context_windows(spark: SparkSession, sf: str) -> DataFrame:
+    """GPT-style sequence packing: documents laid end-to-end in doc_id
+    order, token stream cut every 512 tokens; one row per (document,
+    window) overlap with the document's slice bounds.
+    ``repartitionByRange`` makes partition-local order == global order,
+    so the distributed prefix sum yields the same layout at ANY
+    partition count (the unit test pins this)."""
+    from icnarc_to_philips_linkage_spark.operators import packing
+    from icnarc_to_philips_linkage_spark.operators.text import token_count
+
+    d = (
+        load(spark, sf, "documents")
+        .select("doc_id", token_count("text").alias("n_tokens"))
+        .repartitionByRange(8, "doc_id")
+    )
+    return packing.pack_sequences(
+        d, context_len=PACK_CONTEXT_LEN
+    )
+
+
+PACK_SQL = f"""
+WITH t AS (
+  SELECT doc_id, len({_TOKS}) AS n FROM documents
+  WHERE len({_TOKS}) > 0
+),
+s AS (
+  SELECT doc_id, n, SUM(n) OVER (ORDER BY doc_id) AS e FROM t
+),
+spans AS (SELECT doc_id, e - n AS ds, e AS de FROM s)
+SELECT w AS window_id, doc_id, ds AS doc_start, de AS doc_end,
+       GREATEST(ds, w * {PACK_CONTEXT_LEN}) AS win_start,
+       LEAST(de, (w + 1) * {PACK_CONTEXT_LEN}) AS win_end
+FROM spans,
+     unnest(generate_series(CAST(FLOOR(ds / {PACK_CONTEXT_LEN}) AS BIGINT),
+                            CAST(FLOOR((de - 1) / {PACK_CONTEXT_LEN}) AS BIGINT))) AS u(w)
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "pack_context_windows": (pack_context_windows, PACK_SQL),
     "decontam_report": (decontam_report, _decontam_sql()),
     "pii_scrub": (pii_scrub, _pii_sql()),
     "reconcile_sources": (reconcile_sources, RECONCILE_SQL),

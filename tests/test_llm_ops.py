@@ -885,3 +885,71 @@ def test_check_report_and_uniqueness(spark):
     assert [r.id for r in bad] == [2]
     dups = checks.uniqueness_violations(df, ["id"]).collect()
     assert [(r.id, r.n) for r in dups] == [(1, 2)]
+
+
+def test_pack_sequences_layout_and_partition_independence(spark):
+    """Hand-checked span layout (docs straddling window boundaries get
+    one row per covered window with correct slice bounds; zero-token
+    docs dropped), and — under repartitionByRange — the SAME layout at
+    any partition count (the distributed prefix sum composes to the
+    global one)."""
+    from pyspark.sql import Row
+
+    from icnarc_to_philips_linkage_spark.operators import packing
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, n_tokens=6), Row(doc_id=2, n_tokens=3),
+         Row(doc_id=3, n_tokens=0),   # dropped
+         Row(doc_id=4, n_tokens=10),  # spans windows 0,1 and 1,2? see calc
+         Row(doc_id=5, n_tokens=2)]
+    )
+    # L=8, order 1,2,4,5: spans 1:[0,6) 2:[6,9) 4:[9,19) 5:[19,21)
+    got = sorted(
+        map(
+            tuple,
+            packing.pack_sequences(
+                docs.repartitionByRange(2, "doc_id"), context_len=8
+            ).collect(),
+        )
+    )
+    want = sorted(
+        [
+            (0, 1, 0, 6, 0, 6),
+            (0, 2, 6, 9, 6, 8),
+            (1, 2, 6, 9, 8, 9),
+            (1, 4, 9, 19, 9, 16),
+            (2, 4, 9, 19, 16, 19),
+            (2, 5, 19, 21, 19, 21),
+        ]
+    )
+    assert got == want
+    for n_parts in (1, 3):
+        again = sorted(
+            map(
+                tuple,
+                packing.pack_sequences(
+                    docs.repartitionByRange(n_parts, "doc_id"), context_len=8
+                ).collect(),
+            )
+        )
+        assert again == want, f"layout differs at {n_parts} partitions"
+
+
+def test_pack_sequences_no_global_window_sort(spark):
+    """The plan must not contain a single-partition global Window —
+    the prefix sum runs partitioned by spark_partition_id."""
+    from icnarc_to_philips_linkage_spark.operators import packing
+    from icnarc_to_philips_linkage_spark.operators.text import token_count
+
+    d = (
+        load(spark, SF_SMOKE, "documents")
+        .select("doc_id", token_count("text").alias("n_tokens"))
+        .repartitionByRange(4, "doc_id")
+    )
+    plan = (
+        packing.pack_sequences(d, context_len=512)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange SinglePartition" not in plan, (
+        f"global-order window would single-partition the corpus:\n{plan}"
+    )

@@ -37,6 +37,7 @@ _BUILD_EXECUTES = {
     "sim_pq_topk",  # pq_train collects codebooks at construction
     "sim_ivfpq_topk",  # same
     "dedup_incremental",  # bloom_bitmap collects the literal bitmap
+    "pack_context_windows",  # prefix-sum partition offsets collect
 }
 
 
