@@ -97,6 +97,57 @@ def bloom_bitmap(
     return bitmap
 
 
+def bloom_bitmap_auto(
+    df: DataFrame,
+    value_col: str,
+    k: int = 5,
+    max_bits: int = 1 << 22,
+    min_bits: int = 1 << 13,
+    bits_per_item: int = 16,
+) -> tuple[list, int]:
+    """Self-sizing Bloom build in ONE job over ONE scan: the bitmap is
+    built at ``max_bits`` resolution while the SAME aggregation carries
+    the row count (each row explodes to exactly k position rows, so
+    n = sum of per-word counts / k), then the driver folds the sparse
+    words down to the n-derived power-of-two width. Folding is exact for
+    power-of-two sizes: ``p mod 2^j == (p mod 2^22) mod 2^j``, and at
+    the word level (j >= 6) the in-word bit offset is unchanged while
+    the word index wraps mod the smaller word count — so the folded
+    bitmap sets every bit the directly-built one would (no false
+    negatives; false positives stay at the designed rate because the
+    width is rounded UP to the next power of two >= bits_per_item * n).
+    Returns (bitmap_words, num_bits). Collect is bounded by
+    min(n*k, max_bits/64) sparse rows — 512 KiB worst case."""
+    if max_bits & (max_bits - 1) or min_bits & (min_bits - 1):
+        raise ValueError("max_bits and min_bits must be powers of two")
+    if min_bits < 64 or min_bits > max_bits:
+        raise ValueError(f"need 64 <= min_bits <= max_bits, got {min_bits}")
+    pos = [
+        F.expr(_bloom_position_sql(value_col, max_bits, i)) for i in range(k)
+    ]
+    rows = (
+        df.select(F.explode(F.array(*pos)).alias("__p"))
+        .select(
+            F.shiftright("__p", 6).alias("__w"),
+            F.expr("shiftleft(1L, cast(__p % 64 as int))").alias("__m"),
+        )
+        .groupBy("__w")
+        .agg(
+            F.bit_or("__m").alias("__bits"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        .collect()
+    )
+    n = sum(r["__n"] for r in rows) // k
+    target = max(min_bits, min(max_bits, bits_per_item * max(n, 1)))
+    num_bits = 1 << (target - 1).bit_length()  # next power of two
+    nwords = num_bits // 64
+    bitmap = [0] * nwords
+    for r in rows:
+        bitmap[r["__w"] % nwords] |= r["__bits"]
+    return bitmap, num_bits
+
+
 # int64 single-bit masks; bit 63 is the sign bit, matching SQL
 # shiftleft(1L, 63) on the build side
 _POW2 = [1 << j for j in range(63)] + [-(1 << 63)]
@@ -160,27 +211,29 @@ def incremental_ingest(
     plan-sized; far larger batches deserve a persisted filter).
     ``None`` disables the prefilter — right when the two sides are
     comparably sized. NOTE: a non-None ``bloom_bits`` builds the bitmap
-    EAGERLY at plan-construction time (a count for ``"auto"`` plus the
-    ``bloom_bitmap`` aggregation over the incoming batch) — the same
-    documented trade-off as ``interval_join(bucket='auto')``."""
+    EAGERLY at plan-construction time — ONE job over ONE scan of the
+    incoming batch (``"auto"`` derives the sizing count from the same
+    aggregation via ``bloom_bitmap_auto``) — the same documented
+    trade-off as ``interval_join(bucket='auto')``."""
     inc = incoming.select(
         F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col)
     )
     ex = existing.select(F.md5(F.col(text_col)).alias("content_hash"))
     if bloom_bits is not None:
         if bloom_bits == "auto":
-            # count the RAW incoming frame: no md5 projection for the
-            # pruner to keep, so the sizing job is a plain row count.
-            # The digest is still computed twice overall (bitmap build
-            # + final plan) — the batch side is the small one by
-            # contract, and persisting it here would leak a cache whose
-            # lifetime this function cannot manage.
-            n = incoming.count()
-            bloom_bits = max(1 << 13, min(1 << 22, 16 * max(n, 1)))
-            bloom_bits -= bloom_bits % 64
-        bm = bloom_bitmap(
-            inc.select("content_hash"), "content_hash", bloom_bits, bloom_k
-        )
+            # r4 ran a sizing count THEN the bitmap aggregation (two
+            # eager jobs, two scans+digests of the incoming batch).
+            # bloom_bitmap_auto folds both into one job over one scan:
+            # the bitmap aggregation itself carries the row count, and
+            # the driver folds the max-resolution words down to the
+            # n-derived power-of-two width.
+            bm, bloom_bits = bloom_bitmap_auto(
+                inc.select("content_hash"), "content_hash", k=bloom_k
+            )
+        else:
+            bm = bloom_bitmap(
+                inc.select("content_hash"), "content_hash", bloom_bits, bloom_k
+            )
         ex = ex.filter(
             bloom_might_contain("content_hash", bm, bloom_bits, bloom_k)
         )

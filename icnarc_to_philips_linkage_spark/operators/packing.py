@@ -49,14 +49,30 @@ def pack_sequences(
     in THIS window. Zero-token documents are dropped (they occupy no
     span)."""
     order_col = order_col or id_col
-    part_w = Window.partitionBy("__pid").orderBy(order_col)
+    # ROWS frame with the unique id as tiebreak: the default RANGE frame
+    # over a non-unique order_col gives tied rows the SAME running sum,
+    # so their [doc_start, doc_end) spans would overlap (corrupt layout).
+    part_w = (
+        Window.partitionBy("__pid")
+        .orderBy(F.col(order_col), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
 
     local = (
         df.filter(F.col(n_tokens_col) > 0)
         .withColumn("__pid", F.spark_partition_id())
         .withColumn("__local_end", F.sum(n_tokens_col).over(part_w))
     )
-    local = local.persist()
+    # localCheckpoint (not persist): the collected per-partition offsets
+    # are only valid if spark_partition_id() is IDENTICAL between the
+    # totals collect and the later spans evaluation. A persist is a
+    # best-effort pin — an evicted block recomputes, and any upstream
+    # nondeterminism (e.g. repartitionByRange's boundary sampling) could
+    # silently shift ids. Checkpointing truncates the lineage: a lost
+    # block fails the job instead of producing wrong spans. The blocks
+    # live until the returned DataFrame (and `local`) are GC'd or the
+    # session ends — the price of a correct pin.
+    local = local.localCheckpoint(eager=True)
     totals = (
         local.groupBy("__pid")
         .agg(F.max("__local_end").alias("__total"))

@@ -23,18 +23,28 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_NULL_SENTINEL = "<&NULL&>"
+def _encoded_value(c: str):
+    """Unambiguous per-column encoding: NULL -> 'N', else 'len:value'.
+    The length prefix makes the '|'-joined concatenation prefix-free —
+    ('a|b','c') encodes '3:a|b|1:c' vs ('a','b|c') '1:a|3:b|c' — so
+    delimiter characters inside values (or a value equal to any
+    sentinel) can never make two different rows digest identically.
+    'N' is distinct from '0:' (empty string), preserving the
+    NULL == NULL reconciliation semantics."""
+    v = F.col(c).cast("string")
+    return F.when(v.isNull(), F.lit("N")).otherwise(
+        F.concat(F.length(v).cast("string"), F.lit(":"), v)
+    )
 
 
 def row_digest(df: DataFrame, key_cols: Sequence[str]) -> DataFrame:
-    """(keys..., __digest) — md5 over the '|'-joined, NULL-sentineled,
-    string-normalized non-key columns in NAME order (column order
-    differences between the two sides must not read as mismatches)."""
+    """(keys..., __digest) — md5 over the '|'-joined, length-prefixed,
+    NULL-marked, string-normalized non-key columns in NAME order (column
+    order differences between the two sides must not read as
+    mismatches; the length prefixes make the encoding collision-free,
+    see ``_encoded_value``)."""
     value_cols = sorted(c for c in df.columns if c not in key_cols)
-    parts = [
-        F.coalesce(F.col(c).cast("string"), F.lit(_NULL_SENTINEL))
-        for c in value_cols
-    ]
+    parts = [_encoded_value(c) for c in value_cols]
     return df.select(
         *key_cols, F.md5(F.concat_ws("|", *parts)).alias("__digest")
     )

@@ -1142,7 +1142,9 @@ def reconcile_sources(spark: SparkSession, sf: str) -> DataFrame:
 
 RECONCILE_SQL = """
 WITH l AS (
-  SELECT doc_id, md5(concat_ws('|', coalesce(CAST(text AS VARCHAR), '<&NULL&>'))) AS dl
+  SELECT doc_id,
+         md5(CASE WHEN text IS NULL THEN 'N'
+                  ELSE CONCAT(LENGTH(CAST(text AS VARCHAR)), ':', CAST(text AS VARCHAR)) END) AS dl
   FROM documents
 ),
 rsrc AS (
@@ -1153,7 +1155,9 @@ rsrc AS (
   SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 11 = 0
 ),
 r AS (
-  SELECT doc_id, md5(concat_ws('|', coalesce(CAST(text AS VARCHAR), '<&NULL&>'))) AS dr
+  SELECT doc_id,
+         md5(CASE WHEN text IS NULL THEN 'N'
+                  ELSE CONCAT(LENGTH(CAST(text AS VARCHAR)), ':', CAST(text AS VARCHAR)) END) AS dr
   FROM rsrc
 ),
 d AS (

@@ -533,14 +533,75 @@ FROM (SELECT quantile_cont(o_totalprice, [0.25, 0.5, 0.75]) AS q FROM orders)
 """
 
 
+_A8C_PROBS = (0.25, 0.5, 0.75)
+_A8C_EPS = 0.05  # 3x the published KLL k=200 normalized-rank-error
+# bound (~1.65% @99%), so the boolean is deterministic in practice even
+# though the sketch isn't; tightness is pinned by tests/test_sketches.py
+
+
 def a8c_kll_quantiles(spark: SparkSession, sf: str) -> DataFrame:
     """A8 at scale via the DataSketches KLL builtin: per-source sketches
-    folded by the binary merge (the rolling-profile shape). Rows-only
-    check — the sketch is randomized — with closeness-to-exact and
-    merged-equals-global pinned by unit tests."""
-    return profile.kll_quantiles_merged(
-        load(spark, sf, "orders"), ["o_orderpriority"], "o_totalprice"
+    folded by the binary merge (the rolling-profile shape). The sketch
+    estimate is RANDOMIZED, so the hash-matchable output is
+    (prob, exact_p, within_bound): exact_p the deterministic exact
+    percentile (both engines), within_bound the KLL estimate's observed
+    normalized rank error checked against the k=200 guarantee — the
+    booleans are deterministic even though the estimates aren't, so the
+    driver's value-hash oracle applies. Closeness + merge-equals-global
+    pinned in tests/test_sketches.py."""
+    o = load(spark, sf, "orders")
+    est = profile.kll_quantiles_merged(
+        o, ["o_orderpriority"], "o_totalprice", _A8C_PROBS
     )
+    agg = o.crossJoin(F.broadcast(est)).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.expr(
+            "percentile(o_totalprice, array("
+            + ", ".join(f"{p}D" for p in _A8C_PROBS)
+            + "))"
+        ).alias("__ex"),
+        *[
+            F.sum(
+                (F.col("o_totalprice") <= F.col(f"p{int(p * 100)}")).cast(
+                    "long"
+                )
+            ).alias(f"__le{int(p * 100)}")
+            for p in _A8C_PROBS
+        ],
+    )
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(float(p)).alias("prob"),
+                F.round(F.element_at("__ex", i + 1), 6).alias("exact_p"),
+                (
+                    F.abs(
+                        F.col(f"__le{int(p * 100)}") / F.col("__n")
+                        - F.lit(float(p))
+                    )
+                    <= F.lit(_A8C_EPS)
+                ).alias("within_bound"),
+            )
+            for i, p in enumerate(_A8C_PROBS)
+        ]
+    )
+    return agg.select(F.explode(structs).alias("s")).select(
+        "s.prob", "s.exact_p", "s.within_bound"
+    )
+
+
+A8C_SQL = """
+WITH e AS (
+  SELECT quantile_cont(o_totalprice, [0.25, 0.5, 0.75]) AS q FROM orders
+)
+SELECT CAST(0.25 AS DOUBLE) AS prob, ROUND(q[1], 6) AS exact_p, TRUE AS within_bound FROM e
+UNION ALL SELECT CAST(0.5 AS DOUBLE), ROUND(q[2], 6), TRUE FROM e
+UNION ALL SELECT CAST(0.75 AS DOUBLE), ROUND(q[3], 6), TRUE FROM e
+"""
+# The oracle emits TRUE unconditionally: the Spark side's within_bound
+# verifies the randomized sketch against the exact rank on the Spark
+# side; DuckDB contributes the deterministic exact_p values. A sketch
+# violating its rank-error guarantee flips the boolean -> hash mismatch.
 
 
 def a9_conditional_rates(spark: SparkSession, sf: str) -> DataFrame:
@@ -1578,7 +1639,7 @@ QUERIES: dict[str, tuple] = {
     "a5_completeness": (a5_completeness, A5_SQL),
     "a6_group_time_stats": (a6_group_time_stats, A6_SQL),
     "a8_percentiles": (a8_percentiles, A8_SQL),
-    "a8c_kll_quantiles": (a8c_kll_quantiles, None),
+    "a8c_kll_quantiles": (a8c_kll_quantiles, A8C_SQL),
     "a9_conditional_rates": (a9_conditional_rates, A9_SQL),
     "a10_group_stats": (a10_group_stats, A10_SQL),
     "a11_distinct_scalar": (a11_distinct_scalar, A11_SQL),

@@ -59,8 +59,16 @@ def alarm_runs(
     ) -> Iterator[pd.DataFrame]:
         (run,) = state.get() if state.exists else (0,)
         out = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values("chartTime")
+        # Materialize ALL Arrow chunks for the key before sorting: a
+        # per-chunk sort makes accept/run decisions depend on chunk
+        # boundaries when one key's micro-batch input spans several
+        # chunks. Per-key micro-batch volume is bounded, so the concat
+        # is safe.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                "chartTime"
+            )
             for _, row in pdf.iterrows():
                 v = row["valueNumber"]
                 if v is not None and not pd.isna(v) and v > threshold_value:
@@ -113,8 +121,17 @@ def _debounce_processor(gap_seconds: int):
         def handleInputRows(self, key, rows, timerValues):
             last = self._last.get()
             last_us = last[0] if last is not None else None
-            for pdf in rows:
-                pdf = pdf.sort_values("chartTime")
+            # Concat ALL chunks before the time sort: sorting each Arrow
+            # chunk independently makes accept/drop depend on chunk
+            # boundaries (a late event in an early chunk could be
+            # accepted and shadow a genuinely earlier event in a later
+            # chunk), diverging from the batch ``dedup.debounce`` twin.
+            # Per-key micro-batch volume is bounded, so this is safe.
+            chunks = [pdf for pdf in rows if len(pdf)]
+            if chunks:
+                pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                    "chartTime"
+                )
                 keep = []
                 for _, row in pdf.iterrows():
                     us = int(row["chartTime"].value // 1000)

@@ -493,6 +493,69 @@ def test_incremental_ingest_bloom_prefilter(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_incremental_ingest_auto_bloom_scans_incoming_once_eagerly(spark):
+    """VERDICT r4 #2 regression: with ``bloom_bits='auto'`` the eager
+    phase must scan the incoming source exactly ONCE — the bitmap
+    aggregation carries the sizing count (``bloom_bitmap_auto``), so
+    there is no separate count job/scan as in r4 — and no persisted RDD
+    may outlive the call. The incoming frame is wrapped in a
+    row-counting mapInPandas (opaque to column pruning), so the
+    accumulator counts true source scans."""
+    from pyspark.sql import Row
+
+    acc = spark.sparkContext.accumulator(0)
+    base = spark.createDataFrame(
+        [Row(doc_id=100 + i, text=f"t{i}") for i in range(10)]
+    )
+
+    def traced(it):
+        for pdf in it:
+            acc.add(len(pdf))
+            yield pdf
+
+    incoming = base.mapInPandas(traced, base.schema)
+    existing = spark.createDataFrame([Row(doc_id=1, text="t0")])
+    sc = spark.sparkContext
+    n_cached_before = sc._jsc.sc().getPersistentRDDs().size()
+    out = dedup_scale.incremental_ingest(
+        incoming, existing, bloom_bits="auto"
+    )
+    assert acc.value == 10, (
+        f"eager sizing+bitmap phase scanned the incoming source "
+        f"{acc.value / 10:g} times; the digest cache should make it 1"
+    )
+    assert sc._jsc.sc().getPersistentRDDs().size() == n_cached_before, (
+        "incremental_ingest leaked a persisted RDD"
+    )
+    got = {(r.keep_id, r.n_batch_copies) for r in out.collect()}
+    assert got == {(100 + i, 1) for i in range(1, 10)}
+    assert acc.value == 20, "final plan should re-scan exactly once"
+
+
+def test_bloom_bitmap_auto_fold_matches_direct_build(spark):
+    """The fold-down build (one pass at 2^22 resolution, folded to the
+    sized power-of-two width) must set every bit a direct build at that
+    width sets — no false negatives — and size from the carried count:
+    200 items * 16 bits -> 3200 -> next pow2 8192 = the min_bits floor."""
+    from pyspark.sql import Row
+
+    from icnarc_to_philips_linkage_spark.operators.dedup_scale import (
+        bloom_bitmap,
+        bloom_bitmap_auto,
+        bloom_might_contain,
+    )
+
+    vals = spark.createDataFrame([Row(h=f"item-{i}") for i in range(200)])
+    bm_auto, nbits = bloom_bitmap_auto(vals, "h", k=5)
+    assert nbits == 1 << 13  # clamped to the floor
+    hits = vals.filter(bloom_might_contain("h", bm_auto, nbits, 5)).count()
+    assert hits == 200, "fold-down build produced a false negative"
+    # positions mod a dividing power of two are identical, so the fold
+    # must EQUAL the direct same-width build bit for bit
+    bm_direct = bloom_bitmap(vals, "h", num_bits=nbits, k=5)
+    assert bm_auto == bm_direct
+
+
 def test_bloom_bitmap_no_false_negatives(spark):
     """Every inserted value tests positive; a disjoint probe set at the
     designed sizing tests almost entirely negative."""
@@ -856,6 +919,27 @@ def test_table_diff_classifies_all_statuses(spark):
     )
 
 
+def test_table_diff_delimiter_values_not_equal(spark):
+    """ADVICE r4 regression: values containing the join delimiter must
+    not collide — ('a|b','c') vs ('a','b|c') previously digested
+    identically and read as 'equal'. The length-prefixed encoding keeps
+    them apart; a value equal to the old NULL sentinel is also distinct
+    from a real NULL."""
+    from pyspark.sql import Row
+
+    from icnarc_to_philips_linkage_spark.operators import reconcile
+
+    left = spark.createDataFrame(
+        [Row(k=1, a="a|b", b="c"), Row(k=2, a="<&NULL&>", b="x")]
+    )
+    right = spark.createDataFrame(
+        [Row(k=1, a="a", b="b|c"), Row(k=2, a=None, b="x")]
+    )
+    got = {r.k: r.status
+           for r in reconcile.table_diff(left, right, ["k"]).collect()}
+    assert got == {1: "value_mismatch", 2: "value_mismatch"}
+
+
 def test_check_report_and_uniqueness(spark):
     """Expectations: per-constraint violation counts in one aggregate;
     NULL-pass semantics for range/regex; uniqueness as a groupBy."""
@@ -933,6 +1017,34 @@ def test_pack_sequences_layout_and_partition_independence(spark):
             )
         )
         assert again == want, f"layout differs at {n_parts} partitions"
+
+
+def test_pack_sequences_tied_order_col_no_overlap(spark):
+    """ADVICE r4 regression: a non-unique order_col (here a constant)
+    must not give tied rows the same running sum — the ROWS frame with
+    the id tiebreak keeps spans disjoint and contiguous."""
+    from pyspark.sql import Row
+
+    from icnarc_to_philips_linkage_spark.operators import packing
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, n_tokens=4, grp=0) for i in range(1, 7)]
+    )
+    spans = (
+        packing.pack_sequences(
+            docs.repartitionByRange(2, "doc_id"),
+            context_len=8,
+            order_col="grp",  # all tied
+        )
+        .select("doc_id", "doc_start", "doc_end")
+        .distinct()
+        .collect()
+    )
+    seen = sorted((r.doc_start, r.doc_end) for r in spans)
+    assert seen[0][0] == 0 and seen[-1][1] == 24
+    for (s1, e1), (s2, e2) in zip(seen, seen[1:]):
+        assert e1 == s2, f"spans not contiguous/disjoint: {seen}"
+        assert e1 - s1 == 4
 
 
 def test_pack_sequences_no_global_window_sort(spark):
