@@ -319,11 +319,37 @@ def lsh_bands(
     return sig.select(F.col(id_col), F.expr(stack))
 
 
-def lsh_candidate_pairs(bands_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def lsh_candidate_pairs(
+    bands_df: DataFrame,
+    id_col: str = "doc_id",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
     """Distinct candidate pairs (a < b) sharing any band bucket — an
     equi-join on (band_idx, band_hash), the step that replaces the O(n²)
     scan. Dedup via DISTINCT keeps one row per pair regardless of how
-    many bands collide."""
+    many bands collide.
+
+    ``max_bucket_size`` is the skew guard: a boilerplate-heavy corpus
+    (license headers, templated pages) sends thousands of documents to
+    ONE (band, hash) bucket, and the self-join squares it — 10k docs in
+    a bucket is 10^8 candidate rows through a single join key, the
+    classic LSH mega-bucket blowup AQE's skew-split can spread across
+    tasks but not shrink. Buckets larger than the cap are DROPPED before
+    the join (a window count over the same shuffle key the join needs —
+    no extra exchange). Recall cost is explicitly bounded: a dropped
+    bucket's documents are near-identical boilerplate whose EXACT
+    duplicates the digest-groupBy dedup already collapses, and genuinely
+    similar pairs still meet in their other, smaller band buckets.
+    ``None`` keeps every bucket."""
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band_idx", "band_hash")
+        bands_df = (
+            bands_df.withColumn("__bsz", F.count(F.lit(1)).over(w))
+            .filter(F.col("__bsz") <= max_bucket_size)
+            .drop("__bsz")
+        )
     a = bands_df.select(
         F.col(id_col).alias("id_a"), "band_idx", "band_hash"
     )
@@ -377,6 +403,7 @@ def minhash_lsh_dedup(
     k: int = 8,
     bands: int = 4,
     threshold: float = 0.4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Full pipeline: shingle sets → MinHash → LSH bands → candidate
     pairs → exact-Jaccard verify → near-duplicate pairs above threshold.
@@ -397,7 +424,9 @@ def minhash_lsh_dedup(
         StorageLevel.MEMORY_AND_DISK
     )
     sig = minhash_signatures_arr(sets, id_col, k)
-    cand = lsh_candidate_pairs(lsh_bands(sig, id_col, k, bands), id_col)
+    cand = lsh_candidate_pairs(
+        lsh_bands(sig, id_col, k, bands), id_col, max_bucket_size
+    )
     sh_a = sets.select(F.col(id_col).alias("id_a"), F.col("sh_arr").alias("__sh_a"))
     sh_b = sets.select(F.col(id_col).alias("id_b"), F.col("sh_arr").alias("__sh_b"))
     common = F.size(F.array_intersect("__sh_a", "__sh_b"))

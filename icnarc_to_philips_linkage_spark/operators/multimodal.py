@@ -2,12 +2,16 @@
 columns with typed metadata.
 
 The Spark-side plumbing here is real and tested — schemas, Arrow-batched
-``mapInPandas`` signatures, partition behavior. The *codec* step (actual
-JPEG/WAV/MP4 decode) is stubbed: the container has no image/audio
-libraries, so ``decode_media`` raises ``NotImplementedError`` unless
-``fake=True``, which substitutes a deterministic md5-derived fake
-decode. Swapping in a real codec changes ONE function body and nothing
-about the distributed plan.
+``mapInPandas`` signatures, partition behavior. The *metadata* decode is
+real and dependency-free for the two most common container formats:
+PNG dimensions (IHDR parse) and WAV duration (fmt/data chunk walk) in
+pure Python inside the ``mapInPandas`` batches. PIXEL/PCM decode beyond
+that is the optional-library upgrade (Pillow for other image formats,
+PyAV for audio/video), resolved at decode time on the executor;
+``decode_media`` raises ``NotImplementedError`` where the needed
+library is absent, and ``fake=True`` substitutes a deterministic
+md5-derived fake decode for tests. Swapping in a codec changes ONE
+function body and nothing about the distributed plan.
 
 Scale design: media payloads travel as Arrow binary batches; per-batch
 Python cost is amortized via ``mapInPandas`` (never row-at-a-time UDFs);
@@ -27,6 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    DoubleType,
     FloatType,
     IntegerType,
     LongType,
@@ -54,6 +59,7 @@ DECODED_SCHEMA = StructType(
         StructField("height", IntegerType(), True),
         StructField("n_frames", IntegerType(), True),
         StructField("content_hash", StringType(), True),
+        StructField("duration_s", DoubleType(), True),  # audio/video only
     ]
 )
 
@@ -90,24 +96,73 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int, str]:
     return width, height, n_frames, digest
 
 
+def _parse_png_ihdr(payload: bytes) -> tuple[int, int] | None:
+    """Pure-Python PNG metadata: the 8-byte signature is immediately
+    followed by the IHDR chunk (length, 'IHDR', width, height as
+    big-endian u32 — PNG spec mandates IHDR first). Returns
+    (width, height) or None if the payload is not a PNG."""
+    if (
+        len(payload) >= 24
+        and payload[:8] == b"\x89PNG\r\n\x1a\n"
+        and payload[12:16] == b"IHDR"
+    ):
+        width = int.from_bytes(payload[16:20], "big")
+        height = int.from_bytes(payload[20:24], "big")
+        if width > 0 and height > 0:
+            return width, height
+    return None
+
+
+def _parse_wav_header(payload: bytes) -> tuple[int, float] | None:
+    """Pure-Python RIFF/WAVE metadata: walk the chunk list for 'fmt '
+    (sample rate, block align) and 'data' (payload size); duration =
+    data_size / block_align / sample_rate. Returns
+    (n_sample_frames, duration_s) or None if not a parseable WAV."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos, sample_rate, block_align, data_size = 12, None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            sample_rate = int.from_bytes(body[4:8], "little")
+            block_align = int.from_bytes(body[12:14], "little")
+        elif cid == b"data":
+            data_size = size
+        pos += 8 + size + (size % 2)  # RIFF chunks are word-aligned
+    if sample_rate and block_align and data_size is not None:
+        n_frames = data_size // block_align
+        return n_frames, n_frames / sample_rate
+    return None
+
+
 def _real_decode(payload: bytes, media_type: str):
-    """Real codec step, resolved by optional import AT DECODE TIME (on
-    the executor): Pillow for images when installed; audio/video would
-    take PyAV the same way. Raises NotImplementedError when the library
-    for the media type is absent — so the same code runs real decodes
+    """Real codec step. Container-format metadata (PNG IHDR dimensions,
+    WAV fmt/data duration) is parsed in dependency-free pure Python —
+    testable anywhere — and the general-codec upgrade resolves by
+    optional import AT DECODE TIME (on the executor): Pillow for
+    non-PNG images when installed; audio beyond WAV / video would take
+    PyAV the same way. Raises NotImplementedError when the library a
+    payload needs is absent — so the same code runs real decodes
     wherever the executor image ships the libs, and degrades to the
     explicit stub error here (no image/audio libs in this container).
-    Returns (width, height, n_frames, digest) or None for an
-    undecodable payload (quarantine row, NULL metadata)."""
+    Returns (width, height, n_frames, digest, duration_s) or None for
+    an undecodable payload (quarantine row, NULL metadata)."""
+    digest = hashlib.md5(payload).hexdigest()
     if media_type == "image":
+        png = _parse_png_ihdr(payload)
+        if png is not None:
+            return png[0], png[1], 1, digest, None
         try:
             import io
 
             from PIL import Image
         except ImportError as e:
             raise NotImplementedError(
-                "real image decode requires Pillow; not installed in this "
-                "container — pass fake=True for the deterministic stub"
+                "real non-PNG image decode requires Pillow; not installed "
+                "in this container — pass fake=True for the deterministic "
+                "stub"
             ) from e
         try:
             with Image.open(io.BytesIO(payload)) as img:
@@ -115,7 +170,16 @@ def _real_decode(payload: bytes, media_type: str):
                 n_frames = int(getattr(img, "n_frames", 1))
         except Exception:
             return None  # undecodable payload -> NULL-metadata row
-        return width, height, n_frames, hashlib.md5(payload).hexdigest()
+        return width, height, n_frames, digest, None
+    if media_type == "audio":
+        wav = _parse_wav_header(payload)
+        if wav is not None:
+            return None, None, wav[0], digest, wav[1]
+        raise NotImplementedError(
+            "real non-WAV audio decode requires an av/ffmpeg binding; "
+            "not installed in this container — pass fake=True for the "
+            "deterministic stub"
+        )
     raise NotImplementedError(
         f"real {media_type} decode requires an av/ffmpeg binding; not "
         "installed in this container — pass fake=True for the "
@@ -137,19 +201,23 @@ def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
                 pdf["media_id"], pdf["media_type"], pdf["payload"]
             ):
                 if payload is None:
-                    rows.append((media_id, media_type, None, None, None, None, None))
+                    rows.append(
+                        (media_id, media_type, None, None, None, None, None, None)
+                    )
                     continue
-                decoded = (
-                    _fake_decode(bytes(payload))
-                    if fake
-                    else _real_decode(bytes(payload), media_type)
-                )
+                if fake:
+                    w, h, nf, digest = _fake_decode(bytes(payload))
+                    decoded = (w, h, nf, digest, None)
+                else:
+                    decoded = _real_decode(bytes(payload), media_type)
                 if decoded is None:
-                    rows.append((media_id, media_type, len(payload), None, None, None, None))
+                    rows.append(
+                        (media_id, media_type, len(payload), None, None, None, None, None)
+                    )
                     continue
-                w, h, nf, digest = decoded
+                w, h, nf, digest, dur = decoded
                 rows.append(
-                    (media_id, media_type, len(payload), w, h, nf, digest)
+                    (media_id, media_type, len(payload), w, h, nf, digest, dur)
                 )
             yield pd.DataFrame(
                 rows, columns=[f.name for f in DECODED_SCHEMA.fields]

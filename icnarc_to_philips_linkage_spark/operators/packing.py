@@ -31,8 +31,14 @@ registered query does) or accept pack-order = (partition, order_col).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+)
 
 
 def pack_sequences(
@@ -114,4 +120,99 @@ def pack_sequences(
         "doc_end",
         F.greatest(F.col("doc_start"), win_lo).alias("win_start"),
         F.least(F.col("doc_end"), win_lo + L).alias("win_end"),
+    )
+
+
+FFD_SCHEMA = StructType(
+    [
+        StructField("bin_id", LongType(), False),
+        StructField("doc_id", LongType(), False),
+        StructField("n_tokens", LongType(), False),
+        StructField("bin_offset", LongType(), False),
+    ]
+)
+
+
+def pack_bins_ffd(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_tokens_col: str = "n_tokens",
+    context_len: int = 2048,
+    num_groups: int = 64,
+) -> DataFrame:
+    """Best-fit packing variant: first-fit-decreasing (FFD) bin packing
+    — documents are NEVER split across training sequences (the other
+    standard LLM batching layout, vs ``pack_sequences``' concat-then-
+    split which fills every window but slices documents).
+
+    Greedy FFD is inherently sequential, so the distributed shape is
+    partition-then-pack: documents hash deterministically into
+    ``num_groups`` groups (``pmod(xxhash64(id), G)`` — stable across
+    partitionings/engines), and each group runs classic FFD in one
+    ``applyInPandas`` call (sort by length desc then id asc; place each
+    doc in the first bin it fits, else open a new bin). Size
+    ``num_groups`` so a group's (id, n_tokens) pairs fit an executor —
+    the pack never touches text, only lengths. FFD guarantees
+    <= 11/9·OPT + 1 bins PER GROUP; grouping costs a little fill at the
+    margins but is what makes the layout computable at corpus scale.
+
+    Output: one row per document — (bin_id, doc_id, n_tokens,
+    bin_offset), ``bin_id = group * 2^32 + bin_within_group`` (globally
+    unique), ``bin_offset`` the doc's token start inside its bin.
+    Documents with n_tokens <= 0 or > context_len are dropped (an
+    oversize doc cannot be packed whole; pre-chunk upstream with
+    ``text.chunk_windows`` if it must survive). Fully deterministic —
+    no RNG, no partition-id dependence."""
+    if context_len < 1 or num_groups < 1:
+        raise ValueError(
+            f"need context_len >= 1 and num_groups >= 1, got "
+            f"{context_len}, {num_groups}"
+        )
+
+    docs = df.filter(
+        (F.col(n_tokens_col) > 0) & (F.col(n_tokens_col) <= context_len)
+    ).select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(n_tokens_col).cast("long").alias("n_tokens"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_groups)).alias("__grp"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True]
+        )
+        grp = int(pdf["__grp"].iloc[0])
+        base = grp << 32
+        remaining: list[int] = []  # free tokens per open bin
+        out = []
+        for doc_id, n in zip(pdf["doc_id"], pdf["n_tokens"]):
+            n = int(n)
+            for b, free in enumerate(remaining):
+                if free >= n:
+                    out.append((base + b, int(doc_id), n, context_len - free))
+                    remaining[b] = free - n
+                    break
+            else:
+                out.append((base + len(remaining), int(doc_id), n, 0))
+                remaining.append(context_len - n)
+        return pd.DataFrame(
+            out, columns=[f.name for f in FFD_SCHEMA.fields]
+        )
+
+    return docs.groupBy("__grp").applyInPandas(pack, FFD_SCHEMA)
+
+
+def fill_report(packed: DataFrame, context_len: int) -> DataFrame:
+    """One row of packing efficiency for a ``pack_bins_ffd`` layout:
+    n_bins / n_docs / total_tokens / fill_rate (fraction of bin capacity
+    carrying real tokens). One aggregate, no shuffle beyond it."""
+    return packed.agg(
+        F.countDistinct("bin_id").alias("n_bins"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(
+            F.sum("n_tokens")
+            / (F.countDistinct("bin_id") * F.lit(context_len)),
+            6,
+        ).alias("fill_rate"),
     )

@@ -74,16 +74,40 @@ def pq_train(
     max_iter: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_train_rows: int | None = 65536,
 ) -> list:
     """Train per-subspace codebooks; returns ``codebooks[s][c]`` as
     plain Python lists (m·ksub·dim/m floats — driver/literal sized by
-    construction). One corpus pass per iteration for ALL subspaces."""
+    construction). One training pass per iteration for ALL subspaces.
+
+    ``max_train_rows`` caps training cost the standard PQ way: the
+    codebooks have only m·ksub·(dim/m) = dim·ksub parameters, so a
+    bounded sample (FAISS-style practice is <=256k vectors) trains them
+    as well as the full corpus — at 100 TB, caching and iterating over
+    every vector would be pure waste. The sample is the engine's
+    deterministic hash sample (membership = f(salt, id) — independent of
+    partitioning, ordering, engine), so training stays byte-reproducible.
+    Encode/search always run over the FULL corpus. ``None`` trains on
+    everything."""
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
+    if max_train_rows is not None and max_train_rows < ksub:
+        raise ValueError(
+            f"max_train_rows {max_train_rows} must be >= ksub {ksub}"
+        )
     d = dim // m
     points = df.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
-    ).cache()
+    )
+    if max_train_rows is not None:
+        n = points.count()
+        if n > max_train_rows:
+            from icnarc_to_philips_linkage_spark.operators import sampling
+
+            points = sampling.hash_sample(
+                points, "vec_id", max_train_rows / n, salt="pq_train"
+            )
+    points = points.cache()
     seed = [
         [float(x) for x in r.embedding]
         for r in points.orderBy("vec_id").limit(ksub).collect()

@@ -468,7 +468,16 @@ def _pq_books(spark: SparkSession, sf: str) -> list:
         from icnarc_to_philips_linkage_spark.operators import pq
 
         _PQ_BOOKS_CACHE[sf] = pq.pq_train(
-            load(spark, sf, "embeddings"), dim=DIM, m=8, ksub=16, max_iter=2
+            load(spark, sf, "embeddings"),
+            dim=DIM,
+            m=8,
+            ksub=16,
+            max_iter=2,
+            # dim*ksub = 1024 codebook params: 16k deterministic-sample
+            # vectors train them as well as the full corpus, and the
+            # training passes stop scaling with corpus size (FAISS-style
+            # train-on-sample; VERDICT r4 #3)
+            max_train_rows=16384,
         )
     return _PQ_BOOKS_CACHE[sf]
 
@@ -1252,8 +1261,25 @@ FROM spans,
 """
 
 
+def pack_bins_ffd(spark: SparkSession, sf: str) -> DataFrame:
+    """First-fit-decreasing whole-document bin packing into 512-token
+    bins, hash-grouped for distribution. Greedy layout is not
+    SQL-expressible — rows-only check; determinism, disjointness and
+    fill bounds pinned in tests/test_llm_ops.py."""
+    from icnarc_to_philips_linkage_spark.operators import packing
+    from icnarc_to_philips_linkage_spark.operators.text import token_count
+
+    d = load(spark, sf, "documents").select(
+        "doc_id", token_count("text").alias("n_tokens")
+    )
+    return packing.pack_bins_ffd(
+        d, context_len=PACK_CONTEXT_LEN, num_groups=8
+    )
+
+
 QUERIES: dict[str, tuple] = {
     "pack_context_windows": (pack_context_windows, PACK_SQL),
+    "pack_bins_ffd": (pack_bins_ffd, None),
     "decontam_report": (decontam_report, _decontam_sql()),
     "pii_scrub": (pii_scrub, _pii_sql()),
     "reconcile_sources": (reconcile_sources, RECONCILE_SQL),
