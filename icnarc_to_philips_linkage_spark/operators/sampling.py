@@ -158,3 +158,81 @@ def weighted_hash_sample(
         .filter(hash_bucket(id_col, salt) < thr)
         .drop("__wmax")
     )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    id_col: str,
+    epoch: int,
+    salt: str = "epoch",
+    key_col: str = "shuffle_key",
+) -> DataFrame:
+    """Deterministic per-epoch global shuffle order for training data:
+    ``key = md5('{salt}:{epoch}:{id}')`` — a different but fully
+    reproducible permutation each epoch, independent of partitioning,
+    file layout, and engine (the property a training data loader needs
+    to replay epoch N exactly after a restart, and the reason not to
+    use ``orderBy(rand(seed))``, whose draw depends on partitioning).
+
+    Map-only: this just attaches the key. Ordering by it is Spark's
+    range-partitioned distributed sort (sampled boundaries, then
+    per-partition sorts — the TeraSort shape, no single-task
+    bottleneck); writers persist the order with
+    ``repartitionByRange(key_col)`` + ``sortWithinPartitions``."""
+    key = F.md5(
+        F.concat(
+            F.lit(f"{salt}:{epoch}:"), F.col(id_col).cast("string")
+        )
+    )
+    return df.withColumn(key_col, key)
+
+
+def mixture_balance(
+    df: DataFrame,
+    id_col: str,
+    domain_col: str,
+    target_shares: dict[str, float],
+    salt: str = "mixture",
+) -> DataFrame:
+    """Domain-mixture balancing — the pretraining-pipeline step that
+    downsamples over-represented domains so the corpus matches a target
+    mixture (e.g. 40% en / 20% each de-fr-es) WITHOUT upsampling: the
+    output is the largest corpus every domain can supply its share of,
+    ``N = min_d(count_d / share_d)``, and each domain keeps
+    ``share_d * N / count_d`` of its documents.
+
+    One eager aggregate collects the per-domain counts (bounded by the
+    domain count — the k-means-centroids pattern); membership is then
+    the deterministic per-stratum hash predicate (map-side, no shuffle,
+    engine-portable, partition-independent). Domains absent from the
+    target mixture are dropped. ``target_shares`` must sum to ~1 (no
+    silent normalization: renormalizing in floats would make the
+    fractions engine-order-dependent); fractions are rounded to 6dp
+    before the hex threshold so both engines agree
+    (``weighted_hash_sample`` precedent). The realized mixture is
+    Bernoulli-approximate per domain, exact in expectation."""
+    total = sum(target_shares.values())
+    if abs(total - 1.0) > 1e-6:
+        raise ValueError(f"target_shares must sum to 1, got {total}")
+    counts = {
+        r["__dom"]: r["__c"]
+        for r in df.groupBy(F.col(domain_col).alias("__dom"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .collect()
+    }
+    avail = {
+        d: s for d, s in target_shares.items() if s > 0 and counts.get(d)
+    }
+    if not avail:
+        raise ValueError(
+            f"no target domain present in the data; targets "
+            f"{sorted(target_shares)}, present {sorted(counts)}"
+        )
+    n_out = min(counts[d] / s for d, s in avail.items())
+    fracs = {
+        d: round(min(1.0, s * n_out / counts[d]), 6)
+        for d, s in avail.items()
+    }
+    return stratified_hash_sample(
+        df, id_col, domain_col, fracs, default_fraction=0.0, salt=salt
+    )

@@ -780,6 +780,60 @@ GROUP BY lang
 """
 
 
+def sample_epoch_shuffle(spark: SparkSession, sf: str) -> DataFrame:
+    """First 100 documents of the epoch-1 deterministic shuffle order —
+    the reproducible data-loader permutation (different per epoch,
+    identical across engines/partitionings)."""
+    d = sampling.epoch_shuffle(
+        load(spark, sf, "documents"), "doc_id", epoch=1
+    )
+    return (
+        d.orderBy("shuffle_key", "doc_id")
+        .limit(100)
+        .select("doc_id", "shuffle_key")
+    )
+
+
+EPOCH_SHUFFLE_SQL = """
+SELECT doc_id, md5('epoch:1:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+FROM documents ORDER BY 2, 1 LIMIT 100
+"""
+
+MIXTURE_TARGET = {"en": 0.4, "de": 0.2, "fr": 0.2, "es": 0.2}  # zh drops
+
+
+def sample_mixture_balance(spark: SparkSession, sf: str) -> DataFrame:
+    """Domain-mixture balancing to 40/20/20/20 en/de/fr/es (zh outside
+    the target mixture drops), summarized per language. The keep
+    fractions derive from the data (largest no-upsampling corpus), the
+    membership from the deterministic hash — both engines replicate the
+    arithmetic exactly (6dp rounding before the hex threshold)."""
+    docs = load(spark, sf, "documents")
+    bal = sampling.mixture_balance(docs, "doc_id", "lang", MIXTURE_TARGET)
+    return bal.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def _mixture_sql() -> str:
+    values = ", ".join(
+        f"('{d}', {s})" for d, s in MIXTURE_TARGET.items()
+    )
+    return f"""
+WITH counts AS (SELECT lang AS dom, COUNT(*) AS c FROM documents GROUP BY 1),
+t(dom, share) AS (VALUES {values}),
+fr AS (
+  SELECT dom,
+         ROUND(LEAST(1.0, share * (SELECT MIN(c / share) FROM counts JOIN t USING (dom) WHERE share > 0) / c), 6) AS f
+  FROM counts JOIN t USING (dom) WHERE share > 0
+)
+SELECT d.lang, COUNT(*) AS n_docs
+FROM documents d JOIN fr ON d.lang = fr.dom
+WHERE substr(md5('mixture:' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+      < CASE WHEN f >= 1 THEN 'g'
+             ELSE printf('%08x', CAST(FLOOR(f * 4294967296.0) AS BIGINT)) END
+GROUP BY 1
+"""
+
+
 def curate_documents(spark: SparkSession, sf: str) -> DataFrame:
     """End-to-end curation composite — the whole point of the engine in
     ONE lazy plan: quality-score → threshold filter → exact-dedup keeper
@@ -1314,6 +1368,8 @@ QUERIES: dict[str, tuple] = {
     "sample_hash_split": (sample_hash_split, _split_sql()),
     "sample_weighted_quality": (sample_weighted_quality, WEIGHTED_SAMPLE_SQL),
     "sample_stratified_lang": (sample_stratified_lang, _stratified_sql()),
+    "sample_epoch_shuffle": (sample_epoch_shuffle, EPOCH_SHUFFLE_SQL),
+    "sample_mixture_balance": (sample_mixture_balance, _mixture_sql()),
     "curate_documents": (curate_documents, CURATE_SQL),
     "multimodal_meta": (multimodal_meta, MULTIMODAL_SQL),
 }

@@ -1250,3 +1250,66 @@ def test_pack_sequences_no_global_window_sort(spark):
     assert "Exchange SinglePartition" not in plan, (
         f"global-order window would single-partition the corpus:\n{plan}"
     )
+
+
+def test_epoch_shuffle_reproducible_distinct_permutations(spark, docs):
+    """Epoch shuffle: same epoch -> identical order regardless of
+    partitioning; different epochs -> different permutations; keys are
+    unique (a true ordering, no ties beyond the id tiebreak)."""
+    from icnarc_to_philips_linkage_spark.operators import sampling
+
+    d = docs.limit(200)
+    e1 = [
+        r.doc_id
+        for r in sampling.epoch_shuffle(d, "doc_id", epoch=1)
+        .orderBy("shuffle_key", "doc_id").collect()
+    ]
+    e1_again = [
+        r.doc_id
+        for r in sampling.epoch_shuffle(d.repartition(7), "doc_id", epoch=1)
+        .orderBy("shuffle_key", "doc_id").collect()
+    ]
+    e2 = [
+        r.doc_id
+        for r in sampling.epoch_shuffle(d, "doc_id", epoch=2)
+        .orderBy("shuffle_key", "doc_id").collect()
+    ]
+    assert e1 == e1_again, "same epoch must replay identically"
+    assert sorted(e1) == sorted(e2), "shuffle must be a permutation"
+    assert e1 != e2, "different epochs must reorder"
+    keys = sampling.epoch_shuffle(d, "doc_id", 1).select("shuffle_key")
+    assert keys.distinct().count() == keys.count()
+
+
+def test_mixture_balance_hits_target_without_upsampling(spark):
+    """Mixture balancing: the binding domain (smallest count/share)
+    keeps ~everything, over-represented domains downsample toward their
+    share, domains outside the target drop, and nothing upsamples.
+    Deterministic across partitionings; bad shares raise."""
+    from pyspark.sql import Row
+
+    from icnarc_to_philips_linkage_spark.operators import sampling
+
+    rows = (
+        [Row(doc_id=i, dom="en") for i in range(800)]
+        + [Row(doc_id=1000 + i, dom="de") for i in range(100)]
+        + [Row(doc_id=2000 + i, dom="junk") for i in range(50)]
+    )
+    df = spark.createDataFrame(rows)
+    target = {"en": 0.5, "de": 0.5}
+    out = sampling.mixture_balance(df, "doc_id", "dom", target)
+    got = {r.dom: r.n for r in out.groupBy("dom").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    # binding domain: de (100/0.5 = 200 <= 800/0.5); keeps all 100
+    assert got.get("de") == 100
+    # en keeps ~ 0.5*200/800 = 12.5% of 800 = ~100 (Bernoulli, wide band)
+    assert 60 <= got.get("en", 0) <= 140, got
+    assert "junk" not in got
+    again = {r.dom: r.n for r in
+             sampling.mixture_balance(df.repartition(9), "doc_id", "dom", target)
+             .groupBy("dom").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == again, "membership must be partition-independent"
+    with pytest.raises(ValueError, match="sum to 1"):
+        sampling.mixture_balance(df, "doc_id", "dom", {"en": 0.4})
+    with pytest.raises(ValueError, match="no target domain"):
+        sampling.mixture_balance(df, "doc_id", "dom", {"absent": 1.0})
