@@ -47,6 +47,78 @@ def exact_dedup_groups(
     )
 
 
+def normalized_exact_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup on NORMALIZED content: case / punctuation / spacing
+    variants of the same text land in one digest group. Same one-shuffle
+    shape as ``exact_dedup_groups`` — the normalization is a map-side
+    codegen projection (text.normalize_expr) fused into the scan stage,
+    so the 100 TB cost is identical to the raw-digest dedup."""
+    from icnarc_to_philips_linkage_spark.operators.text import normalize_expr
+
+    return (
+        df.select(
+            F.md5(normalize_expr(F.col(text_col))).alias("norm_hash"),
+            F.col(id_col),
+        )
+        .groupBy("norm_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def duplicated_passage_report(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document duplicated-passage fraction — the exact-substring
+    duplication signal of Lee et al. 2022 ("Deduplicating Training Data
+    Makes Language Models Better") at word-n-gram granularity: a passage
+    is an n-gram span occurring in ≥ ``min_docs`` DISTINCT documents;
+    each document reports how much of it is such shared boilerplate.
+
+    Returns (id, n_grams, n_dup_grams, dup_fraction) — one row per
+    document, dup_fraction rounded to 6dp.
+
+    Scale shape: the gram table is the only large intermediate (same
+    cardinality as the decontam / LSH shingle tables). Two keyed
+    shuffles: grams groupBy(gram) for the cross-doc count, then the
+    dup-gram semi join back + groupBy(id). The per-doc total gram count
+    never shuffles grams — it is a map-side ``size(shingles)``
+    projection joined on the bounded (one row per doc) key.
+    """
+    grams = doc_shingles(df, id_col=id_col, text_col=text_col, n=n)
+    cross = grams.groupBy("shingle").agg(F.count(F.lit(1)).alias("n_docs"))
+    dup_grams = cross.filter(F.col("n_docs") >= min_docs).select("shingle")
+    per_doc_dup = (
+        grams.join(dup_grams, "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_dup_grams"))
+    )
+    totals = df.select(
+        F.col(id_col), tokens(text_col).alias("_toks")
+    ).select(F.col(id_col), F.size(shingles("_toks", n)).alias("n_grams"))
+    return (
+        totals.join(per_doc_dup, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_grams",
+            F.coalesce("n_dup_grams", F.lit(0)).alias("n_dup_grams"),
+            F.round(
+                F.coalesce("n_dup_grams", F.lit(0))
+                / F.greatest(F.col("n_grams"), F.lit(1)),
+                6,
+            ).alias("dup_fraction"),
+        )
+    )
+
+
 def _bloom_position_sql(value_col: str, num_bits: int, i: int) -> str:
     """SQL fragment for the i-th Bloom bit position of ``value_col`` —
     shared verbatim between build and probe so the two sides hash

@@ -58,6 +58,61 @@ def fuzzy_join(
     )
 
 
+def fs_score(
+    pairs: DataFrame,
+    fields: dict[str, Column],
+    m: dict[str, float],
+    u: dict[str, float],
+    upper: float,
+    lower: float,
+) -> DataFrame:
+    """Fellegi–Sunter probabilistic linkage scoring over candidate
+    pairs: per-field agreement indicators combined into a log2
+    match weight, then the classic three-way decision rule
+    (>= upper → 'match', <= lower → 'non_match', else 'possible' for
+    clerical review). The reference links on exact corrected ids
+    (clean_encounterids.py:86-95); this is the standard probabilistic
+    generalization used when no reliable key exists.
+
+    ``fields`` maps field name → agreement predicate Column; ``m``/``u``
+    give each field's P(agree | true match) and P(agree | non-match).
+    The log2 weights are folded to double literals in Python, so both
+    engines in a differential test sum the SAME doubles in the same
+    order — no cross-engine log() divergence. A NULL agreement (NULL
+    field value) takes the disagreement weight, matching SQL CASE
+    semantics.
+
+    Pure map-side projection over the candidate pairs — the expensive
+    part is candidate generation (``fuzzy_join`` blocking), not
+    scoring.
+    """
+    import math
+
+    total: Column | None = None
+    agree_cols: list[Column] = []
+    for name, agree in fields.items():
+        w_a = math.log2(m[name] / u[name])
+        w_d = math.log2((1.0 - m[name]) / (1.0 - u[name]))
+        w = F.when(agree, F.lit(w_a)).otherwise(F.lit(w_d))
+        agree_cols.append(
+            F.when(agree, F.lit(True)).otherwise(F.lit(False)).alias(
+                f"agree_{name}"
+            )
+        )
+        total = w if total is None else total + w
+    decision = (
+        F.when(total >= F.lit(upper), F.lit("match"))
+        .when(total <= F.lit(lower), F.lit("non_match"))
+        .otherwise(F.lit("possible"))
+    )
+    return pairs.select(
+        *[F.col(c) for c in pairs.columns],
+        *agree_cols,
+        F.round(total, 6).alias("match_weight"),
+        decision.alias("decision"),
+    )
+
+
 def best_match(
     matches: DataFrame,
     left_id: str,

@@ -201,6 +201,144 @@ def hll_partitioned_distinct(
     )
 
 
+def hll_accuracy_report(
+    df: DataFrame,
+    part_col: str,
+    entity_col: str,
+    rel_bound: float = 0.05,
+) -> DataFrame:
+    """Hash-checkable twin of ``hll_partitioned_distinct``: per-group
+    rows plus a union-merged ``__ALL__`` row, each carrying the EXACT
+    distinct count and a ``within_bound`` boolean comparing the HLL
+    estimate to it at ``rel_bound`` relative error. The DataSketches
+    HLL sketch is deterministic (hash-based, order-independent), so the
+    booleans are stable and a SQL oracle can emit the exact side — the
+    same bound-check oracle pattern as a8c_kll_quantiles.
+
+    Columns: (scope string, exact_distinct long, within_bound boolean).
+    """
+    per = df.groupBy(part_col).agg(
+        F.hll_sketch_agg(entity_col).alias("_sk"),
+        F.countDistinct(entity_col).alias("exact_distinct"),
+    )
+    ok = (
+        F.abs(F.hll_sketch_estimate("_sk") - F.col("exact_distinct"))
+        / F.greatest(F.col("exact_distinct"), F.lit(1))
+        <= F.lit(rel_bound)
+    )
+    groups = per.select(
+        F.col(part_col).cast("string").alias("scope"),
+        "exact_distinct",
+        ok.alias("within_bound"),
+    )
+    merged = per.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("_sk")).alias("_est")
+    )
+    global_exact = df.agg(
+        F.countDistinct(entity_col).alias("exact_distinct")
+    )
+    all_row = global_exact.crossJoin(F.broadcast(merged)).select(
+        F.lit("__ALL__").alias("scope"),
+        "exact_distinct",
+        (
+            F.abs(F.col("_est") - F.col("exact_distinct"))
+            / F.greatest(F.col("exact_distinct"), F.lit(1))
+            <= F.lit(rel_bound)
+        ).alias("within_bound"),
+    )
+    return groups.unionByName(all_row)
+
+
+def theta_set_cardinalities(
+    df: DataFrame,
+    flag_col: str,
+    key_col: str,
+    a: str,
+    b: str,
+    rel_bound: float = 0.05,
+) -> DataFrame:
+    """Distinct-set algebra via DataSketches Theta sketches — the sketch
+    family whose point over HLL is INTERSECTION and DIFFERENCE, not just
+    union: |A|, |B|, |A∪B|, |A∩B|, |A\\B| of the ``key_col`` sets where
+    ``flag_col`` equals ``a`` / ``b``, each estimated from two sketches
+    built in ONE pass over the data (conditional ``theta_sketch_agg``).
+
+    At 100 TB the exact sides here are for verification only; the
+    production read is sketch-only (store per-slice sketches, answer any
+    set question later without rescanning). Output is hash-checkable:
+    (scope, exact_distinct, within_bound) with deterministic booleans —
+    theta sketches are hash-based and order-independent.
+
+    Exact intersection/difference derive from inclusion-exclusion
+    (exI = exA + exR - exU), so the whole exact side is ONE aggregate
+    too.
+    """
+    key = F.col(key_col)
+    flag = F.col(flag_col)
+    row = df.agg(
+        F.theta_sketch_agg(F.when(flag == a, key)).alias("_ska"),
+        F.theta_sketch_agg(F.when(flag == b, key)).alias("_skb"),
+        F.countDistinct(F.when(flag == a, key)).alias("_exa"),
+        F.countDistinct(F.when(flag == b, key)).alias("_exb"),
+        F.countDistinct(F.when(flag.isin(a, b), key)).alias("_exu"),
+    )
+    row = (
+        row.withColumn("_exi", F.col("_exa") + F.col("_exb") - F.col("_exu"))
+        .withColumn("_exd", F.col("_exa") - F.col("_exi"))
+        .withColumn("_esta", F.theta_sketch_estimate("_ska"))
+        .withColumn("_estb", F.theta_sketch_estimate("_skb"))
+        .withColumn(
+            "_estu", F.theta_sketch_estimate(F.theta_union("_ska", "_skb"))
+        )
+        .withColumn(
+            "_esti",
+            F.theta_sketch_estimate(F.theta_intersection("_ska", "_skb")),
+        )
+        .withColumn(
+            "_estd",
+            F.theta_sketch_estimate(F.theta_difference("_ska", "_skb")),
+        )
+    )
+
+    def _ok(est: str, exact: str) -> Column:
+        return (
+            F.abs(F.col(est) - F.col(exact))
+            / F.greatest(F.col(exact), F.lit(1))
+            <= F.lit(rel_bound)
+        )
+
+    structs = F.array(
+        F.struct(
+            F.lit("a").alias("scope"),
+            F.col("_exa").alias("exact_distinct"),
+            _ok("_esta", "_exa").alias("within_bound"),
+        ),
+        F.struct(
+            F.lit("b").alias("scope"),
+            F.col("_exb").alias("exact_distinct"),
+            _ok("_estb", "_exb").alias("within_bound"),
+        ),
+        F.struct(
+            F.lit("union").alias("scope"),
+            F.col("_exu").alias("exact_distinct"),
+            _ok("_estu", "_exu").alias("within_bound"),
+        ),
+        F.struct(
+            F.lit("intersection").alias("scope"),
+            F.col("_exi").alias("exact_distinct"),
+            _ok("_esti", "_exi").alias("within_bound"),
+        ),
+        F.struct(
+            F.lit("difference").alias("scope"),
+            F.col("_exd").alias("exact_distinct"),
+            _ok("_estd", "_exd").alias("within_bound"),
+        ),
+    )
+    return row.select(F.explode(structs).alias("s")).select(
+        "s.scope", "s.exact_distinct", "s.within_bound"
+    )
+
+
 def conditional_rates(df: DataFrame, conds: dict[str, Column]) -> DataFrame:
     """A9: named conditional counts + rates in ONE pass over the data
     (``sum(gender=='Male')`` etc., clean_encounterids.py:214-245)."""

@@ -41,6 +41,17 @@ def token_count(text: Column | str) -> Column:
     return F.size(tokens(text))
 
 
+def normalize_expr(text: Column | str) -> Column:
+    """Canonical text normalization for dedup keys: lowercase, strip
+    every non-alphanumeric/space character, collapse whitespace runs to
+    one space, trim. Pure codegen projection (three regexp passes) —
+    the standard pre-hash canonicalization so that case / punctuation /
+    spacing variants of the same content dedup together."""
+    c = F.col(text) if isinstance(text, str) else text
+    stripped = F.regexp_replace(F.lower(c), r"[^a-z0-9\s]", "")
+    return F.trim(F.regexp_replace(stripped, r"\s+", " "))
+
+
 def _in_list_sql(words: tuple[str, ...]) -> str:
     return ", ".join(f"'{w}'" for w in words)
 

@@ -434,14 +434,55 @@ QUALIFY row_number() OVER (
 
 def sketch_hll_merge(spark: SparkSession, sf: str) -> DataFrame:
     """Mergeable HLL sketch columns (DataSketches): per-group sketches
-    union-merged into a global distinct estimate. Sketch binaries are
-    engine-specific, so this is a rows-only check; the accuracy bound is
-    pytest-asserted against the exact distinct (tests/test_sketches)."""
+    plus the union-merged global, emitted as (scope, exact_distinct,
+    within_bound) — the HLL sketch is deterministic, so the bound
+    booleans are hash-matchable and the oracle emits the exact side
+    (same pattern as a8c_kll_quantiles). Closeness also pytest-asserted
+    in tests/test_sketches."""
     from icnarc_to_philips_linkage_spark.operators import profile as prof
 
-    return prof.hll_partitioned_distinct(
+    return prof.hll_accuracy_report(
         load(spark, sf, "lineitem"), "l_returnflag", "l_orderkey"
     )
+
+
+SKETCH_HLL_SQL = """
+SELECT CAST(l_returnflag AS VARCHAR) AS scope,
+       COUNT(DISTINCT l_orderkey) AS exact_distinct,
+       TRUE AS within_bound
+FROM lineitem GROUP BY l_returnflag
+UNION ALL
+SELECT '__ALL__', COUNT(DISTINCT l_orderkey), TRUE FROM lineitem
+"""
+# The oracle emits TRUE unconditionally: within_bound is the Spark
+# side's own estimate-vs-exact verification; a sketch drifting outside
+# the published bound hash-mismatches against this row.
+
+
+def sketch_theta_setops(spark: SparkSession, sf: str) -> DataFrame:
+    """Theta-sketch set algebra (|A|,|B|,|A∪B|,|A∩B|,|A\\B| of distinct
+    order keys for returnflag A vs R) with deterministic bound-check
+    booleans; exact side by inclusion-exclusion in one aggregate."""
+    from icnarc_to_philips_linkage_spark.operators import profile as prof
+
+    return prof.theta_set_cardinalities(
+        load(spark, sf, "lineitem"), "l_returnflag", "l_orderkey", "A", "R"
+    )
+
+
+SKETCH_THETA_SQL = """
+WITH s AS (
+  SELECT COUNT(DISTINCT CASE WHEN l_returnflag = 'A' THEN l_orderkey END) AS exa,
+         COUNT(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_orderkey END) AS exb,
+         COUNT(DISTINCT CASE WHEN l_returnflag IN ('A','R') THEN l_orderkey END) AS exu
+  FROM lineitem
+)
+SELECT 'a' AS scope, exa AS exact_distinct, TRUE AS within_bound FROM s
+UNION ALL SELECT 'b', exb, TRUE FROM s
+UNION ALL SELECT 'union', exu, TRUE FROM s
+UNION ALL SELECT 'intersection', exa + exb - exu, TRUE FROM s
+UNION ALL SELECT 'difference', exa - (exa + exb - exu), TRUE FROM s
+"""
 
 
 def cluster_kmeans(spark: SparkSession, sf: str) -> DataFrame:
@@ -1331,7 +1372,133 @@ def pack_bins_ffd(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- drift / passage dedup
+
+_PSI_LO, _PSI_HI, _PSI_BINS, _PSI_EPS = 0.0, 600.0, 10, 0.5
+
+
+def drift_psi(spark: SparkSession, sf: str) -> DataFrame:
+    """Distribution drift between the existing corpus (src0-9) and the
+    incoming batch (src10+) over document length: per-bucket PSI
+    contributions + scalar PSI / binned-KS. Fixed caller-declared bucket
+    grid (drift monitoring must reuse the same grid across runs). Both
+    slices live in one table, so this uses the single-scan tagged
+    form."""
+    from icnarc_to_philips_linkage_spark.operators import drift
+
+    d = load(spark, sf, "documents")
+    batch_no = F.substring("source", 4, 10).cast("int")
+    return drift.psi_report_tagged(
+        d,
+        batch_no < 10,
+        "n_chars",
+        lo=_PSI_LO,
+        hi=_PSI_HI,
+        bins=_PSI_BINS,
+        eps=_PSI_EPS,
+    )
+
+
+def _psi_sql() -> str:
+    width = (_PSI_HI - _PSI_LO) / _PSI_BINS
+    return f"""
+WITH tagged AS (
+  SELECT LEAST({_PSI_BINS - 1}, GREATEST(0,
+           CAST(FLOOR((CAST(n_chars AS DOUBLE) - {_PSI_LO}) / {width}) AS BIGINT)
+         )) AS bucket,
+         CASE WHEN CAST(SUBSTR(source, 4) AS INT) < 10 THEN 1 ELSE 0 END AS is_ref
+  FROM documents
+),
+counts AS (
+  SELECT bucket,
+         COUNT(*) FILTER (is_ref = 1) AS n_ref,
+         COUNT(*) FILTER (is_ref = 0) AS n_cur
+  FROM tagged WHERE bucket IS NOT NULL GROUP BY 1
+),
+probs AS (
+  SELECT bucket, n_ref, n_cur,
+         (n_ref + {_PSI_EPS}) / (SUM(n_ref) OVER () + {_PSI_EPS * _PSI_BINS}) AS p_ref,
+         (n_cur + {_PSI_EPS}) / (SUM(n_cur) OVER () + {_PSI_EPS * _PSI_BINS}) AS p_cur
+  FROM counts
+),
+c2 AS (
+  SELECT *,
+         (p_cur - p_ref) * ln(p_cur / p_ref) AS psi_contrib,
+         SUM(p_ref) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cr,
+         SUM(p_cur) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
+  FROM probs
+)
+SELECT bucket, n_ref, n_cur,
+       ROUND(p_ref, 6) AS p_ref, ROUND(p_cur, 6) AS p_cur,
+       ROUND(psi_contrib, 6) AS psi_contrib,
+       ROUND(SUM(psi_contrib) OVER (), 6) AS psi_total,
+       ROUND(MAX(ABS(cr - cc)) OVER (), 6) AS ks_stat
+FROM c2
+"""
+
+
+def dedup_normalized(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup on canonicalized text (lower / strip punctuation /
+    collapse whitespace) — case and formatting variants merge."""
+    return dedup_scale.normalized_exact_dedup(load(spark, sf, "documents"))
+
+
+DEDUP_NORMALIZED_SQL = r"""
+SELECT md5(trim(regexp_replace(
+         regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+         '\s+', ' ', 'g'))) AS norm_hash,
+       MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+_PASSAGE_N, _PASSAGE_MIN_DOCS = 8, 2
+
+
+def dedup_passages(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document duplicated-passage fraction (Lee et al. 2022
+    exact-substring signal at word-8-gram granularity)."""
+    return dedup_scale.duplicated_passage_report(
+        load(spark, sf, "documents"), n=_PASSAGE_N, min_docs=_PASSAGE_MIN_DOCS
+    )
+
+
+def _passages_sql() -> str:
+    n = _PASSAGE_N
+    gram_list = (
+        f"list_distinct(list_transform(generate_series(1, len(t) - {n - 1}), "
+        f"i -> array_to_string(t[i:i+{n - 1}], ' ')))"
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+g AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(t) < {n} THEN [array_to_string(t, ' ')]
+         ELSE {gram_list} END) AS shingle
+  FROM toks
+),
+cross_counts AS (SELECT shingle, COUNT(*) AS n_docs FROM g GROUP BY 1),
+dup AS (SELECT shingle FROM cross_counts WHERE n_docs >= {_PASSAGE_MIN_DOCS}),
+per_doc_dup AS (
+  SELECT g.doc_id, COUNT(*) AS n_dup_grams
+  FROM g JOIN dup USING (shingle) GROUP BY 1
+),
+totals AS (
+  SELECT doc_id,
+         CAST(CASE WHEN len(t) < {n} THEN 1 ELSE len({gram_list}) END AS BIGINT) AS n_grams
+  FROM toks
+)
+SELECT t.doc_id, t.n_grams,
+       COALESCE(d.n_dup_grams, 0) AS n_dup_grams,
+       ROUND(COALESCE(d.n_dup_grams, 0) / GREATEST(t.n_grams, 1), 6) AS dup_fraction
+FROM totals t LEFT JOIN per_doc_dup d USING (doc_id)
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "drift_psi": (drift_psi, _psi_sql()),
+    "dedup_normalized": (dedup_normalized, DEDUP_NORMALIZED_SQL),
+    "dedup_passages": (dedup_passages, _passages_sql()),
+    "sketch_theta_setops": (sketch_theta_setops, SKETCH_THETA_SQL),
     "pack_context_windows": (pack_context_windows, PACK_SQL),
     "pack_bins_ffd": (pack_bins_ffd, None),
     "decontam_report": (decontam_report, _decontam_sql()),
@@ -1358,7 +1525,7 @@ QUERIES: dict[str, tuple] = {
     "sim_pq_topk": (sim_pq_topk, None),
     "sim_ivfpq_topk": (sim_ivfpq_topk, None),
     "sim_recall_eval": (sim_recall_eval, None),
-    "sketch_hll_merge": (sketch_hll_merge, None),
+    "sketch_hll_merge": (sketch_hll_merge, SKETCH_HLL_SQL),
     "text_quality": (text_quality, _quality_sql()),
     "text_lang_id": (text_lang_id, _lang_id_sql()),
     "text_lang_id_chargram": (text_lang_id_chargram, _lang_chargram_sql()),

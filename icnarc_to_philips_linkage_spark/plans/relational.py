@@ -1151,6 +1151,36 @@ FROM customer
 """
 
 
+def e_json_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi-structured surface: typed extraction from a JSON string
+    column (events.props) + per-group payload stats, all map-side
+    native expressions (operators/semistructured.py). The modern twin
+    of the reference's type-dependent EAV value columns
+    (variable_location_in_ICCA.sql:67)."""
+    from icnarc_to_philips_linkage_spark.operators import semistructured
+
+    return semistructured.json_stats(
+        load(spark, sf, "events"), "props", "$.k", "event_type"
+    )
+
+
+E_JSON_SQL = """
+SELECT event_type,
+       COUNT(*) AS n_rows,
+       COUNT(k) AS n_with_value,
+       ROUND(SUM(k), 6) AS value_sum,
+       ROUND(AVG(k), 6) AS value_avg,
+       MIN(k) AS value_min,
+       MAX(k) AS value_max
+FROM (
+  SELECT event_type,
+         TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k
+  FROM events
+)
+GROUP BY event_type
+"""
+
+
 def ts_asof_join(spark: SparkSession, sf: str) -> DataFrame:
     """As-of join (custom operator, union+window composition): each
     click event matched to the user's most recent purchase value at or
@@ -1539,6 +1569,104 @@ QUALIFY row_number() OVER (
 """
 
 
+# Fellegi–Sunter parameters for the probabilistic-linkage query: per
+# field P(agree | match) / P(agree | non-match). Log2 weights are folded
+# to double literals in Python and embedded in BOTH engines' plans (no
+# cross-engine log() divergence; same literals summed in the same
+# order → identical doubles → identical decisions).
+_FS_M = {"name_exact": 0.9, "segment": 0.95, "nation": 0.95, "acct_band": 0.9}
+_FS_U = {"name_exact": 0.001, "segment": 0.2, "nation": 0.04, "acct_band": 0.1}
+_FS_UPPER, _FS_LOWER = 6.0, 0.0
+
+
+def fuzzy_fs_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Fellegi–Sunter scoring over the blocked fuzzy candidates: the
+    probabilistic-linkage decision rule (match / possible / non_match)
+    the reference's exact-id linkage generalizes to when keys are
+    unreliable. Candidate generation = the same 15-char-block
+    Levenshtein≤1 join as fuzzy_link_names; scoring is a map-side
+    projection (operators/fuzzy.py fs_score)."""
+    from icnarc_to_philips_linkage_spark.operators.fuzzy import (
+        fs_score,
+        fuzzy_join,
+    )
+
+    c = load(spark, sf, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment", "c_acctbal"
+    )
+    r = c.select(
+        F.col("c_custkey").alias("match_key"),
+        F.col("c_name").alias("match_name"),
+        F.col("c_nationkey").alias("match_nation"),
+        F.col("c_mktsegment").alias("match_segment"),
+        F.col("c_acctbal").alias("match_acctbal"),
+    )
+    cand = fuzzy_join(
+        c, r, "c_name", "match_name", max_distance=1, prefix_len=15
+    ).filter(F.col("c_custkey") != F.col("match_key"))
+    fields = {
+        "name_exact": F.col("c_name") == F.col("match_name"),
+        "segment": F.col("c_mktsegment") == F.col("match_segment"),
+        "nation": F.col("c_nationkey") == F.col("match_nation"),
+        "acct_band": F.floor(F.col("c_acctbal") / 1000)
+        == F.floor(F.col("match_acctbal") / 1000),
+    }
+    scored = fs_score(cand, fields, _FS_M, _FS_U, _FS_UPPER, _FS_LOWER)
+    return scored.select(
+        "c_custkey",
+        "match_key",
+        "edit_distance",
+        "agree_name_exact",
+        "agree_segment",
+        "agree_nation",
+        "agree_acct_band",
+        "match_weight",
+        "decision",
+    )
+
+
+def _fs_sql() -> str:
+    import math
+
+    agrees = {
+        "name_exact": "COALESCE(l.c_name = r.c_name, FALSE)",
+        "segment": "COALESCE(l.c_mktsegment = r.c_mktsegment, FALSE)",
+        "nation": "COALESCE(l.c_nationkey = r.c_nationkey, FALSE)",
+        "acct_band": "COALESCE(floor(l.c_acctbal/1000) = floor(r.c_acctbal/1000), FALSE)",
+    }
+    terms = []
+    for name in _FS_M:  # same iteration order as the Spark fields dict
+        w_a = repr(math.log2(_FS_M[name] / _FS_U[name]))
+        w_d = repr(math.log2((1.0 - _FS_M[name]) / (1.0 - _FS_U[name])))
+        terms.append(f"CASE WHEN agree_{name} THEN {w_a} ELSE {w_d} END")
+    total = " + ".join(terms)
+    agree_sel = ",\n         ".join(
+        f"{expr} AS agree_{name}" for name, expr in agrees.items()
+    )
+    return f"""
+WITH b AS (
+  SELECT c_custkey, c_name, c_nationkey, c_mktsegment, c_acctbal,
+         substr(regexp_replace(lower(c_name), '[^a-z0-9]', '', 'g'), 1, 15) AS blk
+  FROM customer),
+cand AS (
+  SELECT l.c_custkey, r.c_custkey AS match_key,
+         levenshtein(l.c_name, r.c_name) AS edit_distance,
+         {agree_sel}
+  FROM b l JOIN b r USING (blk)
+  WHERE l.c_custkey != r.c_custkey
+    AND levenshtein(l.c_name, r.c_name) <= 1
+),
+w AS (SELECT *, {total} AS total FROM cand)
+SELECT c_custkey, match_key, edit_distance,
+       agree_name_exact, agree_segment, agree_nation, agree_acct_band,
+       ROUND(total, 6) AS match_weight,
+       CASE WHEN total >= {_FS_UPPER} THEN 'match'
+            WHEN total <= {_FS_LOWER} THEN 'non_match'
+            ELSE 'possible' END AS decision
+FROM w
+"""
+
+
 def ts_resample_interp(spark: SparkSession, sf: str) -> DataFrame:
     """Linear interpolation over the hourly grid (two IGNORE NULLS
     window passes + arithmetic — vitals-style gap filling)."""
@@ -1604,6 +1732,7 @@ QUERIES: dict[str, tuple] = {
     "o5_topk_per_group_agg": (o5_topk_per_group_agg, O5_SQL),
     "ts_resample_interp": (ts_resample_interp, TS_INTERP_SQL),
     "fuzzy_link_names": (fuzzy_link_names, FUZZY_SQL),
+    "fuzzy_fs_score": (fuzzy_fs_score, _fs_sql()),
     "stream_batch_windowed_stats": (stream_batch_windowed_stats, STREAM_BATCH_SQL),
     "scd2_changelog": (scd2_changelog, SCD2_SQL),
     "j_full_outer": (j_full_outer, J_FULL_OUTER_SQL),
@@ -1658,4 +1787,5 @@ QUERIES: dict[str, tuple] = {
     "e10_typed_value": (e10_typed_value, E10_SQL),
     "e9_math": (e9_math, E9_SQL),
     "e_string_ops": (e_string_ops, E_STRING_SQL),
+    "e_json_extract": (e_json_extract, E_JSON_SQL),
 }

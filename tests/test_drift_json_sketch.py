@@ -1,0 +1,202 @@
+"""Unit tests for the round-5 additions: PSI/KS drift detection,
+semi-structured JSON extraction, normalized dedup, duplicated-passage
+profiling, and the HLL/theta sketch accuracy reports.
+
+The registered queries' DuckDB oracles (tests/test_oracle.py) prove
+engine-vs-engine equality; these tests pin the SEMANTICS on small
+hand-built frames where the expected values are computable by eye.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from icnarc_to_philips_linkage_spark.operators import (
+    dedup_scale,
+    drift,
+    profile,
+    semistructured,
+)
+from icnarc_to_philips_linkage_spark.operators.text import normalize_expr
+
+
+# ------------------------------------------------------------------ drift
+
+
+def test_psi_identical_slices_is_zero(spark):
+    df = spark.range(200).select((F.col("id") % 50).cast("double").alias("v"))
+    rep = drift.psi_report(df, df, "v", lo=0.0, hi=50.0, bins=10).collect()
+    assert len(rep) == 10
+    for r in rep:
+        assert r["psi_total"] == 0.0
+        assert r["ks_stat"] == 0.0
+        assert r["psi_contrib"] == 0.0
+        assert r["p_ref"] == r["p_cur"]
+
+
+def test_psi_detects_shift(spark):
+    ref = spark.range(1000).select((F.col("id") % 100).cast("double").alias("v"))
+    cur = spark.range(1000).select(
+        ((F.col("id") % 100) * 0.4 + 60.0).alias("v")  # mass shifted right
+    )
+    rep = drift.psi_report(ref, cur, "v", lo=0.0, hi=100.0, bins=10).collect()
+    assert rep[0]["psi_total"] > 0.25  # "action" threshold
+    assert 0.0 < rep[0]["ks_stat"] <= 1.0
+
+
+def test_psi_tagged_equals_two_frame(spark):
+    df = spark.range(500).select(
+        (F.col("id") % 80).cast("double").alias("v"),
+        (F.col("id") % 3 == 0).alias("is_ref"),
+    )
+    two = drift.psi_report(
+        df.filter("is_ref"), df.filter("NOT is_ref"), "v", 0.0, 80.0, 8
+    )
+    one = drift.psi_report_tagged(df, F.col("is_ref"), "v", 0.0, 80.0, 8)
+    assert sorted(map(tuple, two.collect())) == sorted(map(tuple, one.collect()))
+    # single-scan claim: the tagged plan reads the source once
+    plan = one._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.lower().count("logicalrdd") <= 1
+
+
+def test_psi_clamps_out_of_range_into_edge_buckets(spark):
+    ref = spark.createDataFrame([(-5.0,), (50.0,), (999.0,)], ["v"])
+    rep = drift.psi_report(ref, ref, "v", lo=0.0, hi=100.0, bins=10).collect()
+    buckets = sorted(r["bucket"] for r in rep)
+    assert buckets == [0, 5, 9]  # -5 → 0, 999 → 9, nothing dropped
+    total_ref = sum(r["n_ref"] for r in rep)
+    assert total_ref == 3
+
+
+# ------------------------------------------------------------- JSON ops
+
+
+def test_extract_json_fields_types_and_malformed(spark):
+    df = spark.createDataFrame(
+        [(1, '{"k": 7, "s": "x"}'), (2, "not json"), (3, None), (4, '{"s": "y"}')],
+        ["id", "props"],
+    )
+    out = semistructured.extract_json_fields(
+        df, "props", {"k": ("$.k", "int"), "s": ("$.s", "string")}
+    )
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["k"] == 7 and rows[1]["s"] == "x"
+    assert rows[2]["k"] is None and rows[2]["s"] is None  # malformed → NULL
+    assert rows[3]["k"] is None  # NULL payload → NULL
+    assert rows[4]["k"] is None and rows[4]["s"] == "y"  # missing field → NULL
+    assert dict(out.dtypes)["k"] == "int"
+
+
+def test_json_stats_aggregates(spark):
+    df = spark.createDataFrame(
+        [("a", '{"k": 1}'), ("a", '{"k": 3}'), ("a", "{}"), ("b", '{"k": 10}')],
+        ["g", "props"],
+    )
+    rows = {
+        r["g"]: r
+        for r in semistructured.json_stats(df, "props", "$.k", "g").collect()
+    }
+    assert rows["a"]["n_rows"] == 3 and rows["a"]["n_with_value"] == 2
+    assert rows["a"]["value_sum"] == 4.0 and rows["a"]["value_avg"] == 2.0
+    assert rows["b"]["value_min"] == 10.0 and rows["b"]["value_max"] == 10.0
+
+
+# --------------------------------------------- normalized / passage dedup
+
+
+def test_normalize_expr_canonicalizes(spark):
+    df = spark.createDataFrame(
+        [("  Hello,   WORLD!! ",), ("hello world",), ("HELLO\tworld.",)],
+        ["t"],
+    )
+    vals = [r[0] for r in df.select(normalize_expr("t")).collect()]
+    assert vals == ["hello world", "hello world", "hello world"]
+
+
+def test_normalized_exact_dedup_merges_variants(spark):
+    df = spark.createDataFrame(
+        [(1, "The cat sat."), (2, "the  CAT sat"), (3, "a different doc")],
+        ["doc_id", "text"],
+    )
+    out = dedup_scale.normalized_exact_dedup(df).collect()
+    by_keep = {r["keep_id"]: r["n_copies"] for r in out}
+    assert by_keep == {1: 2, 3: 1}
+
+
+def test_duplicated_passage_report_flags_shared_boilerplate(spark):
+    boiler = "w1 w2 w3 w4 w5 w6 w7 w8"  # exactly one 8-gram
+    rows = [
+        (1, boiler + " unique1 a b c d e f g"),
+        (2, boiler + " unique2 h i j k l m n"),
+        (3, "totally different text with no shared passages at all ok"),
+        (4, "short doc"),  # < n tokens → whole text is the single gram
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    rep = {r["doc_id"]: r for r in
+           dedup_scale.duplicated_passage_report(df, n=8).collect()}
+    assert rep[1]["n_dup_grams"] >= 1 and rep[1]["dup_fraction"] > 0
+    assert rep[2]["n_dup_grams"] >= 1
+    assert rep[3]["n_dup_grams"] == 0 and rep[3]["dup_fraction"] == 0.0
+    assert rep[4]["n_grams"] == 1 and rep[4]["n_dup_grams"] == 0
+    # doc 1: 16 tokens → 9 grams, of which exactly the boilerplate one
+    # (position 1) is shared; grams overlapping the unique tail differ.
+    assert rep[1]["n_grams"] == 9
+    assert rep[1]["n_dup_grams"] == 1
+    assert rep[1]["dup_fraction"] == round(1 / 9, 6)
+
+
+# --------------------------------------------------- Fellegi–Sunter
+
+
+def test_fs_score_weights_and_decisions(spark):
+    import math
+
+    from icnarc_to_philips_linkage_spark.operators.fuzzy import fs_score
+
+    pairs = spark.createDataFrame(
+        [(1, "a", "a"), (2, "a", "b"), (3, None, "a")], ["id", "l", "r"]
+    )
+    m, u = {"f": 0.9}, {"f": 0.1}
+    w_a, w_d = math.log2(9.0), math.log2(1.0 / 9.0)
+    out = {
+        r["id"]: r
+        for r in fs_score(
+            pairs, {"f": F.col("l") == F.col("r")}, m, u,
+            upper=1.0, lower=-1.0,
+        ).collect()
+    }
+    assert out[1]["agree_f"] is True and out[1]["decision"] == "match"
+    assert out[1]["match_weight"] == round(w_a, 6)
+    assert out[2]["agree_f"] is False and out[2]["decision"] == "non_match"
+    assert out[2]["match_weight"] == round(w_d, 6)
+    # NULL field value → disagreement weight, not NULL propagation
+    assert out[3]["agree_f"] is False and out[3]["decision"] == "non_match"
+
+
+# ------------------------------------------------------------- sketches
+
+
+def test_hll_accuracy_report_small_exact(spark):
+    df = spark.createDataFrame(
+        [(g, i % 7) for g in ("x", "y") for i in range(50)], ["g", "k"]
+    )
+    rows = {r["scope"]: r for r in
+            profile.hll_accuracy_report(df, "g", "k").collect()}
+    assert rows["x"]["exact_distinct"] == 7
+    assert rows["__ALL__"]["exact_distinct"] == 7
+    assert all(r["within_bound"] for r in rows.values())
+
+
+def test_theta_set_cardinalities_inclusion_exclusion(spark):
+    # A = {0..59}, B = {40..99}: |A∩B| = 20, |A∪B| = 100, |A\B| = 40
+    rows = [("A", i) for i in range(60)] + [("B", i) for i in range(40, 100)]
+    df = spark.createDataFrame(rows, ["flag", "k"])
+    rep = {r["scope"]: r for r in
+           profile.theta_set_cardinalities(df, "flag", "k", "A", "B").collect()}
+    assert rep["a"]["exact_distinct"] == 60
+    assert rep["b"]["exact_distinct"] == 60
+    assert rep["union"]["exact_distinct"] == 100
+    assert rep["intersection"]["exact_distinct"] == 20
+    assert rep["difference"]["exact_distinct"] == 40
+    assert all(r["within_bound"] for r in rep.values())
