@@ -1,0 +1,155 @@
+"""Lexical retrieval over the document corpus: BM25 keyword search and
+shingle-containment scoring.
+
+These complete the corpus-query surface next to the ANN family
+(operators/similarity.py, pq.py): embeddings answer "semantically
+near", BM25 answers "matches these terms", containment answers "is one
+document substantially inside another" (quotation / partial-copy
+detection, the asymmetric cousin of Jaccard near-dup).
+
+Scale shapes:
+- ``bm25_search``: only postings for the QUERY terms ever shuffle — the
+  per-token explode is filtered map-side to the query vocabulary before
+  the (doc, term) aggregation, so corpus size drives scan cost only.
+  Document frequencies (≤ |query| rows) and the (N, avgdl) scalar row
+  are broadcast. Final top-k is TakeOrderedAndProject, no global sort.
+- ``containment_pairs``: candidate pairs come from sharing at least one
+  word-n-gram (the same bucketed self-join shape as the LSH band join —
+  never all-pairs); intersection counts ride the same join, and set
+  sizes are map-side projections joined on the bounded per-doc key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from icnarc_to_philips_linkage_spark.operators.text import shingles, tokens
+
+
+def bm25_search(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+) -> DataFrame:
+    """BM25 (Robertson/Lucene variant) top-k documents for a bag of
+    query terms: ``score(d) = Σ_t idf(t) · tf·(k1+1) /
+    (tf + k1·(1−b+b·dl/avgdl))`` with ``idf = ln(1 + (N−df+0.5)/(df+0.5))``.
+
+    The query terms are LITERALS, so per-document term frequencies are
+    map-side higher-order-function projections (``size(filter(toks,
+    x -> x = t))``) — no postings table, no explode, no (doc, term)
+    shuffle. The whole plan is: one corpus projection, one 1-row
+    aggregate (N, avgdl, and every term's document frequency together)
+    broadcast back, a codegen scoring projection, and a
+    TakeOrderedAndProject top-k. At 100 TB that is two scans and zero
+    wide shuffles.
+
+    Per-term weights are rounded to 6dp before the per-doc sum and the
+    summed score rounded again, keeping the ranking reproducible across
+    engines. Ties broken by ascending id. Returns (id, score, n_hits).
+    """
+    for t in query_terms:
+        if "'" in t or "\\" in t:
+            raise ValueError(f"unsupported character in query term: {t!r}")
+    tf_cols = [
+        F.expr(f"size(filter(_toks, x -> x = '{t}'))").alias(f"_tf_{i}")
+        for i, t in enumerate(query_terms)
+    ]
+    base = df.select(
+        F.col(id_col), tokens(text_col).alias("_toks")
+    ).select(F.col(id_col), F.size("_toks").alias("dl"), *tf_cols)
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"_tf_{i}") > 0).cast("long")).alias(f"_df_{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+    tfs = [F.col(f"_tf_{i}") for i in range(len(query_terms))]
+    any_hit = tfs[0] if len(tfs) == 1 else F.greatest(*tfs)
+    hits = base.filter(any_hit > 0).crossJoin(F.broadcast(stats))
+
+    def _w(i: int):
+        tf = F.col(f"_tf_{i}")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col(f"_df_{i}") + F.lit(0.5))
+            / (F.col(f"_df_{i}") + F.lit(0.5))
+        )
+        tf_part = (
+            tf
+            * (F.lit(k1) + 1.0)
+            / (
+                tf
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+            )
+        )
+        return F.when(tf > 0, F.round(idf * tf_part, 6)).otherwise(F.lit(0.0))
+
+    score = _w(0)
+    n_hits = (F.col("_tf_0") > 0).cast("long")
+    for i in range(1, len(query_terms)):
+        score = score + _w(i)
+        n_hits = n_hits + (F.col(f"_tf_{i}") > 0).cast("long")
+    return (
+        hits.select(
+            F.col(id_col),
+            F.round(score, 6).alias("score"),
+            n_hits.alias("n_hits"),
+        )
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(top_k)
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Shingle-containment candidate pairs: for documents sharing at
+    least one word-n-gram, ``containment(a→b) = |S(a)∩S(b)| / |S(a)|``
+    over distinct n-gram shingle sets. Asymmetric by design — a short
+    quotation has high containment in its source but low Jaccard.
+    Emits both directions' scores once per unordered pair (a < b),
+    filtered on max(containment) ≥ threshold; 6dp-rounded.
+    """
+    grams = df.select(
+        F.col(id_col), tokens(text_col).alias("_toks")
+    ).select(F.col(id_col), F.explode(shingles("_toks", n)).alias("shingle"))
+    sizes = df.select(
+        F.col(id_col), tokens(text_col).alias("_toks")
+    ).select(F.col(id_col), F.size(shingles("_toks", n)).alias("n_grams"))
+    a = grams.select(F.col(id_col).alias("id_a"), "shingle")
+    bb = grams.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(bb, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    out = (
+        inter.join(sizes.select(F.col(id_col).alias("id_a"),
+                                F.col("n_grams").alias("size_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"),
+                           F.col("n_grams").alias("size_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_common",
+            F.round(F.col("n_common") / F.col("size_a"), 6).alias("cont_a_in_b"),
+            F.round(F.col("n_common") / F.col("size_b"), 6).alias("cont_b_in_a"),
+        )
+    )
+    return out.filter(
+        F.greatest("cont_a_in_b", "cont_b_in_a") >= F.lit(threshold)
+    )

@@ -1494,8 +1494,111 @@ FROM totals t LEFT JOIN per_doc_dup d USING (doc_id)
 """
 
 
+# ------------------------------------------------- lexical retrieval
+
+_BM25_TERMS = ["spark", "vector", "stream"]
+_BM25_K1, _BM25_B, _BM25_TOPK = 1.2, 0.75, 20
+
+
+def text_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 keyword search: top-20 documents for a fixed query bag —
+    the lexical-retrieval twin of the ANN queries. Only query-term
+    postings shuffle; df/stats sides broadcast."""
+    from icnarc_to_philips_linkage_spark.operators import retrieval
+
+    return retrieval.bm25_search(
+        load(spark, sf, "documents"),
+        _BM25_TERMS,
+        k1=_BM25_K1,
+        b=_BM25_B,
+        top_k=_BM25_TOPK,
+    )
+
+
+def _bm25_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    k1, b = _BM25_K1, _BM25_B
+    # Arithmetic written with the same literals and operation order as
+    # the Spark expression so both engines produce identical doubles
+    # before the 6dp rounds.
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+posting AS (SELECT doc_id, unnest(t) AS term FROM toks),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM posting
+  WHERE term IN ({terms}) GROUP BY 1, 2
+),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+w AS (
+  SELECT tf.doc_id,
+         ROUND(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * (tf.tf * ({k1} + 1.0))
+               / (tf.tf + {k1} * ((1.0 - {b}) + {b} * dl.dl / s.avgdl)),
+               6) AS w
+  FROM tf JOIN dl USING (doc_id) JOIN dfreq d USING (term) CROSS JOIN stats s
+)
+SELECT doc_id, ROUND(SUM(w), 6) AS score, COUNT(*) AS n_hits
+FROM w GROUP BY doc_id
+ORDER BY score DESC, doc_id LIMIT {_BM25_TOPK}
+"""
+
+
+_CONTAIN_N, _CONTAIN_T = 8, 0.5
+
+
+def dedup_containment(spark: SparkSession, sf: str) -> DataFrame:
+    """Shingle-containment pairs (asymmetric partial-copy detection):
+    |S(a)∩S(b)|/|S(a)| over 8-gram shingle sets, candidates = pairs
+    sharing ≥1 gram (bucketed self-join, never all-pairs)."""
+    from icnarc_to_philips_linkage_spark.operators import retrieval
+
+    return retrieval.containment_pairs(
+        load(spark, sf, "documents"), n=_CONTAIN_N, threshold=_CONTAIN_T
+    )
+
+
+def _containment_sql() -> str:
+    n = _CONTAIN_N
+    gram_list = (
+        f"list_distinct(list_transform(generate_series(1, len(t) - {n - 1}), "
+        f"i -> array_to_string(t[i:i+{n - 1}], ' ')))"
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+g AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(t) < {n} THEN [array_to_string(t, ' ')]
+         ELSE {gram_list} END) AS shingle
+  FROM toks
+),
+sizes AS (
+  SELECT doc_id,
+         CASE WHEN len(t) < {n} THEN 1 ELSE len({gram_list}) END AS n_grams
+  FROM toks
+),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM g a JOIN g b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_common,
+       ROUND(n_common / sa.n_grams, 6) AS cont_a_in_b,
+       ROUND(n_common / sb.n_grams, 6) AS cont_b_in_a
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE GREATEST(ROUND(n_common / sa.n_grams, 6),
+               ROUND(n_common / sb.n_grams, 6)) >= {_CONTAIN_T}
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "drift_psi": (drift_psi, _psi_sql()),
+    "text_bm25_topk": (text_bm25_topk, _bm25_sql()),
+    "dedup_containment": (dedup_containment, _containment_sql()),
     "dedup_normalized": (dedup_normalized, DEDUP_NORMALIZED_SQL),
     "dedup_passages": (dedup_passages, _passages_sql()),
     "sketch_theta_setops": (sketch_theta_setops, SKETCH_THETA_SQL),

@@ -146,6 +146,54 @@ def test_duplicated_passage_report_flags_shared_boilerplate(spark):
     assert rep[1]["dup_fraction"] == round(1 / 9, 6)
 
 
+# ---------------------------------------------------------- retrieval
+
+
+def test_bm25_ranking_semantics(spark):
+    from icnarc_to_philips_linkage_spark.operators.retrieval import bm25_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark runs fast"),   # many hits, short
+            (2, "spark is here"),                 # one hit
+            (3, "nothing relevant at all"),       # no hits → absent
+            (4, "spark spark word word word word word word word word"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = bm25_search(docs, ["spark"], top_k=10).collect()
+    ids = [r["doc_id"] for r in out]
+    assert 3 not in ids
+    assert ids[0] == 1  # highest tf, shortest doc wins
+    scores = {r["doc_id"]: r["score"] for r in out}
+    # doc 2 (tf=1, dl=3) outranks doc 4 (tf=2, dl=10): k1=1.2 saturates
+    # the extra hit while b=0.75 penalizes the longer document
+    assert scores[1] > scores[2] > scores[4]
+    assert all(r["n_hits"] == 1 for r in out)  # one query term matched
+
+
+def test_containment_detects_quotation(spark):
+    from icnarc_to_philips_linkage_spark.operators.retrieval import (
+        containment_pairs,
+    )
+
+    quote = "q1 q2 q3 q4 q5 q6 q7 q8 q9"  # 9 tokens → 2 8-grams
+    docs = spark.createDataFrame(
+        [
+            (1, quote),
+            (2, "intro words here then " + quote + " and a long tail t1 t2 t3"),
+            (3, "unrelated content entirely different words throughout here ok"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = containment_pairs(docs, n=8, threshold=0.5).collect()
+    pairs = {(r["id_a"], r["id_b"]): r for r in out}
+    assert (1, 2) in pairs and len(pairs) == 1
+    r = pairs[(1, 2)]
+    assert r["cont_a_in_b"] == 1.0  # the quote is fully contained
+    assert r["cont_b_in_a"] < 1.0  # but not vice versa
+
+
 # --------------------------------------------------- Fellegi–Sunter
 
 
