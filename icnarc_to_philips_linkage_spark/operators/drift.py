@@ -100,7 +100,17 @@ def _psi_from_tagged(tagged: DataFrame, bins: int, eps: float) -> DataFrame:
     # totals symmetrically (groupBy keeps the NULL bucket row out via
     # the explicit filter below).
     counts = counts.filter(F.col("bucket").isNotNull())
+    return psi_from_bucket_counts(counts, bins, eps)
 
+
+def psi_from_bucket_counts(
+    counts: DataFrame, bins: int, eps: float
+) -> DataFrame:
+    """PSI/KS from a pre-bucketed (bucket, n_ref, n_cur) histogram —
+    the shared tail of the batch forms and the streaming monitor
+    (streaming/drift_monitor.py), which scores micro-batches against a
+    frozen ``bins``-row reference histogram instead of rescanning the
+    reference."""
     # Window levels are materialized stepwise (Spark forbids nesting a
     # window function inside another window's argument).
     w_all = Window.partitionBy()

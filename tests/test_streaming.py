@@ -503,3 +503,67 @@ def test_streaming_ingest_dedup_two_batches(spark, tmp_path):
     assert got2 == {(1, "alpha"), (2, "beta"), (11, "gamma"), (22, "delta")}
     # per-batch partition layout: seed -1, then one partition per batch
     assert {r.batch_id for r in rows} == {-1, 0, 1}
+
+
+def test_streaming_drift_monitor_scores_each_batch(spark, tmp_path):
+    """Per-micro-batch PSI/KS against a frozen reference histogram: one
+    summary row per batch_id, numerically identical to the batch
+    ``drift.psi_report`` on the same slice (the monitor delegates to the
+    same bucket-count math, so the twins cannot diverge)."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from icnarc_to_philips_linkage_spark.operators import drift
+    from icnarc_to_philips_linkage_spark.streaming import drift_monitor, ingest
+
+    indir, ck, out = (str(tmp_path / d) for d in ("in", "ck", "out"))
+    lo, hi, bins = 0.0, 100.0, 5
+
+    ref = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.lit("x").alias("text"),
+        F.lit("ref").alias("source"),
+        (F.col("id") % 100).cast("long").alias("n_chars"),
+    )
+    ref_counts = drift_monitor.reference_counts(ref, "n_chars", lo, hi, bins)
+
+    def doc(i, n):
+        return Row(doc_id=i, text="t", source="s", n_chars=n)
+
+    schema = "doc_id long, text string, source string, n_chars long"
+
+    def run():
+        q = drift_monitor.start_drift_monitor(
+            spark.readStream.format("parquet").schema(schema).load(indir),
+            ref_counts,
+            "n_chars",
+            lo,
+            hi,
+            out,
+            ck,
+            bins=bins,
+        )
+        q.awaitTermination(120)
+
+    batch1 = [doc(1, 10), doc(2, 30), doc(3, 55), doc(4, 90)]
+    spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(indir)
+    run()
+    batch2 = [doc(5, 99), doc(6, 98), doc(7, 97)]  # mass piled right
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(indir)
+    run()
+
+    log = {r.batch_id: r for r in spark.read.parquet(out).collect()}
+    assert set(log) == {0, 1}
+    assert log[0].n_ref == 200 and log[0].n_batch == 4
+    assert log[1].n_batch == 3
+
+    # numeric parity with the batch operator on the same slices
+    for bid, rows in ((0, batch1), (1, batch2)):
+        cur = spark.createDataFrame(rows, schema)
+        rep = drift.psi_report(ref, cur, "n_chars", lo, hi, bins).collect()
+        assert log[bid].psi_total == rep[0]["psi_total"]
+        assert log[bid].ks_stat == rep[0]["ks_stat"]
+    # the shifted batch drifts more than the spread one
+    assert log[1].psi_total > log[0].psi_total
