@@ -256,6 +256,7 @@ def incremental_ingest(
     text_col: str = "text",
     bloom_bits: int | str | None = None,
     bloom_k: int = 5,
+    min_corpus_bytes: int = 64 << 20,
 ) -> DataFrame:
     """Incremental corpus ingest: drop incoming documents whose content
     digest already exists in the corpus (anti join), then exact-dedup
@@ -286,11 +287,26 @@ def incremental_ingest(
     EAGERLY at plan-construction time — ONE job over ONE scan of the
     incoming batch (``"auto"`` derives the sizing count from the same
     aggregation via ``bloom_bitmap_auto``) — the same documented
-    trade-off as ``interval_join(bucket='auto')``."""
+    trade-off as ``interval_join(bucket='auto')``.
+
+    ``"auto"`` is additionally SIZE-ADAPTIVE: the eager build only pays
+    for itself when the corpus side it prunes is large, so it is
+    skipped when Catalyst's size estimate for the existing side is
+    below ``min_corpus_bytes`` (default 64 MiB) — the same
+    statistics-driven criterion broadcast selection uses. Measured at
+    sf0.1 (corpus ~2,500 rows): prefilter ON 1.02s vs exact-only 0.30s
+    — the ~0.7s is pure fixed eager-job cost with nothing to prune.
+    Set ``min_corpus_bytes=0`` to force the prefilter regardless."""
     inc = incoming.select(
         F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col)
     )
     ex = existing.select(F.md5(F.col(text_col)).alias("content_hash"))
+    if bloom_bits == "auto" and min_corpus_bytes > 0:
+        est = int(
+            existing._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        if est < min_corpus_bytes:
+            bloom_bits = None
     if bloom_bits is not None:
         if bloom_bits == "auto":
             # r4 ran a sizing count THEN the bitmap aggregation (two

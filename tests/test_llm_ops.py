@@ -618,7 +618,7 @@ def test_incremental_ingest_auto_bloom_scans_incoming_once_eagerly(spark):
     sc = spark.sparkContext
     n_cached_before = sc._jsc.sc().getPersistentRDDs().size()
     out = dedup_scale.incremental_ingest(
-        incoming, existing, bloom_bits="auto"
+        incoming, existing, bloom_bits="auto", min_corpus_bytes=0
     )
     assert acc.value == 10, (
         f"eager sizing+bitmap phase scanned the incoming source "
@@ -630,6 +630,43 @@ def test_incremental_ingest_auto_bloom_scans_incoming_once_eagerly(spark):
     got = {(r.keep_id, r.n_batch_copies) for r in out.collect()}
     assert got == {(100 + i, 1) for i in range(1, 10)}
     assert acc.value == 20, "final plan should re-scan exactly once"
+
+
+def test_incremental_ingest_auto_bloom_is_corpus_size_adaptive(spark, tmp_path):
+    """``bloom_bits='auto'`` skips the eager prefilter when the corpus
+    side's Catalyst size estimate is below ``min_corpus_bytes`` (the
+    build cannot pay for itself with nothing to prune), and builds it
+    when forced with threshold 0. A source with UNKNOWN stats
+    (Long.MaxValue, e.g. a local relation) is conservatively treated as
+    large. Results identical either way."""
+    from pyspark.sql import Row
+
+    incoming = spark.createDataFrame(
+        [Row(doc_id=10, text="a"), Row(doc_id=11, text="b")]
+    )
+    local_existing = spark.createDataFrame([Row(doc_id=1, text="a")])
+    # parquet-backed corpus → real (tiny) size statistics
+    local_existing.write.parquet(str(tmp_path / "corpus"))
+    existing = spark.read.parquet(str(tmp_path / "corpus"))
+
+    def has_bloom_probe(df):
+        return "xxhash64" in df._jdf.queryExecution().optimizedPlan().toString()
+
+    skipped = dedup_scale.incremental_ingest(
+        incoming, existing, bloom_bits="auto"  # tiny known corpus → skip
+    )
+    forced = dedup_scale.incremental_ingest(
+        incoming, existing, bloom_bits="auto", min_corpus_bytes=0
+    )
+    unknown = dedup_scale.incremental_ingest(
+        incoming, local_existing, bloom_bits="auto"  # unknown stats → keep
+    )
+    assert not has_bloom_probe(skipped)
+    assert has_bloom_probe(forced)
+    assert has_bloom_probe(unknown)
+    assert sorted(map(tuple, skipped.collect())) == sorted(
+        map(tuple, forced.collect())
+    )
 
 
 def test_bloom_bitmap_auto_fold_matches_direct_build(spark):
