@@ -1,0 +1,115 @@
+"""Event-sequence analytics: ordered funnels and retention cohorts.
+
+The reference profiles its event stream per variable (SURVEY §2 A5-A7);
+production event tables also get asked the two classic sequence
+questions — "how many users progress through step1→step2→…→stepK in
+order?" (funnel) and "of the users who first appeared in week W, how
+many were active k weeks later?" (retention).
+
+Scale shapes:
+- ``funnel_steps``: ONE shuffle. Every step time is an unordered
+  window aggregate over the same ``partitionBy(user)`` spec — step i's
+  time is ``min(ts WHERE type=step_i AND ts > t_{i-1})`` with t_{i-1} a
+  previously materialized column, so Catalyst plans one Exchange and
+  stacks the window passes on it; the per-user reduction then REUSES
+  that partitioning (no second exchange), and the final step-count
+  fold is a single row-set the size of the step list.
+- ``retention_cohorts``: distinct (user, week) activity plus the
+  per-user cohort week in one chain of user-keyed aggregations, then a
+  (cohort, offset) count — cardinalities bounded by users and
+  weeks², not events.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def funnel_steps(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel counts: step i counts users with an event of type
+    ``steps[i]`` STRICTLY AFTER their step i-1 time (first qualifying
+    occurrence). Returns one row per step: (step_order, step, n_users,
+    pct_of_first) with pct rounded to 6dp.
+    """
+    w = Window.partitionBy(user_col)
+    out = df.select(user_col, ts_col, type_col)
+    prev: str | None = None
+    for i, step in enumerate(steps):
+        cond = F.col(type_col) == step
+        if prev is not None:
+            cond = cond & (F.col(ts_col) > F.col(prev))
+        out = out.withColumn(
+            f"_t{i}", F.min(F.when(cond, F.col(ts_col))).over(w)
+        )
+        prev = f"_t{i}"
+    per_user = out.groupBy(user_col).agg(
+        *[F.first(f"_t{i}").alias(f"_t{i}") for i in range(len(steps))]
+    )
+    counts = per_user.agg(
+        *[
+            F.count(f"_t{i}").alias(f"_n{i}")
+            for i in range(len(steps))
+        ]
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).alias("step_order"),
+                F.lit(step).alias("step"),
+                F.col(f"_n{i}").alias("n_users"),
+                F.round(
+                    F.col(f"_n{i}") / F.greatest(F.col("_n0"), F.lit(1)), 6
+                ).alias("pct_of_first"),
+            )
+            for i, step in enumerate(steps)
+        ]
+    )
+    return counts.select(F.explode(rows).alias("s")).select(
+        "s.step_order", "s.step", "s.n_users", "s.pct_of_first"
+    )
+
+
+def retention_cohorts(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly retention matrix: cohort = the user's first-event week
+    (Monday-truncated); for every (cohort_week, week_offset) pair,
+    the count of cohort users active that week and the retention rate
+    vs the cohort's week-0 size. Returns (cohort_week date,
+    week_offset int, n_active long, retention_rate double[6dp])."""
+    week = F.date_trunc("week", F.col(ts_col)).cast("date")
+    activity = (
+        df.select(F.col(user_col), week.alias("week")).distinct()
+    )
+    cohorts = activity.groupBy(user_col).agg(
+        F.min("week").alias("cohort_week")
+    )
+    joined = activity.join(cohorts, user_col).select(
+        "cohort_week",
+        (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+        .cast("int")
+        .alias("week_offset"),
+        F.col(user_col),
+    )
+    counts = joined.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )
+    # distinct (user, week) upstream makes the count per cell distinct
+    # users already; week-0 size arrives via an unpartitioned-free
+    # cohort window (cohort count of cells is bounded by weeks²).
+    w0 = F.max(
+        F.when(F.col("week_offset") == 0, F.col("n_active"))
+    ).over(Window.partitionBy("cohort_week"))
+    return counts.withColumn(
+        "retention_rate",
+        F.round(F.col("n_active") / F.greatest(w0, F.lit(1)), 6),
+    )

@@ -1667,6 +1667,78 @@ FROM w
 """
 
 
+_FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def ev_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered funnel view→click→purchase: step i counts users with a
+    qualifying event strictly after their step i-1 time. One exchange —
+    every step time is a window aggregate over the same user
+    partitioning (operators/events.py)."""
+    from icnarc_to_philips_linkage_spark.operators import events as ev
+
+    return ev.funnel_steps(load(spark, sf, "events"), _FUNNEL_STEPS)
+
+
+EV_FUNNEL_SQL = """
+WITH b0 AS (
+  SELECT user_id, ts, event_type,
+         MIN(CASE WHEN event_type = 'view' THEN ts END)
+           OVER (PARTITION BY user_id) AS t0
+  FROM events),
+b1 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > t0 THEN ts END)
+              OVER (PARTITION BY user_id) AS t1
+  FROM b0),
+b2 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > t1 THEN ts END)
+              OVER (PARTITION BY user_id) AS t2
+  FROM b1),
+per_user AS (
+  SELECT user_id, any_value(t0) AS t0, any_value(t1) AS t1,
+         any_value(t2) AS t2
+  FROM b2 GROUP BY user_id),
+c AS (SELECT COUNT(t0) AS n0, COUNT(t1) AS n1, COUNT(t2) AS n2 FROM per_user)
+SELECT 1 AS step_order, 'view' AS step, n0 AS n_users,
+       ROUND(n0 / GREATEST(n0, 1), 6) AS pct_of_first FROM c
+UNION ALL SELECT 2, 'click', n1, ROUND(n1 / GREATEST(n0, 1), 6) FROM c
+UNION ALL SELECT 3, 'purchase', n2, ROUND(n2 / GREATEST(n0, 1), 6) FROM c
+"""
+
+
+def ev_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Weekly retention cohorts: first-event week per user, activity
+    matrix (cohort_week, week_offset) with rates vs the week-0 size."""
+    from icnarc_to_philips_linkage_spark.operators import events as ev
+
+    out = ev.retention_cohorts(load(spark, sf, "events"))
+    # ISO string for the hash oracle: DATE round-trips as datetime64
+    # through DuckDB->pandas, tripping the value compare
+    return out.withColumn("cohort_week", F.col("cohort_week").cast("string"))
+
+
+EV_RETENTION_SQL = """
+WITH activity AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+  FROM events),
+cohorts AS (
+  SELECT user_id, MIN(week) AS cohort_week FROM activity GROUP BY 1),
+joined AS (
+  SELECT c.cohort_week,
+         CAST(date_diff('day', c.cohort_week, a.week) / 7 AS INT) AS week_offset,
+         a.user_id
+  FROM activity a JOIN cohorts c USING (user_id)),
+counts AS (
+  SELECT cohort_week, week_offset, COUNT(*) AS n_active
+  FROM joined GROUP BY 1, 2)
+SELECT CAST(cohort_week AS VARCHAR) AS cohort_week, week_offset, n_active,
+       ROUND(n_active / GREATEST(
+         MAX(CASE WHEN week_offset = 0 THEN n_active END)
+           OVER (PARTITION BY cohort_week), 1), 6) AS retention_rate
+FROM counts
+"""
+
+
 def ts_resample_interp(spark: SparkSession, sf: str) -> DataFrame:
     """Linear interpolation over the hourly grid (two IGNORE NULLS
     window passes + arithmetic — vitals-style gap filling)."""
@@ -1733,6 +1805,8 @@ QUERIES: dict[str, tuple] = {
     "ts_resample_interp": (ts_resample_interp, TS_INTERP_SQL),
     "fuzzy_link_names": (fuzzy_link_names, FUZZY_SQL),
     "fuzzy_fs_score": (fuzzy_fs_score, _fs_sql()),
+    "ev_funnel": (ev_funnel, EV_FUNNEL_SQL),
+    "ev_retention": (ev_retention, EV_RETENTION_SQL),
     "stream_batch_windowed_stats": (stream_batch_windowed_stats, STREAM_BATCH_SQL),
     "scd2_changelog": (scd2_changelog, SCD2_SQL),
     "j_full_outer": (j_full_outer, J_FULL_OUTER_SQL),

@@ -222,6 +222,62 @@ def test_fs_score_weights_and_decisions(spark):
     assert out[3]["agree_f"] is False and out[3]["decision"] == "non_match"
 
 
+# ------------------------------------------------------- event analytics
+
+
+def test_funnel_requires_strict_order(spark):
+    from datetime import datetime
+
+    from icnarc_to_philips_linkage_spark.operators.events import funnel_steps
+
+    def t(m):
+        return datetime(2024, 1, 1, 0, m)
+
+    rows = [
+        # user 1: full ordered funnel
+        (1, t(0), "view"), (1, t(1), "click"), (1, t(2), "purchase"),
+        # user 2: click BEFORE view — click/purchase must not count
+        (2, t(0), "click"), (2, t(1), "view"), (2, t(2), "purchase"),
+        # user 3: view only
+        (3, t(0), "view"),
+        # user 4: purchase first, then view+click — purchase not counted
+        (4, t(0), "purchase"), (4, t(1), "view"), (4, t(2), "click"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    out = {r["step"]: r for r in
+           funnel_steps(df, ["view", "click", "purchase"]).collect()}
+    assert out["view"]["n_users"] == 4
+    assert out["click"]["n_users"] == 2  # users 1 and 4
+    assert out["purchase"]["n_users"] == 1  # user 1 only
+    assert out["purchase"]["pct_of_first"] == 0.25
+    # wait for user 2: view at t1 exists, but no click strictly after it
+    # single-exchange claim: all step windows share one user partitioning
+    plan = funnel_steps(df, ["view", "click", "purchase"])._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_retention_cohort_math(spark):
+    from datetime import datetime
+
+    from icnarc_to_philips_linkage_spark.operators.events import (
+        retention_cohorts,
+    )
+
+    w0, w1 = datetime(2024, 1, 1, 12), datetime(2024, 1, 10, 12)  # Mon, next-week Wed
+    rows = [
+        (1, w0), (2, w0), (1, w1),           # cohort wk0: 2 users, 1 returns
+        (3, w1),                              # cohort wk1: 1 user
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    out = {(str(r["cohort_week"]), r["week_offset"]): r
+           for r in retention_cohorts(df).collect()}
+    assert out[("2024-01-01", 0)]["n_active"] == 2
+    assert out[("2024-01-01", 1)]["n_active"] == 1
+    assert out[("2024-01-01", 1)]["retention_rate"] == 0.5
+    assert out[("2024-01-08", 0)]["retention_rate"] == 1.0
+    assert len(out) == 3
+
+
 # ------------------------------------------------------------- sketches
 
 
