@@ -422,6 +422,113 @@ def histogram(
     )
 
 
+def winsorize_report(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    low_p: float = 0.05,
+    high_p: float = 0.95,
+) -> DataFrame:
+    """Per-group outlier-band report for winsorization/capping: exact
+    [p_low, p_high] bounds per group plus how many rows fall outside
+    them — the decide-before-you-clamp step of feature cleaning (the
+    grouped generalization of ``plausibility_band_filter``).
+
+    Two passes: the grouped percentile aggregate (one row per group,
+    broadcast back) and a conditional-count aggregate over the join.
+    Counts use STRICT comparisons against the unrounded bounds, so
+    engine-level ulp differences in percentile interpolation cannot
+    flip them unless a data value sits inside that ulp gap (values at
+    fixed decimal scale vs interpolated bounds make that vanishingly
+    tight); sums are decimal-exact (order-independent across
+    partitionings and engines).
+
+    Returns (group, n_rows, n_below, n_above, lo_bound, hi_bound,
+    value_sum) with bounds rounded to 6dp.
+    """
+    from icnarc_to_philips_linkage_spark.functions.expressions import (
+        decimal_sum,
+    )
+
+    per = df.groupBy(group_col).agg(
+        F.expr(
+            f"percentile({value_col}, array({low_p}D, {high_p}D))"
+        ).alias("__b"),
+        F.count(F.lit(1)).alias("n_rows"),
+        decimal_sum(value_col, 18, 2).alias("value_sum"),
+    )
+    bounds = per.select(
+        group_col,
+        F.element_at("__b", 1).alias("__lo"),
+        F.element_at("__b", 2).alias("__hi"),
+    )
+    counts = (
+        df.join(F.broadcast(bounds), group_col)
+        .groupBy(group_col)
+        .agg(
+            F.count(F.when(F.col(value_col) < F.col("__lo"), 1)).alias(
+                "n_below"
+            ),
+            F.count(F.when(F.col(value_col) > F.col("__hi"), 1)).alias(
+                "n_above"
+            ),
+        )
+    )
+    return per.join(counts, group_col).select(
+        group_col,
+        "n_rows",
+        "n_below",
+        "n_above",
+        F.round(F.element_at("__b", 1), 6).alias("lo_bound"),
+        F.round(F.element_at("__b", 2), 6).alias("hi_bound"),
+        "value_sum",
+    )
+
+
+def mutual_information(
+    df: DataFrame, x_col: str, y_col: str
+) -> DataFrame:
+    """Mutual information between two categorical columns — the
+    information-theoretic association measure feature selection uses
+    (how much knowing X tells you about Y): ``MI = Σ_xy p(xy) ·
+    ln(p(xy) / (p(x)p(y)))``, natural log.
+
+    One contingency aggregate (cardinality = |X|·|Y| cells) is the only
+    data-sized shuffle; marginals and the total come from windows over
+    the tiny cell table. NULL categories count as their own level
+    (groupBy keeps NULL keys). Returns one row per observed cell:
+    (x, y, n_xy, mi_contrib, mi_total) with 6dp rounding.
+    """
+    cells = df.groupBy(
+        F.col(x_col).alias("x"), F.col(y_col).alias("y")
+    ).agg(F.count(F.lit(1)).alias("n_xy"))
+    w_all = Window.partitionBy()
+    out = (
+        cells.withColumn("__n", F.sum("n_xy").over(w_all))
+        .withColumn("__nx", F.sum("n_xy").over(Window.partitionBy("x")))
+        .withColumn("__ny", F.sum("n_xy").over(Window.partitionBy("y")))
+        .withColumn(
+            "mi_contrib",
+            (F.col("n_xy") / F.col("__n"))
+            * F.log(
+                (F.col("n_xy") / F.col("__n"))
+                / (
+                    (F.col("__nx") / F.col("__n"))
+                    * (F.col("__ny") / F.col("__n"))
+                )
+            ),
+        )
+        .withColumn("mi_total", F.round(F.sum("mi_contrib").over(w_all), 6))
+    )
+    return out.select(
+        "x",
+        "y",
+        "n_xy",
+        F.round("mi_contrib", 6).alias("mi_contrib"),
+        "mi_total",
+    )
+
+
 def plausibility_band_filter(
     df: DataFrame,
     value_col: str,

@@ -1667,6 +1667,64 @@ FROM w
 """
 
 
+def a17_winsorize_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Grouped winsorization report: exact [p05, p95] bounds per
+    returnflag over l_extendedprice plus outside-band counts and the
+    decimal-exact value sum (profile.winsorize_report)."""
+    return profile.winsorize_report(
+        load(spark, sf, "lineitem"), "l_returnflag", "l_extendedprice"
+    )
+
+
+A17_SQL = """
+WITH b AS (
+  SELECT l_returnflag,
+         quantile_cont(l_extendedprice, [0.05, 0.95]) AS q,
+         COUNT(*) AS n_rows,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+  FROM lineitem GROUP BY 1),
+c AS (
+  SELECT l.l_returnflag,
+         COUNT(CASE WHEN l.l_extendedprice < b.q[1] THEN 1 END) AS n_below,
+         COUNT(CASE WHEN l.l_extendedprice > b.q[2] THEN 1 END) AS n_above
+  FROM lineitem l JOIN b USING (l_returnflag) GROUP BY 1)
+SELECT b.l_returnflag, b.n_rows, c.n_below, c.n_above,
+       ROUND(b.q[1], 6) AS lo_bound, ROUND(b.q[2], 6) AS hi_bound,
+       b.value_sum
+FROM b JOIN c USING (l_returnflag)
+"""
+
+
+def a18_mutual_information(spark: SparkSession, sf: str) -> DataFrame:
+    """Mutual information between returnflag and linestatus — the
+    categorical-association metric of feature selection
+    (profile.mutual_information): contingency cells + MI contributions
+    + total."""
+    return profile.mutual_information(
+        load(spark, sf, "lineitem"), "l_returnflag", "l_linestatus"
+    )
+
+
+A18_SQL = """
+WITH cells AS (
+  SELECT l_returnflag AS x, l_linestatus AS y, COUNT(*) AS n_xy
+  FROM lineitem GROUP BY 1, 2),
+m AS (
+  SELECT *,
+         SUM(n_xy) OVER () AS n,
+         SUM(n_xy) OVER (PARTITION BY x) AS nx,
+         SUM(n_xy) OVER (PARTITION BY y) AS ny
+  FROM cells),
+c AS (
+  SELECT x, y, n_xy,
+         (n_xy / n) * ln((n_xy / n) / ((nx / n) * (ny / n))) AS mi_contrib
+  FROM m)
+SELECT x, y, n_xy, ROUND(mi_contrib, 6) AS mi_contrib,
+       ROUND(SUM(mi_contrib) OVER (), 6) AS mi_total
+FROM c
+"""
+
+
 _FUNNEL_STEPS = ["view", "click", "purchase"]
 
 
@@ -1807,6 +1865,8 @@ QUERIES: dict[str, tuple] = {
     "fuzzy_fs_score": (fuzzy_fs_score, _fs_sql()),
     "ev_funnel": (ev_funnel, EV_FUNNEL_SQL),
     "ev_retention": (ev_retention, EV_RETENTION_SQL),
+    "a17_winsorize_outliers": (a17_winsorize_outliers, A17_SQL),
+    "a18_mutual_information": (a18_mutual_information, A18_SQL),
     "stream_batch_windowed_stats": (stream_batch_windowed_stats, STREAM_BATCH_SQL),
     "scd2_changelog": (scd2_changelog, SCD2_SQL),
     "j_full_outer": (j_full_outer, J_FULL_OUTER_SQL),

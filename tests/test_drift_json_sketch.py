@@ -222,6 +222,41 @@ def test_fs_score_weights_and_decisions(spark):
     assert out[3]["agree_f"] is False and out[3]["decision"] == "non_match"
 
 
+# -------------------------------------------------------- winsorization
+
+
+def test_winsorize_report_bounds_and_counts(spark):
+    # group x: 1..100 → p05=5.95, p95=95.05 → 5 below, 5 above
+    rows = [("x", float(i)) for i in range(1, 101)] + [("y", 7.0)] * 4
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = {r["g"]: r for r in
+           profile.winsorize_report(df, "g", "v").collect()}
+    x = out["x"]
+    assert x["n_rows"] == 100 and x["n_below"] == 5 and x["n_above"] == 5
+    assert x["lo_bound"] == 5.95 and x["hi_bound"] == 95.05
+    assert x["value_sum"] == 5050.0
+    y = out["y"]  # constant group: bounds collapse, nothing outside
+    assert y["n_below"] == 0 and y["n_above"] == 0
+    assert y["lo_bound"] == y["hi_bound"] == 7.0
+
+
+def test_mutual_information_extremes(spark):
+    import math
+
+    # independent uniform 2x2 → every contribution exactly 0
+    ind = spark.createDataFrame(
+        [(x, y) for x in "ab" for y in "cd" for _ in range(10)], ["x", "y"]
+    )
+    rows = profile.mutual_information(ind, "x", "y").collect()
+    assert all(r["mi_contrib"] == 0.0 and r["mi_total"] == 0.0 for r in rows)
+    # perfectly dependent binary → MI = ln 2
+    dep = spark.createDataFrame(
+        [("a", "a")] * 10 + [("b", "b")] * 10, ["x", "y"]
+    )
+    got = profile.mutual_information(dep, "x", "y").collect()[0]["mi_total"]
+    assert got == round(math.log(2), 6)
+
+
 # ------------------------------------------------------- event analytics
 
 
