@@ -359,3 +359,51 @@ def _resample(
         )
     )
     return exploded.select(key, "grid_ts", interp.alias("value_interp"))
+
+
+def rolling_zscore_anomalies(
+    events: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    window_seconds: int = 3600,
+    z_threshold: float = 2.0,
+    min_points: int = 5,
+) -> DataFrame:
+    """Rolling-window z-score anomaly detection: each observation is
+    scored against the trailing ``window_seconds`` of ITS OWN key's
+    values (inclusive of itself) and flagged when |z| exceeds the
+    threshold with at least ``min_points`` in the window — the standard
+    self-calibrating spike detector for telemetry/vitals streams.
+
+    One exchange on the key; the trailing statistics are a time-RANGE
+    window frame (no self-join, no per-key collect). The z-score is
+    rounded to 6dp BEFORE thresholding so a differential oracle
+    compares post-round values (ulp-level engine differences in the
+    rolling mean/std cannot flip the flag unless the rounded value sits
+    exactly on the threshold).
+
+    Returns flagged rows only: (key, event_id?, ts, value, n_window,
+    z) — all original columns pass through.
+    """
+    w = (
+        Window.partitionBy(key)
+        .orderBy(ts_micros(ts_col))
+        .rangeBetween(-window_seconds * 1_000_000, 0)
+    )
+    v = F.col(value_col)
+    out = (
+        events.withColumn("__avg", F.avg(v).over(w))
+        .withColumn("__std", F.stddev_samp(v).over(w))
+        .withColumn("n_window", F.count(v).over(w))
+        .withColumn(
+            "z",
+            F.round((v - F.col("__avg")) / F.col("__std"), 6),
+        )
+    )
+    return out.filter(
+        (F.col("n_window") >= min_points)
+        & F.col("__std").isNotNull()
+        & (F.col("__std") > 1e-12)
+        & (F.abs(F.col("z")) > F.lit(z_threshold))
+    ).drop("__avg", "__std")

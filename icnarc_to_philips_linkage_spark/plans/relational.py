@@ -1695,6 +1695,40 @@ FROM b JOIN c USING (l_returnflag)
 """
 
 
+def ts_rolling_zscore(spark: SparkSession, sf: str) -> DataFrame:
+    """Rolling z-score spike detection: each event scored against its
+    user's trailing 7 days of values (time-RANGE window, one exchange),
+    flagged at |z| > 2 with >= 5 points (timeseries.rolling_zscore_anomalies).
+    The window matches the testdata's per-user event density (~2/day) so
+    the detector has enough trailing points to calibrate."""
+    from icnarc_to_philips_linkage_spark.operators.timeseries import (
+        rolling_zscore_anomalies,
+    )
+
+    e = load(spark, sf, "events").select("event_id", "user_id", "ts", "value")
+    return rolling_zscore_anomalies(
+        e, "user_id", "ts", "value", window_seconds=7 * 86400
+    ).select("event_id", "user_id", "value", "n_window", "z")
+
+
+TS_ZSCORE_SQL = """
+WITH w AS (
+  SELECT event_id, user_id, value,
+         AVG(value) OVER win AS a,
+         STDDEV_SAMP(value) OVER win AS s,
+         COUNT(value) OVER win AS n_window
+  FROM events
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, value, n_window,
+       ROUND((value - a) / s, 6) AS z
+FROM w
+WHERE n_window >= 5 AND s IS NOT NULL AND s > 1e-12
+  AND ABS(ROUND((value - a) / s, 6)) > 2.0
+"""
+
+
 def a18_mutual_information(spark: SparkSession, sf: str) -> DataFrame:
     """Mutual information between returnflag and linestatus — the
     categorical-association metric of feature selection
@@ -1867,6 +1901,7 @@ QUERIES: dict[str, tuple] = {
     "ev_retention": (ev_retention, EV_RETENTION_SQL),
     "a17_winsorize_outliers": (a17_winsorize_outliers, A17_SQL),
     "a18_mutual_information": (a18_mutual_information, A18_SQL),
+    "ts_rolling_zscore": (ts_rolling_zscore, TS_ZSCORE_SQL),
     "stream_batch_windowed_stats": (stream_batch_windowed_stats, STREAM_BATCH_SQL),
     "scd2_changelog": (scd2_changelog, SCD2_SQL),
     "j_full_outer": (j_full_outer, J_FULL_OUTER_SQL),

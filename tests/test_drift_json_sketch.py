@@ -240,6 +240,36 @@ def test_winsorize_report_bounds_and_counts(spark):
     assert y["lo_bound"] == y["hi_bound"] == 7.0
 
 
+def test_rolling_zscore_flags_planted_spike(spark):
+    from datetime import datetime
+
+    from icnarc_to_philips_linkage_spark.operators.timeseries import (
+        rolling_zscore_anomalies,
+    )
+
+    def t(m):
+        return datetime(2024, 1, 1, 0, m)
+
+    rows = (
+        # user 1: stable-ish series then a big spike at minute 9
+        [(1, i, t(i), 10.0 + (i % 3)) for i in range(9)]
+        + [(1, 9, t(9), 500.0)]
+        # user 2: constant series — std 0, never flagged
+        + [(2, 100 + i, t(i), 5.0) for i in range(10)]
+        # user 3: spike but with only 3 trailing points — min_points guard
+        + [(3, 200, t(0), 1.0), (3, 201, t(1), 1.5), (3, 202, t(2), 99.0)]
+    )
+    df = spark.createDataFrame(rows, ["user_id", "event_id", "ts", "value"])
+    out = rolling_zscore_anomalies(
+        df, "user_id", "ts", "value", window_seconds=3600
+    ).collect()
+    flagged = {(r["user_id"], r["event_id"]) for r in out}
+    assert (1, 9) in flagged
+    assert all(u == 1 for u, _ in flagged)  # users 2 and 3 never flag
+    z = {r["event_id"]: r["z"] for r in out}[9]
+    assert z > 2.0
+
+
 def test_mutual_information_extremes(spark):
     import math
 
