@@ -109,6 +109,116 @@ def bm25_search(
     )
 
 
+def write_postings_index(
+    docs: DataFrame,
+    table_name: str,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 64,
+) -> None:
+    """Persist the corpus as a BM25-ready inverted index: a postings
+    table (term, id, tf, dl) BUCKETED by term plus a 1-row stats table
+    (n_docs, avgdl) under ``<table_name>_stats``.
+
+    This is the scale path past ``bm25_search``'s literal-folding
+    boundary (SCALE.md): when query term sets are data (thousands of
+    terms, per-user vocabularies) rather than plan constants, fold-in
+    stops working — instead pay the index layout once at ingest.
+    Bucketing by term stores the postings pre-hash-partitioned on the
+    probe join key (the ``write_lsh_index`` pattern); the document
+    length rides on each posting row (Lucene-norm style) so probes
+    never join back to the corpus."""
+    toks = docs.select(
+        F.col(id_col), tokens(text_col).alias("_toks")
+    ).select(
+        F.col(id_col),
+        F.size("_toks").alias("dl"),
+        F.explode("_toks").alias("term"),
+    )
+    postings = toks.groupBy("term", id_col).agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.first("dl").alias("dl"),
+    )
+    (
+        postings.write.mode("overwrite")
+        .bucketBy(buckets, "term")
+        .sortBy("term")
+        .option("path", path)
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
+    stats = docs.select(F.size(tokens(text_col)).alias("dl")).agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    (
+        stats.write.mode("overwrite")
+        .option("path", path + "_stats")
+        .format("parquet")
+        .saveAsTable(table_name + "_stats")
+    )
+
+
+def bm25_query_index(
+    spark,
+    table_name: str,
+    query_terms: DataFrame,
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+    max_query_terms: int = 100_000,
+) -> DataFrame:
+    """BM25 top-k against a persisted postings index for a DATA-side
+    term set (a 1-column ``term`` DataFrame).
+
+    The term set is collected (bounded by ``max_query_terms`` — queries
+    are small relative to the corpus by definition) and applied BOTH as
+    an ``isin`` pushdown predicate — the term-sorted parquet layout
+    row-group-skips non-matching postings — and as a broadcast join.
+    The corpus-side postings never shuffle: document frequencies and
+    hit scoring both read the bucketed table; the only exchange is the
+    per-doc score aggregation over matching postings. Same scoring and
+    rounding discipline as ``bm25_search`` (parity-tested)."""
+    terms = [r["term"] for r in query_terms.select("term").distinct().collect()]
+    if len(terms) > max_query_terms:
+        raise ValueError(
+            f"{len(terms)} query terms exceed max_query_terms="
+            f"{max_query_terms}; split the query or raise the bound"
+        )
+    post = spark.table(table_name).filter(F.col("term").isin(terms))
+    stats = spark.table(table_name + "_stats")
+    dfreq = post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    tf_part = (
+        F.col("tf")
+        * (F.lit(k1) + 1.0)
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        post.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(F.col(id_col), F.round(idf * tf_part, 6).alias("w"))
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.round(F.sum("w"), 6).alias("score"),
+            F.count(F.lit(1)).alias("n_hits"),
+        )
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(top_k)
+    )
+
+
 def containment_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -172,6 +172,36 @@ def test_bm25_ranking_semantics(spark):
     assert all(r["n_hits"] == 1 for r in out)  # one query term matched
 
 
+def test_postings_index_bm25_parity_and_pushdown(spark, tmp_path):
+    """Persisted inverted index: scoring a data-side term set against
+    the bucketed postings table must (a) equal the literal-folding
+    ``bm25_search`` on the same corpus/terms and (b) reach the postings
+    scan with the term predicate pushed down (row-group skipping on the
+    term-sorted layout)."""
+    from icnarc_to_philips_linkage_spark.operators import retrieval
+    from icnarc_to_philips_linkage_spark.plans.tables import load
+    from tests.conftest import SF_SMOKE
+
+    docs = load(spark, SF_SMOKE, "documents")
+    terms = ["spark", "vector", "stream"]
+    table = "postings_idx_test"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(f"DROP TABLE IF EXISTS {table}_stats")
+    retrieval.write_postings_index(docs, table, str(tmp_path / "postings"))
+    try:
+        q = spark.createDataFrame([(t,) for t in terms], ["term"])
+        got = retrieval.bm25_query_index(spark, table, q, top_k=20)
+        want = retrieval.bm25_search(docs, terms, top_k=20)
+        assert [tuple(r) for r in got.collect()] == [
+            tuple(r) for r in want.collect()
+        ]
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters: [In(term" in plan, plan
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(f"DROP TABLE IF EXISTS {table}_stats")
+
+
 def test_containment_detects_quotation(spark):
     from icnarc_to_philips_linkage_spark.operators.retrieval import (
         containment_pairs,
