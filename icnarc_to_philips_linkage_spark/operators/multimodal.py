@@ -154,6 +154,11 @@ def _real_decode(payload: bytes, media_type: str):
         png = _parse_png_ihdr(payload)
         if png is not None:
             return png[0], png[1], 1, digest, None
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+            # PNG by signature but malformed IHDR: quarantine, don't
+            # crash the job on one bad row (matches the Pillow path's
+            # undecodable-payload handling below)
+            return None
         try:
             import io
 
@@ -175,6 +180,10 @@ def _real_decode(payload: bytes, media_type: str):
         wav = _parse_wav_header(payload)
         if wav is not None:
             return None, None, wav[0], digest, wav[1]
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            # IS a WAV by signature but malformed past the header:
+            # quarantine (NULL metadata), don't crash the decode job
+            return None
         raise NotImplementedError(
             "real non-WAV audio decode requires an av/ffmpeg binding; "
             "not installed in this container — pass fake=True for the "

@@ -168,6 +168,15 @@ def pack_bins_ffd(
             f"need context_len >= 1 and num_groups >= 1, got "
             f"{context_len}, {num_groups}"
         )
+    id_type = dict(df.dtypes)[id_col]
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        # a silent cast('long') would NULL out string ids and crash (or
+        # drop rows) deep inside the pandas pack — reject up front
+        raise TypeError(
+            f"pack_bins_ffd requires an integral id column; {id_col!r} "
+            f"is {id_type}. Map string ids to longs first (e.g. "
+            f"xxhash64 or a dimension join)."
+        )
 
     docs = df.filter(
         (F.col(n_tokens_col) > 0) & (F.col(n_tokens_col) <= context_len)

@@ -53,6 +53,8 @@ def bm25_search(
     summed score rounded again, keeping the ranking reproducible across
     engines. Ties broken by ascending id. Returns (id, score, n_hits).
     """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
     for t in query_terms:
         if "'" in t or "\\" in t:
             raise ValueError(f"unsupported character in query term: {t!r}")
@@ -148,7 +150,16 @@ def write_postings_index(
         .format("parquet")
         .saveAsTable(table_name)
     )
-    stats = docs.select(F.size(tokens(text_col)).alias("dl")).agg(
+    # Stats derive from the postings just WRITTEN (one (id, dl) row per
+    # doc via first-per-id) — no second tokenize+scan of the corpus.
+    # Docs with no tokens produce no postings and therefore don't count
+    # toward n_docs/avgdl; they can't match any query either.
+    per_doc = (
+        docs.sparkSession.table(table_name)
+        .groupBy(id_col)
+        .agg(F.first("dl").alias("dl"))
+    )
+    stats = per_doc.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
     (

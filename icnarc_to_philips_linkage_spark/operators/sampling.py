@@ -220,14 +220,18 @@ def mixture_balance(
         .agg(F.count(F.lit(1)).alias("__c"))
         .collect()
     }
-    avail = {
-        d: s for d, s in target_shares.items() if s > 0 and counts.get(d)
-    }
-    if not avail:
+    missing = [
+        d for d, s in target_shares.items() if s > 0 and not counts.get(d)
+    ]
+    if missing:
+        # silently dropping an absent target domain would return a
+        # corpus that CANNOT match target_shares (the formula's
+        # N = min_d(count_d / share_d) is 0) while looking successful
         raise ValueError(
-            f"no target domain present in the data; targets "
-            f"{sorted(target_shares)}, present {sorted(counts)}"
+            f"target domains absent from the data: {sorted(missing)}; "
+            f"targets {sorted(target_shares)}, present {sorted(counts)}"
         )
+    avail = {d: s for d, s in target_shares.items() if s > 0}
     n_out = min(counts[d] / s for d, s in avail.items())
     fracs = {
         d: round(min(1.0, s * n_out / counts[d]), 6)

@@ -84,9 +84,6 @@ def start_drift_monitor(
     """Score every micro-batch against the reference histogram and
     append one (batch_id, n_ref, n_batch, psi_total, ks_stat) row to a
     ``batch_id``-partitioned parquet log."""
-    spark = stream_df.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-
     def _score(batch: DataFrame, batch_id: int) -> None:
         cur = (
             batch.select(
@@ -105,7 +102,16 @@ def start_drift_monitor(
             F.max("psi_total").alias("psi_total"),
             F.max("ks_stat").alias("ks_stat"),
         ).withColumn("batch_id", F.lit(batch_id).cast("long"))
-        row.write.mode("overwrite").partitionBy("batch_id").parquet(out_path)
+        # per-write dynamic overwrite (NOT a session-wide conf change:
+        # mutating the session setting would leak into unrelated writes
+        # and a later 'static' reset would make this overwrite delete
+        # the whole log directory)
+        (
+            row.write.option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .mode("overwrite")
+            .parquet(out_path)
+        )
 
     writer = (
         stream_df.writeStream.foreachBatch(_score)

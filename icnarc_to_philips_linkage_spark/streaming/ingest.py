@@ -90,13 +90,27 @@ def start_ingest_dedup(
     drives exactly that)."""
 
     def handle(batch: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
         spark = batch.sparkSession
         try:
-            existing = spark.read.parquet(corpus_path).select(
-                id_col, text_col
+            # Exclude THIS batch's own partition from the corpus read:
+            # a micro-batch retried after a partial write would
+            # otherwise dedup against its own partial output and then
+            # dynamic-overwrite its partition with only the remainder —
+            # deleting the documents that had already become visible.
+            existing = (
+                spark.read.parquet(corpus_path)
+                .filter(F.col("batch_id") != F.lit(batch_id))
+                .select(id_col, text_col)
             )
-        except Exception:
-            # first batch of a fresh corpus: nothing to dedup against
+        except AnalysisException as e:
+            # ONLY the missing-path case means "fresh corpus"; any
+            # other read failure (corrupt footer, transient FS error)
+            # must fail the batch, not silently disable dedup.
+            msg = str(e)
+            if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
+                raise
             existing = spark.createDataFrame(
                 [], batch.select(id_col, text_col).schema
             )

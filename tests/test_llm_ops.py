@@ -1348,5 +1348,9 @@ def test_mixture_balance_hits_target_without_upsampling(spark):
     assert got == again, "membership must be partition-independent"
     with pytest.raises(ValueError, match="sum to 1"):
         sampling.mixture_balance(df, "doc_id", "dom", {"en": 0.4})
-    with pytest.raises(ValueError, match="no target domain"):
+    with pytest.raises(ValueError, match="absent from the data"):
         sampling.mixture_balance(df, "doc_id", "dom", {"absent": 1.0})
+    # a PARTIALLY absent target must also raise, not silently return a
+    # corpus that cannot match the requested mixture
+    with pytest.raises(ValueError, match="absent from the data.*fr"):
+        sampling.mixture_balance(df, "doc_id", "dom", {"en": 0.5, "fr": 0.5})

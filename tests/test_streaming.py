@@ -505,6 +505,46 @@ def test_streaming_ingest_dedup_two_batches(spark, tmp_path):
     assert {r.batch_id for r in rows} == {-1, 0, 1}
 
 
+def test_streaming_ingest_retry_does_not_lose_partial_batch(spark, tmp_path):
+    """A micro-batch retried after a PARTIAL write must not dedup
+    against its own partial partition: that would make the dynamic
+    overwrite replace the partition with only the not-yet-written
+    remainder, deleting documents that had already become visible.
+    Simulated by pre-writing a partial batch_id=0 partition before the
+    first (batch_id=0) run."""
+    from pyspark.sql import Row
+
+    from pyspark.sql import functions as F
+
+    from icnarc_to_philips_linkage_spark.streaming import ingest
+
+    indir, ck, corpus = (str(tmp_path / d) for d in ("in", "ck", "corpus"))
+
+    def doc(i, text):
+        return Row(doc_id=i, text=text, source="s1")
+
+    # partial write of batch 0: only doc 10 made it out before the
+    # simulated crash
+    spark.createDataFrame([doc(10, "alpha")], ingest.DOCS_SCHEMA).withColumn(
+        "batch_id", F.lit(0)
+    ).write.partitionBy("batch_id").mode("overwrite").parquet(corpus)
+
+    # retry processes the full batch {10, 11}
+    spark.createDataFrame(
+        [doc(10, "alpha"), doc(11, "beta")], ingest.DOCS_SCHEMA
+    ).coalesce(1).write.parquet(indir)
+    q = ingest.start_ingest_dedup(
+        ingest.read_documents_stream(spark, indir), corpus, ck
+    )
+    q.awaitTermination(120)
+
+    got = {(r.doc_id, r.text) for r in spark.read.parquet(corpus).collect()}
+    assert got == {(10, "alpha"), (11, "beta")}, (
+        "retry must rewrite its own partition completely, not drop the "
+        "already-visible rows as duplicates"
+    )
+
+
 def test_streaming_drift_monitor_scores_each_batch(spark, tmp_path):
     """Per-micro-batch PSI/KS against a frozen reference histogram: one
     summary row per batch_id, numerically identical to the batch
