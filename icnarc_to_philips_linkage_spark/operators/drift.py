@@ -103,19 +103,56 @@ def _psi_from_tagged(tagged: DataFrame, bins: int, eps: float) -> DataFrame:
     return psi_from_bucket_counts(counts, bins, eps)
 
 
+def psi_report_strata(
+    df: DataFrame,
+    strata_col: str,
+    is_ref: Column,
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int = 10,
+    eps: float = 0.5,
+) -> DataFrame:
+    """Per-stratum PSI/KS in ONE pass: the grouped form of
+    ``psi_report_tagged`` — drift is computed independently within each
+    stratum (per language, per source, per feature slice), which is how
+    production monitoring actually runs: a stable aggregate can hide a
+    badly drifted stratum. One shuffle of cardinality
+    |strata| x bins; all windows partition by the stratum. Output adds
+    a leading ``stratum`` column; psi_total/ks_stat are per-stratum."""
+    tagged = df.filter(is_ref.isNotNull()).select(
+        F.col(strata_col).alias("stratum"),
+        bucketize(F.col(value_col).cast("double"), lo, hi, bins).alias(
+            "bucket"
+        ),
+        F.when(is_ref, 1).otherwise(0).alias("__is_ref"),
+    )
+    counts = (
+        tagged.groupBy("stratum", "bucket")
+        .agg(
+            F.count(F.when(F.col("__is_ref") == 1, 1)).alias("n_ref"),
+            F.count(F.when(F.col("__is_ref") == 0, 1)).alias("n_cur"),
+        )
+        .filter(F.col("bucket").isNotNull())
+    )
+    return psi_from_bucket_counts(counts, bins, eps, strata_col="stratum")
+
+
 def psi_from_bucket_counts(
-    counts: DataFrame, bins: int, eps: float
+    counts: DataFrame, bins: int, eps: float, strata_col: str | None = None
 ) -> DataFrame:
     """PSI/KS from a pre-bucketed (bucket, n_ref, n_cur) histogram —
     the shared tail of the batch forms and the streaming monitor
     (streaming/drift_monitor.py), which scores micro-batches against a
     frozen ``bins``-row reference histogram instead of rescanning the
-    reference."""
+    reference. With ``strata_col``, every window partitions by the
+    stratum so each stratum gets its own totals / PSI / KS."""
     # Window levels are materialized stepwise (Spark forbids nesting a
     # window function inside another window's argument).
-    w_all = Window.partitionBy()
+    parts = [strata_col] if strata_col else []
+    w_all = Window.partitionBy(*parts)
     w_cum = (
-        Window.partitionBy()
+        Window.partitionBy(*parts)
         .orderBy("bucket")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
@@ -142,6 +179,7 @@ def psi_from_bucket_counts(
         .withColumn("ks_stat", F.round(F.max("__gap").over(w_all), 6))
     )
     return out.select(
+        *parts,
         "bucket",
         "n_ref",
         "n_cur",

@@ -1437,6 +1437,65 @@ FROM c2
 """
 
 
+def drift_psi_by_lang(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language drift: the stratified form — a stable aggregate PSI
+    can hide a badly drifted stratum, so production monitoring slices
+    first. One shuffle of |langs| x bins cells."""
+    from icnarc_to_philips_linkage_spark.operators import drift
+
+    d = load(spark, sf, "documents")
+    batch_no = F.substring("source", 4, 10).cast("int")
+    return drift.psi_report_strata(
+        d,
+        "lang",
+        batch_no < 10,
+        "n_chars",
+        lo=_PSI_LO,
+        hi=_PSI_HI,
+        bins=_PSI_BINS,
+        eps=_PSI_EPS,
+    )
+
+
+def _psi_strata_sql() -> str:
+    width = (_PSI_HI - _PSI_LO) / _PSI_BINS
+    return f"""
+WITH tagged AS (
+  SELECT lang AS stratum,
+         LEAST({_PSI_BINS - 1}, GREATEST(0,
+           CAST(FLOOR((CAST(n_chars AS DOUBLE) - {_PSI_LO}) / {width}) AS BIGINT)
+         )) AS bucket,
+         CASE WHEN CAST(SUBSTR(source, 4) AS INT) < 10 THEN 1 ELSE 0 END AS is_ref
+  FROM documents
+),
+counts AS (
+  SELECT stratum, bucket,
+         COUNT(*) FILTER (is_ref = 1) AS n_ref,
+         COUNT(*) FILTER (is_ref = 0) AS n_cur
+  FROM tagged WHERE bucket IS NOT NULL GROUP BY 1, 2
+),
+probs AS (
+  SELECT stratum, bucket, n_ref, n_cur,
+         (n_ref + {_PSI_EPS}) / (SUM(n_ref) OVER (PARTITION BY stratum) + {_PSI_EPS * _PSI_BINS}) AS p_ref,
+         (n_cur + {_PSI_EPS}) / (SUM(n_cur) OVER (PARTITION BY stratum) + {_PSI_EPS * _PSI_BINS}) AS p_cur
+  FROM counts
+),
+c2 AS (
+  SELECT *,
+         (p_cur - p_ref) * ln(p_cur / p_ref) AS psi_contrib,
+         SUM(p_ref) OVER (PARTITION BY stratum ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cr,
+         SUM(p_cur) OVER (PARTITION BY stratum ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
+  FROM probs
+)
+SELECT stratum, bucket, n_ref, n_cur,
+       ROUND(p_ref, 6) AS p_ref, ROUND(p_cur, 6) AS p_cur,
+       ROUND(psi_contrib, 6) AS psi_contrib,
+       ROUND(SUM(psi_contrib) OVER (PARTITION BY stratum), 6) AS psi_total,
+       ROUND(MAX(ABS(cr - cc)) OVER (PARTITION BY stratum), 6) AS ks_stat
+FROM c2
+"""
+
+
 def dedup_normalized(spark: SparkSession, sf: str) -> DataFrame:
     """Exact dedup on canonicalized text (lower / strip punctuation /
     collapse whitespace) — case and formatting variants merge."""
@@ -1597,6 +1656,7 @@ WHERE GREATEST(ROUND(n_common / sa.n_grams, 6),
 
 QUERIES: dict[str, tuple] = {
     "drift_psi": (drift_psi, _psi_sql()),
+    "drift_psi_by_lang": (drift_psi_by_lang, _psi_strata_sql()),
     "text_bm25_topk": (text_bm25_topk, _bm25_sql()),
     "dedup_containment": (dedup_containment, _containment_sql()),
     "dedup_normalized": (dedup_normalized, DEDUP_NORMALIZED_SQL),
