@@ -428,11 +428,19 @@ def winsorize_report(
     value_col: str,
     low_p: float = 0.05,
     high_p: float = 0.95,
+    exact: bool = False,
+    accuracy: int = 10_000,
 ) -> DataFrame:
-    """Per-group outlier-band report for winsorization/capping: exact
+    """Per-group outlier-band report for winsorization/capping:
     [p_low, p_high] bounds per group plus how many rows fall outside
     them — the decide-before-you-clamp step of feature cleaning (the
     grouped generalization of ``plausibility_band_filter``).
+
+    DEFAULT is the mergeable ``percentile_approx`` sketch — exact
+    ``percentile`` materializes every group's values in aggregation
+    memory, which does not survive 100 TB groups (the
+    ``equi_depth_histogram`` precedent); ``exact=True`` is for oracle
+    parity and small data.
 
     Two passes: the grouped percentile aggregate (one row per group,
     broadcast back) and a conditional-count aggregate over the join.
@@ -450,9 +458,11 @@ def winsorize_report(
         decimal_sum,
     )
 
+    fn = "percentile" if exact else "percentile_approx"
+    acc = "" if exact else f", {accuracy}"
     per = df.groupBy(group_col).agg(
         F.expr(
-            f"percentile({value_col}, array({low_p}D, {high_p}D))"
+            f"{fn}({value_col}, array({low_p}D, {high_p}D){acc})"
         ).alias("__b"),
         F.count(F.lit(1)).alias("n_rows"),
         decimal_sum(value_col, 18, 2).alias("value_sum"),

@@ -1668,11 +1668,16 @@ FROM w
 
 
 def a17_winsorize_outliers(spark: SparkSession, sf: str) -> DataFrame:
-    """Grouped winsorization report: exact [p05, p95] bounds per
-    returnflag over l_extendedprice plus outside-band counts and the
-    decimal-exact value sum (profile.winsorize_report)."""
+    """Grouped winsorization report: [p05, p95] bounds per returnflag
+    over l_extendedprice plus outside-band counts and the decimal-exact
+    value sum. ``exact=True`` pins the oracle-matchable exact
+    percentile; the operator DEFAULT is the mergeable approx sketch
+    (the scale path — see profile.winsorize_report)."""
     return profile.winsorize_report(
-        load(spark, sf, "lineitem"), "l_returnflag", "l_extendedprice"
+        load(spark, sf, "lineitem"),
+        "l_returnflag",
+        "l_extendedprice",
+        exact=True,
     )
 
 

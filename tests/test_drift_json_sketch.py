@@ -259,8 +259,14 @@ def test_winsorize_report_bounds_and_counts(spark):
     # group x: 1..100 → p05=5.95, p95=95.05 → 5 below, 5 above
     rows = [("x", float(i)) for i in range(1, 101)] + [("y", 7.0)] * 4
     df = spark.createDataFrame(rows, ["g", "v"])
+    # default is the mergeable approx sketch (scale path): bounds are
+    # actual data elements near the requested ranks
+    approx = {r["g"]: r for r in
+              profile.winsorize_report(df, "g", "v").collect()}
+    assert 1.0 <= approx["x"]["lo_bound"] <= 10.0
+    assert 90.0 <= approx["x"]["hi_bound"] <= 100.0
     out = {r["g"]: r for r in
-           profile.winsorize_report(df, "g", "v").collect()}
+           profile.winsorize_report(df, "g", "v", exact=True).collect()}
     x = out["x"]
     assert x["n_rows"] == 100 and x["n_below"] == 5 and x["n_above"] == 5
     assert x["lo_bound"] == 5.95 and x["hi_bound"] == 95.05
