@@ -416,3 +416,81 @@ def recall_at_k(truth: DataFrame, approx: DataFrame) -> DataFrame:
             F.collect_list(F.struct("query_id", "recall"))
         ).alias("per_query"),
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.3,
+    n_planes: int = 6,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    the embedding space, compare pairs ONLY within a cluster, and keep
+    one representative per near-duplicate set.
+
+    The clusterer here is the deterministic random-hyperplane signature
+    (``rh_lsh_signature`` — literal planes folded into the plan), the
+    reproducible stand-in for the paper's k-means step: both route each
+    vector to exactly one cell so the pairwise stage is
+    sum-over-cells |cell|², never corpus². The survivor rule is
+    min-id-dominates: a vector is dropped iff some SMALLER id in its
+    cell has cosine ≥ threshold — deterministic, single-pass, and
+    exactly SQL-expressible (unlike a transitive-closure clustering,
+    which ``near_dup_clusters`` already covers).
+
+    Output: (vec_id, cluster, kept) for every corpus row.
+
+    Scale: one corpus scan to hash (narrow), one self-join per cell
+    keyed on the cluster id (shuffle on cluster), then a semi-join of
+    dropped ids back — at 100 TB the knobs are n_planes (cells ≈
+    n/2^planes ⇒ pairs per cell shrink 4× per extra plane) and the
+    threshold. Skewed cells are AQE-splittable because the pair join
+    keys on cluster alone.
+    """
+    from pyspark import StorageLevel
+
+    planes = [_hyperplane(p, dim) for p in range(n_planes)]
+    # persisted: three consumers (both self-join sides + the final
+    # decorate) would otherwise re-scan the corpus and re-fold the
+    # plane dot products three times — same trade as the minhash
+    # shingle-set cache (plan-asserted there); spills to disk at scale
+    hashed = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        norm_sq(vec_col).alias("__nsq"),
+        rh_lsh_signature(vec_col, planes).alias("cluster"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    a = hashed.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("vec_a"),
+        F.col("__nsq").alias("nsq_a"),
+        "cluster",
+    )
+    b = hashed.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vec_b"),
+        F.col("__nsq").alias("nsq_b"),
+        "cluster",
+    )
+    dropped = (
+        a.join(b, on="cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.round(
+                cosine_with_norms("vec_a", "vec_b", "nsq_a", "nsq_b"), 6
+            )
+            >= threshold
+        )
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return (
+        hashed.join(dropped.withColumn("__drop", F.lit(1)), id_col, "left")
+        .select(
+            id_col,
+            "cluster",
+            F.col("__drop").isNull().alias("kept"),
+        )
+    )

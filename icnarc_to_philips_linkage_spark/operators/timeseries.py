@@ -407,3 +407,51 @@ def rolling_zscore_anomalies(
         & (F.col("__std") > 1e-12)
         & (F.abs(F.col("z")) > F.lit(z_threshold))
     ).drop("__avg", "__std")
+
+
+def ewma_window(
+    events: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+    window: int = 20,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Truncated exponentially-weighted moving average as a PURE window
+    expression — the oracle-checkable sibling of ``ewma_smooth``.
+
+    The exact EWMA recursion (s_t = α·x_t + (1−α)·s_{t−1}) needs
+    unbounded history, which forces the Arrow escape hatch
+    (``ewma_smooth``). Truncating the weight tail at ``window`` terms —
+    standard practice, the dropped tail mass is (1−α)^window ≈ 0.08%
+    for the defaults — turns it into a fixed linear combination of the
+    last W observations:
+
+        ewma_t = Σ_{j<W} (1−α)^j · x_{t−j}  /  Σ_{j<W, x exists} (1−α)^j
+
+    expressed as W ``lag`` terms over ONE window spec, so Catalyst
+    plans a single sort-based window pass (one shuffle on the key, no
+    Python). NULL values drop out of numerator AND denominator (pandas
+    ``ewm(ignore_na=False)``-adjacent but re-normalized, deterministic
+    both sides).
+
+    Ordering is pinned by (ts, tiebreak) so ties can't reorder weights.
+    Output: (key, tiebreak?, ts, value, ewma) — ewma NULL when no
+    non-NULL observation is in reach.
+    """
+    order = [F.col(ts_col)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(key).orderBy(*order)
+    x = F.col(value_col).cast("double")
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for j in range(window):
+        lj = F.lag(x, j).over(w) if j else x
+        wt = (1.0 - alpha) ** j
+        num = num + F.when(lj.isNotNull(), F.lit(wt) * lj).otherwise(F.lit(0.0))
+        den = den + F.when(lj.isNotNull(), F.lit(wt)).otherwise(F.lit(0.0))
+    cols = [key] + ([tiebreak] if tiebreak else []) + [ts_col, value_col]
+    return events.select(
+        *cols,
+        F.when(den > 0, F.round(num / den, 6)).alias("ewma"),
+    )

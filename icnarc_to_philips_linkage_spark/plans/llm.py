@@ -1654,7 +1654,93 @@ WHERE GREATEST(ROUND(n_common / sa.n_grams, 6),
 """
 
 
+SEMDEDUP_T = 0.3
+
+
+def dedup_semantic(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (similarity.semantic_dedup):
+    deterministic hyperplane clusters, within-cluster cosine prune,
+    min-id survivor per near-dup set. The clusterer's literal planes
+    reproduce exactly in the oracle, so even this 'approximate' op is
+    hash-checkable."""
+    emb = load(spark, sf, "embeddings")
+    return similarity.semantic_dedup(
+        emb, threshold=SEMDEDUP_T, n_planes=N_PLANES, dim=DIM
+    ).orderBy("vec_id")
+
+
+def _semantic_dedup_sql() -> str:
+    planes = [similarity._hyperplane(p, DIM) for p in range(N_PLANES)]
+
+    def plane_lit(plane: list[float]) -> str:
+        return "[" + ", ".join(repr(x) for x in plane) + "]"
+
+    def dot_plane(v: str, plane: list[float]) -> str:
+        return (
+            f"list_sum(list_transform(generate_series(1, {DIM}), "
+            f"i -> CAST({v}[i] AS DOUBLE) * ({plane_lit(plane)})[i]))"
+        )
+
+    bucket = " + ".join(
+        f"CAST({dot_plane('embedding', plane)} > 0 AS INT) * {1 << p}"
+        for p, plane in enumerate(planes)
+    )
+    return f"""
+WITH hashed AS (
+  SELECT vec_id, embedding, {bucket} AS cluster FROM embeddings
+),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM hashed a JOIN hashed b USING (cluster)
+  WHERE a.vec_id < b.vec_id
+    AND {_cos_sql('a.embedding', 'b.embedding')} >= {SEMDEDUP_T}
+)
+SELECT h.vec_id, h.cluster, d.vec_id IS NULL AS kept
+FROM hashed h LEFT JOIN dropped d USING (vec_id)
+ORDER BY h.vec_id
+"""
+
+
+_LM_N = 3
+
+
+def quality_ngram_lm(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style char-trigram LM quality scoring (text.ngram_lm_score):
+    self-trained gram model (alphabet-bounded → broadcast), per-doc
+    mean negative log2 gram probability = bits per gram."""
+    return text.ngram_lm_score(
+        load(spark, sf, "documents"), n=_LM_N
+    ).orderBy("doc_id")
+
+
+QUALITY_LM_SQL = rf"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(
+           regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+           '\s+', ' ', 'g')) AS t
+  FROM documents),
+grams AS (
+  SELECT doc_id, unnest(
+    CASE WHEN length(t) < {_LM_N} THEN []
+         ELSE list_transform(generate_series(1, length(t) - {_LM_N - 1}),
+                             i -> substr(t, i, {_LM_N})) END) AS gram
+  FROM norm),
+model AS (SELECT gram, COUNT(*) AS gram_n FROM grams GROUP BY 1),
+tot AS (SELECT SUM(gram_n) AS total_n FROM model),
+scored AS (
+  SELECT doc_id, COUNT(*) AS n_grams,
+         ROUND(-AVG(log2(gram_n / total_n)), 6) AS bits_per_gram
+  FROM grams JOIN model USING (gram) CROSS JOIN tot
+  GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(s.n_grams, 0) AS n_grams, s.bits_per_gram
+FROM documents d LEFT JOIN scored s USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "dedup_semantic": (dedup_semantic, _semantic_dedup_sql()),
+    "quality_ngram_lm": (quality_ngram_lm, QUALITY_LM_SQL),
     "drift_psi": (drift_psi, _psi_sql()),
     "drift_psi_by_lang": (drift_psi_by_lang, _psi_strata_sql()),
     "text_bm25_topk": (text_bm25_topk, _bm25_sql()),

@@ -1892,7 +1892,99 @@ FROM w
 """
 
 
+_EWMA_ALPHA, _EWMA_W = 0.3, 20
+
+
+def ts_ewma_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Truncated EWMA as one native window pass
+    (timeseries.ewma_window): W lag terms over a single (user, ts,
+    event_id) window spec — the oracle-checkable sibling of the
+    applyInPandas ewma_smooth recursion."""
+    from icnarc_to_philips_linkage_spark.operators.timeseries import ewma_window
+
+    e = load(spark, sf, "events")
+    return ewma_window(
+        e, "user_id", "ts", "value",
+        alpha=_EWMA_ALPHA, window=_EWMA_W, tiebreak="event_id",
+    )
+
+
+def _ewma_sql() -> str:
+    terms_num, terms_den = [], []
+    for j in range(_EWMA_W):
+        wt = repr((1.0 - _EWMA_ALPHA) ** j)
+        lj = (
+            "CAST(value AS DOUBLE)"
+            if j == 0
+            else f"lag(CAST(value AS DOUBLE), {j}) OVER w"
+        )
+        terms_num.append(
+            f"CASE WHEN {lj} IS NOT NULL THEN {wt} * {lj} ELSE 0.0 END"
+        )
+        terms_den.append(f"CASE WHEN {lj} IS NOT NULL THEN {wt} ELSE 0.0 END")
+    num = " + ".join(["0.0"] + terms_num)
+    den = " + ".join(["0.0"] + terms_den)
+    return f"""
+WITH t AS (
+  SELECT user_id, event_id, ts, value,
+         {num} AS num, {den} AS den
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, event_id, ts, value,
+       CASE WHEN den > 0 THEN ROUND(num / den, 6) END AS ewma
+FROM t
+"""
+
+
+_SESSION_GAP = "30 minutes"
+
+
+def ts_session_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Native session windows (F.session_window): gap-merged event
+    sessions per user in ONE aggregation — Spark's built-in session
+    operator (UpdatingSessions physical node), the batch twin of the
+    streaming session path. Oracle = the classic lag→flag→running-sum
+    islands rewrite."""
+    e = load(spark, sf, "events")
+    s = (
+        e.groupBy("user_id", F.session_window("ts", _SESSION_GAP).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("value_sum"),
+        )
+    )
+    return s.select(
+        "user_id",
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        "n_events",
+        "value_sum",
+    )
+
+
+TS_SESSION_SQL = """
+WITH s AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)
+                   >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s,
+         event_id
+  FROM events),
+g AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM s)
+SELECT user_id, MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events, ROUND(SUM(value), 6) AS value_sum
+FROM g GROUP BY user_id, sid
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "ts_ewma_window": (ts_ewma_window, _ewma_sql()),
+    "ts_session_window": (ts_session_window, TS_SESSION_SQL),
     "ts_asof_join": (ts_asof_join, TS_ASOF_SQL),
     "ts_interval_join": (ts_interval_join, TS_INTERVAL_SQL),
     "dedup_debounce": (dedup_debounce, DEBOUNCE_SQL),

@@ -1,0 +1,185 @@
+"""Unit tests for the round-5 second-wave operators: SemDeDup-style
+semantic dedup, truncated-window EWMA, native session windows, and the
+char-trigram LM quality score. The DuckDB differentials live in
+test_oracle.py (all four carry full oracles); these pin the semantic
+edge cases the differential can't isolate.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from icnarc_to_philips_linkage_spark.operators import similarity, text
+from icnarc_to_philips_linkage_spark.operators.timeseries import ewma_window
+
+DIM = 4
+
+
+def _vec(*xs):
+    return [float(x) for x in xs]
+
+
+def test_semantic_dedup_min_id_survivor(spark):
+    # two identical vectors (cos=1) and one orthogonal-ish outlier:
+    # identical pair lands in one cluster, smaller id survives
+    df = spark.createDataFrame(
+        [
+            Row(vec_id=1, embedding=_vec(1, 0, 0, 0)),
+            Row(vec_id=2, embedding=_vec(1, 0, 0, 0)),
+            Row(vec_id=3, embedding=_vec(-1, 5, -7, 2)),
+        ]
+    )
+    out = similarity.semantic_dedup(
+        df, threshold=0.9, n_planes=3, dim=DIM
+    ).collect()
+    kept = {r.vec_id: r.kept for r in out}
+    assert kept[1] is True
+    assert kept[2] is False  # dominated by id 1 in the same cluster
+    assert kept[3] is True  # alone (or dissimilar) → survives
+    clusters = {r.vec_id: r.cluster for r in out}
+    assert clusters[1] == clusters[2]  # identical vectors co-cluster
+
+
+def test_semantic_dedup_cross_cluster_duplicates_not_compared(spark):
+    # identical vectors ALWAYS share a cluster (same signature), but
+    # dissimilar ones may too; kept only depends on within-cluster sims
+    df = spark.createDataFrame(
+        [
+            Row(vec_id=10, embedding=_vec(0.5, 0.5, 0.5, 0.5)),
+            Row(vec_id=11, embedding=_vec(0.5, 0.5, 0.5, 0.5)),
+            Row(vec_id=12, embedding=_vec(0.5, 0.5, 0.5, 0.51)),
+        ]
+    )
+    out = {
+        r.vec_id: r
+        for r in similarity.semantic_dedup(
+            df, threshold=0.999, n_planes=2, dim=DIM
+        ).collect()
+    }
+    assert out[10].kept and not out[11].kept
+    # near-identical third vector shares the cluster and exceeds the
+    # threshold against id 10 → dropped too
+    assert out[12].cluster == out[10].cluster
+    assert not out[12].kept
+
+
+def test_ewma_window_constant_series_is_identity(spark):
+    rows = [Row(k=1, ts=i, x=5.0, rid=i) for i in range(30)]
+    df = spark.createDataFrame(rows)
+    out = ewma_window(df, "k", "ts", "x", alpha=0.4, window=10, tiebreak="rid")
+    for r in out.collect():
+        assert r.ewma == pytest.approx(5.0, abs=1e-9)
+
+
+def test_ewma_window_first_row_equals_value_and_nulls_renormalize(spark):
+    rows = [
+        Row(k=1, ts=1, x=10.0, rid=1),
+        Row(k=1, ts=2, x=None, rid=2),
+        Row(k=1, ts=3, x=20.0, rid=3),
+    ]
+    df = spark.createDataFrame(rows, "k long, ts long, x double, rid long")
+    got = {
+        r.rid: r.ewma
+        for r in ewma_window(
+            df, "k", "ts", "x", alpha=0.5, window=4, tiebreak="rid"
+        ).collect()
+    }
+    assert got[1] == pytest.approx(10.0)
+    # row 2: value NULL; only lag-1 (=10) contributes → renormalized 10
+    assert got[2] == pytest.approx(10.0)
+    # row 3: x=20 (w=1), lag1 NULL skipped, lag2=10 (w=0.25)
+    assert got[3] == pytest.approx((20.0 + 0.25 * 10.0) / 1.25)
+
+
+def test_ewma_window_matches_untruncated_recursion_when_window_covers(spark):
+    # window >= series length ⇒ truncated EWMA == pandas adjust=True ewm
+    import pandas as pd
+
+    xs = [3.0, 7.0, 1.0, 9.0, 4.0]
+    rows = [Row(k=1, ts=i, x=v, rid=i) for i, v in enumerate(xs)]
+    df = spark.createDataFrame(rows)
+    got = [
+        r.ewma
+        for r in ewma_window(
+            df, "k", "ts", "x", alpha=0.3, window=50, tiebreak="rid"
+        )
+        .orderBy("ts")
+        .collect()
+    ]
+    want = pd.Series(xs).ewm(alpha=0.3, adjust=True).mean().tolist()
+    for g, w in zip(got, want):
+        assert g == pytest.approx(w, abs=1e-6)
+
+
+def test_chargrams_short_and_empty_text(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="ab"), Row(doc_id=2, text=""), Row(doc_id=3, text="a b!  c")]
+    )
+    out = {
+        r.doc_id: r.g
+        for r in df.select(
+            "doc_id", text.chargrams("text", 3).alias("g")
+        ).collect()
+    }
+    assert out[1] == []
+    assert out[2] == []
+    # normalized "a b c" → trigrams of the normalized string
+    assert out[3] == ["a b", " b ", "b c"]
+
+
+def test_ngram_lm_score_short_docs_score_null(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the same text here"),
+            Row(doc_id=2, text="the same text here"),
+            Row(doc_id=3, text="xy"),
+        ]
+    )
+    out = {r.doc_id: r for r in text.ngram_lm_score(df).collect()}
+    assert out[3].n_grams == 0 and out[3].bits_per_gram is None
+    # identical docs score identically
+    assert out[1].bits_per_gram == out[2].bits_per_gram
+    assert out[1].n_grams == len("the same text here") - 2
+
+
+def test_ngram_lm_score_flags_unusual_doc(spark):
+    common = [
+        Row(doc_id=i, text="the quick brown fox jumps over the lazy dog")
+        for i in range(10)
+    ]
+    odd = [Row(doc_id=99, text="zzqx jvzz qxjv zzzq xqzv jqzx")]
+    out = {
+        r.doc_id: r.bits_per_gram
+        for r in text.ngram_lm_score(
+            spark.createDataFrame(common + odd)
+        ).collect()
+    }
+    assert out[99] > out[0]  # rare grams cost more bits
+
+
+def test_session_window_gap_semantics(spark):
+    # events at t=0, 10, 50 min with a 30-min gap → sessions {0,10}, {50}
+    base = "2024-01-01 00:{:02d}:00"
+    rows = [
+        Row(user_id=1, ts=base.format(0)),
+        Row(user_id=1, ts=base.format(10)),
+        Row(user_id=1, ts=base.format(50)),
+    ]
+    df = spark.createDataFrame(rows).select(
+        "user_id", F.to_timestamp("ts").alias("ts"), F.lit(1.0).alias("value")
+    )
+    sess = (
+        df.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("user_id", "w.start", "w.end", "n")
+        .orderBy("start")
+        .collect()
+    )
+    assert len(sess) == 2
+    assert sess[0].n == 2 and sess[1].n == 1
+    # session end = last event + gap
+    assert (sess[0].end - sess[0].start).total_seconds() == 40 * 60
