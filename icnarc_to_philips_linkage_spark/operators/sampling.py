@@ -240,3 +240,86 @@ def mixture_balance(
     return stratified_hash_sample(
         df, id_col, domain_col, fracs, default_fraction=0.0, salt=salt
     )
+
+
+def dsir_log_weights(
+    df: DataFrame,
+    target: Column,
+    doc_id: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 256,
+    salt: str = "dsir",
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every
+    document by how much more likely its hashed-token features are
+    under the TARGET distribution (rows where ``target`` is true — the
+    trusted/in-domain slice) than under the RAW distribution (everything
+    else):
+
+        log w(x) = Σ_{tokens} [ ln p_target(bucket) − ln p_raw(bucket) ]
+
+    with Laplace-smoothed bucket probabilities over ``buckets`` hashed
+    feature buckets (md5-derived — deterministic and engine-portable,
+    like every sampler here). High log_weight ⇒ looks like the target
+    domain; feed it to ``weighted_hash_sample`` for the resampling step.
+
+    Scale: two corpus passes (bucket-count build, then score), both
+    ending in bounded state — the feature table is ``buckets`` rows
+    regardless of corpus size, so it broadcast-joins and the corpus
+    never shuffles on a data key; the per-doc agg hash-shuffles on
+    doc_id once. Output: (doc_id, n_tokens, log_weight) for every row
+    (empty docs: 0 tokens, NULL weight).
+    """
+    from icnarc_to_philips_linkage_spark.operators.text import tokens
+
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{salt}:"), F.col("tok"))), 1, 4
+            ),
+            16,
+            10,
+        ).cast("int")
+        % buckets
+    )
+    toked = (
+        df.select(F.col(doc_id), target.alias("__tgt"),
+                  F.explode(tokens(text_col)).alias("tok"))
+        .filter(F.col("tok") != "")
+        .withColumn("__b", bucket)
+    )
+    # bucket table: `buckets` rows total — persist so the totals agg and
+    # the ratio projection don't each re-explode the corpus
+    counts = (
+        toked.groupBy("__b")
+        .agg(
+            F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).alias("n_t"),
+            F.count(F.lit(1)).alias("n_all"),
+        )
+        .withColumn("n_r", F.col("n_all") - F.col("n_t"))
+        .persist()
+    )
+    tot = counts.agg(
+        F.sum("n_t").alias("tot_t"), F.sum("n_r").alias("tot_r")
+    )
+    ratio = counts.crossJoin(F.broadcast(tot)).select(
+        "__b",
+        (
+            F.log((F.col("n_t") + 1) / (F.col("tot_t") + buckets))
+            - F.log((F.col("n_r") + 1) / (F.col("tot_r") + buckets))
+        ).alias("__lr"),
+    )
+    scored = (
+        toked.join(F.broadcast(ratio), "__b")
+        .groupBy(doc_id)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum("__lr"), 6).alias("log_weight"),
+        )
+    )
+    return df.select(doc_id).join(scored, doc_id, "left").select(
+        doc_id,
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        "log_weight",
+    )

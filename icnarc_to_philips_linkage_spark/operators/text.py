@@ -13,7 +13,7 @@ fingerprinting (min-hash of rolling word shingles).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Deterministic marker lexicons for the language-ID heuristic. A real
@@ -401,4 +401,47 @@ def ngram_lm_score(
         doc_id,
         F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
         "bits_per_gram",
+    )
+
+
+def bpe_pair_counts(
+    df: DataFrame, text_col: str = "text", top_k: int = 50
+) -> DataFrame:
+    """One iteration of BPE vocabulary induction: the adjacent
+    character-pair frequencies that byte-pair-encoding training greedily
+    merges, weighted by word frequency. The highest-count pair is the
+    merge a real BPE trainer would perform next.
+
+    The classic scale trick (same as every BPE implementation since
+    Sennrich et al. 2016): aggregate to the WORD-FREQUENCY table first —
+    vocabulary-bounded, not corpus-bounded — then explode pairs over the
+    vocabulary and weight by word count. At 100 TB the corpus is read
+    once for the word count; the pair explode touches only |vocab| rows.
+
+    Output: (pair, pair_n, rk) for the top_k pairs, rank ties broken by
+    pair text — deterministic.
+    """
+    words = (
+        df.select(F.explode(tokens(text_col)).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pairs = (
+        words.filter(F.length("w") >= 2)
+        .select(
+            "freq",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("w") - 1),
+                    lambda i: F.substring(F.col("w"), i, F.lit(2)),
+                )
+            ).alias("pair"),
+        )
+    )
+    counts = pairs.groupBy("pair").agg(F.sum("freq").alias("pair_n"))
+    w = Window.orderBy(F.desc("pair_n"), F.asc("pair"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= top_k)
     )

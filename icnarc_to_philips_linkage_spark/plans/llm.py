@@ -1738,9 +1738,83 @@ ORDER BY d.doc_id
 """
 
 
+_DSIR_B = 256
+_DSIR_SALT = "dsir"
+_BPE_TOP = 50
+
+
+def sample_dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR importance weights (sampling.dsir_log_weights): src0 is the
+    trusted target domain; every doc scored by hashed-token
+    target-vs-raw log-likelihood ratio."""
+    docs = load(spark, sf, "documents")
+    return sampling.dsir_log_weights(
+        docs, F.col("source") == "src0", buckets=_DSIR_B, salt=_DSIR_SALT
+    ).orderBy("doc_id")
+
+
+def _dsir_sql() -> str:
+    nib = "(strpos('0123456789abcdef', substr(h, {k}, 1)) - 1)"
+    bucket = " + ".join(
+        f"{nib.format(k=k + 1)} * {16 ** (3 - k)}" for k in range(4)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, source = 'src0' AS tgt, unnest({_TOKS}) AS tok
+  FROM documents
+),
+hashed AS (
+  SELECT doc_id, tgt, md5('{_DSIR_SALT}:' || tok) AS h
+  FROM toks WHERE tok <> ''
+),
+b AS (SELECT doc_id, tgt, ({bucket}) % {_DSIR_B} AS bk FROM hashed),
+counts AS (
+  SELECT bk, SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS n_t,
+         COUNT(*) - SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS n_r
+  FROM b GROUP BY bk),
+tot AS (SELECT SUM(n_t) AS tot_t, SUM(n_r) AS tot_r FROM counts),
+ratio AS (
+  SELECT bk, ln((n_t + 1) / (tot_t + {_DSIR_B}))
+             - ln((n_r + 1) / (tot_r + {_DSIR_B})) AS lr
+  FROM counts CROSS JOIN tot),
+scored AS (
+  SELECT doc_id, COUNT(*) AS n_tokens, ROUND(SUM(lr), 6) AS log_weight
+  FROM b JOIN ratio USING (bk) GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(s.n_tokens, 0) AS n_tokens, s.log_weight
+FROM documents d LEFT JOIN scored s USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+def text_bpe_merge_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE vocabulary induction, one iteration (text.bpe_pair_counts):
+    the top adjacent character pairs a BPE trainer would merge next,
+    computed over the word-frequency table (vocab-bounded explode)."""
+    return text.bpe_pair_counts(load(spark, sf, "documents"), top_k=_BPE_TOP)
+
+
+BPE_PAIRS_SQL = f"""
+WITH words AS (
+  SELECT w, COUNT(*) AS freq FROM (
+    SELECT unnest({_TOKS}) AS w FROM documents) WHERE w <> ''
+  GROUP BY w),
+pairs AS (
+  SELECT freq, unnest(list_transform(
+           generate_series(1, length(w) - 1),
+           i -> substr(w, i, 2))) AS pair
+  FROM words WHERE length(w) >= 2),
+counts AS (SELECT pair, SUM(freq) AS pair_n FROM pairs GROUP BY pair)
+SELECT pair, CAST(pair_n AS BIGINT) AS pair_n,
+       ROW_NUMBER() OVER (ORDER BY pair_n DESC, pair) AS rk
+FROM counts QUALIFY rk <= {_BPE_TOP}
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "dedup_semantic": (dedup_semantic, _semantic_dedup_sql()),
     "quality_ngram_lm": (quality_ngram_lm, QUALITY_LM_SQL),
+    "sample_dsir_weights": (sample_dsir_weights, _dsir_sql()),
+    "text_bpe_merge_pairs": (text_bpe_merge_pairs, BPE_PAIRS_SQL),
     "drift_psi": (drift_psi, _psi_sql()),
     "drift_psi_by_lang": (drift_psi_by_lang, _psi_strata_sql()),
     "text_bm25_topk": (text_bm25_topk, _bm25_sql()),

@@ -183,3 +183,39 @@ def test_session_window_gap_semantics(spark):
     assert sess[0].n == 2 and sess[1].n == 1
     # session end = last event + gap
     assert (sess[0].end - sess[0].start).total_seconds() == 40 * 60
+
+
+def test_dsir_weights_separate_target_like_docs(spark):
+    from icnarc_to_philips_linkage_spark.operators.sampling import (
+        dsir_log_weights,
+    )
+
+    rows = (
+        [Row(doc_id=i, text="alpha beta gamma", src="target") for i in range(5)]
+        + [Row(doc_id=10 + i, text="delta epsilon zeta", src="raw") for i in range(5)]
+        + [Row(doc_id=20, text="alpha beta gamma", src="raw")]  # target-like raw doc
+        + [Row(doc_id=21, text="", src="raw")]
+    )
+    df = spark.createDataFrame(rows)
+    out = {
+        r.doc_id: r
+        for r in dsir_log_weights(df, F.col("src") == "target").collect()
+    }
+    # target-like raw doc scores strictly higher than raw-like raw docs
+    assert out[20].log_weight > out[10].log_weight
+    # empty doc: no tokens, NULL weight
+    assert out[21].n_tokens == 0 and out[21].log_weight is None
+    assert out[0].n_tokens == 3
+
+
+def test_bpe_pair_counts_hand_computed(spark):
+    from icnarc_to_philips_linkage_spark.operators.text import bpe_pair_counts
+
+    # "abab" twice, "ab" once: pair 'ab' = 2*2 + 1 = 5, 'ba' = 2
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="abab abab"), Row(doc_id=2, text="ab x")]
+    )
+    out = {r.pair: (r.pair_n, r.rk) for r in bpe_pair_counts(df).collect()}
+    assert out["ab"] == (5, 1)
+    assert out["ba"] == (2, 2)
+    assert "x" not in out  # single-char words contribute no pairs
