@@ -15,7 +15,7 @@ cases AQE can't fix alone).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 SALT_COL = "__salt"
@@ -75,3 +75,69 @@ def bucketed_join(
     """Join two co-bucketed tables on the bucket key — planner elides
     the Exchange on both sides (verify with .explain: no Exchange)."""
     return spark.table(left_table).join(spark.table(right_table), on=key, how=how)
+
+
+def _global_rank_stage(
+    df: DataFrame, order_cols: list[str], partitions: int | None = None
+) -> DataFrame:
+    """The pre-checkpoint stage of ``global_rank``: range exchange on the
+    order keys + a PARTITIONED local row_number (never a SinglePartition
+    window). Split out so plan tests can assert its shape —
+    localCheckpoint truncates the executed plan the caller sees."""
+    ordering = [F.col(c) for c in order_cols]
+    ranged = (
+        df.repartitionByRange(partitions, *ordering)
+        if partitions
+        else df.repartitionByRange(*ordering)
+    )
+    w = Window.partitionBy("__pid").orderBy(*ordering)
+    return ranged.withColumn("__pid", F.spark_partition_id()).withColumn(
+        "__local_rn", F.row_number().over(w)
+    )
+
+
+def global_rank(
+    df: DataFrame,
+    order_cols: list[str],
+    rank_col: str = "rank",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Distributed global ordinal: 1-based dense row number over a total
+    order — the DataFrame-native replacement for ``rdd.zipWithIndex``
+    and the scale-correct form of ``row_number() OVER (ORDER BY ...)``,
+    which plans as a SINGLE-partition window sort (the whole corpus
+    through one task — the canonical 100 TB anti-pattern; curriculum
+    ordering, deterministic epoch layouts, and top-down difficulty
+    schedules all need exactly this op).
+
+    Two-level, same shape as ``pack_sequences``' prefix sum:
+      1. ``repartitionByRange(order_cols)`` — range exchange, so
+         partition p holds keys entirely below partition p+1;
+      2. per-partition ``row_number`` (partition-local sort only);
+      3. one collected count per partition → cumulative offsets folded
+         back as a literal CASE map (bounded by the partition count).
+
+    The order must be TOTAL (include a unique tiebreak column last) —
+    ties would otherwise order arbitrarily within a partition.
+    ``localCheckpoint`` pins partition identity between the counts
+    collect and the final evaluation (persist would only best-effort
+    pin; recomputation could shift ids — see pack_sequences).
+    """
+    local = _global_rank_stage(df, order_cols, partitions).localCheckpoint(
+        eager=True
+    )
+    counts = (
+        local.groupBy("__pid").count().orderBy("__pid").collect()
+    )
+    offsets, acc = {}, 0
+    for r in counts:
+        offsets[r["__pid"]] = acc
+        acc += r["count"]
+    off = None
+    for pid, o in offsets.items():
+        c = F.when(F.col("__pid") == pid, F.lit(o))
+        off = c if off is None else off.when(F.col("__pid") == pid, F.lit(o))
+    off = off.otherwise(F.lit(0)) if off is not None else F.lit(0)
+    return local.withColumn(
+        rank_col, (off + F.col("__local_rn")).cast("long")
+    ).drop("__pid", "__local_rn")

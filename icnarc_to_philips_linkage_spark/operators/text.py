@@ -357,12 +357,14 @@ def ngram_lm_score(
     by exactly this perplexity signal to select training data).
 
     Two passes, both shuffle-light at 100 TB:
-      1. model = explode grams → count per gram. The model's size is
-         alphabet-bounded (≤ ~37³ for normalized text), NOT
-         corpus-bounded, so it broadcast-joins.
+      1. model = explode grams → count per gram. Hash aggregation's
+         map-side combine collapses each task to its DISTINCT grams
+         (≤ ~37³ for normalized text) before the exchange, so the
+         gram shuffle is alphabet×tasks-bounded, not corpus-bounded —
+         and the resulting model broadcast-joins.
       2. score = explode grams again, broadcast-join the model, one
-         hash agg back to doc grain. Corpus rows never shuffle on a
-         data-dependent key.
+         partial-then-final agg back to doc grain (the only
+         corpus-keyed shuffle, on doc_id).
 
     Output: (doc_id, n_grams, bits_per_gram). Deterministic: the score
     is a mean of per-gram logs rounded late; grams unseen in training

@@ -1810,11 +1810,31 @@ FROM counts QUALIFY rk <= {_BPE_TOP}
 """
 
 
+def sample_curriculum_order(spark: SparkSession, sf: str) -> DataFrame:
+    """Curriculum ordering: a global 1-based training ordinal by
+    difficulty proxy (n_chars asc, doc_id tiebreak) via the distributed
+    two-level rank (scale.global_rank) — NEVER a single-partition
+    ``row_number() OVER (ORDER BY ...)`` window. The oracle IS that
+    single-partition form, which DuckDB can afford at test scale."""
+    from icnarc_to_philips_linkage_spark.operators.scale import global_rank
+
+    docs = load(spark, sf, "documents").select("doc_id", "n_chars")
+    return global_rank(docs, ["n_chars", "doc_id"], rank_col="rank")
+
+
+CURRICULUM_SQL = """
+SELECT doc_id, n_chars,
+       ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rank
+FROM documents
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "dedup_semantic": (dedup_semantic, _semantic_dedup_sql()),
     "quality_ngram_lm": (quality_ngram_lm, QUALITY_LM_SQL),
     "sample_dsir_weights": (sample_dsir_weights, _dsir_sql()),
     "text_bpe_merge_pairs": (text_bpe_merge_pairs, BPE_PAIRS_SQL),
+    "sample_curriculum_order": (sample_curriculum_order, CURRICULUM_SQL),
     "drift_psi": (drift_psi, _psi_sql()),
     "drift_psi_by_lang": (drift_psi_by_lang, _psi_strata_sql()),
     "text_bm25_topk": (text_bm25_topk, _bm25_sql()),

@@ -214,3 +214,61 @@ def test_debounce_and_range_window_single_shuffle(spark):
         plan = plan_of(fn(spark, SF_SMOKE))
         assert plan.count("Exchange") == 1, (name, plan)
         assert "Window" in plan
+
+
+def test_semantic_dedup_scans_corpus_once(spark):
+    fn, _ = all_queries()["dedup_semantic"]
+    plan = plan_of(fn(spark, SF_SMOKE))
+    # the persisted hash projection feeds all three consumers: each must
+    # read the cache (the FileScan text inside the InMemoryRelation
+    # description is the cache's BUILD plan, not a live scan)
+    assert plan.count("InMemoryTableScan") >= 3, (
+        f"all three consumers must read the cached hash frame:\n{plan}"
+    )
+
+
+def test_ewma_window_is_one_window_pass(spark):
+    fn, _ = all_queries()["ts_ewma_window"]
+    plan = plan_of(fn(spark, SF_SMOKE))
+    assert plan.count("Window") == 1, (
+        f"20 lag terms must share ONE window spec / sort:\n{plan}"
+    )
+    assert plan.count("Exchange") == 1, plan
+    assert "PythonUDF" not in plan
+
+
+def test_ngram_lm_model_join_broadcasts(spark):
+    fn, _ = all_queries()["quality_ngram_lm"]
+    plan = plan_of(fn(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan, (
+        f"the alphabet-bounded gram model must broadcast:\n{plan}"
+    )
+    assert "PythonUDF" not in plan
+
+
+def test_global_rank_has_range_exchange_and_no_global_window(spark):
+    from icnarc_to_philips_linkage_spark.operators.scale import (
+        _global_rank_stage,
+        global_rank,
+    )
+
+    docs = load(spark, SF_SMOKE, "documents").select("doc_id", "n_chars")
+    # the pre-checkpoint stage (localCheckpoint truncates the final
+    # plan): a range exchange + a __pid-PARTITIONED window — never the
+    # SinglePartition global window sort this op exists to avoid
+    stage = plan_of(_global_rank_stage(docs, ["n_chars", "doc_id"]))
+    assert "rangepartitioning" in stage.lower(), stage
+    assert "Window" in stage
+    assert "Exchange SinglePartition" not in stage, stage
+    # the final plan reads the pinned checkpoint, not a re-derivation
+    final = plan_of(global_rank(docs, ["n_chars", "doc_id"]))
+    assert "ExistingRDD" in final, final
+
+
+def test_dsir_feature_table_broadcasts(spark):
+    fn, _ = all_queries()["sample_dsir_weights"]
+    plan = plan_of(fn(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan, (
+        f"the 256-bucket ratio table must broadcast:\n{plan}"
+    )
+    assert "PythonUDF" not in plan

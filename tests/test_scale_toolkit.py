@@ -142,3 +142,25 @@ def test_lsh_index_bucketed_probe_no_corpus_shuffle(spark, tmp_path):
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_global_rank_is_total_order_permutation(spark):
+    from icnarc_to_philips_linkage_spark.operators.scale import global_rank
+
+    import random
+
+    rnd = random.Random(7)
+    rows = [(i, rnd.randint(0, 50)) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, score long").repartition(7)
+    out = global_rank(df, ["score", "id"], rank_col="rank").collect()
+    assert sorted(r.rank for r in out) == list(range(1, 501))
+    by_rank = sorted(out, key=lambda r: r.rank)
+    keys = [(r.score, r.id) for r in by_rank]
+    assert keys == sorted(keys)  # rank respects the total order
+
+
+def test_global_rank_empty_input(spark):
+    from icnarc_to_philips_linkage_spark.operators.scale import global_rank
+
+    df = spark.createDataFrame([], "id long, score long")
+    assert global_rank(df, ["score", "id"]).count() == 0
