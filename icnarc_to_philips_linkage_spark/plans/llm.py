@@ -1829,7 +1829,32 @@ FROM documents
 """
 
 
+def src_agg_pushdown_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Footer-only statistics (readers.parquet_footer_stats): COUNT/
+    MIN/MAX pushed into the v2 parquet scan — answered from file
+    footers, zero row data read. The collected single row comes back as
+    a DataFrame for the oracle gate."""
+    from icnarc_to_philips_linkage_spark.sources.readers import (
+        parquet_footer_stats,
+    )
+
+    row, _plan = parquet_footer_stats(
+        spark, f"{sf}/lineitem.parquet", "l_quantity"
+    )
+    return spark.createDataFrame(
+        [row], "n_rows long, min_v double, max_v double"
+    )
+
+
+SRC_AGG_PUSHDOWN_SQL = """
+SELECT COUNT(*) AS n_rows, MIN(l_quantity) AS min_v,
+       MAX(l_quantity) AS max_v
+FROM lineitem
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "src_agg_pushdown_stats": (src_agg_pushdown_stats, SRC_AGG_PUSHDOWN_SQL),
     "dedup_semantic": (dedup_semantic, _semantic_dedup_sql()),
     "quality_ngram_lm": (quality_ngram_lm, QUALITY_LM_SQL),
     "sample_dsir_weights": (sample_dsir_weights, _dsir_sql()),

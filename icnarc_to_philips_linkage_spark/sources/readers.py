@@ -180,3 +180,51 @@ def read_orc(
     the optional projection keeps ReadSchema minimal from the start."""
     df = spark.read.orc(path)
     return df.select(*columns) if columns else df
+
+
+def parquet_footer_stats(
+    spark: SparkSession, path: str, value_col: str
+) -> tuple:
+    """COUNT/MIN/MAX answered from parquet FOOTER metadata — no row data
+    read at all (Spark's v2 aggregate pushdown: the scan node carries
+    ``PushedAggregation: [COUNT(*), MIN(c), MAX(c)]`` and each task
+    reads only its files' footers). At 100 TB this turns a full-table
+    statistics query into a metadata listing.
+
+    The v2 source path and the pushdown flag are session configs, so
+    they are scoped here and restored — the rest of the engine stays on
+    the default reader. Returns ``(row, plan)`` where ``row`` has
+    (n_rows, min_v, max_v) and ``plan`` is the executed plan string
+    (tests assert the PushedAggregation marker). Pushdown silently
+    degrades to a normal scan when the column type/query shape is
+    unsupported — the values are identical either way; only the plan
+    marker differs."""
+    conf = spark.conf
+    saved = {
+        "spark.sql.parquet.aggregatePushdown": conf.get(
+            "spark.sql.parquet.aggregatePushdown", "false"
+        ),
+        "spark.sql.sources.useV1SourceList": conf.get(
+            "spark.sql.sources.useV1SourceList", None
+        ),
+    }
+    try:
+        conf.set("spark.sql.parquet.aggregatePushdown", "true")
+        conf.set("spark.sql.sources.useV1SourceList", "")
+        agg = (
+            spark.read.parquet(path)
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.min(value_col).alias("min_v"),
+                F.max(value_col).alias("max_v"),
+            )
+        )
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        row = agg.collect()[0]
+        return row, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)

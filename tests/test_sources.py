@@ -343,3 +343,35 @@ def test_json_lines_and_orc_roundtrip(spark, tmp_path):
     assert sorted(r.a for r in back.collect()) == list(range(10))
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "ReadSchema: struct<a:bigint,c:double>" in plan.replace("\n", " "), plan
+
+
+def test_parquet_footer_stats_pushes_aggregate(spark):
+    from icnarc_to_philips_linkage_spark.sources.readers import (
+        parquet_footer_stats,
+    )
+    from tests.conftest import SF_SMOKE
+
+    before = (
+        spark.conf.get("spark.sql.parquet.aggregatePushdown", "false"),
+        spark.conf.get("spark.sql.sources.useV1SourceList", None),
+    )
+    row, plan = parquet_footer_stats(
+        spark, f"{SF_SMOKE}/lineitem.parquet", "l_quantity"
+    )
+    assert "PushedAggregation: [COUNT(*), MIN(l_quantity), MAX(l_quantity)]" in plan, plan
+    # values identical to the row-reading path
+    from icnarc_to_philips_linkage_spark.plans.tables import load
+    from pyspark.sql import functions as F
+
+    want = (
+        load(spark, SF_SMOKE, "lineitem")
+        .agg(F.count(F.lit(1)), F.min("l_quantity"), F.max("l_quantity"))
+        .collect()[0]
+    )
+    assert (row.n_rows, row.min_v, row.max_v) == tuple(want)
+    # configs restored: the scoped v2/pushdown flags must not leak
+    after = (
+        spark.conf.get("spark.sql.parquet.aggregatePushdown", "false"),
+        spark.conf.get("spark.sql.sources.useV1SourceList", None),
+    )
+    assert after == before
