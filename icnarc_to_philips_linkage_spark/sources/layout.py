@@ -112,3 +112,61 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def file_fragmentation_report(spark, path: str):
+    """(n_files, total_bytes, avg_file_bytes, min_file_bytes) for a
+    parquet directory — the small-file health check. Many tiny files
+    mean task-scheduling overhead dominates the scan (each file is at
+    least one split) and footer reads swamp data reads; the fix is
+    ``compact_parquet``. Metadata listing only — no data read."""
+    from pyspark.sql import Row
+
+    files = [
+        f
+        for f in spark._jvm.org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark._jsc.hadoopConfiguration())
+        .listStatus(spark._jvm.org.apache.hadoop.fs.Path(path))
+        if f.getPath().getName().endswith(".parquet")
+    ]
+    sizes = [f.getLen() for f in files]
+    n = len(sizes)
+    return Row(
+        n_files=n,
+        total_bytes=sum(sizes),
+        avg_file_bytes=(sum(sizes) // n) if n else 0,
+        min_file_bytes=min(sizes) if n else 0,
+    )
+
+
+def compact_parquet(
+    spark,
+    src_dir: str,
+    dest_dir: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_cols: Sequence[str] | None = None,
+) -> int:
+    """Rewrite a fragmented parquet directory into ~target-sized files:
+    output partition count = ceil(total_bytes / target_file_bytes),
+    sized from the source's actual on-disk footprint (metadata listing,
+    not a data pass). Optionally range-sorts on ``sort_cols`` while
+    rewriting — compaction is the natural moment to also fix clustering
+    (min/max envelopes tighten for free).
+
+    The small-file problem is THE recurring operational issue of
+    long-running ingestion at scale: every micro-batch lays down a few
+    files per partition, and a year later the table is millions of
+    KB-sized files. One narrow rewrite (repartition exchange, no
+    aggregation state) restores scan health. Writes to ``dest_dir``
+    (caller swaps atomically — pointer-dir pattern as in cdc_apply);
+    returns the partition count used."""
+    stats = file_fragmentation_report(spark, src_dir)
+    n_parts = max(1, -(-stats.total_bytes // target_file_bytes))
+    df = spark.read.parquet(src_dir)
+    if sort_cols:
+        df = df.repartitionByRange(n_parts, *[F.col(c) for c in sort_cols])
+        df = df.sortWithinPartitions(*sort_cols)
+    else:
+        df = df.repartition(n_parts)
+    df.write.mode("overwrite").parquet(dest_dir)
+    return n_parts

@@ -164,3 +164,56 @@ def test_global_rank_empty_input(spark):
 
     df = spark.createDataFrame([], "id long, score long")
     assert global_rank(df, ["score", "id"]).count() == 0
+
+
+def test_compact_parquet_restores_file_health(spark, tmp_path):
+    from icnarc_to_philips_linkage_spark.sources.layout import (
+        compact_parquet,
+        file_fragmentation_report,
+    )
+
+    src = str(tmp_path / "fragmented")
+    dst = str(tmp_path / "compacted")
+    # simulate micro-batch fragmentation: 64 partitions for 1k rows
+    spark.range(1000).withColumnRenamed("id", "k").repartition(
+        64
+    ).write.parquet(src)
+    before = file_fragmentation_report(spark, src)
+    assert before.n_files >= 32
+    compact_parquet(spark, src, dst, target_file_bytes=before.total_bytes)
+    after = file_fragmentation_report(spark, dst)
+    assert after.n_files == 1
+    # content preserved exactly
+    a = sorted(r.k for r in spark.read.parquet(src).collect())
+    b = sorted(r.k for r in spark.read.parquet(dst).collect())
+    assert a == b
+
+
+def test_compact_parquet_sorted_rewrite_tightens_envelopes(spark, tmp_path):
+    from icnarc_to_philips_linkage_spark.sources.layout import compact_parquet
+
+    src = str(tmp_path / "frag2")
+    dst = str(tmp_path / "comp2")
+    spark.range(2000).withColumnRenamed("id", "k").repartition(
+        16
+    ).write.parquet(src)
+    n = compact_parquet(
+        spark, src, dst, target_file_bytes=10_000, sort_cols=["k"]
+    )
+    assert n >= 2
+    # range-sorted rewrite: per-file key ranges must not overlap
+    import pyarrow.parquet as pq
+    import glob
+
+    envelopes = []
+    for f in glob.glob(f"{dst}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(0).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        envelopes.append((min(mins), max(maxs)))
+    envelopes.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(envelopes, envelopes[1:]):
+        assert hi1 <= lo2  # disjoint ranges
