@@ -113,3 +113,64 @@ def retention_cohorts(
         "retention_rate",
         F.round(F.col("n_active") / F.greatest(w0, F.lit(1)), 6),
     )
+
+
+def association_rules(
+    events: DataFrame,
+    user_col: str = "user_id",
+    item_col: str = "event_type",
+    min_pair_users: int = 1,
+) -> DataFrame:
+    """Market-basket association metrics over (user, item) activity:
+    for every item pair a < b, support = P(a ∧ b), confidence both
+    directions, and lift = P(a ∧ b)/(P(a)·P(b)) — the co-occurrence
+    analysis behind "users who did X also did Y".
+
+    Shape at scale: ONE distinct pass compresses events to the distinct
+    (user, item) incidence table; the pair join is keyed on user, so
+    fan-out per user is (items-per-user choose 2) — bounded by the item
+    VOCABULARY, never by event count. Item marginals and the user total
+    are item-cardinality / 1-row frames, broadcast into the final
+    projection.
+
+    Output: (item_a, item_b, n_ab, support, conf_a_to_b, conf_b_to_a,
+    lift), 6dp-rounded.
+    """
+    inc = events.select(user_col, item_col).distinct()
+    n_users = inc.select(user_col).distinct().count()
+    marg = inc.groupBy(item_col).agg(F.count(F.lit(1)).alias("n_item"))
+    a = inc.select(
+        F.col(user_col), F.col(item_col).alias("item_a")
+    )
+    b = inc.select(
+        F.col(user_col), F.col(item_col).alias("item_b")
+    )
+    pairs = (
+        a.join(b, user_col)
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= min_pair_users)
+    )
+    ma = marg.select(
+        F.col(item_col).alias("item_a"), F.col("n_item").alias("n_a")
+    )
+    mb = marg.select(
+        F.col(item_col).alias("item_b"), F.col("n_item").alias("n_b")
+    )
+    n = F.lit(float(n_users))
+    return (
+        pairs.join(F.broadcast(ma), "item_a")
+        .join(F.broadcast(mb), "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            "n_ab",
+            F.round(F.col("n_ab") / n, 6).alias("support"),
+            F.round(F.col("n_ab") / F.col("n_a"), 6).alias("conf_a_to_b"),
+            F.round(F.col("n_ab") / F.col("n_b"), 6).alias("conf_b_to_a"),
+            F.round(
+                (F.col("n_ab") * n) / (F.col("n_a") * F.col("n_b")), 6
+            ).alias("lift"),
+        )
+    )

@@ -701,3 +701,96 @@ def standardize(
         )
         .drop("__mu", "__sd")
     )
+
+
+def mad_outlier_report(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: float = 3.0,
+) -> DataFrame:
+    """Robust outlier report per group via MAD (median absolute
+    deviation): med = median(x), mad = median(|x − med|), outlier ⇔
+    |x − med| > k·mad. The robust sibling of the rolling z-score — mean
+    and stddev are themselves dragged by the outliers they're supposed
+    to flag; the median/MAD pair has a 50% breakdown point, which is why
+    plausibility screens on lab-value-like data use it.
+
+    Exact MAD is inherently multi-pass: median pass, deviation-median
+    pass, threshold-count pass — three aggregations over the data, the
+    per-group medians broadcast back between passes (group-cardinality
+    rows, never the data). Comparisons are 6dp-rounded on BOTH sides of
+    the threshold so an engine ulp can't flip a boundary row.
+
+    Output: (group, n, med, mad, n_outliers).
+    """
+    g, v = F.col(group_col), F.col(value_col).cast("double")
+    med = df.groupBy(group_col).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("__med")
+    )
+    with_med = df.join(F.broadcast(med), group_col)
+    mad = with_med.groupBy(group_col).agg(
+        F.expr(
+            f"percentile(abs(cast({value_col} as double) - __med), 0.5)"
+        ).alias("__mad")
+    )
+    dev = F.round(F.abs(v - F.col("__med")), 6)
+    thresh = F.round(F.lit(k) * F.col("__mad"), 6)
+    return (
+        with_med.join(F.broadcast(mad), group_col)
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("__med"), 6).alias("med"),
+            F.round(F.min("__mad"), 6).alias("mad"),
+            F.sum(F.when(dev > thresh, 1).otherwise(0)).alias("n_outliers"),
+        )
+    )
+
+
+def group_linreg(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    scale: int = 2,
+) -> DataFrame:
+    """Per-group ordinary-least-squares line y = slope·x + intercept
+    plus r², from DECIMAL-EXACT moment sums — one aggregation pass.
+
+    slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²); intercept/r² from the
+    same five sums. The sums are accumulated as decimals (exact, so
+    partial-aggregation order can't perturb them — the same trick as
+    feat_standardize's decimal-exact mean), converted to double once,
+    and the closed-form arithmetic on identical doubles is identical in
+    every engine: 6dp rounding is then safe even though covariances at
+    this magnitude would flicker if summed as floats. ``scale`` is the
+    input's decimal scale (2 covers currency-like columns; inputs must
+    be exactly representable at it).
+
+    Degenerate groups (var(x) = 0) emit NULL slope/intercept/r².
+    """
+    d = f"decimal(38, {scale * 2})"
+    x = F.col(x_col).cast(f"decimal(18, {scale})")
+    y = F.col(y_col).cast(f"decimal(18, {scale})")
+    agg = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum((x * y).cast(d)).cast("double").alias("sxy"),
+        F.sum((x * x).cast(d)).cast("double").alias("sxx"),
+        F.sum((y * y).cast(d)).cast("double").alias("syy"),
+    )
+    vx = agg["n"] * agg["sxx"] - agg["sx"] * agg["sx"]
+    vy = agg["n"] * agg["syy"] - agg["sy"] * agg["sy"]
+    cov = agg["n"] * agg["sxy"] - agg["sx"] * agg["sy"]
+    slope = F.when(vx > 0, cov / vx)
+    intercept = F.when(vx > 0, (agg["sy"] - (cov / vx) * agg["sx"]) / agg["n"])
+    r2 = F.when((vx > 0) & (vy > 0), (cov * cov) / (vx * vy))
+    return agg.select(
+        group_col,
+        agg["n"].cast("long").alias("n"),
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round(r2, 6).alias("r2"),
+    )

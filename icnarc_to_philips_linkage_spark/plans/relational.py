@@ -1982,7 +1982,107 @@ FROM g GROUP BY user_id, sid
 """
 
 
+def a19_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Robust MAD outlier report per group (profile.mad_outlier_report):
+    median / median-absolute-deviation / k=3 threshold counts — the
+    50%-breakdown-point sibling of the rolling z-score."""
+    return profile.mad_outlier_report(
+        load(spark, sf, "lineitem"), "l_returnflag", "l_extendedprice", k=3.0
+    )
+
+
+A19_SQL = """
+WITH med AS (
+  SELECT l_returnflag AS g, quantile_cont(l_extendedprice, 0.5) AS med
+  FROM lineitem GROUP BY 1),
+j AS (
+  SELECT l.l_returnflag AS g, l.l_extendedprice AS v, med.med
+  FROM lineitem l JOIN med ON med.g = l.l_returnflag),
+mad AS (SELECT g, quantile_cont(abs(v - med), 0.5) AS mad FROM j GROUP BY g)
+SELECT j.g AS l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(ANY_VALUE(j.med), 6) AS med,
+       ROUND(ANY_VALUE(mad.mad), 6) AS mad,
+       CAST(SUM(CASE WHEN ROUND(abs(j.v - j.med), 6)
+                          > ROUND(3.0 * mad.mad, 6)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM j JOIN mad USING (g) GROUP BY j.g
+"""
+
+
+def a20_group_linreg(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group OLS line + r² from decimal-exact moment sums
+    (profile.group_linreg): price ~ quantity per returnflag."""
+    return profile.group_linreg(
+        load(spark, sf, "lineitem"), "l_returnflag",
+        "l_quantity", "l_extendedprice",
+    )
+
+
+A20_SQL = """
+WITH s AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2))
+                       * CAST(l_extendedprice AS DECIMAL(18,2))
+                       AS DECIMAL(38,4))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2))
+                       * CAST(l_quantity AS DECIMAL(18,2))
+                       AS DECIMAL(38,4))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * CAST(l_extendedprice AS DECIMAL(18,2))
+                       AS DECIMAL(38,4))) AS DOUBLE) AS syy
+  FROM lineitem GROUP BY 1)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+       CASE WHEN n*sxx - sx*sx > 0
+            THEN ROUND((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) END AS slope,
+       CASE WHEN n*sxx - sx*sx > 0
+            THEN ROUND((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n, 6)
+       END AS intercept,
+       CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+            THEN ROUND((n*sxy - sx*sy) * (n*sxy - sx*sy)
+                       / ((n*sxx - sx*sx) * (n*syy - sy*sy)), 6)
+       END AS r2
+FROM s
+"""
+
+
+def ev_assoc_rules(spark: SparkSession, sf: str) -> DataFrame:
+    """Association rules over user event activity
+    (events.association_rules): support / directional confidence /
+    lift per event-type pair."""
+    from icnarc_to_philips_linkage_spark.operators import events as ev
+
+    return ev.association_rules(load(spark, sf, "events"))
+
+
+EV_ASSOC_SQL = """
+WITH inc AS (SELECT DISTINCT user_id, event_type FROM events),
+nu AS (SELECT CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS n FROM inc),
+marg AS (SELECT event_type, COUNT(*) AS n_item FROM inc GROUP BY 1),
+pairs AS (
+  SELECT a.event_type AS item_a, b.event_type AS item_b,
+         COUNT(*) AS n_ab
+  FROM inc a JOIN inc b USING (user_id)
+  WHERE a.event_type < b.event_type
+  GROUP BY 1, 2)
+SELECT p.item_a, p.item_b, CAST(p.n_ab AS BIGINT) AS n_ab,
+       ROUND(p.n_ab / nu.n, 6) AS support,
+       ROUND(p.n_ab / ma.n_item, 6) AS conf_a_to_b,
+       ROUND(p.n_ab / mb.n_item, 6) AS conf_b_to_a,
+       ROUND((p.n_ab * nu.n) / (ma.n_item * mb.n_item), 6) AS lift
+FROM pairs p
+CROSS JOIN nu
+JOIN marg ma ON ma.event_type = p.item_a
+JOIN marg mb ON mb.event_type = p.item_b
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "a19_mad_outliers": (a19_mad_outliers, A19_SQL),
+    "a20_group_linreg": (a20_group_linreg, A20_SQL),
+    "ev_assoc_rules": (ev_assoc_rules, EV_ASSOC_SQL),
     "ts_ewma_window": (ts_ewma_window, _ewma_sql()),
     "ts_session_window": (ts_session_window, TS_SESSION_SQL),
     "ts_asof_join": (ts_asof_join, TS_ASOF_SQL),

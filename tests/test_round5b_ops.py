@@ -219,3 +219,68 @@ def test_bpe_pair_counts_hand_computed(spark):
     assert out["ab"] == (5, 1)
     assert out["ba"] == (2, 2)
     assert "x" not in out  # single-char words contribute no pairs
+
+
+def test_mad_outlier_report_flags_planted_spike(spark):
+    from icnarc_to_philips_linkage_spark.operators.profile import (
+        mad_outlier_report,
+    )
+
+    vals = [10.0] * 20 + [11.0] * 20 + [9.0] * 20 + [1000.0]
+    df = spark.createDataFrame([(("g"), v) for v in vals], "g string, v double")
+    out = mad_outlier_report(df, "g", "v", k=3.0).collect()[0]
+    assert out.med == 10.0 and out.mad == 1.0
+    assert out.n_outliers == 1  # only the 1000.0 spike: |1000-10| > 3*1
+    assert out.n == 61
+
+
+def test_mad_is_robust_where_mean_would_drag(spark):
+    from icnarc_to_philips_linkage_spark.operators.profile import (
+        mad_outlier_report,
+    )
+
+    # half the data is a far cloud — median/MAD still flag nothing
+    # (50% breakdown): all points sit within 3 MAD of the median
+    vals = [10.0] * 30 + [14.0] * 30
+    df = spark.createDataFrame([(("g"), v) for v in vals], "g string, v double")
+    out = mad_outlier_report(df, "g", "v", k=3.0).collect()[0]
+    assert out.n_outliers == 0
+
+
+def test_group_linreg_recovers_planted_line(spark):
+    from icnarc_to_philips_linkage_spark.operators.profile import group_linreg
+
+    rows = [("a", float(x), 2.0 * x + 5.0) for x in range(1, 50)]
+    rows += [("const", 7.0, 3.0), ("const", 7.0, 9.0)]  # zero x-variance
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = {r.g: r for r in group_linreg(df, "g", "x", "y", scale=1).collect()}
+    assert out["a"].slope == pytest.approx(2.0, abs=1e-6)
+    assert out["a"].intercept == pytest.approx(5.0, abs=1e-6)
+    assert out["a"].r2 == pytest.approx(1.0, abs=1e-6)
+    assert out["const"].slope is None and out["const"].r2 is None
+
+
+def test_association_rules_hand_computed(spark):
+    from icnarc_to_philips_linkage_spark.operators.events import (
+        association_rules,
+    )
+
+    # users: 1:{x,y}, 2:{x,y}, 3:{x}, 4:{y,z}
+    rows = [
+        (1, "x"), (1, "y"), (1, "y"),  # duplicate event collapses
+        (2, "x"), (2, "y"),
+        (3, "x"),
+        (4, "y"), (4, "z"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    out = {
+        (r.item_a, r.item_b): r for r in association_rules(df).collect()
+    }
+    xy = out[("x", "y")]
+    assert xy.n_ab == 2
+    assert xy.support == pytest.approx(2 / 4)
+    assert xy.conf_a_to_b == pytest.approx(2 / 3)  # P(y|x)
+    assert xy.conf_b_to_a == pytest.approx(2 / 3)  # P(x|y)
+    assert xy.lift == pytest.approx((2 * 4) / (3 * 3))
+    assert ("y", "z") in out and out[("y", "z")].n_ab == 1
+    assert ("x", "z") not in out  # never co-occur
