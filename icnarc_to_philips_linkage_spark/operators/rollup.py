@@ -1,0 +1,145 @@
+"""Incremental materialized-rollup maintenance: keep a per-key
+aggregate table up to date as batches arrive, WITHOUT rescanning
+history — the production shape of every "daily metrics" table at scale.
+
+The state table stores MERGEABLE partial aggregates (count, sum, min,
+max per measure), so folding a new batch is:
+
+    state' = (state ∪ partial(batch)).groupBy(keys).merge
+
+— one aggregation over |keys| + |batch-keys| rows; the historical raw
+data is never touched again. avg (and anything else derivable from the
+partials) is computed at READ time by ``rollup_values``. This is the
+same partial/merge algebra Spark's own hash aggregation uses between
+map and reduce sides, persisted across batches; lakehouse engines call
+the pattern an incrementally-maintained materialized view.
+
+Storage is a versioned parquet directory with a pointer file (the
+cdc_apply pattern — no lakehouse format in this environment).
+Exactly-once: each apply is keyed by ``batch_id``; a retry of an
+ALREADY-POINTED batch is a no-op (sums are not idempotent, so unlike
+the SCD2 merge the guard is load-bearing), and a retry after a failed
+write overwrites its own version directory and re-flips the pointer to
+the identical state.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_POINTER = "_CURRENT"
+
+
+def partial_state(
+    batch: DataFrame, keys: Sequence[str], measures: Sequence[str]
+) -> DataFrame:
+    """Per-key mergeable partials of one batch: __n plus
+    __sum/__min/__max per measure (sum as decimal(38,6) — exact, so
+    merge order across batches can never perturb it)."""
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for m in measures:
+        aggs += [
+            F.sum(F.col(m).cast("decimal(38,6)")).alias(f"__sum_{m}"),
+            F.min(m).alias(f"__min_{m}"),
+            F.max(m).alias(f"__max_{m}"),
+        ]
+    return batch.groupBy(*keys).agg(*aggs)
+
+
+def _merge(
+    state: DataFrame, keys: Sequence[str], measures: Sequence[str]
+) -> DataFrame:
+    aggs = [F.sum("__n").alias("__n")]
+    for m in measures:
+        aggs += [
+            F.sum(f"__sum_{m}").cast("decimal(38,6)").alias(f"__sum_{m}"),
+            F.min(f"__min_{m}").alias(f"__min_{m}"),
+            F.max(f"__max_{m}").alias(f"__max_{m}"),
+        ]
+    return state.groupBy(*keys).agg(*aggs)
+
+
+def read_rollup_state(spark: SparkSession, table_dir: str) -> DataFrame | None:
+    """Current partial-state table, or None before the first batch."""
+    ptr = os.path.join(table_dir, _POINTER)
+    if not os.path.exists(ptr):
+        return None
+    with open(ptr) as f:
+        version = f.read().strip()
+    return spark.read.parquet(os.path.join(table_dir, version))
+
+
+def rollup_apply(
+    batch: DataFrame,
+    table_dir: str,
+    keys: Sequence[str],
+    measures: Sequence[str],
+    batch_id: int,
+) -> bool:
+    """Fold one batch into the rollup state. Returns False (no-op) when
+    ``batch_id`` is the currently-pointed version — the retry guard."""
+    spark = batch.sparkSession
+    version = f"v{batch_id}"
+    ptr = os.path.join(table_dir, _POINTER)
+    if os.path.exists(ptr):
+        with open(ptr) as f:
+            if f.read().strip() == version:
+                return False
+    current = read_rollup_state(spark, table_dir)
+    fresh = partial_state(batch, keys, measures)
+    merged = (
+        _merge(current.unionByName(fresh), keys, measures)
+        if current is not None
+        else fresh
+    )
+    out = os.path.join(table_dir, version)
+    merged.write.mode("overwrite").parquet(out)
+    tmp = os.path.join(table_dir, f"{_POINTER}.tmp")
+    with open(tmp, "w") as f:
+        f.write(version)
+    os.replace(tmp, ptr)
+    return True
+
+
+def rollup_values(
+    state: DataFrame, measures: Sequence[str]
+) -> DataFrame:
+    """Finalize partials into user-facing aggregates: n plus
+    sum/min/max/avg per measure (sum and avg back as doubles)."""
+    cols = [F.col("__n").alias("n")]
+    for m in measures:
+        s = F.col(f"__sum_{m}")
+        cols += [
+            s.cast("double").alias(f"sum_{m}"),
+            F.col(f"__min_{m}").alias(f"min_{m}"),
+            F.col(f"__max_{m}").alias(f"max_{m}"),
+            F.round((s / F.col("__n")).cast("double"), 6).alias(f"avg_{m}"),
+        ]
+    keys = [c for c in state.columns if not c.startswith("__")]
+    return state.select(*keys, *cols)
+
+
+def start_rollup_stream(
+    source: DataFrame,
+    table_dir: str,
+    keys: Sequence[str],
+    measures: Sequence[str],
+    checkpoint_dir: str,
+):
+    """Streaming twin: foreachBatch folds each micro-batch through
+    ``rollup_apply`` — the batch-id retry guard makes redeliveries
+    exactly-once on the maintained table."""
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        rollup_apply(batch, table_dir, keys, measures, batch_id)
+
+    return (
+        source.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

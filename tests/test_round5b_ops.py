@@ -284,3 +284,84 @@ def test_association_rules_hand_computed(spark):
     assert xy.lift == pytest.approx((2 * 4) / (3 * 3))
     assert ("y", "z") in out and out[("y", "z")].n_ab == 1
     assert ("x", "z") not in out  # never co-occur
+
+
+def test_rollup_incremental_equals_direct_aggregation(spark, tmp_path):
+    from icnarc_to_philips_linkage_spark.operators.rollup import (
+        read_rollup_state,
+        rollup_apply,
+        rollup_values,
+    )
+
+    d = str(tmp_path / "rollup")
+    b1 = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", 10.0)], "k string, v double"
+    )
+    b2 = spark.createDataFrame(
+        [("a", 5.0), ("b", 2.0), ("c", 7.0)], "k string, v double"
+    )
+    assert rollup_apply(b1, d, ["k"], ["v"], batch_id=0)
+    assert rollup_apply(b2, d, ["k"], ["v"], batch_id=1)
+    got = {
+        r.k: r
+        for r in rollup_values(
+            read_rollup_state(spark, d), ["v"]
+        ).collect()
+    }
+    # equal to aggregating b1 ∪ b2 directly
+    assert got["a"].n == 3 and got["a"].sum_v == 9.0
+    assert got["a"].min_v == 1.0 and got["a"].max_v == 5.0
+    assert got["a"].avg_v == 3.0
+    assert got["b"].n == 2 and got["b"].min_v == 2.0 and got["b"].max_v == 10.0
+    assert got["c"].n == 1 and got["c"].sum_v == 7.0
+
+
+def test_rollup_retry_of_applied_batch_is_noop(spark, tmp_path):
+    from icnarc_to_philips_linkage_spark.operators.rollup import (
+        read_rollup_state,
+        rollup_apply,
+        rollup_values,
+    )
+
+    d = str(tmp_path / "rollup2")
+    b = spark.createDataFrame([("a", 4.0)], "k string, v double")
+    assert rollup_apply(b, d, ["k"], ["v"], batch_id=0) is True
+    # redelivery of the SAME batch id must not double-count
+    assert rollup_apply(b, d, ["k"], ["v"], batch_id=0) is False
+    got = rollup_values(read_rollup_state(spark, d), ["v"]).collect()[0]
+    assert got.n == 1 and got.sum_v == 4.0
+
+
+def test_rollup_streaming_twin(spark, tmp_path):
+    from icnarc_to_philips_linkage_spark.operators.rollup import (
+        read_rollup_state,
+        rollup_values,
+        start_rollup_stream,
+    )
+
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0)], "k string, v double"
+    ).write.parquet(src)
+    stream = spark.readStream.schema("k string, v double").parquet(src)
+    q = start_rollup_stream(stream, table, ["k"], ["v"], ckpt)
+    q.awaitTermination(120)
+    # second file → second micro-batch folds incrementally
+    spark.createDataFrame([("a", 9.0)], "k string, v double").write.mode(
+        "append"
+    ).parquet(src)
+    q2 = start_rollup_stream(
+        spark.readStream.schema("k string, v double").parquet(src),
+        table, ["k"], ["v"], ckpt,
+    )
+    q2.awaitTermination(120)
+    got = {
+        r.k: r
+        for r in rollup_values(
+            read_rollup_state(spark, table), ["v"]
+        ).collect()
+    }
+    assert got["a"].n == 2 and got["a"].sum_v == 10.0
+    assert got["b"].n == 1
