@@ -494,3 +494,55 @@ def semantic_dedup(
             F.col("__drop").isNull().alias("kept"),
         )
     )
+
+
+def knn_graph_lsh(
+    corpus: DataFrame,
+    k: int = 5,
+    n_planes: int = 6,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate k-NN GRAPH over the whole corpus — every vector gets
+    its top-k bucket-mates (the first stage of graph-based dedup,
+    label propagation, and HNSW-style index builds). Unlike
+    ``ann_rh_lsh`` (small query batch, broadcast), BOTH sides here are
+    the corpus: the self-join shuffles on the LSH bucket id — per-cell
+    |cell|² pair generation like ``semantic_dedup``, never corpus², and
+    the hashed frame is persisted so the corpus is scanned once for
+    both join sides. The two-level ``topk_per_key`` reduce keeps only
+    partitions×k rows per node out of the pair stream."""
+    from pyspark import StorageLevel
+
+    planes = [_hyperplane(p, dim) for p in range(n_planes)]
+    hashed = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        norm_sq(vec_col).alias("__nsq"),
+        rh_lsh_signature(vec_col, planes).alias("bucket"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    a = hashed.select(
+        F.col(id_col).alias("node_id"),
+        F.col(vec_col).alias("vec_a"),
+        F.col("__nsq").alias("nsq_a"),
+        "bucket",
+    )
+    b = hashed.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("vec_b"),
+        F.col("__nsq").alias("nsq_b"),
+        "bucket",
+    )
+    sims = (
+        a.join(b, on="bucket")
+        .filter(F.col("node_id") != F.col("neighbor_id"))
+        .select(
+            "node_id",
+            "neighbor_id",
+            F.round(
+                cosine_with_norms("vec_a", "vec_b", "nsq_a", "nsq_b"), 6
+            ).alias("cos_sim"),
+        )
+    )
+    return topk_per_key(sims, "node_id", k)

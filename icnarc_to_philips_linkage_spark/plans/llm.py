@@ -1853,7 +1853,49 @@ FROM lineitem
 """
 
 
+def sim_knn_graph(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate k-NN graph over the WHOLE corpus
+    (similarity.knn_graph_lsh): LSH-bucketed self-join, top-5 per node —
+    the first stage of graph-based dedup / label propagation / HNSW
+    builds. Literal hyperplanes reproduce in the oracle."""
+    emb = load(spark, sf, "embeddings")
+    return similarity.knn_graph_lsh(emb, k=5, n_planes=N_PLANES, dim=DIM)
+
+
+def _knn_graph_sql() -> str:
+    planes = [similarity._hyperplane(p, DIM) for p in range(N_PLANES)]
+
+    def plane_lit(plane: list[float]) -> str:
+        return "[" + ", ".join(repr(x) for x in plane) + "]"
+
+    def dot_plane(v: str, plane: list[float]) -> str:
+        return (
+            f"list_sum(list_transform(generate_series(1, {DIM}), "
+            f"i -> CAST({v}[i] AS DOUBLE) * ({plane_lit(plane)})[i]))"
+        )
+
+    bucket = " + ".join(
+        f"CAST({dot_plane('embedding', plane)} > 0 AS INT) * {1 << p}"
+        for p, plane in enumerate(planes)
+    )
+    return f"""
+WITH hashed AS (
+  SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+),
+sims AS (
+  SELECT a.vec_id AS node_id, b.vec_id AS neighbor_id,
+         {_cos_sql('a.embedding', 'b.embedding')} AS cos_sim
+  FROM hashed a JOIN hashed b USING (bucket)
+  WHERE a.vec_id != b.vec_id
+)
+SELECT node_id, neighbor_id, cos_sim FROM sims
+QUALIFY row_number() OVER (
+  PARTITION BY node_id ORDER BY cos_sim DESC, neighbor_id ASC) <= 5
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "sim_knn_graph": (sim_knn_graph, _knn_graph_sql()),
     "src_agg_pushdown_stats": (src_agg_pushdown_stats, SRC_AGG_PUSHDOWN_SQL),
     "dedup_semantic": (dedup_semantic, _semantic_dedup_sql()),
     "quality_ngram_lm": (quality_ngram_lm, QUALITY_LM_SQL),
