@@ -323,3 +323,67 @@ def dsir_log_weights(
         F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
         "log_weight",
     )
+
+
+def negative_samples(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 3,
+    salt: str = "neg",
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: each
+    anchor row gets ``k`` pseudo-random OTHER rows as negatives, with
+    the pairing fixed by content hash (same salt ⇒ same negatives on
+    any engine / partitioning / re-run — the property a reproducible
+    training run needs; resample by changing the salt, e.g. per epoch).
+
+    Shape: ids get a dense 1..n index via the distributed
+    ``global_rank``; negative j of an anchor is index
+    md5(salt:anchor:j) mod n (bumped one slot on self-collision), and
+    one equi-join on the index resolves it back to an id. Cost: the
+    rank exchange plus a k-fan-out projection and one join keyed on the
+    dense index — uniform by construction, no skew.
+
+    Output: (anchor_id, j, negative_id), k rows per anchor.
+    """
+    from icnarc_to_philips_linkage_spark.operators.scale import global_rank
+
+    ranked = global_rank(df.select(id_col), [id_col], rank_col="__idx")
+    n = ranked.count()
+    if n < 2:
+        raise ValueError(f"need >= 2 rows to draw negatives, got {n}")
+    anchors = ranked.select(
+        F.col(id_col).alias("anchor_id"), F.col("__idx").alias("__a_idx")
+    )
+    fanned = anchors.select(
+        "anchor_id",
+        "__a_idx",
+        F.explode(F.array(*[F.lit(j) for j in range(k)])).alias("j"),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.lit(salt),
+                    F.col("anchor_id").cast("string"),
+                    F.col("j").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    idx = (h % n) + 1
+    # self-collision bump: next slot, wrapping — never equals the anchor
+    picked = F.when(idx == F.col("__a_idx"), (idx % n) + 1).otherwise(idx)
+    resolved = fanned.withColumn("__n_idx", picked).join(
+        ranked.select(
+            F.col("__idx").alias("__n_idx"),
+            F.col(id_col).alias("negative_id"),
+        ),
+        "__n_idx",
+    )
+    return resolved.select("anchor_id", "j", "negative_id")

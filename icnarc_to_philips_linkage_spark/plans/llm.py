@@ -1894,7 +1894,52 @@ QUALIFY row_number() OVER (
 """
 
 
+_NEG_K, _NEG_SALT = 3, "neg"
+
+
+def sample_negatives(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic contrastive negative sampling
+    (sampling.negative_samples): 3 hash-pinned negatives per document
+    via the dense global_rank index."""
+    docs = load(spark, sf, "documents")
+    return sampling.negative_samples(
+        docs, "doc_id", k=_NEG_K, salt=_NEG_SALT
+    ).orderBy("anchor_id", "j")
+
+
+def _negatives_sql() -> str:
+    nib = "(strpos('0123456789abcdef', substr(h, {i}, 1)) - 1)"
+    hv = " + ".join(
+        f"{nib.format(i=i + 1)} * {16 ** (7 - i)}" for i in range(8)
+    )
+    js = ", ".join(str(j) for j in range(_NEG_K))
+    return f"""
+WITH ranked AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) AS idx FROM documents),
+nn AS (SELECT COUNT(*) AS n FROM documents),
+fanned AS (
+  SELECT r.doc_id AS anchor_id, r.idx AS a_idx, j.j
+  FROM ranked r CROSS JOIN (SELECT unnest([{js}]) AS j) j),
+hashed AS (
+  SELECT anchor_id, a_idx, j,
+         md5('{_NEG_SALT}:' || anchor_id || ':' || j) AS h
+  FROM fanned),
+picked AS (
+  SELECT anchor_id, a_idx, j, (({hv}) % nn.n) + 1 AS raw_idx, nn.n
+  FROM hashed CROSS JOIN nn),
+fixed AS (
+  SELECT anchor_id, j,
+         CASE WHEN raw_idx = a_idx THEN (raw_idx % n) + 1
+              ELSE raw_idx END AS n_idx
+  FROM picked)
+SELECT f.anchor_id, f.j, r.doc_id AS negative_id
+FROM fixed f JOIN ranked r ON r.idx = f.n_idx
+ORDER BY f.anchor_id, f.j
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "sample_negatives": (sample_negatives, _negatives_sql()),
     "sim_knn_graph": (sim_knn_graph, _knn_graph_sql()),
     "src_agg_pushdown_stats": (src_agg_pushdown_stats, SRC_AGG_PUSHDOWN_SQL),
     "dedup_semantic": (dedup_semantic, _semantic_dedup_sql()),

@@ -365,3 +365,31 @@ def test_rollup_streaming_twin(spark, tmp_path):
     }
     assert got["a"].n == 2 and got["a"].sum_v == 10.0
     assert got["b"].n == 1
+
+
+def test_negative_samples_properties(spark):
+    from icnarc_to_philips_linkage_spark.operators.sampling import (
+        negative_samples,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(1, 21)], "doc_id long")
+    out = negative_samples(df, "doc_id", k=4, salt="s1").collect()
+    assert len(out) == 20 * 4
+    for r in out:
+        assert r.negative_id != r.anchor_id  # never self
+        assert 1 <= r.negative_id <= 20
+    # deterministic: same salt reproduces, different salt diverges
+    again = negative_samples(df, "doc_id", k=4, salt="s1").collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    other = negative_samples(df, "doc_id", k=4, salt="s2").collect()
+    assert sorted(map(tuple, out)) != sorted(map(tuple, other))
+
+
+def test_negative_samples_rejects_degenerate_corpus(spark):
+    from icnarc_to_philips_linkage_spark.operators.sampling import (
+        negative_samples,
+    )
+
+    df = spark.createDataFrame([(1,)], "doc_id long")
+    with pytest.raises(ValueError):
+        negative_samples(df, "doc_id", k=2)
