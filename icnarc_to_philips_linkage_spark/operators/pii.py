@@ -54,3 +54,60 @@ def scrub_pii(
         cur = F.regexp_replace(cur, pat, f"[{kind.upper()}]")
     others = [c for c in df.columns if c != text_col or out_col != text_col]
     return df.select(*others, *counts, cur.alias(out_col))
+
+
+# toy category lexicons — a real deployment swaps in curated lists
+# (the operator shape, counts-then-decide, is unchanged)
+BLOCKLIST_CATEGORIES: tuple[tuple[str, tuple[str, ...]], ...] = (
+    ("profanity", ("badword", "explicit", "obscene")),
+    ("violence", ("attack", "weapon", "assault")),
+    ("spamlike", ("viagra", "lottery", "clickbait")),
+)
+
+
+def blocklist_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    categories: tuple[tuple[str, tuple[str, ...]], ...] = BLOCKLIST_CATEGORIES,
+    max_hits_per_1k_tokens: float = 5.0,
+) -> DataFrame:
+    """Safety/content filtering: per-category blocklist hit counts plus
+    a keep/drop decision — the counts-then-threshold content screen
+    every public training corpus applies (C4's badword filter is this
+    op with a bigger lexicon).
+
+    Decision rule: RATE-based, not absolute — hits are normalized per
+    1000 whitespace tokens so long documents are not penalized for
+    length, matching C4-style practice; a document with zero tokens
+    and zero hits keeps. Word-boundary token matching (``\\b...\\b``),
+    case-insensitive, counts evaluated per category on the ORIGINAL
+    text (unlike PII's sequential redaction, categories here are
+    independent signals).
+
+    Pure map-side projection: one regexp_count per category + one
+    token count. Output: input columns + n_<category> per category,
+    n_tokens, hit_rate_per_1k, kept.
+    """
+    from icnarc_to_philips_linkage_spark.operators.text import token_count
+
+    t = F.lower(F.col(text_col))
+    counts = []
+    total = F.lit(0)
+    for cat, words in categories:
+        pat = r"\b(" + "|".join(words) + r")\b"
+        c = F.regexp_count(t, F.lit(pat))
+        counts.append(c.alias(f"n_{cat}"))
+        total = total + c
+    n_tok = F.when(
+        F.length(F.trim(F.col(text_col))) == 0, F.lit(0)
+    ).otherwise(token_count(text_col))
+    rate = F.round(
+        total * 1000.0 / F.greatest(n_tok, F.lit(1)), 6
+    )
+    return df.select(
+        *df.columns,
+        *counts,
+        n_tok.alias("n_tokens"),
+        rate.alias("hit_rate_per_1k"),
+        (rate <= max_hits_per_1k_tokens).alias("kept"),
+    )

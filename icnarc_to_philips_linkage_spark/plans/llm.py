@@ -1938,7 +1938,64 @@ ORDER BY f.anchor_id, f.j
 """
 
 
+def filter_blocklist(spark: SparkSession, sf: str) -> DataFrame:
+    """Safety/content screen (pii.blocklist_filter): rate-normalized
+    blocklist hits + keep/drop. Hits are PLANTED deterministically
+    (every 7th doc gets a heavy triple, every 11th a single word) so
+    both decision branches are exercised — same synthetic-signal
+    approach as pii_scrub."""
+    from icnarc_to_philips_linkage_spark.operators.pii import blocklist_filter
+
+    docs = load(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.lit(" badword attack weapon badword explicit"),
+            ).when(F.col("doc_id") % 11 == 0, F.lit(" lottery"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = blocklist_filter(docs, "text")
+    return out.select(
+        "doc_id", "n_profanity", "n_violence", "n_spamlike",
+        "n_tokens", "hit_rate_per_1k", "kept",
+    )
+
+
+def _blocklist_sql() -> str:
+    from icnarc_to_philips_linkage_spark.operators.pii import (
+        BLOCKLIST_CATEGORIES,
+    )
+
+    aug = (
+        "text || CASE WHEN doc_id % 7 = 0 "
+        "THEN ' badword attack weapon badword explicit' "
+        "WHEN doc_id % 11 = 0 THEN ' lottery' ELSE '' END"
+    )
+    counts, total = [], []
+    for cat, words in BLOCKLIST_CATEGORIES:
+        pat = r"\b(" + "|".join(words) + r")\b"
+        expr = f"len(regexp_extract_all(lower({aug}), '{pat}'))"
+        counts.append(f"{expr} AS n_{cat}")
+        total.append(expr)
+    tot = " + ".join(total)
+    n_tok = (
+        f"CASE WHEN length(trim({aug})) = 0 THEN 0 "
+        f"ELSE len(regexp_split_to_array(trim(lower({aug})), '\\s+')) END"
+    )
+    return f"""
+SELECT doc_id, {', '.join(counts)},
+       {n_tok} AS n_tokens,
+       ROUND(({tot}) * 1000.0 / GREATEST({n_tok}, 1), 6) AS hit_rate_per_1k,
+       ROUND(({tot}) * 1000.0 / GREATEST({n_tok}, 1), 6) <= 5.0 AS kept
+FROM documents
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "filter_blocklist": (filter_blocklist, _blocklist_sql()),
     "sample_negatives": (sample_negatives, _negatives_sql()),
     "sim_knn_graph": (sim_knn_graph, _knn_graph_sql()),
     "src_agg_pushdown_stats": (src_agg_pushdown_stats, SRC_AGG_PUSHDOWN_SQL),

@@ -393,3 +393,20 @@ def test_negative_samples_rejects_degenerate_corpus(spark):
     df = spark.createDataFrame([(1,)], "doc_id long")
     with pytest.raises(ValueError):
         negative_samples(df, "doc_id", k=2)
+
+
+def test_blocklist_filter_rate_decision(spark):
+    from icnarc_to_philips_linkage_spark.operators.pii import blocklist_filter
+
+    rows = [
+        (1, "clean words " * 100),                       # 0 hits -> kept
+        (2, "badword " * 10 + "ok"),                     # dense -> dropped
+        (3, "lottery " + "benign filler words " * 200),  # dilute -> kept
+        (4, ""),                                          # empty -> kept
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in blocklist_filter(df).collect()}
+    assert out[1].kept and out[1].hit_rate_per_1k == 0.0
+    assert not out[2].kept and out[2].n_profanity == 10
+    assert out[3].kept and out[3].n_spamlike == 1  # length-normalized
+    assert out[4].kept and out[4].n_tokens == 0
