@@ -100,3 +100,42 @@ def df_summary(df: DataFrame) -> DataFrame:
             f"stack({len(df.columns)}, {stack_args}) AS (column, n_non_null, n_distinct)"
         ),
     ).select("column", "n_rows", "n_non_null", "n_distinct")
+
+
+def corpus_datasheet(
+    docs: DataFrame,
+    source_col: str = "source",
+    lang_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source corpus datasheet — the "data card" table accompanying
+    a training-corpus release (composition, language spread, length
+    distribution, duplication): one row per source with n_docs,
+    n_langs, total/avg/median chars, and the exact duplicate rate
+    (1 − distinct content hashes / docs).
+
+    ONE aggregation pass: every column is a per-group aggregate
+    (exact median included — swap percentile_approx at corpus scale,
+    as in the A8 family), and the duplicate rate rides the same agg as
+    a countDistinct over the content digest, so the corpus is scanned
+    once."""
+    length = F.length(F.col(text_col))
+    return (
+        docs.groupBy(source_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct(lang_col).alias("n_langs"),
+            F.sum(length).alias("total_chars"),
+            F.round(F.avg(length), 6).alias("avg_chars"),
+            F.expr(f"percentile(length({text_col}), 0.5)").alias(
+                "p50_chars"
+            ),
+            F.round(
+                1
+                - F.countDistinct(F.md5(F.col(text_col)))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("dup_rate"),
+        )
+    )

@@ -1994,7 +1994,31 @@ FROM documents
 """
 
 
+def report_corpus_datasheet(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus data-card table (reports.corpus_datasheet): per-source
+    composition, language spread, length distribution, exact dup rate —
+    one aggregation pass."""
+    from icnarc_to_philips_linkage_spark.operators.reports import (
+        corpus_datasheet,
+    )
+
+    return corpus_datasheet(load(spark, sf, "documents"))
+
+
+DATASHEET_SQL = """
+SELECT source,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT lang) AS n_langs,
+       SUM(length(text)) AS total_chars,
+       ROUND(AVG(length(text)), 6) AS avg_chars,
+       quantile_cont(length(text), 0.5) AS p50_chars,
+       ROUND(1 - COUNT(DISTINCT md5(text)) * 1.0 / COUNT(*), 6) AS dup_rate
+FROM documents GROUP BY source
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "report_corpus_datasheet": (report_corpus_datasheet, DATASHEET_SQL),
     "filter_blocklist": (filter_blocklist, _blocklist_sql()),
     "sample_negatives": (sample_negatives, _negatives_sql()),
     "sim_knn_graph": (sim_knn_graph, _knn_graph_sql()),
