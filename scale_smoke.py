@@ -186,6 +186,32 @@ def main() -> int:
             F.count(F.lit(1)).alias("n")
         ),
     )
+
+    # distributed global ordinal over the full table: the single-
+    # partition row_number() would push all n rows through ONE sorting
+    # task; global_rank's range exchange + offset map keeps every task
+    # partition-local (this smoke is the existence proof at 100M rows)
+    from icnarc_to_philips_linkage_spark.operators.scale import global_rank
+
+    bench(
+        "global_rank_full_table",
+        global_rank(
+            e.select("event_id", "value"), ["value", "event_id"]
+        ).agg(
+            F.count(F.lit(1)).alias("n"), F.max("rank").alias("max_rank")
+        ),
+    )
+
+    # truncated EWMA: 20 lag terms, one window pass over 1M user keys
+    from icnarc_to_philips_linkage_spark.operators.timeseries import (
+        ewma_window,
+    )
+
+    bench(
+        "ewma_window_20lags",
+        ewma_window(e, "user_id", "ts", "value", tiebreak="event_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("ewma"), 2).alias("m")),
+    )
     print(
         json.dumps(
             {"n_rows": n, "gen_sec": gen_sec, "timings_sec": timings}
