@@ -2079,7 +2079,46 @@ JOIN marg mb ON mb.event_type = p.item_b
 """
 
 
+def ts_hopping_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Hopping (sliding) windows in batch: 1-hour windows every 30
+    minutes via F.window's slideDuration — each event lands in
+    duration/slide = 2 overlapping windows (Spark plans the fan-out as
+    an explode, then one hash agg). The batch twin of a sliding
+    streaming aggregation; oracle reproduces the epoch-aligned window
+    arithmetic with an explicit 2-slot unnest."""
+    e = load(spark, sf, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "avg_value",
+        )
+    )
+
+
+TS_HOPPING_SQL = """
+WITH slots AS (
+  SELECT e.ts, e.value,
+         CAST(to_timestamp(CAST(floor(epoch(e.ts) / 1800) AS BIGINT) * 1800
+                           - j.j * 1800) AS TIMESTAMP) AS window_start
+  FROM events e CROSS JOIN (SELECT unnest([0, 1]) AS j) j
+)
+SELECT window_start, window_start + INTERVAL 1 HOUR AS window_end,
+       COUNT(*) AS n_events, ROUND(AVG(value), 6) AS avg_value
+FROM slots
+WHERE ts < window_start + INTERVAL 1 HOUR AND ts >= window_start
+GROUP BY window_start
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "ts_hopping_window": (ts_hopping_window, TS_HOPPING_SQL),
     "a19_mad_outliers": (a19_mad_outliers, A19_SQL),
     "a20_group_linreg": (a20_group_linreg, A20_SQL),
     "ev_assoc_rules": (ev_assoc_rules, EV_ASSOC_SQL),
