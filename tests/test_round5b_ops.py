@@ -410,3 +410,22 @@ def test_blocklist_filter_rate_decision(spark):
     assert not out[2].kept and out[2].n_profanity == 10
     assert out[3].kept and out[3].n_spamlike == 1  # length-normalized
     assert out[4].kept and out[4].n_tokens == 0
+
+
+def test_knn_graph_every_node_sees_its_duplicate(spark):
+    # identical vectors share a bucket and cosine 1.0 — each must list
+    # the other as its top neighbor; graph covers ALL nodes (no query set)
+    vecs = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    out = similarity.knn_graph_lsh(df, k=2, n_planes=3, dim=4).collect()
+    top = {}
+    for r in out:
+        top.setdefault(r.node_id, []).append((r.cos_sim, r.neighbor_id))
+    assert max(top[1])[1] == 2 and max(top[2])[1] == 1
+    assert max(top[3])[1] == 4 and max(top[4])[1] == 3
+    assert max(top[1])[0] == 1.0
