@@ -193,14 +193,16 @@ def main() -> int:
     # partition-local (this smoke is the existence proof at 100M rows)
     from icnarc_to_philips_linkage_spark.operators.scale import global_rank
 
-    bench(
-        "global_rank_full_table",
-        global_rank(
-            e.select("event_id", "value"), ["value", "event_id"]
-        ).agg(
-            F.count(F.lit(1)).alias("n"), F.max("rank").alias("max_rank")
-        ),
-    )
+    # global_rank's expensive phase is EAGER (checkpoint + counts
+    # collect at construction), so time the call itself, not just the
+    # returned frame's final agg
+    t = time.time()
+    gr = global_rank(e.select("event_id", "value"), ["value", "event_id"])
+    gr.agg(
+        F.count(F.lit(1)).alias("n"), F.max("rank").alias("max_rank")
+    ).collect()
+    timings["global_rank_full_table"] = round(time.time() - t, 2)
+    print("global_rank_full_table", timings["global_rank_full_table"], flush=True)
 
     # truncated EWMA: 20 lag terms, one window pass over 1M user keys
     from icnarc_to_philips_linkage_spark.operators.timeseries import (
