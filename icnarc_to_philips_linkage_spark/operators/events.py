@@ -136,7 +136,19 @@ def association_rules(
     Output: (item_a, item_b, n_ab, support, conf_a_to_b, conf_b_to_a,
     lift), 6dp-rounded.
     """
-    inc = events.select(user_col, item_col).distinct()
+    from pyspark import StorageLevel
+
+    # NULL users/items can never contribute pairs (the join drops NULL
+    # keys) so they must not inflate the marginals either; persisted
+    # because FOUR consumers read it (user total, marginals, both
+    # self-join sides) — without the pin the events scan + distinct
+    # shuffle would run four times
+    inc = (
+        events.select(user_col, item_col)
+        .filter(F.col(user_col).isNotNull() & F.col(item_col).isNotNull())
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     n_users = inc.select(user_col).distinct().count()
     marg = inc.groupBy(item_col).agg(F.count(F.lit(1)).alias("n_item"))
     a = inc.select(

@@ -56,6 +56,20 @@ def scrub_pii(
     return df.select(*others, *counts, cur.alias(out_col))
 
 
+def _word_pattern(word: str) -> str:
+    """Literal-word regex with edge-aware boundaries: the word is
+    escaped (curated lists contain things like 'c++' and 'a.b', whose
+    metacharacters must match literally), and ``\\b`` is applied only
+    on sides that END in a word character — ``\\b`` between '+' and a
+    space never matches, so 'c++' would otherwise be undetectable."""
+    import re
+
+    core = re.escape(word)
+    pre = r"\b" if re.match(r"\w", word[:1] or " ") else ""
+    post = r"\b" if re.match(r"\w", word[-1:] or " ") else ""
+    return f"{pre}{core}{post}"
+
+
 # toy category lexicons — a real deployment swaps in curated lists
 # (the operator shape, counts-then-decide, is unchanged)
 BLOCKLIST_CATEGORIES: tuple[tuple[str, tuple[str, ...]], ...] = (
@@ -94,7 +108,7 @@ def blocklist_filter(
     counts = []
     total = F.lit(0)
     for cat, words in categories:
-        pat = r"\b(" + "|".join(words) + r")\b"
+        pat = "(" + "|".join(_word_pattern(w) for w in words) + ")"
         c = F.regexp_count(t, F.lit(pat))
         counts.append(c.alias(f"n_{cat}"))
         total = total + c

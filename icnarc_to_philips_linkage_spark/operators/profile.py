@@ -724,7 +724,7 @@ def mad_outlier_report(
 
     Output: (group, n, med, mad, n_outliers).
     """
-    g, v = F.col(group_col), F.col(value_col).cast("double")
+    v = F.col(value_col).cast("double")
     med = df.groupBy(group_col).agg(
         F.expr(f"percentile({value_col}, 0.5)").alias("__med")
     )

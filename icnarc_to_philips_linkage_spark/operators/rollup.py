@@ -44,6 +44,10 @@ def partial_state(
     for m in measures:
         aggs += [
             F.sum(F.col(m).cast("decimal(38,6)")).alias(f"__sum_{m}"),
+            # non-null count per measure: avg must divide by the values
+            # the sum actually saw, not by row count — otherwise NULLs
+            # bias avg low
+            F.count(m).alias(f"__cnt_{m}"),
             F.min(m).alias(f"__min_{m}"),
             F.max(m).alias(f"__max_{m}"),
         ]
@@ -57,6 +61,7 @@ def _merge(
     for m in measures:
         aggs += [
             F.sum(f"__sum_{m}").cast("decimal(38,6)").alias(f"__sum_{m}"),
+            F.sum(f"__cnt_{m}").alias(f"__cnt_{m}"),
             F.min(f"__min_{m}").alias(f"__min_{m}"),
             F.max(f"__max_{m}").alias(f"__max_{m}"),
         ]
@@ -113,11 +118,14 @@ def rollup_values(
     cols = [F.col("__n").alias("n")]
     for m in measures:
         s = F.col(f"__sum_{m}")
+        c = F.col(f"__cnt_{m}")
         cols += [
             s.cast("double").alias(f"sum_{m}"),
             F.col(f"__min_{m}").alias(f"min_{m}"),
             F.col(f"__max_{m}").alias(f"max_{m}"),
-            F.round((s / F.col("__n")).cast("double"), 6).alias(f"avg_{m}"),
+            F.when(c > 0, F.round((s / c).cast("double"), 6)).alias(
+                f"avg_{m}"
+            ),
         ]
     keys = [c for c in state.columns if not c.startswith("__")]
     return state.select(*keys, *cols)

@@ -135,8 +135,9 @@ def global_rank(
         acc += r["count"]
     off = None
     for pid, o in offsets.items():
-        c = F.when(F.col("__pid") == pid, F.lit(o))
-        off = c if off is None else off.when(F.col("__pid") == pid, F.lit(o))
+        off = (F.when if off is None else off.when)(
+            F.col("__pid") == pid, F.lit(o)
+        )
     off = off.otherwise(F.lit(0)) if off is not None else F.lit(0)
     return local.withColumn(
         rank_col, (off + F.col("__local_rn")).cast("long")

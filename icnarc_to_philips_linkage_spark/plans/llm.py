@@ -1975,8 +1975,10 @@ def _blocklist_sql() -> str:
         "WHEN doc_id % 11 = 0 THEN ' lottery' ELSE '' END"
     )
     counts, total = [], []
+    from icnarc_to_philips_linkage_spark.operators.pii import _word_pattern
+
     for cat, words in BLOCKLIST_CATEGORIES:
-        pat = r"\b(" + "|".join(words) + r")\b"
+        pat = "(" + "|".join(_word_pattern(w) for w in words) + ")"
         expr = f"len(regexp_extract_all(lower({aug}), '{pat}'))"
         counts.append(f"{expr} AS n_{cat}")
         total.append(expr)

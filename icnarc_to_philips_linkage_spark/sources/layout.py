@@ -115,27 +115,37 @@ def write_zordered(
 
 
 def file_fragmentation_report(spark, path: str):
-    """(n_files, total_bytes, avg_file_bytes, min_file_bytes) for a
-    parquet directory — the small-file health check. Many tiny files
-    mean task-scheduling overhead dominates the scan (each file is at
-    least one split) and footer reads swamp data reads; the fix is
-    ``compact_parquet``. Metadata listing only — no data read."""
+    """(n_files, total_bytes, avg_file_bytes, min_file_bytes,
+    partitioned) for a parquet dataset — the small-file health check.
+    Many tiny files mean task-scheduling overhead dominates the scan
+    (each file is at least one split) and footer reads swamp data
+    reads; the fix is ``compact_parquet``. Metadata listing only — no
+    data read. RECURSIVE, so hive-partitioned layouts (files under
+    ``col=value/`` subdirectories) are sized correctly; ``partitioned``
+    reports whether any such directory level was seen."""
     from pyspark.sql import Row
 
-    files = [
-        f
-        for f in spark._jvm.org.apache.hadoop.fs.Path(path)
-        .getFileSystem(spark._jsc.hadoopConfiguration())
-        .listStatus(spark._jvm.org.apache.hadoop.fs.Path(path))
-        if f.getPath().getName().endswith(".parquet")
-    ]
-    sizes = [f.getLen() for f in files]
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    it = fs.listFiles(jpath, True)  # recursive
+    sizes, partitioned = [], False
+    base = fs.makeQualified(jpath).toString().rstrip("/")
+    while it.hasNext():
+        f = it.next()
+        p = f.getPath()
+        if not p.getName().endswith(".parquet"):
+            continue
+        sizes.append(f.getLen())
+        rel = p.toString()[len(base):].lstrip("/")
+        if "/" in rel and "=" in rel.rsplit("/", 1)[0]:
+            partitioned = True
     n = len(sizes)
     return Row(
         n_files=n,
         total_bytes=sum(sizes),
         avg_file_bytes=(sum(sizes) // n) if n else 0,
         min_file_bytes=min(sizes) if n else 0,
+        partitioned=partitioned,
     )
 
 
@@ -161,6 +171,15 @@ def compact_parquet(
     (caller swaps atomically — pointer-dir pattern as in cdc_apply);
     returns the partition count used."""
     stats = file_fragmentation_report(spark, src_dir)
+    if stats.n_files == 0:
+        raise ValueError(f"no parquet files under {src_dir!r}")
+    if stats.partitioned:
+        # a flat rewrite would silently DROP the hive partitioning (and
+        # its pruning); compact each partition directory instead
+        raise ValueError(
+            f"{src_dir!r} is hive-partitioned; compact each partition "
+            f"directory separately to preserve the layout"
+        )
     n_parts = max(1, -(-stats.total_bytes // target_file_bytes))
     df = spark.read.parquet(src_dir)
     if sort_cols:

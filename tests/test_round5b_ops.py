@@ -429,3 +429,70 @@ def test_knn_graph_every_node_sees_its_duplicate(spark):
     assert max(top[1])[1] == 2 and max(top[2])[1] == 1
     assert max(top[3])[1] == 4 and max(top[4])[1] == 3
     assert max(top[1])[0] == 1.0
+
+
+def test_rollup_avg_with_null_measures_matches_direct(spark, tmp_path):
+    from icnarc_to_philips_linkage_spark.operators.rollup import (
+        read_rollup_state,
+        rollup_apply,
+        rollup_values,
+    )
+
+    d = str(tmp_path / "rollup_nulls")
+    b = spark.createDataFrame(
+        [("a", None), ("a", 4.0), ("n", None)], "k string, v double"
+    )
+    rollup_apply(b, d, ["k"], ["v"], batch_id=0)
+    got = {
+        r.k: r
+        for r in rollup_values(read_rollup_state(spark, d), ["v"]).collect()
+    }
+    # avg divides by NON-NULL count, exactly like F.avg
+    assert got["a"].n == 2 and got["a"].avg_v == 4.0
+    # all-NULL group: defined n, NULL avg (like F.avg over all NULLs)
+    assert got["n"].n == 1 and got["n"].avg_v is None
+
+
+def test_fragmentation_report_recurses_and_compaction_guards(spark, tmp_path):
+    from icnarc_to_philips_linkage_spark.sources.layout import (
+        compact_parquet,
+        file_fragmentation_report,
+    )
+
+    part = str(tmp_path / "hive")
+    spark.createDataFrame(
+        [(1, "x"), (2, "y")], "k long, d string"
+    ).write.partitionBy("d").parquet(part)
+    stats = file_fragmentation_report(spark, part)
+    assert stats.n_files >= 2 and stats.total_bytes > 0
+    assert stats.partitioned
+    with pytest.raises(ValueError, match="hive-partitioned"):
+        compact_parquet(spark, part, str(tmp_path / "out"))
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    with pytest.raises(ValueError, match="no parquet"):
+        compact_parquet(spark, str(empty), str(tmp_path / "out2"))
+
+
+def test_association_rules_null_users_excluded(spark):
+    from icnarc_to_philips_linkage_spark.operators.events import (
+        association_rules,
+    )
+
+    rows = [(1, "x"), (1, "y"), (2, "x"), (2, "y"), (None, "x")]
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    r = association_rules(df).collect()[0]
+    # the NULL user can never pair, so it must not dilute support
+    assert r.support == 1.0 and r.n_ab == 2
+
+
+def test_blocklist_escapes_regex_metachars(spark):
+    from icnarc_to_philips_linkage_spark.operators.pii import blocklist_filter
+
+    cats = (("lang", ("c++", "a.b")),)
+    df = spark.createDataFrame(
+        [(1, "i love c++ but axb is not a.b")], "doc_id long, text string"
+    )
+    out = blocklist_filter(df, categories=cats).collect()[0]
+    # 'c++' matches literally; 'a.b' must NOT match 'axb'
+    assert out.n_lang == 2

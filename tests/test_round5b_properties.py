@@ -91,8 +91,6 @@ def test_association_rules_invariants(spark, pairs):
     inc = {(u, i) for u, i in pairs}
     marg = {}
     for _, i in inc:
-        marg[i] = marg.get(i, 0) + 0
-    for u, i in inc:
         marg[i] = marg.get(i, 0) + 1
     for r in association_rules(df).collect():
         assert r.n_ab <= min(marg[r.item_a], marg[r.item_b])
