@@ -200,7 +200,27 @@ GROUP BY s.c_mktsegment
 """
 
 
+# recursive CTE (Spark >= 4.0 WITH RECURSIVE): custkey hop-chains from
+# ten roots, stepping +13 up to depth 8 — each recursion step is one
+# join against customer, the iterative-fixpoint surface DuckDB shares
+# verbatim. Depth is explicitly bounded so the iteration count (and the
+# plan) is scale-factor-independent.
+SQL_RECURSIVE = """
+WITH RECURSIVE chain AS (
+  SELECT c_custkey AS root, c_custkey AS cur, 0 AS depth
+  FROM customer WHERE c_custkey <= 10
+  UNION ALL
+  SELECT ch.root, c.c_custkey, ch.depth + 1
+  FROM chain ch JOIN customer c ON c.c_custkey = ch.cur + 13
+  WHERE ch.depth + 1 < 8
+)
+SELECT root, COUNT(*) AS n_nodes, MAX(depth) AS max_depth
+FROM chain GROUP BY root
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "sql_recursive_cte": (_sql(SQL_RECURSIVE), SQL_RECURSIVE),
     "sql_dim_search": (_sql(SQL_DIM_SEARCH), SQL_DIM_SEARCH),
     "sql_scalar_subquery": (_sql(SQL_SCALAR_SUBQUERY), SQL_SCALAR_SUBQUERY),
     "sql_not_exists": (_sql(SQL_NOT_EXISTS), SQL_NOT_EXISTS),
