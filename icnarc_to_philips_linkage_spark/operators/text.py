@@ -447,3 +447,62 @@ def bpe_pair_counts(
         counts.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= top_k)
     )
+
+
+def tokens_to_ids(
+    df: DataFrame,
+    doc_id: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 1000,
+    unk_id: int = 0,
+) -> DataFrame:
+    """Materialize training token-id sequences: build the corpus vocab
+    (top ``vocab_size`` tokens by frequency, ties by token text; ids
+    1..N by that rank, 0 = UNK) and map every document to its ORDERED
+    id array — the last hop before tensors, and the step where token
+    order must survive distribution.
+
+    Scale shape: the vocab is frequency-aggregated (map-side combine →
+    vocab-bounded shuffle), ranked with a single-partition window over
+    VOCAB rows only (bounded by construction — this is the one place a
+    global window is correct), and broadcast back; documents then
+    posexplode, join the broadcast vocab, and re-assemble with
+    array_sort over (pos, id) structs so reassembly is deterministic
+    regardless of shuffle order. Output: (doc_id, n_tokens, ids).
+    """
+    toks = df.select(
+        F.col(doc_id),
+        F.posexplode(tokens(text_col)).alias("pos", "tok"),
+    ).filter(F.col("tok") != "")
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn(
+            "id",
+            F.row_number().over(
+                Window.orderBy(F.desc("freq"), F.asc("tok"))
+            ),
+        )
+        .filter(F.col("id") <= vocab_size)
+        .select("tok", "id")
+    )
+    mapped = toks.join(F.broadcast(vocab), "tok", "left").select(
+        doc_id,
+        "pos",
+        F.coalesce("id", F.lit(unk_id)).alias("id"),
+    )
+    assembled = (
+        mapped.groupBy(doc_id)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "id"))),
+                lambda s: s["id"],
+            ).alias("ids"),
+        )
+    )
+    return df.select(doc_id).join(assembled, doc_id, "left").select(
+        doc_id,
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        F.coalesce("ids", F.array().cast("array<int>")).alias("ids"),
+    )

@@ -2019,7 +2019,45 @@ FROM documents GROUP BY source
 """
 
 
+_VOCAB_N = 1000
+
+
+def text_tokens_to_ids(spark: SparkSession, sf: str) -> DataFrame:
+    """Training token-id materialization (text.tokens_to_ids): corpus
+    top-1000 vocab, UNK=0, per-doc ORDERED id arrays."""
+    return text.tokens_to_ids(
+        load(spark, sf, "documents"), vocab_size=_VOCAB_N
+    ).orderBy("doc_id")
+
+
+TOKENS_TO_IDS_SQL = f"""
+WITH base AS (SELECT doc_id, {_TOKS} AS arr FROM documents),
+toks AS (
+  SELECT doc_id, tok, pos FROM (
+    SELECT doc_id, unnest(arr) AS tok,
+           unnest(range(1, len(arr) + 1)) AS pos
+    FROM base)
+  WHERE tok <> ''),
+vocab AS (
+  SELECT tok, ROW_NUMBER() OVER (ORDER BY freq DESC, tok) AS id
+  FROM (SELECT tok, COUNT(*) AS freq FROM toks GROUP BY tok)
+  QUALIFY id <= {_VOCAB_N}),
+mapped AS (
+  SELECT t.doc_id, t.pos, COALESCE(v.id, 0) AS id
+  FROM toks t LEFT JOIN vocab v USING (tok)),
+assembled AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         list(id ORDER BY pos) AS ids
+  FROM mapped GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(a.n_tokens, 0) AS n_tokens,
+       COALESCE(a.ids, []) AS ids
+FROM documents d LEFT JOIN assembled a USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "text_tokens_to_ids": (text_tokens_to_ids, TOKENS_TO_IDS_SQL),
     "report_corpus_datasheet": (report_corpus_datasheet, DATASHEET_SQL),
     "filter_blocklist": (filter_blocklist, _blocklist_sql()),
     "sample_negatives": (sample_negatives, _negatives_sql()),

@@ -32,6 +32,14 @@ def _norm_cell(v):
         return v.to_pydatetime()
     if isinstance(v, dt.datetime):
         return v
+    # array cells: DuckDB LIST columns come back as numpy arrays,
+    # Spark's as python lists — normalize both to element-normed tuples
+    import numpy as np
+
+    if isinstance(v, np.ndarray):
+        v = v.tolist()
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm_cell(x) for x in v)
     # numpy scalars → python
     if hasattr(v, "item"):
         v = v.item()
