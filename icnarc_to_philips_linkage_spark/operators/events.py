@@ -186,3 +186,43 @@ def association_rules(
             ).alias("lift"),
         )
     )
+
+
+def concurrency_profile(
+    events: DataFrame,
+    ts_col: str = "ts",
+    duration: str = "1 hour",
+    bucket: str = "1 hour",
+) -> DataFrame:
+    """Concurrent-session load profile: how many sessions (each event
+    opens one of length ``duration``) are active in each time bucket —
+    the capacity-planning curve behind "peak concurrent users".
+
+    The classic +1/−1 sweep, made scale-safe by bucketing: raw boundary
+    instants are 2×|events| (unbounded), but bucketed deltas aggregate
+    to ONE row per time bucket, so the running sum's ordered window
+    runs over a TIME-SPAN-bounded row set (like the resample grid),
+    never over event-cardinality data. Granularity trade is explicit:
+    concurrency is reported at bucket resolution.
+
+    Output: (bucket_start, delta, concurrent) ordered by bucket.
+    """
+    start_b = F.date_trunc("hour", F.col(ts_col))
+    end_b = F.date_trunc(
+        "hour", F.col(ts_col) + F.expr(f"INTERVAL {duration}")
+    )
+    starts = events.select(start_b.alias("b"), F.lit(1).alias("d"))
+    ends = events.select(end_b.alias("b"), F.lit(-1).alias("d"))
+    deltas = (
+        starts.unionByName(ends)
+        .groupBy("b")
+        .agg(F.sum("d").alias("delta"))
+    )
+    w = Window.orderBy("b").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return deltas.select(
+        F.col("b").alias("bucket_start"),
+        "delta",
+        F.sum("delta").over(w).alias("concurrent"),
+    )

@@ -794,3 +794,87 @@ def group_linreg(
         F.round(intercept, 6).alias("intercept"),
         F.round(r2, 6).alias("r2"),
     )
+
+
+def key_skew_report(
+    df: DataFrame, key_col: str, top_k: int = 10
+) -> DataFrame:
+    """Join/aggregation-key skew diagnostic: the top-k heaviest keys
+    with their row share, plus the global skew factor (max key rows /
+    mean key rows) — the measurement that decides between a plain
+    shuffle join, AQE skew-split, and explicit salting
+    (scale.salted_join). Run it BEFORE picking a strategy; a skew
+    factor near 1 means salting would only add overhead.
+
+    One hash agg to key grain; the global stats are a second bounded
+    agg over key counts, broadcast back. Output: (key, n_rows,
+    pct_of_total, rank, skew_factor) — skew_factor repeated per row so
+    the report is one self-contained table."""
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("n_rows"))
+    stats = counts.agg(
+        F.sum("n_rows").alias("__total"),
+        F.max("n_rows").alias("__max"),
+        F.avg("n_rows").alias("__mean"),
+    )
+    w = Window.orderBy(F.desc("n_rows"), F.asc(key_col))
+    top = (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+    )
+    return top.crossJoin(F.broadcast(stats)).select(
+        key_col,
+        "n_rows",
+        F.round(F.col("n_rows") / F.col("__total"), 6).alias("pct_of_total"),
+        "rank",
+        F.round(F.col("__max") / F.col("__mean"), 6).alias("skew_factor"),
+    )
+
+
+def column_profile(
+    df: DataFrame, columns: Sequence[str]
+) -> DataFrame:
+    """Whole-table column profiling — per column: row/null counts, null
+    fraction, exact distinct count, and the modal value with its count
+    (deterministic tiebreak: highest count, then highest value string).
+    The first thing run against an unfamiliar 100 TB table.
+
+    Shape: ONE melt (stack to (column, value-as-string) — a map-side
+    Expand by |columns|, no per-column passes) feeding a (column,
+    value) count agg, then a column-grain reduce. Deliberately avoids
+    multi-column COUNT(DISTINCT) in a single agg, which plans the
+    Expand AFTER the shuffle (the SCALE.md no-Expand lesson); here the
+    fan-out happens before the first aggregation's map-side combine.
+    """
+    pairs = ", ".join(f"'{c}', cast(`{c}` as string)" for c in columns)
+    melted = df.select(
+        F.expr(f"stack({len(columns)}, {pairs}) as (col, val)")
+    )
+    per_val = melted.groupBy("col", "val").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        per_val.groupBy("col")
+        .agg(
+            F.sum("n").alias("n_rows"),
+            F.coalesce(
+                F.sum(F.when(F.col("val").isNull(), F.col("n"))), F.lit(0)
+            ).alias("n_nulls"),
+            F.count(F.when(F.col("val").isNotNull(), F.lit(1))).alias(
+                "n_distinct"
+            ),
+            F.max(
+                F.when(
+                    F.col("val").isNotNull(), F.struct(F.col("n"), F.col("val"))
+                )
+            ).alias("__top"),
+        )
+        .select(
+            "col",
+            "n_rows",
+            "n_nulls",
+            F.round(F.col("n_nulls") / F.col("n_rows"), 6).alias("null_frac"),
+            "n_distinct",
+            F.col("__top.val").alias("top_value"),
+            F.col("__top.n").alias("top_n"),
+        )
+    )

@@ -2117,7 +2117,96 @@ GROUP BY window_start
 """
 
 
+def report_key_skew(spark: SparkSession, sf: str) -> DataFrame:
+    """Join-key skew diagnostic (profile.key_skew_report): top-10
+    heaviest user_ids + global skew factor — the pre-join measurement
+    that picks between plain shuffle, AQE skew-split, and salting."""
+    return profile.key_skew_report(load(spark, sf, "events"), "user_id")
+
+
+KEY_SKEW_SQL = """
+WITH counts AS (
+  SELECT user_id, COUNT(*) AS n_rows FROM events GROUP BY 1),
+stats AS (
+  SELECT SUM(n_rows) AS total, MAX(n_rows) AS mx, AVG(n_rows) AS mean
+  FROM counts),
+top AS (
+  SELECT user_id, n_rows,
+         ROW_NUMBER() OVER (ORDER BY n_rows DESC, user_id) AS rank
+  FROM counts QUALIFY rank <= 10)
+SELECT t.user_id, CAST(t.n_rows AS BIGINT) AS n_rows,
+       ROUND(t.n_rows / s.total, 6) AS pct_of_total,
+       t.rank,
+       ROUND(s.mx / s.mean, 6) AS skew_factor
+FROM top t CROSS JOIN stats s
+"""
+
+
+_PROFILE_COLS = ("event_id", "user_id", "event_type", "value", "props")
+
+
+def report_column_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Whole-table column profile (profile.column_profile): null
+    fraction, exact distinct, modal value per column via one melt —
+    the first query against an unfamiliar table."""
+    return profile.column_profile(
+        load(spark, sf, "events"), list(_PROFILE_COLS)
+    )
+
+
+def _column_profile_sql() -> str:
+    arms = " UNION ALL ".join(
+        f"SELECT '{c}' AS col, CAST({c} AS VARCHAR) AS val FROM events"
+        for c in _PROFILE_COLS
+    )
+    return f"""
+WITH melted AS ({arms}),
+per_val AS (SELECT col, val, COUNT(*) AS n FROM melted GROUP BY 1, 2),
+agg AS (
+  SELECT col, CAST(SUM(n) AS BIGINT) AS n_rows,
+         CAST(COALESCE(SUM(CASE WHEN val IS NULL THEN n END), 0)
+              AS BIGINT) AS n_nulls,
+         CAST(COUNT(CASE WHEN val IS NOT NULL THEN 1 END) AS BIGINT)
+             AS n_distinct
+  FROM per_val GROUP BY col),
+top AS (
+  SELECT col, val AS top_value, CAST(n AS BIGINT) AS top_n,
+         ROW_NUMBER() OVER (PARTITION BY col
+                            ORDER BY n DESC, val DESC) AS rk
+  FROM per_val WHERE val IS NOT NULL)
+SELECT a.col, a.n_rows, a.n_nulls,
+       ROUND(a.n_nulls * 1.0 / a.n_rows, 6) AS null_frac,
+       a.n_distinct, t.top_value, t.top_n
+FROM agg a JOIN top t ON t.col = a.col AND t.rk = 1
+"""
+
+
+def ev_concurrency(spark: SparkSession, sf: str) -> DataFrame:
+    """Concurrent-session curve (events.concurrency_profile): bucketed
+    +1/−1 sweep + running sum over the time-span-bounded bucket set."""
+    from icnarc_to_philips_linkage_spark.operators import events as ev
+
+    return ev.concurrency_profile(load(spark, sf, "events"))
+
+
+EV_CONCURRENCY_SQL = """
+WITH bounds AS (
+  SELECT date_trunc('hour', ts) AS b, 1 AS d FROM events
+  UNION ALL
+  SELECT date_trunc('hour', ts + INTERVAL 1 HOUR) AS b, -1 AS d
+  FROM events),
+deltas AS (SELECT b, SUM(d) AS delta FROM bounds GROUP BY b)
+SELECT b AS bucket_start, CAST(delta AS BIGINT) AS delta,
+       CAST(SUM(delta) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS concurrent
+FROM deltas
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "report_key_skew": (report_key_skew, KEY_SKEW_SQL),
+    "report_column_profile": (report_column_profile, _column_profile_sql()),
+    "ev_concurrency": (ev_concurrency, EV_CONCURRENCY_SQL),
     "ts_hopping_window": (ts_hopping_window, TS_HOPPING_SQL),
     "a19_mad_outliers": (a19_mad_outliers, A19_SQL),
     "a20_group_linreg": (a20_group_linreg, A20_SQL),

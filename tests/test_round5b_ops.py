@@ -496,3 +496,61 @@ def test_blocklist_escapes_regex_metachars(spark):
     out = blocklist_filter(df, categories=cats).collect()[0]
     # 'c++' matches literally; 'a.b' must NOT match 'axb'
     assert out.n_lang == 2
+
+
+def test_concurrency_profile_hand_computed(spark):
+    from icnarc_to_philips_linkage_spark.operators.events import (
+        concurrency_profile,
+    )
+
+    # sessions of 1h at 10:00, 10:30, 12:00 → hourly concurrency:
+    # 10:00 bucket +2; 11:00 bucket: 10:00 ends (-1), 10:30 ends at
+    # 11:30 (-1 lands in 11:00 bucket)... buckets: starts 10:00(+2),
+    # 12:00(+1); ends 11:00(-1), 11:30->11:00(-1), 13:00(-1)
+    rows = [
+        ("2024-01-01 10:00:00",),
+        ("2024-01-01 10:30:00",),
+        ("2024-01-01 12:00:00",),
+    ]
+    df = spark.createDataFrame(rows, "t string").select(
+        F.to_timestamp("t").alias("ts")
+    )
+    out = {
+        r.bucket_start.hour: r.concurrent
+        for r in concurrency_profile(df).collect()
+    }
+    assert out[10] == 2   # both morning sessions active
+    assert out[11] == 0   # both ended (bucket-granular)
+    assert out[12] == 1
+    assert out[13] == 0   # everything closed
+
+
+def test_key_skew_report_flags_hot_key(spark):
+    from icnarc_to_philips_linkage_spark.operators.profile import (
+        key_skew_report,
+    )
+
+    rows = [(0,)] * 90 + [(i,) for i in range(1, 11)]
+    df = spark.createDataFrame(rows, "k long")
+    out = key_skew_report(df, "k", top_k=3).collect()
+    assert out[0].k == 0 and out[0].rank == 1
+    assert out[0].pct_of_total == 0.9
+    # mean rows/key = 100/11; skew = 90 / (100/11) = 9.9
+    assert out[0].skew_factor == pytest.approx(9.9)
+    assert len(out) == 3
+
+
+def test_column_profile_nulls_and_mode(spark):
+    from icnarc_to_philips_linkage_spark.operators.profile import (
+        column_profile,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", None), ("b", None), (None, 3)],
+        "s string, x int",
+    )
+    out = {r.col: r for r in column_profile(df, ["s", "x"]).collect()}
+    assert out["s"].n_rows == 4 and out["s"].n_nulls == 1
+    assert out["s"].n_distinct == 2 and out["s"].top_value == "a"
+    assert out["s"].top_n == 2
+    assert out["x"].n_nulls == 2 and out["x"].null_frac == 0.5
