@@ -77,3 +77,59 @@ def uniqueness_violations(
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") > 1)
     )
+
+
+def split_leakage_report(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fractions: dict[str, float] | None = None,
+    salt: str = "split",
+):
+    """Train/test contamination check: after a hash split, does any
+    CONTENT digest appear in more than one split? Splitting by id is
+    leakproof only if content is unique per id — duplicated documents
+    land in different splits and leak evaluation data into training
+    (the reason dedup must precede splitting; this is the expectation
+    that enforces the ordering).
+
+    One digest projection + one digest-grain agg (countDistinct over
+    the ≤|splits| labels per digest — bounded). Output: one row
+    (n_docs, n_digests, n_leaked_digests, n_leaked_docs,
+    leaked_doc_frac)."""
+    from pyspark.sql import functions as F
+
+    from icnarc_to_philips_linkage_spark.operators.sampling import hash_split
+
+    fractions = fractions or {"train": 0.8, "test": 0.2}
+    labeled = hash_split(df, id_col, fractions, salt=salt).filter(
+        F.col("split").isNotNull()
+    )
+    per_digest = (
+        labeled.select(
+            F.md5(F.col(text_col)).alias("dg"), F.col("split")
+        )
+        .groupBy("dg")
+        .agg(
+            F.countDistinct("split").alias("n_splits"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+    return per_digest.agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_digests"),
+        F.count(F.when(F.col("n_splits") > 1, F.lit(1))).alias(
+            "n_leaked_digests"
+        ),
+        F.coalesce(
+            F.sum(F.when(F.col("n_splits") > 1, F.col("n_docs"))), F.lit(0)
+        ).alias("n_leaked_docs"),
+        F.round(
+            F.coalesce(
+                F.sum(F.when(F.col("n_splits") > 1, F.col("n_docs"))),
+                F.lit(0),
+            )
+            / F.sum("n_docs"),
+            6,
+        ).alias("leaked_doc_frac"),
+    )

@@ -17,7 +17,7 @@ samples; the same salt always reproduces the same one.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _HEX_SPACE = 16**8  # the 8-hex-char prefix spans [0, 16^8)
@@ -387,3 +387,50 @@ def negative_samples(
         "__n_idx",
     )
     return resolved.select("anchor_id", "j", "negative_id")
+
+
+def weighted_reservoir_topk(
+    df: DataFrame,
+    id_col: str,
+    weight_col,
+    k: int,
+    salt: str = "wres",
+) -> DataFrame:
+    """Exact weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006): assign each row the key u^(1/w) with u a
+    deterministic hash-uniform in (0,1), keep the k largest keys — the
+    distribution is exactly weighted-without-replacement, and because u
+    comes from md5 (not an RNG) the sample is reproducible across
+    engines, partitionings, and re-runs like every sampler here.
+
+    Contrast with ``weighted_hash_sample``: that op keeps each row
+    INDEPENDENTLY with probability ∝ weight (Bernoulli, output size
+    varies); this one draws an exact-k sample. One map-side projection
+    + TakeOrderedAndProject — no shuffle beyond the top-k merge.
+
+    Keys are rounded to 9dp before ranking (id tiebreak) so a libm-pow
+    ulp can't reorder the boundary across engines. Rows with
+    non-positive or NULL weight are excluded (zero weight = never
+    sampled). Output: (id, weight, sample_key, rank).
+    """
+    w = (
+        F.col(weight_col)
+        if isinstance(weight_col, str)
+        else weight_col
+    ).cast("double")
+    u = (
+        F.conv(hash_bucket(id_col, salt), 16, 10).cast("double") + 1.0
+    ) / float(_HEX_SPACE + 1)
+    key = F.round(F.pow(u, 1.0 / w), 9)
+    ranked = (
+        df.filter(w.isNotNull() & (w > 0))
+        .select(
+            F.col(id_col),
+            w.alias("weight"),
+            key.alias("sample_key"),
+        )
+        .orderBy(F.desc("sample_key"), F.asc(id_col))
+        .limit(k)
+    )
+    win = Window.orderBy(F.desc("sample_key"), F.asc(id_col))
+    return ranked.withColumn("rank", F.row_number().over(win))

@@ -2056,7 +2056,101 @@ ORDER BY d.doc_id
 """
 
 
+_WRES_K = 100
+
+
+def sample_weighted_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-k weighted sample without replacement
+    (sampling.weighted_reservoir_topk, Efraimidis-Spirakis keys):
+    n_chars-weighted top-100 over documents."""
+    return sampling.weighted_reservoir_topk(
+        load(spark, sf, "documents"), "doc_id", F.col("n_chars"), k=_WRES_K
+    )
+
+
+def _wres_sql() -> str:
+    from icnarc_to_philips_linkage_spark.operators.sampling import _HEX_SPACE
+
+    nib = "(strpos('0123456789abcdef', substr(h, {i}, 1)) - 1)"
+    hv = " + ".join(
+        f"{nib.format(i=i + 1)} * {16 ** (7 - i)}" for i in range(8)
+    )
+    return f"""
+WITH hashed AS (
+  SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,
+         substr(md5('wres:' || CAST(doc_id AS VARCHAR)), 1, 8) AS h
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+keyed AS (
+  SELECT doc_id, weight,
+         ROUND(pow((({hv}) + 1.0) / {float(_HEX_SPACE + 1)!r},
+                   1.0 / weight), 9) AS sample_key
+  FROM hashed)
+SELECT doc_id, weight, sample_key,
+       ROW_NUMBER() OVER (ORDER BY sample_key DESC, doc_id) AS rank
+FROM keyed
+QUALIFY rank <= {_WRES_K}
+"""
+
+
+def check_split_leakage(spark: SparkSession, sf: str) -> DataFrame:
+    """Split-contamination expectation (checks.split_leakage_report):
+    content digests spanning train AND test after the id hash split —
+    nonzero means dedup must run before splitting. The corpus texts are
+    unique, so duplicates are PLANTED (every 13th doc re-appears under
+    a shifted id — same synthetic-signal approach as pii_scrub) to
+    exercise the leak branch."""
+    from icnarc_to_philips_linkage_spark.operators.checks import (
+        split_leakage_report,
+    )
+
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    dupes = docs.filter(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return split_leakage_report(docs.unionByName(dupes))
+
+
+def _leakage_sql() -> str:
+    from icnarc_to_philips_linkage_spark.operators.sampling import (
+        _threshold_hex,
+    )
+
+    cases, cum = [], 0.0
+    for name, frac in {"train": 0.8, "test": 0.2}.items():
+        cum += frac
+        cases.append(f"WHEN bucket < '{_threshold_hex(cum)}' THEN '{name}'")
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+  WHERE doc_id % 13 = 0),
+labeled AS (
+  SELECT md5(text) AS dg,
+         CASE {' '.join(cases)} END AS split
+  FROM (SELECT text,
+               substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                   AS bucket
+        FROM corpus)
+  WHERE CASE {' '.join(cases)} END IS NOT NULL),
+per_digest AS (
+  SELECT dg, COUNT(DISTINCT split) AS n_splits, COUNT(*) AS n_docs
+  FROM labeled GROUP BY dg)
+SELECT CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_digests,
+       CAST(COUNT(CASE WHEN n_splits > 1 THEN 1 END) AS BIGINT)
+           AS n_leaked_digests,
+       CAST(COALESCE(SUM(CASE WHEN n_splits > 1 THEN n_docs END), 0)
+            AS BIGINT) AS n_leaked_docs,
+       ROUND(COALESCE(SUM(CASE WHEN n_splits > 1 THEN n_docs END), 0)
+             / SUM(n_docs), 6) AS leaked_doc_frac
+FROM per_digest
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "sample_weighted_topk": (sample_weighted_topk, _wres_sql()),
+    "check_split_leakage": (check_split_leakage, _leakage_sql()),
     "text_tokens_to_ids": (text_tokens_to_ids, TOKENS_TO_IDS_SQL),
     "report_corpus_datasheet": (report_corpus_datasheet, DATASHEET_SQL),
     "filter_blocklist": (filter_blocklist, _blocklist_sql()),

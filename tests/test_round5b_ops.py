@@ -554,3 +554,46 @@ def test_column_profile_nulls_and_mode(spark):
     assert out["s"].n_distinct == 2 and out["s"].top_value == "a"
     assert out["s"].top_n == 2
     assert out["x"].n_nulls == 2 and out["x"].null_frac == 0.5
+
+
+def test_weighted_reservoir_topk_properties(spark):
+    from icnarc_to_philips_linkage_spark.operators.sampling import (
+        weighted_reservoir_topk,
+    )
+
+    rows = [(i, float(i % 10 + 1)) for i in range(200)] + [(999, 0.0), (998, None)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    out = weighted_reservoir_topk(df, "id", "w", k=20).collect()
+    assert len(out) == 20
+    assert [r.rank for r in out] == list(range(1, 21))
+    picked = {r.id for r in out}
+    assert 999 not in picked and 998 not in picked  # zero/NULL weight
+    # deterministic
+    again = {r.id for r in weighted_reservoir_topk(df, "id", "w", k=20).collect()}
+    assert picked == again
+    # heavier weights are overrepresented: mean weight of the sample
+    # exceeds the population mean (statistical but deterministic here)
+    pop_mean = sum((i % 10 + 1) for i in range(200)) / 200
+    samp_mean = sum(r.weight for r in out) / 20
+    assert samp_mean > pop_mean
+
+
+def test_split_leakage_detects_planted_duplicates(spark):
+    from icnarc_to_philips_linkage_spark.operators.checks import (
+        split_leakage_report,
+    )
+
+    # 200 unique docs + every doc duplicated under a shifted id: with
+    # an 80/20 split ~2*0.8*0.2=32% of digests straddle both splits
+    docs = [(i, f"unique text {i}") for i in range(200)]
+    dupes = [(1000 + i, f"unique text {i}") for i in range(200)]
+    df = spark.createDataFrame(docs + dupes, "doc_id long, text string")
+    r = split_leakage_report(df).collect()[0]
+    assert r.n_docs == 400 and r.n_digests == 200
+    assert r.n_leaked_digests > 20  # well above zero
+    assert r.n_leaked_docs == 2 * r.n_leaked_digests
+    # and a dup-free corpus reports zero
+    clean = split_leakage_report(
+        spark.createDataFrame(docs, "doc_id long, text string")
+    ).collect()[0]
+    assert clean.n_leaked_digests == 0 and clean.leaked_doc_frac == 0.0
