@@ -375,3 +375,34 @@ def test_parquet_footer_stats_pushes_aggregate(spark):
         spark.conf.get("spark.sql.sources.useV1SourceList", None),
     )
     assert after == before
+
+
+def test_python_datasource_xml_format(spark, tmp_path):
+    """S1 as a first-class format via the Spark 4 Python DataSource API:
+    same rows as the wholeTextFiles ingest, one partition per file."""
+    from icnarc_to_philips_linkage_spark.sources import pyds
+
+    doc, recs = _gen_wardwatcher_xml(50)
+    d = tmp_path / "exports"
+    d.mkdir()
+    (d / "a.xml").write_text(doc)
+    doc2, recs2 = _gen_wardwatcher_xml(30)
+    (d / "b.xml").write_text(doc2)
+
+    pyds.register(spark)
+    df = (
+        spark.read.format("wardwatcher_xml")
+        .option("rowTag", "patient")
+        .load(str(d))
+    )
+    assert df.schema.simpleString() == "struct<cmp:map<string,string>>"
+    got = sorted(
+        tuple(sorted(r.cmp.items())) for r in df.collect()
+    )
+    baseline = xml.read_icnarc_xml_raw(spark, str(d / "*.xml"))
+    want = sorted(
+        tuple(sorted(r.cmp.items())) for r in baseline.collect()
+    )
+    assert got == want and len(got) == 80
+    # file-granular parallelism: two files -> two partitions
+    assert df.rdd.getNumPartitions() == 2
