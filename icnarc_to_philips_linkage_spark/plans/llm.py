@@ -2148,7 +2148,59 @@ FROM per_digest
 """
 
 
+def drift_wasserstein(spark: SparkSession, sf: str) -> DataFrame:
+    """Binned Wasserstein-1 drift (drift.wasserstein_report) over the
+    same corpus-vs-incoming slices and bucket grid as drift_psi — the
+    magnitude-sensitive complement to PSI (support) and KS (worst
+    gap)."""
+    from icnarc_to_philips_linkage_spark.operators import drift
+
+    d = load(spark, sf, "documents")
+    batch_no = F.substring("source", 4, 10).cast("int")
+    return drift.wasserstein_report(
+        d, batch_no < 10, "n_chars",
+        lo=_PSI_LO, hi=_PSI_HI, bins=_PSI_BINS,
+    )
+
+
+def _wasserstein_sql() -> str:
+    width = (_PSI_HI - _PSI_LO) / _PSI_BINS
+    return f"""
+WITH tagged AS (
+  SELECT LEAST({_PSI_BINS - 1}, GREATEST(0,
+           CAST(FLOOR((CAST(n_chars AS DOUBLE) - {_PSI_LO}) / {width})
+                AS BIGINT))) AS bucket,
+         CASE WHEN CAST(SUBSTR(source, 4) AS INT) < 10
+              THEN 1 ELSE 0 END AS is_ref
+  FROM documents),
+counts AS (
+  SELECT bucket,
+         COUNT(*) FILTER (is_ref = 1) AS n_ref,
+         COUNT(*) FILTER (is_ref = 0) AS n_cur
+  FROM tagged WHERE bucket IS NOT NULL GROUP BY 1),
+probs AS (
+  SELECT bucket,
+         n_ref / SUM(n_ref) OVER () AS pr,
+         n_cur / SUM(n_cur) OVER () AS pc
+  FROM counts),
+cdfs AS (
+  SELECT bucket, pr, pc,
+         SUM(pr) OVER (ORDER BY bucket
+                       ROWS UNBOUNDED PRECEDING) AS cr,
+         SUM(pc) OVER (ORDER BY bucket
+                       ROWS UNBOUNDED PRECEDING) AS cc,
+         LEAD(bucket, 1, {_PSI_BINS}) OVER (ORDER BY bucket) - bucket
+             AS span
+  FROM probs)
+SELECT bucket, ROUND(pr, 6) AS p_ref, ROUND(pc, 6) AS p_cur,
+       ROUND(cr, 6) AS cdf_ref, ROUND(cc, 6) AS cdf_cur,
+       ROUND(SUM(ABS(cr - cc) * span) OVER () * {width}, 6) AS w1_total
+FROM cdfs
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "drift_wasserstein": (drift_wasserstein, _wasserstein_sql()),
     "sample_weighted_topk": (sample_weighted_topk, _wres_sql()),
     "check_split_leakage": (check_split_leakage, _leakage_sql()),
     "text_tokens_to_ids": (text_tokens_to_ids, TOKENS_TO_IDS_SQL),

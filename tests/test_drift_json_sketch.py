@@ -405,3 +405,31 @@ def test_theta_set_cardinalities_inclusion_exclusion(spark):
     assert rep["intersection"]["exact_distinct"] == 20
     assert rep["difference"]["exact_distinct"] == 40
     assert all(r["within_bound"] for r in rep.values())
+
+
+def test_wasserstein_scales_with_shift_distance(spark):
+    """W1 distinguishes a near shift from a far shift of the SAME mass
+    — the property PSI is blind to."""
+    from pyspark.sql import functions as F
+
+    from icnarc_to_philips_linkage_spark.operators.drift import (
+        wasserstein_report,
+    )
+
+    def frame(cur_value):
+        ref = [(1, 5.0)] * 100
+        cur = [(0, float(cur_value))] * 100
+        return spark.createDataFrame(ref + cur, "tag int, v double")
+
+    near = wasserstein_report(
+        frame(15.0), F.col("tag") == 1, "v", lo=0.0, hi=100.0, bins=10
+    ).collect()[0].w1_total
+    far = wasserstein_report(
+        frame(95.0), F.col("tag") == 1, "v", lo=0.0, hi=100.0, bins=10
+    ).collect()[0].w1_total
+    assert far > near * 5  # 9 buckets away vs 1 bucket away
+    # identical distributions → zero
+    same = wasserstein_report(
+        frame(5.0), F.col("tag") == 1, "v", lo=0.0, hi=100.0, bins=10
+    ).collect()[0].w1_total
+    assert same == 0.0
