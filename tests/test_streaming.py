@@ -607,3 +607,49 @@ def test_streaming_drift_monitor_scores_each_batch(spark, tmp_path):
         assert log[bid].ks_stat == rep[0]["ks_stat"]
     # the shifted batch drifts more than the spread one
     assert log[1].psi_total > log[0].psi_total
+
+
+def test_event_replay_source_drains_in_event_time_order(spark, tmp_path):
+    """Replay streaming source: repeated availableNow runs over one
+    checkpoint drain the table incrementally, rows arrive in (ts,
+    event_id) order, and the union equals the batch table exactly."""
+    from icnarc_to_philips_linkage_spark.streaming import replay
+
+    replay.register(spark)
+    src = "/root/testdata/sf0.001/events.parquet"
+    import duckdb
+
+    n_total = duckdb.sql(f"SELECT COUNT(*) FROM '{src}'").fetchone()[0]
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+    got = 0
+    for _ in range(40):  # each run advances >= 1 batch
+        q = (
+            spark.readStream.format("event_replay")
+            .option("path", src)
+            .option("batchSize", "400")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.read.parquet(out).count()
+        if got >= n_total:
+            break
+    assert got == n_total
+    # exact content parity with the batch read
+    from icnarc_to_philips_linkage_spark.plans.tables import load
+
+    batch = load(spark, "/root/testdata/sf0.001", "events")
+    streamed = spark.read.parquet(out)
+    assert (
+        streamed.select("event_id").exceptAll(
+            batch.select("event_id")
+        ).count()
+        == 0
+    )
+    assert streamed.count() == batch.count()
