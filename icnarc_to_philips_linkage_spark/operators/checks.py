@@ -102,8 +102,13 @@ def split_leakage_report(
     from icnarc_to_philips_linkage_spark.operators.sampling import hash_split
 
     fractions = fractions or {"train": 0.8, "test": 0.2}
-    labeled = hash_split(df, id_col, fractions, salt=salt).filter(
-        F.col("split").isNotNull()
+    # NULL text is excluded: md5(NULL) = NULL would collapse every
+    # NULL-text doc into ONE phantom digest and report contamination
+    # on corpora with no duplicated content
+    labeled = (
+        hash_split(df, id_col, fractions, salt=salt)
+        .filter(F.col("split").isNotNull())
+        .filter(F.col(text_col).isNotNull())
     )
     per_digest = (
         labeled.select(

@@ -142,7 +142,10 @@ def association_rules(
     # keys) so they must not inflate the marginals either; persisted
     # because FOUR consumers read it (user total, marginals, both
     # self-join sides) — without the pin the events scan + distinct
-    # shuffle would run four times
+    # shuffle would run four times. Cache lifetime: Spark's CacheManager
+    # dedups by canonical plan, so repeated calls on the SAME input
+    # reuse one entry; distinct inputs each pin one incidence table for
+    # the session (the minhash shingle-cache trade, documented there)
     inc = (
         events.select(user_col, item_col)
         .filter(F.col(user_col).isNotNull() & F.col(item_col).isNotNull())
@@ -192,7 +195,7 @@ def concurrency_profile(
     events: DataFrame,
     ts_col: str = "ts",
     duration: str = "1 hour",
-    bucket: str = "1 hour",
+    bucket_unit: str = "hour",
 ) -> DataFrame:
     """Concurrent-session load profile: how many sessions (each event
     opens one of length ``duration``) are active in each time bucket —
@@ -207,9 +210,9 @@ def concurrency_profile(
 
     Output: (bucket_start, delta, concurrent) ordered by bucket.
     """
-    start_b = F.date_trunc("hour", F.col(ts_col))
+    start_b = F.date_trunc(bucket_unit, F.col(ts_col))
     end_b = F.date_trunc(
-        "hour", F.col(ts_col) + F.expr(f"INTERVAL {duration}")
+        bucket_unit, F.col(ts_col) + F.expr(f"INTERVAL {duration}")
     )
     starts = events.select(start_b.alias("b"), F.lit(1).alias("d"))
     ends = events.select(end_b.alias("b"), F.lit(-1).alias("d"))

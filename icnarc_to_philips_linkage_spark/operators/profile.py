@@ -816,10 +816,15 @@ def key_skew_report(
         F.max("n_rows").alias("__max"),
         F.avg("n_rows").alias("__mean"),
     )
+    # top-k via TakeOrderedAndProject, THEN rank the k survivors — a
+    # global row_number window over the full key-count table would
+    # single-task-sort exactly the high-cardinality keys this
+    # diagnostic targets
     w = Window.orderBy(F.desc("n_rows"), F.asc(key_col))
     top = (
-        counts.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= top_k)
+        counts.orderBy(F.desc("n_rows"), F.asc(key_col))
+        .limit(top_k)
+        .withColumn("rank", F.row_number().over(w))
     )
     return top.crossJoin(F.broadcast(stats)).select(
         key_col,

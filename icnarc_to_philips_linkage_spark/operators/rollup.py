@@ -96,11 +96,18 @@ def rollup_apply(
                 return False
     current = read_rollup_state(spark, table_dir)
     fresh = partial_state(batch, keys, measures)
-    merged = (
-        _merge(current.unionByName(fresh), keys, measures)
-        if current is not None
-        else fresh
-    )
+    if current is not None:
+        # schema migration: state written before the per-measure
+        # non-null counts existed gets __cnt_<m> backfilled from __n —
+        # exact when the old batches had no NULL measures, an upper
+        # bound otherwise (avg over migrated history can read low until
+        # the state is rebuilt; new batches are exact either way)
+        for m in measures:
+            if f"__cnt_{m}" not in current.columns:
+                current = current.withColumn(f"__cnt_{m}", F.col("__n"))
+        merged = _merge(current.unionByName(fresh), keys, measures)
+    else:
+        merged = fresh
     out = os.path.join(table_dir, version)
     merged.write.mode("overwrite").parquet(out)
     tmp = os.path.join(table_dir, f"{_POINTER}.tmp")

@@ -463,29 +463,31 @@ def tokens_to_ids(
     order must survive distribution.
 
     Scale shape: the vocab is frequency-aggregated (map-side combine →
-    vocab-bounded shuffle), ranked with a single-partition window over
-    VOCAB rows only (bounded by construction — this is the one place a
-    global window is correct), and broadcast back; documents then
-    posexplode, join the broadcast vocab, and re-assemble with
-    array_sort over (pos, id) structs so reassembly is deterministic
-    regardless of shuffle order. Output: (doc_id, n_tokens, ids).
+    vocab-bounded shuffle), reduced to the top ``vocab_size`` via
+    TakeOrderedAndProject, ranked with a window over those k rows only,
+    and broadcast back; documents then posexplode, join the broadcast
+    vocab, and re-assemble with array_sort over (pos, id) structs so
+    reassembly is deterministic regardless of shuffle order.
+    Output: (doc_id, n_tokens, ids).
     """
     toks = df.select(
         F.col(doc_id),
         F.posexplode(tokens(text_col)).alias("pos", "tok"),
     ).filter(F.col("tok") != "")
-    vocab = (
+    # top-k FIRST via TakeOrderedAndProject (never a global window over
+    # ALL distinct tokens — that funnels the whole vocabulary-candidate
+    # set through one sorting task), THEN rank the k survivors: the
+    # row_number window runs over exactly vocab_size rows
+    top = (
         toks.groupBy("tok")
         .agg(F.count(F.lit(1)).alias("freq"))
-        .withColumn(
-            "id",
-            F.row_number().over(
-                Window.orderBy(F.desc("freq"), F.asc("tok"))
-            ),
-        )
-        .filter(F.col("id") <= vocab_size)
-        .select("tok", "id")
+        .orderBy(F.desc("freq"), F.asc("tok"))
+        .limit(vocab_size)
     )
+    vocab = top.withColumn(
+        "id",
+        F.row_number().over(Window.orderBy(F.desc("freq"), F.asc("tok"))),
+    ).select("tok", "id")
     mapped = toks.join(F.broadcast(vocab), "tok", "left").select(
         doc_id,
         "pos",

@@ -1406,14 +1406,16 @@ WITH tagged AS (
   SELECT LEAST({_PSI_BINS - 1}, GREATEST(0,
            CAST(FLOOR((CAST(n_chars AS DOUBLE) - {_PSI_LO}) / {width}) AS BIGINT)
          )) AS bucket,
-         CASE WHEN CAST(SUBSTR(source, 4) AS INT) < 10 THEN 1 ELSE 0 END AS is_ref
+         CASE WHEN CAST(SUBSTR(source, 4) AS INT) IS NULL THEN NULL
+              WHEN CAST(SUBSTR(source, 4) AS INT) < 10 THEN 1
+              ELSE 0 END AS is_ref
   FROM documents
 ),
 counts AS (
   SELECT bucket,
          COUNT(*) FILTER (is_ref = 1) AS n_ref,
          COUNT(*) FILTER (is_ref = 0) AS n_cur
-  FROM tagged WHERE bucket IS NOT NULL GROUP BY 1
+  FROM tagged WHERE bucket IS NOT NULL AND is_ref IS NOT NULL GROUP BY 1
 ),
 probs AS (
   SELECT bucket, n_ref, n_cur,
@@ -1465,14 +1467,16 @@ WITH tagged AS (
          LEAST({_PSI_BINS - 1}, GREATEST(0,
            CAST(FLOOR((CAST(n_chars AS DOUBLE) - {_PSI_LO}) / {width}) AS BIGINT)
          )) AS bucket,
-         CASE WHEN CAST(SUBSTR(source, 4) AS INT) < 10 THEN 1 ELSE 0 END AS is_ref
+         CASE WHEN CAST(SUBSTR(source, 4) AS INT) IS NULL THEN NULL
+              WHEN CAST(SUBSTR(source, 4) AS INT) < 10 THEN 1
+              ELSE 0 END AS is_ref
   FROM documents
 ),
 counts AS (
   SELECT stratum, bucket,
          COUNT(*) FILTER (is_ref = 1) AS n_ref,
          COUNT(*) FILTER (is_ref = 0) AS n_cur
-  FROM tagged WHERE bucket IS NOT NULL GROUP BY 1, 2
+  FROM tagged WHERE bucket IS NOT NULL AND is_ref IS NOT NULL GROUP BY 1, 2
 ),
 probs AS (
   SELECT stratum, bucket, n_ref, n_cur,
@@ -2121,10 +2125,10 @@ def _leakage_sql() -> str:
         cases.append(f"WHEN bucket < '{_threshold_hex(cum)}' THEN '{name}'")
     return f"""
 WITH corpus AS (
-  SELECT doc_id, text FROM documents
+  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
   UNION ALL
   SELECT doc_id + 1000000 AS doc_id, text FROM documents
-  WHERE doc_id % 13 = 0),
+  WHERE doc_id % 13 = 0 AND text IS NOT NULL),
 labeled AS (
   SELECT md5(text) AS dg,
          CASE {' '.join(cases)} END AS split
@@ -2170,14 +2174,16 @@ WITH tagged AS (
   SELECT LEAST({_PSI_BINS - 1}, GREATEST(0,
            CAST(FLOOR((CAST(n_chars AS DOUBLE) - {_PSI_LO}) / {width})
                 AS BIGINT))) AS bucket,
-         CASE WHEN CAST(SUBSTR(source, 4) AS INT) < 10
+         CASE WHEN CAST(SUBSTR(source, 4) AS INT) IS NULL THEN NULL
+              WHEN CAST(SUBSTR(source, 4) AS INT) < 10
               THEN 1 ELSE 0 END AS is_ref
   FROM documents),
 counts AS (
   SELECT bucket,
          COUNT(*) FILTER (is_ref = 1) AS n_ref,
          COUNT(*) FILTER (is_ref = 0) AS n_cur
-  FROM tagged WHERE bucket IS NOT NULL GROUP BY 1),
+  FROM tagged WHERE bucket IS NOT NULL AND is_ref IS NOT NULL
+  GROUP BY 1),
 probs AS (
   SELECT bucket,
          n_ref / SUM(n_ref) OVER () AS pr,

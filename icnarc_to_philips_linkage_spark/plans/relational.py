@@ -2177,7 +2177,7 @@ top AS (
 SELECT a.col, a.n_rows, a.n_nulls,
        ROUND(a.n_nulls * 1.0 / a.n_rows, 6) AS null_frac,
        a.n_distinct, t.top_value, t.top_n
-FROM agg a JOIN top t ON t.col = a.col AND t.rk = 1
+FROM agg a LEFT JOIN top t ON t.col = a.col AND t.rk = 1
 """
 
 

@@ -45,7 +45,10 @@ class WardWatcherXmlReader(DataSourceReader):
         if os.path.isdir(self.path):
             files = sorted(glob.glob(os.path.join(self.path, "*.xml")))
         else:
-            files = sorted(glob.glob(self.path)) or [self.path]
+            # glob of a literal existing file returns [that file], so a
+            # bare-path typo correctly falls through to the plan-time
+            # error below instead of failing executor-side in read()
+            files = sorted(glob.glob(self.path))
         if not files:
             raise ValueError(f"no XML files match {self.path!r}")
         return [_XmlFilePartition(f) for f in files]

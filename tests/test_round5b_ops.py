@@ -597,3 +597,85 @@ def test_split_leakage_detects_planted_duplicates(spark):
         spark.createDataFrame(docs, "doc_id long, text string")
     ).collect()[0]
     assert clean.n_leaked_digests == 0 and clean.leaked_doc_frac == 0.0
+
+
+def test_concurrency_profile_respects_bucket_unit(spark):
+    from icnarc_to_philips_linkage_spark.operators.events import (
+        concurrency_profile,
+    )
+
+    rows = [("2024-01-01 10:00:00",), ("2024-01-01 10:20:00",)]
+    df = spark.createDataFrame(rows, "t string").select(
+        F.to_timestamp("t").alias("ts")
+    )
+    # minute resolution: sessions of 30min each → distinct start buckets
+    out = concurrency_profile(
+        df, duration="30 minutes", bucket_unit="minute"
+    ).collect()
+    starts = {r.bucket_start.minute for r in out if r.delta > 0}
+    assert starts == {0, 20}  # hourly truncation would collapse to {0}
+
+
+def test_split_leakage_null_text_not_a_phantom_digest(spark):
+    from icnarc_to_philips_linkage_spark.operators.checks import (
+        split_leakage_report,
+    )
+
+    rows = [(i, None) for i in range(50)] + [(100 + i, f"t{i}") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = split_leakage_report(df).collect()[0]
+    assert r.n_leaked_digests == 0  # NULL texts must not fake a leak
+    assert r.n_docs == 50  # only non-NULL-text docs screened
+
+
+def test_rollup_migrates_pre_cnt_state(spark, tmp_path):
+    import os
+
+    from icnarc_to_philips_linkage_spark.operators.rollup import (
+        read_rollup_state,
+        rollup_apply,
+        rollup_values,
+    )
+
+    d = str(tmp_path / "legacy")
+    os.makedirs(d)
+    # hand-write a LEGACY state (no __cnt_v column) + pointer
+    from decimal import Decimal
+
+    spark.createDataFrame(
+        [("a", 2, Decimal("6.0"), 1.0, 5.0)],
+        "k string, __n long, __sum_v decimal(38,6), __min_v double, __max_v double",
+    ).write.parquet(os.path.join(d, "v0"))
+    with open(os.path.join(d, "_CURRENT"), "w") as f:
+        f.write("v0")
+    b = spark.createDataFrame([("a", 4.0)], "k string, v double")
+    assert rollup_apply(b, d, ["k"], ["v"], batch_id=1)
+    got = rollup_values(read_rollup_state(spark, d), ["v"]).collect()[0]
+    assert got.n == 3 and got.sum_v == 10.0
+    assert got.avg_v == pytest.approx(10.0 / 3, abs=1e-6)
+
+
+def test_tokens_to_ids_and_key_skew_no_global_window_over_full_table(spark):
+    from icnarc_to_philips_linkage_spark.operators.profile import (
+        key_skew_report,
+    )
+    from icnarc_to_philips_linkage_spark.operators.text import tokens_to_ids
+    from icnarc_to_philips_linkage_spark.plans.tables import load
+    from tests.conftest import SF_SMOKE
+
+    docs = load(spark, SF_SMOKE, "documents")
+    plan = (
+        tokens_to_ids(docs, vocab_size=100)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan, plan
+    ev = load(spark, SF_SMOKE, "events")
+    plan2 = (
+        key_skew_report(ev, "user_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan2, plan2
