@@ -295,3 +295,78 @@ def sample_frames(df: DataFrame, every_n: int = 8) -> DataFrame:
             ).alias("frame_idx"),
         )
     )
+
+
+AUDIO_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), True),
+        StructField("n_samples", LongType(), True),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("duration_s", DoubleType(), True),
+        StructField("rms", DoubleType(), True),
+        StructField("peak", DoubleType(), True),
+    ]
+)
+
+
+def decode_audio_samples(df: DataFrame) -> DataFrame:
+    """REAL audio decode, dependency-free: stdlib ``wave`` reads PCM
+    WAV payloads inside the Arrow batches and numpy computes waveform
+    statistics (RMS loudness, peak) — the silence/clipping screens an
+    audio-training pipeline filters on. This is the step past
+    ``_parse_wav_header``'s metadata: actual sample values flow, not
+    just chunk lengths, proving the batched-decode plumbing end-to-end
+    without any optional codec library (16/8-bit PCM; compressed
+    formats remain the PyAV upgrade path and yield NULL stats here).
+
+    Output: (media_id, n_samples, sample_rate, duration_s, rms, peak)
+    with amplitudes normalized to [-1, 1]; non-WAV / malformed payloads
+    yield NULL stats.
+    """
+    import io
+    import wave
+
+    import numpy as np
+
+    def stats(payload: bytes):
+        try:
+            with wave.open(io.BytesIO(payload), "rb") as w:
+                rate = w.getframerate()
+                n = w.getnframes()
+                width = w.getsampwidth()
+                nch = max(1, w.getnchannels())
+                raw = w.readframes(n)
+        except (wave.Error, EOFError):
+            return None
+        if width == 2:
+            x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+        elif width == 1:
+            x = (
+                np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0
+            ) / 128.0
+        else:
+            return None  # 24/32-bit: PyAV upgrade path
+        if x.size == 0 or rate <= 0:
+            return None
+        return (
+            int(x.size),
+            int(rate),
+            float(x.size / rate / nch),
+            float(np.sqrt(np.mean(x * x))),
+            float(np.max(np.abs(x))),
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                s = stats(bytes(payload)) if payload is not None else None
+                if s is None:
+                    rows.append((media_id, None, None, None, None, None))
+                else:
+                    rows.append((media_id, *s))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_STATS_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(batches, AUDIO_STATS_SCHEMA)

@@ -1354,3 +1354,50 @@ def test_mixture_balance_hits_target_without_upsampling(spark):
     # corpus that cannot match the requested mixture
     with pytest.raises(ValueError, match="absent from the data.*fr"):
         sampling.mixture_balance(df, "doc_id", "dom", {"en": 0.5, "fr": 0.5})
+
+
+def test_decode_audio_samples_real_pcm(spark):
+    """Real PCM decode through stdlib wave: a generated sine WAV's RMS
+    must come out at amplitude/sqrt(2) and duration exact — actual
+    sample values flow through the Arrow batches, not just headers."""
+    import io
+    import math
+    import struct
+    import wave as wave_mod
+
+    from icnarc_to_philips_linkage_spark.operators.multimodal import (
+        decode_audio_samples,
+    )
+
+    def sine_wav(seconds=0.5, rate=8000, amp=0.5, freq=440.0) -> bytes:
+        buf = io.BytesIO()
+        with wave_mod.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            n = int(seconds * rate)
+            frames = b"".join(
+                struct.pack(
+                    "<h",
+                    int(amp * 32767 * math.sin(2 * math.pi * freq * i / rate)),
+                )
+                for i in range(n)
+            )
+            w.writeframes(frames)
+        return buf.getvalue()
+
+    rows = [
+        (1, "audio", bytearray(sine_wav())),
+        (2, "audio", bytearray(b"not a wav at all")),
+        (3, "audio", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, media_type string, payload binary"
+    )
+    out = {r.media_id: r for r in decode_audio_samples(df).collect()}
+    good = out[1]
+    assert good.n_samples == 4000 and good.sample_rate == 8000
+    assert good.duration_s == pytest.approx(0.5)
+    assert good.rms == pytest.approx(0.5 / math.sqrt(2), rel=1e-3)
+    assert good.peak == pytest.approx(0.5, rel=1e-2)
+    assert out[2].rms is None and out[3].rms is None
