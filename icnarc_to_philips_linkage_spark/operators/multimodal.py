@@ -370,3 +370,131 @@ def decode_audio_samples(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(batches, AUDIO_STATS_SCHEMA)
+
+
+IMAGE_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("channels", IntegerType(), True),
+        StructField("mean_luma", DoubleType(), True),
+        StructField("std_luma", DoubleType(), True),
+    ]
+)
+
+
+def _png_pixels(payload: bytes):
+    """Minimal dependency-free PNG decode (stdlib zlib): 8-bit
+    greyscale/RGB/RGBA, non-interlaced — parse chunks, inflate IDAT,
+    undo the per-row filters (None/Sub/Up/Average/Paeth). Returns
+    (width, height, channels, flat uint8 ndarray) or None."""
+    import zlib
+
+    import numpy as np
+
+    if len(payload) < 8 or payload[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos, w = 8, None
+    idat = b""
+    try:
+        while pos + 8 <= len(payload):
+            ln = int.from_bytes(payload[pos : pos + 4], "big")
+            typ = payload[pos + 4 : pos + 8]
+            data = payload[pos + 8 : pos + 8 + ln]
+            pos += 12 + ln
+            if typ == b"IHDR":
+                w = int.from_bytes(data[0:4], "big")
+                h = int.from_bytes(data[4:8], "big")
+                depth, ct, _comp, _filt, interlace = data[8:13]
+                if depth != 8 or interlace != 0 or ct not in (0, 2, 6):
+                    return None
+            elif typ == b"IDAT":
+                idat += data
+            elif typ == b"IEND":
+                break
+        if w is None or not idat:
+            return None
+        raw = zlib.decompress(idat)
+    except Exception:
+        return None
+    ch = {0: 1, 2: 3, 6: 4}[ct]
+    stride = w * ch
+    if len(raw) < h * (stride + 1):
+        return None
+    recon = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    pos = 0
+    for y in range(h):
+        ft = raw[pos]
+        row = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=pos + 1
+        ).astype(np.int32)
+        pos += 1 + stride
+        if ft == 0:
+            out = row
+        elif ft == 2:  # Up
+            out = (row + prev) & 0xFF
+        else:  # Sub/Average/Paeth carry left-pixel state: scan serially
+            out = np.zeros(stride, dtype=np.int32)
+            for i in range(stride):
+                a = out[i - ch] if i >= ch else 0
+                b = prev[i]
+                if ft == 1:
+                    out[i] = (row[i] + a) & 0xFF
+                elif ft == 3:
+                    out[i] = (row[i] + (a + b) // 2) & 0xFF
+                elif ft == 4:
+                    c = prev[i - ch] if i >= ch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    out[i] = (row[i] + pred) & 0xFF
+                else:
+                    return None
+        recon[y] = out.astype(np.uint8)
+        prev = out
+    return w, h, ch, recon.reshape(-1)
+
+
+def decode_image_pixels(df: DataFrame) -> DataFrame:
+    """REAL image decode, dependency-free: the stdlib-zlib PNG decoder
+    runs inside the Arrow batches and numpy computes luma statistics —
+    the all-black/all-white/low-contrast screens an image-training
+    pipeline filters on. The pixel-value twin of
+    ``decode_audio_samples`` (metadata parsing is ``_parse_png_ihdr``;
+    JPEG and friends remain the Pillow upgrade path and yield NULL
+    stats here).
+
+    Luma = mean over color channels (alpha excluded), normalized to
+    [0, 1]. Output: (media_id, width, height, channels, mean_luma,
+    std_luma); undecodable payloads yield NULL stats.
+    """
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                d = _png_pixels(bytes(payload)) if payload is not None else None
+                if d is None:
+                    rows.append((media_id, None, None, None, None, None))
+                    continue
+                w, h, ch, flat = d
+                px = flat.reshape(h * w, ch).astype(np.float64) / 255.0
+                luma = px[:, : min(ch, 3)].mean(axis=1)
+                rows.append(
+                    (
+                        media_id,
+                        int(w),
+                        int(h),
+                        int(ch),
+                        float(luma.mean()),
+                        float(luma.std()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in IMAGE_STATS_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(batches, IMAGE_STATS_SCHEMA)

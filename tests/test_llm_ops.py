@@ -1401,3 +1401,102 @@ def test_decode_audio_samples_real_pcm(spark):
     assert good.rms == pytest.approx(0.5 / math.sqrt(2), rel=1e-3)
     assert good.peak == pytest.approx(0.5, rel=1e-2)
     assert out[2].rms is None and out[3].rms is None
+
+
+def _make_png(width, height, pixel_rows, color_type=2, filters=None):
+    """Tiny PNG writer (stdlib zlib) — the test-side encoder for the
+    dependency-free decoder. pixel_rows: list of rows of channel-tuples;
+    filters: per-row filter byte (defaults to 0/None).
+
+    Filter encoding mirrors the spec: the stored bytes are computed
+    from the raw bytes so the decoder must UNDO the filter to recover
+    the original pixels."""
+    import struct
+    import zlib
+
+    ch = {0: 1, 2: 3, 6: 4}[color_type]
+    filters = filters or [0] * height
+    stride = width * ch
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        row = bytes(
+            v for px in pixel_rows[y] for v in (px if ch > 1 else (px,))
+        )
+        ft = filters[y]
+        raw.append(ft)
+        if ft == 0:
+            enc = row
+        elif ft == 1:  # Sub
+            enc = bytes(
+                (row[i] - (row[i - ch] if i >= ch else 0)) & 0xFF
+                for i in range(stride)
+            )
+        elif ft == 2:  # Up
+            enc = bytes((row[i] - prev[i]) & 0xFF for i in range(stride))
+        elif ft == 4:  # Paeth
+            enc = bytearray()
+            for i in range(stride):
+                a = row[i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc.append((row[i] - pred) & 0xFF)
+            enc = bytes(enc)
+        else:
+            raise ValueError(ft)
+        raw += enc
+        prev = row
+
+    def chunk(typ, data):
+        body = typ + data
+        return (
+            struct.pack(">I", len(data))
+            + body
+            + struct.pack(">I", zlib.crc32(body))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_decode_image_pixels_real_png(spark):
+    """Real PNG pixel decode: known pixel values round-trip through
+    zlib + all four nontrivial filters and produce exact luma stats."""
+    from icnarc_to_philips_linkage_spark.operators.multimodal import (
+        decode_image_pixels,
+    )
+
+    # 4x4 RGB gradient, one row per filter type (0, 1, 2, 4)
+    rows = [
+        [((x * 60 + y * 10) % 256,) * 3 for x in range(4)] for y in range(4)
+    ]
+    png = _make_png(4, 4, rows, color_type=2, filters=[0, 1, 2, 4])
+    import numpy as np
+
+    flat = np.array(
+        [v / 255.0 for r in rows for px in r for v in px[:3]]
+    ).reshape(16, 3)
+    want_mean = flat.mean(axis=1).mean()
+    want_std = flat.mean(axis=1).std()
+
+    data = [
+        (1, "image", bytearray(png)),
+        (2, "image", bytearray(b"nonsense")),
+    ]
+    df = spark.createDataFrame(
+        data, "media_id long, media_type string, payload binary"
+    )
+    out = {r.media_id: r for r in decode_image_pixels(df).collect()}
+    good = out[1]
+    assert (good.width, good.height, good.channels) == (4, 4, 3)
+    assert good.mean_luma == pytest.approx(want_mean, abs=1e-9)
+    assert good.std_luma == pytest.approx(want_std, abs=1e-9)
+    assert out[2].mean_luma is None
