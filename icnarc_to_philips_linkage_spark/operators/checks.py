@@ -138,3 +138,35 @@ def split_leakage_report(
             6,
         ).alias("leaked_doc_frac"),
     )
+
+
+def observed_filter(
+    df,
+    keep,
+    observation_name: str = "filter_metrics",
+):
+    """Filter with ONE-PASS observability: attach Spark's ``observe``
+    metrics (rows seen / rows kept / kept fraction) to the filtering
+    scan itself, so the pipeline run that produces the output ALSO
+    produces its own audit numbers — no second scan, no separate
+    count() jobs (at 100 TB a post-hoc "how many did we drop?" count
+    re-reads the corpus).
+
+    Returns (filtered_df, observation). After ANY action on a frame
+    derived from filtered_df, ``observation.get`` yields
+    {'n_seen', 'n_kept', 'kept_frac'}. ``keep`` must be deterministic —
+    the observation reflects the rows of the action that materialized
+    them.
+    """
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation(observation_name)
+    kept_i = F.when(keep, 1).otherwise(0)
+    observed = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_seen"),
+        F.sum(kept_i).alias("n_kept"),
+        F.round(F.sum(kept_i) / F.count(F.lit(1)), 6).alias("kept_frac"),
+    )
+    return observed.filter(keep), obs

@@ -158,3 +158,32 @@ def start_rollup_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def prune_versions(table_dir: str, keep_last: int = 3) -> list[str]:
+    """Vacuum old state versions: the pointer pattern leaves one
+    directory per applied batch; retention caps storage at
+    ``keep_last`` versions while NEVER touching the currently-pointed
+    one (or newer — a concurrent apply may be about to flip to it).
+    Returns the removed version names."""
+    import re
+    import shutil
+
+    ptr = os.path.join(table_dir, _POINTER)
+    if not os.path.exists(ptr):
+        return []
+    with open(ptr) as f:
+        current = f.read().strip()
+    cur_id = int(current[1:])
+    versions = sorted(
+        (
+            d
+            for d in os.listdir(table_dir)
+            if re.fullmatch(r"v\d+", d) and int(d[1:]) < cur_id
+        ),
+        key=lambda d: int(d[1:]),
+    )
+    doomed = versions[: max(0, len(versions) - (keep_last - 1))]
+    for d in doomed:
+        shutil.rmtree(os.path.join(table_dir, d), ignore_errors=True)
+    return doomed

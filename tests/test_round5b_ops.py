@@ -679,3 +679,36 @@ def test_tokens_to_ids_and_key_skew_no_global_window_over_full_table(spark):
         .toString()
     )
     assert "TakeOrderedAndProject" in plan2, plan2
+
+
+def test_observed_filter_one_pass_metrics(spark):
+    from icnarc_to_philips_linkage_spark.operators.checks import (
+        observed_filter,
+    )
+
+    df = spark.range(1000).withColumn("v", F.col("id") % 10)
+    kept, obs = observed_filter(df, F.col("v") < 3, "m1")
+    n = kept.count()  # the action that materializes the observation
+    assert n == 300
+    got = obs.get
+    assert got["n_seen"] == 1000 and got["n_kept"] == 300
+    assert got["kept_frac"] == 0.3
+
+
+def test_rollup_prune_versions_keeps_pointer_and_recent(spark, tmp_path):
+    from icnarc_to_philips_linkage_spark.operators.rollup import (
+        prune_versions,
+        read_rollup_state,
+        rollup_apply,
+        rollup_values,
+    )
+
+    d = str(tmp_path / "r")
+    for i in range(6):
+        b = spark.createDataFrame([("a", float(i))], "k string, v double")
+        rollup_apply(b, d, ["k"], ["v"], batch_id=i)
+    removed = prune_versions(d, keep_last=2)
+    assert removed == ["v0", "v1", "v2", "v3"]  # keeps v4 + pointed v5
+    # state still readable and correct after the vacuum
+    got = rollup_values(read_rollup_state(spark, d), ["v"]).collect()[0]
+    assert got.n == 6 and got.sum_v == 15.0
