@@ -229,3 +229,48 @@ def concurrency_profile(
         "delta",
         F.sum("delta").over(w).alias("concurrent"),
     )
+
+
+def rolling_distinct_users(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    window_days: int = 7,
+) -> DataFrame:
+    """Trailing-window distinct actives per day (7-day rolling DAU→WAU
+    curve): for every calendar day, the EXACT count of users with at
+    least one event in the previous ``window_days`` days.
+
+    Exact sliding distinct does not decompose into mergeable per-day
+    state (unlike sums), so the scalable exact form is contribute-and-
+    count: compress to the distinct (user, day) incidence table (one
+    shuffle, the only data-sized one), explode each incidence into the
+    ``window_days`` target days it supports (bounded fan-out), and
+    count DISTINCT users per target day — the second distinct is over
+    user×window pairs, day-bounded. Swap HLL sketch union for the
+    approximate tier when window_days is large.
+
+    Output: (day, n_active) for days observed in the data (target days
+    beyond the last observed day are clipped).
+    """
+    day = F.date_trunc("day", F.col(ts_col)).cast("date")
+    daily = events.select(F.col(user_col), day.alias("day")).distinct()
+    bounds = daily.agg(F.max("day").alias("__max_day"))
+    contrib = (
+        daily.crossJoin(F.broadcast(bounds))
+        .select(
+            user_col,
+            F.explode(
+                F.sequence(
+                    F.col("day"),
+                    F.least(
+                        F.date_add(F.col("day"), window_days - 1),
+                        F.col("__max_day"),
+                    ),
+                )
+            ).alias("day"),
+        )
+    )
+    return contrib.groupBy("day").agg(
+        F.countDistinct(user_col).alias("n_active")
+    )

@@ -466,3 +466,84 @@ def ewma_window(
         *cols,
         F.when(den > 0, F.round(num / den, 6)).alias("ewma"),
     )
+
+
+def asof_join_directional(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    value_col: str,
+    direction: str = "backward",
+    out_col: str = "asof_value",
+) -> DataFrame:
+    """``asof_join`` with the pandas ``merge_asof`` direction surface:
+    'backward' (latest right at-or-before — delegates to asof_join),
+    'forward' (earliest right at-or-after), 'nearest' (whichever side
+    is closer in time; backward wins exact ties, matching pandas).
+
+    Same union+window shape — ONE shuffle on the key; forward is the
+    mirrored window (following frame, ``first`` ignorenulls, right
+    sorted AFTER left at equal timestamps so at-or-after includes
+    ties); nearest evaluates both carries and picks by absolute time
+    distance. The carried struct is (ts, value) so the distance math
+    needs no join-back."""
+    if direction == "backward":
+        return asof_join(
+            left, right, key, left_ts, right_ts, value_col, out_col
+        )
+    if direction not in ("forward", "nearest"):
+        raise ValueError(f"unknown direction {direction!r}")
+    vtype = dict(right.dtypes)[value_col]
+    l_tagged = (
+        left.withColumn("__ts", F.col(left_ts))
+        .withColumn("__side", F.lit(1))
+        .withColumn(
+            "__r",
+            F.lit(None).cast(f"struct<ts:timestamp,v:{vtype}>"),
+        )
+    )
+    r_tagged = right.select(
+        F.col(key),
+        F.col(right_ts).alias("__ts"),
+        F.struct(
+            F.col(right_ts).alias("ts"), F.col(value_col).alias("v")
+        ).alias("__r"),
+    ).withColumn("__side", F.lit(0))
+    u = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
+    # backward carry: right sorts BEFORE left at ties (side 0 < 1)
+    wb = (
+        Window.partitionBy(key)
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # forward carry: right sorts AFTER left at ties via NEGATED side,
+    # then first following non-null — at-or-after includes equal ts
+    wf = (
+        Window.partitionBy(key)
+        .orderBy("__ts", (-F.col("__side")).asc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    back = F.last("__r", ignorenulls=True).over(wb)
+    fwd = F.first("__r", ignorenulls=True).over(wf)
+    if direction == "forward":
+        picked = fwd
+    else:
+        db = F.abs(
+            F.unix_micros(F.col("__ts")) - F.unix_micros(back["ts"])
+        )
+        df_ = F.abs(
+            F.unix_micros(fwd["ts"]) - F.unix_micros(F.col("__ts"))
+        )
+        picked = (
+            F.when(back.isNull(), fwd)
+            .when(fwd.isNull(), back)
+            .when(db <= df_, back)  # backward wins exact ties
+            .otherwise(fwd)
+        )
+    return (
+        u.withColumn(out_col, picked["v"])
+        .filter(F.col("__side") == 1)
+        .drop("__ts", "__side", "__r")
+    )

@@ -1209,6 +1209,69 @@ ASOF LEFT JOIN
 """
 
 
+def ts_asof_forward(spark: SparkSession, sf: str) -> DataFrame:
+    """Forward as-of join (timeseries.asof_join_directional): each
+    click matched to the user's EARLIEST purchase at-or-after it — the
+    'what happened next' direction of merge_asof. Oracle: DuckDB ASOF
+    with the mirrored inequality."""
+    from icnarc_to_philips_linkage_spark.operators.timeseries import (
+        asof_join_directional,
+    )
+
+    e = load(spark, sf, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts"), "value"
+    )
+    return asof_join_directional(
+        clicks, purchases, key="user_id", left_ts="ts",
+        right_ts="pts", value_col="value", direction="forward",
+        out_col="next_purchase_value",
+    )
+
+
+TS_ASOF_FWD_SQL = """
+SELECT l.event_id, l.user_id, l.ts, r.value AS next_purchase_value
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
+ASOF LEFT JOIN
+     (SELECT user_id, ts AS pts, value FROM events WHERE event_type = 'purchase') r
+  ON l.user_id = r.user_id AND l.ts <= r.pts
+"""
+
+
+def ev_rolling_actives(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact trailing-7-day distinct actives per day
+    (events.rolling_distinct_users): sliding distinct via
+    contribute-and-count — incidence explode bounded by the window
+    width, never a per-day rescan."""
+    from icnarc_to_philips_linkage_spark.operators import events as ev
+
+    out = ev.rolling_distinct_users(load(spark, sf, "events"))
+    # date→string for dtype parity (DuckDB DATE → pandas datetime64,
+    # Spark date → python date — same convention as ev_retention)
+    return out.withColumn("day", F.col("day").cast("string"))
+
+
+EV_ROLLING_ACTIVES_SQL = """
+WITH daily AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+  FROM events),
+mx AS (SELECT MAX(day) AS max_day FROM daily),
+contrib AS (
+  -- DATE + INTEGER stays DATE (date+INTERVAL would promote to
+  -- timestamp and break dtype parity with Spark's date column)
+  SELECT d.user_id,
+         d.day + CAST(unnest(generate_series(0,
+                   LEAST(6, date_diff('day', d.day, mx.max_day))))
+                 AS INTEGER) AS day
+  FROM daily d CROSS JOIN mx)
+SELECT CAST(day AS VARCHAR) AS day, COUNT(DISTINCT user_id) AS n_active
+FROM contrib GROUP BY 1
+"""
+
+
 def ts_resample_ffill(spark: SparkSession, sf: str) -> DataFrame:
     """Hourly resample + forward fill per user (hypertable-rollup-style
     custom operator as a native composition)."""
@@ -2214,6 +2277,8 @@ QUERIES: dict[str, tuple] = {
     "ts_ewma_window": (ts_ewma_window, _ewma_sql()),
     "ts_session_window": (ts_session_window, TS_SESSION_SQL),
     "ts_asof_join": (ts_asof_join, TS_ASOF_SQL),
+    "ts_asof_forward": (ts_asof_forward, TS_ASOF_FWD_SQL),
+    "ev_rolling_actives": (ev_rolling_actives, EV_ROLLING_ACTIVES_SQL),
     "ts_interval_join": (ts_interval_join, TS_INTERVAL_SQL),
     "dedup_debounce": (dedup_debounce, DEBOUNCE_SQL),
     "e14_time_of_day_hist": (e14_time_of_day_hist, E14_SQL),

@@ -712,3 +712,28 @@ def test_rollup_prune_versions_keeps_pointer_and_recent(spark, tmp_path):
     # state still readable and correct after the vacuum
     got = rollup_values(read_rollup_state(spark, d), ["v"]).collect()[0]
     assert got.n == 6 and got.sum_v == 15.0
+
+
+def test_rolling_distinct_users_hand_computed(spark):
+    from icnarc_to_philips_linkage_spark.operators.events import (
+        rolling_distinct_users,
+    )
+
+    rows = [
+        (1, "2024-01-01 10:00:00"),
+        (2, "2024-01-01 11:00:00"),
+        (1, "2024-01-05 10:00:00"),  # same user again within window
+        (3, "2024-01-09 10:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, t string").select(
+        "user_id", F.to_timestamp("t").alias("ts")
+    )
+    out = {
+        str(r.day): r.n_active
+        for r in rolling_distinct_users(df, window_days=7).collect()
+    }
+    assert out["2024-01-01"] == 2          # users 1,2
+    assert out["2024-01-07"] == 2          # both Jan-1 events still in window
+    assert out["2024-01-08"] == 1          # Jan-1 aged out; user1's Jan-5 remains
+    assert out["2024-01-09"] == 2          # user1 (Jan-5) + user3
+    assert "2024-01-10" not in out         # clipped at max observed day

@@ -255,3 +255,46 @@ def test_derive_bucket_us_degenerate_inputs(spark):
     assert derive_bucket_us(inverted, "s", "e") == 86_400_000_000
     with pytest.raises(ValueError):
         derive_bucket_us(empty, "s", "e", max_fanout=0)
+
+
+def test_asof_directional_forward_and_nearest(spark):
+    from pyspark.sql import functions as F
+
+    from icnarc_to_philips_linkage_spark.operators.timeseries import (
+        asof_join_directional,
+    )
+
+    def ts(s):
+        return F.to_timestamp(F.lit(s))
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (2, "2024-01-01 12:00:00"),
+         (3, "2024-01-01 23:00:00")],
+        "event_id long, t string",
+    ).select("event_id", F.lit(7).alias("k"), F.to_timestamp("t").alias("lts"))
+    right = spark.createDataFrame(
+        [("2024-01-01 09:00:00", 1.0), ("2024-01-01 12:00:00", 2.0),
+         ("2024-01-01 13:00:00", 3.0)],
+        "t string, v double",
+    ).select(F.lit(7).alias("k"), F.to_timestamp("t").alias("rts"), "v")
+
+    fwd = {
+        r.event_id: r.asof_value
+        for r in asof_join_directional(
+            left, right, "k", "lts", "rts", "v", direction="forward"
+        ).collect()
+    }
+    # 10:00 -> next at 12:00 (2.0); 12:00 -> tie counts (2.0);
+    # 23:00 -> nothing after -> NULL
+    assert fwd == {1: 2.0, 2: 2.0, 3: None}
+
+    near = {
+        r.event_id: r.asof_value
+        for r in asof_join_directional(
+            left, right, "k", "lts", "rts", "v", direction="nearest"
+        ).collect()
+    }
+    # 10:00: back 09:00 (1h) vs fwd 12:00 (2h) -> 1.0
+    # 12:00: exact tie -> backward wins (2.0)
+    # 23:00: only backward exists -> 3.0
+    assert near == {1: 1.0, 2: 2.0, 3: 3.0}
