@@ -170,3 +170,19 @@ def observed_filter(
         F.round(F.sum(kept_i) / F.count(F.lit(1)), 6).alias("kept_frac"),
     )
     return observed.filter(keep), obs
+
+
+def check_report_grouped(
+    df: DataFrame,
+    group_col: str,
+    expectations: Sequence[tuple[str, Column]],
+) -> DataFrame:
+    """Per-group expectation report — the multi-tenant/per-source form
+    of ``check_report``: one row PER GROUP with its row total and
+    violation counts, so a bad upstream feed is localized to its
+    source instead of drowning in the corpus-wide totals. Same single
+    aggregation (now keyed), map-side partials, |groups| rows out."""
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for name, pred in expectations:
+        aggs.append(F.count(F.when(~pred, 1)).alias(f"viol_{name}"))
+    return df.groupBy(group_col).agg(*aggs)

@@ -1300,6 +1300,40 @@ def quality_gate(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def quality_gate_by_source(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source expectation report (checks.check_report_grouped): the
+    same gate keyed by source, so a bad feed localizes instead of
+    drowning in corpus-wide totals."""
+    from icnarc_to_philips_linkage_spark.operators import checks
+    from icnarc_to_philips_linkage_spark.operators.text import token_count
+
+    d = load(spark, sf, "documents").withColumn(
+        "n_toks", token_count("text")
+    )
+    return checks.check_report_grouped(
+        d,
+        "source",
+        [
+            checks.not_null("text"),
+            checks.in_range("n_toks", 5, 80),
+            checks.not_null("doc_id"),
+        ],
+    )
+
+
+QUALITY_GATE_BY_SOURCE_SQL = f"""
+WITH t AS (
+  SELECT *, len({_TOKS}) AS n_toks FROM documents
+)
+SELECT source, COUNT(*) AS n_rows,
+       COUNT(*) FILTER (text IS NULL) AS viol_text_not_null,
+       COUNT(*) FILTER (NOT (n_toks IS NULL OR (n_toks >= 5 AND n_toks <= 80)))
+         AS viol_n_toks_in_range,
+       COUNT(*) FILTER (doc_id IS NULL) AS viol_doc_id_not_null
+FROM t GROUP BY source
+"""
+
+
 QUALITY_GATE_SQL = f"""
 WITH t AS (
   SELECT *, len({_TOKS}) AS n_toks FROM documents
@@ -2233,6 +2267,7 @@ QUERIES: dict[str, tuple] = {
     "pii_scrub": (pii_scrub, _pii_sql()),
     "reconcile_sources": (reconcile_sources, RECONCILE_SQL),
     "quality_gate": (quality_gate, QUALITY_GATE_SQL),
+    "quality_gate_by_source": (quality_gate_by_source, QUALITY_GATE_BY_SOURCE_SQL),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_incremental": (dedup_incremental, DEDUP_INCREMENTAL_SQL),
     "text_tfidf_topterms": (text_tfidf_topterms, TFIDF_SQL),
