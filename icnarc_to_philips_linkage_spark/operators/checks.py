@@ -45,17 +45,23 @@ def isin(col: str, values: Sequence) -> tuple[str, Column]:
     return f"{col}_isin", c.isNull() | c.isin(list(values))
 
 
+def _expectation_aggs(
+    expectations: Sequence[tuple[str, Column]],
+) -> list[Column]:
+    """Shared aggregate list for the global and grouped reports — one
+    definition of violation-count semantics."""
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for name, pred in expectations:
+        aggs.append(F.count(F.when(~pred, 1)).alias(f"viol_{name}"))
+    return aggs
+
+
 def check_report(
     df: DataFrame, expectations: Sequence[tuple[str, Column]]
 ) -> DataFrame:
     """One row: n_rows plus a violation count per expectation — a
     single aggregate, map-side partial, constant-size output."""
-    aggs = [F.count(F.lit(1)).alias("n_rows")]
-    for name, pred in expectations:
-        aggs.append(
-            F.count(F.when(~pred, 1)).alias(f"viol_{name}")
-        )
-    return df.agg(*aggs)
+    return df.agg(*_expectation_aggs(expectations))
 
 
 def violating_rows(
@@ -182,7 +188,4 @@ def check_report_grouped(
     violation counts, so a bad upstream feed is localized to its
     source instead of drowning in the corpus-wide totals. Same single
     aggregation (now keyed), map-side partials, |groups| rows out."""
-    aggs = [F.count(F.lit(1)).alias("n_rows")]
-    for name, pred in expectations:
-        aggs.append(F.count(F.when(~pred, 1)).alias(f"viol_{name}"))
-    return df.groupBy(group_col).agg(*aggs)
+    return df.groupBy(group_col).agg(*_expectation_aggs(expectations))

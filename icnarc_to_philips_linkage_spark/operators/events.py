@@ -250,12 +250,21 @@ def rolling_distinct_users(
     user×window pairs, day-bounded. Swap HLL sketch union for the
     approximate tier when window_days is large.
 
-    Output: (day, n_active) for days observed in the data (target days
-    beyond the last observed day are clipped).
+    Output: (day, n_active) for EVERY calendar day from the first to
+    the last observed day — activity gaps longer than the window emit
+    explicit zeros (a consumer joining a calendar spine must see 0,
+    not a missing row). The spine is span-bounded, like the resample
+    grid.
     """
+    if window_days < 1:
+        # a non-positive window would make F.sequence run DESCENDING,
+        # silently attributing activity to days BEFORE the event
+        raise ValueError(f"window_days must be >= 1, got {window_days}")
     day = F.date_trunc("day", F.col(ts_col)).cast("date")
     daily = events.select(F.col(user_col), day.alias("day")).distinct()
-    bounds = daily.agg(F.max("day").alias("__max_day"))
+    bounds = daily.agg(
+        F.min("day").alias("__min_day"), F.max("day").alias("__max_day")
+    )
     contrib = (
         daily.crossJoin(F.broadcast(bounds))
         .select(
@@ -271,6 +280,14 @@ def rolling_distinct_users(
             ).alias("day"),
         )
     )
-    return contrib.groupBy("day").agg(
+    counts = contrib.groupBy("day").agg(
         F.countDistinct(user_col).alias("n_active")
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.col("__min_day"), F.col("__max_day"))
+        ).alias("day")
+    )
+    return spine.join(counts, "day", "left").select(
+        "day", F.coalesce("n_active", F.lit(0)).alias("n_active")
     )

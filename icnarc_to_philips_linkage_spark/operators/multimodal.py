@@ -338,6 +338,11 @@ def decode_audio_samples(df: DataFrame) -> DataFrame:
                 raw = w.readframes(n)
         except (wave.Error, EOFError):
             return None
+        # a truncated data chunk can return a buffer that is not a
+        # multiple of the sample width — trim instead of letting
+        # np.frombuffer raise and kill the task (contract: malformed
+        # payloads yield NULL stats, never job failures)
+        raw = raw[: len(raw) - (len(raw) % max(1, width))]
         if width == 2:
             x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
         elif width == 1:
@@ -415,10 +420,16 @@ def _png_pixels(payload: bytes):
                 break
         if w is None or not idat:
             return None
-        raw = zlib.decompress(idat)
+        ch = {0: 1, 2: 3, 6: 4}[ct]
+        # cap BEFORE inflating: a zlib bomb (or an IHDR declaring
+        # absurd dimensions) would otherwise expand to gigabytes in
+        # executor memory before any sanity check ran
+        if w <= 0 or h <= 0 or w * h * ch > 64_000_000:
+            return None
+        need = h * (w * ch + 1)
+        raw = zlib.decompressobj().decompress(idat, need)
     except Exception:
         return None
-    ch = {0: 1, 2: 3, 6: 4}[ct]
     stride = w * ch
     if len(raw) < h * (stride + 1):
         return None
@@ -435,14 +446,16 @@ def _png_pixels(payload: bytes):
             out = row
         elif ft == 2:  # Up
             out = (row + prev) & 0xFF
-        else:  # Sub/Average/Paeth carry left-pixel state: scan serially
+        elif ft == 1:  # Sub = per-channel-lane cumulative sum (mod 256)
+            out = (
+                np.cumsum(row.reshape(-1, ch), axis=0, dtype=np.int64) & 0xFF
+            ).reshape(-1).astype(np.int32)
+        else:  # Average/Paeth carry left-pixel state: scan serially
             out = np.zeros(stride, dtype=np.int32)
             for i in range(stride):
                 a = out[i - ch] if i >= ch else 0
                 b = prev[i]
-                if ft == 1:
-                    out[i] = (row[i] + a) & 0xFF
-                elif ft == 3:
+                if ft == 3:
                     out[i] = (row[i] + (a + b) // 2) & 0xFF
                 elif ft == 4:
                     c = prev[i - ch] if i >= ch else 0

@@ -496,12 +496,16 @@ def asof_join_directional(
     if direction not in ("forward", "nearest"):
         raise ValueError(f"unknown direction {direction!r}")
     vtype = dict(right.dtypes)[value_col]
+    # the null-struct literal mirrors the RIGHT frame's actual ts type:
+    # parquet timestamp[us] loads as TIMESTAMP_NTZ, and a hardcoded
+    # `timestamp` would make the union's struct types incompatible
+    tstype = dict(right.dtypes)[right_ts]
     l_tagged = (
         left.withColumn("__ts", F.col(left_ts))
         .withColumn("__side", F.lit(1))
         .withColumn(
             "__r",
-            F.lit(None).cast(f"struct<ts:timestamp,v:{vtype}>"),
+            F.lit(None).cast(f"struct<ts:{tstype},v:{vtype}>"),
         )
     )
     r_tagged = right.select(
@@ -530,20 +534,22 @@ def asof_join_directional(
     if direction == "forward":
         picked = fwd
     else:
-        db = F.abs(
-            F.unix_micros(F.col("__ts")) - F.unix_micros(back["ts"])
-        )
-        df_ = F.abs(
-            F.unix_micros(fwd["ts"]) - F.unix_micros(F.col("__ts"))
-        )
+        db = F.abs(ts_micros(F.col("__ts")) - ts_micros(back["ts"]))
+        df_ = F.abs(ts_micros(fwd["ts"]) - ts_micros(F.col("__ts")))
         picked = (
             F.when(back.isNull(), fwd)
             .when(fwd.isNull(), back)
             .when(db <= df_, back)  # backward wins exact ties
             .otherwise(fwd)
         )
+    # NULL left timestamps sort nulls-first, where the forward frame
+    # would hand them the partition's earliest right row — match the
+    # backward direction's NULL-in → NULL-out contract instead
     return (
-        u.withColumn(out_col, picked["v"])
+        u.withColumn(
+            out_col,
+            F.when(F.col("__ts").isNotNull(), picked["v"]),
+        )
         .filter(F.col("__side") == 1)
         .drop("__ts", "__side", "__r")
     )

@@ -1258,7 +1258,7 @@ EV_ROLLING_ACTIVES_SQL = """
 WITH daily AS (
   SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
   FROM events),
-mx AS (SELECT MAX(day) AS max_day FROM daily),
+mx AS (SELECT MIN(day) AS min_day, MAX(day) AS max_day FROM daily),
 contrib AS (
   -- DATE + INTEGER stays DATE (date+INTERVAL would promote to
   -- timestamp and break dtype parity with Spark's date column)
@@ -1266,9 +1266,17 @@ contrib AS (
          d.day + CAST(unnest(generate_series(0,
                    LEAST(6, date_diff('day', d.day, mx.max_day))))
                  AS INTEGER) AS day
-  FROM daily d CROSS JOIN mx)
-SELECT CAST(day AS VARCHAR) AS day, COUNT(DISTINCT user_id) AS n_active
-FROM contrib GROUP BY 1
+  FROM daily d CROSS JOIN mx),
+counts AS (
+  SELECT day, COUNT(DISTINCT user_id) AS n_active
+  FROM contrib GROUP BY 1),
+spine AS (
+  SELECT mx.min_day + CAST(unnest(generate_series(0,
+           date_diff('day', mx.min_day, mx.max_day))) AS INTEGER) AS day
+  FROM mx)
+SELECT CAST(s.day AS VARCHAR) AS day,
+       CAST(COALESCE(c.n_active, 0) AS BIGINT) AS n_active
+FROM spine s LEFT JOIN counts c USING (day)
 """
 
 

@@ -723,7 +723,7 @@ def test_rolling_distinct_users_hand_computed(spark):
         (1, "2024-01-01 10:00:00"),
         (2, "2024-01-01 11:00:00"),
         (1, "2024-01-05 10:00:00"),  # same user again within window
-        (3, "2024-01-09 10:00:00"),
+        (3, "2024-01-20 10:00:00"),  # after an activity gap
     ]
     df = spark.createDataFrame(rows, "user_id long, t string").select(
         "user_id", F.to_timestamp("t").alias("ts")
@@ -735,5 +735,9 @@ def test_rolling_distinct_users_hand_computed(spark):
     assert out["2024-01-01"] == 2          # users 1,2
     assert out["2024-01-07"] == 2          # both Jan-1 events still in window
     assert out["2024-01-08"] == 1          # Jan-1 aged out; user1's Jan-5 remains
-    assert out["2024-01-09"] == 2          # user1 (Jan-5) + user3
-    assert "2024-01-10" not in out         # clipped at max observed day
+    assert out["2024-01-12"] == 0          # gap day: explicit zero, not missing
+    assert out["2024-01-20"] == 1          # user3 after the gap
+    assert "2024-01-21" not in out         # clipped at max observed day
+    assert len(out) == 20                  # full calendar spine Jan 1-20
+    with pytest.raises(ValueError):
+        rolling_distinct_users(df, window_days=0)

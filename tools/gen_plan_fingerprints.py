@@ -32,7 +32,11 @@ MARKERS = (
     "MapInPandas",
 )
 
-SF = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+# PINNED, deliberately ignoring SPARK_GRAFT_TEST_SF: the golden and the
+# gate (tests/test_plan_fingerprints.py) must fingerprint at the SAME
+# scale — broadcast-vs-sort-merge decisions are size-sensitive, and a
+# golden regenerated at another SF would report spurious regressions
+SF = "/root/testdata/sf0.001"
 
 
 def fingerprint(plan: str) -> dict[str, int]:
