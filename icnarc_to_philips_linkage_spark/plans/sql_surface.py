@@ -219,7 +219,20 @@ FROM chain GROUP BY root
 """
 
 
+# LATERAL correlated subquery: per-nation top-2 customers by balance —
+# the dependent-join surface (each outer row drives an ordered+limited
+# inner query). DuckDB runs the identical text.
+SQL_LATERAL = """
+SELECT n.n_name, t.c_name, t.c_acctbal
+FROM nation n,
+LATERAL (SELECT c_name, c_acctbal FROM customer c
+         WHERE c.c_nationkey = n.n_nationkey
+         ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "sql_lateral_topk": (_sql(SQL_LATERAL), SQL_LATERAL),
     "sql_recursive_cte": (_sql(SQL_RECURSIVE), SQL_RECURSIVE),
     "sql_dim_search": (_sql(SQL_DIM_SEARCH), SQL_DIM_SEARCH),
     "sql_scalar_subquery": (_sql(SQL_SCALAR_SUBQUERY), SQL_SCALAR_SUBQUERY),
