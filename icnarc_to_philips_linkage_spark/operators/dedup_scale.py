@@ -24,6 +24,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from . import cachereg
 from pyspark.sql import types as T
 
 from icnarc_to_philips_linkage_spark.functions.expressions import (
@@ -508,8 +510,10 @@ def minhash_lsh_dedup(
     of OOMing on a 100 TB corpus)."""
     from pyspark import StorageLevel
 
-    sets = shingle_sets(df, id_col, text_col, n).persist(
-        StorageLevel.MEMORY_AND_DISK
+    sets = cachereg.track(
+        shingle_sets(df, id_col, text_col, n).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
     )
     sig = minhash_signatures_arr(sets, id_col, k)
     cand = lsh_candidate_pairs(
@@ -663,6 +667,7 @@ def ngram_jaccard_dedup(
             F.transform("sh_arr", lambda s: F.md5(F.concat(F.lit("0:"), s)))
         ).alias("__block"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    cachereg.track(blocked)
     a = blocked.select(
         F.col("__block"),
         F.col(id_col).alias("id_a"),

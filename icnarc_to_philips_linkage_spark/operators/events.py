@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from . import cachereg
+
 
 def funnel_steps(
     df: DataFrame,
@@ -152,6 +154,7 @@ def association_rules(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    cachereg.track(inc)
     n_users = inc.select(user_col).distinct().count()
     marg = inc.groupBy(item_col).agg(F.count(F.lit(1)).alias("n_item"))
     a = inc.select(

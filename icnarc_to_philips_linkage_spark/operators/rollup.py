@@ -16,11 +16,18 @@ the pattern an incrementally-maintained materialized view.
 
 Storage is a versioned parquet directory with a pointer file (the
 cdc_apply pattern — no lakehouse format in this environment).
-Exactly-once: each apply is keyed by ``batch_id``; a retry of an
-ALREADY-POINTED batch is a no-op (sums are not idempotent, so unlike
-the SCD2 merge the guard is load-bearing), and a retry after a failed
-write overwrites its own version directory and re-flips the pointer to
-the identical state.
+Exactly-once: each apply is keyed by ``batch_id`` against a durable
+``_APPLIED`` log of EVERY batch id ever folded in (sums are not
+idempotent, so unlike the SCD2 merge the guard is load-bearing). The
+log — not just the current pointer — is what makes the guard hold for
+out-of-order redeliveries and for a stream restarted with a fresh
+checkpoint dir against an existing table (batch ids restart at 0; the
+replay of already-applied ids is skipped). A retry after a FAILED
+write is safe the other way round: the id only enters the log after
+the pointer flip, so the retry overwrites its own version directory
+and completes the flip. Corollary: one table_dir belongs to one
+logical stream — feeding it genuinely new data under recycled batch
+ids requires a new table_dir (or migrating the state forward).
 """
 
 from __future__ import annotations
@@ -32,6 +39,31 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _POINTER = "_CURRENT"
+_APPLIED = "_APPLIED"
+
+
+def _applied_versions(table_dir: str) -> set[str]:
+    """Every version ever successfully applied: the _APPLIED log plus
+    the current pointer (tables written before the log existed have
+    only the pointer — their history re-seeds the log lazily as new
+    batches arrive)."""
+    out: set[str] = set()
+    log = os.path.join(table_dir, _APPLIED)
+    if os.path.exists(log):
+        with open(log) as f:
+            out.update(line.strip() for line in f if line.strip())
+    ptr = os.path.join(table_dir, _POINTER)
+    if os.path.exists(ptr):
+        with open(ptr) as f:
+            out.add(f.read().strip())
+    return out
+
+
+def _record_applied(table_dir: str, versions: set[str]) -> None:
+    tmp = os.path.join(table_dir, f"{_APPLIED}.tmp")
+    with open(tmp, "w") as f:
+        f.write("\n".join(sorted(versions, key=lambda v: int(v[1:]))) + "\n")
+    os.replace(tmp, os.path.join(table_dir, _APPLIED))
 
 
 def partial_state(
@@ -86,14 +118,15 @@ def rollup_apply(
     batch_id: int,
 ) -> bool:
     """Fold one batch into the rollup state. Returns False (no-op) when
-    ``batch_id`` is the currently-pointed version — the retry guard."""
+    ``batch_id`` was EVER applied — the _APPLIED log catches in-place
+    retries, out-of-order redeliveries, and fresh-checkpoint replays
+    alike, not just a retry of the currently-pointed batch."""
     spark = batch.sparkSession
     version = f"v{batch_id}"
     ptr = os.path.join(table_dir, _POINTER)
-    if os.path.exists(ptr):
-        with open(ptr) as f:
-            if f.read().strip() == version:
-                return False
+    applied = _applied_versions(table_dir)
+    if version in applied:
+        return False
     current = read_rollup_state(spark, table_dir)
     fresh = partial_state(batch, keys, measures)
     if current is not None:
@@ -114,6 +147,10 @@ def rollup_apply(
     with open(tmp, "w") as f:
         f.write(version)
     os.replace(tmp, ptr)
+    # log AFTER the flip: a crash between write and flip leaves the id
+    # un-logged so the retry re-runs; a crash between flip and log is
+    # covered by _applied_versions folding the pointer in
+    _record_applied(table_dir, applied | {version})
     return True
 
 

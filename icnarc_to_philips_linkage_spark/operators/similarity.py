@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from . import cachereg
+
 
 def dot(a: Column | str, b: Column | str) -> Column:
     a = F.col(a) if isinstance(a, str) else a
@@ -462,6 +464,7 @@ def semantic_dedup(
         norm_sq(vec_col).alias("__nsq"),
         rh_lsh_signature(vec_col, planes).alias("cluster"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    cachereg.track(hashed)
     a = hashed.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("vec_a"),
@@ -522,6 +525,7 @@ def knn_graph_lsh(
         norm_sq(vec_col).alias("__nsq"),
         rh_lsh_signature(vec_col, planes).alias("bucket"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    cachereg.track(hashed)
     a = hashed.select(
         F.col(id_col).alias("node_id"),
         F.col(vec_col).alias("vec_a"),

@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from . import cachereg
+
 # Deterministic marker lexicons for the language-ID heuristic. A real
 # deployment swaps in per-language character-n-gram profiles; the operator
 # shape (score per language → argmax with fixed priority) is unchanged.
@@ -387,6 +389,7 @@ def ngram_lm_score(
         .agg(F.count(F.lit(1)).alias("gram_n"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    cachereg.track(model)
     total = model.agg(F.sum("gram_n").alias("total_n"))
     scored = (
         grams.join(F.broadcast(model), "gram")

@@ -89,11 +89,11 @@ def dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
 DEDUP_INCREMENTAL_SQL = """
 WITH ex AS (
   SELECT DISTINCT md5(text) AS content_hash
-  FROM documents WHERE CAST(SUBSTR(source, 4) AS INT) < 10
+  FROM documents WHERE TRY_CAST(SUBSTR(source, 4) AS INT) < 10
 ),
 inc AS (
   SELECT doc_id, md5(text) AS content_hash
-  FROM documents WHERE CAST(SUBSTR(source, 4) AS INT) >= 10
+  FROM documents WHERE TRY_CAST(SUBSTR(source, 4) AS INT) >= 10
 )
 SELECT i.content_hash, MIN(i.doc_id) AS keep_id,
        COUNT(*) AS n_batch_copies
@@ -1440,8 +1440,8 @@ WITH tagged AS (
   SELECT LEAST({_PSI_BINS - 1}, GREATEST(0,
            CAST(FLOOR((CAST(n_chars AS DOUBLE) - {_PSI_LO}) / {width}) AS BIGINT)
          )) AS bucket,
-         CASE WHEN CAST(SUBSTR(source, 4) AS INT) IS NULL THEN NULL
-              WHEN CAST(SUBSTR(source, 4) AS INT) < 10 THEN 1
+         CASE WHEN TRY_CAST(SUBSTR(source, 4) AS INT) IS NULL THEN NULL
+              WHEN TRY_CAST(SUBSTR(source, 4) AS INT) < 10 THEN 1
               ELSE 0 END AS is_ref
   FROM documents
 ),
@@ -1501,8 +1501,8 @@ WITH tagged AS (
          LEAST({_PSI_BINS - 1}, GREATEST(0,
            CAST(FLOOR((CAST(n_chars AS DOUBLE) - {_PSI_LO}) / {width}) AS BIGINT)
          )) AS bucket,
-         CASE WHEN CAST(SUBSTR(source, 4) AS INT) IS NULL THEN NULL
-              WHEN CAST(SUBSTR(source, 4) AS INT) < 10 THEN 1
+         CASE WHEN TRY_CAST(SUBSTR(source, 4) AS INT) IS NULL THEN NULL
+              WHEN TRY_CAST(SUBSTR(source, 4) AS INT) < 10 THEN 1
               ELSE 0 END AS is_ref
   FROM documents
 ),
@@ -2208,8 +2208,8 @@ WITH tagged AS (
   SELECT LEAST({_PSI_BINS - 1}, GREATEST(0,
            CAST(FLOOR((CAST(n_chars AS DOUBLE) - {_PSI_LO}) / {width})
                 AS BIGINT))) AS bucket,
-         CASE WHEN CAST(SUBSTR(source, 4) AS INT) IS NULL THEN NULL
-              WHEN CAST(SUBSTR(source, 4) AS INT) < 10
+         CASE WHEN TRY_CAST(SUBSTR(source, 4) AS INT) IS NULL THEN NULL
+              WHEN TRY_CAST(SUBSTR(source, 4) AS INT) < 10
               THEN 1 ELSE 0 END AS is_ref
   FROM documents),
 counts AS (

@@ -192,39 +192,26 @@ def parquet_footer_stats(
     statistics query into a metadata listing.
 
     The v2 source path and the pushdown flag are session configs, so
-    they are scoped here and restored — the rest of the engine stays on
-    the default reader. Returns ``(row, plan)`` where ``row`` has
-    (n_rows, min_v, max_v) and ``plan`` is the executed plan string
-    (tests assert the PushedAggregation marker). Pushdown silently
-    degrades to a normal scan when the column type/query shape is
-    unsupported — the values are identical either way; only the plan
-    marker differs."""
-    conf = spark.conf
-    saved = {
-        "spark.sql.parquet.aggregatePushdown": conf.get(
-            "spark.sql.parquet.aggregatePushdown", "false"
-        ),
-        "spark.sql.sources.useV1SourceList": conf.get(
-            "spark.sql.sources.useV1SourceList", None
-        ),
-    }
-    try:
-        conf.set("spark.sql.parquet.aggregatePushdown", "true")
-        conf.set("spark.sql.sources.useV1SourceList", "")
-        agg = (
-            spark.read.parquet(path)
-            .agg(
-                F.count(F.lit(1)).alias("n_rows"),
-                F.min(value_col).alias("min_v"),
-                F.max(value_col).alias("max_v"),
-            )
+    the query runs in a CLONED session (``spark.newSession()``: same
+    SparkContext/executors, isolated SQLConf) — queries planned
+    concurrently in the caller's session never see the v2/pushdown
+    settings, and there is no set/restore window to race on. Returns
+    ``(row, plan)`` where ``row`` has (n_rows, min_v, max_v) and
+    ``plan`` is the executed plan string (tests assert the
+    PushedAggregation marker). Pushdown silently degrades to a normal
+    scan when the column type/query shape is unsupported — the values
+    are identical either way; only the plan marker differs."""
+    scoped = spark.newSession()
+    scoped.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    scoped.conf.set("spark.sql.sources.useV1SourceList", "")
+    agg = (
+        scoped.read.parquet(path)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min(value_col).alias("min_v"),
+            F.max(value_col).alias("max_v"),
         )
-        plan = agg._jdf.queryExecution().executedPlan().toString()
-        row = agg.collect()[0]
-        return row, plan
-    finally:
-        for k, v in saved.items():
-            if v is None:
-                conf.unset(k)
-            else:
-                conf.set(k, v)
+    )
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    row = agg.collect()[0]
+    return row, plan

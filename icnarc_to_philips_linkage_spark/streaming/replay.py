@@ -30,6 +30,8 @@ incrementally and resume exactly after restarts.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql.datasource import (
     DataSource,
     SimpleDataSourceStreamReader,
@@ -40,6 +42,22 @@ EVENTS_DDL = (
     "event_type string, value double, props string"
 )
 
+# orderBy is interpolated into SQL, so it is restricted to a
+# comma-list of plain identifiers with optional ASC/DESC — anything
+# else (quotes, parens, subqueries) is rejected up front rather than
+# passed through to DuckDB
+_ORDER_TERM = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*(\s+(?i:asc|desc))?$")
+
+
+def _validated_order_by(spec: str) -> str:
+    terms = [t.strip() for t in spec.split(",")]
+    if not terms or not all(_ORDER_TERM.fullmatch(t) for t in terms):
+        raise ValueError(
+            "orderBy must be a comma-list of column identifiers "
+            f"(optionally ASC/DESC), got: {spec!r}"
+        )
+    return ", ".join(terms)
+
 
 class EventReplayReader(SimpleDataSourceStreamReader):
     def __init__(self, options: dict):
@@ -47,11 +65,15 @@ class EventReplayReader(SimpleDataSourceStreamReader):
         if not self.path:
             raise ValueError("event_replay requires .option('path', ...)")
         self.batch = int(options.get("batchsize", 1000))
-        self.order_by = options.get("orderby", "ts, event_id")
+        self.order_by = _validated_order_by(
+            options.get("orderby", "ts, event_id")
+        )
         import duckdb
 
-        self.n_rows = duckdb.sql(
-            f"SELECT COUNT(*) FROM '{self.path}'"
+        # path goes through read_parquet(?) as a bind parameter — a
+        # quote in the file path can't break out of the SQL string
+        self.n_rows = duckdb.execute(
+            "SELECT COUNT(*) FROM read_parquet(?)", [self.path]
         ).fetchone()[0]
 
     def initialOffset(self) -> dict:
@@ -62,9 +84,10 @@ class EventReplayReader(SimpleDataSourceStreamReader):
 
         if end <= start:
             return iter(())
-        rows = duckdb.sql(
-            f"SELECT * FROM '{self.path}' ORDER BY {self.order_by} "
-            f"LIMIT {end - start} OFFSET {start}"
+        rows = duckdb.execute(
+            f"SELECT * FROM read_parquet(?) ORDER BY {self.order_by} "
+            f"LIMIT {end - start} OFFSET {start}",
+            [self.path],
         ).fetchall()
         return iter([tuple(r) for r in rows])
 
