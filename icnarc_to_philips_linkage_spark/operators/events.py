@@ -294,3 +294,39 @@ def rolling_distinct_users(
     return spine.join(counts, "day", "left").select(
         "day", F.coalesce("n_active", F.lit(0)).alias("n_active")
     )
+
+
+def transition_matrix(
+    df: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next_type | type), the standard behavioral-model /
+    anomaly-screen summary. The lead window partitions by user (bounded
+    per-user state, shuffles once on user_id); the probability
+    normalization then runs over the |types|² aggregate, not the event
+    stream. Ordering carries a unique tiebreak so ties can't flip the
+    successor. Output: (event_type, next_type, n_transitions, prob)
+    with prob rounded to 6dp (exact-integer division — engine-stable)."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    pairs = df.select(
+        F.col(type_col),
+        F.lead(type_col).over(w).alias("next_type"),
+    ).filter(F.col("next_type").isNotNull())
+    counts = pairs.groupBy(type_col, "next_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    per_source = Window.partitionBy(type_col)
+    return counts.select(
+        type_col,
+        "next_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions")
+            / F.sum("n_transitions").over(per_source),
+            6,
+        ).alias("prob"),
+    )

@@ -511,3 +511,115 @@ def decode_image_pixels(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(batches, IMAGE_STATS_SCHEMA)
+
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), True),
+        StructField("phash", LongType(), True),
+    ]
+)
+
+
+def _dhash64(flat, w: int, h: int, ch: int) -> int | None:
+    """64-bit difference hash of a decoded image: block-mean the luma
+    down to a 9x8 grid, then bit r*8+c = grid[r,c] < grid[r,c+1]. The
+    standard perceptual fingerprint — stable under re-encoding, mild
+    noise, and resizing, which content (md5) hashing is not."""
+    import numpy as np
+
+    if w < 9 or h < 8:
+        return None
+    px = flat.reshape(h, w, ch).astype(np.float64)
+    luma = px[:, :, : min(ch, 3)].mean(axis=2)
+    rb = (np.arange(9) * h) // 8
+    cb = (np.arange(10) * w) // 9
+    grid = np.empty((8, 9))
+    for r in range(8):
+        for c in range(9):
+            grid[r, c] = luma[rb[r] : rb[r + 1], cb[c] : cb[c + 1]].mean()
+    bits = 0
+    for r in range(8):
+        for c in range(8):
+            if grid[r, c] < grid[r, c + 1]:
+                bits |= 1 << (r * 8 + c)
+    # Python int -> signed int64 (top bit set wraps negative)
+    if bits >= 1 << 63:
+        bits -= 1 << 64
+    return bits
+
+
+def perceptual_dhash(df: DataFrame) -> DataFrame:
+    """Per-image 64-bit dHash over the dependency-free PNG pixel decode
+    (``_png_pixels``) — same Arrow-batched ``mapInPandas`` shape as
+    ``decode_image_pixels``; undecodable or sub-9x8 payloads yield NULL.
+    Output: (media_id, phash long)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                d = _png_pixels(bytes(payload)) if payload is not None else None
+                if d is None:
+                    rows.append((media_id, None))
+                    continue
+                w, h, ch, flat = d
+                rows.append((media_id, _dhash64(flat, w, h, ch)))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in PHASH_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(batches, PHASH_SCHEMA)
+
+
+def phash_neardup(
+    hashes: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "media_id",
+    hash_col: str = "phash",
+) -> DataFrame:
+    """Image near-duplicate pairs by Hamming distance on the perceptual
+    hash — banded, never all-pairs: the 64-bit hash splits into
+    ``max_hamming + 1`` disjoint bands, and by pigeonhole any pair
+    within the distance budget agrees EXACTLY on at least one band, so
+    candidate generation is an equi-join on (band_idx, band_bits) —
+    the same bucket-then-verify shape as the MinHash LSH and SimHash
+    dedup paths, shuffling once on band keys. Verification is
+    ``bit_count(a XOR b)`` on the candidate set only.
+    Output: (id_a, id_b, hamming), id_a < id_b."""
+    nb = max_hamming + 1
+    width = 64 // nb
+    h = hashes.filter(F.col(hash_col).isNotNull()).select(
+        F.col(id_col).alias("__id"), F.col(hash_col).alias("__h")
+    )
+    bands = []
+    for i in range(nb):
+        w = width if i < nb - 1 else 64 - width * (nb - 1)
+        mask = (1 << w) - 1
+        bands.append(
+            h.select(
+                "__id",
+                "__h",
+                F.lit(i).alias("__band"),
+                F.shiftrightunsigned(F.col("__h"), i * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("__bits"),
+            )
+        )
+    b = bands[0]
+    for extra in bands[1:]:
+        b = b.unionByName(extra)
+    a = b.select(
+        "__band", "__bits", F.col("__id").alias("id_a"), F.col("__h").alias("__ha")
+    )
+    c = b.select(
+        "__band", "__bits", F.col("__id").alias("id_b"), F.col("__h").alias("__hb")
+    )
+    ham = F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb")))
+    return (
+        a.join(c, ["__band", "__bits"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

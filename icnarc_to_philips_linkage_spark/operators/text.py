@@ -511,3 +511,22 @@ def tokens_to_ids(
         F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
         F.coalesce("ids", F.array().cast("array<int>")).alias("ids"),
     )
+
+
+def lexical_diversity(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document type/token ratio — the classic lexical-diversity
+    quality signal (low TTR ⇒ repetitive/template text; complements
+    ``repetition_stats``' n-gram view). Pure map-side array expressions
+    (split → size / array_distinct), no shuffle, no Python: at 100 TB
+    this is a projection riding whatever scan already runs."""
+    toks = F.split(F.col(text_col), " ")
+    n_tokens = F.size(toks)
+    n_types = F.size(F.array_distinct(toks))
+    return df.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        n_types.alias("n_types"),
+        F.round(n_types / n_tokens, 6).alias("ttr"),
+    )

@@ -997,6 +997,23 @@ FROM g
 """
 
 
+def text_lexical_diversity(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document type/token ratio (text.lexical_diversity): map-only
+    split/array_distinct projection — the lexical-diversity quality
+    screen beside the repetition and n-gram-LM signals."""
+    return text.lexical_diversity(load(spark, sf, "documents"))
+
+
+LEXICAL_DIVERSITY_SQL = """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       len(list_distinct(string_split(text, ' '))) AS n_types,
+       ROUND(len(list_distinct(string_split(text, ' '))) * 1.0
+             / len(string_split(text, ' ')), 6) AS ttr
+FROM documents
+"""
+
+
 def text_corpus_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus vocabulary profile: token total, vocabulary size, hapax
     count, type-token ratio — one pass over the exploded corpus."""
@@ -2273,6 +2290,7 @@ QUERIES: dict[str, tuple] = {
     "text_tfidf_topterms": (text_tfidf_topterms, TFIDF_SQL),
     "text_repetition": (text_repetition, REPETITION_SQL),
     "text_corpus_stats": (text_corpus_stats, CORPUS_STATS_SQL),
+    "text_lexical_diversity": (text_lexical_diversity, LEXICAL_DIVERSITY_SQL),
     "text_pmi_bigrams": (text_pmi_bigrams, PMI_SQL),
     "text_chunk_windows": (text_chunk_windows, CHUNK_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, _minhash_sql()),

@@ -2274,6 +2274,252 @@ FROM deltas
 """
 
 
+# ------------------------------------------------------- round-6 breadth
+
+
+def ev_transition_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """First-order Markov transitions between event types per user
+    (events.transition_matrix): lead window partitioned by user, then
+    probability normalization over the |types|² aggregate."""
+    from icnarc_to_philips_linkage_spark.operators import events as ev
+
+    return ev.transition_matrix(load(spark, sf, "events"))
+
+
+EV_TRANSITION_SQL = """
+WITH pairs AS (
+  SELECT event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+),
+counts AS (
+  SELECT event_type, next_type, COUNT(*) AS n_transitions
+  FROM pairs WHERE next_type IS NOT NULL
+  GROUP BY event_type, next_type
+)
+SELECT event_type, next_type, n_transitions,
+       ROUND(n_transitions * 1.0 /
+             SUM(n_transitions) OVER (PARTITION BY event_type), 6) AS prob
+FROM counts
+"""
+
+
+def w7_decile_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """NTILE(10) equivalent at scale: the oracle's ``NTILE(10) OVER
+    (ORDER BY ...)`` plans as a SINGLE-partition window sort — the whole
+    corpus through one task. The engine instead derives the identical
+    bucket assignment from the distributed two-level ``global_rank``
+    (range exchange + per-partition row_number + literal offsets):
+    with q = n div k and m = n mod k, NTILE gives buckets 1..m size
+    q+1 and the rest size q, so rank maps to a bucket with pure
+    arithmetic on literals. Per-decile count/min/max/decimal-sum of
+    extended price."""
+    from icnarc_to_philips_linkage_spark.operators.scale import global_rank
+
+    l = load(spark, sf, "lineitem").select(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    ranked = global_rank(
+        l, ["l_extendedprice", "l_orderkey", "l_linenumber"]
+    )
+    n = ranked.count()
+    k = 10
+    q, m = divmod(n, k)
+    cut = (q + 1) * m  # ranks 1..cut fill the m oversized buckets
+    r = F.col("rank")
+    bucket = F.when(
+        r <= cut, F.floor((r - 1) / F.lit(q + 1)) + 1
+    ).otherwise(F.lit(m) + F.floor((r - 1 - cut) / F.lit(max(q, 1))) + 1)
+    return (
+        ranked.withColumn("decile", bucket.cast("int"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+            decimal_sum("l_extendedprice").alias("sum_price"),
+        )
+    )
+
+
+W7_SQL = """
+SELECT decile, COUNT(*) AS n_rows,
+       MIN(l_extendedprice) AS min_price,
+       MAX(l_extendedprice) AS max_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE)
+         AS sum_price
+FROM (
+  SELECT l_extendedprice,
+         NTILE(10) OVER (ORDER BY l_extendedprice, l_orderkey,
+                         l_linenumber) AS decile
+  FROM lineitem
+) GROUP BY decile
+"""
+
+
+def a21_mode_per_group(spark: SparkSession, sf: str) -> DataFrame:
+    """Grouped MODE with deterministic tie-break: the most common market
+    segment among each nation's customers (ties → lexicographically
+    smallest segment). Pre-aggregates to (nation, segment) counts first
+    so the rank window runs over a dim-sized frame, then broadcast-
+    decorates with the nation name."""
+    c = load(spark, sf, "customer")
+    nat = load(spark, sf, "nation").select("n_nationkey", "n_name")
+    counts = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_cust")
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("n_cust"), F.asc("c_mktsegment")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            "n_name",
+            F.col("c_mktsegment").alias("mode_segment"),
+            F.col("n_cust").alias("n_customers"),
+        )
+    )
+
+
+A21_SQL = """
+SELECT n_name, c_mktsegment AS mode_segment, n_cust AS n_customers
+FROM (
+  SELECT c_nationkey, c_mktsegment, COUNT(*) AS n_cust,
+         ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                            ORDER BY COUNT(*) DESC, c_mktsegment ASC) AS rn
+  FROM customer GROUP BY c_nationkey, c_mktsegment
+) m JOIN nation ON c_nationkey = n_nationkey
+WHERE rn = 1
+"""
+
+
+def a22_benford_digits(spark: SparkSession, sf: str) -> DataFrame:
+    """Benford's-law profile: distribution of the first significant
+    digit of extended price vs the log10(1+1/d) expectation — a
+    standard fabricated-data / unit-mix screen. Digit extraction is
+    string-based (first [1-9] of the canonical decimal rendering) so
+    both engines bucket identically; the 9-row digit table then gets
+    its share from one tiny window."""
+    l = load(spark, sf, "lineitem")
+    digit = F.regexp_extract(
+        F.col("l_extendedprice").cast("string"), "[1-9]", 0
+    ).cast("int")
+    counts = (
+        l.filter(F.col("l_extendedprice") > 0)
+        .groupBy(digit.alias("digit"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = Window.partitionBy()
+    observed = F.col("n") / F.sum("n").over(total)
+    expected = F.log10(F.lit(1) + F.lit(1) / F.col("digit"))
+    return counts.select(
+        "digit",
+        "n",
+        F.round(observed, 6).alias("observed_freq"),
+        F.round(expected, 6).alias("benford_freq"),
+        F.round(F.abs(observed - expected), 6).alias("abs_dev"),
+    )
+
+
+A22_SQL = """
+WITH counts AS (
+  SELECT CAST(regexp_extract(CAST(l_extendedprice AS VARCHAR), '[1-9]')
+              AS INT) AS digit,
+         COUNT(*) AS n
+  FROM lineitem WHERE l_extendedprice > 0 GROUP BY 1
+)
+SELECT digit, n,
+       ROUND(n / SUM(n) OVER (), 6) AS observed_freq,
+       ROUND(LOG10(1 + 1.0 / digit), 6) AS benford_freq,
+       ROUND(ABS(n / SUM(n) OVER () - LOG10(1 + 1.0 / digit)), 6)
+         AS abs_dev
+FROM counts
+"""
+
+
+def a23_grouped_moments(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group skewness and excess kurtosis from EXACT integer power
+    sums: prices become cents (exact), whose 1st–4th power sums
+    accumulate in decimal(38,0) — order-independent and identical
+    across engines — and only the final moment algebra runs in doubles
+    (same expression tree both sides, sqrt not pow, so the doubles are
+    bit-identical too). One aggregation, no second pass for the mean."""
+    l = load(spark, sf, "lineitem")
+    c = (F.col("l_extendedprice") * 100).cast("decimal(18,0)")
+    c2 = (c * c).cast("decimal(38,0)")
+    agg = l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(c).cast("double").alias("s1"),
+        F.sum(c2).cast("double").alias("s2"),
+        F.sum((c2 * c).cast("decimal(38,0)")).cast("double").alias("s3"),
+        F.sum((c2 * c2).cast("decimal(38,0)")).cast("double").alias("s4"),
+    )
+    n = F.col("n").cast("double")
+    mu = F.col("s1") / n
+    m2 = F.col("s2") / n - mu * mu
+    m3 = F.col("s3") / n - 3 * mu * (F.col("s2") / n) + 2 * mu * mu * mu
+    m4 = (
+        F.col("s4") / n
+        - 4 * mu * (F.col("s3") / n)
+        + 6 * mu * mu * (F.col("s2") / n)
+        - 3 * mu * mu * mu * mu
+    )
+    return agg.select(
+        "l_returnflag",
+        "n",
+        F.round(mu / 100, 4).alias("mean_price"),
+        F.round(F.sqrt(m2) / 100, 4).alias("std_pop_price"),
+        F.round(m3 / (F.sqrt(m2) * m2), 6).alias("skewness"),
+        F.round(m4 / (m2 * m2) - 3, 6).alias("excess_kurtosis"),
+    )
+
+
+A23_SQL = """
+WITH sums AS (
+  SELECT l_returnflag, COUNT(*) AS n,
+         CAST(SUM(c) AS DOUBLE) AS s1,
+         CAST(SUM(c*c) AS DOUBLE) AS s2,
+         CAST(SUM(c*c*c) AS DOUBLE) AS s3,
+         CAST(SUM(c*c*c*c) AS DOUBLE) AS s4
+  FROM (SELECT l_returnflag,
+               CAST(l_extendedprice * 100 AS HUGEINT) AS c
+        FROM lineitem)
+  GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       ROUND((s1/n) / 100, 4) AS mean_price,
+       ROUND(SQRT(s2/n - (s1/n)*(s1/n)) / 100, 4) AS std_pop_price,
+       ROUND((s3/n - 3*(s1/n)*(s2/n) + 2*(s1/n)*(s1/n)*(s1/n))
+             / (SQRT(s2/n - (s1/n)*(s1/n))
+                * (s2/n - (s1/n)*(s1/n))), 6) AS skewness,
+       ROUND((s4/n - 4*(s1/n)*(s3/n) + 6*(s1/n)*(s1/n)*(s2/n)
+              - 3*(s1/n)*(s1/n)*(s1/n)*(s1/n))
+             / ((s2/n - (s1/n)*(s1/n)) * (s2/n - (s1/n)*(s1/n))) - 3, 6)
+         AS excess_kurtosis
+FROM sums
+"""
+
+
+def set_intersect_all(spark: SparkSession, sf: str) -> DataFrame:
+    """Multiset INTERSECT ALL (multiplicity = min of the two sides):
+    parts shipped in 1996 ∩ parts shipped in 1997, copies preserved —
+    the bag-semantics twin of ``set_intersect``."""
+    l = load(spark, sf, "lineitem")
+    y96 = l.filter(F.year("l_shipdate") == 1996).select("l_partkey")
+    y97 = l.filter(F.year("l_shipdate") == 1997).select("l_partkey")
+    return y96.intersectAll(y97)
+
+
+SET_INTERSECT_ALL_SQL = """
+SELECT l_partkey FROM lineitem WHERE YEAR(l_shipdate) = 1996
+INTERSECT ALL
+SELECT l_partkey FROM lineitem WHERE YEAR(l_shipdate) = 1997
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "report_key_skew": (report_key_skew, KEY_SKEW_SQL),
     "report_column_profile": (report_column_profile, _column_profile_sql()),
@@ -2318,6 +2564,12 @@ QUERIES: dict[str, tuple] = {
     "ud1_first_non_na": (ud1_first_non_na, UD1_SQL),
     "set_intersect": (set_intersect, SET_INTERSECT_SQL),
     "set_except": (set_except, SET_EXCEPT_SQL),
+    "w7_decile_profile": (w7_decile_profile, W7_SQL),
+    "a21_mode_per_group": (a21_mode_per_group, A21_SQL),
+    "a22_benford_digits": (a22_benford_digits, A22_SQL),
+    "a23_grouped_moments": (a23_grouped_moments, A23_SQL),
+    "set_intersect_all": (set_intersect_all, SET_INTERSECT_ALL_SQL),
+    "ev_transition_matrix": (ev_transition_matrix, EV_TRANSITION_SQL),
     "f2_f8_conjunctive": (f2_f8_conjunctive, F2_SQL),
     "f4_in_list": (f4_in_list, F4_SQL),
     "f5_not_in": (f5_not_in, F5_SQL),

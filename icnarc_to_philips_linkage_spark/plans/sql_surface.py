@@ -231,6 +231,37 @@ LATERAL (SELECT c_name, c_acctbal FROM customer c
 """
 
 
+# Spark SQL PIVOT clause (round 6): the relational pivot on the SQL
+# surface itself, not just the DataFrame API (s2_pivot_wide). The IN
+# list is explicit — Spark's and DuckDB's dynamic-pivot forms both
+# require knowing the columns at plan time anyway for a stable schema —
+# and the oracle is the engine-neutral conditional aggregation.
+SQL_PIVOT_CLAUSE = """
+SELECT * FROM (
+  SELECT o_orderpriority, o_orderstatus, o_totalprice FROM orders
+)
+PIVOT (
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+  FOR o_orderstatus IN ('O' AS open_total, 'F' AS filled_total,
+                        'P' AS pending_total)
+)
+"""
+
+SQL_PIVOT_ORACLE = """
+SELECT o_orderpriority,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O'
+                     THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
+            AS DOUBLE) AS open_total,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                     THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
+            AS DOUBLE) AS filled_total,
+       CAST(SUM(CASE WHEN o_orderstatus = 'P'
+                     THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
+            AS DOUBLE) AS pending_total
+FROM orders GROUP BY o_orderpriority
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "sql_lateral_topk": (_sql(SQL_LATERAL), SQL_LATERAL),
     "sql_recursive_cte": (_sql(SQL_RECURSIVE), SQL_RECURSIVE),
@@ -245,6 +276,7 @@ QUERIES: dict[str, tuple] = {
     "sql_grouping_sets": (_sql(SQL_GROUPING_SETS), SQL_GROUPING_SETS),
     "sql_window_rank": (_sql(SQL_WINDOW_RANK), SQL_WINDOW_RANK),
     "sql_sessionize": (_sql(SQL_SESSIONIZE), SQL_SESSIONIZE),
+    "sql_pivot_clause": (_sql(SQL_PIVOT_CLAUSE), SQL_PIVOT_ORACLE),
     "s2_pivot_wide": (s2_pivot_wide, S2_PIVOT_SQL),
     "u2_unpivot_melt": (u2_unpivot_melt, U2_UNPIVOT_SQL),
 }
