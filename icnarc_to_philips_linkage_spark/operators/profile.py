@@ -883,3 +883,128 @@ def column_profile(
             F.col("__top.n").alias("top_n"),
         )
     )
+
+
+def _cms_bucket(key: Column, d: Column, salt: str, width: int) -> Column:
+    """Row-d bucket for a key: the first 2 hex chars of
+    md5('{salt}{d}:{key}') as an integer. width must divide 256 so the
+    hex prefix is uniform over the bucket space."""
+    if not (0 < width <= 256 and 256 % width == 0):
+        raise ValueError(f"width must divide 256, got {width}")
+    h = F.substring(
+        F.md5(F.concat(F.lit(salt), d.cast("string"), F.lit(":"), key)),
+        1,
+        2,
+    )
+    return (F.conv(h, 16, 10).cast("int") % width).alias("bucket")
+
+
+def countmin_sketch(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+    salt: str = "cms",
+) -> DataFrame:
+    """Count-Min sketch as pure DataFrame algebra — a depth×width grid
+    of counters where row d increments cell (d, h_d(key)). The sketch
+    is MERGEABLE by construction (cell-wise sum), the build is one
+    aggregation whose map-side combine collapses each partition to at
+    most depth×width rows, and the result is parameter-bounded (1024
+    cells by default) regardless of corpus size — the heavy-hitter
+    twin of the HLL distinct and KLL quantile sketches. Hashing is the
+    engine's md5 idiom, so the sketch is deterministic and the DuckDB
+    oracle reproduces it exactly. Output: (d, bucket, n)."""
+    keyed = (
+        df.select(F.col(key_col).cast("string").alias("__k"))
+        .filter(F.col("__k").isNotNull())
+        .select(
+            "__k",
+            F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d"),
+        )
+    )
+    return keyed.groupBy(
+        "d", _cms_bucket(F.col("__k"), F.col("d"), salt, width)
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+def countmin_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+    salt: str = "cms",
+) -> DataFrame:
+    """Point estimates from a ``countmin_sketch``: est(key) = min over
+    rows d of cell (d, h_d(key)) — always >= the true count; the
+    overcount is bounded by the other keys colliding into the same
+    cells. The sketch side is parameter-bounded, so the join
+    broadcasts; keys never shuffle. Output: keys + (cms_est long)."""
+    probes = keys.select(
+        F.col(key_col),
+        F.col(key_col).cast("string").alias("__k"),
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d"),
+    ).select(
+        key_col,
+        "d",
+        _cms_bucket(F.col("__k"), F.col("d"), salt, width),
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["d", "bucket"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce("n", F.lit(0))).alias("cms_est"))
+    )
+
+
+def chi_square_independence(
+    df: DataFrame, col_a: str, col_b: str, round_dp: int = 6
+) -> DataFrame:
+    """Pearson chi-square contingency analysis of two categoricals: one
+    corpus aggregation to the |A|×|B| cell table, then marginals,
+    expected counts, and per-cell contributions via windows OVER THE
+    CELL TABLE (never the corpus). The cell table is the FULL |A|×|B|
+    grid — absent combinations enter as observed=0 (their contribution
+    is the full expected count, not zero; dropping them biases chi2 low
+    exactly when the variables are most dependent), built by cross-
+    joining the two distinct level sets (dim-sized) against the
+    observed counts. Output per cell: observed, expected, contrib =
+    (obs-exp)²/exp, plus the shared chi2/dof (coarser-rounded: the
+    total re-sums per-cell doubles, so it gets 4dp where the cells get
+    ``round_dp``). NULL categories are excluded (they form no
+    hypothesis cell)."""
+    counted = (
+        df.filter(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+        .groupBy(col_a, col_b)
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    grid = (
+        counted.select(col_a)
+        .distinct()
+        .crossJoin(F.broadcast(counted.select(col_b).distinct()))
+    )
+    obs = grid.join(counted, [col_a, col_b], "left").select(
+        col_a, col_b, F.coalesce("__n", F.lit(0)).alias("observed")
+    )
+    wa = Window.partitionBy(col_a)
+    wb = Window.partitionBy(col_b)
+    wall = Window.partitionBy()
+    rtot = F.sum("observed").over(wa)
+    ctot = F.sum("observed").over(wb)
+    n = F.sum("observed").over(wall)
+    exp = rtot * ctot / n
+    contrib = (F.col("observed") - exp) * (F.col("observed") - exp) / exp
+    cells = obs.select(
+        col_a,
+        col_b,
+        "observed",
+        F.round(exp, round_dp).alias("expected"),
+        F.round(contrib, round_dp).alias("contrib"),
+    )
+    n_a = F.size(F.collect_set(col_a).over(wall))
+    n_b = F.size(F.collect_set(col_b).over(wall))
+    return cells.select(
+        "*",
+        F.round(F.sum("contrib").over(wall), 4).alias("chi2"),
+        ((n_a - 1) * (n_b - 1)).cast("int").alias("dof"),
+    )

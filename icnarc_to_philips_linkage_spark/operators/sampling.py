@@ -434,3 +434,74 @@ def weighted_reservoir_topk(
     )
     win = Window.orderBy(F.desc("sample_key"), F.asc(id_col))
     return ranked.withColumn("rank", F.row_number().over(win))
+
+
+# Poisson(1) CDF thresholds for inverse-CDF bootstrap weights: P(W<=k)
+# for k = 0..5; a uniform beyond the last threshold draws weight 6.
+POISSON1_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+)
+
+
+def poisson_bootstrap_means(
+    df: DataFrame,
+    id_col: str,
+    value_col: str,
+    replicates: int = 32,
+    salt: str = "boot",
+) -> DataFrame:
+    """Poisson bootstrap — the distributed form of the classic
+    resample-with-replacement: replicate b gives each row a weight
+    drawn Poisson(1) from the DETERMINISTIC md5 uniform of
+    (salt, b, id), so every engine (and every rerun) sees the same
+    resamples. The replicate fan-out is map-side only (explode +
+    per-row CASE); the shuffle carries one partial aggregate per
+    (replicate × partition), and weighted sums accumulate in exact
+    decimal, so replicate means are engine-identical. Output:
+    (replicate, n_eff, boot_mean) — feed the B means to any quantile
+    op for the CI."""
+    rep = F.explode(
+        F.sequence(F.lit(0), F.lit(replicates - 1))
+    ).alias("replicate")
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(f"{salt}:"),
+                    F.col("replicate").cast("string"),
+                    F.lit(":"),
+                    F.col(id_col).cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("double") / F.lit(float(16**8))
+    w = F.lit(6)
+    for k in range(len(POISSON1_CDF) - 1, -1, -1):
+        w = F.when(u < POISSON1_CDF[k], F.lit(k)).otherwise(w)
+    weighted = df.select(
+        F.col(id_col),
+        F.col(value_col).cast("decimal(18,6)").alias("__v"),
+        rep,
+    ).select("replicate", "__v", w.alias("__w"))
+    return (
+        weighted.groupBy("replicate")
+        .agg(
+            F.sum("__w").alias("n_eff"),
+            F.round(
+                (
+                    F.sum(F.col("__w") * F.col("__v")).cast("double")
+                    / F.sum("__w")
+                ),
+                6,
+            ).alias("boot_mean"),
+        )
+    )

@@ -2114,6 +2114,51 @@ ORDER BY d.doc_id
 _WRES_K = 100
 
 
+def sample_bootstrap_means(spark: SparkSession, sf: str) -> DataFrame:
+    """Poisson-bootstrap replicate means of document length
+    (sampling.poisson_bootstrap_means): 16 deterministic md5-seeded
+    resamples of the corpus, each collapsing map-side to one weighted
+    decimal sum — the scale-correct form of bootstrap confidence
+    intervals (resampling 100 TB with replacement is a weight column,
+    not a copy)."""
+    return sampling.poisson_bootstrap_means(
+        load(spark, sf, "documents"),
+        "doc_id",
+        "n_chars",
+        replicates=16,
+    )
+
+
+def _bootstrap_sql() -> str:
+    from icnarc_to_philips_linkage_spark.operators.sampling import (
+        POISSON1_CDF,
+    )
+
+    nib = "(strpos('0123456789abcdef', substr(h, {i}, 1)) - 1)"
+    hv = " + ".join(
+        f"{nib.format(i=i + 1)} * {16 ** (7 - i)}" for i in range(8)
+    )
+    cases = " ".join(
+        f"WHEN u < {c!r} THEN {k}" for k, c in enumerate(POISSON1_CDF)
+    )
+    return f"""
+WITH hashed AS (
+  SELECT CAST(n_chars AS DECIMAL(18,6)) AS v, b.replicate,
+         substr(md5('boot:' || CAST(b.replicate AS VARCHAR) || ':'
+                    || CAST(doc_id AS VARCHAR)), 1, 8) AS h
+  FROM documents
+  CROSS JOIN (SELECT unnest(range(16)) AS replicate) b),
+weighted AS (
+  SELECT replicate, v,
+         CASE {cases} ELSE 6 END AS w
+  FROM (SELECT replicate, v, ({hv}) / {float(16 ** 8)!r} AS u
+        FROM hashed))
+SELECT replicate, SUM(w) AS n_eff,
+       ROUND(CAST(SUM(w * v) AS DOUBLE) / SUM(w), 6) AS boot_mean
+FROM weighted GROUP BY replicate
+"""
+
+
 def sample_weighted_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Exact-k weighted sample without replacement
     (sampling.weighted_reservoir_topk, Efraimidis-Spirakis keys):
@@ -2259,6 +2304,7 @@ FROM cdfs
 QUERIES: dict[str, tuple] = {
     "drift_wasserstein": (drift_wasserstein, _wasserstein_sql()),
     "sample_weighted_topk": (sample_weighted_topk, _wres_sql()),
+    "sample_bootstrap_means": (sample_bootstrap_means, _bootstrap_sql()),
     "check_split_leakage": (check_split_leakage, _leakage_sql()),
     "text_tokens_to_ids": (text_tokens_to_ids, TOKENS_TO_IDS_SQL),
     "report_corpus_datasheet": (report_corpus_datasheet, DATASHEET_SQL),

@@ -2503,6 +2503,119 @@ FROM sums
 """
 
 
+def a24_chi_square(spark: SparkSession, sf: str) -> DataFrame:
+    """Pearson chi-square independence screen between order priority
+    and status (profile.chi_square_independence): corpus → cell table
+    in one aggregation; marginals/expected/contribs via windows over
+    the 15-cell table."""
+    return profile.chi_square_independence(
+        load(spark, sf, "orders"), "o_orderpriority", "o_orderstatus"
+    )
+
+
+A24_SQL = """
+WITH counted AS (
+  SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
+  FROM orders
+  WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
+  GROUP BY 1, 2
+),
+obs AS (
+  SELECT a.o_orderpriority, b.o_orderstatus, COALESCE(c.n, 0) AS observed
+  FROM (SELECT DISTINCT o_orderpriority FROM counted) a
+  CROSS JOIN (SELECT DISTINCT o_orderstatus FROM counted) b
+  LEFT JOIN counted c USING (o_orderpriority, o_orderstatus)
+),
+cells AS (
+  SELECT o_orderpriority, o_orderstatus, observed,
+         ROUND(SUM(observed) OVER (PARTITION BY o_orderpriority)
+               * SUM(observed) OVER (PARTITION BY o_orderstatus)
+               * 1.0 / SUM(observed) OVER (), 6) AS expected,
+         ROUND(POWER(observed
+                     - SUM(observed) OVER (PARTITION BY o_orderpriority)
+                       * SUM(observed) OVER (PARTITION BY o_orderstatus)
+                       * 1.0 / SUM(observed) OVER (), 2)
+               / (SUM(observed) OVER (PARTITION BY o_orderpriority)
+                  * SUM(observed) OVER (PARTITION BY o_orderstatus)
+                  * 1.0 / SUM(observed) OVER ()), 6) AS contrib
+  FROM obs
+)
+SELECT o_orderpriority, o_orderstatus, observed, expected, contrib,
+       ROUND(SUM(contrib) OVER (), 4) AS chi2,
+       CAST((COUNT(DISTINCT o_orderpriority) OVER () - 1)
+            * (COUNT(DISTINCT o_orderstatus) OVER () - 1) AS INT) AS dof
+FROM cells
+"""
+
+_CMS_DEPTH, _CMS_WIDTH = 4, 256
+
+
+def sketch_countmin_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-Min heavy hitters (profile.countmin_sketch/estimate): the
+    1024-cell sketch built in one map-combined aggregation, point
+    estimates for the exact top-10 parts via a broadcast join against
+    the sketch. md5 hashing makes the sketch deterministic, so the
+    estimates — including the est >= exact domination invariant — hash-
+    match the DuckDB reconstruction exactly."""
+    l = load(spark, sf, "lineitem")
+    exact = l.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("exact_n"))
+    top = profile.top_k(
+        exact, [F.desc("exact_n"), F.asc("l_partkey")], 10
+    )
+    sk = profile.countmin_sketch(
+        l, "l_partkey", depth=_CMS_DEPTH, width=_CMS_WIDTH
+    )
+    est = profile.countmin_estimate(
+        sk,
+        top.select("l_partkey"),
+        "l_partkey",
+        depth=_CMS_DEPTH,
+        width=_CMS_WIDTH,
+    )
+    return top.join(est, "l_partkey").select(
+        "l_partkey",
+        "exact_n",
+        "cms_est",
+        (F.col("cms_est") >= F.col("exact_n")).alias("est_dominates"),
+    )
+
+
+def _cms_sql() -> str:
+    bucket = (
+        "((strpos('0123456789abcdef', substr(md5('cms' || CAST(d.d AS "
+        "VARCHAR) || ':' || {k}), 1, 1)) - 1) * 16 + "
+        "(strpos('0123456789abcdef', substr(md5('cms' || CAST(d.d AS "
+        f"VARCHAR) || ':' || {{k}}), 2, 1)) - 1)) % {_CMS_WIDTH}"
+    )
+    return f"""
+WITH d AS (SELECT unnest(range({_CMS_DEPTH})) AS d),
+cells AS (
+  SELECT d.d, {bucket.format(k="CAST(l_partkey AS VARCHAR)")} AS bucket,
+         COUNT(*) AS n
+  FROM lineitem CROSS JOIN d
+  WHERE l_partkey IS NOT NULL
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT l_partkey, COUNT(*) AS exact_n FROM lineitem
+  GROUP BY 1 ORDER BY exact_n DESC, l_partkey LIMIT 10
+),
+probes AS (
+  SELECT e.l_partkey, e.exact_n, d.d,
+         {bucket.format(k="CAST(e.l_partkey AS VARCHAR)")} AS bucket
+  FROM exact e CROSS JOIN d
+),
+est AS (
+  SELECT p.l_partkey, MIN(p.exact_n) AS exact_n,
+         MIN(COALESCE(c.n, 0)) AS cms_est
+  FROM probes p LEFT JOIN cells c ON p.d = c.d AND p.bucket = c.bucket
+  GROUP BY p.l_partkey
+)
+SELECT l_partkey, exact_n, cms_est, cms_est >= exact_n AS est_dominates
+FROM est
+"""
+
+
 def set_intersect_all(spark: SparkSession, sf: str) -> DataFrame:
     """Multiset INTERSECT ALL (multiplicity = min of the two sides):
     parts shipped in 1996 ∩ parts shipped in 1997, copies preserved —
@@ -2570,6 +2683,8 @@ QUERIES: dict[str, tuple] = {
     "a23_grouped_moments": (a23_grouped_moments, A23_SQL),
     "set_intersect_all": (set_intersect_all, SET_INTERSECT_ALL_SQL),
     "ev_transition_matrix": (ev_transition_matrix, EV_TRANSITION_SQL),
+    "a24_chi_square": (a24_chi_square, A24_SQL),
+    "sketch_countmin_topk": (sketch_countmin_topk, _cms_sql()),
     "f2_f8_conjunctive": (f2_f8_conjunctive, F2_SQL),
     "f4_in_list": (f4_in_list, F4_SQL),
     "f5_not_in": (f5_not_in, F5_SQL),

@@ -1,0 +1,97 @@
+"""Round-6 second wave: Count-Min sketch, chi-square independence,
+Poisson bootstrap."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_countmin_estimate_dominates_and_is_tight_when_sparse(spark):
+    """est >= exact always; with far fewer keys than cells the min over
+    depth rows is exact for every key."""
+    from icnarc_to_philips_linkage_spark.operators.profile import (
+        countmin_estimate,
+        countmin_sketch,
+    )
+
+    rows = [(k,) for k in ["a"] * 50 + ["b"] * 20 + ["c"] * 5 + ["d"] * 1]
+    df = spark.createDataFrame(rows, "k string")
+    sk = countmin_sketch(df, "k", depth=4, width=256)
+    keys = spark.createDataFrame([("a",), ("b",), ("c",), ("d",), ("zz",)], "k string")
+    est = {r.k: r.cms_est for r in countmin_estimate(sk, keys, "k").collect()}
+    exact = {"a": 50, "b": 20, "c": 5, "d": 1, "zz": 0}
+    for k, n in exact.items():
+        assert est[k] >= n
+    # 4 keys into 4x256 cells: collisions essentially impossible with
+    # fixed md5 hashing — estimates are exact, including the absent key
+    assert est == exact
+
+
+def test_countmin_sketch_is_mergeable(spark):
+    """Cell-wise sum of two half-corpus sketches equals the sketch of
+    the union — the property that makes it a scale sketch."""
+    from icnarc_to_philips_linkage_spark.operators.profile import (
+        countmin_sketch,
+    )
+
+    rows = [(i, f"k{i % 17}") for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, k string").select("k", "id")
+    left = df.filter(F.col("id") < 100)
+    right = df.filter(F.col("id") >= 100)
+    merged = (
+        countmin_sketch(left, "k")
+        .unionByName(countmin_sketch(right, "k"))
+        .groupBy("d", "bucket")
+        .agg(F.sum("n").alias("n"))
+    )
+    whole = countmin_sketch(df, "k")
+    a = {(r.d, r.bucket): r.n for r in merged.collect()}
+    b = {(r.d, r.bucket): r.n for r in whole.collect()}
+    assert a == b
+
+
+def test_chi_square_independent_vs_dependent(spark):
+    from icnarc_to_philips_linkage_spark.operators.profile import (
+        chi_square_independence,
+    )
+
+    # perfectly independent 2x2 (all cells 25): chi2 == 0
+    indep = spark.createDataFrame(
+        [(a, b) for a in "xy" for b in "uv" for _ in range(25)],
+        "a string, b string",
+    )
+    out = chi_square_independence(indep, "a", "b").collect()
+    assert all(r.chi2 == 0.0 for r in out)
+    assert out[0].dof == 1
+    # perfectly dependent: a==x iff b==u; chi2 == n
+    dep_rows = [("x", "u")] * 30 + [("y", "v")] * 30
+    dep = spark.createDataFrame(dep_rows, "a string, b string")
+    out2 = chi_square_independence(dep, "a", "b").collect()
+    assert all(r.chi2 == pytest.approx(60.0, abs=1e-6) for r in out2)
+
+
+def test_poisson_bootstrap_weights_and_means(spark):
+    from icnarc_to_philips_linkage_spark.operators.sampling import (
+        poisson_bootstrap_means,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(i % 10)) for i in range(2000)], "id long, v double"
+    )
+    out = poisson_bootstrap_means(df, "id", "v", replicates=8).collect()
+    assert len(out) == 8
+    true_mean = sum(i % 10 for i in range(2000)) / 2000
+    means = [r.boot_mean for r in out]
+    # Poisson(1) weights: n_eff ≈ n, replicate means cluster around the
+    # sample mean with sd ≈ sd(v)/sqrt(n) ≈ 0.064 — allow 5 sigma
+    for r in out:
+        assert abs(r.n_eff - 2000) < 250
+    for m in means:
+        assert abs(m - true_mean) < 5 * 2.87 / math.sqrt(2000)
+    # determinism: same salt → identical replicate means
+    again = sorted(
+        r.boot_mean
+        for r in poisson_bootstrap_means(df, "id", "v", replicates=8).collect()
+    )
+    assert again == sorted(means)
