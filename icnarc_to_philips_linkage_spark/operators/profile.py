@@ -885,18 +885,28 @@ def column_profile(
     )
 
 
-def _cms_bucket(key: Column, d: Column, salt: str, width: int) -> Column:
-    """Row-d bucket for a key: the first 2 hex chars of
-    md5('{salt}{d}:{key}') as an integer. width must divide 256 so the
-    hex prefix is uniform over the bucket space."""
+def _cms_buckets(key: Column, depth: int, width: int, salt: str) -> Column:
+    """All ``depth`` row-buckets for a key from ONE md5: the 32-hex
+    digest of '{salt}:{key}' is sliced into consecutive 2-hex pairs,
+    pair d giving row d's bucket. One hash per row instead of depth —
+    the usual CMS implementation trick (the slices of a single strong
+    hash serve as the pairwise-independent family). width must divide
+    256 so a hex pair is uniform over the bucket space; depth <= 16
+    pairs fit in the digest."""
     if not (0 < width <= 256 and 256 % width == 0):
         raise ValueError(f"width must divide 256, got {width}")
-    h = F.substring(
-        F.md5(F.concat(F.lit(salt), d.cast("string"), F.lit(":"), key)),
-        1,
-        2,
+    if depth > 16:
+        raise ValueError(f"depth must be <= 16, got {depth}")
+    h = F.md5(F.concat(F.lit(f"{salt}:"), key))
+    return F.array(
+        *[
+            (
+                F.conv(F.substring(h, 2 * d + 1, 2), 16, 10).cast("int")
+                % width
+            )
+            for d in range(depth)
+        ]
     )
-    return (F.conv(h, 16, 10).cast("int") % width).alias("bucket")
 
 
 def countmin_sketch(
@@ -912,20 +922,22 @@ def countmin_sketch(
     aggregation whose map-side combine collapses each partition to at
     most depth×width rows, and the result is parameter-bounded (1024
     cells by default) regardless of corpus size — the heavy-hitter
-    twin of the HLL distinct and KLL quantile sketches. Hashing is the
-    engine's md5 idiom, so the sketch is deterministic and the DuckDB
-    oracle reproduces it exactly. Output: (d, bucket, n)."""
-    keyed = (
-        df.select(F.col(key_col).cast("string").alias("__k"))
-        .filter(F.col("__k").isNotNull())
-        .select(
-            "__k",
-            F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d"),
+    twin of the HLL distinct and KLL quantile sketches. Hashing is one
+    md5 per input row (digest slices are the row hashes), so the
+    sketch is deterministic and the DuckDB oracle reproduces it
+    exactly. Output: (d, bucket, n)."""
+    keyed = df.select(
+        F.col(key_col).cast("string").alias("__k")
+    ).filter(F.col("__k").isNotNull())
+    return (
+        keyed.select(
+            F.posexplode(
+                _cms_buckets(F.col("__k"), depth, width, salt)
+            ).alias("d", "bucket")
         )
+        .groupBy("d", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
-    return keyed.groupBy(
-        "d", _cms_bucket(F.col("__k"), F.col("d"), salt, width)
-    ).agg(F.count(F.lit(1)).alias("n"))
 
 
 def countmin_estimate(
@@ -943,12 +955,11 @@ def countmin_estimate(
     broadcasts; keys never shuffle. Output: keys + (cms_est long)."""
     probes = keys.select(
         F.col(key_col),
-        F.col(key_col).cast("string").alias("__k"),
-        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d"),
-    ).select(
-        key_col,
-        "d",
-        _cms_bucket(F.col("__k"), F.col("d"), salt, width),
+        F.posexplode(
+            _cms_buckets(
+                F.col(key_col).cast("string"), depth, width, salt
+            )
+        ).alias("d", "bucket"),
     )
     return (
         probes.join(F.broadcast(sketch), ["d", "bucket"], "left")

@@ -2559,9 +2559,12 @@ def sketch_countmin_topk(spark: SparkSession, sf: str) -> DataFrame:
     match the DuckDB reconstruction exactly."""
     l = load(spark, sf, "lineitem")
     exact = l.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("exact_n"))
+    # the top-k feeds BOTH the probe side and the final join; pinning
+    # the 10-row result stops Catalyst planning the corpus aggregation
+    # twice (k-bounded eager materialization, same trade as global_rank)
     top = profile.top_k(
         exact, [F.desc("exact_n"), F.asc("l_partkey")], 10
-    )
+    ).localCheckpoint(eager=True)
     sk = profile.countmin_sketch(
         l, "l_partkey", depth=_CMS_DEPTH, width=_CMS_WIDTH
     )
@@ -2581,11 +2584,13 @@ def sketch_countmin_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _cms_sql() -> str:
+    # bucket for digest row d: hex pair at offset 2d of ONE md5 digest
+    # — mirrors profile._cms_buckets' digest slicing
     bucket = (
-        "((strpos('0123456789abcdef', substr(md5('cms' || CAST(d.d AS "
-        "VARCHAR) || ':' || {k}), 1, 1)) - 1) * 16 + "
-        "(strpos('0123456789abcdef', substr(md5('cms' || CAST(d.d AS "
-        f"VARCHAR) || ':' || {{k}}), 2, 1)) - 1)) % {_CMS_WIDTH}"
+        "((strpos('0123456789abcdef', substr(md5('cms:' || {k}), "
+        "2 * d.d + 1, 1)) - 1) * 16 + "
+        "(strpos('0123456789abcdef', substr(md5('cms:' || {k}), "
+        f"2 * d.d + 2, 1)) - 1)) % {_CMS_WIDTH}"
     )
     return f"""
 WITH d AS (SELECT unnest(range({_CMS_DEPTH})) AS d),
