@@ -101,6 +101,7 @@ def global_rank(
     order_cols: list[str],
     rank_col: str = "rank",
     partitions: int | None = None,
+    total_col: str | None = None,
 ) -> DataFrame:
     """Distributed global ordinal: 1-based dense row number over a total
     order — the DataFrame-native replacement for ``rdd.zipWithIndex``
@@ -122,6 +123,11 @@ def global_rank(
     ``localCheckpoint`` pins partition identity between the counts
     collect and the final evaluation (persist would only best-effort
     pin; recomputation could shift ids — see pack_sequences).
+
+    ``total_col`` optionally adds the TOTAL row count as a literal
+    column — it falls out of the per-partition counts this op already
+    collected, so rank-fraction math (NTILE buckets, percentile
+    positions) costs no extra pass over the data.
     """
     local = _global_rank_stage(df, order_cols, partitions).localCheckpoint(
         eager=True
@@ -139,6 +145,9 @@ def global_rank(
             F.col("__pid") == pid, F.lit(o)
         )
     off = off.otherwise(F.lit(0)) if off is not None else F.lit(0)
-    return local.withColumn(
+    out = local.withColumn(
         rank_col, (off + F.col("__local_rn")).cast("long")
     ).drop("__pid", "__local_rn")
+    if total_col is not None:
+        out = out.withColumn(total_col, F.lit(acc).cast("long"))
+    return out

@@ -2321,16 +2321,19 @@ def w7_decile_profile(spark: SparkSession, sf: str) -> DataFrame:
         "l_extendedprice", "l_orderkey", "l_linenumber"
     )
     ranked = global_rank(
-        l, ["l_extendedprice", "l_orderkey", "l_linenumber"]
+        l,
+        ["l_extendedprice", "l_orderkey", "l_linenumber"],
+        total_col="__n",  # falls out of the rank's partition counts —
+        # no separate count() pass over the checkpoint
     )
-    n = ranked.count()
     k = 10
-    q, m = divmod(n, k)
+    q = F.floor(F.col("__n") / k)
+    m = F.col("__n") % k
     cut = (q + 1) * m  # ranks 1..cut fill the m oversized buckets
     r = F.col("rank")
     bucket = F.when(
-        r <= cut, F.floor((r - 1) / F.lit(q + 1)) + 1
-    ).otherwise(F.lit(m) + F.floor((r - 1 - cut) / F.lit(max(q, 1))) + 1)
+        r <= cut, F.floor((r - 1) / (q + 1)) + 1
+    ).otherwise(m + F.floor((r - 1 - cut) / F.greatest(q, F.lit(1))) + 1)
     return (
         ranked.withColumn("decile", bucket.cast("int"))
         .groupBy("decile")
