@@ -505,3 +505,27 @@ def poisson_bootstrap_means(
             ).alias("boot_mean"),
         )
     )
+
+
+def group_capped_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    k: int,
+    salt: str = "gcap",
+) -> DataFrame:
+    """At most ``k`` rows per group, chosen uniformly without
+    replacement and DETERMINISTICALLY: rank each group by the md5 hash
+    of (salt, id) — uniform over ids — and keep the first k. The
+    "cap every language / source at N documents" mixture-control op.
+    Spark plans the row_number filter as WindowGroupLimit, discarding
+    beyond-k rows in a partial pass BEFORE the group shuffle, so the
+    exchange carries at most k rows per (partition, group)."""
+    w = Window.partitionBy(group_col).orderBy(
+        hash_bucket(id_col, salt), F.col(id_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

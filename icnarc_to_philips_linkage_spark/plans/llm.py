@@ -2159,6 +2159,28 @@ FROM weighted GROUP BY replicate
 """
 
 
+def sample_group_capped(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group cap (sampling.group_capped_sample): at most 30 docs
+    per language, deterministic md5-order selection; the row_number
+    cap plans as WindowGroupLimit (partial discard before the group
+    shuffle)."""
+    return sampling.group_capped_sample(
+        load(spark, sf, "documents").select("doc_id", "lang"),
+        "lang",
+        "doc_id",
+        30,
+    )
+
+
+SAMPLE_GROUP_CAPPED_SQL = """
+SELECT doc_id, lang FROM documents
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY lang
+  ORDER BY substr(md5('gcap:' || CAST(doc_id AS VARCHAR)), 1, 8), doc_id
+) <= 30
+"""
+
+
 def sample_weighted_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Exact-k weighted sample without replacement
     (sampling.weighted_reservoir_topk, Efraimidis-Spirakis keys):
@@ -2305,6 +2327,7 @@ QUERIES: dict[str, tuple] = {
     "drift_wasserstein": (drift_wasserstein, _wasserstein_sql()),
     "sample_weighted_topk": (sample_weighted_topk, _wres_sql()),
     "sample_bootstrap_means": (sample_bootstrap_means, _bootstrap_sql()),
+    "sample_group_capped": (sample_group_capped, SAMPLE_GROUP_CAPPED_SQL),
     "check_split_leakage": (check_split_leakage, _leakage_sql()),
     "text_tokens_to_ids": (text_tokens_to_ids, TOKENS_TO_IDS_SQL),
     "report_corpus_datasheet": (report_corpus_datasheet, DATASHEET_SQL),

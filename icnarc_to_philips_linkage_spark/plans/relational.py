@@ -2506,6 +2506,41 @@ FROM sums
 """
 
 
+def w8_rank_functions(spark: SparkSession, sf: str) -> DataFrame:
+    """Ranking-window family in one pass: rank / dense_rank /
+    percent_rank / cume_dist over each customer's orders by price. One
+    window spec → ONE sort+exchange for all four functions; per-key
+    partitions keep the sort partition-local (never a global window).
+    percent_rank/cume_dist are exact integer ratios — engine-identical
+    without rounding; a unique tiebreak pins tie order for rank
+    stability but ties in o_totalprice still exercise the rank-vs-
+    dense_rank gap."""
+    o = load(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("dense_rnk"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+W8_SQL = """
+SELECT o_custkey, o_orderkey,
+       RANK() OVER w AS rnk,
+       DENSE_RANK() OVER w AS dense_rnk,
+       PERCENT_RANK() OVER w AS pct_rank,
+       CUME_DIST() OVER w AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY o_totalprice DESC, o_orderkey ASC)
+"""
+
+
 def a24_chi_square(spark: SparkSession, sf: str) -> DataFrame:
     """Pearson chi-square independence screen between order priority
     and status (profile.chi_square_independence): corpus → cell table
@@ -2692,6 +2727,7 @@ QUERIES: dict[str, tuple] = {
     "set_intersect_all": (set_intersect_all, SET_INTERSECT_ALL_SQL),
     "ev_transition_matrix": (ev_transition_matrix, EV_TRANSITION_SQL),
     "a24_chi_square": (a24_chi_square, A24_SQL),
+    "w8_rank_functions": (w8_rank_functions, W8_SQL),
     "sketch_countmin_topk": (sketch_countmin_topk, _cms_sql()),
     "f2_f8_conjunctive": (f2_f8_conjunctive, F2_SQL),
     "f4_in_list": (f4_in_list, F4_SQL),

@@ -95,3 +95,60 @@ def test_poisson_bootstrap_weights_and_means(spark):
         for r in poisson_bootstrap_means(df, "id", "v", replicates=8).collect()
     )
     assert again == sorted(means)
+
+
+def test_group_capped_sample_caps_and_plans_group_limit(spark):
+    from icnarc_to_philips_linkage_spark.operators.sampling import (
+        group_capped_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"g{i % 3}") for i in range(100)], "id long, g string"
+    )
+    out = group_capped_sample(df, "g", "id", 5)
+    counts = {r.g: r.n for r in out.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"g0": 5, "g1": 5, "g2": 5}
+    # deterministic: same selection on rerun
+    ids = sorted(r.id for r in out.collect())
+    assert ids == sorted(r.id for r in group_capped_sample(df, "g", "id", 5).collect())
+    # small groups survive uncapped
+    tiny = spark.createDataFrame([(1, "x"), (2, "x")], "id long, g string")
+    assert group_capped_sample(tiny, "g", "id", 5).count() == 2
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+
+def test_countmin_streaming_maintenance_via_rollup(spark, tmp_path):
+    """Composition: CMS cell partials fold through the incremental
+    rollup state machinery — a continuously-maintained heavy-hitter
+    sketch with the rollup's exactly-once batch guard. The maintained
+    state must equal the sketch of the union corpus."""
+    from icnarc_to_philips_linkage_spark.operators.profile import (
+        countmin_sketch,
+    )
+    from icnarc_to_philips_linkage_spark.operators.rollup import (
+        read_rollup_state,
+        rollup_apply,
+        rollup_values,
+    )
+
+    d = str(tmp_path / "cms_state")
+    b1 = spark.createDataFrame([(f"k{i % 7}",) for i in range(60)], "k string")
+    b2 = spark.createDataFrame([(f"k{i % 11}",) for i in range(40)], "k string")
+    for i, b in enumerate([b1, b2]):
+        cells = countmin_sketch(b, "k").select(
+            "d", "bucket", F.col("n").cast("double").alias("n")
+        )
+        assert rollup_apply(cells, d, ["d", "bucket"], ["n"], batch_id=i)
+    # replay of batch 0 must be a no-op (sums are not idempotent)
+    cells0 = countmin_sketch(b1, "k").select(
+        "d", "bucket", F.col("n").cast("double").alias("n")
+    )
+    assert rollup_apply(cells0, d, ["d", "bucket"], ["n"], batch_id=0) is False
+    state = rollup_values(read_rollup_state(spark, d), ["n"])
+    got = {(r.d, r.bucket): int(r.sum_n) for r in state.collect()}
+    want = {
+        (r.d, r.bucket): r.n
+        for r in countmin_sketch(b1.unionByName(b2), "k").collect()
+    }
+    assert got == want
