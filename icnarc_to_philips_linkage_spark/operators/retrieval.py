@@ -274,3 +274,44 @@ def containment_pairs(
     return out.filter(
         F.greatest("cont_a_in_b", "cont_b_in_a") >= F.lit(threshold)
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 60,
+    top_k: int = 20,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N rankers: ``score(d) = Σ_r 1/(k +
+    rank_r(d))`` over the rankers that returned d — the standard
+    hybrid-retrieval combiner (lexical BM25 + dense ANN), robust to
+    incomparable score scales because only RANKS enter. Each input
+    must carry ``rank_col`` (1-based within that ranker).
+
+    Determinism: each reciprocal term is rounded to 9dp and summed as
+    exact decimal, so the fused score is independent of both engine
+    and union order; ties break on ascending id. The inputs are top-k
+    lists (parameter-bounded), so the fusion aggregates k·N rows —
+    driver-scale work regardless of corpus size."""
+    parts = [
+        r.select(
+            F.col(id_col),
+            F.round(1.0 / (F.lit(k) + F.col(rank_col)), 9)
+            .cast("decimal(12,9)")
+            .alias("__term"),
+        )
+        for r in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return (
+        u.groupBy(id_col)
+        .agg(
+            F.sum("__term").cast("double").alias("rrf_score"),
+            F.count(F.lit(1)).alias("n_rankers"),
+        )
+        .orderBy(F.desc("rrf_score"), F.col(id_col))
+        .limit(top_k)
+    )

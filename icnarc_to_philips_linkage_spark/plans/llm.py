@@ -1659,6 +1659,104 @@ ORDER BY score DESC, doc_id LIMIT {_BM25_TOPK}
 """
 
 
+_RRF_POOL, _RRF_K, _RRF_TOPK, _RRF_QVEC = 50, 60, 20, 0
+
+
+def retrieval_rrf_fusion(spark: SparkSession, sf: str) -> DataFrame:
+    """Hybrid retrieval (retrieval.rrf_fuse): BM25 lexical top-50 and
+    dense cosine top-50 for one query vector, fused by reciprocal
+    rank — the standard RAG hybrid-search combiner. Both rankers are
+    parameter-bounded lists, so ranking windows and the fusion
+    aggregate run over ≤100 rows regardless of corpus size; the heavy
+    lifting stays in the two rankers' own scale-shaped plans."""
+    from pyspark.sql import Window
+
+    from icnarc_to_philips_linkage_spark.operators import (
+        retrieval,
+        similarity,
+    )
+
+    docs = load(spark, sf, "documents")
+    emb = load(spark, sf, "embeddings")
+    bm = retrieval.bm25_search(
+        docs, _BM25_TERMS, k1=_BM25_K1, b=_BM25_B, top_k=_RRF_POOL
+    )
+    w_bm = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    bm_ranked = bm.select(
+        "doc_id", F.row_number().over(w_bm).alias("rank")
+    )
+    cos = similarity.knn_brute_force(
+        emb, emb.filter(F.col("vec_id") == _RRF_QVEC), k=_RRF_POOL
+    )
+    w_cos = Window.orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    cos_ranked = cos.select(
+        F.col("neighbor_id").alias("doc_id"),
+        F.row_number().over(w_cos).alias("rank"),
+    )
+    return retrieval.rrf_fuse(
+        [bm_ranked, cos_ranked], k=_RRF_K, top_k=_RRF_TOPK
+    )
+
+
+def _rrf_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    k1, b = _BM25_K1, _BM25_B
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+posting AS (SELECT doc_id, unnest(t) AS term FROM toks),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM posting
+  WHERE term IN ({terms}) GROUP BY 1, 2
+),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+w AS (
+  SELECT tf.doc_id,
+         ROUND(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * (tf.tf * ({k1} + 1.0))
+               / (tf.tf + {k1} * ((1.0 - {b}) + {b} * dl.dl / s.avgdl)),
+               6) AS w
+  FROM tf JOIN dl USING (doc_id) JOIN dfreq d USING (term) CROSS JOIN stats s
+),
+bm AS (
+  SELECT doc_id, ROUND(SUM(w), 6) AS score
+  FROM w GROUP BY doc_id
+  ORDER BY score DESC, doc_id LIMIT {_RRF_POOL}
+),
+bm_ranked AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+  FROM bm
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {_RRF_QVEC}),
+cos AS (
+  SELECT c.vec_id AS doc_id, {_cos_sql('q.qv', 'c.embedding')} AS cos_sim
+  FROM embeddings c, q
+  WHERE c.vec_id != {_RRF_QVEC}
+  ORDER BY cos_sim DESC, doc_id LIMIT {_RRF_POOL}
+),
+cos_ranked AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY cos_sim DESC, doc_id) AS rank
+  FROM cos
+),
+terms_t AS (
+  SELECT doc_id,
+         CAST(ROUND(1.0 / ({_RRF_K} + rank), 9) AS DECIMAL(12,9)) AS term
+  FROM bm_ranked
+  UNION ALL
+  SELECT doc_id,
+         CAST(ROUND(1.0 / ({_RRF_K} + rank), 9) AS DECIMAL(12,9)) AS term
+  FROM cos_ranked
+)
+SELECT doc_id, CAST(SUM(term) AS DOUBLE) AS rrf_score,
+       COUNT(*) AS n_rankers
+FROM terms_t GROUP BY doc_id
+ORDER BY rrf_score DESC, doc_id LIMIT {_RRF_TOPK}
+"""
+
+
 _CONTAIN_N, _CONTAIN_T = 8, 0.5
 
 
@@ -2328,6 +2426,7 @@ QUERIES: dict[str, tuple] = {
     "sample_weighted_topk": (sample_weighted_topk, _wres_sql()),
     "sample_bootstrap_means": (sample_bootstrap_means, _bootstrap_sql()),
     "sample_group_capped": (sample_group_capped, SAMPLE_GROUP_CAPPED_SQL),
+    "retrieval_rrf_fusion": (retrieval_rrf_fusion, _rrf_sql()),
     "check_split_leakage": (check_split_leakage, _leakage_sql()),
     "text_tokens_to_ids": (text_tokens_to_ids, TOKENS_TO_IDS_SQL),
     "report_corpus_datasheet": (report_corpus_datasheet, DATASHEET_SQL),

@@ -152,3 +152,25 @@ def test_countmin_streaming_maintenance_via_rollup(spark, tmp_path):
         for r in countmin_sketch(b1.unionByName(b2), "k").collect()
     }
     assert got == want
+
+
+def test_rrf_fuse_hand_case(spark):
+    """Fusion math: doc in both lists beats docs in one; reciprocal
+    terms use k + rank; missing-in-one-ranker docs still score."""
+    from icnarc_to_philips_linkage_spark.operators.retrieval import rrf_fuse
+
+    r1 = spark.createDataFrame(
+        [(10, 1), (20, 2), (30, 3)], "doc_id long, rank int"
+    )
+    r2 = spark.createDataFrame(
+        [(20, 1), (40, 2)], "doc_id long, rank int"
+    )
+    out = {r.doc_id: r for r in rrf_fuse([r1, r2], k=60, top_k=10).collect()}
+    assert out[20].n_rankers == 2 and out[10].n_rankers == 1
+    assert out[20].rrf_score == pytest.approx(
+        round(1 / 62, 9) + round(1 / 61, 9), abs=1e-12
+    )
+    assert out[10].rrf_score == pytest.approx(round(1 / 61, 9), abs=1e-12)
+    # both-lists doc outranks every single-list doc here
+    best = max(out.values(), key=lambda r: r.rrf_score)
+    assert best.doc_id == 20
