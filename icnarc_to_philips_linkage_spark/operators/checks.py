@@ -189,3 +189,45 @@ def check_report_grouped(
     source instead of drowning in the corpus-wide totals. Same single
     aggregation (now keyed), map-side partials, |groups| rows out."""
     return df.groupBy(group_col).agg(*_expectation_aggs(expectations))
+
+
+def referential_integrity_report(
+    links: Sequence[tuple[str, DataFrame, str, DataFrame, str]],
+) -> DataFrame:
+    """Foreign-key orphan audit: for each (name, child, child_key,
+    parent, parent_key) link, count child rows whose key has no parent
+    — the join-correctness precondition every star-schema pipeline
+    gates on. Each link is one LEFT ANTI join aggregated to a single
+    row; NULL child keys are reported separately (they are not orphans
+    — they never join — but silently high null rates break facts the
+    same way). Output per link: (fk_name, n_child, n_null_keys,
+    n_orphans, ok)."""
+    reports = []
+    for name, child, child_key, parent, parent_key in links:
+        keys = child.select(F.col(child_key).alias("__k"))
+        n_child = keys.agg(
+            F.count(F.lit(1)).alias("n_child"),
+            F.sum(F.col("__k").isNull().cast("long")).alias("n_null_keys"),
+        )
+        orphans = (
+            keys.filter(F.col("__k").isNotNull())
+            .join(
+                parent.select(F.col(parent_key).alias("__k")),
+                "__k",
+                "left_anti",
+            )
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+        )
+        reports.append(
+            n_child.crossJoin(orphans).select(
+                F.lit(name).alias("fk_name"),
+                "n_child",
+                "n_null_keys",
+                "n_orphans",
+                (F.col("n_orphans") == 0).alias("ok"),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out

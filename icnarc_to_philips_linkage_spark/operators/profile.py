@@ -1019,3 +1019,42 @@ def chi_square_independence(
         F.round(F.sum("contrib").over(wall), 4).alias("chi2"),
         ((n_a - 1) * (n_b - 1)).cast("int").alias("dof"),
     )
+
+
+def gini_concentration(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Gini coefficient of the per-key value distribution — the
+    concentration/inequality screen (is 1% of users/sources/domains
+    contributing 90% of the volume?). Per-key totals accumulate in
+    exact decimal; the ascending total order comes from the
+    distributed ``global_rank`` (range exchange, never a single
+    sorting task); and with exact rank·total products the classic
+    formula G = 2·Σ rᵢxᵢ / (n·Σx) − (n+1)/n needs only one final
+    double division per term — engine-identical before the round.
+    Output: one row (n_keys, total_value, gini)."""
+    from icnarc_to_philips_linkage_spark.operators.scale import global_rank
+
+    totals = df.groupBy(key_col).agg(
+        F.sum(F.col(value_col).cast("decimal(18,2)")).alias("__x")
+    )
+    ranked = global_rank(
+        totals, ["__x", key_col], total_col="__n"
+    )
+    return ranked.agg(
+        F.max("__n").alias("n_keys"),
+        F.sum("__x").cast("double").alias("total_value"),
+        F.round(
+            F.lit(2.0)
+            * F.sum(F.col("rank") * F.col("__x")).cast("double")
+            / (
+                F.max("__n")
+                * F.sum("__x").cast("double")
+            )
+            - (F.max("__n") + 1.0) / F.max("__n"),
+            round_dp,
+        ).alias("gini"),
+    )

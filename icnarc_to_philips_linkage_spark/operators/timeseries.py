@@ -553,3 +553,46 @@ def asof_join_directional(
         .filter(F.col("__side") == 1)
         .drop("__ts", "__side", "__r")
     )
+
+
+def ohlc_bars(
+    df: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak: str = "event_id",
+    bucket: str = "1 hour",
+) -> DataFrame:
+    """Open/high/low/close downsampling — the financial-bars form of
+    resampling: per (key, time bucket), the first/last value by event
+    time plus min/max/count. ONE aggregation with min_by/max_by over a
+    zero-padded (time, tiebreak) composite — no window sort, no
+    first()/last() order dependence; at 100 TB this is a single
+    map-combined shuffle on (key, bucket).
+
+    The composite order key is ``lpad(epoch_us)||':'||lpad(tiebreak)``
+    so lexicographic comparison equals (time, id) ordering in any
+    engine — min_by needs one orderable argument that DuckDB's
+    arg_min mirrors exactly."""
+    ok = F.concat(
+        F.lpad(F.unix_micros(F.col(ts_col)).cast("string"), 20, "0"),
+        F.lit(":"),
+        F.lpad(F.col(tiebreak).cast("string"), 20, "0"),
+    )
+    w = F.window(ts_col, bucket)
+    return (
+        df.select(
+            F.col(key),
+            w["start"].alias("bucket_start"),
+            F.col(value_col).alias("__v"),
+            ok.alias("__ok"),
+        )
+        .groupBy(key, "bucket_start")
+        .agg(
+            F.min_by("__v", "__ok").alias("open"),
+            F.max("__v").alias("high"),
+            F.min("__v").alias("low"),
+            F.max_by("__v", "__ok").alias("close"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

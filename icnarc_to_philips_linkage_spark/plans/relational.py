@@ -2506,6 +2506,117 @@ FROM sums
 """
 
 
+def ts_ohlc_bars(spark: SparkSession, sf: str) -> DataFrame:
+    """Hourly OHLC bars per user (timeseries.ohlc_bars): one
+    map-combined aggregation; open/close via min_by/max_by on the
+    zero-padded (time, id) composite."""
+    from icnarc_to_philips_linkage_spark.operators.timeseries import (
+        ohlc_bars,
+    )
+
+    return ohlc_bars(load(spark, sf, "events"))
+
+
+TS_OHLC_SQL = """
+SELECT user_id, date_trunc('hour', ts) AS bucket_start,
+       ARG_MIN(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                      || ':' || lpad(CAST(event_id AS VARCHAR), 20, '0'))
+         AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       ARG_MAX(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                      || ':' || lpad(CAST(event_id AS VARCHAR), 20, '0'))
+         AS close,
+       COUNT(*) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
+def a26_gini_concentration(spark: SparkSession, sf: str) -> DataFrame:
+    """Gini coefficient of per-user event value totals
+    (profile.gini_concentration): exact decimal totals, distributed
+    ascending rank, closed-form G."""
+    return profile.gini_concentration(
+        load(spark, sf, "events"), "user_id", "value"
+    )
+
+
+A26_SQL = """
+WITH totals AS (
+  SELECT user_id, SUM(CAST(value AS DECIMAL(18,2))) AS x
+  FROM events GROUP BY user_id
+),
+ranked AS (
+  SELECT x, ROW_NUMBER() OVER (ORDER BY x, user_id) AS rank,
+         COUNT(*) OVER () AS n
+  FROM totals
+)
+SELECT MAX(n) AS n_keys,
+       CAST(SUM(x) AS DOUBLE) AS total_value,
+       ROUND(2.0 * CAST(SUM(rank * x) AS DOUBLE)
+             / (MAX(n) * CAST(SUM(x) AS DOUBLE))
+             - (MAX(n) + 1.0) / MAX(n), 6) AS gini
+FROM ranked
+"""
+
+
+def check_referential_integrity(spark: SparkSession, sf: str) -> DataFrame:
+    """FK orphan audit over the star schema
+    (checks.referential_integrity_report): lineitem→orders and
+    orders→customer each as one anti-join row."""
+    from icnarc_to_philips_linkage_spark.operators.checks import (
+        referential_integrity_report,
+    )
+
+    return referential_integrity_report(
+        [
+            (
+                "lineitem.l_orderkey->orders",
+                load(spark, sf, "lineitem"),
+                "l_orderkey",
+                load(spark, sf, "orders"),
+                "o_orderkey",
+            ),
+            (
+                "orders.o_custkey->customer",
+                load(spark, sf, "orders"),
+                "o_custkey",
+                load(spark, sf, "customer"),
+                "c_custkey",
+            ),
+        ]
+    )
+
+
+CHECK_RI_SQL = """
+SELECT 'lineitem.l_orderkey->orders' AS fk_name,
+       (SELECT COUNT(*) FROM lineitem) AS n_child,
+       (SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NULL)
+         AS n_null_keys,
+       (SELECT COUNT(*) FROM lineitem l
+        WHERE l_orderkey IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey))
+         AS n_orphans,
+       (SELECT COUNT(*) FROM lineitem l
+        WHERE l_orderkey IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey)) = 0 AS ok
+UNION ALL
+SELECT 'orders.o_custkey->customer',
+       (SELECT COUNT(*) FROM orders),
+       (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL),
+       (SELECT COUNT(*) FROM orders r
+        WHERE o_custkey IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = r.o_custkey)),
+       (SELECT COUNT(*) FROM orders r
+        WHERE o_custkey IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = r.o_custkey)) = 0
+"""
+
+
 def w8_rank_functions(spark: SparkSession, sf: str) -> DataFrame:
     """Ranking-window family in one pass: rank / dense_rank /
     percent_rank / cume_dist over each customer's orders by price. One
@@ -2728,6 +2839,9 @@ QUERIES: dict[str, tuple] = {
     "ev_transition_matrix": (ev_transition_matrix, EV_TRANSITION_SQL),
     "a24_chi_square": (a24_chi_square, A24_SQL),
     "w8_rank_functions": (w8_rank_functions, W8_SQL),
+    "ts_ohlc_bars": (ts_ohlc_bars, TS_OHLC_SQL),
+    "a26_gini_concentration": (a26_gini_concentration, A26_SQL),
+    "check_referential_integrity": (check_referential_integrity, CHECK_RI_SQL),
     "sketch_countmin_topk": (sketch_countmin_topk, _cms_sql()),
     "f2_f8_conjunctive": (f2_f8_conjunctive, F2_SQL),
     "f4_in_list": (f4_in_list, F4_SQL),

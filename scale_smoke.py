@@ -214,6 +214,35 @@ def main() -> int:
         ewma_window(e, "user_id", "ts", "value", tiebreak="event_id")
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("ewma"), 2).alias("m")),
     )
+    # round-6 ops at full scale: the CMS collapses map-side to ≤1024
+    # cells per task before its only exchange; the transition matrix's
+    # lead window shuffles once on user_id (1M bounded partitions); the
+    # chi-square reduces to a 5×24 grid; the bootstrap's 4× replicate
+    # fan-out is map-only (md5-bound) with one (replicate × partition)
+    # partial-agg exchange
+    from icnarc_to_philips_linkage_spark.operators.events import (
+        transition_matrix,
+    )
+    from icnarc_to_philips_linkage_spark.operators.profile import (
+        chi_square_independence,
+        countmin_sketch,
+    )
+    from icnarc_to_philips_linkage_spark.operators.sampling import (
+        poisson_bootstrap_means,
+    )
+
+    bench("countmin_sketch_user_ids", countmin_sketch(e, "user_id"))
+    bench("transition_matrix_full", transition_matrix(e))
+    bench(
+        "chi_square_type_by_hour",
+        chi_square_independence(
+            e.withColumn("hour", F.hour("ts")), "event_type", "hour"
+        ),
+    )
+    bench(
+        "poisson_bootstrap_4rep",
+        poisson_bootstrap_means(e, "event_id", "value", replicates=4),
+    )
     print(
         json.dumps(
             {"n_rows": n, "gen_sec": gen_sec, "timings_sec": timings}

@@ -174,3 +174,69 @@ def test_rrf_fuse_hand_case(spark):
     # both-lists doc outranks every single-list doc here
     best = max(out.values(), key=lambda r: r.rrf_score)
     assert best.doc_id == 20
+
+
+def test_ohlc_bars_hand_case(spark):
+    from icnarc_to_philips_linkage_spark.operators.timeseries import (
+        ohlc_bars,
+    )
+
+    rows = [
+        (1, "2024-01-01 10:05:00", 5.0, 1),
+        (1, "2024-01-01 10:10:00", 9.0, 2),
+        (1, "2024-01-01 10:20:00", 2.0, 3),
+        (1, "2024-01-01 10:59:00", 7.0, 4),
+        (1, "2024-01-01 11:01:00", 3.0, 5),
+        # same-timestamp tie inside the 10:00 bar: id 0 wins open
+        (1, "2024-01-01 10:05:00", 6.0, 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, value double, event_id long"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {
+        (r.user_id, str(r.bucket_start)): r for r in ohlc_bars(df).collect()
+    }
+    bar = out[(1, "2024-01-01 10:00:00")]
+    assert (bar.open, bar.high, bar.low, bar.close, bar.n) == (
+        6.0, 9.0, 2.0, 7.0, 5
+    )
+    assert out[(1, "2024-01-01 11:00:00")].open == 3.0
+
+
+def test_gini_known_distributions(spark):
+    from icnarc_to_philips_linkage_spark.operators.profile import (
+        gini_concentration,
+    )
+
+    # perfectly equal: gini 0
+    eq = spark.createDataFrame(
+        [(k, 10.0) for k in range(50)], "k long, v double"
+    )
+    assert gini_concentration(eq, "k", "v").collect()[0].gini == 0.0
+    # maximal concentration over n keys: gini = (n-1)/n
+    n = 40
+    conc = spark.createDataFrame(
+        [(0, 1000.0)] + [(k, 0.0) for k in range(1, n)], "k long, v double"
+    )
+    got = gini_concentration(conc, "k", "v").collect()[0]
+    assert got.gini == pytest.approx((n - 1) / n, abs=1e-9)
+    assert got.n_keys == n
+
+
+def test_referential_integrity_flags_planted_orphans(spark):
+    from icnarc_to_philips_linkage_spark.operators.checks import (
+        referential_integrity_report,
+    )
+
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk long")
+    child = spark.createDataFrame(
+        [(10, 1), (11, 2), (12, 99), (13, None)], "id long, fk long"
+    )
+    out = {
+        r.fk_name: r
+        for r in referential_integrity_report(
+            [("child->parent", child, "fk", parent, "pk")]
+        ).collect()
+    }
+    r = out["child->parent"]
+    assert (r.n_child, r.n_null_keys, r.n_orphans, r.ok) == (4, 1, 1, False)
