@@ -1058,3 +1058,83 @@ def gini_concentration(
             round_dp,
         ).alias("gini"),
     )
+
+
+def percentile_disc_counting(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    ps: Sequence[float] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Exact DISCRETE percentiles (smallest value whose cume_dist >= p,
+    the SQL PERCENTILE_DISC definition) by COUNTING SORT: aggregate to
+    per-(group, value) counts, cumulative-sum over the value grain,
+    then pick each p's threshold row with one min_by. The window runs
+    over the count table — |group|×|distinct values| rows — never the
+    corpus, so a skewed group costs nothing extra; the per-group window
+    sort a naive rank formulation needs (one giant partition per hot
+    group at 100 TB) never happens. Exact-integer thresholds make the
+    result engine-identical with no rounding.
+    Output: (group, p, value)."""
+    counts = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(group_col, value_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.partitionBy(group_col)
+    cum = counts.select(
+        group_col,
+        value_col,
+        F.sum("__n").over(w).alias("__cum"),
+        F.sum("__n").over(tot).alias("__tot"),
+    )
+    out = None
+    for p in ps:
+        # smallest value with cum >= ceil(p * tot): exact integer
+        # comparison, one min_by per group
+        need = F.ceil(F.lit(p) * F.col("__tot"))
+        part = (
+            cum.filter(F.col("__cum") >= need)
+            .groupBy(group_col)
+            .agg(F.min(value_col).alias("value"))
+            .select(group_col, F.lit(p).alias("p"), "value")
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def entropy_by_group(
+    df: DataFrame,
+    group_col: str,
+    cat_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Shannon entropy (bits) of a categorical distribution per group —
+    the diversity screen (a source whose event/type/language mix
+    collapses to one category shows up as H→0). One corpus aggregation
+    to (group, category) counts; the entropy sum runs over the
+    category grain of that table. p = n/total is an exact integer
+    ratio; only the final Σ p·log2(p) is floating, rounded to
+    ``round_dp``. Output: (group, n_rows, n_categories, entropy_bits)."""
+    counts = (
+        df.filter(F.col(cat_col).isNotNull())
+        .groupBy(group_col, cat_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    tot = Window.partitionBy(group_col)
+    p = F.col("__n") / F.sum("__n").over(tot)
+    terms = counts.select(
+        group_col,
+        F.col("__n"),
+        (-p * F.log2(p)).alias("__h"),
+    )
+    return terms.groupBy(group_col).agg(
+        F.sum("__n").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_categories"),
+        F.round(F.sum("__h"), round_dp).alias("entropy_bits"),
+    )

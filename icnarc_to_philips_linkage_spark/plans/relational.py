@@ -2506,6 +2506,72 @@ FROM sums
 """
 
 
+def a8d_percentile_disc(spark: SparkSession, sf: str) -> DataFrame:
+    """Discrete percentiles of order totals per priority
+    (profile.percentile_disc_counting): counting-sort form — the
+    cumulative window runs over (group, value) counts, never the
+    corpus, so hot groups cost nothing extra."""
+    # floor, not cast: DuckDB CAST(double AS INT) rounds half-even
+    # where Spark truncates — FLOOR is the engine-neutral band
+    o = load(spark, sf, "orders").withColumn(
+        "price_band", F.floor(F.col("o_totalprice") / 1000).cast("int")
+    )
+    return profile.percentile_disc_counting(
+        o, "o_orderpriority", "price_band"
+    )
+
+
+A8D_SQL = """
+WITH banded AS (
+  SELECT o_orderpriority, CAST(FLOOR(o_totalprice / 1000) AS INT) AS price_band
+  FROM orders WHERE o_totalprice IS NOT NULL
+),
+counts AS (
+  SELECT o_orderpriority, price_band, COUNT(*) AS n
+  FROM banded GROUP BY 1, 2
+),
+cum AS (
+  SELECT o_orderpriority, price_band,
+         SUM(n) OVER (PARTITION BY o_orderpriority ORDER BY price_band
+                      ROWS UNBOUNDED PRECEDING) AS c,
+         SUM(n) OVER (PARTITION BY o_orderpriority) AS tot
+  FROM counts
+)
+SELECT o_orderpriority, p, MIN(price_band) AS value
+FROM cum CROSS JOIN (SELECT unnest([0.5, 0.9, 0.99]) AS p)
+WHERE c >= CEIL(p * tot)
+GROUP BY o_orderpriority, p
+"""
+
+
+def a27_entropy_by_group(spark: SparkSession, sf: str) -> DataFrame:
+    """Shannon entropy of the event-type mix per user decile bucket
+    (profile.entropy_by_group) — category-diversity screen."""
+    e = load(spark, sf, "events").withColumn(
+        "user_bucket", (F.col("user_id") % 10).cast("int")
+    )
+    return profile.entropy_by_group(e, "user_bucket", "event_type")
+
+
+A27_SQL = """
+WITH counts AS (
+  SELECT CAST(user_id % 10 AS INT) AS user_bucket, event_type,
+         COUNT(*) AS n
+  FROM events WHERE event_type IS NOT NULL
+  GROUP BY 1, 2
+),
+terms AS (
+  SELECT user_bucket, n,
+         -(n * 1.0 / SUM(n) OVER (PARTITION BY user_bucket))
+           * log2(n * 1.0 / SUM(n) OVER (PARTITION BY user_bucket)) AS h
+  FROM counts
+)
+SELECT user_bucket, SUM(n) AS n_rows, COUNT(*) AS n_categories,
+       ROUND(SUM(h), 6) AS entropy_bits
+FROM terms GROUP BY user_bucket
+"""
+
+
 def ts_ohlc_bars(spark: SparkSession, sf: str) -> DataFrame:
     """Hourly OHLC bars per user (timeseries.ohlc_bars): one
     map-combined aggregation; open/close via min_by/max_by on the
@@ -2839,6 +2905,8 @@ QUERIES: dict[str, tuple] = {
     "ev_transition_matrix": (ev_transition_matrix, EV_TRANSITION_SQL),
     "a24_chi_square": (a24_chi_square, A24_SQL),
     "w8_rank_functions": (w8_rank_functions, W8_SQL),
+    "a8d_percentile_disc": (a8d_percentile_disc, A8D_SQL),
+    "a27_entropy_by_group": (a27_entropy_by_group, A27_SQL),
     "ts_ohlc_bars": (ts_ohlc_bars, TS_OHLC_SQL),
     "a26_gini_concentration": (a26_gini_concentration, A26_SQL),
     "check_referential_integrity": (check_referential_integrity, CHECK_RI_SQL),

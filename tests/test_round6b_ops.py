@@ -240,3 +240,44 @@ def test_referential_integrity_flags_planted_orphans(spark):
     }
     r = out["child->parent"]
     assert (r.n_child, r.n_null_keys, r.n_orphans, r.ok) == (4, 1, 1, False)
+
+
+def test_percentile_disc_counting_definition(spark):
+    """PERCENTILE_DISC: smallest value whose cume_dist >= p."""
+    from icnarc_to_philips_linkage_spark.operators.profile import (
+        percentile_disc_counting,
+    )
+
+    df = spark.createDataFrame(
+        [("g", v) for v in [1, 2, 2, 3, 10]], "g string, v long"
+    )
+    got = {
+        r.p: r.value
+        for r in percentile_disc_counting(
+            df, "g", "v", ps=(0.2, 0.5, 0.8, 1.0)
+        ).collect()
+    }
+    # cume_dist: 1→0.2, 2→0.6, 3→0.8, 10→1.0
+    assert got == {0.2: 1, 0.5: 2, 0.8: 3, 1.0: 10}
+
+
+def test_entropy_by_group_known_values(spark):
+    import math
+
+    from icnarc_to_philips_linkage_spark.operators.profile import (
+        entropy_by_group,
+    )
+
+    rows = (
+        [("uniform", c) for c in "abcd" * 10]
+        + [("single", "x")] * 20
+        + [("skew", "a")] * 30
+        + [("skew", "b")] * 10
+    )
+    df = spark.createDataFrame(rows, "g string, c string")
+    got = {r.g: r for r in entropy_by_group(df, "g", "c").collect()}
+    assert got["uniform"].entropy_bits == 2.0  # log2(4)
+    assert got["single"].entropy_bits == 0.0
+    want = -(0.75 * math.log2(0.75) + 0.25 * math.log2(0.25))
+    assert got["skew"].entropy_bits == pytest.approx(want, abs=1e-6)
+    assert got["skew"].n_categories == 2
