@@ -2506,6 +2506,87 @@ FROM sums
 """
 
 
+_PR_ITERS, _PR_DAMPING, _PR_TOPK = 5, 0.85, 20
+
+
+def graph_pagerank_parts(spark: SparkSession, sf: str) -> DataFrame:
+    """PageRank over the undirected supplier↔part co-supply graph
+    (graph.pagerank): 5 power iterations, each one edge-join + one
+    aggregation; per-edge contributions round to 12dp decimals so the
+    ranks are bit-exact across engines. Top-20 nodes by rank."""
+    from icnarc_to_philips_linkage_spark.operators.graph import pagerank
+
+    l = load(spark, sf, "lineitem")
+    fwd = l.select(
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+    )
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    pr = pagerank(
+        edges, iterations=_PR_ITERS, damping=_PR_DAMPING
+    )
+    return (
+        pr.select("node", F.col("rank").cast("double").alias("rank"))
+        .orderBy(F.desc("rank"), F.col("node"))
+        .limit(_PR_TOPK)
+    )
+
+
+def _pagerank_sql() -> str:
+    d = _PR_DAMPING
+    head = f"""
+WITH fwd AS (
+  SELECT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+         'p' || CAST(l_partkey AS VARCHAR) AS dst
+  FROM lineitem
+),
+e AS (
+  SELECT DISTINCT src, dst FROM
+  (SELECT src, dst FROM fwd UNION ALL SELECT dst, src FROM fwd)
+),
+nodes AS (
+  SELECT DISTINCT node FROM
+  (SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)
+),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+outdeg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+r0 AS (
+  SELECT node, CAST(ROUND(1.0 / (SELECT n FROM nn), 12)
+                    AS DECIMAL(22,12)) AS rank
+  FROM nodes
+)"""
+    steps = []
+    for i in range(1, _PR_ITERS + 1):
+        steps.append(
+            f""",
+r{i} AS (
+  SELECT nodes.node,
+         CAST(ROUND(CAST({1 - d!r} AS DOUBLE) / (SELECT n FROM nn)
+                    + CAST({d!r} AS DOUBLE)
+                      * CAST(COALESCE(s.in_sum, 0) AS DOUBLE), 12)
+              AS DECIMAL(22,12)) AS rank
+  FROM nodes LEFT JOIN (
+    SELECT e.dst,
+           SUM(CAST(ROUND(CAST(r.rank AS DOUBLE) / o.outdeg, 12)
+                    AS DECIMAL(22,12))) AS in_sum
+    FROM e JOIN r{i - 1} r ON e.src = r.node
+           JOIN outdeg o ON e.src = o.src
+    GROUP BY e.dst
+  ) s ON nodes.node = s.dst
+)"""
+        )
+    return (
+        head
+        + "".join(steps)
+        + f"""
+SELECT node, CAST(rank AS DOUBLE) AS rank FROM r{_PR_ITERS}
+ORDER BY rank DESC, node LIMIT {_PR_TOPK}
+"""
+    )
+
+
 def a8d_percentile_disc(spark: SparkSession, sf: str) -> DataFrame:
     """Discrete percentiles of order totals per priority
     (profile.percentile_disc_counting): counting-sort form — the
@@ -2905,6 +2986,7 @@ QUERIES: dict[str, tuple] = {
     "ev_transition_matrix": (ev_transition_matrix, EV_TRANSITION_SQL),
     "a24_chi_square": (a24_chi_square, A24_SQL),
     "w8_rank_functions": (w8_rank_functions, W8_SQL),
+    "graph_pagerank_parts": (graph_pagerank_parts, _pagerank_sql()),
     "a8d_percentile_disc": (a8d_percentile_disc, A8D_SQL),
     "a27_entropy_by_group": (a27_entropy_by_group, A27_SQL),
     "ts_ohlc_bars": (ts_ohlc_bars, TS_OHLC_SQL),

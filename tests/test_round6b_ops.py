@@ -281,3 +281,38 @@ def test_entropy_by_group_known_values(spark):
     want = -(0.75 * math.log2(0.75) + 0.25 * math.log2(0.25))
     assert got["skew"].entropy_bits == pytest.approx(want, abs=1e-6)
     assert got["skew"].n_categories == 2
+
+
+def test_pagerank_known_graphs(spark):
+    from icnarc_to_philips_linkage_spark.operators.graph import pagerank
+
+    # symmetric 2-cycle: ranks equal and = teleport + d * rank (≈ 1/2)
+    cyc = spark.createDataFrame(
+        [("a", "b"), ("b", "a")], "src string, dst string"
+    )
+    got = {r.node: float(r.rank) for r in pagerank(cyc).collect()}
+    assert got["a"] == got["b"]
+    assert got["a"] == pytest.approx(0.5, abs=1e-9)
+    # undirected star on 4 leaves: center outranks every leaf
+    star_edges = [("c", x) for x in "wxyz"] + [(x, "c") for x in "wxyz"]
+    star = spark.createDataFrame(star_edges, "src string, dst string")
+    pr = {r.node: float(r.rank) for r in pagerank(star).collect()}
+    assert all(pr["c"] > pr[x] for x in "wxyz")
+    assert pr["w"] == pr["z"]
+    # iteration count respected: more iterations move ranks toward the
+    # stationary distribution monotonically for the star center
+    pr1 = {r.node: float(r.rank) for r in pagerank(star, iterations=1).collect()}
+    assert abs(pr["c"] - 1 / 3) < abs(pr1["c"] - 1 / 3) or pr["c"] == pr1["c"]
+
+
+def test_pagerank_dangling_and_empty(spark):
+    from icnarc_to_philips_linkage_spark.operators.graph import pagerank
+
+    # b is dangling (no out-edges): keeps only the teleport floor after
+    # its inflow is dropped; a still gets teleport
+    dag = spark.createDataFrame([("a", "b")], "src string, dst string")
+    got = {r.node: float(r.rank) for r in pagerank(dag, iterations=3).collect()}
+    assert got["b"] > got["a"]  # b receives a's mass, a only teleport
+    assert got["a"] == pytest.approx(0.15 / 2, abs=1e-9)
+    empty = spark.createDataFrame([], "src string, dst string")
+    assert pagerank(empty).count() == 0
