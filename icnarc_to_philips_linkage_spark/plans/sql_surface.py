@@ -262,6 +262,59 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+# Aggregate FILTER clause (round 6) — shared text: the ANSI way to
+# compute conditional aggregates without CASE pyramids; Spark plans it
+# as the same conditional-count aggregate the quality gates use.
+SQL_FILTER_CLAUSE = """
+SELECT o_orderpriority,
+       COUNT(*) AS n,
+       COUNT(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+# GROUP BY ALL / ORDER BY ALL (round 6) — shared text: group on every
+# non-aggregate select item. Spark 4 and DuckDB agree on the semantics.
+SQL_GROUP_BY_ALL = """
+SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders
+GROUP BY ALL
+ORDER BY ALL
+"""
+
+# NATURAL JOIN (round 6) — shared text; aliased subqueries give the
+# single common column the join binds on.
+SQL_NATURAL_JOIN = """
+SELECT n_name, COUNT(*) AS n_customers
+FROM (SELECT c_nationkey AS nationkey, c_custkey FROM customer)
+NATURAL JOIN (SELECT n_nationkey AS nationkey, n_name FROM nation)
+GROUP BY n_name
+"""
+
+# Spark 4 VARIANT ingestion of the events JSON props column. The
+# oracle uses DuckDB's JSON path functions — semantically the same
+# extraction, dialect-specific text (like pivot).
+SQL_VARIANT_JSON = """
+SELECT pmod(variant_get(parse_json(props), '$.k', 'int'), 10) AS k_mod,
+       COUNT(*) AS n,
+       SUM(variant_get(parse_json(props), '$.k', 'bigint')) AS sum_k
+FROM events
+WHERE props IS NOT NULL
+GROUP BY pmod(variant_get(parse_json(props), '$.k', 'int'), 10)
+"""
+
+SQL_VARIANT_JSON_ORACLE = """
+SELECT CAST(json_extract(props, '$.k') AS INT) % 10 AS k_mod,
+       COUNT(*) AS n,
+       SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k
+FROM events
+WHERE props IS NOT NULL
+GROUP BY 1
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "sql_lateral_topk": (_sql(SQL_LATERAL), SQL_LATERAL),
     "sql_recursive_cte": (_sql(SQL_RECURSIVE), SQL_RECURSIVE),
@@ -277,6 +330,10 @@ QUERIES: dict[str, tuple] = {
     "sql_window_rank": (_sql(SQL_WINDOW_RANK), SQL_WINDOW_RANK),
     "sql_sessionize": (_sql(SQL_SESSIONIZE), SQL_SESSIONIZE),
     "sql_pivot_clause": (_sql(SQL_PIVOT_CLAUSE), SQL_PIVOT_ORACLE),
+    "sql_filter_clause": (_sql(SQL_FILTER_CLAUSE), SQL_FILTER_CLAUSE),
+    "sql_group_by_all": (_sql(SQL_GROUP_BY_ALL), SQL_GROUP_BY_ALL),
+    "sql_natural_join": (_sql(SQL_NATURAL_JOIN), SQL_NATURAL_JOIN),
+    "sql_variant_json": (_sql(SQL_VARIANT_JSON), SQL_VARIANT_JSON_ORACLE),
     "s2_pivot_wide": (s2_pivot_wide, S2_PIVOT_SQL),
     "u2_unpivot_melt": (u2_unpivot_melt, U2_UNPIVOT_SQL),
 }
