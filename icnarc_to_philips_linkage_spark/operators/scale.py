@@ -151,3 +151,59 @@ def global_rank(
     if total_col is not None:
         out = out.withColumn(total_col, F.lit(acc).cast("long"))
     return out
+
+
+def grouped_global_rank(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    rank_col: str = "rank",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Per-GROUP dense 1-based ordinal at scale — the grouped twin of
+    ``global_rank``. ``row_number() OVER (PARTITION BY group ORDER BY
+    ...)`` puts each whole group through one task, which is exactly
+    wrong when groups are few and huge (length buckets, languages,
+    sources). Two-level instead:
+
+      1. range exchange on (group, order) — a group spans a RUN of
+         partitions, each partition holding one contiguous slice;
+      2. partition-local row_number within (group, partition);
+      3. per-(group, partition) counts — a groups×partitions-sized
+         frame — cumulated per group with a window over THAT frame and
+         BROADCAST-joined back as offsets. No driver collect, no
+         literal map: the offset table stays a bounded DataFrame.
+
+    The order must be total within each group (unique tiebreak last).
+    ``localCheckpoint`` pins partition identity between the counts pass
+    and the final evaluation, as in global_rank."""
+    ordering = [F.col(c) for c in [*group_cols, *order_cols]]
+    ranged = (
+        df.repartitionByRange(partitions, *ordering)
+        if partitions
+        else df.repartitionByRange(*ordering)
+    )
+    w = Window.partitionBy(*group_cols, "__pid").orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    local = (
+        ranged.withColumn("__pid", F.spark_partition_id())
+        .withColumn("__local_rn", F.row_number().over(w))
+        .localCheckpoint(eager=True)
+    )
+    counts = local.groupBy(*group_cols, "__pid").agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    cum = Window.partitionBy(*group_cols).orderBy("__pid")
+    offsets = counts.select(
+        *group_cols,
+        "__pid",
+        (F.sum("__cnt").over(cum) - F.col("__cnt")).alias("__off"),
+    )
+    return (
+        local.join(F.broadcast(offsets), [*group_cols, "__pid"])
+        .withColumn(
+            rank_col, (F.col("__off") + F.col("__local_rn")).cast("long")
+        )
+        .drop("__pid", "__local_rn", "__off")
+    )

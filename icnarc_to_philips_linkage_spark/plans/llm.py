@@ -2279,6 +2279,76 @@ QUALIFY ROW_NUMBER() OVER (
 """
 
 
+_INFER_BAND, _INFER_BATCH = 256, 32
+
+
+def pack_inference_batches(spark: SparkSession, sf: str) -> DataFrame:
+    """Length-bucketed inference batching (scale.grouped_global_rank):
+    docs bucket by length band, get a per-bucket dense ordinal (two-
+    level grouped rank — a per-bucket window would put each whole band
+    through one task), and fixed-size batches form within each bucket
+    in ascending length order. The per-batch report prices the layout:
+    pad_frac = 1 - sum_len/(n·max_len), the padding waste an inference
+    server pays for that batch."""
+    from icnarc_to_philips_linkage_spark.operators.scale import (
+        grouped_global_rank,
+    )
+
+    docs = (
+        load(spark, sf, "documents")
+        .filter(F.col("n_chars").isNotNull())
+        .select(
+            "doc_id",
+            "n_chars",
+            F.floor(F.col("n_chars") / _INFER_BAND).alias("bucket"),
+        )
+    )
+    ranked = grouped_global_rank(
+        docs, ["bucket"], ["n_chars", "doc_id"]
+    )
+    return (
+        ranked.withColumn(
+            "batch_id",
+            F.floor((F.col("rank") - 1) / _INFER_BATCH).cast("long"),
+        )
+        .groupBy("bucket", "batch_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("n_chars").alias("max_len"),
+            F.sum("n_chars").alias("sum_len"),
+            F.round(
+                F.lit(1.0)
+                - F.sum("n_chars")
+                / (F.count(F.lit(1)) * F.max("n_chars")),
+                6,
+            ).alias("pad_frac"),
+        )
+    )
+
+
+PACK_INFER_SQL = f"""
+WITH banded AS (
+  SELECT doc_id, n_chars,
+         CAST(FLOOR(n_chars / {_INFER_BAND}) AS BIGINT) AS bucket
+  FROM documents WHERE n_chars IS NOT NULL
+),
+ranked AS (
+  SELECT bucket, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY bucket
+                            ORDER BY n_chars, doc_id) AS rank
+  FROM banded
+)
+SELECT bucket,
+       CAST(FLOOR((rank - 1) / {_INFER_BATCH}) AS BIGINT) AS batch_id,
+       COUNT(*) AS n_docs,
+       MAX(n_chars) AS max_len,
+       SUM(n_chars) AS sum_len,
+       ROUND(1.0 - SUM(n_chars) * 1.0 / (COUNT(*) * MAX(n_chars)), 6)
+         AS pad_frac
+FROM ranked GROUP BY 1, 2
+"""
+
+
 def sample_weighted_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Exact-k weighted sample without replacement
     (sampling.weighted_reservoir_topk, Efraimidis-Spirakis keys):
@@ -2426,6 +2496,7 @@ QUERIES: dict[str, tuple] = {
     "sample_weighted_topk": (sample_weighted_topk, _wres_sql()),
     "sample_bootstrap_means": (sample_bootstrap_means, _bootstrap_sql()),
     "sample_group_capped": (sample_group_capped, SAMPLE_GROUP_CAPPED_SQL),
+    "pack_inference_batches": (pack_inference_batches, PACK_INFER_SQL),
     "retrieval_rrf_fusion": (retrieval_rrf_fusion, _rrf_sql()),
     "check_split_leakage": (check_split_leakage, _leakage_sql()),
     "text_tokens_to_ids": (text_tokens_to_ids, TOKENS_TO_IDS_SQL),

@@ -316,3 +316,36 @@ def test_pagerank_dangling_and_empty(spark):
     assert got["a"] == pytest.approx(0.15 / 2, abs=1e-9)
     empty = spark.createDataFrame([], "src string, dst string")
     assert pagerank(empty).count() == 0
+
+
+def test_grouped_global_rank_matches_window_semantics(spark):
+    """Two-level grouped rank == row_number() OVER (PARTITION BY g
+    ORDER BY ...) for every group, across partition boundaries."""
+    from pyspark.sql import Window
+
+    from icnarc_to_philips_linkage_spark.operators.scale import (
+        grouped_global_rank,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"g{i % 4}", (i * 37) % 101) for i in range(500)],
+        "id long, g string, v long",
+    )
+    got = {
+        (r.g, r.id): r.rank
+        for r in grouped_global_rank(df, ["g"], ["v", "id"]).collect()
+    }
+    w = Window.partitionBy("g").orderBy("v", "id")
+    want = {
+        (r.g, r.id): r.rn
+        for r in df.select(
+            "g", "id", F.row_number().over(w).alias("rn")
+        ).collect()
+    }
+    assert got == want
+    # dense 1..n_g per group
+    sizes = {}
+    for (g, _), rk in got.items():
+        sizes.setdefault(g, set()).add(rk)
+    for g, rks in sizes.items():
+        assert rks == set(range(1, len(rks) + 1)), g
