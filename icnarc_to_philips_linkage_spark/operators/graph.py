@@ -106,7 +106,8 @@ def pagerank(
             .agg(F.sum("c").alias("in_sum"))
         )
         ranks = (
-            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            # contrib is <= |nodes| rows — same broadcast rule as ranks
+            nodes.join(bc(contrib), nodes["node"] == contrib["dst"], "left")
             .select(
                 "node",
                 F.round(

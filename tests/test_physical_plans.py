@@ -272,3 +272,83 @@ def test_dsir_feature_table_broadcasts(spark):
         f"the 256-bucket ratio table must broadcast:\n{plan}"
     )
     assert "PythonUDF" not in plan
+
+
+def test_countmin_sketch_single_corpus_exchange(spark):
+    """CMS build: one corpus aggregation with map-side combine; the
+    estimate join broadcasts the cell table."""
+    fn, _ = all_queries()["sketch_countmin_topk"]
+    plan = plan_of(fn(spark, SF_SMOKE))
+    assert "partial_count" in plan  # map-side combine before exchange
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_decile_profile_has_no_single_partition_window(spark):
+    """w7 must NEVER plan the oracle's global NTILE window sort."""
+    fn, _ = all_queries()["w7_decile_profile"]
+    plan = plan_of(fn(spark, SF_SMOKE))
+    assert "SinglePartition" not in plan, plan
+
+
+def test_pagerank_iterations_broadcast_rank_side(spark):
+    """Below the node limit the per-iteration edge joins must be
+    broadcast (edge table never shuffles inside the loop)."""
+    fn, _ = all_queries()["graph_pagerank_parts"]
+    plan = plan_of(fn(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_phash_neardup_is_banded_equi_join(spark):
+    """Perceptual near-dup: candidate generation is an equi-join on
+    band keys — no cartesian, no nested loop."""
+    from icnarc_to_philips_linkage_spark.operators.multimodal import (
+        phash_neardup,
+    )
+
+    hashes = spark.createDataFrame(
+        [(i, i * 7919) for i in range(100)], "media_id long, phash long"
+    )
+    plan = plan_of(phash_neardup(hashes, max_hamming=3))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_grouped_global_rank_no_per_group_window(spark):
+    """The grouped rank's only window partitions by (group, pid) —
+    never by group alone (which would funnel a whole group through one
+    task). The offset join must broadcast."""
+    from icnarc_to_philips_linkage_spark.operators.scale import (
+        grouped_global_rank,
+    )
+
+    df = load(spark, SF_SMOKE, "documents").select(
+        "doc_id", "n_chars", (F.col("n_chars") % 4).alias("g")
+    )
+    out = grouped_global_rank(df, ["g"], ["n_chars", "doc_id"])
+    plan = plan_of(out)
+    assert "BroadcastHashJoin" in plan
+    # the checkpointed stage hides the window; assert the pre-ckpt
+    # stage directly
+    import re
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("g", "__pid").orderBy("n_chars", "doc_id")
+    staged = (
+        df.repartitionByRange(F.col("g"), F.col("n_chars"), F.col("doc_id"))
+        .withColumn("__pid", F.spark_partition_id())
+        .withColumn("__rn", F.row_number().over(w))
+    )
+    sp = plan_of(staged)
+    wspecs = re.findall(r"windowspecdefinition\(([^)]*)\)", sp)
+    assert wspecs and all("__pid" in s for s in wspecs), sp
+
+
+def test_ohlc_is_single_aggregation_no_window(spark):
+    fn, _ = all_queries()["ts_ohlc_bars"]
+    plan = plan_of(fn(spark, SF_SMOKE))
+    assert "Window" not in plan.replace("WindowGroupLimit", "")
+    assert "partial_min_by" in plan or "partial_min" in plan, plan
