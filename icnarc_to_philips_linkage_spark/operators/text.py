@@ -530,3 +530,82 @@ def lexical_diversity(
         n_types.alias("n_types"),
         F.round(n_types / n_tokens, 6).alias("ttr"),
     )
+
+
+def _apply_merge(syms: Column, left: str, right: str) -> Column:
+    """Fold one BPE merge rule (left,right)→left||right over a symbol
+    array, scanning left to right — pure higher-order expression, no
+    Python in the loop body."""
+    merged = F.lit(left + right)
+    return F.aggregate(
+        syms,
+        F.expr("CAST(array() AS array<string>)"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (s == F.lit(right)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(merged)
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int = 12,
+    text_col: str = "text",
+) -> DataFrame:
+    """FULL byte-pair-encoding training (Sennrich-style): greedy merge
+    loop over the WORD-FREQUENCY table — ``bpe_pair_counts`` is one
+    step of this. The corpus is read once (word counts); every
+    iteration then works on the vocabulary-bounded symbol table:
+    explode adjacent symbol pairs, pick the most frequent (ties by
+    pair text — deterministic), fold the merge back through a
+    higher-order array aggregate, re-checkpoint. The only driver
+    traffic is ONE argmax row per merge (the k-means-centroid
+    pattern); corpus size never touches the loop.
+
+    Output: (step, left, right, merged, pair_n) — the ordered merge
+    table a tokenizer ships."""
+    from pyspark import StorageLevel  # noqa: F401  (parity with peers)
+
+    words = (
+        df.select(F.explode(tokens(text_col)).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    vocab = words.select(
+        "freq", F.expr("filter(split(w, ''), s -> s <> '')").alias("syms")
+    ).localCheckpoint(eager=True)
+    spark = df.sparkSession
+    merges = []
+    for step in range(1, n_merges + 1):
+        pairs = vocab.filter(F.size("syms") >= 2).select(
+            "freq",
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("syms"), 1, F.size("syms") - 1),
+                    F.slice(F.col("syms"), 2, F.size("syms") - 1),
+                    lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                )
+            ).alias("p"),
+        )
+        best = (
+            pairs.groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").alias("pair_n"))
+            .orderBy(F.desc("pair_n"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        l, r, n = best[0]["l"], best[0]["r"], best[0]["pair_n"]
+        merges.append((step, l, r, l + r, int(n)))
+        vocab = vocab.withColumn(
+            "syms", _apply_merge(F.col("syms"), l, r)
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges, "step int, left string, right string, merged string, pair_n long"
+    )

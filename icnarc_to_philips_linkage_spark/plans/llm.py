@@ -1153,6 +1153,70 @@ DECONTAM_N = 13  # canonical benchmark-overlap n-gram length
 DECONTAM_BENCH_MOD = 31
 
 
+# threshold set to flag the close tail of the synthetic embedding
+# space (max bench-corpus cosine ~0.49); production uses ~0.95+
+_EMB_DECONTAM_T, _EMB_DECONTAM_NBENCH = 0.35, 10
+
+
+def decontam_embedding(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-space decontamination — the semantic complement of the
+    n-gram report: corpus vectors whose cosine to ANY benchmark vector
+    (vec_id < 10, broadcast) clears the threshold are flagged with
+    their closest benchmark item. Same broadcast-query shape as
+    knn_brute_force: the corpus never shuffles; per-row max over the
+    broadcast side, then one aggregation keyed by the flagged doc."""
+    from icnarc_to_philips_linkage_spark.operators import similarity
+
+    emb = load(spark, sf, "embeddings")
+    bench = emb.filter(F.col("vec_id") < _EMB_DECONTAM_NBENCH)
+    sims = similarity.knn_brute_force(emb, bench, k=1).filter(
+        F.col("cos_sim") >= _EMB_DECONTAM_T
+    )
+    # knn output is (query_id=bench, neighbor_id=corpus): re-key by the
+    # CORPUS doc and keep its closest benchmark item
+    # tie order (max cos, then smallest bench id) as ONE integer key:
+    # rounded-cos micros scaled past the bench-id range, minus the id —
+    # max_by/arg_max over a plain BIGINT is portable where struct
+    # ordering is not
+    order_key = (
+        F.round(F.col("cos_sim") * 1_000_000).cast("long") * 100_000
+        - F.col("query_id")
+    )
+    return (
+        sims.filter(F.col("neighbor_id") >= _EMB_DECONTAM_NBENCH)
+        .groupBy(F.col("neighbor_id").alias("doc_id"))
+        .agg(
+            F.max_by("query_id", order_key).alias("closest_bench"),
+            F.max("cos_sim").alias("max_cos"),
+        )
+    )
+
+
+def _emb_decontam_sql() -> str:
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id < {_EMB_DECONTAM_NBENCH}),
+pairs AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         {_cos_sql('q.qv', 'c.embedding')} AS cos_sim
+  FROM embeddings c, q
+  WHERE c.vec_id != q.query_id
+),
+top1 AS (
+  SELECT query_id, neighbor_id, cos_sim FROM pairs
+  QUALIFY row_number() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) <= 1
+)
+SELECT neighbor_id AS doc_id,
+       ARG_MAX(query_id, CAST(ROUND(cos_sim * 1000000) AS BIGINT)
+                         * 100000 - query_id) AS closest_bench,
+       MAX(cos_sim) AS max_cos
+FROM top1
+WHERE cos_sim >= {_EMB_DECONTAM_T} AND neighbor_id >= {_EMB_DECONTAM_NBENCH}
+GROUP BY neighbor_id
+"""
+
+
 def decontam_report(spark: SparkSession, sf: str) -> DataFrame:
     """Benchmark decontamination: training docs (doc_id % 31 != 0)
     sharing any 13-gram with the benchmark split (doc_id % 31 == 0) —
@@ -2520,6 +2584,8 @@ QUERIES: dict[str, tuple] = {
     "pack_context_windows": (pack_context_windows, PACK_SQL),
     "pack_bins_ffd": (pack_bins_ffd, None),
     "decontam_report": (decontam_report, _decontam_sql()),
+    "decontam_embedding": (decontam_embedding, _emb_decontam_sql()),
+    "text_bpe_train": (lambda spark, sf: text.bpe_train(load(spark, sf, "documents"), n_merges=12), None),
     "pii_scrub": (pii_scrub, _pii_sql()),
     "reconcile_sources": (reconcile_sources, RECONCILE_SQL),
     "quality_gate": (quality_gate, QUALITY_GATE_SQL),

@@ -349,3 +349,40 @@ def test_grouped_global_rank_matches_window_semantics(spark):
         sizes.setdefault(g, set()).add(rk)
     for g, rks in sizes.items():
         assert rks == set(range(1, len(rks) + 1)), g
+
+
+def test_bpe_train_classic_corpus(spark):
+    """The canonical Sennrich example must reproduce the textbook merge
+    order: es, est, lo, low, ...; merges are greedy by weighted pair
+    frequency with deterministic ties."""
+    from icnarc_to_philips_linkage_spark.operators.text import bpe_train
+
+    corpus = spark.createDataFrame(
+        [
+            (
+                "low low low low low lower lower newest newest newest "
+                "newest newest newest widest widest widest",
+            )
+        ],
+        "text string",
+    )
+    merges = [
+        (r.step, r.left, r.right, r.merged, r.pair_n)
+        for r in bpe_train(corpus, n_merges=4).collect()
+    ]
+    assert merges == [
+        (1, "e", "s", "es", 9),
+        (2, "es", "t", "est", 9),
+        (3, "l", "o", "lo", 7),
+        (4, "lo", "w", "low", 7),
+    ]
+
+
+def test_bpe_apply_merge_handles_overlaps(spark):
+    """'aaa' under merge (a,a): left-to-right gives [aa, a], not [a, aa]
+    and never a double merge."""
+    from icnarc_to_philips_linkage_spark.operators.text import _apply_merge
+
+    df = spark.createDataFrame([(["a", "a", "a"],)], "syms array<string>")
+    got = df.select(_apply_merge(F.col("syms"), "a", "a").alias("m")).collect()
+    assert got[0].m == ["aa", "a"]
