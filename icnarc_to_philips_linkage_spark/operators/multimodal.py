@@ -623,3 +623,71 @@ def phash_neardup(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def synth_png_media(
+    ids: DataFrame,
+    id_col: str = "media_id",
+    size: int = 16,
+    near_dup_mod: int = 13,
+) -> DataFrame:
+    """Deterministic synthetic PNG payloads for pipeline tests/benches
+    when no real image corpus exists: each id renders a greyscale
+    gradient whose parameters derive from the id, and every
+    ``near_dup_mod``-th id re-renders its PREDECESSOR group's gradient
+    with one-level noise — planted near-duplicates the perceptual-hash
+    path must find. Pure-Python PNG encode (stdlib zlib, filter 0)
+    inside Arrow batches — the generation twin of ``_png_pixels``."""
+    import struct
+    import zlib
+
+    def encode(mid: int) -> bytes:
+        base = mid - (mid % near_dup_mod == 0)
+        noise = 1 if mid % near_dup_mod == 0 else 0
+        raw = bytearray()
+        for y in range(size):
+            raw.append(0)
+            for x in range(size):
+                # per-image md5 texture: a LINEAR position hash only
+                # shifts luma by a constant between bases (dHash is
+                # shift-invariant, so everything would collide); md5
+                # mixing makes distinct bases genuinely far apart while
+                # the near-dup copy differs by ±1-level checker noise
+                v = hashlib.md5(
+                    f"{base}:{x}:{y}".encode()
+                ).digest()[0]
+                raw.append(min(255, v + ((x + y) % 2) * noise))
+
+        def chunk(typ: bytes, data: bytes) -> bytes:
+            body = typ + data
+            return (
+                struct.pack(">I", len(data))
+                + body
+                + struct.pack(">I", zlib.crc32(body))
+            )
+
+        ihdr = struct.pack(">IIBBBBB", size, size, 8, 0, 0, 0, 0)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b"")
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "media_type": "image",
+                    "payload": [
+                        encode(int(i)) for i in pdf[id_col]
+                    ],
+                    "meta": [
+                        {"codec": "png", "synthetic": "true"}
+                        for _ in range(len(pdf))
+                    ],
+                }
+            )
+
+    return ids.mapInPandas(batches, MEDIA_SCHEMA)

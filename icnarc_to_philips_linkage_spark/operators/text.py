@@ -555,6 +555,7 @@ def bpe_train(
     df: DataFrame,
     n_merges: int = 12,
     text_col: str = "text",
+    checkpoint_every: int = 3,
 ) -> DataFrame:
     """FULL byte-pair-encoding training (Sennrich-style): greedy merge
     loop over the WORD-FREQUENCY table — ``bpe_pair_counts`` is one
@@ -603,9 +604,13 @@ def bpe_train(
             break
         l, r, n = best[0]["l"], best[0]["r"], best[0]["pair_n"]
         merges.append((step, l, r, l + r, int(n)))
-        vocab = vocab.withColumn(
-            "syms", _apply_merge(F.col("syms"), l, r)
-        ).localCheckpoint(eager=True)
+        vocab = vocab.withColumn("syms", _apply_merge(F.col("syms"), l, r))
+        # checkpoint every few merges, not every one: the vocab table is
+        # small but each eager checkpoint is a full scheduler round
+        # trip; nesting a few fold expressions between pins costs
+        # nothing and halves the job count
+        if step % checkpoint_every == 0:
+            vocab = vocab.localCheckpoint(eager=True)
     return spark.createDataFrame(
         merges, "step int, left string, right string, merged string, pair_n long"
     )

@@ -917,6 +917,27 @@ FROM filtered f WHERE f.doc_id IN (SELECT doc_id FROM keepers)
 """
 
 
+def multimodal_phash_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end image near-dup pipeline over SYNTHESIZED PNGs (the
+    testdata ships no image bytes): render a deterministic gradient
+    PNG per document id with planted near-duplicates, REAL-decode the
+    pixels (stdlib zlib), dHash, and find pairs via the Hamming-banded
+    join. Rows-only for the driver (no SQL engine decodes PNGs);
+    the planted-pair recall is pinned by pytest."""
+    from icnarc_to_philips_linkage_spark.operators import multimodal
+
+    ids = (
+        load(spark, sf, "documents")
+        .select(F.col("doc_id").alias("media_id"))
+        .filter(F.col("media_id") < 200)
+    )
+    media = multimodal.synth_png_media(ids)
+    hashes = multimodal.perceptual_dhash(media)
+    return multimodal.phash_neardup(hashes, max_hamming=6).orderBy(
+        "id_a", "id_b"
+    )
+
+
 def multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
     """Multimodal plumbing demo: text treated as an opaque binary payload
     — byte length + content digest, the typed-metadata pattern every
@@ -2625,4 +2646,5 @@ QUERIES: dict[str, tuple] = {
     "sample_mixture_balance": (sample_mixture_balance, _mixture_sql()),
     "curate_documents": (curate_documents, CURATE_SQL),
     "multimodal_meta": (multimodal_meta, MULTIMODAL_SQL),
+    "multimodal_phash_pipeline": (multimodal_phash_pipeline, None),
 }

@@ -386,3 +386,20 @@ def test_bpe_apply_merge_handles_overlaps(spark):
     df = spark.createDataFrame([(["a", "a", "a"],)], "syms array<string>")
     got = df.select(_apply_merge(F.col("syms"), "a", "a").alias("m")).collect()
     assert got[0].m == ["aa", "a"]
+
+
+def test_multimodal_phash_pipeline_planted_recall(spark):
+    """End-to-end synth→decode→dHash→banded-join: every planted
+    near-dup pair found, no false positives among the md5-textured
+    distinct images."""
+    from icnarc_to_philips_linkage_spark.operators import multimodal
+
+    ids = spark.range(120).select(F.col("id").alias("media_id"))
+    media = multimodal.synth_png_media(ids, near_dup_mod=13)
+    hashes = multimodal.perceptual_dhash(media)
+    got = {
+        (r.id_a, r.id_b)
+        for r in multimodal.phash_neardup(hashes, max_hamming=6).collect()
+    }
+    planted = {(i - 1, i) for i in range(1, 120) if i % 13 == 0}
+    assert got == planted
