@@ -315,6 +315,45 @@ GROUP BY 1
 """
 
 
+# SQL UNPIVOT clause (round 6): the melt on the SQL surface itself —
+# u2_unpivot_melt covers the DataFrame API. DuckDB's UNPIVOT differs
+# syntactically, so the oracle is the engine-neutral UNION ALL melt.
+SQL_UNPIVOT_CLAUSE = """
+SELECT o_orderpriority, metric, val FROM (
+  SELECT o_orderpriority,
+         CAST(COUNT(*) AS DOUBLE) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS total_price
+  FROM orders GROUP BY o_orderpriority
+) UNPIVOT (val FOR metric IN (n_orders, total_price))
+"""
+
+SQL_UNPIVOT_ORACLE = """
+WITH agg AS (
+  SELECT o_orderpriority,
+         CAST(COUNT(*) AS DOUBLE) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS total_price
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, 'n_orders' AS metric, n_orders AS val FROM agg
+UNION ALL
+SELECT o_orderpriority, 'total_price', total_price FROM agg
+"""
+
+# VALUES inline table joined against real data — shared text: the
+# literal-dimension decode/config pattern without a physical dim table.
+SQL_VALUES_INLINE = """
+SELECT r.r_name, t.tier, COUNT(*) AS n_nations
+FROM region r
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN (VALUES ('EUROPE', 'core'), ('ASIA', 'growth'), ('AMERICA', 'core'))
+     AS t(rname, tier)
+  ON r.r_name = t.rname
+GROUP BY r.r_name, t.tier
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "sql_lateral_topk": (_sql(SQL_LATERAL), SQL_LATERAL),
     "sql_recursive_cte": (_sql(SQL_RECURSIVE), SQL_RECURSIVE),
@@ -334,6 +373,8 @@ QUERIES: dict[str, tuple] = {
     "sql_group_by_all": (_sql(SQL_GROUP_BY_ALL), SQL_GROUP_BY_ALL),
     "sql_natural_join": (_sql(SQL_NATURAL_JOIN), SQL_NATURAL_JOIN),
     "sql_variant_json": (_sql(SQL_VARIANT_JSON), SQL_VARIANT_JSON_ORACLE),
+    "sql_unpivot_clause": (_sql(SQL_UNPIVOT_CLAUSE), SQL_UNPIVOT_ORACLE),
+    "sql_values_inline": (_sql(SQL_VALUES_INLINE), SQL_VALUES_INLINE),
     "s2_pivot_wide": (s2_pivot_wide, S2_PIVOT_SQL),
     "u2_unpivot_melt": (u2_unpivot_melt, U2_UNPIVOT_SQL),
 }
