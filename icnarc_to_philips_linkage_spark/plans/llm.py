@@ -259,6 +259,59 @@ SELECT doc_id, CAST({terms} AS INT) AS simhash FROM sums
 # ------------------------------------------------------------- similarity
 
 
+def emb_label_centroids(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-label mean embedding (class centroids — the building block
+    of IVF coarse quantizers, nearest-centroid classifiers, and
+    diversity audits): explode to (label, dim, component), exact
+    decimal mean per cell, reassemble the vector with an order-pinned
+    collect_list. One shuffle on (label, dim) — dim-bounded fan-out,
+    map-side combinable."""
+    emb = load(spark, sf, "embeddings")
+    cells = emb.select(
+        "label",
+        F.posexplode("embedding").alias("i", "v"),
+    )
+    # exact decimal SUM, then ONE double division — structurally
+    # identical to the oracle (decimal division would round at decimal
+    # scale before the cast and could drift in the 7th place)
+    means = cells.groupBy("label", "i").agg(
+        (
+            F.sum(F.col("v").cast("decimal(18,8)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("m"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        means.groupBy("label")
+        .agg(
+            F.max("n").alias("n_vectors"),
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("i"), F.col("m")))
+                ),
+                lambda s: F.round(s["m"], 6),
+            ).alias("centroid"),
+        )
+    )
+
+
+EMB_CENTROIDS_SQL = f"""
+WITH cells AS (
+  SELECT label, i - 1 AS i, CAST(embedding[i] AS DOUBLE) AS v
+  FROM embeddings, generate_series(1, {DIM}) t(i)
+),
+means AS (
+  SELECT label, i,
+         CAST(SUM(CAST(v AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*) AS m,
+         COUNT(*) AS n
+  FROM cells GROUP BY label, i
+)
+SELECT label, MAX(n) AS n_vectors,
+       list(ROUND(m, 6) ORDER BY i) AS centroid
+FROM means GROUP BY label
+"""
+
+
 def sim_knn_brute_force(spark: SparkSession, sf: str) -> DataFrame:
     """Exact cosine top-5 for the first 10 vectors as queries."""
     emb = load(spark, sf, "embeddings")
@@ -2625,6 +2678,7 @@ QUERIES: dict[str, tuple] = {
     "dedup_simhash": (dedup_simhash, _simhash_sql()),
     "dedup_embedding_cosine": (dedup_embedding_cosine, _near_dup_sql()),
     "sim_knn_brute_force": (sim_knn_brute_force, _knn_sql()),
+    "emb_label_centroids": (emb_label_centroids, EMB_CENTROIDS_SQL),
     "sim_ivf_topk": (sim_ivf_topk, _ivf_sql()),
     "sim_ann_rh_lsh": (sim_ann_rh_lsh, _rh_lsh_sql()),
     "sim_ann_rh_lsh_multiprobe": (sim_ann_rh_lsh_multiprobe, _rh_lsh_multiprobe_sql()),

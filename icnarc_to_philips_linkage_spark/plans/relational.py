@@ -2506,6 +2506,57 @@ FROM sums
 """
 
 
+def ts_seasonal_baseline(spark: SparkSession, sf: str) -> DataFrame:
+    """Seasonal-naive forecast evaluation: predict each hour's segment
+    total with the SAME HOUR 24h earlier and score MAE/bias per
+    segment — the baseline every real forecaster must beat, and a
+    self-join that stays an equi-join (timestamp arithmetic on the
+    join key, no windows over sparse spines). Exact decimal sums and
+    diffs make the averages engine-identical."""
+    e = load(spark, sf, "events")
+    hourly = (
+        e.withColumn("seg", (F.col("user_id") % 20).cast("int"))
+        .groupBy("seg", F.date_trunc("hour", "ts").alias("h"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sv")
+        )
+    )
+    prev = hourly.select(
+        "seg",
+        (F.col("h") + F.expr("INTERVAL 24 HOURS")).alias("h"),
+        F.col("sv").alias("prev_sv"),
+    )
+    j = hourly.join(prev, ["seg", "h"])
+    diff = F.col("sv") - F.col("prev_sv")
+    return j.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.round(
+            (F.sum(F.abs(diff)) / F.count(F.lit(1))).cast("double"), 6
+        ).alias("mae"),
+        F.round(
+            (F.sum(diff) / F.count(F.lit(1))).cast("double"), 6
+        ).alias("bias"),
+    )
+
+
+TS_SEASONAL_SQL = """
+WITH hourly AS (
+  SELECT CAST(user_id % 20 AS INT) AS seg, date_trunc('hour', ts) AS h,
+         SUM(CAST(value AS DECIMAL(18,2))) AS sv
+  FROM events GROUP BY 1, 2
+),
+j AS (
+  SELECT c.seg, c.sv, p.sv AS prev_sv
+  FROM hourly c JOIN hourly p
+    ON c.seg = p.seg AND p.h + INTERVAL 24 HOURS = c.h
+)
+SELECT seg, COUNT(*) AS n_hours,
+       ROUND(CAST(SUM(ABS(sv - prev_sv)) / COUNT(*) AS DOUBLE), 6) AS mae,
+       ROUND(CAST(SUM(sv - prev_sv) / COUNT(*) AS DOUBLE), 6) AS bias
+FROM j GROUP BY seg
+"""
+
+
 _PR_ITERS, _PR_DAMPING, _PR_TOPK = 5, 0.85, 20
 
 
@@ -2987,6 +3038,7 @@ QUERIES: dict[str, tuple] = {
     "a24_chi_square": (a24_chi_square, A24_SQL),
     "w8_rank_functions": (w8_rank_functions, W8_SQL),
     "graph_pagerank_parts": (graph_pagerank_parts, _pagerank_sql()),
+    "ts_seasonal_baseline": (ts_seasonal_baseline, TS_SEASONAL_SQL),
     "a8d_percentile_disc": (a8d_percentile_disc, A8D_SQL),
     "a27_entropy_by_group": (a27_entropy_by_group, A27_SQL),
     "ts_ohlc_bars": (ts_ohlc_bars, TS_OHLC_SQL),
