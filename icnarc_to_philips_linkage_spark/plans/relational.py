@@ -2506,6 +2506,126 @@ FROM sums
 """
 
 
+def ev_cohort_ltv(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohort lifetime-value curves: users grouped by first-seen day,
+    cumulative per-user average value by cohort age — the retention
+    table's value-weighted sibling. Two aggregations (user firsts via
+    min, then cohort/age cells) plus one running window over the
+    cohort×age grid; exact decimal sums throughout."""
+    e = load(spark, sf, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort")
+    )
+    cells = (
+        e.join(firsts, "user_id")
+        .groupBy(
+            "cohort",
+            F.datediff(F.date_trunc("day", "ts"), F.col("cohort")).alias(
+                "age_days"
+            ),
+        )
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("day_value"))
+    )
+    sizes = firsts.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("cohort_users")
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("age_days")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        cells.join(F.broadcast(sizes), "cohort")
+        .select(
+            "cohort",
+            "age_days",
+            "cohort_users",
+            F.round(
+                F.sum("day_value").over(w).cast("double")
+                / F.col("cohort_users"),
+                6,
+            ).alias("cum_value_per_user"),
+        )
+    )
+
+
+EV_COHORT_LTV_SQL = """
+WITH firsts AS (
+  SELECT user_id, date_trunc('day', MIN(ts)) AS cohort
+  FROM events GROUP BY user_id
+),
+cells AS (
+  SELECT f.cohort,
+         date_diff('day', f.cohort, date_trunc('day', e.ts)) AS age_days,
+         SUM(CAST(e.value AS DECIMAL(18,2))) AS day_value
+  FROM events e JOIN firsts f USING (user_id)
+  GROUP BY 1, 2
+),
+sizes AS (
+  SELECT cohort, COUNT(*) AS cohort_users FROM firsts GROUP BY cohort
+)
+SELECT c.cohort, c.age_days, s.cohort_users,
+       ROUND(CAST(SUM(c.day_value) OVER (
+                PARTITION BY c.cohort ORDER BY c.age_days
+                ROWS UNBOUNDED PRECEDING) AS DOUBLE) / s.cohort_users, 6)
+         AS cum_value_per_user
+FROM cells c JOIN sizes s USING (cohort)
+"""
+
+
+def w9_share_of_parent(spark: SparkSession, sf: str) -> DataFrame:
+    """Hierarchical share-of-parent: each nation's revenue share within
+    its region, plus the region's share of the world — the two-level
+    percent-of-total every drill-down report needs. All windows run
+    over the 25-row nation aggregate."""
+    c = load(spark, sf, "customer")
+    n = load(spark, sf, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = load(spark, sf, "region").select("r_regionkey", "r_name")
+    per_nation = (
+        c.groupBy("c_nationkey")
+        .agg(F.sum(F.col("c_acctbal").cast("decimal(18,2)")).alias("bal"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("r_name", "n_name", "bal")
+    )
+    wr = Window.partitionBy("r_name")
+    wall = Window.partitionBy()
+    return per_nation.select(
+        "r_name",
+        "n_name",
+        F.col("bal").cast("double").alias("nation_bal"),
+        F.round(
+            (F.col("bal") / F.sum("bal").over(wr)).cast("double"), 6
+        ).alias("share_of_region"),
+        F.round(
+            (F.sum("bal").over(wr) / F.sum("bal").over(wall)).cast(
+                "double"
+            ),
+            6,
+        ).alias("region_share_of_world"),
+    )
+
+
+W9_SQL = """
+WITH per_nation AS (
+  SELECT r.r_name, n.n_name,
+         SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS bal
+  FROM customer c
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY r.r_name, n.n_name
+)
+SELECT r_name, n_name,
+       CAST(bal AS DOUBLE) AS nation_bal,
+       ROUND(CAST(bal / SUM(bal) OVER (PARTITION BY r_name) AS DOUBLE), 6)
+         AS share_of_region,
+       ROUND(CAST(SUM(bal) OVER (PARTITION BY r_name)
+                  / SUM(bal) OVER () AS DOUBLE), 6)
+         AS region_share_of_world
+FROM per_nation
+"""
+
+
 def ts_seasonal_baseline(spark: SparkSession, sf: str) -> DataFrame:
     """Seasonal-naive forecast evaluation: predict each hour's segment
     total with the SAME HOUR 24h earlier and score MAE/bias per
@@ -3039,6 +3159,8 @@ QUERIES: dict[str, tuple] = {
     "w8_rank_functions": (w8_rank_functions, W8_SQL),
     "graph_pagerank_parts": (graph_pagerank_parts, _pagerank_sql()),
     "ts_seasonal_baseline": (ts_seasonal_baseline, TS_SEASONAL_SQL),
+    "ev_cohort_ltv": (ev_cohort_ltv, EV_COHORT_LTV_SQL),
+    "w9_share_of_parent": (w9_share_of_parent, W9_SQL),
     "a8d_percentile_disc": (a8d_percentile_disc, A8D_SQL),
     "a27_entropy_by_group": (a27_entropy_by_group, A27_SQL),
     "ts_ohlc_bars": (ts_ohlc_bars, TS_OHLC_SQL),
