@@ -215,3 +215,18 @@ def parquet_footer_stats(
     plan = agg._jdf.queryExecution().executedPlan().toString()
     row = agg.collect()[0]
     return row, plan
+
+
+def read_parquet_evolved(spark: SparkSession, path: str) -> DataFrame:
+    """Read a parquet directory whose files span SCHEMA VERSIONS
+    (columns added over time): ``mergeSchema`` unions the per-file
+    schemas and backfills missing columns with NULL — the additive
+    half of schema evolution every long-lived ingest dataset needs.
+    Renames/retypes are NOT reconciled here (that is the schema-drift
+    report's job — operators/reconcile + tests/test_schema_drift);
+    incompatible types still fail the merge loudly.
+
+    Cost note: merging reads every file's FOOTER at planning time —
+    at 100 TB partition the dataset so only new partitions need
+    merging, or pin the final schema once evolution settles."""
+    return spark.read.option("mergeSchema", "true").parquet(path)

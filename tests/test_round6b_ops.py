@@ -403,3 +403,23 @@ def test_multimodal_phash_pipeline_planted_recall(spark):
     }
     planted = {(i - 1, i) for i in range(1, 120) if i % 13 == 0}
     assert got == planted
+
+
+def test_read_parquet_evolved_unions_added_columns(spark, tmp_path):
+    """Files written before a column existed read back with NULLs in
+    that column; both generations survive in one frame."""
+    from icnarc_to_philips_linkage_spark.sources.readers import (
+        read_parquet_evolved,
+    )
+
+    d = str(tmp_path / "evolved")
+    spark.createDataFrame([(1, "a")], "id long, name string").write.parquet(
+        d + "/gen=1"
+    )
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, name string, score double"
+    ).write.parquet(d + "/gen=2")
+    out = read_parquet_evolved(spark, d)
+    assert set(out.columns) >= {"id", "name", "score"}
+    rows = {r.id: r for r in out.collect()}
+    assert rows[1].score is None and rows[2].score == 9.5
