@@ -11,17 +11,20 @@ Design for 100 TB:
 - The iteration count is FIXED (power iteration with explicit k), so
   the lineage is a bounded plan, checkpointed every few steps to stop
   Catalyst re-analysis cost growing with k.
-- Determinism across engines: per-edge contributions are rounded to
-  12dp and summed as exact decimal(22,12), and the damped update is
-  rounded again — so each iteration's output is a bit-exact decimal
-  table and float summation order can never drift the ranks. The
-  DuckDB oracle replays the identical unrolled iterations.
+- Determinism across engines: ranks are SCALED INTEGERS (picorank,
+  1e-12 units) and every step is integer division/multiplication — so
+  each iteration's output is bit-exact in any engine and float
+  summation order can never drift the ranks. The DuckDB oracle
+  replays the identical unrolled integer iterations.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+RANK_SCALE = 10**12  # picorank units: all rank mass as exact integers
 
 
 def pagerank(
@@ -37,13 +40,25 @@ def pagerank(
     directions for an undirected walk). Dangling mass (nodes with no
     out-edges) is dropped, teleport keeps every node alive — ranks
     then sum to < 1, the usual simplification; mirror it when
-    comparing. Returns (node, rank) with rank a decimal(22,12).
+    comparing. Returns (node, rank) with rank = picorank / 1e12 as an
+    exact double.
+
+    Determinism: ranks live in SCALED INTEGERS (picorank units) and
+    every step is integer arithmetic — contributions are ``rank DIV
+    outdeg``, damping applies in basis points — so the fixpoint is
+    bit-identical in ANY engine; no floating rounding exists to tie-
+    break differently (a 12dp double ROUND was observed to disagree
+    between engines exactly at a .5 boundary). Damping must be a
+    whole number of basis points.
 
     Scale shape per iteration: edges ⋈ ranks on src (one shuffle on
     src), aggregate contributions by dst (one shuffle on dst), left
     join back to the node set so in-degree-0 nodes keep the teleport
     term. N (node count) folds in as a literal — one scalar aggregate
     at plan build, like the timeseries bound collects."""
+    d_bp = round(damping * 10_000)
+    if abs(d_bp / 10_000 - damping) > 1e-12:
+        raise ValueError("damping must be a whole number of basis points")
     # loop invariants pinned ONCE: e/nodes/outdeg feed every iteration
     # (10+ consumers for k=5) — without the eager materialization the
     # edge distinct and degree aggregation re-run per iteration and the
@@ -65,17 +80,15 @@ def pagerank(
     )
     n = nodes.count()
     if n == 0:
-        return nodes.withColumn("rank", F.lit(None).cast("decimal(22,12)"))
+        return nodes.withColumn("rank", F.lit(None).cast("double"))
     outdeg = (
         e.groupBy("src")
         .agg(F.count(F.lit(1)).alias("outdeg"))
         .localCheckpoint(eager=True)
     )
-    # raw IEEE quotient — the single round happens inside the damped
-    # update so an oracle reproducing the expression tree stays exact
-    teleport = (1.0 - damping) / n
+    teleport = ((10_000 - d_bp) * RANK_SCALE) // (10_000 * n)
     ranks = nodes.withColumn(
-        "rank", F.lit(round(1.0 / n, 12)).cast("decimal(22,12)")
+        "prank", F.lit(RANK_SCALE // n).cast("long")
     )
     # rank/degree tables are |nodes|-sized; when they fit (the common
     # case — node sets are orders of magnitude smaller than edge sets)
@@ -91,16 +104,7 @@ def pagerank(
             .join(bc(outdeg), "src")
             .select(
                 "dst",
-                # divide in DOUBLE (exact decimal inputs → identical
-                # IEEE quotient in any engine), round, then back to
-                # exact decimal for the order-independent sum —
-                # decimal/int division rounding rules differ between
-                # engines, double division does not
-                F.round(
-                    F.col("rank").cast("double") / F.col("outdeg"), 12
-                )
-                .cast("decimal(22,12)")
-                .alias("c"),
+                F.expr("prank DIV outdeg").alias("c"),
             )
             .groupBy("dst")
             .agg(F.sum("c").alias("in_sum"))
@@ -110,17 +114,12 @@ def pagerank(
             nodes.join(bc(contrib), nodes["node"] == contrib["dst"], "left")
             .select(
                 "node",
-                F.round(
+                (
                     F.lit(teleport)
-                    + F.lit(damping)
-                    * F.coalesce(
-                        F.col("in_sum"),
-                        F.lit(0).cast("decimal(22,12)"),
-                    ).cast("double"),
-                    12,
-                )
-                .cast("decimal(22,12)")
-                .alias("rank"),
+                    + F.expr(
+                        f"({d_bp} * COALESCE(in_sum, 0L)) DIV 10000"
+                    )
+                ).cast("long").alias("prank"),
             )
         )
         if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
@@ -128,4 +127,6 @@ def pagerank(
             # iteration instead of O(i); an eager local materialization
             # of |nodes| rows
             ranks = ranks.localCheckpoint(eager=True)
-    return ranks
+    return ranks.select(
+        "node", (F.col("prank") / F.lit(float(RANK_SCALE))).alias("rank")
+    )

@@ -596,3 +596,75 @@ def ohlc_bars(
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+def cusum_alarms(
+    events: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    drift_k: float = 0.5,
+    threshold_h: float = 5.0,
+    calibration_frac: float = 0.25,
+) -> DataFrame:
+    """Two-sided CUSUM change-point detection per key — the standard
+    mean-shift alarm (complements the distributional drift reports:
+    PSI/KS/Wasserstein compare snapshots; CUSUM watches a SEQUENCE).
+    Values standardize against an IN-CONTROL estimate — mean/std of
+    the first ``calibration_frac`` of each key's sequence — not the
+    whole series (a late shift would drag a global mean toward itself
+    and fire backwards alarms on the healthy prefix). Then
+    S⁺_t = max(0, S⁺_{t−1} + z_t − k) and the mirrored S⁻ accumulate;
+    an alarm fires when either exceeds h, and the statistic resets.
+
+    The recursion has a max() in it, so — like the EWMA smoother — it
+    has no bounded-window native form and earns the grouped-map
+    ``applyInPandas`` escape hatch (SURVEY §2.10 UD2 policy). One
+    shuffle on key; per-key state is two floats. Output: (key, ts,
+    value, z, cusum_pos, cusum_neg, alarm)."""
+    import pandas as pd
+
+    out_schema = ", ".join(
+        [
+            f"`{key}` long",
+            f"`{ts_col}` timestamp",
+            f"`{value_col}` double",
+            "z double",
+            "cusum_pos double",
+            "cusum_neg double",
+            "alarm boolean",
+        ]
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([ts_col]).reset_index(drop=True)
+        n_cal = max(2, int(len(pdf) * calibration_frac))
+        cal = pdf[value_col].iloc[:n_cal]
+        mu = cal.mean()
+        sd = cal.std(ddof=0)
+        z = (
+            (pdf[value_col] - mu) / sd
+            if sd and sd > 0
+            else pdf[value_col] * 0.0
+        )
+        sp = sn = 0.0
+        pos, neg, alarms = [], [], []
+        for zt in z:
+            sp = max(0.0, sp + zt - drift_k)
+            sn = max(0.0, sn - zt - drift_k)
+            fired = sp > threshold_h or sn > threshold_h
+            pos.append(sp)
+            neg.append(sn)
+            alarms.append(bool(fired))
+            if fired:
+                sp = sn = 0.0
+        out = pdf[[key, ts_col, value_col]].copy()
+        out["z"] = z
+        out["cusum_pos"] = pos
+        out["cusum_neg"] = neg
+        out["alarm"] = alarms
+        return out
+
+    return events.select(key, ts_col, value_col).groupBy(key).applyInPandas(
+        fold, out_schema
+    )

@@ -2506,6 +2506,45 @@ FROM sums
 """
 
 
+def ev_path_3step(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-20 most common 3-step event paths: two leads under ONE
+    per-user window spec (one sort+exchange), path counts, top-k with
+    deterministic tie-break — the k-step generalization of the
+    transition matrix."""
+    e = load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    paths = (
+        e.select(
+            F.col("event_type").alias("s1"),
+            F.lead("event_type", 1).over(w).alias("s2"),
+            F.lead("event_type", 2).over(w).alias("s3"),
+        )
+        .filter(F.col("s2").isNotNull() & F.col("s3").isNotNull())
+        .groupBy("s1", "s2", "s3")
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+    )
+    return profile.top_k(
+        paths,
+        [F.desc("n_paths"), F.asc("s1"), F.asc("s2"), F.asc("s3")],
+        20,
+    )
+
+
+EV_PATH3_SQL = """
+WITH steps AS (
+  SELECT event_type AS s1,
+         LEAD(event_type, 1) OVER w AS s2,
+         LEAD(event_type, 2) OVER w AS s3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT s1, s2, s3, COUNT(*) AS n_paths
+FROM steps WHERE s2 IS NOT NULL AND s3 IS NOT NULL
+GROUP BY s1, s2, s3
+ORDER BY n_paths DESC, s1, s2, s3 LIMIT 20
+"""
+
+
 def ev_cohort_ltv(spark: SparkSession, sf: str) -> DataFrame:
     """Cohort lifetime-value curves: users grouped by first-seen day,
     cumulative per-user average value by cohort age — the retention
@@ -2626,6 +2665,23 @@ FROM per_nation
 """
 
 
+def ts_cusum_alarms(spark: SparkSession, sf: str) -> DataFrame:
+    """CUSUM mean-shift alarms per user (timeseries.cusum_alarms):
+    sequential max-recursion via the grouped-map applyInPandas escape
+    hatch — rows-only for the driver (the reset-on-alarm fold is not
+    SQL-expressible); planted-shift detection pinned by pytest."""
+    from icnarc_to_philips_linkage_spark.operators.timeseries import (
+        cusum_alarms,
+    )
+
+    return cusum_alarms(
+        load(spark, sf, "events").filter(F.col("user_id") < 50),
+        "user_id",
+        "ts",
+        "value",
+    )
+
+
 def ts_seasonal_baseline(spark: SparkSession, sf: str) -> DataFrame:
     """Seasonal-naive forecast evaluation: predict each hour's segment
     total with the SAME HOUR 24h earlier and score MAE/bias per
@@ -2706,7 +2762,9 @@ def graph_pagerank_parts(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _pagerank_sql() -> str:
-    d = _PR_DAMPING
+    from icnarc_to_philips_linkage_spark.operators.graph import RANK_SCALE
+
+    d_bp = round(_PR_DAMPING * 10_000)
     head = f"""
 WITH fwd AS (
   SELECT 's' || CAST(l_suppkey AS VARCHAR) AS src,
@@ -2724,8 +2782,8 @@ nodes AS (
 nn AS (SELECT COUNT(*) AS n FROM nodes),
 outdeg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
 r0 AS (
-  SELECT node, CAST(ROUND(1.0 / (SELECT n FROM nn), 12)
-                    AS DECIMAL(22,12)) AS rank
+  SELECT node,
+         CAST({RANK_SCALE} // (SELECT n FROM nn) AS BIGINT) AS prank
   FROM nodes
 )"""
     steps = []
@@ -2734,14 +2792,12 @@ r0 AS (
             f""",
 r{i} AS (
   SELECT nodes.node,
-         CAST(ROUND(CAST({1 - d!r} AS DOUBLE) / (SELECT n FROM nn)
-                    + CAST({d!r} AS DOUBLE)
-                      * CAST(COALESCE(s.in_sum, 0) AS DOUBLE), 12)
-              AS DECIMAL(22,12)) AS rank
+         CAST(({10_000 - d_bp} * {RANK_SCALE})
+                // (10000 * (SELECT n FROM nn))
+              + ({d_bp} * COALESCE(s.in_sum, 0)) // 10000
+              AS BIGINT) AS prank
   FROM nodes LEFT JOIN (
-    SELECT e.dst,
-           SUM(CAST(ROUND(CAST(r.rank AS DOUBLE) / o.outdeg, 12)
-                    AS DECIMAL(22,12))) AS in_sum
+    SELECT e.dst, SUM(r.prank // o.outdeg) AS in_sum
     FROM e JOIN r{i - 1} r ON e.src = r.node
            JOIN outdeg o ON e.src = o.src
     GROUP BY e.dst
@@ -2752,7 +2808,7 @@ r{i} AS (
         head
         + "".join(steps)
         + f"""
-SELECT node, CAST(rank AS DOUBLE) AS rank FROM r{_PR_ITERS}
+SELECT node, prank / {float(RANK_SCALE)!r} AS rank FROM r{_PR_ITERS}
 ORDER BY rank DESC, node LIMIT {_PR_TOPK}
 """
     )
@@ -3159,6 +3215,8 @@ QUERIES: dict[str, tuple] = {
     "w8_rank_functions": (w8_rank_functions, W8_SQL),
     "graph_pagerank_parts": (graph_pagerank_parts, _pagerank_sql()),
     "ts_seasonal_baseline": (ts_seasonal_baseline, TS_SEASONAL_SQL),
+    "ts_cusum_alarms": (ts_cusum_alarms, None),
+    "ev_path_3step": (ev_path_3step, EV_PATH3_SQL),
     "ev_cohort_ltv": (ev_cohort_ltv, EV_COHORT_LTV_SQL),
     "w9_share_of_parent": (w9_share_of_parent, W9_SQL),
     "a8d_percentile_disc": (a8d_percentile_disc, A8D_SQL),

@@ -423,3 +423,33 @@ def test_read_parquet_evolved_unions_added_columns(spark, tmp_path):
     assert set(out.columns) >= {"id", "name", "score"}
     rows = {r.id: r for r in out.collect()}
     assert rows[1].score is None and rows[2].score == 9.5
+
+
+def test_cusum_detects_planted_mean_shift(spark):
+    """A level shift halfway through the series must raise an alarm
+    shortly after onset; a stationary series must not alarm."""
+    from icnarc_to_philips_linkage_spark.operators.timeseries import (
+        cusum_alarms,
+    )
+
+    rows = []
+    for i in range(200):
+        # key 1: shift of +3 (in raw units ≈ +3σ) from i=100
+        v = (i % 7 - 3) * 0.3 + (3.0 if i >= 100 else 0.0)
+        rows.append((1, f"2024-01-01 {i // 60:02d}:{i % 60:02d}:00", v))
+        # key 2: stationary
+        rows.append((2, f"2024-01-01 {i // 60:02d}:{i % 60:02d}:00", (i % 7 - 3) * 0.3))
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = cusum_alarms(df, "user_id", "ts", "value").collect()
+    alarms1 = sorted(
+        r.ts for r in out if r.user_id == 1 and r.alarm
+    )
+    alarms2 = [r for r in out if r.user_id == 2 and r.alarm]
+    assert alarms1, "shift must alarm"
+    # first alarm lands after onset (minute >= 100) and not too late
+    first = alarms1[0]
+    minute = first.hour * 60 + first.minute
+    assert 100 <= minute <= 140
+    assert not alarms2, "stationary series must not alarm"
