@@ -2665,6 +2665,73 @@ FROM per_nation
 """
 
 
+def ts_autocorrelation(spark: SparkSession, sf: str) -> DataFrame:
+    """Lag-1 autocorrelation of event values per user segment — the
+    is-there-temporal-structure diagnostic behind forecastability and
+    sampling-rate choices. Lag pairs form under per-user windows (one
+    shuffle, bounded per-key state); Pearson r over the pairs comes
+    from exact integer power sums in cents (a23's recipe: all float
+    math deferred to identical final expressions, sqrt not pow)."""
+    e = load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.withColumn("seg", (F.col("user_id") % 10).cast("int"))
+        .select(
+            "seg",
+            (F.col("value") * 100).cast("decimal(18,0)").alias("x"),
+            (F.lag(F.col("value"), 1).over(w) * 100)
+            .cast("decimal(18,0)")
+            .alias("y"),
+        )
+        .filter(F.col("y").isNotNull())
+    )
+    x2 = (F.col("x") * F.col("x")).cast("decimal(38,0)")
+    y2 = (F.col("y") * F.col("y")).cast("decimal(38,0)")
+    xy = (F.col("x") * F.col("y")).cast("decimal(38,0)")
+    agg = pairs.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(x2).cast("double").alias("sxx"),
+        F.sum(y2).cast("double").alias("syy"),
+        F.sum(xy).cast("double").alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    cov = F.col("sxy") / n - (F.col("sx") / n) * (F.col("sy") / n)
+    vx = F.col("sxx") / n - (F.col("sx") / n) * (F.col("sx") / n)
+    vy = F.col("syy") / n - (F.col("sy") / n) * (F.col("sy") / n)
+    return agg.select(
+        "seg",
+        "n",
+        F.round(cov / (F.sqrt(vx) * F.sqrt(vy)), 6).alias("acf_lag1"),
+    )
+
+
+TS_AUTOCORR_SQL = """
+WITH pairs AS (
+  SELECT CAST(user_id % 10 AS INT) AS seg,
+         CAST(value * 100 AS HUGEINT) AS x,
+         CAST(LAG(value, 1) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) * 100
+              AS HUGEINT) AS y
+  FROM events
+),
+agg AS (
+  SELECT seg, COUNT(*) AS n,
+         CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(x*x) AS DOUBLE) AS sxx,
+         CAST(SUM(y*y) AS DOUBLE) AS syy,
+         CAST(SUM(x*y) AS DOUBLE) AS sxy
+  FROM pairs WHERE y IS NOT NULL GROUP BY seg
+)
+SELECT seg, n,
+       ROUND((sxy/n - (sx/n)*(sy/n))
+             / (SQRT(sxx/n - (sx/n)*(sx/n))
+                * SQRT(syy/n - (sy/n)*(sy/n))), 6) AS acf_lag1
+FROM agg
+"""
+
+
 def ts_cusum_alarms(spark: SparkSession, sf: str) -> DataFrame:
     """CUSUM mean-shift alarms per user (timeseries.cusum_alarms):
     sequential max-recursion via the grouped-map applyInPandas escape
@@ -3215,6 +3282,7 @@ QUERIES: dict[str, tuple] = {
     "w8_rank_functions": (w8_rank_functions, W8_SQL),
     "graph_pagerank_parts": (graph_pagerank_parts, _pagerank_sql()),
     "ts_seasonal_baseline": (ts_seasonal_baseline, TS_SEASONAL_SQL),
+    "ts_autocorrelation": (ts_autocorrelation, TS_AUTOCORR_SQL),
     "ts_cusum_alarms": (ts_cusum_alarms, None),
     "ev_path_3step": (ev_path_3step, EV_PATH3_SQL),
     "ev_cohort_ltv": (ev_cohort_ltv, EV_COHORT_LTV_SQL),
