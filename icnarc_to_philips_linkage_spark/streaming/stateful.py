@@ -57,7 +57,7 @@ def alarm_runs(
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        (run,) = state.get() if state.exists else (0,)
+        (run,) = state.get if state.exists else (0,)
         out = []
         # Materialize ALL Arrow chunks for the key before sorting: a
         # per-chunk sort makes accept/run decisions depend on chunk
@@ -176,4 +176,73 @@ def debounce_stream(events: DataFrame, gap_seconds: int = 600) -> DataFrame:
         outputStructType=DEBOUNCE_OUTPUT_SCHEMA,
         outputMode="Append",
         timeMode="None",
+    )
+
+
+CUSUM_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("z", DoubleType()),
+        StructField("cusum_pos", DoubleType()),
+        StructField("cusum_neg", DoubleType()),
+    ]
+)
+
+CUSUM_STATE_SCHEMA = StructType(
+    [
+        StructField("sp", DoubleType()),
+        StructField("sn", DoubleType()),
+    ]
+)
+
+
+def cusum_monitor_stream(
+    events: DataFrame,
+    mu: float,
+    sigma: float,
+    drift_k: float = 0.5,
+    threshold_h: float = 5.0,
+) -> DataFrame:
+    """Streaming twin of ``timeseries.cusum_alarms``: the two-sided
+    CUSUM statistic carried ACROSS micro-batches per key — the state
+    is exactly (S⁺, S⁻), so a key costs 16 bytes no matter how long
+    the stream runs. The in-control (mu, sigma) come from a batch
+    calibration pass (the batch op's calibration prefix); streaming
+    re-estimating them online would let a slow drift recalibrate
+    itself invisible. Emits ONLY alarm rows (append mode) and resets
+    the statistic after each, like the batch fold."""
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        sp, sn = state.get if state.exists else (0.0, 0.0)
+        out = []
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values("ts")
+            for _, row in pdf.iterrows():
+                v = row["value"]
+                if v is None or pd.isna(v):
+                    continue
+                z = (v - mu) / sigma if sigma > 0 else 0.0
+                sp = max(0.0, sp + z - drift_k)
+                sn = max(0.0, sn - z - drift_k)
+                if sp > threshold_h or sn > threshold_h:
+                    out.append((key[0], row["ts"], z, sp, sn))
+                    sp = sn = 0.0
+        state.update((sp, sn))
+        if out:
+            yield pd.DataFrame(
+                out, columns=[f.name for f in CUSUM_OUTPUT_SCHEMA.fields]
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=CUSUM_OUTPUT_SCHEMA,
+        stateStructType=CUSUM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -653,3 +653,58 @@ def test_event_replay_source_drains_in_event_time_order(spark, tmp_path):
         == 0
     )
     assert streamed.count() == batch.count()
+
+
+def test_cusum_monitor_stream_state_carries_across_batches(spark, tmp_path):
+    """Streaming CUSUM: the (S+, S-) statistic survives the checkpoint
+    between availableNow runs — the alarm in batch 2 only reaches the
+    threshold because batch 1's accumulation carried over."""
+    from icnarc_to_philips_linkage_spark.streaming.stateful import (
+        cusum_monitor_stream,
+    )
+
+    indir, ck, outdir = (str(tmp_path / d) for d in ("in", "ck", "out"))
+    schema = "user_id long, ts timestamp, value double"
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(indir)
+
+    def run():
+        src = spark.readStream.format("parquet").schema(schema).load(indir)
+        q = (
+            cusum_monitor_stream(src, mu=0.0, sigma=1.0, drift_k=0.5,
+                                 threshold_h=5.0)
+            .writeStream.format("parquet")
+            .option("path", outdir)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q)
+        try:
+            return sorted(
+                (r.user_id, r.ts.isoformat(), r.cusum_pos)
+                for r in spark.read.parquet(outdir).collect()
+            )
+        except Exception:
+            return []  # no alarm rows written yet -> no output files
+
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0)
+    batch1 = [
+        (7, t0 + dt.timedelta(minutes=i), 1.5) for i in range(4)
+    ]  # sp: 1,2,3,4 — below h, NO alarm
+    write_batch(batch1)
+    assert run() == []
+    batch2 = [
+        (7, t0 + dt.timedelta(minutes=10 + i), 1.5) for i in range(2)
+    ]  # sp: 5 (no), 6 (> h=5 → alarm) — only with carried state
+    write_batch(batch2)
+    out = run()
+    assert len(out) == 1
+    uid, ts, sp = out[0]
+    assert uid == 7 and sp == 6.0 and ts.endswith("10:11:00")
