@@ -259,6 +259,77 @@ SELECT doc_id, CAST({terms} AS INT) AS simhash FROM sums
 # ------------------------------------------------------------- similarity
 
 
+def emb_int8_quantize(spark: SparkSession, sf: str) -> DataFrame:
+    """Symmetric int8 vector quantization — the vector-store compression
+    step (16x smaller than float32 at ~1% recall cost in practice):
+    per-vector max-abs scale, codes = clamp(round(x/scale)), plus the
+    reconstruction MSE that prices the compression. Pure array
+    expressions; the per-component fold runs in array order on both
+    engines, so the MSE doubles are identical."""
+    emb = load(spark, sf, "embeddings")
+    v = F.col("embedding")
+    scale = F.round(
+        F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+        / 127.0,
+        9,
+    )
+    q = emb.select("vec_id", v.alias("v"), scale.alias("scale"))
+    code = lambda x: F.when(  # noqa: E731
+        F.col("scale") > 0,
+        F.least(
+            F.lit(127),
+            F.greatest(
+                F.lit(-127),
+                F.round(x.cast("double") / F.col("scale"), 0).cast("int"),
+            ),
+        ),
+    ).otherwise(F.lit(0))
+    codes = F.transform(F.col("v"), code)
+    sq_err = F.zip_with(
+        F.col("v"),
+        codes,
+        lambda x, c: (x.cast("double") - c * F.col("scale"))
+        * (x.cast("double") - c * F.col("scale")),
+    )
+    return q.select(
+        "vec_id",
+        "scale",
+        codes.alias("codes"),
+        F.round(
+            F.aggregate(
+                sq_err, F.lit(0.0), lambda acc, e: acc + e
+            )
+            / F.size(F.col("v")),
+            9,
+        ).alias("mse"),
+    )
+
+
+def _emb_int8_sql() -> str:
+    return f"""
+WITH scaled AS (
+  SELECT vec_id, embedding AS v,
+         ROUND(list_max(list_transform(embedding,
+                 x -> abs(CAST(x AS DOUBLE)))) / 127.0, 9) AS scale
+  FROM embeddings
+),
+coded AS (
+  SELECT vec_id, v, scale,
+         list_transform(v, x -> CASE WHEN scale > 0
+             THEN CAST(LEAST(127, GREATEST(-127,
+                  ROUND(CAST(x AS DOUBLE) / scale, 0))) AS INT)
+             ELSE 0 END) AS codes
+  FROM scaled
+)
+SELECT vec_id, scale, codes,
+       ROUND(list_sum(list_transform(generate_series(1, {DIM}),
+               i -> (CAST(v[i] AS DOUBLE) - codes[i] * scale)
+                    * (CAST(v[i] AS DOUBLE) - codes[i] * scale)))
+             / {DIM}, 9) AS mse
+FROM coded
+"""
+
+
 def emb_label_centroids(spark: SparkSession, sf: str) -> DataFrame:
     """Per-label mean embedding (class centroids — the building block
     of IVF coarse quantizers, nearest-centroid classifiers, and
@@ -623,6 +694,66 @@ WHERE a.vec_id < b.vec_id
 
 
 # ---------------------------------------------------------- text analysis
+
+
+# fixed literal weights for the linear quality model: the INFERENCE
+# shape of a fastText-style classifier (training happens offline; batch
+# scoring is columnar math). Chosen to separate long/diverse text from
+# short/punctuation-heavy text on the quality signals.
+_QCLS_W = {
+    "bias": -1.0,
+    "n_tokens": 0.01,
+    "avg_token_len": 0.2,
+    "punct_ratio": -4.0,
+    "stopword_ratio": 2.0,
+}
+
+
+def quality_classifier_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch inference of a linear quality classifier over the quality
+    signals: logit = w·x + b, p = sigmoid(logit), keep = p >= 0.5 —
+    model scoring as pure codegen projection (no UDF, no model server;
+    the weights fold in as literals, which is exactly how a trained
+    linear/fastText-style filter deploys onto 100 TB). Logit rounded
+    to 9dp BEFORE the sigmoid so both engines exponentiate the same
+    double."""
+    df = text.with_quality(load(spark, sf, "documents"))
+    logit = F.round(
+        F.lit(_QCLS_W["bias"])
+        + F.lit(_QCLS_W["n_tokens"]) * F.col("n_tokens")
+        + F.lit(_QCLS_W["avg_token_len"]) * F.col("avg_token_len")
+        + F.lit(_QCLS_W["punct_ratio"]) * F.col("punct_ratio")
+        + F.lit(_QCLS_W["stopword_ratio"]) * F.col("stopword_ratio"),
+        9,
+    )
+    return df.select(
+        "doc_id",
+        logit.alias("logit"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6).alias(
+            "p_quality"
+        ),
+        (logit >= 0).alias("keep"),
+    )
+
+
+def _qcls_sql() -> str:
+    # the signal derivation IS _quality_sql (already differentially
+    # verified by text_quality); the classifier just applies literal
+    # weights on top of those rounded columns
+    w = _QCLS_W
+    logit = (
+        f"ROUND({w['bias']!r} + {w['n_tokens']!r} * n_tokens"
+        f" + {w['avg_token_len']!r} * avg_token_len"
+        f" + {w['punct_ratio']!r} * punct_ratio"
+        f" + {w['stopword_ratio']!r} * stopword_ratio, 9)"
+    )
+    return f"""
+WITH sig AS ({_quality_sql()})
+SELECT doc_id, {logit} AS logit,
+       ROUND(1.0 / (1.0 + exp(-{logit})), 6) AS p_quality,
+       {logit} >= 0 AS keep
+FROM sig
+"""
 
 
 def text_quality(spark: SparkSession, sf: str) -> DataFrame:
@@ -2679,6 +2810,7 @@ QUERIES: dict[str, tuple] = {
     "dedup_embedding_cosine": (dedup_embedding_cosine, _near_dup_sql()),
     "sim_knn_brute_force": (sim_knn_brute_force, _knn_sql()),
     "emb_label_centroids": (emb_label_centroids, EMB_CENTROIDS_SQL),
+    "emb_int8_quantize": (emb_int8_quantize, _emb_int8_sql()),
     "sim_ivf_topk": (sim_ivf_topk, _ivf_sql()),
     "sim_ann_rh_lsh": (sim_ann_rh_lsh, _rh_lsh_sql()),
     "sim_ann_rh_lsh_multiprobe": (sim_ann_rh_lsh_multiprobe, _rh_lsh_multiprobe_sql()),
@@ -2688,6 +2820,7 @@ QUERIES: dict[str, tuple] = {
     "sim_recall_eval": (sim_recall_eval, None),
     "sketch_hll_merge": (sketch_hll_merge, SKETCH_HLL_SQL),
     "text_quality": (text_quality, _quality_sql()),
+    "quality_classifier_score": (quality_classifier_score, _qcls_sql()),
     "text_lang_id": (text_lang_id, _lang_id_sql()),
     "text_lang_id_chargram": (text_lang_id_chargram, _lang_chargram_sql()),
     "text_bpe_ish_tokens": (text_bpe_ish_tokens, BPE_SQL),
