@@ -66,17 +66,25 @@ def main() -> int:
     # far outweighing the ~1s of worker spin-up it saves the first
     # pandas-UDF query.
 
+    # BENCH_REPEAT=n keeps the per-query MINIMUM of n sweeps — the
+    # keep-min protocol that shrinks environment noise in the recorded
+    # numbers. Default 1 preserves the driver's single-sweep contract.
+    repeat = max(1, int(os.environ.get("BENCH_REPEAT", "1")))
     timings: dict[str, float] = {}
-    for name in selected:
-        fn, _ = queries[name]
-        t = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t, 3)
-        # Isolate queries from each other: drop caches/persists a query
-        # left behind so later timings measure their own plans, not an
-        # earlier query's warm cache, and the JVM heap stays flat across
-        # the 80+ query sweep (cache buildup → GC pressure → noise).
-        spark.catalog.clearCache()
+    for _ in range(repeat):
+        for name in selected:
+            fn, _ = queries[name]
+            t = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            elapsed = round(time.time() - t, 3)
+            if name not in timings or elapsed < timings[name]:
+                timings[name] = elapsed
+            # Isolate queries from each other: drop caches/persists a
+            # query left behind so later timings measure their own
+            # plans, not an earlier query's warm cache, and the JVM
+            # heap stays flat across the sweep (cache buildup → GC
+            # pressure → noise).
+            spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
