@@ -2665,6 +2665,67 @@ FROM per_nation
 """
 
 
+def ev_bot_regularity(spark: SparkSession, sf: str) -> DataFrame:
+    """Automation screen: users whose inter-event gaps are TOO regular
+    (coefficient of variation of the gap distribution below threshold)
+    — scripted traffic ticks like a metronome, humans don't. Gaps are
+    exact epoch-microsecond integers from one per-user lag pass; the
+    CV comes from integer power sums (the a23 recipe), so the flag is
+    engine-exact."""
+    e = load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = e.select(
+        "user_id",
+        (
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts", 1).over(w))
+        ).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    g = F.col("gap_us").cast("decimal(18,0)")
+    agg = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum(g).cast("double").alias("s1"),
+        F.sum((g * g).cast("decimal(38,0)")).cast("double").alias("s2"),
+    )
+    n = F.col("n_gaps").cast("double")
+    mean = F.col("s1") / n
+    var = F.col("s2") / n - mean * mean
+    cv = F.sqrt(var) / mean
+    return (
+        agg.filter(F.col("n_gaps") >= 5)
+        .select(
+            "user_id",
+            "n_gaps",
+            F.round(mean / 1e6, 6).alias("mean_gap_s"),
+            F.round(cv, 6).alias("gap_cv"),
+            (F.round(cv, 6) < 0.1).alias("is_regular"),
+        )
+    )
+
+
+EV_BOT_SQL = """
+WITH gaps AS (
+  SELECT user_id,
+         epoch_us(ts) - epoch_us(LAG(ts, 1) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+  FROM events
+),
+agg AS (
+  SELECT user_id, COUNT(*) AS n_gaps,
+         CAST(SUM(CAST(gap_us AS HUGEINT)) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(gap_us AS HUGEINT) * CAST(gap_us AS HUGEINT))
+              AS DOUBLE) AS s2
+  FROM gaps WHERE gap_us IS NOT NULL GROUP BY user_id
+)
+SELECT user_id, n_gaps,
+       ROUND((s1 / n_gaps) / 1e6, 6) AS mean_gap_s,
+       ROUND(SQRT(s2 / n_gaps - (s1 / n_gaps) * (s1 / n_gaps))
+             / (s1 / n_gaps), 6) AS gap_cv,
+       ROUND(SQRT(s2 / n_gaps - (s1 / n_gaps) * (s1 / n_gaps))
+             / (s1 / n_gaps), 6) < 0.1 AS is_regular
+FROM agg WHERE n_gaps >= 5
+"""
+
+
 def ts_autocorrelation(spark: SparkSession, sf: str) -> DataFrame:
     """Lag-1 autocorrelation of event values per user segment — the
     is-there-temporal-structure diagnostic behind forecastability and
@@ -3282,6 +3343,7 @@ QUERIES: dict[str, tuple] = {
     "w8_rank_functions": (w8_rank_functions, W8_SQL),
     "graph_pagerank_parts": (graph_pagerank_parts, _pagerank_sql()),
     "ts_seasonal_baseline": (ts_seasonal_baseline, TS_SEASONAL_SQL),
+    "ev_bot_regularity": (ev_bot_regularity, EV_BOT_SQL),
     "ts_autocorrelation": (ts_autocorrelation, TS_AUTOCORR_SQL),
     "ts_cusum_alarms": (ts_cusum_alarms, None),
     "ev_path_3step": (ev_path_3step, EV_PATH3_SQL),

@@ -243,6 +243,42 @@ def main() -> int:
         "poisson_bootstrap_4rep",
         poisson_bootstrap_means(e, "event_id", "value", replicates=4),
     )
+    # OHLC at full scale: one map-combined aggregation over (user, hour)
+    from icnarc_to_philips_linkage_spark.operators.timeseries import (
+        ohlc_bars,
+    )
+
+    bench("ohlc_bars_full", ohlc_bars(e))
+    # grouped two-level rank over 8 giant groups — the per-group window
+    # alternative would funnel ~12.5M rows through each of 8 tasks
+    from icnarc_to_philips_linkage_spark.operators.scale import (
+        grouped_global_rank,
+    )
+
+    t = time.time()
+    gr8 = grouped_global_rank(
+        e.select("event_id", "value").withColumn(
+            "g", F.pmod("event_id", F.lit(8)).cast("int")
+        ),
+        ["g"],
+        ["value", "event_id"],
+    )
+    gr8.groupBy("g").agg(F.max("rank")).collect()
+    timings["grouped_rank_8_groups"] = round(time.time() - t, 2)
+    print("grouped_rank_8_groups", timings["grouped_rank_8_groups"], flush=True)
+    # PageRank on a synthetic 10M-edge / 1M-node graph: 3 integer-exact
+    # iterations with the node-sized tables broadcast in-loop
+    from icnarc_to_philips_linkage_spark.operators.graph import pagerank
+
+    edges10m = spark.range(10_000_000).select(
+        F.pmod(F.xxhash64("id", F.lit(11)), F.lit(1_000_000)).alias("src"),
+        F.pmod(F.xxhash64("id", F.lit(12)), F.lit(1_000_000)).alias("dst"),
+    )
+    t = time.time()
+    pr = pagerank(edges10m, iterations=3)
+    pr.agg(F.count(F.lit(1)), F.max("rank")).collect()
+    timings["pagerank_10m_edges_3iter"] = round(time.time() - t, 2)
+    print("pagerank_10m_edges_3iter", timings["pagerank_10m_edges_3iter"], flush=True)
     print(
         json.dumps(
             {"n_rows": n, "gen_sec": gen_sec, "timings_sec": timings}
