@@ -890,6 +890,71 @@ FROM toks
 """
 
 
+def ud3_grouped_agg_weighted_median(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    """UD3: the GROUPED-AGGREGATE pandas UDF surface (the third Arrow
+    shape beside scalar UDFs and grouped-map applyInPandas): a
+    token-count-weighted median of document length per language. The
+    statistic is deterministic (lower weighted median: smallest value
+    whose cumulative weight reaches half the total), so the exact SQL
+    oracle fully checks the UDF path. Each group's columns arrive as
+    whole pandas Series — fine for dim-bounded groups like languages;
+    corpus-keyed groups belong in native aggregates."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def wmedian(values: pd.Series, weights: pd.Series) -> int:
+        d = (
+            pd.DataFrame({"v": values, "w": weights})
+            .dropna()
+            .sort_values("v")
+        )
+        if d.empty:
+            return None
+        cum = d["w"].cumsum()
+        half = d["w"].sum() / 2.0
+        return int(d.loc[cum >= half, "v"].iloc[0])
+
+    docs = load(spark, sf, "documents").select(
+        "lang",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.size(F.split(F.trim(F.lower("text")), r"\s+")).cast("double")
+        .alias("w"),
+    )
+    # grouped-agg pandas UDFs cannot mix with native aggregates in one
+    # agg() — the counts come from a separate native aggregation and a
+    # broadcast join over the language dim
+    med = docs.groupBy("lang").agg(
+        wmedian("n_chars", "w").alias("weighted_median_chars")
+    )
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    return med.join(F.broadcast(counts), "lang")
+
+
+UD3_SQL = """
+WITH w AS (
+  SELECT lang, n_chars,
+         CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+              AS DOUBLE) AS w
+  FROM documents WHERE n_chars IS NOT NULL
+),
+cum AS (
+  SELECT lang, n_chars,
+         SUM(w) OVER (PARTITION BY lang ORDER BY n_chars
+                      ROWS UNBOUNDED PRECEDING) AS c,
+         SUM(w) OVER (PARTITION BY lang) AS tot
+  FROM w
+),
+med AS (
+  SELECT lang, MIN(n_chars) AS weighted_median_chars
+  FROM cum WHERE c >= tot / 2.0 GROUP BY lang
+)
+SELECT m.lang, m.weighted_median_chars, n.n_docs
+FROM med m JOIN (SELECT lang, COUNT(*) AS n_docs FROM w GROUP BY lang) n
+  ON m.lang = n.lang
+"""
+
 def ud2_pandas_udf_tokens(spark: SparkSession, sf: str) -> DataFrame:
     """UD2: the engine's *escape hatch* surface — an Arrow-batched scalar
     pandas UDF — demonstrated on a computation that also has a native
@@ -2826,6 +2891,7 @@ QUERIES: dict[str, tuple] = {
     "text_bpe_ish_tokens": (text_bpe_ish_tokens, BPE_SQL),
     "text_fingerprint": (text_fingerprint, _fingerprint_sql()),
     "ud2_pandas_udf_tokens": (ud2_pandas_udf_tokens, UD2_SQL),
+    "ud3_grouped_agg_weighted_median": (ud3_grouped_agg_weighted_median, UD3_SQL),
     "sample_hash_split": (sample_hash_split, _split_sql()),
     "sample_weighted_quality": (sample_weighted_quality, WEIGHTED_SAMPLE_SQL),
     "sample_stratified_lang": (sample_stratified_lang, _stratified_sql()),
