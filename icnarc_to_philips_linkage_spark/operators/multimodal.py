@@ -587,6 +587,10 @@ def phash_neardup(
     dedup paths, shuffling once on band keys. Verification is
     ``bit_count(a XOR b)`` on the candidate set only.
     Output: (id_a, id_b, hamming), id_a < id_b."""
+    if not 0 <= max_hamming <= 15:
+        # nb > 16 makes bands narrower than 4 bits — bucket collisions
+        # degenerate toward all-pairs; a negative budget is meaningless
+        raise ValueError(f"max_hamming must be in [0, 15], got {max_hamming}")
     nb = max_hamming + 1
     width = 64 // nb
     h = hashes.filter(F.col(hash_col).isNotNull()).select(

@@ -1035,7 +1035,9 @@ def gini_concentration(
     sorting task); and with exact rank·total products the classic
     formula G = 2·Σ rᵢxᵢ / (n·Σx) − (n+1)/n needs only one final
     double division per term — engine-identical before the round.
-    Output: one row (n_keys, total_value, gini)."""
+    Precondition: per-key totals must be NONNEGATIVE (the Gini
+    coefficient is undefined over mixed-sign wealth; filter or shift
+    first). Output: one row (n_keys, total_value, gini)."""
     from icnarc_to_philips_linkage_spark.operators.scale import global_rank
 
     totals = df.groupBy(key_col).agg(

@@ -291,8 +291,10 @@ def rrf_fuse(
 
     Determinism: each reciprocal term is rounded to 9dp and summed as
     exact decimal, so the fused score is independent of both engine
-    and union order; ties break on ascending id. The inputs are top-k
-    lists (parameter-bounded), so the fusion aggregates k·N rows —
+    and union order; ties break on ascending id. Precondition: each
+    ranker lists a document AT MOST once (a duplicate would double-
+    count its reciprocal term). The inputs are top-k lists
+    (parameter-bounded), so the fusion aggregates k·N rows —
     driver-scale work regardless of corpus size."""
     parts = [
         r.select(

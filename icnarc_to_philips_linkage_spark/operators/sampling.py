@@ -465,6 +465,8 @@ def poisson_bootstrap_means(
     decimal, so replicate means are engine-identical. Output:
     (replicate, n_eff, boot_mean) — feed the B means to any quantile
     op for the CI."""
+    if replicates < 1:
+        raise ValueError(f"replicates must be >= 1, got {replicates}")
     rep = F.explode(
         F.sequence(F.lit(0), F.lit(replicates - 1))
     ).alias("replicate")

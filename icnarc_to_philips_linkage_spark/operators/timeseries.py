@@ -573,7 +573,9 @@ def ohlc_bars(
     The composite order key is ``lpad(epoch_us)||':'||lpad(tiebreak)``
     so lexicographic comparison equals (time, id) ordering in any
     engine — min_by needs one orderable argument that DuckDB's
-    arg_min mirrors exactly."""
+    arg_min mirrors exactly. Precondition: epoch and tiebreak must be
+    NONNEGATIVE (a '-' sign breaks zero-padded lexicographic order);
+    post-1970 timestamps and surrogate ids satisfy this."""
     ok = F.concat(
         F.lpad(F.unix_micros(F.col(ts_col)).cast("string"), 20, "0"),
         F.lit(":"),

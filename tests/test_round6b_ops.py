@@ -453,3 +453,23 @@ def test_cusum_detects_planted_mean_shift(spark):
     minute = first.hour * 60 + first.minute
     assert 100 <= minute <= 140
     assert not alarms2, "stationary series must not alarm"
+
+
+def test_phash_and_bootstrap_parameter_guards(spark):
+    import pytest as _pytest
+
+    from icnarc_to_philips_linkage_spark.operators.multimodal import (
+        phash_neardup,
+    )
+    from icnarc_to_philips_linkage_spark.operators.sampling import (
+        poisson_bootstrap_means,
+    )
+
+    df = spark.createDataFrame([(1, 2)], "media_id long, phash long")
+    with _pytest.raises(ValueError):
+        phash_neardup(df, max_hamming=16)
+    with _pytest.raises(ValueError):
+        phash_neardup(df, max_hamming=-1)
+    vdf = spark.createDataFrame([(1, 1.0)], "id long, v double")
+    with _pytest.raises(ValueError):
+        poisson_bootstrap_means(vdf, "id", "v", replicates=0)
