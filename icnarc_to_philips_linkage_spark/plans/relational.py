@@ -2665,6 +2665,83 @@ FROM per_nation
 """
 
 
+def a31_two_proportion_ztest(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-proportion z-test — the A/B-test primitive: does cohort A
+    (even user ids) convert to 'purchase' at a different rate than
+    cohort B? One conditional aggregation to four integers, then the
+    pooled-variance z statistic on exact ratios; the corpus is read
+    once and the math runs on one row."""
+    e = load(spark, sf, "events")
+    agg = e.groupBy().agg(
+        F.sum(
+            ((F.col("user_id") % 2 == 0)).cast("long")
+        ).alias("n_a"),
+        F.sum(
+            (
+                (F.col("user_id") % 2 == 0)
+                & (F.col("event_type") == "purchase")
+            ).cast("long")
+        ).alias("x_a"),
+        F.sum(((F.col("user_id") % 2 == 1)).cast("long")).alias("n_b"),
+        F.sum(
+            (
+                (F.col("user_id") % 2 == 1)
+                & (F.col("event_type") == "purchase")
+            ).cast("long")
+        ).alias("x_b"),
+    )
+    p_a = F.col("x_a") / F.col("n_a")
+    p_b = F.col("x_b") / F.col("n_b")
+    pool = (F.col("x_a") + F.col("x_b")) / (F.col("n_a") + F.col("n_b"))
+    se = F.sqrt(
+        pool * (1 - pool) * (1 / F.col("n_a") + 1 / F.col("n_b"))
+    )
+    z = (p_a - p_b) / se
+    return agg.select(
+        "n_a",
+        "x_a",
+        "n_b",
+        "x_b",
+        F.round(p_a, 6).alias("rate_a"),
+        F.round(p_b, 6).alias("rate_b"),
+        F.round(z, 6).alias("z_stat"),
+        (F.abs(F.round(z, 6)) >= 1.959964).alias("significant_05"),
+    )
+
+
+A31_SQL = """
+WITH agg AS (
+  SELECT SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS n_a,
+         SUM(CASE WHEN user_id % 2 = 0 AND event_type = 'purchase'
+                  THEN 1 ELSE 0 END) AS x_a,
+         SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS n_b,
+         SUM(CASE WHEN user_id % 2 = 1 AND event_type = 'purchase'
+                  THEN 1 ELSE 0 END) AS x_b
+  FROM events
+),
+d AS (
+  SELECT n_a, x_a, n_b, x_b,
+         CAST(x_a AS DOUBLE) / n_a AS pa,
+         CAST(x_b AS DOUBLE) / n_b AS pb,
+         CAST(x_a + x_b AS DOUBLE) / (n_a + n_b) AS pool
+  FROM agg
+)
+SELECT n_a, x_a, n_b, x_b,
+       ROUND(pa, 6) AS rate_a,
+       ROUND(pb, 6) AS rate_b,
+       ROUND((pa - pb)
+             / SQRT(pool * (1 - pool)
+                    * (CAST(1 AS DOUBLE) / n_a
+                       + CAST(1 AS DOUBLE) / n_b)), 6) AS z_stat,
+       ABS(ROUND((pa - pb)
+             / SQRT(pool * (1 - pool)
+                    * (CAST(1 AS DOUBLE) / n_a
+                       + CAST(1 AS DOUBLE) / n_b)), 6)) >= 1.959964
+         AS significant_05
+FROM d
+"""
+
+
 def ev_bot_regularity(spark: SparkSession, sf: str) -> DataFrame:
     """Automation screen: users whose inter-event gaps are TOO regular
     (coefficient of variation of the gap distribution below threshold)
@@ -3343,6 +3420,7 @@ QUERIES: dict[str, tuple] = {
     "w8_rank_functions": (w8_rank_functions, W8_SQL),
     "graph_pagerank_parts": (graph_pagerank_parts, _pagerank_sql()),
     "ts_seasonal_baseline": (ts_seasonal_baseline, TS_SEASONAL_SQL),
+    "a31_two_proportion_ztest": (a31_two_proportion_ztest, A31_SQL),
     "ev_bot_regularity": (ev_bot_regularity, EV_BOT_SQL),
     "ts_autocorrelation": (ts_autocorrelation, TS_AUTOCORR_SQL),
     "ts_cusum_alarms": (ts_cusum_alarms, None),
