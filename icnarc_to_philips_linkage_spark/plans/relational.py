@@ -2665,6 +2665,46 @@ FROM per_nation
 """
 
 
+def w10_cumulative_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """Cumulative unique users by day — the growth curve. A naive
+    running COUNT(DISTINCT) window re-scans history per day; the
+    first-occurrence trick is exact in two bounded steps: min(first
+    day) per user, count firsts per day, running-sum over the day
+    spine (window over ~tens of rows). New-user and cumulative counts
+    together."""
+    e = load(spark, sf, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("day")
+    )
+    daily = firsts.groupBy("day").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = (
+        Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).alias("cum_unique_users"),
+    )
+
+
+W10_SQL = """
+WITH firsts AS (
+  SELECT user_id, date_trunc('day', MIN(ts)) AS day
+  FROM events GROUP BY user_id
+),
+daily AS (
+  SELECT day, COUNT(*) AS new_users FROM firsts GROUP BY day
+)
+SELECT day, new_users,
+       SUM(new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+         AS cum_unique_users
+FROM daily
+"""
+
+
 def a31_two_proportion_ztest(spark: SparkSession, sf: str) -> DataFrame:
     """Two-proportion z-test — the A/B-test primitive: does cohort A
     (even user ids) convert to 'purchase' at a different rate than
@@ -3420,6 +3460,7 @@ QUERIES: dict[str, tuple] = {
     "w8_rank_functions": (w8_rank_functions, W8_SQL),
     "graph_pagerank_parts": (graph_pagerank_parts, _pagerank_sql()),
     "ts_seasonal_baseline": (ts_seasonal_baseline, TS_SEASONAL_SQL),
+    "w10_cumulative_distinct": (w10_cumulative_distinct, W10_SQL),
     "a31_two_proportion_ztest": (a31_two_proportion_ztest, A31_SQL),
     "ev_bot_regularity": (ev_bot_regularity, EV_BOT_SQL),
     "ts_autocorrelation": (ts_autocorrelation, TS_AUTOCORR_SQL),
