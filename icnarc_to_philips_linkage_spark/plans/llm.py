@@ -1487,6 +1487,61 @@ GROUP BY neighbor_id
 """
 
 
+_BPE_MERGES = 12
+
+
+def text_bpe_train(spark: SparkSession, sf: str) -> DataFrame:
+    """Full BPE training (text.bpe_train): 12 greedy merges over the
+    vocabulary-bounded symbol table. The oracle replays the SAME
+    data-dependent loop as 12 unrolled CTEs — per step, a pair-count
+    aggregation, the deterministic argmax, and the merge applied with
+    a list_reduce fold identical to the engine's higher-order
+    aggregate — so even the greedy training trajectory is
+    differentially checked."""
+    return text.bpe_train(
+        load(spark, sf, "documents"), n_merges=_BPE_MERGES
+    )
+
+
+def _bpe_train_sql() -> str:
+    head = f"""
+WITH words AS (
+  SELECT w, COUNT(*) AS freq FROM (
+    SELECT unnest({_TOKS}) AS w FROM documents) WHERE w <> ''
+  GROUP BY w
+),
+v0 AS MATERIALIZED (
+  SELECT freq, string_split(w, '') AS syms FROM words
+)"""
+    parts = [head]
+    for i in range(1, _BPE_MERGES + 1):
+        prev = f"v{i - 1}"
+        parts.append(f""",
+p{i} AS MATERIALIZED (
+  SELECT pr[1] AS l, pr[2] AS r, SUM(freq) AS n FROM (
+    SELECT freq, unnest(list_zip(syms[1:len(syms)-1],
+                                 syms[2:len(syms)])) AS pr
+    FROM {prev} WHERE len(syms) >= 2)
+  GROUP BY 1, 2
+),
+b{i} AS (SELECT l, r, n FROM p{i} ORDER BY n DESC, l, r LIMIT 1),
+v{i} AS MATERIALIZED (
+  SELECT freq,
+         list_reduce(list_transform(syms, x -> [x]),
+           (acc, s) -> CASE WHEN len(acc) > 0 AND acc[-1] = b.l
+                             AND s[1] = b.r
+                        THEN acc[1:len(acc)-1] || [b.l || b.r]
+                        ELSE acc || s END) AS syms
+  FROM {prev} CROSS JOIN b{i} b
+)""")
+    steps = "\nUNION ALL\n".join(
+        f'SELECT {i} AS step, l AS "left", r AS "right", '
+        f"l || r AS merged, CAST(n AS BIGINT) AS pair_n FROM b{i}"
+        for i in range(1, _BPE_MERGES + 1)
+    )
+    return "".join(parts) + "\n" + steps
+
+
 def decontam_report(spark: SparkSession, sf: str) -> DataFrame:
     """Benchmark decontamination: training docs (doc_id % 31 != 0)
     sharing any 13-gram with the benchmark split (doc_id % 31 == 0) —
@@ -2855,7 +2910,7 @@ QUERIES: dict[str, tuple] = {
     "pack_bins_ffd": (pack_bins_ffd, None),
     "decontam_report": (decontam_report, _decontam_sql()),
     "decontam_embedding": (decontam_embedding, _emb_decontam_sql()),
-    "text_bpe_train": (lambda spark, sf: text.bpe_train(load(spark, sf, "documents"), n_merges=12), None),
+    "text_bpe_train": (text_bpe_train, _bpe_train_sql()),
     "pii_scrub": (pii_scrub, _pii_sql()),
     "reconcile_sources": (reconcile_sources, RECONCILE_SQL),
     "quality_gate": (quality_gate, QUALITY_GATE_SQL),
