@@ -34,7 +34,12 @@ def test_plan_fingerprint_unchanged(spark, name, pair):
         pytest.skip("new query — not yet in the golden fingerprints")
     fn, _ = pair
     # sf0.001 with shuffle_partitions as in conftest: same env as the
-    # generator, so counts are deterministic
+    # generator, so counts are deterministic. Clear cache marks first:
+    # a persisted intermediate from an EARLIER test in the shared
+    # session would print as InMemoryTableScan here and make the
+    # fingerprint depend on test order (observed: quality_ngram_lm /
+    # sample_dsir_weights flaking only in full-suite runs)
+    spark.catalog.clearCache()
     plan = (
         fn(spark, "/root/testdata/sf0.001")
         ._jdf.queryExecution()

@@ -52,6 +52,12 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     out = {}
     for name, (fn, _) in sorted(all_queries().items()):
+        # cache marks left by a previously-planned query (persisted
+        # intermediates register with the CacheManager even before any
+        # action) would print as InMemoryTableScan in LATER plans,
+        # making fingerprints depend on planning ORDER — clear first,
+        # exactly as the gate does
+        spark.catalog.clearCache()
         plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
         out[name] = fingerprint(plan)
         print(name, out[name], flush=True)
