@@ -98,6 +98,12 @@ def main() -> int:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "startup_sec": round(startup, 3),
                 "n_queries": len(timings),
+                # protocol tag: keep-min over `repeat` sweeps. Compare
+                # rounds ONLY at equal repeat counts — keep-min with
+                # repeat>1 is biased low vs a single sweep (warm page
+                # cache on later sweeps), so cross-protocol ratios
+                # overstate improvement.
+                "protocol": {"keep_min_repeat": repeat},
             }
         )
     )

@@ -202,6 +202,11 @@ def referential_integrity_report(
     — they never join — but silently high null rates break facts the
     same way). Output per link: (fk_name, n_child, n_null_keys,
     n_orphans, ok)."""
+    if not links:
+        raise ValueError(
+            "referential_integrity_report needs at least one "
+            "(name, child, child_key, parent, parent_key) link"
+        )
     reports = []
     for name, child, child_key, parent, parent_key in links:
         keys = child.select(F.col(child_key).alias("__k"))

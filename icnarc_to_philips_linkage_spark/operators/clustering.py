@@ -12,8 +12,11 @@ means make its shuffle cardinality k·dim·partitions regardless of
 corpus size. The corpus is cached across iterations; convergence is
 measured by centroid movement, not by re-reading data.
 
-Determinism: initial centroids are the k lowest-id vectors (no RNG), so
-a rows-only correctness check is stable across runs and partitionings.
+Determinism: initial centroids are the k lowest-id vectors (no RNG),
+distances round to 6dp before each argmin, and centroid means cast to
+float32 — so the whole training trajectory is stable across runs,
+partitionings AND engines, and the registered query carries a FULL
+DuckDB oracle that unrolls the iterations (plans/llm.py _kmeans_sql).
 """
 
 from __future__ import annotations
@@ -31,7 +34,11 @@ def _assign(points: DataFrame, cents: list) -> DataFrame:
     plan as literal arrays, so assignment is a NARROW map — no join, no
     shuffle, no row blowup; argmin is array_min over (dist², cluster)
     structs, whose field-order comparison gives a deterministic
-    lowest-cluster tie-break."""
+    lowest-cluster tie-break. dist² rounds to 6dp before the argmin:
+    centroid means can differ across engines in the last ulp, and the
+    rounding (plus the float32 centroid cast in ``_update``) absorbs
+    that noise so assignments — and the unrolled DuckDB oracle replay
+    of the whole training loop — are engine-identical."""
     # Single typed Literal nodes (not k·dim CreateArray expressions):
     # keeps the analyzed plan and generated code small and compile-fast.
     cent_vecs = F.lit([[float(x) for x in c.centroid] for c in cents])
@@ -40,7 +47,7 @@ def _assign(points: DataFrame, cents: list) -> DataFrame:
     scored = F.transform(
         cent_vecs,
         lambda c, i: F.struct(
-            (
+            F.round(
                 F.col("p_nsq")
                 - 2.0
                 * F.aggregate(
@@ -48,7 +55,8 @@ def _assign(points: DataFrame, cents: list) -> DataFrame:
                     F.lit(0.0),
                     lambda acc, x: acc + x,
                 )
-                + cent_nsq[i]
+                + cent_nsq[i],
+                6,
             ).alias("dist_sq"),
             cent_ids[i].alias("cluster"),
         ),

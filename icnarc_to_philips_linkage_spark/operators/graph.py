@@ -33,8 +33,9 @@ def pagerank(
     dst_col: str = "dst",
     iterations: int = 5,
     damping: float = 0.85,
-    checkpoint_every: int = 2,
+    checkpoint_every: int = 3,
     broadcast_node_limit: int = 1_000_000,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Power-iteration PageRank over a DIRECTED edge list (pass both
     directions for an undirected walk). Dangling mass (nodes with no
@@ -60,18 +61,33 @@ def pagerank(
     if abs(d_bp / 10_000 - damping) > 1e-12:
         raise ValueError("damping must be a whole number of basis points")
     # loop invariants pinned ONCE: e/nodes/outdeg feed every iteration
-    # (10+ consumers for k=5) — without the eager materialization the
-    # edge distinct and degree aggregation re-run per iteration and the
-    # whole run costs k× what it should (GraphX caches its edge RDD for
-    # exactly this reason). localCheckpoint also truncates the lineage
-    # so plan analysis stays O(1) in k.
-    e = (
-        edges.select(
-            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
+    # (10+ consumers for k=5) — without the materialization the edge
+    # dedup and degree aggregation re-run per iteration and the whole
+    # run costs k× what it should (GraphX caches its edge RDD for
+    # exactly this reason). e is persisted (partitioning-preserving);
+    # the small node-sized frames localCheckpoint, which also truncates
+    # lineage so plan analysis stays O(1) in k.
+    from pyspark import StorageLevel
+
+    from . import cachereg
+
+    # assume_distinct skips the parallel-edge dedup when the CALLER
+    # already guarantees uniqueness — dedup before any id decoration
+    # (e.g. on raw integer key pairs) shuffles far narrower rows than
+    # deduping decorated string ids here would
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     )
+    if not assume_distinct:
+        e = e.distinct()
+    # hash-partition the edge cache ON dst: the per-iteration
+    # contribution aggregate groups by dst, and a cached frame KEEPS
+    # its outputPartitioning (unlike localCheckpoint, which erases it)
+    # — so all k contribution aggregates plan with ZERO exchanges; the
+    # edge set shuffles exactly once for the whole run. The rank join
+    # is broadcast (narrow), so it cannot disturb the distribution.
+    e = e.repartition(F.col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
+    cachereg.track(e)
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))

@@ -211,6 +211,81 @@ def pack_bins_ffd(
     return docs.groupBy("__grp").applyInPandas(pack, FFD_SCHEMA)
 
 
+def ffd_invariant_report(packed: DataFrame, context_len: int) -> DataFrame:
+    """Hash-matchable verification row for a ``pack_bins_ffd`` layout —
+    the oracle pattern for greedy/iterative operators whose exact
+    output is not SQL-expressible (the xxhash64 grouping has no DuckDB
+    twin): emit (a) exact scalars an oracle recomputes independently
+    from the INPUT table — n_docs, total_tokens, the ceil(total/L)
+    bin lower bound — and (b) self-checked invariant booleans the
+    oracle pins to TRUE. A dropped/duplicated document, an overflowing
+    bin, a torn offset chain, or an FFD-property violation each flips
+    a column and hash-mismatches. Checked invariants:
+
+    - ``placed_once_ok``  — every packed doc_id appears exactly once
+      (with the exact n_docs/total_tokens, this proves completeness
+      against the source table);
+    - ``no_overflow_ok``  — max per-bin fill <= context_len;
+    - ``offsets_ok``      — per bin, offsets start at 0, are distinct,
+      and the last span ends exactly at the fill (contiguous layout);
+    - ``bins_lb_ok``      — n_bins >= ceil(total_tokens/context_len);
+    - ``half_empty_ok``   — first-fit property: within a pack group at
+      most ONE bin is <= half empty-capacity full (any two such bins
+      contradict first-fit placement).
+
+    All aggregates are bounded (per-bin then per-group then one global
+    row) — three shuffles over the layout, none data-proportional in
+    output."""
+    lit_l = F.lit(int(context_len))
+    per_bin = packed.groupBy("bin_id").agg(
+        F.sum("n_tokens").alias("fill"),
+        F.count(F.lit(1)).alias("n_in_bin"),
+        F.min("bin_offset").alias("min_off"),
+        F.max(F.col("bin_offset") + F.col("n_tokens")).alias("max_end"),
+        F.countDistinct("bin_offset").alias("n_off"),
+    )
+    bin_stats = per_bin.agg(
+        F.count(F.lit(1)).alias("n_bins"),
+        F.max("fill").alias("max_fill"),
+        F.min(
+            (F.col("min_off") == 0)
+            & (F.col("max_end") == F.col("fill"))
+            & (F.col("n_off") == F.col("n_in_bin"))
+        ).alias("offsets_ok"),
+    )
+    half_stats = (
+        per_bin.withColumn("grp", F.shiftrightunsigned("bin_id", 32))
+        .groupBy("grp")
+        .agg(
+            F.sum((F.col("fill") * 2 <= lit_l).cast("int")).alias("n_half")
+        )
+        .agg(F.max("n_half").alias("max_half_per_grp"))
+    )
+    doc_stats = packed.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("doc_id").alias("n_distinct_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+    return (
+        doc_stats.crossJoin(bin_stats)
+        .crossJoin(half_stats)
+        .select(
+            "n_docs",
+            "total_tokens",
+            F.ceil(F.col("total_tokens") / lit_l).alias("min_bins"),
+            (F.col("n_bins") >= F.ceil(F.col("total_tokens") / lit_l)).alias(
+                "bins_lb_ok"
+            ),
+            (F.col("n_docs") == F.col("n_distinct_docs")).alias(
+                "placed_once_ok"
+            ),
+            (F.col("max_fill") <= lit_l).alias("no_overflow_ok"),
+            "offsets_ok",
+            (F.col("max_half_per_grp") <= 1).alias("half_empty_ok"),
+        )
+    )
+
+
 def fill_report(packed: DataFrame, context_len: int) -> DataFrame:
     """One row of packing efficiency for a ``pack_bins_ffd`` layout:
     n_bins / n_docs / total_tokens / fill_rate (fraction of bin capacity

@@ -20,10 +20,12 @@ Scale design mirrors ``clustering.kmeans``:
   aggregation as the exact kNN path (no global sort).
 
 Determinism: no RNG anywhere — codebooks initialize from the ksub
-lowest-id vectors' subvectors and ties break on the lowest code — so
-results are stable across partitionings and engines (rows-only
-correctness check, like k-means; quality is pinned by a recall-vs-
-brute-force test instead of a SQL oracle).
+lowest-id vectors' subvectors, sub-distances round to 6dp before each
+argmin, trained means cast to float32, and ties break on the lowest
+code — so training, encoding and ADC search are stable across
+partitionings AND engines: the registered queries carry FULL DuckDB
+oracles that unroll the training loop (plans/llm.py _pq_train_ctes),
+with quality additionally pinned by recall-vs-brute-force tests.
 """
 
 from __future__ import annotations
@@ -39,16 +41,24 @@ from icnarc_to_philips_linkage_spark.operators.similarity import topk_per_key
 
 def _sub_dist_structs(vec_col, s: int, d: int, codebook: list):
     """Array of (dist², code) structs for subspace ``s`` — argmin via
-    array_min's struct ordering (lowest code wins ties)."""
+    array_min's struct ordering (lowest code wins ties). dist² rounds
+    to 6dp before the argmin — with the float32 centroid cast in
+    ``pq_train`` this absorbs last-ulp mean differences between
+    engines, making training, encoding and ADC all exactly replayable
+    by the unrolled DuckDB oracle (plans/llm.py ``_pq_sql``), the same
+    determinism recipe as ``clustering.kmeans``."""
     cent = _nested_double_lit(codebook)
     sub = F.slice(vec_col, s * d + 1, d)
     return F.transform(
         cent,
         lambda c, i: F.struct(
-            F.aggregate(
-                F.zip_with(sub, c, lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
+            F.round(
+                F.aggregate(
+                    F.zip_with(sub, c, lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
             ).alias("dist_sq"),
             i.alias("code"),
         ),
@@ -142,8 +152,14 @@ def pq_train(
         new = [
             [list(codebooks[s][c]) for c in range(ksub)] for s in range(m)
         ]  # empty codes keep their previous centroid
+        import numpy as np
+
         for r in means:
-            new[r.s][r.code][r.p] = r.mv
+            # float32 cast: engine-portable centroids (a last-ulp
+            # difference in the double mean rounds to the same float32
+            # with overwhelming probability), mirrored by the oracle's
+            # CAST(avg AS REAL)
+            new[r.s][r.code][r.p] = float(np.float32(r.mv))
         codebooks = new
     points.unpersist()
     return codebooks

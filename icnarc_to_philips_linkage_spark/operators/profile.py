@@ -708,6 +708,7 @@ def mad_outlier_report(
     group_col: str,
     value_col: str,
     k: float = 3.0,
+    exact: bool = False,
 ) -> DataFrame:
     """Robust outlier report per group via MAD (median absolute
     deviation): med = median(x), mad = median(|x − med|), outlier ⇔
@@ -716,25 +717,34 @@ def mad_outlier_report(
     to flag; the median/MAD pair has a 50% breakdown point, which is why
     plausibility screens on lab-value-like data use it.
 
-    Exact MAD is inherently multi-pass: median pass, deviation-median
-    pass, threshold-count pass — three aggregations over the data, the
-    per-group medians broadcast back between passes (group-cardinality
-    rows, never the data). Comparisons are 6dp-rounded on BOTH sides of
-    the threshold so an engine ulp can't flip a boundary row.
+    MAD is inherently multi-pass: median pass, deviation-median pass,
+    threshold-count pass — three aggregations, the per-group medians
+    broadcast back between passes (group-cardinality rows, never the
+    data). The default medians are the ``percentile_approx`` sketch —
+    mergeable, no per-group sort, the right plan for a 100 TB screen
+    (a14b split); ``exact=True`` pins sort-based ``percentile`` where
+    bit-reproducibility matters (the registered oracle query). Each
+    pass re-reads the pruned two-column source scan — measured FASTER
+    locally than persisting the projection (columnar scans are cheap;
+    the cache materialization is not), and at scale the persist would
+    pin a corpus-sized frame for two reads. Comparisons are
+    6dp-rounded on BOTH sides of the threshold so an engine ulp can't
+    flip a boundary row.
 
     Output: (group, n, med, mad, n_outliers).
     """
-    v = F.col(value_col).cast("double")
-    med = df.groupBy(group_col).agg(
-        F.expr(f"percentile({value_col}, 0.5)").alias("__med")
+    pct = "percentile" if exact else "percentile_approx"
+    base = df.select(
+        F.col(group_col), F.col(value_col).cast("double").alias("__v")
     )
-    with_med = df.join(F.broadcast(med), group_col)
+    med = base.groupBy(group_col).agg(
+        F.expr(f"{pct}(__v, 0.5)").alias("__med")
+    )
+    with_med = base.join(F.broadcast(med), group_col)
     mad = with_med.groupBy(group_col).agg(
-        F.expr(
-            f"percentile(abs(cast({value_col} as double) - __med), 0.5)"
-        ).alias("__mad")
+        F.expr(f"{pct}(abs(__v - __med), 0.5)").alias("__mad")
     )
-    dev = F.round(F.abs(v - F.col("__med")), 6)
+    dev = F.round(F.abs(F.col("__v") - F.col("__med")), 6)
     thresh = F.round(F.lit(k) * F.col("__mad"), 6)
     return (
         with_med.join(F.broadcast(mad), group_col)

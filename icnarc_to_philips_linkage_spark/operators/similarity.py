@@ -381,18 +381,16 @@ def embedding_near_dup_pairs(
     )
 
 
-def recall_at_k(truth: DataFrame, approx: DataFrame) -> DataFrame:
-    """ANN quality evaluation: per-query recall of an approximate
-    neighbor list against exact top-k ground truth, plus the macro mean
-    — the measure-don't-guess harness for tuning plane counts / probe
-    fan-outs / IVF cells at scale.
+def recall_per_query(truth: DataFrame, approx: DataFrame) -> DataFrame:
+    """Per-query ANN recall rows — scalar-only output, so the frame is
+    directly hash-matchable against a DuckDB oracle that recomputes
+    BOTH sides in SQL (the brute-force truth and the deterministic
+    LSH approximation are each exactly SQL-expressible).
 
     Both inputs are (query_id, neighbor_id) frames. A semi-ish inner
     join on the pair counts hits; truth cardinality per query is the
-    denominator (missing queries in ``approx`` score 0 via the left
-    join). One row out: (n_queries, mean_recall); per-query detail on
-    the ``per_query`` column as a sorted array of (query_id, recall)
-    structs for bounded output."""
+    denominator (queries missing from ``approx`` score 0 via the left
+    join). Output: (query_id, n_truth, n_hit, recall)."""
     t = truth.select("query_id", "neighbor_id")
     a = approx.select("query_id", "neighbor_id")
     hits = (
@@ -400,17 +398,31 @@ def recall_at_k(truth: DataFrame, approx: DataFrame) -> DataFrame:
         .groupBy("query_id")
         .agg(F.count(F.lit(1)).alias("n_hit"))
     )
-    per_q = (
+    return (
         t.groupBy("query_id")
         .agg(F.count(F.lit(1)).alias("n_truth"))
         .join(hits, "query_id", "left")
         .select(
             "query_id",
+            "n_truth",
+            F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
             F.round(
                 F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_truth"), 6
             ).alias("recall"),
         )
     )
+
+
+def recall_at_k(truth: DataFrame, approx: DataFrame) -> DataFrame:
+    """ANN quality evaluation: per-query recall of an approximate
+    neighbor list against exact top-k ground truth, plus the macro mean
+    — the measure-don't-guess harness for tuning plane counts / probe
+    fan-outs / IVF cells at scale.
+
+    Aggregate form of ``recall_per_query``. One row out: (n_queries,
+    mean_recall); per-query detail on the ``per_query`` column as a
+    sorted array of (query_id, recall) structs for bounded output."""
+    per_q = recall_per_query(truth, approx).select("query_id", "recall")
     return per_q.agg(
         F.count(F.lit(1)).alias("n_queries"),
         F.round(F.avg("recall"), 6).alias("mean_recall"),

@@ -623,7 +623,15 @@ def cusum_alarms(
     has no bounded-window native form and earns the grouped-map
     ``applyInPandas`` escape hatch (SURVEY §2.10 UD2 policy). One
     shuffle on key; per-key state is two floats. Output: (key, ts,
-    value, z, cusum_pos, cusum_neg, alarm)."""
+    value, z, cusum_pos, cusum_neg, alarm).
+
+    Oracle parity: rows order by (ts, value) — a deterministic
+    tiebreak under duplicate timestamps — and z quantizes to 6dp
+    (half away from zero) BEFORE the fold, so the recursion runs on
+    engine-identical doubles and the whole alarm trajectory is
+    hash-matchable against the DuckDB list_reduce replay
+    (plans/relational.py ``_cusum_sql``)."""
+    import numpy as np
     import pandas as pd
 
     out_schema = ", ".join(
@@ -639,16 +647,19 @@ def cusum_alarms(
     )
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values([ts_col]).reset_index(drop=True)
+        pdf = pdf.sort_values([ts_col, value_col]).reset_index(drop=True)
         n_cal = max(2, int(len(pdf) * calibration_frac))
         cal = pdf[value_col].iloc[:n_cal]
         mu = cal.mean()
         sd = cal.std(ddof=0)
-        z = (
-            (pdf[value_col] - mu) / sd
-            if sd and sd > 0
-            else pdf[value_col] * 0.0
-        )
+        if sd and sd > 0:
+            z = (pdf[value_col] - mu) / sd
+            # 6dp half-away-from-zero quantization (matches DuckDB
+            # ROUND semantics) — the fold below then runs on values
+            # both engines agree on bit-for-bit
+            z = np.trunc(z * 1e6 + np.copysign(0.5, z)) / 1e6
+        else:
+            z = pd.Series(0.0, index=pdf.index)
         sp = sn = 0.0
         pos, neg, alarms = [], [], []
         for zt in z:

@@ -2056,9 +2056,16 @@ FROM g GROUP BY user_id, sid
 def a19_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
     """Robust MAD outlier report per group (profile.mad_outlier_report):
     median / median-absolute-deviation / k=3 threshold counts — the
-    50%-breakdown-point sibling of the rolling z-score."""
+    50%-breakdown-point sibling of the rolling z-score. ``exact=True``
+    is pinned HERE (oracle parity needs bit-identical medians, a14b
+    pattern); the operator's default is the percentile_approx sketch —
+    no per-group sort, the 100 TB screening plan."""
     return profile.mad_outlier_report(
-        load(spark, sf, "lineitem"), "l_returnflag", "l_extendedprice", k=3.0
+        load(spark, sf, "lineitem"),
+        "l_returnflag",
+        "l_extendedprice",
+        k=3.0,
+        exact=True,
     )
 
 
@@ -2913,8 +2920,12 @@ FROM agg
 def ts_cusum_alarms(spark: SparkSession, sf: str) -> DataFrame:
     """CUSUM mean-shift alarms per user (timeseries.cusum_alarms):
     sequential max-recursion via the grouped-map applyInPandas escape
-    hatch — rows-only for the driver (the reset-on-alarm fold is not
-    SQL-expressible); planted-shift detection pinned by pytest."""
+    hatch. FULL hash oracle despite the sequential fold: z-scores
+    quantize to 6dp before the recursion (both engines then fold
+    bit-identical doubles), and the DuckDB side replays the exact
+    reset-on-alarm recursion per row with a list_reduce prefix fold
+    (the same 2-arg list-accumulator pattern as the BPE-train
+    oracle)."""
     from icnarc_to_philips_linkage_spark.operators.timeseries import (
         cusum_alarms,
     )
@@ -2925,6 +2936,75 @@ def ts_cusum_alarms(spark: SparkSession, sf: str) -> DataFrame:
         "ts",
         "value",
     )
+
+
+def _cusum_sql(k: float = 0.5, h: float = 5.0) -> str:
+    """Exact DuckDB replay of ``timeseries.cusum_alarms``: per user,
+    order by (ts, value), calibrate mean/std on the first
+    max(2, floor(n*0.25)) values, quantize z to 6dp half-away (same
+    formula as the engine), then for each row i fold the first i-1
+    z values through the reset-on-alarm recursion with a 2-element
+    [S+, S-] list accumulator (struct accumulators miscompile in
+    DuckDB 1.0's list_reduce; plain list ones are the proven BPE
+    pattern) and emit the row's pre-reset statistics."""
+    # state after prefix rows 1..i-1: [cusum_pos, cusum_neg]
+    step_pos = f"GREATEST(0.0, a[1] + x[1] - {k})"
+    step_neg = f"GREATEST(0.0, a[2] - x[1] - {k})"
+    row_pos = f"GREATEST(0.0, st[1] + z - {k})"
+    row_neg = f"GREATEST(0.0, st[2] - z - {k})"
+    return f"""
+WITH e AS (
+  SELECT user_id, ts, CAST(value AS DOUBLE) AS value FROM events
+  WHERE user_id < 50
+),
+seq AS (
+  SELECT user_id,
+         list(ts ORDER BY ts, value) AS tss,
+         list(value ORDER BY ts, value) AS vals
+  FROM e GROUP BY user_id
+),
+calib AS (
+  SELECT user_id, tss, vals,
+         GREATEST(2, CAST(FLOOR(len(vals) * 0.25) AS BIGINT)) AS n_cal
+  FROM seq
+),
+mstat AS (
+  SELECT user_id, tss, vals, n_cal,
+         list_avg(vals[1:n_cal]) AS mu
+  FROM calib
+),
+sstat AS (
+  SELECT user_id, tss, vals, mu,
+         sqrt(list_avg(list_transform(vals[1:n_cal],
+              x -> (x - mu) * (x - mu)))) AS sd
+  FROM mstat
+),
+zs AS (
+  SELECT user_id, tss, vals,
+         CASE WHEN sd > 0 THEN
+           list_transform(vals, x ->
+             trunc((x - mu) / sd * 1e6 +
+                   CASE WHEN (x - mu) / sd >= 0 THEN 0.5 ELSE -0.5 END)
+             / 1e6)
+         ELSE list_transform(vals, x -> 0.0) END AS zl
+  FROM sstat
+),
+r AS (
+  SELECT user_id, tss[i] AS ts, vals[i] AS value, zl[i] AS z,
+    list_reduce(
+      list_prepend(CAST([0.0, 0.0] AS DOUBLE[]),
+        list_transform(zl[1:i-1], v -> CAST([v, 0.0] AS DOUBLE[]))),
+      (a, x) -> CASE WHEN {step_pos} > {h} OR {step_neg} > {h}
+                 THEN CAST([0.0, 0.0] AS DOUBLE[])
+                 ELSE [{step_pos}, {step_neg}] END) AS st
+  FROM zs, unnest(generate_series(1, len(zl))) AS t(i)
+)
+SELECT user_id, ts, value, z,
+       {row_pos} AS cusum_pos,
+       {row_neg} AS cusum_neg,
+       ({row_pos} > {h} OR {row_neg} > {h}) AS alarm
+FROM r
+"""
 
 
 def ts_seasonal_baseline(spark: SparkSession, sf: str) -> DataFrame:
@@ -2984,12 +3064,30 @@ _PR_ITERS, _PR_DAMPING, _PR_TOPK = 5, 0.85, 20
 def graph_pagerank_parts(spark: SparkSession, sf: str) -> DataFrame:
     """PageRank over the undirected supplier↔part co-supply graph
     (graph.pagerank): 5 power iterations, each one edge-join + one
-    aggregation; per-edge contributions round to 12dp decimals so the
-    ranks are bit-exact across engines. Top-20 nodes by rank."""
+    aggregation; per-edge contributions use scaled-integer "picorank"
+    arithmetic (rank × 10^12 as BIGINT, integer DIV per out-edge) so
+    the ranks are bit-exact across engines. Top-20 nodes by rank.
+
+    Runs in a CLONED session (readers.py pattern) with a small
+    shuffle-partition count: every shuffle in the loop is over
+    |nodes|-sized frames (contributions aggregate to one row per
+    node), so the session default of 32 reduce tasks per stage ×
+    2 shuffles × 5 iterations is pure task-launch overhead at this
+    grain — AQE coalesces reads, but the first stage still launches
+    wide. At real scale the same knob sizes the rank shuffles to the
+    NODE count while corpus-sized stages elsewhere keep their own
+    width."""
     from icnarc_to_philips_linkage_spark.operators.graph import pagerank
 
-    l = load(spark, sf, "lineitem")
-    fwd = l.select(
+    scoped = spark.newSession()
+    scoped.conf.set("spark.sql.shuffle.partitions", "4")
+    l = load(scoped, sf, "lineitem")
+    # dedup the RAW integer key pairs, then decorate: the distinct
+    # shuffles two ints per row instead of two concatenated strings,
+    # and the reversed direction needs no second dedup (the s*/p*
+    # prefixes make forward and reverse edge sets disjoint)
+    pairs = l.select("l_suppkey", "l_partkey").distinct()
+    fwd = pairs.select(
         F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
         F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
     )
@@ -2997,7 +3095,10 @@ def graph_pagerank_parts(spark: SparkSession, sf: str) -> DataFrame:
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     pr = pagerank(
-        edges, iterations=_PR_ITERS, damping=_PR_DAMPING
+        edges,
+        iterations=_PR_ITERS,
+        damping=_PR_DAMPING,
+        assume_distinct=True,
     )
     return (
         pr.select("node", F.col("rank").cast("double").alias("rank"))
@@ -3464,7 +3565,7 @@ QUERIES: dict[str, tuple] = {
     "a31_two_proportion_ztest": (a31_two_proportion_ztest, A31_SQL),
     "ev_bot_regularity": (ev_bot_regularity, EV_BOT_SQL),
     "ts_autocorrelation": (ts_autocorrelation, TS_AUTOCORR_SQL),
-    "ts_cusum_alarms": (ts_cusum_alarms, None),
+    "ts_cusum_alarms": (ts_cusum_alarms, _cusum_sql()),
     "ev_path_3step": (ev_path_3step, EV_PATH3_SQL),
     "ev_cohort_ltv": (ev_cohort_ltv, EV_COHORT_LTV_SQL),
     "w9_share_of_parent": (w9_share_of_parent, W9_SQL),

@@ -15,6 +15,17 @@ SF_SMOKE = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
 SF_T2 = "/root/testdata/sf0.01"
 
 
+def pytest_collection_modifyitems(config, items):
+    """Two-lane suite (VERDICT r6 #7): modules that sweep the whole
+    registry (oracle differentials, physical plans, fingerprints) are
+    marked ``slow`` at module level; everything else gets ``fast``
+    automatically, so ``pytest -m fast`` is the quick inner loop and
+    the bare ``pytest tests/`` run remains the full pre-commit gate."""
+    for item in items:
+        if "slow" not in item.keywords:
+            item.add_marker(pytest.mark.fast)
+
+
 @pytest.fixture(scope="session")
 def spark():
     s = get_spark(

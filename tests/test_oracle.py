@@ -8,6 +8,9 @@ import pytest
 
 from icnarc_to_philips_linkage_spark.plans.registry import all_queries
 from tests.conftest import SF_SMOKE
+
+# full-registry differential sweep: the heavy lane
+pytestmark = pytest.mark.slow
 from tests.oracle_harness import compare, run_oracle
 
 CASES = sorted(all_queries().items())

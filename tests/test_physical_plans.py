@@ -10,6 +10,11 @@ from pyspark.sql import functions as F
 
 from icnarc_to_philips_linkage_spark.plans.registry import all_queries
 from icnarc_to_philips_linkage_spark.plans.tables import load
+
+import pytest
+
+# registry-wide physical-plan assertions: the heavy lane
+pytestmark = pytest.mark.slow
 from tests.conftest import SF_SMOKE
 
 

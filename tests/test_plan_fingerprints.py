@@ -19,6 +19,9 @@ import os
 
 import pytest
 
+# full-registry plan sweep: the heavy lane
+pytestmark = pytest.mark.slow
+
 from icnarc_to_philips_linkage_spark.plans.registry import all_queries
 from tools.gen_plan_fingerprints import MARKERS, fingerprint
 

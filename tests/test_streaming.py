@@ -8,6 +8,10 @@ from __future__ import annotations
 import datetime as dt
 
 import pytest
+
+# end-to-end micro-batch runs (multi-second awaitTermination waits
+# per test): the heavy lane
+pytestmark = pytest.mark.slow
 from pyspark.sql import Row
 
 from icnarc_to_philips_linkage_spark.streaming import chartevents as ce

@@ -1,0 +1,119 @@
+"""Full-registry local oracle runner: the auditable twin of the
+driver's CORRECTNESS check. The driver samples ~50 of the 200
+registered queries per round; this runner executes EVERY
+``queries()`` entry against its ``oracle_sql()`` on the same parquet
+tables and writes a per-query JSON record (rows / schema / value
+match booleans, row counts, errors) so the never-driver-sampled
+queries carry a committed hash record each round.
+
+Usage:
+    python tools/run_local_oracle.py \
+        --sf /root/testdata/sf0.001 --sf /root/testdata/sf0.01 \
+        --out CORRECTNESS_LOCAL_r7.json [--only q1,q2,...]
+
+Output shape (mirrors the driver's CORRECTNESS_r{N}.json rows):
+    {"<query>": {"<sf>": {"rows": true, "schema": true, "hash": true,
+                          "n_rows": 123, "mode": "oracle"}}}
+Rows-only queries (no oracle_sql entry) record mode "rows_only" with
+the row count only.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", action="append", default=[])
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--only", default=None)
+    args = ap.parse_args()
+    sf_dirs = args.sf or ["/root/testdata/sf0.001"]
+
+    import __spark_entry__ as entry
+    from oracle_harness import canonicalize, run_oracle
+
+    from icnarc_to_philips_linkage_spark.session import get_spark
+
+    spark = get_spark(app_name="local-oracle", shuffle_partitions=8)
+    queries = entry.queries()
+    oracles = entry.oracle_sql()
+    names = sorted(queries)
+    if args.only:
+        names = [n for n in names if n in set(args.only.split(","))]
+
+    results: dict[str, dict] = {}
+    t0 = time.time()
+    for name in names:
+        results[name] = {}
+        for sf_dir in sf_dirs:
+            sf_key = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+            rec: dict = {"mode": "oracle" if name in oracles else "rows_only"}
+            try:
+                sp = queries[name](spark, sf_dir).toPandas()
+                rec["n_rows"] = int(len(sp))
+                if name in oracles:
+                    ora = run_oracle(oracles[name], sf_dir)
+                    rec["rows"] = len(sp) == len(ora)
+                    rec["schema"] = sorted(sp.columns) == sorted(ora.columns)
+                    if rec["rows"] and rec["schema"]:
+                        a, b = canonicalize(sp), canonicalize(ora)
+                        rec["hash"] = a == b
+                        if not rec["hash"]:
+                            bad = [
+                                (i, x, y)
+                                for i, (x, y) in enumerate(zip(a, b))
+                                if x != y
+                            ][:2]
+                            rec["err"] = f"value mismatch, first: {bad}"[:500]
+                    else:
+                        rec["hash"] = False
+                        rec["err"] = (
+                            f"rows {len(sp)} vs {len(ora)}; cols "
+                            f"{sorted(sp.columns)} vs {sorted(ora.columns)}"
+                        )[:500]
+                else:
+                    rec["rows"] = rec["n_rows"] >= 0
+            except Exception as e:  # noqa: BLE001 - record, keep sweeping
+                rec["err"] = f"{type(e).__name__}: {e}"[:500]
+                rec["rows"] = rec["schema"] = rec["hash"] = False
+            results[name][sf_key] = rec
+            spark.catalog.clearCache()
+        status = all(
+            r.get("hash", r.get("rows", False)) for r in results[name].values()
+        )
+        print(f"{'ok ' if status else 'FAIL'} {name}", flush=True)
+
+    n_fail = sum(
+        1
+        for n in results
+        for r in results[n].values()
+        if not r.get("hash", r.get("rows", False))
+    )
+    summary = {
+        "n_queries": len(names),
+        "n_with_oracle": sum(1 for n in names if n in oracles),
+        "n_checks_failed": n_fail,
+        "sf_dirs": sf_dirs,
+        "wall_sec": round(time.time() - t0, 1),
+    }
+    out = {"summary": summary, "results": results}
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=1, sort_keys=True)
+    print(json.dumps(summary))
+    spark.stop()
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
