@@ -2795,7 +2795,12 @@ def ev_bot_regularity(spark: SparkSession, sf: str) -> DataFrame:
     — scripted traffic ticks like a metronome, humans don't. Gaps are
     exact epoch-microsecond integers from one per-user lag pass; the
     CV comes from integer power sums (the a23 recipe), so the flag is
-    engine-exact."""
+    engine-exact. mean_gap_s rounds in INTEGER arithmetic —
+    half-up-rounded microseconds via (2·s1 + n) DIV (2·n) — because a
+    per-user gap sum CAN land exactly on a .5 µs mean, where Spark's
+    BigDecimal-on-double ROUND and DuckDB's multiply-based ROUND
+    disagree by 1 µs (caught by the round-7 sf0.1 oracle sweep; the
+    irrational cv has no such representable boundary)."""
     e = load(spark, sf, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gaps = e.select(
@@ -2807,19 +2812,20 @@ def ev_bot_regularity(spark: SparkSession, sf: str) -> DataFrame:
     g = F.col("gap_us").cast("decimal(18,0)")
     agg = gaps.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_gaps"),
-        F.sum(g).cast("double").alias("s1"),
+        F.sum(g).cast("long").alias("s1i"),
         F.sum((g * g).cast("decimal(38,0)")).cast("double").alias("s2"),
     )
     n = F.col("n_gaps").cast("double")
-    mean = F.col("s1") / n
+    mean = F.col("s1i").cast("double") / n
     var = F.col("s2") / n - mean * mean
     cv = F.sqrt(var) / mean
+    mean_us_half_up = F.expr("(2 * s1i + n_gaps) DIV (2 * n_gaps)")
     return (
         agg.filter(F.col("n_gaps") >= 5)
         .select(
             "user_id",
             "n_gaps",
-            F.round(mean / 1e6, 6).alias("mean_gap_s"),
+            (mean_us_half_up / F.lit(1_000_000.0)).alias("mean_gap_s"),
             F.round(cv, 6).alias("gap_cv"),
             (F.round(cv, 6) < 0.1).alias("is_regular"),
         )
@@ -2835,13 +2841,15 @@ WITH gaps AS (
 ),
 agg AS (
   SELECT user_id, COUNT(*) AS n_gaps,
+         CAST(SUM(CAST(gap_us AS HUGEINT)) AS BIGINT) AS s1i,
          CAST(SUM(CAST(gap_us AS HUGEINT)) AS DOUBLE) AS s1,
          CAST(SUM(CAST(gap_us AS HUGEINT) * CAST(gap_us AS HUGEINT))
               AS DOUBLE) AS s2
   FROM gaps WHERE gap_us IS NOT NULL GROUP BY user_id
 )
 SELECT user_id, n_gaps,
-       ROUND((s1 / n_gaps) / 1e6, 6) AS mean_gap_s,
+       -- integer half-up micros (engine-exact even at .5 boundaries)
+       ((2 * s1i + n_gaps) // (2 * n_gaps)) / 1000000.0 AS mean_gap_s,
        ROUND(SQRT(s2 / n_gaps - (s1 / n_gaps) * (s1 / n_gaps))
              / (s1 / n_gaps), 6) AS gap_cv,
        ROUND(SQRT(s2 / n_gaps - (s1 / n_gaps) * (s1 / n_gaps))

@@ -10,6 +10,9 @@ hand-built frames where the expected values are computable by eye.
 from __future__ import annotations
 
 import pytest
+
+# drift/index sweeps with heavy fixtures: the heavy lane
+pytestmark = pytest.mark.slow
 from pyspark.sql import functions as F
 
 from icnarc_to_philips_linkage_spark.operators import (

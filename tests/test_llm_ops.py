@@ -5,6 +5,9 @@ contracts, batch shapes)."""
 from __future__ import annotations
 
 import pytest
+
+# full LLM-operator sweeps over the sf0.001 tables: the heavy lane
+pytestmark = pytest.mark.slow
 from pyspark.sql import functions as F
 
 from icnarc_to_philips_linkage_spark.operators import (

@@ -357,3 +357,43 @@ def test_ohlc_is_single_aggregation_no_window(spark):
     plan = plan_of(fn(spark, SF_SMOKE))
     assert "Window" not in plan.replace("WindowGroupLimit", "")
     assert "partial_min_by" in plan or "partial_min" in plan, plan
+
+
+def test_pagerank_contribution_aggregates_reuse_cached_partitioning(spark):
+    """Round-7 pagerank layout: the edge cache is hash-partitioned ON
+    dst, so every iteration's contribution aggregate must plan with NO
+    exchange of its own — the only dst shuffle anywhere is the one-time
+    REPARTITION_BY_COL that built the cache. An ENSURE_REQUIREMENTS
+    exchange on dst would mean the aggregate stopped trusting the
+    cached distribution (one shuffle of the full edge set PER
+    ITERATION at scale)."""
+    import re
+
+    fn, _ = all_queries()["graph_pagerank_parts"]
+    plan = plan_of(fn(spark, SF_SMOKE))
+    dst_exchanges = re.findall(
+        r"Exchange hashpartitioning\(dst#\d+[^\n]*", plan
+    )
+    assert dst_exchanges, plan  # the cache-build repartition is visible
+    assert all("REPARTITION_BY_COL" in e for e in dst_exchanges), (
+        dst_exchanges
+    )
+    # rank/outdeg joins stay broadcast — the edge side never re-shuffles
+    assert "BroadcastHashJoin" in plan
+
+
+def test_ngram_lm_explodes_corpus_exactly_once(spark):
+    """Round-7 quality_ngram_lm shape: ONE corpus gram explode feeds
+    both the model aggregate and the scoring join (through the cached
+    per-(doc, gram) frame). A second Generate over the corpus means
+    the old two-pass shape crept back."""
+    fn, _ = all_queries()["quality_ngram_lm"]
+    plan = plan_of(fn(spark, SF_SMOKE))
+    # every Generate in the plan STRING is a reprint of the cached
+    # frame's definition (one per InMemoryRelation block, which prints
+    # under each consumer) — equality means NO explode exists outside
+    # the cache, i.e. the corpus gram explode executes exactly once
+    assert plan.count("Generate explode") == plan.count(
+        "InMemoryRelation"
+    ), plan
+    assert plan.count("InMemoryTableScan") >= 2  # model + scoring reads

@@ -8,6 +8,9 @@ from __future__ import annotations
 import datetime as dt
 
 import pytest
+
+# end-to-end reference-parity pipelines: the heavy lane
+pytestmark = pytest.mark.slow
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 

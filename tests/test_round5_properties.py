@@ -11,6 +11,11 @@ oracle differentials' fixed-dataset checks.
 
 from __future__ import annotations
 
+import pytest
+
+# hypothesis/property sweeps with many Spark jobs: the heavy lane
+pytestmark = pytest.mark.slow
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F

@@ -10,6 +10,9 @@ from __future__ import annotations
 import math
 
 import pytest
+
+# broad operator-golden sweep (oracle suite also covers these ops): the heavy lane
+pytestmark = pytest.mark.slow
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 

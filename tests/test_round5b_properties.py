@@ -12,6 +12,11 @@ invariants for ANY input, complementing the fixed-dataset oracles.
 
 from __future__ import annotations
 
+import pytest
+
+# hypothesis/property sweeps with many Spark jobs: the heavy lane
+pytestmark = pytest.mark.slow
+
 import math
 
 from hypothesis import HealthCheck, given, settings

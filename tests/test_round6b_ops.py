@@ -4,6 +4,9 @@ Poisson bootstrap."""
 import math
 
 import pytest
+
+# broad operator-golden sweep (oracle suite also covers these ops): the heavy lane
+pytestmark = pytest.mark.slow
 from pyspark.sql import functions as F
 
 

@@ -93,6 +93,12 @@ def test_cachereg_eviction_returns_storage_to_baseline(spark):
     import time
 
     jsc = spark.sparkContext._jsc.sc()
+    # order-independence: earlier tests in the session may have left
+    # registered caches (CacheManager would then dedupe our persists
+    # and the >baseline assertion below would see no growth) — start
+    # from a clean slate
+    cachereg.evict()
+    spark.catalog.clearCache()
 
     def n_persistent() -> int:
         return jsc.getPersistentRDDs().size()
@@ -106,7 +112,16 @@ def test_cachereg_eviction_returns_storage_to_baseline(spark):
             time.sleep(0.2)
         return n_persistent() == target
 
+    # let async unpersists from the clean-up drain before baselining
     baseline = n_persistent()
+    deadline = time.time() + 5.0
+    while time.time() < deadline:
+        time.sleep(0.2)
+        cur = n_persistent()
+        if cur < baseline:
+            baseline = cur
+        else:
+            break
     for _ in range(3):
         mark = cachereg.live()
         llm.dedup_minhash_lsh(spark, SF_SMOKE).count()

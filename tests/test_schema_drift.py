@@ -21,6 +21,9 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import pytest
 
+# registry-wide analysis sweep + events-encoding matrix: the heavy lane
+pytestmark = pytest.mark.slow
+
 from icnarc_to_philips_linkage_spark.plans.registry import all_queries
 from icnarc_to_philips_linkage_spark.plans.tables import load
 from tests.conftest import SF_SMOKE
