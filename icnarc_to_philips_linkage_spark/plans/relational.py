@@ -1622,6 +1622,54 @@ def fuzzy_link_names(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def fuzzy_link_deletion_join(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT distance-1 name linkage via FastSS deletion-neighborhood
+    blocking (fuzzy.deletion_neighborhood_join): every customer-name
+    pair within ONE normalized edit — including pairs whose edit falls
+    inside ``fuzzy_link_names``' 15-char prefix, which prefix blocking
+    misses BY CONSTRUCTION (e.g. custkey 1000 vs 2000 differ in one
+    early digit). Candidate generation is O(rows·len) exploded
+    deletion variants + one equi-join, not O(block²) DP comparisons;
+    the banded levenshtein verifies only the deduped candidates."""
+    from icnarc_to_philips_linkage_spark.operators.fuzzy import (
+        deletion_neighborhood_join,
+    )
+
+    c = load(spark, sf, "customer").select("c_custkey", "c_name")
+    r = c.select(
+        F.col("c_custkey").alias("match_key"),
+        F.col("c_name").alias("match_name"),
+    )
+    return (
+        deletion_neighborhood_join(c, r, "c_name", "match_name")
+        .filter(F.col("c_custkey") < F.col("match_key"))
+        .select("c_custkey", "match_key", "edit_distance")
+    )
+
+
+FUZZY_DELETION_SQL = """
+WITH n AS (
+  SELECT c_custkey,
+         regexp_replace(lower(c_name), '[^a-z0-9]', '', 'g') AS s
+  FROM customer),
+v AS (
+  SELECT c_custkey, s,
+         unnest(list_distinct(list_prepend(s,
+           list_transform(generate_series(1, length(s)),
+             i -> substr(s, 1, i-1) || substr(s, i+1, length(s))))))
+           AS var
+  FROM n),
+cand AS (
+  SELECT DISTINCT a.c_custkey AS c_custkey, b.c_custkey AS match_key,
+                  a.s AS sa, b.s AS sb
+  FROM v a JOIN v b USING (var)
+  WHERE a.c_custkey < b.c_custkey)
+SELECT c_custkey, match_key,
+       CAST(levenshtein(sa, sb) AS INT) AS edit_distance
+FROM cand WHERE levenshtein(sa, sb) <= 1
+"""
+
+
 FUZZY_SQL = """
 WITH b AS (
   SELECT c_custkey, c_name,
@@ -3535,6 +3583,10 @@ QUERIES: dict[str, tuple] = {
     "o5_topk_per_group_agg": (o5_topk_per_group_agg, O5_SQL),
     "ts_resample_interp": (ts_resample_interp, TS_INTERP_SQL),
     "fuzzy_link_names": (fuzzy_link_names, FUZZY_SQL),
+    "fuzzy_link_deletion_join": (
+        fuzzy_link_deletion_join,
+        FUZZY_DELETION_SQL,
+    ),
     "fuzzy_fs_score": (fuzzy_fs_score, _fs_sql()),
     "ev_funnel": (ev_funnel, EV_FUNNEL_SQL),
     "ev_retention": (ev_retention, EV_RETENTION_SQL),

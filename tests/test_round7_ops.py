@@ -196,3 +196,53 @@ def test_decontam_embedding_flags_all_above_threshold(spark):
     assert flagged.count() == n_expected
     flagged_ids = {r.doc_id for r in flagged.select("doc_id").collect()}
     assert flagged_ids == {r.vec_id for r in expected.collect()}
+
+
+def test_deletion_join_finds_pairs_prefix_blocking_misses(spark):
+    """The position-tagged deletion join is COMPLETE for distance <= 1:
+    a pair differing in an EARLY character (inside fuzzy_join's
+    blocking prefix) must be found, though prefix blocking cannot see
+    it; distance-2 pairs (incl. transpositions, the classic FastSS
+    false candidate) must NOT appear."""
+    from pyspark.sql import Row
+
+    from icnarc_to_philips_linkage_spark.operators.fuzzy import (
+        deletion_neighborhood_join,
+        fuzzy_join,
+    )
+
+    rows = [
+        Row(id=1, name="alpha0001"),
+        Row(id=2, name="alpha0002"),   # late substitution
+        Row(id=3, name="blpha0001"),   # EARLY substitution vs id 1
+        Row(id=4, name="alpha001"),    # deletion vs id 1
+        Row(id=5, name="alpha00012"),  # insertion vs id 1
+        Row(id=6, name="lapha0001"),   # transposition vs id 1 → d=2
+        Row(id=7, name="alpha0001"),   # exact duplicate of id 1
+    ]
+    df = spark.createDataFrame(rows)
+    r = df.select(F.col("id").alias("rid"), F.col("name").alias("rname"))
+
+    got = {
+        (x.id, x.rid): x.edit_distance
+        for x in deletion_neighborhood_join(df, r, "name", "rname")
+        .filter(F.col("id") < F.col("rid"))
+        .collect()
+    }
+    assert got[(1, 2)] == 1
+    assert got[(1, 3)] == 1  # early edit: invisible to prefix blocks
+    assert got[(1, 4)] == 1 and got[(1, 5)] == 1
+    assert got[(1, 7)] == 0
+    assert (1, 6) not in got  # transposition = distance 2
+    # completeness delta vs the prefix-blocked heuristic with a prefix
+    # that covers the early edit position
+    blocked = {
+        (x.id, x.rid)
+        for x in fuzzy_join(
+            df, r, "name", "rname", max_distance=1, prefix_len=4
+        )
+        .filter(F.col("id") < F.col("rid"))
+        .collect()
+    }
+    assert (1, 3) not in blocked  # prefix 'alph' != 'blph' — missed
+    assert (1, 3) in got
