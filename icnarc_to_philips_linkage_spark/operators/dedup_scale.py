@@ -850,3 +850,188 @@ def simhash16(
         term = F.when(F.col(f"s{i}") > 0, F.lit(1 << (15 - i))).otherwise(0)
         hash_expr = term if hash_expr is None else hash_expr + term
     return sums.select(F.col(id_col), hash_expr.cast("int").alias("simhash"))
+
+
+def jaccard_prefix_join(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    set_col: str | None = None,
+    order_mode: str = "frequency",
+) -> DataFrame:
+    """EXACT token-set similarity self-join with PPJoin-style prefix
+    filtering — the guaranteed-recall complement to the probabilistic
+    blockers (``minhash_lsh_dedup`` trades recall for speed via banding;
+    ``ngram_jaccard_dedup``'s 1-perm block collides only w.p. = true
+    Jaccard). Every pair with Jaccard >= threshold over DISTINCT word
+    tokens is emitted, yet pair generation is an equi-join, never
+    O(n²):
+
+    - Global canonical token order = (corpus frequency ASC, token ASC)
+      — rare tokens first. The (count, token) TUPLE itself is the sort
+      key: no vocabulary-wide row_number (a single-partition window at
+      100 TB); the token-count dim joins in by token.
+    - Prefix filter: a doc with n tokens exposes only its first
+      p = n − ceil(t·n) + 1 rarest tokens. Two sets with J >= t must
+      share a prefix token under ANY common total order (if the
+      prefixes were disjoint, the intersection is too small to reach
+      t) — so the candidate join on exploded prefix tokens is
+      COMPLETE, and the rare-first order makes it SELECTIVE: hot
+      stopwords sit outside every prefix, so no stopword mega-bucket.
+    - Length filter in the join condition (t·|a| <= |b| <= |a|/t)
+      prunes mismatched sizes before the pair materializes; exact
+      Jaccard on the full distinct-token arrays verifies the deduped
+      candidates.
+
+    Output: (id_a < id_b, jaccard >= threshold, 6dp). One corpus
+    tokenize pass (persisted), one token-count aggregate, one
+    prefix-token equi-join.
+
+    ``set_col`` switches the element universe: pass a precomputed
+    array<string> set column (e.g. ``shingle_sets``' n-gram shingles —
+    positional, so far more discriminative than bag-of-words on
+    template-heavy corpora) instead of tokenizing ``text_col``.
+
+    ``order_mode`` picks the common total order (completeness holds
+    under ANY shared order; the choice only affects selectivity/cost):
+
+    - "frequency": corpus rarity rank (count ASC, element ASC) — the
+      classic PPJoin order. Maximally selective prefixes, costs one
+      count aggregate + one dim join + a per-doc sorted collect.
+    - "hashed": md5-digest order — a fixed random permutation of the
+      universe. ENTIRELY map-side (sort the digest array, slice);
+      elements become digests (Jaccard unchanged modulo md5
+      collisions). MEASURED VERDICT: on the template-heavy testdata
+      corpus this is 5× SLOWER than "frequency" (58.6s vs 12.1s at
+      sf0.1, same output) — a random order leaves corpus-common
+      shingles inside prefixes and their candidate buckets explode.
+      Rarity statistics are the whole ballgame on skewed element
+      frequencies; "hashed" only wins on near-uniform universes
+      (e.g. already-hashed ids) where the stats pass is pure
+      overhead."""
+    from pyspark import StorageLevel
+
+    if set_col is not None:
+        toks = df.select(
+            F.col(id_col), F.array_distinct(F.col(set_col)).alias("__tk")
+        ).filter(F.size("__tk") > 0)
+    else:
+        toks = df.select(
+            F.col(id_col),
+            F.array_distinct(
+                F.filter(
+                    F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+                    lambda t: t != "",
+                )
+            ).alias("__tk"),
+        ).filter(F.size("__tk") > 0)
+    if order_mode == "hashed":
+        ranked = toks.select(
+            F.col(id_col),
+            F.array_sort(
+                F.transform("__tk", lambda e: F.md5(e))
+            ).alias("__tk"),
+        ).withColumn("__n", F.size("__tk"))
+    elif order_mode == "frequency":
+        flat = toks.select(
+            F.col(id_col), F.explode("__tk").alias("__token")
+        )
+        counts = flat.groupBy("__token").agg(
+            F.count(F.lit(1)).alias("__cnt")
+        )
+        ranked = (
+            # vocab-sized dim: AQE auto-broadcasts it while it fits
+            # (local corpora); past the threshold the shuffle join is
+            # the honest plan — shingle vocabularies grow with the
+            # corpus, so an unconditional broadcast would be wrong
+            flat.join(counts, "__token")
+            .groupBy(id_col)
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("__cnt", "__token"))
+                ).alias("__ord")
+            )
+            .select(
+                F.col(id_col),
+                F.expr("transform(__ord, x -> x.__token)").alias("__tk"),
+                F.size("__ord").alias("__n"),
+            )
+        )
+    else:
+        raise ValueError(f"unknown order_mode {order_mode!r}")
+    ordered = (
+        ranked.withColumn(
+            "__prefix",
+            F.slice(
+                "__tk",
+                1,
+                (F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1
+                 ).cast("int"),
+            ),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    cachereg.track(ordered)
+    a = ordered.select(
+        F.col(id_col).alias("id_a"),
+        F.col("__tk").alias("__tka"),
+        F.col("__n").alias("__na"),
+        F.posexplode("__prefix").alias("__pa", "__token"),
+    )
+    b = ordered.select(
+        F.col(id_col).alias("id_b"),
+        F.col("__tk").alias("__tkb"),
+        F.col("__n").alias("__nb"),
+        F.posexplode("__prefix").alias("__pb", "__token"),
+    )
+    t_lit = F.lit(float(threshold))
+    # PPJoin positional filter: a match at prefix positions (i, j)
+    # bounds the whole intersection by 1 + min(na-i, nb-j) remaining
+    # elements; candidates that cannot reach the overlap requirement
+    # alpha = ceil(t/(1+t)·(na+nb)) die BEFORE the pair materializes.
+    # alpha's multiplier is a single precomputed double literal —
+    # the oracle embeds the identical repr, so the ceil boundary is
+    # engine-identical (the final jaccard filter keeps exactness
+    # regardless; this only prunes verification work).
+    alpha_mult = threshold / (1.0 + threshold)
+    alpha = F.ceil(F.lit(alpha_mult) * (a["__na"] + b["__nb"]))
+    ubound = 1 + F.least(
+        a["__na"] - a["__pa"] - 1, b["__nb"] - b["__pb"] - 1
+    )
+    # dedupe on the BARE id pair (a pair can match on several prefix
+    # tokens): a distinct over rows still carrying both token arrays
+    # shuffles pair-count × 2·|set| strings — measured GC-thrash at
+    # sf0.1 — while the ids-only distinct is two ints per row; the
+    # arrays re-attach from the (cached, small) per-doc table
+    cand_ids = (
+        a.join(
+            b,
+            (a["__token"] == b["__token"])
+            & (a["id_a"] < b["id_b"])
+            & (b["__nb"] * t_lit <= a["__na"])
+            & (a["__na"] * t_lit <= b["__nb"])
+            & (ubound >= alpha),
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    da = ordered.select(
+        F.col(id_col).alias("id_a"),
+        F.col("__tk").alias("__tka"),
+        F.col("__n").alias("__na"),
+    )
+    db = ordered.select(
+        F.col(id_col).alias("id_b"),
+        F.col("__tk").alias("__tkb"),
+        F.col("__n").alias("__nb"),
+    )
+    cand = cand_ids.join(da, "id_a").join(db, "id_b")
+    common = F.size(F.array_intersect("__tka", "__tkb"))
+    jac = common / (F.col("__na") + F.col("__nb") - common)
+    return (
+        cand.select(
+            "id_a", "id_b", F.round(jac, 6).alias("jaccard")
+        )
+        .filter(F.col("jaccard") >= t_lit)
+    )

@@ -173,6 +173,43 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def dedup_jaccard_prefix_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """GUARANTEED-recall shingle-Jaccard near-dup pairs via PPJoin-style
+    prefix filtering (dedup_scale.jaccard_prefix_join) — the exact
+    upgrade of ``dedup_ngram_jaccard``: the 1-perm MinHash block finds
+    a qualifying pair only with probability = its Jaccard, while the
+    rarity-ordered prefix join is COMPLETE for J >= t by construction
+    and still an equi-join (positional + length filters prune
+    candidates before they materialize). Same threshold, same shingle
+    universe, provably a superset of the blocked result — pinned by
+    pytest. The oracle is brute-force all-pairs exact Jaccard in
+    DuckDB: an INDEPENDENT method, so the prefix filter's completeness
+    itself is differentially checked."""
+    sets = dedup_scale.shingle_sets(
+        load(spark, sf, "documents"), n=SHINGLE_N
+    )
+    return dedup_scale.jaccard_prefix_join(
+        sets, threshold=NGRAM_T, set_col="sh_arr"
+    )
+
+
+def _jaccard_exact_sql() -> str:
+    jac = (
+        "len(list_intersect(a.sh, b.sh)) * 1.0 / "
+        "(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))"
+    )
+    return f"""
+WITH {_shingle_cte()},
+sets AS (
+  SELECT doc_id, list(shingle) AS sh FROM sh GROUP BY doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND({jac}, 6) AS jaccard
+FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+WHERE ROUND({jac}, 6) >= {NGRAM_T}
+"""
+
+
 def _ngram_jaccard_sql() -> str:
     return f"""
 WITH {_shingle_cte()},
@@ -3252,6 +3289,10 @@ QUERIES: dict[str, tuple] = {
     "text_chunk_windows": (text_chunk_windows, CHUNK_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, _minhash_sql()),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, _ngram_jaccard_sql()),
+    "dedup_jaccard_prefix_exact": (
+        dedup_jaccard_prefix_exact,
+        _jaccard_exact_sql(),
+    ),
     "dedup_near_clusters": (dedup_near_clusters, _near_clusters_sql()),
     "dedup_simhash": (dedup_simhash, _simhash_sql()),
     "dedup_embedding_cosine": (dedup_embedding_cosine, _near_dup_sql()),

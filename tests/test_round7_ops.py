@@ -246,3 +246,51 @@ def test_deletion_join_finds_pairs_prefix_blocking_misses(spark):
     }
     assert (1, 3) not in blocked  # prefix 'alph' != 'blph' — missed
     assert (1, 3) in got
+
+
+def test_jaccard_prefix_join_complete_vs_blocked_and_brute(spark):
+    """The prefix-filtered exact join must (a) reproduce brute-force
+    all-pairs ground truth exactly and (b) be a superset of the 1-perm
+    MinHash-blocked variant at the same threshold (the blocked result
+    can only MISS pairs, never add them)."""
+    from itertools import combinations
+
+    from icnarc_to_philips_linkage_spark.operators.dedup_scale import (
+        jaccard_prefix_join,
+        ngram_jaccard_dedup,
+        shingle_sets,
+    )
+
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    rows = []
+    for i in range(40):
+        base = [words[(i + j) % 10] for j in range(6)]
+        rows.append((i, " ".join(base)))
+        if i % 7 == 0:  # planted near-dup: one word swapped
+            rows.append((100 + i, " ".join(base[:-1] + ["omega"])))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    T = 0.3
+    sets = shingle_sets(df, n=3)
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_prefix_join(
+            sets, threshold=T, set_col="sh_arr"
+        ).collect()
+    }
+    # brute-force ground truth over the same shingle sets
+    raw = {r.doc_id: set(r.sh_arr) for r in sets.collect()}
+    truth = {}
+    for a, b in combinations(sorted(raw), 2):
+        inter = len(raw[a] & raw[b])
+        j = round(inter / (len(raw[a]) + len(raw[b]) - inter), 6)
+        if j >= T:
+            truth[(a, b)] = j
+    assert got == truth
+    assert truth  # the planted near-dups really qualify
+
+    blocked = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_dedup(df, n=3, threshold=T).collect()
+    }
+    assert blocked <= set(got)
