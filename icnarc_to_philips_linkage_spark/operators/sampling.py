@@ -531,3 +531,47 @@ def group_capped_sample(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def dedup_aware_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fractions: dict[str, float] | None = None,
+    salt: str = "split",
+    **minhash_kwargs,
+) -> DataFrame:
+    """Near-dup-leakage-safe train/val/test assignment: the split hash
+    keys on each document's near-dup CLUSTER representative (smallest
+    id of its MinHash-LSH connected component), not the document id —
+    so near-duplicates land in the SAME split BY CONSTRUCTION and a
+    paraphrase of a training document can never sit in the eval set
+    (the leakage mode a plain per-doc hash split cannot see; the
+    n-gram variant of the same concern is ``check_split_leakage``).
+
+    Composition of two proven pieces: ``near_dup_clusters`` (banded
+    LSH pairs → components) + ``hash_split`` keyed on the cluster
+    representative; documents in no cluster (the overwhelming
+    majority) fall back to their own id — identical labels to a plain
+    hash split, so the clustering only ever CORRECTS assignments, at
+    zero extra shuffle beyond the dedup pass itself.
+
+    Output: (id, cluster_rep, split)."""
+    from icnarc_to_philips_linkage_spark.operators.dedup_scale import (
+        near_dup_clusters,
+    )
+
+    fractions = fractions or {"train": 0.8, "val": 0.1, "test": 0.1}
+    clusters = near_dup_clusters(df, id_col, text_col, **minhash_kwargs)
+    rep = (
+        df.select(id_col)
+        .join(
+            clusters.select(F.col(id_col), "cluster_id"), id_col, "left"
+        )
+        .withColumn(
+            "cluster_rep", F.coalesce("cluster_id", F.col(id_col))
+        )
+    )
+    return hash_split(rep, "cluster_rep", fractions, salt=salt).select(
+        id_col, "cluster_rep", "split"
+    )

@@ -264,6 +264,65 @@ FROM reach GROUP BY node
 """
 
 
+def sample_split_dedup_aware(spark: SparkSession, sf: str) -> DataFrame:
+    """Leakage-safe split assignment (sampling.dedup_aware_split): the
+    train/val/test hash keys on the near-dup cluster representative,
+    so LSH near-duplicates can never straddle splits. FULL oracle:
+    the recursive-CTE component closure (from _near_clusters_sql) +
+    the md5 band thresholds (from _split_sql), composed."""
+    from icnarc_to_philips_linkage_spark.operators.sampling import (
+        dedup_aware_split,
+    )
+
+    return dedup_aware_split(
+        load(spark, sf, "documents"),
+        fractions=SPLIT_FRACTIONS,
+        n=SHINGLE_N,
+        k=MINHASH_K,
+        bands=MINHASH_BANDS,
+        threshold=JACCARD_T,
+    )
+
+
+def _split_dedup_aware_sql() -> str:
+    from icnarc_to_philips_linkage_spark.operators.sampling import (
+        _threshold_hex,
+    )
+
+    pairs_sql = _minhash_sql().strip().rstrip(";")
+    cases, cum = [], 0.0
+    for name, frac in SPLIT_FRACTIONS.items():
+        cum += frac  # same accumulation order as hash_split → same floats
+        cases.append(f"WHEN bucket < '{_threshold_hex(cum)}' THEN '{name}'")
+    return f"""
+WITH RECURSIVE pairs AS (
+{pairs_sql}
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+),
+comp AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id
+         FROM reach GROUP BY node),
+rep AS (
+  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_rep
+  FROM documents d LEFT JOIN comp c USING (doc_id)
+)
+SELECT doc_id, cluster_rep,
+       CASE {' '.join(cases)} END AS split
+FROM (SELECT doc_id, cluster_rep,
+             substr(md5('split:' || CAST(cluster_rep AS VARCHAR)), 1, 8)
+               AS bucket
+      FROM rep)
+"""
+
+
 def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     """16-bit SimHash per document (bit-exact integer construction)."""
     return dedup_scale.simhash16(load(spark, sf, "documents"))
@@ -3292,6 +3351,10 @@ QUERIES: dict[str, tuple] = {
     "dedup_jaccard_prefix_exact": (
         dedup_jaccard_prefix_exact,
         _jaccard_exact_sql(),
+    ),
+    "sample_split_dedup_aware": (
+        sample_split_dedup_aware,
+        _split_dedup_aware_sql(),
     ),
     "dedup_near_clusters": (dedup_near_clusters, _near_clusters_sql()),
     "dedup_simhash": (dedup_simhash, _simhash_sql()),

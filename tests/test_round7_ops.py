@@ -294,3 +294,38 @@ def test_jaccard_prefix_join_complete_vs_blocked_and_brute(spark):
         for r in ngram_jaccard_dedup(df, n=3, threshold=T).collect()
     }
     assert blocked <= set(got)
+
+
+def test_dedup_aware_split_never_straddles_clusters(spark):
+    """Near-duplicate documents (same LSH cluster) must receive the
+    SAME split label; singleton docs must match a plain per-doc hash
+    split exactly (the clustering only corrects, never perturbs)."""
+    from icnarc_to_philips_linkage_spark.operators.sampling import (
+        dedup_aware_split,
+        hash_split,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then "
+        "runs far away into the deep dark forest tonight"
+    )
+    rows = [(i, f"unique document number {i} " + " ".join(
+        f"w{i}x{j}" for j in range(12))) for i in range(30)]
+    rows += [(100, base), (101, base + " extra"), (102, base + " more")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fr = {"train": 0.6, "val": 0.2, "test": 0.2}
+    out = dedup_aware_split(df, fractions=fr, threshold=0.3).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert len(by_id) == 33  # every doc labeled exactly once
+    # the planted near-dup trio shares a cluster rep and a split
+    reps = {by_id[i].cluster_rep for i in (100, 101, 102)}
+    assert reps == {100}
+    assert len({by_id[i].split for i in (100, 101, 102)}) == 1
+    # singletons: identical to the plain per-doc hash split
+    plain = {
+        r.doc_id: r.split
+        for r in hash_split(df, "doc_id", fr).collect()
+    }
+    for i in range(30):
+        assert by_id[i].cluster_rep == i
+        assert by_id[i].split == plain[i]
