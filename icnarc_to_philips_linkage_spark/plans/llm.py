@@ -22,7 +22,7 @@ from icnarc_to_philips_linkage_spark.operators import (
     text,
 )
 from icnarc_to_philips_linkage_spark.operators.text import LANG_MARKERS, STOPWORDS
-from icnarc_to_philips_linkage_spark.plans.tables import load
+from icnarc_to_philips_linkage_spark.plans.tables import load, spread
 
 DIM = 64  # embedding width in the testdata
 KNN_QUERY_LIMIT = 10  # vec_id < 10 are the query vectors
@@ -111,7 +111,7 @@ GROUP BY i.content_hash
 def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash+LSH near-dup pairs with exact-Jaccard verification."""
     return dedup_scale.minhash_lsh_dedup(
-        load(spark, sf, "documents"),
+        spread(load(spark, sf, "documents"), "doc_id"),
         n=SHINGLE_N,
         k=MINHASH_K,
         bands=MINHASH_BANDS,
@@ -169,7 +169,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     """Exact n-gram Jaccard pairs under 1-permutation MinHash blocking
     (the shared-min-shingle block; equi-join, never O(n²))."""
     return dedup_scale.ngram_jaccard_dedup(
-        load(spark, sf, "documents"), n=SHINGLE_N, threshold=NGRAM_T
+        spread(load(spark, sf, "documents"), "doc_id"),
+        n=SHINGLE_N,
+        threshold=NGRAM_T,
     )
 
 
@@ -186,7 +188,7 @@ def dedup_jaccard_prefix_exact(spark: SparkSession, sf: str) -> DataFrame:
     DuckDB: an INDEPENDENT method, so the prefix filter's completeness
     itself is differentially checked."""
     sets = dedup_scale.shingle_sets(
-        load(spark, sf, "documents"), n=SHINGLE_N
+        spread(load(spark, sf, "documents"), "doc_id"), n=SHINGLE_N
     )
     return dedup_scale.jaccard_prefix_join(
         sets, threshold=NGRAM_T, set_col="sh_arr"
@@ -234,7 +236,7 @@ def dedup_near_clusters(spark: SparkSession, sf: str) -> DataFrame:
     marking. Spark side iterates min-label propagation; the oracle
     computes the same closure with a recursive CTE."""
     return dedup_scale.near_dup_clusters(
-        load(spark, sf, "documents"),
+        spread(load(spark, sf, "documents"), "doc_id"),
         n=SHINGLE_N,
         k=MINHASH_K,
         bands=MINHASH_BANDS,
@@ -275,7 +277,7 @@ def sample_split_dedup_aware(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     return dedup_aware_split(
-        load(spark, sf, "documents"),
+        spread(load(spark, sf, "documents"), "doc_id"),
         fractions=SPLIT_FRACTIONS,
         n=SHINGLE_N,
         k=MINHASH_K,
@@ -743,6 +745,11 @@ def cluster_kmeans(spark: SparkSession, sf: str) -> DataFrame:
     tests/test_llm_ops.py additionally pins determinism + coverage."""
     from icnarc_to_philips_linkage_spark.operators import clustering
 
+    # NOT spread(): kmeans caches `points` once, and every iteration
+    # then runs k×dim-bounded aggregates — at bench scale the exchange
+    # plus 32-task jobs per iteration cost more than the single-task
+    # math (measured 2.3 -> 3.3 s); at real scale the scan is already
+    # wide and spread() would be a no-op anyway.
     emb = load(spark, sf, "embeddings")
     assignments = clustering.kmeans(
         emb, k=_KMEANS_K, max_iter=_KMEANS_ITER
@@ -831,7 +838,7 @@ def _pq_books(spark: SparkSession, sf: str) -> list:
         from icnarc_to_philips_linkage_spark.operators import pq
 
         _PQ_BOOKS_CACHE[sf] = pq.pq_train(
-            load(spark, sf, "embeddings"),
+            spread(load(spark, sf, "embeddings"), "vec_id"),
             dim=DIM,
             m=_PQ_M,
             ksub=_PQ_KSUB,
@@ -974,7 +981,7 @@ def sim_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
     additionally pinned by planted-duplicate tests."""
     from icnarc_to_philips_linkage_spark.operators import pq
 
-    emb = load(spark, sf, "embeddings")
+    emb = spread(load(spark, sf, "embeddings"), "vec_id")
     books = _pq_books(spark, sf)
     queries = emb.filter(F.col("vec_id") < KNN_QUERY_LIMIT)
     return pq.pq_search(queries, pq.pq_encode(emb, books), books, k=5)
@@ -989,7 +996,7 @@ def sim_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
     tests."""
     from icnarc_to_philips_linkage_spark.operators import pq
 
-    emb = load(spark, sf, "embeddings")
+    emb = spread(load(spark, sf, "embeddings"), "vec_id")
     books = _pq_books(spark, sf)
     queries = emb.filter(F.col("vec_id") < KNN_QUERY_LIMIT)
     return pq.ivf_pq_topk(emb, queries, books, k=5)
@@ -1001,7 +1008,8 @@ NEAR_DUP_T = 0.3
 def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding near-dup pairs, blocked by cluster label."""
     return similarity.embedding_near_dup_pairs(
-        load(spark, sf, "embeddings"), threshold=NEAR_DUP_T
+        spread(load(spark, sf, "embeddings"), "vec_id"),
+        threshold=NEAR_DUP_T,
     )
 
 
@@ -1898,6 +1906,10 @@ def text_bpe_train(spark: SparkSession, sf: str) -> DataFrame:
     a list_reduce fold identical to the engine's higher-order
     aggregate — so even the greedy training trajectory is
     differentially checked."""
+    # NOT spread(): bpe_train's merge loop re-executes its word-table
+    # lineage per merge, so a pre-shingle exchange is paid n_merges
+    # times (measured 2.2 -> 2.8 s at sf0.1) — the loop persists its
+    # own bounded symbol table instead.
     return text.bpe_train(
         load(spark, sf, "documents"), n_merges=_BPE_MERGES
     )
@@ -2384,7 +2396,9 @@ def dedup_passages(spark: SparkSession, sf: str) -> DataFrame:
     """Per-document duplicated-passage fraction (Lee et al. 2022
     exact-substring signal at word-8-gram granularity)."""
     return dedup_scale.duplicated_passage_report(
-        load(spark, sf, "documents"), n=_PASSAGE_N, min_docs=_PASSAGE_MIN_DOCS
+        spread(load(spark, sf, "documents"), "doc_id"),
+        n=_PASSAGE_N,
+        min_docs=_PASSAGE_MIN_DOCS,
     )
 
 
@@ -2579,7 +2593,9 @@ def dedup_containment(spark: SparkSession, sf: str) -> DataFrame:
     from icnarc_to_philips_linkage_spark.operators import retrieval
 
     return retrieval.containment_pairs(
-        load(spark, sf, "documents"), n=_CONTAIN_N, threshold=_CONTAIN_T
+        spread(load(spark, sf, "documents"), "doc_id"),
+        n=_CONTAIN_N,
+        threshold=_CONTAIN_T,
     )
 
 
@@ -2674,7 +2690,7 @@ def quality_ngram_lm(spark: SparkSession, sf: str) -> DataFrame:
     self-trained gram model (alphabet-bounded → broadcast), per-doc
     mean negative log2 gram probability = bits per gram."""
     return text.ngram_lm_score(
-        load(spark, sf, "documents"), n=_LM_N
+        spread(load(spark, sf, "documents"), "doc_id"), n=_LM_N
     ).orderBy("doc_id")
 
 

@@ -28,7 +28,7 @@ from icnarc_to_philips_linkage_spark.functions.expressions import (
     ts_micros,
 )
 from icnarc_to_philips_linkage_spark.operators import dedup, profile
-from icnarc_to_philips_linkage_spark.plans.tables import load
+from icnarc_to_philips_linkage_spark.plans.tables import load, spread
 
 # ---------------------------------------------------------------- flagship
 
@@ -1635,6 +1635,9 @@ def fuzzy_link_deletion_join(spark: SparkSession, sf: str) -> DataFrame:
         deletion_neighborhood_join,
     )
 
+    # fuzzy queries do their heavy DP work post-shuffle (the join is
+    # block-partitioned inside fuzzy.py) — a scan-side spread() only
+    # added exchange cost here (measured +0.3-1.0 s each at sf0.1)
     c = load(spark, sf, "customer").select("c_custkey", "c_name")
     r = c.select(
         F.col("c_custkey").alias("match_key"),
