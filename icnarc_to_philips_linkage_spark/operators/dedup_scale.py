@@ -934,6 +934,11 @@ def jaccard_prefix_join(
             ).alias("__tk"),
         ).withColumn("__n", F.size("__tk"))
     elif order_mode == "frequency":
+        # the tokenized sets feed BOTH the count aggregate and the
+        # rank join below — persist so tokenize/shingle (and any
+        # upstream exchange) runs once, the minhash_lsh_dedup pattern
+        toks = toks.persist(StorageLevel.MEMORY_AND_DISK)
+        cachereg.track(toks)
         flat = toks.select(
             F.col(id_col), F.explode("__tk").alias("__token")
         )
