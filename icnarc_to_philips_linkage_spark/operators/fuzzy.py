@@ -13,6 +13,7 @@ shape as LSH banding for documents. Comparison is JVM-side
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints resolve here
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -284,3 +285,89 @@ def best_match(
         .agg(F.min_by(F.struct(*others), ordering).alias("__best"))
         .select(left_id, *[F.col(f"__best.{col}").alias(col) for col in others])
     )
+
+
+def jaro_winkler_udf():
+    """Arrow-batched Jaro–Winkler similarity UDF — the graded rescoring
+    metric for candidate pairs that a boolean edit-distance threshold
+    flattens (a first-character typo and a last-character typo are both
+    'distance 1'; Jaro–Winkler ranks the prefix-preserving one higher,
+    which is why census/record-linkage practice scores candidates with
+    it before clerical review).
+
+    A Python UDF is the sanctioned escape hatch here: the metric's
+    greedy in-window matching + transposition count is inherently
+    per-pair sequential (no vectorized Spark expression exists), the
+    strings are identifier-sized, and the UDF runs AFTER candidate
+    generation has already shrunk the row count — the expensive part
+    stays JVM-side. Arrow batches move the pairs; the per-row loop
+    touches ~20-char strings.
+
+    Semantics pinned to DuckDB's ``jaro_winkler_similarity`` (the
+    differential oracle): match window ``max(len)//2 - 1``, greedy
+    first-unmatched in-window matching, transpositions = half the
+    out-of-order matched positions, Winkler prefix bonus (p=0.1, up to
+    4 chars) applied only when the Jaro score exceeds the classic 0.7
+    boost threshold, and 0.0 when either string is empty (DuckDB's
+    convention — NOT 1.0 for two empties). Property-tested against
+    DuckDB on random pairs; NULL input scores NULL."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    @pandas_udf(DoubleType())
+    def _jw(sa: pd.Series, sb: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                None if x is None or y is None else jaro_winkler_py(x, y)
+                for x, y in zip(sa, sb)
+            ],
+            dtype="float64",
+        )
+
+    return _jw
+
+
+def jaro_winkler_py(a: str, b: str) -> float:
+    """Pure-Python Jaro–Winkler, semantics pinned to DuckDB's
+    ``jaro_winkler_similarity`` (see ``jaro_winkler_udf``). Module-level
+    so the property test can drive it against DuckDB case-by-case
+    without a Spark job per pair."""
+    la, lb = len(a), len(b)
+    if la == 0 or lb == 0:
+        return 0.0
+    window = max(la, lb) // 2 - 1
+    if window < 0:
+        window = 0
+    mb = [False] * lb
+    ma = [False] * la
+    m = 0
+    for i in range(la):
+        lo = i - window if i - window > 0 else 0
+        hi = i + window + 1 if i + window + 1 < lb else lb
+        for j in range(lo, hi):
+            if not mb[j] and a[i] == b[j]:
+                ma[i] = mb[j] = True
+                m += 1
+                break
+    if m == 0:
+        return 0.0
+    t = 0
+    j = 0
+    for i in range(la):
+        if ma[i]:
+            while not mb[j]:
+                j += 1
+            if a[i] != b[j]:
+                t += 1
+            j += 1
+    # transpositions halve by INTEGER division — DuckDB (rapidfuzz)
+    # floors the half-count; the textbook t/2 diverges on odd t
+    jaro = (m / la + m / lb + (m - t // 2) / m) / 3.0
+    if jaro <= 0.7:
+        return jaro
+    p = 0
+    for i in range(min(4, la, lb)):
+        if a[i] != b[i]:
+            break
+        p += 1
+    return jaro + p * 0.1 * (1.0 - jaro)

@@ -1673,6 +1673,80 @@ FROM cand WHERE levenshtein(sa, sb) <= 1
 """
 
 
+def fuzzy_jaro_winkler(spark: SparkSession, sf: str) -> DataFrame:
+    """Jaro–Winkler rescoring of the exact distance<=1 candidate pairs
+    (fuzzy.deletion_neighborhood_join): a boolean edit threshold
+    flattens match quality — JW grades it, ranking prefix-preserving
+    typos higher, the census/record-linkage review ordering. Candidate
+    generation stays JVM-side; only the already-small verified pair
+    set crosses into the Arrow-batched UDF (fuzzy.jaro_winkler_udf),
+    whose semantics are pinned bit-exact to the oracle's NATIVE
+    ``jaro_winkler_similarity`` (0/24k random-pair divergences —
+    property-tested), so the 6dp rounding never straddles an ulp."""
+    from icnarc_to_philips_linkage_spark.operators.fuzzy import (
+        deletion_neighborhood_join,
+        jaro_winkler_udf,
+    )
+
+    c = load(spark, sf, "customer").select("c_custkey", "c_name")
+    r = c.select(
+        F.col("c_custkey").alias("match_key"),
+        F.col("c_name").alias("match_name"),
+    )
+    pairs = deletion_neighborhood_join(c, r, "c_name", "match_name").filter(
+        F.col("c_custkey") < F.col("match_key")
+    )
+    jw = jaro_winkler_udf()
+    norm = lambda s: F.regexp_replace(F.lower(F.col(s)), r"[^a-z0-9]", "")  # noqa: E731
+    # normalize JVM-side, then hash-repartition on the pair key before
+    # the UDF. The exchange does double duty: it spreads the Arrow
+    # batches across the cluster (candidate generation ends in
+    # per-branch aggregates whose output would otherwise feed the UDF
+    # from few partitions), and it is a plan barrier that keeps the
+    # UDF projection from collapsing into the union's aggregates —
+    # Spark 4.1's ExtractPythonUDFFromAggregate invalidates the plan
+    # ("previously resolved became unresolved") when a pandas UDF
+    # lands inside the self-join union's distinct (reproduced
+    # minimally in tests/test_round7_ops.py).
+    base = pairs.select(
+        "c_custkey",
+        "match_key",
+        "edit_distance",
+        norm("c_name").alias("__sa"),
+        norm("match_name").alias("__sb"),
+    ).repartition(F.col("c_custkey"), F.col("match_key"))
+    return base.select(
+        "c_custkey",
+        "match_key",
+        "edit_distance",
+        F.round(jw(F.col("__sa"), F.col("__sb")), 6).alias("jw_sim"),
+    )
+
+
+FUZZY_JW_SQL = """
+WITH n AS (
+  SELECT c_custkey,
+         regexp_replace(lower(c_name), '[^a-z0-9]', '', 'g') AS s
+  FROM customer),
+v AS (
+  SELECT c_custkey, s,
+         unnest(list_distinct(list_prepend(s,
+           list_transform(generate_series(1, length(s)),
+             i -> substr(s, 1, i-1) || substr(s, i+1, length(s))))))
+           AS var
+  FROM n),
+cand AS (
+  SELECT DISTINCT a.c_custkey AS c_custkey, b.c_custkey AS match_key,
+                  a.s AS sa, b.s AS sb
+  FROM v a JOIN v b USING (var)
+  WHERE a.c_custkey < b.c_custkey)
+SELECT c_custkey, match_key,
+       CAST(levenshtein(sa, sb) AS INT) AS edit_distance,
+       ROUND(jaro_winkler_similarity(sa, sb), 6) AS jw_sim
+FROM cand WHERE levenshtein(sa, sb) <= 1
+"""
+
+
 FUZZY_SQL = """
 WITH b AS (
   SELECT c_custkey, c_name,
@@ -3591,6 +3665,7 @@ QUERIES: dict[str, tuple] = {
         FUZZY_DELETION_SQL,
     ),
     "fuzzy_fs_score": (fuzzy_fs_score, _fs_sql()),
+    "fuzzy_jaro_winkler": (fuzzy_jaro_winkler, FUZZY_JW_SQL),
     "ev_funnel": (ev_funnel, EV_FUNNEL_SQL),
     "ev_retention": (ev_retention, EV_RETENTION_SQL),
     "a17_winsorize_outliers": (a17_winsorize_outliers, A17_SQL),

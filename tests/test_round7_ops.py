@@ -329,3 +329,110 @@ def test_dedup_aware_split_never_straddles_clusters(spark):
     for i in range(30):
         assert by_id[i].cluster_rep == i
         assert by_id[i].split == plain[i]
+
+
+# ------------------------------------------------------- Jaro–Winkler
+
+
+def test_jaro_winkler_known_values():
+    """Classic pairs + the DuckDB conventions the implementation pins:
+    0.0 for empty inputs (not 1.0), no Winkler bonus at/below the 0.7
+    boost threshold, integer-floored transposition halving."""
+    from icnarc_to_philips_linkage_spark.operators.fuzzy import (
+        jaro_winkler_py,
+    )
+
+    assert abs(jaro_winkler_py("martha", "marhta") - 0.9611111111111111) < 1e-15
+    assert abs(jaro_winkler_py("dixon", "dicksonx") - 0.8133333333333332) < 1e-15
+    assert jaro_winkler_py("", "") == 0.0
+    assert jaro_winkler_py("a", "") == 0.0
+    assert jaro_winkler_py("same", "same") == 1.0
+    # below the boost threshold: jaro == jw despite the shared prefix
+    assert abs(jaro_winkler_py("abcdef", "abxxxx") - 0.5555555555555555) < 1e-15
+    # odd transposition count: floor(t/2), not t/2 (DuckDB/rapidfuzz)
+    assert abs(
+        jaro_winkler_py("d1caca1b", "daca1aca0") - 0.775
+    ) < 1e-12
+
+
+def test_jaro_winkler_differential_vs_duckdb():
+    """Bit-exact differential against DuckDB's native
+    jaro_winkler_similarity over random pairs (three alphabets, typo'd
+    prefixes, empties) — the same function the registered oracle uses,
+    so a pass here means the 6dp rounding in fuzzy_jaro_winkler can
+    never straddle an engine ulp."""
+    import random
+
+    import duckdb
+
+    from icnarc_to_philips_linkage_spark.operators.fuzzy import (
+        jaro_winkler_py,
+    )
+
+    con = duckdb.connect()
+    random.seed(20260814)
+    for i in range(2500):
+        alpha = ("abcd01", "ab", "abcdefgh")[i % 3]
+        a = "".join(random.choice(alpha) for _ in range(random.randint(0, 14)))
+        b = "".join(random.choice(alpha) for _ in range(random.randint(0, 14)))
+        if random.random() < 0.5:
+            b = (a[: random.randint(0, len(a))] + b)[:14]
+        ref = con.execute(
+            "SELECT jaro_winkler_similarity(?, ?)", [a, b]
+        ).fetchone()[0]
+        assert abs(jaro_winkler_py(a, b) - ref) < 1e-12, (a, b)
+
+
+def test_jw_udf_over_deletion_join_with_barrier(spark):
+    """The registered fuzzy_jaro_winkler shape end-to-end on planted
+    rows: pandas UDF applied after the repartition barrier over the
+    deletion join's union-of-aggregates plan (without the barrier,
+    Spark 4.1's ExtractPythonUDFFromAggregate can invalidate the plan —
+    'previously resolved became unresolved' — for some expression
+    shapes; the barrier also spreads the Arrow batches)."""
+    from icnarc_to_philips_linkage_spark.operators.fuzzy import (
+        deletion_neighborhood_join,
+        jaro_winkler_py,
+        jaro_winkler_udf,
+    )
+
+    jw = jaro_winkler_udf()
+    c = spark.createDataFrame(
+        [(1, "abc"), (2, "abd"), (3, "xbd")], "c_custkey int, c_name string"
+    )
+    r = c.select(
+        F.col("c_custkey").alias("match_key"),
+        F.col("c_name").alias("match_name"),
+    )
+    pairs = deletion_neighborhood_join(c, r, "c_name", "match_name").filter(
+        F.col("c_custkey") < F.col("match_key")
+    )
+    ok = (
+        pairs.select("c_custkey", "match_key", "c_name", "match_name")
+        .repartition(F.col("c_custkey"), F.col("match_key"))
+        .select(
+            "c_custkey",
+            "match_key",
+            F.round(jw("c_name", "match_name"), 6).alias("s"),
+        )
+        .collect()
+    )
+    expect = {
+        (1, 2): round(jaro_winkler_py("abc", "abd"), 6),
+        (2, 3): round(jaro_winkler_py("abd", "xbd"), 6),
+    }
+    got = {(row.c_custkey, row.match_key): row.s for row in ok}
+    assert got == expect
+
+
+def test_fuzzy_jaro_winkler_ranks_prefix_typos_higher(spark):
+    """The point of JW rescoring: among distance-1 pairs, a LAST-char
+    typo scores higher than a FIRST-char typo (prefix bonus + position
+    weighting) — the boolean edit distance can't express that."""
+    from icnarc_to_philips_linkage_spark.operators.fuzzy import (
+        jaro_winkler_py,
+    )
+
+    late = jaro_winkler_py("customer123", "customer124")
+    early = jaro_winkler_py("customer123", "xustomer123")
+    assert late > early > 0.5
