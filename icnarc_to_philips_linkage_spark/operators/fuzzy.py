@@ -371,3 +371,123 @@ def jaro_winkler_py(a: str, b: str) -> float:
             break
         p += 1
     return jaro + p * 0.1 * (1.0 - jaro)
+
+
+def osa1_neighborhood_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+) -> DataFrame:
+    """EXACT OSA-distance<=1 fuzzy join — ``deletion_neighborhood_join``
+    extended to ADJACENT TRANSPOSITIONS, the most common real typo
+    class ('marhta') and one plain Levenshtein-1 misses by counting it
+    as two edits.
+
+    Same position-tagged deletion neighborhood, one relaxation: the
+    equal-length candidate join accepts |p_l − p_r| <= 1 instead of
+    equality. Case analysis (each against distinct equal-length
+    strings):
+
+    - substitution at i    ⇔ del_i(s) = del_i(t) — collides ONLY at
+      Δp = 0, at exactly the differing position: VERIFICATION-FREE
+      (the distance-1 join's theorem, unchanged);
+    - transposition at i   ⇔ del_i(s) = del_{i+1}(t) AND
+      del_{i+1}(s) = del_i(t) — collides at exactly the two Δp = 1
+      keys (delete either transposed character from both);
+    - Δp = 1 also admits distance-2 junk (e.g. 'ac'/'cb' share
+      variant 'c'), but the collision itself pins the pair's shape:
+      del_p(s) = del_{p+1}(t) forces t = s[..p-1]·s[p+1]·y·s[p+2..],
+      so the pair is a transposition IFF the ONE free character
+      matches, y = t[p+1] = s[p]. Verification is a single dynamic
+      ``substr`` equality per row — O(1), codegen'd, no char arrays,
+      no per-position HOFs (a differing-positions array expression
+      here re-evaluated split() per element per reference — measured
+      235 s at sf0.1 vs ~2 s for the substr check).
+
+    Indel/equality branches are unchanged from the distance-1 join.
+    Distance is over normalized strings (lowercased alphanumerics).
+    Output: (left cols…, right cols…, osa_distance, edit_type) with
+    edit_type ∈ equal | indel | substitution | transposition."""
+    norm = lambda c: F.regexp_replace(F.lower(F.col(c)), r"[^a-z0-9]", "")  # noqa: E731
+    lbase = left.withColumn("__nl", norm(left_col))
+    rbase = right.withColumn("__nr", norm(right_col))
+
+    def tagged(df: DataFrame, s: str, p: str) -> DataFrame:
+        c = F.col(s)
+        return df.withColumn(
+            p, F.explode(F.sequence(F.lit(1), F.length(c)))
+        ).withColumn(
+            "__var",
+            F.concat(
+                c.substr(F.lit(1), F.col(p) - 1),
+                c.substr(F.col(p) + 1, F.length(c)),
+            ),
+        )
+
+    ld, rd = tagged(lbase, "__nl", "__pl"), tagged(rbase, "__nr", "__pr")
+    eqlen_cand = (
+        ld.join(
+            rd,
+            (ld["__var"] == rd["__var"])
+            & (F.abs(ld["__pl"] - rd["__pr"]) <= 1),
+        )
+        .filter(
+            (F.length("__nl") == F.length("__nr"))
+            & (F.col("__nl") != F.col("__nr"))
+        )
+        .drop("__var")
+    )
+    nl, nr = F.col("__nl"), F.col("__nr")
+    pl, pr = F.col("__pl"), F.col("__pr")
+    one = F.lit(1)
+    is_trans = (
+        # del_pl(s) = del_{pl+1}(t): trans iff t[pl+1] == s[pl]
+        (pr == pl + 1) & (nr.substr(pl + 1, one) == nl.substr(pl, one))
+    ) | (
+        # mirror case del_{pr+1}(s) = del_pr(t): trans iff s[pr+1] == t[pr]
+        (pl == pr + 1) & (nl.substr(pr + 1, one) == nr.substr(pr, one))
+    )
+    verified = (
+        eqlen_cand.withColumn(
+            "edit_type",
+            F.when(pl == pr, F.lit("substitution")).when(
+                is_trans, F.lit("transposition")
+            ),
+        )
+        .filter(F.col("edit_type").isNotNull())
+        .drop("__pl", "__pr")
+        # a transposition collides on both its Δp = 1 keys — dedupe.
+        # The labels themselves cannot double up: a substitution pair
+        # that also collides at Δp = 1 (substituted char repeating a
+        # neighbor) fails the char check there, and sub ⇒ one diff
+        # position while trans ⇒ two, so no pair earns both labels
+        .distinct()
+        .withColumn("osa_distance", F.lit(1))
+    )
+    eq = (
+        lbase.join(rbase, lbase["__nl"] == rbase["__nr"])
+        .withColumn("edit_type", F.lit("equal"))
+        .withColumn("osa_distance", F.lit(0))
+    )
+    one_indel = F.lit(1).alias("osa_distance")
+    ins = (
+        lbase.join(rd.drop("__pr"), lbase["__nl"] == rd["__var"])
+        .drop("__var")
+        .select("*", F.lit("indel").alias("edit_type"), one_indel)
+        .distinct()
+    )
+    dele = (
+        ld.drop("__pl")
+        .join(rbase, ld["__var"] == rbase["__nr"])
+        .drop("__var")
+        .select("*", F.lit("indel").alias("edit_type"), one_indel)
+        .distinct()
+    )
+    out = (
+        verified.select(eq.columns)
+        .unionByName(eq)
+        .unionByName(ins.select(eq.columns))
+        .unionByName(dele.select(eq.columns))
+    )
+    return out.drop("__nl", "__nr")

@@ -1723,6 +1723,61 @@ def fuzzy_jaro_winkler(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def fuzzy_osa1_join(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT OSA-distance<=1 linkage including ADJACENT TRANSPOSITIONS
+    (fuzzy.osa1_neighborhood_join) — the typo class ('marhta') that
+    Levenshtein-1 counts as two edits, so fuzzy_link_deletion_join
+    misses it by construction. Candidates come from the same
+    position-tagged deletion keys with the equal-length join relaxed
+    to |Δp| <= 1; verification is a MAP-SIDE differing-positions
+    expression (the diff set must be one position, or an adjacent
+    crossed pair), never a DP UDF. The oracle verifies candidates with
+    DuckDB's NATIVE damerau_levenshtein — an independent distance
+    implementation, so both the Δp relaxation's completeness and the
+    column-expression verifier are differentially checked."""
+    from icnarc_to_philips_linkage_spark.operators.fuzzy import (
+        osa1_neighborhood_join,
+    )
+
+    c = load(spark, sf, "customer").select("c_custkey", "c_name")
+    r = c.select(
+        F.col("c_custkey").alias("match_key"),
+        F.col("c_name").alias("match_name"),
+    )
+    return (
+        osa1_neighborhood_join(c, r, "c_name", "match_name")
+        .filter(F.col("c_custkey") < F.col("match_key"))
+        .select("c_custkey", "match_key", "osa_distance", "edit_type")
+    )
+
+
+FUZZY_OSA1_SQL = """
+WITH n AS (
+  SELECT c_custkey,
+         regexp_replace(lower(c_name), '[^a-z0-9]', '', 'g') AS s
+  FROM customer),
+v AS (
+  SELECT c_custkey, s,
+         unnest(list_distinct(list_prepend(s,
+           list_transform(generate_series(1, length(s)),
+             i -> substr(s, 1, i-1) || substr(s, i+1, length(s))))))
+           AS var
+  FROM n),
+cand AS (
+  SELECT DISTINCT a.c_custkey AS c_custkey, b.c_custkey AS match_key,
+                  a.s AS sa, b.s AS sb
+  FROM v a JOIN v b USING (var)
+  WHERE a.c_custkey < b.c_custkey)
+SELECT c_custkey, match_key,
+       CAST(damerau_levenshtein(sa, sb) AS INT) AS osa_distance,
+       CASE WHEN sa = sb THEN 'equal'
+            WHEN length(sa) != length(sb) THEN 'indel'
+            WHEN levenshtein(sa, sb) = 1 THEN 'substitution'
+            ELSE 'transposition' END AS edit_type
+FROM cand WHERE damerau_levenshtein(sa, sb) <= 1
+"""
+
+
 FUZZY_JW_SQL = """
 WITH n AS (
   SELECT c_custkey,
@@ -3666,6 +3721,7 @@ QUERIES: dict[str, tuple] = {
     ),
     "fuzzy_fs_score": (fuzzy_fs_score, _fs_sql()),
     "fuzzy_jaro_winkler": (fuzzy_jaro_winkler, FUZZY_JW_SQL),
+    "fuzzy_osa1_join": (fuzzy_osa1_join, FUZZY_OSA1_SQL),
     "ev_funnel": (ev_funnel, EV_FUNNEL_SQL),
     "ev_retention": (ev_retention, EV_RETENTION_SQL),
     "a17_winsorize_outliers": (a17_winsorize_outliers, A17_SQL),

@@ -436,3 +436,110 @@ def test_fuzzy_jaro_winkler_ranks_prefix_typos_higher(spark):
     late = jaro_winkler_py("customer123", "customer124")
     early = jaro_winkler_py("customer123", "xustomer123")
     assert late > early > 0.5
+
+
+# ----------------------------------------------- OSA-1 (Damerau) join
+
+
+def _osa(a: str, b: str) -> int:
+    """Reference optimal-string-alignment distance (restricted
+    Damerau), small-input brute force for the property test."""
+    la, lb = len(a), len(b)
+    d = [[0] * (lb + 1) for _ in range(la + 1)]
+    for i in range(la + 1):
+        d[i][0] = i
+    for j in range(lb + 1):
+        d[0][j] = j
+    for i in range(1, la + 1):
+        for j in range(1, lb + 1):
+            cost = 0 if a[i - 1] == b[j - 1] else 1
+            d[i][j] = min(
+                d[i - 1][j] + 1, d[i][j - 1] + 1, d[i - 1][j - 1] + cost
+            )
+            if (
+                i > 1
+                and j > 1
+                and a[i - 1] == b[j - 2]
+                and a[i - 2] == b[j - 1]
+            ):
+                d[i][j] = min(d[i][j], d[i - 2][j - 2] + 1)
+    return d[la][lb]
+
+
+def test_osa1_join_planted_cases(spark):
+    """Transposition caught (Levenshtein-1 join misses it), plus one of
+    each other class and distance-2 junk excluded."""
+    from icnarc_to_philips_linkage_spark.operators.fuzzy import (
+        osa1_neighborhood_join,
+    )
+
+    rows = [
+        (1, "martha"),
+        (2, "marhta"),   # adjacent transposition of 1
+        (3, "marsha"),   # substitution of 1
+        (4, "marthas"),  # insertion on 1
+        (5, "martha"),   # equal to 1
+        (6, "xartha!"),  # sub of 1 after normalization strips '!'
+        (7, "zzzzzz"),   # unrelated
+        (8, "mrahta"),   # distance 2 from 1 (non-adjacent swaps)
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+    r = df.select(F.col("id").alias("rid"), F.col("name").alias("rname"))
+    out = (
+        osa1_neighborhood_join(df, r, "name", "rname")
+        .filter(F.col("id") < F.col("rid"))
+        .select("id", "rid", "osa_distance", "edit_type")
+        .collect()
+    )
+    got = {(row.id, row.rid): (row.osa_distance, row.edit_type) for row in out}
+    assert got[(1, 2)] == (1, "transposition")
+    assert got[(1, 3)] == (1, "substitution")
+    assert got[(1, 4)] == (1, "indel")
+    assert got[(1, 5)] == (0, "equal")
+    assert got[(1, 6)] == (1, "substitution")
+    assert (1, 8) not in got  # OSA distance 2: two separate ops
+    assert (1, 7) not in got
+    assert len(out) == len(got)  # no duplicate pair rows
+
+
+def test_osa1_join_complete_vs_bruteforce(spark):
+    """Completeness + soundness property on a random corpus: the join's
+    pair set equals ALL pairs at brute-force OSA distance <= 1 over the
+    normalized strings, with the right distance label."""
+    import random
+
+    from icnarc_to_philips_linkage_spark.operators.fuzzy import (
+        osa1_neighborhood_join,
+    )
+
+    random.seed(42)
+    names = []
+    base = ["abcde", "abcd", "aabbc", "xyzzy", "ababa"]
+    for i in range(120):
+        s = list(random.choice(base))
+        op = random.random()
+        p = random.randrange(len(s))
+        if op < 0.3:
+            s[p] = random.choice("abxyz")
+        elif op < 0.5 and p + 1 < len(s):
+            s[p], s[p + 1] = s[p + 1], s[p]
+        elif op < 0.7:
+            s.insert(p, random.choice("abxyz"))
+        elif op < 0.9 and len(s) > 1:
+            del s[p]
+        names.append((i, "".join(s)))
+    df = spark.createDataFrame(names, "id long, name string")
+    r = df.select(F.col("id").alias("rid"), F.col("name").alias("rname"))
+    got = {
+        (row.id, row.rid): row.osa_distance
+        for row in osa1_neighborhood_join(df, r, "name", "rname")
+        .filter(F.col("id") < F.col("rid"))
+        .select("id", "rid", "osa_distance")
+        .collect()
+    }
+    want = {}
+    for i, a in names:
+        for j, b in names:
+            if i < j and _osa(a, b) <= 1:
+                want[(i, j)] = _osa(a, b)
+    assert got == want
