@@ -1898,6 +1898,73 @@ GROUP BY neighbor_id
 _BPE_MERGES = 12
 
 
+def text_longest_repeats(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-10 LONGEST repeated token sequences in the corpus via a
+    distributed suffix ordering (suffixes.longest_repeated_sequences):
+    prefix doubling from a 16-token base — each rank pass is a
+    distinct + range sort + join-back carrying two longs per position,
+    never the naive sort's whole-remaining-suffix shuffle — then
+    adjacent-pair LCPs by direct token-slice comparison (capped 64
+    tokens). The unbounded-length complement of ``dedup_passages``'
+    fixed 8-grams: Lee et al. 2022's exact-substring question 'what
+    are the longest copied spans, and where'. The oracle is an
+    INDEPENDENT algorithm — DuckDB materializes every capped suffix
+    STRING, sorts them directly, and recomputes adjacent LCPs with
+    list ops — so the doubling construction's order and the slice LCP
+    fold are both differentially checked (normalized tokens are
+    alnum-only, which makes space-joined string order provably equal
+    to token-sequence order)."""
+    from icnarc_to_philips_linkage_spark.operators.suffixes import (
+        longest_repeated_sequences,
+    )
+
+    return longest_repeated_sequences(
+        spread(load(spark, sf, "documents"), "doc_id"), top_k=10
+    )
+
+
+TEXT_LONGEST_REPEATS_SQL = r"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(
+           regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+           '\s+', ' ', 'g')) AS t
+  FROM documents),
+toks AS (SELECT doc_id, string_split(t, ' ') AS tk FROM norm WHERE t <> ''),
+suf AS (
+  SELECT doc_id, off, tk[off:off+63] AS s,
+         array_to_string(tk[off:off+63], ' ') AS skey
+  FROM (SELECT doc_id, tk,
+               unnest(generate_series(1, len(tk))) AS off
+        FROM toks)),
+ord AS (
+  SELECT doc_id, off, s,
+         row_number() OVER (ORDER BY skey, doc_id, off) AS idx
+  FROM suf),
+adj AS (
+  SELECT a.doc_id AS doc_a, a.off AS off_a,
+         b.doc_id AS doc_b, b.off AS off_b, a.s AS sa, b.s AS sb
+  FROM ord a JOIN ord b ON b.idx = a.idx + 1),
+sc AS (
+  SELECT doc_a, off_a, doc_b, off_b,
+         CAST(coalesce(
+           -- list_position yields 0 (not NULL) when no element
+           -- matches: nullif routes the all-equal case to the cap
+           nullif(list_position(
+             list_transform(generate_series(1, least(len(sa), len(sb))),
+                            j -> sa[j] = sb[j]),
+             false), 0) - 1,
+           least(len(sa), len(sb))) AS INT) AS lcp_tokens,
+         sa
+  FROM adj)
+SELECT doc_a, CAST(off_a AS INT) AS off_a,
+       doc_b, CAST(off_b AS INT) AS off_b, lcp_tokens,
+       CASE WHEN lcp_tokens > 0
+            THEN array_to_string(sa[1:lcp_tokens], ' ')
+            ELSE '' END AS excerpt
+FROM sc ORDER BY lcp_tokens DESC, doc_a, off_a LIMIT 10
+"""
+
+
 def text_bpe_train(spark: SparkSession, sf: str) -> DataFrame:
     """Full BPE training (text.bpe_train): 12 greedy merges over the
     vocabulary-bounded symbol table. The oracle replays the SAME
@@ -3350,6 +3417,7 @@ QUERIES: dict[str, tuple] = {
     "decontam_report": (decontam_report, _decontam_sql()),
     "decontam_embedding": (decontam_embedding, _emb_decontam_sql()),
     "text_bpe_train": (text_bpe_train, _bpe_train_sql()),
+    "text_longest_repeats": (text_longest_repeats, TEXT_LONGEST_REPEATS_SQL),
     "pii_scrub": (pii_scrub, _pii_sql()),
     "reconcile_sources": (reconcile_sources, RECONCILE_SQL),
     "quality_gate": (quality_gate, QUALITY_GATE_SQL),

@@ -543,3 +543,71 @@ def test_osa1_join_complete_vs_bruteforce(spark):
             if i < j and _osa(a, b) <= 1:
                 want[(i, j)] = _osa(a, b)
     assert got == want
+
+
+# --------------------------------------------- suffix-order repeats
+
+
+def test_longest_repeats_planted(spark):
+    """Planted full-prefix duplicate + a shorter internal repeat: the
+    report surfaces the long cross-doc copy first with the exact span
+    and excerpt, and the suffix order's adjacent-pair LCPs equal a
+    brute-force check."""
+    from icnarc_to_philips_linkage_spark.operators.suffixes import (
+        longest_repeated_sequences,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (3, "unrelated words entirely on their own track"),
+        (4, "middle copy alpha beta gamma delta end here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = longest_repeated_sequences(df, top_k=3).collect()
+    top = out[0]
+    assert (top.doc_a, top.off_a, top.doc_b, top.off_b) == (1, 1, 2, 1)
+    assert top.lcp_tokens == 8
+    assert top.excerpt == "alpha beta gamma delta epsilon zeta eta theta"
+    # the 4-token internal copy ranks below the 8- and 7-token pairs
+    assert all(r.lcp_tokens >= 4 for r in out)
+
+
+def test_longest_repeats_matches_bruteforce_order(spark):
+    """Differential vs a Python brute force on a random corpus: top-k
+    adjacent-pair LCPs from the doubling construction equal the ones
+    from directly sorting all capped suffixes."""
+    import random
+
+    from icnarc_to_philips_linkage_spark.operators.suffixes import (
+        longest_repeated_sequences,
+    )
+
+    random.seed(11)
+    vocab = ["ab", "cd", "ef", "gh", "ij"]
+    docs = []
+    for i in range(30):
+        toks = [random.choice(vocab) for _ in range(random.randint(3, 20))]
+        docs.append((i, " ".join(toks)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = [
+        (r.doc_a, r.off_a, r.doc_b, r.off_b, r.lcp_tokens)
+        for r in longest_repeated_sequences(df, top_k=8).collect()
+    ]
+    # brute force: sort capped suffixes as token tuples
+    sufs = []
+    for i, text in docs:
+        toks = text.split()
+        for off in range(1, len(toks) + 1):
+            sufs.append((tuple(toks[off - 1 : off - 1 + 64]), i, off))
+    sufs.sort()
+    want = []
+    for (sa, da, oa), (sb, db, ob) in zip(sufs, sufs[1:]):
+        lcp = 0
+        for x, y in zip(sa, sb):
+            if x != y:
+                break
+            lcp += 1
+        want.append((da, oa, db, ob, lcp))
+    want.sort(key=lambda t: (-t[4], t[0], t[1]))
+    assert got == want[:8]
