@@ -279,6 +279,77 @@ def main() -> int:
     pr.agg(F.count(F.lit(1)), F.max("rank")).collect()
     timings["pagerank_10m_edges_3iter"] = round(time.time() - t, 2)
     print("pagerank_10m_edges_3iter", timings["pagerank_10m_edges_3iter"], flush=True)
+    # suffix ordering at ~2M token positions (7.4× the sf0.1 corpus):
+    # 50k docs × 40 tokens, ~2% full-doc duplicates planted via seed
+    # collisions so the tied rank classes survive every doubling round
+    # (unique-text corpora early-exit immediately and prove nothing)
+    from icnarc_to_philips_linkage_spark.operators.suffixes import (
+        longest_repeated_sequences,
+    )
+
+    sdocs = spark.range(min(n // 2000, 50_000)).select(
+        F.col("id").alias("doc_id"),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(39)),
+                lambda i: F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.pmod(
+                                    F.xxhash64("id"),
+                                    F.lit(min(n // 2000, 50_000) * 49 // 50),
+                                ),
+                                i,
+                            )
+                        ),
+                        1,
+                        4,
+                    ),
+                    16,
+                    10,
+                ),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    t = time.time()
+    lr = longest_repeated_sequences(sdocs, top_k=10).collect()
+    timings["suffix_longest_repeats_2m_positions"] = round(time.time() - t, 2)
+    print(
+        "suffix_longest_repeats_2m_positions",
+        timings["suffix_longest_repeats_2m_positions"],
+        "top_lcp",
+        lr[0].lcp_tokens,
+        flush=True,
+    )
+    # exact OSA-1 join over 1M synthetic identifiers (67× the bench's
+    # 15k names): deletion-neighborhood candidate generation stays
+    # O(rows·len) keys; the substr transposition check is map-side
+    from icnarc_to_philips_linkage_spark.operators.fuzzy import (
+        osa1_neighborhood_join,
+    )
+
+    names = spark.range(min(n // 100, 1_000_000)).select(
+        F.col("id").alias("nid"),
+        F.concat(
+            F.lit("user"), F.lpad(F.col("id").cast("string"), 8, "0")
+        ).alias("name"),
+    )
+    rnames = names.select(
+        F.col("nid").alias("rid"), F.col("name").alias("rname")
+    )
+    t = time.time()
+    n_osa = (
+        osa1_neighborhood_join(names, rnames, "name", "rname")
+        .filter(F.col("nid") < F.col("rid"))
+        .count()
+    )
+    timings["osa1_join_1m_names"] = round(time.time() - t, 2)
+    print(
+        "osa1_join_1m_names", timings["osa1_join_1m_names"],
+        "pairs", n_osa, flush=True,
+    )
     print(
         json.dumps(
             {"n_rows": n, "gen_sec": gen_sec, "timings_sec": timings}

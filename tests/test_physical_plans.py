@@ -397,3 +397,45 @@ def test_ngram_lm_explodes_corpus_exactly_once(spark):
         "InMemoryRelation"
     ), plan
     assert plan.count("InMemoryTableScan") >= 2  # model + scoring reads
+
+
+def test_osa1_join_verification_is_jvm_side(spark):
+    """The OSA-1 join's transposition verify must be the O(1) substr
+    check: no Python evaluation anywhere, no cartesian product, and
+    the candidate generation an equi-join (SortMerge or Hash), never a
+    nested-loop over the corpus."""
+    fn, _ = all_queries()["fuzzy_osa1_join"]
+    plan = plan_of(fn(spark, SF_SMOKE))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_jaro_winkler_udf_is_arrow_batched(spark):
+    """fuzzy_jaro_winkler's only Python stage is the Arrow-batched
+    scalar UDF (ArrowEvalPython), applied AFTER candidate generation —
+    row-at-a-time BatchEvalPython must never appear."""
+    fn, _ = all_queries()["fuzzy_jaro_winkler"]
+    plan = plan_of(fn(spark, SF_SMOKE))
+    assert "ArrowEvalPython" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_suffix_pipeline_plan_shape(spark):
+    """The suffix pipeline's rank passes run through scale.global_rank
+    (whose partition-local window shape is pinned by
+    test_global_rank_* on the pre-checkpoint stage); here we pin the
+    VISIBLE tail past the checkpoints: top-k as TakeOrderedAndProject
+    (no global sort of all adjacent pairs), no SinglePartition window,
+    no cartesian, no Python stage anywhere."""
+    from icnarc_to_philips_linkage_spark.operators.suffixes import (
+        longest_repeated_sequences,
+    )
+    from icnarc_to_philips_linkage_spark.plans.tables import load
+
+    df = longest_repeated_sequences(load(spark, SF_SMOKE, "documents"))
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "SinglePartition" not in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
