@@ -611,3 +611,35 @@ def test_longest_repeats_matches_bruteforce_order(spark):
         want.append((da, oa, db, ob, lcp))
     want.sort(key=lambda t: (-t[4], t[0], t[1]))
     assert got == want[:8]
+
+
+def test_new_ops_degenerate_inputs(spark):
+    """Empty / degenerate inputs return empty results, not errors: the
+    OSA join on an empty frame, the repeats report when every doc
+    normalizes to nothing, and NULL names through the JW UDF."""
+    from icnarc_to_philips_linkage_spark.operators.fuzzy import (
+        jaro_winkler_udf,
+        osa1_neighborhood_join,
+    )
+    from icnarc_to_philips_linkage_spark.operators.suffixes import (
+        longest_repeated_sequences,
+    )
+
+    empty = spark.createDataFrame([], "id long, name string")
+    r = empty.select(
+        F.col("id").alias("rid"), F.col("name").alias("rname")
+    )
+    assert osa1_neighborhood_join(empty, r, "name", "rname").count() == 0
+
+    blank_docs = spark.createDataFrame(
+        [(1, "!!! ???"), (2, "   "), (3, "...")],
+        "doc_id long, text string",
+    )
+    assert longest_repeated_sequences(blank_docs).count() == 0
+
+    jw = jaro_winkler_udf()
+    rows = spark.createDataFrame(
+        [("abc", None), (None, "abc"), ("abc", "abc")],
+        "a string, b string",
+    ).select(jw("a", "b").alias("s")).collect()
+    assert [r.s for r in rows] == [None, None, 1.0]
