@@ -112,16 +112,21 @@ def test_cachereg_eviction_returns_storage_to_baseline(spark):
             time.sleep(0.2)
         return n_persistent() == target
 
-    # let async unpersists from the clean-up drain before baselining
-    baseline = n_persistent()
-    deadline = time.time() + 5.0
+    # let async unpersists from the clean-up drain before baselining:
+    # wait until the persistent-RDD count is STABLE for 1.5 s (a
+    # decreasing-only loop can break between two drain steps and
+    # record an inflated baseline — observed 7 vs a true floor of 1)
+    last = n_persistent()
+    stable_since = time.time()
+    deadline = time.time() + 20.0
     while time.time() < deadline:
-        time.sleep(0.2)
+        time.sleep(0.3)
         cur = n_persistent()
-        if cur < baseline:
-            baseline = cur
-        else:
+        if cur != last:
+            last, stable_since = cur, time.time()
+        elif time.time() - stable_since >= 1.5:
             break
+    baseline = last
     for _ in range(3):
         mark = cachereg.live()
         llm.dedup_minhash_lsh(spark, SF_SMOKE).count()
