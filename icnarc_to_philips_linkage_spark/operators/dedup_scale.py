@@ -909,7 +909,25 @@ def jaccard_prefix_join(
       Rarity statistics are the whole ballgame on skewed element
       frequencies; "hashed" only wins on near-uniform universes
       (e.g. already-hashed ids) where the stats pass is pure
-      overhead."""
+      overhead.
+
+    REJECTED refinement (measured, kept symmetric on purpose): PPJoin's
+    index-prefix asymmetry — orient pairs by size and explode only
+    n − ceil(2t/(1+t)·n) + 1 tokens on the smaller side (sound: for
+    |S| <= |L|, overlap O >= ceil(2t/(1+t)·|S|), so the smallest common
+    token sits inside that shorter prefix). On this corpus it removed
+    ZERO of the 325k candidate pairs (rare tokens already sit at the
+    very front of frequency-ordered prefixes, well inside both prefix
+    cuts) while costing 2× wall time (4.9s → 9.8s at sf0.1): the
+    size-orientation OR-predicate replaced the id inequality, and —
+    the dominant effect — the reshaped plan let AQE size-based
+    coalescing collapse the ids-only candidate exchange to 2
+    partitions, serializing the compute-dense array_intersect verify
+    (8.5s of executor time on 2 tasks). Narrow rows + heavy per-row
+    verify is exactly where byte-targeted coalescing under-parallelizes;
+    the symmetric shape keeps the verify input at full width. Revisit
+    only with a corpus where candidates bind later in the prefix AND an
+    explicit repartition pinned ahead of the verify join."""
     from pyspark import StorageLevel
 
     if set_col is not None:

@@ -63,10 +63,27 @@ def get_spark(
         # NULL-on-unparseable casts, which is non-ANSI cast behavior.
         .config("spark.sql.ansi.enabled", "false")
     )
+    local_master = bool(master and master.startswith("local")) or (
+        not master and not os.environ.get("SPARK_MASTER")
+    )
     if master:
         builder = builder.master(master)
     elif not os.environ.get("SPARK_MASTER"):
         builder = builder.master(f"local[{cpus}]")
+    if local_master:
+        # Local mode runs driver + all executor threads in ONE JVM and
+        # Spark's default heap is 1 GiB — below the engine's own 64 MB
+        # autoBroadcastJoinThreshold once a few broadcast builds and
+        # persisted frames coexist. 8g measured: −4.5% on the heavy-
+        # query keep-min subset, within noise on the full 203-query
+        # sweep, and removes the OOM cliff; 40g measured SLOWER (larger
+        # G1 regions/pauses at this working-set size), so bigger is not
+        # better here. Cluster deployments never hit this branch —
+        # spark-submit owns executor sizing.
+        builder = builder.config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
