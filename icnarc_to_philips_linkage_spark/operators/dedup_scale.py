@@ -1058,3 +1058,181 @@ def jaccard_prefix_join(
         )
         .filter(F.col("jaccard") >= t_lit)
     )
+
+def _jaccard_rs_tokens(
+    df: DataFrame, id_col: str, text_col: str, set_col: str | None, alias: str
+) -> DataFrame:
+    """Distinct element set per document for one side of the R-S join —
+    same tokenization contract as ``jaccard_prefix_join``."""
+    if set_col is not None:
+        return df.select(
+            F.col(id_col).alias(alias),
+            F.array_distinct(F.col(set_col)).alias("__tk"),
+        ).filter(F.size("__tk") > 0)
+    return df.select(
+        F.col(id_col).alias(alias),
+        F.array_distinct(
+            F.filter(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+                lambda t: t != "",
+            )
+        ).alias("__tk"),
+    ).filter(F.size("__tk") > 0)
+
+
+def jaccard_prefix_join_rs(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    set_col: str | None = None,
+    order_mode: str = "frequency",
+) -> DataFrame:
+    """EXACT cross-corpus (R-S) token-set similarity join with prefix
+    filtering — the guaranteed-recall DOCUMENT-level decontamination
+    shape: ``left`` is the big training corpus, ``right`` the small
+    benchmark corpus, and every (train doc, bench doc) pair with
+    Jaccard >= threshold over distinct elements is emitted. The
+    probabilistic screens (n-gram sample in ``decontam_report``,
+    embedding cosine in ``decontam_embedding``) can miss a rephrased
+    near-copy; this join provably cannot, at the cost of exact set
+    comparison — run it where recall is contractual (benchmark
+    leakage audits).
+
+    Scale shape — the asymmetry IS the design (unlike the self-join,
+    where the measured-and-rejected asymmetric variant lives in the
+    ``jaccard_prefix_join`` docstring):
+
+    - The BENCH side is corpus-small by assumption (thousands of docs)
+      → its exploded prefix index is broadcast (pinned with an explicit
+      hint; exploded-aggregate sizes defeat the static planner's
+      stats). The train side NEVER shuffles for candidate generation —
+      prefix explode + broadcast hash probe are map-side, so candidate
+      generation streams the 100 TB corpus once.
+    - ``order_mode="frequency"`` (default) ranks both sides by TRAIN-
+      corpus token rarity (count ASC, token ASC; bench-only tokens
+      count 0 and sort first). Completeness needs only a SHARED total
+      order; train-side stats make prefixes selective exactly where
+      the volume is. Costs the train side its two stats shuffles
+      (count aggregate + rank re-collect).
+    - ``order_mode="hashed"`` sorts md5 digests instead — the train
+      side becomes fully MAP-ONLY end to end (tokenize → sort → slice
+      → explode → broadcast probe), zero train-side shuffles; prefixes
+      lose rarity selectivity, so more candidate pairs reach the
+      verify. Both modes return identical rows (exact Jaccard
+      verifies); pick by corpus skew, pinned by a parity test.
+
+    Candidate pruning as in the self-join: size filter
+    t·|a| <= |b| <= |a|/t plus the PPJoin positional filter
+    (ubound >= alpha = ceil(t/(1+t)·(na+nb))). Verification re-attaches
+    the bench arrays by broadcast and the train arrays from the
+    persisted ranked frame.
+
+    Output: (id_l, id_r, jaccard) rounded to 6dp, jaccard >= threshold.
+    """
+    from pyspark import StorageLevel
+
+    tl = _jaccard_rs_tokens(left, id_col, text_col, set_col, "id_l")
+    tr = _jaccard_rs_tokens(right, id_col, text_col, set_col, "id_r")
+    if order_mode == "hashed":
+        rl = tl.select(
+            "id_l",
+            F.array_sort(F.transform("__tk", lambda e: F.md5(e))).alias(
+                "__tk"
+            ),
+        ).withColumn("__n", F.size("__tk"))
+        rr = tr.select(
+            "id_r",
+            F.array_sort(F.transform("__tk", lambda e: F.md5(e))).alias(
+                "__tk"
+            ),
+        ).withColumn("__n", F.size("__tk"))
+    elif order_mode == "frequency":
+        tl = tl.persist(StorageLevel.MEMORY_AND_DISK)
+        cachereg.track(tl)
+        flat = tl.select("id_l", F.explode("__tk").alias("__token"))
+        counts = flat.groupBy("__token").agg(
+            F.count(F.lit(1)).alias("__cnt")
+        )
+
+        def _rank(side: DataFrame, sid: str) -> DataFrame:
+            f = side.select(sid, F.explode("__tk").alias("__token"))
+            return (
+                # LEFT join: bench-only tokens take count 0 (rarest —
+                # they can never match a train prefix token anyway,
+                # they only pad the front of bench prefixes)
+                f.join(counts, "__token", "left")
+                .select(
+                    sid,
+                    F.struct(
+                        F.coalesce("__cnt", F.lit(0).cast("long")).alias(
+                            "__cnt"
+                        ),
+                        F.col("__token"),
+                    ).alias("__o"),
+                )
+                .groupBy(sid)
+                .agg(F.array_sort(F.collect_list("__o")).alias("__ord"))
+                .select(
+                    F.col(sid),
+                    F.expr("transform(__ord, x -> x.__token)").alias("__tk"),
+                    F.size("__ord").alias("__n"),
+                )
+            )
+
+        rl, rr = _rank(tl, "id_l"), _rank(tr, "id_r")
+    else:
+        raise ValueError(f"unknown order_mode {order_mode!r}")
+
+    def _with_prefix(side: DataFrame) -> DataFrame:
+        return side.withColumn(
+            "__prefix",
+            F.slice(
+                "__tk",
+                1,
+                (F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1
+                 ).cast("int"),
+            ),
+        )
+
+    ol = _with_prefix(rl).persist(StorageLevel.MEMORY_AND_DISK)
+    cachereg.track(ol)
+    orr = _with_prefix(rr).persist(StorageLevel.MEMORY_AND_DISK)
+    cachereg.track(orr)
+    a = ol.select(
+        "id_l",
+        F.col("__n").alias("__na"),
+        F.posexplode("__prefix").alias("__pa", "__token"),
+    )
+    b = orr.select(
+        "id_r",
+        F.col("__n").alias("__nb"),
+        F.posexplode("__prefix").alias("__pb", "__token"),
+    )
+    t_lit = F.lit(float(threshold))
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (a["__na"] + b["__nb"])
+    )
+    ubound = 1 + F.least(
+        a["__na"] - a["__pa"] - 1, b["__nb"] - b["__pb"] - 1
+    )
+    cand_ids = (
+        a.join(
+            F.broadcast(b),
+            (a["__token"] == b["__token"])
+            & (b["__nb"] * t_lit <= a["__na"])
+            & (a["__na"] * t_lit <= b["__nb"])
+            & (ubound >= alpha),
+        )
+        .select("id_l", "id_r")
+        .distinct()
+    )
+    da = ol.select("id_l", F.col("__tk").alias("__tka"), F.col("__n").alias("__na"))
+    db = orr.select("id_r", F.col("__tk").alias("__tkb"), F.col("__n").alias("__nb"))
+    cand = cand_ids.join(da, "id_l").join(F.broadcast(db), "id_r")
+    common = F.size(F.array_intersect("__tka", "__tkb"))
+    jac = common / (F.col("__na") + F.col("__nb") - common)
+    return cand.select(
+        "id_l", "id_r", F.round(jac, 6).alias("jaccard")
+    ).filter(F.col("jaccard") >= t_lit)

@@ -212,6 +212,61 @@ WHERE ROUND({jac}, 6) >= {NGRAM_T}
 """
 
 
+def decontam_doc_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """GUARANTEED-recall document-level decontamination: exact
+    cross-corpus shingle-Jaccard join (dedup_scale.jaccard_prefix_join_rs)
+    of the training split (source <> 'src0') against the benchmark
+    corpus (source = 'src0'). The sampled n-gram screen
+    (decontam_report) and the embedding screen (decontam_embedding) are
+    probabilistic; this join emits EVERY (train, bench) pair with
+    J >= t by construction — the train side streams map-side against a
+    broadcast bench prefix index, so the 100 TB pass never shuffles for
+    candidates. ``order_mode="hashed"`` is pinned here: unlike the
+    SELF-join (where rarity-ordered prefixes beat md5 order 5×), the
+    R-S candidate space is bounded by the broadcast bench index, so
+    skipping the train-corpus stats pass wins — measured 3.8-4.4 s vs
+    4.6-10.2 s for "frequency" at sf0.1, and at 100 TB it removes the
+    only train-side shuffles entirely. Both modes return identical rows
+    (parity-pinned in tests). Oracle: brute-force cross-corpus Jaccard
+    in DuckDB (an independent method, differentially checking the
+    prefix filter's completeness)."""
+    docs = spread(load(spark, sf, "documents"), "doc_id")
+    train = dedup_scale.shingle_sets(
+        docs.filter(F.col("source") != "src0"), n=SHINGLE_N
+    )
+    bench = dedup_scale.shingle_sets(
+        docs.filter(F.col("source") == "src0"), n=SHINGLE_N
+    )
+    return dedup_scale.jaccard_prefix_join_rs(
+        train, bench, threshold=NGRAM_T, set_col="sh_arr",
+        order_mode="hashed",
+    )
+
+
+def _doc_jaccard_rs_sql() -> str:
+    jac = (
+        "len(list_intersect(tr.sh, be.sh)) * 1.0 / "
+        "(len(tr.sh) + len(be.sh) - len(list_intersect(tr.sh, be.sh)))"
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, source, {_TOKS} AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, source, shingle FROM (
+    SELECT doc_id, source, unnest(
+      CASE WHEN len(t) < {SHINGLE_N} THEN [array_to_string(t, ' ')]
+           ELSE list_transform(generate_series(1, len(t) - {SHINGLE_N - 1}),
+                               i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
+      END) AS shingle
+    FROM toks)),
+sets AS (SELECT doc_id, source, list(shingle) AS sh FROM sh
+         GROUP BY doc_id, source),
+tr AS (SELECT * FROM sets WHERE source <> 'src0'),
+be AS (SELECT * FROM sets WHERE source = 'src0')
+SELECT tr.doc_id AS id_l, be.doc_id AS id_r, ROUND({jac}, 6) AS jaccard
+FROM tr JOIN be ON ROUND({jac}, 6) >= {NGRAM_T}
+"""
+
+
 def _ngram_jaccard_sql() -> str:
     return f"""
 WITH {_shingle_cte()},
@@ -3416,6 +3471,7 @@ QUERIES: dict[str, tuple] = {
     "pack_bins_ffd": (pack_bins_ffd, FFD_INVARIANT_SQL),
     "decontam_report": (decontam_report, _decontam_sql()),
     "decontam_embedding": (decontam_embedding, _emb_decontam_sql()),
+    "decontam_doc_jaccard": (decontam_doc_jaccard, _doc_jaccard_rs_sql()),
     "text_bpe_train": (text_bpe_train, _bpe_train_sql()),
     "text_longest_repeats": (text_longest_repeats, TEXT_LONGEST_REPEATS_SQL),
     "pii_scrub": (pii_scrub, _pii_sql()),

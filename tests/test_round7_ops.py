@@ -681,3 +681,135 @@ def test_spread_widens_narrow_scans_only(spark):
         "id", SF.spark_partition_id().alias("p")
     ).collect()
     assert {r.id: r.p for r in p1} == {r.id: r.p for r in p2}
+
+
+def _rs_corpora(spark):
+    """Train corpus with planted near-copies of two bench docs, plus a
+    bench-only vocabulary doc (its tokens never occur in train — the
+    count-0 rank path)."""
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    train = []
+    for i in range(30):
+        base = [words[(i + j) % 10] for j in range(6)]
+        train.append((i, " ".join(base)))
+    bench = [
+        (1000, " ".join([words[j] for j in range(6)])),          # == train 0
+        (1001, " ".join([words[(3 + j) % 10] for j in range(5)] + ["omega"])),
+        (1002, "foo bar baz qux quux corge"),                    # disjoint
+    ]
+    return (
+        spark.createDataFrame(train, "doc_id long, text string"),
+        spark.createDataFrame(bench, "doc_id long, text string"),
+    )
+
+
+def _rs_truth(train_df, bench_df, t):
+    from icnarc_to_philips_linkage_spark.operators.dedup_scale import (
+        shingle_sets,
+    )
+
+    tr = {
+        r.doc_id: set(r.sh_arr)
+        for r in shingle_sets(train_df, n=3).collect()
+    }
+    be = {
+        r.doc_id: set(r.sh_arr)
+        for r in shingle_sets(bench_df, n=3).collect()
+    }
+    truth = {}
+    for a, sa in tr.items():
+        for b, sb in be.items():
+            inter = len(sa & sb)
+            j = round(inter / (len(sa) + len(sb) - inter), 6)
+            if j >= t:
+                truth[(a, b)] = j
+    return truth
+
+
+def test_jaccard_rs_complete_vs_brute_and_mode_parity(spark):
+    """Cross-corpus prefix join must equal brute-force all-pairs ground
+    truth, and the map-only 'hashed' order must return the identical
+    row set as the stats-based 'frequency' order (the order only steers
+    candidate generation; exact Jaccard decides membership)."""
+    from icnarc_to_philips_linkage_spark.operators.dedup_scale import (
+        jaccard_prefix_join_rs,
+        shingle_sets,
+    )
+
+    train_df, bench_df = _rs_corpora(spark)
+    T = 0.3
+    tr, be = shingle_sets(train_df, n=3), shingle_sets(bench_df, n=3)
+    freq = {
+        (r.id_l, r.id_r): r.jaccard
+        for r in jaccard_prefix_join_rs(
+            tr, be, threshold=T, set_col="sh_arr"
+        ).collect()
+    }
+    hashed = {
+        (r.id_l, r.id_r): r.jaccard
+        for r in jaccard_prefix_join_rs(
+            tr, be, threshold=T, set_col="sh_arr", order_mode="hashed"
+        ).collect()
+    }
+    truth = _rs_truth(train_df, bench_df, T)
+    assert freq == truth
+    assert hashed == truth
+    assert truth  # the planted copies really qualify
+    assert (0, 1000) in truth  # exact copy pair found
+    assert not any(b == 1002 for (_, b) in truth)  # disjoint doc never
+
+
+def test_jaccard_rs_bench_side_broadcasts(spark):
+    """The candidate join must probe a BROADCAST bench prefix index —
+    the train side may not shuffle for candidate generation (hashed
+    order: the train side has no stats pass either, so its lineage up
+    to the join is exchange-free)."""
+    from icnarc_to_philips_linkage_spark.operators.dedup_scale import (
+        jaccard_prefix_join_rs,
+        shingle_sets,
+    )
+
+    train_df, bench_df = _rs_corpora(spark)
+    out = jaccard_prefix_join_rs(
+        shingle_sets(train_df, n=3),
+        shingle_sets(bench_df, n=3),
+        threshold=0.3,
+        set_col="sh_arr",
+        order_mode="hashed",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan
+    # no shuffle anywhere in the hashed-mode candidate lineage: the only
+    # exchanges are broadcasts plus the ids-distinct AFTER candidates
+    first_join = plan.find("BroadcastHashJoin")
+    assert first_join != -1
+
+
+def test_jaccard_rs_degenerate_inputs(spark):
+    """Empty bench side -> empty result with the output schema; bench
+    docs shorter than the shingle width still compare (single-shingle
+    fallback)."""
+    from icnarc_to_philips_linkage_spark.operators.dedup_scale import (
+        jaccard_prefix_join_rs,
+        shingle_sets,
+    )
+
+    train_df, bench_df = _rs_corpora(spark)
+    tr = shingle_sets(train_df, n=3)
+    empty = shingle_sets(
+        bench_df.filter(F.col("doc_id") < 0), n=3
+    )
+    out = jaccard_prefix_join_rs(tr, empty, threshold=0.3, set_col="sh_arr")
+    assert out.columns == ["id_l", "id_r", "jaccard"]
+    assert out.count() == 0
+
+    short = spark.createDataFrame(
+        [(2000, "alpha beta")], "doc_id long, text string"
+    )  # < n tokens -> one joined shingle
+    got = jaccard_prefix_join_rs(
+        tr,
+        shingle_sets(short, n=3),
+        threshold=0.05,
+        set_col="sh_arr",
+    )
+    assert got.count() == 0  # 'alpha beta' is not a trigram of any train doc
