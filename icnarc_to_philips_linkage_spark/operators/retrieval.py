@@ -21,9 +21,10 @@ Scale shapes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from icnarc_to_philips_linkage_spark.operators import cachereg
 from icnarc_to_philips_linkage_spark.operators.text import shingles, tokens
 
 
@@ -317,3 +318,175 @@ def rrf_fuse(
         .orderBy(F.desc("rrf_score"), F.col(id_col))
         .limit(top_k)
     )
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    pool: int = 20,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-marginal-relevance rerank: per query, greedily select
+    ``k`` of the ``pool`` nearest candidates maximizing
+    ``lam·sim(q,d) − (1−lam)·max_{s∈selected} sim(d,s)`` — the standard
+    diversity-aware context/result selector (Carbonell & Goldstein
+    1998). Near-duplicate passages that all match the query stop
+    crowding out the second topic.
+
+    Scale shape: relevance candidates come from the exact
+    ``knn_brute_force`` scan (corpus streams once, query side
+    broadcast); everything after operates on the POOLED frame —
+    |queries|·pool rows — so the greedy loop's ``k`` unrolled rounds
+    (each a bounded join + per-query argmax) never touch the corpus
+    again. Pairwise candidate similarities are |queries|·pool² rows,
+    parameter-bounded. The selection is inherently sequential in k;
+    unrolling k DataFrame rounds keeps it JVM-side and exactly
+    reproducible rather than hiding a Python loop per group.
+
+    Determinism: relevance and pair similarities round to 6dp, then
+    the MMR score is computed in SCALED INTEGERS (the picorank
+    technique from operators/graph.py): with ``lam = p/q`` exactly
+    (``lam`` must be an exact decimal, e.g. 0.7 = 7/10), each
+    similarity becomes micro-units ``round(sim · 1e6)`` and the score
+    ``p·rel_u − (q−p)·pen_u`` — pure long arithmetic, so the greedy
+    argmax (score DESC, candidate id ASC) is bit-identical across
+    engines and partition counts. A double weight would put
+    ``0.7 × (1e-6-grid)`` values exactly on the 1e-6 HALF boundary,
+    where JVM (shortest-repr HALF_UP) and binary-double rounding
+    disagree — measured, not hypothetical. The reported ``mmr_score``
+    divides the integer score back out: ``score_u / (q·1e6)``.
+
+    Output: ``(query_id, rank, neighbor_id, cos_sim, mmr_score)``,
+    ``rank`` in 1..k (fewer if the pool is smaller).
+    """
+    from fractions import Fraction
+
+    from icnarc_to_philips_linkage_spark.operators.similarity import (
+        cosine_with_norms,
+        knn_brute_force,
+        norm_sq,
+    )
+
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError("lam must be in [0, 1]")
+    frac = Fraction(str(lam))
+    if frac.denominator > 1_000_000:
+        raise ValueError("lam must be an exact short decimal (e.g. 0.7)")
+    p, q = frac.numerator, frac.denominator
+    cands = knn_brute_force(
+        corpus, queries, k=pool, id_col=id_col, vec_col=vec_col
+    ).persist()
+    cachereg.track(cands)
+    cv = corpus.select(
+        F.col(id_col).alias("__cid"),
+        F.col(vec_col).alias("__v"),
+    )
+    # pooled frame is |queries|·pool rows — broadcast it against the
+    # corpus so the vector re-attach never shuffles the big side
+    with_vec = (
+        cv.join(F.broadcast(cands), cands["neighbor_id"] == cv["__cid"])
+        .select(
+            "query_id", "neighbor_id", "cos_sim",
+            F.col("__v").alias("__vec"),
+        )
+        .withColumn("__nsq", F.aggregate(
+            F.transform("__vec", lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0), lambda acc, x: acc + x,
+        ))
+        .persist()
+    )
+    cachereg.track(with_vec)
+    a = with_vec.select(
+        "query_id",
+        F.col("neighbor_id").alias("a_id"),
+        F.col("__vec").alias("a_vec"),
+        F.col("__nsq").alias("a_nsq"),
+    )
+    b = with_vec.select(
+        "query_id",
+        F.col("neighbor_id").alias("b_id"),
+        F.col("__vec").alias("b_vec"),
+        F.col("__nsq").alias("b_nsq"),
+    )
+    psim = (
+        a.join(b, "query_id")
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select(
+            "query_id", "a_id", "b_id",
+            F.round(
+                cosine_with_norms("a_vec", "b_vec", "a_nsq", "b_nsq"), 6
+            ).alias("pair_sim"),
+        )
+        .persist()
+    )
+    cachereg.track(psim)
+
+    # micro-unit integer views: sims are already on the 1e-6 grid
+    # (6dp-rounded doubles), so ROUND(x·1e6) recovers the exact long
+    u_cands = cands.withColumn(
+        "__rel_u", F.round(F.col("cos_sim") * 1_000_000).cast("long")
+    )
+    u_psim = psim.withColumn(
+        "__ps_u", F.round(F.col("pair_sim") * 1_000_000).cast("long")
+    )
+    scale = float(q * 1_000_000)
+
+    def _argmax(scored: DataFrame, rank: int) -> DataFrame:
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("__score_u"), F.asc("neighbor_id")
+        )
+        return (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(
+                "query_id", F.lit(rank).alias("rank"), "neighbor_id",
+                "cos_sim",
+                (F.col("__score_u").cast("double") / F.lit(scale)).alias(
+                    "mmr_score"
+                ),
+                "__score_u",
+            )
+        )
+
+    def _pin(df: DataFrame) -> DataFrame:
+        # sel re-enters the NEXT round three times (anti-join, penalty
+        # join, union), so without LOGICAL-plan truncation the plan
+        # doubles per round and Catalyst re-optimization dominates
+        # (measured: rounds 2..5 at 1.5/1.7/3.6/8.5 s with persist
+        # alone — persist caches DATA but every round still re-analyzes
+        # the full history). localCheckpoint reroots the plan at the
+        # materialized ≤ |queries|·k-row frame — the graph.pagerank
+        # iteration pattern.
+        return df.localCheckpoint(eager=True)
+
+    sel = _pin(_argmax(
+        u_cands.withColumn("__score_u", F.lit(p) * F.col("__rel_u")), 1
+    ))
+    for r in range(2, k + 1):
+        rem = u_cands.join(
+            sel.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_anti",
+        )
+        pen = (
+            u_psim.join(
+                sel.select(
+                    "query_id", F.col("neighbor_id").alias("b_id")
+                ),
+                ["query_id", "b_id"],
+            )
+            .groupBy("query_id", F.col("a_id").alias("neighbor_id"))
+            .agg(F.max("__ps_u").alias("__pen_u"))
+        )
+        scored = rem.join(pen, ["query_id", "neighbor_id"], "left").select(
+            "query_id", "neighbor_id", "cos_sim",
+            (
+                F.lit(p) * F.col("__rel_u")
+                - F.lit(q - p) * F.coalesce("__pen_u", F.lit(0))
+            ).alias("__score_u"),
+        )
+        sel = _pin(sel.unionByName(_argmax(scored, r)))
+    return sel.drop("__score_u")

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from icnarc_to_philips_linkage_spark.operators import (
     dedup_scale,
+    evaluation,
     sampling,
     similarity,
     text,
@@ -1138,6 +1139,138 @@ SELECT doc_id, {logit} AS logit,
        ROUND(1.0 / (1.0 + exp(-{logit})), 6) AS p_quality,
        {logit} >= 0 AS keep
 FROM sig
+"""
+
+
+# ground truth for evaluating the quality classifier: "long document"
+# (n_chars >= 300, the corpus median) — a label the classifier does not
+# read directly (it sees token counts and ratios), so the AUC is
+# informative rather than tautological
+_EVAL_LABEL_CHARS = 300
+
+
+def _scored_with_label(spark: SparkSession, sf: str) -> DataFrame:
+    lab = load(spark, sf, "documents").select(
+        "doc_id", (F.col("n_chars") >= _EVAL_LABEL_CHARS).alias("label")
+    )
+    return quality_classifier_score(spark, sf).join(lab, "doc_id")
+
+
+def eval_roc_auc(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact tie-aware ROC AUC of the quality classifier against the
+    long-document label — integer Mann-Whitney rank arithmetic over the
+    bounded distinct-score frame (see ``operators/evaluation.py``)."""
+    return evaluation.roc_auc(_scored_with_label(spark, sf), "p_quality", "label")
+
+
+_EVAL_LABELED = f"""
+scored AS ({{qcls}}),
+lab AS (
+  SELECT s.p_quality AS p, d.n_chars >= {_EVAL_LABEL_CHARS} AS y
+  FROM scored s JOIN documents d USING (doc_id)
+  WHERE s.p_quality IS NOT NULL AND d.n_chars IS NOT NULL
+)
+"""
+
+
+def _eval_labeled_cte() -> str:
+    return _EVAL_LABELED.format(qcls=_qcls_sql())
+
+
+def _roc_auc_sql() -> str:
+    return f"""
+WITH {_eval_labeled_cte()},
+per AS (
+  SELECT p, count(*) AS c, sum(CASE WHEN y THEN 1 ELSE 0 END) AS pos
+  FROM lab GROUP BY p
+),
+r AS (
+  SELECT *,
+         sum(c) OVER (ORDER BY p
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - c AS b
+  FROM per
+),
+agg AS (
+  SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+         CAST(sum(c) - sum(pos) AS BIGINT) AS n_neg,
+         CAST(sum(pos * (2 * b + c + 1)) AS BIGINT) AS rs2
+  FROM r
+)
+SELECT n_pos, n_neg,
+       CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+         ROUND(CAST(rs2 - n_pos * (n_pos + 1) AS DOUBLE)
+               / (2.0 * n_pos * n_neg), 9)
+       END AS auc
+FROM agg
+"""
+
+
+_EVAL_THRESHOLDS = (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
+
+
+def eval_pr_thresholds(spark: SparkSession, sf: str) -> DataFrame:
+    """Precision/recall/F1/accuracy sweep of the quality classifier at a
+    fixed 9-point threshold grid — one conditional aggregation."""
+    return evaluation.pr_at_thresholds(
+        _scored_with_label(spark, sf), "p_quality", "label",
+        _EVAL_THRESHOLDS,
+    )
+
+
+def _pr_thresholds_sql() -> str:
+    grid = ", ".join(f"CAST({t!r} AS DOUBLE)" for t in _EVAL_THRESHOLDS)
+    prec = "CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) END"
+    rec = "CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) END"
+    return f"""
+WITH {_eval_labeled_cte()},
+grid AS (SELECT unnest([{grid}]) AS threshold),
+conf AS (
+  SELECT g.threshold,
+         CAST(sum(CASE WHEN l.p >= g.threshold AND l.y THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(sum(CASE WHEN l.p >= g.threshold AND NOT l.y THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(sum(CASE WHEN l.p < g.threshold AND l.y THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         CAST(sum(CASE WHEN l.p < g.threshold AND NOT l.y THEN 1 ELSE 0 END) AS BIGINT) AS tn
+  FROM lab l CROSS JOIN grid g
+  GROUP BY g.threshold
+)
+SELECT threshold, tp, fp, fn, tn,
+       ROUND({prec}, 6) AS precision,
+       ROUND({rec}, 6) AS recall,
+       ROUND(CASE WHEN {prec} IS NOT NULL AND {rec} IS NOT NULL
+                   AND {prec} + {rec} > 0
+             THEN 2.0 * {prec} * {rec} / ({prec} + {rec}) END, 6) AS f1,
+       ROUND(CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn), 6) AS accuracy
+FROM conf
+"""
+
+
+def eval_calibration_bins(spark: SparkSession, sf: str) -> DataFrame:
+    """Reliability-diagram bins of the quality classifier: mean
+    predicted probability vs empirical positive rate per decile bin;
+    ``sum(ece_contrib)`` is the expected calibration error."""
+    return evaluation.calibration_bins(
+        _scored_with_label(spark, sf), "p_quality", "label", bins=10
+    )
+
+
+def _calibration_sql() -> str:
+    return f"""
+WITH {_eval_labeled_cte()},
+binned AS (
+  SELECT LEAST(9, CAST(FLOOR(p * 10) AS INT)) AS bin,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(p AS DECIMAL(38,6))) AS DOUBLE) AS sp,
+         CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos
+  FROM lab GROUP BY 1
+),
+tot AS (SELECT *, sum(n) OVER () AS n_tot FROM binned)
+SELECT bin, n,
+       ROUND(sp / n, 6) AS mean_p,
+       ROUND(CAST(pos AS DOUBLE) / n, 6) AS pos_rate,
+       ROUND(ABS(sp / n - CAST(pos AS DOUBLE) / n) * n / n_tot, 6)
+         AS ece_contrib
+FROM tot
 """
 
 
@@ -3441,6 +3574,104 @@ FROM cdfs
 """
 
 
+_MMR_K, _MMR_POOL, _MMR_LAM = 5, 20, 0.7
+
+
+def retrieval_mmr_rerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Diversity-aware top-5 per query vector via maximal marginal
+    relevance (retrieval.mmr_rerank): greedy λ·relevance −
+    (1−λ)·max-similarity-to-selected over the cosine top-20 pool —
+    the context/result selector that stops near-duplicate passages
+    from crowding a retrieved set. Selection is k unrolled JVM-side
+    rounds over the parameter-bounded pooled frame; the corpus
+    streams exactly once (the kNN scan)."""
+    from icnarc_to_philips_linkage_spark.operators import retrieval
+
+    emb = load(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < KNN_QUERY_LIMIT)
+    return retrieval.mmr_rerank(
+        emb, q, k=_MMR_K, pool=_MMR_POOL, lam=_MMR_LAM
+    )
+
+
+def _mmr_sql() -> str:
+    """Unrolled greedy MMR as chained CTEs (the text_bpe_train /
+    graph_pagerank_parts oracle technique): one sel{r} CTE per
+    selection round, each re-deriving the penalty from the rounds
+    already chosen — an INDEPENDENT restatement of the greedy rule.
+    Scoring mirrors the engine's scaled-integer micro-unit arithmetic
+    (see retrieval.mmr_rerank): score_u = p·rel_u − (q−p)·pen_u in
+    BIGINT, mmr_score = score_u / (q·1e6)."""
+    from fractions import Fraction
+
+    frac = Fraction(str(_MMR_LAM))
+    p, q, k = frac.numerator, frac.denominator, _MMR_K
+    scale = float(q * 1_000_000)
+    parts = [f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id < {KNN_QUERY_LIMIT}),
+rel AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         CAST(ROUND(cos_sim * 1000000) AS BIGINT) AS rel_u
+  FROM (
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+           {_cos_sql('q.qv', 'c.embedding')} AS cos_sim
+    FROM embeddings c, q WHERE c.vec_id != q.query_id)
+  QUALIFY row_number() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC)
+    <= {_MMR_POOL}
+),
+ps AS (
+  SELECT a.query_id, a.neighbor_id AS a_id, b.neighbor_id AS b_id,
+         CAST(ROUND({_cos_sql('va.embedding', 'vb.embedding')} * 1000000)
+              AS BIGINT) AS ps_u
+  FROM rel a
+  JOIN rel b ON a.query_id = b.query_id AND a.neighbor_id != b.neighbor_id
+  JOIN embeddings va ON va.vec_id = a.neighbor_id
+  JOIN embeddings vb ON vb.vec_id = b.neighbor_id
+),
+sel1 AS (
+  SELECT query_id, 1 AS rank, neighbor_id, cos_sim,
+         CAST({p} * rel_u AS DOUBLE) / {scale!r} AS mmr_score,
+         {p} * rel_u AS score_u
+  FROM rel
+  QUALIFY row_number() OVER (
+    PARTITION BY query_id ORDER BY score_u DESC, neighbor_id ASC) = 1
+),
+selall1 AS (SELECT * FROM sel1)"""]
+    for r in range(2, k + 1):
+        parts.append(f""",
+pen{r} AS (
+  SELECT ps.query_id, ps.a_id AS neighbor_id,
+         max(ps.ps_u) AS pen_u
+  FROM ps
+  JOIN selall{r-1} s
+    ON ps.query_id = s.query_id AND ps.b_id = s.neighbor_id
+  GROUP BY 1, 2
+),
+sel{r} AS (
+  SELECT query_id, {r} AS rank, neighbor_id, cos_sim,
+         CAST(score_u AS DOUBLE) / {scale!r} AS mmr_score, score_u
+  FROM (
+    SELECT rel.*,
+           {p} * rel.rel_u
+             - {q - p} * COALESCE(pen{r}.pen_u, 0) AS score_u
+    FROM rel LEFT JOIN pen{r} USING (query_id, neighbor_id)
+    WHERE NOT EXISTS (
+      SELECT 1 FROM selall{r-1} s
+      WHERE s.query_id = rel.query_id
+        AND s.neighbor_id = rel.neighbor_id))
+  QUALIFY row_number() OVER (
+    PARTITION BY query_id ORDER BY score_u DESC, neighbor_id ASC) = 1
+),
+selall{r} AS (SELECT * FROM selall{r-1} UNION ALL SELECT * FROM sel{r})""")
+    parts.append(
+        f"\nSELECT query_id, rank, neighbor_id, cos_sim, mmr_score"
+        f" FROM selall{k}"
+    )
+    return "".join(parts)
+
+
 QUERIES: dict[str, tuple] = {
     "drift_wasserstein": (drift_wasserstein, _wasserstein_sql()),
     "sample_weighted_topk": (sample_weighted_topk, _wres_sql()),
@@ -3448,6 +3679,7 @@ QUERIES: dict[str, tuple] = {
     "sample_group_capped": (sample_group_capped, SAMPLE_GROUP_CAPPED_SQL),
     "pack_inference_batches": (pack_inference_batches, PACK_INFER_SQL),
     "retrieval_rrf_fusion": (retrieval_rrf_fusion, _rrf_sql()),
+    "retrieval_mmr_rerank": (retrieval_mmr_rerank, _mmr_sql()),
     "check_split_leakage": (check_split_leakage, _leakage_sql()),
     "text_tokens_to_ids": (text_tokens_to_ids, TOKENS_TO_IDS_SQL),
     "report_corpus_datasheet": (report_corpus_datasheet, DATASHEET_SQL),
@@ -3512,6 +3744,9 @@ QUERIES: dict[str, tuple] = {
     "sketch_hll_merge": (sketch_hll_merge, SKETCH_HLL_SQL),
     "text_quality": (text_quality, _quality_sql()),
     "quality_classifier_score": (quality_classifier_score, _qcls_sql()),
+    "eval_roc_auc": (eval_roc_auc, _roc_auc_sql()),
+    "eval_pr_thresholds": (eval_pr_thresholds, _pr_thresholds_sql()),
+    "eval_calibration_bins": (eval_calibration_bins, _calibration_sql()),
     "text_lang_id": (text_lang_id, _lang_id_sql()),
     "text_lang_id_chargram": (text_lang_id_chargram, _lang_chargram_sql()),
     "text_bpe_ish_tokens": (text_bpe_ish_tokens, BPE_SQL),

@@ -350,6 +350,69 @@ def main() -> int:
         "osa1_join_1m_names", timings["osa1_join_1m_names"],
         "pairs", n_osa, flush=True,
     )
+    # cross-corpus R-S PPJoin at 1M train docs × 2k bench docs (67× /
+    # 20× the sf0.1 corpora): 1000 bench docs are planted near-copies
+    # of train docs (2 of 24 token positions re-salted → Jaccard
+    # 22/26 ≈ 0.846 ≥ the 0.8 threshold); a 50-token shared template
+    # pool (1 in 3 positions) makes frequency ordering earn its keep.
+    # Exactness check rides along: pairs == planted_found == 1000.
+    from icnarc_to_philips_linkage_spark.operators.dedup_scale import (
+        jaccard_prefix_join_rs,
+    )
+
+    n_tr = min(n // 100, 1_000_000)
+
+    def _tokset(seed_col, salt):
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(23)),
+            lambda i: F.when(
+                i % 3 == F.lit(0),
+                F.concat(
+                    F.lit("common"),
+                    F.pmod(
+                        F.xxhash64(seed_col + i, F.lit(7)), F.lit(50)
+                    ).cast("string"),
+                ),
+            ).otherwise(
+                F.substring(F.md5(F.concat(seed_col, F.lit(salt), i)), 1, 8)
+            ),
+        )
+
+    spark.range(n_tr).select(
+        F.col("id").alias("doc_id"), _tokset(F.col("id"), "t").alias("toks")
+    ).write.mode("overwrite").parquet(f"{d}/rs_train")
+    spark.range(2_000).select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            F.col("id") < 1000,
+            F.transform(
+                _tokset(F.col("id") * 37, "t"),
+                lambda tkn, i: F.when(
+                    (i == 5) | (i == 11),
+                    F.substring(
+                        F.md5(F.concat(F.col("id"), F.lit("b"), i)), 1, 8
+                    ),
+                ).otherwise(tkn),
+            ),
+        )
+        .otherwise(_tokset(F.col("id") + 10_000_000, "b"))
+        .alias("toks"),
+    ).write.mode("overwrite").parquet(f"{d}/rs_bench")
+    tr_docs = spark.read.parquet(f"{d}/rs_train")
+    be_docs = spark.read.parquet(f"{d}/rs_bench")
+    t = time.time()
+    rs_pairs = jaccard_prefix_join_rs(
+        tr_docs, be_docs, id_col="doc_id", set_col="toks", threshold=0.8
+    )
+    n_rs = rs_pairs.count()
+    timings["ssjoin_rs_1m_x_2k_docs"] = round(time.time() - t, 2)
+    n_rs_planted = rs_pairs.filter(
+        F.col("id_l") == F.col("id_r") * 37
+    ).count()
+    print(
+        "ssjoin_rs_1m_x_2k_docs", timings["ssjoin_rs_1m_x_2k_docs"],
+        "pairs", n_rs, "planted_found", n_rs_planted, flush=True,
+    )
     print(
         json.dumps(
             {"n_rows": n, "gen_sec": gen_sec, "timings_sec": timings}

@@ -1,0 +1,201 @@
+"""Unit tests for operators/evaluation.py — hand-computed expectations
+on tiny frames (the registry queries get the full DuckDB differential
+in test_oracle.py; these pin the arithmetic itself)."""
+
+from __future__ import annotations
+
+import pytest
+
+from icnarc_to_philips_linkage_spark.operators import evaluation
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "score double, label boolean")
+
+
+class TestRocAuc:
+    def test_perfect_separation(self, spark):
+        df = _df(
+            spark,
+            [(0.9, True), (0.8, True), (0.2, False), (0.1, False)],
+        )
+        row = evaluation.roc_auc(df, "score", "label").collect()[0]
+        assert (row.n_pos, row.n_neg, row.auc) == (2, 2, 1.0)
+
+    def test_ties_average_rank(self, spark):
+        # scores: 0.5(T), 0.5(F), 0.3(F): ranks asc 0.3->1, tied 0.5
+        # block avg rank 2.5; U = 2.5 - 1 = 1.5; AUC = 1.5/2 = 0.75
+        df = _df(spark, [(0.5, True), (0.5, False), (0.3, False)])
+        row = evaluation.roc_auc(df, "score", "label").collect()[0]
+        assert (row.n_pos, row.n_neg) == (1, 2)
+        assert row.auc == pytest.approx(0.75)
+
+    def test_hand_computed_mixed(self, spark):
+        # pos scores {0.8, 0.4}, neg {0.6, 0.2}: pairs won 3 of 4
+        df = _df(
+            spark,
+            [(0.8, True), (0.4, True), (0.6, False), (0.2, False)],
+        )
+        assert evaluation.roc_auc(df, "score", "label").collect()[0].auc \
+            == pytest.approx(0.75)
+
+    def test_degenerate_single_class_null_auc(self, spark):
+        df = _df(spark, [(0.8, True), (0.4, True)])
+        row = evaluation.roc_auc(df, "score", "label").collect()[0]
+        assert (row.n_pos, row.n_neg) == (2, 0)
+        assert row.auc is None
+
+    def test_null_rows_excluded(self, spark):
+        df = _df(
+            spark,
+            [(0.9, True), (0.1, False), (None, True), (0.5, None)],
+        )
+        row = evaluation.roc_auc(df, "score", "label").collect()[0]
+        assert (row.n_pos, row.n_neg, row.auc) == (1, 1, 1.0)
+
+    def test_partition_invariance(self, spark):
+        rows = [
+            (round(0.1 + 0.07 * (i % 9), 3), i % 3 == 0)
+            for i in range(200)
+        ]
+        a = evaluation.roc_auc(
+            _df(spark, rows).repartition(1), "score", "label"
+        ).collect()[0]
+        b = evaluation.roc_auc(
+            _df(spark, rows).repartition(13), "score", "label"
+        ).collect()[0]
+        assert a == b
+
+
+class TestPrThresholds:
+    def test_confusion_counts(self, spark):
+        df = _df(
+            spark,
+            [(0.9, True), (0.7, False), (0.4, True), (0.1, False)],
+        )
+        out = {
+            r.threshold: r
+            for r in evaluation.pr_at_thresholds(
+                df, "score", "label", [0.5]
+            ).collect()
+        }
+        r = out[0.5]
+        assert (r.tp, r.fp, r.fn, r.tn) == (1, 1, 1, 1)
+        assert r.precision == pytest.approx(0.5)
+        assert r.recall == pytest.approx(0.5)
+        assert r.f1 == pytest.approx(0.5)
+        assert r.accuracy == pytest.approx(0.5)
+
+    def test_zero_predicted_positive_null_precision(self, spark):
+        df = _df(spark, [(0.2, True), (0.1, False)])
+        r = evaluation.pr_at_thresholds(
+            df, "score", "label", [0.9]
+        ).collect()[0]
+        assert (r.tp, r.fp) == (0, 0)
+        assert r.precision is None and r.f1 is None
+        assert r.recall == 0.0
+
+    def test_empty_grid_raises(self, spark):
+        with pytest.raises(ValueError):
+            evaluation.pr_at_thresholds(
+                _df(spark, [(0.5, True)]), "score", "label", []
+            )
+
+    def test_grid_cardinality(self, spark):
+        df = _df(spark, [(0.5, True), (0.4, False)] * 10)
+        out = evaluation.pr_at_thresholds(
+            df, "score", "label", [0.1, 0.5, 0.9]
+        )
+        assert out.count() == 3
+
+
+class TestCalibrationBins:
+    def test_bins_and_ece(self, spark):
+        # bin 0: p=0.05 x2 (1 pos) -> mean_p 0.05, pos_rate 0.5,
+        #   ece 0.45 * 2/4; bin 9: p=0.95 x2 (2 pos) -> gap 0.05 * 2/4
+        df = _df(
+            spark,
+            [(0.05, True), (0.05, False), (0.95, True), (0.95, True)],
+        )
+        out = {
+            r.bin: r
+            for r in evaluation.calibration_bins(
+                df, "score", "label", bins=10
+            ).collect()
+        }
+        assert set(out) == {0, 9}
+        assert out[0].mean_p == pytest.approx(0.05)
+        assert out[0].pos_rate == pytest.approx(0.5)
+        assert out[0].ece_contrib == pytest.approx(0.225)
+        assert out[9].ece_contrib == pytest.approx(0.025)
+
+    def test_prob_one_clamps_into_top_bin(self, spark):
+        df = _df(spark, [(1.0, True), (0.0, False)])
+        bins = {
+            r.bin
+            for r in evaluation.calibration_bins(
+                df, "score", "label", bins=10
+            ).collect()
+        }
+        assert bins == {0, 9}
+
+    def test_bad_bins_raises(self, spark):
+        with pytest.raises(ValueError):
+            evaluation.calibration_bins(
+                _df(spark, [(0.5, True)]), "score", "label", bins=0
+            )
+
+
+class TestMmrRerank:
+    def _emb(self, spark):
+        # query 100 -> [1,0,0,0]; docs: 0 & 1 near-identical high-rel,
+        # 2 orthogonal-ish but relevant. Greedy MMR must NOT pick both
+        # twins before doc 2.
+        rows = [
+            (0, [0.99, 0.10, 0.0, 0.0]),
+            (1, [0.99, 0.11, 0.0, 0.0]),
+            (2, [0.70, 0.0, 0.70, 0.0]),
+            (100, [1.0, 0.0, 0.0, 0.0]),
+        ]
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+
+    def test_diversifies_vs_pure_relevance(self, spark):
+        from icnarc_to_philips_linkage_spark.operators.retrieval import (
+            mmr_rerank,
+        )
+
+        emb = self._emb(spark)
+        q = emb.filter("vec_id = 100")
+        corpus = emb.filter("vec_id < 100")
+        out = mmr_rerank(corpus, q, k=3, pool=3, lam=0.5).collect()
+        order = [r.neighbor_id for r in sorted(out, key=lambda r: r.rank)]
+        # rank1 = most relevant twin (0 by id tie/sim), rank2 must jump
+        # to the diverse doc 2, twin 1 drops to rank3
+        assert order[0] == 0
+        assert order[1] == 2
+        assert order[2] == 1
+        # pure relevance (lam=1.0) keeps the twins together
+        rel = mmr_rerank(corpus, q, k=3, pool=3, lam=1.0).collect()
+        rel_order = [
+            r.neighbor_id for r in sorted(rel, key=lambda r: r.rank)
+        ]
+        assert rel_order[:2] == [1, 0] or rel_order[:2] == [0, 1]
+
+    def test_rank_count_and_bad_lam(self, spark):
+        import pytest as _pytest
+
+        from icnarc_to_philips_linkage_spark.operators.retrieval import (
+            mmr_rerank,
+        )
+
+        emb = self._emb(spark)
+        q = emb.filter("vec_id = 100")
+        corpus = emb.filter("vec_id < 100")
+        out = mmr_rerank(corpus, q, k=5, pool=3, lam=0.7)
+        # pool smaller than k: emits only pool rows... (k rounds, but
+        # later rounds find no remaining candidates)
+        assert out.count() == 3
+        with _pytest.raises(ValueError):
+            mmr_rerank(corpus, q, lam=1.5)
