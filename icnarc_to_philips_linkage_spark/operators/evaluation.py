@@ -69,17 +69,39 @@ def roc_auc(
     return a NULL auc rather than raising — monitoring queries run
     unattended.
     """
+    return roc_auc_by(df, score_col, label_col, [], round_dp=round_dp)
+
+
+def roc_auc_by(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    group_cols: Sequence[str],
+    round_dp: int = 9,
+) -> DataFrame:
+    """Per-group exact tie-aware ROC AUC — ``roc_auc`` stratified by
+    ``group_cols`` (e.g. per-language classifier audit: a filter that
+    looks fine globally can be near-random on a minority slice).
+
+    Same shape as the global form: the cumulative rank pass runs per
+    group over the per-(group, distinct score) frame, so each window
+    partition is bounded by the score grid and group shuffles carry
+    only that bounded aggregate. Returns ``(*group_cols, n_pos, n_neg,
+    auc)``; groups with one class get a NULL auc.
+    """
+    gcols = list(group_cols)
     lbl = F.col(label_col).cast("boolean")
     per_score = (
         df.filter(F.col(score_col).isNotNull() & lbl.isNotNull())
-        .groupBy(F.col(score_col).alias("__s"))
+        .groupBy(*gcols, F.col(score_col).alias("__s"))
         .agg(
             F.count(F.lit(1)).alias("__c"),
             F.sum(lbl.cast("long")).alias("__p"),
         )
     )
     w = (
-        Window.orderBy("__s")
+        (Window.partitionBy(*gcols) if gcols else Window.partitionBy())
+        .orderBy("__s")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     # __b = strictly-lower count; 2·(avg rank of the tied block) =
@@ -89,11 +111,12 @@ def roc_auc(
     ).withColumn(
         "__rs2", F.col("__p") * (F.lit(2) * F.col("__b") + F.col("__c") + 1)
     )
-    return ranked.agg(
+    return ranked.groupBy(*gcols).agg(
         F.sum("__p").alias("n_pos"),
         (F.sum("__c") - F.sum("__p")).alias("n_neg"),
         F.sum("__rs2").alias("__rs2_tot"),
     ).select(
+        *gcols,
         "n_pos",
         "n_neg",
         F.when(

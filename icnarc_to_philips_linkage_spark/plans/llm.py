@@ -1206,6 +1206,54 @@ FROM agg
 """
 
 
+def eval_roc_auc_by_lang(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language ROC AUC of the quality classifier — the stratified
+    audit that catches a filter scoring near-random on a minority
+    language slice while the pooled AUC looks healthy."""
+    lab = load(spark, sf, "documents").select(
+        "doc_id", "lang",
+        (F.col("n_chars") >= _EVAL_LABEL_CHARS).alias("label"),
+    )
+    scored = quality_classifier_score(spark, sf).join(lab, "doc_id")
+    return evaluation.roc_auc_by(scored, "p_quality", "label", ["lang"])
+
+
+def _roc_auc_by_lang_sql() -> str:
+    return f"""
+WITH scored AS ({_qcls_sql()}),
+lab AS (
+  SELECT d.lang, s.p_quality AS p, d.n_chars >= {_EVAL_LABEL_CHARS} AS y
+  FROM scored s JOIN documents d USING (doc_id)
+  WHERE s.p_quality IS NOT NULL AND d.n_chars IS NOT NULL
+),
+per AS (
+  SELECT lang, p, count(*) AS c,
+         sum(CASE WHEN y THEN 1 ELSE 0 END) AS pos
+  FROM lab GROUP BY lang, p
+),
+r AS (
+  SELECT *,
+         sum(c) OVER (PARTITION BY lang ORDER BY p
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - c AS b
+  FROM per
+),
+agg AS (
+  SELECT lang,
+         CAST(sum(pos) AS BIGINT) AS n_pos,
+         CAST(sum(c) - sum(pos) AS BIGINT) AS n_neg,
+         CAST(sum(pos * (2 * b + c + 1)) AS BIGINT) AS rs2
+  FROM r GROUP BY lang
+)
+SELECT lang, n_pos, n_neg,
+       CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+         ROUND(CAST(rs2 - n_pos * (n_pos + 1) AS DOUBLE)
+               / (2.0 * n_pos * n_neg), 9)
+       END AS auc
+FROM agg
+"""
+
+
 _EVAL_THRESHOLDS = (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
 
 
@@ -3745,6 +3793,7 @@ QUERIES: dict[str, tuple] = {
     "text_quality": (text_quality, _quality_sql()),
     "quality_classifier_score": (quality_classifier_score, _qcls_sql()),
     "eval_roc_auc": (eval_roc_auc, _roc_auc_sql()),
+    "eval_roc_auc_by_lang": (eval_roc_auc_by_lang, _roc_auc_by_lang_sql()),
     "eval_pr_thresholds": (eval_pr_thresholds, _pr_thresholds_sql()),
     "eval_calibration_bins": (eval_calibration_bins, _calibration_sql()),
     "text_lang_id": (text_lang_id, _lang_id_sql()),

@@ -199,3 +199,42 @@ class TestMmrRerank:
         assert out.count() == 3
         with _pytest.raises(ValueError):
             mmr_rerank(corpus, q, lam=1.5)
+
+
+class TestRocAucBy:
+    def test_groups_match_global_per_slice(self, spark):
+        rows = [
+            ("en", 0.9, True), ("en", 0.8, False), ("en", 0.7, True),
+            ("de", 0.6, True), ("de", 0.5, True), ("de", 0.4, False),
+        ]
+        df = spark.createDataFrame(
+            rows, "lang string, score double, label boolean"
+        )
+        by = {
+            r.lang: r
+            for r in evaluation.roc_auc_by(
+                df, "score", "label", ["lang"]
+            ).collect()
+        }
+        for lang in ("en", "de"):
+            solo = evaluation.roc_auc(
+                df.filter(df.lang == lang), "score", "label"
+            ).collect()[0]
+            assert (by[lang].n_pos, by[lang].n_neg, by[lang].auc) == (
+                solo.n_pos, solo.n_neg, solo.auc,
+            )
+
+    def test_single_class_group_null(self, spark):
+        df = spark.createDataFrame(
+            [("x", 0.9, True), ("x", 0.1, True), ("y", 0.5, True),
+             ("y", 0.4, False)],
+            "g string, score double, label boolean",
+        )
+        by = {
+            r.g: r
+            for r in evaluation.roc_auc_by(
+                df, "score", "label", ["g"]
+            ).collect()
+        }
+        assert by["x"].auc is None
+        assert by["y"].auc == 1.0
