@@ -575,3 +575,80 @@ def dedup_aware_split(
     return hash_split(rep, "cluster_rep", fractions, salt=salt).select(
         id_col, "cluster_rep", "split"
     )
+
+
+def select_token_budget(
+    df: DataFrame,
+    budget_tokens: int,
+    quality_col: str = "p_quality",
+    tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Greedy highest-quality-first corpus selection under a TOKEN
+    budget: order documents by (quality DESC, id ASC), keep whole
+    documents while the running token total stays within
+    ``budget_tokens``. This is the curation step that turns "we can
+    afford N training tokens" into a concrete document set —
+    ``sample_weighted_topk`` bounds the COUNT of rows; a training-mix
+    budget bounds their token SUM.
+
+    Scale shape — a single global ``Window.orderBy`` running sum would
+    serialize the corpus through one task, so the prefix sum is
+    distributed the two-level way (the ``pack_sequences`` pattern):
+    ``repartitionByRange`` on (quality DESC, id) range-partitions the
+    corpus in selection order, each partition prefix-sums locally, and
+    the per-partition totals (one row per partition, a plan-literal
+    bounded by the partition count) fold into CASE offsets. The
+    boundary document — first to overflow — is dropped along with
+    everything after it (whole-doc semantics, no truncation).
+
+    Rows with NULL quality or non-positive/NULL token counts are
+    excluded up front: they cannot be ranked / consume no budget.
+
+    Output: ``(id, quality, tokens, cum_tokens)`` for the selected
+    set, ``cum_tokens`` the inclusive running total (≤ budget).
+    """
+    if budget_tokens <= 0:
+        raise ValueError("budget_tokens must be positive")
+    base = df.filter(
+        F.col(quality_col).isNotNull() & (F.col(tokens_col) > 0)
+    ).select(id_col, quality_col, tokens_col)
+    n_parts = partitions or base.sparkSession.sparkContext.defaultParallelism
+    ranged = base.repartitionByRange(
+        n_parts, F.desc(quality_col), F.asc(id_col)
+    ).sortWithinPartitions(F.desc(quality_col), F.asc(id_col))
+    part_w = (
+        Window.partitionBy("__pid")
+        .orderBy(F.desc(quality_col), F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = (
+        ranged.withColumn("__pid", F.spark_partition_id())
+        .withColumn("__local_end", F.sum(tokens_col).over(part_w))
+    )
+    # localCheckpoint, not persist: offsets collected below are valid
+    # only if spark_partition_id() stays identical when the filter
+    # re-evaluates (see pack_sequences for the failure mode)
+    local = local.localCheckpoint(eager=True)
+    totals = (
+        local.groupBy("__pid")
+        .agg(F.max("__local_end").alias("__total"))
+        .collect()
+    )
+    # range partition 0 holds the HIGHEST quality: accumulate offsets
+    # in ascending pid order
+    offsets, acc = {}, 0
+    for r in sorted(totals, key=lambda x: x["__pid"]):
+        offsets[r["__pid"]] = acc
+        acc += r["__total"]
+    off = None
+    for pid, o in offsets.items():
+        c = F.when(F.col("__pid") == pid, F.lit(o))
+        off = c if off is None else off.when(F.col("__pid") == pid, F.lit(o))
+    off = off.otherwise(F.lit(0)) if off is not None else F.lit(0)
+    return (
+        local.withColumn("cum_tokens", off + F.col("__local_end"))
+        .filter(F.col("cum_tokens") <= budget_tokens)
+        .select(id_col, quality_col, tokens_col, "cum_tokens")
+    )

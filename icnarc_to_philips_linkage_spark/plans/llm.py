@@ -1293,6 +1293,53 @@ FROM conf
 """
 
 
+def curate_token_budget(spark: SparkSession, sf: str) -> DataFrame:
+    """Greedy highest-quality-first selection under a token budget of
+    30% of the corpus (sampling.select_token_budget): whole documents,
+    ordered (p_quality DESC, doc_id), kept while the running token sum
+    fits. The budget scalar derives from one 1-row aggregate; the
+    prefix sum is the distributed two-level pack_sequences shape, not
+    a single-task global window."""
+    q = text_quality(spark, sf).select("doc_id", "n_tokens")
+    s = quality_classifier_score(spark, sf).select("doc_id", "p_quality")
+    docs = q.join(s, "doc_id")
+    total = (
+        docs.filter(F.col("p_quality").isNotNull() & (F.col("n_tokens") > 0))
+        .agg(F.sum("n_tokens"))
+        .collect()[0][0]
+        or 0
+    )
+    return sampling.select_token_budget(
+        docs, budget_tokens=max(1, total * 3 // 10)
+    )
+
+
+def _token_budget_sql() -> str:
+    return f"""
+WITH qual AS ({_quality_sql()}),
+scored AS ({_qcls_sql()}),
+d AS (
+  SELECT qual.doc_id, scored.p_quality, qual.n_tokens
+  FROM qual JOIN scored USING (doc_id)
+  WHERE scored.p_quality IS NOT NULL AND qual.n_tokens > 0
+),
+tot AS (
+  SELECT GREATEST(1, CAST(sum(n_tokens) AS BIGINT) * 3 // 10) AS budget
+  FROM d
+),
+c AS (
+  SELECT doc_id, p_quality, n_tokens,
+         CAST(sum(n_tokens) OVER (
+           ORDER BY p_quality DESC, doc_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS cum_tokens
+  FROM d
+)
+SELECT doc_id, p_quality, n_tokens, cum_tokens
+FROM c, tot WHERE cum_tokens <= budget
+"""
+
+
 def eval_calibration_bins(spark: SparkSession, sf: str) -> DataFrame:
     """Reliability-diagram bins of the quality classifier: mean
     predicted probability vs empirical positive rate per decile bin;
@@ -3796,6 +3843,7 @@ QUERIES: dict[str, tuple] = {
     "eval_roc_auc_by_lang": (eval_roc_auc_by_lang, _roc_auc_by_lang_sql()),
     "eval_pr_thresholds": (eval_pr_thresholds, _pr_thresholds_sql()),
     "eval_calibration_bins": (eval_calibration_bins, _calibration_sql()),
+    "curate_token_budget": (curate_token_budget, _token_budget_sql()),
     "text_lang_id": (text_lang_id, _lang_id_sql()),
     "text_lang_id_chargram": (text_lang_id_chargram, _lang_chargram_sql()),
     "text_bpe_ish_tokens": (text_bpe_ish_tokens, BPE_SQL),

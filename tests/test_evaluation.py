@@ -238,3 +238,77 @@ class TestRocAucBy:
         }
         assert by["x"].auc is None
         assert by["y"].auc == 1.0
+
+
+class TestSelectTokenBudget:
+    def _docs(self, spark):
+        rows = [
+            (1, 0.9, 100), (2, 0.8, 200), (3, 0.7, 150),
+            (4, 0.6, 300), (5, 0.5, 50),
+        ]
+        return spark.createDataFrame(
+            rows, "doc_id long, p_quality double, n_tokens long"
+        )
+
+    def test_greedy_whole_doc_boundary(self, spark):
+        from icnarc_to_philips_linkage_spark.operators.sampling import (
+            select_token_budget,
+        )
+
+        # budget 400: takes 100 + 200 = 300; doc 3 (150) would reach
+        # 450 > 400 -> dropped along with everything after
+        out = select_token_budget(self._docs(spark), 400).collect()
+        got = {r.doc_id: r.cum_tokens for r in out}
+        assert got == {1: 100, 2: 300}
+
+    def test_partition_invariance(self, spark):
+        from icnarc_to_philips_linkage_spark.operators.sampling import (
+            select_token_budget,
+        )
+
+        docs = self._docs(spark)
+        a = sorted(
+            (r.doc_id, r.cum_tokens)
+            for r in select_token_budget(docs, 500, partitions=1).collect()
+        )
+        b = sorted(
+            (r.doc_id, r.cum_tokens)
+            for r in select_token_budget(
+                docs.repartition(7), 500, partitions=7
+            ).collect()
+        )
+        assert a == b == [(1, 100), (2, 300), (3, 450)]
+
+    def test_excludes_null_quality_and_zero_tokens(self, spark):
+        from icnarc_to_philips_linkage_spark.operators.sampling import (
+            select_token_budget,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, None, 100), (2, 0.9, 0), (3, 0.8, None), (4, 0.7, 60)],
+            "doc_id long, p_quality double, n_tokens long",
+        )
+        out = select_token_budget(docs, 1000).collect()
+        assert [(r.doc_id, r.cum_tokens) for r in out] == [(4, 60)]
+
+    def test_tie_breaks_on_id(self, spark):
+        from icnarc_to_philips_linkage_spark.operators.sampling import (
+            select_token_budget,
+        )
+
+        docs = spark.createDataFrame(
+            [(9, 0.5, 40), (2, 0.5, 40), (5, 0.5, 40)],
+            "doc_id long, p_quality double, n_tokens long",
+        )
+        out = select_token_budget(docs, 80).collect()
+        assert sorted(r.doc_id for r in out) == [2, 5]
+
+    def test_bad_budget_raises(self, spark):
+        import pytest as _pytest
+
+        from icnarc_to_philips_linkage_spark.operators.sampling import (
+            select_token_budget,
+        )
+
+        with _pytest.raises(ValueError):
+            select_token_budget(self._docs(spark), 0)
