@@ -695,3 +695,126 @@ def synth_png_media(
             )
 
     return ids.mapInPandas(batches, MEDIA_SCHEMA)
+
+
+AUDIO_FP_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), True),
+        StructField("afp", LongType(), True),
+    ]
+)
+
+
+def synth_wav_media(
+    ids: DataFrame,
+    id_col: str = "media_id",
+    frames: int = 64,
+    frame_len: int = 25,
+    near_dup_mod: int = 13,
+) -> DataFrame:
+    """Deterministic synthetic WAV payloads (8-bit PCM mono, stdlib
+    ``wave`` encode) — the audio twin of ``synth_png_media``: each id's
+    per-frame amplitude derives from md5, every ``near_dup_mod``-th id
+    re-renders its predecessor's amplitudes with a +9 perturbation on
+    frames ``f % 29 == 3`` (3 of 64 frames → at most 6 fingerprint
+    bits move, within the near-dup join's Hamming budget), and within
+    a frame samples alternate ``128 ± h`` so the frame's energy is a
+    CLOSED-FORM function of the md5 byte — which is what lets a SQL
+    engine that cannot decode WAVs oracle the whole pipeline."""
+    import io
+    import struct as _struct
+    import wave
+
+    def encode(mid: int) -> bytes:
+        base = mid - (mid % near_dup_mod == 0)
+        body = bytearray()
+        for f in range(frames):
+            a = hashlib.md5(f"{base}:{f}".encode()).digest()[0]
+            h = a // 2
+            if mid % near_dup_mod == 0 and f % 29 == 3:
+                h = min(127, h + 9)
+            for s in range(frame_len):
+                body.append(128 + h if s % 2 == 0 else 128 - h)
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(1)
+            w.setframerate(8000)
+            w.writeframes(bytes(body))
+        return buf.getvalue()
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "media_type": "audio",
+                    "payload": [encode(int(i)) for i in pdf[id_col]],
+                    "meta": [
+                        {"codec": "pcm_u8", "synthetic": "true"}
+                        for _ in range(len(pdf))
+                    ],
+                }
+            )
+
+    return ids.mapInPandas(batches, MEDIA_SCHEMA)
+
+
+def audio_energy_fingerprint(
+    df: DataFrame, frames: int = 64
+) -> DataFrame:
+    """64-frame energy-delta fingerprint over the REAL WAV decode: split
+    the PCM signal into ``frames`` equal frames, per-frame energy
+    ``Σx²``, bit ``f`` set iff ``E[f+1] > E[f]`` — the
+    loudness-contour analogue of dHash's luma gradient, robust to
+    uniform gain exactly as dHash is to uniform brightness. 63 bits
+    pack into one non-negative long for the banded Hamming join
+    (``phash_neardup`` with ``hash_col='afp'``).
+
+    Undecodable payloads or signals not divisible into ``frames``
+    equal frames yield NULL. The energies of the synthetic corpus are
+    dyadic rationals (±h/128 samples), so the float comparisons are
+    exact — the differential oracle reproduces them in integers.
+    Output: (media_id, afp long)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    def fp(payload: bytes):
+        try:
+            with wave.open(io.BytesIO(payload), "rb") as w:
+                width = w.getsampwidth()
+                raw = w.readframes(w.getnframes())
+        except (wave.Error, EOFError):
+            return None
+        raw = raw[: len(raw) - (len(raw) % max(1, width))]
+        if width == 2:
+            x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+        elif width == 1:
+            x = (
+                np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0
+            ) / 128.0
+        else:
+            return None
+        if x.size == 0 or x.size % frames != 0:
+            return None
+        e = (x.reshape(frames, -1) ** 2).sum(axis=1)
+        bits = e[1:] > e[:-1]
+        out = 0
+        for i, b in enumerate(bits):
+            if b:
+                out |= 1 << i
+        return out
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                h = fp(bytes(payload)) if payload is not None else None
+                rows.append((media_id, h))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_FP_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(batches, AUDIO_FP_SCHEMA)

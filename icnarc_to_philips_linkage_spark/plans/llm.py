@@ -1340,6 +1340,67 @@ FROM c, tot WHERE cum_tokens <= budget
 """
 
 
+def sample_unimax_allocation(spark: SparkSession, sf: str) -> DataFrame:
+    """UniMax training-mix allocation across the 20 document sources:
+    waterfill the corpus-total token budget as uniformly as possible
+    with a 1.05-epoch per-source cap (sampling.unimax_allocation) —
+    below-average sources cap, the rest share the remainder evenly.
+    The closed-form level search runs on the |sources|-row aggregate
+    in integer cross-multiplied comparisons."""
+    q = text_quality(spark, sf).select("doc_id", "n_tokens")
+    d = load(spark, sf, "documents").select("doc_id", "source")
+    return sampling.unimax_allocation(
+        d.join(q, "doc_id"), budget_tokens=None, max_epochs_pct=105
+    ).orderBy("source")
+
+
+def _unimax_sql() -> str:
+    return f"""
+WITH qual AS ({_quality_sql()}),
+per AS (
+  SELECT d.source, CAST(sum(q.n_tokens) AS BIGINT) AS corpus_tokens
+  FROM documents d JOIN qual q USING (doc_id)
+  GROUP BY d.source
+  HAVING sum(q.n_tokens) > 0
+),
+caps AS (
+  SELECT source, corpus_tokens,
+         CAST(FLOOR(corpus_tokens * 105 / 100) AS BIGINT) AS cap_tokens
+  FROM per
+),
+tot AS (SELECT CAST(sum(corpus_tokens) AS BIGINT) AS budget FROM caps),
+idx AS (
+  SELECT *,
+         row_number() OVER (ORDER BY cap_tokens, source) AS i,
+         sum(cap_tokens) OVER (ORDER BY cap_tokens, source
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+         count(*) OVER () AS n,
+         lag(cap_tokens, 1, 0) OVER (ORDER BY cap_tokens, source)
+           AS prev_cap
+  FROM caps
+),
+lvl AS (
+  SELECT i - 1 AS k,
+         budget - (p - cap_tokens) AS rem,
+         n - (i - 1) AS slots
+  FROM idx, tot
+  WHERE cap_tokens * (n - i + 1) > budget - (p - cap_tokens)
+    AND prev_cap * (n - i + 1) <= budget - (p - cap_tokens)
+  ORDER BY i LIMIT 1
+)
+SELECT source, corpus_tokens, cap_tokens,
+       CASE WHEN k IS NULL OR i <= k THEN CAST(cap_tokens AS DOUBLE)
+            ELSE ROUND(CAST(rem AS DOUBLE) / slots, 6) END
+         AS alloc_tokens,
+       ROUND((CASE WHEN k IS NULL OR i <= k
+                   THEN CAST(cap_tokens AS DOUBLE)
+                   ELSE ROUND(CAST(rem AS DOUBLE) / slots, 6) END)
+             / corpus_tokens, 6) AS epochs,
+       (k IS NULL OR i <= k) AS capped
+FROM idx LEFT JOIN lvl ON TRUE
+"""
+
+
 def eval_calibration_bins(spark: SparkSession, sf: str) -> DataFrame:
     """Reliability-diagram bins of the quality classifier: mean
     predicted probability vs empirical positive rate per decile bin;
@@ -1860,6 +1921,69 @@ SELECT id_a, id_b, hamming FROM (
            AS hamming
   FROM bits a JOIN bits b
     ON a.r = b.r AND a.c = b.c AND a.media_id < b.media_id
+  GROUP BY 1, 2)
+WHERE hamming <= 6
+"""
+
+
+def multimodal_audio_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end audio near-dup pipeline over SYNTHESIZED WAVs (the
+    testdata ships no audio bytes): render a deterministic 8-bit PCM
+    clip per document id with planted near-duplicates, REAL-decode the
+    samples (stdlib wave), energy-delta fingerprint, and find pairs
+    via the same banded Hamming join the image path uses."""
+    from icnarc_to_philips_linkage_spark.operators import multimodal
+
+    ids = (
+        load(spark, sf, "documents")
+        .select(F.col("doc_id").alias("media_id"))
+        .filter(F.col("media_id") < 200)
+    )
+    media = multimodal.synth_wav_media(ids)
+    fps = multimodal.audio_energy_fingerprint(media)
+    return multimodal.phash_neardup(
+        fps, max_hamming=6, hash_col="afp"
+    ).orderBy("id_a", "id_b")
+
+
+def _audio_neardup_sql() -> str:
+    """FULL hash oracle for the WAV→decode→fingerprint→banded-join
+    pipeline, no audio decode needed (the _phash_sql technique): the
+    synthetic frame amplitude is a closed-form md5 byte, samples
+    alternate ±h/128, so frame energy orderings reduce to integer
+    comparisons of h — DuckDB recomputes every fingerprint bit from
+    md5 directly and re-derives the Hamming pairs."""
+    hex_lo = (
+        "(strpos('0123456789abcdef', substr(hh, 1, 1)) - 1) * 16 + "
+        "(strpos('0123456789abcdef', substr(hh, 2, 1)) - 1)"
+    )
+    return f"""
+WITH ids AS (
+  SELECT doc_id AS media_id FROM documents WHERE doc_id < 200
+),
+amp AS (
+  SELECT media_id, f,
+         LEAST(127, ({hex_lo}) // 2
+               + CASE WHEN media_id % 13 = 0 AND f % 29 = 3
+                      THEN 9 ELSE 0 END) AS h
+  FROM (
+    SELECT media_id, fs.g AS f,
+           substr(md5(concat_ws(':',
+             media_id - CASE WHEN media_id % 13 = 0 THEN 1 ELSE 0 END,
+             fs.g)), 1, 2) AS hh
+    FROM ids, unnest(generate_series(0, 63)) AS fs(g))
+),
+bits AS (
+  SELECT a.media_id, a.f AS pos, (b.h > a.h) AS bit
+  FROM amp a JOIN amp b ON a.media_id = b.media_id AND b.f = a.f + 1
+  WHERE a.f < 63
+)
+SELECT id_a, id_b, hamming FROM (
+  SELECT a.media_id AS id_a, b.media_id AS id_b,
+         CAST(SUM(CASE WHEN a.bit != b.bit THEN 1 ELSE 0 END) AS INT)
+           AS hamming
+  FROM bits a JOIN bits b
+    ON a.pos = b.pos AND a.media_id < b.media_id
   GROUP BY 1, 2)
 WHERE hamming <= 6
 """
@@ -3844,6 +3968,7 @@ QUERIES: dict[str, tuple] = {
     "eval_pr_thresholds": (eval_pr_thresholds, _pr_thresholds_sql()),
     "eval_calibration_bins": (eval_calibration_bins, _calibration_sql()),
     "curate_token_budget": (curate_token_budget, _token_budget_sql()),
+    "sample_unimax_allocation": (sample_unimax_allocation, _unimax_sql()),
     "text_lang_id": (text_lang_id, _lang_id_sql()),
     "text_lang_id_chargram": (text_lang_id_chargram, _lang_chargram_sql()),
     "text_bpe_ish_tokens": (text_bpe_ish_tokens, BPE_SQL),
@@ -3858,4 +3983,5 @@ QUERIES: dict[str, tuple] = {
     "curate_documents": (curate_documents, CURATE_SQL),
     "multimodal_meta": (multimodal_meta, MULTIMODAL_SQL),
     "multimodal_phash_pipeline": (multimodal_phash_pipeline, _phash_sql()),
+    "multimodal_audio_neardup": (multimodal_audio_neardup, _audio_neardup_sql()),
 }

@@ -1,0 +1,178 @@
+"""Round-7 session-3 operator tests: synthetic-WAV audio near-dup
+pipeline (the audio twin of the PNG/dHash path)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from icnarc_to_philips_linkage_spark.operators import multimodal
+
+
+def _ids(spark, n=60):
+    return spark.range(n).select(F.col("id").alias("media_id"))
+
+
+def test_synth_wav_decodes_with_stdlib_wave(spark):
+    media = multimodal.synth_wav_media(_ids(spark, 4)).collect()
+    import io
+    import wave
+
+    for r in media:
+        with wave.open(io.BytesIO(bytes(r.payload)), "rb") as w:
+            assert w.getsampwidth() == 1
+            assert w.getnchannels() == 1
+            assert w.getnframes() == 64 * 25
+
+
+def test_audio_fingerprint_planted_neardups_found_exactly(spark):
+    media = multimodal.synth_wav_media(_ids(spark, 60))
+    fps = multimodal.audio_energy_fingerprint(media)
+    pairs = multimodal.phash_neardup(
+        fps, max_hamming=6, hash_col="afp"
+    ).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    # planted: every 13th id is a near-copy of its predecessor
+    expected = {(m - 1, m) for m in range(13, 60, 13)}
+    assert got == expected
+    assert all(r.hamming <= 6 for r in pairs)
+
+
+def test_audio_fingerprint_gain_invariance(spark):
+    # energy-delta bits compare ADJACENT frames, so a uniform gain
+    # change (scaling every amplitude) preserves the fingerprint —
+    # the audio analogue of dHash brightness invariance. Synthesize a
+    # half-gain copy by hand and compare fingerprints.
+    import io
+    import wave
+
+    media = multimodal.synth_wav_media(_ids(spark, 2)).collect()
+    rows = []
+    for r in media:
+        with wave.open(io.BytesIO(bytes(r.payload)), "rb") as w:
+            raw = bytearray(w.readframes(w.getnframes()))
+        halved = bytes(128 + (b - 128) // 2 for b in raw)
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(1)
+            w.setframerate(8000)
+            w.writeframes(halved)
+        rows.append((r.media_id, bytes(r.payload)))
+        rows.append((r.media_id + 1000, buf.getvalue()))
+    df = spark.createDataFrame(
+        rows, "media_id long, payload binary"
+    )
+    fps = {
+        r.media_id: r.afp
+        for r in multimodal.audio_energy_fingerprint(df).collect()
+    }
+    for mid in (0, 1):
+        assert fps[mid] == fps[mid + 1000]
+
+
+def test_audio_fingerprint_malformed_payload_null(spark):
+    df = spark.createDataFrame(
+        [(1, b"not a wav"), (2, None), (3, b"")],
+        "media_id long, payload binary",
+    )
+    out = multimodal.audio_energy_fingerprint(df).collect()
+    assert all(r.afp is None for r in out)
+
+
+def test_audio_fingerprint_indivisible_signal_null(spark):
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(8000)
+        w.writeframes(bytes([128] * 100))  # 100 % 64 != 0
+    df = spark.createDataFrame(
+        [(1, buf.getvalue())], "media_id long, payload binary"
+    )
+    assert multimodal.audio_energy_fingerprint(df).collect()[0].afp is None
+
+
+class TestUnimaxAllocation:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "doc_id long, source string, n_tokens long"
+        )
+
+    def test_hand_computed_waterfill(self, spark):
+        from icnarc_to_philips_linkage_spark.operators.sampling import (
+            unimax_allocation,
+        )
+
+        docs = self._docs(
+            spark,
+            [(1, "a", 100), (2, "b", 200), (3, "c", 700)],
+        )
+        out = {
+            r.source: r
+            for r in unimax_allocation(
+                docs, budget_tokens=900, max_epochs_pct=100
+            ).collect()
+        }
+        # caps 100/200/700; level search: k=2 capped, C gets 600
+        assert out["a"].capped and out["a"].alloc_tokens == 100.0
+        assert out["b"].capped and out["b"].alloc_tokens == 200.0
+        assert not out["c"].capped
+        assert out["c"].alloc_tokens == 600.0
+        assert out["c"].epochs == 0.857143
+
+    def test_budget_above_caps_all_capped(self, spark):
+        from icnarc_to_philips_linkage_spark.operators.sampling import (
+            unimax_allocation,
+        )
+
+        docs = self._docs(spark, [(1, "a", 100), (2, "b", 300)])
+        out = unimax_allocation(
+            docs, budget_tokens=10_000, max_epochs_pct=200
+        ).collect()
+        assert all(r.capped for r in out)
+        assert sorted(r.alloc_tokens for r in out) == [200.0, 600.0]
+
+    def test_small_budget_nobody_capped_even_split(self, spark):
+        from icnarc_to_philips_linkage_spark.operators.sampling import (
+            unimax_allocation,
+        )
+
+        docs = self._docs(spark, [(1, "a", 100), (2, "b", 300)])
+        out = {
+            r.source: r
+            for r in unimax_allocation(
+                docs, budget_tokens=100, max_epochs_pct=100
+            ).collect()
+        }
+        assert not out["a"].capped and not out["b"].capped
+        assert out["a"].alloc_tokens == out["b"].alloc_tokens == 50.0
+
+    def test_allocation_conserves_budget(self, spark):
+        from icnarc_to_philips_linkage_spark.operators.sampling import (
+            unimax_allocation,
+        )
+
+        docs = self._docs(
+            spark,
+            [(i, f"s{i % 5}", 50 + 37 * (i % 7)) for i in range(40)],
+        )
+        out = unimax_allocation(
+            docs, budget_tokens=2000, max_epochs_pct=110
+        ).collect()
+        total = sum(r.alloc_tokens for r in out)
+        assert total == pytest.approx(2000, abs=1e-3)
+
+    def test_bad_params_raise(self, spark):
+        from icnarc_to_philips_linkage_spark.operators.sampling import (
+            unimax_allocation,
+        )
+
+        docs = self._docs(spark, [(1, "a", 10)])
+        with pytest.raises(ValueError):
+            unimax_allocation(docs, budget_tokens=0)
+        with pytest.raises(ValueError):
+            unimax_allocation(docs, max_epochs_pct=0)
