@@ -652,3 +652,115 @@ def select_token_budget(
         .filter(F.col("cum_tokens") <= budget_tokens)
         .select(id_col, quality_col, tokens_col, "cum_tokens")
     )
+
+
+def unimax_allocation(
+    df: DataFrame,
+    budget_tokens: int | None = None,
+    max_epochs_pct: int = 105,
+    source_col: str = "source",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """UniMax-style training-mix allocation (Chung et al. 2023,
+    "UniMax: Fairer and More Effective Language Sampling"): distribute
+    a total token budget across sources as UNIFORMLY as possible,
+    capping each source at ``max_epochs_pct/100`` epochs of its own
+    corpus so low-resource sources are never over-repeated. The
+    waterfilling solution: find the level ``u`` with
+    ``Σ_s min(u, cap_s) = budget`` — sources below the level
+    contribute everything (capped), the rest get ``u`` each.
+
+    Everything happens on the per-source aggregate — |sources| rows —
+    so windows/joins below are bounded regardless of corpus size; the
+    one corpus-wide operation is the initial token-sum groupBy.
+    The level search is CLOSED-FORM, not iterative: order sources by
+    cap ascending, and for each candidate count ``k`` of capped
+    sources the level is ``u_k = (budget − P_k)/(n − k)`` (``P_k`` the
+    prefix cap sum); exactly one ``k`` satisfies
+    ``cap_k ≤ u_k < cap_{k+1}``, checked by INTEGER cross-
+    multiplication — no float enters the selection, so engines agree
+    bit-for-bit. ``budget = None`` uses the corpus total (re-balance
+    in place).
+
+    Output per source: ``(source, corpus_tokens, cap_tokens,
+    alloc_tokens, epochs, capped)`` — ``alloc_tokens`` the exact
+    integer cap for capped sources, else ``u`` rounded to 6dp;
+    ``epochs = alloc/corpus`` rounded to 6dp.
+    """
+    if max_epochs_pct <= 0:
+        raise ValueError("max_epochs_pct must be positive")
+    per = df.groupBy(source_col).agg(
+        F.sum(tokens_col).alias("corpus_tokens")
+    ).filter(F.col("corpus_tokens") > 0)
+    # floor, not cast: Spark's double->long cast truncates toward zero
+    # while DuckDB's rounds — floor agrees everywhere, and the product
+    # stays exact in a double for any real per-source token count
+    # (needs corpus_tokens * pct < 2^53)
+    per = per.withColumn(
+        "cap_tokens",
+        F.floor(F.col("corpus_tokens") * max_epochs_pct / 100),
+    )
+    if budget_tokens is None:
+        tot = per.agg(F.sum("corpus_tokens")).collect()[0][0] or 0
+        budget_tokens = int(tot)
+    if budget_tokens <= 0:
+        raise ValueError("budget_tokens must be positive")
+    b = F.lit(budget_tokens)
+    w_ord = Window.orderBy(F.asc("cap_tokens"), F.asc(source_col))
+    w_all = Window.partitionBy()
+    idx = (
+        per.withColumn("__i", F.row_number().over(w_ord))
+        .withColumn(
+            "__p",
+            F.sum("cap_tokens").over(
+                w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .withColumn("__n", F.count(F.lit(1)).over(w_all))
+        .withColumn("__ptot", F.sum("cap_tokens").over(w_all))
+        # materialized as a column: window expressions are illegal
+        # inside the filter below
+        .withColumn("__prev_cap", F.lag("cap_tokens", 1, 0).over(w_ord))
+    )
+    # candidate k = __i − 1 capped sources BEFORE this row; this row is
+    # the first UNCAPPED one iff cap_i·(n−k) > budget − P_{k} with
+    # P_k = __p − cap_i, and the previous row is capped (or k = 0):
+    # cap_{i−1}·(n−k) ≤ budget − P_k. All-capped (Σcap ≤ budget) has
+    # no such row — handled by the outer coalesce.
+    prev_cap = F.col("__prev_cap")
+    rem = b - (F.col("__p") - F.col("cap_tokens"))
+    slots = F.col("__n") - (F.col("__i") - 1)
+    level_row = (
+        idx.filter(
+            (F.col("cap_tokens") * slots > rem)
+            & (prev_cap * slots <= rem)
+        )
+        .select(
+            (F.col("__i") - 1).alias("__k"),
+            rem.alias("__rem"),
+            slots.alias("__slots"),
+            F.col("__i").alias("__lvl_i"),
+        )
+        # the waterfilling level is unique; the ordered limit is a
+        # determinism belt-and-braces, not a selection rule
+        .orderBy("__lvl_i")
+        .limit(1)
+        .drop("__lvl_i")
+    )
+    # LEFT join on TRUE against the 0-or-1-row level frame: if no
+    # level row exists (Σcap ≤ budget) every source is capped and the
+    # level columns come back NULL
+    out = idx.join(F.broadcast(level_row), F.lit(True), "left")
+    u = F.col("__rem").cast("double") / F.col("__slots")
+    capped = F.col("__k").isNull() | (F.col("__i") <= F.col("__k"))
+    alloc = F.when(
+        capped, F.col("cap_tokens").cast("double")
+    ).otherwise(F.round(u, 6))
+    return out.select(
+        F.col(source_col),
+        "corpus_tokens",
+        "cap_tokens",
+        alloc.alias("alloc_tokens"),
+        F.round(alloc / F.col("corpus_tokens"), 6).alias("epochs"),
+        capped.alias("capped"),
+    )
