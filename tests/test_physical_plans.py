@@ -439,3 +439,75 @@ def test_suffix_pipeline_plan_shape(spark):
     assert "SinglePartition" not in plan, plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_roc_auc_aggregates_before_bounded_window(spark):
+    """The AUC rank pass must run over the per-distinct-score AGGREGATE
+    (score-grid-bounded), never sort the corpus: exactly one Window,
+    and an aggregate below it in the plan."""
+    fn, _ = all_queries()["eval_roc_auc"]
+    plan = plan_of(fn(spark, SF_SMOKE))
+    assert plan.count("Window") == 1, f"one bounded rank window:\n{plan}"
+    w = plan.index("Window")
+    below = plan[w:]
+    assert "HashAggregate" in below or "SortAggregate" in below, (
+        f"window must consume the distinct-score aggregate, not the "
+        f"corpus:\n{plan}"
+    )
+
+
+def test_mmr_knn_pool_broadcasts_query_side(spark):
+    """MMR's relevance scan inherits knn_brute_force's shape: the query
+    side broadcasts; the corpus streams. No sort-merge join anywhere in
+    the bounded greedy rounds."""
+    fn, _ = all_queries()["retrieval_mmr_rerank"]
+    plan = plan_of(fn(spark, SF_SMOKE))
+    assert "SortMergeJoin" not in plan, (
+        f"pooled-frame joins must broadcast at this scale:\n{plan}"
+    )
+
+
+def test_token_budget_final_stage_is_map_only_over_pinned_frame(spark):
+    """The two-level prefix sum ends at a localCheckpoint, so the
+    returned frame's plan must be MAP-ONLY: a checkpoint scan, the
+    partition offsets folded in as a literal CASE map, no Exchange,
+    no Window — the budget filter costs one narrow pass. (The range
+    exchange + per-partition window live in the pinned job.)"""
+    from icnarc_to_philips_linkage_spark.operators.sampling import (
+        select_token_budget,
+    )
+
+    docs = load(spark, SF_SMOKE, "documents").select(
+        "doc_id",
+        (F.col("n_chars") / 1000.0).alias("p_quality"),
+        F.col("n_chars").alias("n_tokens"),
+    )
+    plan = plan_of(select_token_budget(docs, 10_000))
+    assert "Scan ExistingRDD" in plan, f"must read the pinned frame:\n{plan}"
+    assert "Exchange" not in plan, f"final stage must not shuffle:\n{plan}"
+    assert "Window" not in plan, f"final stage must not re-window:\n{plan}"
+    assert plan.count(" THEN ") >= 4, (
+        f"partition offsets must fold in as a literal CASE map:\n{plan}"
+    )
+
+
+def test_unimax_level_search_is_source_bounded(spark):
+    """The waterfilling level search runs on the per-source aggregate:
+    the corpus contributes exactly one groupBy(source) aggregation and
+    everything downstream operates on the |sources|-row frame (the
+    level row joins back as a broadcast)."""
+    fn, _ = all_queries()["sample_unimax_allocation"]
+    plan = plan_of(fn(spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, (
+        f"level row must broadcast back:\n{plan}"
+    )
+    assert "CartesianProduct" not in plan
+
+
+def test_audio_neardup_join_is_banded(spark):
+    """The audio fingerprint join must be the banded equi-join (never
+    all-pairs): no cartesian/nested-loop pair generation."""
+    fn, _ = all_queries()["multimodal_audio_neardup"]
+    plan = plan_of(fn(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -63,6 +63,14 @@ SECTIONS: list[tuple[str, str]] = [
         "only the per-doc count aggregate exchanges.",
     ),
     (
+        "eval_roc_auc",
+        "Exact tie-aware ROC AUC: the corpus collapses to per-distinct-"
+        "score (count, positives) pairs in ONE hash aggregate; the "
+        "cumulative rank window and the final 1-row reduction run over "
+        "the score-grid-bounded frame (≤ 1e6+1 rows at 6dp), so the "
+        "corpus is scanned once and never sorted.",
+    ),
+    (
         "dedup_incremental",
         "Incremental ingest with Bloom prefilter: a bitmap built over "
         "the incoming batch's digests (DataFrame aggregates only) is "
