@@ -1236,3 +1236,40 @@ def jaccard_prefix_join_rs(
     return cand.select(
         "id_l", "id_r", F.round(jac, 6).alias("jaccard")
     ).filter(F.col("jaccard") >= t_lit)
+
+
+def keep_best_per_cluster(
+    clusters: DataFrame,
+    quality: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "p_quality",
+) -> DataFrame:
+    """Quality-aware survivor selection over near-dup clusters: keep
+    the HIGHEST-quality member of each cluster (ties → smallest id)
+    instead of ``near_dup_clusters``'s smallest-id convention — the
+    curation semantics an LLM-data pipeline actually wants, since the
+    lowest doc_id in a duplicate group is frequently the worst OCR /
+    scrape of it.
+
+    ``clusters`` is (id, cluster_id) (e.g. from ``near_dup_clusters``);
+    ``quality`` maps id → score. LEFT join keeps unscored members
+    rankable (NULLS LAST). The argmax window partitions by cluster_id —
+    partition sizes are duplicate-group sizes, never corpus-scale.
+
+    Output: (id, cluster_id, quality, keep) — exactly one keep=true
+    row per cluster.
+    """
+    from pyspark.sql import Window
+
+    j = clusters.join(
+        quality.select(id_col, quality_col), id_col, "left"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc_nulls_last(quality_col), F.asc(id_col)
+    )
+    return j.withColumn("__rn", F.row_number().over(w)).select(
+        id_col,
+        "cluster_id",
+        quality_col,
+        (F.col("__rn") == 1).alias("keep"),
+    )

@@ -381,6 +381,52 @@ FROM (SELECT doc_id, cluster_rep,
 """
 
 
+def dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-aware near-dup survivor selection: LSH clusters ×
+    classifier scores, keep the highest-quality member per cluster
+    (ties → smallest id) — the curation semantics over the same
+    clusters `dedup_near_clusters` marks by smallest id."""
+    clusters = dedup_scale.near_dup_clusters(
+        spread(load(spark, sf, "documents"), "doc_id"),
+        n=SHINGLE_N,
+        k=MINHASH_K,
+        bands=MINHASH_BANDS,
+        threshold=JACCARD_T,
+    ).select("doc_id", "cluster_id")
+    quality = quality_classifier_score(spark, sf).select(
+        "doc_id", "p_quality"
+    )
+    return dedup_scale.keep_best_per_cluster(clusters, quality)
+
+
+def _keep_best_sql() -> str:
+    pairs_sql = _minhash_sql().strip().rstrip(";")
+    return f"""
+WITH RECURSIVE pairs AS (
+{pairs_sql}
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+),
+clus AS (
+  SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node
+),
+scored AS ({_qcls_sql()})
+SELECT c.doc_id, c.cluster_id, s.p_quality,
+       row_number() OVER (
+         PARTITION BY c.cluster_id
+         ORDER BY s.p_quality DESC NULLS LAST, c.doc_id ASC) = 1 AS keep
+FROM clus c LEFT JOIN scored s USING (doc_id)
+"""
+
+
 def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     """16-bit SimHash per document (bit-exact integer construction)."""
     return dedup_scale.simhash16(load(spark, sf, "documents"))
@@ -3948,6 +3994,7 @@ QUERIES: dict[str, tuple] = {
         _split_dedup_aware_sql(),
     ),
     "dedup_near_clusters": (dedup_near_clusters, _near_clusters_sql()),
+    "dedup_keep_best": (dedup_keep_best, _keep_best_sql()),
     "dedup_simhash": (dedup_simhash, _simhash_sql()),
     "dedup_embedding_cosine": (dedup_embedding_cosine, _near_dup_sql()),
     "sim_knn_brute_force": (sim_knn_brute_force, _knn_sql()),

@@ -176,3 +176,31 @@ class TestUnimaxAllocation:
             unimax_allocation(docs, budget_tokens=0)
         with pytest.raises(ValueError):
             unimax_allocation(docs, max_epochs_pct=0)
+
+
+class TestKeepBestPerCluster:
+    def test_quality_overrides_min_id(self, spark):
+        from icnarc_to_philips_linkage_spark.operators.dedup_scale import (
+            keep_best_per_cluster,
+        )
+
+        clusters = spark.createDataFrame(
+            [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)],
+            "doc_id long, cluster_id long",
+        )
+        quality = spark.createDataFrame(
+            [(1, 0.2), (2, 0.9), (3, 0.9), (10, 0.5), (11, None)],
+            "doc_id long, p_quality double",
+        )
+        out = {
+            r.doc_id: r
+            for r in keep_best_per_cluster(clusters, quality).collect()
+        }
+        # cluster 1: docs 2 and 3 tie at 0.9 -> smaller id 2 wins
+        # (min-id convention would have kept doc 1)
+        assert out[2].keep and not out[1].keep and not out[3].keep
+        # cluster 10: NULL quality ranks last
+        assert out[10].keep and not out[11].keep
+        # exactly one keeper per cluster
+        keepers = [r for r in out.values() if r.keep]
+        assert len(keepers) == 2
