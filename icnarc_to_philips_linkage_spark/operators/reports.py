@@ -139,3 +139,48 @@ def corpus_datasheet(
             ).alias("dup_rate"),
         )
     )
+
+
+def source_overlap_report(
+    pairs: DataFrame,
+    labels: DataFrame,
+    id_col: str = "doc_id",
+    label_col: str = "source",
+    sim_col: str = "jaccard",
+) -> DataFrame:
+    """Cross-source duplication matrix: which sources copy from each
+    other. ``pairs`` is any near-dup pair table (id_a, id_b, sim) —
+    e.g. the MinHash-LSH output; ``labels`` maps id → source. Pairs
+    aggregate into unordered source pairs (diagonal = within-source
+    duplication), with pair counts and mean similarity.
+
+    At 100 TB the pair table is already the LSH-bucketed candidate
+    survivor set (corpus-sublinear), and the label attach is two
+    id-keyed joins; the final aggregate has at most |sources|² rows.
+    Mean similarity sums exact decimals before one final rounding so
+    the report is partition-order independent.
+
+    Output: (source_a, source_b, n_pairs, avg_sim) with
+    source_a <= source_b.
+    """
+    la = labels.select(
+        F.col(id_col).alias("id_a"), F.col(label_col).alias("__sa")
+    )
+    lb = labels.select(
+        F.col(id_col).alias("id_b"), F.col(label_col).alias("__sb")
+    )
+    tagged = pairs.join(la, "id_a").join(lb, "id_b")
+    return (
+        tagged.select(
+            F.least("__sa", "__sb").alias("source_a"),
+            F.greatest("__sa", "__sb").alias("source_b"),
+            F.col(sim_col).cast("decimal(38,6)").alias("__sim"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(
+                F.sum("__sim").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_sim"),
+        )
+    )

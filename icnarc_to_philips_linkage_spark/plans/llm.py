@@ -427,6 +427,44 @@ FROM clus c LEFT JOIN scored s USING (doc_id)
 """
 
 
+def report_source_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-source duplication matrix (reports.source_overlap_report):
+    MinHash-LSH near-dup pairs tagged with each side's source, rolled
+    into unordered source-pair counts + mean Jaccard — the 'which
+    feeds copy from each other' screen a multi-source ingest runs
+    before weighting sources."""
+    from icnarc_to_philips_linkage_spark.operators import reports
+
+    docs = spread(load(spark, sf, "documents"), "doc_id")
+    pairs = dedup_scale.minhash_lsh_dedup(
+        docs, n=SHINGLE_N, k=MINHASH_K, bands=MINHASH_BANDS,
+        threshold=JACCARD_T,
+    )
+    labels = load(spark, sf, "documents").select("doc_id", "source")
+    return reports.source_overlap_report(pairs, labels)
+
+
+def _source_overlap_sql() -> str:
+    pairs_sql = _minhash_sql().strip().rstrip(";")
+    return f"""
+WITH pairs AS (
+{pairs_sql}
+),
+tagged AS (
+  SELECT LEAST(da.source, db.source) AS source_a,
+         GREATEST(da.source, db.source) AS source_b,
+         CAST(p.jaccard AS DECIMAL(38,6)) AS sim
+  FROM pairs p
+  JOIN documents da ON da.doc_id = p.id_a
+  JOIN documents db ON db.doc_id = p.id_b
+)
+SELECT source_a, source_b,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       ROUND(CAST(sum(sim) AS DOUBLE) / count(*), 6) AS avg_sim
+FROM tagged GROUP BY source_a, source_b
+"""
+
+
 def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     """16-bit SimHash per document (bit-exact integer construction)."""
     return dedup_scale.simhash16(load(spark, sf, "documents"))
@@ -3995,6 +4033,7 @@ QUERIES: dict[str, tuple] = {
     ),
     "dedup_near_clusters": (dedup_near_clusters, _near_clusters_sql()),
     "dedup_keep_best": (dedup_keep_best, _keep_best_sql()),
+    "report_source_overlap": (report_source_overlap, _source_overlap_sql()),
     "dedup_simhash": (dedup_simhash, _simhash_sql()),
     "dedup_embedding_cosine": (dedup_embedding_cosine, _near_dup_sql()),
     "sim_knn_brute_force": (sim_knn_brute_force, _knn_sql()),

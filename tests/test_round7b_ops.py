@@ -204,3 +204,27 @@ class TestKeepBestPerCluster:
         # exactly one keeper per cluster
         keepers = [r for r in out.values() if r.keep]
         assert len(keepers) == 2
+
+
+def test_source_overlap_report_hand_computed(spark):
+    from icnarc_to_philips_linkage_spark.operators.reports import (
+        source_overlap_report,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (1, 3, 0.5), (4, 5, 0.7)],
+        "id_a long, id_b long, jaccard double",
+    )
+    labels = spark.createDataFrame(
+        [(1, "web"), (2, "web"), (3, "books"), (4, "books"), (5, "web")],
+        "doc_id long, source string",
+    )
+    out = {
+        (r.source_a, r.source_b): r
+        for r in source_overlap_report(pairs, labels).collect()
+    }
+    # (1,2): web-web; (1,3): books-web (ordered); (4,5): books-web
+    assert out[("web", "web")].n_pairs == 1
+    assert out[("web", "web")].avg_sim == 0.9
+    assert out[("books", "web")].n_pairs == 2
+    assert out[("books", "web")].avg_sim == 0.6
