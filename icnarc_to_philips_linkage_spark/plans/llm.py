@@ -2596,6 +2596,122 @@ FROM documents
 """
 
 
+def eval_pii_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Scrubber evaluation against planted ground truth: emails planted
+    into every 7th document, phones into every 11th (the rest stay
+    clean), then the production regexp chain runs and per-kind
+    detection confusions come out — the planted-truth twin of
+    `pii_scrub`'s everything-planted redaction check. Detection is
+    doc-level (n_<kind> > 0); precision/recall are exact ratios."""
+    from icnarc_to_philips_linkage_spark.operators import pii
+
+    pe = F.col("doc_id") % 7 == 0
+    pp = F.col("doc_id") % 11 == 0
+    d = load(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                pe,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@mail.example"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                pp,
+                F.concat(
+                    F.lit(" call 555-010-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+        pe.alias("__pe"),
+        pp.alias("__pp"),
+    )
+    s = pii.scrub_pii(d)
+
+    def _row(kind: str, truth: F.Column, hit: F.Column) -> DataFrame:
+        tp = F.sum((truth & hit).cast("long")).alias("tp")
+        fp = F.sum(((~truth) & hit).cast("long")).alias("fp")
+        fn = F.sum((truth & ~hit).cast("long")).alias("fn")
+        out = s.agg(
+            F.sum(truth.cast("long")).alias("n_planted"), tp, fp, fn
+        )
+        return out.select(
+            F.lit(kind).alias("kind"),
+            "n_planted", "tp", "fp", "fn",
+            F.round(
+                F.when(
+                    F.col("tp") + F.col("fp") > 0,
+                    F.col("tp").cast("double") / (F.col("tp") + F.col("fp")),
+                ),
+                6,
+            ).alias("precision"),
+            F.round(
+                F.when(
+                    F.col("tp") + F.col("fn") > 0,
+                    F.col("tp").cast("double") / (F.col("tp") + F.col("fn")),
+                ),
+                6,
+            ).alias("recall"),
+        )
+
+    email = _row("email", F.col("__pe"), F.col("n_email") > 0)
+    phone = _row("phone", F.col("__pp"), F.col("n_phone") > 0)
+    return email.unionByName(phone)
+
+
+def _pii_recall_sql() -> str:
+    from icnarc_to_philips_linkage_spark.operators.pii import PII_PATTERNS
+
+    planted = (
+        "text || CASE WHEN doc_id % 7 = 0 THEN"
+        " ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example'"
+        " ELSE '' END"
+        " || CASE WHEN doc_id % 11 = 0 THEN"
+        " ' call 555-010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+        " ELSE '' END"
+    )
+    cur = planted
+    counts = []
+    for kind, pat in PII_PATTERNS:
+        counts.append(
+            f"len(regexp_extract_all({cur}, '{pat}')) AS n_{kind}"
+        )
+        cur = f"regexp_replace({cur}, '{pat}', '[{kind.upper()}]', 'g')"
+    conf = """
+  SELECT '{kind}' AS kind,
+         CAST(sum(CASE WHEN {t} THEN 1 ELSE 0 END) AS BIGINT) AS n_planted,
+         CAST(sum(CASE WHEN {t} AND {h} THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(sum(CASE WHEN NOT {t} AND {h} THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(sum(CASE WHEN {t} AND NOT {h} THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         ROUND(CASE WHEN sum(CASE WHEN {t} AND {h} THEN 1 ELSE 0 END)
+                         + sum(CASE WHEN NOT {t} AND {h} THEN 1 ELSE 0 END) > 0
+           THEN CAST(sum(CASE WHEN {t} AND {h} THEN 1 ELSE 0 END) AS DOUBLE)
+                / (sum(CASE WHEN {t} AND {h} THEN 1 ELSE 0 END)
+                   + sum(CASE WHEN NOT {t} AND {h} THEN 1 ELSE 0 END)) END, 6)
+           AS precision,
+         ROUND(CASE WHEN sum(CASE WHEN {t} AND {h} THEN 1 ELSE 0 END)
+                         + sum(CASE WHEN {t} AND NOT {h} THEN 1 ELSE 0 END) > 0
+           THEN CAST(sum(CASE WHEN {t} AND {h} THEN 1 ELSE 0 END) AS DOUBLE)
+                / (sum(CASE WHEN {t} AND {h} THEN 1 ELSE 0 END)
+                   + sum(CASE WHEN {t} AND NOT {h} THEN 1 ELSE 0 END)) END, 6)
+           AS recall
+  FROM scrubbed"""
+    return f"""
+WITH scrubbed AS (
+  SELECT doc_id, doc_id % 7 = 0 AS pe, doc_id % 11 = 0 AS pp,
+         {', '.join(counts)}
+  FROM documents
+)
+{conf.format(kind='email', t='pe', h='n_email > 0')}
+UNION ALL
+{conf.format(kind='phone', t='pp', h='n_phone > 0')}
+"""
+
+
 def reconcile_sources(spark: SparkSession, sf: str) -> DataFrame:
     """Table reconciliation (migration cutover check): documents vs a
     deterministically perturbed copy of itself — every 13th key
@@ -4053,6 +4169,7 @@ QUERIES: dict[str, tuple] = {
     "eval_roc_auc_by_lang": (eval_roc_auc_by_lang, _roc_auc_by_lang_sql()),
     "eval_pr_thresholds": (eval_pr_thresholds, _pr_thresholds_sql()),
     "eval_calibration_bins": (eval_calibration_bins, _calibration_sql()),
+    "eval_pii_recall": (eval_pii_recall, _pii_recall_sql()),
     "curate_token_budget": (curate_token_budget, _token_budget_sql()),
     "sample_unimax_allocation": (sample_unimax_allocation, _unimax_sql()),
     "text_lang_id": (text_lang_id, _lang_id_sql()),
