@@ -562,3 +562,60 @@ def knn_graph_lsh(
         )
     )
     return topk_per_key(sims, "node_id", k)
+
+
+def random_projection(
+    df: DataFrame,
+    in_dim: int,
+    out_dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "jl",
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection to ``out_dim``
+    dimensions: ``proj_j = Σ_i x_i · s_ij / √out_dim`` with a ±1 sign
+    matrix derived from ``md5(salt:i:j)`` hex-digit parity — the
+    fit-free dimensionality reduction you run BEFORE LSH/IVF at
+    corpus scale (no training pass, no model state, reproducible on
+    any engine from the salt alone).
+
+    The sign matrix is in_dim×out_dim CONSTANTS, so it folds into the
+    plan as literal arrays (computed with hashlib here; the oracle
+    re-derives every sign from md5 IN SQL — two independent
+    implementations of the same spec must agree). Projection is a
+    map-side zip_with/aggregate fold per output dimension: zero
+    shuffles, zero per-row hashing, scales with input bytes.
+    Components round to 6dp after the exact-order fold (array order
+    in both engines), keeping results engine-identical.
+
+    Output: (id, proj array<double>[out_dim]).
+    """
+    import hashlib as _hashlib
+    import math as _math
+
+    if out_dim <= 0 or in_dim <= 0:
+        raise ValueError("in_dim and out_dim must be positive")
+    signs = [
+        [
+            1.0
+            if int(
+                _hashlib.md5(f"{salt}:{i}:{j}".encode()).hexdigest()[0], 16
+            ) % 2 == 0
+            else -1.0
+            for i in range(in_dim)
+        ]
+        for j in range(out_dim)
+    ]
+    scale = _math.sqrt(out_dim)
+    comps = [
+        F.round(
+            dot(
+                F.col(vec_col),
+                F.array(*[F.lit(s) for s in signs[j]]),
+            )
+            / F.lit(scale),
+            6,
+        )
+        for j in range(out_dim)
+    ]
+    return df.select(F.col(id_col), F.array(*comps).alias("proj"))

@@ -644,6 +644,37 @@ QUALIFY row_number() OVER (
 """
 
 
+_JL_OUT_DIM = 16
+
+
+def emb_random_projection(spark: SparkSession, sf: str) -> DataFrame:
+    """Fit-free JL projection of the embedding table to 16 dims
+    (similarity.random_projection): literal ±1 sign matrix from md5
+    parity, pure map-side folds. The oracle re-derives every sign
+    from md5 IN SQL — an independent implementation of the spec."""
+    return similarity.random_projection(
+        load(spark, sf, "embeddings"), in_dim=DIM, out_dim=_JL_OUT_DIM
+    )
+
+
+def _random_projection_sql() -> str:
+    comps = []
+    for j in range(_JL_OUT_DIM):
+        sign = (
+            "CASE WHEN (strpos('0123456789abcdef', "
+            f"substr(md5('jl:' || CAST(i - 1 AS VARCHAR) || ':{j}'), 1, 1))"
+            " - 1) % 2 = 0 THEN 1.0 ELSE -1.0 END"
+        )
+        comps.append(
+            "ROUND(list_sum(list_transform(generate_series(1, "
+            f"{DIM}), i -> CAST(embedding[i] AS DOUBLE) * ({sign}))) "
+            f"/ sqrt({_JL_OUT_DIM}), 6)"
+        )
+    return f"""
+SELECT vec_id, [{', '.join(comps)}] AS proj FROM embeddings
+"""
+
+
 def sim_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     """IVF-style ANN: route to nearest label-centroid, search that cell."""
     emb = load(spark, sf, "embeddings")
@@ -4155,6 +4186,7 @@ QUERIES: dict[str, tuple] = {
     "sim_knn_brute_force": (sim_knn_brute_force, _knn_sql()),
     "emb_label_centroids": (emb_label_centroids, EMB_CENTROIDS_SQL),
     "emb_int8_quantize": (emb_int8_quantize, _emb_int8_sql()),
+    "emb_random_projection": (emb_random_projection, _random_projection_sql()),
     "sim_ivf_topk": (sim_ivf_topk, _ivf_sql()),
     "sim_ann_rh_lsh": (sim_ann_rh_lsh, _rh_lsh_sql()),
     "sim_ann_rh_lsh_multiprobe": (sim_ann_rh_lsh_multiprobe, _rh_lsh_multiprobe_sql()),

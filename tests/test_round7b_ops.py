@@ -228,3 +228,85 @@ def test_source_overlap_report_hand_computed(spark):
     assert out[("web", "web")].avg_sim == 0.9
     assert out[("books", "web")].n_pairs == 2
     assert out[("books", "web")].avg_sim == 0.6
+
+
+class TestRandomProjection:
+    def test_distance_preservation_on_average(self, spark):
+        # JL with +-1 signs preserves squared distances in expectation;
+        # with out_dim=16 individual pairs can distort, but the MEAN
+        # ratio over many pairs concentrates near 1.
+        import random
+
+        from icnarc_to_philips_linkage_spark.operators.similarity import (
+            random_projection,
+        )
+
+        rng = random.Random(7)
+        rows = [
+            (i, [rng.gauss(0, 1) for _ in range(64)]) for i in range(80)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        proj = {
+            r.vec_id: r.proj
+            for r in random_projection(df, in_dim=64, out_dim=16).collect()
+        }
+        orig = dict(rows)
+
+        def d2(a, b):
+            return sum((x - y) ** 2 for x, y in zip(a, b))
+
+        ratios = []
+        for a in range(0, 40):
+            b = a + 40
+            ratios.append(d2(proj[a], proj[b]) / d2(orig[a], orig[b]))
+        mean = sum(ratios) / len(ratios)
+        assert 0.8 < mean < 1.2, mean
+
+    def test_deterministic_across_partitionings(self, spark):
+        from icnarc_to_philips_linkage_spark.operators.similarity import (
+            random_projection,
+        )
+
+        rows = [(i, [float(i + j) for j in range(8)]) for i in range(20)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        a = sorted(
+            (r.vec_id, tuple(r.proj))
+            for r in random_projection(
+                df.repartition(1), in_dim=8, out_dim=4
+            ).collect()
+        )
+        b = sorted(
+            (r.vec_id, tuple(r.proj))
+            for r in random_projection(
+                df.repartition(9), in_dim=8, out_dim=4
+            ).collect()
+        )
+        assert a == b
+
+    def test_salt_changes_projection(self, spark):
+        from icnarc_to_philips_linkage_spark.operators.similarity import (
+            random_projection,
+        )
+
+        rows = [(1, [1.0, 2.0, 3.0, 4.0])]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        p1 = random_projection(df, in_dim=4, out_dim=4).collect()[0].proj
+        p2 = random_projection(
+            df, in_dim=4, out_dim=4, salt="other"
+        ).collect()[0].proj
+        assert p1 != p2
+
+    def test_bad_dims_raise(self, spark):
+        import pytest as _pytest
+
+        from icnarc_to_philips_linkage_spark.operators.similarity import (
+            random_projection,
+        )
+
+        df = spark.createDataFrame(
+            [(1, [1.0])], "vec_id long, embedding array<double>"
+        )
+        with _pytest.raises(ValueError):
+            random_projection(df, in_dim=0)
+        with _pytest.raises(ValueError):
+            random_projection(df, in_dim=1, out_dim=0)
