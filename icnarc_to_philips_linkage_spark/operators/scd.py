@@ -53,3 +53,48 @@ def scd2_merge(
     )
     reopened = scd2_from_changelog(merged_log, key, ts_col, attrs)
     return closed.unionByName(reopened)
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    keys: Sequence[str],
+    op_col: str | None = None,
+    broadcast_keys: bool = True,
+) -> DataFrame:
+    """Type-1 MERGE INTO emulation on plain parquet frames: source rows
+    REPLACE matched target rows (update), unmatched source rows insert,
+    and — when ``op_col`` is given — source rows carrying ``'D'``
+    delete their match. The lakehouse-free sibling of ``scd2_merge``
+    (which keeps history; this overwrites in place).
+
+    Shape: ONE anti-join of the target against the source key set plus
+    a union — the source is the CDC batch and is typically dimension-
+    sized, so the anti-join broadcasts and the 100 TB target never
+    shuffles; rewriting only touched partitions is the storage layer's
+    job (partitioned overwrite), not this operator's.
+
+    Precondition (documented, not silently fixed): the source carries
+    at most ONE row per key — a CDC batch with multiple versions per
+    key should be collapsed first (e.g. ``dedup.keep_latest``);
+    duplicate keys here would insert duplicates, exactly as MERGE INTO
+    raises on multiple matches.
+
+    Output: the merged relation with the target's columns.
+    """
+    keys = list(keys)
+    if op_col is not None:
+        upserts = source.filter(
+            (F.col(op_col).isNull()) | (F.col(op_col) != "D")
+        ).drop(op_col)
+        all_keys = source.select(*keys)
+    else:
+        upserts = source
+        all_keys = source.select(*keys)
+    if broadcast_keys:
+        # the CDC batch is dimension-sized in the intended use; pass
+        # broadcast_keys=False for backfill-sized batches and let
+        # AQE pick the join strategy
+        all_keys = F.broadcast(all_keys)
+    untouched = target.join(all_keys, keys, "left_anti")
+    return untouched.unionByName(upserts)

@@ -2743,6 +2743,57 @@ UNION ALL
 """
 
 
+def scd_merge_upsert(spark: SparkSession, sf: str) -> DataFrame:
+    """Type-1 MERGE emulation (scd.merge_upsert) over a deterministic
+    CDC batch against documents: every 7th doc updated (text + ' v2'),
+    every 13th deleted, an every-11th block re-keyed +1e6 as inserts —
+    all three MERGE arms exercised with disjoint update/delete keys.
+    Output is (doc_id, content_hash) of the merged relation."""
+    from icnarc_to_philips_linkage_spark.operators import scd
+
+    t = load(spark, sf, "documents").select("doc_id", "text")
+    upd = t.filter(
+        (F.col("doc_id") % 7 == 0) & (F.col("doc_id") % 13 != 0)
+    ).select(
+        "doc_id",
+        F.concat("text", F.lit(" v2")).alias("text"),
+        F.lit("U").alias("op"),
+    )
+    ins = t.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        "text",
+        F.lit("U").alias("op"),
+    )
+    dele = t.filter(F.col("doc_id") % 13 == 0).select(
+        "doc_id",
+        F.lit(None).cast("string").alias("text"),
+        F.lit("D").alias("op"),
+    )
+    src = upd.unionByName(ins).unionByName(dele)
+    merged = scd.merge_upsert(t, src, ["doc_id"], op_col="op")
+    return merged.select("doc_id", F.md5("text").alias("content_hash"))
+
+
+def _merge_upsert_sql() -> str:
+    return """
+WITH t AS (SELECT doc_id, text FROM documents),
+src AS (
+  SELECT doc_id, text || ' v2' AS text, 'U' AS op
+  FROM t WHERE doc_id % 7 = 0 AND doc_id % 13 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000, text, 'U' FROM t WHERE doc_id % 11 = 0
+  UNION ALL
+  SELECT doc_id, NULL, 'D' FROM t WHERE doc_id % 13 = 0
+),
+up AS (SELECT doc_id, text FROM src WHERE op <> 'D')
+SELECT doc_id, md5(text) AS content_hash FROM (
+  SELECT * FROM t
+  WHERE doc_id NOT IN (SELECT doc_id FROM src)
+  UNION ALL
+  SELECT * FROM up)
+"""
+
+
 def reconcile_sources(spark: SparkSession, sf: str) -> DataFrame:
     """Table reconciliation (migration cutover check): documents vs a
     deterministically perturbed copy of itself — every 13th key
@@ -4202,6 +4253,7 @@ QUERIES: dict[str, tuple] = {
     "eval_pr_thresholds": (eval_pr_thresholds, _pr_thresholds_sql()),
     "eval_calibration_bins": (eval_calibration_bins, _calibration_sql()),
     "eval_pii_recall": (eval_pii_recall, _pii_recall_sql()),
+    "scd_merge_upsert": (scd_merge_upsert, _merge_upsert_sql()),
     "curate_token_budget": (curate_token_budget, _token_budget_sql()),
     "sample_unimax_allocation": (sample_unimax_allocation, _unimax_sql()),
     "text_lang_id": (text_lang_id, _lang_id_sql()),

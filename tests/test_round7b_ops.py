@@ -310,3 +310,37 @@ class TestRandomProjection:
             random_projection(df, in_dim=0)
         with _pytest.raises(ValueError):
             random_projection(df, in_dim=1, out_dim=0)
+
+
+class TestMergeUpsert:
+    def test_all_three_arms(self, spark):
+        from icnarc_to_philips_linkage_spark.operators.scd import (
+            merge_upsert,
+        )
+
+        target = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+        )
+        source = spark.createDataFrame(
+            [(2, "B", "U"), (4, "d", "U"), (3, None, "D")],
+            "k long, v string, op string",
+        )
+        out = {
+            r.k: r.v
+            for r in merge_upsert(target, source, ["k"], op_col="op").collect()
+        }
+        assert out == {1: "a", 2: "B", 4: "d"}  # 3 deleted
+
+    def test_no_op_col_pure_upsert(self, spark):
+        from icnarc_to_philips_linkage_spark.operators.scd import (
+            merge_upsert,
+        )
+
+        target = spark.createDataFrame([(1, "a")], "k long, v string")
+        source = spark.createDataFrame(
+            [(1, "A"), (2, "b")], "k long, v string"
+        )
+        out = {
+            r.k: r.v for r in merge_upsert(target, source, ["k"]).collect()
+        }
+        assert out == {1: "A", 2: "b"}
