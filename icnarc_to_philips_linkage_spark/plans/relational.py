@@ -1209,6 +1209,83 @@ ASOF LEFT JOIN
 """
 
 
+_ATTR_WINDOW_DAYS = 3
+
+
+def ev_last_touch_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    """Last-touch attribution: every purchase matched to the user's
+    most recent click at-or-before it (the as-of composition), counted
+    as attributed when that click falls within a 3-day lookback —
+    purchase counts and exact-decimal revenue split by attribution,
+    plus the mean click→purchase latency. The heavy step is the one
+    as-of union+window; the report is a 2-row aggregate."""
+    from icnarc_to_philips_linkage_spark.operators.timeseries import asof_join
+
+    e = load(spark, sf, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts"), F.col("ts").alias("click_ts")
+    )
+    j = asof_join(
+        purchases, clicks, key="user_id", left_ts="ts",
+        right_ts="cts", value_col="click_ts", out_col="click_ts",
+    )
+    lat_us = F.unix_micros("ts") - F.unix_micros("click_ts")
+    attributed = F.col("click_ts").isNotNull() & (
+        lat_us <= _ATTR_WINDOW_DAYS * 86_400 * 1_000_000
+    )
+    return (
+        j.select(
+            attributed.alias("attributed"),
+            F.col("value").cast("decimal(18,2)").alias("__v"),
+            F.when(attributed, lat_us).alias("__lat"),
+        )
+        .groupBy("attributed")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("__v").cast("double").alias("revenue"),
+            F.round(
+                F.sum("__lat").cast("double")
+                / F.count("__lat")
+                / 60_000_000.0,
+                6,
+            ).alias("avg_latency_min"),
+        )
+    )
+
+
+EV_ATTRIBUTION_SQL = f"""
+WITH j AS (
+  SELECT p.user_id, p.ts, p.value, c.click_ts
+  FROM (SELECT user_id, ts, value FROM events
+        WHERE event_type = 'purchase') p
+  ASOF LEFT JOIN
+       (SELECT user_id, ts AS cts, ts AS click_ts FROM events
+        WHERE event_type = 'click') c
+    ON p.user_id = c.user_id AND p.ts >= c.cts
+),
+tagged AS (
+  SELECT value,
+         click_ts IS NOT NULL AND
+           epoch_us(ts) - epoch_us(click_ts)
+             <= CAST({_ATTR_WINDOW_DAYS} AS BIGINT) * 86400 * 1000000 AS attributed,
+         CASE WHEN click_ts IS NOT NULL AND
+                   epoch_us(ts) - epoch_us(click_ts)
+                     <= CAST({_ATTR_WINDOW_DAYS} AS BIGINT) * 86400 * 1000000
+              THEN epoch_us(ts) - epoch_us(click_ts) END AS lat
+  FROM j
+)
+SELECT attributed,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       ROUND(CAST(sum(lat) AS DOUBLE) / count(lat) / 60000000.0, 6)
+         AS avg_latency_min
+FROM tagged GROUP BY attributed
+"""
+
+
 def ts_asof_forward(spark: SparkSession, sf: str) -> DataFrame:
     """Forward as-of join (timeseries.asof_join_directional): each
     click matched to the user's EARLIEST purchase at-or-after it — the
@@ -3706,6 +3783,10 @@ QUERIES: dict[str, tuple] = {
     "ts_ewma_window": (ts_ewma_window, _ewma_sql()),
     "ts_session_window": (ts_session_window, TS_SESSION_SQL),
     "ts_asof_join": (ts_asof_join, TS_ASOF_SQL),
+    "ev_last_touch_attribution": (
+        ev_last_touch_attribution,
+        EV_ATTRIBUTION_SQL,
+    ),
     "ts_asof_forward": (ts_asof_forward, TS_ASOF_FWD_SQL),
     "ev_rolling_actives": (ev_rolling_actives, EV_ROLLING_ACTIVES_SQL),
     "ts_interval_join": (ts_interval_join, TS_INTERVAL_SQL),
