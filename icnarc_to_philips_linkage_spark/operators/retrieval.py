@@ -367,7 +367,6 @@ def mmr_rerank(
     from icnarc_to_philips_linkage_spark.operators.similarity import (
         cosine_with_norms,
         knn_brute_force,
-        norm_sq,
     )
 
     if not 0.0 <= lam <= 1.0:

@@ -717,7 +717,6 @@ def unimax_allocation(
             ),
         )
         .withColumn("__n", F.count(F.lit(1)).over(w_all))
-        .withColumn("__ptot", F.sum("cap_tokens").over(w_all))
         # materialized as a column: window expressions are illegal
         # inside the filter below
         .withColumn("__prev_cap", F.lag("cap_tokens", 1, 0).over(w_ord))
