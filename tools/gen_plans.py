@@ -95,6 +95,9 @@ MAX_LINES = 60
 MAX_WIDTH = 200
 
 
+HAND_MARKER = "<!-- hand-authored sections below: preserved by gen_plans.py -->"
+
+
 def main() -> int:
     from icnarc_to_philips_linkage_spark.plans.registry import all_queries
     from icnarc_to_philips_linkage_spark.session import get_spark
@@ -124,9 +127,21 @@ def main() -> int:
         out += ["", f"## {name}", "", blurb, "", "```", *lines, "```"]
         spark.catalog.clearCache()
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(repo, "PLANS.md"), "w") as f:
+    path = os.path.join(repo, "PLANS.md")
+    # PLANS.md also carries hand-authored sections (streaming shapes,
+    # round notes) the generator does not know about — everything from
+    # the marker down survives regeneration verbatim
+    tail = ""
+    if os.path.exists(path):
+        prev = open(path).read()
+        if HAND_MARKER in prev:
+            tail = prev[prev.index(HAND_MARKER):]
+    with open(path, "w") as f:
         f.write("\n".join(out) + "\n")
-    print(f"PLANS.md regenerated: {len(SECTIONS)} sections")
+        if tail:
+            f.write("\n" + tail)
+    print(f"PLANS.md regenerated: {len(SECTIONS)} sections"
+          + (" (+ hand-authored tail preserved)" if tail else ""))
     spark.stop()
     return 0
 
