@@ -102,6 +102,7 @@ def global_rank(
     rank_col: str = "rank",
     partitions: int | None = None,
     total_col: str | None = None,
+    return_total: bool = False,
 ) -> DataFrame:
     """Distributed global ordinal: 1-based dense row number over a total
     order — the DataFrame-native replacement for ``rdd.zipWithIndex``
@@ -127,7 +128,10 @@ def global_rank(
     ``total_col`` optionally adds the TOTAL row count as a literal
     column — it falls out of the per-partition counts this op already
     collected, so rank-fraction math (NTILE buckets, percentile
-    positions) costs no extra pass over the data.
+    positions) costs no extra pass over the data. ``return_total``
+    returns ``(frame, total)`` instead — the driver already knows the
+    sum, so callers that loop on cardinality (prefix doubling's
+    all-ranks-singleton exit) get it without any extra job.
     """
     local = _global_rank_stage(df, order_cols, partitions).localCheckpoint(
         eager=True
@@ -150,6 +154,69 @@ def global_rank(
     ).drop("__pid", "__local_rn")
     if total_col is not None:
         out = out.withColumn(total_col, F.lit(acc).cast("long"))
+    if return_total:
+        return out, acc
+    return out
+
+
+def global_dense_rank(
+    df: DataFrame,
+    order_cols: list[str],
+    rank_col: str = "rank",
+    partitions: int | None = None,
+    return_total: bool = False,
+):
+    """Equality-consistent DENSE global rank (equal keys → equal rank,
+    ranks 1..#distinct) without materializing a distinct frame: range
+    exchange on the keys (equal keys co-partition by the range
+    partitioner's boundary semantics), per-partition ``dense_rank``,
+    and offsets folded back as literals — each partition's distinct-key
+    count is just its max local dense rank, so the offsets need no
+    extra aggregation over keys.
+
+    This is the rank shape iterative algorithms want: ranking via
+    ``global_rank`` over ``keys.distinct()`` costs the distinct
+    shuffle, the range shuffle AND a corpus-wide join of the full
+    frame back to its ranked keys; this op is ONE wide shuffle and no
+    join (prefix doubling drops a corpus-wide join per round — see
+    operators/suffixes.py). ``return_total`` returns
+    ``(frame, n_distinct)`` driver-side for free, as in
+    ``global_rank``.
+    """
+    ordering = [F.col(c) for c in order_cols]
+    ranged = (
+        df.repartitionByRange(partitions, *ordering)
+        if partitions
+        else df.repartitionByRange(*ordering)
+    )
+    w = Window.partitionBy("__pid").orderBy(*ordering)
+    local = ranged.withColumn("__pid", F.spark_partition_id()).withColumn(
+        "__local_dr", F.dense_rank().over(w)
+    )
+    # localCheckpoint pins partition identity between the counts
+    # collect and the final evaluation (see global_rank)
+    local = local.localCheckpoint(eager=True)
+    counts = (
+        local.groupBy("__pid")
+        .agg(F.max("__local_dr").alias("__n"))
+        .orderBy("__pid")
+        .collect()
+    )
+    offsets, acc = {}, 0
+    for r in counts:
+        offsets[r["__pid"]] = acc
+        acc += r["__n"]
+    off = None
+    for pid, o in offsets.items():
+        off = (F.when if off is None else off.when)(
+            F.col("__pid") == pid, F.lit(o)
+        )
+    off = off.otherwise(F.lit(0)) if off is not None else F.lit(0)
+    out = local.withColumn(
+        rank_col, (off + F.col("__local_dr")).cast("long")
+    ).drop("__pid", "__local_dr")
+    if return_total:
+        return out, acc
     return out
 
 

@@ -18,9 +18,10 @@ at 100 TB). Prefix doubling (Manber–Myers) is the distributed answer:
     of the cap-token suffix prefixes.
 
 Ranks must be EQUALITY-CONSISTENT (equal key → equal rank) or the
-next round breaks, so each round ranks the DISTINCT pair keys with
-``scale.global_rank`` (range exchange + partition-local row_number +
-offset literals — never a single-partition window) and joins back.
+next round breaks, so each round dense-ranks the position frame with
+``scale.global_dense_rank`` (range exchange + partition-local
+dense_rank + distinct-count offset literals — never a single-partition
+window, and no distinct-frame/join-back round trip).
 
 Adjacent-pair LCPs (max repeat = max over ADJACENT suffixes in sorted
 order — the classic suffix-array property) are computed by direct
@@ -47,7 +48,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from . import cachereg
-from .scale import global_rank
+from .scale import global_dense_rank, global_rank
 from .text import normalize_expr
 
 
@@ -88,18 +89,15 @@ def suffix_rank(
     order), which replaces the first ``base_level`` doubling rounds
     with one: round count drops from levels+1 rank passes to
     levels-base_level+1. Doubling from a materialized base beats
-    per-token bootstrap because each rank pass costs a distinct + a
-    range sort + a join-back regardless of key width — fewer, slightly
-    wider passes win (measured 25 s → 12 s at sf0.1 moving the base
-    from 1 to 16 tokens). Pushing the base much further starts to pay
-    the naive-sort shuffle-width cost the doubling exists to avoid.
+    per-token bootstrap because each rank pass costs a range sort
+    regardless of key width — fewer, slightly wider passes win
+    (measured 25 s → 12 s at sf0.1 moving the base from 1 to 16
+    tokens; a further 12 → 8 s came from ranking via
+    ``global_dense_rank`` directly on the position frame instead of
+    distinct + rank + join-back). Pushing the base much further
+    starts to pay the naive-sort shuffle-width cost the doubling
+    exists to avoid.
     """
-
-    def rank_of(keys: DataFrame, cols: list[str]) -> DataFrame:
-        return global_rank(
-            keys.distinct(), cols, rank_col="__r", partitions=partitions
-        )
-
     base = 1 << base_level
     keyed = positions.join(
         arrays.select(F.col(id_col), F.col("toks").alias("__t")), id_col
@@ -110,29 +108,30 @@ def suffix_rank(
             F.slice(F.col("__t"), F.col("off"), base), " "
         ).alias("__k"),
     )
-    r = (
-        keyed.join(rank_of(keyed.select("__k"), ["__k"]), "__k")
-        .select(F.col(id_col), "off", F.col("__r").alias("r"))
+    n_pos = positions.count()
+    # dense rank directly on the position frame: one range exchange,
+    # no distinct frame, no corpus-wide join back (global_dense_rank
+    # docstring; measured ~2× on the base pass at sf0.1). The
+    # distinct-key cardinality falls out driver-side for the
+    # singleton-ranks exit below — zero extra jobs.
+    ranked, n_keys = global_dense_rank(
+        keyed, ["__k"], rank_col="r", partitions=partitions,
+        return_total=True,
     )
+    r = ranked.select(F.col(id_col), "off", "r")
     for k in range(base_level, levels):
         h = 1 << k
+        # EXACT early exit: every rank class a singleton means no two
+        # suffixes agree on the current depth, so deeper rounds refine
+        # nothing — and singleton-ness is exactly "as many distinct
+        # keys as positions", known driver-side from the rank pass
+        # itself (zero extra jobs). Real text exits after a few
+        # rounds (most 4-8-token contexts are unique), which keeps the
+        # round count data-bounded instead of always log2(cap).
+        if n_keys == n_pos:
+            break
         r = r.persist()
         cachereg.track(r)
-        # EXACT early exit: once every rank class is a singleton, no
-        # two suffixes agree on the current depth, so deeper rounds
-        # refine nothing — the order is already the capped-suffix
-        # order. Real text reaches this after a few rounds (most
-        # 4-8-token contexts are unique), which is what keeps the
-        # round count data-bounded instead of always log2(cap).
-        if (
-            r.groupBy("r")
-            .count()
-            .filter(F.col("count") > 1)
-            .limit(1)
-            .count()
-            == 0
-        ):
-            break
         nxt = r.select(
             F.col(id_col),
             (F.col("off") - h).alias("off"),
@@ -146,11 +145,11 @@ def suffix_rank(
             # so a shorter prefix sorts before every extension of it
             F.coalesce("rb", F.lit(0)).alias("rb"),
         )
-        r = (
-            paired.join(rank_of(paired.select("ra", "rb"), ["ra", "rb"]),
-                        ["ra", "rb"])
-            .select(F.col(id_col), "off", F.col("__r").alias("r"))
+        ranked, n_keys = global_dense_rank(
+            paired, ["ra", "rb"], rank_col="r", partitions=partitions,
+            return_total=True,
         )
+        r = ranked.select(F.col(id_col), "off", "r")
     return r
 
 
