@@ -217,3 +217,74 @@ def test_compact_parquet_sorted_rewrite_tightens_envelopes(spark, tmp_path):
     envelopes.sort()
     for (lo1, hi1), (lo2, hi2) in zip(envelopes, envelopes[1:]):
         assert hi1 <= lo2  # disjoint ranges
+
+
+class TestGlobalDenseRank:
+    def test_matches_distinct_rank_join(self, spark):
+        """Dense rank must equal the rank you'd get from
+        global_rank(keys.distinct()) joined back — the shape it
+        replaces."""
+        from pyspark.sql import functions as F
+
+        from icnarc_to_philips_linkage_spark.operators.scale import (
+            global_dense_rank,
+            global_rank,
+        )
+
+        df = spark.createDataFrame(
+            [(i, f"k{i % 17:03d}") for i in range(200)], "id long, k string"
+        ).repartition(7)
+        dense = {
+            (r.id, r.rank)
+            for r in global_dense_rank(df, ["k"], rank_col="rank").collect()
+        }
+        ref_ranks = global_rank(
+            df.select("k").distinct(), ["k"], rank_col="rank"
+        )
+        ref = {
+            (r.id, r.rank)
+            for r in df.join(ref_ranks, "k").select("id", "rank").collect()
+        }
+        assert dense == ref
+
+    def test_equal_keys_equal_rank_dense_range(self, spark):
+        from icnarc_to_philips_linkage_spark.operators.scale import (
+            global_dense_rank,
+        )
+
+        df = spark.createDataFrame(
+            [(i, i % 5) for i in range(50)], "id long, k int"
+        ).repartition(11)
+        out, total = global_dense_rank(
+            df, ["k"], rank_col="rank", return_total=True
+        )
+        rows = out.collect()
+        assert total == 5
+        by_key = {}
+        for r in rows:
+            by_key.setdefault(r.k, set()).add(r.rank)
+        # one rank per key, ranks exactly 1..5, ascending with key
+        assert all(len(v) == 1 for v in by_key.values())
+        ranks = [by_key[k].pop() for k in sorted(by_key)]
+        assert ranks == [1, 2, 3, 4, 5]
+
+    def test_partition_count_invariance(self, spark):
+        from icnarc_to_philips_linkage_spark.operators.scale import (
+            global_dense_rank,
+        )
+
+        rows = [(i, f"x{i % 13}") for i in range(100)]
+        df = spark.createDataFrame(rows, "id long, k string")
+        a = sorted(
+            (r.id, r.rank)
+            for r in global_dense_rank(
+                df.repartition(1), ["k"], rank_col="rank", partitions=3
+            ).collect()
+        )
+        b = sorted(
+            (r.id, r.rank)
+            for r in global_dense_rank(
+                df.repartition(17), ["k"], rank_col="rank", partitions=9
+            ).collect()
+        )
+        assert a == b
