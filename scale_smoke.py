@@ -413,6 +413,32 @@ def main() -> int:
         "ssjoin_rs_1m_x_2k_docs", timings["ssjoin_rs_1m_x_2k_docs"],
         "pairs", n_rs, "planted_found", n_rs_planted, flush=True,
     )
+    # exact tie-aware ROC AUC over the full n rows: score on the 1e-6
+    # grid (the classifier's emission grid), label a biased coin whose
+    # bias rises linearly with score — the construction's theoretical
+    # AUC is 2/3, so the printed value doubles as a correctness check.
+    # The one ordered pass runs over the ≤ 1e6+1-row distinct-score
+    # aggregate, never the corpus (operators/evaluation.py).
+    from icnarc_to_philips_linkage_spark.operators.evaluation import (
+        roc_auc,
+    )
+
+    scored = spark.range(n).select(
+        (F.pmod(F.xxhash64("id"), F.lit(1_000_001)) / 1_000_000.0).alias(
+            "score"
+        ),
+        (
+            F.pmod(F.xxhash64("id", F.lit(1)), F.lit(2_000_000))
+            < F.pmod(F.xxhash64("id"), F.lit(1_000_001)) + F.lit(500_000)
+        ).alias("label"),
+    )
+    t = time.time()
+    auc_row = roc_auc(scored, "score", "label").collect()[0]
+    timings["roc_auc_full_table"] = round(time.time() - t, 2)
+    print(
+        "roc_auc_full_table", timings["roc_auc_full_table"],
+        "auc", auc_row.auc, flush=True,
+    )
     print(
         json.dumps(
             {"n_rows": n, "gen_sec": gen_sec, "timings_sec": timings}
