@@ -511,3 +511,34 @@ def test_audio_neardup_join_is_banded(spark):
     plan = plan_of(fn(spark, SF_SMOKE))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_global_dense_rank_single_wide_exchange(spark):
+    """global_dense_rank's pre-checkpoint stage must be ONE range
+    exchange + a partitioned window — no distinct aggregate, no join
+    (the shape that replaced distinct+rank+join-back in the suffix
+    pipeline)."""
+    from icnarc_to_philips_linkage_spark.operators.scale import (
+        global_dense_rank,
+    )
+
+    df = load(spark, SF_SMOKE, "documents").select("source")
+    out = global_dense_rank(df, ["source"], rank_col="r")
+    # the returned frame reads the checkpoint; assert the final stage
+    # is narrow (offsets are literals)
+    plan = plan_of(out)
+    assert "Scan ExistingRDD" in plan
+    assert "Exchange" not in plan, f"post-checkpoint must be narrow:\n{plan}"
+    assert "Join" not in plan, f"no join-back exists in this shape:\n{plan}"
+    # with an explicit multi-partition range, the non-zero offsets
+    # survive constant folding and show as the literal CASE map
+    spread_out = global_dense_rank(
+        load(spark, SF_SMOKE, "documents").select("source"),
+        ["source"],
+        rank_col="r",
+        partitions=4,
+    )
+    spread_plan = plan_of(spread_out)
+    assert spread_plan.count(" THEN ") >= 1, (
+        f"offsets must fold in as a literal CASE map:\n{spread_plan}"
+    )

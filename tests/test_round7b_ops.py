@@ -344,3 +344,32 @@ class TestMergeUpsert:
             r.k: r.v for r in merge_upsert(target, source, ["k"]).collect()
         }
         assert out == {1: "A", 2: "b"}
+
+
+def test_merge_upsert_property_vs_dict_reference(spark):
+    """Randomized MERGE batches against a driver-side dict model:
+    apply the same update/insert/delete stream both ways; results
+    must agree exactly."""
+    import random
+
+    from icnarc_to_philips_linkage_spark.operators.scd import merge_upsert
+
+    rng = random.Random(42)
+    target_rows = [(k, f"v{k}") for k in range(50)]
+    model = dict(target_rows)
+    src_rows = []
+    for k in rng.sample(range(80), 40):
+        op = rng.choice(["U", "U", "D"])
+        if op == "D":
+            src_rows.append((k, None, "D"))
+            model.pop(k, None)
+        else:
+            src_rows.append((k, f"new{k}", "U"))
+            model[k] = f"new{k}"
+    target = spark.createDataFrame(target_rows, "k long, v string")
+    source = spark.createDataFrame(src_rows, "k long, v string, op string")
+    out = {
+        r.k: r.v
+        for r in merge_upsert(target, source, ["k"], op_col="op").collect()
+    }
+    assert out == model
