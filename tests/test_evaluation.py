@@ -146,6 +146,8 @@ class TestCalibrationBins:
             )
 
 
+@pytest.mark.slow  # 5 greedy rounds x 2 lam settings (~30 s); the
+# full differential runs in test_oracle.py's slow lane anyway
 class TestMmrRerank:
     def _emb(self, spark):
         # query 100 -> [1,0,0,0]; docs: 0 & 1 near-identical high-rel,

@@ -25,6 +25,7 @@ def test_synth_wav_decodes_with_stdlib_wave(spark):
             assert w.getnframes() == 64 * 25
 
 
+@pytest.mark.slow  # 60 WAV syntheses + banded join; oracle-covered
 def test_audio_fingerprint_planted_neardups_found_exactly(spark):
     media = multimodal.synth_wav_media(_ids(spark, 60))
     fps = multimodal.audio_energy_fingerprint(media)
@@ -38,6 +39,7 @@ def test_audio_fingerprint_planted_neardups_found_exactly(spark):
     assert all(r.hamming <= 6 for r in pairs)
 
 
+@pytest.mark.slow
 def test_audio_fingerprint_gain_invariance(spark):
     # energy-delta bits compare ADJACENT frames, so a uniform gain
     # change (scaling every amplitude) preserves the fingerprint —
