@@ -253,3 +253,73 @@ def calibration_bins(
             round_dp,
         ).alias("ece_contrib"),
     )
+
+
+def ks_separation(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    round_dp: int = 9,
+) -> DataFrame:
+    """Kolmogorov–Smirnov separation of the score distributions:
+    ``KS = max_s |CDF_pos(s) − CDF_neg(s)|`` — the classifier-
+    separability statistic reported next to AUC (credit-scoring "KS");
+    also the threshold where Youden's J peaks. Same scale shape as
+    ``roc_auc``: one per-distinct-score aggregate bounds everything
+    downstream at the score grid; the cumulative pass never sees the
+    corpus. Integer numerators until the final divisions, so engines
+    agree bit-for-bit.
+
+    Returns one row: ``n_pos, n_neg, ks, ks_score`` — ``ks_score`` is
+    the score where the gap peaks (smallest such score on ties).
+    Degenerate single-class slices return NULL ks/ks_score.
+    """
+    lbl = F.col(label_col).cast("boolean")
+    per_score = (
+        df.filter(F.col(score_col).isNotNull() & lbl.isNotNull())
+        .groupBy(F.col(score_col).alias("__s"))
+        .agg(
+            F.count(F.lit(1)).alias("__c"),
+            F.sum(lbl.cast("long")).alias("__p"),
+        )
+    )
+    w = (
+        Window.partitionBy()
+        .orderBy("__s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy()
+    cum = (
+        per_score.withColumn("__cp", F.sum("__p").over(w))
+        .withColumn("__cn", F.sum(F.col("__c") - F.col("__p")).over(w))
+        .withColumn("__tp", F.sum("__p").over(w_all))
+        .withColumn("__tn", F.sum(F.col("__c") - F.col("__p")).over(w_all))
+    )
+    gap = F.abs(
+        F.col("__cp").cast("double") / F.col("__tp")
+        - F.col("__cn").cast("double") / F.col("__tn")
+    )
+    scored = cum.select(
+        "__s", "__tp", "__tn", F.round(gap, round_dp).alias("__gap")
+    )
+    best = (
+        scored.withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy().orderBy(
+                    F.desc("__gap"), F.asc("__s")
+                )
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+    )
+    return best.select(
+        F.col("__tp").alias("n_pos"),
+        F.col("__tn").alias("n_neg"),
+        F.when(
+            (F.col("__tp") > 0) & (F.col("__tn") > 0), F.col("__gap")
+        ).alias("ks"),
+        F.when(
+            (F.col("__tp") > 0) & (F.col("__tn") > 0), F.col("__s")
+        ).alias("ks_score"),
+    )

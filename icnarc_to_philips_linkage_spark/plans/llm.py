@@ -1369,6 +1369,48 @@ FROM agg
 """
 
 
+def eval_ks_separation(spark: SparkSession, sf: str) -> DataFrame:
+    """KS separation of the quality classifier's score distributions
+    (evaluation.ks_separation): max CDF gap between positive and
+    negative documents plus the score where it peaks — the
+    separability statistic reported next to AUC, same
+    score-grid-bounded plan shape."""
+    return evaluation.ks_separation(
+        _scored_with_label(spark, sf), "p_quality", "label"
+    )
+
+
+def _ks_separation_sql() -> str:
+    return f"""
+WITH {_eval_labeled_cte()},
+per AS (
+  SELECT p, count(*) AS c, sum(CASE WHEN y THEN 1 ELSE 0 END) AS pos
+  FROM lab GROUP BY p
+),
+cum AS (
+  SELECT p,
+         sum(pos) OVER (ORDER BY p
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp,
+         sum(c - pos) OVER (ORDER BY p
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn,
+         sum(pos) OVER () AS tp,
+         sum(c - pos) OVER () AS tn
+  FROM per
+),
+g AS (
+  SELECT p, CAST(tp AS BIGINT) AS tp, CAST(tn AS BIGINT) AS tn,
+         ROUND(ABS(CAST(cp AS DOUBLE) / tp
+                   - CAST(cn AS DOUBLE) / tn), 9) AS gap
+  FROM cum
+)
+SELECT tp AS n_pos, tn AS n_neg,
+       CASE WHEN tp > 0 AND tn > 0 THEN gap END AS ks,
+       CASE WHEN tp > 0 AND tn > 0 THEN p END AS ks_score
+FROM g
+QUALIFY row_number() OVER (ORDER BY gap DESC, p ASC) = 1
+"""
+
+
 _EVAL_THRESHOLDS = (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
 
 
@@ -4250,6 +4292,7 @@ QUERIES: dict[str, tuple] = {
     "quality_classifier_score": (quality_classifier_score, _qcls_sql()),
     "eval_roc_auc": (eval_roc_auc, _roc_auc_sql()),
     "eval_roc_auc_by_lang": (eval_roc_auc_by_lang, _roc_auc_by_lang_sql()),
+    "eval_ks_separation": (eval_ks_separation, _ks_separation_sql()),
     "eval_pr_thresholds": (eval_pr_thresholds, _pr_thresholds_sql()),
     "eval_calibration_bins": (eval_calibration_bins, _calibration_sql()),
     "eval_pii_recall": (eval_pii_recall, _pii_recall_sql()),

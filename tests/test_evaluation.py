@@ -314,3 +314,47 @@ class TestSelectTokenBudget:
 
         with _pytest.raises(ValueError):
             select_token_budget(self._docs(spark), 0)
+
+
+class TestKsSeparation:
+    def test_hand_computed(self, spark):
+        # pos at {0.8, 0.6}, neg at {0.4, 0.2}: full separation, KS=1
+        # at the largest neg score
+        df = _df(
+            spark,
+            [(0.8, True), (0.6, True), (0.4, False), (0.2, False)],
+        )
+        r = evaluation.ks_separation(df, "score", "label").collect()[0]
+        assert (r.n_pos, r.n_neg) == (2, 2)
+        assert r.ks == 1.0
+        assert r.ks_score == 0.4
+
+    def test_interleaved_partial_gap(self, spark):
+        # scores asc: 0.1(N) 0.2(P) 0.3(N) 0.4(P):
+        # cum fractions after each: pos 0,.5,.5,1 / neg .5,.5,1,1
+        # gaps: .5, 0, .5, 0 -> KS .5 at smallest peak score 0.1
+        df = _df(
+            spark,
+            [(0.1, False), (0.2, True), (0.3, False), (0.4, True)],
+        )
+        r = evaluation.ks_separation(df, "score", "label").collect()[0]
+        assert r.ks == pytest.approx(0.5)
+        assert r.ks_score == 0.1
+
+    def test_degenerate_single_class(self, spark):
+        df = _df(spark, [(0.5, True), (0.3, True)])
+        r = evaluation.ks_separation(df, "score", "label").collect()[0]
+        assert r.ks is None and r.ks_score is None
+
+    def test_partition_invariance(self, spark):
+        rows = [
+            (round(0.05 * (i % 19), 3), (i * 7) % 3 == 0)
+            for i in range(150)
+        ]
+        a = evaluation.ks_separation(
+            _df(spark, rows).repartition(1), "score", "label"
+        ).collect()[0]
+        b = evaluation.ks_separation(
+            _df(spark, rows).repartition(13), "score", "label"
+        ).collect()[0]
+        assert a == b
