@@ -34,6 +34,31 @@ from icnarc_to_philips_linkage_spark.functions.expressions import (
 from icnarc_to_philips_linkage_spark.operators.text import shingles, tokens
 
 
+def _threshold_ratio(threshold: float) -> tuple[int, int]:
+    """Exact rational p/q for a similarity threshold.
+
+    PPJoin's pruning bounds (prefix length, size filter, positional
+    overlap bound alpha) all take ceil() at integral boundaries, and a
+    double product can round UP across such a boundary: 0.8 is
+    0.8000000000000000444… in binary, so
+    alpha = ceil(t/(1+t)·(na+nb)) overshoots the true bound by 1
+    whenever p·(na+nb) is an exact multiple of p+q (e.g. t=0.8,
+    |a|=28, |b|=35, overlap=28 → true J = 0.8 exactly, float alpha=29
+    kills the pair) — violating the guaranteed-recall/EXACT contract.
+    All bounds are therefore evaluated with integer cross-
+    multiplication on p/q = Fraction(str(threshold)) (the scaled-
+    integer technique already used in retrieval.mmr_rerank):
+    ubound·(p+q) >= p·(na+nb), p·nb <= q·na, and the prefix length
+    uses integer div for ceil(p·n/q). Fraction(str(t)) — not
+    Fraction(t) — so the rational matches the DECIMAL threshold the
+    caller wrote, which is also what the DuckDB oracles compare
+    against."""
+    from fractions import Fraction
+
+    fr = Fraction(str(threshold))
+    return fr.numerator, fr.denominator
+
+
 def exact_dedup_groups(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -983,14 +1008,19 @@ def jaccard_prefix_join(
         )
     else:
         raise ValueError(f"unknown order_mode {order_mode!r}")
+    p, q = _threshold_ratio(threshold)
     ordered = (
         ranked.withColumn(
             "__prefix",
             F.slice(
                 "__tk",
                 1,
-                (F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1
-                 ).cast("int"),
+                # n - ceil(t·n) + 1 with ceil(p·n/q) as pure integer
+                # div — see _threshold_ratio for why never a double
+                F.expr(
+                    f"CAST(__n - (({p}L * __n + {q - 1}) div {q}) + 1"
+                    " AS int)"
+                ),
             ),
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -1012,16 +1042,18 @@ def jaccard_prefix_join(
     # PPJoin positional filter: a match at prefix positions (i, j)
     # bounds the whole intersection by 1 + min(na-i, nb-j) remaining
     # elements; candidates that cannot reach the overlap requirement
-    # alpha = ceil(t/(1+t)·(na+nb)) die BEFORE the pair materializes.
-    # alpha's multiplier is a single precomputed double literal —
-    # the oracle embeds the identical repr, so the ceil boundary is
-    # engine-identical (the final jaccard filter keeps exactness
-    # regardless; this only prunes verification work).
-    alpha_mult = threshold / (1.0 + threshold)
-    alpha = F.ceil(F.lit(alpha_mult) * (a["__na"] + b["__nb"]))
-    ubound = 1 + F.least(
-        a["__na"] - a["__pa"] - 1, b["__nb"] - b["__pb"] - 1
-    )
+    # alpha = ceil(t/(1+t)·(na+nb)) = ceil(p·(na+nb)/(p+q)) die BEFORE
+    # the pair materializes. All three pruning predicates are integer
+    # cross-multiplications on the exact rational p/q — a double
+    # product can overshoot a ceil boundary and prune a genuine
+    # J == threshold pair (see _threshold_ratio). The final jaccard
+    # filter keeps exactness of EMITTED pairs regardless; the rational
+    # bounds keep COMPLETENESS exact too.
+    na_l, nb_l = a["__na"].cast("long"), b["__nb"].cast("long")
+    ubound = (
+        1
+        + F.least(a["__na"] - a["__pa"] - 1, b["__nb"] - b["__pb"] - 1)
+    ).cast("long")
     # dedupe on the BARE id pair (a pair can match on several prefix
     # tokens): a distinct over rows still carrying both token arrays
     # shuffles pair-count × 2·|set| strings — measured GC-thrash at
@@ -1032,9 +1064,9 @@ def jaccard_prefix_join(
             b,
             (a["__token"] == b["__token"])
             & (a["id_a"] < b["id_b"])
-            & (b["__nb"] * t_lit <= a["__na"])
-            & (a["__na"] * t_lit <= b["__nb"])
-            & (ubound >= alpha),
+            & (F.lit(p) * nb_l <= F.lit(q) * na_l)
+            & (F.lit(p) * na_l <= F.lit(q) * nb_l)
+            & (ubound * F.lit(p + q) >= F.lit(p) * (na_l + nb_l)),
         )
         .select("id_a", "id_b")
         .distinct()
@@ -1185,14 +1217,19 @@ def jaccard_prefix_join_rs(
     else:
         raise ValueError(f"unknown order_mode {order_mode!r}")
 
+    p, q = _threshold_ratio(threshold)
+
     def _with_prefix(side: DataFrame) -> DataFrame:
         return side.withColumn(
             "__prefix",
             F.slice(
                 "__tk",
                 1,
-                (F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1
-                 ).cast("int"),
+                # exact-rational ceil — see _threshold_ratio
+                F.expr(
+                    f"CAST(__n - (({p}L * __n + {q - 1}) div {q}) + 1"
+                    " AS int)"
+                ),
             ),
         )
 
@@ -1211,19 +1248,19 @@ def jaccard_prefix_join_rs(
         F.posexplode("__prefix").alias("__pb", "__token"),
     )
     t_lit = F.lit(float(threshold))
-    alpha = F.ceil(
-        F.lit(threshold / (1.0 + threshold)) * (a["__na"] + b["__nb"])
-    )
-    ubound = 1 + F.least(
-        a["__na"] - a["__pa"] - 1, b["__nb"] - b["__pb"] - 1
-    )
+    # integer cross-multiplied pruning bounds — see _threshold_ratio
+    na_l, nb_l = a["__na"].cast("long"), b["__nb"].cast("long")
+    ubound = (
+        1
+        + F.least(a["__na"] - a["__pa"] - 1, b["__nb"] - b["__pb"] - 1)
+    ).cast("long")
     cand_ids = (
         a.join(
             F.broadcast(b),
             (a["__token"] == b["__token"])
-            & (b["__nb"] * t_lit <= a["__na"])
-            & (a["__na"] * t_lit <= b["__nb"])
-            & (ubound >= alpha),
+            & (F.lit(p) * nb_l <= F.lit(q) * na_l)
+            & (F.lit(p) * na_l <= F.lit(q) * nb_l)
+            & (ubound * F.lit(p + q) >= F.lit(p) * (na_l + nb_l)),
         )
         .select("id_l", "id_r")
         .distinct()

@@ -26,9 +26,12 @@ Scale shape, in order:
   in INTEGERS until the final division: with ``c`` = count and ``b`` =
   count of strictly-lower scores at a tied block, the block's average
   rank is ``b + (c+1)/2``, so ``2·rank_sum = pos·(2b + c + 1)`` is
-  integral; ``AUC = (2·U) / (2·n_pos·n_neg)`` divides two exact longs,
+  integral; it accumulates as ``decimal(38,0)`` (a long sum wraps
+  silently under the session's ansi=false once n_pos·n ≈ 2^63) and
+  ``AUC = (2·U) / (2·n_pos·n_neg)`` divides two exact integers,
   making the statistic bit-reproducible across engines and partition
-  counts (no float accumulation order to disagree on).
+  counts (no float accumulation order to disagree on) up to
+  ~7e18 input rows.
 - ``pr_at_thresholds`` and ``calibration_bins`` are single
   ``groupBy`` plans with threshold-grid / bin cardinality, i.e. one
   shuffle of at most ``len(thresholds)`` / ``bins`` rows.
@@ -105,11 +108,20 @@ def roc_auc_by(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     # __b = strictly-lower count; 2·(avg rank of the tied block) =
-    # 2·__b + __c + 1, integral by construction
+    # 2·__b + __c + 1, integral by construction. The rank-sum product
+    # and its correction term accumulate as decimal(38,0), NOT long:
+    # with ansi off (session default) a long sum wraps SILENTLY, and
+    # __p·(2b+c+1) approaches 2^63 once n_pos·n ≈ 2e9·2e9 on balanced
+    # labels — well inside a 100 TB labelled slice. decimal(38,0)
+    # stays exact to n ≈ 7e18 rows (n·(2n+1) ≤ 1e38), i.e. any corpus
+    # whose row count fits in a long, preserving the bit-reproducible
+    # claim.
     ranked = per_score.withColumn(
         "__b", F.sum("__c").over(w) - F.col("__c")
     ).withColumn(
-        "__rs2", F.col("__p") * (F.lit(2) * F.col("__b") + F.col("__c") + 1)
+        "__rs2",
+        F.col("__p").cast("decimal(38,0)")
+        * (F.lit(2) * F.col("__b") + F.col("__c") + 1).cast("decimal(38,0)"),
     )
     return ranked.groupBy(*gcols).agg(
         F.sum("__p").alias("n_pos"),
@@ -124,7 +136,8 @@ def roc_auc_by(
             F.round(
                 (
                     F.col("__rs2_tot")
-                    - F.col("n_pos") * (F.col("n_pos") + 1)
+                    - F.col("n_pos").cast("decimal(38,0)")
+                    * (F.col("n_pos") + 1).cast("decimal(38,0)")
                 ).cast("double")
                 / (F.lit(2.0) * F.col("n_pos") * F.col("n_neg")),
                 round_dp,
@@ -313,7 +326,17 @@ def ks_separation(
         )
         .filter(F.col("__rn") == 1)
     )
-    return best.select(
+    # ALWAYS one output row: the argmax row-number filter yields ZERO
+    # rows on an empty/fully-filtered input, so anchor on a literal
+    # single-row frame and LEFT-join the (≤1 row, broadcast) argmax —
+    # empty input then returns one all-NULL row, matching roc_auc's
+    # degenerate global-aggregate behavior (unattended monitoring
+    # callers index result[0]).
+    one = df.sparkSession.range(1).select(F.lit(1).alias("__k"))
+    best_k = best.select(
+        F.lit(1).alias("__k"), "__tp", "__tn", "__gap", "__s"
+    )
+    return one.join(F.broadcast(best_k), "__k", "left").select(
         F.col("__tp").alias("n_pos"),
         F.col("__tn").alias("n_neg"),
         F.when(
@@ -322,4 +345,122 @@ def ks_separation(
         F.when(
             (F.col("__tp") > 0) & (F.col("__tn") > 0), F.col("__s")
         ).alias("ks_score"),
+    )
+
+
+def discount_table(k: int, scale: int = 10**12) -> list[int]:
+    """Integer DCG discounts for ranks 1..k: round(scale / log2(r+1)).
+
+    The log2 is evaluated ONCE, driver-side, into a k-length literal
+    list — both the Spark plan and the DuckDB oracle embed the SAME
+    integers, so the irrational discounts can never diverge between
+    engines (the roc_auc bit-reproducibility principle applied to
+    nDCG). scale=1e12 keeps six significant decimals after the final
+    6dp rounding with room to spare; sums of k such longs stay far
+    below 2^63 for any sane k."""
+    import math
+
+    return [round(scale / math.log2(r + 1)) for r in range(1, k + 1)]
+
+
+def ndcg_mrr_per_query(
+    truth: DataFrame,
+    ranked: DataFrame,
+    k: int = 10,
+    score_col: str = "cos_sim",
+    id_col: str = "neighbor_id",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-query ranking quality of a retrieval system against a
+    binary-relevance truth set: nDCG@k and reciprocal rank — the
+    tuning harness for the BM25 / RRF / MMR / ANN stack
+    (``recall_at_k`` tells you WHETHER the relevant items are in the
+    list; this tells you WHERE).
+
+    ``truth`` is (query_id, id_col): the relevant set per query (e.g.
+    exact brute-force top-k). ``ranked`` is (query_id, id_col,
+    score_col): the system's candidates; rank = dense position by
+    (score DESC, id ASC), cut at ``k``.
+
+    Exactness: DCG = Σ discount(rank) over relevant hits with the
+    discounts as PRECOMPUTED integer literals (``discount_table``), so
+    per-query DCG/IDCG are exact long sums — no float-accumulation
+    order, no cross-engine log2. nDCG = DCG/IDCG is one double
+    division of exact integers; RR = 1/first_hit_rank likewise. IDCG
+    indexes the cumulative discount literal at min(n_rel, k).
+
+    Scale shape: the ranking window partitions by query and the input
+    is a candidate list (queries × fan-out rows, NOT corpus-scale) —
+    bounded partitions by construction; the discount array is a plan
+    literal; one groupBy(query) aggregate; queries with no ranked hits
+    score 0 via the left join from the truth side.
+
+    Output: (query_id, n_rel, ndcg, rr), rounded to ``round_dp``.
+    """
+    disc = discount_table(k)
+    cum = []
+    acc = 0
+    for d in disc:
+        acc += d
+        cum.append(acc)
+    disc_lit = F.array(*[F.lit(d) for d in disc])
+    cum_lit = F.array(*[F.lit(c) for c in cum])
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    rk = (
+        ranked.select("query_id", id_col, score_col)
+        .withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= k)
+    )
+    hits = rk.join(
+        truth.select("query_id", id_col), ["query_id", id_col]
+    )
+    hq = hits.groupBy("query_id").agg(
+        F.sum(F.element_at(disc_lit, F.col("__rank"))).alias("__dcg"),
+        F.min("__rank").alias("__first"),
+    )
+    tn = truth.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_rel"))
+    idcg = F.element_at(cum_lit, F.least(F.col("n_rel"), F.lit(k)).cast("int"))
+    return tn.join(hq, "query_id", "left").select(
+        "query_id",
+        "n_rel",
+        F.round(
+            F.coalesce(F.col("__dcg"), F.lit(0)).cast("double") / idcg,
+            round_dp,
+        ).alias("ndcg"),
+        F.round(
+            F.coalesce(F.lit(1.0) / F.col("__first"), F.lit(0.0)), round_dp
+        ).alias("rr"),
+    )
+
+
+def ndcg_mrr(
+    truth: DataFrame,
+    ranked: DataFrame,
+    k: int = 10,
+    score_col: str = "cos_sim",
+    id_col: str = "neighbor_id",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Macro-averaged ranking quality: one row (n_queries, mean_ndcg,
+    mean_mrr) over ``ndcg_mrr_per_query``. The means accumulate the
+    6dp-rounded per-query values as decimal(18,6) — an EXACT sum — and
+    divide once as double, so the macro numbers are engine- and
+    partition-order-independent like every other statistic here."""
+    per_q = ndcg_mrr_per_query(
+        truth, ranked, k, score_col, id_col, round_dp
+    )
+    n = F.count(F.lit(1))
+    return per_q.agg(
+        n.alias("n_queries"),
+        F.round(
+            F.sum(F.col("ndcg").cast("decimal(18,6)")).cast("double")
+            / n,
+            round_dp,
+        ).alias("mean_ndcg"),
+        F.round(
+            F.sum(F.col("rr").cast("decimal(18,6)")).cast("double") / n,
+            round_dp,
+        ).alias("mean_mrr"),
     )

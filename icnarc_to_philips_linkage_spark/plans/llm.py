@@ -1411,6 +1411,66 @@ QUALIFY row_number() OVER (ORDER BY gap DESC, p ASC) = 1
 """
 
 
+def eval_ndcg_mrr(spark: SparkSession, sf: str) -> DataFrame:
+    """Ranking-quality evaluation of the multi-probe LSH ANN index
+    against exact brute-force top-5 truth: per-query nDCG@5 and
+    reciprocal rank (evaluation.ndcg_mrr_per_query) — WHERE the
+    relevant neighbors land, complementing sim_recall_eval's WHETHER.
+    FULL hash oracle: both ranking sides are deterministic and
+    SQL-expressible, and the log2 discounts are integer literals from
+    ``evaluation.discount_table`` embedded IDENTICALLY in the Spark
+    plan and the DuckDB SQL, so the irrational discount can never
+    diverge between engines."""
+    emb = load(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < KNN_QUERY_LIMIT)
+    truth = similarity.knn_brute_force(emb, q, k=5)
+    approx = similarity.ann_rh_lsh_multiprobe(
+        emb, q, k=5, n_planes=N_PLANES, dim=DIM
+    )
+    return evaluation.ndcg_mrr_per_query(truth, approx, k=5)
+
+
+def _ndcg_mrr_sql() -> str:
+    disc = evaluation.discount_table(5)
+    cum, acc = [], 0
+    for d in disc:
+        acc += d
+        cum.append(acc)
+    disc_lit = "[" + ", ".join(str(d) for d in disc) + "]"
+    cum_lit = "[" + ", ".join(str(c) for c in cum) + "]"
+    return f"""
+WITH truth AS (
+{_knn_sql()}
+),
+approx AS (
+{_rh_lsh_multiprobe_sql()}
+),
+rk AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
+  FROM approx
+  QUALIFY rnk <= 5
+),
+hits AS (
+  SELECT r.query_id, r.rnk
+  FROM rk r JOIN truth t
+    ON r.query_id = t.query_id AND r.neighbor_id = t.neighbor_id
+),
+hq AS (
+  SELECT query_id, SUM(({disc_lit})[rnk]) AS dcg, MIN(rnk) AS frst
+  FROM hits GROUP BY query_id
+),
+tn AS (SELECT query_id, COUNT(*) AS n_rel FROM truth GROUP BY query_id)
+SELECT tn.query_id, tn.n_rel,
+       ROUND(CAST(COALESCE(hq.dcg, 0) AS DOUBLE)
+             / ({cum_lit})[LEAST(tn.n_rel, 5)], 6) AS ndcg,
+       ROUND(COALESCE(1.0 / hq.frst, 0), 6) AS rr
+FROM tn LEFT JOIN hq USING (query_id)
+"""
+
+
 _EVAL_THRESHOLDS = (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
 
 
@@ -4293,6 +4353,7 @@ QUERIES: dict[str, tuple] = {
     "eval_roc_auc": (eval_roc_auc, _roc_auc_sql()),
     "eval_roc_auc_by_lang": (eval_roc_auc_by_lang, _roc_auc_by_lang_sql()),
     "eval_ks_separation": (eval_ks_separation, _ks_separation_sql()),
+    "eval_ndcg_mrr": (eval_ndcg_mrr, _ndcg_mrr_sql()),
     "eval_pr_thresholds": (eval_pr_thresholds, _pr_thresholds_sql()),
     "eval_calibration_bins": (eval_calibration_bins, _calibration_sql()),
     "eval_pii_recall": (eval_pii_recall, _pii_recall_sql()),

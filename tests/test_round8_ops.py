@@ -1,0 +1,257 @@
+"""Round-8 tests: ADVICE-r7 fixes (PPJoin rational bounds, roc_auc
+decimal accumulation, ks_separation degenerate row, fuzzy re-key
+iteration) plus the round-8 feature set."""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r7 #1 (medium): PPJoin pruning bounds must be exact rationals
+# ---------------------------------------------------------------------------
+
+
+def _pair_frame(spark):
+    """doc 1: 28 tokens; doc 2: those 28 + 7 extras → J = 28/35 = 0.8
+    EXACTLY. Under double arithmetic alpha = ceil(0.8/1.8 · 63) = 29
+    (true bound 28) and the pair is pruned — the ADVICE-r7 repro."""
+    a = [f"t{i:02d}" for i in range(28)]
+    b = a + [f"e{i}" for i in range(7)]
+    return spark.createDataFrame(
+        [(1, a), (2, b)], "doc_id long, sh_arr array<string>"
+    )
+
+
+@pytest.mark.parametrize("mode", ["frequency", "hashed"])
+def test_ppjoin_emits_pair_at_exact_threshold_boundary(spark, mode):
+    from icnarc_to_philips_linkage_spark.operators.dedup_scale import (
+        jaccard_prefix_join,
+    )
+
+    out = jaccard_prefix_join(
+        _pair_frame(spark), threshold=0.8, set_col="sh_arr", order_mode=mode
+    ).collect()
+    assert [(r.id_a, r.id_b, r.jaccard) for r in out] == [(1, 2, 0.8)]
+
+
+@pytest.mark.parametrize("mode", ["frequency", "hashed"])
+def test_ppjoin_rs_emits_pair_at_exact_threshold_boundary(spark, mode):
+    from icnarc_to_philips_linkage_spark.operators.dedup_scale import (
+        jaccard_prefix_join_rs,
+    )
+
+    df = _pair_frame(spark)
+    out = jaccard_prefix_join_rs(
+        df.filter("doc_id = 1"),
+        df.filter("doc_id = 2"),
+        threshold=0.8,
+        set_col="sh_arr",
+        order_mode=mode,
+    ).collect()
+    assert [(r.id_l, r.id_r, r.jaccard) for r in out] == [(1, 2, 0.8)]
+
+
+@pytest.mark.parametrize("t", [0.2, 0.4, 0.8, 0.9])
+def test_ppjoin_brute_force_parity_at_roundup_thresholds(spark, t):
+    """Differential vs brute force at every threshold whose t/(1+t)
+    rounds UP in binary (the class the float alpha overshot on)."""
+    from icnarc_to_philips_linkage_spark.operators.dedup_scale import (
+        jaccard_prefix_join,
+    )
+
+    # overlapping sliding windows over a small vocab → many pairs with
+    # rational Jaccards landing on exact boundaries
+    vocab = [f"w{i}" for i in range(12)]
+    rows = []
+    for i in range(24):
+        n = 4 + (i % 5)
+        rows.append((i, [vocab[(i + j) % 12] for j in range(n)]))
+    # planted pair at EXACTLY J = t: A ⊂ B, |A| = t·10, |B| = 10
+    k = round(t * 10)
+    planted = [f"p{i}" for i in range(10)]
+    rows.append((900, planted[:k]))
+    rows.append((901, planted))
+    df = spark.createDataFrame(rows, "doc_id long, sh_arr array<string>")
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_prefix_join(
+            df, threshold=t, set_col="sh_arr"
+        ).collect()
+    }
+    raw = {r.doc_id: set(r.sh_arr) for r in df.collect()}
+    truth = {}
+    for a, b in combinations(sorted(raw), 2):
+        inter = len(raw[a] & raw[b])
+        j = round(inter / (len(raw[a]) + len(raw[b]) - inter), 6)
+        if j >= t:
+            truth[(a, b)] = j
+    assert got == truth
+    assert truth
+
+
+def test_threshold_ratio_decimal_exact():
+    from icnarc_to_philips_linkage_spark.operators.dedup_scale import (
+        _threshold_ratio,
+    )
+
+    assert _threshold_ratio(0.8) == (4, 5)
+    assert _threshold_ratio(0.3) == (3, 10)
+    assert _threshold_ratio(0.25) == (1, 4)
+    assert _threshold_ratio(0.9) == (9, 10)
+
+# ---------------------------------------------------------------------------
+# ADVICE r7 #2/#3: evaluation hardening
+# ---------------------------------------------------------------------------
+
+
+def test_ks_separation_empty_input_returns_one_null_row(spark):
+    """ADVICE r7: empty/fully-filtered input must yield ONE all-NULL
+    row (roc_auc's degenerate shape), not zero rows — monitoring
+    callers index result[0]."""
+    from icnarc_to_philips_linkage_spark.operators.evaluation import (
+        ks_separation,
+        roc_auc,
+    )
+
+    empty = spark.createDataFrame([], "score double, label boolean")
+    rows = ks_separation(empty, "score", "label").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_pos is None and r.n_neg is None
+    assert r.ks is None and r.ks_score is None
+    # and roc_auc agrees on the degenerate shape
+    assert len(roc_auc(empty, "score", "label").collect()) == 1
+
+
+def test_ks_separation_unchanged_on_real_input(spark):
+    from icnarc_to_philips_linkage_spark.operators.evaluation import (
+        ks_separation,
+    )
+
+    df = spark.createDataFrame(
+        [(0.9, True), (0.8, True), (0.7, False), (0.2, False), (0.1, False)],
+        "score double, label boolean",
+    )
+    r = ks_separation(df, "score", "label").collect()
+    assert len(r) == 1
+    # perfect separation at threshold between 0.7 and 0.8 → KS = 1.0
+    assert r[0].n_pos == 2 and r[0].n_neg == 3
+    assert r[0].ks == 1.0 and r[0].ks_score == 0.7
+
+
+def test_roc_auc_decimal_accumulation_exact(spark):
+    """The decimal(38,0) rank-sum path must reproduce the known exact
+    AUC (ties included) — guards the overflow fix against a silent
+    type regression."""
+    from icnarc_to_philips_linkage_spark.operators.evaluation import roc_auc
+
+    # scores with a tie spanning classes: AUC computable by hand
+    data = [(0.1, False), (0.4, False), (0.4, True), (0.8, True)]
+    r = roc_auc(spark.createDataFrame(data, "s double, y boolean"),
+                "s", "y").collect()[0]
+    # pairs: (0.4T vs 0.1F)=1, (0.4T vs 0.4F)=0.5, (0.8T vs both F)=2
+    # AUC = 3.5/4
+    assert r.auc == 0.875 and r.n_pos == 2 and r.n_neg == 2
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r7 #4: fuzzy_join iterated oversized-block guard
+# ---------------------------------------------------------------------------
+
+
+def test_fuzzy_join_iterated_rekey_guard(spark):
+    """A corpus sharing the first extended_prefix_len chars must be
+    re-keyed AGAIN on the doubled prefix (round 2), and pairs agreeing
+    on the final prefix are still matched."""
+    from icnarc_to_philips_linkage_spark.operators.fuzzy import fuzzy_join
+
+    shared16 = "aaaaaaaaaaaaaaaa"  # 16 identical leading chars
+    rows = [(i, shared16 + f"tail{i:03d}") for i in range(30)]
+    # planted distance-1 pair differing AFTER char 16
+    rows.append((900, shared16 + "zzzz1"))
+    rows.append((901, shared16 + "zzzz2"))
+    df = spark.createDataFrame(rows, "id long, name string")
+    out = fuzzy_join(
+        df,
+        df.select(F.col("id").alias("rid"), F.col("name").alias("rname")),
+        "name",
+        "rname",
+        max_distance=1,
+        prefix_len=4,
+        extended_prefix_len=8,
+        max_block_rows=5,
+        max_rekey_rounds=2,
+    )
+    pairs = {(r.id, r.rid) for r in out.filter("id < rid").collect()}
+    assert (900, 901) in pairs
+
+
+# ---------------------------------------------------------------------------
+# Round-8 feature: nDCG@k / MRR ranking metrics
+# ---------------------------------------------------------------------------
+
+
+def test_ndcg_mrr_hand_computed(spark):
+    """Known tiny ranking: hand-computed nDCG@3 and RR per query."""
+    import math
+
+    from icnarc_to_philips_linkage_spark.operators.evaluation import (
+        discount_table,
+        ndcg_mrr,
+        ndcg_mrr_per_query,
+    )
+
+    # q1: relevant {a, b}; system ranks [a(0.9), x(0.8), b(0.7)]
+    #   hits at ranks 1 and 3; n_rel=2 → IDCG over ranks 1..2
+    # q2: relevant {c}; system ranks [y(0.9), z(0.8), w(0.7)] — no hit
+    truth = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c")],
+        "query_id long, neighbor_id string",
+    )
+    ranked = spark.createDataFrame(
+        [(1, "a", 0.9), (1, "x", 0.8), (1, "b", 0.7),
+         (2, "y", 0.9), (2, "z", 0.8), (2, "w", 0.7)],
+        "query_id long, neighbor_id string, cos_sim double",
+    )
+    per_q = {
+        r.query_id: r
+        for r in ndcg_mrr_per_query(truth, ranked, k=3).collect()
+    }
+    d = discount_table(3)
+    exp_q1 = round((d[0] + d[2]) / (d[0] + d[1]), 6)
+    # float reference: (1 + 1/log2(4)) / (1 + 1/log2(3))
+    ref = (1 + 1 / math.log2(4)) / (1 + 1 / math.log2(3))
+    assert abs(exp_q1 - ref) < 5e-7  # exp_q1 carries the 6dp rounding
+    assert per_q[1].ndcg == exp_q1 and per_q[1].rr == 1.0
+    assert per_q[1].n_rel == 2
+    assert per_q[2].ndcg == 0.0 and per_q[2].rr == 0.0
+    macro = ndcg_mrr(truth, ranked, k=3).collect()[0]
+    assert macro.n_queries == 2
+    assert macro.mean_ndcg == round(exp_q1 / 2, 6)
+    assert macro.mean_mrr == 0.5
+
+
+def test_ndcg_mrr_rank_cut_and_missing_query(spark):
+    """Hits past rank k contribute nothing; a truth query absent from
+    the ranked frame scores 0 (left-join contract)."""
+    from icnarc_to_philips_linkage_spark.operators.evaluation import (
+        ndcg_mrr_per_query,
+    )
+
+    truth = spark.createDataFrame(
+        [(1, "a"), (7, "zz")], "query_id long, neighbor_id string"
+    )
+    ranked = spark.createDataFrame(
+        [(1, "x", 0.9), (1, "y", 0.8), (1, "a", 0.7)],
+        "query_id long, neighbor_id string, cos_sim double",
+    )
+    per_q = {
+        r.query_id: r
+        for r in ndcg_mrr_per_query(truth, ranked, k=2).collect()
+    }
+    assert per_q[1].ndcg == 0.0 and per_q[1].rr == 0.0  # hit at rank 3 > k
+    assert per_q[7].ndcg == 0.0 and per_q[7].rr == 0.0  # query never ranked

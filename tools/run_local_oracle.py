@@ -37,7 +37,14 @@ def main() -> int:
     ap.add_argument("--out", default=None)
     ap.add_argument("--only", default=None)
     args = ap.parse_args()
-    sf_dirs = args.sf or ["/root/testdata/sf0.001"]
+    # default = ALL THREE scale factors (VERDICT r7 #1: the sf0.1
+    # sweep is a standing per-round gate — it caught a real
+    # cross-engine rounding divergence the smaller SFs could not)
+    sf_dirs = args.sf or [
+        "/root/testdata/sf0.001",
+        "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1",
+    ]
 
     import __spark_entry__ as entry
     from oracle_harness import canonicalize, run_oracle
