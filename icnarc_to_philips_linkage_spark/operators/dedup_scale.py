@@ -560,6 +560,34 @@ def minhash_lsh_dedup(
     )
 
 
+def band_key_rows(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """(id, band_key) rows for a document frame — the probe-join unit
+    shared by the persisted LSH index (``write_lsh_index`` /
+    ``probe_lsh_index``) and the streaming near-dup ingest. band_key
+    folds the band index into the hash so a single-column equi-join
+    covers the (band_idx, band_hash) pair equality; cross-band md5
+    collisions only add candidates for the exact verifier to discard.
+    Map-only after the per-doc shingle aggregation."""
+    return lsh_bands(
+        minhash_signatures_arr(
+            shingle_sets(docs, id_col, text_col, n), id_col, k
+        ),
+        id_col,
+        k,
+        bands,
+    ).select(
+        F.col(id_col),
+        F.md5(F.concat_ws(":", "band_idx", "band_hash")).alias("band_key"),
+    )
+
+
 def write_lsh_index(
     docs: DataFrame,
     table_name: str,
@@ -585,15 +613,7 @@ def write_lsh_index(
     bucketing covers the (band_idx, band_hash) pair-equality the
     in-memory path joins on; cross-band md5 collisions would only add
     candidates for the exact-Jaccard verifier to discard."""
-    bands_df = lsh_bands(
-        minhash_signatures_arr(shingle_sets(docs, id_col, text_col, n), id_col, k),
-        id_col,
-        k,
-        bands,
-    ).select(
-        F.col(id_col),
-        F.md5(F.concat_ws(":", "band_idx", "band_hash")).alias("band_key"),
-    )
+    bands_df = band_key_rows(docs, id_col, text_col, n, k, bands)
     (
         bands_df.write.mode("overwrite")
         .bucketBy(buckets, "band_key")

@@ -422,6 +422,9 @@ def ndcg_mrr_per_query(
     )
     tn = truth.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_rel"))
     idcg = F.element_at(cum_lit, F.least(F.col("n_rel"), F.lit(k)).cast("int"))
+    # no broadcast hint on hq: it is one row per query, i.e. it GROWS
+    # with the query workload exactly like tn — AQE picks broadcast
+    # when a given evaluation's query set is small
     return tn.join(hq, "query_id", "left").select(
         "query_id",
         "n_rel",

@@ -36,7 +36,7 @@ def fuzzy_join(
     prefix_len: int = 4,
     max_block_rows: int | None = 10_000,
     extended_prefix_len: int | None = None,
-    max_rekey_rounds: int = 2,
+    max_rekey_rounds: int = 1,
 ) -> DataFrame:
     """Candidate fuzzy matches: equi-join on the blocking key, then a
     Levenshtein filter. Emits every within-threshold pair with its
@@ -50,19 +50,23 @@ def fuzzy_join(
     key, and blocks where EITHER side exceeds ``max_block_rows``
     re-key onto a longer prefix (``extended_prefix_len`` — default 2×
     ``prefix_len`` — doubling every subsequent round), so a
-    distribution that still collides on the first extended prefix is
-    re-checked rather than trusted. Each round's oversized-block list
-    is a tiny broadcast (bounded by |data|/cap entries); each round
-    costs one count-aggregate pass per side, which is why the round
-    count is a small fixed parameter, not a convergence loop.
+    distribution that still collides on the first extended prefix can
+    be re-checked rather than trusted. Each round's oversized-block
+    list is a tiny broadcast (bounded by |data|/cap entries); each
+    round costs one count-aggregate PASS OVER EACH INPUT plus two
+    re-key joins — measured as ~3× the plan's exchanges per extra
+    round — which is why the default is ONE round (the original
+    guard) and the iteration is an explicit opt-in for adversarial
+    corpora, not a convergence loop every caller pays for.
     Candidate pairs that agree on a short prefix but not the longer
     one are skipped inside re-keyed blocks — the standard blocking
     recall/cost trade, now with an iterated bound.
 
     RESIDUAL WORST CASE (documented, not hidden): strings that share
     their first ``extended_prefix_len · 2^(max_rekey_rounds-1)``
-    normalized characters (default 8·2 = 16) still land in one block
-    after the final round, keeping that block's O(block²) compare —
+    normalized characters (default: the 8-char extended prefix) still
+    land in one block after the final round, keeping that block's
+    O(block²) compare —
     raise ``max_rekey_rounds`` (each +1 doubles the covered prefix
     and adds one aggregate pass) or ``extended_prefix_len`` for
     adversarial corpora; identical strings are irreducible anyway

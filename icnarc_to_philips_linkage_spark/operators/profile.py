@@ -709,6 +709,8 @@ def mad_outlier_report(
     value_col: str,
     k: float = 3.0,
     exact: bool = False,
+    rank_check_eps: float | None = None,
+    approx_accuracy: int = 10000,
 ) -> DataFrame:
     """Robust outlier report per group via MAD (median absolute
     deviation): med = median(x), mad = median(|x − med|), outlier ⇔
@@ -718,43 +720,112 @@ def mad_outlier_report(
     plausibility screens on lab-value-like data use it.
 
     MAD is inherently multi-pass: median pass, deviation-median pass,
-    threshold-count pass — three aggregations, the per-group medians
-    broadcast back between passes (group-cardinality rows, never the
-    data). The default medians are the ``percentile_approx`` sketch —
-    mergeable, no per-group sort, the right plan for a 100 TB screen
-    (a14b split); ``exact=True`` pins sort-based ``percentile`` where
-    bit-reproducibility matters (the registered oracle query). Each
-    pass re-reads the pruned two-column source scan — measured FASTER
-    locally than persisting the projection (columnar scans are cheap;
-    the cache materialization is not), and at scale the persist would
-    pin a corpus-sized frame for two reads. Comparisons are
-    6dp-rounded on BOTH sides of the threshold so an engine ulp can't
-    flip a boundary row.
+    threshold-count pass — the per-group medians broadcast back between
+    passes (group-cardinality rows, never the data). Two modes:
 
-    Output: (group, n, med, mad, n_outliers).
+    - default (``exact=False``): ``percentile_approx`` sketch medians —
+      mergeable, no sort anywhere, three streaming passes over the
+      pruned two-column scan. The 100 TB screening plan.
+    - ``exact=True``: bit-reproducible medians for oracle parity —
+      the input first collapses to a per-(group, value) COUNT frame
+      (one corpus scan + map-side combine; measurement-like columns
+      compress heavily), which is persisted and re-used by all three
+      passes, with ``percentile(v, 0.5, count)`` computing the exact
+      weighted median over the collapsed frame. Sorting distinct
+      values instead of rows cut the registered a19 query ~2×. On a
+      corpus whose values are near-unique the collapsed frame
+      approaches row count and the sketch mode is the right tool —
+      exact mode exists for validation, not screening.
+
+    ``rank_check_eps`` (used by the a19b registry twin) appends
+    ``med_within_bound`` / ``mad_within_bound`` booleans verifying the
+    (possibly sketch-produced) medians against their rank contract
+    inside the SAME final aggregate — share of values ≤ med within
+    eps of 0.5, likewise for deviations vs mad — so the check costs no
+    extra pass. Comparisons are 6dp-rounded on BOTH sides of the
+    outlier threshold so an engine ulp can't flip a boundary row.
+
+    Output: (group, n, med, mad, n_outliers[, med_within_bound,
+    mad_within_bound]).
     """
-    pct = "percentile" if exact else "percentile_approx"
     base = df.select(
         F.col(group_col), F.col(value_col).cast("double").alias("__v")
     )
-    med = base.groupBy(group_col).agg(
-        F.expr(f"{pct}(__v, 0.5)").alias("__med")
-    )
-    with_med = base.join(F.broadcast(med), group_col)
-    mad = with_med.groupBy(group_col).agg(
-        F.expr(f"{pct}(abs(__v - __med), 0.5)").alias("__mad")
-    )
+    if exact:
+        from pyspark import StorageLevel
+
+        from . import cachereg
+
+        src = (
+            base.groupBy(group_col, "__v")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        cachereg.track(src)
+        med = src.groupBy(group_col).agg(
+            F.expr("percentile(__v, 0.5, __c)").alias("__med")
+        )
+        with_med = src.join(F.broadcast(med), group_col)
+        mad = with_med.groupBy(group_col).agg(
+            F.expr("percentile(abs(__v - __med), 0.5, __c)").alias("__mad")
+        )
+        w = F.col("__c")
+    else:
+        acc = int(approx_accuracy)
+        med = base.groupBy(group_col).agg(
+            F.expr(f"percentile_approx(__v, 0.5, {acc})").alias("__med")
+        )
+        with_med = base.join(F.broadcast(med), group_col)
+        mad = with_med.groupBy(group_col).agg(
+            F.expr(
+                f"percentile_approx(abs(__v - __med), 0.5, {acc})"
+            ).alias("__mad")
+        )
+        w = F.lit(1)
     dev = F.round(F.abs(F.col("__v") - F.col("__med")), 6)
     thresh = F.round(F.lit(k) * F.col("__mad"), 6)
+    aggs = [
+        F.sum(w).cast("long").alias("n"),
+        F.round(F.min("__med"), 6).alias("med"),
+        F.round(F.min("__mad"), 6).alias("mad"),
+        F.sum(F.when(dev > thresh, w).otherwise(0))
+        .cast("long")
+        .alias("n_outliers"),
+    ]
+    if rank_check_eps is not None:
+        eps = F.lit(float(rank_check_eps))
+        half = F.lit(0.5)
+        aggs.append(
+            (
+                F.abs(
+                    F.sum(F.when(F.col("__v") <= F.col("__med"), w)
+                          .otherwise(0))
+                    / F.sum(w)
+                    - half
+                )
+                <= eps
+            ).alias("med_within_bound")
+        )
+        aggs.append(
+            (
+                F.abs(
+                    F.sum(
+                        F.when(
+                            F.abs(F.col("__v") - F.col("__med"))
+                            <= F.col("__mad"),
+                            w,
+                        ).otherwise(0)
+                    )
+                    / F.sum(w)
+                    - half
+                )
+                <= eps
+            ).alias("mad_within_bound")
+        )
     return (
         with_med.join(F.broadcast(mad), group_col)
         .groupBy(group_col)
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.min("__med"), 6).alias("med"),
-            F.round(F.min("__mad"), 6).alias("mad"),
-            F.sum(F.when(dev > thresh, 1).otherwise(0)).alias("n_outliers"),
-        )
+        .agg(*aggs)
     )
 
 

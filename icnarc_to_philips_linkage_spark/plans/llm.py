@@ -1173,6 +1173,38 @@ def sim_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
     return pq.ivf_pq_topk(emb, queries, books, k=5)
 
 
+def sim_pq_index_probe(spark: SparkSession, sf: str) -> DataFrame:
+    """Persisted IVF-PQ index, probed (pq.write_pq_index /
+    pq.probe_pq_index — VERDICT r7 #2): the bucketed codes table plus
+    codebook and cell-centroid side tables are written once to a
+    throwaway location, then the standard query batch is answered from
+    the index alone — the probe never trains and never shuffles the
+    corpus (plan-asserted in tests). Result-identical to
+    ``sim_ivfpq_topk`` by the shared ``_adc_topk_routed`` core, so it
+    carries the SAME full unrolled-training oracle (``_ivfpq_sql``)."""
+    import tempfile
+    import uuid
+
+    from icnarc_to_philips_linkage_spark.operators import pq
+
+    emb = spread(load(spark, sf, "embeddings"), "vec_id")
+    books = _pq_books(spark, sf)
+    table = f"pq_idx_{uuid.uuid4().hex[:10]}"
+    pq.write_pq_index(
+        emb,
+        table,
+        tempfile.mkdtemp(prefix="pq_idx_"),
+        dim=DIM,
+        m=_PQ_M,
+        ksub=_PQ_KSUB,
+        max_iter=_PQ_ITER,
+        max_train_rows=_PQ_TRAIN_CAP,
+        codebooks=books,
+    )
+    queries = emb.filter(F.col("vec_id") < KNN_QUERY_LIMIT)
+    return pq.probe_pq_index(spark, table, queries, k=5)
+
+
 NEAR_DUP_T = 0.3
 
 
@@ -4177,6 +4209,192 @@ FROM cdfs
 """
 
 
+# ------------------------------------------------------------------ web / URL
+
+# deterministic synthetic URLs from doc_id (the pii_scrub idiom: the
+# testdata has no URL column, so both engines derive the SAME urls in
+# closed form and the canonicalization is tested end-to-end)
+
+
+def _synth_url_col() -> F.Column:
+    d = F.col("doc_id")
+    scheme = F.when(d % 7 == 0, F.lit("HTTP")).otherwise(F.lit("https"))
+    www = F.when(d % 3 == 0, F.lit("WWW.")).otherwise(F.lit(""))
+    tld = (
+        F.when(d % 5 == 0, F.lit(".com"))
+        .when(d % 5 == 1, F.lit(".co.uk"))
+        .when(d % 5 == 2, F.lit(".org"))
+        .when(d % 5 == 3, F.lit(".net"))
+        .otherwise(F.lit(".com.au"))
+    )
+    host = F.concat(www, F.lit("site"), (d % 50).cast("string"), tld)
+    port = F.when(d % 13 == 0, F.lit(":443")).otherwise(F.lit(""))
+    path = F.concat(
+        F.lit("/p/"),
+        (d % 97).cast("string"),
+        F.when(d % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+    )
+    q = (
+        F.when(d % 4 == 0, F.lit("?b=2&utm_source=x&a=1"))
+        .when(d % 4 == 1, F.lit("?a=1&b=2"))
+        .when(d % 4 == 2, F.lit(""))
+        .otherwise(F.lit("?gclid=zz"))
+    )
+    frag = F.when(d % 6 == 0, F.lit("#sec1")).otherwise(F.lit(""))
+    return F.concat(scheme, F.lit("://"), host, port, path, q, frag)
+
+
+_SYNTH_URL_SQL = """
+    CASE WHEN doc_id % 7 = 0 THEN 'HTTP' ELSE 'https' END || '://'
+    || CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END
+    || 'site' || CAST(doc_id % 50 AS VARCHAR)
+    || CASE doc_id % 5 WHEN 0 THEN '.com' WHEN 1 THEN '.co.uk'
+            WHEN 2 THEN '.org' WHEN 3 THEN '.net' ELSE '.com.au' END
+    || CASE WHEN doc_id % 13 = 0 THEN ':443' ELSE '' END
+    || '/p/' || CAST(doc_id % 97 AS VARCHAR)
+    || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END
+    || CASE doc_id % 4 WHEN 0 THEN '?b=2&utm_source=x&a=1'
+            WHEN 1 THEN '?a=1&b=2' WHEN 2 THEN '' ELSE '?gclid=zz' END
+    || CASE WHEN doc_id % 6 = 0 THEN '#sec1' ELSE '' END
+"""
+
+
+def _web_canon_ctes() -> str:
+    """Shared DuckDB CTE chain mirroring operators/web.py's
+    canonicalization step for step (same regexes, same ordering)."""
+    from icnarc_to_philips_linkage_spark.operators import web as W
+
+    track = W.TRACKING_PARAM_RE
+    suf = ", ".join(f"'{x}'" for x in W.TWO_LEVEL_SUFFIXES)
+    return f"""
+urls AS (
+  SELECT doc_id, trim({_SYNTH_URL_SQL}) AS u FROM documents
+),
+parts AS (
+  SELECT doc_id, u,
+         lower(regexp_extract(u, '{W.RE_SCHEME}', 1)) AS scheme,
+         regexp_extract(u, '{W.RE_AUTH}', 1) AS auth,
+         regexp_extract(u, '{W.RE_PATH}', 1) AS rawpath,
+         regexp_extract(u, '\?([^#]*)', 1) AS rawq
+  FROM urls
+),
+hostp AS (
+  SELECT doc_id, scheme,
+         regexp_replace(
+           lower(regexp_replace(regexp_replace(auth, ':\d+$', ''),
+                                '\.$', '')),
+           '^www\.', '') AS host,
+         regexp_extract(auth, ':(\d+)$', 1) AS port,
+         CASE WHEN regexp_replace(rawpath, '/+$', '') = '' THEN '/'
+              ELSE regexp_replace(rawpath, '/+$', '') END AS path,
+         COALESCE(array_to_string(
+           list_sort(list_filter(string_split(rawq, '&'),
+             x -> x <> '' AND NOT regexp_matches(x, '{track}'))),
+           '&'), '') AS q
+  FROM parts
+),
+canon AS (
+  SELECT doc_id, host,
+         scheme || '://' || host
+         || CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                   OR (scheme = 'https' AND port = '443')
+                 THEN '' ELSE ':' || port END
+         || path
+         || CASE WHEN q = '' THEN '' ELSE '?' || q END AS canon_url,
+         CASE
+           WHEN host = '' THEN ''
+           WHEN len(string_split(host, '.')) >= 3
+                AND (string_split(host, '.')[-2] || '.'
+                     || string_split(host, '.')[-1]) IN ({suf})
+             THEN string_split(host, '.')[-3] || '.'
+                  || string_split(host, '.')[-2] || '.'
+                  || string_split(host, '.')[-1]
+           WHEN len(string_split(host, '.')) >= 2
+             THEN string_split(host, '.')[-2] || '.'
+                  || string_split(host, '.')[-1]
+           ELSE host
+         END AS domain
+  FROM hostp
+)"""
+
+
+def web_url_canonicalize(spark: SparkSession, sf: str) -> DataFrame:
+    """URL canonicalization end-to-end (operators/web.py): synthetic
+    per-doc URLs exercising case, www, default/non-default ports,
+    trailing slashes, tracking params, param order and fragments are
+    canonicalized by the native expression chain; the oracle re-derives
+    both the synthesis AND the canonicalization in SQL from the shared
+    regex constants — an independent restatement, not a copy."""
+    from icnarc_to_philips_linkage_spark.operators import web as W
+
+    d = load(spark, sf, "documents").select(
+        "doc_id", _synth_url_col().alias("url")
+    )
+    host = W.host_of(F.col("url"))
+    return d.select(
+        "doc_id",
+        W.canonicalize_url("url").alias("canon_url"),
+        host.alias("host"),
+        W.registered_domain_of(host).alias("domain"),
+    )
+
+
+def _web_canon_sql() -> str:
+    return f"""
+WITH {_web_canon_ctes()}
+SELECT doc_id, canon_url, host, domain FROM canon
+"""
+
+
+def web_url_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Canonical-URL dedup groups (web.url_dedup_groups): tracking-param
+    and ordering variants of one URL collapse to one group — the
+    exact_dedup_groups shuffle shape with canonicalization fused into
+    the scan."""
+    from icnarc_to_philips_linkage_spark.operators import web as W
+
+    d = load(spark, sf, "documents").select(
+        "doc_id", _synth_url_col().alias("url")
+    )
+    return W.url_dedup_groups(d)
+
+
+def _web_dedup_sql() -> str:
+    return f"""
+WITH {_web_canon_ctes()}
+SELECT canon_url, MIN(doc_id) AS keep_id,
+       CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM canon GROUP BY canon_url
+"""
+
+
+def web_domain_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-domain corpus profile (web.domain_profile): doc counts,
+    distinct canonical URLs and corpus share — the skew report behind
+    per-domain caps."""
+    from icnarc_to_philips_linkage_spark.operators import web as W
+
+    d = load(spark, sf, "documents").select(
+        "doc_id", _synth_url_col().alias("url")
+    )
+    return W.domain_profile(d)
+
+
+def _web_profile_sql() -> str:
+    return f"""
+WITH {_web_canon_ctes()},
+per AS (
+  SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COUNT(DISTINCT canon_url) AS BIGINT) AS n_urls
+  FROM canon GROUP BY domain
+)
+SELECT domain, n_docs, n_urls,
+       ROUND(n_docs / CAST(SUM(n_docs) OVER () AS DOUBLE), 6) AS share
+FROM per
+"""
+
+
+
 _MMR_K, _MMR_POOL, _MMR_LAM = 5, 20, 0.7
 
 
@@ -4346,6 +4564,7 @@ QUERIES: dict[str, tuple] = {
     "cluster_kmeans": (cluster_kmeans, _kmeans_sql()),
     "sim_pq_topk": (sim_pq_topk, _pq_sql()),
     "sim_ivfpq_topk": (sim_ivfpq_topk, _ivfpq_sql()),
+    "sim_pq_index_probe": (sim_pq_index_probe, _ivfpq_sql()),
     "sim_recall_eval": (sim_recall_eval, _recall_eval_sql()),
     "sketch_hll_merge": (sketch_hll_merge, SKETCH_HLL_SQL),
     "text_quality": (text_quality, _quality_sql()),
@@ -4354,6 +4573,9 @@ QUERIES: dict[str, tuple] = {
     "eval_roc_auc_by_lang": (eval_roc_auc_by_lang, _roc_auc_by_lang_sql()),
     "eval_ks_separation": (eval_ks_separation, _ks_separation_sql()),
     "eval_ndcg_mrr": (eval_ndcg_mrr, _ndcg_mrr_sql()),
+    "web_url_canonicalize": (web_url_canonicalize, _web_canon_sql()),
+    "web_url_dedup": (web_url_dedup, _web_dedup_sql()),
+    "web_domain_profile": (web_domain_profile, _web_profile_sql()),
     "eval_pr_thresholds": (eval_pr_thresholds, _pr_thresholds_sql()),
     "eval_calibration_bins": (eval_calibration_bins, _calibration_sql()),
     "eval_pii_recall": (eval_pii_recall, _pii_recall_sql()),

@@ -2344,6 +2344,53 @@ FROM j JOIN mad USING (g) GROUP BY j.g
 """
 
 
+# 50× the percentile_approx default rank-error guarantee (1e-4 at
+# accuracy=10000) — deterministic-in-practice booleans, the _A8C_EPS
+# rationale
+_A19B_EPS = 0.005
+
+
+def a19b_mad_outliers_sketch(spark: SparkSession, sf: str) -> DataFrame:
+    """A19's PRODUCTION twin (VERDICT r7 #4): the same MAD screen with
+    the operator's DEFAULT mergeable percentile_approx sketch — no
+    per-group sort anywhere, the plan that actually runs at 100 TB
+    (a19 pins ``exact=True`` purely so its oracle can hash-match
+    bit-identical medians; the bench was pricing that pin as if it
+    were the operator). The sketch medians are partition-order
+    sensitive, so the hash-matchable output is the a8c bound-check
+    shape: per group, the deterministic row count plus booleans
+    verifying the approx med/mad against their RANK guarantee — the
+    share of values ≤ approx-median must sit within ``_A19B_EPS`` of
+    0.5 (and likewise for deviations vs the approx MAD), a cheap
+    count aggregate instead of an exact re-sort. The DuckDB oracle
+    emits TRUE unconditionally; a sketch violating its rank bound
+    flips a boolean → hash mismatch."""
+    rep = profile.mad_outlier_report(
+        load(spark, sf, "lineitem"),
+        "l_returnflag",
+        "l_extendedprice",
+        k=3.0,
+        exact=False,
+        rank_check_eps=_A19B_EPS,
+        # 1e-3 rank error — 5× inside _A19B_EPS, ~2× cheaper sketch
+        # updates than the 1e-4 default
+        approx_accuracy=1000,
+    )
+    return rep.select(
+        "l_returnflag", "n", "med_within_bound", "mad_within_bound"
+    )
+
+
+A19B_SQL = """
+SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+       TRUE AS med_within_bound, TRUE AS mad_within_bound
+FROM lineitem GROUP BY 1
+"""
+# TRUE unconditionally: the Spark side's booleans verify the randomized
+# sketch against its rank guarantee ON the Spark side (a8c pattern);
+# DuckDB contributes the deterministic group counts.
+
+
 def a20_group_linreg(spark: SparkSession, sf: str) -> DataFrame:
     """Per-group OLS line + r² from decimal-exact moment sums
     (profile.group_linreg): price ~ quantity per returnflag."""
@@ -3778,6 +3825,7 @@ QUERIES: dict[str, tuple] = {
     "ev_concurrency": (ev_concurrency, EV_CONCURRENCY_SQL),
     "ts_hopping_window": (ts_hopping_window, TS_HOPPING_SQL),
     "a19_mad_outliers": (a19_mad_outliers, A19_SQL),
+    "a19b_mad_outliers_sketch": (a19b_mad_outliers_sketch, A19B_SQL),
     "a20_group_linreg": (a20_group_linreg, A20_SQL),
     "ev_assoc_rules": (ev_assoc_rules, EV_ASSOC_SQL),
     "ts_ewma_window": (ts_ewma_window, _ewma_sql()),

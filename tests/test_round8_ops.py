@@ -255,3 +255,232 @@ def test_ndcg_mrr_rank_cut_and_missing_query(spark):
     }
     assert per_q[1].ndcg == 0.0 and per_q[1].rr == 0.0  # hit at rank 3 > k
     assert per_q[7].ndcg == 0.0 and per_q[7].rr == 0.0  # query never ranked
+
+
+# ---------------------------------------------------------------------------
+# Round-8 feature: persisted IVF-PQ index (VERDICT r7 #2)
+# ---------------------------------------------------------------------------
+
+
+def test_pq_index_probe_parity_and_no_corpus_shuffle(spark, tmp_path):
+    """probe_pq_index must (a) return EXACTLY ivf_pq_topk's top-k on
+    the same data (shared core, persisted artifacts) and (b) never
+    re-train or re-shuffle the corpus: the probe plan's only hash
+    exchanges belong to the tiny routed-query/top-k merge side, and
+    building the probe plan performs no Spark jobs over the corpus."""
+    from icnarc_to_philips_linkage_spark.operators import pq
+    from icnarc_to_philips_linkage_spark.plans.tables import load
+    from tests.conftest import SF_SMOKE
+
+    emb = load(spark, SF_SMOKE, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    queries = emb.filter(F.col("vec_id") < 10)
+    table = "pq_idx_test"
+    for t in (table, f"{table}__codebooks", f"{table}__cells"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    books = pq.write_pq_index(
+        emb, table, str(tmp_path / "pq_idx"), dim=dim, m=8, ksub=16,
+        max_iter=2, max_train_rows=16384,
+    )
+    # (a) parity with the in-memory path on the same trained books
+    want = sorted(
+        map(tuple, pq.ivf_pq_topk(emb, queries, books, k=5).collect())
+    )
+    got_df = pq.probe_pq_index(spark, table, queries, k=5)
+    assert sorted(map(tuple, got_df.collect())) == want
+    # and the persisted codebooks round-trip exactly
+    assert pq.read_pq_codebooks(spark, table) == books
+
+    # (b) the codes-side join must consume the bucketed layout: with
+    # broadcast disabled the only allowed hash exchanges are the
+    # query-side ones (routing window + top-k merge), never one that
+    # repartitions the codes scan
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = pq.probe_pq_index(spark, table, queries, k=5)
+        df.collect()
+        plan = (
+            df._jdf.queryExecution().executedPlan().toString()
+            .split("== Initial Plan ==")[0]
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    # the label join keeps an explicit broadcast hint on the routed
+    # side, so codes never hash-partition even with auto-broadcast off
+    import re
+
+    for m_ in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        keys = m_.group(1)
+        assert "codes" not in keys and "label" not in keys, plan
+
+
+# ---------------------------------------------------------------------------
+# Round-8 feature: streaming NEAR-dup ingest (VERDICT r7 #5)
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_ingest_near_dedup_two_batches(spark, tmp_path):
+    """foreachBatch ingest with the persisted LSH band index: batch 2's
+    near-duplicate (NOT exact) of a batch-1 keeper is dropped via the
+    index appended in batch 1; exact and within-batch near-dups drop
+    too; the index grows one partition per batch."""
+    from pyspark.sql import Row
+
+    from icnarc_to_philips_linkage_spark.streaming import ingest
+
+    indir, ck, corpus, idx = (
+        str(tmp_path / d) for d in ("in", "ck", "corpus", "idx")
+    )
+
+    def doc(i, text):
+        return Row(doc_id=i, text=text, source="s1")
+
+    base_a = ("the quick brown fox jumps over the lazy dog near the "
+              "old stone bridge at dawn every single morning")
+    base_b = ("colorless green ideas sleep furiously while the stock "
+              "market quietly drifts toward another record close today")
+    base_c = ("in the beginning the universe was created and this has "
+              "made a lot of people very angry and been widely regarded "
+              "as a bad move")
+    seed = spark.createDataFrame(
+        [doc(1, base_a), doc(2, base_b)], ingest.DOCS_SCHEMA
+    )
+    ingest.seed_corpus(seed, corpus)
+    ingest.seed_near_dup_index(seed, idx)
+
+    def run():
+        q = ingest.start_ingest_near_dedup(
+            ingest.read_documents_stream(spark, indir), corpus, idx, ck
+        )
+        q.awaitTermination(120)
+
+    batch1 = [
+        doc(10, base_a + " indeed"),   # NEAR dup of seed 1 -> dropped
+        doc(11, base_c),               # new -> kept
+        doc(12, base_c),               # exact in-batch dup -> dropped
+        doc(13, base_c + " truly"),    # NEAR in-batch dup -> dropped
+    ]
+    spark.createDataFrame(batch1, ingest.DOCS_SCHEMA).coalesce(1).write.parquet(indir)
+    run()
+    got1 = {r.doc_id for r in spark.read.parquet(corpus).collect()}
+    assert got1 == {1, 2, 11}
+
+    batch2 = [
+        doc(20, base_c + " verily"),   # NEAR dup of batch-1 keeper 11
+        doc(21, base_b),               # exact dup of seed 2 -> dropped
+        doc(22, "a wholly unrelated short note about gardening tools"),
+    ]
+    spark.createDataFrame(batch2, ingest.DOCS_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(indir)
+    run()
+    rows = spark.read.parquet(corpus).collect()
+    assert {r.doc_id for r in rows} == {1, 2, 11, 22}
+    # index mirrors the corpus partitions: seed + one per batch
+    idx_rows = spark.read.parquet(idx).collect()
+    assert {r.batch_id for r in idx_rows} == {-1, 0, 1}
+    # batch-1's index partition carries the keeper's bands (4 bands)
+    assert {r.doc_id for r in idx_rows if r.batch_id == 0} == {11}
+
+
+# ---------------------------------------------------------------------------
+# Round-8 feature: URL / domain ops (VERDICT r7 #6)
+# ---------------------------------------------------------------------------
+
+
+def test_canonicalize_url_planted_variants(spark):
+    """Every documented normalization, checked against hand-written
+    expected canonical forms."""
+    from icnarc_to_philips_linkage_spark.operators import web as W
+
+    cases = [
+        # case + www + fragment
+        ("HTTPS://WWW.Example.COM/Path#frag", "https://example.com/Path"),
+        # default port stripped; non-default kept
+        ("http://a.com:80/x", "http://a.com/x"),
+        ("https://a.com:443/x", "https://a.com/x"),
+        ("http://a.com:8080/x", "http://a.com:8080/x"),
+        # trailing slash; empty path
+        ("https://a.com/x/", "https://a.com/x"),
+        ("https://a.com", "https://a.com/"),
+        ("https://a.com/", "https://a.com/"),
+        # tracking params out, rest sorted; '?' dropped when empty
+        ("https://a.com/x?b=2&utm_source=s&a=1", "https://a.com/x?a=1&b=2"),
+        ("https://a.com/x?gclid=1", "https://a.com/x"),
+        ("https://a.com/x?fbclid=1&ref=tw", "https://a.com/x"),
+        # trailing host dot
+        ("https://a.com./x", "https://a.com/x"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "i long, url string"
+    )
+    got = {
+        r.i: r.c
+        for r in df.select(
+            "i", W.canonicalize_url("url").alias("c")
+        ).collect()
+    }
+    for i, (u, want) in enumerate(cases):
+        assert got[i] == want, f"{u!r}: {got[i]!r} != {want!r}"
+
+
+def test_registered_domain_and_blocklist(spark):
+    from icnarc_to_philips_linkage_spark.operators import web as W
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://news.bbc.co.uk/x"),
+            (2, "https://www.example.com/y"),
+            (3, "https://sub.deep.example.org/z"),
+            (4, "https://spam.example.com/w"),
+        ],
+        "id long, url string",
+    )
+    doms = {
+        r.id: r.d
+        for r in df.select(
+            "id",
+            W.registered_domain_of(W.host_of(F.col("url"))).alias("d"),
+        ).collect()
+    }
+    assert doms == {
+        1: "bbc.co.uk",
+        2: "example.com",
+        3: "example.org",
+        4: "example.com",
+    }
+    kept = {
+        r.id
+        for r in W.blocklist_filter(df, ["example.com"]).collect()
+    }
+    assert kept == {1, 3}
+    blocked = {
+        r.id
+        for r in W.blocklist_filter(df, ["example.com"], keep=False).collect()
+    }
+    assert blocked == {2, 4}
+
+
+def test_url_dedup_groups_collapses_variants(spark):
+    """Tracking/order/slash/fragment variants of one URL form ONE
+    group with the minimum id as keeper."""
+    from icnarc_to_philips_linkage_spark.operators import web as W
+
+    df = spark.createDataFrame(
+        [
+            (5, "https://a.com/x?b=2&a=1"),
+            (3, "https://a.com/x/?a=1&b=2#top"),
+            (9, "https://WWW.A.com/x?a=1&utm_medium=m&b=2"),
+            (7, "https://a.com/other"),
+        ],
+        "doc_id long, url string",
+    )
+    groups = {
+        r.canon_url: (r.keep_id, r.n_copies)
+        for r in W.url_dedup_groups(df).collect()
+    }
+    assert groups == {
+        "https://a.com/x?a=1&b=2": (3, 3),
+        "https://a.com/other": (7, 1),
+    }
