@@ -467,3 +467,69 @@ def ndcg_mrr(
             round_dp,
         ).alias("mean_mrr"),
     )
+
+
+def average_precision(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    id_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Exact average precision (the Σ precision@rank(positive) / n_pos
+    summary of the PR curve — threshold-free, unlike the fixed-grid
+    ``pr_at_thresholds``) under a DETERMINISTIC total order
+    (score DESC, ``id_col`` ASC): ties resolve by id, so the statistic
+    is a pure function of the data, reproducible across engines and
+    partitionings.
+
+    Scale + exactness shape:
+
+    - the two rankings (all rows; positives only) use the distributed
+      two-level ``scale.global_rank`` — range exchange + local sort +
+      literal offsets — NEVER a single-partition ``row_number()``
+      window;
+    - each positive contributes the INTEGER term
+      ``floor(j·1e9 / r)`` (j = index among positives, r = global
+      rank; j <= r so terms fit comfortably in a long for any slice
+      below ~9e9 rows), accumulated as decimal(38,0) — no float sum
+      order, the ``roc_auc`` reproducibility recipe. The 1e-9 term
+      quantization is three orders below the default 6dp output
+      rounding.
+
+    Output one row: ``(n_pos, n, avg_precision)`` — NULL AP when the
+    slice has no positives (monitoring runs unattended).
+    """
+    from icnarc_to_philips_linkage_spark.operators.scale import global_rank
+
+    lbl = F.col(label_col).cast("boolean")
+    base = df.filter(
+        F.col(score_col).isNotNull() & lbl.isNotNull()
+    ).select(
+        F.col(id_col).alias("__id"),
+        (-F.col(score_col)).alias("__negs"),
+        lbl.alias("__y"),
+    )
+    ranked, total = global_rank(
+        base, ["__negs", "__id"], rank_col="__r", return_total=True
+    )
+    pos = ranked.filter(F.col("__y"))
+    posr = global_rank(pos, ["__negs", "__id"], rank_col="__j")
+    agg = posr.select(
+        F.expr("CAST((__j * 1000000000L) DIV __r AS LONG)").alias("__t")
+    ).agg(
+        F.count(F.lit(1)).alias("n_pos"),
+        F.sum(F.col("__t").cast("decimal(38,0)")).alias("__s"),
+    )
+    return agg.select(
+        "n_pos",
+        F.lit(int(total)).cast("long").alias("n"),
+        F.when(
+            F.col("n_pos") > 0,
+            F.round(
+                F.col("__s").cast("double")
+                / (F.col("n_pos") * F.lit(1_000_000_000.0)),
+                round_dp,
+            ),
+        ).alias("avg_precision"),
+    )

@@ -248,15 +248,20 @@ def _adc_topk_routed(
     id_col: str,
     vec_col: str,
     label_col: str,
+    nprobe: int = 1,
 ) -> DataFrame:
-    """Shared IVF-PQ probe core: route each query to its nearest cell
-    centroid (cosine, ties → lowest label), then ADC top-k over that
-    cell's codes. ``cents`` is (label_col, …, centroid); ``codes`` is
-    (vec_id, label_col, codes). Used by BOTH the in-memory
-    ``ivf_pq_topk`` and the persisted-index ``probe_pq_index`` — one
-    implementation, so index parity is structural, not coincidental.
-    The routed query frame (queries × 1 row, carrying the m×ksub
-    distance table) broadcasts; the codes side never shuffles."""
+    """Shared IVF-PQ probe core: route each query to its ``nprobe``
+    nearest cell centroids (cosine, ties → lowest label), then ADC
+    top-k over those cells' codes. ``cents`` is (label_col, …,
+    centroid); ``codes`` is (vec_id, label_col, codes). Used by BOTH
+    the in-memory ``ivf_pq_topk`` and the persisted-index
+    ``probe_pq_index`` — one implementation, so index parity is
+    structural, not coincidental. The routed query frame (queries ×
+    nprobe rows, carrying the m×ksub distance table) broadcasts; the
+    codes side never shuffles. ``nprobe`` is the standard IVF recall
+    knob: scan cost grows linearly (nprobe/|cells| of the corpus),
+    candidate recall monotonically — at nprobe=|cells| the result
+    equals brute-force ADC."""
     from pyspark.sql import Window
 
     from icnarc_to_philips_linkage_spark.operators.similarity import cosine
@@ -288,7 +293,7 @@ def _adc_topk_routed(
     )
     routed = (
         scored_cells.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        .filter(F.col("rn") <= int(nprobe))
         .select("query_id", "__dtab", label_col)
     )
     scored = (
@@ -461,6 +466,7 @@ def probe_pq_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    nprobe: int = 1,
 ) -> DataFrame:
     """IVF-PQ top-k against a persisted ``write_pq_index`` table, with
     NO training and NO corpus shuffle: codebooks and cell centroids
@@ -473,5 +479,6 @@ def probe_pq_index(
     cents = spark.table(f"{table_name}__cells")
     codes = spark.table(table_name)
     return _adc_topk_routed(
-        queries, cents, codes, codebooks, k, id_col, vec_col, label_col
+        queries, cents, codes, codebooks, k, id_col, vec_col, label_col,
+        nprobe,
     )

@@ -193,3 +193,48 @@ def blocklist_filter(
     dom = registered_domain_of(host_of(F.col(url_col)))
     pred = dom.isin(*blocked_domains)
     return df.filter(~pred if keep else pred)
+
+
+def cap_per_domain(
+    df: DataFrame,
+    cap: int,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    quality_col: str | None = None,
+) -> DataFrame:
+    """Cap documents per registered domain — the standard anti-mirror
+    stage after ``domain_profile`` exposes the skew: keep at most
+    ``cap`` docs per domain, preferring highest ``quality_col`` (ties
+    and the no-quality case fall back to ``md5(domain:id)`` — a
+    deterministic per-domain hash order, so the kept set is stable
+    across engines/partitionings and NOT biased toward low ids, which
+    in crawl data correlate with crawl order).
+
+    The rank window partitions by domain; at 100 TB a single mirror
+    domain can still be a hot partition, but the window only ranks —
+    it carries (domain, order key, id), never the document payload,
+    and the kept ids semi-join back against the full rows. Output:
+    input rows with ``domain`` attached, ≤ cap rows per domain.
+    """
+    from pyspark.sql import Window
+
+    dom = registered_domain_of(host_of(F.col(url_col)))
+    keyed = df.withColumn("domain", dom)
+    hash_ord = F.md5(
+        F.concat_ws(":", "domain", F.col(id_col).cast("string"))
+    )
+    if quality_col is not None:
+        w = Window.partitionBy("domain").orderBy(
+            F.desc_nulls_last(quality_col), hash_ord
+        )
+    else:
+        w = Window.partitionBy("domain").orderBy(hash_ord)
+    slim = keyed.select("domain", F.col(id_col), *(
+        [quality_col] if quality_col else []
+    ))
+    kept_ids = (
+        slim.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .select(id_col)
+    )
+    return keyed.join(kept_ids, id_col, "left_semi")

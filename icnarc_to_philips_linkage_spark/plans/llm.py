@@ -1109,7 +1109,7 @@ QUALIFY row_number() OVER (
 """
 
 
-def _ivfpq_sql() -> str:
+def _ivfpq_sql(nprobe: int = 1) -> str:
     return f"""
 WITH {_pq_train_ctes()},
 cent AS (
@@ -1125,7 +1125,7 @@ routed AS (
            {_cos_sql('q.embedding', 'c.centroid')} AS cent_sim
     FROM embeddings q, centv c WHERE q.vec_id < {KNN_QUERY_LIMIT})
   QUALIFY row_number() OVER (
-    PARTITION BY query_id ORDER BY cent_sim DESC, label ASC) = 1
+    PARTITION BY query_id ORDER BY cent_sim DESC, label ASC) <= {nprobe}
 )
 SELECT query_id, neighbor_id, adc_dist FROM (
   SELECT d.query_id, c.vec_id AS neighbor_id,
@@ -1203,6 +1203,36 @@ def sim_pq_index_probe(spark: SparkSession, sf: str) -> DataFrame:
     )
     queries = emb.filter(F.col("vec_id") < KNN_QUERY_LIMIT)
     return pq.probe_pq_index(spark, table, queries, k=5)
+
+
+def sim_pq_index_probe2(spark: SparkSession, sf: str) -> DataFrame:
+    """Multiprobe variant of ``sim_pq_index_probe`` (nprobe=2): the
+    persisted index answers with the TWO nearest cells per query —
+    the standard IVF recall knob, here carried through the full
+    unrolled-training oracle (`_ivfpq_sql(2)` routes rn <= 2; each
+    neighbor joins through its single owning cell, so no dedup is
+    needed on either engine)."""
+    import tempfile
+    import uuid
+
+    from icnarc_to_philips_linkage_spark.operators import pq
+
+    emb = spread(load(spark, sf, "embeddings"), "vec_id")
+    books = _pq_books(spark, sf)
+    table = f"pq_idx_{uuid.uuid4().hex[:10]}"
+    pq.write_pq_index(
+        emb,
+        table,
+        tempfile.mkdtemp(prefix="pq_idx_"),
+        dim=DIM,
+        m=_PQ_M,
+        ksub=_PQ_KSUB,
+        max_iter=_PQ_ITER,
+        max_train_rows=_PQ_TRAIN_CAP,
+        codebooks=books,
+    )
+    queries = emb.filter(F.col("vec_id") < KNN_QUERY_LIMIT)
+    return pq.probe_pq_index(spark, table, queries, k=5, nprobe=2)
 
 
 NEAR_DUP_T = 0.3
@@ -1500,6 +1530,50 @@ SELECT tn.query_id, tn.n_rel,
              / ({cum_lit})[LEAST(tn.n_rel, 5)], 6) AS ndcg,
        ROUND(COALESCE(1.0 / hq.frst, 0), 6) AS rr
 FROM tn LEFT JOIN hq USING (query_id)
+"""
+
+
+def eval_avg_precision(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact average precision of the quality classifier against the
+    long-document label (evaluation.average_precision): threshold-free
+    PR-curve summary under the deterministic (score DESC, doc_id ASC)
+    order — two distributed two-level ranks, integer per-positive
+    terms. The oracle replays the identical order and integer floor
+    terms with plain window row_numbers (sound in DuckDB: one engine,
+    no partitioning)."""
+    return evaluation.average_precision(
+        _scored_with_label(spark, sf), "p_quality", "label", "doc_id"
+    )
+
+
+def _avg_precision_sql() -> str:
+    return f"""
+WITH scored AS ({_qcls_sql()}),
+labd AS (
+  SELECT s.doc_id, s.p_quality AS p,
+         d.n_chars >= {_EVAL_LABEL_CHARS} AS y
+  FROM scored s JOIN documents d USING (doc_id)
+  WHERE s.p_quality IS NOT NULL AND d.n_chars IS NOT NULL
+),
+r AS (
+  SELECT doc_id, p, y,
+         row_number() OVER (ORDER BY p DESC, doc_id ASC) AS r
+  FROM labd
+),
+pos AS (
+  SELECT r, row_number() OVER (ORDER BY r ASC) AS j FROM r WHERE y
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_pos,
+         SUM((j * 1000000000) // r) AS s
+  FROM pos
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM labd)
+SELECT agg.n_pos, tot.n,
+       CASE WHEN agg.n_pos > 0
+            THEN ROUND(CAST(agg.s AS DOUBLE) / (agg.n_pos * 1e9), 6)
+       END AS avg_precision
+FROM agg, tot
 """
 
 
@@ -4395,6 +4469,46 @@ FROM per
 
 
 
+_DOMAIN_CAP = 20
+
+
+def web_domain_cap(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-domain document cap (web.cap_per_domain): at most
+    _DOMAIN_CAP docs per registered domain, kept in deterministic
+    md5(domain:id) order — the anti-mirror curation stage. Output
+    (domain, n_kept) so the frame is grid-bounded and hash-matchable;
+    the oracle replays the same hash order with a window row_number."""
+    from icnarc_to_philips_linkage_spark.operators import web as W
+
+    d = load(spark, sf, "documents").select(
+        "doc_id", _synth_url_col().alias("url")
+    )
+    kept = W.cap_per_domain(d, _DOMAIN_CAP)
+    return kept.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.min("doc_id").alias("min_kept_id"),
+    )
+
+
+def _web_cap_sql() -> str:
+    return f"""
+WITH {_web_canon_ctes()},
+ranked AS (
+  SELECT domain, doc_id,
+         row_number() OVER (
+           PARTITION BY domain
+           ORDER BY md5(domain || ':' || CAST(doc_id AS VARCHAR))
+         ) AS rn
+  FROM canon
+)
+SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       MIN(doc_id) AS min_kept_id
+FROM ranked WHERE rn <= {_DOMAIN_CAP}
+GROUP BY domain
+"""
+
+
+
 _MMR_K, _MMR_POOL, _MMR_LAM = 5, 20, 0.7
 
 
@@ -4565,6 +4679,7 @@ QUERIES: dict[str, tuple] = {
     "sim_pq_topk": (sim_pq_topk, _pq_sql()),
     "sim_ivfpq_topk": (sim_ivfpq_topk, _ivfpq_sql()),
     "sim_pq_index_probe": (sim_pq_index_probe, _ivfpq_sql()),
+    "sim_pq_index_probe2": (sim_pq_index_probe2, _ivfpq_sql(2)),
     "sim_recall_eval": (sim_recall_eval, _recall_eval_sql()),
     "sketch_hll_merge": (sketch_hll_merge, SKETCH_HLL_SQL),
     "text_quality": (text_quality, _quality_sql()),
@@ -4573,9 +4688,11 @@ QUERIES: dict[str, tuple] = {
     "eval_roc_auc_by_lang": (eval_roc_auc_by_lang, _roc_auc_by_lang_sql()),
     "eval_ks_separation": (eval_ks_separation, _ks_separation_sql()),
     "eval_ndcg_mrr": (eval_ndcg_mrr, _ndcg_mrr_sql()),
+    "eval_avg_precision": (eval_avg_precision, _avg_precision_sql()),
     "web_url_canonicalize": (web_url_canonicalize, _web_canon_sql()),
     "web_url_dedup": (web_url_dedup, _web_dedup_sql()),
     "web_domain_profile": (web_domain_profile, _web_profile_sql()),
+    "web_domain_cap": (web_domain_cap, _web_cap_sql()),
     "eval_pr_thresholds": (eval_pr_thresholds, _pr_thresholds_sql()),
     "eval_calibration_bins": (eval_calibration_bins, _calibration_sql()),
     "eval_pii_recall": (eval_pii_recall, _pii_recall_sql()),
