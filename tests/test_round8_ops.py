@@ -606,3 +606,33 @@ def test_canonicalize_url_idempotent_property(spark):
     ).collect()
     bad = [(urls[r.i], r.c1, r.c2) for r in rows if r.c1 != r.c2]
     assert not bad, bad[:5]
+
+
+def test_average_precision_random_differential(spark):
+    """Operator vs a pure-Python reference on seeded random data,
+    including heavy score ties (resolved by doc_id)."""
+    import random
+
+    from icnarc_to_philips_linkage_spark.operators.evaluation import (
+        average_precision,
+    )
+
+    for seed in (7, 42):
+        rng = random.Random(seed)
+        rows = [
+            (i, round(rng.choice([0.1, 0.3, 0.5, 0.7, 0.9]), 6),
+             rng.random() < 0.4)
+            for i in range(200)
+        ]
+        order = sorted(rows, key=lambda r: (-r[1], r[0]))
+        cum, terms = 0, []
+        for rank, (_, _, y) in enumerate(order, 1):
+            if y:
+                cum += 1
+                # mirror the operator's 1e-9 integer quantization
+                terms.append((cum * 10**9) // rank)
+        want = round(sum(terms) / (len(terms) * 1e9), 6)
+        df = spark.createDataFrame(rows, "doc_id long, s double, y boolean")
+        r = average_precision(df, "s", "y", "doc_id").collect()[0]
+        assert r.n_pos == len(terms) and r.n == 200
+        assert r.avg_precision == want, (seed, r.avg_precision, want)

@@ -88,6 +88,21 @@ SECTIONS: list[tuple[str, str]] = [
         "the row — no spans re-aggregation, no grid-to-observation join, "
         "no descending second window pass.",
     ),
+    (
+        "sim_pq_index_probe",
+        "Persisted IVF-PQ probe: codebooks and cell centroids load from "
+        "their tiny side tables (no training in the plan), queries "
+        "route against the broadcast centroid frame, and the "
+        "cell-bucketed codes table streams from its buckets into a "
+        "broadcast hash join with the routed queries — the corpus side "
+        "never hash-partitions.",
+    ),
+    (
+        "web_url_canonicalize",
+        "URL canonicalization is one codegen projection over the scan — "
+        "the entire regexp/array normalization chain fuses into the "
+        "file-scan stage; zero exchanges.",
+    ),
 ]
 
 SF = "/root/testdata/sf0.001"
