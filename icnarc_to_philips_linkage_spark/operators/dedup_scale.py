@@ -1330,3 +1330,79 @@ def keep_best_per_cluster(
         quality_col,
         (F.col("__rn") == 1).alias("keep"),
     )
+
+
+def lsh_band_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 8,
+    band_configs: tuple[int, ...] = (1, 2, 4, 8),
+) -> DataFrame:
+    """LSH tuning report: for each (bands b, rows r = k/b) split of the
+    SAME k-permutation MinHash signature, the measured bucket/candidate
+    workload on the actual corpus, next to the config's analytic
+    S-curve midpoint s* = (1/b)^(1/r) (the Jaccard where collision
+    probability 1−(1−sʳ)ᵇ crosses ~½, Leskovec-Rajaraman-Ullman
+    ch. 3). "Measure, don't guess": before committing a (b, r) at
+    100 TB you want the candidate-pair bill each setting actually
+    generates on YOUR data, not just the theory curve.
+
+    Scale shape: signatures are computed ONCE (map-only array fold,
+    persisted); each config re-bands that frame with a projection and
+    pays one bucket-count aggregation plus one distinct-pair self-join
+    — the identical shapes the production dedup runs, so the report
+    predicts the real job. s* is a Python-computed plan literal
+    (identical in any engine — no cross-engine pow).
+
+    Output one row per config: ``(n_bands, rows_per_band, s_star,
+    n_buckets, n_multi_buckets, raw_comparisons, candidate_pairs)`` —
+    ``raw_comparisons`` = Σ C(bucket,2) (the join work), ``candidate_
+    pairs`` = distinct pairs after multi-band dedup (the verify work).
+    """
+    from pyspark import StorageLevel
+
+    for b in band_configs:
+        if k % b:
+            raise ValueError(f"bands={b} must divide k={k}")
+    sig = cachereg.track(
+        minhash_signatures_arr(
+            shingle_sets(df, id_col, text_col, n), id_col, k
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    outs = []
+    for b in band_configs:
+        r = k // b
+        s_star = round((1.0 / b) ** (1.0 / r), 6)
+        bands_df = lsh_bands(sig, id_col, k, b)
+        buckets = bands_df.groupBy("band_idx", "band_hash").agg(
+            F.count(F.lit(1)).alias("__c")
+        )
+        stats = buckets.agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum(
+                F.when(F.col("__c") >= 2, F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_multi_buckets"),
+            F.sum(
+                F.expr("CAST((__c * (__c - 1)) DIV 2 AS LONG)")
+            ).alias("raw_comparisons"),
+        )
+        pairs = lsh_candidate_pairs(bands_df, id_col).agg(
+            F.count(F.lit(1)).alias("candidate_pairs")
+        )
+        outs.append(
+            stats.crossJoin(pairs).select(
+                F.lit(b).alias("n_bands"),
+                F.lit(r).alias("rows_per_band"),
+                F.lit(s_star).alias("s_star"),
+                "n_buckets",
+                "n_multi_buckets",
+                "raw_comparisons",
+                "candidate_pairs",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

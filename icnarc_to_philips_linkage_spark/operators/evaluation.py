@@ -533,3 +533,97 @@ def average_precision(
             ),
         ).alias("avg_precision"),
     )
+
+
+def cohens_kappa(
+    df: DataFrame,
+    rater_a_col: str,
+    rater_b_col: str,
+    round_dp: int = 9,
+) -> DataFrame:
+    """Cohen's kappa — chance-corrected agreement between two
+    categorical labelings (Cohen 1960): ``κ = (p_o − p_e)/(1 − p_e)``
+    with observed agreement ``p_o`` and the marginal-product chance
+    agreement ``p_e``. The label-QA statistic for training-data
+    pipelines: gold vs heuristic labeler, annotator vs annotator,
+    old vs new classifier version — raw percent-agreement over-credits
+    skewed label distributions, kappa doesn't.
+
+    Scale shape: one ``groupBy(a, b)`` contingency aggregation bounds
+    everything downstream at k² rows (k = class cardinality) no matter
+    the corpus size; marginals and the κ arithmetic run over that tiny
+    frame. Everything stays in INTEGERS until the final division —
+    with ``n`` rows, ``d`` = Σ diagonal counts and ``e`` = Σᵢ rowᵢ·colᵢ,
+      κ = (n·d − e) / (n² − e)
+    is a ratio of two exact integers (accumulated as decimal(38,0) so
+    the n² product can't wrap a long under the session's ansi=false),
+    bit-reproducible across engines and partition counts.
+
+    Output one row: ``(n, n_classes, po, pe, kappa)`` — ``n_classes``
+    is the union cardinality of both raters' observed labels; NULL
+    kappa on the degenerate single-cell table (p_e = 1).
+    """
+    a = F.col(rater_a_col).cast("string")
+    b = F.col(rater_b_col).cast("string")
+    cont = (
+        df.filter(a.isNotNull() & b.isNotNull())
+        .groupBy(a.alias("__a"), b.alias("__b"))
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("__c"))
+    )
+    rows = cont.groupBy("__a").agg(F.sum("__c").alias("__ra"))
+    cols = cont.groupBy("__b").agg(F.sum("__c").alias("__cb"))
+    e = (
+        rows.join(cols, rows["__a"] == cols["__b"])
+        .agg(
+            F.coalesce(
+                F.sum(
+                    (F.col("__ra") * F.col("__cb")).cast("decimal(38,0)")
+                ),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("__e")
+        )
+    )
+    totals = cont.agg(
+        F.coalesce(F.sum("__c"), F.lit(0).cast("decimal(38,0)")).alias("__n"),
+        F.coalesce(
+            F.sum(F.when(F.col("__a") == F.col("__b"), F.col("__c"))),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("__d"),
+        F.size(
+            F.array_distinct(
+                F.flatten(F.collect_list(F.array("__a", "__b")))
+            )
+        ).alias("n_classes"),
+    )
+    out = totals.crossJoin(e)
+    # Decimal÷decimal in Spark clamps the result scale (min 6) once the
+    # operand precision saturates 38 — DuckDB doesn't — so divide as
+    # DOUBLES: each exact integer converts to its nearest double
+    # identically in both engines, and the quotient's ~1e-16 relative
+    # error sits far below the round_dp grid.
+    nn = (F.col("__n") * F.col("__n")).cast("decimal(38,0)")
+    return out.select(
+        F.col("__n").cast("long").alias("n"),
+        "n_classes",
+        F.when(
+            F.col("__n") > 0,
+            F.round(
+                F.col("__d").cast("double") / F.col("__n").cast("double"),
+                round_dp,
+            ),
+        ).alias("po"),
+        F.when(
+            F.col("__n") > 0,
+            F.round(
+                F.col("__e").cast("double") / nn.cast("double"), round_dp
+            ),
+        ).alias("pe"),
+        F.when(
+            nn != F.col("__e"),
+            F.round(
+                (F.col("__n") * F.col("__d") - F.col("__e")).cast("double")
+                / (nn - F.col("__e")).cast("double"),
+                round_dp,
+            ),
+        ).alias("kappa"),
+    )

@@ -652,3 +652,157 @@ def bpe_train(
     return spark.createDataFrame(
         merges, "step int, left string, right string, merged string, pair_n long"
     )
+
+
+def with_gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 5,
+    max_tokens: int = 100_000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+    min_alpha_frac: float = 0.7,
+    min_stopword_hits: int = 2,
+    max_ellipsis_line_frac: float = 0.3,
+    max_bullet_line_frac: float = 0.9,
+    max_symbol_ratio: float = 0.1,
+) -> DataFrame:
+    """The Gopher heuristic quality ruleset (Rae et al. 2021, table A1)
+    as one codegen projection: per-document boolean rule columns plus
+    the conjunctive ``gopher_keep`` verdict. The standard first-pass
+    web-corpus filter — each rule targets a concrete failure mode
+    (boilerplate lists, symbol spam, machine-generated ellipsis walls,
+    non-linguistic shards) and the per-rule flags let the corpus report
+    show WHICH rule fires, not just how many documents die.
+
+    All eight rules are native expressions over one tokenization and
+    one line split — zero shuffles, zero UDFs; thresholds are the
+    paper's, overridable per corpus.
+    """
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    n_tok1 = F.greatest(n_tok, F.lit(1))
+    no_ws = F.regexp_replace(F.col(text_col), r"\s+", "")
+    lines = F.split(F.col(text_col), r"\n")
+    n_lines1 = F.greatest(F.size(lines), F.lit(1))
+    ell_lines = F.size(F.filter(lines, lambda l: l.endswith("...")))
+    bullet_lines = F.size(
+        F.filter(
+            lines,
+            lambda l: l.startswith("-")
+            | l.startswith("*")
+            | l.startswith("•"),
+        )
+    )
+    hash_chars = F.length(F.col(text_col)) - F.length(
+        F.replace(F.col(text_col), F.lit("#"), F.lit(""))
+    )
+    ell_hits = F.size(F.split(F.col(text_col), r"\.\.\.")) - 1
+    alpha_toks = F.size(F.filter(toks, lambda w: w.rlike("[a-z]")))
+    mean_wl = F.length(no_ws) / n_tok1
+    return (
+        df.withColumn(
+            "r_token_count", n_tok.between(min_tokens, max_tokens)
+        )
+        .withColumn(
+            "r_mean_word_len",
+            mean_wl.between(min_mean_word_len, max_mean_word_len),
+        )
+        .withColumn(
+            "r_alpha_frac", alpha_toks / n_tok1 >= F.lit(min_alpha_frac)
+        )
+        .withColumn(
+            "r_stopwords",
+            marker_hits_expr(toks, STOPWORDS) >= F.lit(min_stopword_hits),
+        )
+        .withColumn(
+            "r_ellipsis_lines",
+            ell_lines / n_lines1 <= F.lit(max_ellipsis_line_frac),
+        )
+        .withColumn(
+            "r_bullet_lines",
+            bullet_lines / n_lines1 <= F.lit(max_bullet_line_frac),
+        )
+        .withColumn(
+            "r_symbol_ratio",
+            (hash_chars + ell_hits) / n_tok1 <= F.lit(max_symbol_ratio),
+        )
+        .withColumn(
+            "gopher_keep",
+            F.col("r_token_count")
+            & F.col("r_mean_word_len")
+            & F.col("r_alpha_frac")
+            & F.col("r_stopwords")
+            & F.col("r_ellipsis_lines")
+            & F.col("r_bullet_lines")
+            & F.col("r_symbol_ratio"),
+        )
+    )
+
+
+def marker_hits_expr(toks_col: Column, words: tuple[str, ...]) -> Column:
+    """``marker_hits`` over a Column (not a named column): count of
+    tokens in the marker set — higher-order filter, no shuffle."""
+    lits = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks_col, lambda w: F.array_contains(lits, w)))
+
+
+def vocab_coverage(
+    df: DataFrame,
+    vocab_k: int = 200,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    by: str = "source",
+) -> DataFrame:
+    """Vocabulary coverage / OOV-rate report: build the top-``vocab_k``
+    token vocabulary from the corpus itself (count DESC, token ASC —
+    a deterministic total order), then measure per-``by``-group what
+    fraction of token OCCURRENCES falls outside it. The tokenizer-fit
+    question every training pipeline asks before committing a vocab:
+    a source whose OOV rate spikes is under-served by the planned
+    vocabulary (or isn't the language you think it is).
+
+    Scale shape: token counts are one explode + hash aggregation
+    (map-side partial combine does the heavy lifting — the shuffle
+    carries distinct tokens, not occurrences); the top-k is a
+    ``TakeOrderedAndProject`` (never a global sort) whose k-row result
+    BROADCASTS back onto the exploded stream for the coverage pass.
+    The corpus is tokenized twice by design: re-running a cheap codegen
+    projection beats persisting an |occurrences|-sized intermediate.
+
+    Output one row per group: ``(by, n_docs, total_tokens, oov_tokens,
+    oov_rate)``.
+    """
+    occ = df.select(
+        F.col(by).alias("__g"),
+        F.col(id_col).alias("__id"),
+        F.explode(tokens(text_col)).alias("__tok"),
+    )
+    vocab = (
+        occ.groupBy("__tok")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .orderBy(F.col("__c").desc(), F.col("__tok").asc())
+        .limit(vocab_k)
+        .select("__tok", F.lit(True).alias("__in_vocab"))
+    )
+    return (
+        occ.join(F.broadcast(vocab), "__tok", "left")
+        .groupBy(F.col("__g").alias(by))
+        .agg(
+            F.countDistinct("__id").alias("n_docs"),
+            F.count(F.lit(1)).alias("total_tokens"),
+            F.sum(
+                F.when(F.col("__in_vocab").isNull(), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            ).alias("oov_tokens"),
+        )
+        .withColumn(
+            "oov_rate",
+            F.round(
+                F.col("oov_tokens")
+                / F.greatest(F.col("total_tokens"), F.lit(1)),
+                6,
+            ),
+        )
+    )

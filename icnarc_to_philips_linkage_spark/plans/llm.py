@@ -4607,6 +4607,300 @@ selall{r} AS (SELECT * FROM selall{r-1} UNION ALL SELECT * FROM sel{r})""")
     return "".join(parts)
 
 
+
+# --------------------------------------------------- round 8: label QA,
+# LSH tuning, vocab fit, Gopher rules, Matryoshka truncation
+
+
+def eval_cohens_kappa(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohen's kappa between the gold ``lang`` column and the
+    marker-word language-ID prediction (evaluation.cohens_kappa) —
+    chance-corrected labeler-vs-gold agreement, the label-QA statistic
+    raw percent-agreement over-credits on skewed classes. Multi-class
+    (every marker language plus 'unknown'); one k²-bounded contingency
+    aggregation, integer arithmetic to the final division."""
+    docs = load(spark, sf, "documents")
+    pred = text.with_lang_id(docs).select("doc_id", "lang_pred")
+    lab = docs.select("doc_id", "lang").join(pred, "doc_id")
+    return evaluation.cohens_kappa(lab, "lang", "lang_pred")
+
+
+def _kappa_sql() -> str:
+    pred_sql = _lang_id_sql().strip()
+    return f"""
+WITH pred AS (
+{pred_sql}
+),
+lab AS (
+  SELECT d.lang AS a, p.lang_pred AS b
+  FROM documents d JOIN pred p USING (doc_id)
+  WHERE d.lang IS NOT NULL AND p.lang_pred IS NOT NULL
+),
+cont AS (SELECT a, b, COUNT(*) AS c FROM lab GROUP BY a, b),
+tot AS (
+  SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n,
+         CAST(COALESCE(SUM(CASE WHEN a = b THEN c ELSE 0 END), 0)
+              AS BIGINT) AS d
+  FROM cont
+),
+marg AS (
+  SELECT CAST(COALESCE(SUM(ra * cb), 0) AS BIGINT) AS e
+  FROM (SELECT a, SUM(c) AS ra FROM cont GROUP BY a) r
+  JOIN (SELECT b, SUM(c) AS cb FROM cont GROUP BY b) cl ON r.a = cl.b
+),
+kcl AS (
+  SELECT CAST(COUNT(*) AS INTEGER) AS n_classes
+  FROM (SELECT a AS x FROM cont UNION SELECT b FROM cont)
+)
+SELECT n, n_classes,
+       CASE WHEN n > 0
+            THEN ROUND(CAST(d AS DOUBLE) / CAST(n AS DOUBLE), 9) END AS po,
+       CASE WHEN n > 0
+            THEN ROUND(CAST(e AS DOUBLE) / CAST(n * n AS DOUBLE), 9)
+       END AS pe,
+       CASE WHEN n * n != e
+            THEN ROUND(CAST(n * d - e AS DOUBLE)
+                       / CAST(n * n - e AS DOUBLE), 9)
+       END AS kappa
+FROM tot, marg, kcl
+"""
+
+
+_BAND_CONFIGS = (1, 2, 4, 8)
+
+
+def dedup_lsh_band_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH tuning report (dedup_scale.lsh_band_stats): measured bucket
+    and candidate-pair workload for every (bands, rows) split of the
+    same 8-permutation signature, next to each config's analytic
+    S-curve midpoint — the candidate-pair bill each setting would
+    actually generate on THIS corpus."""
+    return dedup_scale.lsh_band_stats(
+        spread(load(spark, sf, "documents"), "doc_id"),
+        n=SHINGLE_N,
+        k=MINHASH_K,
+        band_configs=_BAND_CONFIGS,
+    )
+
+
+def _band_stats_sql() -> str:
+    k = MINHASH_K
+    mins = ",\n    ".join(
+        f"MIN(md5('{i}:' || shingle)) AS h{i}" for i in range(k)
+    )
+    parts = [
+        f"""
+WITH {_shingle_cte()},
+sig AS (
+  SELECT doc_id,
+    {mins}
+  FROM sh GROUP BY doc_id
+)"""
+    ]
+    selects = []
+    for b in _BAND_CONFIGS:
+        r = k // b
+        s_star = round((1.0 / b) ** (1.0 / r), 6)
+        band_selects = "\n  UNION ALL ".join(
+            f"SELECT doc_id, {i} AS band_idx, "
+            f"md5(concat({', '.join(f'h{i * r + j}' for j in range(r))}))"
+            f" AS band_hash FROM sig"
+            for i in range(b)
+        )
+        parts.append(f""",
+bands{b} AS (
+  {band_selects}
+),
+cfg{b} AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+         CAST(COALESCE(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS n_multi_buckets,
+         CAST(COALESCE(SUM((c * (c - 1)) // 2), 0) AS BIGINT)
+              AS raw_comparisons
+  FROM (SELECT band_idx, band_hash, COUNT(*) AS c
+        FROM bands{b} GROUP BY band_idx, band_hash)
+),
+pairs{b} AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS candidate_pairs FROM (
+    SELECT DISTINCT a.doc_id, b.doc_id
+    FROM bands{b} a JOIN bands{b} b USING (band_idx, band_hash)
+    WHERE a.doc_id < b.doc_id)
+)""")
+        selects.append(
+            f"SELECT {b} AS n_bands, {r} AS rows_per_band, "
+            f"CAST({s_star!r} AS DOUBLE) AS s_star, n_buckets, "
+            f"n_multi_buckets, raw_comparisons, candidate_pairs "
+            f"FROM cfg{b}, pairs{b}"
+        )
+    parts.append("\n" + "\nUNION ALL\n".join(selects))
+    return "".join(parts)
+
+
+VOCAB_K = 200
+
+
+def text_vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    """Vocabulary-fit report (text.vocab_coverage): per-source OOV
+    occurrence rate against the corpus's own top-200 token vocabulary
+    (count DESC, token ASC — a deterministic total order)."""
+    return text.vocab_coverage(load(spark, sf, "documents"), vocab_k=VOCAB_K)
+
+
+def _vocab_coverage_sql() -> str:
+    return f"""
+WITH occ AS (
+  SELECT source, doc_id, unnest({_TOKS}) AS tok FROM documents
+),
+vocab AS (
+  SELECT tok FROM (
+    SELECT tok, COUNT(*) AS c FROM occ GROUP BY tok
+    ORDER BY c DESC, tok ASC LIMIT {VOCAB_K})
+),
+agg AS (
+  SELECT source,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         CAST(COUNT(*) AS BIGINT) AS total_tokens,
+         CAST(COALESCE(SUM(CASE WHEN tok IN (SELECT tok FROM vocab)
+                            THEN 0 ELSE 1 END), 0) AS BIGINT) AS oov_tokens
+  FROM occ GROUP BY source
+)
+SELECT source, n_docs, total_tokens, oov_tokens,
+       ROUND(oov_tokens * 1.0 / GREATEST(total_tokens, 1), 6) AS oov_rate
+FROM agg
+"""
+
+
+_GOPHER_RULES = (
+    "r_token_count",
+    "r_mean_word_len",
+    "r_alpha_frac",
+    "r_stopwords",
+    "r_ellipsis_lines",
+    "r_bullet_lines",
+    "r_symbol_ratio",
+)
+
+
+def quality_gopher_rules(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher heuristic ruleset report (text.with_gopher_rules): per
+    source, how many documents each rule kills and how many survive
+    the full conjunction — the which-rule-fires breakdown a corpus
+    datasheet needs before committing the filter at scale."""
+    flags = text.with_gopher_rules(load(spark, sf, "documents"))
+    fails = [
+        F.sum(F.when(~F.col(c), 1).otherwise(0)).alias(f"fail_{c[2:]}")
+        for c in _GOPHER_RULES
+    ]
+    return flags.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        *fails,
+        F.sum(F.when(F.col("gopher_keep"), 1).otherwise(0)).alias("n_keep"),
+    )
+
+
+def _gopher_sql() -> str:
+    stop = ", ".join(f"'{w}'" for w in STOPWORDS)
+    fail_cols = ",\n  ".join(
+        f"CAST(SUM(CASE WHEN NOT {c} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS fail_{c[2:]}"
+        for c in _GOPHER_RULES
+    )
+    keep = " AND ".join(_GOPHER_RULES)
+    return f"""
+WITH base AS (
+  SELECT source, text, {_TOKS} AS t,
+         regexp_replace(text, '\\s+', '', 'g') AS no_ws,
+         string_split(text, chr(10)) AS lines
+  FROM documents
+),
+f AS (
+  SELECT source,
+    len(t) BETWEEN 5 AND 100000 AS r_token_count,
+    (LENGTH(no_ws) * 1.0 / GREATEST(len(t), 1)) BETWEEN 2.0 AND 12.0
+      AS r_mean_word_len,
+    len(list_filter(t, w -> regexp_matches(w, '[a-z]'))) * 1.0
+      / GREATEST(len(t), 1) >= 0.7 AS r_alpha_frac,
+    len(list_filter(t, w -> w IN ({stop}))) >= 2 AS r_stopwords,
+    len(list_filter(lines, l -> l LIKE '%...')) * 1.0
+      / GREATEST(len(lines), 1) <= 0.3 AS r_ellipsis_lines,
+    len(list_filter(lines,
+        l -> l LIKE '-%' OR l LIKE '*%' OR l LIKE '•%')) * 1.0
+      / GREATEST(len(lines), 1) <= 0.9 AS r_bullet_lines,
+    ((LENGTH(text) - LENGTH(replace(text, '#', '')))
+      + (len(string_split(text, '...')) - 1)) * 1.0
+      / GREATEST(len(t), 1) <= 0.1 AS r_symbol_ratio
+  FROM base
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  {fail_cols},
+  CAST(SUM(CASE WHEN {keep} THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+FROM f GROUP BY source
+"""
+
+
+_MATRYOSHKA_DIMS = (16, 32)
+
+
+def sim_matryoshka_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Matryoshka truncation evaluation (similarity.matryoshka_recall):
+    exact top-5 recall of 16- and 32-dim prefixes of the 64-dim
+    embeddings against full-dimension ground truth."""
+    emb = load(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < KNN_QUERY_LIMIT)
+    return similarity.matryoshka_recall(
+        emb, q, k=5, trunc_dims=_MATRYOSHKA_DIMS
+    )
+
+
+def _cos_sql_d(a: str, b: str, d: int) -> str:
+    def dotp(x: str, y: str) -> str:
+        return (
+            f"list_sum(list_transform(generate_series(1, {d}), "
+            f"i -> CAST({x}[i] AS DOUBLE) * CAST({y}[i] AS DOUBLE)))"
+        )
+
+    return (
+        f"ROUND({dotp(a, b)} / (sqrt({dotp(a, a)}) * sqrt({dotp(b, b)})), 6)"
+    )
+
+
+def _matryoshka_sql() -> str:
+    parts = [
+        f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id < {KNN_QUERY_LIMIT}),
+truth AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+           {_cos_sql('q.qv', 'c.embedding')} AS cos_sim
+    FROM embeddings c, q WHERE c.vec_id != q.query_id)
+  QUALIFY row_number() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) <= 5
+)"""
+    ]
+    selects = []
+    for d in _MATRYOSHKA_DIMS:
+        parts.append(f""",
+apx{d} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+           {_cos_sql_d('q.qv', 'c.embedding', d)} AS cos_sim
+    FROM embeddings c, q WHERE c.vec_id != q.query_id)
+  QUALIFY row_number() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) <= 5
+)""")
+        selects.append(
+            f"SELECT {d} AS trunc_dim,\n"
+            f"  (SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT)"
+            f" FROM truth) AS n_queries,\n"
+            f"  ROUND((SELECT COUNT(*) FROM truth t JOIN apx{d} a"
+            f" USING (query_id, neighbor_id)) * 1.0\n"
+            f"        / (SELECT COUNT(*) FROM truth), 6) AS mean_recall"
+        )
+    parts.append("\n" + "\nUNION ALL\n".join(selects))
+    return "".join(parts)
+
+
 QUERIES: dict[str, tuple] = {
     "drift_wasserstein": (drift_wasserstein, _wasserstein_sql()),
     "sample_weighted_topk": (sample_weighted_topk, _wres_sql()),
@@ -4689,6 +4983,11 @@ QUERIES: dict[str, tuple] = {
     "eval_ks_separation": (eval_ks_separation, _ks_separation_sql()),
     "eval_ndcg_mrr": (eval_ndcg_mrr, _ndcg_mrr_sql()),
     "eval_avg_precision": (eval_avg_precision, _avg_precision_sql()),
+    "eval_cohens_kappa": (eval_cohens_kappa, _kappa_sql()),
+    "dedup_lsh_band_stats": (dedup_lsh_band_stats, _band_stats_sql()),
+    "text_vocab_coverage": (text_vocab_coverage, _vocab_coverage_sql()),
+    "quality_gopher_rules": (quality_gopher_rules, _gopher_sql()),
+    "sim_matryoshka_recall": (sim_matryoshka_recall, _matryoshka_sql()),
     "web_url_canonicalize": (web_url_canonicalize, _web_canon_sql()),
     "web_url_dedup": (web_url_dedup, _web_dedup_sql()),
     "web_domain_profile": (web_domain_profile, _web_profile_sql()),

@@ -3819,6 +3819,55 @@ SELECT l_partkey FROM lineitem WHERE YEAR(l_shipdate) = 1997
 """
 
 
+
+
+def w11_rank_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    """W11: the rank-distribution window trio — ntile(4) quartiles,
+    percent_rank, cume_dist — over a per-priority price ordering with
+    a unique (price, orderkey) tie-break, aggregated per quartile so
+    the output is bounded at n_priorities × 4 rows.
+
+    Scale note: ntile/percent_rank need a total order WITHIN each
+    window partition, and o_orderpriority has only 5 values — at
+    100 TB this exact shape is the known low-cardinality-window skew
+    (5 sort tasks). The scalable formulation is the two-level
+    ``scale.global_rank`` per group (rank and n are enough to derive
+    all three functions); this query registers the declarative form
+    the SQL surface must support and documents the rewrite."""
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    ranked = load(spark, sf, "orders").select(
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("__pr"),
+        F.cume_dist().over(w).alias("__cd"),
+    )
+    return ranked.groupBy("o_orderpriority", "quartile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("__pr"), 6).alias("min_pr"),
+        F.round(F.max("__pr"), 6).alias("max_pr"),
+        F.round(F.max("__cd"), 6).alias("max_cd"),
+    )
+
+
+W11_SQL = """
+WITH r AS (
+  SELECT o_orderpriority,
+         CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+         percent_rank() OVER w AS pr,
+         cume_dist() OVER w AS cd
+  FROM orders
+  WINDOW w AS (PARTITION BY o_orderpriority
+               ORDER BY o_totalprice, o_orderkey)
+)
+SELECT o_orderpriority, quartile, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(MIN(pr), 6) AS min_pr, ROUND(MAX(pr), 6) AS max_pr,
+       ROUND(MAX(cd), 6) AS max_cd
+FROM r GROUP BY o_orderpriority, quartile
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "report_key_skew": (report_key_skew, KEY_SKEW_SQL),
     "report_column_profile": (report_column_profile, _column_profile_sql()),
@@ -3885,6 +3934,7 @@ QUERIES: dict[str, tuple] = {
     "graph_pagerank_parts": (graph_pagerank_parts, _pagerank_sql()),
     "ts_seasonal_baseline": (ts_seasonal_baseline, TS_SEASONAL_SQL),
     "w10_cumulative_distinct": (w10_cumulative_distinct, W10_SQL),
+    "w11_rank_distribution": (w11_rank_distribution, W11_SQL),
     "a31_two_proportion_ztest": (a31_two_proportion_ztest, A31_SQL),
     "ev_bot_regularity": (ev_bot_regularity, EV_BOT_SQL),
     "ts_autocorrelation": (ts_autocorrelation, TS_AUTOCORR_SQL),

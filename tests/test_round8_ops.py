@@ -636,3 +636,233 @@ def test_average_precision_random_differential(spark):
         r = average_precision(df, "s", "y", "doc_id").collect()[0]
         assert r.n_pos == len(terms) and r.n == 200
         assert r.avg_precision == want, (seed, r.avg_precision, want)
+
+
+# ---------------------------------------------------------------------------
+# Cohen's kappa: hand-computed contingency + degenerate cases
+# ---------------------------------------------------------------------------
+
+
+def test_cohens_kappa_hand_computed(spark):
+    """Textbook 2×2 table: a=20 yes/yes, b=5 yes/no, c=10 no/yes,
+    d=15 no/no → po=0.7, pe=(25·30 + 25·20)/50² = 0.5, κ=0.4."""
+    from icnarc_to_philips_linkage_spark.operators.evaluation import (
+        cohens_kappa,
+    )
+
+    rows = (
+        [("y", "y")] * 20 + [("y", "n")] * 5
+        + [("n", "y")] * 10 + [("n", "n")] * 15
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = cohens_kappa(df, "a", "b").collect()[0]
+    assert (r.n, r.n_classes) == (50, 2)
+    assert (r.po, r.pe, r.kappa) == (0.7, 0.5, 0.4)
+
+
+def test_cohens_kappa_perfect_and_degenerate(spark):
+    from icnarc_to_philips_linkage_spark.operators.evaluation import (
+        cohens_kappa,
+    )
+
+    perfect = spark.createDataFrame(
+        [("a", "a"), ("b", "b"), ("c", "c")], "x string, y string"
+    )
+    r = cohens_kappa(perfect, "x", "y").collect()[0]
+    assert r.kappa == 1.0 and r.po == 1.0
+
+    # single-cell table: pe = 1 → NULL kappa, not a crash or ±inf
+    const = spark.createDataFrame([("a", "a")] * 4, "x string, y string")
+    r = cohens_kappa(const, "x", "y").collect()[0]
+    assert r.kappa is None and r.po == 1.0 and r.n_classes == 1
+
+    # null labels are excluded from n
+    with_nulls = spark.createDataFrame(
+        [("a", "a"), ("a", None), (None, "b"), ("b", "b")],
+        "x string, y string",
+    )
+    r = cohens_kappa(with_nulls, "x", "y").collect()[0]
+    assert r.n == 2 and r.kappa == 1.0
+
+
+def test_cohens_kappa_random_differential(spark):
+    """Seeded random multi-class tables vs a pure-Python reference."""
+    import random
+
+    from icnarc_to_philips_linkage_spark.operators.evaluation import (
+        cohens_kappa,
+    )
+
+    for seed in (3, 11):
+        rng = random.Random(seed)
+        classes = ["en", "de", "fr", "unknown"]
+        rows = [
+            (rng.choice(classes), rng.choice(classes)) for _ in range(300)
+        ]
+        n = len(rows)
+        d = sum(1 for a, b in rows if a == b)
+        ra = {c: sum(1 for a, _ in rows if a == c) for c in classes}
+        cb = {c: sum(1 for _, b in rows if b == c) for c in classes}
+        e = sum(ra[c] * cb[c] for c in classes)
+        want = round((n * d - e) / (n * n - e), 9)
+        df = spark.createDataFrame(rows, "a string, b string")
+        r = cohens_kappa(df, "a", "b").collect()[0]
+        assert r.kappa == want, (seed, r.kappa, want)
+
+
+# ---------------------------------------------------------------------------
+# LSH band stats: invariants against the one-config ground truth
+# ---------------------------------------------------------------------------
+
+
+def test_lsh_band_stats_invariants(spark):
+    """b=k (rows=1) merges nothing across permutations → most buckets;
+    candidate_pairs ≤ raw_comparisons always (DISTINCT dedups multi-band
+    hits); b=1 concatenates the WHOLE signature → only exact-signature
+    duplicates collide."""
+    from icnarc_to_philips_linkage_spark.operators.dedup_scale import (
+        lsh_band_stats,
+    )
+
+    docs = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),  # exact dup of 1
+        (3, "alpha beta gamma delta epsilon eta"),   # near dup
+        (4, "totally different words here now ok"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r.n_bands: r
+        for r in lsh_band_stats(df, n=3, k=8, band_configs=(1, 2, 4, 8))
+        .collect()
+    }
+    assert set(out) == {1, 2, 4, 8}
+    for r in out.values():
+        assert r.candidate_pairs <= r.raw_comparisons
+        assert r.n_multi_buckets <= r.n_buckets
+    # the exact dup pair collides in EVERY config, including b=1
+    assert out[1].candidate_pairs >= 1
+    # s* literals: (1/b)^(1/r)
+    assert out[4].s_star == round((1 / 4) ** (1 / 2), 6) == 0.5
+    assert out[1].s_star == 1.0
+    # more bands → collision threshold drops monotonically
+    stars = [out[b].s_star for b in (1, 2, 4, 8)]
+    assert stars == sorted(stars, reverse=True)
+
+
+# ---------------------------------------------------------------------------
+# Vocab coverage: planted OOV ground truth
+# ---------------------------------------------------------------------------
+
+
+def test_vocab_coverage_planted(spark):
+    """Vocab k=2 on a corpus where 'common' dominates: the two top
+    tokens are known, so each source's OOV count is hand-computable."""
+    from icnarc_to_philips_linkage_spark.operators.text import (
+        vocab_coverage,
+    )
+
+    docs = [
+        (1, "common common filler", "s1"),
+        (2, "common filler rare1", "s1"),
+        (3, "common filler rare2 rare3", "s2"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, source string")
+    # counts: common=4, filler=3, rare*=1 each → vocab = {common, filler}
+    out = {r.source: r for r in vocab_coverage(df, vocab_k=2).collect()}
+    assert out["s1"].total_tokens == 6 and out["s1"].oov_tokens == 1
+    assert out["s2"].total_tokens == 4 and out["s2"].oov_tokens == 2
+    assert out["s2"].oov_rate == 0.5
+    assert out["s1"].n_docs == 2 and out["s2"].n_docs == 1
+
+
+def test_vocab_coverage_tie_break_deterministic(spark):
+    """At the k boundary ties break token-ASC: with k=1 and counts
+    tied 2-2, 'aaa' wins over 'bbb' regardless of partitioning."""
+    from icnarc_to_philips_linkage_spark.operators.text import (
+        vocab_coverage,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "bbb aaa", "s"), (2, "aaa bbb", "s")],
+        "doc_id long, text string, source string",
+    ).repartition(8)
+    r = vocab_coverage(df, vocab_k=1).collect()[0]
+    assert r.oov_tokens == 2  # both 'bbb' occurrences are OOV
+
+
+# ---------------------------------------------------------------------------
+# Gopher rules: each rule kills its targeted pathology
+# ---------------------------------------------------------------------------
+
+
+def test_gopher_rules_target_pathologies(spark):
+    from icnarc_to_philips_linkage_spark.operators.text import (
+        with_gopher_rules,
+    )
+
+    good = (
+        "the quick brown fox jumps over a lazy dog and keeps on "
+        "running through the field"
+    )
+    docs = [
+        (1, good),
+        (2, "too short"),                                  # token count
+        (3, "a " * 40 + "the of"),                         # mean word len < 2
+        (4, "1 2 3 4 5 6 7 8 9 10 11 12"),                 # no alpha tokens
+        (5, "zebra quokka lemur wombat gecko fossa okapi"),  # no stopwords
+        (6, "\n".join(["the line goes on..."] * 5)),       # ellipsis lines
+        (7, "# " * 30 + "the of and to in"),               # symbol ratio
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r for r in with_gopher_rules(df).collect()}
+    assert out[1].gopher_keep
+    assert not out[2].r_token_count
+    assert not out[3].r_mean_word_len
+    assert not out[4].r_alpha_frac
+    assert not out[5].r_stopwords
+    assert not out[6].r_ellipsis_lines
+    assert not out[7].r_symbol_ratio
+    for i in range(2, 8):
+        assert not out[i].gopher_keep, i
+
+
+def test_gopher_rules_zero_shuffle_plan(spark):
+    """The whole ruleset must fuse into the scan projection."""
+    from icnarc_to_philips_linkage_spark.operators.text import (
+        with_gopher_rules,
+    )
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = with_gopher_rules(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka recall: identity and monotone-ish sanity
+# ---------------------------------------------------------------------------
+
+
+def test_matryoshka_full_dim_recall_is_one(spark):
+    """Truncating to the FULL dimension must reproduce ground truth
+    exactly → recall 1.0; a 1-dim truncation on adversarial vectors
+    must lose recall."""
+    import random
+
+    from icnarc_to_philips_linkage_spark.operators.similarity import (
+        matryoshka_recall,
+    )
+
+    rng = random.Random(5)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id") < 5)
+    out = {
+        r.trunc_dim: r
+        for r in matryoshka_recall(df, q, k=3, trunc_dims=(8, 1)).collect()
+    }
+    assert out[8].mean_recall == 1.0
+    assert out[8].n_queries == 5
+    assert out[1].mean_recall <= 1.0
