@@ -4618,11 +4618,12 @@ def eval_cohens_kappa(spark: SparkSession, sf: str) -> DataFrame:
     chance-corrected labeler-vs-gold agreement, the label-QA statistic
     raw percent-agreement over-credits on skewed classes. Multi-class
     (every marker language plus 'unknown'); one k²-bounded contingency
-    aggregation, integer arithmetic to the final division."""
-    docs = load(spark, sf, "documents")
-    pred = text.with_lang_id(docs).select("doc_id", "lang_pred")
-    lab = docs.select("doc_id", "lang").join(pred, "doc_id")
-    return evaluation.cohens_kappa(lab, "lang", "lang_pred")
+    aggregation, integer arithmetic to the final division.
+    ``with_lang_id`` RETAINS the gold column, so gold and prediction
+    ride the same scan projection — the corpus is never self-joined
+    (one exchange: the k²-row contingency aggregation)."""
+    pred = text.with_lang_id(load(spark, sf, "documents"))
+    return evaluation.cohens_kappa(pred, "lang", "lang_pred")
 
 
 def _kappa_sql() -> str:

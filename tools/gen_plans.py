@@ -103,6 +103,19 @@ SECTIONS: list[tuple[str, str]] = [
         "the entire regexp/array normalization chain fuses into the "
         "file-scan stage; zero exchanges.",
     ),
+    (
+        "text_vocab_coverage",
+        "Vocabulary build is TakeOrderedAndProject over the token counts "
+        "(per-partition top-k, merge on the driver side of the take — "
+        "never a global sort); the k-row vocab BROADCASTS back onto the "
+        "exploded token stream for the coverage aggregation.",
+    ),
+    (
+        "quality_gopher_rules",
+        "All eight Gopher rules fuse into the scan projection (one "
+        "tokenization, one line split, zero UDFs); the only exchange is "
+        "the final per-source aggregation.",
+    ),
 ]
 
 SF = "/root/testdata/sf0.001"
