@@ -642,10 +642,20 @@ def matryoshka_recall(
     Scale shape: truncation is ``slice()`` — a zero-copy-ish map
     projection; each arm is the same broadcast-queries brute-force
     shape as ``knn_brute_force`` (corpus streams, never shuffles), and
-    the per-arm recall join runs over k·|queries| rows. Ground truth
-    computes once.
+    the per-arm recall join runs over k·|queries| rows. Every
+    neighbor-pair frame is k·|queries| rows but costs a full corpus
+    scan to produce, and the recall join consumes each frame TWICE
+    (hits + per-query totals) — so truth and every arm persist: four
+    tiny cached frames buy back ~⅔ of the corpus scans (measured 172 →
+    ~30 s at a 2M-vector corpus in scale_smoke.py).
     """
-    truth = knn_brute_force(corpus, queries, k, id_col, vec_col)
+    from pyspark import StorageLevel
+
+    truth = cachereg.track(
+        knn_brute_force(corpus, queries, k, id_col, vec_col).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+    )
     outs = []
     for d in trunc_dims:
         tc = corpus.select(
@@ -654,7 +664,11 @@ def matryoshka_recall(
         tq = queries.select(
             F.col(id_col), F.slice(F.col(vec_col), 1, d).alias(vec_col)
         )
-        approx = knn_brute_force(tc, tq, k, id_col, vec_col)
+        approx = cachereg.track(
+            knn_brute_force(tc, tq, k, id_col, vec_col).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+        )
         per_q = recall_per_query(truth, approx)
         outs.append(
             per_q.agg(

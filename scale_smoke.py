@@ -529,6 +529,123 @@ def main() -> int:
         "keep_best_10m_pairs", timings["keep_best_10m_pairs"],
         "keepers", n_keep, "clusters", (n_cl + 4) // 5, flush=True,
     )
+
+    # ---------------- round 8: vocab coverage, kappa, band stats,
+    # matryoshka truncation
+
+    # vocabulary coverage at 100M token occurrences (5M docs x 20
+    # tokens, 200k distinct tokens, vocab = top 50k): the top-k is
+    # TakeOrderedAndProject over the 200k-row count frame, the vocab
+    # broadcasts back onto the exploded occurrence stream.
+    from icnarc_to_philips_linkage_spark.operators.text import (
+        vocab_coverage,
+    )
+
+    vdocs = spark.range(n // 20).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(20)),
+                lambda i: F.concat(
+                    F.lit("w"),
+                    F.pmod(F.xxhash64("id", i), F.lit(200_000)),
+                ),
+            ),
+        ).alias("text"),
+        F.concat(
+            F.lit("s"), F.pmod(F.xxhash64("id", F.lit(9)), F.lit(4))
+        ).alias("source"),
+    )
+    t = time.time()
+    vc_rows = vocab_coverage(vdocs, vocab_k=50_000).collect()
+    timings["vocab_coverage_100m_tokens"] = round(time.time() - t, 2)
+    vc_tot = sum(r.total_tokens for r in vc_rows)
+    print(
+        "vocab_coverage_100m_tokens",
+        timings["vocab_coverage_100m_tokens"],
+        "sources", len(vc_rows), "total_tokens", vc_tot,
+        "oov_rate_s0", [r.oov_rate for r in vc_rows if r.source == "s0"],
+        flush=True,
+    )
+
+    # Cohen's kappa over the full 100M-row events frame: two
+    # independent 5-class labelings -> kappa ~ 0; the printed exact
+    # value doubles as a cross-run determinism check of the
+    # decimal(38,0) arithmetic (n^2 = 1e16).
+    from icnarc_to_philips_linkage_spark.operators.evaluation import (
+        cohens_kappa,
+    )
+
+    lab = e.select(
+        F.col("event_type").alias("a"),
+        F.element_at(
+            F.array(*[F.lit(x) for x in
+                      ("click", "view", "purchase", "error", "signup")]),
+            (F.pmod(F.xxhash64("event_id", F.lit(7)), F.lit(5)) + 1)
+            .cast("int"),
+        ).alias("b"),
+    )
+    t = time.time()
+    kp = cohens_kappa(lab, "a", "b").collect()[0]
+    timings["cohens_kappa_100m_rows"] = round(time.time() - t, 2)
+    print(
+        "cohens_kappa_100m_rows", timings["cohens_kappa_100m_rows"],
+        "n", kp.n, "kappa", kp.kappa, flush=True,
+    )
+
+    # LSH band tuning stats on the 50k-doc near-dup corpus (10x the
+    # sf0.1 documents table): all four (b, r) splits of one persisted
+    # signature, measured raw comparisons + distinct candidate pairs.
+    from icnarc_to_philips_linkage_spark.operators.dedup_scale import (
+        lsh_band_stats,
+    )
+
+    t = time.time()
+    bs_rows = lsh_band_stats(
+        sdocs, n=3, k=8, band_configs=(1, 2, 4, 8)
+    ).collect()
+    timings["lsh_band_stats_50k_docs"] = round(time.time() - t, 2)
+    print(
+        "lsh_band_stats_50k_docs", timings["lsh_band_stats_50k_docs"],
+        {r.n_bands: (r.raw_comparisons, r.candidate_pairs)
+         for r in bs_rows},
+        flush=True,
+    )
+
+    # Matryoshka truncation recall at a 2M-vector dim-32 corpus
+    # (130x the sf0.1 embeddings): ground truth once, two truncated
+    # arms; the corpus streams three times, never shuffles.
+    from icnarc_to_philips_linkage_spark.operators.similarity import (
+        matryoshka_recall,
+    )
+
+    mvec = spark.range(2_000_000).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(32)),
+            lambda i: (
+                F.pmod(F.xxhash64("id", i), F.lit(2001)) - 1000
+            ).cast("float") / 1000.0,
+        ).alias("embedding"),
+    )
+    mq = mvec.filter(F.col("vec_id") < 10)
+    t = time.time()
+    mr = {
+        r.trunc_dim: r.mean_recall
+        for r in matryoshka_recall(
+            mvec, mq, k=5, trunc_dims=(32, 8)
+        ).collect()
+    }
+    timings["matryoshka_recall_2m_corpus"] = round(time.time() - t, 2)
+    print(
+        "matryoshka_recall_2m_corpus",
+        timings["matryoshka_recall_2m_corpus"],
+        "recall_full_dim", mr.get(32), "recall_dim8", mr.get(8),
+        flush=True,
+    )
+    assert mr.get(32) == 1.0, mr
+
     print(
         json.dumps(
             {"n_rows": n, "gen_sec": gen_sec, "timings_sec": timings}
