@@ -1406,3 +1406,65 @@ def lsh_band_stats(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def dedup_savings_report(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    by: str = "source",
+) -> DataFrame:
+    """What does exact dedup buy, per ``by`` group: documents and token
+    occurrences that would be REMOVED (every non-keeper copy in a
+    content-digest group, keeper = global min id) with removal
+    attributed to the group of the removed document — a copy whose
+    original lives in another source still counts against the source
+    carrying the copy. The corpus-datasheet number that justifies (or
+    kills) running dedup at 100 TB.
+
+    Scale shape: one digest aggregation (the same single shuffle the
+    dedup itself pays) produces the keeper table, which joins back on
+    the digest — both sides partition on the SAME key, so the join
+    reuses the aggregation's exchange; token counts ride the first
+    scan as a codegen projection. Output is one row per group.
+
+    Output: ``(by, n_docs, n_removed, tokens_total, tokens_removed,
+    pct_docs_removed, pct_tokens_removed)``.
+    """
+    from icnarc_to_philips_linkage_spark.operators.text import token_count
+
+    base = df.select(
+        F.col(by).alias("__g"),
+        F.col(id_col).alias("__id"),
+        F.md5(F.col(text_col)).alias("__h"),
+        token_count(text_col).cast("long").alias("__tok"),
+    )
+    keepers = base.groupBy("__h").agg(F.min("__id").alias("__keep"))
+    rem = F.col("__id") != F.col("__keep")
+    return (
+        base.join(keepers, "__h")
+        .groupBy(F.col("__g").alias(by))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(rem.cast("long")).alias("n_removed"),
+            F.sum("__tok").alias("tokens_total"),
+            F.sum(F.when(rem, F.col("__tok")).otherwise(F.lit(0))).alias(
+                "tokens_removed"
+            ),
+        )
+        .select(
+            by,
+            "n_docs",
+            "n_removed",
+            "tokens_total",
+            "tokens_removed",
+            F.round(
+                F.col("n_removed") / F.greatest(F.col("n_docs"), F.lit(1)), 6
+            ).alias("pct_docs_removed"),
+            F.round(
+                F.col("tokens_removed")
+                / F.greatest(F.col("tokens_total"), F.lit(1)),
+                6,
+            ).alias("pct_tokens_removed"),
+        )
+    )

@@ -627,3 +627,96 @@ def cohens_kappa(
             ),
         ).alias("kappa"),
     )
+
+
+def fleiss_kappa(
+    df: DataFrame,
+    rater_cols: Sequence[str],
+    round_dp: int = 9,
+) -> DataFrame:
+    """Fleiss' kappa — chance-corrected agreement among ``m`` raters
+    per item (Fleiss 1971), the m-way generalization of
+    ``cohens_kappa``: κ = (P̄ − P̄ₑ)/(1 − P̄ₑ) with per-item agreement
+    P_i = (Σⱼ n_ij² − m)/(m(m−1)) and chance agreement P̄ₑ = Σⱼ p_j².
+    The multi-labeler QA statistic: do three heuristic labelers (or
+    annotators) agree beyond what their marginal label rates force?
+
+    Scale shape: each input ROW is an item and carries all m
+    assignments, so the per-item category counts n_ij are a ROW-WISE
+    array expression — no shuffle keyed on the item, ever. One scan
+    accumulates N and A = Σᵢⱼ n_ij² − N·m; one explode-free-equivalent
+    pass (explode to N·m category cells, hash-aggregate on the tiny
+    category space) produces the column totals for B = Σⱼ(Σᵢ n_ij)².
+    Everything stays INTEGRAL until the final division —
+      κ = (A·Nm − B·(m−1)) / ((Nm)² − B)·(m−1))⁻¹-free form:
+      κ = (A·Nm − B·(m−1)) / (((Nm)² − B)·(m−1) / (Nm)) … computed as
+      the exact integer ratio N1/D1 with N1 = A·Nm − B(m−1) and
+      D1 = ((Nm)² − B)(m−1), accumulated as decimal(38,0) and divided
+      as nearest-doubles (bit-reproducible across engines).
+
+    Output one row: ``(n_items, m_raters, n_categories, p_bar, p_e,
+    kappa)`` — NULL kappa when every assignment is one category
+    (P̄ₑ = 1). Rows with any NULL assignment are excluded.
+    """
+    m = len(rater_cols)
+    if m < 2:
+        raise ValueError("fleiss_kappa needs at least 2 raters")
+    arr = F.array(*[F.col(c).cast("string") for c in rater_cols])
+    def _sq(v):  # INT square — `**` lowers to POWER (double) and
+        # breaks aggregate()'s accumulator type
+        s = F.size(F.filter(arr, lambda x: x == v))
+        return s * s
+
+    nn = F.aggregate(
+        F.array_distinct(arr), F.lit(0), lambda acc, v: acc + _sq(v)
+    )
+    base = df.filter(
+        ~F.array_contains(F.transform(arr, lambda x: x.isNull()), F.lit(True))
+    ).select(arr.alias("__arr"), (nn - F.lit(m)).alias("__pi_num"))
+    tot = base.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("__n"),
+        F.coalesce(
+            F.sum(F.col("__pi_num").cast("decimal(38,0)")),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("__a"),
+    )
+    cols = (
+        base.select(F.explode("__arr").alias("__cat"))
+        .groupBy("__cat")
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("__t"))
+    )
+    bsum = cols.agg(
+        F.coalesce(
+            F.sum((F.col("__t") * F.col("__t")).cast("decimal(38,0)")),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("__b"),
+        F.count(F.lit(1)).cast("int").alias("n_categories"),
+    )
+    out = tot.crossJoin(bsum)
+    nm = (F.col("__n") * F.lit(m)).cast("decimal(38,0)")
+    nm2 = (nm * nm).cast("decimal(38,0)")
+    n1 = (F.col("__a") * nm - F.col("__b") * F.lit(m - 1)).cast(
+        "decimal(38,0)"
+    )
+    d1 = ((nm2 - F.col("__b")) * F.lit(m - 1)).cast("decimal(38,0)")
+    return out.select(
+        F.col("__n").cast("long").alias("n_items"),
+        F.lit(m).alias("m_raters"),
+        "n_categories",
+        F.when(
+            F.col("__n") > 0,
+            F.round(
+                F.col("__a").cast("double")
+                / (nm * F.lit(m - 1)).cast("double"),
+                round_dp,
+            ),
+        ).alias("p_bar"),
+        F.when(
+            F.col("__n") > 0,
+            F.round(F.col("__b").cast("double") / nm2.cast("double"), round_dp),
+        ).alias("p_e"),
+        F.when(
+            d1 != F.lit(0),
+            F.round(n1.cast("double") / d1.cast("double"), round_dp),
+        ).alias("kappa"),
+    )

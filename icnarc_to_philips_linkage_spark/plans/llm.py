@@ -4799,16 +4799,11 @@ def quality_gopher_rules(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _gopher_sql() -> str:
+def _gopher_flags_cte() -> str:
+    """base+f CTEs computing the eight per-document Gopher rule
+    booleans — shared by the per-rule report and funnel oracles."""
     stop = ", ".join(f"'{w}'" for w in STOPWORDS)
-    fail_cols = ",\n  ".join(
-        f"CAST(SUM(CASE WHEN NOT {c} THEN 1 ELSE 0 END) AS BIGINT)"
-        f" AS fail_{c[2:]}"
-        for c in _GOPHER_RULES
-    )
-    keep = " AND ".join(_GOPHER_RULES)
-    return f"""
-WITH base AS (
+    return f"""base AS (
   SELECT source, text, {_TOKS} AS t,
          regexp_replace(text, '\\s+', '', 'g') AS no_ws,
          string_split(text, chr(10)) AS lines
@@ -4831,7 +4826,18 @@ f AS (
       + (len(string_split(text, '...')) - 1)) * 1.0
       / GREATEST(len(t), 1) <= 0.1 AS r_symbol_ratio
   FROM base
-)
+)"""
+
+
+def _gopher_sql() -> str:
+    fail_cols = ",\n  ".join(
+        f"CAST(SUM(CASE WHEN NOT {c} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS fail_{c[2:]}"
+        for c in _GOPHER_RULES
+    )
+    keep = " AND ".join(_GOPHER_RULES)
+    return f"""
+WITH {_gopher_flags_cte()}
 SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
   {fail_cols},
   CAST(SUM(CASE WHEN {keep} THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
@@ -4900,6 +4906,141 @@ apx{d} AS (
         )
     parts.append("\n" + "\nUNION ALL\n".join(selects))
     return "".join(parts)
+
+
+
+
+def eval_fleiss_kappa(spark: SparkSession, sf: str) -> DataFrame:
+    """Fleiss' kappa among THREE labelers of the same documents — gold
+    ``lang``, the marker-word prediction, and the char-trigram
+    prediction (evaluation.fleiss_kappa): do the heuristics agree with
+    the gold label beyond what their marginal rates force? Both
+    predictions chain onto ONE scan (each ``with_lang_id*`` retains
+    its input columns), so the m assignments ride a single projection
+    — the per-item category counts are row-wise array expressions,
+    never a shuffle keyed on the document."""
+    labeled = text.with_lang_id_chargram(
+        text.with_lang_id(load(spark, sf, "documents"))
+    )
+    return evaluation.fleiss_kappa(
+        labeled, ["lang", "lang_pred", "lang_pred_chargram"]
+    )
+
+
+def _fleiss_sql() -> str:
+    p1 = _lang_id_sql().strip()
+    p2 = _lang_chargram_sql().strip()
+    return f"""
+WITH p1 AS (
+{p1}
+),
+p2 AS (
+{p2}
+),
+lab AS (
+  SELECT d.doc_id, d.lang AS r1, a.lang_pred AS r2,
+         b.lang_pred_chargram AS r3
+  FROM documents d JOIN p1 a USING (doc_id) JOIN p2 b USING (doc_id)
+  WHERE d.lang IS NOT NULL AND a.lang_pred IS NOT NULL
+    AND b.lang_pred_chargram IS NOT NULL
+),
+cells AS (SELECT doc_id, unnest([r1, r2, r3]) AS cat FROM lab),
+nij AS (SELECT doc_id, cat, COUNT(*) AS c FROM cells
+        GROUP BY doc_id, cat),
+peritem AS (SELECT doc_id, SUM(c * c) AS s2 FROM nij GROUP BY doc_id),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COALESCE(SUM(s2 - 3), 0) AS BIGINT) AS a
+  FROM peritem
+),
+coltot AS (SELECT cat, COUNT(*) AS t FROM cells GROUP BY cat),
+bb AS (
+  SELECT CAST(COALESCE(SUM(t * t), 0) AS BIGINT) AS b,
+         CAST(COUNT(*) AS INTEGER) AS n_categories
+  FROM coltot
+)
+SELECT n AS n_items, 3 AS m_raters, n_categories,
+  CASE WHEN n > 0
+       THEN ROUND(CAST(a AS DOUBLE) / CAST(n * 3 * 2 AS DOUBLE), 9)
+  END AS p_bar,
+  CASE WHEN n > 0
+       THEN ROUND(CAST(b AS DOUBLE) / CAST((n * 3) * (n * 3) AS DOUBLE), 9)
+  END AS p_e,
+  CASE WHEN ((n * 3) * (n * 3) - b) * 2 != 0
+       THEN ROUND(CAST(a * (n * 3) - b * 2 AS DOUBLE)
+                  / CAST(((n * 3) * (n * 3) - b) * 2 AS DOUBLE), 9)
+  END AS kappa
+FROM tot, bb
+"""
+
+
+def report_dedup_savings(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source exact-dedup savings accounting
+    (dedup_scale.dedup_savings_report): documents and token
+    occurrences removed if every non-keeper digest copy were dropped,
+    removal attributed to the source CARRYING the copy."""
+    return dedup_scale.dedup_savings_report(
+        spread(load(spark, sf, "documents"), "doc_id")
+    )
+
+
+DEDUP_SAVINGS_SQL = f"""
+WITH base AS (
+  SELECT source, doc_id, md5(text) AS h,
+         CAST(len({_TOKS}) AS BIGINT) AS tok
+  FROM documents
+),
+keepers AS (SELECT h, MIN(doc_id) AS keep_id FROM base GROUP BY h),
+agg AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN b.doc_id != k.keep_id THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_removed,
+         CAST(SUM(tok) AS BIGINT) AS tokens_total,
+         CAST(SUM(CASE WHEN b.doc_id != k.keep_id THEN tok ELSE 0 END)
+              AS BIGINT) AS tokens_removed
+  FROM base b JOIN keepers k USING (h)
+  GROUP BY source
+)
+SELECT source, n_docs, n_removed, tokens_total, tokens_removed,
+       ROUND(n_removed * 1.0 / GREATEST(n_docs, 1), 6)
+         AS pct_docs_removed,
+       ROUND(tokens_removed * 1.0 / GREATEST(tokens_total, 1), 6)
+         AS pct_tokens_removed
+FROM agg
+"""
+
+
+def quality_gopher_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher rule FUNNEL: survivors after each rule applied in the
+    documented order (cumulative conjunction) — the attrition curve a
+    filtering run reports, complementing ``quality_gopher_rules``'s
+    independent per-rule kill counts. One row, one scan, one global
+    aggregate."""
+    flags = text.with_gopher_rules(load(spark, sf, "documents"))
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    cum = None
+    for c in _GOPHER_RULES:
+        cum = F.col(c) if cum is None else (cum & F.col(c))
+        aggs.append(F.sum(cum.cast("long")).alias(f"after_{c[2:]}"))
+    return flags.agg(*aggs)
+
+
+def _gopher_funnel_sql() -> str:
+    cols, seen = [], []
+    for c in _GOPHER_RULES:
+        seen.append(c)
+        cols.append(
+            f"CAST(SUM(CASE WHEN {' AND '.join(seen)} THEN 1 ELSE 0 END)"
+            f" AS BIGINT) AS after_{c[2:]}"
+        )
+    cols_sql = ",\n  ".join(cols)
+    return f"""
+WITH {_gopher_flags_cte()}
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+  {cols_sql}
+FROM f
+"""
 
 
 QUERIES: dict[str, tuple] = {
@@ -4989,6 +5130,9 @@ QUERIES: dict[str, tuple] = {
     "text_vocab_coverage": (text_vocab_coverage, _vocab_coverage_sql()),
     "quality_gopher_rules": (quality_gopher_rules, _gopher_sql()),
     "sim_matryoshka_recall": (sim_matryoshka_recall, _matryoshka_sql()),
+    "eval_fleiss_kappa": (eval_fleiss_kappa, _fleiss_sql()),
+    "report_dedup_savings": (report_dedup_savings, DEDUP_SAVINGS_SQL),
+    "quality_gopher_funnel": (quality_gopher_funnel, _gopher_funnel_sql()),
     "web_url_canonicalize": (web_url_canonicalize, _web_canon_sql()),
     "web_url_dedup": (web_url_dedup, _web_dedup_sql()),
     "web_domain_profile": (web_domain_profile, _web_profile_sql()),

@@ -866,3 +866,127 @@ def test_matryoshka_full_dim_recall_is_one(spark):
     assert out[8].mean_recall == 1.0
     assert out[8].n_queries == 5
     assert out[1].mean_recall <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# Fleiss' kappa: textbook values + reduction sanity
+# ---------------------------------------------------------------------------
+
+
+def test_fleiss_kappa_hand_computed(spark):
+    """3 raters, 4 items: items 1-2 unanimous 'a', item 3 unanimous
+    'b', item 4 split (a, a, b). N=4, m=3:
+    A = Σ(s2−3) = 6+6+6+2 = 20 → P̄ = 20/(4·3·2) = 5/6.
+    col totals: a=8, b=4 → B = 64+16 = 80 → P̄ₑ = 80/144 = 5/9.
+    κ = (A·Nm − B(m−1)) / ((Nm)²−B)(m−1) = (240−160)/(64·2) = 0.625."""
+    from icnarc_to_philips_linkage_spark.operators.evaluation import (
+        fleiss_kappa,
+    )
+
+    rows = [("a", "a", "a"), ("a", "a", "a"), ("b", "b", "b"),
+            ("a", "a", "b")]
+    df = spark.createDataFrame(rows, "r1 string, r2 string, r3 string")
+    r = fleiss_kappa(df, ["r1", "r2", "r3"]).collect()[0]
+    assert (r.n_items, r.m_raters, r.n_categories) == (4, 3, 2)
+    assert r.p_bar == round(5 / 6, 9)
+    assert r.p_e == round(5 / 9, 9)
+    assert r.kappa == 0.625
+
+
+def test_fleiss_kappa_degenerate_and_nulls(spark):
+    from icnarc_to_philips_linkage_spark.operators.evaluation import (
+        fleiss_kappa,
+    )
+
+    # all raters one category: P̄ₑ = 1 → NULL kappa
+    const = spark.createDataFrame(
+        [("x", "x", "x")] * 3, "r1 string, r2 string, r3 string"
+    )
+    r = fleiss_kappa(const, ["r1", "r2", "r3"]).collect()[0]
+    assert r.kappa is None and r.p_bar == 1.0
+
+    # rows with any NULL assignment are excluded
+    mixed = spark.createDataFrame(
+        [("a", "a", "a"), ("a", None, "b"), ("b", "b", "b")],
+        "r1 string, r2 string, r3 string",
+    )
+    r = fleiss_kappa(mixed, ["r1", "r2", "r3"]).collect()[0]
+    assert r.n_items == 2 and r.kappa == 1.0
+
+
+def test_fleiss_kappa_two_raters_random_differential(spark):
+    """m=2 Fleiss vs a pure-Python reference on seeded random data
+    (note: Fleiss' P̄ₑ uses pooled marginals, so it equals Scott's pi,
+    not Cohen's kappa — the reference implements Fleiss directly)."""
+    import random
+
+    from icnarc_to_philips_linkage_spark.operators.evaluation import (
+        fleiss_kappa,
+    )
+
+    rng = random.Random(13)
+    cats = ["x", "y", "z"]
+    rows = [(rng.choice(cats), rng.choice(cats)) for _ in range(250)]
+    n, m = len(rows), 2
+    a = sum(
+        sum(row.count(v) ** 2 for v in set(row)) - m for row in rows
+    )
+    from collections import Counter
+
+    col = Counter(v for row in rows for v in row)
+    b = sum(t * t for t in col.values())
+    want = round(
+        (a * n * m - b * (m - 1)) / (((n * m) ** 2 - b) * (m - 1)), 9
+    )
+    df = spark.createDataFrame(rows, "r1 string, r2 string")
+    r = fleiss_kappa(df, ["r1", "r2"]).collect()[0]
+    assert r.kappa == want
+
+
+# ---------------------------------------------------------------------------
+# Dedup savings report: planted duplicates with known token counts
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_savings_planted(spark):
+    """s1 carries the keeper (doc 1) and one copy (doc 2, 3 tokens);
+    s2 carries another copy (doc 3) plus a unique doc. Removal is
+    attributed to the source carrying the copy."""
+    from icnarc_to_philips_linkage_spark.operators.dedup_scale import (
+        dedup_savings_report,
+    )
+
+    docs = [
+        (1, "dup text here", "s1"),
+        (2, "dup text here", "s1"),
+        (3, "dup text here", "s2"),
+        (4, "unique four token doc", "s2"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, source string")
+    out = {r.source: r for r in dedup_savings_report(df).collect()}
+    assert out["s1"].n_docs == 2 and out["s1"].n_removed == 1
+    assert out["s1"].tokens_total == 6 and out["s1"].tokens_removed == 3
+    assert out["s1"].pct_docs_removed == 0.5
+    assert out["s2"].n_removed == 1 and out["s2"].tokens_removed == 3
+    assert out["s2"].tokens_total == 7
+    assert out["s2"].pct_tokens_removed == round(3 / 7, 6)
+
+
+def test_dedup_savings_join_reuses_digest_partitioning(spark):
+    """The keeper join must NOT add an exchange beyond the digest
+    aggregation's own shuffle: both sides hash-partition on __h."""
+    from icnarc_to_philips_linkage_spark.operators.dedup_scale import (
+        dedup_savings_report,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"text {i % 3}", "s") for i in range(30)],
+        "doc_id long, text string, source string",
+    )
+    plan = (
+        dedup_savings_report(df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # scan-side exchange + aggregation exchange + final groupBy(source);
+    # a 4th exchange would mean the join re-partitioned one side twice
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") <= 3
