@@ -720,3 +720,104 @@ def fleiss_kappa(
             F.round(n1.cast("double") / d1.cast("double"), round_dp),
         ).alias("kappa"),
     )
+
+
+def weighted_kappa(
+    df: DataFrame,
+    rater_a_col: str,
+    rater_b_col: str,
+    weights: str = "quadratic",
+    round_dp: int = 9,
+) -> DataFrame:
+    """Weighted Cohen's kappa for ORDINAL categories (Cohen 1968):
+    disagreements cost by distance — ``w_ij = (i−j)²`` (quadratic, the
+    ICC-equivalent default) or ``|i−j|`` (linear) — so a 5-vs-4 rating
+    disagreement is nearly agreement while 5-vs-1 is maximal error.
+    The ordinal-label QA statistic (quality tiers, severity grades,
+    star ratings) where plain kappa throws away the scale.
+
+      κ_w = 1 − (n · Σᵢⱼ w_ij·x_ij) / (Σᵢⱼ w_ij·rᵢ·cⱼ)
+
+    with contingency counts x, marginals r/c. Both rater columns must
+    already be integer ordinals. Same scale shape as ``cohens_kappa``:
+    one k²-bounded contingency aggregation, marginal products over the
+    tiny frame, exact decimal(38,0) integers divided as
+    nearest-doubles. NULL kappa when the chance-weighted denominator
+    is 0 (single observed category).
+
+    Output one row: ``(n, n_classes, obs_weight, exp_weight, kappa)``
+    — obs/exp are the n-normalized weighted dis-agreements (rounded),
+    so ``kappa = 1 − obs/exp`` is auditable from the row itself.
+    """
+    if weights not in ("quadratic", "linear"):
+        raise ValueError("weights must be 'quadratic' or 'linear'")
+
+    def w(i, j):
+        d = F.abs(i - j).cast("decimal(38,0)")
+        return (d * d) if weights == "quadratic" else d
+
+    a = F.col(rater_a_col).cast("long")
+    b = F.col(rater_b_col).cast("long")
+    cont = (
+        df.filter(a.isNotNull() & b.isNotNull())
+        .groupBy(a.alias("__a"), b.alias("__b"))
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("__c"))
+    )
+    rows = cont.groupBy("__a").agg(F.sum("__c").alias("__ra"))
+    cols = cont.groupBy("__b").agg(F.sum("__c").alias("__cb"))
+    num = cont.agg(
+        F.coalesce(F.sum("__c"), F.lit(0).cast("decimal(38,0)")).alias("__n"),
+        F.coalesce(
+            F.sum(
+                (w(F.col("__a"), F.col("__b")) * F.col("__c")).cast(
+                    "decimal(38,0)"
+                )
+            ),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("__wx"),
+        F.size(
+            F.array_distinct(
+                F.flatten(F.collect_list(F.array("__a", "__b")))
+            )
+        ).alias("n_classes"),
+    )
+    den = rows.crossJoin(cols).agg(
+        F.coalesce(
+            F.sum(
+                (
+                    w(F.col("__a"), F.col("__b"))
+                    * F.col("__ra")
+                    * F.col("__cb")
+                ).cast("decimal(38,0)")
+            ),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("__we")
+    )
+    out = num.crossJoin(den)
+    nn = F.col("__n")
+    return out.select(
+        nn.cast("long").alias("n"),
+        "n_classes",
+        F.when(
+            nn > 0,
+            F.round(
+                F.col("__wx").cast("double") / nn.cast("double"), round_dp
+            ),
+        ).alias("obs_weight"),
+        F.when(
+            nn > 0,
+            F.round(
+                F.col("__we").cast("double") / (nn * nn).cast("double"),
+                round_dp,
+            ),
+        ).alias("exp_weight"),
+        F.when(
+            F.col("__we") != F.lit(0),
+            F.round(
+                F.lit(1.0)
+                - (nn * F.col("__wx")).cast("double")
+                / F.col("__we").cast("double"),
+                round_dp,
+            ),
+        ).alias("kappa"),
+    )

@@ -5043,6 +5043,68 @@ FROM f
 """
 
 
+
+
+def eval_weighted_kappa(spark: SparkSession, sf: str) -> DataFrame:
+    """Quadratic-weighted Cohen's kappa on genuinely ORDINAL labels
+    (evaluation.weighted_kappa): order priority (1-URGENT … 5-LOW, the
+    digit prefix is the ordinal) vs a literal five-bucket total-price
+    grade — does spend track urgency beyond chance, with near-misses
+    priced quadratically cheaper than grade-4 disagreements?"""
+    o = load(spark, sf, "orders")
+    a = F.substring("o_orderpriority", 1, 1).cast("long")
+    b = (
+        F.when(F.col("o_totalprice") < 60000, 1)
+        .when(F.col("o_totalprice") < 120000, 2)
+        .when(F.col("o_totalprice") < 180000, 3)
+        .when(F.col("o_totalprice") < 240000, 4)
+        .otherwise(5)
+    )
+    lab = o.select(a.alias("prio"), b.alias("bucket"))
+    return evaluation.weighted_kappa(lab, "prio", "bucket")
+
+
+WEIGHTED_KAPPA_SQL = """
+WITH lab AS (
+  SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS a,
+         CASE WHEN o_totalprice < 60000 THEN 1
+              WHEN o_totalprice < 120000 THEN 2
+              WHEN o_totalprice < 180000 THEN 3
+              WHEN o_totalprice < 240000 THEN 4
+              ELSE 5 END AS b
+  FROM orders
+  WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+),
+cont AS (SELECT a, b, COUNT(*) AS c FROM lab GROUP BY a, b),
+num AS (
+  SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n,
+         CAST(COALESCE(SUM((a - b) * (a - b) * c), 0) AS BIGINT) AS wx
+  FROM cont
+),
+kcl AS (
+  SELECT CAST(COUNT(*) AS INTEGER) AS n_classes
+  FROM (SELECT a AS x FROM cont UNION SELECT b FROM cont)
+),
+marg AS (
+  SELECT CAST(COALESCE(SUM(
+           (r.a - cl.b) * (r.a - cl.b) * r.ra * cl.cb), 0) AS BIGINT) AS we
+  FROM (SELECT a, SUM(c) AS ra FROM cont GROUP BY a) r
+  CROSS JOIN (SELECT b, SUM(c) AS cb FROM cont GROUP BY b) cl
+)
+SELECT n, n_classes,
+  CASE WHEN n > 0
+       THEN ROUND(CAST(wx AS DOUBLE) / CAST(n AS DOUBLE), 9)
+  END AS obs_weight,
+  CASE WHEN n > 0
+       THEN ROUND(CAST(we AS DOUBLE) / CAST(n * n AS DOUBLE), 9)
+  END AS exp_weight,
+  CASE WHEN we != 0
+       THEN ROUND(1.0 - CAST(n * wx AS DOUBLE) / CAST(we AS DOUBLE), 9)
+  END AS kappa
+FROM num, kcl, marg
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "drift_wasserstein": (drift_wasserstein, _wasserstein_sql()),
     "sample_weighted_topk": (sample_weighted_topk, _wres_sql()),
@@ -5133,6 +5195,7 @@ QUERIES: dict[str, tuple] = {
     "eval_fleiss_kappa": (eval_fleiss_kappa, _fleiss_sql()),
     "report_dedup_savings": (report_dedup_savings, DEDUP_SAVINGS_SQL),
     "quality_gopher_funnel": (quality_gopher_funnel, _gopher_funnel_sql()),
+    "eval_weighted_kappa": (eval_weighted_kappa, WEIGHTED_KAPPA_SQL),
     "web_url_canonicalize": (web_url_canonicalize, _web_canon_sql()),
     "web_url_dedup": (web_url_dedup, _web_dedup_sql()),
     "web_domain_profile": (web_domain_profile, _web_profile_sql()),

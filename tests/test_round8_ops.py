@@ -990,3 +990,62 @@ def test_dedup_savings_join_reuses_digest_partitioning(spark):
     # scan-side exchange + aggregation exchange + final groupBy(source);
     # a 4th exchange would mean the join re-partitioned one side twice
     assert plan.count("Exchange") - plan.count("BroadcastExchange") <= 3
+
+
+# ---------------------------------------------------------------------------
+# Weighted kappa: textbook check + plain-kappa reduction
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_kappa_hand_computed(spark):
+    """3-point ordinal scale, quadratic weights. Contingency:
+    (1,1)=2, (2,2)=2, (3,3)=2, (1,3)=1, (3,1)=1 → n=8.
+    Σwx = (1−3)²·1 + (3−1)²·1 = 8 → obs = 1.
+    marginals r = c = (3, 2, 3);
+    Σw·r·c = Σᵢⱼ(i−j)²rᵢcⱼ = 4·(3·3)+1·(3·2)+1·(2·3)+4·(3·3)+1·(2·3)+1·(3·2) = 96
+    exp = 96/64 = 1.5 → κ_w = 1 − 8·8/96 = 1/3."""
+    from icnarc_to_philips_linkage_spark.operators.evaluation import (
+        weighted_kappa,
+    )
+
+    rows = ([(1, 1)] * 2 + [(2, 2)] * 2 + [(3, 3)] * 2
+            + [(1, 3)] + [(3, 1)])
+    df = spark.createDataFrame(rows, "a long, b long")
+    r = weighted_kappa(df, "a", "b").collect()[0]
+    assert (r.n, r.n_classes) == (8, 3)
+    assert r.obs_weight == 1.0 and r.exp_weight == 1.5
+    assert r.kappa == round(1 / 3, 9)
+
+
+def test_weighted_kappa_perfect_and_degenerate(spark):
+    from icnarc_to_philips_linkage_spark.operators.evaluation import (
+        weighted_kappa,
+    )
+
+    perfect = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3)], "a long, b long"
+    )
+    assert weighted_kappa(perfect, "a", "b").collect()[0].kappa == 1.0
+
+    # one category only → chance weight 0 → NULL
+    const = spark.createDataFrame([(2, 2)] * 4, "a long, b long")
+    assert weighted_kappa(const, "a", "b").collect()[0].kappa is None
+
+
+def test_weighted_kappa_binary_equals_plain_kappa(spark):
+    """On a BINARY scale every disagreement has weight 1 (linear or
+    quadratic), so κ_w must equal Cohen's kappa exactly."""
+    import random
+
+    from icnarc_to_philips_linkage_spark.operators.evaluation import (
+        cohens_kappa,
+        weighted_kappa,
+    )
+
+    rng = random.Random(21)
+    rows = [(rng.randint(0, 1), rng.randint(0, 1)) for _ in range(200)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    kw = weighted_kappa(df, "a", "b", weights="linear").collect()[0].kappa
+    kq = weighted_kappa(df, "a", "b").collect()[0].kappa
+    kc = cohens_kappa(df, "a", "b").collect()[0].kappa
+    assert kw == kq == kc
