@@ -778,12 +778,8 @@ def vocab_coverage(
         F.col(id_col).alias("__id"),
         F.explode(tokens(text_col)).alias("__tok"),
     )
-    vocab = (
-        occ.groupBy("__tok")
-        .agg(F.count(F.lit(1)).alias("__c"))
-        .orderBy(F.col("__c").desc(), F.col("__tok").asc())
-        .limit(vocab_k)
-        .select("__tok", F.lit(True).alias("__in_vocab"))
+    vocab = top_k_vocab(df, vocab_k, text_col).select(
+        F.col("token").alias("__tok"), F.lit(True).alias("__in_vocab")
     )
     return (
         occ.join(F.broadcast(vocab), "__tok", "left")
@@ -805,4 +801,24 @@ def vocab_coverage(
                 6,
             ),
         )
+    )
+
+
+def top_k_vocab(
+    df: DataFrame, k: int, text_col: str = "text"
+) -> DataFrame:
+    """The corpus's top-``k`` token vocabulary on the deterministic
+    (count DESC, token ASC) total order — one explode + hash
+    aggregation (map-side combine carries the load; the shuffle moves
+    distinct tokens, not occurrences) and a ``TakeOrderedAndProject``
+    top-k, never a global sort. Output: ``(token)`` — k rows, sized to
+    broadcast or collect; the build-once input to ``vocab_coverage``
+    and the streaming OOV monitor."""
+    return (
+        df.select(F.explode(tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .orderBy(F.col("__c").desc(), F.col("token").asc())
+        .limit(k)
+        .select("token")
     )

@@ -121,3 +121,71 @@ def start_drift_monitor(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_oov_monitor(
+    stream_df: DataFrame,
+    vocab: DataFrame,
+    text_col: str,
+    out_path: str,
+    checkpoint: str,
+    trigger_once: bool = True,
+) -> StreamingQuery:
+    """Streaming vocabulary-fit monitor: the continuous twin of
+    ``operators.text.vocab_coverage``. Each micro-batch's token
+    occurrences are scored against a FROZEN vocabulary (built once
+    with ``text.top_k_vocab``, ~k rows — broadcast per batch) and one
+    summary row appends to a ``batch_id``-partitioned parquet log:
+
+        (batch_id, n_docs, total_tokens, oov_tokens, oov_rate)
+
+    An ingest feed whose OOV rate drifts up is changing language,
+    domain, or encoding under the committed tokenizer — the earliest
+    cheap signal that the planned vocab no longer fits the stream.
+    Same idempotency convention as ``start_drift_monitor``: a retried
+    batch overwrites its own partition, never duplicates it.
+    """
+    from icnarc_to_philips_linkage_spark.operators.text import tokens
+
+    vocab_flagged = vocab.select(
+        F.col("token").alias("__tok"), F.lit(True).alias("__in")
+    )
+
+    def _score(batch: DataFrame, batch_id: int) -> None:
+        occ = batch.select(F.explode(tokens(text_col)).alias("__tok"))
+        row = (
+            occ.join(F.broadcast(vocab_flagged), "__tok", "left")
+            .agg(
+                F.count(F.lit(1)).alias("total_tokens"),
+                F.coalesce(
+                    F.sum(F.col("__in").isNull().cast("long")), F.lit(0)
+                ).alias("oov_tokens"),
+            )
+            .crossJoin(batch.agg(F.count(F.lit(1)).alias("n_docs")))
+            .select(
+                F.lit(batch_id).cast("long").alias("batch_id"),
+                "n_docs",
+                "total_tokens",
+                "oov_tokens",
+                F.round(
+                    F.col("oov_tokens")
+                    / F.greatest(F.col("total_tokens"), F.lit(1)),
+                    6,
+                ).alias("oov_rate"),
+            )
+        )
+        (
+            row.write.option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .mode("overwrite")
+            .parquet(out_path)
+        )
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_score)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1049,3 +1049,58 @@ def test_weighted_kappa_binary_equals_plain_kappa(spark):
     kq = weighted_kappa(df, "a", "b").collect()[0].kappa
     kc = cohens_kappa(df, "a", "b").collect()[0].kappa
     assert kw == kq == kc
+
+
+# ---------------------------------------------------------------------------
+# Streaming OOV monitor: per-batch rates, idempotent retry
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_oov_monitor_per_batch(spark, tmp_path):
+    """Two checkpointed runs: batch 1 fully in-vocab, batch 2 half
+    OOV — each batch_id gets exactly one row with the hand-computable
+    rate, numerically matching the batch vocab_coverage math."""
+    from pyspark.sql import Row
+
+    from icnarc_to_philips_linkage_spark.operators.text import top_k_vocab
+    from icnarc_to_philips_linkage_spark.streaming import drift_monitor
+
+    indir, ck, out = (str(tmp_path / d) for d in ("in", "ck", "out"))
+    schema = "doc_id long, text string"
+
+    ref = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, "beta alpha gamma")], schema
+    )
+    vocab = top_k_vocab(ref, 2)  # {alpha(3), beta(2)}
+    assert {r.token for r in vocab.collect()} == {"alpha", "beta"}
+
+    def run():
+        q = drift_monitor.start_oov_monitor(
+            spark.readStream.format("parquet").schema(schema).load(indir),
+            vocab,
+            "text",
+            out,
+            ck,
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame(
+        [Row(doc_id=10, text="alpha beta"), Row(doc_id=11, text="beta")],
+        schema,
+    ).coalesce(1).write.parquet(indir)
+    run()
+    spark.createDataFrame(
+        [Row(doc_id=12, text="alpha zork grue quux")], schema
+    ).coalesce(1).write.mode("append").parquet(indir)
+    run()
+
+    got = {
+        r.batch_id: r for r in spark.read.parquet(out).collect()
+    }
+    assert set(got) == {0, 1}
+    b0, b1 = got[0], got[1]
+    assert (b0.n_docs, b0.total_tokens, b0.oov_tokens, b0.oov_rate) == (
+        2, 3, 0, 0.0
+    )
+    assert (b1.n_docs, b1.total_tokens, b1.oov_tokens) == (1, 4, 3)
+    assert b1.oov_rate == 0.75
