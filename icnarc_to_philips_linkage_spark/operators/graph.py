@@ -146,3 +146,90 @@ def pagerank(
     return ranks.select(
         "node", (F.col("prank") / F.lit(float(RANK_SCALE))).alias("rank")
     )
+
+
+def triangle_count(
+    df: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Exact global triangle count + transitivity via degree-ordered
+    edge orientation (the Cohen / Suri-Vassilvitskii MapReduce
+    formulation): orient each undirected edge from its lower (degree,
+    node) endpoint to the higher, enumerate wedges by joining the
+    oriented adjacency with itself on the shared source, and keep the
+    wedges whose closing (b, c) pair is itself an oriented edge. Each
+    triangle is counted EXACTLY once (its minimum-(degree, node)
+    corner roots the wedge), and the orientation bounds wedge count by
+    O(m^1.5) instead of Σ deg² — the difference between tractable and
+    exploding on a skewed web graph where one hub would otherwise
+    root deg² wedges.
+
+    All shuffles key on node ids (degree join, wedge join, closing
+    join); counts are exact integers; ``transitivity = 3·T / W`` with
+    ``W = Σ d(d−1)/2`` open+closed wedges divides two exact longs.
+
+    Output one row: ``(n_nodes, n_edges, n_triangles, n_wedges,
+    transitivity)`` — NULL transitivity on a wedge-free graph.
+    """
+    a = F.col(src_col).cast("string")
+    b = F.col(dst_col).cast("string")
+    und = (
+        df.select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("n"))
+        .unionAll(und.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e = und.join(
+        deg.select(F.col("n").alias("u"), F.col("d").alias("du")), "u"
+    ).join(deg.select(F.col("n").alias("v"), F.col("d").alias("dv")), "v")
+    lo_first = F.struct(F.col("du"), F.col("u")) < F.struct(
+        F.col("dv"), F.col("v")
+    )
+    oriented = e.select(
+        F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+        F.when(lo_first, F.col("dv")).otherwise(F.col("du")).alias("dt"),
+    )
+    o1 = oriented.select(
+        "s", F.col("t").alias("b"), F.col("dt").alias("db")
+    )
+    o2 = oriented.select(
+        "s", F.col("t").alias("c"), F.col("dt").alias("dc")
+    )
+    wedges = (
+        o1.join(o2, "s")
+        .filter(
+            F.struct(F.col("db"), F.col("b"))
+            < F.struct(F.col("dc"), F.col("c"))
+        )
+        .select("b", "c")
+    )
+    tri = wedges.join(
+        oriented.select(F.col("s").alias("b"), F.col("t").alias("c")),
+        ["b", "c"],
+    ).agg(F.count(F.lit(1)).alias("n_triangles"))
+    stats = und.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(
+        deg.agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.coalesce(
+                F.sum(F.expr("CAST(d * (d - 1) DIV 2 AS LONG)")), F.lit(0)
+            ).alias("n_wedges"),
+        )
+    )
+    return stats.crossJoin(tri).select(
+        "n_nodes",
+        "n_edges",
+        "n_triangles",
+        "n_wedges",
+        F.when(
+            F.col("n_wedges") > 0,
+            F.round(
+                F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 6
+            ),
+        ).alias("transitivity"),
+    )

@@ -5105,6 +5105,76 @@ FROM num, kcl, marg
 """
 
 
+
+
+def graph_knn_triangles(spark: SparkSession, sf: str) -> DataFrame:
+    """Triangle census of the corpus kNN graph
+    (graph.triangle_count over similarity.knn_graph_lsh edges):
+    transitivity of the neighbor graph is the standard first diagnostic
+    of embedding-space structure — clustered corpora close their
+    wedges, uniform noise doesn't. Degree-ordered orientation counts
+    each triangle exactly once and bounds wedge generation by O(m^1.5)
+    — the formulation that survives hub nodes at web scale."""
+    from icnarc_to_philips_linkage_spark.operators import graph
+
+    emb = load(spark, sf, "embeddings")
+    g = similarity.knn_graph_lsh(emb, k=5, n_planes=N_PLANES, dim=DIM)
+    return graph.triangle_count(
+        g.select(
+            F.col("node_id").alias("src"),
+            F.col("neighbor_id").alias("dst"),
+        )
+    )
+
+
+def _knn_triangles_sql() -> str:
+    pairs = _knn_graph_sql().strip()
+    return f"""
+WITH knn AS (
+{pairs}
+),
+und AS (
+  SELECT DISTINCT
+    LEAST(CAST(node_id AS VARCHAR), CAST(neighbor_id AS VARCHAR)) AS u,
+    GREATEST(CAST(node_id AS VARCHAR), CAST(neighbor_id AS VARCHAR)) AS v
+  FROM knn WHERE node_id != neighbor_id
+),
+deg AS (
+  SELECT n, COUNT(*) AS d
+  FROM (SELECT u AS n FROM und UNION ALL SELECT v FROM und)
+  GROUP BY n
+),
+e AS (
+  SELECT und.u, und.v, du.d AS du, dv.d AS dv
+  FROM und JOIN deg du ON du.n = und.u JOIN deg dv ON dv.n = und.v
+),
+oriented AS (
+  SELECT CASE WHEN (du, u) < (dv, v) THEN u ELSE v END AS s,
+         CASE WHEN (du, u) < (dv, v) THEN v ELSE u END AS t,
+         CASE WHEN (du, u) < (dv, v) THEN dv ELSE du END AS dt
+  FROM e
+),
+tri AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+  FROM (SELECT o1.t AS b, o2.t AS c
+        FROM oriented o1 JOIN oriented o2 ON o1.s = o2.s
+        WHERE (o1.dt, o1.t) < (o2.dt, o2.t)) w
+  JOIN oriented o3 ON o3.s = w.b AND o3.t = w.c
+),
+st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM und),
+dd AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         CAST(COALESCE(SUM((d * (d - 1)) // 2), 0) AS BIGINT) AS n_wedges
+  FROM deg
+)
+SELECT n_nodes, n_edges, n_triangles, n_wedges,
+       CASE WHEN n_wedges > 0
+            THEN ROUND(3.0 * n_triangles / n_wedges, 6)
+       END AS transitivity
+FROM st, dd, tri
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "drift_wasserstein": (drift_wasserstein, _wasserstein_sql()),
     "sample_weighted_topk": (sample_weighted_topk, _wres_sql()),
@@ -5196,6 +5266,7 @@ QUERIES: dict[str, tuple] = {
     "report_dedup_savings": (report_dedup_savings, DEDUP_SAVINGS_SQL),
     "quality_gopher_funnel": (quality_gopher_funnel, _gopher_funnel_sql()),
     "eval_weighted_kappa": (eval_weighted_kappa, WEIGHTED_KAPPA_SQL),
+    "graph_knn_triangles": (graph_knn_triangles, _knn_triangles_sql()),
     "web_url_canonicalize": (web_url_canonicalize, _web_canon_sql()),
     "web_url_dedup": (web_url_dedup, _web_dedup_sql()),
     "web_domain_profile": (web_domain_profile, _web_profile_sql()),

@@ -1104,3 +1104,63 @@ def test_streaming_oov_monitor_per_batch(spark, tmp_path):
     )
     assert (b1.n_docs, b1.total_tokens, b1.oov_tokens) == (1, 4, 3)
     assert b1.oov_rate == 0.75
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting: known graphs
+# ---------------------------------------------------------------------------
+
+
+def test_triangle_count_known_graphs(spark):
+    from icnarc_to_philips_linkage_spark.operators.graph import (
+        triangle_count,
+    )
+
+    def run(edges):
+        df = spark.createDataFrame(edges, "src string, dst string")
+        return triangle_count(df).collect()[0]
+
+    # K4: 4 triangles, 12 wedges, transitivity 1.0
+    k4 = [(a, b) for a in "abcd" for b in "abcd" if a < b]
+    r = run(k4)
+    assert (r.n_nodes, r.n_edges, r.n_triangles, r.n_wedges) == (4, 6, 4, 12)
+    assert r.transitivity == 1.0
+
+    # path a-b-c: one open wedge, no triangle
+    r = run([("a", "b"), ("b", "c")])
+    assert (r.n_triangles, r.n_wedges, r.transitivity) == (0, 1, 0.0)
+
+    # triangle + pendant: T=1, wedges = 1+1+3 = 5 → 3/5
+    r = run([("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")])
+    assert (r.n_triangles, r.n_wedges) == (1, 5)
+    assert r.transitivity == 0.6
+
+    # duplicate / reversed / self-loop edges collapse
+    r = run([("a", "b"), ("b", "a"), ("a", "b"), ("a", "a"),
+             ("b", "c"), ("a", "c")])
+    assert (r.n_edges, r.n_triangles) == (3, 1)
+
+
+def test_triangle_count_random_differential(spark):
+    """Seeded G(n, p) vs a brute-force itertools reference."""
+    import random
+    from itertools import combinations
+
+    from icnarc_to_philips_linkage_spark.operators.graph import (
+        triangle_count,
+    )
+
+    rng = random.Random(17)
+    nodes = [f"n{i:02d}" for i in range(18)]
+    edges = [
+        (a, b) for a, b in combinations(nodes, 2) if rng.random() < 0.3
+    ]
+    eset = set(edges)
+    want = sum(
+        1
+        for a, b, c in combinations(nodes, 3)
+        if (a, b) in eset and (b, c) in eset and (a, c) in eset
+    )
+    df = spark.createDataFrame(edges, "src string, dst string")
+    r = triangle_count(df).collect()[0]
+    assert r.n_triangles == want and r.n_edges == len(edges)
