@@ -1164,3 +1164,49 @@ def test_triangle_count_random_differential(spark):
     df = spark.createDataFrame(edges, "src string, dst string")
     r = triangle_count(df).collect()[0]
     assert r.n_triangles == want and r.n_edges == len(edges)
+
+
+# ---------------------------------------------------------------------------
+# Partition invariance: the round-8 statistics are exact aggregations,
+# so ANY physical layout must produce bit-identical rows
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("parts", [1, 7, 32])
+def test_round8_stats_partition_invariant(spark, parts):
+    import random
+
+    from icnarc_to_philips_linkage_spark.operators.evaluation import (
+        cohens_kappa,
+        fleiss_kappa,
+        weighted_kappa,
+    )
+    from icnarc_to_philips_linkage_spark.operators.graph import (
+        triangle_count,
+    )
+
+    rng = random.Random(parts)
+    lab = spark.createDataFrame(
+        [(rng.randint(1, 4), rng.randint(1, 4), rng.randint(1, 4))
+         for _ in range(500)],
+        "a long, b long, c long",
+    ).repartition(parts)
+    assert cohens_kappa(lab, "a", "b").collect()[0].kappa is not None
+    k1 = cohens_kappa(lab, "a", "b").collect()
+    k2 = cohens_kappa(lab.repartition(max(1, 33 - parts)), "a", "b").collect()
+    assert k1 == k2
+    w1 = weighted_kappa(lab, "a", "b").collect()
+    w2 = weighted_kappa(lab.coalesce(1), "a", "b").collect()
+    assert w1 == w2
+    f1 = fleiss_kappa(lab, ["a", "b", "c"]).collect()
+    f2 = fleiss_kappa(lab.repartition(5, "c"), ["a", "b", "c"]).collect()
+    assert f1 == f2
+
+    edges = spark.createDataFrame(
+        [(f"n{rng.randint(0, 30)}", f"n{rng.randint(0, 30)}")
+         for _ in range(150)],
+        "src string, dst string",
+    ).repartition(parts)
+    t1 = triangle_count(edges).collect()
+    t2 = triangle_count(edges.repartition(max(1, 33 - parts))).collect()
+    assert t1 == t2
