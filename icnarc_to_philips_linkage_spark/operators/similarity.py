@@ -683,3 +683,110 @@ def matryoshka_recall(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def kcenter_coreset(
+    corpus: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy k-center coreset selection (Gonzalez 1985; the
+    "k-center greedy" of active-learning / data-curation pipelines,
+    e.g. Sener & Savarese 2018): seed with the minimum id, then k−1
+    times pick the point FARTHEST from its nearest already-selected
+    center — a 2-approximation of the optimal covering radius, and
+    the standard diversity-maximizing subset for labeling budgets.
+
+    Scale shape: the running state is one column of per-point
+    min-squared-distances; each round crossJoins the corpus against
+    the BROADCAST 1-row new center (map-only distance update,
+    ``least`` with the running min) and takes the next argmax with a
+    TakeOrdered-style (dist DESC, id ASC) limit 1 — k passes over the
+    corpus, each eagerly localCheckpointed so the plan stays k-bounded
+    instead of doubling per round (the MMR lesson). Selected ids are
+    excluded by an anti-join against the ≤k-row center set. Distances
+    round to the 1e-6 grid before every comparison, so the greedy
+    trajectory is engine-exact (the kNN ordering recipe).
+
+    Output k rows: ``(round, vec_id, dist_at_selection)`` — the
+    squared distance from the selected point to its nearest prior
+    center (NULL for the seed); round r's value is the covering
+    radius² of the first r−1 centers.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    base = cachereg.track(
+        corpus.select(
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).alias("__v"),
+            norm_sq(vec_col).alias("__nsq"),
+        ).persist()
+    )
+    seed = base.orderBy("__id").limit(1)
+    picks = [
+        seed.select(
+            F.lit(1).alias("round"),
+            F.col("__id").alias(id_col),
+            F.lit(None).cast("double").alias("dist_at_selection"),
+        )
+    ]
+
+    def _dist_to(center: DataFrame) -> Column:
+        # ||a − c||² = nsq_a + nsq_c − 2·a·c, the dot mirrored by the
+        # oracle's list_sum — identical fold order, identical doubles
+        return F.round(
+            F.col("__nsq")
+            + F.col("__c_nsq")
+            - F.lit(2.0) * dot(F.col("__v"), F.col("__c_v")),
+            6,
+        )
+
+    center = seed
+    state = base.crossJoin(
+        F.broadcast(
+            center.select(
+                F.col("__v").alias("__c_v"), F.col("__nsq").alias("__c_nsq")
+            )
+        )
+    ).select("__id", "__v", "__nsq", _dist_to(center).alias("__mind"))
+    state = state.localCheckpoint(eager=True)
+    for r in range(2, k + 1):
+        chosen = F.broadcast(_union_ids(picks, id_col))
+        pick = (
+            state.join(chosen, "__id", "left_anti")
+            .orderBy(F.desc("__mind"), F.asc("__id"))
+            .limit(1)
+        )
+        picks.append(
+            pick.select(
+                F.lit(r).alias("round"),
+                F.col("__id").alias(id_col),
+                F.col("__mind").alias("dist_at_selection"),
+            )
+        )
+        if r < k:
+            new_c = F.broadcast(
+                pick.select(
+                    F.col("__v").alias("__c_v"),
+                    F.col("__nsq").alias("__c_nsq"),
+                )
+            )
+            state = state.crossJoin(new_c).select(
+                "__id",
+                "__v",
+                "__nsq",
+                F.least(F.col("__mind"), _dist_to(pick)).alias("__mind"),
+            )
+            state = state.localCheckpoint(eager=True)
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _union_ids(picks: list, id_col: str) -> DataFrame:
+    out = picks[0].select(F.col(id_col).alias("__id"))
+    for p in picks[1:]:
+        out = out.unionByName(p.select(F.col(id_col).alias("__id")))
+    return out

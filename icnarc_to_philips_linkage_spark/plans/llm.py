@@ -5175,6 +5175,77 @@ FROM st, dd, tri
 """
 
 
+
+
+_KCENTER_K = 6
+
+
+def sim_kcenter_coreset(spark: SparkSession, sf: str) -> DataFrame:
+    """Greedy k-center coreset over the embedding table
+    (similarity.kcenter_coreset): the diversity-maximizing 6-point
+    subset, each round picking the vector farthest from its nearest
+    selected center — the labeling-budget / coreset selection step of
+    a curation pipeline, and a 2-approximation of the optimal covering
+    radius. The oracle replays the full greedy trajectory as unrolled
+    materialized CTEs (the MMR/BPE recipe), so the sequential
+    data-dependent selection itself is differentially checked."""
+    return similarity.kcenter_coreset(
+        load(spark, sf, "embeddings"), k=_KCENTER_K
+    )
+
+
+def _kcenter_sql() -> str:
+    def nsq(v: str) -> str:
+        return (
+            f"list_sum(list_transform(generate_series(1, {DIM}), "
+            f"i -> CAST({v}[i] AS DOUBLE) * CAST({v}[i] AS DOUBLE)))"
+        )
+
+    def dotp(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(generate_series(1, {DIM}), "
+            f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+        )
+
+    parts = [f"""
+WITH bn AS (
+  SELECT vec_id AS id, embedding AS v, {nsq('embedding')} AS nsq
+  FROM embeddings
+),
+sel1 AS (SELECT id, v, nsq FROM bn ORDER BY id LIMIT 1),
+d1 AS (
+  SELECT b.id, b.v, b.nsq,
+         ROUND(b.nsq + s.nsq - 2.0 * {dotp('b.v', 's.v')}, 6) AS mind
+  FROM bn b, sel1 s
+)"""]
+    for r in range(2, _KCENTER_K + 1):
+        prev_sels = " UNION ALL ".join(
+            f"SELECT id FROM sel{i}" for i in range(1, r)
+        )
+        parts.append(f""",
+sel{r} AS (
+  SELECT id, v, nsq, mind FROM d{r - 1}
+  WHERE id NOT IN ({prev_sels})
+  ORDER BY mind DESC, id ASC LIMIT 1
+)""")
+        if r < _KCENTER_K:
+            parts.append(f""",
+d{r} AS (
+  SELECT d.id, d.v, d.nsq,
+         LEAST(d.mind,
+               ROUND(d.nsq + s.nsq - 2.0 * {dotp('d.v', 's.v')}, 6)) AS mind
+  FROM d{r - 1} d, sel{r} s
+)""")
+    finals = ["SELECT 1 AS round, id AS vec_id, "
+              "CAST(NULL AS DOUBLE) AS dist_at_selection FROM sel1"]
+    finals += [
+        f"SELECT {r}, id, mind FROM sel{r}"
+        for r in range(2, _KCENTER_K + 1)
+    ]
+    parts.append("\n" + "\nUNION ALL\n".join(finals))
+    return "".join(parts)
+
+
 QUERIES: dict[str, tuple] = {
     "drift_wasserstein": (drift_wasserstein, _wasserstein_sql()),
     "sample_weighted_topk": (sample_weighted_topk, _wres_sql()),
@@ -5267,6 +5338,7 @@ QUERIES: dict[str, tuple] = {
     "quality_gopher_funnel": (quality_gopher_funnel, _gopher_funnel_sql()),
     "eval_weighted_kappa": (eval_weighted_kappa, WEIGHTED_KAPPA_SQL),
     "graph_knn_triangles": (graph_knn_triangles, _knn_triangles_sql()),
+    "sim_kcenter_coreset": (sim_kcenter_coreset, _kcenter_sql()),
     "web_url_canonicalize": (web_url_canonicalize, _web_canon_sql()),
     "web_url_dedup": (web_url_dedup, _web_dedup_sql()),
     "web_domain_profile": (web_domain_profile, _web_profile_sql()),

@@ -1210,3 +1210,49 @@ def test_round8_stats_partition_invariant(spark, parts):
     t1 = triangle_count(edges).collect()
     t2 = triangle_count(edges.repartition(max(1, 33 - parts))).collect()
     assert t1 == t2
+
+
+# ---------------------------------------------------------------------------
+# k-center greedy coreset
+# ---------------------------------------------------------------------------
+
+
+def test_kcenter_hand_case_and_invariance(spark):
+    """1-d points 0,1,10,11,20: seed=id0, round 2 takes the far end
+    (20, d²=400), round 3 the middle (10, min-dist² 100 beats 11's
+    81). Radius sequence is non-increasing; layout must not matter."""
+    from icnarc_to_philips_linkage_spark.operators.similarity import (
+        kcenter_coreset,
+    )
+
+    rows = [(i, [float(x), 0.0]) for i, x in enumerate([0, 1, 10, 11, 20])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = sorted(kcenter_coreset(df, k=3).collect(), key=lambda r: r.round)
+    assert [(r.round, r.vec_id, r.dist_at_selection) for r in got] == [
+        (1, 0, None), (2, 4, 400.0), (3, 2, 100.0)
+    ]
+    again = sorted(
+        kcenter_coreset(df.repartition(8), k=3).collect(),
+        key=lambda r: r.round,
+    )
+    assert [tuple(r) for r in again] == [tuple(r) for r in got]
+
+
+def test_kcenter_radius_nonincreasing_random(spark):
+    """Greedy k-center's selection distances are non-increasing (each
+    round's pick is the max over a shrinking min-dist field)."""
+    import random
+
+    from icnarc_to_philips_linkage_spark.operators.similarity import (
+        kcenter_coreset,
+    )
+
+    rng = random.Random(29)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(4)]) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = sorted(kcenter_coreset(df, k=6).collect(), key=lambda r: r.round)
+    dists = [r.dist_at_selection for r in got[1:]]
+    assert all(a >= b for a, b in zip(dists, dists[1:])), dists
+    assert len({r.vec_id for r in got}) == 6  # no repeats
