@@ -681,3 +681,111 @@ def cusum_alarms(
     return events.select(key, ts_col, value_col).groupBy(key).applyInPandas(
         fold, out_schema
     )
+
+
+def holt_linear(
+    df,
+    key_col: str,
+    time_col: str,
+    value_col: str,
+    alpha: float = 0.5,
+    beta: float = 0.3,
+    forecast_steps: int = 3,
+):
+    """Holt's linear-trend (double exponential) smoothing per key —
+    the level+trend forecaster one notch above EWMA, the standard
+    short-horizon capacity/throughput projection:
+
+        l_t = α·y_t + (1−α)(l_{t−1} + b_{t−1})
+        b_t = β(l_t − l_{t−1}) + (1−β)·b_{t−1}
+
+    initialized l₁ = y₁, b₁ = y₂ − y₁. The recursion is a NATIVE
+    ``aggregate()`` struct fold over each key's time-ordered value
+    array — no UDF, no per-key window scan per step. Both state
+    components QUANTIZE to the 1e-6 grid after every step (the CUSUM
+    recipe), so the data-dependent recursion is bit-identical in any
+    engine and the DuckDB oracle can replay it with ``list_reduce``.
+
+    Scale shape: one groupBy collects each key's series (bounded by
+    the key's own observation count — hourly rollups per type/tenant,
+    not raw events; pre-aggregate first, as the registered query
+    does), then the fold is a map-side expression. Keys with fewer
+    than 2 observations return NULL level/trend/forecast.
+
+    Output per key: ``(key, n_obs, level, trend, forecast)`` with
+    ``forecast = level + forecast_steps·trend`` rounded to 6dp.
+    """
+    from pyspark.sql import functions as F
+
+    a_n, a_d = _exact_decimal(alpha)
+    b_n, b_d = _exact_decimal(beta)
+
+    def q6(c):
+        # 1e-6 quantization in PURE binary double arithmetic —
+        # sign·floor(|x|·1e6 + 0.5)/1e6 — identical in every engine.
+        # ROUND(x, 6) is NOT: Spark rounds the decimal repr HALF_UP,
+        # DuckDB rounds the binary double, and a recursion hits the
+        # half boundary eventually (measured at sf0.01).
+        return (
+            F.signum(c)
+            * F.floor(F.abs(c) * F.lit(1e6) + F.lit(0.5))
+            / F.lit(1e6)
+        )
+
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col(time_col).alias("t"),
+                F.col(value_col).cast("double").alias("y"),
+            )
+        )
+    )
+    grouped = (
+        df.filter(
+            F.col(time_col).isNotNull() & F.col(value_col).isNotNull()
+        )
+        .groupBy(F.col(key_col))
+        .agg(arr.alias("__arr"))
+        .select(
+            key_col,
+            F.expr("transform(__arr, x -> x.y)").alias("__ys"),
+        )
+    )
+    ys = F.col("__ys")
+    n = F.size(ys)
+    init = F.struct(
+        q6(ys[0]).alias("l"),
+        q6(ys[1] - ys[0]).alias("b"),
+    )
+
+    def step(acc, y):
+        new_l = q6(
+            F.lit(a_n / a_d) * y
+            + F.lit((a_d - a_n) / a_d) * (acc["l"] + acc["b"])
+        )
+        new_b = q6(
+            F.lit(b_n / b_d) * (new_l - acc["l"])
+            + F.lit((b_d - b_n) / b_d) * acc["b"]
+        )
+        return F.struct(new_l.alias("l"), new_b.alias("b"))
+
+    folded = F.aggregate(F.slice(ys, 3, F.greatest(n - 2, F.lit(0))), init, step)
+    return grouped.select(
+        key_col,
+        n.alias("n_obs"),
+        F.when(n >= 2, folded["l"]).alias("level"),
+        F.when(n >= 2, folded["b"]).alias("trend"),
+        F.when(
+            n >= 2,
+            q6(folded["l"] + F.lit(float(forecast_steps)) * folded["b"]),
+        ).alias("forecast"),
+    )
+
+
+def _exact_decimal(x: float) -> tuple[int, int]:
+    from fractions import Fraction
+
+    frac = Fraction(str(x))
+    if frac.denominator > 1_000_000:
+        raise ValueError(f"{x} must be an exact short decimal")
+    return frac.numerator, frac.denominator

@@ -3868,6 +3868,88 @@ FROM r GROUP BY o_orderpriority, quartile
 """
 
 
+
+
+_HOLT_ALPHA, _HOLT_BETA, _HOLT_STEPS = 0.5, 0.3, 3
+
+
+def ts_holt_forecast(spark: SparkSession, sf: str) -> DataFrame:
+    """Holt linear-trend forecast of hourly event volume per type
+    (timeseries.holt_linear): level+trend double exponential smoothing
+    over each type's hourly-count series, 3-hour-ahead projection.
+    The recursion is a native aggregate() struct fold with 1e-6
+    quantization per step, so the oracle replays it exactly with
+    DuckDB's list_reduce (the CUSUM recipe — data-dependent recursion,
+    still hash-matchable)."""
+    from icnarc_to_philips_linkage_spark.operators.timeseries import (
+        holt_linear,
+    )
+
+    e = load(spark, sf, "events")
+    hourly = (
+        e.filter(F.col("ts").isNotNull())
+        .groupBy(
+            "event_type",
+            F.expr("unix_micros(ts) DIV 3600000000").alias("hr"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return holt_linear(
+        hourly, "event_type", "hr", "n",
+        alpha=_HOLT_ALPHA, beta=_HOLT_BETA, forecast_steps=_HOLT_STEPS,
+    )
+
+
+def _holt_sql() -> str:
+    a, b = _HOLT_ALPHA, _HOLT_BETA
+    an, ar = repr(a), repr(1.0 - a)
+    bn, br = repr(b), repr(1.0 - b)
+
+    def q6(v: str) -> str:
+        # binary-exact 1e-6 quantizer mirroring the engine (see
+        # timeseries.holt_linear: ROUND diverges at half boundaries)
+        return (
+            f"(sign({v}) * floor(abs({v}) * 1000000.0 + 0.5))"
+            " / 1000000.0"
+        )
+
+    new_l = q6(f"{an} * x[1] + {ar} * (a[1] + a[2])")
+    new_b = q6(f"{bn} * ({new_l} - a[1]) + {br} * a[2]")
+    _q6_ys1 = q6("ys[1]")
+    _q6_ysdiff = q6("ys[2] - ys[1]")
+    _q6_fc = q6(f"st[1] + {float(_HOLT_STEPS)!r} * st[2]")
+    return f"""
+WITH hourly AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+         COUNT(*) AS n
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY event_type, hr
+),
+series AS (
+  SELECT event_type,
+         list(CAST(n AS DOUBLE) ORDER BY hr) AS ys
+  FROM hourly GROUP BY event_type
+),
+folded AS (
+  SELECT event_type, len(ys) AS n_obs,
+    CASE WHEN len(ys) >= 2 THEN
+      list_reduce(
+        list_prepend(
+          CAST([{_q6_ys1}, {_q6_ysdiff}] AS DOUBLE[]),
+          list_transform(ys[3:], v -> CAST([v, 0.0] AS DOUBLE[]))),
+        (a, x) -> [{new_l}, {new_b}])
+    END AS st
+  FROM series
+)
+SELECT event_type, CAST(n_obs AS INTEGER) AS n_obs,
+       st[1] AS level, st[2] AS trend,
+       CASE WHEN st IS NOT NULL
+            THEN {_q6_fc}
+       END AS forecast
+FROM folded
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "report_key_skew": (report_key_skew, KEY_SKEW_SQL),
     "report_column_profile": (report_column_profile, _column_profile_sql()),
@@ -3935,6 +4017,7 @@ QUERIES: dict[str, tuple] = {
     "ts_seasonal_baseline": (ts_seasonal_baseline, TS_SEASONAL_SQL),
     "w10_cumulative_distinct": (w10_cumulative_distinct, W10_SQL),
     "w11_rank_distribution": (w11_rank_distribution, W11_SQL),
+    "ts_holt_forecast": (ts_holt_forecast, _holt_sql()),
     "a31_two_proportion_ztest": (a31_two_proportion_ztest, A31_SQL),
     "ev_bot_regularity": (ev_bot_regularity, EV_BOT_SQL),
     "ts_autocorrelation": (ts_autocorrelation, TS_AUTOCORR_SQL),

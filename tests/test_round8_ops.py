@@ -1256,3 +1256,63 @@ def test_kcenter_radius_nonincreasing_random(spark):
     dists = [r.dist_at_selection for r in got[1:]]
     assert all(a >= b for a, b in zip(dists, dists[1:])), dists
     assert len({r.vec_id for r in got}) == 6  # no repeats
+
+
+# ---------------------------------------------------------------------------
+# Holt linear-trend smoothing
+# ---------------------------------------------------------------------------
+
+
+def _q6(x):
+    import math
+
+    return math.copysign(math.floor(abs(x) * 1e6 + 0.5), x) / 1e6
+
+
+def test_holt_linear_python_differential(spark):
+    """Seeded noisy-trend series vs a pure-Python replay of the same
+    quantized recursion; a perfectly linear series must learn the
+    exact slope."""
+    import random
+
+    from icnarc_to_philips_linkage_spark.operators.timeseries import (
+        holt_linear,
+    )
+
+    rng = random.Random(31)
+    series = {
+        "lin": [10.0 + 2.0 * t for t in range(20)],
+        "noisy": [5.0 + 0.5 * t + rng.uniform(-1, 1) for t in range(40)],
+    }
+    rows = [
+        (k, t, v) for k, ys in series.items() for t, v in enumerate(ys)
+    ]
+    df = spark.createDataFrame(rows, "k string, t long, y double")
+    got = {r.k: r for r in holt_linear(df, "k", "t", "y").collect()}
+
+    for k, ys in series.items():
+        l, b = _q6(ys[0]), _q6(ys[1] - ys[0])
+        for y in ys[2:]:
+            nl = _q6(0.5 * y + 0.5 * (l + b))
+            b = _q6(0.3 * (nl - l) + 0.7 * b)
+            l = nl
+        r = got[k]
+        assert r.n_obs == len(ys)
+        assert (r.level, r.trend) == (l, b), k
+        assert r.forecast == _q6(l + 3.0 * b)
+
+    # linear series: the recursion converges TOWARD the slope (not
+    # exactly onto it in 20 points) and the forecast extrapolates up
+    r = got["lin"]
+    assert abs(r.trend - 2.0) < 0.05
+    assert r.forecast > r.level > 40.0
+
+
+def test_holt_linear_short_series_null(spark):
+    from icnarc_to_philips_linkage_spark.operators.timeseries import (
+        holt_linear,
+    )
+
+    df = spark.createDataFrame([("a", 1, 5.0)], "k string, t long, y double")
+    r = holt_linear(df, "k", "t", "y").collect()[0]
+    assert r.n_obs == 1 and r.level is None and r.forecast is None
