@@ -821,3 +821,126 @@ def weighted_kappa(
             ),
         ).alias("kappa"),
     )
+
+
+def brier_score(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    round_dp: int = 9,
+) -> DataFrame:
+    """Exact Brier score — mean squared error of the predicted
+    probability against the boolean outcome, the proper scoring rule
+    that prices calibration AND discrimination together (the summary
+    partner of ``calibration_bins``' per-bin view).
+
+    Exactness: scores live on the classifier's 1e-6 grid, so
+    ``round(p·1e6)`` recovers the exact micro-unit long (the MMR
+    recipe); each row's squared error ``(p_u − 1e6·y)²`` is an exact
+    long ≤ 1e12 accumulated as decimal(38,0) — no float summation
+    order anywhere — and ``brier = Σ / (n·1e12)`` divides exact
+    integers as nearest-doubles. One conditional aggregation, no
+    shuffle beyond it.
+
+    Output one row: ``(n, n_pos, brier)`` — NULL on an empty slice.
+    """
+    lbl = F.col(label_col).cast("boolean")
+    p_u = F.round(F.col(score_col) * F.lit(1_000_000)).cast("long")
+    e = p_u - lbl.cast("long") * F.lit(1_000_000)
+    agg = df.filter(F.col(score_col).isNotNull() & lbl.isNotNull()).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum(lbl.cast("long")), F.lit(0)).alias("n_pos"),
+        F.coalesce(
+            F.sum((e * e).cast("decimal(38,0)")),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("__s"),
+    )
+    return agg.select(
+        "n",
+        "n_pos",
+        F.when(
+            F.col("n") > 0,
+            F.round(
+                F.col("__s").cast("double")
+                / (F.col("n").cast("double") * F.lit(1e12)),
+                round_dp,
+            ),
+        ).alias("brier"),
+    )
+
+
+def confusion_report(
+    df: DataFrame,
+    gold_col: str,
+    pred_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Multi-class confusion report: per class, support / predicted
+    count / true positives and exact precision, recall, F1 — the
+    per-class breakdown that a scalar kappa or accuracy hides (a
+    labeler can ace the majority class and shred a minority one).
+
+    One k²-bounded contingency aggregation (the ``cohens_kappa``
+    shape); per-class statistics come from the tiny marginal frames.
+    ``f1 = 2·tp / (n_gold + n_pred)`` — the harmonic mean computed
+    directly from exact integers. Classes observed only as gold or
+    only as prediction still get a row (their missing side counts 0).
+
+    Output per class: ``(cls, n_gold, n_pred, tp, precision, recall,
+    f1)`` — NULL precision when never predicted, NULL recall when no
+    gold support.
+    """
+    g = F.col(gold_col).cast("string")
+    p = F.col(pred_col).cast("string")
+    cont = (
+        df.filter(g.isNotNull() & p.isNotNull())
+        .groupBy(g.alias("__g"), p.alias("__p"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    classes = (
+        cont.select(F.col("__g").alias("cls"))
+        .unionByName(cont.select(F.col("__p").alias("cls")))
+        .distinct()
+    )
+    rows = cont.groupBy(F.col("__g").alias("cls")).agg(
+        F.sum("__c").alias("n_gold")
+    )
+    cols = cont.groupBy(F.col("__p").alias("cls")).agg(
+        F.sum("__c").alias("n_pred")
+    )
+    diag = (
+        cont.filter(F.col("__g") == F.col("__p"))
+        .select(F.col("__g").alias("cls"), F.col("__c").alias("tp"))
+    )
+    out = (
+        classes.join(rows, "cls", "left")
+        .join(cols, "cls", "left")
+        .join(diag, "cls", "left")
+        .select(
+            "cls",
+            F.coalesce("n_gold", F.lit(0)).alias("n_gold"),
+            F.coalesce("n_pred", F.lit(0)).alias("n_pred"),
+            F.coalesce("tp", F.lit(0)).alias("tp"),
+        )
+    )
+    return out.select(
+        "cls",
+        "n_gold",
+        "n_pred",
+        "tp",
+        F.when(
+            F.col("n_pred") > 0,
+            F.round(F.col("tp") / F.col("n_pred"), round_dp),
+        ).alias("precision"),
+        F.when(
+            F.col("n_gold") > 0,
+            F.round(F.col("tp") / F.col("n_gold"), round_dp),
+        ).alias("recall"),
+        F.when(
+            (F.col("n_gold") + F.col("n_pred")) > 0,
+            F.round(
+                F.lit(2) * F.col("tp") / (F.col("n_gold") + F.col("n_pred")),
+                round_dp,
+            ),
+        ).alias("f1"),
+    )

@@ -763,3 +763,34 @@ def unimax_allocation(
         F.round(alloc / F.col("corpus_tokens"), 6).alias("epochs"),
         capped.alias("capped"),
     )
+
+
+def group_kfold(
+    df: DataFrame,
+    group_col: str,
+    k: int = 5,
+    salt: str = "fold",
+    fold_col: str = "fold",
+) -> DataFrame:
+    """Leakage-safe k-fold assignment keyed on a GROUP (user, session,
+    near-dup cluster): every row of a group lands in the same fold by
+    construction — the GroupKFold of sklearn, as a pure projection.
+    Plain row-hash folds leak whenever correlated rows (one user's
+    events, one document's near-duplicates) straddle train and
+    validation; hashing the group key makes straddling impossible
+    rather than unlikely.
+
+    fold = (md5-hex band of the group key) mod k, 1-based — the same
+    md5-deterministic, partition-independent, engine-portable recipe
+    as ``hash_split``; no shuffle, no state, reproducible forever from
+    (salt, k).
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    h = F.conv(hash_bucket(group_col, salt), 16, 10).cast("long")
+    return df.withColumn(
+        fold_col,
+        F.when(
+            F.col(group_col).isNotNull(), (h % F.lit(k)).cast("int") + 1
+        ),
+    )

@@ -790,3 +790,75 @@ def _union_ids(picks: list, id_col: str) -> DataFrame:
     for p in picks[1:]:
         out = out.unionByName(p.select(F.col(id_col).alias("__id")))
     return out
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the top-k most-similar corpus vectors with a DIFFERENT
+    label — the near-miss impostors that teach a metric model the
+    boundary (random negatives are trivially separable; hard ones
+    carry the gradient). Exactly ``knn_brute_force``'s shape — corpus
+    streams against the broadcast query set, two-level top-k reduce —
+    with the label-mismatch filter applied before ranking.
+
+    Output: ``(query_id, query_label, neighbor_id, neighbor_label,
+    cos_sim)`` ranked (sim DESC, id ASC).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("query_label"),
+        F.col(vec_col).alias("q_vec"),
+        norm_sq(vec_col).alias("q_nsq"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+        F.col(vec_col).alias("c_vec"),
+        norm_sq(vec_col).alias("c_nsq"),
+    )
+    sims = (
+        c.crossJoin(F.broadcast(q))
+        .filter(
+            (F.col("query_id") != F.col("neighbor_id"))
+            & (F.col("query_label") != F.col("neighbor_label"))
+        )
+        .select(
+            "query_id",
+            "query_label",
+            F.col("neighbor_id"),
+            "neighbor_label",
+            F.round(
+                cosine_with_norms("q_vec", "c_vec", "q_nsq", "c_nsq"), 6
+            ).alias("cos_sim"),
+        )
+    )
+    ranked = topk_per_key(sims, "query_id", k)
+    # re-attach labels WITHOUT re-running the scoring crossJoin: the
+    # k·|queries| ranked frame broadcasts onto the corpus's (id, label)
+    # projection (map-only), and the query labels are a tiny broadcast
+    nb_labels = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+    )
+    q_labels = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("query_label"),
+    )
+    return (
+        nb_labels.join(F.broadcast(ranked), "neighbor_id")
+        .join(F.broadcast(q_labels), "query_id")
+        .select(
+            "query_id",
+            "query_label",
+            "neighbor_id",
+            "neighbor_label",
+            "cos_sim",
+        )
+    )

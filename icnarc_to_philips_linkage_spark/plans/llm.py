@@ -5246,6 +5246,162 @@ d{r} AS (
     return "".join(parts)
 
 
+
+
+def eval_brier_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact Brier score of the quality classifier against the
+    long-document label (evaluation.brier_score) — the proper scoring
+    rule summarizing calibration + discrimination; micro-unit integer
+    squared errors, decimal accumulation, no float sum order."""
+    return evaluation.brier_score(
+        _scored_with_label(spark, sf), "p_quality", "label"
+    )
+
+
+def _brier_sql() -> str:
+    return f"""
+WITH {_eval_labeled_cte()},
+u AS (
+  SELECT CAST(ROUND(p * 1000000) AS BIGINT)
+           - CASE WHEN y THEN 1000000 ELSE 0 END AS e,
+         y
+  FROM lab
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COALESCE(SUM(CASE WHEN y THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS n_pos,
+       CASE WHEN COUNT(*) > 0
+            THEN ROUND(CAST(SUM(e * e) AS DOUBLE)
+                       / (CAST(COUNT(*) AS DOUBLE) * 1e12), 9)
+       END AS brier
+FROM u
+"""
+
+
+def eval_confusion_langid(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-class precision/recall/F1 of the marker language-ID against
+    the gold lang column (evaluation.confusion_report) — the
+    class-level breakdown behind eval_cohens_kappa's scalar; both ride
+    the same single scan projection."""
+    pred = text.with_lang_id(load(spark, sf, "documents"))
+    return evaluation.confusion_report(pred, "lang", "lang_pred")
+
+
+def _confusion_sql() -> str:
+    pred_sql = _lang_id_sql().strip()
+    return f"""
+WITH pred AS (
+{pred_sql}
+),
+lab AS (
+  SELECT d.lang AS g, p.lang_pred AS p
+  FROM documents d JOIN pred p USING (doc_id)
+  WHERE d.lang IS NOT NULL AND p.lang_pred IS NOT NULL
+),
+cont AS (SELECT g, p, COUNT(*) AS c FROM lab GROUP BY g, p),
+classes AS (SELECT DISTINCT g AS cls FROM cont
+            UNION SELECT DISTINCT p FROM cont),
+r AS (SELECT g AS cls, SUM(c) AS n_gold FROM cont GROUP BY g),
+cl AS (SELECT p AS cls, SUM(c) AS n_pred FROM cont GROUP BY p),
+dg AS (SELECT g AS cls, c AS tp FROM cont WHERE g = p)
+SELECT k.cls,
+       CAST(COALESCE(r.n_gold, 0) AS BIGINT) AS n_gold,
+       CAST(COALESCE(cl.n_pred, 0) AS BIGINT) AS n_pred,
+       CAST(COALESCE(dg.tp, 0) AS BIGINT) AS tp,
+       CASE WHEN COALESCE(cl.n_pred, 0) > 0
+            THEN ROUND(COALESCE(dg.tp, 0) * 1.0 / cl.n_pred, 6)
+       END AS precision,
+       CASE WHEN COALESCE(r.n_gold, 0) > 0
+            THEN ROUND(COALESCE(dg.tp, 0) * 1.0 / r.n_gold, 6)
+       END AS recall,
+       CASE WHEN COALESCE(r.n_gold, 0) + COALESCE(cl.n_pred, 0) > 0
+            THEN ROUND(2.0 * COALESCE(dg.tp, 0)
+                       / (COALESCE(r.n_gold, 0) + COALESCE(cl.n_pred, 0)), 6)
+       END AS f1
+FROM classes k
+LEFT JOIN r ON r.cls = k.cls
+LEFT JOIN cl ON cl.cls = k.cls
+LEFT JOIN dg ON dg.cls = k.cls
+"""
+
+
+_KFOLD_K, _KFOLD_SALT = 5, "gkf"
+
+
+def sample_group_kfold(spark: SparkSession, sf: str) -> DataFrame:
+    """GroupKFold summary over events keyed on user_id
+    (sampling.group_kfold): one row per fold with row/group counts —
+    the leakage-safe CV assignment where one user's events can never
+    straddle folds. The per-row assignment is a pure projection; the
+    report aggregates it to a bounded k-row frame."""
+    e = sampling.group_kfold(
+        load(spark, sf, "events"), "user_id", k=_KFOLD_K, salt=_KFOLD_SALT
+    )
+    return (
+        e.filter(F.col("fold").isNotNull())
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("user_id").alias("n_groups"),
+        )
+    )
+
+
+def _group_kfold_sql() -> str:
+    nib = "(strpos('0123456789abcdef', substr(h, {i}, 1)) - 1)"
+    hv = " + ".join(
+        f"{nib.format(i=i + 1)} * {16 ** (7 - i)}" for i in range(8)
+    )
+    return f"""
+WITH hashed AS (
+  SELECT user_id,
+         substr(md5('{_KFOLD_SALT}:' || CAST(user_id AS VARCHAR)), 1, 8)
+           AS h
+  FROM events WHERE user_id IS NOT NULL
+),
+assigned AS (
+  SELECT user_id, CAST(({hv}) % {_KFOLD_K} AS INTEGER) + 1 AS fold
+  FROM hashed
+)
+SELECT fold, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_groups
+FROM assigned GROUP BY fold
+"""
+
+
+_HARDNEG_K = 3
+
+
+def sample_hard_negatives_ann(spark: SparkSession, sf: str) -> DataFrame:
+    """Hard-negative mining over the embedding table
+    (similarity.hard_negatives): for each query vector, the 3 most
+    cosine-similar vectors with a DIFFERENT label — the near-miss
+    impostors contrastive training actually learns from."""
+    emb = load(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < KNN_QUERY_LIMIT)
+    return similarity.hard_negatives(emb, q, k=_HARDNEG_K)
+
+
+def _hard_negatives_sql() -> str:
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, label AS query_label,
+                  embedding AS qv
+           FROM embeddings WHERE vec_id < {KNN_QUERY_LIMIT}),
+pairs AS (
+  SELECT q.query_id, q.query_label, c.vec_id AS neighbor_id,
+         c.label AS neighbor_label,
+         {_cos_sql('q.qv', 'c.embedding')} AS cos_sim
+  FROM embeddings c, q
+  WHERE c.vec_id != q.query_id AND c.label != q.query_label
+)
+SELECT query_id, query_label, neighbor_id, neighbor_label, cos_sim
+FROM pairs
+QUALIFY row_number() OVER (
+  PARTITION BY query_id
+  ORDER BY cos_sim DESC, neighbor_id ASC) <= {_HARDNEG_K}
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "drift_wasserstein": (drift_wasserstein, _wasserstein_sql()),
     "sample_weighted_topk": (sample_weighted_topk, _wres_sql()),
@@ -5339,6 +5495,10 @@ QUERIES: dict[str, tuple] = {
     "eval_weighted_kappa": (eval_weighted_kappa, WEIGHTED_KAPPA_SQL),
     "graph_knn_triangles": (graph_knn_triangles, _knn_triangles_sql()),
     "sim_kcenter_coreset": (sim_kcenter_coreset, _kcenter_sql()),
+    "eval_brier_score": (eval_brier_score, _brier_sql()),
+    "eval_confusion_langid": (eval_confusion_langid, _confusion_sql()),
+    "sample_group_kfold": (sample_group_kfold, _group_kfold_sql()),
+    "sample_hard_negatives_ann": (sample_hard_negatives_ann, _hard_negatives_sql()),
     "web_url_canonicalize": (web_url_canonicalize, _web_canon_sql()),
     "web_url_dedup": (web_url_dedup, _web_dedup_sql()),
     "web_domain_profile": (web_domain_profile, _web_profile_sql()),

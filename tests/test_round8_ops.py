@@ -1316,3 +1316,118 @@ def test_holt_linear_short_series_null(spark):
     df = spark.createDataFrame([("a", 1, 5.0)], "k string, t long, y double")
     r = holt_linear(df, "k", "t", "y").collect()[0]
     assert r.n_obs == 1 and r.level is None and r.forecast is None
+
+
+# ---------------------------------------------------------------------------
+# Brier score, confusion report, group k-fold, hard negatives
+# ---------------------------------------------------------------------------
+
+
+def test_brier_score_hand_computed(spark):
+    """(0.9,T)=0.01, (0.1,F)=0.01, (0.5,T)=0.25, (1.0,F)=1.0 →
+    mean = 1.27/4 = 0.3175; perfect predictions score 0."""
+    from icnarc_to_philips_linkage_spark.operators.evaluation import (
+        brier_score,
+    )
+
+    df = spark.createDataFrame(
+        [(0.9, True), (0.1, False), (0.5, True), (1.0, False)],
+        "p double, y boolean",
+    )
+    r = brier_score(df, "p", "y").collect()[0]
+    assert (r.n, r.n_pos, r.brier) == (4, 2, 0.3175)
+
+    perfect = spark.createDataFrame(
+        [(1.0, True), (0.0, False)], "p double, y boolean"
+    )
+    assert brier_score(perfect, "p", "y").collect()[0].brier == 0.0
+
+
+def test_confusion_report_hand_computed(spark):
+    """gold a×3 (pred a,a,b), gold b×2 (pred b,c): per-class PRF plus
+    a class ('c') that is only ever predicted."""
+    from icnarc_to_philips_linkage_spark.operators.evaluation import (
+        confusion_report,
+    )
+
+    rows = [("a", "a"), ("a", "a"), ("a", "b"), ("b", "b"), ("b", "c")]
+    df = spark.createDataFrame(rows, "g string, p string")
+    out = {r.cls: r for r in confusion_report(df, "g", "p").collect()}
+    assert set(out) == {"a", "b", "c"}
+    a = out["a"]
+    assert (a.n_gold, a.n_pred, a.tp) == (3, 2, 2)
+    assert (a.precision, a.recall, a.f1) == (1.0, round(2 / 3, 6), 0.8)
+    b = out["b"]
+    assert (b.n_gold, b.n_pred, b.tp) == (2, 2, 1)
+    assert b.f1 == 0.5
+    c = out["c"]
+    assert (c.n_gold, c.n_pred, c.tp) == (0, 1, 0)
+    assert c.precision == 0.0 and c.recall is None
+
+
+def test_group_kfold_no_straddle(spark):
+    """Every group lands in exactly one fold, regardless of layout;
+    folds cover 1..k."""
+    from icnarc_to_philips_linkage_spark.operators.sampling import (
+        group_kfold,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i % 97) for i in range(2000)], "row_id long, grp long"
+    ).repartition(16)
+    out = group_kfold(df, "grp", k=5)
+    per_group = (
+        out.groupBy("grp")
+        .agg(F.countDistinct("fold").alias("nf"))
+        .agg(F.max("nf"))
+        .collect()[0][0]
+    )
+    assert per_group == 1
+    folds = {r.fold for r in out.select("fold").distinct().collect()}
+    assert folds <= {1, 2, 3, 4, 5} and len(folds) >= 4
+
+
+def test_hard_negatives_label_mismatch_and_hardness(spark):
+    """Every mined negative has a different label, and is at least as
+    similar as any other different-label vector outside the top-k."""
+    import random
+
+    from icnarc_to_philips_linkage_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    rng = random.Random(37)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)], i % 3)
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    q = df.filter(F.col("vec_id") < 4)
+    got = hard_negatives(df, q, k=3).collect()
+    assert len(got) == 12
+    by_q = {}
+    for r in got:
+        assert r.query_label != r.neighbor_label
+        by_q.setdefault(r.query_id, []).append(r)
+    # brute-force check hardness for one query
+    import math
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return round(
+            d / (math.sqrt(sum(x * x for x in a))
+                 * math.sqrt(sum(y * y for y in b))), 6
+        )
+
+    vecs = {i: v for i, v, _ in rows}
+    labs = {i: l for i, _, l in rows}
+    q0 = 0
+    sims = sorted(
+        ((cos(vecs[q0], vecs[j]), -j) for j in vecs
+         if j != q0 and labs[j] != labs[q0]),
+        reverse=True,
+    )[:3]
+    want = {-j for _, j in sims}
+    assert {r.neighbor_id for r in by_q[q0]} == want
