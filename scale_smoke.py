@@ -646,6 +646,94 @@ def main() -> int:
     )
     assert mr.get(32) == 1.0, mr
 
+
+    # ---------------- round 8 session 2: holt, brier, kcenter, triangles
+
+    # Holt forecast over the FULL event table: 100M rows collapse to
+    # ~1.4k hourly buckets x 5 types before the fold — the register
+    # shape (pre-aggregate, then a map-side struct fold).
+    from icnarc_to_philips_linkage_spark.operators.timeseries import (
+        holt_linear,
+    )
+
+    hourly = e.groupBy(
+        "event_type",
+        F.expr("unix_micros(ts) DIV 3600000000").alias("hr"),
+    ).agg(F.count(F.lit(1)).alias("nn"))
+    t = time.time()
+    hrows = holt_linear(hourly, "event_type", "hr", "nn").collect()
+    timings["holt_forecast_100m_events"] = round(time.time() - t, 2)
+    print(
+        "holt_forecast_100m_events",
+        timings["holt_forecast_100m_events"],
+        "types", len(hrows),
+        "forecast_click",
+        [r.forecast for r in hrows if r.event_type == "click"],
+        flush=True,
+    )
+
+    # Exact Brier over 100M scored rows: micro-unit integer squared
+    # errors, decimal accumulation — the printed value is the
+    # determinism ride-along.
+    from icnarc_to_philips_linkage_spark.operators.evaluation import (
+        brier_score,
+    )
+
+    scored_b = e.select(
+        (F.pmod(F.xxhash64("event_id", F.lit(11)), F.lit(1_000_001))
+         / 1_000_000.0).alias("p"),
+        (F.pmod(F.xxhash64("event_id", F.lit(12)), F.lit(3)) < 1)
+        .alias("y"),
+    )
+    t = time.time()
+    br = brier_score(scored_b, "p", "y").collect()[0]
+    timings["brier_100m_rows"] = round(time.time() - t, 2)
+    print(
+        "brier_100m_rows", timings["brier_100m_rows"],
+        "n", br.n, "brier", br.brier, flush=True,
+    )
+
+    # k-center greedy over the 2M-vector corpus: 6 rounds, each a
+    # map-only broadcast-center distance update + TakeOrdered argmax.
+    from icnarc_to_philips_linkage_spark.operators.similarity import (
+        kcenter_coreset,
+    )
+
+    t = time.time()
+    kc = sorted(
+        kcenter_coreset(mvec, k=6).collect(), key=lambda r: r.round
+    )
+    timings["kcenter_2m_corpus"] = round(time.time() - t, 2)
+    radii = [r.dist_at_selection for r in kc[1:]]
+    print(
+        "kcenter_2m_corpus", timings["kcenter_2m_corpus"],
+        "radii", radii, flush=True,
+    )
+    assert all(a >= b for a, b in zip(radii, radii[1:])), radii
+
+    # triangle census of a 10M-edge hash-random graph on 1M nodes
+    # (avg degree 20): the degree-ordered orientation keeps the wedge
+    # join bounded even with the heavy tail.
+    from icnarc_to_philips_linkage_spark.operators.graph import (
+        triangle_count,
+    )
+
+    tedges = spark.range(10_000_000).select(
+        F.pmod(F.xxhash64("id", F.lit(21)), F.lit(1_000_000))
+        .cast("string").alias("src"),
+        F.pmod(F.xxhash64("id", F.lit(22)), F.lit(1_000_000))
+        .cast("string").alias("dst"),
+    )
+    t = time.time()
+    tr = triangle_count(tedges).collect()[0]
+    timings["triangles_10m_edges"] = round(time.time() - t, 2)
+    print(
+        "triangles_10m_edges", timings["triangles_10m_edges"],
+        "nodes", tr.n_nodes, "edges", tr.n_edges,
+        "triangles", tr.n_triangles, "transitivity", tr.transitivity,
+        flush=True,
+    )
+
     print(
         json.dumps(
             {"n_rows": n, "gen_sec": gen_sec, "timings_sec": timings}
