@@ -116,6 +116,22 @@ SECTIONS: list[tuple[str, str]] = [
         "tokenization, one line split, zero UDFs); the only exchange is "
         "the final per-source aggregation.",
     ),
+    (
+        "graph_knn_triangles",
+        "Triangle census: degrees join back onto the undirected edge "
+        "set, the wedge self-join keys on the ORIENTED source (each "
+        "wedge rooted at its min-(degree, node) corner), and the "
+        "closing membership check is one more hash join — every "
+        "exchange keys on node ids, no wedge ever materializes twice.",
+    ),
+    (
+        "sim_kcenter_coreset",
+        "k-center greedy: each round is a map-only broadcast-center "
+        "distance projection (crossJoin with a 1-row frame, least() "
+        "fold into the running min-dist column) + a limit-1 TakeOrdered "
+        "argmax; the localCheckpoint per round pins lineage so the "
+        "final plan is k-bounded, not 2^k.",
+    ),
 ]
 
 SF = "/root/testdata/sf0.001"
