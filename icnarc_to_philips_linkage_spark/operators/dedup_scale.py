@@ -1363,6 +1363,8 @@ def lsh_band_stats(
     """
     from pyspark import StorageLevel
 
+    if not band_configs:
+        raise ValueError("band_configs must be non-empty")
     for b in band_configs:
         if k % b:
             raise ValueError(f"bands={b} must divide k={k}")

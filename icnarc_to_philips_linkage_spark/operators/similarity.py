@@ -651,6 +651,8 @@ def matryoshka_recall(
     """
     from pyspark import StorageLevel
 
+    if not trunc_dims:
+        raise ValueError("trunc_dims must be non-empty")
     truth = cachereg.track(
         knn_brute_force(corpus, queries, k, id_col, vec_col).persist(
             StorageLevel.MEMORY_AND_DISK
@@ -732,8 +734,9 @@ def kcenter_coreset(
         )
     ]
 
-    def _dist_to(center: DataFrame) -> Column:
-        # ||a − c||² = nsq_a + nsq_c − 2·a·c, the dot mirrored by the
+    def _dist_to() -> Column:
+        # ||a − c||² = nsq_a + nsq_c − 2·a·c against whatever center
+        # frame is crossJoined in (__c_v/__c_nsq); the dot mirrors the
         # oracle's list_sum — identical fold order, identical doubles
         return F.round(
             F.col("__nsq")
@@ -742,21 +745,24 @@ def kcenter_coreset(
             6,
         )
 
-    center = seed
     state = base.crossJoin(
         F.broadcast(
-            center.select(
+            seed.select(
                 F.col("__v").alias("__c_v"), F.col("__nsq").alias("__c_nsq")
             )
         )
-    ).select("__id", "__v", "__nsq", _dist_to(center).alias("__mind"))
+    ).select("__id", "__v", "__nsq", _dist_to().alias("__mind"))
     state = state.localCheckpoint(eager=True)
     for r in range(2, k + 1):
         chosen = F.broadcast(_union_ids(picks, id_col))
+        # materialize the 1-row pick: without this, every later
+        # round's anti-join and the final union RE-RUN this argmax
+        # over the full state frame (~k²/2 corpus passes instead of k)
         pick = (
             state.join(chosen, "__id", "left_anti")
             .orderBy(F.desc("__mind"), F.asc("__id"))
             .limit(1)
+            .localCheckpoint(eager=True)
         )
         picks.append(
             pick.select(
@@ -776,7 +782,7 @@ def kcenter_coreset(
                 "__id",
                 "__v",
                 "__nsq",
-                F.least(F.col("__mind"), _dist_to(pick)).alias("__mind"),
+                F.least(F.col("__mind"), _dist_to()).alias("__mind"),
             )
             state = state.localCheckpoint(eager=True)
     out = picks[0]

@@ -60,8 +60,10 @@ def _in_list_sql(words: tuple[str, ...]) -> str:
 
 def marker_hits(toks_col: str, words: tuple[str, ...]) -> Column:
     """Count of tokens belonging to a marker set — higher-order filter,
-    evaluated per row with no shuffle."""
-    return F.expr(f"size(filter({toks_col}, w -> w IN ({_in_list_sql(words)})))")
+    evaluated per row with no shuffle. Delegates to
+    ``marker_hits_expr`` so there is ONE membership semantics to keep
+    oracle-aligned."""
+    return marker_hits_expr(F.col(toks_col), words)
 
 
 def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -667,17 +669,23 @@ def with_gopher_rules(
     max_bullet_line_frac: float = 0.9,
     max_symbol_ratio: float = 0.1,
 ) -> DataFrame:
-    """The Gopher heuristic quality ruleset (Rae et al. 2021, table A1)
-    as one codegen projection: per-document boolean rule columns plus
-    the conjunctive ``gopher_keep`` verdict. The standard first-pass
-    web-corpus filter — each rule targets a concrete failure mode
-    (boilerplate lists, symbol spam, machine-generated ellipsis walls,
-    non-linguistic shards) and the per-rule flags let the corpus report
-    show WHICH rule fires, not just how many documents die.
+    """Gopher-style heuristic quality rules (after Rae et al. 2021,
+    table A1) as one codegen projection: per-document boolean rule
+    columns plus the conjunctive ``gopher_keep`` verdict. The standard
+    first-pass web-corpus filter — each rule targets a concrete
+    failure mode (boilerplate lists, symbol spam, machine-generated
+    ellipsis walls, non-linguistic shards) and the per-rule flags let
+    the corpus report show WHICH rule fires, not just how many
+    documents die.
 
-    All eight rules are native expressions over one tokenization and
-    one line split — zero shuffles, zero UDFs; thresholds are the
-    paper's, overridable per corpus.
+    Seven rules, all native expressions over one tokenization and one
+    line split — zero shuffles, zero UDFs. DEFAULTS ARE ADAPTED TO
+    SHORT SYNTHETIC DOCUMENTS, not the paper's: Gopher uses word count
+    50..100k (here 5..100k), mean word length 3..10 (here 2..12), and
+    alpha-word fraction ≥0.8 (here ≥0.7); pass the paper's values
+    explicitly to reproduce the published filter. (The paper's
+    duplicate-line-fraction rule lives separately in the dedup family
+    — ``dedup_passages`` / ``dedup_normalized``.)
     """
     toks = tokens(text_col)
     n_tok = F.size(toks)

@@ -769,7 +769,13 @@ def holt_linear(
         )
         return F.struct(new_l.alias("l"), new_b.alias("b"))
 
-    folded = F.aggregate(F.slice(ys, 3, F.greatest(n - 2, F.lit(0))), init, step)
+    # the recursion consumes y_2..y_n: init carries (l1=y1, b1=y2-y1)
+    # and t=2 must still UPDATE the level with y2 (starting at y3
+    # silently skips the second observation - caught in review, the
+    # mirrored oracle replay could not see it)
+    folded = F.aggregate(
+        F.slice(ys, 2, F.greatest(n - 1, F.lit(0))), init, step
+    )
     return grouped.select(
         key_col,
         n.alias("n_obs"),

@@ -4800,7 +4800,7 @@ def quality_gopher_rules(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _gopher_flags_cte() -> str:
-    """base+f CTEs computing the eight per-document Gopher rule
+    """base+f CTEs computing the seven per-document Gopher-style rule
     booleans — shared by the per-rule report and funnel oracles."""
     stop = ", ".join(f"'{w}'" for w in STOPWORDS)
     return f"""base AS (
@@ -5051,7 +5051,13 @@ def eval_weighted_kappa(spark: SparkSession, sf: str) -> DataFrame:
     digit prefix is the ordinal) vs a literal five-bucket total-price
     grade — does spend track urgency beyond chance, with near-misses
     priced quadratically cheaper than grade-4 disagreements?"""
-    o = load(spark, sf, "orders")
+    o = load(spark, sf, "orders").filter(
+        # mirror the oracle's NULL exclusion: the when-chain would
+        # otherwise send a NULL price to .otherwise(5) (latent today -
+        # the testdata has no NULL prices - but a real divergence)
+        F.col("o_orderpriority").isNotNull()
+        & F.col("o_totalprice").isNotNull()
+    )
     a = F.substring("o_orderpriority", 1, 1).cast("long")
     b = (
         F.when(F.col("o_totalprice") < 60000, 1)

@@ -3936,7 +3936,7 @@ folded AS (
       list_reduce(
         list_prepend(
           CAST([{_q6_ys1}, {_q6_ysdiff}] AS DOUBLE[]),
-          list_transform(ys[3:], v -> CAST([v, 0.0] AS DOUBLE[]))),
+          list_transform(ys[2:], v -> CAST([v, 0.0] AS DOUBLE[]))),
         (a, x) -> [{new_l}, {new_b}])
     END AS st
   FROM series

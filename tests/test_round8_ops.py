@@ -1292,7 +1292,7 @@ def test_holt_linear_python_differential(spark):
 
     for k, ys in series.items():
         l, b = _q6(ys[0]), _q6(ys[1] - ys[0])
-        for y in ys[2:]:
+        for y in ys[1:]:
             nl = _q6(0.5 * y + 0.5 * (l + b))
             b = _q6(0.3 * (nl - l) + 0.7 * b)
             l = nl

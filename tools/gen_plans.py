@@ -112,7 +112,7 @@ SECTIONS: list[tuple[str, str]] = [
     ),
     (
         "quality_gopher_rules",
-        "All eight Gopher rules fuse into the scan projection (one "
+        "All seven Gopher-style rules fuse into the scan projection (one "
         "tokenization, one line split, zero UDFs); the only exchange is "
         "the final per-source aggregation.",
     ),
