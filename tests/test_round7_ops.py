@@ -144,8 +144,21 @@ def test_cachereg_eviction_returns_storage_to_baseline(spark):
         # drained stragglers since the last iteration
         llm.dedup_minhash_lsh(spark, SF_SMOKE).count()
         llm.quality_ngram_lm(spark, SF_SMOKE).count()
-        assert n_persistent() > pre  # the sweep really cached
+        # the sweep really cached: check the REGISTERED frames
+        # directly — a global persistent-RDD count races with
+        # ContextCleaner draining earlier tests' checkpoint RDDs
+        # (observed both directions of that flake)
+        new_caches = cachereg._LIVE[mark:]
+        assert new_caches, "sweep registered no caches"
+        assert any(
+            df.storageLevel.useMemory or df.storageLevel.useDisk
+            for df in new_caches
+        ), "registered frames are not actually persisted"
         cachereg.evict(mark)
+        assert all(
+            not (df.storageLevel.useMemory or df.storageLevel.useDisk)
+            for df in new_caches
+        ), "evict left a registered cache persisted"
         assert settles_at_most(max(baseline, pre))
 
 
