@@ -1221,3 +1221,190 @@ def entropy_by_group(
         F.count(F.lit(1)).alias("n_categories"),
         F.round(F.sum("__h"), round_dp).alias("entropy_bits"),
     )
+
+
+def grouped_ols(
+    df: DataFrame,
+    group_col: str,
+    x_col: Column,
+    y_col: Column,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-group simple linear regression (OLS of y on x) from EXACT
+    integer/decimal power sums — the closed-form regr_slope /
+    regr_intercept / regr_r2 family, but engine-exact: callers pass
+    ``x_col`` / ``y_col`` already lifted to exact integer units (e.g.
+    cents), the five cross sums accumulate in decimal(38,0)
+    (order-independent, identical in any engine), and only the final
+    slope/intercept/r² algebra runs in doubles with one expression
+    tree (the a23_grouped_moments recipe, extended to two variables).
+
+    ONE corpus aggregation — the mean is never a second pass — and the
+    output is group-grain. At 100 TB this is a single map-combined
+    shuffle on the group key; nothing else moves.
+
+    Output: ``(group, n, slope, intercept, r2)``; groups with zero x
+    variance return NULL slope/intercept/r2 (vertical fit), matching
+    SQL's regr_* NULL contract.
+    """
+    x = x_col.cast("decimal(38,0)")
+    y = y_col.cast("decimal(38,0)")
+    agg = df.filter(x_col.isNotNull() & y_col.isNotNull()).groupBy(
+        group_col
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum((x * x).cast("decimal(38,0)")).cast("double").alias("sxx"),
+        F.sum((x * y).cast("decimal(38,0)")).cast("double").alias("sxy"),
+        F.sum((y * y).cast("decimal(38,0)")).cast("double").alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    vx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    slope = cov / vx
+    intercept = (F.col("sy") - slope * F.col("sx")) / n
+    r2 = (cov * cov) / (vx * vy)
+    nz = vx > 0
+    return agg.select(
+        group_col,
+        "n",
+        F.round(F.when(nz, slope), round_dp).alias("slope"),
+        F.round(F.when(nz, intercept), round_dp).alias("intercept"),
+        F.round(F.when(nz & (vy > 0), r2), round_dp).alias("r2"),
+    )
+
+
+def spearman_corr(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-group Spearman rank correlation with average-tie ranks,
+    engine-exact end to end. Ranks are derived on the DISTINCT-VALUE
+    grain, not the corpus: one groupBy to (group, value, count) per
+    variable, a running count over that (much smaller) table gives the
+    min-rank, and ``2·avg_rank = 2·cum − cnt + 1`` keeps the tie-
+    averaged rank an exact INTEGER (doubling clears the half — Pearson
+    is affine-invariant so ρ is unchanged). The doubled ranks join
+    back on (group, value) and feed the same exact decimal(38,0)
+    power-sum machinery as ``grouped_ols``; only the final ρ is a
+    double (identical expression tree in the DuckDB oracle).
+
+    Scale shape: two corpus shuffles (one per variable's value-grain
+    aggregate + join-back on the same key, so each variable's exchange
+    is reused), and the rank windows run over the distinct-value grain
+    partitioned by group — never a corpus-wide sorted window. The
+    rank maps for low-cardinality variables broadcast.
+
+    Output: ``(group, n, rho)``; NULL rho when either variable is
+    constant within the group.
+    """
+
+    def rank2(col: str, alias: str) -> DataFrame:
+        counts = (
+            df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+            .groupBy(group_col, col)
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        w = (
+            Window.partitionBy(group_col)
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return counts.select(
+            group_col,
+            col,
+            (2 * F.sum("__c").over(w) - F.col("__c") + 1).alias(alias),
+        )
+
+    base = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+    ranked = base.join(rank2(x_col, "__rx"), [group_col, x_col]).join(
+        rank2(y_col, "__ry"), [group_col, y_col]
+    )
+    rx = F.col("__rx").cast("decimal(38,0)")
+    ry = F.col("__ry").cast("decimal(38,0)")
+    agg = ranked.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(rx).cast("double").alias("sx"),
+        F.sum(ry).cast("double").alias("sy"),
+        F.sum((rx * rx).cast("decimal(38,0)")).cast("double").alias("sxx"),
+        F.sum((rx * ry).cast("decimal(38,0)")).cast("double").alias("sxy"),
+        F.sum((ry * ry).cast("decimal(38,0)")).cast("double").alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    vx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    return agg.select(
+        group_col,
+        "n",
+        F.round(
+            F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx * vy)), round_dp
+        ).alias("rho"),
+    )
+
+
+def welch_ttest(
+    df: DataFrame,
+    group_col: str,
+    value_col: Column,
+    group_a,
+    group_b,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Welch's unequal-variance t-test between two named groups — the
+    A/B comparison that doesn't assume pooled variance. Callers pass
+    ``value_col`` in exact integer units (cents); per-group n/Σ/Σ² are
+    exact decimal(38,0) sums from ONE corpus aggregation, pivoted to a
+    single row by conditional aggregation (no join), and the t
+    statistic plus Welch–Satterthwaite degrees of freedom run in
+    doubles with identical expression trees on both engines.
+
+    Output: one row ``(n_a, n_b, mean_a, mean_b, t_stat, df_welch)``;
+    NULL t/df when either side has fewer than 2 rows or both sample
+    variances are zero.
+    """
+    v = value_col.cast("decimal(38,0)")
+    tagged = df.filter(
+        value_col.isNotNull() & F.col(group_col).isin([group_a, group_b])
+    ).select(
+        (F.col(group_col) == group_a).alias("__is_a"),
+        v.alias("__v"),
+        (v * v).cast("decimal(38,0)").alias("__v2"),
+    )
+
+    agg = tagged.agg(
+        F.count(F.when(F.col("__is_a"), F.lit(1))).alias("n_a"),
+        F.count(F.when(~F.col("__is_a"), F.lit(1))).alias("n_b"),
+        F.sum(F.when(F.col("__is_a"), F.col("__v"))).cast("double").alias("sa"),
+        F.sum(F.when(~F.col("__is_a"), F.col("__v"))).cast("double").alias("sb"),
+        F.sum(F.when(F.col("__is_a"), F.col("__v2"))).cast("double").alias("saa"),
+        F.sum(F.when(~F.col("__is_a"), F.col("__v2"))).cast("double").alias("sbb"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    ma = F.col("sa") / na
+    mb = F.col("sb") / nb
+    va = (F.col("saa") - F.col("sa") * F.col("sa") / na) / (na - 1)
+    vb = (F.col("sbb") - F.col("sb") * F.col("sb") / nb) / (nb - 1)
+    sea = va / na
+    seb = vb / nb
+    t = (ma - mb) / F.sqrt(sea + seb)
+    dfw = (sea + seb) * (sea + seb) / (
+        sea * sea / (na - 1) + seb * seb / (nb - 1)
+    )
+    ok = (F.col("n_a") >= 2) & (F.col("n_b") >= 2)
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.round(ma, round_dp).alias("mean_a"),
+        F.round(mb, round_dp).alias("mean_b"),
+        F.round(F.when(ok & ((sea + seb) > 0), t), round_dp).alias("t_stat"),
+        F.round(F.when(ok & ((sea + seb) > 0), dfw), round_dp).alias(
+            "df_welch"
+        ),
+    )

