@@ -795,3 +795,153 @@ def _exact_decimal(x: float) -> tuple[int, int]:
     if frac.denominator > 1_000_000:
         raise ValueError(f"{x} must be an exact short decimal")
     return frac.numerator, frac.denominator
+
+
+def forecast_eval(
+    df,
+    key_col: str,
+    time_col: str,
+    value_col: str,
+    season: int = 7,
+):
+    """Backtest accuracy of the two standard reference forecasters —
+    naive (ŷ_t = y_{t−1}) and seasonal-naive (ŷ_t = y_{t−season}) —
+    per key, with ENGINE-EXACT metrics: the series values are integer
+    counts (callers pre-aggregate to a grid; the registered query uses
+    daily counts), so Σ|error| and Σ|y| accumulate as exact longs and
+    only the final MAE / WAPE / MASE divisions are doubles with one
+    shared expression tree.
+
+    MASE here is the seasonal-naive MAE over the naive MAE — the
+    standard 'is seasonality worth modeling' screen (<1 ⇒ the seasonal
+    forecaster beats persistence).
+
+    Scale shape: both lags ride ONE per-key window spec (one
+    sort+exchange over the already-aggregated grid table, never raw
+    events); the metric aggregation is map-combined. Output per key:
+    ``(key, n_naive, n_seasonal, mae_naive, wape_naive, mae_seasonal,
+    mase)`` with NULLs where a denominator is empty/zero.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy(key_col).orderBy(time_col)
+    lagged = df.select(
+        key_col,
+        F.col(value_col).cast("long").alias("__y"),
+        F.lag(F.col(value_col).cast("long"), 1).over(w).alias("__f1"),
+        F.lag(F.col(value_col).cast("long"), season).over(w).alias("__fs"),
+    )
+    agg = lagged.groupBy(key_col).agg(
+        F.count("__f1").alias("n_naive"),
+        F.count("__fs").alias("n_seasonal"),
+        F.sum(F.abs(F.col("__y") - F.col("__f1"))).alias("__e1"),
+        F.sum(F.when(F.col("__f1").isNotNull(), F.abs("__y"))).alias("__a1"),
+        F.sum(F.abs(F.col("__y") - F.col("__fs"))).alias("__es"),
+    )
+    n1 = F.col("n_naive").cast("double")
+    ns = F.col("n_seasonal").cast("double")
+    mae1 = F.col("__e1").cast("double") / n1
+    maes = F.col("__es").cast("double") / ns
+    return agg.select(
+        key_col,
+        "n_naive",
+        "n_seasonal",
+        F.round(F.when(F.col("n_naive") > 0, mae1), 6).alias("mae_naive"),
+        F.round(
+            F.when(
+                (F.col("n_naive") > 0) & (F.col("__a1") > 0),
+                F.col("__e1").cast("double") / F.col("__a1").cast("double"),
+            ),
+            6,
+        ).alias("wape_naive"),
+        F.round(F.when(F.col("n_seasonal") > 0, maes), 6).alias(
+            "mae_seasonal"
+        ),
+        F.round(
+            F.when(
+                (F.col("n_seasonal") > 0) & (F.col("__e1") > 0), maes / mae1
+            ),
+            6,
+        ).alias("mase"),
+    )
+
+
+def kaplan_meier(
+    df,
+    duration_col: str,
+    event_col: str,
+):
+    """Kaplan–Meier survival estimator with right censoring over a
+    BOUNDED-grain duration column (the registered query uses whole
+    days — callers own the grain; the risk table is |distinct
+    durations| rows by construction, the classic published-curve
+    shape).
+
+    Survival S(t) = Π_{s≤t} (n_s − d_s)/n_s is the one genuinely
+    order-dependent piece; both engines compute it as the SAME
+    sequential left fold over the same ordered double factors
+    (multiplication/division are exactly-rounded IEEE ops, so the fold
+    is bit-identical — the Holt/list_reduce determinism argument, no
+    quantization needed). Spark: `aggregate(slice(factors, 1, rn))`;
+    DuckDB: `list_reduce(ff[1:rn])`. The O(k²) slice work is over the
+    risk table, not the corpus.
+
+    Scale shape: ONE corpus aggregation to the duration grain; the
+    running at-risk counts ride an unpartitioned window over that tiny
+    table (never the corpus), and the ordered factor array is a
+    1-row broadcast joined back. Output per distinct duration:
+    ``(duration, n_risk, n_events, n_censored, survival)``.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    risk = (
+        df.filter(F.col(duration_col).isNotNull())
+        .groupBy(F.col(duration_col).alias("duration"))
+        .agg(
+            F.sum(F.when(F.col(event_col).cast("int") == 1, 1).otherwise(0))
+            .alias("n_events"),
+            F.sum(F.when(F.col(event_col).cast("int") == 1, 0).otherwise(1))
+            .alias("n_censored"),
+        )
+    )
+    w = Window.orderBy("duration")
+    # at-risk at t = subjects whose duration is >= t: one reverse
+    # running sum over the tiny risk table
+    staged = risk.select(
+        "duration",
+        "n_events",
+        "n_censored",
+        F.sum(F.col("n_events") + F.col("n_censored"))
+        .over(w.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+        .alias("n_risk"),
+        F.row_number().over(w).alias("__rn"),
+    )
+    factors = staged.select(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    "duration",
+                    (
+                        (F.col("n_risk") - F.col("n_events")).cast("double")
+                        / F.col("n_risk").cast("double")
+                    ).alias("f"),
+                )
+            )
+        ).alias("__fs")
+    ).select(F.expr("transform(__fs, x -> x.f)").alias("__ff"))
+    return (
+        staged.join(F.broadcast(factors))
+        .select(
+            "duration",
+            "n_risk",
+            "n_events",
+            "n_censored",
+            F.aggregate(
+                F.slice(F.col("__ff"), 1, F.col("__rn")),
+                F.lit(1.0),
+                lambda a, x: a * x,
+            ).alias("survival"),
+        )
+    )

@@ -4101,6 +4101,126 @@ FROM s
 """
 
 
+def ts_forecast_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """Backtest of naive vs 7-day seasonal-naive forecasts of daily
+    event volume per type (timeseries.forecast_eval): MAE / WAPE /
+    MASE from exact integer error sums, both lags under ONE per-key
+    window over the day-grain table."""
+    from icnarc_to_philips_linkage_spark.operators.timeseries import (
+        forecast_eval,
+    )
+
+    e = load(spark, sf, "events")
+    daily = (
+        e.filter(F.col("ts").isNotNull())
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return forecast_eval(daily, "event_type", "day", "n", season=7)
+
+
+TS_FORECAST_EVAL_SQL = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS n
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+),
+lagged AS (
+  SELECT event_type, n AS y,
+         LAG(n, 1) OVER w AS f1, LAG(n, 7) OVER w AS fs
+  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)
+),
+agg AS (
+  SELECT event_type,
+         COUNT(f1) AS n_naive, COUNT(fs) AS n_seasonal,
+         SUM(ABS(y - f1)) AS e1,
+         SUM(CASE WHEN f1 IS NOT NULL THEN ABS(y) END) AS a1,
+         SUM(ABS(y - fs)) AS es
+  FROM lagged GROUP BY event_type
+)
+SELECT event_type, n_naive, n_seasonal,
+  ROUND(CASE WHEN n_naive > 0
+             THEN CAST(e1 AS DOUBLE) / CAST(n_naive AS DOUBLE) END, 6)
+    AS mae_naive,
+  ROUND(CASE WHEN n_naive > 0 AND a1 > 0
+             THEN CAST(e1 AS DOUBLE) / CAST(a1 AS DOUBLE) END, 6)
+    AS wape_naive,
+  ROUND(CASE WHEN n_seasonal > 0
+             THEN CAST(es AS DOUBLE) / CAST(n_seasonal AS DOUBLE) END, 6)
+    AS mae_seasonal,
+  ROUND(CASE WHEN n_seasonal > 0 AND e1 > 0
+             THEN (CAST(es AS DOUBLE) / CAST(n_seasonal AS DOUBLE))
+                  / (CAST(e1 AS DOUBLE) / CAST(n_naive AS DOUBLE)) END, 6)
+    AS mase
+FROM agg
+"""
+
+
+def ts_kaplan_meier(spark: SparkSession, sf: str) -> DataFrame:
+    """Kaplan–Meier survival of user lifetimes
+    (timeseries.kaplan_meier): duration = whole days between a user's
+    first and last event, observed = the user ever purchased (users
+    who never purchase are right-censored at their last sighting).
+    The survival product is a sequential double fold — bit-identical
+    in DuckDB's list_reduce replay (no quantization needed: only
+    exactly-rounded IEEE ops)."""
+    from icnarc_to_philips_linkage_spark.operators.timeseries import (
+        kaplan_meier,
+    )
+
+    e = load(spark, sf, "events")
+    spans = (
+        e.filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.datediff(
+                F.max(F.date_trunc("day", "ts")),
+                F.min(F.date_trunc("day", "ts")),
+            ).alias("duration"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("observed"),
+        )
+    )
+    return kaplan_meier(spans, "duration", "observed")
+
+
+TS_KM_SQL = """
+WITH spans AS (
+  SELECT user_id,
+         date_diff('day', MIN(date_trunc('day', ts)),
+                   MAX(date_trunc('day', ts))) AS duration,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS observed
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+  GROUP BY user_id
+),
+risk AS (
+  SELECT duration,
+         SUM(CASE WHEN observed = 1 THEN 1 ELSE 0 END) AS n_events,
+         SUM(CASE WHEN observed = 1 THEN 0 ELSE 1 END) AS n_censored
+  FROM spans WHERE duration IS NOT NULL GROUP BY duration
+),
+staged AS (
+  SELECT duration, n_events, n_censored,
+         SUM(n_events + n_censored)
+           OVER (ORDER BY duration
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+           AS n_risk,
+         ROW_NUMBER() OVER (ORDER BY duration) AS rn
+  FROM risk
+),
+ff AS (
+  SELECT list(CAST(n_risk - n_events AS DOUBLE) / CAST(n_risk AS DOUBLE)
+              ORDER BY duration) AS ff
+  FROM staged
+)
+SELECT duration, n_risk, n_events, n_censored,
+       list_reduce(list_prepend(CAST(1.0 AS DOUBLE), ff[1:rn]),
+                   (a, x) -> a * x) AS survival
+FROM staged, ff
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "report_key_skew": (report_key_skew, KEY_SKEW_SQL),
     "report_column_profile": (report_column_profile, _column_profile_sql()),
@@ -4162,6 +4282,8 @@ QUERIES: dict[str, tuple] = {
     "a25_grouped_ols": (a25_grouped_ols, A25_SQL),
     "a28_spearman_corr": (a28_spearman_corr, A28_SQL),
     "a30_welch_ttest": (a30_welch_ttest, A30_SQL),
+    "ts_forecast_eval": (ts_forecast_eval, TS_FORECAST_EVAL_SQL),
+    "ts_kaplan_meier": (ts_kaplan_meier, TS_KM_SQL),
     "a23_grouped_moments": (a23_grouped_moments, A23_SQL),
     "set_intersect_all": (set_intersect_all, SET_INTERSECT_ALL_SQL),
     "ev_transition_matrix": (ev_transition_matrix, EV_TRANSITION_SQL),

@@ -186,3 +186,81 @@ def test_welch_ttest_ignores_other_groups(spark):
     )
     out = profile.welch_ttest(df, "g", F.col("v"), "A", "B").collect()[0]
     assert (out.n_a, out.n_b) == (2, 2)
+
+
+# ---------------------------------------------------------------------------
+# forecast_eval
+# ---------------------------------------------------------------------------
+
+
+def test_forecast_eval_hand_computed(spark):
+    ys = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3]
+    df = spark.createDataFrame(
+        [("g", t, y) for t, y in enumerate(ys)], "g string, t long, n long"
+    )
+    from icnarc_to_philips_linkage_spark.operators.timeseries import (
+        forecast_eval,
+    )
+
+    out = forecast_eval(df, "g", "t", "n", season=3).collect()[0]
+    e1 = sum(abs(ys[i] - ys[i - 1]) for i in range(1, 10))
+    es = sum(abs(ys[i] - ys[i - 3]) for i in range(3, 10))
+    a1 = sum(abs(ys[i]) for i in range(1, 10))
+    assert (out.n_naive, out.n_seasonal) == (9, 7)
+    assert out.mae_naive == round(e1 / 9, 6)
+    assert out.wape_naive == round(e1 / a1, 6)
+    assert out.mae_seasonal == round(es / 7, 6)
+    assert out.mase == round((es / 7) / (e1 / 9), 6)
+
+
+def test_forecast_eval_single_observation_all_null(spark):
+    df = spark.createDataFrame([("g", 1, 5)], "g string, t long, n long")
+    from icnarc_to_philips_linkage_spark.operators.timeseries import (
+        forecast_eval,
+    )
+
+    out = forecast_eval(df, "g", "t", "n").collect()[0]
+    assert out.n_naive == 0 and out.mae_naive is None
+    assert out.mase is None
+
+
+# ---------------------------------------------------------------------------
+# kaplan_meier
+# ---------------------------------------------------------------------------
+
+
+def test_kaplan_meier_textbook_curve(spark):
+    """Six subjects, two censored — the standard worked example:
+    S = 5/6, 2/3, 4/9, 4/9, 0 at t = 1, 2, 3, 4, 5."""
+    rows = [
+        (1, 1), (2, 1), (2, 0), (3, 1), (4, 0), (5, 1),
+    ]
+    df = spark.createDataFrame(rows, "duration long, observed int")
+    from icnarc_to_philips_linkage_spark.operators.timeseries import (
+        kaplan_meier,
+    )
+
+    got = {
+        r.duration: (r.n_risk, r.n_events, r.n_censored, r.survival)
+        for r in kaplan_meier(df, "duration", "observed").collect()
+    }
+    assert got[1] == (6, 1, 0, 5 / 6)
+    assert got[2] == (5, 1, 1, (5 / 6) * (4 / 5))
+    assert got[3] == (3, 1, 0, (5 / 6) * (4 / 5) * (2 / 3))
+    assert got[4] == (2, 0, 1, (5 / 6) * (4 / 5) * (2 / 3))
+    assert got[5] == (1, 1, 0, 0.0)
+
+
+def test_kaplan_meier_no_censoring_is_empirical_survival(spark):
+    """Without censoring, S(t) is the plain empirical proportion of
+    subjects still beyond t."""
+    rows = [(d, 1) for d in [1, 2, 2, 3, 4, 4, 4, 5]]
+    df = spark.createDataFrame(rows, "duration long, observed int")
+    from icnarc_to_philips_linkage_spark.operators.timeseries import (
+        kaplan_meier,
+    )
+
+    n = len(rows)
+    remaining = {1: 7, 2: 5, 3: 4, 4: 1, 5: 0}
+    for r in kaplan_meier(df, "duration", "observed").collect():
+        assert abs(r.survival - remaining[r.duration] / n) < 1e-12
