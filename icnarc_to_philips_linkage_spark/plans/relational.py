@@ -4221,6 +4221,88 @@ FROM staged, ff
 """
 
 
+_GD_LR, _GD_ITERS = 0.5, 5
+
+
+def ml_gd_classifier(spark: SparkSession, sf: str) -> DataFrame:
+    """Full-batch gradient-descent linear classifier predicting
+    returned order lines from (quantity, discount, tax), each scaled
+    onto [0,1] (regression.gd_train_frame). Per iteration ONE
+    map-combined aggregation reduces the corpus to 4 exact decimal
+    gradient sums; the fast-sigmoid link plus 1e-12 contribution
+    quantization make every iteration bit-identical in the DuckDB
+    oracle's unrolled CTE replay (the PQ k-means pattern applied to
+    supervised training)."""
+    from icnarc_to_philips_linkage_spark.operators import regression
+
+    l = load(spark, sf, "lineitem")
+    feats = l.select(
+        (F.col("l_quantity") / F.lit(50.0)).alias("x_qty"),
+        (F.col("l_discount") * F.lit(10.0)).alias("x_disc"),
+        (F.col("l_tax") * F.lit(10.0)).alias("x_tax"),
+        (F.col("l_returnflag") == "R").cast("int").alias("y"),
+    )
+    return regression.gd_train_frame(
+        feats, ["x_qty", "x_disc", "x_tax"], "y", lr=_GD_LR, iters=_GD_ITERS
+    )
+
+
+def _gd_sql(lr: float = _GD_LR, iters: int = _GD_ITERS) -> str:
+    """Unrolled gradient-descent replay: one (gradient CTE, weight
+    CTE) pair per iteration, mirroring regression.gd_train's exact
+    arithmetic — fast sigmoid, 1e-12 integer contributions, the same
+    double update expression."""
+
+    def q(v: str) -> str:
+        return f"(sign({v}) * floor(abs({v}) * 1000000000000.0 + 0.5))"
+
+    ctes = [
+        """feats AS (
+  SELECT CAST(1.0 AS DOUBLE) AS x0,
+         CAST(l_quantity / 50.0 AS DOUBLE) AS x1,
+         CAST(l_discount * 10.0 AS DOUBLE) AS x2,
+         CAST(l_tax * 10.0 AS DOUBLE) AS x3,
+         CAST(l_returnflag = 'R' AS INT) AS y
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+    AND l_tax IS NOT NULL AND l_returnflag IS NOT NULL)""",
+        "w0 AS (SELECT CAST(0.0 AS DOUBLE) AS b, CAST(0.0 AS DOUBLE) AS w1,"
+        " CAST(0.0 AS DOUBLE) AS w2, CAST(0.0 AS DOUBLE) AS w3)",
+    ]
+    # Each CTE is referenced exactly ONCE (the incoming weights ride
+    # through the gradient CTE via a 1-row GROUP BY) — scalar
+    # subqueries on w{i-1} would re-inline the whole chain
+    # exponentially under DuckDB's default CTE inlining.
+    for i in range(1, iters + 1):
+        z = "(((b * x0 + w1 * x1) + w2 * x2) + w3 * x3)"
+        sig = f"(0.5 * (1.0 + {z} / (1.0 + abs({z}))))"
+        resid = f"({sig} - y)"
+        sums = ", ".join(
+            f"SUM(CAST({q(f'({resid} * x{j})')} AS HUGEINT)) AS s{j}"
+            for j in range(4)
+        )
+        ctes.append(
+            f"g{i} AS (SELECT b, w1, w2, w3, COUNT(*) AS n, {sums} "
+            f"FROM feats, w{i-1} GROUP BY b, w1, w2, w3)"
+        )
+        upd = ", ".join(
+            f"{c} - {lr!r} * "
+            f"((CAST(s{j} AS DOUBLE) / 1000000000000.0) / n) AS {c}"
+            for j, c in enumerate(["b", "w1", "w2", "w3"])
+        )
+        ctes.append(f"w{i} AS (SELECT {upd} FROM g{i})")
+    last = f"w{iters}"
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT * FROM (
+  SELECT 'intercept' AS feature, b AS weight FROM {last}
+  UNION ALL SELECT 'x_qty', w1 FROM {last}
+  UNION ALL SELECT 'x_disc', w2 FROM {last}
+  UNION ALL SELECT 'x_tax', w3 FROM {last}
+)"""
+    )
+
+
 QUERIES: dict[str, tuple] = {
     "report_key_skew": (report_key_skew, KEY_SKEW_SQL),
     "report_column_profile": (report_column_profile, _column_profile_sql()),
@@ -4284,6 +4366,7 @@ QUERIES: dict[str, tuple] = {
     "a30_welch_ttest": (a30_welch_ttest, A30_SQL),
     "ts_forecast_eval": (ts_forecast_eval, TS_FORECAST_EVAL_SQL),
     "ts_kaplan_meier": (ts_kaplan_meier, TS_KM_SQL),
+    "ml_gd_classifier": (ml_gd_classifier, _gd_sql()),
     "a23_grouped_moments": (a23_grouped_moments, A23_SQL),
     "set_intersect_all": (set_intersect_all, SET_INTERSECT_ALL_SQL),
     "ev_transition_matrix": (ev_transition_matrix, EV_TRANSITION_SQL),

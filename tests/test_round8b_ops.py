@@ -264,3 +264,78 @@ def test_kaplan_meier_no_censoring_is_empirical_survival(spark):
     remaining = {1: 7, 2: 5, 3: 4, 4: 1, 5: 0}
     for r in kaplan_meier(df, "duration", "observed").collect():
         assert abs(r.survival - remaining[r.duration] / n) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# gradient-descent classifier
+# ---------------------------------------------------------------------------
+
+
+def test_gd_train_matches_pure_python_replay_bitwise(spark):
+    """The whole determinism claim: a plain-Python replay of the same
+    arithmetic (fast sigmoid, 1e-12 integer contributions, identical
+    update expression) reproduces the distributed weights BIT-EXACTLY."""
+    import math as m
+
+    from icnarc_to_philips_linkage_spark.operators import regression
+
+    data = [(0.125, 0), (0.25, 0), (0.375, 0), (0.625, 1), (0.75, 1),
+            (0.875, 1), (0.5, 0), (1.0, 1)]
+    df = spark.createDataFrame(data, "x1 double, y int")
+    got = regression.gd_train(df, ["x1"], "y", lr=0.5, iters=5)
+
+    def qint(v):
+        s = 0.0 if v == 0 else m.copysign(1.0, v)
+        if v != v or v == 0:
+            s = 0.0
+        return int(s * m.floor(abs(v) * 1e12 + 0.5))
+
+    w = [0.0, 0.0]
+    n = len(data)
+    for _ in range(5):
+        s = [0, 0]
+        for x1, y in data:
+            z = (w[0] * 1.0) + (w[1] * x1)
+            sig = 0.5 * (1.0 + z / (1.0 + abs(z)))
+            resid = sig - float(y)
+            s[0] += qint(resid * 1.0)
+            s[1] += qint(resid * x1)
+        w = [w[j] - 0.5 * (float(s[j]) / 1e12) / float(n) for j in range(2)]
+    assert got == w  # bitwise, not approx
+
+
+def test_gd_train_is_partition_invariant(spark):
+    from icnarc_to_philips_linkage_spark.operators import regression
+
+    rows = [(i / 97.0, (3 * i) % 7 / 10.0, 1 if i % 3 == 0 else 0)
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "a double, b double, y int")
+    w1 = regression.gd_train(df.repartition(1), ["a", "b"], "y", iters=4)
+    w7 = regression.gd_train(df.repartition(7), ["a", "b"], "y", iters=4)
+    assert w1 == w7  # exact decimal sums -> layout cannot matter
+
+
+def test_gd_classifier_separates_separable_data(spark):
+    from icnarc_to_philips_linkage_spark.operators import regression
+
+    rows = [(i / 100.0, 1 if i >= 50 else 0) for i in range(100)]
+    df = spark.createDataFrame(rows, "x double, y int")
+    w = regression.gd_train(df, ["x"], "y", lr=2.0, iters=60)
+    scored = regression.gd_score(df, ["x"], w).collect()
+    acc = sum(
+        1 for r in scored if (r.score > 0.5) == (r.y == 1)
+    ) / len(scored)
+    assert acc >= 0.9
+
+
+def test_gd_train_null_rows_excluded(spark):
+    from icnarc_to_philips_linkage_spark.operators import regression
+
+    base = [(0.1, 0), (0.9, 1), (0.2, 0), (0.8, 1)]
+    df_clean = spark.createDataFrame(base, "x double, y int")
+    df_dirty = spark.createDataFrame(
+        base + [(None, 1), (0.5, None)], "x double, y int"
+    )
+    assert regression.gd_train(
+        df_clean, ["x"], "y", iters=3
+    ) == regression.gd_train(df_dirty, ["x"], "y", iters=3)
