@@ -1408,3 +1408,148 @@ def welch_ttest(
             "df_welch"
         ),
     )
+
+
+def anova_oneway(
+    df: DataFrame,
+    group_col: str,
+    value_col: Column,
+    round_dp: int = 6,
+) -> DataFrame:
+    """One-way ANOVA F statistic across ALL groups — the k-sample
+    generalization of ``welch_ttest`` (classic equal-variance form).
+    ``value_col`` arrives in exact integer units; per-group (n, Σv,
+    Σv²) are exact decimal(38,0) sums from ONE corpus aggregation.
+
+    The group-level reduction Σ_g s_g²/n_g is the only order-sensitive
+    float sum, so it runs as a SEQUENTIAL fold over the
+    group-sorted array (the Kaplan–Meier determinism recipe: only
+    exactly-rounded IEEE ops in a fixed order → bit-identical in
+    DuckDB's list_reduce). The array is |groups| entries — bounded by
+    the group-key cardinality, a plan literal in practice.
+
+    Output: one row ``(k, n, f_stat)``; NULL F when k < 2, n ≤ k, or
+    SSW is zero.
+    """
+    v = value_col.cast("decimal(38,0)")
+    per_group = (
+        df.filter(value_col.isNotNull() & F.col(group_col).isNotNull())
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(v).alias("__s"),
+            F.sum((v * v).cast("decimal(38,0)")).alias("__ss"),
+        )
+    )
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col(group_col).cast("string").alias("g"),
+                F.col("__n").cast("double").alias("n"),
+                F.col("__s").cast("double").alias("s"),
+                F.col("__ss").cast("double").alias("ss"),
+            )
+        )
+    )
+    agg = per_group.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("__n").alias("n"),
+        F.sum("__s").cast("double").alias("__stot"),
+        arr.alias("__arr"),
+    )
+    # sequential folds over the group-sorted array: Σ s_g²/n_g and Σ ss_g
+    sb = F.aggregate(
+        F.expr("transform(__arr, x -> x.s * x.s / x.n)"),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    st = F.aggregate(
+        F.expr("transform(__arr, x -> x.ss)"),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    n = F.col("n").cast("double")
+    k = F.col("k").cast("double")
+    ssb = sb - F.col("__stot") * F.col("__stot") / n
+    ssw = st - sb
+    f_stat = (ssb / (k - 1)) / (ssw / (n - k))
+    ok = (F.col("k") >= 2) & (n > k) & (ssw > 0)
+    return agg.select(
+        "k",
+        "n",
+        F.round(F.when(ok, f_stat), round_dp).alias("f_stat"),
+    )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) between two named groups
+    with tie-averaged ranks AND the tie-corrected normal
+    approximation — the nonparametric sibling of ``welch_ttest``.
+
+    Everything exact until the final z: combined-sample ranks come
+    from the DISTINCT-VALUE grain (the ``spearman_corr`` doubling
+    trick keeps tie-averaged ranks integral), the rank-sum and the
+    tie term Σ(t³−t) accumulate as exact decimals, and only
+    z = (U − n_a·n_b/2) / √var runs in doubles with one expression
+    tree. Continuity correction deliberately omitted (both engines
+    would need the same branch; documented choice).
+
+    Scale shape: one corpus aggregation to the value grain, one tiny
+    window over it, one exact reduce — the corpus never sorts.
+
+    Output: one row ``(n_a, n_b, u_a, z)``; NULL z when either group
+    is empty or the variance is zero (all values tied).
+    """
+    base = df.filter(
+        F.col(value_col).isNotNull()
+        & F.col(group_col).isin([group_a, group_b])
+    ).select(
+        (F.col(group_col) == group_a).alias("__is_a"), F.col(value_col)
+    )
+    counts = base.groupBy(value_col).agg(
+        F.count(F.lit(1)).alias("__c"),
+        F.count(F.when(F.col("__is_a"), F.lit(1))).alias("__ca"),
+    )
+    w = Window.orderBy(value_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    staged = counts.select(
+        "__c",
+        "__ca",
+        (2 * F.sum("__c").over(w) - F.col("__c") + 1).alias("__r2"),
+    )
+    c = F.col("__c").cast("decimal(38,0)")
+    agg = staged.agg(
+        F.sum("__ca").alias("n_ab"),
+        F.sum(F.col("__c") - F.col("__ca")).alias("n_bb"),
+        F.sum(
+            (F.col("__ca").cast("decimal(38,0)")
+             * F.col("__r2").cast("decimal(38,0)")).cast("decimal(38,0)")
+        ).cast("double").alias("__r2a"),
+        F.sum((c * c * c - c).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("__ties"),
+    )
+    na = F.col("n_ab").cast("double")
+    nb = F.col("n_bb").cast("double")
+    n = na + nb
+    u2 = F.col("__r2a") - na * (na + 1)  # 2·U_A
+    mu2 = na * nb  # 2·E[U]
+    var = (na * nb / 12.0) * (
+        (n + 1) - F.col("__ties") / (n * (n - 1))
+    )
+    z = (u2 - mu2) / (2.0 * F.sqrt(var))
+    ok = (F.col("n_ab") > 0) & (F.col("n_bb") > 0) & (var > 0)
+    return agg.select(
+        F.col("n_ab").alias("n_a"),
+        F.col("n_bb").alias("n_b"),
+        (u2 / 2.0).alias("u_a"),
+        F.round(F.when(ok, z), round_dp).alias("z"),
+    )

@@ -945,3 +945,95 @@ def kaplan_meier(
             ).alias("survival"),
         )
     )
+
+
+def logrank_test(
+    df,
+    duration_col: str,
+    event_col: str,
+    group_col,
+):
+    """Two-cohort log-rank test — the hypothesis-test companion of
+    ``kaplan_meier`` (is cohort A's survival curve different?).
+    ``group_col`` is a boolean column/expression marking cohort A.
+
+    Per distinct duration t: d_t events (d1_t in A), n_t at risk
+    (n1_t in A; both via the same reverse running sums as KM). The
+    statistic accumulates O = Σ d1 (exact long) and
+    E = Σ d·n1/n, V = Σ d·(n1/n)(1−n1/n)(n−d)/(n−1) as a SINGLE
+    sequential struct fold over the duration-ordered risk array —
+    bit-identical in DuckDB's list_reduce replay (the KM/Holt IEEE
+    determinism argument). z = (O−E)/√V in one final expression.
+
+    Scale shape: one corpus aggregation to the duration grain, one
+    tiny window, one bounded fold. Output: one row
+    ``(n_subjects, n_times, o_a, e_a, v_a, z)``; NULL z when V = 0.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    risk = (
+        df.filter(F.col(duration_col).isNotNull())
+        .select(
+            F.col(duration_col).alias("t"),
+            F.col(event_col).cast("int").alias("ev"),
+            group_col.cast("int").alias("in_a"),
+        )
+        .groupBy("t")
+        .agg(
+            F.sum("ev").alias("d"),
+            F.sum(F.col("ev") * F.col("in_a")).alias("d1"),
+            F.count(F.lit(1)).alias("tot"),
+            F.sum("in_a").alias("tot1"),
+        )
+    )
+    w = Window.orderBy("t").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    staged = risk.select(
+        "t",
+        "d",
+        "d1",
+        F.sum("tot").over(w).alias("n"),
+        F.sum("tot1").over(w).alias("n1"),
+    )
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("t").cast("long").alias("t"),
+                F.col("d").cast("double").alias("d"),
+                F.col("n").cast("double").alias("n"),
+                F.col("n1").cast("double").alias("n1"),
+            )
+        )
+    )
+    agg = staged.agg(
+        F.max("n").alias("n_subjects"),
+        F.count(F.lit(1)).alias("n_times"),
+        F.sum("d1").alias("o_a"),
+        arr.alias("__arr"),
+    )
+    terms = F.expr(
+        "transform(__arr, x -> struct("
+        "  x.d * x.n1 / x.n AS e,"
+        "  CASE WHEN x.n > 1.0 THEN"
+        "    ((x.d * (x.n1 / x.n)) * (1.0 - x.n1 / x.n))"
+        "    * ((x.n - x.d) / (x.n - 1.0))"
+        "  ELSE 0.0 END AS v))"
+    )
+    folded = F.aggregate(
+        terms,
+        F.struct(F.lit(0.0).alias("e"), F.lit(0.0).alias("v")),
+        lambda a, x: F.struct(
+            (a["e"] + x["e"]).alias("e"), (a["v"] + x["v"]).alias("v")
+        ),
+    )
+    z = (F.col("o_a").cast("double") - folded["e"]) / F.sqrt(folded["v"])
+    return agg.select(
+        "n_subjects",
+        "n_times",
+        "o_a",
+        F.round(folded["e"], 6).alias("e_a"),
+        F.round(folded["v"], 6).alias("v_a"),
+        F.round(F.when(folded["v"] > 0, z), 6).alias("z"),
+    )

@@ -4221,6 +4221,183 @@ FROM staged, ff
 """
 
 
+def a32_anova_f(spark: SparkSession, sf: str) -> DataFrame:
+    """One-way ANOVA F across returnflag groups on price-in-cents
+    (profile.anova_oneway): exact per-group power sums, group-level
+    float reduction as a sequential fold over the group-sorted array
+    (bit-identical in DuckDB's list_reduce)."""
+    l = load(spark, sf, "lineitem")
+    return profile.anova_oneway(
+        l, "l_returnflag", (F.col("l_extendedprice") * 100).cast(
+            "decimal(18,0)"
+        )
+    )
+
+
+A32_SQL = """
+WITH per_g AS (
+  SELECT l_returnflag AS g, COUNT(*) AS n, SUM(v) AS s, SUM(v*v) AS ss
+  FROM (SELECT l_returnflag, CAST(l_extendedprice * 100 AS HUGEINT) AS v
+        FROM lineitem
+        WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL)
+  GROUP BY g
+),
+agg AS (
+  SELECT COUNT(*) AS k, SUM(n) AS n, CAST(SUM(s) AS DOUBLE) AS stot,
+         list(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+              ORDER BY g) AS sbt,
+         list(CAST(ss AS DOUBLE) ORDER BY g) AS stt
+  FROM per_g
+),
+folded AS (
+  SELECT k, n, stot,
+    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), sbt),
+                (a, x) -> a + x) AS sb,
+    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), stt),
+                (a, x) -> a + x) AS st
+  FROM agg
+)
+SELECT k, n,
+  ROUND(CASE WHEN k >= 2 AND n > k AND (st - sb) > 0
+             THEN ((sb - stot * stot / n) / (k - 1))
+                  / ((st - sb) / (n - k)) END, 6) AS f_stat
+FROM folded
+"""
+
+
+def a33_mann_whitney(spark: SparkSession, sf: str) -> DataFrame:
+    """Mann–Whitney U between returned ('R') and delivered ('N') line
+    quantities (profile.mann_whitney_u): combined-sample tie-averaged
+    ranks on the distinct-value grain, exact rank/tie sums, one final
+    tie-corrected z."""
+    l = load(spark, sf, "lineitem")
+    return profile.mann_whitney_u(l, "l_returnflag", "l_quantity", "R", "N")
+
+
+A33_SQL = """
+WITH base AS (
+  SELECT (l_returnflag = 'R') AS is_a, l_quantity AS v
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_returnflag IN ('R', 'N')
+),
+counts AS (
+  SELECT v, COUNT(*) AS c, COUNT(*) FILTER (WHERE is_a) AS ca
+  FROM base GROUP BY v
+),
+staged AS (
+  SELECT c, ca,
+         2 * SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - c + 1
+           AS r2
+  FROM counts
+),
+agg AS (
+  SELECT SUM(ca) AS n_a, SUM(c - ca) AS n_b,
+         CAST(SUM(CAST(ca AS HUGEINT) * CAST(r2 AS HUGEINT)) AS DOUBLE)
+           AS r2a,
+         CAST(SUM(CAST(c AS HUGEINT) * c * c - c) AS DOUBLE) AS ties
+  FROM staged
+),
+d AS (
+  SELECT n_a, n_b, r2a, ties,
+         CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb
+  FROM agg
+),
+v AS (
+  SELECT *,
+         (na * nb / 12.0)
+         * (((na + nb) + 1) - ties / ((na + nb) * ((na + nb) - 1)))
+           AS var
+  FROM d
+)
+SELECT n_a, n_b,
+  (r2a - na * (na + 1)) / 2.0 AS u_a,
+  ROUND(CASE WHEN n_a > 0 AND n_b > 0 AND var > 0
+             THEN ((r2a - na * (na + 1)) - na * nb)
+                  / (2.0 * SQRT(var)) END, 6) AS z
+FROM v
+"""
+
+
+def ts_logrank(spark: SparkSession, sf: str) -> DataFrame:
+    """Log-rank survival comparison between even- and odd-id users
+    (timeseries.logrank_test) on the same lifetimes as
+    ts_kaplan_meier: O/E/V accumulate in ONE sequential struct fold
+    over the duration-ordered risk array."""
+    from icnarc_to_philips_linkage_spark.operators.timeseries import (
+        logrank_test,
+    )
+
+    e = load(spark, sf, "events")
+    spans = (
+        e.filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.datediff(
+                F.max(F.date_trunc("day", "ts")),
+                F.min(F.date_trunc("day", "ts")),
+            ).alias("duration"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("observed"),
+        )
+    )
+    return logrank_test(
+        spans, "duration", "observed", F.col("user_id") % 2 == 0
+    )
+
+
+TS_LOGRANK_SQL = """
+WITH spans AS (
+  SELECT user_id,
+         date_diff('day', MIN(date_trunc('day', ts)),
+                   MAX(date_trunc('day', ts))) AS duration,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS observed,
+         CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS in_a
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+  GROUP BY user_id
+),
+risk AS (
+  SELECT duration AS t, SUM(observed) AS d, SUM(observed * in_a) AS d1,
+         COUNT(*) AS tot, SUM(in_a) AS tot1
+  FROM spans WHERE duration IS NOT NULL GROUP BY duration
+),
+staged AS (
+  SELECT t, d, d1,
+         SUM(tot) OVER (ORDER BY t
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+           AS n,
+         SUM(tot1) OVER (ORDER BY t
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+           AS n1
+  FROM risk
+),
+agg AS (
+  SELECT MAX(n) AS n_subjects, COUNT(*) AS n_times, SUM(d1) AS o_a,
+    list(CAST([
+      CAST(d AS DOUBLE) * CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE),
+      CASE WHEN CAST(n AS DOUBLE) > 1.0 THEN
+        ((CAST(d AS DOUBLE) * (CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE)))
+         * (1.0 - CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE)))
+        * ((CAST(n AS DOUBLE) - CAST(d AS DOUBLE))
+           / (CAST(n AS DOUBLE) - 1.0))
+      ELSE 0.0 END] AS DOUBLE[]) ORDER BY t) AS terms
+  FROM staged
+),
+folded AS (
+  SELECT n_subjects, n_times, o_a,
+    list_reduce(list_prepend(CAST([0.0, 0.0] AS DOUBLE[]), terms),
+                (a, x) -> [a[1] + x[1], a[2] + x[2]]) AS ev
+  FROM agg
+)
+SELECT n_subjects, n_times, o_a,
+  ROUND(ev[1], 6) AS e_a, ROUND(ev[2], 6) AS v_a,
+  ROUND(CASE WHEN ev[2] > 0
+             THEN (CAST(o_a AS DOUBLE) - ev[1]) / SQRT(ev[2]) END, 6) AS z
+FROM folded
+"""
+
+
 _GD_LR, _GD_ITERS = 0.5, 5
 
 
@@ -4367,6 +4544,9 @@ QUERIES: dict[str, tuple] = {
     "ts_forecast_eval": (ts_forecast_eval, TS_FORECAST_EVAL_SQL),
     "ts_kaplan_meier": (ts_kaplan_meier, TS_KM_SQL),
     "ml_gd_classifier": (ml_gd_classifier, _gd_sql()),
+    "a32_anova_f": (a32_anova_f, A32_SQL),
+    "a33_mann_whitney": (a33_mann_whitney, A33_SQL),
+    "ts_logrank": (ts_logrank, TS_LOGRANK_SQL),
     "a23_grouped_moments": (a23_grouped_moments, A23_SQL),
     "set_intersect_all": (set_intersect_all, SET_INTERSECT_ALL_SQL),
     "ev_transition_matrix": (ev_transition_matrix, EV_TRANSITION_SQL),

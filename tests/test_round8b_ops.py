@@ -339,3 +339,170 @@ def test_gd_train_null_rows_excluded(spark):
     assert regression.gd_train(
         df_clean, ["x"], "y", iters=3
     ) == regression.gd_train(df_dirty, ["x"], "y", iters=3)
+
+
+# ---------------------------------------------------------------------------
+# anova_oneway
+# ---------------------------------------------------------------------------
+
+
+def _anova_py(groups):
+    k = len(groups)
+    n = sum(len(g) for g in groups)
+    stot = sum(sum(g) for g in groups)
+    sb = sum(sum(g) ** 2 / len(g) for g in groups)
+    st = sum(x * x for g in groups for x in g)
+    ssb = sb - stot * stot / n
+    ssw = st - sb
+    return (ssb / (k - 1)) / (ssw / (n - k))
+
+
+def test_anova_hand_computed(spark):
+    groups = {"a": [1, 2, 3], "b": [2, 3, 4], "c": [10, 11, 12]}
+    rows = [(g, v) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = profile.anova_oneway(df, "g", F.col("v")).collect()[0]
+    assert (out.k, out.n) == (3, 9)
+    assert out.f_stat == round(_anova_py(list(groups.values())), 6)
+
+
+def test_anova_identical_groups_f_is_zero(spark):
+    rows = [(g, v) for g in "ab" for v in [5, 7, 9]]
+    df = spark.createDataFrame(rows, "g string, v long")
+    assert profile.anova_oneway(df, "g", F.col("v")).collect()[0].f_stat == 0.0
+
+
+def test_anova_single_group_is_null(spark):
+    df = spark.createDataFrame([("a", 1), ("a", 2)], "g string, v long")
+    assert profile.anova_oneway(df, "g", F.col("v")).collect()[0].f_stat is None
+
+
+# ---------------------------------------------------------------------------
+# mann_whitney_u
+# ---------------------------------------------------------------------------
+
+
+def _mwu_py(a, b):
+    """Plain-Python tie-corrected Mann–Whitney (average ranks)."""
+    import math as m
+    from collections import Counter
+
+    allv = sorted(a + b)
+    ranks = {}
+    i = 0
+    while i < len(allv):
+        j = i
+        while j + 1 < len(allv) and allv[j + 1] == allv[i]:
+            j += 1
+        ranks[allv[i]] = (i + j) / 2 + 1
+        i = j + 1
+    ra = sum(ranks[v] for v in a)
+    na, nb = len(a), len(b)
+    n = na + nb
+    u = ra - na * (na + 1) / 2
+    ties = sum(t**3 - t for t in Counter(allv).values())
+    var = (na * nb / 12) * ((n + 1) - ties / (n * (n - 1)))
+    z = (u - na * nb / 2) / m.sqrt(var)
+    return u, z
+
+
+def test_mann_whitney_hand_computed_with_ties(spark):
+    a = [1, 2, 2, 3, 5, 5, 7]
+    b = [2, 4, 5, 6, 6, 8]
+    rows = [("A", v) for v in a] + [("B", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = profile.mann_whitney_u(df, "g", "v", "A", "B").collect()[0]
+    u, z = _mwu_py(a, b)
+    assert (out.n_a, out.n_b) == (7, 6)
+    assert out.u_a == u
+    assert abs(out.z - round(z, 6)) < 1e-9
+
+
+def test_mann_whitney_all_tied_z_null(spark):
+    rows = [("A", 4)] * 3 + [("B", 4)] * 3
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = profile.mann_whitney_u(df, "g", "v", "A", "B").collect()[0]
+    assert out.z is None
+
+
+def test_mann_whitney_stochastic_dominance_sign(spark):
+    rows = [("A", v) for v in range(10, 20)] + [
+        ("B", v) for v in range(0, 10)
+    ]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = profile.mann_whitney_u(df, "g", "v", "A", "B").collect()[0]
+    assert out.u_a == 100.0  # A wins every comparison
+    assert out.z > 3
+
+
+# ---------------------------------------------------------------------------
+# logrank_test
+# ---------------------------------------------------------------------------
+
+
+def _logrank_py(subjects):
+    """subjects: (duration, observed, in_a). Standard log-rank O/E/V."""
+    import math as m
+    from collections import defaultdict
+
+    cells = defaultdict(lambda: [0, 0, 0, 0])  # d, d1, tot, tot1
+    for t, ev, a in subjects:
+        c = cells[t]
+        c[0] += ev
+        c[1] += ev * a
+        c[2] += 1
+        c[3] += a
+    o = e = v = 0.0
+    times = sorted(cells)
+    for i, t in enumerate(times):
+        d, d1, _, _ = cells[t]
+        n = sum(cells[s][2] for s in times[i:])
+        n1 = sum(cells[s][3] for s in times[i:])
+        o += d1
+        e += d * n1 / n
+        if n > 1:
+            v += ((d * (n1 / n)) * (1 - n1 / n)) * ((n - d) / (n - 1))
+    return o, e, v, (o - e) / m.sqrt(v) if v > 0 else None
+
+
+def test_logrank_hand_computed(spark):
+    subjects = [
+        (1, 1, 1), (2, 1, 1), (3, 0, 1), (4, 1, 1),
+        (2, 1, 0), (3, 1, 0), (5, 1, 0), (5, 0, 0), (6, 1, 0),
+    ]
+    df = spark.createDataFrame(
+        subjects, "duration long, observed int, in_a int"
+    )
+    from icnarc_to_philips_linkage_spark.operators.timeseries import (
+        logrank_test,
+    )
+
+    out = logrank_test(
+        df, "duration", "observed", F.col("in_a") == 1
+    ).collect()[0]
+    o, e, v, z = _logrank_py(subjects)
+    assert out.n_subjects == 9
+    assert out.o_a == o
+    assert out.e_a == round(e, 6)
+    assert out.v_a == round(v, 6)
+    assert out.z == round(z, 6)
+
+
+def test_logrank_identical_cohorts_z_near_zero(spark):
+    """Two interleaved copies of the same survival experience: O=E."""
+    base = [(1, 1), (2, 1), (3, 0), (4, 1)]
+    subjects = [(t, ev, 1) for t, ev in base] + [
+        (t, ev, 0) for t, ev in base
+    ]
+    df = spark.createDataFrame(
+        subjects, "duration long, observed int, in_a int"
+    )
+    from icnarc_to_philips_linkage_spark.operators.timeseries import (
+        logrank_test,
+    )
+
+    out = logrank_test(
+        df, "duration", "observed", F.col("in_a") == 1
+    ).collect()[0]
+    assert abs(out.o_a - out.e_a) < 1e-9
+    assert abs(out.z) < 1e-6
