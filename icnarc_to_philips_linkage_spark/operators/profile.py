@@ -1553,3 +1553,86 @@ def mann_whitney_u(
         (u2 / 2.0).alias("u_a"),
         F.round(F.when(ok, z), round_dp).alias("z"),
     )
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Kruskal–Wallis H across ALL groups — the k-sample extension of
+    ``mann_whitney_u`` (nonparametric one-way ANOVA), with the
+    standard tie correction H' = H / (1 − Σ(t³−t)/(n³−n)).
+
+    Exactness layout: (group, value) counts in one corpus
+    aggregation; the value grain derives doubled tie-averaged ranks
+    (integral) under one tiny window; per-group doubled rank sums
+    R2_g and the tie term are exact decimals; the only float
+    reduction, Σ_g (R2_g/2)²/n_g, folds sequentially over the
+    group-sorted array (the ``anova_oneway`` determinism recipe).
+
+    Output: one row ``(k, n, h_stat)``; NULL when k < 2 or every
+    value is tied (the correction denominator hits zero).
+    """
+    gv = (
+        df.filter(F.col(value_col).isNotNull() & F.col(group_col).isNotNull())
+        .groupBy(group_col, value_col)
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    vgrain = gv.groupBy(value_col).agg(F.sum("__c").alias("__cv"))
+    w = Window.orderBy(value_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranks = vgrain.select(
+        value_col,
+        "__cv",
+        (2 * F.sum("__cv").over(w) - F.col("__cv") + 1).alias("__r2"),
+    )
+    per_group = (
+        gv.join(ranks.select(value_col, "__r2"), value_col)
+        .groupBy(group_col)
+        .agg(
+            F.sum("__c").alias("__n"),
+            F.sum(
+                (
+                    F.col("__c").cast("decimal(38,0)")
+                    * F.col("__r2").cast("decimal(38,0)")
+                ).cast("decimal(38,0)")
+            ).alias("__r2g"),
+        )
+    )
+    cv = F.col("__cv").cast("decimal(38,0)")
+    tie_row = ranks.agg(
+        F.sum((cv * cv * cv - cv).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("__ties")
+    )
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col(group_col).cast("string").alias("g"),
+                F.col("__n").cast("double").alias("n"),
+                F.col("__r2g").cast("double").alias("r2"),
+            )
+        )
+    )
+    agg = per_group.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("__n").alias("n"),
+        arr.alias("__arr"),
+    ).join(F.broadcast(tie_row))
+    rsum = F.aggregate(
+        F.expr("transform(__arr, x -> (x.r2 / 2.0) * (x.r2 / 2.0) / x.n)"),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    n = F.col("n").cast("double")
+    h = (F.lit(12.0) / (n * (n + 1))) * rsum - 3.0 * (n + 1)
+    corr = F.lit(1.0) - F.col("__ties") / (n * n * n - n)
+    ok = (F.col("k") >= 2) & (corr > 0)
+    return agg.select(
+        "k",
+        "n",
+        F.round(F.when(ok, h / corr), round_dp).alias("h_stat"),
+    )

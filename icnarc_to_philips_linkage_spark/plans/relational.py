@@ -4318,6 +4318,58 @@ FROM v
 """
 
 
+def a34_kruskal_wallis(spark: SparkSession, sf: str) -> DataFrame:
+    """Kruskal–Wallis H across returnflag groups on line quantity
+    (profile.kruskal_wallis): tie-corrected k-sample rank test from
+    exact doubled-rank sums; the per-group float reduction folds
+    sequentially over the group-sorted array."""
+    l = load(spark, sf, "lineitem")
+    return profile.kruskal_wallis(l, "l_returnflag", "l_quantity")
+
+
+A34_SQL = """
+WITH gv AS (
+  SELECT l_returnflag AS g, l_quantity AS v, COUNT(*) AS c
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_returnflag IS NOT NULL
+  GROUP BY g, v
+),
+vgrain AS (SELECT v, SUM(c) AS cv FROM gv GROUP BY v),
+ranks AS (
+  SELECT v, cv,
+         2 * SUM(cv) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - cv + 1
+           AS r2
+  FROM vgrain
+),
+per_group AS (
+  SELECT g, SUM(c) AS n,
+         SUM(CAST(c AS HUGEINT) * CAST(r2 AS HUGEINT)) AS r2g
+  FROM gv JOIN ranks USING (v) GROUP BY g
+),
+tie_row AS (
+  SELECT CAST(SUM(CAST(cv AS HUGEINT) * cv * cv - cv) AS DOUBLE) AS ties
+  FROM ranks
+),
+agg AS (
+  SELECT COUNT(*) AS k, SUM(n) AS n,
+         list((CAST(r2g AS DOUBLE) / 2.0) * (CAST(r2g AS DOUBLE) / 2.0)
+              / CAST(n AS DOUBLE) ORDER BY g) AS terms
+  FROM per_group
+),
+folded AS (
+  SELECT k, n, ties,
+    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), terms),
+                (a, x) -> a + x) AS rsum
+  FROM agg, tie_row
+)
+SELECT k, n,
+  ROUND(CASE WHEN k >= 2 AND (1.0 - ties / (nd * nd * nd - nd)) > 0
+             THEN ((12.0 / (nd * (nd + 1))) * rsum - 3.0 * (nd + 1))
+                  / (1.0 - ties / (nd * nd * nd - nd)) END, 6) AS h_stat
+FROM (SELECT *, CAST(n AS DOUBLE) AS nd FROM folded)
+"""
+
+
 def ts_logrank(spark: SparkSession, sf: str) -> DataFrame:
     """Log-rank survival comparison between even- and odd-id users
     (timeseries.logrank_test) on the same lifetimes as
@@ -4546,6 +4598,7 @@ QUERIES: dict[str, tuple] = {
     "ml_gd_classifier": (ml_gd_classifier, _gd_sql()),
     "a32_anova_f": (a32_anova_f, A32_SQL),
     "a33_mann_whitney": (a33_mann_whitney, A33_SQL),
+    "a34_kruskal_wallis": (a34_kruskal_wallis, A34_SQL),
     "ts_logrank": (ts_logrank, TS_LOGRANK_SQL),
     "a23_grouped_moments": (a23_grouped_moments, A23_SQL),
     "set_intersect_all": (set_intersect_all, SET_INTERSECT_ALL_SQL),

@@ -506,3 +506,54 @@ def test_logrank_identical_cohorts_z_near_zero(spark):
     ).collect()[0]
     assert abs(out.o_a - out.e_a) < 1e-9
     assert abs(out.z) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# kruskal_wallis
+# ---------------------------------------------------------------------------
+
+
+def _kw_py(groups):
+    from collections import Counter
+
+    allv = sorted(v for g in groups for v in g)
+    n = len(allv)
+    ranks = {}
+    i = 0
+    while i < len(allv):
+        j = i
+        while j + 1 < len(allv) and allv[j + 1] == allv[i]:
+            j += 1
+        ranks[allv[i]] = (i + j) / 2 + 1
+        i = j + 1
+    rsum = sum(sum(ranks[v] for v in g) ** 2 / len(g) for g in groups)
+    h = (12 / (n * (n + 1))) * rsum - 3 * (n + 1)
+    ties = sum(t**3 - t for t in Counter(allv).values())
+    return h / (1 - ties / (n**3 - n))
+
+
+def test_kruskal_wallis_hand_computed_with_ties(spark):
+    groups = {"a": [1, 2, 2, 5], "b": [2, 3, 6, 6], "c": [4, 6, 8, 9, 9]}
+    rows = [(g, v) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = profile.kruskal_wallis(df, "g", "v").collect()[0]
+    assert (out.k, out.n) == (3, 13)
+    assert abs(out.h_stat - round(_kw_py(list(groups.values())), 6)) < 1e-9
+
+
+def test_kruskal_wallis_two_groups_matches_mwu_squared(spark):
+    """With k=2 and no ties, H equals z² from Mann–Whitney (classic
+    identity, up to the normal approximation both sides share)."""
+    a = list(range(0, 20, 2))
+    b = list(range(1, 30, 3))
+    rows = [("A", v) for v in a] + [("B", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, v long")
+    h = profile.kruskal_wallis(df, "g", "v").collect()[0].h_stat
+    z = profile.mann_whitney_u(df, "g", "v", "A", "B").collect()[0].z
+    assert abs(h - z * z) < 1e-3
+
+
+def test_kruskal_wallis_all_tied_is_null(spark):
+    rows = [("a", 7)] * 3 + [("b", 7)] * 4
+    df = spark.createDataFrame(rows, "g string, v long")
+    assert profile.kruskal_wallis(df, "g", "v").collect()[0].h_stat is None
