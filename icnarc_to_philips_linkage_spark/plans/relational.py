@@ -4532,6 +4532,81 @@ SELECT * FROM (
     )
 
 
+def ml_gd_scored_auc(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end train → score → evaluate: the ml_gd_classifier
+    weights score every line (map-only, weights are literals) and the
+    exact tie-aware ROC AUC (evaluation.roc_auc) grades them against
+    the true returned-flag — the full supervised loop, engine-exact
+    at every stage. Distinct-score frame is bounded by the feature
+    grid (quantity × discount × tax levels)."""
+    from icnarc_to_philips_linkage_spark.operators import (
+        evaluation,
+        regression,
+    )
+
+    l = load(spark, sf, "lineitem")
+    feats = l.filter(
+        F.col("l_quantity").isNotNull()
+        & F.col("l_discount").isNotNull()
+        & F.col("l_tax").isNotNull()
+        & F.col("l_returnflag").isNotNull()
+    ).select(
+        (F.col("l_quantity") / F.lit(50.0)).alias("x_qty"),
+        (F.col("l_discount") * F.lit(10.0)).alias("x_disc"),
+        (F.col("l_tax") * F.lit(10.0)).alias("x_tax"),
+        (F.col("l_returnflag") == "R").alias("y"),
+    )
+    w = regression.gd_train(
+        feats,
+        ["x_qty", "x_disc", "x_tax"],
+        "y",
+        lr=_GD_LR,
+        iters=_GD_ITERS,
+    )
+    scored = regression.gd_score(feats, ["x_qty", "x_disc", "x_tax"], w)
+    return evaluation.roc_auc(scored, "score", "y")
+
+
+def _gd_auc_sql() -> str:
+    """ml_gd_scored_auc oracle: the _gd_sql training chain, then score
+    every feature row with the final weights (gd_score's left-assoc
+    expression: intercept NOT multiplied by x0) and run the proven
+    integer rank-sum AUC over the scored frame."""
+    train = _gd_sql()
+    # reuse the WITH...chain, dropping _gd_sql's final SELECT
+    body = train[: train.rindex("\nSELECT")]
+    z = "(((b + w1 * x1) + w2 * x2) + w3 * x3)"
+    sig = f"(0.5 * (1.0 + {z} / (1.0 + abs({z}))))"
+    return f"""{body},
+scored AS (
+  SELECT {sig} AS p, y FROM feats, w{_GD_ITERS}
+),
+per AS (
+  SELECT p, COUNT(*) AS c, SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS pos
+  FROM scored GROUP BY p
+),
+r AS (
+  SELECT *,
+         SUM(c) OVER (ORDER BY p
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - c AS b
+  FROM per
+),
+agg AS (
+  SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+         CAST(SUM(c) - SUM(pos) AS BIGINT) AS n_neg,
+         CAST(SUM(pos * (2 * b + c + 1)) AS BIGINT) AS rs2
+  FROM r
+)
+SELECT n_pos, n_neg,
+       CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+         ROUND(CAST(rs2 - n_pos * (n_pos + 1) AS DOUBLE)
+               / (2.0 * n_pos * n_neg), 9)
+       END AS auc
+FROM agg
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "report_key_skew": (report_key_skew, KEY_SKEW_SQL),
     "report_column_profile": (report_column_profile, _column_profile_sql()),
@@ -4600,6 +4675,7 @@ QUERIES: dict[str, tuple] = {
     "a33_mann_whitney": (a33_mann_whitney, A33_SQL),
     "a34_kruskal_wallis": (a34_kruskal_wallis, A34_SQL),
     "ts_logrank": (ts_logrank, TS_LOGRANK_SQL),
+    "ml_gd_scored_auc": (ml_gd_scored_auc, _gd_auc_sql()),
     "a23_grouped_moments": (a23_grouped_moments, A23_SQL),
     "set_intersect_all": (set_intersect_all, SET_INTERSECT_ALL_SQL),
     "ev_transition_matrix": (ev_transition_matrix, EV_TRANSITION_SQL),

@@ -557,3 +557,19 @@ def test_kruskal_wallis_all_tied_is_null(spark):
     rows = [("a", 7)] * 3 + [("b", 7)] * 4
     df = spark.createDataFrame(rows, "g string, v long")
     assert profile.kruskal_wallis(df, "g", "v").collect()[0].h_stat is None
+
+
+def test_gd_scored_auc_on_separable_data_is_high(spark):
+    from icnarc_to_philips_linkage_spark.operators import (
+        evaluation,
+        regression,
+    )
+
+    rows = [(i / 100.0, i >= 50) for i in range(100)]
+    df = spark.createDataFrame(rows, "x double, y boolean")
+    w = regression.gd_train(df, ["x"], "y", lr=2.0, iters=60)
+    out = evaluation.roc_auc(
+        regression.gd_score(df, ["x"], w), "score", "y"
+    ).collect()[0]
+    assert (out.n_pos, out.n_neg) == (50, 50)
+    assert out.auc == 1.0  # monotone score in x separates perfectly
