@@ -1636,3 +1636,77 @@ def kruskal_wallis(
         "n",
         F.round(F.when(ok, h / corr), round_dp).alias("h_stat"),
     )
+
+
+def ks_two_sample_exact(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    round_dp: int = 9,
+) -> DataFrame:
+    """EXACT two-sample Kolmogorov–Smirnov D between two named groups
+    — no binning (the drift module's binned KS trades exactness for a
+    fixed grid; this is the exact complement for when the value grain
+    is already discrete or an exact answer is required).
+
+    D = max_v |F_A(v) − F_B(v)| evaluated on the pooled distinct-value
+    grain, where it provably attains its maximum. Computed entirely in
+    integers: |cumA·n_b − cumB·n_a| is an exact decimal, its max is
+    exact, and the single final division by n_a·n_b is the only
+    double. The z-style significance scaling √(n_a·n_b/(n_a+n_b))·D is
+    returned alongside (engine-exact: one shared expression).
+
+    Scale shape: one corpus aggregation to the value grain, one tiny
+    running-count window, one exact max — the corpus never sorts.
+    Output: one row ``(n_a, n_b, d_stat, ks_scaled)``; NULL when
+    either group is empty.
+    """
+    base = df.filter(
+        F.col(value_col).isNotNull()
+        & F.col(group_col).isin([group_a, group_b])
+    ).select(
+        (F.col(group_col) == group_a).alias("__is_a"), F.col(value_col)
+    )
+    counts = base.groupBy(value_col).agg(
+        F.count(F.when(F.col("__is_a"), F.lit(1))).alias("__ca"),
+        F.count(F.when(~F.col("__is_a"), F.lit(1))).alias("__cb"),
+    )
+    w = Window.orderBy(value_col)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tot = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    staged = counts.select(
+        F.col("__ca"),
+        F.col("__cb"),
+        F.sum("__ca").over(run).cast("decimal(38,0)").alias("__cuma"),
+        F.sum("__cb").over(run).cast("decimal(38,0)").alias("__cumb"),
+        F.sum("__ca").over(tot).cast("decimal(38,0)").alias("__ta"),
+        F.sum("__cb").over(tot).cast("decimal(38,0)").alias("__tb"),
+    )
+    agg = staged.agg(
+        F.sum("__ca").alias("n_a"),
+        F.sum("__cb").alias("n_b"),
+        F.max(
+            F.abs(
+                (F.col("__cuma") * F.col("__tb")).cast("decimal(38,0)")
+                - (F.col("__cumb") * F.col("__ta")).cast("decimal(38,0)")
+            )
+        )
+        .cast("double")
+        .alias("__dmax"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    d = F.col("__dmax") / (na * nb)
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.round(F.when(ok, d), round_dp).alias("d_stat"),
+        F.round(
+            F.when(ok, F.sqrt(na * nb / (na + nb)) * d), round_dp
+        ).alias("ks_scaled"),
+    )

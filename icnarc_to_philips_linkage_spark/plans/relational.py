@@ -4370,6 +4370,58 @@ FROM (SELECT *, CAST(n AS DOUBLE) AS nd FROM folded)
 """
 
 
+def a35_ks_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact two-sample KS D between returned and delivered line
+    prices (profile.ks_two_sample_exact): ECDF gap maximized on the
+    pooled distinct-value grain with pure integer cross-products —
+    the exact complement of the drift module's binned KS."""
+    l = load(spark, sf, "lineitem")
+    return profile.ks_two_sample_exact(
+        l, "l_returnflag", "l_extendedprice", "R", "N"
+    )
+
+
+A35_SQL = """
+WITH base AS (
+  SELECT (l_returnflag = 'R') AS is_a, l_extendedprice AS v
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_returnflag IN ('R', 'N')
+),
+counts AS (
+  SELECT v, COUNT(*) FILTER (WHERE is_a) AS ca,
+         COUNT(*) FILTER (WHERE NOT is_a) AS cb
+  FROM base GROUP BY v
+),
+staged AS (
+  SELECT ca, cb,
+         CAST(SUM(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+              AS HUGEINT) AS cuma,
+         CAST(SUM(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+              AS HUGEINT) AS cumb,
+         CAST(SUM(ca) OVER () AS HUGEINT) AS ta,
+         CAST(SUM(cb) OVER () AS HUGEINT) AS tb
+  FROM counts
+),
+agg AS (
+  SELECT SUM(ca) AS n_a, SUM(cb) AS n_b,
+         CAST(MAX(ABS(cuma * tb - cumb * ta)) AS DOUBLE) AS dmax
+  FROM staged
+),
+d AS (
+  SELECT n_a, n_b, dmax,
+         CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb
+  FROM agg
+)
+SELECT n_a, n_b,
+  ROUND(CASE WHEN n_a > 0 AND n_b > 0
+             THEN dmax / (na * nb) END, 9) AS d_stat,
+  ROUND(CASE WHEN n_a > 0 AND n_b > 0
+             THEN SQRT(na * nb / (na + nb)) * (dmax / (na * nb)) END, 9)
+    AS ks_scaled
+FROM d
+"""
+
+
 def ts_logrank(spark: SparkSession, sf: str) -> DataFrame:
     """Log-rank survival comparison between even- and odd-id users
     (timeseries.logrank_test) on the same lifetimes as
@@ -4674,6 +4726,7 @@ QUERIES: dict[str, tuple] = {
     "a32_anova_f": (a32_anova_f, A32_SQL),
     "a33_mann_whitney": (a33_mann_whitney, A33_SQL),
     "a34_kruskal_wallis": (a34_kruskal_wallis, A34_SQL),
+    "a35_ks_exact": (a35_ks_exact, A35_SQL),
     "ts_logrank": (ts_logrank, TS_LOGRANK_SQL),
     "ml_gd_scored_auc": (ml_gd_scored_auc, _gd_auc_sql()),
     "a23_grouped_moments": (a23_grouped_moments, A23_SQL),

@@ -573,3 +573,46 @@ def test_gd_scored_auc_on_separable_data_is_high(spark):
     ).collect()[0]
     assert (out.n_pos, out.n_neg) == (50, 50)
     assert out.auc == 1.0  # monotone score in x separates perfectly
+
+
+# ---------------------------------------------------------------------------
+# ks_two_sample_exact
+# ---------------------------------------------------------------------------
+
+
+def _ks_py(a, b):
+    vals = sorted(set(a + b))
+    na, nb = len(a), len(b)
+    return max(
+        abs(
+            sum(1 for x in a if x <= v) / na
+            - sum(1 for x in b if x <= v) / nb
+        )
+        for v in vals
+    )
+
+
+def test_ks_exact_hand_computed(spark):
+    a = [1, 3, 3, 5, 8, 9]
+    b = [2, 3, 6, 7, 7, 10, 11]
+    rows = [("A", v) for v in a] + [("B", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = profile.ks_two_sample_exact(df, "g", "v", "A", "B").collect()[0]
+    assert (out.n_a, out.n_b) == (6, 7)
+    assert abs(out.d_stat - _ks_py(a, b)) < 1e-9
+
+
+def test_ks_exact_identical_samples_is_zero(spark):
+    rows = [(g, v) for g in "AB" for v in [1, 2, 2, 5, 9]]
+    df = spark.createDataFrame(rows, "g string, v long")
+    assert profile.ks_two_sample_exact(
+        df, "g", "v", "A", "B"
+    ).collect()[0].d_stat == 0.0
+
+
+def test_ks_exact_disjoint_supports_is_one(spark):
+    rows = [("A", v) for v in range(5)] + [("B", v) for v in range(10, 15)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    assert profile.ks_two_sample_exact(
+        df, "g", "v", "A", "B"
+    ).collect()[0].d_stat == 1.0
