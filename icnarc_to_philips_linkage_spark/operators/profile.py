@@ -1710,3 +1710,38 @@ def ks_two_sample_exact(
             F.when(ok, F.sqrt(na * nb / (na + nb)) * d), round_dp
         ).alias("ks_scaled"),
     )
+
+
+def brown_forsythe(
+    df: DataFrame,
+    group_col: str,
+    value_col: Column,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Brown–Forsythe test of variance homogeneity: one-way ANOVA on
+    |x − median_g| — Levene's test with the median center (the robust
+    form). A pure COMPOSITION: exact per-group medians (doubled so the
+    even-count midpoint stays an exact integer), broadcast back, then
+    ``anova_oneway`` on the integer deviations |2x − 2·med| (F is
+    scale-invariant, so the doubling cancels).
+
+    Callers pass ``value_col`` in exact integer units. Two corpus
+    passes by construction (medians, then centered ANOVA) — the price
+    of the robust center; the medians frame is group-grain and
+    broadcasts.
+
+    Output: one row ``(k, n, f_stat)`` — ``anova_oneway``'s contract
+    on the deviations.
+    """
+    v2 = (value_col.cast("decimal(38,0)") * 2).alias("__v2")
+    base = df.filter(
+        value_col.isNotNull() & F.col(group_col).isNotNull()
+    ).select(F.col(group_col), v2)
+    meds = base.groupBy(group_col).agg(
+        F.expr("percentile(__v2, 0.5)").cast("decimal(38,0)").alias("__m2")
+    )
+    dev = base.join(F.broadcast(meds), group_col).select(
+        F.col(group_col),
+        F.abs(F.col("__v2") - F.col("__m2")).alias("__dev2"),
+    )
+    return anova_oneway(dev, group_col, F.col("__dev2"), round_dp=round_dp)

@@ -4422,6 +4422,61 @@ FROM d
 """
 
 
+def a36_brown_forsythe(spark: SparkSession, sf: str) -> DataFrame:
+    """Brown–Forsythe variance-homogeneity F across returnflag groups
+    on price-in-cents (profile.brown_forsythe): exact doubled group
+    medians broadcast back, then the sequential-fold ANOVA on the
+    integer deviations."""
+    l = load(spark, sf, "lineitem")
+    return profile.brown_forsythe(
+        l,
+        "l_returnflag",
+        (F.col("l_extendedprice") * 100).cast("decimal(18,0)"),
+    )
+
+
+A36_SQL = """
+WITH base AS (
+  SELECT l_returnflag AS g,
+         CAST(l_extendedprice * 100 AS HUGEINT) * 2 AS v2
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL
+),
+meds AS (
+  SELECT g, CAST(quantile_cont(v2, 0.5) AS HUGEINT) AS m2
+  FROM base GROUP BY g
+),
+dev AS (
+  SELECT base.g AS g, ABS(v2 - m2) AS d
+  FROM base JOIN meds USING (g)
+),
+per_g AS (
+  SELECT g, COUNT(*) AS n, SUM(d) AS s, SUM(d*d) AS ss
+  FROM dev GROUP BY g
+),
+agg AS (
+  SELECT COUNT(*) AS k, SUM(n) AS n, CAST(SUM(s) AS DOUBLE) AS stot,
+         list(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+              ORDER BY g) AS sbt,
+         list(CAST(ss AS DOUBLE) ORDER BY g) AS stt
+  FROM per_g
+),
+folded AS (
+  SELECT k, n, stot,
+    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), sbt),
+                (a, x) -> a + x) AS sb,
+    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), stt),
+                (a, x) -> a + x) AS st
+  FROM agg
+)
+SELECT k, n,
+  ROUND(CASE WHEN k >= 2 AND n > k AND (st - sb) > 0
+             THEN ((sb - stot * stot / n) / (k - 1))
+                  / ((st - sb) / (n - k)) END, 6) AS f_stat
+FROM folded
+"""
+
+
 def ts_logrank(spark: SparkSession, sf: str) -> DataFrame:
     """Log-rank survival comparison between even- and odd-id users
     (timeseries.logrank_test) on the same lifetimes as
@@ -4727,6 +4782,7 @@ QUERIES: dict[str, tuple] = {
     "a33_mann_whitney": (a33_mann_whitney, A33_SQL),
     "a34_kruskal_wallis": (a34_kruskal_wallis, A34_SQL),
     "a35_ks_exact": (a35_ks_exact, A35_SQL),
+    "a36_brown_forsythe": (a36_brown_forsythe, A36_SQL),
     "ts_logrank": (ts_logrank, TS_LOGRANK_SQL),
     "ml_gd_scored_auc": (ml_gd_scored_auc, _gd_auc_sql()),
     "a23_grouped_moments": (a23_grouped_moments, A23_SQL),

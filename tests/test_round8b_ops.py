@@ -616,3 +616,37 @@ def test_ks_exact_disjoint_supports_is_one(spark):
     assert profile.ks_two_sample_exact(
         df, "g", "v", "A", "B"
     ).collect()[0].d_stat == 1.0
+
+
+# ---------------------------------------------------------------------------
+# brown_forsythe
+# ---------------------------------------------------------------------------
+
+
+def test_brown_forsythe_hand_computed(spark):
+    """Matches a plain-Python Levene-with-median on a small sample."""
+    groups = {"a": [1, 2, 4, 8, 9], "b": [4, 5, 5, 6], "c": [0, 10, 20, 30]}
+    rows = [(g, v) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v long")
+
+    def med(vs):
+        s = sorted(vs)
+        m = len(s) // 2
+        return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2
+
+    devs = [
+        [abs(v - med(vs)) for v in vs] for vs in groups.values()
+    ]
+    out = profile.brown_forsythe(df, "g", F.col("v")).collect()[0]
+    assert (out.k, out.n) == (3, 13)
+    # _anova_py on the (doubled-cancels) deviations
+    assert abs(out.f_stat - round(_anova_py(devs), 6)) < 1e-6
+
+
+def test_brown_forsythe_equal_spread_small_f(spark):
+    """Same distribution shifted per group → deviations identical →
+    F exactly 0."""
+    rows = [(g, v + off) for g, off in [("a", 0), ("b", 100)]
+            for v in [1, 2, 3, 4, 9]]
+    df = spark.createDataFrame(rows, "g string, v long")
+    assert profile.brown_forsythe(df, "g", F.col("v")).collect()[0].f_stat == 0.0
