@@ -1745,3 +1745,58 @@ def brown_forsythe(
         F.abs(F.col("__v2") - F.col("__m2")).alias("__dev2"),
     )
     return anova_oneway(dev, group_col, F.col("__dev2"), round_dp=round_dp)
+
+
+def weighted_median_native(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+) -> DataFrame:
+    """Per-group WEIGHTED lower median (type-1: the smallest value
+    whose cumulative weight reaches half the total) built entirely
+    from native operators — the JVM-side counterpart of the
+    pandas-UDF grouped weighted median (ud3), kept deliberately
+    UDF-free to demonstrate the escape hatch wasn't needed: one
+    (group, value) aggregation, one running-sum window over that
+    grain, and a min-reduce. All comparisons are exact integers
+    (2·cumw ≥ totw — no halving, no floats anywhere).
+
+    Output: ``(group, n_rows, total_weight, weighted_median)``.
+    Zero/negative weights are excluded up front (they have no mass).
+    """
+    grain = (
+        df.filter(
+            F.col(value_col).isNotNull()
+            & (F.col(weight_col) > 0)
+        )
+        .groupBy(group_col, value_col)
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(F.col(weight_col).cast("decimal(38,0)")).alias("__w"),
+        )
+    )
+    wrun = Window.partitionBy(group_col).orderBy(value_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wtot = Window.partitionBy(group_col)
+    staged = grain.select(
+        group_col,
+        value_col,
+        "__n",
+        F.sum("__w").over(wrun).alias("__cum"),
+        F.sum("__w").over(wtot).alias("__tot"),
+    )
+    return (
+        staged.filter(2 * F.col("__cum") >= F.col("__tot"))
+        .groupBy(group_col)
+        .agg(F.min(value_col).alias("weighted_median"))
+        .join(
+            grain.groupBy(group_col).agg(
+                F.sum("__n").alias("n_rows"),
+                F.sum("__w").cast("double").alias("total_weight"),
+            ),
+            group_col,
+        )
+        .select(group_col, "n_rows", "total_weight", "weighted_median")
+    )

@@ -4477,6 +4477,45 @@ FROM folded
 """
 
 
+def a37_weighted_median(spark: SparkSession, sf: str) -> DataFrame:
+    """Quantity-weighted lower median of line price per returnflag
+    (profile.weighted_median_native): the UDF-free counterpart of the
+    ud3 pandas-UDF weighted median — exact integer 2·cumw ≥ totw
+    threshold on the (group, value) grain."""
+    l = load(spark, sf, "lineitem")
+    return profile.weighted_median_native(
+        l, "l_returnflag", "l_extendedprice", "l_quantity"
+    )
+
+
+A37_SQL = """
+WITH grain AS (
+  SELECT l_returnflag AS g, l_extendedprice AS v,
+         COUNT(*) AS n, SUM(CAST(l_quantity AS HUGEINT)) AS w
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_quantity > 0
+  GROUP BY g, v
+),
+staged AS (
+  SELECT g, v, n,
+         SUM(w) OVER (PARTITION BY g ORDER BY v
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(w) OVER (PARTITION BY g) AS tot
+  FROM grain
+),
+med AS (
+  SELECT g, MIN(v) AS weighted_median
+  FROM staged WHERE 2 * cum >= tot GROUP BY g
+),
+totals AS (
+  SELECT g, SUM(n) AS n_rows, CAST(SUM(w) AS DOUBLE) AS total_weight
+  FROM grain GROUP BY g
+)
+SELECT g AS l_returnflag, n_rows, total_weight, weighted_median
+FROM med JOIN totals USING (g)
+"""
+
+
 def ts_logrank(spark: SparkSession, sf: str) -> DataFrame:
     """Log-rank survival comparison between even- and odd-id users
     (timeseries.logrank_test) on the same lifetimes as
@@ -4783,6 +4822,7 @@ QUERIES: dict[str, tuple] = {
     "a34_kruskal_wallis": (a34_kruskal_wallis, A34_SQL),
     "a35_ks_exact": (a35_ks_exact, A35_SQL),
     "a36_brown_forsythe": (a36_brown_forsythe, A36_SQL),
+    "a37_weighted_median": (a37_weighted_median, A37_SQL),
     "ts_logrank": (ts_logrank, TS_LOGRANK_SQL),
     "ml_gd_scored_auc": (ml_gd_scored_auc, _gd_auc_sql()),
     "a23_grouped_moments": (a23_grouped_moments, A23_SQL),

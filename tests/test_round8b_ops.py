@@ -650,3 +650,47 @@ def test_brown_forsythe_equal_spread_small_f(spark):
             for v in [1, 2, 3, 4, 9]]
     df = spark.createDataFrame(rows, "g string, v long")
     assert profile.brown_forsythe(df, "g", F.col("v")).collect()[0].f_stat == 0.0
+
+
+# ---------------------------------------------------------------------------
+# weighted_median_native
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_median_hand_computed(spark):
+    """Values 1..4 with weights 1,1,3,1: total 6, cumulative weights
+    1,2,5,6 → first value with 2·cum ≥ 6 is v=3."""
+    rows = [("g", 1, 1), ("g", 2, 1), ("g", 3, 3), ("g", 4, 1)]
+    df = spark.createDataFrame(rows, "g string, v long, w long")
+    out = profile.weighted_median_native(df, "g", "v", "w").collect()[0]
+    assert out.weighted_median == 3
+    assert (out.n_rows, out.total_weight) == (4, 6.0)
+
+
+def test_weighted_median_unit_weights_is_lower_median(spark):
+    rows = [("g", v, 1) for v in [10, 20, 30, 40]]  # even count
+    df = spark.createDataFrame(rows, "g string, v long, w long")
+    assert (
+        profile.weighted_median_native(df, "g", "v", "w")
+        .collect()[0]
+        .weighted_median
+        == 20
+    )
+
+
+def test_weighted_median_heavy_value_dominates(spark):
+    rows = [("g", 5, 100)] + [("g", v, 1) for v in range(50, 60)]
+    df = spark.createDataFrame(rows, "g string, v long, w long")
+    assert (
+        profile.weighted_median_native(df, "g", "v", "w")
+        .collect()[0]
+        .weighted_median
+        == 5
+    )
+
+
+def test_weighted_median_nonpositive_weights_excluded(spark):
+    rows = [("g", 1, 0), ("g", 2, -5), ("g", 3, 1)]
+    df = spark.createDataFrame(rows, "g string, v long, w long")
+    out = profile.weighted_median_native(df, "g", "v", "w").collect()[0]
+    assert out.weighted_median == 3 and out.n_rows == 1
