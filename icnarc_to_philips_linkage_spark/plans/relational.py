@@ -4596,6 +4596,78 @@ FROM folded
 """
 
 
+def ev_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) quintile segmentation of
+    users — the classic marketing cut, built at scale: each metric's
+    NTILE(5) comes from the distributed two-level ``global_rank`` plus
+    the exact NTILE fill arithmetic (the w7_decile_profile recipe;
+    NTILE OVER a bare ORDER BY would funnel the whole user grain
+    through one window task). Monetary sums are exact decimals so the
+    (metric, user_id) total order — and therefore every bucket edge —
+    is engine-identical. Output: per (r,f,m) cell, user count + total
+    monetary. Bucket 5 = most recent / most frequent / highest spend."""
+    from icnarc_to_philips_linkage_spark.operators.scale import global_rank
+
+    e = load(spark, sf, "events")
+    users = (
+        e.filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.date_trunc("day", F.max("ts")).alias("last_day"),
+            F.count(F.lit(1)).alias("freq"),
+            F.coalesce(
+                F.sum(F.col("value").cast("decimal(18,2)")),
+                F.lit(0).cast("decimal(28,2)"),
+            ).alias("mon"),
+        )
+    )
+
+    k = 5
+
+    def bucketize(df, col, out):
+        ranked = global_rank(df, [col, "user_id"], rank_col="__r",
+                             total_col="__n")
+        q = F.floor(F.col("__n") / k)
+        m = F.col("__n") % k
+        cut = (q + 1) * m
+        r = F.col("__r")
+        bucket = F.when(
+            r <= cut, F.floor((r - 1) / (q + 1)) + 1
+        ).otherwise(
+            m + F.floor((r - 1 - cut) / F.greatest(q, F.lit(1))) + 1
+        )
+        return ranked.withColumn(out, bucket.cast("int")).drop("__r", "__n")
+
+    users = bucketize(users, "last_day", "r_bucket")
+    users = bucketize(users, "freq", "f_bucket")
+    users = bucketize(users, "mon", "m_bucket")
+    return users.groupBy("r_bucket", "f_bucket", "m_bucket").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("mon").cast("double").alias("sum_monetary"),
+    )
+
+
+EV_RFM_SQL = """
+WITH users AS (
+  SELECT user_id, date_trunc('day', MAX(ts)) AS last_day, COUNT(*) AS freq,
+         COALESCE(SUM(CAST(value AS DECIMAL(18,2))),
+                  CAST(0 AS DECIMAL(28,2))) AS mon
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+  GROUP BY user_id
+),
+b AS (
+  SELECT NTILE(5) OVER (ORDER BY last_day, user_id) AS r_bucket,
+         NTILE(5) OVER (ORDER BY freq, user_id) AS f_bucket,
+         NTILE(5) OVER (ORDER BY mon, user_id) AS m_bucket,
+         mon
+  FROM users
+)
+SELECT r_bucket, f_bucket, m_bucket, COUNT(*) AS n_users,
+       CAST(SUM(mon) AS DOUBLE) AS sum_monetary
+FROM b GROUP BY 1, 2, 3
+"""
+
+
 _GD_LR, _GD_ITERS = 0.5, 5
 
 
@@ -4823,6 +4895,7 @@ QUERIES: dict[str, tuple] = {
     "a35_ks_exact": (a35_ks_exact, A35_SQL),
     "a36_brown_forsythe": (a36_brown_forsythe, A36_SQL),
     "a37_weighted_median": (a37_weighted_median, A37_SQL),
+    "ev_rfm_segments": (ev_rfm_segments, EV_RFM_SQL),
     "ts_logrank": (ts_logrank, TS_LOGRANK_SQL),
     "ml_gd_scored_auc": (ml_gd_scored_auc, _gd_auc_sql()),
     "a23_grouped_moments": (a23_grouped_moments, A23_SQL),
