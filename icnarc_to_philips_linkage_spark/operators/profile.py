@@ -1658,11 +1658,21 @@ def ks_two_sample_exact(
     double. The z-style significance scaling √(n_a·n_b/(n_a+n_b))·D is
     returned alongside (engine-exact: one shared expression).
 
-    Scale shape: one corpus aggregation to the value grain, one tiny
-    running-count window, one exact max — the corpus never sorts.
+    Scale shape: one corpus aggregation to the value grain, then the
+    running counts ride ``scale.global_prefix_sums`` — the two-level
+    range-partitioned prefix sum — NOT an unpartitioned ordered
+    window: on a near-continuous value column the distinct grain is
+    corpus-sized, and ``SUM() OVER (ORDER BY v)`` would pull all of it
+    through ONE window task. The grand totals fall out of the prefix
+    pass as exact driver ints (plan literals), and the max-gap reduce
+    is one map-combined aggregation.
     Output: one row ``(n_a, n_b, d_stat, ks_scaled)``; NULL when
     either group is empty.
     """
+    from icnarc_to_philips_linkage_spark.operators.scale import (
+        global_prefix_sums,
+    )
+
     base = df.filter(
         F.col(value_col).isNotNull()
         & F.col(group_col).isin([group_a, group_b])
@@ -1673,30 +1683,29 @@ def ks_two_sample_exact(
         F.count(F.when(F.col("__is_a"), F.lit(1))).alias("__ca"),
         F.count(F.when(~F.col("__is_a"), F.lit(1))).alias("__cb"),
     )
-    w = Window.orderBy(value_col)
-    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    tot = w.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
+    staged, totals = global_prefix_sums(
+        counts, [value_col], ["__ca", "__cb"]
     )
-    staged = counts.select(
-        F.col("__ca"),
-        F.col("__cb"),
-        F.sum("__ca").over(run).cast("decimal(38,0)").alias("__cuma"),
-        F.sum("__cb").over(run).cast("decimal(38,0)").alias("__cumb"),
-        F.sum("__ca").over(tot).cast("decimal(38,0)").alias("__ta"),
-        F.sum("__cb").over(tot).cast("decimal(38,0)").alias("__tb"),
-    )
+    ta, tb = totals["__ca"], totals["__cb"]
     agg = staged.agg(
-        F.sum("__ca").alias("n_a"),
-        F.sum("__cb").alias("n_b"),
         F.max(
             F.abs(
-                (F.col("__cuma") * F.col("__tb")).cast("decimal(38,0)")
-                - (F.col("__cumb") * F.col("__ta")).cast("decimal(38,0)")
+                (
+                    F.col("cum___ca").cast("decimal(38,0)")
+                    * F.lit(tb).cast("decimal(38,0)")
+                ).cast("decimal(38,0)")
+                - (
+                    F.col("cum___cb").cast("decimal(38,0)")
+                    * F.lit(ta).cast("decimal(38,0)")
+                ).cast("decimal(38,0)")
             )
         )
         .cast("double")
         .alias("__dmax"),
+    ).select(
+        F.lit(ta).cast("long").alias("n_a"),
+        F.lit(tb).cast("long").alias("n_b"),
+        "__dmax",
     )
     na = F.col("n_a").cast("double")
     nb = F.col("n_b").cast("double")

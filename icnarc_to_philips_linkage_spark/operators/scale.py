@@ -274,3 +274,66 @@ def grouped_global_rank(
         )
         .drop("__pid", "__local_rn", "__off")
     )
+
+
+def global_prefix_sums(
+    df: DataFrame,
+    order_cols: list[str],
+    sum_cols: list[str],
+    partitions: int | None = None,
+) -> tuple[DataFrame, dict[str, int]]:
+    """Distributed running totals over a TOTAL order — ``SUM(c) OVER
+    (ORDER BY ...)`` without the SinglePartition window sort (the
+    global_rank two-level recipe generalized from counting to
+    arbitrary long-typed columns): range exchange on the order keys,
+    per-partition running sums, then per-partition totals collected
+    once (partition-count-bounded) and folded back as literal offsets.
+
+    ``sum_cols`` must be integer-typed (the offsets ride exact Python
+    ints; lift to decimals downstream if products need headroom). The
+    order must be TOTAL (unique tiebreak last) for deterministic
+    prefixes. Returns ``(frame with cum_<col> columns, {col: grand
+    total})`` — the totals fall out of the offset fold, costing no
+    extra pass. localCheckpoint pins partition identity between the
+    counts collect and downstream evaluation (the global_rank /
+    pack_sequences discipline).
+    """
+    ordering = [F.col(c) for c in order_cols]
+    ranged = (
+        df.repartitionByRange(partitions, *ordering)
+        if partitions
+        else df.repartitionByRange(*ordering)
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*ordering)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = ranged.withColumn("__pid", F.spark_partition_id())
+    for c in sum_cols:
+        local = local.withColumn(f"__run_{c}", F.sum(c).over(w))
+    local = local.localCheckpoint(eager=True)
+    part_tots = (
+        local.groupBy("__pid")
+        .agg(*[F.sum(c).alias(c) for c in sum_cols])
+        .orderBy("__pid")
+        .collect()
+    )
+    offsets: dict[str, dict[int, int]] = {c: {} for c in sum_cols}
+    totals: dict[str, int] = {c: 0 for c in sum_cols}
+    for r in part_tots:
+        for c in sum_cols:
+            offsets[c][r["__pid"]] = totals[c]
+            totals[c] += int(r[c] or 0)
+    out = local
+    for c in sum_cols:
+        off = None
+        for pid, o in offsets[c].items():
+            off = (F.when if off is None else off.when)(
+                F.col("__pid") == pid, F.lit(o)
+            )
+        off = off.otherwise(F.lit(0)) if off is not None else F.lit(0)
+        out = out.withColumn(
+            f"cum_{c}", (off + F.col(f"__run_{c}")).cast("long")
+        ).drop(f"__run_{c}")
+    return out.drop("__pid"), totals

@@ -694,3 +694,39 @@ def test_weighted_median_nonpositive_weights_excluded(spark):
     df = spark.createDataFrame(rows, "g string, v long, w long")
     out = profile.weighted_median_native(df, "g", "v", "w").collect()[0]
     assert out.weighted_median == 3 and out.n_rows == 1
+
+
+# ---------------------------------------------------------------------------
+# global_prefix_sums
+# ---------------------------------------------------------------------------
+
+
+def test_global_prefix_sums_matches_sequential(spark):
+    from icnarc_to_philips_linkage_spark.operators.scale import (
+        global_prefix_sums,
+    )
+
+    rows = [(i, (7 * i) % 5, (3 * i) % 4) for i in range(200)]
+    df = spark.createDataFrame(rows, "k long, a long, b long").repartition(7)
+    out, totals = global_prefix_sums(df, ["k"], ["a", "b"], partitions=5)
+    got = {r.k: (r.cum_a, r.cum_b) for r in out.collect()}
+    ca = cb = 0
+    for i, a, b in rows:
+        ca, cb = ca + a, cb + b
+        assert got[i] == (ca, cb)
+    assert totals == {"a": ca, "b": cb}
+
+
+def test_global_prefix_sums_partition_count_invariant(spark):
+    from icnarc_to_philips_linkage_spark.operators.scale import (
+        global_prefix_sums,
+    )
+
+    rows = [(i, i % 3) for i in range(60)]
+    df = spark.createDataFrame(rows, "k long, a long")
+    o1, t1 = global_prefix_sums(df.repartition(1), ["k"], ["a"], partitions=2)
+    o9, t9 = global_prefix_sums(df.repartition(9), ["k"], ["a"], partitions=8)
+    assert t1 == t9
+    assert sorted((r.k, r.cum_a) for r in o1.collect()) == sorted(
+        (r.k, r.cum_a) for r in o9.collect()
+    )
