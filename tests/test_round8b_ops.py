@@ -730,3 +730,27 @@ def test_global_prefix_sums_partition_count_invariant(spark):
     assert sorted((r.k, r.cum_a) for r in o1.collect()) == sorted(
         (r.k, r.cum_a) for r in o9.collect()
     )
+
+
+# ---------------------------------------------------------------------------
+# layout invariance: exact accumulation ⇒ partitioning cannot matter
+# ---------------------------------------------------------------------------
+
+
+def test_rank_stats_partition_invariant(spark):
+    rows = [
+        (f"g{i % 3}", (7 * i) % 23, (11 * i) % 19) for i in range(300)
+    ]
+    df1 = spark.createDataFrame(rows, "g string, x long, y long").repartition(1)
+    df13 = spark.createDataFrame(rows, "g string, x long, y long").repartition(13)
+
+    def snap(df):
+        return (
+            sorted(map(tuple, profile.spearman_corr(df, "g", "x", "y").collect())),
+            profile.mann_whitney_u(df, "g", "x", "g0", "g1").collect()[0],
+            profile.kruskal_wallis(df, "g", "x").collect()[0],
+            profile.ks_two_sample_exact(df, "g", "x", "g0", "g1").collect()[0],
+            profile.anova_oneway(df, "g", F.col("x")).collect()[0],
+        )
+
+    assert snap(df1) == snap(df13)
