@@ -1809,3 +1809,48 @@ def weighted_median_native(
         )
         .select(group_col, "n_rows", "total_weight", "weighted_median")
     )
+
+
+def cochran_armitage_trend(
+    df: DataFrame,
+    score_col: Column,
+    outcome_col: Column,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Cochran–Armitage trend test: is a binary outcome's rate
+    monotonically associated with an ORDERED integer score (dose,
+    priority level, ordinal bucket)? The ordered-category complement
+    of ``a24``'s unordered chi-square.
+
+    ONE corpus aggregation to five exact sums (N, R = Σy, Σs, Σs·y,
+    Σs²) — scores and outcomes are integers, so every accumulator is
+    an exact decimal; the z statistic T/√Var(T) with
+    T = Σs·y − (R/N)Σs and Var = (R/N)(1−R/N)(Σs² − (Σs)²/N) runs in
+    doubles with one shared expression tree.
+
+    Output: one row ``(n, n_pos, z_trend)``; NULL z when the outcome
+    or the score is constant.
+    """
+    s = score_col.cast("decimal(38,0)")
+    y = outcome_col.cast("int")
+    base = df.filter(score_col.isNotNull() & outcome_col.isNotNull())
+    agg = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(y).alias("n_pos"),
+        F.sum(s).cast("double").alias("ss"),
+        F.sum(F.when(y == 1, s).otherwise(F.lit(0).cast("decimal(38,0)")))
+        .cast("double")
+        .alias("ssy"),
+        F.sum((s * s).cast("decimal(38,0)")).cast("double").alias("ss2"),
+    )
+    n = F.col("n").cast("double")
+    r = F.col("n_pos").cast("double")
+    p = r / n
+    t = F.col("ssy") - p * F.col("ss")
+    var = p * (1.0 - p) * (F.col("ss2") - F.col("ss") * F.col("ss") / n)
+    ok = (F.col("n") > 0) & (var > 0)
+    return agg.select(
+        "n",
+        "n_pos",
+        F.round(F.when(ok, t / F.sqrt(var)), round_dp).alias("z_trend"),
+    )

@@ -1037,3 +1037,58 @@ def logrank_test(
         F.round(folded["v"], 6).alias("v_a"),
         F.round(F.when(folded["v"] > 0, z), 6).alias("z"),
     )
+
+
+def km_rmst(
+    df,
+    duration_col: str,
+    event_col: str,
+):
+    """Restricted mean survival time — the area under the
+    ``kaplan_meier`` step curve up to the last observed duration
+    (the standard single-number survival summary when median survival
+    is undefined). A pure composition: the KM frame's (duration,
+    survival) pairs collect once (risk-table-sized by the same
+    bounded-grain argument) and ONE sequential struct fold walks the
+    step function, accumulating (t_i − t_{i−1})·S_{i−1} with
+    (t_0, S_0) = (0, 1) — all exactly-rounded IEEE ops in a fixed
+    order, so DuckDB's list_reduce replays the area bit-identically.
+
+    Output: one row ``(n_times, tau, rmst)`` where tau = the last
+    observed duration (the restriction horizon). Empty input → one
+    row of NULLs (the monitoring contract).
+    """
+    from pyspark.sql import functions as F
+
+    km = kaplan_meier(df, duration_col, event_col)
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("duration").cast("double").alias("t"),
+                F.col("survival").alias("s"),
+            )
+        )
+    )
+    agg = km.agg(
+        F.count(F.lit(1)).alias("n_times"),
+        F.max(F.col("duration").cast("double")).alias("tau"),
+        arr.alias("__arr"),
+    )
+    folded = F.aggregate(
+        F.col("__arr"),
+        F.struct(
+            F.lit(0.0).alias("pt"),
+            F.lit(1.0).alias("ps"),
+            F.lit(0.0).alias("area"),
+        ),
+        lambda a, x: F.struct(
+            x["t"].alias("pt"),
+            x["s"].alias("ps"),
+            (a["area"] + (x["t"] - a["pt"]) * a["ps"]).alias("area"),
+        ),
+    )
+    return agg.select(
+        "n_times",
+        "tau",
+        F.when(F.col("n_times") > 0, folded["area"]).alias("rmst"),
+    )

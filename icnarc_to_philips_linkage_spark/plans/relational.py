@@ -4668,6 +4668,97 @@ FROM b GROUP BY 1, 2, 3
 """
 
 
+def ts_km_rmst(spark: SparkSession, sf: str) -> DataFrame:
+    """Restricted mean survival time of the ts_kaplan_meier lifetimes
+    (timeseries.km_rmst): area under the KM step curve up to the last
+    observed duration, as one sequential struct fold — bit-identical
+    in the oracle's list_reduce replay of the same walk."""
+    from icnarc_to_philips_linkage_spark.operators.timeseries import (
+        km_rmst,
+    )
+
+    e = load(spark, sf, "events")
+    spans = (
+        e.filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.datediff(
+                F.max(F.date_trunc("day", "ts")),
+                F.min(F.date_trunc("day", "ts")),
+            ).alias("duration"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("observed"),
+        )
+    )
+    return km_rmst(spans, "duration", "observed")
+
+
+def _rmst_sql() -> str:
+    return f"""
+WITH km AS ({TS_KM_SQL}),
+pairs AS (
+  SELECT COUNT(*) AS n_times, MAX(CAST(duration AS DOUBLE)) AS tau,
+         list(CAST([CAST(duration AS DOUBLE), survival, 0.0] AS DOUBLE[])
+              ORDER BY duration) AS arr
+  FROM km
+),
+folded AS (
+  SELECT n_times, tau,
+    list_reduce(list_prepend(CAST([0.0, 1.0, 0.0] AS DOUBLE[]), arr),
+                (a, x) -> [x[1], x[2], a[3] + (x[1] - a[1]) * a[2]]) AS st
+  FROM pairs
+)
+SELECT n_times, tau, CASE WHEN n_times > 0 THEN st[3] END AS rmst
+FROM folded
+"""
+
+
+def a38_trend_test(spark: SparkSession, sf: str) -> DataFrame:
+    """Cochran–Armitage trend of finished-order rate across the FIVE
+    ordered priority levels (profile.cochran_armitage_trend): exact
+    integer score/outcome sums in one aggregation, z in one shared
+    expression tree."""
+    o = load(spark, sf, "orders")
+    return profile.cochran_armitage_trend(
+        o,
+        F.substring("o_orderpriority", 1, 1).cast("int"),
+        (F.col("o_orderstatus") == "F").cast("int"),
+    )
+
+
+A38_SQL = """
+WITH base AS (
+  SELECT CAST(substr(o_orderpriority, 1, 1) AS INT) AS s,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+  FROM orders
+  WHERE CAST(substr(o_orderpriority, 1, 1) AS INT) IS NOT NULL
+    AND o_orderstatus IS NOT NULL
+),
+agg AS (
+  SELECT COUNT(*) AS n, SUM(y) AS n_pos,
+         CAST(SUM(CAST(s AS HUGEINT)) AS DOUBLE) AS ss,
+         CAST(SUM(CASE WHEN y = 1 THEN CAST(s AS HUGEINT)
+                       ELSE CAST(0 AS HUGEINT) END) AS DOUBLE) AS ssy,
+         CAST(SUM(CAST(s AS HUGEINT) * s) AS DOUBLE) AS ss2
+  FROM base
+),
+d AS (
+  SELECT n, n_pos, ss, ssy, ss2,
+         CAST(n AS DOUBLE) AS nd, CAST(n_pos AS DOUBLE) AS rd
+  FROM agg
+)
+SELECT n, n_pos,
+  ROUND(CASE WHEN n > 0 AND
+                  (rd / nd) * (1.0 - rd / nd)
+                  * (ss2 - ss * ss / nd) > 0
+             THEN (ssy - (rd / nd) * ss)
+                  / SQRT((rd / nd) * (1.0 - rd / nd)
+                         * (ss2 - ss * ss / nd)) END, 6) AS z_trend
+FROM d
+"""
+
+
 _GD_LR, _GD_ITERS = 0.5, 5
 _GD_FEATURES = ["x_qty", "x_disc", "x_tax"]
 _GD_WEIGHTS_CACHE: dict = {}
@@ -4911,6 +5002,8 @@ QUERIES: dict[str, tuple] = {
     "ev_rfm_segments": (ev_rfm_segments, EV_RFM_SQL),
     "ts_logrank": (ts_logrank, TS_LOGRANK_SQL),
     "ml_gd_scored_auc": (ml_gd_scored_auc, _gd_auc_sql()),
+    "ts_km_rmst": (ts_km_rmst, _rmst_sql()),
+    "a38_trend_test": (a38_trend_test, A38_SQL),
     "a23_grouped_moments": (a23_grouped_moments, A23_SQL),
     "set_intersect_all": (set_intersect_all, SET_INTERSECT_ALL_SQL),
     "ev_transition_matrix": (ev_transition_matrix, EV_TRANSITION_SQL),

@@ -754,3 +754,81 @@ def test_rank_stats_partition_invariant(spark):
         )
 
     assert snap(df1) == snap(df13)
+
+
+# ---------------------------------------------------------------------------
+# km_rmst
+# ---------------------------------------------------------------------------
+
+
+def test_km_rmst_textbook_curve(spark):
+    """Same six subjects as the KM test: RMST to tau=5 is the step
+    integral 1·1 + (2−1)·5/6 + (3−2)·(2/3) + (4−3)·(4/9) + (5−4)·(4/9)."""
+    rows = [(1, 1), (2, 1), (2, 0), (3, 1), (4, 0), (5, 1)]
+    df = spark.createDataFrame(rows, "duration long, observed int")
+    from icnarc_to_philips_linkage_spark.operators.timeseries import km_rmst
+
+    out = km_rmst(df, "duration", "observed").collect()[0]
+    expected = 1.0 + 5 / 6 + 2 / 3 + 4 / 9 + 4 / 9
+    assert out.n_times == 5 and out.tau == 5.0
+    assert abs(out.rmst - expected) < 1e-12
+
+
+def test_km_rmst_no_events_equals_tau_times_one(spark):
+    """All censored → S ≡ 1 → RMST = tau."""
+    rows = [(3, 0), (7, 0), (7, 0)]
+    df = spark.createDataFrame(rows, "duration long, observed int")
+    from icnarc_to_philips_linkage_spark.operators.timeseries import km_rmst
+
+    out = km_rmst(df, "duration", "observed").collect()[0]
+    assert out.rmst == out.tau == 7.0
+
+
+# ---------------------------------------------------------------------------
+# cochran_armitage_trend
+# ---------------------------------------------------------------------------
+
+
+def test_trend_test_hand_computed(spark):
+    """Monotone dose-response, checked against the closed form."""
+    import math as m
+
+    cells = {1: (10, 1), 2: (10, 3), 3: (10, 5), 4: (10, 8)}  # (n, pos)
+    rows = [
+        (s, 1 if i < pos else 0)
+        for s, (n, pos) in cells.items()
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "s int, y int")
+    out = profile.cochran_armitage_trend(
+        df, F.col("s"), F.col("y")
+    ).collect()[0]
+    n = sum(c[0] for c in cells.values())
+    r = sum(c[1] for c in cells.values())
+    ss = sum(s * c[0] for s, c in cells.items())
+    ssy = sum(s * c[1] for s, c in cells.items())
+    ss2 = sum(s * s * c[0] for s, c in cells.items())
+    p = r / n
+    t = ssy - p * ss
+    var = p * (1.0 - p) * (ss2 - ss * ss / n)
+    assert (out.n, out.n_pos) == (n, r)
+    assert out.z_trend == round(t / m.sqrt(var), 6)
+    assert out.z_trend > 3  # strong positive trend
+
+
+def test_trend_test_constant_outcome_is_null(spark):
+    rows = [(s, 1) for s in [1, 2, 3] for _ in range(5)]
+    df = spark.createDataFrame(rows, "s int, y int")
+    out = profile.cochran_armitage_trend(
+        df, F.col("s"), F.col("y")
+    ).collect()[0]
+    assert out.z_trend is None
+
+
+def test_trend_test_no_trend_z_small(spark):
+    rows = [(s, y) for s in [1, 2, 3] for y in [0, 1] for _ in range(10)]
+    df = spark.createDataFrame(rows, "s int, y int")
+    out = profile.cochran_armitage_trend(
+        df, F.col("s"), F.col("y")
+    ).collect()[0]
+    assert abs(out.z_trend) < 1e-9  # identical rate at every score
