@@ -337,3 +337,87 @@ def global_prefix_sums(
             f"cum_{c}", (off + F.col(f"__run_{c}")).cast("long")
         ).drop(f"__run_{c}")
     return out.drop("__pid"), totals
+
+
+def quantile_normalize(
+    df: DataFrame,
+    source_col: str,
+    value_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Map every row's value onto the POOLED distribution's quantile at
+    the row's within-source relative rank — cross-source score/feature
+    calibration (a quality score that means 'top 10% of THIS crawl'
+    becomes comparable across crawls; the quantile-normalization step
+    of classifier-score harmonization).
+
+    Semantics (type-1, exact): within source s, the tie-averaged rank
+    r of a value maps to relative position q = (r − ½)/n_s, and the
+    normalized value is the pooled sample's q-th lower quantile —
+    pooled index idx = ⌈q·N⌉ computed ENTIRELY in integers via
+    ⌈a/b⌉ = (a + b − 1) div b with a = (2r−1)·N, b = 2·n_s (doubled
+    ranks are exact ints, so bucket edges are engine-identical).
+
+    Scale shape: within-source doubled avg-ranks from the
+    (source, value) grain (the spearman_corr trick — one aggregation +
+    join-back, never a per-source sorted window); the pooled order is
+    ``global_rank`` over (value, id) (range exchange, no
+    SinglePartition window); the final lookup is an equi-join on the
+    integer pooled index, shuffle-partitioned like any other key.
+
+    Output: the input rows plus ``v_norm`` (the pooled value at the
+    mapped index). NULL values pass through with NULL v_norm.
+    """
+    v, s = F.col(value_col), F.col(source_col)
+    base = df.filter(v.isNotNull() & s.isNotNull())
+    # within-source doubled tie-averaged ranks on the (source, value)
+    # grain
+    counts = base.groupBy(source_col, value_col).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    wrun = (
+        Window.partitionBy(source_col)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranks = counts.select(
+        source_col,
+        value_col,
+        (2 * F.sum("__c").over(wrun) - F.col("__c") + 1).alias("__r2"),
+    )
+    sizes = base.groupBy(source_col).agg(F.count(F.lit(1)).alias("__ns"))
+    # pooled order with duplicates: unique (value, id) total order
+    pooled, n_total = global_rank(
+        base.select(F.col(value_col).alias("__pv"), F.col(id_col).alias("__pid2")),
+        ["__pv", "__pid2"],
+        rank_col="__idx",
+        return_total=True,
+    )
+    lookup = pooled.select("__idx", F.col("__pv").alias("v_norm"))
+    # idx = ceil(((r2 - 1) * N) / (2 * ns)) via EXACT integer division
+    # (`div` on decimals — a rounded decimal `/` could cross an integer
+    # boundary and corrupt the floor)
+    staged = (
+        base.join(ranks, [source_col, value_col])
+        .join(F.broadcast(sizes), source_col)
+        .withColumn(
+            "__a",
+            (
+                (F.col("__r2").cast("decimal(38,0)") - 1)
+                * F.lit(int(n_total)).cast("decimal(38,0)")
+            ).cast("decimal(38,0)"),
+        )
+        .withColumn(
+            "__b", (F.col("__ns").cast("decimal(38,0)") * 2).cast(
+                "decimal(38,0)"
+            )
+        )
+        .withColumn(
+            "__idx",
+            F.greatest(
+                F.expr("(__a + __b - 1) div __b").cast("long"), F.lit(1)
+            ),
+        )
+        .drop("__r2", "__ns", "__a", "__b")
+    )
+    return staged.join(lookup, "__idx", "left").drop("__idx")

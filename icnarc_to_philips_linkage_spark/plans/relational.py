@@ -4759,6 +4759,71 @@ FROM d
 """
 
 
+def src_quantile_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-source quantile normalization of document lengths
+    (scale.quantile_normalize): each doc's n_chars maps to the POOLED
+    length distribution's quantile at its within-source rank — the
+    score-calibration step that makes per-crawl quality/length
+    percentiles comparable. Summarized per source (count, min/max,
+    exact-integer mean of the normalized value)."""
+    from icnarc_to_philips_linkage_spark.operators.scale import (
+        quantile_normalize,
+    )
+
+    docs = load(spark, sf, "documents")
+    out = quantile_normalize(docs, "source", "n_chars", "doc_id")
+    return out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("v_norm").alias("min_norm"),
+        F.max("v_norm").alias("max_norm"),
+        F.round(
+            F.sum(F.col("v_norm").cast("decimal(38,0)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_norm"),
+    )
+
+
+SRC_QNORM_SQL = """
+WITH base AS (
+  SELECT source, n_chars AS v, doc_id FROM documents
+  WHERE n_chars IS NOT NULL AND source IS NOT NULL
+),
+counts AS (SELECT source, v, COUNT(*) AS c FROM base GROUP BY source, v),
+ranks AS (
+  SELECT source, v,
+         2 * SUM(c) OVER (PARTITION BY source ORDER BY v
+                          ROWS UNBOUNDED PRECEDING) - c + 1 AS r2
+  FROM counts
+),
+sizes AS (SELECT source, COUNT(*) AS ns FROM base GROUP BY source),
+tot AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM base),
+pooled AS (
+  SELECT v AS pv, ROW_NUMBER() OVER (ORDER BY v, doc_id) AS idx
+  FROM base
+),
+staged AS (
+  SELECT b.source,
+         GREATEST(
+           ((CAST(r.r2 AS HUGEINT) - 1) * t.n
+            + 2 * CAST(s.ns AS HUGEINT) - 1)
+           // (2 * CAST(s.ns AS HUGEINT)), 1) AS idx
+  FROM base b
+  JOIN ranks r ON b.source = r.source AND b.v = r.v
+  JOIN sizes s ON b.source = s.source, tot t
+),
+normed AS (
+  SELECT staged.source, p.pv AS v_norm
+  FROM staged JOIN pooled p USING (idx)
+)
+SELECT source, COUNT(*) AS n_docs,
+       MIN(v_norm) AS min_norm, MAX(v_norm) AS max_norm,
+       ROUND(CAST(SUM(CAST(v_norm AS HUGEINT)) AS DOUBLE) / COUNT(*), 6)
+         AS mean_norm
+FROM normed GROUP BY source
+"""
+
+
 _GD_LR, _GD_ITERS = 0.5, 5
 _GD_FEATURES = ["x_qty", "x_disc", "x_tax"]
 _GD_WEIGHTS_CACHE: dict = {}
@@ -5004,6 +5069,7 @@ QUERIES: dict[str, tuple] = {
     "ml_gd_scored_auc": (ml_gd_scored_auc, _gd_auc_sql()),
     "ts_km_rmst": (ts_km_rmst, _rmst_sql()),
     "a38_trend_test": (a38_trend_test, A38_SQL),
+    "src_quantile_normalize": (src_quantile_normalize, SRC_QNORM_SQL),
     "a23_grouped_moments": (a23_grouped_moments, A23_SQL),
     "set_intersect_all": (set_intersect_all, SET_INTERSECT_ALL_SQL),
     "ev_transition_matrix": (ev_transition_matrix, EV_TRANSITION_SQL),

@@ -832,3 +832,63 @@ def test_trend_test_no_trend_z_small(spark):
         df, F.col("s"), F.col("y")
     ).collect()[0]
     assert abs(out.z_trend) < 1e-9  # identical rate at every score
+
+
+# ---------------------------------------------------------------------------
+# quantile_normalize
+# ---------------------------------------------------------------------------
+
+
+def test_quantile_normalize_identical_sources_is_identity_on_ranks(spark):
+    """Two sources with the SAME distribution: every value maps to (a
+    pooled copy of) itself — normalization is a no-op up to ties."""
+    from icnarc_to_philips_linkage_spark.operators.scale import (
+        quantile_normalize,
+    )
+
+    rows = [(s, i, v) for s in ("a", "b") for i, v in enumerate([1, 2, 3, 4])]
+    df = spark.createDataFrame(rows, "src string, id long, v long")
+    out = quantile_normalize(df, "src", "v", "id").collect()
+    for r in out:
+        assert r.v_norm == r.v
+
+
+def test_quantile_normalize_shifted_source_aligns(spark):
+    """Source b = source a + 100: after normalization b's values land
+    on pooled quantiles at the same relative positions as a's."""
+    from icnarc_to_philips_linkage_spark.operators.scale import (
+        quantile_normalize,
+    )
+
+    a = [10, 20, 30, 40, 50]
+    rows = [("a", i, v) for i, v in enumerate(a)] + [
+        ("b", 100 + i, v + 100) for i, v in enumerate(a)
+    ]
+    df = spark.createDataFrame(rows, "src string, id long, v long")
+    got = {
+        (r.src, r.v): r.v_norm
+        for r in quantile_normalize(df, "src", "v", "id").collect()
+    }
+    # same within-source rank -> same normalized value
+    for i, v in enumerate(a):
+        assert got[("a", v)] == got[("b", v + 100)]
+
+
+def test_quantile_normalize_hand_positions(spark):
+    """One source, N=4: q = (r-.5)/4 -> idx = ceil(qN) = r - ... check
+    the type-1 mapping against hand-computed pooled indices."""
+    from icnarc_to_philips_linkage_spark.operators.scale import (
+        quantile_normalize,
+    )
+    import math as m
+
+    vals = [5, 7, 11, 13]
+    df = spark.createDataFrame(
+        [("s", i, v) for i, v in enumerate(vals)], "src string, id long, v long"
+    )
+    got = {r.v: r.v_norm for r in quantile_normalize(df, "src", "v", "id").collect()}
+    n = len(vals)
+    pooled = sorted(vals)
+    for r, v in enumerate(sorted(vals), start=1):
+        idx = max(1, m.ceil((r - 0.5) / n * n))
+        assert got[v] == pooled[idx - 1]
