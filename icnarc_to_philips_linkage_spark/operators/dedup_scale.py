@@ -146,6 +146,115 @@ def duplicated_passage_report(
     )
 
 
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Exact-substring span REMOVAL — the action half of
+    ``duplicated_passage_report``'s detection (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better":
+    duplicated spans are cut from documents, keeping one occurrence in
+    the corpus), at word-n-gram granularity.
+
+    Semantics: tokenize each document (whitespace tokens of the
+    lowercased text); every POSITIONAL n-gram occurrence (not the
+    distinct shingle set — position matters here) whose gram string
+    occurs ≥ 2 times in the corpus is a duplicate UNLESS it is the
+    gram's keeper occurrence, the corpus-minimal (id, pos). A token
+    survives iff no duplicate occurrence's n-token span covers it;
+    survivors reassemble in order (space-joined). A span copied
+    verbatim across documents therefore remains in exactly one place —
+    the minimal-id document's first occurrence — and is excised
+    everywhere else, including later repeats inside the SAME document.
+    Documents shorter than n tokens have no n-grams and pass through
+    untouched (spans below the threshold are not deduplicated).
+
+    Output: one row per input document,
+    ``(id, n_tokens, n_removed, text_dedup)`` — token counts before
+    removal, tokens cut, and the reassembled (lowercased) text, ''
+    when everything was duplicated boilerplate.
+
+    Scale shape: the positional gram table is the only corpus-sized
+    intermediate (~1 row per token, same cardinality class as the LSH
+    shingle tables). Keyed shuffles: groupBy(gram) for count+keeper
+    (map-side partial agg; md5-uniform key space — no skew); the gram
+    join back to flag non-keeper occurrences; coverage positions
+    (duplicate occurrences × n, bounded map-side explode) distinct +
+    groupBy(id) into a per-doc removed-position array; ONE doc-grain
+    equi-join of that array back to the token arrays, where the cut is
+    a map-side higher-order filter — the corpus token stream itself
+    never rides a collect_list shuffle.
+    """
+    toks = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    grams = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"""
+                CASE WHEN size(__toks) < {n} THEN array()
+                     ELSE transform(
+                       sequence(1, size(__toks) - {n - 1}),
+                       i -> struct(i AS pos,
+                                   concat_ws(' ', slice(__toks, i, {n}))
+                                     AS gram))
+                END
+                """
+            )
+        ).alias("__g"),
+    ).select(F.col(id_col), F.col("__g.pos").alias("pos"), F.col("__g.gram").alias("gram"))
+    keepers = (
+        grams.groupBy("gram")
+        .agg(
+            F.count(F.lit(1)).alias("__c"),
+            F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__k"),
+        )
+        .filter(F.col("__c") >= 2)
+        .select(
+            "gram",
+            F.col(f"__k.{id_col}").alias("__kd"),
+            F.col("__k.pos").alias("__kp"),
+        )
+    )
+    dup_occ = (
+        grams.join(keepers, "gram")
+        .filter(
+            ~((F.col(id_col) == F.col("__kd")) & (F.col("pos") == F.col("__kp")))
+        )
+        .select(F.col(id_col), "pos")
+    )
+    removed = (
+        dup_occ.select(
+            F.col(id_col),
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + (n - 1))).alias(
+                "__cp"
+            ),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("__cp").alias("__rm"))
+    )
+    out = toks.join(removed, id_col, "left").select(
+        F.col(id_col),
+        F.size("__toks").alias("n_tokens"),
+        F.when(F.col("__rm").isNull(), F.lit(0))
+        .otherwise(F.size("__rm"))
+        .alias("n_removed"),
+        F.when(F.col("__rm").isNull(), F.concat_ws(" ", F.col("__toks")))
+        .otherwise(
+            F.concat_ws(
+                " ",
+                F.filter(
+                    F.col("__toks"),
+                    lambda t, i: ~F.array_contains(F.col("__rm"), i + 1),
+                ),
+            )
+        )
+        .alias("text_dedup"),
+    )
+    return out
+
+
 def _bloom_position_sql(value_col: str, num_bits: int, i: int) -> str:
     """SQL fragment for the i-th Bloom bit position of ``value_col`` —
     shared verbatim between build and probe so the two sides hash

@@ -37,8 +37,9 @@ Scale shape, in order:
   shuffle of at most ``len(thresholds)`` / ``bins`` rows.
 
 Reference provenance: the reference repo audits its linkage quality
-with hand-checked frequency tables (``summarise_icnarc_data.py``'s
-rate tables); this module is the scaled generalization — the same
+with hand-checked frequency tables (``clean_encounterids.py:202-245``,
+the ``print_*_summary`` helpers); this module is the scaled
+generalization — the same
 "how good is the decision rule" question, answered with the standard
 statistics a corpus-scale pipeline actually monitors.
 """

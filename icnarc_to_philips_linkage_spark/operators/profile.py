@@ -1501,12 +1501,20 @@ def mann_whitney_u(
     tree. Continuity correction deliberately omitted (both engines
     would need the same branch; documented choice).
 
-    Scale shape: one corpus aggregation to the value grain, one tiny
-    window over it, one exact reduce — the corpus never sorts.
+    Scale shape: one corpus aggregation to the value grain, then the
+    running count rides ``scale.global_prefix_sums`` (range exchange +
+    per-partition sums + literal offsets) — NOT an unpartitioned
+    ordered window, which on a near-continuous value column would pull
+    the corpus-sized distinct grain through ONE window task (the
+    ``ks_two_sample_exact`` discipline).
 
     Output: one row ``(n_a, n_b, u_a, z)``; NULL z when either group
     is empty or the variance is zero (all values tied).
     """
+    from icnarc_to_philips_linkage_spark.operators.scale import (
+        global_prefix_sums,
+    )
+
     base = df.filter(
         F.col(value_col).isNotNull()
         & F.col(group_col).isin([group_a, group_b])
@@ -1517,13 +1525,11 @@ def mann_whitney_u(
         F.count(F.lit(1)).alias("__c"),
         F.count(F.when(F.col("__is_a"), F.lit(1))).alias("__ca"),
     )
-    w = Window.orderBy(value_col).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    staged = counts.select(
+    staged, _ = global_prefix_sums(counts, [value_col], ["__c"])
+    staged = staged.select(
         "__c",
         "__ca",
-        (2 * F.sum("__c").over(w) - F.col("__c") + 1).alias("__r2"),
+        (2 * F.col("cum___c") - F.col("__c") + 1).alias("__r2"),
     )
     c = F.col("__c").cast("decimal(38,0)")
     agg = staged.agg(
@@ -1567,27 +1573,31 @@ def kruskal_wallis(
 
     Exactness layout: (group, value) counts in one corpus
     aggregation; the value grain derives doubled tie-averaged ranks
-    (integral) under one tiny window; per-group doubled rank sums
-    R2_g and the tie term are exact decimals; the only float
-    reduction, Σ_g (R2_g/2)²/n_g, folds sequentially over the
-    group-sorted array (the ``anova_oneway`` determinism recipe).
+    (integral) via ``scale.global_prefix_sums`` (range exchange, no
+    SinglePartition window — on a near-continuous column the distinct
+    grain is corpus-sized); per-group doubled rank sums R2_g and the
+    tie term are exact decimals; the only float reduction,
+    Σ_g (R2_g/2)²/n_g, folds sequentially over the group-sorted array
+    (the ``anova_oneway`` determinism recipe).
 
     Output: one row ``(k, n, h_stat)``; NULL when k < 2 or every
     value is tied (the correction denominator hits zero).
     """
+    from icnarc_to_philips_linkage_spark.operators.scale import (
+        global_prefix_sums,
+    )
+
     gv = (
         df.filter(F.col(value_col).isNotNull() & F.col(group_col).isNotNull())
         .groupBy(group_col, value_col)
         .agg(F.count(F.lit(1)).alias("__c"))
     )
     vgrain = gv.groupBy(value_col).agg(F.sum("__c").alias("__cv"))
-    w = Window.orderBy(value_col).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    ranks = vgrain.select(
+    staged_v, _ = global_prefix_sums(vgrain, [value_col], ["__cv"])
+    ranks = staged_v.select(
         value_col,
         "__cv",
-        (2 * F.sum("__cv").over(w) - F.col("__cv") + 1).alias("__r2"),
+        (2 * F.col("cum___cv") - F.col("__cv") + 1).alias("__r2"),
     )
     per_group = (
         gv.join(ranks.select(value_col, "__r2"), value_col)

@@ -69,6 +69,13 @@ def gd_train(
     aggregation to k+1 exact decimal sums collected as a 1-row plan
     literal, and the weight vector never exceeds k+1 doubles. At
     100 TB: iters × one map-combined shuffle, zero corpus joins.
+
+    Pre-scaling is VALIDATED, not assumed: since |σ(z) − y| < 1, a
+    per-row contribution is bounded by max|x_j|, and the 1e-12
+    quantizer is only value-exact while |v|·1e12 < 2^53 (i.e.
+    |x_j| ≲ 9007). One cheap aggregation over the persisted feature
+    frame checks max|x_j| before the first iteration and raises
+    ``ValueError`` on unscaled input instead of silently degrading.
     """
     cols = [F.lit(1.0).alias("__x0")] + [
         F.col(c).cast("double").alias(f"__x{i+1}")
@@ -84,6 +91,24 @@ def gd_train(
     )
     try:
         k = len(feature_cols) + 1
+        # quantizer-exactness guard: |x_j|·1e12 must stay < 2^53
+        max_abs_x = 2.0**53 / GRID  # ≈ 9007.2
+        xmax_row = feats.agg(
+            *[
+                F.max(F.abs(F.col(f"__x{j}"))).alias(f"m{j}")
+                for j in range(1, k)
+            ]
+        ).collect()
+        if xmax_row:
+            for j in range(1, k):
+                m = xmax_row[0][f"m{j}"]
+                if m is not None and m > max_abs_x:
+                    raise ValueError(
+                        f"gd_train: feature {feature_cols[j - 1]!r} has "
+                        f"max|x| = {m:.4g} > {max_abs_x:.4g}; the 1e-12 "
+                        "gradient quantizer is only exact below 2^53. "
+                        "Pre-scale features to O(1) before training."
+                    )
         w = [0.0] * k
         for _ in range(iters):
             z = F.lit(w[0]) * F.col("__x0")

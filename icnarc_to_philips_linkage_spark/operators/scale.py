@@ -366,10 +366,14 @@ def quantile_normalize(
     integer pooled index, shuffle-partitioned like any other key.
 
     Output: the input rows plus ``v_norm`` (the pooled value at the
-    mapped index). NULL values pass through with NULL v_norm.
+    mapped index). Rows with NULL value or NULL source take no part in
+    either distribution and pass through with NULL v_norm.
     """
     v, s = F.col(value_col), F.col(source_col)
     base = df.filter(v.isNotNull() & s.isNotNull())
+    skipped = df.filter(v.isNull() | s.isNull()).withColumn(
+        "v_norm", F.lit(None).cast(df.schema[value_col].dataType)
+    )
     # within-source doubled tie-averaged ranks on the (source, value)
     # grain
     counts = base.groupBy(source_col, value_col).agg(
@@ -420,4 +424,5 @@ def quantile_normalize(
         )
         .drop("__r2", "__ns", "__a", "__b")
     )
-    return staged.join(lookup, "__idx", "left").drop("__idx")
+    normed = staged.join(lookup, "__idx", "left").drop("__idx")
+    return normed.unionByName(skipped.select(*normed.columns))

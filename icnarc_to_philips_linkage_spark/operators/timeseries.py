@@ -803,6 +803,8 @@ def forecast_eval(
     time_col: str,
     value_col: str,
     season: int = 7,
+    densify: str | None = None,
+    fill_value: int = 0,
 ):
     """Backtest accuracy of the two standard reference forecasters —
     naive (ŷ_t = y_{t−1}) and seasonal-naive (ŷ_t = y_{t−season}) —
@@ -816,14 +818,44 @@ def forecast_eval(
     standard 'is seasonality worth modeling' screen (<1 ⇒ the seasonal
     forecaster beats persistence).
 
+    The lags are ROW lags, so the grid must be gap-free for the
+    seasonal comparison to align on calendar periods. Pass
+    ``densify`` (an interval string, e.g. ``"1 day"``) to have the
+    operator build the gap-free grid itself: per key, a
+    ``sequence(min(t), max(t), interval)`` grid left-joins the input
+    and missing periods take ``fill_value`` (0 — the right identity
+    for a count series). With ``densify=None`` the CALLER owns the
+    gap-free-grid contract and sparse series silently misalign the
+    season lag.
+
     Scale shape: both lags ride ONE per-key window spec (one
     sort+exchange over the already-aggregated grid table, never raw
-    events); the metric aggregation is map-combined. Output per key:
+    events); densification adds one key-grain span aggregation and
+    one key+time equi-join, both on the grid table, never raw
+    events; the metric aggregation is map-combined. Output per key:
     ``(key, n_naive, n_seasonal, mae_naive, wape_naive, mae_seasonal,
     mase)`` with NULLs where a denominator is empty/zero.
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
+
+    if densify is not None:
+        span = df.groupBy(key_col).agg(
+            F.min(time_col).alias("__t0"), F.max(time_col).alias("__t1")
+        )
+        grid = span.select(
+            key_col,
+            F.explode(
+                F.sequence("__t0", "__t1", F.expr(f"interval {densify}"))
+            ).alias(time_col),
+        )
+        df = grid.join(
+            df.select(key_col, time_col, value_col),
+            [key_col, time_col],
+            "left",
+        ).withColumn(
+            value_col, F.coalesce(F.col(value_col), F.lit(fill_value))
+        )
 
     w = Window.partitionBy(key_col).orderBy(time_col)
     lagged = df.select(

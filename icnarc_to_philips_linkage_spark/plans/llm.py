@@ -1032,9 +1032,16 @@ def _pq_index(spark: SparkSession, sf: str) -> str:
     from the same on-disk tables. This IS the build-once/probe-many
     contract ``write_pq_index`` documents; rebuilding per probe call
     was pricing the build into every probe. The catalog check guards
-    a memo that outlives the SparkSession that wrote the tables."""
+    a memo that outlives the SparkSession that wrote the tables.
+
+    The index path and table name are DETERMINISTIC per sf dir (an
+    md5 of the sf path under the system temp dir) so a rebuild after
+    a catalog drop overwrites the previous on-disk index instead of
+    leaking a fresh mkdtemp each time (all three index tables write
+    mode('overwrite'))."""
+    import hashlib
+    import os
     import tempfile
-    import uuid
 
     from icnarc_to_philips_linkage_spark.operators import pq
 
@@ -1042,11 +1049,13 @@ def _pq_index(spark: SparkSession, sf: str) -> str:
     if table is not None and spark.catalog.tableExists(table):
         return table
     emb = spread(load(spark, sf, "embeddings"), "vec_id")
-    table = f"pq_idx_{uuid.uuid4().hex[:10]}"
+    sf_key = hashlib.md5(sf.encode()).hexdigest()[:10]
+    table = f"pq_idx_{sf_key}"
+    path = os.path.join(tempfile.gettempdir(), f"pq_idx_{sf_key}")
     pq.write_pq_index(
         emb,
         table,
-        tempfile.mkdtemp(prefix="pq_idx_"),
+        path,
         dim=DIM,
         m=_PQ_M,
         ksub=_PQ_KSUB,
@@ -3406,6 +3415,64 @@ FROM totals t LEFT JOIN per_doc_dup d USING (doc_id)
 """
 
 
+def dedup_span_removal(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-substring span REMOVAL (Lee et al. 2022) — the action half
+    of ``dedup_passages``' detection: positional word-8-gram
+    occurrences duplicated anywhere in the corpus are cut from every
+    document except the corpus-minimal (doc_id, pos) keeper; survivors
+    reassemble in order. Full per-doc output (n_tokens, n_removed,
+    text_dedup) so the oracle hash-checks every reassembled string."""
+    return dedup_scale.remove_duplicate_spans(
+        spread(load(spark, sf, "documents"), "doc_id"), n=_PASSAGE_N
+    )
+
+
+def _span_removal_sql() -> str:
+    n = _PASSAGE_N
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+g AS (
+  SELECT doc_id, i AS pos, array_to_string(t[i:i+{n - 1}], ' ') AS gram
+  FROM toks, unnest(generate_series(
+    1, CASE WHEN len(t) < {n} THEN 0 ELSE len(t) - {n - 1} END)) AS u(i)
+),
+keepers AS (
+  SELECT gram, doc_id AS kd, pos AS kp FROM (
+    SELECT gram, doc_id, pos,
+           COUNT(*) OVER (PARTITION BY gram) AS c,
+           ROW_NUMBER() OVER (PARTITION BY gram
+                              ORDER BY doc_id, pos) AS rn
+    FROM g) WHERE c >= 2 AND rn = 1
+),
+dups AS (
+  SELECT g.doc_id, g.pos FROM g JOIN keepers k USING (gram)
+  WHERE NOT (g.doc_id = k.kd AND g.pos = k.kp)
+),
+cov AS (
+  SELECT DISTINCT doc_id, pos + j AS cp
+  FROM dups, unnest(generate_series(0, {n - 1})) AS u(j)
+),
+tokpos AS (
+  SELECT doc_id, i AS pos, t[i] AS tok
+  FROM toks, unnest(generate_series(1, len(t))) AS u(i)
+),
+kept AS (
+  SELECT tp.doc_id, tp.pos, tp.tok FROM tokpos tp
+  WHERE NOT EXISTS (SELECT 1 FROM cov c
+                    WHERE c.doc_id = tp.doc_id AND c.cp = tp.pos)
+),
+texts AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_dedup
+  FROM kept GROUP BY 1
+),
+rm AS (SELECT doc_id, COUNT(*) AS n_removed FROM cov GROUP BY 1)
+SELECT t.doc_id, len(t.t) AS n_tokens,
+       COALESCE(r.n_removed, 0) AS n_removed,
+       COALESCE(x.text_dedup, '') AS text_dedup
+FROM toks t LEFT JOIN rm r USING (doc_id) LEFT JOIN texts x USING (doc_id)
+"""
+
+
 # ------------------------------------------------- lexical retrieval
 
 _BM25_TERMS = ["spark", "vector", "stream"]
@@ -4348,7 +4415,7 @@ def _web_canon_ctes() -> str:
 
     track = W.TRACKING_PARAM_RE
     suf = ", ".join(f"'{x}'" for x in W.TWO_LEVEL_SUFFIXES)
-    return f"""
+    return rf"""
 urls AS (
   SELECT doc_id, trim({_SYNTH_URL_SQL}) AS u FROM documents
 ),
@@ -5442,6 +5509,7 @@ QUERIES: dict[str, tuple] = {
     "dedup_containment": (dedup_containment, _containment_sql()),
     "dedup_normalized": (dedup_normalized, DEDUP_NORMALIZED_SQL),
     "dedup_passages": (dedup_passages, _passages_sql()),
+    "dedup_span_removal": (dedup_span_removal, _span_removal_sql()),
     "sketch_theta_setops": (sketch_theta_setops, SKETCH_THETA_SQL),
     "pack_context_windows": (pack_context_windows, PACK_SQL),
     "pack_bins_ffd": (pack_bins_ffd, FFD_INVARIANT_SQL),

@@ -4105,7 +4105,9 @@ def ts_forecast_eval(spark: SparkSession, sf: str) -> DataFrame:
     """Backtest of naive vs 7-day seasonal-naive forecasts of daily
     event volume per type (timeseries.forecast_eval): MAE / WAPE /
     MASE from exact integer error sums, both lags under ONE per-key
-    window over the day-grain table."""
+    window over a DENSIFIED day grid (densify='1 day' — missing days
+    count 0, so the 7-row seasonal lag stays calendar-aligned on
+    sparse series)."""
     from icnarc_to_philips_linkage_spark.operators.timeseries import (
         forecast_eval,
     )
@@ -4116,13 +4118,25 @@ def ts_forecast_eval(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    return forecast_eval(daily, "event_type", "day", "n", season=7)
+    return forecast_eval(
+        daily, "event_type", "day", "n", season=7, densify="1 day"
+    )
 
 
 TS_FORECAST_EVAL_SQL = """
-WITH daily AS (
+WITH daily0 AS (
   SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS n
   FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+),
+grid AS (
+  SELECT event_type,
+         unnest(generate_series(MIN(day), MAX(day), INTERVAL 1 DAY)) AS day
+  FROM daily0 GROUP BY event_type
+),
+daily AS (
+  SELECT g.event_type, g.day, COALESCE(d.n, 0) AS n
+  FROM grid g LEFT JOIN daily0 d
+    ON g.event_type = d.event_type AND g.day = d.day
 ),
 lagged AS (
   SELECT event_type, n AS y,

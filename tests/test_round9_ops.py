@@ -1,0 +1,241 @@
+"""Round-9 contract tests: the ADVICE.md r8 fixes.
+
+- quantile_normalize NULL pass-through (the documented contract is
+  now implemented, not just claimed)
+- gd_train unscaled-feature guard (ValueError instead of silent
+  quantizer degradation past 2^53)
+- forecast_eval densify (gap-free grid keeps the seasonal row-lag
+  calendar-aligned on sparse series)
+- mann_whitney_u / kruskal_wallis now rank via global_prefix_sums —
+  re-pin the hand-computed values through the new path
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+
+# ---------------------------------------------------------------------------
+# quantile_normalize: NULL pass-through
+# ---------------------------------------------------------------------------
+
+
+def test_quantile_normalize_null_rows_pass_through(spark):
+    """Rows with NULL value or NULL source appear in the output with
+    NULL v_norm and take no part in either distribution."""
+    from icnarc_to_philips_linkage_spark.operators.scale import (
+        quantile_normalize,
+    )
+
+    rows = [
+        ("a", 1, 10),
+        ("a", 2, 20),
+        ("b", 3, 10),
+        ("b", 4, 20),
+        ("a", 5, None),  # NULL value
+        (None, 6, 30),  # NULL source
+    ]
+    df = spark.createDataFrame(rows, "src string, id long, v long")
+    out = quantile_normalize(df, "src", "v", "id").collect()
+    assert len(out) == 6  # nothing dropped
+    by_id = {r.id: r for r in out}
+    assert by_id[5].v_norm is None and by_id[6].v_norm is None
+    # the NULL rows did not join the pooled distribution: pooled is
+    # {10,10,20,20}, so every non-null v_norm is 10 or 20 (id 6's
+    # v=30 would otherwise be the pooled max)
+    assert {by_id[i].v_norm for i in (1, 2, 3, 4)} <= {10, 20}
+
+
+# ---------------------------------------------------------------------------
+# gd_train: pre-scaling guard
+# ---------------------------------------------------------------------------
+
+
+def test_gd_train_unscaled_feature_raises(spark):
+    from icnarc_to_philips_linkage_spark.operators import regression
+
+    rows = [(float(i) * 1e7, i % 2) for i in range(1, 6)]
+    df = spark.createDataFrame(rows, "x double, y int")
+    with pytest.raises(ValueError, match="Pre-scale"):
+        regression.gd_train(df, ["x"], "y", iters=1)
+
+
+def test_gd_train_scaled_feature_passes_guard(spark):
+    from icnarc_to_philips_linkage_spark.operators import regression
+
+    rows = [(float(i) / 10.0, i % 2) for i in range(1, 6)]
+    df = spark.createDataFrame(rows, "x double, y int")
+    w = regression.gd_train(df, ["x"], "y", iters=2)
+    assert len(w) == 2 and all(isinstance(x, float) for x in w)
+
+
+# ---------------------------------------------------------------------------
+# forecast_eval: densify
+# ---------------------------------------------------------------------------
+
+
+def test_forecast_eval_densify_fills_gaps_with_zero(spark):
+    """A sparse daily series: days 0,1,3 present, day 2 missing.
+    Without densify the season-1 'lag' pairs (1,3) as adjacent;
+    with densify='1 day' day 2 exists with n=0, so the lag pairs
+    are (0,1),(1,2),(2,3) over the filled grid."""
+    from icnarc_to_philips_linkage_spark.operators.timeseries import (
+        forecast_eval,
+    )
+
+    d0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("g", d0, 5),
+        ("g", d0 + dt.timedelta(days=1), 7),
+        ("g", d0 + dt.timedelta(days=3), 9),
+    ]
+    df = spark.createDataFrame(rows, "g string, t timestamp, n long")
+
+    sparse = forecast_eval(df, "g", "t", "n", season=1).collect()[0]
+    # sparse: errors |7-5| + |9-7| = 4 over 2 forecasts
+    assert sparse.n_naive == 2 and sparse.mae_naive == 2.0
+
+    dense = forecast_eval(
+        df, "g", "t", "n", season=1, densify="1 day"
+    ).collect()[0]
+    # filled series 5,7,0,9: errors |7-5|+|0-7|+|9-0| = 18 over 3
+    assert dense.n_naive == 3
+    assert dense.mae_naive == 6.0
+
+
+def test_forecast_eval_densify_noop_on_gap_free_grid(spark):
+    """densify must be a no-op when the grid is already gap-free."""
+    from icnarc_to_philips_linkage_spark.operators.timeseries import (
+        forecast_eval,
+    )
+
+    d0 = dt.datetime(2024, 3, 1)
+    ys = [3, 1, 4, 1, 5, 9, 2, 6]
+    rows = [("g", d0 + dt.timedelta(days=i), y) for i, y in enumerate(ys)]
+    df = spark.createDataFrame(rows, "g string, t timestamp, n long")
+    a = forecast_eval(df, "g", "t", "n", season=3).collect()[0]
+    b = forecast_eval(df, "g", "t", "n", season=3, densify="1 day").collect()[
+        0
+    ]
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# MWU / KW through global_prefix_sums: re-pin hand values
+# ---------------------------------------------------------------------------
+
+
+def test_mann_whitney_hand_values_via_prefix_sums(spark):
+    """Groups a=[1,2,4], b=[3,5]: ranks 1..5, R_a = 1+2+4 = 7,
+    U_a = 7 - 3*4/2 = 1."""
+    from icnarc_to_philips_linkage_spark.operators import profile
+
+    rows = [("a", 1), ("a", 2), ("a", 4), ("b", 3), ("b", 5)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = profile.mann_whitney_u(df, "g", "v", "a", "b").collect()[0]
+    assert (out.n_a, out.n_b, out.u_a) == (3, 2, 1.0)
+
+
+def test_mann_whitney_ties_averaged(spark):
+    """All values tied: U_a = n_a*n_b/2 exactly, variance 0 -> NULL z."""
+    from icnarc_to_philips_linkage_spark.operators import profile
+
+    rows = [("a", 7)] * 3 + [("b", 7)] * 2
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = profile.mann_whitney_u(df, "g", "v", "a", "b").collect()[0]
+    assert out.u_a == 3.0  # 3*2/2
+    assert out.z is None
+
+
+def test_kruskal_wallis_hand_values_via_prefix_sums(spark):
+    """Three groups, no ties: H = 12/(n(n+1)) * sum(R_g^2/n_g) - 3(n+1)."""
+    from icnarc_to_philips_linkage_spark.operators import profile
+
+    groups = {"a": [1, 4], "b": [2, 5], "c": [3, 6]}
+    rows = [(g, v) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = profile.kruskal_wallis(df, "g", "v").collect()[0]
+    # ranks: 1..6; R_a=1+4=5, R_b=2+5=7, R_c=3+6=9
+    n = 6
+    h = 12.0 / (n * (n + 1)) * (25 / 2 + 49 / 2 + 81 / 2) - 3 * (n + 1)
+    assert out.k == 3 and out.n == 6
+    assert out.h_stat == round(h, 6)
+
+
+# ---------------------------------------------------------------------------
+# remove_duplicate_spans (Lee et al. 2022 action half)
+# ---------------------------------------------------------------------------
+
+SPAN = "the quick brown fox jumps over the lazy dog tonight"  # 10 tokens
+
+
+def test_span_removal_planted_copy_survives_exactly_once(spark):
+    """A 10-token span planted in 3 docs (incl. twice in one doc):
+    the output corpus contains it exactly once — in the minimal-id
+    document — and unique text is untouched."""
+    from icnarc_to_philips_linkage_spark.operators.dedup_scale import (
+        remove_duplicate_spans,
+    )
+
+    rows = [
+        (1, "alpha beta " + SPAN + " gamma delta"),
+        (2, "intro words here " + SPAN + " closing remark now"),
+        (3, "unique content with no duplicated passage at all present"),
+        (4, SPAN + " " + SPAN),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in remove_duplicate_spans(df, n=8).collect()}
+    corpus = " ".join(out[i].text_dedup for i in sorted(out))
+    assert corpus.count(SPAN) == 1
+    assert SPAN in out[1].text_dedup  # keeper = min doc_id
+    assert out[1].n_removed == 0
+    assert out[2].text_dedup == "intro words here closing remark now"
+    assert out[2].n_removed == 10
+    assert out[3].text_dedup == rows[2][1]  # unique doc untouched
+    assert out[4].text_dedup == "" and out[4].n_removed == 20
+
+
+def test_span_removal_short_docs_pass_through(spark):
+    """Documents below the n-token threshold have no n-grams and are
+    never cut, even when exact duplicates of each other."""
+    from icnarc_to_philips_linkage_spark.operators.dedup_scale import (
+        remove_duplicate_spans,
+    )
+
+    rows = [(1, "tiny dup text"), (2, "tiny dup text")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = remove_duplicate_spans(df, n=8).collect()
+    assert all(r.text_dedup == "tiny dup text" for r in out)
+    assert all(r.n_removed == 0 for r in out)
+
+
+def test_span_removal_within_doc_repeat_keeps_first(spark):
+    """A single doc repeating its own 8-gram: the first occurrence is
+    the keeper, the later one is cut."""
+    from icnarc_to_philips_linkage_spark.operators.dedup_scale import (
+        remove_duplicate_spans,
+    )
+
+    eight = "one two three four five six seven eight"
+    df = spark.createDataFrame(
+        [(1, eight + " filler middle words go here now " + eight)],
+        "doc_id long, text string",
+    )
+    out = remove_duplicate_spans(df, n=8).collect()[0]
+    assert out.text_dedup.count(eight) == 1
+    assert out.text_dedup.startswith(eight)
+    assert out.n_removed == 8
+
+
+def test_mwu_partition_invariant(spark):
+    from icnarc_to_philips_linkage_spark.operators import profile
+
+    rows = [("a", i * 3 % 17) for i in range(40)] + [
+        ("b", i * 5 % 23) for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "g string, v long")
+    r1 = profile.mann_whitney_u(df.repartition(1), "g", "v", "a", "b")
+    r7 = profile.mann_whitney_u(df.repartition(7), "g", "v", "a", "b")
+    assert r1.collect() == r7.collect()
