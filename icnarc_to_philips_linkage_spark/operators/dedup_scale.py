@@ -255,6 +255,159 @@ def remove_duplicate_spans(
     return out
 
 
+def explode_paragraphs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    boundary_re: str = r"\n{2,}",
+) -> DataFrame:
+    """(id, para_idx, para): documents split on a paragraph-boundary
+    regex (default: blank lines), 1-based indices preserve document
+    order, whitespace-only paragraphs dropped (their indices stay, so
+    reassembly order is unaffected). Map-only."""
+    return (
+        df.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), boundary_re)).alias(
+                "__i0", "para"
+            ),
+        )
+        .filter(F.trim(F.col("para")) != "")
+        .select(F.col(id_col), (F.col("__i0") + 1).alias("para_idx"), "para")
+    )
+
+
+def token_window_paragraphs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 20,
+) -> DataFrame:
+    """(id, para_idx, para): pseudo-paragraphs as TUMBLING token
+    windows — window k spans tokens (k−1)·w+1 … k·w of the lowercased
+    whitespace token stream, the last window ragged. The C4-style
+    paragraph unit for corpora whose text carries no layout boundaries.
+    Map-only (one higher-order transform per document)."""
+    w = int(window)
+    return df.select(
+        F.col(id_col), tokens(text_col).alias("__toks")
+    ).select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"""
+                transform(
+                  sequence(1, cast((size(__toks) + {w - 1}) / {w}
+                                   as int)),
+                  k -> struct(k AS para_idx,
+                              concat_ws(' ',
+                                slice(__toks, (k-1)*{w}+1, {w}))
+                                AS para))
+                """
+            )
+        ).alias("__p"),
+    ).select(
+        F.col(id_col),
+        F.col("__p.para_idx").alias("para_idx"),
+        F.col("__p.para").alias("para"),
+    )
+
+
+def paragraph_dedup_exploded(
+    paras: DataFrame,
+    id_col: str = "doc_id",
+    idx_col: str = "para_idx",
+    para_col: str = "para",
+    normalize: bool = True,
+    sep: str = " ",
+) -> DataFrame:
+    """Paragraph-granularity exact dedup with keeper attribution and
+    span reassembly — the C4 recipe (Raffel et al. 2020 dedup any
+    three-sentence span occurring more than once; here the unit is
+    whatever paragraph grain the caller exploded) generalized over
+    ``explode_paragraphs`` / ``token_window_paragraphs`` output.
+
+    A paragraph occurrence survives iff it is its (normalized) digest's
+    corpus-minimal (id, idx) — every cross-document AND within-document
+    repeat of the same paragraph is cut, boilerplate survives exactly
+    once. Survivors reassemble in document order joined by ``sep``.
+
+    Output: one row per input document,
+    ``(id, n_paras, n_removed, text_dedup)`` — '' when every paragraph
+    was someone else's boilerplate.
+
+    Scale shape: digests are a map-side projection
+    (``normalized_exact_dedup``'s key, md5-uniform so the groupBy(digest)
+    keeper shuffle has no skew and partially aggregates map-side); the
+    occurrence flagging is one equi-join back on the digest; reassembly
+    is a doc-grain sort_array(collect_list) — bounded by a single
+    document's paragraph count, never a corpus-wide sort.
+    """
+    from icnarc_to_philips_linkage_spark.operators.text import normalize_expr
+
+    content = (
+        normalize_expr(F.col(para_col)) if normalize else F.col(para_col)
+    )
+    keyed = paras.select(
+        F.col(id_col),
+        F.col(idx_col),
+        F.col(para_col),
+        F.md5(content).alias("__d"),
+    )
+    keepers = keyed.groupBy("__d").agg(
+        F.min(F.struct(F.col(id_col), F.col(idx_col))).alias("__k")
+    )
+    flagged = keyed.join(keepers, "__d").select(
+        F.col(id_col),
+        F.col(idx_col),
+        F.col(para_col),
+        (
+            (F.col(id_col) == F.col(f"__k.{id_col}"))
+            & (F.col(idx_col) == F.col(f"__k.{idx_col}"))
+        ).alias("__keep"),
+    )
+    per_doc = flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_paras"),
+        F.count(F.when(~F.col("__keep"), F.lit(1))).alias("n_removed"),
+        F.concat_ws(
+            sep,
+            F.expr(
+                f"transform(array_sort(collect_list(CASE WHEN __keep "
+                f"THEN struct({idx_col} AS i, {para_col} AS p) END)), "
+                f"x -> x.p)"
+            ),
+        ).alias("text_dedup"),
+    )
+    return per_doc
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    boundary_re: str = r"\n{2,}",
+    normalize: bool = True,
+    sep: str = "\n\n",
+) -> DataFrame:
+    """``explode_paragraphs`` ∘ ``paragraph_dedup_exploded`` — regex
+    paragraph boundaries in, deduplicated reassembled documents out.
+    Documents whose every paragraph was removed (or that had no
+    non-blank paragraphs) are restored with '' via a doc-grain left
+    join so the output is total over the input."""
+    deduped = paragraph_dedup_exploded(
+        explode_paragraphs(df, id_col, text_col, boundary_re),
+        id_col=id_col,
+        normalize=normalize,
+        sep=sep,
+    )
+    return df.select(F.col(id_col)).join(deduped, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("n_paras", F.lit(0)).alias("n_paras"),
+        F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+        F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+    )
+
+
 def _bloom_position_sql(value_col: str, num_bits: int, i: int) -> str:
     """SQL fragment for the i-th Bloom bit position of ``value_col`` —
     shared verbatim between build and probe so the two sides hash

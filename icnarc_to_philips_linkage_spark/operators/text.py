@@ -656,6 +656,75 @@ def bpe_train(
     )
 
 
+def bpe_encode(
+    df: DataFrame,
+    merges: list,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Apply a TRAINED ordered BPE merge list to the whole corpus — the
+    tokenizer-deployment step ``bpe_train`` feeds (train once, encode
+    every document). ``merges`` is the ordered list of ``(left,
+    right)`` rules (e.g. ``[(r.left, r.right) for r in
+    bpe_train(...).collect()]`` — n_merges driver rows, the k-means-
+    centroid pattern).
+
+    Each word's character symbols fold through every merge in training
+    order with the SAME left-to-right higher-order fold the trainer
+    used (``_apply_merge``), so encode(train_corpus) reproduces the
+    trainer's final symbol table exactly.
+
+    Scale shape: the fold runs over the DISTINCT-WORD vocabulary only
+    (vocabulary-bounded, never the corpus — the trainer's own
+    discipline), checkpointed every few merges to bound expression
+    depth; the corpus then pays ONE broadcast equi-join of the encoded
+    vocabulary onto its word stream plus a doc-grain reassembly
+    (sort_array over one document's words, never a corpus sort).
+
+    Output: one row per input document, ``(id, n_words, n_tokens,
+    tokens_str)`` — word count, subword-token count, and the full
+    space-joined token stream ('' for wordless documents).
+    """
+    wp = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(tokens(text_col)).alias("__pos0", "w"),
+        )
+        .filter(F.col("w") != "")
+        .select(F.col(id_col), (F.col("__pos0") + 1).alias("__pos"), "w")
+    )
+    vocab = wp.select("w").distinct().withColumn(
+        "__syms", F.expr("filter(split(w, ''), s -> s <> '')")
+    )
+    for i, (left, right) in enumerate(merges, 1):
+        vocab = vocab.withColumn(
+            "__syms", _apply_merge(F.col("__syms"), left, right)
+        )
+        if i % checkpoint_every == 0:
+            vocab = vocab.localCheckpoint(eager=True)
+    joined = wp.join(F.broadcast(vocab), "w")
+    per_doc = joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.size("__syms")).alias("n_tokens"),
+        F.concat_ws(
+            " ",
+            F.flatten(
+                F.expr(
+                    "transform(array_sort(collect_list("
+                    "struct(__pos AS i, __syms AS s))), x -> x.s)"
+                )
+            ),
+        ).alias("tokens_str"),
+    )
+    return df.select(F.col(id_col)).join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("n_words", F.lit(0)).alias("n_words"),
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        F.coalesce("tokens_str", F.lit("")).alias("tokens_str"),
+    )
+
+
 def with_gopher_rules(
     df: DataFrame,
     text_col: str = "text",

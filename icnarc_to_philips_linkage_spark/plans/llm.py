@@ -2724,9 +2724,86 @@ def text_bpe_train(spark: SparkSession, sf: str) -> DataFrame:
     # lineage per merge, so a pre-shingle exchange is paid n_merges
     # times (measured 2.2 -> 2.8 s at sf0.1) — the loop persists its
     # own bounded symbol table instead.
-    return text.bpe_train(
-        load(spark, sf, "documents"), n_merges=_BPE_MERGES
+    rows = _bpe_merge_rows(spark, sf)
+    return spark.createDataFrame(
+        rows, "step int, left string, right string, merged string, pair_n long"
     )
+
+
+_BPE_MERGE_CACHE: dict = {}
+
+
+def _bpe_merge_rows(spark: SparkSession, sf: str) -> list:
+    """Trained merge table for the registered BPE queries, memoized
+    per sf dir (the _pq_books pattern): training runs at most once per
+    corpus; text_bpe_train and text_bpe_encode share the one run."""
+    if sf not in _BPE_MERGE_CACHE:
+        _BPE_MERGE_CACHE[sf] = [
+            tuple(r)
+            for r in text.bpe_train(
+                load(spark, sf, "documents"), n_merges=_BPE_MERGES
+            ).collect()
+        ]
+    return _BPE_MERGE_CACHE[sf]
+
+
+def text_bpe_encode(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-scale application of the TRAINED merge list
+    (text.bpe_encode): the 12 merges text_bpe_train learns fold over
+    the distinct-word vocabulary, then one broadcast join tokenizes
+    every document. The oracle replays training (the unrolled
+    text_bpe_train chain) AND the encode fold per vocabulary word,
+    then reassembles each document's token stream."""
+    merges = [(left, right) for _, left, right, _, _ in _bpe_merge_rows(spark, sf)]
+    return text.bpe_encode(
+        spread(load(spark, sf, "documents"), "doc_id"), merges
+    )
+
+
+def _bpe_encode_sql() -> str:
+    # reuse the full unrolled training chain verbatim (v0..vK, b1..bK),
+    # then fold the SAME b_i merges over the per-word symbol table;
+    # the training chain's final UNION-ALL SELECT starts at column 0,
+    # CTE-internal SELECTs are indented, so the split is unambiguous
+    train_ctes = _bpe_train_sql().split("\nSELECT ", 1)[0]
+    parts = [train_ctes]
+    parts.append(""",
+e0 AS MATERIALIZED (SELECT w, string_split(w, '') AS syms FROM words)""")
+    for i in range(1, _BPE_MERGES + 1):
+        parts.append(f""",
+e{i} AS MATERIALIZED (
+  SELECT w,
+         list_reduce(list_transform(syms, x -> [x]),
+           (acc, s) -> CASE WHEN len(acc) > 0 AND acc[-1] = b.l
+                             AND s[1] = b.r
+                        THEN acc[1:len(acc)-1] || [b.l || b.r]
+                        ELSE acc || s END) AS syms
+  FROM e{i - 1} CROSS JOIN b{i} b
+)""")
+    parts.append(f""",
+toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+wp AS (
+  SELECT doc_id, i AS pos, t[i] AS w
+  FROM toks, unnest(generate_series(1, len(t))) AS u(i)
+  WHERE t[i] <> ''
+),
+enc AS (
+  SELECT wp.doc_id, wp.pos, e.syms
+  FROM wp JOIN e{_BPE_MERGES} e USING (w)
+),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_words,
+         SUM(len(syms)) AS n_tokens,
+         string_agg(array_to_string(syms, ' '), ' ' ORDER BY pos)
+           AS tokens_str
+  FROM enc GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_words, 0) AS n_words,
+       CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+       COALESCE(p.tokens_str, '') AS tokens_str
+FROM documents d LEFT JOIN per_doc p USING (doc_id)""")
+    return "".join(parts)
 
 
 def _bpe_train_sql() -> str:
@@ -3470,6 +3547,53 @@ SELECT t.doc_id, len(t.t) AS n_tokens,
        COALESCE(r.n_removed, 0) AS n_removed,
        COALESCE(x.text_dedup, '') AS text_dedup
 FROM toks t LEFT JOIN rm r USING (doc_id) LEFT JOIN texts x USING (doc_id)
+"""
+
+
+_PARA_WINDOW = 20
+
+
+def dedup_paragraphs_c4(spark: SparkSession, sf: str) -> DataFrame:
+    """C4-style paragraph-granularity exact dedup (Raffel et al. 2020
+    three-sentence-span dedup, here on 20-token tumbling pseudo-
+    paragraphs since the corpus text carries no layout boundaries):
+    every normalized paragraph repeat — cross- or within-document —
+    is cut except its corpus-minimal (doc_id, idx) keeper, and
+    documents reassemble in order. Full per-doc output so the oracle
+    hash-checks every reassembled string."""
+    d = spread(load(spark, sf, "documents"), "doc_id")
+    return dedup_scale.paragraph_dedup_exploded(
+        dedup_scale.token_window_paragraphs(d, window=_PARA_WINDOW)
+    )
+
+
+def _para_c4_sql() -> str:
+    w = _PARA_WINDOW
+    return rf"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+paras AS (
+  SELECT doc_id, k AS para_idx,
+         array_to_string(t[((k-1)*{w}+1):(k*{w})], ' ') AS para
+  FROM toks, unnest(generate_series(
+    1, CAST((len(t) + {w - 1}) // {w} AS BIGINT))) AS u(k)
+),
+keyed AS (
+  SELECT doc_id, para_idx, para,
+         md5(trim(regexp_replace(regexp_replace(lower(para),
+             '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS d
+  FROM paras
+),
+flagged AS (
+  SELECT doc_id, para_idx, para,
+         ROW_NUMBER() OVER (PARTITION BY d
+                            ORDER BY doc_id, para_idx) = 1 AS keep
+  FROM keyed
+)
+SELECT doc_id, COUNT(*) AS n_paras,
+       COUNT(*) FILTER (WHERE NOT keep) AS n_removed,
+       COALESCE(string_agg(CASE WHEN keep THEN para END, ' '
+                           ORDER BY para_idx), '') AS text_dedup
+FROM flagged GROUP BY doc_id
 """
 
 
@@ -5510,6 +5634,8 @@ QUERIES: dict[str, tuple] = {
     "dedup_normalized": (dedup_normalized, DEDUP_NORMALIZED_SQL),
     "dedup_passages": (dedup_passages, _passages_sql()),
     "dedup_span_removal": (dedup_span_removal, _span_removal_sql()),
+    "dedup_paragraphs_c4": (dedup_paragraphs_c4, _para_c4_sql()),
+    "text_bpe_encode": (text_bpe_encode, _bpe_encode_sql()),
     "sketch_theta_setops": (sketch_theta_setops, SKETCH_THETA_SQL),
     "pack_context_windows": (pack_context_windows, PACK_SQL),
     "pack_bins_ffd": (pack_bins_ffd, FFD_INVARIANT_SQL),

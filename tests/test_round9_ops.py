@@ -229,6 +229,121 @@ def test_span_removal_within_doc_repeat_keeps_first(spark):
     assert out.n_removed == 8
 
 
+# ---------------------------------------------------------------------------
+# paragraph_dedup (C4-style)
+# ---------------------------------------------------------------------------
+
+BOILER = "subscribe to our newsletter for more updates"
+
+
+def test_paragraph_dedup_cross_doc_boilerplate_survives_once(spark):
+    from icnarc_to_philips_linkage_spark.operators.dedup_scale import (
+        paragraph_dedup,
+    )
+
+    rows = [
+        (1, "first doc body text\n\n" + BOILER + "\n\nmore unique content"),
+        (2, "second doc opening\n\n" + BOILER),
+        (3, "Subscribe to our Newsletter, for more updates!!"),
+        (4, BOILER),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in paragraph_dedup(df).collect()}
+    corpus = "\n\n".join(out[i].text_dedup for i in sorted(out))
+    assert corpus.count(BOILER) == 1
+    assert BOILER in out[1].text_dedup  # keeper = min (doc_id, idx)
+    assert out[2].text_dedup == "second doc opening"
+    # normalized variant (case + punctuation) merges into the digest
+    assert out[3].text_dedup == "" and out[3].n_removed == 1
+    assert out[4].text_dedup == ""
+
+
+def test_paragraph_dedup_within_doc_repeat(spark):
+    from icnarc_to_philips_linkage_spark.operators.dedup_scale import (
+        paragraph_dedup,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "same para\n\nsame para\n\nother para")],
+        "doc_id long, text string",
+    )
+    out = paragraph_dedup(df).collect()[0]
+    assert out.text_dedup == "same para\n\nother para"
+    assert (out.n_paras, out.n_removed) == (3, 1)
+
+
+def test_token_window_paragraphs_tumbling_shape(spark):
+    from icnarc_to_philips_linkage_spark.operators.dedup_scale import (
+        token_window_paragraphs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g")], "doc_id long, text string"
+    )
+    rows = sorted(
+        token_window_paragraphs(df, window=3).collect(),
+        key=lambda r: r.para_idx,
+    )
+    assert [(r.para_idx, r.para) for r in rows] == [
+        (1, "a b c"),
+        (2, "d e f"),
+        (3, "g"),
+    ]
+
+
+# ---------------------------------------------------------------------------
+# bpe_encode (tokenizer deployment)
+# ---------------------------------------------------------------------------
+
+
+def _py_bpe_apply(word: str, merges: list) -> list:
+    """Pure-Python replay of the engine's left-to-right merge fold."""
+    syms = list(word)
+    for left, right in merges:
+        out: list = []
+        for s in syms:
+            if out and out[-1] == left and s == right:
+                out[-1] = left + right
+            else:
+                out.append(s)
+        syms = out
+    return syms
+
+
+def test_bpe_encode_round_trip_vs_own_training(spark):
+    """Encode the training corpus with its OWN trained merges and
+    compare every document's token stream against a pure-Python
+    replay of (train's merge list, encode's fold)."""
+    from icnarc_to_philips_linkage_spark.operators import text as T
+
+    rows = [
+        (1, "low lower lowest low low"),
+        (2, "newer newest new news low"),
+        (3, "widest wider wide low lower"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = [
+        (r.left, r.right) for r in T.bpe_train(df, n_merges=6).collect()
+    ]
+    assert len(merges) == 6
+    got = {r.doc_id: r for r in T.bpe_encode(df, merges).collect()}
+    for doc_id, txt in rows:
+        words = txt.split()
+        toks = [t for w in words for t in _py_bpe_apply(w, merges)]
+        assert got[doc_id].n_words == len(words)
+        assert got[doc_id].n_tokens == len(toks)
+        assert got[doc_id].tokens_str == " ".join(toks)
+
+
+def test_bpe_encode_empty_merges_is_char_split(spark):
+    from icnarc_to_philips_linkage_spark.operators import text as T
+
+    df = spark.createDataFrame([(1, "ab c")], "doc_id long, text string")
+    out = T.bpe_encode(df, []).collect()[0]
+    assert out.tokens_str == "a b c"
+    assert (out.n_words, out.n_tokens) == (2, 3)
+
+
 def test_mwu_partition_invariant(spark):
     from icnarc_to_philips_linkage_spark.operators import profile
 
