@@ -70,21 +70,71 @@ def main() -> int:
     # keep-min protocol that shrinks environment noise in the recorded
     # numbers. Default 1 preserves the driver's single-sweep contract.
     repeat = max(1, int(os.environ.get("BENCH_REPEAT", "1")))
+
+    def run_once(name: str) -> float:
+        fn, _ = queries[name]
+        t = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        elapsed = round(time.time() - t, 3)
+        # Isolate queries from each other: drop caches/persists a
+        # query left behind so later timings measure their own
+        # plans, not an earlier query's warm cache, and the JVM
+        # heap stays flat across the sweep (cache buildup → GC
+        # pressure → noise).
+        spark.catalog.clearCache()
+        return elapsed
+
+    # Drift normalizer (VERDICT r8 #3): a pinned plan-diverse probe set
+    # re-run at sweep start / middle / end, so the artifact itself
+    # separates uniform host drift from per-query regression — two
+    # rounds in a row the whole keep-min sweep moved ~1.2x from host
+    # noise and the forensics had to be reconstructed by hand. On by
+    # default for full-registry sweeps; BENCH_CALIBRATE=0/1 overrides.
+    calib_names = [
+        n
+        for n in ("q1_pricing_summary", "dedup_exact", "o2_top_k",
+                  "a6_group_time_stats")
+        if n in queries
+    ]
+    calibrate = os.environ.get(
+        "BENCH_CALIBRATE", "0" if names else "1"
+    ) == "1"
+    calibration: dict = {}
+
+    def calib_pass(tag: str) -> None:
+        # keep-min of 2 per probe: the first execution of a probe in
+        # the session pays plan compilation that would read as drift
+        if calibrate:
+            calibration[tag] = {
+                n: min(run_once(n), run_once(n)) for n in calib_names
+            }
+
+    calib_pass("start")
     timings: dict[str, float] = {}
+    mid_at = (len(selected) * repeat) // 2
+    done = 0
     for _ in range(repeat):
         for name in selected:
-            fn, _ = queries[name]
-            t = time.time()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            elapsed = round(time.time() - t, 3)
+            elapsed = run_once(name)
             if name not in timings or elapsed < timings[name]:
                 timings[name] = elapsed
-            # Isolate queries from each other: drop caches/persists a
-            # query left behind so later timings measure their own
-            # plans, not an earlier query's warm cache, and the JVM
-            # heap stays flat across the sweep (cache buildup → GC
-            # pressure → noise).
-            spark.catalog.clearCache()
+            done += 1
+            if done == mid_at:
+                calib_pass("mid")
+    calib_pass("end")
+    if calibrate and calib_names:
+        start_t = calibration.get("start", {})
+        ratios = sorted(
+            calibration[tag][n] / start_t[n]
+            for tag in ("mid", "end")
+            if tag in calibration
+            for n in calib_names
+            if start_t.get(n)
+        )
+        if ratios:
+            calibration["drift_ratio_median"] = round(
+                ratios[len(ratios) // 2], 3
+            )
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -104,6 +154,7 @@ def main() -> int:
                 # cache on later sweeps), so cross-protocol ratios
                 # overstate improvement.
                 "protocol": {"keep_min_repeat": repeat},
+                **({"calibration": calibration} if calibration else {}),
             }
         )
     )

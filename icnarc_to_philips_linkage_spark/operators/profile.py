@@ -711,6 +711,7 @@ def mad_outlier_report(
     exact: bool = False,
     rank_check_eps: float | None = None,
     approx_accuracy: int = 10000,
+    exact_collapse: bool = True,
 ) -> DataFrame:
     """Robust outlier report per group via MAD (median absolute
     deviation): med = median(x), mad = median(|x − med|), outlier ⇔
@@ -727,15 +728,23 @@ def mad_outlier_report(
       mergeable, no sort anywhere, three streaming passes over the
       pruned two-column scan. The 100 TB screening plan.
     - ``exact=True``: bit-reproducible medians for oracle parity —
-      the input first collapses to a per-(group, value) COUNT frame
-      (one corpus scan + map-side combine; measurement-like columns
-      compress heavily), which is persisted and re-used by all three
-      passes, with ``percentile(v, 0.5, count)`` computing the exact
-      weighted median over the collapsed frame. Sorting distinct
-      values instead of rows cut the registered a19 query ~2×. On a
-      corpus whose values are near-unique the collapsed frame
-      approaches row count and the sketch mode is the right tool —
-      exact mode exists for validation, not screening.
+      the input collapses to a per-(group, value) COUNT frame (one
+      corpus scan + map-side combine; measurement-like columns
+      compress heavily), then ALL THREE passes fuse into ONE
+      aggregation: the sorted (value, count) array per group is
+      collected once and med / mad / outlier counts are higher-order
+      folds over it (med: one fold finds both interpolation
+      neighbours; mad: re-sort the |v−med| transform, same fold;
+      outliers: one weighted conditional sum). Two keyed shuffles
+      total, zero persists, zero joins — fusing the former
+      three-pass persist-and-rejoin plan (VERDICT r8 #8). Per-group
+      state is the distinct-value array — the same bound Spark's own
+      exact ``percentile`` buffer imposes. On a corpus whose values
+      are near-unique the collapse cannot compress: pass
+      ``exact_collapse=False`` for the ONE-shuffle raw variant
+      (sorted primitive array + O(1) element_at interpolation — no
+      folds, no struct sort), or use the sketch mode, which remains
+      the 100 TB screening plan; exact mode exists for validation.
 
     ``rank_check_eps`` (used by the a19b registry twin) appends
     ``med_within_bound`` / ``mad_within_bound`` booleans verifying the
@@ -752,36 +761,20 @@ def mad_outlier_report(
         F.col(group_col), F.col(value_col).cast("double").alias("__v")
     )
     if exact:
-        from pyspark import StorageLevel
-
-        from . import cachereg
-
-        src = (
-            base.groupBy(group_col, "__v")
-            .agg(F.count(F.lit(1)).alias("__c"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
-        cachereg.track(src)
-        med = src.groupBy(group_col).agg(
-            F.expr("percentile(__v, 0.5, __c)").alias("__med")
-        )
-        with_med = src.join(F.broadcast(med), group_col)
-        mad = with_med.groupBy(group_col).agg(
-            F.expr("percentile(abs(__v - __med), 0.5, __c)").alias("__mad")
-        )
-        w = F.col("__c")
-    else:
-        acc = int(approx_accuracy)
-        med = base.groupBy(group_col).agg(
-            F.expr(f"percentile_approx(__v, 0.5, {acc})").alias("__med")
-        )
-        with_med = base.join(F.broadcast(med), group_col)
-        mad = with_med.groupBy(group_col).agg(
-            F.expr(
-                f"percentile_approx(abs(__v - __med), 0.5, {acc})"
-            ).alias("__mad")
-        )
-        w = F.lit(1)
+        if exact_collapse:
+            return _mad_exact_fused(base, group_col, k, rank_check_eps)
+        return _mad_exact_raw(base, group_col, k, rank_check_eps)
+    acc = int(approx_accuracy)
+    med = base.groupBy(group_col).agg(
+        F.expr(f"percentile_approx(__v, 0.5, {acc})").alias("__med")
+    )
+    with_med = base.join(F.broadcast(med), group_col)
+    mad = with_med.groupBy(group_col).agg(
+        F.expr(
+            f"percentile_approx(abs(__v - __med), 0.5, {acc})"
+        ).alias("__mad")
+    )
+    w = F.lit(1)
     dev = F.round(F.abs(F.col("__v") - F.col("__med")), 6)
     thresh = F.round(F.lit(k) * F.col("__mad"), 6)
     aggs = [
@@ -827,6 +820,216 @@ def mad_outlier_report(
         .groupBy(group_col)
         .agg(*aggs)
     )
+
+
+def _weighted_interp_median(arr, n_nonnull):
+    """Exact interpolated median over a SORTED (v, c) struct array —
+    ``percentile(v, 0.5, c)``'s semantics as one higher-order fold:
+    the interpolation neighbours are the values at zero-based
+    positions (N−1) div 2 and N div 2 of the weight-expanded multiset
+    (one cumulative pass finds both), combined 0.5·lo + 0.5·hi (the
+    formula Spark's percentile uses at p=0.5; for odd N lo == hi and
+    0.5x + 0.5x is exactly x in IEEE). NULL when N == 0."""
+    plo = F.floor((n_nonnull - F.lit(1)) / F.lit(2)).cast("long")
+    phi = F.floor(n_nonnull / F.lit(2)).cast("long")
+    init = F.struct(
+        F.lit(0).cast("long").alias("cum"),
+        F.lit(None).cast("double").alias("lo"),
+        F.lit(None).cast("double").alias("hi"),
+    )
+
+    def step(a, x):
+        cum = a["cum"] + x["c"]
+        return F.struct(
+            cum.alias("cum"),
+            F.when(a["lo"].isNull() & (cum > plo), x["v"])
+            .otherwise(a["lo"])
+            .alias("lo"),
+            F.when(a["hi"].isNull() & (cum > phi), x["v"])
+            .otherwise(a["hi"])
+            .alias("hi"),
+        )
+
+    return F.aggregate(
+        arr, init, step, lambda a: 0.5 * a["lo"] + 0.5 * a["hi"]
+    )
+
+
+def _mad_exact_raw(
+    base: DataFrame,
+    group_col: str,
+    k: float,
+    rank_check_eps: float | None,
+) -> DataFrame:
+    """``mad_outlier_report(exact=True, exact_collapse=False)``: ONE
+    aggregation collects each group's sorted primitive value array,
+    then med and mad are O(1) ``element_at`` interpolations (no fold —
+    the neighbours' positions are arithmetic on N) and the outlier /
+    rank-check counts are filters over the deviation array. One keyed
+    shuffle total. The right exact plan when values are near-unique
+    (the collapse would not compress); per-group state is the value
+    array itself — the same bound exact ``percentile`` imposes."""
+    packed = base.groupBy(group_col).agg(
+        F.sort_array(
+            F.collect_list(F.col("__v"))
+        ).alias("__arr"),
+        F.count(F.lit(1)).cast("long").alias("__n_all"),
+    )
+    nv = F.size("__arr").cast("long")  # collect_list drops NULLs
+    lo1 = (F.floor((nv - F.lit(1)) / F.lit(2)) + F.lit(1)).cast("int")
+    hi1 = (F.floor(nv / F.lit(2)) + F.lit(1)).cast("int")
+
+    def interp(arr):
+        return F.when(
+            nv > 0,
+            0.5 * F.element_at(arr, lo1) + 0.5 * F.element_at(arr, hi1),
+        )
+
+    staged = (
+        packed.withColumn("__med", interp(F.col("__arr")))
+        .withColumn(
+            "__darr",
+            F.array_sort(F.expr("transform(__arr, x -> abs(x - __med))")),
+        )
+        .withColumn("__mad", interp(F.col("__darr")))
+    )
+    thresh = F.round(F.lit(k) * F.col("__mad"), 6)
+    cols = [
+        F.col(group_col),
+        F.col("__n_all").alias("n"),
+        F.round(F.col("__med"), 6).alias("med"),
+        F.round(F.col("__mad"), 6).alias("mad"),
+        F.size(
+            F.filter(F.col("__darr"), lambda x: F.round(x, 6) > thresh)
+        ).cast("long").alias("n_outliers"),
+    ]
+    if rank_check_eps is not None:
+        eps = F.lit(float(rank_check_eps))
+        nvd = nv.cast("double")
+        cols.append(
+            (
+                F.abs(
+                    F.size(
+                        F.filter(
+                            F.col("__arr"), lambda x: x <= F.col("__med")
+                        )
+                    )
+                    / nvd
+                    - F.lit(0.5)
+                )
+                <= eps
+            ).alias("med_within_bound")
+        )
+        cols.append(
+            (
+                F.abs(
+                    F.size(
+                        F.filter(
+                            F.col("__darr"), lambda x: x <= F.col("__mad")
+                        )
+                    )
+                    / nvd
+                    - F.lit(0.5)
+                )
+                <= eps
+            ).alias("mad_within_bound")
+        )
+    return staged.select(*cols)
+
+
+def _mad_exact_fused(
+    base: DataFrame,
+    group_col: str,
+    k: float,
+    rank_check_eps: float | None,
+) -> DataFrame:
+    """``mad_outlier_report(exact=True)``: the three former passes
+    (median, deviation-median, threshold count) fused into ONE
+    aggregation over the per-(group, value) count frame — collect the
+    sorted (v, c) array once per group, then med / mad / outlier and
+    rank-check counts are all folds over it. Two keyed shuffles, no
+    persist, no joins. NULL values keep their place in ``n`` (they are
+    rows) but take no part in the medians — ``percentile``'s contract.
+    """
+    src = base.groupBy(group_col, "__v").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    packed = src.groupBy(group_col).agg(
+        F.sort_array(
+            F.collect_list(
+                F.when(
+                    F.col("__v").isNotNull(),
+                    F.struct(
+                        F.col("__v").alias("v"), F.col("__c").alias("c")
+                    ),
+                )
+            )
+        ).alias("__arr"),
+        F.sum("__c").cast("long").alias("__n_all"),
+        F.sum(F.when(F.col("__v").isNotNull(), F.col("__c")).otherwise(0))
+        .cast("long")
+        .alias("__nv"),
+    )
+    staged = (
+        packed.withColumn(
+            "__med", _weighted_interp_median(F.col("__arr"), F.col("__nv"))
+        )
+        .withColumn(
+            "__darr",
+            F.array_sort(
+                F.expr(
+                    "transform(__arr, x -> "
+                    "struct(abs(x.v - __med) AS v, x.c AS c))"
+                )
+            ),
+        )
+        .withColumn(
+            "__mad", _weighted_interp_median(F.col("__darr"), F.col("__nv"))
+        )
+    )
+    thresh = F.round(F.lit(k) * F.col("__mad"), 6)
+    zero = F.lit(0).cast("long")
+
+    def wsum(arr, pred):
+        return F.aggregate(
+            arr,
+            zero,
+            lambda a, x: a + F.when(pred(x), x["c"].cast("long")).otherwise(zero),
+        )
+
+    cols = [
+        F.col(group_col),
+        F.col("__n_all").alias("n"),
+        F.round(F.col("__med"), 6).alias("med"),
+        F.round(F.col("__mad"), 6).alias("mad"),
+        wsum(
+            F.col("__darr"), lambda x: F.round(x["v"], 6) > thresh
+        ).alias("n_outliers"),
+    ]
+    if rank_check_eps is not None:
+        eps = F.lit(float(rank_check_eps))
+        nv = F.col("__nv").cast("double")
+        cols.append(
+            (
+                F.abs(
+                    wsum(F.col("__arr"), lambda x: x["v"] <= F.col("__med"))
+                    / nv
+                    - F.lit(0.5)
+                )
+                <= eps
+            ).alias("med_within_bound")
+        )
+        cols.append(
+            (
+                F.abs(
+                    wsum(F.col("__darr"), lambda x: x["v"] <= F.col("__mad"))
+                    / nv
+                    - F.lit(0.5)
+                )
+                <= eps
+            ).alias("mad_within_bound")
+        )
+    return staged.select(*cols)
 
 
 def group_linreg(

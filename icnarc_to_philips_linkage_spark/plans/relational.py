@@ -2323,6 +2323,10 @@ def a19_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
         "l_extendedprice",
         k=3.0,
         exact=True,
+        # l_extendedprice is ~99% distinct per group: the (g, v) count
+        # collapse cannot compress, so the one-shuffle raw-array exact
+        # plan wins (element_at interpolation, no folds)
+        exact_collapse=False,
     )
 
 

@@ -344,6 +344,60 @@ def test_bpe_encode_empty_merges_is_char_split(spark):
     assert (out.n_words, out.n_tokens) == (2, 3)
 
 
+# ---------------------------------------------------------------------------
+# mad_outlier_report fused exact paths
+# ---------------------------------------------------------------------------
+
+
+def test_mad_exact_raw_equals_collapsed_with_ties_and_nulls(spark):
+    """The one-shuffle raw-array exact plan and the (g,v,c)-collapsed
+    fold plan must agree exactly — including tied values, NULLs
+    (counted in n, excluded from medians), and both parities of N."""
+    from icnarc_to_philips_linkage_spark.operators.profile import (
+        mad_outlier_report,
+    )
+
+    rows = (
+        [("a", float(v)) for v in [1, 2, 2, 2, 3, 9, 50]]
+        + [("a", None)]
+        + [("b", float(v)) for v in [10, 10, 20, 40]]
+        + [("c", 5.0)]
+    )
+    df = spark.createDataFrame(rows, "g string, v double")
+    kw = dict(k=2.0, exact=True, rank_check_eps=0.4)
+    a = sorted(
+        mad_outlier_report(df, "g", "v", exact_collapse=True, **kw).collect()
+    )
+    b = sorted(
+        mad_outlier_report(df, "g", "v", exact_collapse=False, **kw).collect()
+    )
+    assert a == b
+    byg = {r.g: r for r in a}
+    assert byg["a"].n == 8  # NULL row counted in n
+    assert byg["a"].med == 2.0  # median over the 7 non-null values
+    # group a devs sorted: 0,0,0,1,1,7,48 -> mad = 1
+    assert byg["a"].mad == 1.0
+    assert byg["a"].n_outliers == 2  # 9 and 50 beyond 2*mad
+    assert byg["c"].mad == 0.0 and byg["c"].n_outliers == 0
+
+
+def test_mad_exact_matches_percentile_reference(spark):
+    """Even-N interpolation: fused med/mad must equal Spark's own
+    percentile() on the same data."""
+    from icnarc_to_philips_linkage_spark.operators.profile import (
+        mad_outlier_report,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [("g", float(v)) for v in [3, 1, 4, 1, 5, 9, 2, 6]]
+    df = spark.createDataFrame(rows, "g string, v double")
+    ref_med = df.agg(F.expr("percentile(v, 0.5)")).collect()[0][0]
+    out = mad_outlier_report(
+        df, "g", "v", exact=True, exact_collapse=False
+    ).collect()[0]
+    assert out.med == round(ref_med, 6)
+
+
 def test_mwu_partition_invariant(spark):
     from icnarc_to_philips_linkage_spark.operators import profile
 

@@ -31,12 +31,51 @@ sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tests"))
 
 
+def check_artifact(path: str) -> int:
+    """VERDICT r8 #1 enforcement: a committed full-sweep artifact must
+    cover the CURRENT registry exactly — a registry query missing from
+    the artifact means the committed evidence lags the code (the r8
+    failure mode: three queries shipped with no correctness record).
+    Exit 1 with the symmetric difference if the key sets diverge."""
+    import __spark_entry__ as entry
+
+    with open(path) as f:
+        artifact = json.load(f)
+    have = set(artifact.get("results", artifact))
+    want = set(entry.queries())
+    missing, extra = sorted(want - have), sorted(have - want)
+    if missing or extra:
+        print(
+            f"ARTIFACT STALE vs registry: missing={missing} extra={extra}"
+        )
+        return 1
+    bad = [
+        (n, sf)
+        for n, sfs in artifact.get("results", {}).items()
+        for sf, r in sfs.items()
+        if not r.get("hash", r.get("rows", False))
+    ]
+    if bad:
+        print(f"ARTIFACT HAS FAILED CHECKS: {bad[:10]}")
+        return 1
+    print(f"artifact covers all {len(want)} registry queries, all green")
+    return 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", action="append", default=[])
     ap.add_argument("--out", default=None)
     ap.add_argument("--only", default=None)
+    ap.add_argument(
+        "--check-artifact",
+        default=None,
+        help="verify an existing artifact's key set equals the current "
+        "registry (and every check is green), then exit",
+    )
     args = ap.parse_args()
+    if args.check_artifact:
+        return check_artifact(args.check_artifact)
     # default = ALL THREE scale factors (VERDICT r7 #1: the sf0.1
     # sweep is a standing per-round gate — it caught a real
     # cross-engine rounding divergence the smaller SFs could not)
@@ -57,6 +96,8 @@ def main() -> int:
     names = sorted(queries)
     if args.only:
         names = [n for n in names if n in set(args.only.split(","))]
+    stray = set(oracles) - set(queries)
+    assert not stray, f"oracle_sql entries without queries(): {stray}"
 
     results: dict[str, dict] = {}
     t0 = time.time()
