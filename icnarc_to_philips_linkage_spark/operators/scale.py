@@ -375,21 +375,36 @@ def quantile_normalize(
         "v_norm", F.lit(None).cast(df.schema[value_col].dataType)
     )
     # within-source doubled tie-averaged ranks on the (source, value)
-    # grain
+    # grain. The running counts ride global_prefix_sums over the TOTAL
+    # (source, value) order — NOT a per-source ordered window: with few
+    # sources and a near-continuous value column each source's distinct
+    # grain is corpus-scale and a partitionBy(source) window funnels it
+    # through one task per source. Within-source cumulatives fall out by
+    # subtracting each source's base offset (the cumulative count of all
+    # PRIOR sources — a source-cardinality frame, broadcast back).
     counts = base.groupBy(source_col, value_col).agg(
         F.count(F.lit(1)).alias("__c")
     )
-    wrun = (
-        Window.partitionBy(source_col)
-        .orderBy(value_col)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    ranks = counts.select(
-        source_col,
-        value_col,
-        (2 * F.sum("__c").over(wrun) - F.col("__c") + 1).alias("__r2"),
+    staged_c, _ = global_prefix_sums(
+        counts, [source_col, value_col], ["__c"]
     )
     sizes = base.groupBy(source_col).agg(F.count(F.lit(1)).alias("__ns"))
+    wsrc = Window.orderBy(source_col).rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # source-cardinality frame: the one-task window is bounded
+    bases = sizes.select(
+        source_col,
+        F.coalesce(F.sum("__ns").over(wsrc), F.lit(0)).alias("__base"),
+    )
+    ranks = staged_c.join(F.broadcast(bases), source_col).select(
+        source_col,
+        value_col,
+        (
+            2 * (F.col("cum___c") - F.col("__base"))
+            - F.col("__c")
+            + 1
+        ).alias("__r2"),
+    )
     # pooled order with duplicates: unique (value, id) total order
     pooled, n_total = global_rank(
         base.select(F.col(value_col).alias("__pv"), F.col(id_col).alias("__pid2")),

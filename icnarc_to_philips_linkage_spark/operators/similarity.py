@@ -687,6 +687,121 @@ def matryoshka_recall(
     return out
 
 
+def sq8_train(
+    corpus: DataFrame, vec_col: str = "embedding"
+) -> tuple[list, list]:
+    """Train an int8 scalar quantizer (faiss SQ8-style): per-dimension
+    [min, max] over the corpus. One posexplode + dim-grain aggregation
+    (the dimension key space is the array width — bounded, map-side
+    combined); the trained bounds come back as dim driver floats (the
+    k-means-centroid pattern: parameters ride plans as literals).
+    EAGER: runs one Spark job."""
+    rows = (
+        corpus.select(F.posexplode(F.col(vec_col)).alias("d", "x"))
+        .groupBy("d")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .orderBy("d")
+        .collect()
+    )
+    return [float(r["mn"]) for r in rows], [float(r["mx"]) for r in rows]
+
+
+def sq8_dequantized(
+    df: DataFrame,
+    mins: list,
+    maxs: list,
+    vec_col: str = "embedding",
+    levels: int = 255,
+) -> DataFrame:
+    """Encode-then-decode through the trained scalar quantizer as ONE
+    map expression: code = clamp(floor(L·(x−mn)/(mx−mn) + 0.5), 0, L),
+    deq = mn + (code·(mx−mn))/L. floor(+0.5) (not round()) so both
+    engines share one tie rule; constant dimensions decode to mn. The
+    quantizer bounds fold in as literal arrays — no join, no shuffle."""
+    mn_arr = F.array(*[F.lit(v) for v in mins])
+    mx_arr = F.array(*[F.lit(v) for v in maxs])
+    bounds = F.zip_with(
+        mn_arr, mx_arr, lambda a, b: F.struct(a.alias("mn"), b.alias("mx"))
+    )
+    lv = F.lit(float(levels))
+
+    def deq(x, s):
+        code = F.least(
+            F.greatest(
+                F.floor(lv * (x - s["mn"]) / (s["mx"] - s["mn"]) + 0.5),
+                F.lit(0.0),
+            ),
+            lv,
+        )
+        return F.when(
+            s["mx"] > s["mn"], s["mn"] + (code * (s["mx"] - s["mn"])) / lv
+        ).otherwise(s["mn"])
+
+    return df.withColumn(vec_col, F.zip_with(F.col(vec_col), bounds, deq))
+
+
+def sq8_recall(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    levels: int = 255,
+) -> DataFrame:
+    """INT8 scalar-quantization retrieval evaluation: exact top-k over
+    the DEQUANTIZED corpus (asymmetric ADC — queries stay full
+    precision, the standard deployment) scored against full-precision
+    ground truth, plus the quantizer's mean squared reconstruction
+    error. The measure-don't-guess gate before committing 4×-smaller
+    vectors at 100 TB (the scalar sibling of ``matryoshka_recall`` /
+    the PQ family).
+
+    Scale shape: training is one dim-grain aggregation; encode/decode
+    is a literal-array map expression; both search arms are the
+    broadcast-queries brute-force shape (corpus streams, never
+    shuffles). MSE rides per-row 6dp-rounded errors ×1e6 as exact
+    decimal sums — partition order cannot perturb it.
+
+    Output: one row ``(n_queries, mean_recall, mse)``.
+    """
+    mins, maxs = sq8_train(corpus, vec_col)
+    truth = knn_brute_force(corpus, queries, k, id_col, vec_col)
+    deq_c = sq8_dequantized(corpus, mins, maxs, vec_col, levels)
+    approx = knn_brute_force(deq_c, queries, k, id_col, vec_col)
+    rec = recall_per_query(truth, approx).agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.round(F.sum("n_hit") / F.sum("n_truth"), 6).alias("mean_recall"),
+    )
+    err = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("__orig"),
+                F.col(vec_col),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    mse = (
+        sq8_dequantized(
+            corpus.withColumn("__orig", F.col(vec_col)),
+            mins,
+            maxs,
+            vec_col,
+            levels,
+        )
+        .select(F.round(err * 1e6).cast("decimal(38,0)").alias("__e"))
+        .agg(
+            F.round(
+                F.sum("__e").cast("double") / 1e6 / F.count(F.lit(1)), 6
+            ).alias("mse")
+        )
+    )
+    return rec.crossJoin(F.broadcast(mse))
+
+
 def kcenter_coreset(
     corpus: DataFrame,
     k: int = 8,

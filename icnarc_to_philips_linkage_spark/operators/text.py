@@ -191,6 +191,124 @@ def with_fingerprint(df: DataFrame, text_col: str = "text", n: int = 3) -> DataF
     )
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    doc_id: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken
+    2003, "Winnowing: Local Algorithms for Document Fingerprinting" —
+    the MOSS algorithm): hash every word k-gram, slide a window of w
+    consecutive hashes, select each window's RIGHTMOST-minimal hash,
+    dedupe selected (hash, position) pairs. The guarantee: any match
+    of at least w+k−1 tokens between two documents shares at least one
+    selected fingerprint, while only ~2/(w+1) of positions are kept —
+    the bounded-density local sampling exact-substring detectors use
+    when storing every gram is too much.
+
+    md5 hex hashes (engine-portable, min over strings is a uniform
+    permutation min); rightmost-min tie-break per the paper (ties only
+    arise for REPEATED gram text, where rightmost selection minimizes
+    re-selections across overlapping windows).
+
+    Entirely map-side: per-document higher-order expressions (one fold
+    per window over the zipped (hash, pos) array) — ZERO shuffles; the
+    output is (id, fingerprints array<struct<h,p>>, n_grams). Documents
+    shorter than k tokens yield their whole-text hash at position 1.
+    """
+    toks = df.select(F.col(doc_id), tokens(text_col).alias("__toks"))
+    gram_hashes = F.expr(
+        f"""
+        CASE WHEN size(__toks) < {k}
+             THEN array(md5(concat_ws(' ', __toks)))
+             ELSE transform(
+                    sequence(1, size(__toks) - {k - 1}),
+                    i -> md5(concat_ws(' ', slice(__toks, i, {k}))))
+        END
+        """
+    )
+    staged = toks.select(
+        F.col(doc_id), gram_hashes.alias("__gh")
+    ).withColumn(
+        "__hp",
+        F.expr(
+            "transform(__gh, (h, i) -> struct(h AS h, i + 1 AS p))"
+        ),
+    )
+    # per window i: fold slice(__hp, i, w) keeping (h asc, p desc)
+    win_min = F.expr(
+        f"""
+        transform(
+          sequence(1, greatest(size(__hp) - {w - 1}, 1)),
+          i -> aggregate(
+                 slice(__hp, i, {w}),
+                 cast(null as struct<h string, p int>),
+                 (acc, x) -> CASE
+                   WHEN acc IS NULL THEN x
+                   WHEN x.h < acc.h OR (x.h = acc.h AND x.p > acc.p)
+                     THEN x
+                   ELSE acc END))
+        """
+    )
+    return staged.select(
+        F.col(doc_id),
+        F.size("__gh").alias("n_grams"),
+        F.array_distinct(win_min).alias("fingerprints"),
+    )
+
+
+def winnow_overlap_report(
+    df: DataFrame,
+    doc_id: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document overlap through winnowed fingerprints: the
+    bounded-density twin of ``duplicated_passage_report`` — instead of
+    every gram, only the ~2/(w+1) winnow-selected ones shuffle, with
+    the paper's guarantee that any shared run of ≥ w+k−1 tokens still
+    surfaces. Output per document: ``(id, n_fingerprints, n_shared,
+    shared_fraction)`` where shared = the fingerprint hash appears in
+    ≥ ``min_docs`` distinct documents.
+
+    Scale shape: fingerprint selection is map-only
+    (``winnow_fingerprints``); the ONLY shuffles are the hash-grain
+    distinct-doc count and the semi join back — both over the winnowed
+    (≈ 2/(w+1)-density) stream, never the full gram table.
+    """
+    fps = winnow_fingerprints(df, doc_id, text_col, k=k, w=w).select(
+        F.col(doc_id),
+        F.explode(F.expr("transform(fingerprints, x -> x.h)")).alias("h"),
+    )
+    per_doc = fps.groupBy(doc_id, "h").agg(F.count(F.lit(1)).alias("__n"))
+    cross = per_doc.groupBy("h").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    shared = cross.filter(F.col("n_docs") >= min_docs).select("h")
+    agg = (
+        per_doc.join(shared, "h", "left_semi")
+        .groupBy(doc_id)
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    totals = per_doc.groupBy(doc_id).agg(
+        F.count(F.lit(1)).alias("n_fingerprints")
+    )
+    return totals.join(agg, doc_id, "left").select(
+        F.col(doc_id),
+        "n_fingerprints",
+        F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+        F.round(
+            F.coalesce("n_shared", F.lit(0))
+            / F.greatest(F.col("n_fingerprints"), F.lit(1)),
+            6,
+        ).alias("shared_fraction"),
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame,
     doc_id: str = "doc_id",
@@ -446,6 +564,184 @@ def ngram_lm_score(
         doc_id,
         F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
         "bits_per_gram",
+    )
+
+
+def ccnet_perplexity_buckets(
+    df: DataFrame,
+    group_col: str = "source",
+    doc_id: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """CCNet's perplexity bucketing (Wenzek et al. 2020): documents
+    split per group (language/crawl) into head / middle / tail by the
+    within-group terciles of their LM score — the step after
+    ``ngram_lm_score`` that CCNet uses to stratify training data by
+    how stereotypical it is (head = lowest bits-per-gram).
+
+    Exactness: tercile thresholds are EXACT weighted percentiles over
+    the (group, score) count grain — the scores are already
+    6dp-quantized by ``ngram_lm_score``, so the grain is bounded and
+    both engines compare identical rounded doubles; per-bucket mean
+    bits ride ×1e6 integer sums (exact decimals) so partition order
+    cannot perturb them.
+
+    Scale shape: ``ngram_lm_score``'s one corpus gram pass, then a
+    (group, score)-grain aggregation for the thresholds (broadcast
+    back — group-cardinality rows) and one map-side bucket assignment
+    + final group×3 aggregation.
+
+    Output: ``(group, bucket, n_docs, mean_bits)`` — bucket ∈
+    head/middle/tail, groups with no scoreable docs absent.
+    """
+    scored = ngram_lm_score(df, doc_id=doc_id, text_col=text_col, n=n)
+    s = scored.join(df.select(doc_id, group_col), doc_id).filter(
+        F.col("bits_per_gram").isNotNull()
+    )
+    counts = s.groupBy(group_col, "bits_per_gram").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    th = counts.groupBy(group_col).agg(
+        F.expr(
+            "percentile(bits_per_gram, array(1.0D/3.0D, 2.0D/3.0D), __c)"
+        ).alias("__th")
+    ).select(
+        group_col,
+        F.round(F.element_at("__th", 1), 6).alias("__t1"),
+        F.round(F.element_at("__th", 2), 6).alias("__t2"),
+    )
+    bucketed = s.join(F.broadcast(th), group_col).withColumn(
+        "bucket",
+        F.when(F.col("bits_per_gram") <= F.col("__t1"), "head")
+        .when(F.col("bits_per_gram") <= F.col("__t2"), "middle")
+        .otherwise("tail"),
+    )
+    return bucketed.groupBy(group_col, "bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(
+            F.sum(
+                F.round(F.col("bits_per_gram") * 1e6).cast("decimal(38,0)")
+            ).cast("double")
+            / 1e6
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_bits"),
+    )
+
+
+def moore_lewis_scores(
+    df: DataFrame,
+    in_domain,
+    doc_id: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Moore–Lewis cross-entropy-difference data selection (Moore &
+    Lewis 2010, "Intelligent Selection of Language Model Training
+    Data"): every document scored by
+    ``ce_diff = bits_in − bits_out`` — its per-gram cross-entropy
+    under a char-n-gram unigram LM trained on the IN-DOMAIN subset
+    (``in_domain``: a boolean Column over ``df``) minus the same under
+    the general-corpus LM. Low ce_diff = looks like the target domain
+    relative to how stereotypical it is overall; selecting the lowest
+    fraction is the classic LM-training-data selection step (the
+    smoothed-LM complement of DSIR's hashed-token ratio).
+
+    Both models take add-``alpha`` (Laplace) smoothing over the POOLED
+    gram vocabulary V, so grams unseen in-domain still score finitely
+    and both engines share one closed form:
+    ``p = (cnt + α) / (total + α·|V|)``.
+
+    Scale shape (the ``ngram_lm_score`` discipline): ONE corpus gram
+    explode to a persisted (doc, gram, cnt, in_flag) frame; BOTH
+    models fall out of one alphabet-bounded re-aggregation of it
+    (in-domain counts are a conditional sum, not a second pass); the
+    grand totals + |V| are a 1-row broadcast; scoring is one
+    broadcast join + per-doc weighted mean. Grams ride as base-128
+    integer codes (injective for normalized text — counts identical
+    to the oracle's string grams).
+
+    Output: ``(doc_id, in_domain, n_grams, bits_in, bits_out,
+    ce_diff)`` — one row per input document, NULL bits for documents
+    shorter than n chars.
+    """
+    from pyspark import StorageLevel
+
+    normed = df.select(
+        F.col(doc_id),
+        in_domain.cast("boolean").alias("__in"),
+        normalize_expr(text_col).alias("__t"),
+    )
+    staged = normed.select(
+        F.col(doc_id),
+        "__in",
+        F.length("__t").alias("__n"),
+        F.transform(
+            F.split(F.col("__t"), ""), lambda c: F.ascii(c)
+        ).alias("__c"),
+    )
+    code = lambda i: sum(  # noqa: E731 - tight local expr builder
+        (
+            F.element_at(F.col("__c"), i + j) * F.lit(128 ** (n - 1 - j))
+            for j in range(1, n)
+        ),
+        F.element_at(F.col("__c"), i) * F.lit(128 ** (n - 1)),
+    )
+    grams = F.when(
+        F.col("__n") < n, F.array().cast("array<int>")
+    ).otherwise(
+        F.transform(F.sequence(F.lit(1), F.col("__n") - (n - 1)), code)
+    )
+    dg = (
+        staged.select(
+            F.col(doc_id), "__in", F.explode(grams).alias("gram")
+        )
+        .groupBy(doc_id, "__in", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    cachereg.track(dg)
+    model = dg.groupBy("gram").agg(
+        F.sum("cnt").alias("all_n"),
+        F.sum(F.when(F.col("__in"), F.col("cnt")).otherwise(0)).alias(
+            "in_n"
+        ),
+    )
+    tot = model.agg(
+        F.sum("all_n").alias("all_tot"),
+        F.sum("in_n").alias("in_tot"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    a = F.lit(float(alpha))
+    p_in = (F.col("in_n") + a) / (F.col("in_tot") + a * F.col("v"))
+    p_out = (F.col("all_n") + a) / (F.col("all_tot") + a * F.col("v"))
+    scored = (
+        dg.join(F.broadcast(model), "gram")
+        .crossJoin(F.broadcast(tot))
+        .groupBy(doc_id, "__in")
+        .agg(
+            F.sum("cnt").alias("n_grams"),
+            (-(F.sum(F.col("cnt") * F.log2(p_in)) / F.sum("cnt"))).alias(
+                "__bin"
+            ),
+            (-(F.sum(F.col("cnt") * F.log2(p_out)) / F.sum("cnt"))).alias(
+                "__bout"
+            ),
+        )
+    )
+    return (
+        normed.select(doc_id, "__in")
+        .join(scored, [doc_id, "__in"], "left")
+        .select(
+            F.col(doc_id),
+            F.col("__in").alias("in_domain"),
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.round("__bin", 6).alias("bits_in"),
+            F.round("__bout", 6).alias("bits_out"),
+            F.round(F.col("__bin") - F.col("__bout"), 6).alias("ce_diff"),
+        )
     )
 
 

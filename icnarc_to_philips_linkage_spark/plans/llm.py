@@ -3882,6 +3882,219 @@ ORDER BY d.doc_id
 """
 
 
+def sample_moore_lewis(spark: SparkSession, sf: str) -> DataFrame:
+    """Moore–Lewis cross-entropy-difference selection scores
+    (text.moore_lewis_scores): src0 is the in-domain target; every doc
+    scored bits_in − bits_out under Laplace-smoothed char-trigram LMs
+    (in-domain vs whole pool), both models from ONE gram pass."""
+    docs = spread(load(spark, sf, "documents"), "doc_id")
+    return text.moore_lewis_scores(
+        docs, F.col("source") == "src0", n=_LM_N
+    )
+
+
+MOORE_LEWIS_SQL = rf"""
+WITH norm AS (
+  SELECT doc_id, source = 'src0' AS in_domain,
+         trim(regexp_replace(
+           regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+           '\s+', ' ', 'g')) AS t
+  FROM documents),
+grams AS (
+  SELECT doc_id, in_domain, unnest(
+    CASE WHEN length(t) < {_LM_N} THEN []
+         ELSE list_transform(generate_series(1, length(t) - {_LM_N - 1}),
+                             i -> substr(t, i, {_LM_N})) END) AS gram
+  FROM norm),
+model AS (
+  SELECT gram, COUNT(*) AS all_n,
+         SUM(CASE WHEN in_domain THEN 1 ELSE 0 END) AS in_n
+  FROM grams GROUP BY 1),
+tot AS (
+  SELECT SUM(all_n) AS all_tot, SUM(in_n) AS in_tot, COUNT(*) AS v
+  FROM model),
+scored AS (
+  SELECT doc_id, SUM(g.cnt) AS n_grams,
+         -SUM(g.cnt * log2((in_n + 1.0) / (in_tot + 1.0 * v)))
+           / SUM(g.cnt) AS bin,
+         -SUM(g.cnt * log2((all_n + 1.0) / (all_tot + 1.0 * v)))
+           / SUM(g.cnt) AS bout
+  FROM (SELECT doc_id, gram, COUNT(*) AS cnt
+        FROM grams GROUP BY 1, 2) g
+  JOIN model USING (gram) CROSS JOIN tot
+  GROUP BY doc_id)
+SELECT n.doc_id, n.in_domain,
+       CAST(COALESCE(s.n_grams, 0) AS BIGINT) AS n_grams,
+       ROUND(s.bin, 6) AS bits_in,
+       ROUND(s.bout, 6) AS bits_out,
+       ROUND(s.bin - s.bout, 6) AS ce_diff
+FROM norm n LEFT JOIN scored s USING (doc_id)
+"""
+
+
+def quality_ccnet_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity bucketing per source
+    (text.ccnet_perplexity_buckets): exact within-source tercile
+    thresholds over the 6dp-quantized LM scores, ×1e6 integer mean."""
+    return text.ccnet_perplexity_buckets(
+        spread(load(spark, sf, "documents"), "doc_id"), n=_LM_N
+    )
+
+
+CCNET_BUCKETS_SQL = rf"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(
+           regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+           '\s+', ' ', 'g')) AS t
+  FROM documents),
+grams AS (
+  SELECT doc_id, unnest(
+    CASE WHEN length(t) < {_LM_N} THEN []
+         ELSE list_transform(generate_series(1, length(t) - {_LM_N - 1}),
+                             i -> substr(t, i, {_LM_N})) END) AS gram
+  FROM norm),
+model AS (SELECT gram, COUNT(*) AS gram_n FROM grams GROUP BY 1),
+tot AS (SELECT SUM(gram_n) AS total_n FROM model),
+scored AS (
+  SELECT doc_id,
+         ROUND(-AVG(log2(gram_n / total_n)), 6) AS bits
+  FROM grams JOIN model USING (gram) CROSS JOIN tot
+  GROUP BY doc_id),
+src AS (
+  SELECT d.source, s.bits FROM scored s JOIN documents d USING (doc_id)
+  WHERE s.bits IS NOT NULL),
+th AS (
+  SELECT source,
+         ROUND(quantile_cont(bits, 1.0/3), 6) AS t1,
+         ROUND(quantile_cont(bits, 2.0/3), 6) AS t2
+  FROM src GROUP BY 1),
+b AS (
+  SELECT src.source,
+         CASE WHEN bits <= t1 THEN 'head'
+              WHEN bits <= t2 THEN 'middle'
+              ELSE 'tail' END AS bucket,
+         bits
+  FROM src JOIN th USING (source))
+SELECT source, bucket, COUNT(*) AS n_docs,
+       ROUND(SUM(CAST(ROUND(bits * 1e6) AS HUGEINT)) / 1e6 / COUNT(*), 6)
+         AS mean_bits
+FROM b GROUP BY 1, 2
+"""
+
+
+def text_tokenizer_fertility(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer fertility / compression report per source: after
+    applying the trained BPE merges corpus-wide (text.bpe_encode with
+    text_bpe_train's memoized run), tokens-per-word and
+    chars-per-token per source — the standard 'how well does the
+    tokenizer fit each slice' deployment report. Integer sums, one
+    doc-grain join to the source column."""
+    d = spread(load(spark, sf, "documents"), "doc_id")
+    merges = [(l, r) for _, l, r, _, _ in _bpe_merge_rows(spark, sf)]
+    enc = text.bpe_encode(d, merges)
+    return (
+        enc.join(
+            load(spark, sf, "documents").select(
+                "doc_id", "source", "n_chars"
+            ),
+            "doc_id",
+        )
+        .groupBy("source")
+        .agg(
+            F.sum("n_words").alias("words"),
+            F.sum("n_tokens").alias("tokens"),
+            F.sum("n_chars").alias("chars"),
+            F.round(
+                F.sum("n_tokens")
+                / F.when(F.sum("n_words") > 0, F.sum("n_words")),
+                6,
+            ).alias("fertility"),
+            F.round(
+                F.sum("n_chars")
+                / F.when(F.sum("n_tokens") > 0, F.sum("n_tokens")),
+                6,
+            ).alias("chars_per_token"),
+        )
+    )
+
+
+def _fertility_sql() -> str:
+    enc = _bpe_encode_sql()
+    return f"""
+WITH enc AS ({enc})
+SELECT d.source,
+       SUM(e.n_words) AS words,
+       SUM(e.n_tokens) AS tokens,
+       SUM(d.n_chars) AS chars,
+       ROUND(SUM(e.n_tokens) / CAST(CASE WHEN SUM(e.n_words) > 0
+             THEN SUM(e.n_words) END AS DOUBLE), 6) AS fertility,
+       ROUND(SUM(d.n_chars) / CAST(CASE WHEN SUM(e.n_tokens) > 0
+             THEN SUM(e.n_tokens) END AS DOUBLE), 6) AS chars_per_token
+FROM enc e JOIN documents d USING (doc_id)
+GROUP BY 1
+"""
+
+
+_WINNOW_K, _WINNOW_W = 5, 4
+
+
+def dedup_winnow_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing (MOSS) cross-doc overlap (text.winnow_overlap_report):
+    per-window rightmost-min fingerprint selection is pure map-side
+    HOFs; only the ~2/(w+1)-density winnowed stream shuffles. The
+    oracle restates the window-min RELATIONALLY (gram→window explode +
+    ROW_NUMBER argmin) — an independent formulation of the same
+    selection."""
+    return text.winnow_overlap_report(
+        spread(load(spark, sf, "documents"), "doc_id"),
+        k=_WINNOW_K,
+        w=_WINNOW_W,
+    )
+
+
+def _winnow_sql() -> str:
+    k, w = _WINNOW_K, _WINNOW_W
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+gh AS (
+  SELECT doc_id, i AS p,
+         md5(array_to_string(t[i:i+{k - 1}], ' ')) AS h
+  FROM toks, unnest(generate_series(
+    1, CASE WHEN len(t) < {k} THEN 0 ELSE len(t) - {k - 1} END)) u(i)
+  UNION ALL
+  SELECT doc_id, 1 AS p, md5(array_to_string(t, ' ')) AS h
+  FROM toks WHERE len(t) < {k}
+),
+ng AS (SELECT doc_id, COUNT(*) AS n FROM gh GROUP BY 1),
+wins AS (
+  SELECT g.doc_id, v.j, g.h, g.p
+  FROM gh g JOIN ng USING (doc_id),
+       unnest(generate_series(
+         GREATEST(1, g.p - {w - 1}),
+         LEAST(g.p, GREATEST(ng.n - {w - 1}, 1)))) v(j)
+),
+sel AS (
+  SELECT DISTINCT doc_id, h FROM (
+    SELECT doc_id, j, h, p,
+           ROW_NUMBER() OVER (PARTITION BY doc_id, j
+                              ORDER BY h ASC, p DESC) AS rn
+    FROM wins) WHERE rn = 1
+),
+cross_c AS (SELECT h, COUNT(*) AS n_docs FROM sel GROUP BY 1),
+tot AS (SELECT doc_id, COUNT(*) AS n_fingerprints FROM sel GROUP BY 1),
+sh AS (
+  SELECT s.doc_id, COUNT(*) AS n_shared
+  FROM sel s JOIN cross_c c USING (h)
+  WHERE c.n_docs >= 2 GROUP BY 1
+)
+SELECT t.doc_id, t.n_fingerprints,
+       COALESCE(sh.n_shared, 0) AS n_shared,
+       ROUND(COALESCE(sh.n_shared, 0)
+             / GREATEST(t.n_fingerprints, 1), 6) AS shared_fraction
+FROM tot t LEFT JOIN sh USING (doc_id)
+"""
+
+
 _DSIR_B = 256
 _DSIR_SALT = "dsir"
 _BPE_TOP = 50
@@ -5058,6 +5271,79 @@ def sim_matryoshka_recall(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def sim_sq8_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """INT8 scalar-quantization retrieval eval (similarity.sq8_recall):
+    per-dim [min,max] trained on the corpus, asymmetric top-5 search
+    over the dequantized vectors vs full-precision truth, plus the
+    exact-decimal reconstruction MSE. The oracle re-derives the
+    quantizer bounds and the whole encode/decode in SQL."""
+    emb = load(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < KNN_QUERY_LIMIT)
+    return similarity.sq8_recall(emb, q, k=5)
+
+
+def _sq8_sql() -> str:
+    deq_elem = (
+        "CASE WHEN mxs[j] > mns[j] THEN mns[j] + "
+        "(LEAST(GREATEST(FLOOR(255.0 * "
+        "(CAST(embedding[j] AS DOUBLE) - mns[j]) / (mxs[j] - mns[j]) "
+        "+ 0.5), 0.0), 255.0) * (mxs[j] - mns[j])) / 255.0 "
+        "ELSE mns[j] END"
+    )
+    return f"""
+WITH dims AS (
+  SELECT d, MIN(CAST(embedding[d] AS DOUBLE)) AS mn,
+         MAX(CAST(embedding[d] AS DOUBLE)) AS mx
+  FROM embeddings, unnest(generate_series(1, {DIM})) t(d)
+  GROUP BY d
+),
+bounds AS (
+  SELECT list(mn ORDER BY d) AS mns, list(mx ORDER BY d) AS mxs
+  FROM dims
+),
+deqc AS (
+  SELECT vec_id,
+         list_transform(generate_series(1, {DIM}), j -> {deq_elem})
+           AS dv
+  FROM embeddings CROSS JOIN bounds
+),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      WHERE vec_id < {KNN_QUERY_LIMIT}),
+truth AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+           {_cos_sql('q.qv', 'c.embedding')} AS cos_sim
+    FROM embeddings c, q WHERE c.vec_id != q.query_id)
+  QUALIFY row_number() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) <= 5
+),
+apx AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+           {_cos_sql('q.qv', 'c.dv')} AS cos_sim
+    FROM deqc c, q WHERE c.vec_id != q.query_id)
+  QUALIFY row_number() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) <= 5
+),
+mseq AS (
+  SELECT CAST(ROUND(ROUND(
+           list_reduce(
+             list_prepend(0.0, list_transform(generate_series(1, {DIM}),
+               j -> (CAST(e.embedding[j] AS DOUBLE) - d.dv[j])
+                    * (CAST(e.embedding[j] AS DOUBLE) - d.dv[j]))),
+             (a, x) -> a + x), 6) * 1e6) AS HUGEINT) AS e6
+  FROM embeddings e JOIN deqc d USING (vec_id)
+)
+SELECT
+  (SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) FROM truth)
+    AS n_queries,
+  ROUND((SELECT COUNT(*) FROM truth t JOIN apx a
+         USING (query_id, neighbor_id)) * 1.0
+        / (SELECT COUNT(*) FROM truth), 6) AS mean_recall,
+  (SELECT ROUND(SUM(e6) / 1e6 / COUNT(*), 6) FROM mseq) AS mse
+"""
+
+
 def _cos_sql_d(a: str, b: str, d: int) -> str:
     def dotp(x: str, y: str) -> str:
         return (
@@ -5636,6 +5922,11 @@ QUERIES: dict[str, tuple] = {
     "dedup_span_removal": (dedup_span_removal, _span_removal_sql()),
     "dedup_paragraphs_c4": (dedup_paragraphs_c4, _para_c4_sql()),
     "text_bpe_encode": (text_bpe_encode, _bpe_encode_sql()),
+    "sample_moore_lewis": (sample_moore_lewis, MOORE_LEWIS_SQL),
+    "quality_ccnet_buckets": (quality_ccnet_buckets, CCNET_BUCKETS_SQL),
+    "dedup_winnow_overlap": (dedup_winnow_overlap, _winnow_sql()),
+    "sim_sq8_recall": (sim_sq8_recall, _sq8_sql()),
+    "text_tokenizer_fertility": (text_tokenizer_fertility, _fertility_sql()),
     "sketch_theta_setops": (sketch_theta_setops, SKETCH_THETA_SQL),
     "pack_context_windows": (pack_context_windows, PACK_SQL),
     "pack_bins_ffd": (pack_bins_ffd, FFD_INVARIANT_SQL),

@@ -398,6 +398,207 @@ def test_mad_exact_matches_percentile_reference(spark):
     assert out.med == round(ref_med, 6)
 
 
+# ---------------------------------------------------------------------------
+# moore_lewis_scores
+# ---------------------------------------------------------------------------
+
+
+def test_moore_lewis_matches_python_replay(spark):
+    """Hand replay of the smoothed char-trigram cross-entropy
+    difference on a tiny corpus."""
+    import math
+    from collections import Counter
+
+    from icnarc_to_philips_linkage_spark.operators.text import (
+        moore_lewis_scores,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "abcabc", True),
+        (2, "abcxyz", False),
+        (3, "xyzxyz", False),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, dom boolean")
+    out = {
+        r.doc_id: r
+        for r in moore_lewis_scores(df, F.col("dom"), n=3).collect()
+    }
+
+    def grams(t):
+        return [t[i : i + 3] for i in range(len(t) - 2)]
+
+    all_c = Counter(g for _, t, _ in rows for g in grams(t))
+    in_c = Counter(g for _, t, d in rows if d for g in grams(t))
+    v = len(all_c)
+    all_tot, in_tot = sum(all_c.values()), sum(in_c.values())
+    for doc_id, t, dom in rows:
+        gs = grams(t)
+        bits_in = -sum(
+            math.log2((in_c[g] + 1) / (in_tot + v)) for g in gs
+        ) / len(gs)
+        bits_out = -sum(
+            math.log2((all_c[g] + 1) / (all_tot + v)) for g in gs
+        ) / len(gs)
+        r = out[doc_id]
+        assert r.in_domain == dom and r.n_grams == len(gs)
+        assert abs(r.bits_in - bits_in) < 1e-5
+        assert abs(r.bits_out - bits_out) < 1e-5
+        assert abs(r.ce_diff - (bits_in - bits_out)) < 1e-5
+    # the in-domain doc must look most in-domain-like
+    assert out[1].ce_diff < out[2].ce_diff < out[3].ce_diff
+
+
+def test_moore_lewis_short_doc_null_bits(spark):
+    from icnarc_to_philips_linkage_spark.operators.text import (
+        moore_lewis_scores,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "ab", True), (2, "abcdef", False)],
+        "doc_id long, text string, dom boolean",
+    )
+    out = {
+        r.doc_id: r
+        for r in moore_lewis_scores(df, F.col("dom"), n=3).collect()
+    }
+    assert out[1].n_grams == 0 and out[1].bits_in is None
+    assert out[2].n_grams == 4
+
+
+# ---------------------------------------------------------------------------
+# ccnet_perplexity_buckets
+# ---------------------------------------------------------------------------
+
+
+def test_ccnet_buckets_split_by_terciles(spark):
+    """Nine docs in one source with three distinct score levels (three
+    stereotyped, three mixed, three unusual): head must hold the
+    lowest-bits docs and every bucket must count 3."""
+    from icnarc_to_philips_linkage_spark.operators.text import (
+        ccnet_perplexity_buckets,
+    )
+
+    common = "aaaaaaaaaaaaaaaa"
+    mixed = "aaaabbbbaaaabbbb"
+    rare = "qwxzjvkpqwxzjvkp"
+    rows = [(i, "s0", t) for i, t in enumerate(
+        [common] * 3 + [mixed] * 3 + [rare] * 3
+    )]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r.bucket: r for r in ccnet_perplexity_buckets(df).collect()}
+    assert set(out) == {"head", "middle", "tail"}
+    assert all(out[b].n_docs == 3 for b in out)
+    assert out["head"].mean_bits < out["middle"].mean_bits
+    assert out["middle"].mean_bits < out["tail"].mean_bits
+
+
+# ---------------------------------------------------------------------------
+# winnowing (Schleimer et al. 2003)
+# ---------------------------------------------------------------------------
+
+
+def test_winnow_guarantee_shared_long_span_surfaces(spark):
+    """Any shared run of >= w+k-1 tokens must share a fingerprint
+    (the paper's guarantee), and unique docs share nothing."""
+    from icnarc_to_philips_linkage_spark.operators.text import (
+        winnow_overlap_report,
+    )
+
+    span = "one two three four five six seven eight nine ten"  # 10 >= 8
+    rows = [
+        (1, "alpha beta gamma " + span + " delta"),
+        (2, "unrelated prefix here " + span + " suffix"),
+        (3, "completely different text with no shared content anywhere"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in winnow_overlap_report(df, k=5, w=4).collect()}
+    assert out[1].n_shared >= 1 and out[2].n_shared >= 1
+    assert out[3].n_shared == 0
+
+
+def test_winnow_density_bound(spark):
+    """Winnowing keeps roughly 2/(w+1) of positions — assert the
+    selected set is much smaller than the gram count on a long doc."""
+    from icnarc_to_philips_linkage_spark.operators.text import (
+        winnow_fingerprints,
+    )
+
+    words = " ".join(f"w{i * 7919 % 1000}x{i}" for i in range(400))
+    df = spark.createDataFrame([(1, words)], "doc_id long, text string")
+    r = winnow_fingerprints(df, k=5, w=4).collect()[0]
+    assert r.n_grams == 396
+    # expectation 2/(w+1) = 0.4; allow generous slack both ways
+    assert 0.2 * r.n_grams < len(r.fingerprints) < 0.6 * r.n_grams
+
+
+def test_winnow_replay_pure_python(spark):
+    """Exact replay: rightmost-min per window over md5 hex hashes."""
+    import hashlib
+
+    from icnarc_to_philips_linkage_spark.operators.text import (
+        winnow_fingerprints,
+    )
+
+    text = "a b c a b c d e f a b"
+    k, w = 3, 2
+    toks = text.split()
+    grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    hs = [hashlib.md5(g.encode()).hexdigest() for g in grams]
+    sel = set()
+    for i in range(len(hs) - w + 1):
+        win = list(enumerate(hs))[i : i + w]
+        best = min(win, key=lambda t: (t[1], -t[0]))
+        sel.add((best[1], best[0] + 1))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = winnow_fingerprints(df, k=k, w=w).collect()[0]
+    got = {(x.h, x.p) for x in r.fingerprints}
+    assert got == sel
+
+
+# ---------------------------------------------------------------------------
+# sq8 scalar quantization
+# ---------------------------------------------------------------------------
+
+
+def test_sq8_dequantize_bounds_and_identity(spark):
+    from icnarc_to_philips_linkage_spark.operators.similarity import (
+        sq8_dequantized,
+        sq8_train,
+    )
+
+    rows = [(i, [float(i), 0.5, -1.0 + i]) for i in range(4)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    mins, maxs = sq8_train(df)
+    assert mins == [0.0, 0.5, -1.0] and maxs == [3.0, 0.5, 2.0]
+    out = {r.vec_id: r.embedding for r in sq8_dequantized(df, mins, maxs).collect()}
+    for i in range(4):
+        # endpoints reconstruct exactly; constant dim -> mn
+        assert abs(out[i][0] - float(i)) < 3.0 / 255 + 1e-9
+        assert out[i][1] == 0.5
+    assert out[0][0] == 0.0 and out[3][0] == 3.0  # exact at the ends
+
+
+def test_sq8_recall_near_perfect_on_spread_vectors(spark):
+    from icnarc_to_philips_linkage_spark.operators.similarity import (
+        sq8_recall,
+    )
+
+    import random
+
+    rnd = random.Random(7)
+    rows = [
+        (i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter("vec_id < 5")
+    out = sq8_recall(df, q, k=3).collect()[0]
+    assert out.n_queries == 5
+    assert out.mean_recall >= 0.8  # 8-bit noise rarely flips top-3
+    assert 0 < out.mse < 1e-3
+
+
 def test_mwu_partition_invariant(spark):
     from icnarc_to_philips_linkage_spark.operators import profile
 
