@@ -1373,6 +1373,130 @@ def jaccard_prefix_join(
         .filter(F.col("jaccard") >= t_lit)
     )
 
+def containment_prefix_join(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    set_col: str | None = None,
+) -> DataFrame:
+    """EXACT directed containment self-join with prefix filtering —
+    c(A→B) = |A∩B| / |A| ≥ t: document A's element set is mostly
+    inside B's (quote inclusion, subset-page detection, snippet
+    provenance). The asymmetric sibling of ``jaccard_prefix_join``:
+    Jaccard punishes |B|'s size, so a short quote inside a long page
+    scores near zero there but 1.0 here.
+
+    Candidate generation stays an equi-join with GUARANTEED recall:
+    under the shared rare-first total order, if |A∩B| ≥ ⌈t·|A|⌉ =: α
+    then one of A's first |A| − α + 1 elements is in the intersection
+    (at most |A| − α elements of A are missing from it), so only A's
+    prefix explodes on the probe side. Containment has NO upper size
+    bound on B, so the B side is the full inverted index — the honest
+    cost of the asymmetric predicate (the same index side every
+    containment join in the set-similarity literature pays). Pruning
+    in the join condition, all exact-rational integer
+    cross-multiplications (``_threshold_ratio``): size bound
+    q·|B| ≥ p·|A| (the intersection can't exceed |B|) and the
+    positional bound (1 + min(|A|−i−1, |B|−j−1))·q ≥ p·|A| at matched
+    prefix/index positions (i, j). Exact set intersection verifies
+    candidates; emitted pairs satisfy q·|A∩B| ≥ p·|A| exactly.
+
+    Output: directed ``(id_a, id_b, containment)`` rows (id_a ≠ id_b,
+    6dp). ``set_col`` swaps in a precomputed element set (shingles for
+    template-heavy corpora), as in ``jaccard_prefix_join``.
+    """
+    from pyspark import StorageLevel
+
+    if set_col is not None:
+        toks = df.select(
+            F.col(id_col), F.array_distinct(F.col(set_col)).alias("__tk")
+        ).filter(F.size("__tk") > 0)
+    else:
+        toks = df.select(
+            F.col(id_col),
+            F.array_distinct(
+                F.filter(
+                    F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+                    lambda t: t != "",
+                )
+            ).alias("__tk"),
+        ).filter(F.size("__tk") > 0)
+    toks = toks.persist(StorageLevel.MEMORY_AND_DISK)
+    cachereg.track(toks)
+    flat = toks.select(F.col(id_col), F.explode("__tk").alias("__token"))
+    counts = flat.groupBy("__token").agg(F.count(F.lit(1)).alias("__cnt"))
+    ranked = (
+        flat.join(counts, "__token")
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("__cnt", "__token"))
+            ).alias("__ord")
+        )
+        .select(
+            F.col(id_col),
+            F.expr("transform(__ord, x -> x.__token)").alias("__tk"),
+            F.size("__ord").alias("__n"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    cachereg.track(ranked)
+    p, q = _threshold_ratio(threshold)
+    a = ranked.select(
+        F.col(id_col).alias("id_a"),
+        F.col("__n").alias("__na"),
+        F.posexplode(
+            F.slice(
+                "__tk",
+                1,
+                F.expr(
+                    f"CAST(__n - (({p}L * __n + {q - 1}) div {q}) + 1"
+                    " AS int)"
+                ),
+            )
+        ).alias("__pa", "__token"),
+    )
+    b = ranked.select(
+        F.col(id_col).alias("id_b"),
+        F.col("__n").alias("__nb"),
+        F.posexplode("__tk").alias("__pb", "__token"),
+    )
+    na_l, nb_l = a["__na"].cast("long"), b["__nb"].cast("long")
+    ubound = (
+        1 + F.least(a["__na"] - a["__pa"] - 1, b["__nb"] - b["__pb"] - 1)
+    ).cast("long")
+    cand_ids = (
+        a.join(
+            b,
+            (a["__token"] == b["__token"])
+            & (a["id_a"] != b["id_b"])
+            & (F.lit(q) * nb_l >= F.lit(p) * na_l)
+            & (ubound * F.lit(q) >= F.lit(p) * na_l),
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    da = ranked.select(
+        F.col(id_col).alias("id_a"),
+        F.col("__tk").alias("__tka"),
+        F.col("__n").alias("__na"),
+    )
+    db = ranked.select(
+        F.col(id_col).alias("id_b"),
+        F.col("__tk").alias("__tkb"),
+        F.col("__n").alias("__nb"),
+    )
+    cand = cand_ids.join(da, "id_a").join(db, "id_b")
+    common = F.size(F.array_intersect("__tka", "__tkb")).cast("long")
+    keep = common * F.lit(q) >= F.lit(p) * F.col("__na").cast("long")
+    return cand.filter(keep).select(
+        "id_a",
+        "id_b",
+        F.round(common / F.col("__na"), 6).alias("containment"),
+    )
+
+
 def _jaccard_rs_tokens(
     df: DataFrame, id_col: str, text_col: str, set_col: str | None, alias: str
 ) -> DataFrame:

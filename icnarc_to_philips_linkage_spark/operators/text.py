@@ -595,9 +595,16 @@ def ccnet_perplexity_buckets(
     Output: ``(group, bucket, n_docs, mean_bits)`` — bucket ∈
     head/middle/tail, groups with no scoreable docs absent.
     """
+    from pyspark import StorageLevel
+
     scored = ngram_lm_score(df, doc_id=doc_id, text_col=text_col, n=n)
-    s = scored.join(df.select(doc_id, group_col), doc_id).filter(
-        F.col("bits_per_gram").isNotNull()
+    # both the threshold pass and the bucket pass read the scored
+    # frame — persist it or the LM scoring join executes twice
+    s = cachereg.track(
+        scored.join(df.select(doc_id, group_col), doc_id)
+        .filter(F.col("bits_per_gram").isNotNull())
+        .select(doc_id, group_col, "bits_per_gram")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     counts = s.groupBy(group_col, "bits_per_gram").agg(
         F.count(F.lit(1)).alias("__c")

@@ -213,6 +213,47 @@ WHERE ROUND({jac}, 6) >= {NGRAM_T}
 """
 
 
+_CONTAIN_EXACT_T = 0.6
+
+
+def dedup_containment_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """GUARANTEED-recall DIRECTED containment pairs via PREFIX
+    filtering (dedup_scale.containment_prefix_join): c(A→B) =
+    |A∩B|/|A| ≥ 0.6 over shingle sets — the prefix-filtered upgrade of
+    ``dedup_containment`` exactly as ``dedup_jaccard_prefix_exact``
+    upgrades ``dedup_ngram_jaccard``: the existing op materializes a
+    candidate for EVERY gram-sharing pair, while here only A's
+    rarity-ordered prefix explodes on the probe side (candidates
+    bounded by the prefix, exact-rational size/positional pruning in
+    the join condition). Oracle = independent brute-force all-pairs
+    containment in DuckDB, so the prefix filter's completeness is
+    differentially checked."""
+    sets = dedup_scale.shingle_sets(
+        spread(load(spark, sf, "documents"), "doc_id"), n=SHINGLE_N
+    )
+    return dedup_scale.containment_prefix_join(
+        sets, threshold=_CONTAIN_EXACT_T, set_col="sh_arr"
+    )
+
+
+def _containment_exact_sql() -> str:
+    from fractions import Fraction
+
+    fr = Fraction(str(_CONTAIN_EXACT_T))
+    p, q = fr.numerator, fr.denominator
+    return f"""
+WITH {_shingle_cte()},
+sets AS (
+  SELECT doc_id, list(shingle) AS sh FROM sh GROUP BY doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND(len(list_intersect(a.sh, b.sh)) * 1.0 / len(a.sh), 6)
+         AS containment
+FROM sets a JOIN sets b ON a.doc_id != b.doc_id
+WHERE len(list_intersect(a.sh, b.sh)) * {q} >= {p} * len(a.sh)
+"""
+
+
 def decontam_doc_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     """GUARANTEED-recall document-level decontamination: exact
     cross-corpus shingle-Jaccard join (dedup_scale.jaccard_prefix_join_rs)
@@ -5926,6 +5967,7 @@ QUERIES: dict[str, tuple] = {
     "quality_ccnet_buckets": (quality_ccnet_buckets, CCNET_BUCKETS_SQL),
     "dedup_winnow_overlap": (dedup_winnow_overlap, _winnow_sql()),
     "sim_sq8_recall": (sim_sq8_recall, _sq8_sql()),
+    "dedup_containment_exact": (dedup_containment_exact, _containment_exact_sql()),
     "text_tokenizer_fertility": (text_tokenizer_fertility, _fertility_sql()),
     "sketch_theta_setops": (sketch_theta_setops, SKETCH_THETA_SQL),
     "pack_context_windows": (pack_context_windows, PACK_SQL),

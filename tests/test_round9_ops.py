@@ -599,6 +599,70 @@ def test_sq8_recall_near_perfect_on_spread_vectors(spark):
     assert 0 < out.mse < 1e-3
 
 
+# ---------------------------------------------------------------------------
+# containment_prefix_join
+# ---------------------------------------------------------------------------
+
+
+def test_containment_quote_in_page_directed(spark):
+    """A short quote fully inside a long page: containment(quote→page)
+    = 1.0 even though Jaccard is far below threshold; the reverse
+    direction does not qualify."""
+    from icnarc_to_philips_linkage_spark.operators.dedup_scale import (
+        containment_prefix_join,
+    )
+
+    quote = "to be or not to be that is the question"
+    page = (
+        "many other words surround the famous line here "
+        + quote
+        + " and the page continues with plenty more unrelated content"
+        " covering several additional topics entirely"
+    )
+    df = spark.createDataFrame(
+        [(1, quote), (2, page), (3, "completely unrelated text words")],
+        "doc_id long, text string",
+    )
+    out = {
+        (r.id_a, r.id_b): r.containment
+        for r in containment_prefix_join(df, threshold=0.8).collect()
+    }
+    assert out[(1, 2)] == 1.0
+    assert (2, 1) not in out  # page not contained in quote
+    assert all(3 not in k for k in out)
+
+
+def test_containment_completeness_vs_brute_force(spark):
+    """Prefix-filtered result must equal brute-force all-pairs on a
+    corpus engineered to stress prefix boundaries (heavy overlap)."""
+    from icnarc_to_philips_linkage_spark.operators.dedup_scale import (
+        containment_prefix_join,
+    )
+
+    vocab = [f"w{i}" for i in range(12)]
+    rows = []
+    for d in range(14):
+        toks = [vocab[(d * 3 + j) % 12] for j in range(4 + d % 5)]
+        rows.append((d, " ".join(toks)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    t = 0.6
+    got = {
+        (r.id_a, r.id_b): r.containment
+        for r in containment_prefix_join(df, threshold=t).collect()
+    }
+    sets = {d: set(txt.split()) for d, txt in rows}
+    want = {}
+    for a in sets:
+        for b in sets:
+            if a == b:
+                continue
+            c = len(sets[a] & sets[b]) / len(sets[a])
+            # exact rational qualify: 5*common >= 3*|A|
+            if len(sets[a] & sets[b]) * 5 >= 3 * len(sets[a]):
+                want[(a, b)] = round(c, 6)
+    assert got == want
+
+
 def test_mwu_partition_invariant(spark):
     from icnarc_to_philips_linkage_spark.operators import profile
 

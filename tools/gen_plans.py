@@ -132,6 +132,38 @@ SECTIONS: list[tuple[str, str]] = [
         "argmax; the localCheckpoint per round pins lineage so the "
         "final plan is k-bounded, not 2^k.",
     ),
+    (
+        "dedup_span_removal",
+        "Lee-et-al. span removal: the positional gram table is the only "
+        "corpus-sized intermediate; keeper selection is one md5-uniform "
+        "groupBy(gram) with map-side partial agg; coverage explodes "
+        "map-side (×n, duplicates only) and the final cut is ONE "
+        "doc-grain equi-join + higher-order filter — the token stream "
+        "itself never rides a collect_list.",
+    ),
+    (
+        "text_bpe_encode",
+        "Trained-merge application: the merge folds run over the "
+        "DISTINCT-WORD vocabulary only (localCheckpointed every 3 "
+        "merges to bound expression depth); the corpus pays one "
+        "BroadcastHashJoin of the encoded vocabulary onto its word "
+        "stream plus a doc-grain reassembly aggregate.",
+    ),
+    (
+        "dedup_winnow_overlap",
+        "Winnowing: fingerprint selection (per-window rightmost-min "
+        "folds) is entirely inside the scan-stage projection — zero "
+        "exchanges before the winnowed ~2/(w+1)-density stream; the "
+        "only shuffles are the hash-grain distinct-doc count and the "
+        "left-semi join back.",
+    ),
+    (
+        "sample_moore_lewis",
+        "Cross-entropy difference selection: ONE gram explode feeds "
+        "both LMs (the in-domain model is a conditional sum inside the "
+        "same alphabet-bounded aggregate); both models broadcast; "
+        "scoring is one broadcast join + per-doc weighted mean.",
+    ),
 ]
 
 SF = "/root/testdata/sf0.001"
