@@ -945,3 +945,199 @@ def confusion_report(
             ),
         ).alias("f1"),
     )
+
+
+def conformal_coverage_binary(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    cal_col: str,
+    alpha: float = 0.2,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Split conformal prediction for a binary classifier (Vovk et al.;
+    the finite-sample coverage guarantee a quality-filter threshold
+    does NOT have): calibrate the nonconformity quantile q̂ on the
+    calibration split, then measure empirical coverage and mean
+    prediction-set size on the held-out split.
+
+    Nonconformity is the standard ``1 − p_y`` score (``p`` =
+    ``score_col``, the predicted probability of class 1): ``s = 1 − p``
+    when ``y = 1`` else ``p``. q̂ is the ``⌈(n+1)(1−α)⌉``-th smallest
+    calibration score — an EXACT order statistic, selected from the
+    per-distinct-score count frame by cumulative count (the ``roc_auc``
+    bounded-grain argument: scores are rounded to the 1e-6 grid before
+    anything orders on them, so the ordered pass runs over ≤ 1e6 + 1
+    rows however many rows scored). When ``⌈(n+1)(1−α)⌉ > n`` the
+    quantile is vacuous (NULL q̂) and every prediction set is {0, 1}.
+
+    A test row is covered when its true-label score ≤ q̂; its
+    prediction set contains class 1 when ``round(1−p) ≤ q̂`` and class
+    0 when ``round(p) ≤ q̂`` (same rounded quantities in both engines).
+
+    Scale shape: two aggregations over the scored frame (calibration
+    score counts; test coverage sums) plus one bounded ordered pass —
+    q̂ rides back onto the test side as a broadcast 1-row frame,
+    nothing corpus-sized shuffles. Output is ONE row: ``(n_cal,
+    n_test, q_hat, target, coverage, avg_set_size)``.
+    """
+    p = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("int")
+    s_true = F.round(F.when(y == 1, F.lit(1.0) - p).otherwise(p), round_dp)
+    base = df.filter(
+        p.isNotNull() & y.isNotNull() & F.col(cal_col).isNotNull()
+    ).select(
+        s_true.alias("__s"),
+        F.round(F.lit(1.0) - p, round_dp).alias("__s1"),
+        F.round(p, round_dp).alias("__s0"),
+        F.col(cal_col).cast("boolean").alias("__cal"),
+    )
+    per_s = (
+        base.filter(F.col("__cal"))
+        .groupBy("__s")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    w = Window.orderBy("__s").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_s.select(
+        "__s",
+        F.sum("__c").over(w).alias("__cum"),
+        F.sum("__c").over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("__n"),
+    )
+    # r = ceil((n+1)(1-alpha)); q_hat = first s whose cumulative count
+    # reaches r (NULL when r > n — the vacuous small-calibration case)
+    qdf = cum.filter(
+        F.col("__cum") >= F.ceil((F.col("__n") + 1) * F.lit(1.0 - alpha))
+    ).agg(F.min("__s").alias("__qhat"))
+    n_cal_df = per_s.agg(F.sum("__c").alias("__n_cal"))
+    test = base.filter(~F.col("__cal"))
+    out = (
+        test.crossJoin(F.broadcast(qdf))
+        .crossJoin(F.broadcast(n_cal_df))
+        .agg(
+            F.first("__n_cal").alias("n_cal"),
+            F.count(F.lit(1)).alias("n_test"),
+            F.first("__qhat").alias("q_hat"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("__qhat").isNull()
+                        | (F.col("__s") <= F.col("__qhat")),
+                        1,
+                    ).otherwise(0)
+                )
+                / F.count(F.lit(1)),
+                round_dp,
+            ).alias("coverage"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("__qhat").isNull()
+                        | (F.col("__s1") <= F.col("__qhat")),
+                        1,
+                    ).otherwise(0)
+                    + F.when(
+                        F.col("__qhat").isNull()
+                        | (F.col("__s0") <= F.col("__qhat")),
+                        1,
+                    ).otherwise(0)
+                )
+                / F.count(F.lit(1)),
+                round_dp,
+            ).alias("avg_set_size"),
+        )
+        .select(
+            "n_cal",
+            "n_test",
+            "q_hat",
+            F.lit(round(1.0 - alpha, 6)).alias("target"),
+            "coverage",
+            "avg_set_size",
+        )
+    )
+    return out
+
+
+def krippendorff_alpha_nominal(
+    df: DataFrame,
+    rater_cols: Sequence[str],
+    round_dp: int = 9,
+) -> DataFrame:
+    """Krippendorff's alpha for NOMINAL data with complete ratings —
+    the agreement coefficient that generalizes the kappa family to any
+    number of raters with a principled chance correction (Krippendorff
+    2004). Items with any NULL rating are excluded (the complete-data
+    case; m is constant).
+
+    With per-item category counts ``n_uc`` (m raters, n items,
+    N = n·m total ratings, pooled marginals ``n_c``):
+
+    - observed disagreeing ordered pairs
+      ``Do_pairs = Σ_u [m(m−1) − Σ_c n_uc(n_uc−1)]``
+    - ``alpha = 1 − Do_pairs·(N−1) / ((m−1)·(N² − Σ_c n_c²))``
+
+    Every term is an exact integer until the single final division, so
+    the statistic is bit-reproducible across engines and partition
+    layouts (the ``fleiss_kappa`` discipline). Scale shape: one
+    row-wise array projection builds the per-item counts (no shuffle
+    keyed on the item), then a category-bounded aggregation for the
+    marginals — two scans, one tiny shuffle.
+    """
+    m = len(rater_cols)
+    if m < 2:
+        raise ValueError("krippendorff_alpha_nominal needs ≥ 2 raters")
+    cond = None
+    for c in rater_cols:
+        k = F.col(c).isNotNull()
+        cond = k if cond is None else (cond & k)
+    arr = F.array(*[F.col(c).cast("string") for c in rater_cols])
+    lab = df.filter(cond).select(arr.alias("__r"))
+    # per-item Σ_c n_uc(n_uc−1): for each distinct category in the
+    # row, count occurrences — an array expression, never a shuffle
+    per_item = lab.select(
+        F.expr(
+            "aggregate(array_distinct(__r), 0L, (acc, cat) -> acc + "
+            "CAST(size(filter(__r, x -> x = cat)) AS LONG) * "
+            "(size(filter(__r, x -> x = cat)) - 1))"
+        ).alias("__same_pairs"),
+        F.col("__r"),
+    )
+    items = per_item.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(
+            F.lit(m * (m - 1)) - F.col("__same_pairs")
+        ).alias("__do_pairs"),
+    )
+    marg = (
+        lab.select(F.explode("__r").alias("__cat"))
+        .groupBy("__cat")
+        .agg(F.count(F.lit(1)).alias("__t"))
+        .agg(
+            F.sum(F.col("__t") * F.col("__t")).alias("__sum_t2"),
+            F.count(F.lit(1)).alias("n_categories"),
+        )
+    )
+    big = F.col("__n") * F.lit(m)  # N
+    return (
+        items.crossJoin(F.broadcast(marg))
+        .select(
+            F.col("__n").alias("n_items"),
+            F.lit(m).alias("m_raters"),
+            F.col("n_categories").cast("int").alias("n_categories"),
+            F.col("__do_pairs").alias("do_pairs"),
+            F.when(
+                (F.lit(m - 1) * (big * big - F.col("__sum_t2"))) != 0,
+                F.round(
+                    F.lit(1.0)
+                    - (F.col("__do_pairs") * (big - 1)).cast("double")
+                    / (F.lit(m - 1) * (big * big - F.col("__sum_t2"))).cast(
+                        "double"
+                    ),
+                    round_dp,
+                ),
+            ).alias("alpha"),
+        )
+    )

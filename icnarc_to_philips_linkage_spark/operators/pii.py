@@ -125,3 +125,45 @@ def blocklist_filter(
         rate.alias("hit_rate_per_1k"),
         (rate <= max_hits_per_1k_tokens).alias("kept"),
     )
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    qi_cols: list[str],
+    sensitive_col: str,
+    k: int = 10,
+    l: int = 2,
+) -> DataFrame:
+    """k-anonymity / l-diversity audit over a quasi-identifier (QI)
+    combination (Sweeney 2002; Machanavajjhala et al. 2007) — the
+    release-safety check a training-data pipeline runs BEFORE shipping
+    a table whose column combination could re-identify people: a row
+    is k-anonymous when at least ``k − 1`` other rows share its QI
+    tuple, and a QI group is l-diverse when its sensitive attribute
+    takes ≥ ``l`` distinct values (otherwise membership alone leaks
+    the sensitive value even at high k).
+
+    One aggregation keyed on the QI tuple (group count + exact
+    distinct sensitive values per group — the grain is the QI
+    cardinality, bounded by the product of QI domains, NOT the row
+    count), so at 100 TB this is a single map-combined shuffle on the
+    QI key. Rows with a NULL QI component form their own groups (NULL
+    is a value an attacker sees too) via null-safe grouping; NULL
+    sensitive values are not counted toward diversity.
+
+    Output per QI group: the QI columns, ``group_size``,
+    ``n_sensitive``, and the two violation flags.
+    """
+    if not qi_cols:
+        raise ValueError("k_anonymity_report needs ≥ 1 QI column")
+    out = df.groupBy(*[F.col(c) for c in qi_cols]).agg(
+        F.count(F.lit(1)).alias("group_size"),
+        F.count_distinct(F.col(sensitive_col)).alias("n_sensitive"),
+    )
+    return out.select(
+        *qi_cols,
+        "group_size",
+        "n_sensitive",
+        (F.col("group_size") < k).alias("k_violation"),
+        (F.col("n_sensitive") < l).alias("l_violation"),
+    )

@@ -794,3 +794,90 @@ def group_kfold(
             F.col(group_col).isNotNull(), (h % F.lit(k)).cast("int") + 1
         ),
     )
+
+
+def mixture_reweight_mwu(
+    df: DataFrame,
+    domain_col: str,
+    loss_col: str,
+    eta: float = 0.5,
+    round_dp: int = 6,
+) -> DataFrame:
+    """One multiplicative-weights update of training-mixture domain
+    weights from per-example losses — the arithmetic-form core of
+    DoReMi-style domain reweighting (Xie et al. 2023): domains whose
+    mean loss exceeds the pooled mean (excess loss > 0) are upweighted
+    proportionally, starting from the observed count share.
+
+    The published method exponentiates (``w ∝ w·exp(η·excess)``);
+    this operator uses the linear MWU step ``w ∝ share·(1 + η·excess)``
+    (clamped at 0) — the standard small-η surrogate — because ``exp``
+    is a libm call whose last-ulp behavior differs across engines,
+    while +,×,/ are exactly-rounded IEEE ops (the ``fast_sigmoid``
+    portability argument in ``regression``).
+
+    Engine-exactness: per-row losses quantize to the 1e-6 grid as
+    integers, so domain sums are order-independent; every mean is one
+    exact-integer division; the updated weights quantize to the 1e-12
+    grid before normalizing so the denominator is an exact integer
+    sum. Scale shape: ONE map-combined aggregation on the domain key
+    (domain-bounded output), then a broadcast of the 1-row pooled
+    frame — no corpus re-shuffles, no driver loop.
+
+    Output per domain: ``(domain, n_rows, mean_loss, excess,
+    base_share, new_weight)`` — ``new_weight`` sums to 1 up to the
+    rounding grid.
+    """
+    loss_q = F.floor(
+        F.abs(F.col(loss_col).cast("double")) * F.lit(1e6) + F.lit(0.5)
+    ) * F.when(F.col(loss_col) < 0, F.lit(-1)).otherwise(F.lit(1))
+    base = df.filter(
+        F.col(domain_col).isNotNull() & F.col(loss_col).isNotNull()
+    ).select(F.col(domain_col).alias("domain"), loss_q.alias("__lq"))
+    per = base.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("__lq").cast("decimal(38,0)")).alias("__sum_lq"),
+    )
+    tot = per.agg(
+        F.sum("n_rows").alias("__n"),
+        F.sum("__sum_lq").alias("__sum_all"),
+    )
+    joined = per.crossJoin(F.broadcast(tot)).select(
+        "domain",
+        "n_rows",
+        (F.col("__sum_lq").cast("double") / F.col("n_rows") / F.lit(1e6))
+        .alias("__mean"),
+        (F.col("__sum_all").cast("double") / F.col("__n") / F.lit(1e6))
+        .alias("__pooled"),
+        (F.col("n_rows").cast("double") / F.col("__n")).alias("__share"),
+    )
+    excess = F.round(
+        (F.col("__mean") - F.col("__pooled")) / F.col("__pooled"), round_dp
+    )
+    w_raw = F.greatest(
+        F.col("__share") * (F.lit(1.0) + F.lit(eta) * excess), F.lit(0.0)
+    )
+    w_q = F.floor(w_raw * F.lit(1e12) + F.lit(0.5)).cast("decimal(38,0)")
+    staged = joined.select(
+        "domain",
+        "n_rows",
+        F.round("__mean", round_dp).alias("mean_loss"),
+        excess.alias("excess"),
+        F.round("__share", round_dp).alias("base_share"),
+        w_q.alias("__wq"),
+    )
+    denom = staged.agg(F.sum("__wq").alias("__wsum"))
+    return staged.crossJoin(F.broadcast(denom)).select(
+        "domain",
+        "n_rows",
+        "mean_loss",
+        "excess",
+        "base_share",
+        F.when(
+            F.col("__wsum") > 0,
+            F.round(
+                F.col("__wq").cast("double") / F.col("__wsum").cast("double"),
+                round_dp,
+            ),
+        ).alias("new_weight"),
+    )

@@ -1124,3 +1124,85 @@ def km_rmst(
         "tau",
         F.when(F.col("n_times") > 0, folded["area"]).alias("rmst"),
     )
+
+
+def mann_kendall(
+    df: DataFrame,
+    key_col: str,
+    time_col: str,
+    value_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Mann-Kendall monotonic-trend test per series (Mann 1945;
+    Kendall 1975) — the nonparametric "is this metric drifting?"
+    companion to ``cusum_alarms``: ``S = Σ_{i<j} sign(x_j − x_i)``
+    over time order, with the tie-corrected normal approximation
+    ``Var(S) = [n(n−1)(2n+5) − Σ_g t_g(t_g−1)(2t_g+5)] / 18`` and the
+    continuity-corrected ``z``.
+
+    The caller supplies the SERIES frame (one row per (key, time) —
+    e.g. a daily pre-aggregation), so the pairwise self-join is
+    grid-bounded: pairs per key = days², independent of corpus row
+    count; the corpus-sized work happened in the caller's one
+    aggregation. S and 18·Var(S) stay exact INTEGERS until the final
+    division (``sign`` of an integer difference and tie-group counts
+    are engine-exact); ``sqrt`` is IEEE-correctly-rounded everywhere,
+    so z is bit-reproducible after one quantized round.
+
+    Output per key: ``(key, n_obs, s_stat, var_s, z)`` — z NULL when
+    Var(S) = 0 (all values tied or n < 2).
+    """
+    base = df.filter(
+        F.col(key_col).isNotNull()
+        & F.col(time_col).isNotNull()
+        & F.col(value_col).isNotNull()
+    ).select(
+        F.col(key_col).alias("__k"),
+        F.col(time_col).alias("__t"),
+        F.col(value_col).alias("__x"),
+    )
+    a = base.alias("a")
+    b = base.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.__k") == F.col("b.__k"))
+        & (F.col("a.__t") < F.col("b.__t")),
+    ).groupBy(F.col("a.__k").alias("__k")).agg(
+        F.sum(
+            F.signum(F.col("b.__x") - F.col("a.__x")).cast("long")
+        ).alias("s_stat")
+    )
+    n_per = base.groupBy("__k").agg(F.count(F.lit(1)).alias("n_obs"))
+    ties = (
+        base.groupBy("__k", "__x")
+        .agg(F.count(F.lit(1)).alias("__t_g"))
+        .groupBy("__k")
+        .agg(
+            F.sum(
+                F.col("__t_g")
+                * (F.col("__t_g") - 1)
+                * (2 * F.col("__t_g") + 5)
+            ).alias("__tie_term")
+        )
+    )
+    n = F.col("n_obs")
+    var18 = (
+        n * (n - 1) * (2 * n + 5) - F.col("__tie_term")
+    )  # 18·Var(S), exact integer
+    s = F.col("s_stat")
+    zraw = F.when(
+        s > 0, (s - 1).cast("double") / F.sqrt(var18.cast("double") / 18.0)
+    ).when(
+        s < 0, (s + 1).cast("double") / F.sqrt(var18.cast("double") / 18.0)
+    ).otherwise(F.lit(0.0))
+    return (
+        n_per.join(ties, "__k")
+        .join(pairs, "__k", "left")
+        .select(
+            F.col("__k").alias(key_col),
+            "n_obs",
+            F.coalesce("s_stat", F.lit(0)).alias("s_stat"),
+            F.round(var18.cast("double") / 18.0, round_dp).alias("var_s"),
+            F.when(var18 > 0, F.round(zraw, round_dp)).alias("z"),
+        )
+    )
