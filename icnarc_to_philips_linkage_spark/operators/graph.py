@@ -233,3 +233,76 @@ def triangle_count(
             ),
         ).alias("transitivity"),
     )
+
+
+def resource_allocation_links(
+    edges: DataFrame,
+    src_col: str = "node_id",
+    dst_col: str = "neighbor_id",
+    max_in_degree: int = 32,
+    top_k: int = 20,
+) -> DataFrame:
+    """Link prediction over a directed kNN graph by the Resource
+    Allocation index (Zhou, Lü & Zhang 2009): for a non-adjacent pair
+    (u, w) sharing out-neighbors, ``RA(u,w) = Σ_{v ∈ Γ(u)∩Γ(w)}
+    1/deg(v)`` — the Adamic-Adar family member with the 1/deg weight
+    instead of 1/ln(deg), chosen here because ``10^12 // indeg(v)`` is
+    an exact INTEGER per common neighbor, so pair scores are
+    order-independent integer sums (no libm log in the scoring path)
+    and bit-reproducible in the DuckDB oracle.
+
+    Scale shape: out-degree is ≤ k by construction (top-k edges), and
+    the wedge join fans out as Σ_v indeg(v)² — so hub targets (the
+    uninformative high-degree nodes every LP method down-weights) are
+    EXCLUDED up front by ``max_in_degree``, bounding the explosion the
+    same way the LSH ``max_bucket_size`` guard bounds band joins.
+    Known-adjacent pairs leave via one anti-join against the
+    symmetrized edge set. Top-k selection is TakeOrderedAndProject.
+
+    Output: ``(node_a, node_b, n_common, ra_score)`` with
+    ``node_a < node_b``, ranked by (ra_score desc, node_a, node_b).
+    """
+    e = edges.select(
+        F.col(src_col).alias("__u"), F.col(dst_col).alias("__v")
+    ).distinct()
+    indeg = e.groupBy(F.col("__v").alias("__t")).agg(
+        F.count(F.lit(1)).alias("__indeg")
+    )
+    ok = indeg.filter(F.col("__indeg") <= max_in_degree).select(
+        "__t",
+        # true integer division (`div`), NOT double-divide-then-cast:
+        # for large divisors the double quotient can round across an
+        # integer boundary and diverge from the oracle's `//`
+        F.expr("1000000000000L div __indeg").alias("__wq"),
+    )
+    kept = e.join(F.broadcast(ok), e["__v"] == ok["__t"]).select(
+        "__u", "__v", "__wq"
+    )
+    a = kept.alias("a")
+    b = kept.alias("b")
+    wedges = a.join(
+        b,
+        (F.col("a.__v") == F.col("b.__v"))
+        & (F.col("a.__u") < F.col("b.__u")),
+    ).groupBy(
+        F.col("a.__u").alias("node_a"), F.col("b.__u").alias("node_b")
+    ).agg(
+        F.count(F.lit(1)).alias("n_common"),
+        F.sum(F.col("a.__wq").cast("decimal(38,0)")).alias("__score_q"),
+    )
+    adj = e.select(
+        F.least("__u", "__v").alias("node_a"),
+        F.greatest("__u", "__v").alias("node_b"),
+    ).distinct()
+    return (
+        wedges.join(adj, ["node_a", "node_b"], "left_anti")
+        .select(
+            "node_a",
+            "node_b",
+            "n_common",
+            F.round(F.col("__score_q").cast("double") / F.lit(1e12), 6)
+            .alias("ra_score"),
+        )
+        .orderBy(F.desc("ra_score"), "node_a", "node_b")
+        .limit(top_k)
+    )

@@ -58,7 +58,8 @@ def gd_train(
     iters: int = 5,
 ) -> list[float]:
     """Train a linear classifier by full-batch gradient descent and
-    return ``[bias, w_1, …, w_k]``. Features should be pre-scaled to
+    return ``[bias, w_1, …, w_k]`` (the last snapshot of
+    ``gd_train_trajectory``). Features should be pre-scaled to
     O(1) by the caller (the registered query maps each onto [0, 1]);
     the label is 0/1. Gradient of squared error through the fast
     sigmoid is simplified to the logistic-style form
@@ -76,6 +77,29 @@ def gd_train(
     |x_j| ≲ 9007). One cheap aggregation over the persisted feature
     frame checks max|x_j| before the first iteration and raises
     ``ValueError`` on unscaled input instead of silently degrading.
+    """
+    return gd_train_trajectory(
+        df, feature_cols, label_col, lr=lr, iters=iters
+    )[-1]
+
+
+def gd_train_trajectory(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    lr: float = 0.5,
+    iters: int = 5,
+) -> list[list[float]]:
+    """``gd_train`` with the full training trajectory: returns the
+    weight vector AFTER each iteration, ``[w(1), …, w(iters)]`` (each
+    ``[bias, w_1, …, w_k]``). The last element is exactly what
+    ``gd_train`` returns — same loop, same arithmetic, one list
+    append per iteration (k+1 driver doubles each, bounded).
+
+    The trajectory is what training-dynamics data maps need (dataset
+    cartography, Swayamdipta et al. 2020: per-example confidence /
+    variability across epochs) — scoring the corpus at each snapshot
+    stays map-only because every snapshot is a literal vector.
     """
     cols = [F.lit(1.0).alias("__x0")] + [
         F.col(c).cast("double").alias(f"__x{i+1}")
@@ -110,6 +134,7 @@ def gd_train(
                         "Pre-scale features to O(1) before training."
                     )
         w = [0.0] * k
+        traj: list[list[float]] = []
         for _ in range(iters):
             z = F.lit(w[0]) * F.col("__x0")
             for j in range(1, k):
@@ -129,7 +154,10 @@ def gd_train(
                 w[j] - lr * (float(row[f"s{j}"]) / GRID) / n
                 for j in range(k)
             ]
-        return w
+            traj.append(list(w))
+        if not traj:  # empty input: the zero vector is the only state
+            traj.append(list(w))
+        return traj
     finally:
         feats.unpersist()
 
@@ -165,3 +193,70 @@ def gd_score(
     for j, c in enumerate(feature_cols):
         z = z + F.lit(weights[j + 1]) * F.col(c).cast("double")
     return df.withColumn(score_col, fast_sigmoid(z))
+
+
+def cartography_map(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    trajectory: list[list[float]],
+    conf_hi: float = 0.55,
+    conf_lo: float = 0.45,
+    var_hi: float = 0.02,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Dataset cartography (Swayamdipta et al. 2020): per-example
+    training dynamics over a ``gd_train_trajectory`` — confidence =
+    mean probability assigned to the TRUE label across snapshots,
+    variability = its population std — bucketed into the paper's
+    regions: ``easy_to_learn`` (high conf, low var), ``hard_to_learn``
+    (low conf, low var — the mislabeled-candidate region),
+    ``ambiguous`` (high var — the most training-valuable region), and
+    ``middle`` for the remainder. The data map is THE standard triage
+    for which training examples to keep / re-label / upweight.
+
+    Every snapshot is a literal weight vector, so scoring all T
+    snapshots is ONE map-only projection (T sigmoid expressions fused
+    into whole-stage codegen) — no joins, no shuffles, corpus scanned
+    once. Mean and std use explicit left-associated sums over the T
+    per-snapshot terms, and conf/var are rounded to the 1e-6 grid
+    BEFORE bucketing, so the map is bit-reproducible in the unrolled
+    DuckDB oracle (the ``gd_train`` engine-exactness discipline).
+
+    Returns the input columns plus ``confidence``, ``variability``,
+    ``bucket``.
+    """
+    if not trajectory:
+        raise ValueError("cartography_map needs ≥ 1 trajectory snapshot")
+    t_n = len(trajectory)
+    y = F.col(label_col).cast("int")
+    pcs = []
+    for w in trajectory:
+        z = F.lit(w[0])
+        for j, c in enumerate(feature_cols):
+            z = z + F.lit(w[j + 1]) * F.col(c).cast("double")
+        p = fast_sigmoid(z)
+        pcs.append(F.when(y == 1, p).otherwise(F.lit(1.0) - p))
+    mean_raw = pcs[0]
+    for pc in pcs[1:]:
+        mean_raw = mean_raw + pc
+    mean_raw = mean_raw / F.lit(float(t_n))
+    msq_raw = pcs[0] * pcs[0]
+    for pc in pcs[1:]:
+        msq_raw = msq_raw + pc * pc
+    msq_raw = msq_raw / F.lit(float(t_n))
+    var_raw = msq_raw - mean_raw * mean_raw
+    conf = F.round(mean_raw, round_dp)
+    vari = F.round(F.sqrt(F.greatest(var_raw, F.lit(0.0))), round_dp)
+    bucket = (
+        F.when(vari >= var_hi, F.lit("ambiguous"))
+        .when(conf >= conf_hi, F.lit("easy_to_learn"))
+        .when(conf < conf_lo, F.lit("hard_to_learn"))
+        .otherwise(F.lit("middle"))
+    )
+    return df.select(
+        "*",
+        conf.alias("confidence"),
+        vari.alias("variability"),
+        bucket.alias("bucket"),
+    )

@@ -489,3 +489,121 @@ def mmr_rerank(
         )
         sel = _pin(sel.unionByName(_argmax(scored, r)))
     return sel.drop("__score_u")
+
+
+def rocchio_prf_search(
+    docs: DataFrame,
+    query_terms: list[str],
+    fb_k: int = 10,
+    expand_k: int = 5,
+    beta: float = 0.5,
+    exclude_terms: tuple[str, ...] = (),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+) -> DataFrame:
+    """Pseudo-relevance feedback retrieval (Rocchio 1971, the
+    two-pass PRF that RM3/anserini ship as the default quality
+    upgrade over plain BM25): run the original query, take the top
+    ``fb_k`` documents as presumed-relevant feedback, pick the
+    ``expand_k`` terms that best characterize them (feedback term
+    frequency × BM25 idf, minus the original query and an exclusion
+    lexicon), then re-score the corpus with the expanded weighted
+    query — original terms at weight 1.0, expansion terms at ``beta``.
+
+    Scale shape: pass 1 is ``bm25_search`` (query-literal fold-in, two
+    scans, zero wide shuffles). Expansion-term statistics need one
+    (doc, term) aggregation — VOCABULARY-bounded, the ``tfidf`` shape
+    — with the feedback-doc slice selected by a broadcast semi-join
+    (fb_k rows). Pass 2 joins the postings grain against the ≤
+    |query|+expand_k weighted-term broadcast, so again only matching
+    postings shuffle, and final selection is TakeOrderedAndProject.
+    Everything between is 6dp-rounded before ranking (ties by term /
+    id ascending), so feedback docs, expansion terms, and the final
+    list reproduce exactly in the DuckDB oracle.
+
+    Output: ``(doc_id, score, n_hits)`` — n_hits counts matched
+    DISTINCT query terms (original + expansion).
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    fb = bm25_search(
+        docs, query_terms, id_col=id_col, text_col=text_col,
+        k1=k1, b=b, top_k=fb_k,
+    ).select(id_col)
+    toks = docs.select(
+        F.col(id_col), tokens(text_col).alias("__toks")
+    ).select(F.col(id_col), F.size("__toks").alias("dl"), F.col("__toks"))
+    stats = toks.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    posting = (
+        toks.select(F.col(id_col), "dl", F.explode("__toks").alias("term"))
+        .groupBy(F.col(id_col), "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+    )
+    banned = set(query_terms) | set(exclude_terms)
+    fb_terms = (
+        posting.join(F.broadcast(fb), id_col)
+        .filter(~F.col("term").isin(*banned))
+        .groupBy("term")
+        .agg(F.sum("tf").alias("__fb_tf"))
+    )
+    dfreq = posting.join(
+        F.broadcast(fb_terms.select("term")), "term"
+    ).groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    expansion = (
+        fb_terms.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            F.round(F.col("__fb_tf") * idf, 6).alias("__w"),
+        )
+        .orderBy(F.desc("__w"), F.asc("term"))
+        .limit(expand_k)
+        .select("term", F.lit(float(beta)).alias("q_weight"))
+    )
+    spark = docs.sparkSession
+    orig = spark.createDataFrame(
+        [(t, 1.0) for t in query_terms], "term string, q_weight double"
+    )
+    weighted = orig.unionByName(expansion)
+    q_dfreq = posting.join(
+        F.broadcast(weighted.select("term")), "term"
+    ).groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    tf_part = (
+        F.col("tf")
+        * (F.lit(k1) + 1.0)
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        posting.join(F.broadcast(weighted), "term")
+        .join(F.broadcast(q_dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col(id_col),
+            (
+                F.col("q_weight") * F.round(idf * tf_part, 6)
+            ).alias("__w"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.round(F.sum("__w"), 6).alias("score"),
+            F.count(F.lit(1)).alias("n_hits"),
+        )
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(top_k)
+    )

@@ -983,3 +983,110 @@ def hard_negatives(
             "cos_sim",
         )
     )
+
+
+def margin_bitext_mine(
+    left: DataFrame,
+    right: DataFrame,
+    knn: int = 4,
+    top_m: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk 2019, the
+    ratio-margin criterion behind CCMatrix/LASER parallel-corpus
+    mining): score a candidate pair (x ∈ left, y ∈ right) by its
+    cosine RELATIVE to what each side's nearest neighbors score —
+    ``margin(x,y) = cos(x,y) / ((avg_{z∈NNk(x)} cos(x,z) +
+    avg_{z∈NNk(y)} cos(y,z)) / 2)`` — which suppresses hub vectors
+    that are "close to everything" and is the standard mined-pair
+    filter for translation-pair harvesting.
+
+    Both NN averages come from ONE scored pair frame: the left side
+    (the query language) broadcasts — mining is per-batch over a
+    bounded query slice, like ``knn_brute_force`` — and the right
+    side's neighbor statistics aggregate the same frame by candidate
+    (at full-corpus scale you'd read them off the persisted kNN graph
+    / ANN index instead; the margin arithmetic is identical).
+
+    Engine-exactness: cosines round to the 1e-6 grid then become
+    INTEGER micro-units, so both NN sums are exact and the margin is
+    a fixed expression over exact integers — one double division
+    chain, rounded to 6dp, bit-reproducible in the oracle. Returns
+    the top ``top_m`` candidates per left vector:
+    ``(query_id, neighbor_id, cos_sim, margin)``.
+    """
+    q = left.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm_sq(vec_col).alias("q_nsq"),
+    )
+    c = right.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm_sq(vec_col).alias("c_nsq"),
+    )
+    pairs = (
+        c.crossJoin(F.broadcast(q))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine_with_norms("q_vec", "c_vec", "q_nsq", "c_nsq"), 6
+            ).alias("cos_sim"),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cos_sim",
+            F.round(F.col("cos_sim") * F.lit(1e6)).cast("long").alias("__ci"),
+        )
+    )
+    x_nn = (
+        topk_per_key(pairs, "query_id", knn)
+        .groupBy("query_id")
+        .agg(
+            F.sum(
+                F.round(F.col("cos_sim") * F.lit(1e6)).cast("long")
+            ).alias("__sx"),
+            F.count(F.lit(1)).alias("__kx"),
+        )
+    )
+    y_nn = (
+        topk_per_key(pairs, "neighbor_id", knn, id_col="query_id")
+        .groupBy("neighbor_id")
+        .agg(
+            F.sum(
+                F.round(F.col("cos_sim") * F.lit(1e6)).cast("long")
+            ).alias("__sy"),
+            F.count(F.lit(1)).alias("__ky"),
+        )
+    )
+    denom = (
+        F.col("__sx").cast("double") / F.col("__kx")
+        + F.col("__sy").cast("double") / F.col("__ky")
+    ) * F.lit(0.5)
+    scored = (
+        pairs.join(F.broadcast(x_nn), "query_id")
+        .join(y_nn, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cos_sim",
+            F.when(
+                denom != 0,
+                F.round(F.col("__ci").cast("double") / denom, 6),
+            ).alias("margin"),
+        )
+    )
+    ranked = topk_per_key(
+        scored.filter(F.col("margin").isNotNull()),
+        "query_id",
+        top_m,
+        sim_col="margin",
+    )
+    # reattach the raw cosine: the ranked frame is top_m × |left| rows,
+    # so it broadcasts onto the pair frame (map-only)
+    return pairs.join(
+        F.broadcast(ranked), ["query_id", "neighbor_id"]
+    ).select("query_id", "neighbor_id", "cos_sim", "margin")

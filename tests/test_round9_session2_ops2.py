@@ -1,0 +1,180 @@
+"""Round-9 session-2 batch 2: link prediction, bitext mining, PRF,
+training-trajectory cartography."""
+
+from __future__ import annotations
+
+import pytest
+
+
+# ---------------------------------------------------------------------------
+# graph.resource_allocation_links
+# ---------------------------------------------------------------------------
+
+
+def test_ra_links_hand_computed(spark):
+    from icnarc_to_philips_linkage_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [(1, 3), (2, 3), (4, 3), (1, 5), (2, 5), (1, 2)],
+        "node_id long, neighbor_id long",
+    )
+    out = graph.resource_allocation_links(edges, top_k=10).collect()
+    rows = {(r.node_a, r.node_b): r for r in out}
+    # 1,2,4 share neighbor 3 (indeg 3 -> weight 1/3); (1,2) is adjacent
+    # so only (1,4) and (2,4) survive
+    assert set(rows) == {(1, 4), (2, 4)}
+    assert rows[(1, 4)].n_common == 1
+    assert rows[(1, 4)].ra_score == pytest.approx(1 / 3, abs=1e-6)
+
+
+def test_ra_links_hub_exclusion(spark):
+    """A target whose in-degree exceeds max_in_degree contributes no
+    wedges (the LSH max_bucket_size discipline)."""
+    from icnarc_to_philips_linkage_spark.operators import graph
+
+    hub = [(i, 99) for i in range(1, 8)]  # 7 nodes -> hub 99
+    edges = spark.createDataFrame(
+        hub + [(1, 50), (2, 50)], "node_id long, neighbor_id long"
+    )
+    out = graph.resource_allocation_links(
+        edges, max_in_degree=5, top_k=100
+    ).collect()
+    # hub 99 excluded: only the (1,2) wedge through 50 remains
+    assert {(r.node_a, r.node_b) for r in out} == {(1, 2)}
+    assert out[0].ra_score == pytest.approx(0.5, abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# similarity.margin_bitext_mine
+# ---------------------------------------------------------------------------
+
+
+def test_margin_bitext_hand_computed(spark):
+    from icnarc_to_philips_linkage_spark.operators import similarity
+
+    left = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    right = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [0.6, 0.8]), (12, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = similarity.margin_bitext_mine(left, right, knn=2, top_m=2)
+    rows = {(r.query_id, r.neighbor_id): r for r in out.collect()}
+    # x0 NN2 avg = (1.0+0.6)/2 = 0.8; y10 avg among queries = 0.5
+    # margin(x0,y10) = 1.0 / ((0.8+0.5)/2) = 1.538462
+    assert rows[(0, 10)].margin == pytest.approx(1.538462, abs=1e-6)
+    # margin(x0,y11) = 0.6 / ((0.8+0.7)/2) = 0.8
+    assert rows[(0, 11)].margin == pytest.approx(0.8, abs=1e-6)
+    # x1 NN2 avg = (1.0+0.8)/2 = 0.9; y12 avg = 0.5
+    assert rows[(1, 12)].margin == pytest.approx(
+        1.0 / ((0.9 + 0.5) / 2), abs=1e-6
+    )
+    assert rows[(1, 11)].margin == pytest.approx(1.0, abs=1e-6)
+    # top_m=2 per query, cos_sim reattached
+    assert len(rows) == 4
+    assert rows[(0, 10)].cos_sim == pytest.approx(1.0)
+
+
+# ---------------------------------------------------------------------------
+# retrieval.rocchio_prf_search
+# ---------------------------------------------------------------------------
+
+
+def test_rocchio_expansion_recalls_unmatched_doc(spark):
+    """A doc sharing NO original query term but containing the
+    feedback-characteristic term is retrieved after expansion."""
+    from icnarc_to_philips_linkage_spark.operators import retrieval
+
+    rows = [
+        (1, "spark zebra zebra zebra"),
+        (2, "spark zebra zebra"),
+        (3, "zebra crossing only"),          # no query term
+        (4, "unrelated words entirely"),
+        (5, "spark alone"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = retrieval.rocchio_prf_search(
+        docs, ["spark"], fb_k=3, expand_k=1, beta=0.5, top_k=10
+    )
+    got = {r.doc_id: r for r in out.collect()}
+    # feedback docs = {1,2,5}; "zebra" dominates fb_tf*idf
+    # (tf 5 x idf(df=3) beats any tf-1 term's idf(df=1)) -> doc 3 scores
+    assert 3 in got and got[3].score > 0
+    assert 4 not in got
+    # docs matching both original + expansion outrank expansion-only
+    assert got[1].score > got[3].score
+
+
+def test_rocchio_excluded_terms_never_expand(spark):
+    from icnarc_to_philips_linkage_spark.operators import retrieval
+
+    rows = [
+        (1, "spark zebra zebra"),
+        (2, "spark zebra"),
+        (3, "zebra zebra zebra"),
+        (4, "quiet words"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = retrieval.rocchio_prf_search(
+        docs, ["spark"], fb_k=2, expand_k=1, beta=0.5,
+        exclude_terms=("zebra",), top_k=10,
+    )
+    got = {r.doc_id for r in out.collect()}
+    # zebra banned -> doc 3 can only enter via another expansion term;
+    # the only remaining feedback term would be none (docs 1,2 are all
+    # spark/zebra) -> doc 3 absent
+    assert 3 not in got
+
+
+# ---------------------------------------------------------------------------
+# regression: trajectory + cartography
+# ---------------------------------------------------------------------------
+
+
+def test_gd_trajectory_last_equals_gd_train(spark):
+    from icnarc_to_philips_linkage_spark.operators import regression
+
+    df = spark.createDataFrame(
+        [(0.1, 1), (0.9, 0), (0.4, 1), (0.8, 0)], "x double, y int"
+    )
+    traj = regression.gd_train_trajectory(df, ["x"], "y", iters=3)
+    w = regression.gd_train(df, ["x"], "y", iters=3)
+    assert len(traj) == 3
+    assert traj[-1] == w
+    # snapshots all differ (training is moving)
+    assert traj[0] != traj[1]
+
+
+def test_cartography_hand_computed(spark):
+    from icnarc_to_philips_linkage_spark.operators import regression
+
+    df = spark.createDataFrame(
+        [(0.0, 1, "flat"), (3.0, 1, "move")], "x double, y int, tag string"
+    )
+    # two snapshots: zero weights, then feature weight 1 (no bias)
+    traj = [[0.0, 0.0], [0.0, 1.0]]
+    out = {
+        r.tag: r
+        for r in regression.cartography_map(
+            df, ["x"], "y", traj, conf_hi=0.55, conf_lo=0.45, var_hi=0.02
+        ).collect()
+    }
+    # x=0: z=0 at both snapshots -> p=.5 twice -> conf .5, var 0 -> middle
+    assert out["flat"].confidence == pytest.approx(0.5)
+    assert out["flat"].variability == pytest.approx(0.0)
+    assert out["flat"].bucket == "middle"
+    # x=3: p = .5 then sigma(3) = .5*(1+3/4) = .875
+    # conf = .6875; msq = (.25+.765625)/2; sd = .1875 -> ambiguous
+    assert out["move"].confidence == pytest.approx(0.6875)
+    assert out["move"].variability == pytest.approx(0.1875)
+    assert out["move"].bucket == "ambiguous"
+
+
+def test_cartography_needs_trajectory(spark):
+    from icnarc_to_philips_linkage_spark.operators import regression
+
+    df = spark.createDataFrame([(0.0, 1)], "x double, y int")
+    with pytest.raises(ValueError):
+        regression.cartography_map(df, ["x"], "y", [])
