@@ -598,10 +598,24 @@ def rocchio_prf_search(
             ).alias("__w"),
         )
     )
+    # per-term weights live on the (beta × 1e-6) grid, so scaling by
+    # 2e6 makes them exact INTEGERS (beta defaults to 0.5, a power of
+    # two) — the per-doc sum is then order-independent, unlike the
+    # raw double sum where Spark's partial-aggregation order and the
+    # oracle's scan order can disagree by one ulp at a rounding edge.
+    # The final round is 7dp, NOT 6: odd unit sums sit exactly on the
+    # 6dp midpoint (x.xxxxxx5), where engine tie-rounding diverges;
+    # no such midpoint exists on the 7dp grid.
     return (
         scored.groupBy(id_col)
         .agg(
-            F.round(F.sum("__w"), 6).alias("score"),
+            F.round(
+                F.sum(
+                    F.round(F.col("__w") * F.lit(2e6)).cast("long")
+                ).cast("double")
+                / F.lit(2e6),
+                7,
+            ).alias("score"),
             F.count(F.lit(1)).alias("n_hits"),
         )
         .orderBy(F.desc("score"), F.col(id_col))

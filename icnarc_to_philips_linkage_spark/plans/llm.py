@@ -5934,6 +5934,342 @@ QUALIFY row_number() OVER (
 """
 
 
+_DOREMI_ETA = 0.5
+
+
+def sample_doremi_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """DoReMi-style training-mixture reweighting
+    (sampling.mixture_reweight_mwu): one multiplicative-weights step
+    over the per-source mean document length as the loss proxy —
+    longer-than-pooled sources get upweighted from their count share.
+    ONE domain-keyed aggregation plus a broadcast pooled row; exact
+    integer micro-unit sums end-to-end."""
+    docs = load(spark, sf, "documents")
+    return sampling.mixture_reweight_mwu(
+        docs, "source", "n_chars", eta=_DOREMI_ETA
+    )
+
+
+def _doremi_sql() -> str:
+    eta = _DOREMI_ETA
+    return f"""
+WITH base AS (
+  SELECT source AS domain,
+         CAST(FLOOR(ABS(CAST(n_chars AS DOUBLE)) * 1000000.0 + 0.5)
+              AS HUGEINT)
+           * (CASE WHEN n_chars < 0 THEN -1 ELSE 1 END) AS lq
+  FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL
+),
+per AS (
+  SELECT domain, COUNT(*) AS n_rows, SUM(lq) AS sum_lq
+  FROM base GROUP BY 1
+),
+tot AS (SELECT SUM(n_rows) AS n, SUM(sum_lq) AS sum_all FROM per),
+j AS (
+  SELECT domain, n_rows,
+         CAST(sum_lq AS DOUBLE) / n_rows / 1000000.0 AS mean_,
+         CAST(sum_all AS DOUBLE) / n / 1000000.0 AS pooled,
+         CAST(n_rows AS DOUBLE) / n AS share
+  FROM per, tot
+),
+staged AS (
+  SELECT domain, n_rows,
+         ROUND(mean_, 6) AS mean_loss,
+         ROUND((mean_ - pooled) / pooled, 6) AS excess,
+         ROUND(share, 6) AS base_share,
+         CAST(FLOOR(GREATEST(share * (1.0 + {eta!r}
+                * ROUND((mean_ - pooled) / pooled, 6)), 0.0)
+              * 1000000000000.0 + 0.5) AS HUGEINT) AS wq
+  FROM j
+),
+denom AS (SELECT SUM(wq) AS wsum FROM staged)
+SELECT domain, n_rows, mean_loss, excess, base_share,
+  CASE WHEN wsum > 0 THEN
+    ROUND(CAST(wq AS DOUBLE) / CAST(wsum AS DOUBLE), 6) END AS new_weight
+FROM staged, denom
+"""
+
+
+def eval_krippendorff_alpha(spark: SparkSession, sf: str) -> DataFrame:
+    """Krippendorff's alpha among the three language labelers (gold
+    ``lang``, marker-word and char-trigram predictions — the
+    eval_fleiss_kappa panel) via
+    evaluation.krippendorff_alpha_nominal: the generalized chance-
+    corrected agreement, exact integers until one division."""
+    labeled = text.with_lang_id_chargram(
+        text.with_lang_id(load(spark, sf, "documents"))
+    )
+    return evaluation.krippendorff_alpha_nominal(
+        labeled, ["lang", "lang_pred", "lang_pred_chargram"]
+    )
+
+
+def _krippendorff_sql() -> str:
+    p1 = _lang_id_sql().strip()
+    p2 = _lang_chargram_sql().strip()
+    return f"""
+WITH p1 AS (
+{p1}
+),
+p2 AS (
+{p2}
+),
+lab AS (
+  SELECT d.doc_id, d.lang AS r1, a.lang_pred AS r2,
+         b.lang_pred_chargram AS r3
+  FROM documents d JOIN p1 a USING (doc_id) JOIN p2 b USING (doc_id)
+  WHERE d.lang IS NOT NULL AND a.lang_pred IS NOT NULL
+    AND b.lang_pred_chargram IS NOT NULL
+),
+cells AS (SELECT doc_id, unnest([r1, r2, r3]) AS cat FROM lab),
+nij AS (SELECT doc_id, cat, COUNT(*) AS c FROM cells GROUP BY 1, 2),
+peritem AS (
+  SELECT doc_id, SUM(c * (c - 1)) AS same_pairs FROM nij GROUP BY 1
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(6 - same_pairs) AS BIGINT) AS do_pairs
+  FROM peritem
+),
+marg AS (
+  SELECT CAST(SUM(t * t) AS BIGINT) AS sum_t2,
+         CAST(COUNT(*) AS INTEGER) AS n_categories
+  FROM (SELECT cat, COUNT(*) AS t FROM cells GROUP BY 1)
+)
+SELECT n AS n_items, 3 AS m_raters, n_categories, do_pairs,
+  CASE WHEN 2 * ((n * 3) * (n * 3) - sum_t2) != 0 THEN
+    ROUND(1.0 - CAST(do_pairs * (n * 3 - 1) AS DOUBLE)
+          / CAST(2 * ((n * 3) * (n * 3) - sum_t2) AS DOUBLE), 9)
+  END AS alpha
+FROM tot, marg
+"""
+
+
+_RA_MAX_INDEG, _RA_TOPK = 32, 20
+
+
+def graph_ra_links(spark: SparkSession, sf: str) -> DataFrame:
+    """Link prediction on the corpus kNN graph
+    (graph.resource_allocation_links over similarity.knn_graph_lsh):
+    which vector pairs are NOT current neighbors but share many
+    low-degree common neighbors — the curation signal for "these
+    clusters are about to merge" / candidate duplicate pairs the
+    banded search missed. Integer 1/deg micro-weights, hub targets
+    excluded, known edges anti-joined away."""
+    from icnarc_to_philips_linkage_spark.operators import graph
+
+    emb = load(spark, sf, "embeddings")
+    edges = similarity.knn_graph_lsh(
+        emb, k=5, n_planes=N_PLANES, dim=DIM
+    )
+    return graph.resource_allocation_links(
+        edges, max_in_degree=_RA_MAX_INDEG, top_k=_RA_TOPK
+    )
+
+
+def _ra_links_sql() -> str:
+    knn = _knn_graph_sql()
+    # reuse the knn-graph chain: strip the trailing SELECT, keep CTEs
+    body = knn[: knn.rindex("\nSELECT")]
+    return f"""{body},
+knn AS (
+  SELECT node_id, neighbor_id FROM sims
+  QUALIFY row_number() OVER (
+    PARTITION BY node_id ORDER BY cos_sim DESC, neighbor_id ASC) <= 5
+),
+e AS (SELECT DISTINCT node_id AS u, neighbor_id AS v FROM knn),
+indeg AS (SELECT v AS t, COUNT(*) AS indeg FROM e GROUP BY 1),
+ok AS (
+  SELECT t, 1000000000000 // indeg AS wq FROM indeg
+  WHERE indeg <= {_RA_MAX_INDEG}
+),
+kept AS (SELECT u, v, wq FROM e JOIN ok ON e.v = ok.t),
+wedges AS (
+  SELECT a.u AS node_a, b.u AS node_b, COUNT(*) AS n_common,
+         SUM(CAST(a.wq AS HUGEINT)) AS score_q
+  FROM kept a JOIN kept b ON a.v = b.v AND a.u < b.u
+  GROUP BY 1, 2
+),
+adj AS (
+  SELECT DISTINCT LEAST(u, v) AS node_a, GREATEST(u, v) AS node_b FROM e
+)
+SELECT w.node_a, w.node_b, w.n_common,
+       ROUND(CAST(w.score_q AS DOUBLE) / 1000000000000.0, 6) AS ra_score
+FROM wedges w LEFT JOIN adj
+  ON w.node_a = adj.node_a AND w.node_b = adj.node_b
+WHERE adj.node_a IS NULL
+ORDER BY ra_score DESC, w.node_a, w.node_b LIMIT {_RA_TOPK}
+"""
+
+
+_PRF_FB_K, _PRF_EXPAND_K, _PRF_BETA, _PRF_TOPK = 10, 5, 0.5, 20
+
+
+def retrieval_rocchio_prf(spark: SparkSession, sf: str) -> DataFrame:
+    """Pseudo-relevance-feedback retrieval
+    (retrieval.rocchio_prf_search): BM25 pass for the fixed query bag,
+    expansion-term selection from the top-10 feedback docs (fb_tf ×
+    idf, stopwords and query terms excluded), weighted second pass —
+    original terms at 1.0, expansion at 0.5 (a power of two, so the
+    reweighting is float-exact). The standard RAG recall upgrade over
+    plain BM25."""
+    from icnarc_to_philips_linkage_spark.operators import retrieval
+
+    return retrieval.rocchio_prf_search(
+        load(spark, sf, "documents"),
+        _BM25_TERMS,
+        fb_k=_PRF_FB_K,
+        expand_k=_PRF_EXPAND_K,
+        beta=_PRF_BETA,
+        exclude_terms=tuple(sorted(STOPWORDS)),
+        top_k=_PRF_TOPK,
+    )
+
+
+def _rocchio_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    banned = ", ".join(
+        f"'{t}'" for t in sorted(set(_BM25_TERMS) | set(STOPWORDS))
+    )
+    k1, b = _BM25_K1, _BM25_B
+    idf = "ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))"
+    tf_part = (
+        f"(tf * ({k1} + 1.0))"
+        f" / (tf + {k1} * ((1.0 - {b}) + {b} * dl.dl / s.avgdl))"
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+posting AS (SELECT doc_id, unnest(t) AS term FROM toks),
+tfull AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM posting GROUP BY 1, 2
+),
+tf1 AS (SELECT * FROM tfull WHERE term IN ({terms})),
+dfreq1 AS (SELECT term, COUNT(*) AS df FROM tf1 GROUP BY 1),
+w1_ AS (
+  SELECT tf1.doc_id, ROUND({idf} * {tf_part}, 6) AS w
+  FROM tf1 JOIN dl USING (doc_id) JOIN dfreq1 d USING (term)
+  CROSS JOIN stats s
+),
+fb AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, ROUND(SUM(w), 6) AS score FROM w1_ GROUP BY 1
+    ORDER BY score DESC, doc_id LIMIT {_PRF_FB_K})
+),
+fb_terms AS (
+  SELECT term, SUM(tf) AS fb_tf
+  FROM tfull JOIN fb USING (doc_id)
+  WHERE term NOT IN ({banned})
+  GROUP BY 1
+),
+dfreq_fb AS (
+  SELECT term, COUNT(*) AS df FROM tfull
+  WHERE term IN (SELECT term FROM fb_terms) GROUP BY 1
+),
+expansion AS (
+  SELECT term, {_PRF_BETA!r} AS q_weight FROM (
+    SELECT ft.term,
+           ROUND(ft.fb_tf * {idf}, 6) AS w
+    FROM fb_terms ft JOIN dfreq_fb d USING (term) CROSS JOIN stats s
+    ORDER BY w DESC, term ASC LIMIT {_PRF_EXPAND_K})
+),
+weighted AS (
+  SELECT term, CAST(1.0 AS DOUBLE) AS q_weight
+  FROM (SELECT unnest([{terms}]) AS term)
+  UNION ALL SELECT term, q_weight FROM expansion
+),
+q_dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tfull
+  WHERE term IN (SELECT term FROM weighted) GROUP BY 1
+),
+scored AS (
+  SELECT tfull.doc_id,
+         wq.q_weight * ROUND({idf} * {tf_part}, 6) AS w
+  FROM tfull JOIN weighted wq USING (term)
+  JOIN q_dfreq d USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+)
+SELECT doc_id,
+  ROUND(CAST(SUM(CAST(ROUND(w * 2000000.0) AS BIGINT)) AS DOUBLE)
+        / 2000000.0, 7) AS score,
+  COUNT(*) AS n_hits
+FROM scored GROUP BY doc_id
+ORDER BY score DESC, doc_id LIMIT {_PRF_TOPK}
+"""
+
+
+_BITEXT_KNN, _BITEXT_TOPM = 4, 3
+
+
+def sim_margin_bitext(spark: SparkSession, sf: str) -> DataFrame:
+    """Margin-based bitext mining (similarity.margin_bitext_mine):
+    the query slice (vec_id < KNN_QUERY_LIMIT) mines its best-margin
+    matches from the rest of the corpus — cosine normalized by both
+    sides' kNN averages (Artetxe-Schwenk ratio margin), the standard
+    parallel-pair harvesting criterion."""
+    emb = load(spark, sf, "embeddings")
+    left = emb.filter(F.col("vec_id") < KNN_QUERY_LIMIT)
+    right = emb.filter(F.col("vec_id") >= KNN_QUERY_LIMIT)
+    return similarity.margin_bitext_mine(
+        left, right, knn=_BITEXT_KNN, top_m=_BITEXT_TOPM
+    )
+
+
+def _margin_bitext_sql() -> str:
+    k, m = _BITEXT_KNN, _BITEXT_TOPM
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding FROM embeddings
+  WHERE vec_id < {KNN_QUERY_LIMIT}
+),
+c AS (
+  SELECT vec_id AS neighbor_id, embedding FROM embeddings
+  WHERE vec_id >= {KNN_QUERY_LIMIT}
+),
+pairs AS (
+  SELECT query_id, neighbor_id,
+         {_cos_sql('q.embedding', 'c.embedding')} AS cos_sim
+  FROM c, q
+),
+pairs2 AS (
+  SELECT *, CAST(ROUND(cos_sim * 1000000.0) AS BIGINT) AS ci FROM pairs
+),
+x_top AS (
+  SELECT query_id, ci FROM pairs2
+  QUALIFY row_number() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) <= {k}
+),
+x_nn AS (SELECT query_id, SUM(ci) AS sx, COUNT(*) AS kx
+         FROM x_top GROUP BY 1),
+y_top AS (
+  SELECT neighbor_id, ci FROM pairs2
+  QUALIFY row_number() OVER (
+    PARTITION BY neighbor_id ORDER BY cos_sim DESC, query_id ASC) <= {k}
+),
+y_nn AS (SELECT neighbor_id, SUM(ci) AS sy, COUNT(*) AS ky
+         FROM y_top GROUP BY 1),
+scored AS (
+  SELECT p.query_id, p.neighbor_id,
+         CASE WHEN (CAST(sx AS DOUBLE) / kx + CAST(sy AS DOUBLE) / ky)
+                   * 0.5 != 0
+              THEN ROUND(CAST(ci AS DOUBLE)
+                   / ((CAST(sx AS DOUBLE) / kx
+                       + CAST(sy AS DOUBLE) / ky) * 0.5), 6)
+         END AS margin
+  FROM pairs2 p JOIN x_nn USING (query_id) JOIN y_nn USING (neighbor_id)
+),
+ranked AS (
+  SELECT query_id, neighbor_id, margin FROM scored
+  WHERE margin IS NOT NULL
+  QUALIFY row_number() OVER (
+    PARTITION BY query_id ORDER BY margin DESC, neighbor_id ASC) <= {m}
+)
+SELECT p.query_id, p.neighbor_id, p.cos_sim, r.margin
+FROM pairs2 p JOIN ranked r USING (query_id, neighbor_id)
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "drift_wasserstein": (drift_wasserstein, _wasserstein_sql()),
     "sample_weighted_topk": (sample_weighted_topk, _wres_sql()),
@@ -6065,4 +6401,12 @@ QUERIES: dict[str, tuple] = {
     "multimodal_meta": (multimodal_meta, MULTIMODAL_SQL),
     "multimodal_phash_pipeline": (multimodal_phash_pipeline, _phash_sql()),
     "multimodal_audio_neardup": (multimodal_audio_neardup, _audio_neardup_sql()),
+    "sample_doremi_weights": (sample_doremi_weights, _doremi_sql()),
+    "eval_krippendorff_alpha": (
+        eval_krippendorff_alpha,
+        _krippendorff_sql(),
+    ),
+    "graph_ra_links": (graph_ra_links, _ra_links_sql()),
+    "retrieval_rocchio_prf": (retrieval_rocchio_prf, _rocchio_sql()),
+    "sim_margin_bitext": (sim_margin_bitext, _margin_bitext_sql()),
 }

@@ -4859,15 +4859,16 @@ def _gd_feats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _gd_weights(spark: SparkSession, sf: str) -> list:
-    """Trained GD weights, memoized per sf dir (the _pq_books
-    discipline: training is deterministic — same data → same weights
-    bit-for-bit — so the classifier and the downstream AUC evaluation
+def _gd_trajectory(spark: SparkSession, sf: str) -> list:
+    """Trained GD trajectory (weights after EVERY iteration), memoized
+    per sf dir (the _pq_books discipline: training is deterministic —
+    same data → same weights bit-for-bit — so the classifier, the AUC
+    evaluation, the conformal calibration, and the cartography map all
     share ONE training run; production trains once and reuses)."""
     if sf not in _GD_WEIGHTS_CACHE:
         from icnarc_to_philips_linkage_spark.operators import regression
 
-        _GD_WEIGHTS_CACHE[sf] = regression.gd_train(
+        _GD_WEIGHTS_CACHE[sf] = regression.gd_train_trajectory(
             _gd_feats(spark, sf),
             _GD_FEATURES,
             "y",
@@ -4875,6 +4876,11 @@ def _gd_weights(spark: SparkSession, sf: str) -> list:
             iters=_GD_ITERS,
         )
     return _GD_WEIGHTS_CACHE[sf]
+
+
+def _gd_weights(spark: SparkSession, sf: str) -> list:
+    """Final trained GD weights — the last trajectory snapshot."""
+    return _gd_trajectory(spark, sf)[-1]
 
 
 def ml_gd_classifier(spark: SparkSession, sf: str) -> DataFrame:
@@ -4893,17 +4899,7 @@ def ml_gd_classifier(spark: SparkSession, sf: str) -> DataFrame:
     return spark.createDataFrame(rows, "feature string, weight double")
 
 
-def _gd_sql(lr: float = _GD_LR, iters: int = _GD_ITERS) -> str:
-    """Unrolled gradient-descent replay: one (gradient CTE, weight
-    CTE) pair per iteration, mirroring regression.gd_train's exact
-    arithmetic — fast sigmoid, 1e-12 integer contributions, the same
-    double update expression."""
-
-    def q(v: str) -> str:
-        return f"(sign({v}) * floor(abs({v}) * 1000000000000.0 + 0.5))"
-
-    ctes = [
-        """feats AS (
+_GD_FEATS_CTE = """feats AS (
   SELECT CAST(1.0 AS DOUBLE) AS x0,
          CAST(l_quantity / 50.0 AS DOUBLE) AS x1,
          CAST(l_discount * 10.0 AS DOUBLE) AS x2,
@@ -4911,8 +4907,34 @@ def _gd_sql(lr: float = _GD_LR, iters: int = _GD_ITERS) -> str:
          CAST(l_returnflag = 'R' AS INT) AS y
   FROM lineitem
   WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
-    AND l_tax IS NOT NULL AND l_returnflag IS NOT NULL)""",
-        "w0 AS (SELECT CAST(0.0 AS DOUBLE) AS b, CAST(0.0 AS DOUBLE) AS w1,"
+    AND l_tax IS NOT NULL AND l_returnflag IS NOT NULL)"""
+
+
+def _gd_sql(
+    lr: float = _GD_LR,
+    iters: int = _GD_ITERS,
+    feats_cte: str = _GD_FEATS_CTE,
+    materialized: bool = False,
+) -> str:
+    """Unrolled gradient-descent replay: one (gradient CTE, weight
+    CTE) pair per iteration, mirroring regression.gd_train's exact
+    arithmetic — fast sigmoid, 1e-12 integer contributions, the same
+    double update expression. ``feats_cte`` lets a caller carry extra
+    per-row columns through the chain (the g CTEs aggregate only
+    x/y); ``materialized`` pins every weight CTE so consumers that
+    reference SEVERAL snapshots (the cartography oracle) don't
+    trigger DuckDB's exponential default-CTE re-inlining."""
+
+    def q(v: str) -> str:
+        return f"(sign({v}) * floor(abs({v}) * 1000000000000.0 + 0.5))"
+
+    mat = "MATERIALIZED " if materialized else ""
+    ctes = [
+        (f"feats AS {mat}(" + feats_cte.split("(", 1)[1])
+        if materialized
+        else feats_cte,
+        f"w0 AS {mat}(SELECT CAST(0.0 AS DOUBLE) AS b,"
+        " CAST(0.0 AS DOUBLE) AS w1,"
         " CAST(0.0 AS DOUBLE) AS w2, CAST(0.0 AS DOUBLE) AS w3)",
     ]
     # Each CTE is referenced exactly ONCE (the incoming weights ride
@@ -4928,7 +4950,7 @@ def _gd_sql(lr: float = _GD_LR, iters: int = _GD_ITERS) -> str:
             for j in range(4)
         )
         ctes.append(
-            f"g{i} AS (SELECT b, w1, w2, w3, COUNT(*) AS n, {sums} "
+            f"g{i} AS {mat}(SELECT b, w1, w2, w3, COUNT(*) AS n, {sums} "
             f"FROM feats, w{i-1} GROUP BY b, w1, w2, w3)"
         )
         upd = ", ".join(
@@ -4936,7 +4958,7 @@ def _gd_sql(lr: float = _GD_LR, iters: int = _GD_ITERS) -> str:
             f"((CAST(s{j} AS DOUBLE) / 1000000000000.0) / n) AS {c}"
             for j, c in enumerate(["b", "w1", "w2", "w3"])
         )
-        ctes.append(f"w{i} AS (SELECT {upd} FROM g{i})")
+        ctes.append(f"w{i} AS {mat}(SELECT {upd} FROM g{i})")
     last = f"w{iters}"
     return (
         "WITH " + ",\n".join(ctes) + f"""
@@ -5009,6 +5031,318 @@ SELECT n_pos, n_neg,
                / (2.0 * n_pos * n_neg), 9)
        END AS auc
 FROM agg
+"""
+
+
+_CONF_ALPHA, _CONF_CAL_FRAC, _CONF_SALT = 0.2, 0.5, "conf"
+
+
+def _conf_key():
+    """The conformal calibration-split row key: orderkey|linenumber."""
+    return F.concat(
+        F.col("l_orderkey").cast("string"),
+        F.lit("|"),
+        F.col("l_linenumber").cast("string"),
+    )
+
+
+def ml_gd_conformal(spark: SparkSession, sf: str) -> DataFrame:
+    """Split conformal prediction wrapped around the trained GD
+    classifier (evaluation.conformal_coverage_binary): score every
+    line with the memoized weights, split calibration/test by md5
+    hash band on (orderkey, linenumber) — deterministic and
+    engine-portable like every split in sampling — calibrate the
+    80%-coverage nonconformity quantile on one half, and report
+    empirical coverage + mean prediction-set size on the other. The
+    finite-sample guarantee check a score threshold needs before
+    gating 100 TB of training data."""
+    from icnarc_to_philips_linkage_spark.operators import (
+        evaluation,
+        regression,
+    )
+    from icnarc_to_philips_linkage_spark.operators.sampling import (
+        _threshold_hex,
+        hash_bucket,
+    )
+
+    w = _gd_weights(spark, sf)
+    l = load(spark, sf, "lineitem")
+    feats = l.select(
+        (F.col("l_quantity") / F.lit(50.0)).alias("x_qty"),
+        (F.col("l_discount") * F.lit(10.0)).alias("x_disc"),
+        (F.col("l_tax") * F.lit(10.0)).alias("x_tax"),
+        (F.col("l_returnflag") == "R").cast("int").alias("y"),
+        (
+            hash_bucket(_conf_key(), _CONF_SALT)
+            < F.lit(_threshold_hex(_CONF_CAL_FRAC))
+        ).alias("__cal"),
+    ).filter(
+        F.col("x_qty").isNotNull()
+        & F.col("x_disc").isNotNull()
+        & F.col("x_tax").isNotNull()
+        & F.col("y").isNotNull()
+    )
+    scored = regression.gd_score(feats, _GD_FEATURES, w)
+    return evaluation.conformal_coverage_binary(
+        scored, "score", "y", "__cal", alpha=_CONF_ALPHA
+    )
+
+
+def _gd_conformal_sql() -> str:
+    """ml_gd_conformal oracle: the training chain over a feats CTE
+    that carries the md5 calibration flag, then the gd_score sigmoid,
+    the exact order-statistic quantile, and the coverage sums."""
+    from icnarc_to_philips_linkage_spark.operators.sampling import (
+        _threshold_hex,
+    )
+
+    thr = _threshold_hex(_CONF_CAL_FRAC)
+    feats_cte = f"""feats AS (
+  SELECT CAST(1.0 AS DOUBLE) AS x0,
+         CAST(l_quantity / 50.0 AS DOUBLE) AS x1,
+         CAST(l_discount * 10.0 AS DOUBLE) AS x2,
+         CAST(l_tax * 10.0 AS DOUBLE) AS x3,
+         CAST(l_returnflag = 'R' AS INT) AS y,
+         substr(md5('{_CONF_SALT}:' || CAST(l_orderkey AS VARCHAR)
+                    || '|' || CAST(l_linenumber AS VARCHAR)), 1, 8)
+           < '{thr}' AS cal
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+    AND l_tax IS NOT NULL AND l_returnflag IS NOT NULL)"""
+    train = _gd_sql(feats_cte=feats_cte)
+    body = train[: train.rindex("\nSELECT")]
+    z = "(((b + w1 * x1) + w2 * x2) + w3 * x3)"
+    sig = f"(0.5 * (1.0 + {z} / (1.0 + abs({z}))))"
+    cov = f"1.0 - {_CONF_ALPHA!r}"
+    return f"""{body},
+scored AS (SELECT {sig} AS p, y, cal FROM feats, w{_GD_ITERS}),
+s AS (
+  SELECT ROUND(CASE WHEN y = 1 THEN 1.0 - p ELSE p END, 6) AS s,
+         ROUND(1.0 - p, 6) AS s1, ROUND(p, 6) AS s0, cal
+  FROM scored
+),
+per_s AS (SELECT s, COUNT(*) AS c FROM s WHERE cal GROUP BY s),
+cum AS (
+  SELECT s,
+         SUM(c) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(c) OVER () AS n
+  FROM per_s
+),
+q AS (
+  SELECT MIN(s) AS qhat FROM cum WHERE cum >= CEIL((n + 1) * ({cov}))
+),
+ncal AS (SELECT COALESCE(SUM(c), 0) AS n_cal FROM per_s)
+SELECT ncal.n_cal AS n_cal, COUNT(*) AS n_test, q.qhat AS q_hat,
+  ROUND({cov}, 6) AS target,
+  ROUND(CAST(SUM(CASE WHEN q.qhat IS NULL OR s <= q.qhat
+                      THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+    AS coverage,
+  ROUND(CAST(SUM((CASE WHEN q.qhat IS NULL OR s1 <= q.qhat
+                       THEN 1 ELSE 0 END)
+              + (CASE WHEN q.qhat IS NULL OR s0 <= q.qhat
+                      THEN 1 ELSE 0 END)) AS DOUBLE) / COUNT(*), 6)
+    AS avg_set_size
+FROM s, q, ncal WHERE NOT cal GROUP BY ncal.n_cal, q.qhat
+"""
+
+
+# thresholds sit on the observed structure of the GD map: confidence
+# is bimodal around 0.40 / 0.60 (the easy/hard modes) and variability
+# spans 0.023-0.030, so 0.028 marks the genuinely high-variance tail
+_CARTO_CONF_HI, _CARTO_CONF_LO, _CARTO_VAR_HI = 0.55, 0.45, 0.028
+
+
+def ml_gd_cartography(spark: SparkSession, sf: str) -> DataFrame:
+    """Dataset cartography over the GD training run
+    (regression.cartography_map on the memoized trajectory): score
+    every line at ALL five weight snapshots in one map-only
+    projection, compute per-example confidence/variability, bucket
+    into easy/ambiguous/hard/middle regions, and profile the map by
+    (bucket, label) — counts plus exact-integer mean confidence and
+    variability. The training-dynamics triage (Swayamdipta et al.
+    2020) for which examples to keep, re-label, or upweight."""
+    from icnarc_to_philips_linkage_spark.operators import regression
+
+    traj = _gd_trajectory(spark, sf)
+    feats = _gd_feats(spark, sf).filter(
+        F.col("x_qty").isNotNull()
+        & F.col("x_disc").isNotNull()
+        & F.col("x_tax").isNotNull()
+        & F.col("y").isNotNull()
+    )
+    carto = regression.cartography_map(
+        feats,
+        _GD_FEATURES,
+        "y",
+        traj,
+        conf_hi=_CARTO_CONF_HI,
+        conf_lo=_CARTO_CONF_LO,
+        var_hi=_CARTO_VAR_HI,
+    )
+    micro = lambda c: F.round(F.col(c) * F.lit(1e6)).cast("long")  # noqa: E731
+    return carto.groupBy("bucket", "y").agg(
+        F.count(F.lit(1)).alias("n_examples"),
+        F.round(
+            F.sum(micro("confidence").cast("decimal(38,0)"))
+            .cast("double")
+            / F.count(F.lit(1))
+            / F.lit(1e6),
+            6,
+        ).alias("mean_confidence"),
+        F.round(
+            F.sum(micro("variability").cast("decimal(38,0)"))
+            .cast("double")
+            / F.count(F.lit(1))
+            / F.lit(1e6),
+            6,
+        ).alias("mean_variability"),
+    )
+
+
+def _gd_carto_sql() -> str:
+    """ml_gd_cartography oracle: MATERIALIZED training chain (the
+    scoring pass references every snapshot, which would otherwise
+    re-inline the chain exponentially), per-row left-associated
+    mean/variance over the five snapshot sigmoids, same rounded
+    bucketing, exact-integer micro-unit means."""
+    train = _gd_sql(materialized=True)
+    body = train[: train.rindex("\nSELECT")]
+    t_n = _GD_ITERS
+    snaps = ", ".join(
+        f"(SELECT b AS b{t}, w1 AS w1_{t}, w2 AS w2_{t}, w3 AS w3_{t} "
+        f"FROM w{t}) s{t}"
+        for t in range(1, t_n + 1)
+    )
+    pcs = []
+    for t in range(1, t_n + 1):
+        z = f"(((b{t} + w1_{t} * x1) + w2_{t} * x2) + w3_{t} * x3)"
+        sig = f"(0.5 * (1.0 + {z} / (1.0 + abs({z}))))"
+        pcs.append(f"(CASE WHEN y = 1 THEN {sig} ELSE 1.0 - {sig} END)")
+    mean_raw = pcs[0]
+    for pc in pcs[1:]:
+        mean_raw = f"({mean_raw} + {pc})"
+    mean_raw = f"({mean_raw} / {float(t_n)!r})"
+    msq_raw = f"({pcs[0]} * {pcs[0]})"
+    for pc in pcs[1:]:
+        msq_raw = f"({msq_raw} + {pc} * {pc})"
+    msq_raw = f"({msq_raw} / {float(t_n)!r})"
+    return f"""{body},
+rowstats AS (
+  SELECT ROUND({mean_raw}, 6) AS conf,
+         ROUND(SQRT(GREATEST({msq_raw} - {mean_raw} * {mean_raw}, 0.0)), 6)
+           AS vari,
+         y
+  FROM feats, {snaps}
+),
+bucketed AS (
+  SELECT CASE WHEN vari >= {_CARTO_VAR_HI!r} THEN 'ambiguous'
+              WHEN conf >= {_CARTO_CONF_HI!r} THEN 'easy_to_learn'
+              WHEN conf < {_CARTO_CONF_LO!r} THEN 'hard_to_learn'
+              ELSE 'middle' END AS bucket,
+         y, conf, vari
+  FROM rowstats
+)
+SELECT bucket, y, COUNT(*) AS n_examples,
+  ROUND(CAST(SUM(CAST(ROUND(conf * 1000000.0) AS HUGEINT)) AS DOUBLE)
+        / COUNT(*) / 1000000.0, 6) AS mean_confidence,
+  ROUND(CAST(SUM(CAST(ROUND(vari * 1000000.0) AS HUGEINT)) AS DOUBLE)
+        / COUNT(*) / 1000000.0, 6) AS mean_variability
+FROM bucketed GROUP BY bucket, y
+"""
+
+
+def priv_k_anonymity(spark: SparkSession, sf: str) -> DataFrame:
+    """k-anonymity / l-diversity audit (pii.k_anonymity_report) of the
+    customer table under the (nation, market-segment) quasi-identifier
+    with the account-balance band as the sensitive attribute — the
+    pre-release privacy screen for a demographic-shaped table. One
+    QI-bounded aggregation."""
+    from icnarc_to_philips_linkage_spark.operators import pii
+
+    c = load(spark, sf, "customer")
+    band = (
+        F.when(F.col("c_acctbal") < 0, F.lit("overdrawn"))
+        .when(F.col("c_acctbal") < 5000, F.lit("mid"))
+        .otherwise(F.lit("high"))
+    )
+    base = c.select(
+        "c_nationkey", "c_mktsegment", band.alias("balance_band")
+    )
+    return pii.k_anonymity_report(
+        base, ["c_nationkey", "c_mktsegment"], "balance_band", k=10, l=2
+    )
+
+
+PRIV_K_ANON_SQL = """
+WITH base AS (
+  SELECT c_nationkey, c_mktsegment,
+         CASE WHEN c_acctbal < 0 THEN 'overdrawn'
+              WHEN c_acctbal < 5000 THEN 'mid'
+              ELSE 'high' END AS balance_band
+  FROM customer
+)
+SELECT c_nationkey, c_mktsegment, COUNT(*) AS group_size,
+       COUNT(DISTINCT balance_band) AS n_sensitive,
+       COUNT(*) < 10 AS k_violation,
+       COUNT(DISTINCT balance_band) < 2 AS l_violation
+FROM base GROUP BY c_nationkey, c_mktsegment
+"""
+
+
+def ts_mann_kendall(spark: SparkSession, sf: str) -> DataFrame:
+    """Mann-Kendall monotonic-trend test (timeseries.mann_kendall) on
+    each event type's daily volume — "is this stream drifting?"
+    answered nonparametrically. The corpus-sized work is ONE daily
+    aggregation; the pairwise trend join runs on the (type, day)
+    grid, bounded by the calendar, never by event count."""
+    from icnarc_to_philips_linkage_spark.operators import timeseries
+
+    e = load(spark, sf, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return timeseries.mann_kendall(daily, "event_type", "day", "n_events")
+
+
+TS_MANN_KENDALL_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.event_type,
+         SUM(CAST(SIGN(b.n - a.n) AS BIGINT)) AS s_stat
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.day < b.day
+  GROUP BY 1
+),
+nn AS (SELECT event_type, COUNT(*) AS n_obs FROM daily GROUP BY 1),
+ties AS (
+  SELECT event_type,
+         SUM(c * (c - 1) * (2 * c + 5)) AS tie_term
+  FROM (SELECT event_type, n, COUNT(*) AS c FROM daily GROUP BY 1, 2)
+  GROUP BY 1
+),
+j AS (
+  SELECT nn.event_type, nn.n_obs,
+         COALESCE(p.s_stat, 0) AS s_stat,
+         nn.n_obs * (nn.n_obs - 1) * (2 * nn.n_obs + 5) - t.tie_term
+           AS var18
+  FROM nn JOIN ties t ON nn.event_type = t.event_type
+  LEFT JOIN pairs p ON nn.event_type = p.event_type
+)
+SELECT event_type, n_obs, s_stat,
+  ROUND(CAST(var18 AS DOUBLE) / 18.0, 6) AS var_s,
+  CASE WHEN var18 > 0 THEN
+    ROUND(CASE WHEN s_stat > 0 THEN
+            CAST(s_stat - 1 AS DOUBLE)
+            / SQRT(CAST(var18 AS DOUBLE) / 18.0)
+          WHEN s_stat < 0 THEN
+            CAST(s_stat + 1 AS DOUBLE)
+            / SQRT(CAST(var18 AS DOUBLE) / 18.0)
+          ELSE 0.0 END, 6)
+  END AS z
+FROM j
 """
 
 
@@ -5148,4 +5482,8 @@ QUERIES: dict[str, tuple] = {
     "e9_math": (e9_math, E9_SQL),
     "e_string_ops": (e_string_ops, E_STRING_SQL),
     "e_json_extract": (e_json_extract, E_JSON_SQL),
+    "ml_gd_conformal": (ml_gd_conformal, _gd_conformal_sql()),
+    "ml_gd_cartography": (ml_gd_cartography, _gd_carto_sql()),
+    "priv_k_anonymity": (priv_k_anonymity, PRIV_K_ANON_SQL),
+    "ts_mann_kendall": (ts_mann_kendall, TS_MANN_KENDALL_SQL),
 }
