@@ -539,6 +539,12 @@ def rocchio_prf_search(
     stats = toks.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
+    # the (doc, term) grain feeds four consumers (feedback tf, two df
+    # passes, pass-2 scoring); it is deliberately NOT persisted —
+    # measured at sf0.1, materializing the full grain costs more than
+    # the column-pruned codegen recomputes (9.0 s vs 5.2 s), and at
+    # full-corpus scale the right move is paying the layout once at
+    # ingest via write_postings_index, not caching per query
     posting = (
         toks.select(F.col(id_col), "dl", F.explode("__toks").alias("term"))
         .groupBy(F.col(id_col), "term")

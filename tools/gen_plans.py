@@ -164,6 +164,45 @@ SECTIONS: list[tuple[str, str]] = [
         "same alphabet-bounded aggregate); both models broadcast; "
         "scoring is one broadcast join + per-doc weighted mean.",
     ),
+    (
+        "ml_gd_cartography",
+        "Dataset cartography: all five trajectory snapshots are plan "
+        "LITERALS, so per-example confidence/variability over five "
+        "sigmoids is one codegen'd projection — the whole query is one "
+        "corpus scan plus a single (bucket, y)-bounded aggregation "
+        "exchange.",
+    ),
+    (
+        "ml_gd_conformal",
+        "Split conformal: the calibration quantile comes from the "
+        "rounded-score-grain frame (bounded by the feature grid) via "
+        "one ordered pass; q-hat rides back as a broadcast 1-row frame "
+        "and coverage is one conditional aggregation — no corpus joins.",
+    ),
+    (
+        "graph_ra_links",
+        "Resource-allocation link prediction: wedge join on the kNN "
+        "edge frame's shared-target key, in-degree weights broadcast, "
+        "known-adjacent pairs leave via anti-join, final selection is "
+        "TakeOrderedAndProject. Hub targets excluded up front bound "
+        "the wedge fanout.",
+    ),
+    (
+        "retrieval_rocchio_prf",
+        "Two-pass PRF: pass 1 is the literal-folded BM25 (no postings "
+        "shuffle); expansion statistics are one vocabulary-bounded "
+        "(doc, term) aggregation with the feedback slice broadcast; "
+        "pass 2 joins the postings grain against the <=8-term weighted "
+        "query broadcast. Score sums are exact 2e6-grid integers.",
+    ),
+    (
+        "sim_margin_bitext",
+        "Ratio-margin bitext mining: the query slice broadcasts onto "
+        "the corpus ONCE; both sides' kNN averages aggregate that same "
+        "pair frame (integer micro-unit sums); the margin projection "
+        "and per-query top-m reuse the two-level topk merge — no "
+        "second corpus pass.",
+    ),
 ]
 
 SF = "/root/testdata/sf0.001"
