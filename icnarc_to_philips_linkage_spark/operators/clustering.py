@@ -123,3 +123,80 @@ def kmeans(
 
 def cluster_sizes(assignments: DataFrame) -> DataFrame:
     return assignments.groupBy("cluster").agg(F.count(F.lit(1)).alias("n"))
+
+
+def power_iteration_top_pc(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    iters: int = 5,
+) -> tuple[list[float], list[int], int, int]:
+    """Top principal direction of the uncentered second-moment matrix
+    M = Σ x·xᵀ by distributed power iteration — the PCA/whitening
+    primitive (dominant embedding direction, anisotropy diagnosis,
+    all-but-the-top post-processing) computed WITHOUT ever
+    materializing M or collecting the corpus.
+
+    Per iteration (the gd_train loop discipline): project y = x·v with
+    the current direction as dim literals (map-only), reduce the
+    corpus to dim exact-integer sums z_j = Σ quant(y·x_j) (the 1e-12
+    CUSUM quantizer — order-independent, partition-layout-invariant),
+    and renormalize ON THE INTEGERS: ‖z‖² = Σ z_j² stays an exact
+    Python/HUGEINT integer, and v_j = double(z_j) / sqrt(double(‖z‖²))
+    — two deterministically-rounded casts and one exactly-rounded
+    IEEE division, so every iteration is bit-identical in the DuckDB
+    oracle's unrolled replay (the 1e-12 scales cancel in v).
+
+    Returns ``(v, z_int, norm2, n)``: the final unit direction, its
+    pre-normalization integer image, ‖z‖² and the row count — enough
+    for the caller to emit the Rayleigh-quotient eigenvalue estimate
+    ``sqrt(norm2)/1e12/n`` with the same arithmetic the oracle uses.
+
+    Scale shape: iters × (one codegen projection + one map-combined
+    aggregation to dim decimals); the direction never exceeds dim
+    driver doubles. No corpus joins, no windows, no collects beyond
+    the 1-row gradient frame.
+    """
+    import math
+
+    from icnarc_to_philips_linkage_spark.operators.regression import _qint
+
+    base = df.select(F.col(vec_col).alias("__v")).filter(
+        F.col("__v").isNotNull() & (F.size("__v") == dim)
+    )
+    v = [1.0 / math.sqrt(float(dim))] * dim
+    z_int: list[int] = [0] * dim
+    norm2 = 0
+    n = 0
+    for _ in range(iters):
+        vlit = F.array(*[F.lit(x) for x in v])
+        projected = base.select(
+            "__v",
+            F.aggregate(
+                F.zip_with(
+                    "__v", vlit, lambda a, b: a.cast("double") * b
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("__y"),
+        )
+        row = projected.agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum(
+                    _qint(
+                        F.col("__y")
+                        * F.element_at("__v", j + 1).cast("double")
+                    )
+                ).alias(f"z{j}")
+                for j in range(dim)
+            ],
+        ).collect()[0]
+        n = int(row["n"])
+        z_int = [int(row[f"z{j}"] or 0) for j in range(dim)]
+        norm2 = sum(z * z for z in z_int)
+        if norm2 == 0:
+            break
+        nrm = math.sqrt(float(norm2))
+        v = [float(z) / nrm for z in z_int]
+    return v, z_int, norm2, n

@@ -6199,6 +6199,91 @@ ORDER BY score DESC, doc_id LIMIT {_PRF_TOPK}
 """
 
 
+_PCA_ITERS = 4
+
+
+def emb_pca_power(spark: SparkSession, sf: str) -> DataFrame:
+    """Top principal direction of the embedding second-moment matrix
+    by distributed power iteration (clustering.power_iteration_top_pc)
+    — the PCA primitive for anisotropy diagnosis / all-but-the-top
+    embedding post-processing. iters × (one projection + one
+    dim-bounded exact-integer aggregation); the direction lives as
+    dim driver literals and every iteration replays bit-identically
+    in the unrolled oracle (the gd_train discipline applied to an
+    eigenproblem). Output: (pos, loading, eigenvalue, n_vectors)."""
+    import math
+
+    from icnarc_to_philips_linkage_spark.operators import clustering
+
+    emb = load(spark, sf, "embeddings")
+    v, _z, norm2, n = clustering.power_iteration_top_pc(
+        emb, dim=DIM, iters=_PCA_ITERS
+    )
+    lam = (
+        math.sqrt(float(norm2)) / 1e12 / n if n and norm2 else None
+    )
+    rows = [(j + 1, v[j], lam, n) for j in range(DIM)]
+    return spark.createDataFrame(
+        rows, "pos int, loading double, eigenvalue double, n_vectors long"
+    )
+
+
+def _pca_sql() -> str:
+    import math
+
+    dim, iters = DIM, _PCA_ITERS
+    v0 = repr(1.0 / math.sqrt(float(dim)))
+
+    def qz(e: str) -> str:
+        return (
+            f"CAST(sign({e}) * floor(abs({e}) * 1000000000000.0 + 0.5)"
+            " AS HUGEINT)"
+        )
+
+    ctes = [
+        f"""base AS (
+  SELECT embedding AS v FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = {dim})"""
+    ]
+    for k in range(1, iters + 1):
+        if k == 1:
+            y = (
+                f"list_sum(list_transform(generate_series(1, {dim}),"
+                f" i -> CAST(v[i] AS DOUBLE) * ({v0})))"
+            )
+            src = "base"
+        else:
+            y = (
+                f"list_sum(list_transform(generate_series(1, {dim}),"
+                " i -> CAST(v[i] AS DOUBLE) * (CAST(zl[i] AS DOUBLE)"
+                " / SQRT(CAST(norm2 AS DOUBLE)))))"
+            )
+            src = f"base, v{k - 1}"
+        sums = ", ".join(
+            f"SUM({qz(f'(y * CAST(v[{j + 1}] AS DOUBLE))')}) AS z{j}"
+            for j in range(dim)
+        )
+        ctes.append(
+            f"z{k} AS (SELECT COUNT(*) AS n, {sums} "
+            f"FROM (SELECT v, {y} AS y FROM {src}))"
+        )
+        zlist = ", ".join(f"z{j}" for j in range(dim))
+        n2 = " + ".join(f"z{j} * z{j}" for j in range(dim))
+        ctes.append(
+            f"v{k} AS (SELECT [{zlist}] AS zl, ({n2}) AS norm2, n "
+            f"FROM z{k})"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT CAST(i AS INTEGER) AS pos,
+  CAST(zl[i] AS DOUBLE) / SQRT(CAST(norm2 AS DOUBLE)) AS loading,
+  SQRT(CAST(norm2 AS DOUBLE)) / 1000000000000.0 / n AS eigenvalue,
+  n AS n_vectors
+FROM v{iters}, generate_series(1, {dim}) AS t(i)
+"""
+    )
+
+
 _BITEXT_KNN, _BITEXT_TOPM = 4, 3
 
 
@@ -6409,4 +6494,5 @@ QUERIES: dict[str, tuple] = {
     "graph_ra_links": (graph_ra_links, _ra_links_sql()),
     "retrieval_rocchio_prf": (retrieval_rocchio_prf, _rocchio_sql()),
     "sim_margin_bitext": (sim_margin_bitext, _margin_bitext_sql()),
+    "emb_pca_power": (emb_pca_power, _pca_sql()),
 }

@@ -178,3 +178,44 @@ def test_cartography_needs_trajectory(spark):
     df = spark.createDataFrame([(0.0, 1)], "x double, y int")
     with pytest.raises(ValueError):
         regression.cartography_map(df, ["x"], "y", [])
+
+
+# ---------------------------------------------------------------------------
+# clustering.power_iteration_top_pc
+# ---------------------------------------------------------------------------
+
+
+def test_power_iteration_matches_numpy(spark):
+    """On a strongly anisotropic cloud the power direction aligns with
+    numpy's dominant eigenvector of X^T X after a few iterations."""
+    import numpy as np
+
+    from icnarc_to_philips_linkage_spark.operators import clustering
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(200, 3) * np.array([5.0, 1.0, 0.2])
+    rows = [(r.tolist(),) for r in base.astype("float32")]
+    df = spark.createDataFrame(rows, "embedding array<float>")
+    v, z, norm2, n = clustering.power_iteration_top_pc(
+        df, dim=3, iters=8
+    )
+    assert n == 200 and norm2 > 0
+    # unit norm
+    assert sum(x * x for x in v) == pytest.approx(1.0, abs=1e-9)
+    x = np.array([list(map(np.float32, r[0])) for r in rows], dtype=np.float64)
+    w_np, vecs = np.linalg.eigh(x.T @ x)
+    top = vecs[:, -1]
+    align = abs(float(np.dot(top, np.array(v))))
+    assert align > 0.999
+
+
+def test_power_iteration_empty_and_ragged(spark):
+    from icnarc_to_philips_linkage_spark.operators import clustering
+
+    df = spark.createDataFrame(
+        [([1.0, 2.0],), ([1.0],), (None,)], "embedding array<float>"
+    )
+    # ragged + null rows filtered; only the dim-2 row participates
+    v, z, norm2, n = clustering.power_iteration_top_pc(df, dim=2, iters=3)
+    assert n == 1
+    assert sum(x * x for x in v) == pytest.approx(1.0, abs=1e-9)
