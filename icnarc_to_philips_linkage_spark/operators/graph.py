@@ -306,3 +306,55 @@ def resource_allocation_links(
         .orderBy(F.desc("ra_score"), "node_a", "node_b")
         .limit(top_k)
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src_col: str = "node_id",
+    dst_col: str = "neighbor_id",
+    iters: int = 3,
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007) over an (optionally directed) edge list: initialize each
+    node's label to its own id, then for ``iters`` rounds every node
+    adopts the most frequent label among its neighbors — the
+    linear-time community baseline for kNN-graph corpus structure
+    (topic islands, template families) one level softer than
+    connected components.
+
+    Determinism (LPA's classic weakness, fixed here): ties break to
+    the SMALLEST label via a single integer-struct ``min`` aggregate
+    (min over (−count, label)), and rounds are synchronous — so the
+    trajectory is partition-layout-invariant, integer-exact, and
+    replayable round-for-round in the DuckDB oracle.
+
+    Scale shape per round: ONE edge⋈labels join (keyed on the
+    neighbor) + one (node, label) count + one per-node argmin — the
+    PageRank message-passing shape; k rounds = k bounded passes, no
+    driver data. Returns the final (node, label) frame.
+    """
+    e = edges.select(
+        F.col(src_col).alias("__s"), F.col(dst_col).alias("__d")
+    )
+    sym = e.unionByName(
+        e.select(F.col("__d").alias("__s"), F.col("__s").alias("__d"))
+    ).distinct()
+    labels = sym.select(F.col("__s").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(iters):
+        msgs = sym.join(
+            labels.withColumnRenamed("node", "__d"), "__d"
+        ).select(F.col("__s").alias("node"), "label")
+        counts = msgs.groupBy("node", "label").agg(
+            F.count(F.lit(1)).alias("__c")
+        )
+        labels = counts.groupBy("node").agg(
+            F.min(
+                F.struct(
+                    (-F.col("__c")).alias("nc"),
+                    F.col("label").alias("l"),
+                )
+            )["l"].alias("label")
+        )
+    return labels

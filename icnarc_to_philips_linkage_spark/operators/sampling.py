@@ -881,3 +881,77 @@ def mixture_reweight_mwu(
             ),
         ).alias("new_weight"),
     )
+
+
+def ht_total_estimate(
+    df: DataFrame,
+    strata_col: str,
+    value_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "stratified",
+    id_col: str = "doc_id",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Horvitz-Thompson total estimation from a stratified
+    deterministic sample: estimate each stratum's value total from
+    ONLY the rows ``stratified_hash_sample`` keeps, dividing by the
+    known inclusion probability — the estimator that makes cheap
+    sampled dashboards honest ("what WOULD the full-corpus total be")
+    and here doubles as a self-audit, reporting the exact relative
+    error against the true total computed in the same pass.
+
+    Because π is CONSTANT within a stratum, the estimator is
+    ``(Σ_{sampled} x) / π`` — one exact integer sum divided once, no
+    per-row float weights to accumulate (order-independent,
+    oracle-identical). Scale shape: the md5 keep-predicate is
+    map-side; one aggregation keyed on the stratum computes sampled
+    and true sums together via conditional sums — ONE scan, one
+    stratum-bounded shuffle.
+
+    Output per stratum: ``(stratum, pi, n_rows, n_sampled,
+    true_total, ht_total, rel_err)``; strata with π = 0 report NULL
+    estimates.
+    """
+    bucket = hash_bucket(id_col, salt)
+    thr = None
+    pi_expr = None
+    for value, frac in fractions.items():
+        cond = F.col(strata_col) == value
+        t = F.lit(_threshold_hex(frac))
+        p = F.lit(float(frac))
+        thr = F.when(cond, t) if thr is None else thr.when(cond, t)
+        pi_expr = (
+            F.when(cond, p) if pi_expr is None else pi_expr.when(cond, p)
+        )
+    thr = thr.otherwise(F.lit(_threshold_hex(default_fraction)))
+    pi_expr = pi_expr.otherwise(F.lit(float(default_fraction)))
+    kept = (bucket < thr).cast("int")
+    v = F.col(value_col).cast("decimal(38,0)")
+    per = (
+        df.filter(
+            F.col(strata_col).isNotNull() & F.col(value_col).isNotNull()
+        )
+        .groupBy(F.col(strata_col).alias("stratum"))
+        .agg(
+            F.first(pi_expr).alias("pi"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(kept).alias("n_sampled"),
+            F.sum(v).alias("__true"),
+            F.sum(F.when(kept == 1, v).otherwise(F.lit(0))).alias("__samp"),
+        )
+    )
+    ht = F.col("__samp").cast("double") / F.col("pi")
+    true_d = F.col("__true").cast("double")
+    return per.select(
+        "stratum",
+        "pi",
+        "n_rows",
+        "n_sampled",
+        F.col("__true").cast("long").alias("true_total"),
+        F.when(F.col("pi") > 0, F.round(ht, round_dp)).alias("ht_total"),
+        F.when(
+            (F.col("pi") > 0) & (true_d != 0),
+            F.round((ht - true_d) / true_d, round_dp),
+        ).alias("rel_err"),
+    )

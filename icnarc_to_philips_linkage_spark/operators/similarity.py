@@ -1090,3 +1090,64 @@ def margin_bitext_mine(
     return pairs.join(
         F.broadcast(ranked), ["query_id", "neighbor_id"]
     ).select("query_id", "neighbor_id", "cos_sim", "margin")
+
+
+def maxsim_score(
+    queries: DataFrame,
+    corpus: DataFrame,
+    group_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-vector late-interaction scoring (the ColBERT MaxSim
+    operator, Khattab & Zaharia 2020): a QUERY is a SET of vectors,
+    a candidate is a GROUP of vectors, and the score is
+    ``Σ_{q ∈ Q} max_{d ∈ group} cos(q, d)`` — each query vector finds
+    its best-matching group vector independently, the standard
+    retrieval upgrade when one pooled embedding blurs multi-aspect
+    content.
+
+    Scale shape: the query set broadcasts onto the corpus ONCE (the
+    ``knn_brute_force`` pattern); the per-(group, query-vector) max
+    and the per-group sum are two keyed aggregations whose grains are
+    |groups|·|Q| and |groups| — bounded by parameters, not corpus
+    size. Cosines round to the 1e-6 grid and become integer
+    micro-units before the cross-query-vector sum, so group scores
+    are exact integer sums (order-independent, oracle-identical).
+
+    Output per group: ``(group, n_vectors, score)`` where score is
+    the MaxSim sum over the query set.
+    """
+    q = queries.select(
+        F.col(id_col).alias("__qid"),
+        F.col(vec_col).alias("q_vec"),
+        norm_sq(vec_col).alias("q_nsq"),
+    )
+    c = corpus.select(
+        F.col(group_col).alias("__g"),
+        F.col(vec_col).alias("c_vec"),
+        norm_sq(vec_col).alias("c_nsq"),
+    )
+    pairs = c.crossJoin(F.broadcast(q)).select(
+        "__g",
+        "__qid",
+        F.round(
+            cosine_with_norms("q_vec", "c_vec", "q_nsq", "c_nsq"), 6
+        ).alias("__cos"),
+    )
+    best = pairs.groupBy("__g", "__qid").agg(
+        F.max(F.round(F.col("__cos") * F.lit(1e6)).cast("long")).alias(
+            "__ci"
+        )
+    )
+    sizes = c.groupBy("__g").agg(F.count(F.lit(1)).alias("n_vectors"))
+    return (
+        best.groupBy("__g")
+        .agg(
+            F.round(
+                F.sum("__ci").cast("double") / F.lit(1e6), 6
+            ).alias("score")
+        )
+        .join(F.broadcast(sizes), "__g")
+        .select(F.col("__g").alias(group_col), "n_vectors", "score")
+    )

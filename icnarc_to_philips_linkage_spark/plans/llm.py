@@ -6284,6 +6284,163 @@ FROM v{iters}, generate_series(1, {dim}) AS t(i)
     )
 
 
+def retrieval_maxsim(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-vector late-interaction retrieval (similarity.maxsim_score
+    — the ColBERT MaxSim operator): the query-vector slice scores each
+    label group by Σ per-query-vector best match. One broadcast pair
+    scan + two parameter-bounded aggregations; integer micro-unit
+    score sums."""
+    emb = load(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < KNN_QUERY_LIMIT)
+    c = emb.filter(F.col("vec_id") >= KNN_QUERY_LIMIT)
+    return similarity.maxsim_score(q, c, group_col="label")
+
+
+def _maxsim_sql() -> str:
+    return f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding FROM embeddings
+  WHERE vec_id < {KNN_QUERY_LIMIT}
+),
+c AS (
+  SELECT label, embedding FROM embeddings
+  WHERE vec_id >= {KNN_QUERY_LIMIT}
+),
+pairs AS (
+  SELECT c.label AS g, q.qid,
+         {_cos_sql('q.embedding', 'c.embedding')} AS cs
+  FROM c, q
+),
+best AS (
+  SELECT g, qid, MAX(CAST(ROUND(cs * 1000000.0) AS BIGINT)) AS ci
+  FROM pairs GROUP BY 1, 2
+),
+sizes AS (SELECT label AS g, COUNT(*) AS n_vectors FROM c GROUP BY 1),
+sc AS (
+  SELECT g, ROUND(CAST(SUM(ci) AS DOUBLE) / 1000000.0, 6) AS score
+  FROM best GROUP BY g
+)
+SELECT g AS label, n_vectors, score FROM sc JOIN sizes USING (g)
+"""
+
+
+_LPA_ITERS = 3
+
+
+def graph_label_propagation(spark: SparkSession, sf: str) -> DataFrame:
+    """Community detection on the corpus kNN graph
+    (graph.label_propagation, 3 synchronous min-tie rounds):
+    community sizes after convergence-ish — the soft-clustering
+    companion to connected components for corpus structure maps."""
+    from icnarc_to_philips_linkage_spark.operators import graph
+
+    emb = load(spark, sf, "embeddings")
+    edges = similarity.knn_graph_lsh(
+        emb, k=5, n_planes=N_PLANES, dim=DIM
+    )
+    labels = graph.label_propagation(edges, iters=_LPA_ITERS)
+    return labels.groupBy(F.col("label").alias("community")).agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+
+
+def _lpa_sql() -> str:
+    knn = _knn_graph_sql()
+    body = knn[: knn.rindex("\nSELECT")]
+    ctes = [
+        f"""knn AS (
+  SELECT node_id, neighbor_id FROM sims
+  QUALIFY row_number() OVER (
+    PARTITION BY node_id ORDER BY cos_sim DESC, neighbor_id ASC) <= 5
+)""",
+        "e0 AS (SELECT DISTINCT node_id AS s, neighbor_id AS d FROM knn)",
+        "sym AS (SELECT DISTINCT s, d FROM "
+        "(SELECT s, d FROM e0 UNION ALL SELECT d AS s, s AS d FROM e0))",
+        "l0 AS (SELECT DISTINCT s AS node, s AS label FROM sym)",
+    ]
+    for i in range(1, _LPA_ITERS + 1):
+        ctes.append(
+            f"m{i} AS (SELECT sym.s AS node, l{i-1}.label "
+            f"FROM sym JOIN l{i-1} ON sym.d = l{i-1}.node)"
+        )
+        ctes.append(
+            f"c{i} AS (SELECT node, label, COUNT(*) AS c FROM m{i} "
+            "GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"l{i} AS (SELECT node, label FROM c{i} QUALIFY "
+            "row_number() OVER (PARTITION BY node "
+            "ORDER BY c DESC, label ASC) = 1)"
+        )
+    return (
+        f"{body},\n" + ",\n".join(ctes) + f"""
+SELECT label AS community, COUNT(*) AS n_members
+FROM l{_LPA_ITERS} GROUP BY 1
+"""
+    )
+
+
+_HT_FRACTIONS, _HT_DEFAULT = {"en": 0.5}, 0.25
+
+
+def sample_ht_estimate(spark: SparkSession, sf: str) -> DataFrame:
+    """Horvitz-Thompson totals from the stratified deterministic
+    sample (sampling.ht_total_estimate): estimate per-language
+    character totals from the kept slice only and report the exact
+    relative error against the true total — the honesty check for
+    sampled dashboards. One scan, one stratum-bounded aggregation."""
+    docs = load(spark, sf, "documents")
+    return sampling.ht_total_estimate(
+        docs, "lang", "n_chars", _HT_FRACTIONS,
+        default_fraction=_HT_DEFAULT,
+    )
+
+
+def _ht_sql() -> str:
+    from icnarc_to_philips_linkage_spark.operators.sampling import (
+        _threshold_hex,
+    )
+
+    whens_t = " ".join(
+        f"WHEN lang = '{v}' THEN '{_threshold_hex(f)}'"
+        for v, f in _HT_FRACTIONS.items()
+    )
+    whens_p = " ".join(
+        f"WHEN lang = '{v}' THEN CAST({float(f)!r} AS DOUBLE)"
+        for v, f in _HT_FRACTIONS.items()
+    )
+    return f"""
+WITH base AS (
+  SELECT lang AS stratum, n_chars,
+         CASE {whens_p} ELSE CAST({float(_HT_DEFAULT)!r} AS DOUBLE) END
+           AS pi,
+         CASE WHEN substr(md5('stratified:' || CAST(doc_id AS VARCHAR)),
+                          1, 8)
+              < CASE {whens_t}
+                ELSE '{_threshold_hex(_HT_DEFAULT)}' END
+              THEN 1 ELSE 0 END AS kept
+  FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+),
+per AS (
+  SELECT stratum, MIN(pi) AS pi,
+         COUNT(*) AS n_rows,
+         CAST(SUM(kept) AS BIGINT) AS n_sampled,
+         SUM(CAST(n_chars AS HUGEINT)) AS t,
+         SUM(CASE WHEN kept = 1 THEN CAST(n_chars AS HUGEINT)
+                  ELSE CAST(0 AS HUGEINT) END) AS s
+  FROM base GROUP BY stratum
+)
+SELECT stratum, pi, n_rows, n_sampled,
+  CAST(t AS BIGINT) AS true_total,
+  CASE WHEN pi > 0
+       THEN ROUND(CAST(s AS DOUBLE) / pi, 6) END AS ht_total,
+  CASE WHEN pi > 0 AND CAST(t AS DOUBLE) != 0
+       THEN ROUND((CAST(s AS DOUBLE) / pi - CAST(t AS DOUBLE))
+                  / CAST(t AS DOUBLE), 6) END AS rel_err
+FROM per
+"""
+
+
 _BITEXT_KNN, _BITEXT_TOPM = 4, 3
 
 
@@ -6495,4 +6652,7 @@ QUERIES: dict[str, tuple] = {
     "retrieval_rocchio_prf": (retrieval_rocchio_prf, _rocchio_sql()),
     "sim_margin_bitext": (sim_margin_bitext, _margin_bitext_sql()),
     "emb_pca_power": (emb_pca_power, _pca_sql()),
+    "retrieval_maxsim": (retrieval_maxsim, _maxsim_sql()),
+    "graph_label_propagation": (graph_label_propagation, _lpa_sql()),
+    "sample_ht_estimate": (sample_ht_estimate, _ht_sql()),
 }

@@ -219,3 +219,99 @@ def test_power_iteration_empty_and_ragged(spark):
     v, z, norm2, n = clustering.power_iteration_top_pc(df, dim=2, iters=3)
     assert n == 1
     assert sum(x * x for x in v) == pytest.approx(1.0, abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# similarity.maxsim_score
+# ---------------------------------------------------------------------------
+
+
+def test_maxsim_hand_computed(spark):
+    from icnarc_to_philips_linkage_spark.operators import similarity
+
+    q = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    c = spark.createDataFrame(
+        [(10, 1, [1.0, 0.0]), (11, 2, [0.0, 1.0]), (12, 2, [0.6, 0.8])],
+        "vec_id long, label int, embedding array<float>",
+    )
+    out = {r.label: r for r in similarity.maxsim_score(q, c).collect()}
+    # g1: max(1,0)=1 for q0, max(0,?)... q1 vs [1,0] = 0 -> 1.0
+    assert out[1].score == pytest.approx(1.0)
+    assert out[1].n_vectors == 1
+    # g2: q0 best = 0.6 ([0.6,.8]); q1 best = 1.0 ([0,1]) -> 1.6
+    assert out[2].score == pytest.approx(1.6)
+    assert out[2].n_vectors == 2
+
+
+# ---------------------------------------------------------------------------
+# graph.label_propagation
+# ---------------------------------------------------------------------------
+
+
+def test_label_propagation_two_triangles(spark):
+    """Two triangles joined by a bridge resolve to the hand-traced
+    label assignment under synchronous min-tie LPA."""
+    from icnarc_to_philips_linkage_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        "node_id long, neighbor_id long",
+    )
+    out = {
+        r.node: r.label
+        for r in graph.label_propagation(edges, iters=2).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 4: 4, 5: 3, 6: 3}
+
+
+def test_label_propagation_components_stay_separate(spark):
+    from icnarc_to_philips_linkage_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [(1, 2), (3, 4)], "node_id long, neighbor_id long"
+    )
+    out = {
+        r.node: r.label
+        for r in graph.label_propagation(edges, iters=3).collect()
+    }
+    # each pair oscillates/settles within itself; no cross-component label
+    assert set(out) == {1, 2, 3, 4}
+    assert {out[1], out[2]} <= {1, 2}
+    assert {out[3], out[4]} <= {3, 4}
+
+
+# ---------------------------------------------------------------------------
+# sampling.ht_total_estimate
+# ---------------------------------------------------------------------------
+
+
+def test_ht_estimate_properties(spark):
+    from icnarc_to_philips_linkage_spark.operators import sampling as sa
+
+    rows = (
+        [(i, "full", 10) for i in range(20)]
+        + [(100 + i, "half", 7) for i in range(40)]
+        + [(1000 + i, "none", 3) for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_chars int")
+    out = {
+        r.stratum: r
+        for r in sa.ht_total_estimate(
+            df, "lang", "n_chars",
+            {"full": 1.0, "half": 0.5, "none": 0.0},
+        ).collect()
+    }
+    # pi=1: estimator is exact
+    assert out["full"].n_sampled == 20
+    assert out["full"].ht_total == pytest.approx(200.0)
+    assert out["full"].rel_err == pytest.approx(0.0)
+    # pi=0.5: ht = sampled_sum / 0.5
+    h = out["half"]
+    assert 0 < h.n_sampled < 40
+    assert h.ht_total == pytest.approx(h.n_sampled * 7 / 0.5)
+    assert h.true_total == 280
+    # pi=0: no estimate
+    assert out["none"].ht_total is None and out["none"].rel_err is None
