@@ -513,3 +513,116 @@ def osa1_neighborhood_join(
         .unionByName(dele.select(eq.columns))
     )
     return out.drop("__nl", "__nr")
+
+
+def fs_em_estimate(
+    pairs: DataFrame,
+    gamma_cols: list[str],
+    iters: int = 10,
+    p0: float = 0.1,
+    m0: float = 0.8,
+    u0: float = 0.2,
+    round_dp: int = 9,
+):
+    """Unsupervised Fellegi-Sunter parameter estimation by EM (Winkler
+    1988): learn each comparison field's match/non-match agreement
+    probabilities (m_k, u_k) and the match prevalence p from UNLABELED
+    candidate pairs under conditional independence — the estimation
+    step that turns ``fs_score``'s hand-set weights into data-driven
+    ones, i.e. the actual Fellegi-Sunter pipeline a linkage deployment
+    runs (reference domain: ``clean_encounterids.py`` links on
+    hand-tuned exact keys; this is the probabilistic generalization).
+
+    THE scale insight: under conditional independence the likelihood
+    depends on pairs only through their AGREEMENT PATTERN, so the
+    corpus of candidate pairs collapses to ≤ 2^K pattern counts in ONE
+    map-combined aggregation — EM then iterates over a 2^K-row table
+    that lives on the driver (the gd_train loop discipline: exact
+    integer counts in, a deterministic double expression tree per
+    iteration, no second pass over the data).
+
+    Engine-exactness: pattern counts are exact integers; every E/M
+    step accumulates the 2^K terms in FIXED ascending-pattern order
+    with left-associated sums and 3-factor products, so the whole
+    trajectory is bit-reproducible in the oracle's unrolled CTE
+    replay. Returns ``(params_df, n_pairs)`` where params_df has one
+    row per field: ``(field, m, u, p, n_pairs)`` — m/u/p rounded at
+    the END only.
+    """
+    k = len(gamma_cols)
+    if k < 1:
+        raise ValueError("fs_em_estimate needs >= 1 comparison field")
+    if k > 8:
+        raise ValueError("pattern grain 2^k too wide; use <= 8 fields")
+    cond = None
+    for c in gamma_cols:
+        nn = F.col(c).isNotNull()
+        cond = nn if cond is None else (cond & nn)
+    counts_rows = (
+        pairs.filter(cond)
+        .groupBy(*[F.col(c).cast("int").alias(c) for c in gamma_cols])
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .collect()
+    )
+    counts: dict[tuple, int] = {}
+    for r in counts_rows:
+        counts[tuple(int(r[c]) for c in gamma_cols)] = int(r["__c"])
+    patterns = [
+        tuple((i >> (k - 1 - j)) & 1 for j in range(k))
+        for i in range(2**k)
+    ]  # ascending binary order, gamma_cols[0] is the high bit
+    n_pairs = sum(counts.values())
+    p = float(p0)
+    m = [float(m0)] * k
+    u = [float(u0)] * k
+    for _ in range(iters):
+        if n_pairs == 0:
+            break
+        # E-step posteriors per pattern (fixed factor order)
+        w: dict[tuple, float] = {}
+        for g in patterns:
+            a = 1.0
+            b = 1.0
+            for j in range(k):
+                a = a * (m[j] if g[j] else 1.0 - m[j])
+                b = b * (u[j] if g[j] else 1.0 - u[j])
+            num = p * a
+            den = p * a + (1.0 - p) * b
+            w[g] = num / den if den != 0 else 0.0
+        # M-step: left-assoc sums in ascending pattern order
+        sw = 0.0
+        for g in patterns:
+            sw = sw + float(counts.get(g, 0)) * w[g]
+        p = sw / n_pairs
+        for j in range(k):
+            num_m = 0.0
+            num_u = 0.0
+            den_u = 0.0
+            for g in patterns:
+                c = float(counts.get(g, 0))
+                num_m = num_m + c * w[g] * g[j]
+                num_u = num_u + c * (1.0 - w[g]) * g[j]
+                den_u = den_u + c * (1.0 - w[g])
+            m[j] = num_m / sw if sw != 0 else m[j]
+            u[j] = num_u / den_u if den_u != 0 else u[j]
+    # portable final quantizer (the Holt lesson): floor(x·1e9 + 0.5)
+    # — Python round() is banker's and engine ROUND()s disagree at
+    # half boundaries; this expression is identical in all three
+    import math
+
+    scale = 10.0**round_dp
+
+    def _q(x: float) -> float:
+        return math.floor(x * scale + 0.5) / scale
+
+    rows = [
+        (gamma_cols[j], _q(m[j]), _q(u[j]), _q(p), n_pairs)
+        for j in range(k)
+    ]
+    spark = pairs.sparkSession
+    return (
+        spark.createDataFrame(
+            rows, "field string, m double, u double, p double, n_pairs long"
+        ),
+        n_pairs,
+    )

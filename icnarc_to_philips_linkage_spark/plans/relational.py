@@ -5346,6 +5346,161 @@ FROM j
 """
 
 
+_FSEM_ITERS = 10
+_FSEM_FIELDS = ["g_mod10", "g_bal", "g_mod7"]
+_FSEM_P0, _FSEM_M0, _FSEM_U0 = 0.1, 0.8, 0.2
+
+
+def _fsem_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """The FS-EM candidate set: customer × supplier blocked on nation,
+    with three binary agreement fields (key mod-10, account-balance
+    thousand-band, key mod-7)."""
+    c = load(spark, sf, "customer")
+    s = load(spark, sf, "supplier")
+    return c.join(s, c["c_nationkey"] == s["s_nationkey"]).select(
+        (F.col("c_custkey") % 10 == F.col("s_suppkey") % 10)
+        .cast("int")
+        .alias("g_mod10"),
+        (
+            F.floor(F.col("c_acctbal") / F.lit(1000.0))
+            == F.floor(F.col("s_acctbal") / F.lit(1000.0))
+        )
+        .cast("int")
+        .alias("g_bal"),
+        (F.col("c_custkey") % 7 == F.col("s_suppkey") % 7)
+        .cast("int")
+        .alias("g_mod7"),
+    )
+
+
+def fuzzy_fs_em(spark: SparkSession, sf: str) -> DataFrame:
+    """Unsupervised Fellegi-Sunter weight estimation
+    (fuzzy.fs_em_estimate): EM over the nation-blocked customer ×
+    supplier candidate pairs' agreement patterns — the corpus of
+    pairs collapses to 2³ exact pattern counts in ONE aggregation,
+    then ten EM iterations run on the driver as a deterministic
+    expression tree (the gd_train discipline). The estimation step
+    that turns fs_score's hand-set m/u weights into data-driven
+    ones."""
+    from icnarc_to_philips_linkage_spark.operators import fuzzy
+
+    params, _n = fuzzy.fs_em_estimate(
+        _fsem_pairs(spark, sf),
+        _FSEM_FIELDS,
+        iters=_FSEM_ITERS,
+        p0=_FSEM_P0,
+        m0=_FSEM_M0,
+        u0=_FSEM_U0,
+    )
+    return params
+
+
+def _fs_em_sql() -> str:
+    """fuzzy_fs_em oracle: pattern counts pivoted to one row, then
+    every EM iteration unrolled as a (posterior CTE, update CTE)
+    pair with the SAME left-associated term order and guards as
+    fs_em_estimate's Python loop."""
+    k = len(_FSEM_FIELDS)
+    patterns = [
+        tuple((i >> (k - 1 - j)) & 1 for j in range(k))
+        for i in range(2**k)
+    ]
+
+    def cname(g):
+        return "c" + "".join(str(b) for b in g)
+
+    count_cols = ", ".join(
+        "COALESCE(SUM(CASE WHEN "
+        + " AND ".join(
+            f"g{j + 1} = {g[j]}" for j in range(k)
+        )
+        + " THEN 1 END), 0) AS "
+        + cname(g)
+        for g in patterns
+    )
+    n_expr = " + ".join(cname(g) for g in patterns)
+    init_params = (
+        f"CAST({_FSEM_P0!r} AS DOUBLE) AS p, "
+        + ", ".join(
+            f"CAST({_FSEM_M0!r} AS DOUBLE) AS m{j + 1}" for j in range(k)
+        )
+        + ", "
+        + ", ".join(
+            f"CAST({_FSEM_U0!r} AS DOUBLE) AS u{j + 1}" for j in range(k)
+        )
+    )
+    carry = ", ".join(cname(g) for g in patterns) + ", n"
+    ctes = [
+        """pairs AS (
+  SELECT CAST(c.c_custkey % 10 = s.s_suppkey % 10 AS INT) AS g1,
+         CAST(FLOOR(c.c_acctbal / 1000.0)
+              = FLOOR(s.s_acctbal / 1000.0) AS INT) AS g2,
+         CAST(c.c_custkey % 7 = s.s_suppkey % 7 AS INT) AS g3
+  FROM customer c JOIN supplier s ON c.c_nationkey = s.s_nationkey)""",
+        f"counts AS (SELECT {count_cols} FROM pairs)",
+        f"e0 AS (SELECT *, {n_expr} AS n, {init_params} FROM counts)",
+    ]
+    for t in range(1, _FSEM_ITERS + 1):
+        w_cols = []
+        for g in patterns:
+            a = "1.0"
+            b = "1.0"
+            for j in range(k):
+                fm = f"m{j + 1}" if g[j] else f"(1.0 - m{j + 1})"
+                fu = f"u{j + 1}" if g[j] else f"(1.0 - u{j + 1})"
+                a = f"({a} * {fm})"
+                b = f"({b} * {fu})"
+            num = f"(p * {a})"
+            den = f"({num} + ((1.0 - p) * {b}))"
+            w_cols.append(
+                f"CASE WHEN {den} != 0 THEN {num} / {den} ELSE 0.0 END"
+                f" AS w{cname(g)}"
+            )
+        ctes.append(
+            f"w{t} AS (SELECT {carry}, p, "
+            + ", ".join(f"m{j + 1}, u{j + 1}" for j in range(k))
+            + ", "
+            + ", ".join(w_cols)
+            + f" FROM e{t - 1})"
+        )
+        sw = "0.0"
+        for g in patterns:
+            sw = f"({sw} + (CAST({cname(g)} AS DOUBLE) * w{cname(g)}))"
+        upd = [f"({sw}) / n AS p"]
+        for j in range(k):
+            num_m = "0.0"
+            num_u = "0.0"
+            den_u = "0.0"
+            for g in patterns:
+                cd = f"CAST({cname(g)} AS DOUBLE)"
+                num_m = f"({num_m} + (({cd} * w{cname(g)}) * {g[j]}))"
+                num_u = (
+                    f"({num_u} + (({cd} * (1.0 - w{cname(g)})) * {g[j]}))"
+                )
+                den_u = f"({den_u} + ({cd} * (1.0 - w{cname(g)})))"
+            upd.append(
+                f"CASE WHEN {sw} != 0 THEN {num_m} / ({sw})"
+                f" ELSE m{j + 1} END AS m{j + 1}"
+            )
+            upd.append(
+                f"CASE WHEN {den_u} != 0 THEN {num_u} / ({den_u})"
+                f" ELSE u{j + 1} END AS u{j + 1}"
+            )
+        ctes.append(
+            f"e{t} AS (SELECT {carry}, " + ", ".join(upd) + f" FROM w{t})"
+        )
+    q = lambda e: (  # noqa: E731
+        f"FLOOR({e} * 1000000000.0 + 0.5) / 1000000000.0"
+    )
+    finals = " UNION ALL ".join(
+        f"SELECT '{f}' AS field, {q(f'm{j + 1}')} AS m,"
+        f" {q(f'u{j + 1}')} AS u, {q('p')} AS p,"
+        f" CAST(n AS BIGINT) AS n_pairs FROM e{_FSEM_ITERS}"
+        for j, f in enumerate(_FSEM_FIELDS)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + finals
+
+
 QUERIES: dict[str, tuple] = {
     "report_key_skew": (report_key_skew, KEY_SKEW_SQL),
     "report_column_profile": (report_column_profile, _column_profile_sql()),
@@ -5482,6 +5637,7 @@ QUERIES: dict[str, tuple] = {
     "e9_math": (e9_math, E9_SQL),
     "e_string_ops": (e_string_ops, E_STRING_SQL),
     "e_json_extract": (e_json_extract, E_JSON_SQL),
+    "fuzzy_fs_em": (fuzzy_fs_em, _fs_em_sql()),
     "ml_gd_conformal": (ml_gd_conformal, _gd_conformal_sql()),
     "ml_gd_cartography": (ml_gd_cartography, _gd_carto_sql()),
     "priv_k_anonymity": (priv_k_anonymity, PRIV_K_ANON_SQL),

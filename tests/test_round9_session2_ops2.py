@@ -315,3 +315,45 @@ def test_ht_estimate_properties(spark):
     assert h.true_total == 280
     # pi=0: no estimate
     assert out["none"].ht_total is None and out["none"].rel_err is None
+
+
+# ---------------------------------------------------------------------------
+# fuzzy.fs_em_estimate
+# ---------------------------------------------------------------------------
+
+
+def test_fs_em_recovers_planted_mixture(spark):
+    """EM on a planted two-class mixture recovers m >> u and a
+    prevalence near the planted 10%."""
+    import random
+
+    from icnarc_to_philips_linkage_spark.operators import fuzzy
+
+    rng = random.Random(42)
+    rows = []
+    for _ in range(5000):
+        is_match = rng.random() < 0.1
+        pm = 0.9 if is_match else 0.15
+        rows.append(tuple(int(rng.random() < pm) for _ in range(3)))
+    df = spark.createDataFrame(rows, "g1 int, g2 int, g3 int")
+    params, n = fuzzy.fs_em_estimate(df, ["g1", "g2", "g3"], iters=25)
+    got = {r.field: r for r in params.collect()}
+    assert n == 5000
+    for f in ("g1", "g2", "g3"):
+        assert got[f].m > 0.75, got[f]
+        assert got[f].u < 0.25, got[f]
+        assert 0.05 < got[f].p < 0.2, got[f]
+
+
+def test_fs_em_empty_and_validation(spark):
+    from icnarc_to_philips_linkage_spark.operators import fuzzy
+    import pytest as _pt
+
+    df = spark.createDataFrame([], "g1 int")
+    params, n = fuzzy.fs_em_estimate(df, ["g1"], iters=3)
+    assert n == 0
+    r = params.collect()[0]
+    # no data: parameters stay at their initial values
+    assert r.m == _pt.approx(0.8) and r.u == _pt.approx(0.2)
+    with _pt.raises(ValueError):
+        fuzzy.fs_em_estimate(df, [], iters=1)
