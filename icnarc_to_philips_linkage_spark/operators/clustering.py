@@ -200,3 +200,66 @@ def power_iteration_top_pc(
         nrm = math.sqrt(float(norm2))
         v = [float(z) / nrm for z in z_int]
     return v, z_int, norm2, n
+
+
+def anisotropy_report(
+    df: DataFrame,
+    v: list[float],
+    norm2: int,
+    n: int,
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding anisotropy diagnostic from a ``power_iteration_top_pc``
+    result (Mu & Viswanath 2018, "all-but-the-top": contextual/static
+    embedding spaces concentrate mass on a few dominant directions,
+    hurting cosine retrieval): reports the dominant eigenvalue, the
+    mean squared norm (= trace(M)/n, the total variance budget), the
+    explained-variance ratio, and the mean |cos(x, v_top)| — how much
+    of the corpus leans on the top direction.
+
+    ONE aggregation over the corpus (squared norms and |cos| both
+    quantized to exact integer grids before summing — order-independent
+    and oracle-identical); the direction and its integer image arrive
+    as literals from the power iteration, so nothing iterative runs
+    here. Output: one row ``(n_vectors, eigenvalue, trace_mean,
+    explained_ratio, mean_abs_cos_top)``.
+    """
+    import math
+
+    base = df.select(F.col(vec_col).alias("__v")).filter(
+        F.col("__v").isNotNull() & (F.size("__v") == dim)
+    )
+    vlit = F.array(*[F.lit(x) for x in v])
+    nsq = F.aggregate(
+        F.transform("__v", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    y = F.aggregate(
+        F.zip_with("__v", vlit, lambda a, b: a.cast("double") * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    abscos = F.abs(y / F.sqrt(nsq))
+    q12 = (
+        F.signum(nsq) * F.floor(F.abs(nsq) * F.lit(1e12) + F.lit(0.5))
+    ).cast("decimal(38,0)")
+    agg = base.agg(
+        F.sum(q12).alias("__snsq"),
+        F.sum(F.round(abscos * F.lit(1e6)).cast("long")).alias("__scos"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    lam = math.sqrt(float(norm2)) / 1e12 / n if n and norm2 else None
+    trace_mean = (
+        F.col("__snsq").cast("double") / F.lit(1e12) / F.col("__n")
+    )
+    return agg.select(
+        F.col("__n").alias("n_vectors"),
+        F.round(F.lit(lam), 6).alias("eigenvalue"),
+        F.round(trace_mean, 6).alias("trace_mean"),
+        F.round(F.lit(lam) / trace_mean, 6).alias("explained_ratio"),
+        F.round(
+            F.col("__scos").cast("double") / F.col("__n") / F.lit(1e6), 6
+        ).alias("mean_abs_cos_top"),
+    )

@@ -6200,6 +6200,20 @@ ORDER BY score DESC, doc_id LIMIT {_PRF_TOPK}
 
 
 _PCA_ITERS = 4
+_PCA_CACHE: dict = {}
+
+
+def _pca_result(spark: SparkSession, sf: str):
+    """Memoized power-iteration result per sf dir (the _gd_weights
+    discipline: deterministic training shared by every consumer —
+    emb_pca_power and emb_anisotropy price ONE run)."""
+    if sf not in _PCA_CACHE:
+        from icnarc_to_philips_linkage_spark.operators import clustering
+
+        _PCA_CACHE[sf] = clustering.power_iteration_top_pc(
+            load(spark, sf, "embeddings"), dim=DIM, iters=_PCA_ITERS
+        )
+    return _PCA_CACHE[sf]
 
 
 def emb_pca_power(spark: SparkSession, sf: str) -> DataFrame:
@@ -6213,12 +6227,7 @@ def emb_pca_power(spark: SparkSession, sf: str) -> DataFrame:
     eigenproblem). Output: (pos, loading, eigenvalue, n_vectors)."""
     import math
 
-    from icnarc_to_philips_linkage_spark.operators import clustering
-
-    emb = load(spark, sf, "embeddings")
-    v, _z, norm2, n = clustering.power_iteration_top_pc(
-        emb, dim=DIM, iters=_PCA_ITERS
-    )
+    v, _z, norm2, n = _pca_result(spark, sf)
     lam = (
         math.sqrt(float(norm2)) / 1e12 / n if n and norm2 else None
     )
@@ -6228,7 +6237,10 @@ def emb_pca_power(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _pca_sql() -> str:
+def _pca_chain_ctes() -> list:
+    """The shared unrolled power-iteration CTE chain (base, z1/v1 …
+    z{T}/v{T}) used by both the emb_pca_power and emb_anisotropy
+    oracles."""
     import math
 
     dim, iters = DIM, _PCA_ITERS
@@ -6273,13 +6285,78 @@ def _pca_sql() -> str:
             f"v{k} AS (SELECT [{zlist}] AS zl, ({n2}) AS norm2, n "
             f"FROM z{k})"
         )
+    return ctes
+
+
+def _pca_sql() -> str:
+    dim, iters = DIM, _PCA_ITERS
     return (
-        "WITH " + ",\n".join(ctes) + f"""
+        "WITH " + ",\n".join(_pca_chain_ctes()) + f"""
 SELECT CAST(i AS INTEGER) AS pos,
   CAST(zl[i] AS DOUBLE) / SQRT(CAST(norm2 AS DOUBLE)) AS loading,
   SQRT(CAST(norm2 AS DOUBLE)) / 1000000000000.0 / n AS eigenvalue,
   n AS n_vectors
 FROM v{iters}, generate_series(1, {dim}) AS t(i)
+"""
+    )
+
+
+def emb_anisotropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-space anisotropy diagnostic
+    (clustering.anisotropy_report over the memoized power-iteration
+    direction): dominant eigenvalue, total variance budget
+    (trace/n), explained-variance ratio, and mean |cos(x, v_top)| —
+    the all-but-the-top (Mu & Viswanath 2018) decision input for
+    whether to post-process the space before cosine retrieval. One
+    corpus aggregation; the direction is dim literals."""
+    from icnarc_to_philips_linkage_spark.operators import clustering
+
+    v, _z, norm2, n = _pca_result(spark, sf)
+    return clustering.anisotropy_report(
+        load(spark, sf, "embeddings"), v, norm2, n, dim=DIM
+    )
+
+
+def _anisotropy_sql() -> str:
+    dim, iters = DIM, _PCA_ITERS
+    vexpr = (
+        "(CAST(zl[i] AS DOUBLE) / SQRT(CAST(norm2 AS DOUBLE)))"
+    )
+    y = (
+        f"list_sum(list_transform(generate_series(1, {dim}),"
+        f" i -> CAST(v[i] AS DOUBLE) * {vexpr}))"
+    )
+    nsq = (
+        f"list_sum(list_transform(generate_series(1, {dim}),"
+        " i -> CAST(v[i] AS DOUBLE) * CAST(v[i] AS DOUBLE)))"
+    )
+    q12 = (
+        "CAST(sign(nsq) * floor(abs(nsq) * 1000000000000.0 + 0.5)"
+        " AS HUGEINT)"
+    )
+    return (
+        "WITH " + ",\n".join(_pca_chain_ctes()) + f""",
+rows_ AS (
+  SELECT {nsq} AS nsq, {y} AS y, norm2, n
+  FROM base, v{iters}
+),
+stats AS (
+  SELECT norm2, n,
+         SUM({q12}) AS snsq,
+         SUM(CAST(ROUND(abs(y / sqrt(nsq)) * 1000000.0) AS BIGINT))
+           AS scos,
+         COUNT(*) AS nn
+  FROM rows_ GROUP BY norm2, n
+)
+SELECT nn AS n_vectors,
+  ROUND(SQRT(CAST(norm2 AS DOUBLE)) / 1000000000000.0 / n, 6)
+    AS eigenvalue,
+  ROUND(CAST(snsq AS DOUBLE) / 1000000000000.0 / nn, 6) AS trace_mean,
+  ROUND((SQRT(CAST(norm2 AS DOUBLE)) / 1000000000000.0 / n)
+        / (CAST(snsq AS DOUBLE) / 1000000000000.0 / nn), 6)
+    AS explained_ratio,
+  ROUND(CAST(scos AS DOUBLE) / nn / 1000000.0, 6) AS mean_abs_cos_top
+FROM stats
 """
     )
 
@@ -6655,4 +6732,5 @@ QUERIES: dict[str, tuple] = {
     "retrieval_maxsim": (retrieval_maxsim, _maxsim_sql()),
     "graph_label_propagation": (graph_label_propagation, _lpa_sql()),
     "sample_ht_estimate": (sample_ht_estimate, _ht_sql()),
+    "emb_anisotropy": (emb_anisotropy, _anisotropy_sql()),
 }
