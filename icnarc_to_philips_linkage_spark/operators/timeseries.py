@@ -1206,3 +1206,102 @@ def mann_kendall(
             F.when(var18 > 0, F.round(zraw, round_dp)).alias("z"),
         )
     )
+
+
+def stl_decompose(
+    df: DataFrame,
+    key_col: str,
+    time_col: str,
+    value_col: str,
+    season_col: str,
+    trend_window: int = 7,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Additive seasonal-trend decomposition (the classical
+    moving-average decomposition STL descends from): per series,
+    ``trend`` = centered ``trend_window``-row moving average (NULL
+    until the window is FULL — no edge extrapolation), ``seasonal`` =
+    the mean detrended value of the row's season index (broadcast
+    back), ``resid`` = value − trend − seasonal. The monitoring
+    decomposition that separates "weekly rhythm" from "actual drift"
+    before alerting on either.
+
+    The caller supplies a GAP-FREE series grid (densify first — a
+    missing row silently mis-centers the row-window average, the
+    ``forecast_eval`` lesson) and a precomputed ``season_col``
+    (e.g. ``datediff(day, epoch) % 7`` — engine-portable, unlike
+    native day-of-week numbering). Exactness: values are integers (a
+    count grid), the trend is one int-sum / window double division,
+    and seasonal means quantize detrended values to exact 1e-6
+    integers before averaging — every output is a fixed expression
+    over exact sums, bit-reproducible in the oracle. Per-series
+    windows run on the calendar grid — bounded by the date span,
+    never by event count (the corpus-sized work is the caller's one
+    daily aggregation).
+    """
+    if trend_window % 2 == 0:
+        raise ValueError("trend_window must be odd (centered MA)")
+    half = trend_window // 2
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(time_col)
+        .rowsBetween(-half, half)
+    )
+    v = F.col(value_col).cast("long")
+    trend = F.when(
+        F.count(v).over(w) == trend_window,
+        F.sum(v).over(w) / F.lit(float(trend_window)),
+    )
+    base = df.select(
+        F.col(key_col),
+        F.col(time_col),
+        F.col(season_col).alias("__season"),
+        v.alias("__v"),
+        trend.alias("__trend"),
+    )
+    det = F.col("__v") - F.col("__trend")
+    detq = (
+        F.signum(det) * F.floor(F.abs(det) * F.lit(1e6) + F.lit(0.5))
+    ).cast("long")
+    seasonal_means = (
+        base.filter(F.col("__trend").isNotNull())
+        .groupBy(F.col(key_col), "__season")
+        .agg(
+            F.sum(detq).alias("__sdq"),
+            F.count(F.lit(1)).alias("__cnt"),
+        )
+        .select(
+            F.col(key_col),
+            "__season",
+            (
+                F.col("__sdq").cast("double")
+                / F.col("__cnt")
+                / F.lit(1e6)
+            ).alias("__seasonal"),
+        )
+    )
+    out = base.join(
+        F.broadcast(seasonal_means), [key_col, "__season"], "left"
+    )
+
+    # binary-exact output quantizer (the Holt lesson): seasonal means
+    # land EXACTLY on 1e-7 half-boundaries (integer/count grids), where
+    # decimal-repr ROUND and binary ROUND disagree; sign·floor is pure
+    # double arithmetic on identical inputs in both engines
+    def q(col):
+        scale = F.lit(float(10**round_dp))
+        return (
+            F.signum(col) * F.floor(F.abs(col) * scale + F.lit(0.5))
+        ) / scale
+
+    return out.select(
+        F.col(key_col),
+        F.col(time_col),
+        F.col("__season").alias(season_col),
+        F.col("__v").alias(value_col),
+        q(F.col("__trend")).alias("trend"),
+        q(F.col("__seasonal")).alias("seasonal"),
+        q(
+            F.col("__v") - F.col("__trend") - F.col("__seasonal")
+        ).alias("resid"),
+    )

@@ -5501,6 +5501,97 @@ def _fs_em_sql() -> str:
     return "WITH " + ",\n".join(ctes) + "\n" + finals
 
 
+_STL_EPOCH = "2024-01-01"
+
+
+def ts_stl_decompose(spark: SparkSession, sf: str) -> DataFrame:
+    """Classical additive decomposition (timeseries.stl_decompose) of
+    each event type's daily volume: centered 7-day trend, weekly
+    seasonal means, residual — on a DENSIFIED day grid (sequence of
+    days per type, zero-filled; the forecast_eval lesson: a row
+    window on a gappy grid silently mis-centers). Season index is
+    ``datediff(day, epoch) % 7`` — engine-portable weekday."""
+    from icnarc_to_philips_linkage_spark.operators import timeseries
+
+    e = load(spark, sf, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("__n"))
+    bounds = daily.agg(
+        F.min("day").alias("__lo"), F.max("day").alias("__hi")
+    )
+    grid = (
+        daily.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence("__lo", "__hi")).alias("day"),
+        )
+    )
+    dense = grid.join(daily, ["event_type", "day"], "left").select(
+        "event_type",
+        "day",
+        F.coalesce("__n", F.lit(0)).alias("n_events"),
+        (
+            F.datediff("day", F.lit(_STL_EPOCH).cast("date")) % 7
+        ).alias("season"),
+    )
+    out = timeseries.stl_decompose(
+        dense, "event_type", "day", "n_events", "season"
+    )
+    # DATE → midnight timestamp for the compare harness (Spark hands
+    # back datetime.date, DuckDB's pandas bridge hands back midnight
+    # datetimes; under the pinned UTC session the instants coincide)
+    return out.withColumn("day", F.col("day").cast("timestamp"))
+
+
+TS_STL_SQL = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),
+grid AS (
+  SELECT event_type, CAST(unnest(generate_series(lo, hi,
+                                                 INTERVAL 1 DAY)) AS DATE)
+           AS day
+  FROM (SELECT DISTINCT event_type FROM daily), bounds
+),
+dense AS (
+  SELECT g.event_type, g.day,
+         CAST(COALESCE(d.n, 0) AS BIGINT) AS n,
+         (g.day - DATE '{_STL_EPOCH}') % 7 AS season
+  FROM grid g LEFT JOIN daily d
+    ON g.event_type = d.event_type AND g.day = d.day
+),
+tr AS (
+  SELECT *, CASE WHEN COUNT(n) OVER w = 7
+                 THEN SUM(n) OVER w / 7.0 END AS trend
+  FROM dense
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+sm AS (
+  SELECT event_type, season,
+         CAST(SUM(CAST(sign(n - trend)
+                       * floor(abs(n - trend) * 1000000.0 + 0.5)
+                       AS BIGINT)) AS DOUBLE)
+           / COUNT(*) / 1000000.0 AS seasonal
+  FROM tr WHERE trend IS NOT NULL GROUP BY 1, 2
+)
+SELECT t.event_type, t.day, t.season, t.n AS n_events,
+  sign(t.trend) * floor(abs(t.trend) * 1000000.0 + 0.5)
+    / 1000000.0 AS trend,
+  sign(sm.seasonal) * floor(abs(sm.seasonal) * 1000000.0 + 0.5)
+    / 1000000.0 AS seasonal,
+  sign(t.n - t.trend - sm.seasonal)
+    * floor(abs(t.n - t.trend - sm.seasonal) * 1000000.0 + 0.5)
+    / 1000000.0 AS resid
+FROM tr t LEFT JOIN sm USING (event_type, season)
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "report_key_skew": (report_key_skew, KEY_SKEW_SQL),
     "report_column_profile": (report_column_profile, _column_profile_sql()),
@@ -5638,6 +5729,7 @@ QUERIES: dict[str, tuple] = {
     "e_string_ops": (e_string_ops, E_STRING_SQL),
     "e_json_extract": (e_json_extract, E_JSON_SQL),
     "fuzzy_fs_em": (fuzzy_fs_em, _fs_em_sql()),
+    "ts_stl_decompose": (ts_stl_decompose, TS_STL_SQL),
     "ml_gd_conformal": (ml_gd_conformal, _gd_conformal_sql()),
     "ml_gd_cartography": (ml_gd_cartography, _gd_carto_sql()),
     "priv_k_anonymity": (priv_k_anonymity, PRIV_K_ANON_SQL),

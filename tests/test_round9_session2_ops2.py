@@ -357,3 +357,43 @@ def test_fs_em_empty_and_validation(spark):
     assert r.m == _pt.approx(0.8) and r.u == _pt.approx(0.2)
     with _pt.raises(ValueError):
         fuzzy.fs_em_estimate(df, [], iters=1)
+
+
+# ---------------------------------------------------------------------------
+# timeseries.stl_decompose
+# ---------------------------------------------------------------------------
+
+
+def test_stl_decompose_hand_computed(spark):
+    """Linear trend + period-3 seasonal signal decomposes exactly:
+    trend recovers the line, seasonal recovers the pattern, interior
+    residuals are 0, edge rows get NULL trend/resid."""
+    from icnarc_to_philips_linkage_spark.operators import timeseries as ts
+
+    sig = [0, 3, -3]
+    rows = [
+        ("k", d, (d + 1) + sig[d % 3], d % 3) for d in range(9)
+    ]
+    df = spark.createDataFrame(rows, "k string, t int, x int, season int")
+    out = {
+        r.t: r
+        for r in ts.stl_decompose(
+            df, "k", "t", "x", "season", trend_window=3
+        ).collect()
+    }
+    assert out[0].trend is None and out[0].resid is None
+    for d in range(1, 8):
+        assert out[d].trend == pytest.approx(d + 1), d
+        assert out[d].resid == pytest.approx(0.0), d
+    # seasonal means: season 1 -> +3, season 2 -> -3, season 0 -> 0
+    assert out[1].seasonal == pytest.approx(3.0)
+    assert out[2].seasonal == pytest.approx(-3.0)
+    assert out[3].seasonal == pytest.approx(0.0)
+
+
+def test_stl_decompose_requires_odd_window(spark):
+    from icnarc_to_philips_linkage_spark.operators import timeseries as ts
+
+    df = spark.createDataFrame([("k", 1, 1, 0)], "k string, t int, x int, s int")
+    with pytest.raises(ValueError):
+        ts.stl_decompose(df, "k", "t", "x", "s", trend_window=4)
