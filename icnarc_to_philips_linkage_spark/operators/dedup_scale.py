@@ -1856,3 +1856,126 @@ def dedup_savings_report(
             ).alias("pct_tokens_removed"),
         )
     )
+
+
+def bloom_fpr_report(
+    build: DataFrame,
+    probe: DataFrame,
+    value_col: str,
+    num_bits: int = 2048,
+    k: int = 5,
+    salt: str = "bloom",
+) -> DataFrame:
+    """Exact false-positive-rate audit of a TABLE-form Bloom filter:
+    build the bit set from one corpus slice, probe another, and
+    measure the realized FPR against exact membership — the sizing
+    check you run before trusting a Bloom prefilter's designed rate
+    (``bloom_bitmap``'s literal-bitmap fast path uses xxhash64 and a
+    driver-collected bitmap; THIS variant keeps the filter as a
+    ≤num_bits-row bit TABLE with md5-derived positions, the shape a
+    cross-engine / persisted deployment uses, and what lets the
+    DuckDB oracle replay every bit).
+
+    Positions: ``p_i = int(md5('{salt}:{i}:' || value)[:8 hex]) mod
+    num_bits`` — k independent md5 draws, engine-portable like every
+    hash in sampling. A probe value "hits" iff ALL k of its positions
+    are set (a groupBy over the k-row-per-value position join — the
+    distributed semi-join formulation of Bloom probing). Exact truth
+    comes from a distinct-value anti membership check in the same
+    plan.
+
+    Scale shape: the bit table is bounded by ``num_bits`` (broadcast
+    to the probe join); build and probe each explode to k position
+    rows map-side; no driver state. Output ONE row: ``(num_bits,
+    n_hash, bits_set, n_build_distinct, n_probes, n_true_present,
+    n_hits, n_false_pos, fpr)`` — fpr over the truly-absent probes.
+    """
+    if num_bits < 64:
+        raise ValueError("num_bits too small")
+
+    def pos(i: int):
+        h = F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(f"{salt}:{i}:"),
+                    F.col("__v").cast("string"),
+                )
+            ),
+            1,
+            8,
+        )
+        return F.conv(h, 16, 10).cast("long") % num_bits
+
+    bvals = build.select(F.col(value_col).alias("__v")).filter(
+        F.col("__v").isNotNull()
+    ).distinct()
+    pvals = probe.select(F.col(value_col).alias("__v")).filter(
+        F.col("__v").isNotNull()
+    ).distinct()
+    bits = bvals.select(
+        F.explode(
+            F.array(*[pos(i).alias(f"p{i}") for i in range(k)])
+        ).alias("__bit")
+    ).distinct()
+    probe_pos = pvals.select(
+        "__v",
+        F.explode(
+            F.array(*[pos(i) for i in range(k)])
+        ).alias("__bit"),
+    )
+    hits = (
+        probe_pos.join(F.broadcast(bits), "__bit")
+        .groupBy("__v")
+        .agg(F.count(F.lit(1)).alias("__set"))
+        .filter(F.col("__set") == k)
+        .select("__v", F.lit(1).alias("__hit"))
+    )
+    truth = bvals.select(
+        F.col("__v"), F.lit(1).alias("__present")
+    )
+    audited = (
+        pvals.join(F.broadcast(hits), "__v", "left")
+        .join(truth, "__v", "left")
+        .select(
+            F.coalesce("__hit", F.lit(0)).alias("__hit"),
+            F.coalesce("__present", F.lit(0)).alias("__present"),
+        )
+    )
+    fp = F.sum(
+        F.when(
+            (F.col("__hit") == 1) & (F.col("__present") == 0), 1
+        ).otherwise(0)
+    )
+    stats = audited.agg(
+        F.count(F.lit(1)).alias("n_probes"),
+        F.sum("__present").alias("n_true_present"),
+        F.sum("__hit").alias("n_hits"),
+        fp.alias("n_false_pos"),
+        F.when(
+            (F.count(F.lit(1)) - F.sum("__present")) > 0,
+            F.round(
+                fp.cast("double")
+                / (F.count(F.lit(1)) - F.sum("__present")),
+                6,
+            ),
+        ).alias("fpr"),
+    )
+    bits_cnt = bits.agg(F.count(F.lit(1)).alias("bits_set"))
+    build_cnt = bvals.agg(
+        F.count(F.lit(1)).alias("n_build_distinct")
+    )
+    return (
+        stats.crossJoin(F.broadcast(bits_cnt))
+        .crossJoin(F.broadcast(build_cnt))
+        .select(
+            F.lit(num_bits).alias("num_bits"),
+            F.lit(k).alias("n_hash"),
+            "bits_set",
+            "n_build_distinct",
+            "n_probes",
+            "n_true_present",
+            "n_hits",
+            "n_false_pos",
+            "fpr",
+        )
+    )

@@ -6518,6 +6518,94 @@ FROM per
 """
 
 
+_BLOOM_BITS, _BLOOM_K = 1024, 5
+_BLOOM_BUILD_SRCS = tuple(f"src{i}" for i in range(5))
+
+
+def sketch_bloom_fpr(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-filter false-positive audit
+    (dedup_scale.bloom_fpr_report): build a deliberately tight
+    1024-bit table-form filter over the first five sources' content
+    digests, probe the remaining sources, and measure the realized
+    FPR against exact membership — the sizing check before trusting
+    a Bloom prefilter at corpus scale. md5 positions replay bit-for-
+    bit in the oracle."""
+    docs = load(spark, sf, "documents")
+    d = docs.select(F.md5("text").alias("digest"), "source")
+    build = d.filter(F.col("source").isin(*_BLOOM_BUILD_SRCS))
+    probe = d.filter(~F.col("source").isin(*_BLOOM_BUILD_SRCS))
+    from icnarc_to_philips_linkage_spark.operators import dedup_scale
+
+    return dedup_scale.bloom_fpr_report(
+        build, probe, "digest", num_bits=_BLOOM_BITS, k=_BLOOM_K
+    )
+
+
+def _bloom_fpr_sql() -> str:
+    srcs = ", ".join(f"'{s}'" for s in _BLOOM_BUILD_SRCS)
+
+    def hv(hexpr: str) -> str:
+        return (
+            "("
+            + " + ".join(
+                f"(strpos('0123456789abcdef', substr({hexpr}, {j + 1},"
+                f" 1)) - 1) * {16 ** (7 - j)}"
+                for j in range(8)
+            )
+            + ")"
+        )
+
+    hex8 = "substr(md5('bloom:{i}:' || v), 1, 8)"
+    poss = ", ".join(
+        hv(hex8.format(i=i)) + f" % {_BLOOM_BITS}"
+        for i in range(_BLOOM_K)
+    )
+    return f"""
+WITH d AS (SELECT md5(text) AS digest, source FROM documents),
+bvals AS (
+  SELECT DISTINCT digest AS v FROM d
+  WHERE source IN ({srcs}) AND digest IS NOT NULL
+),
+pvals AS (
+  SELECT DISTINCT digest AS v FROM d
+  WHERE source NOT IN ({srcs}) AND digest IS NOT NULL
+),
+bits AS (
+  SELECT DISTINCT bit FROM (SELECT unnest([{poss}]) AS bit FROM bvals)
+),
+ppos AS (SELECT v, unnest([{poss}]) AS bit FROM pvals),
+hits AS (
+  SELECT v FROM ppos JOIN bits USING (bit)
+  GROUP BY v HAVING COUNT(*) = {_BLOOM_K}
+),
+audited AS (
+  SELECT p.v,
+         CASE WHEN h.v IS NOT NULL THEN 1 ELSE 0 END AS hit,
+         CASE WHEN b.v IS NOT NULL THEN 1 ELSE 0 END AS present
+  FROM pvals p LEFT JOIN hits h ON p.v = h.v
+  LEFT JOIN bvals b ON p.v = b.v
+),
+stats AS (
+  SELECT COUNT(*) AS n_probes,
+         CAST(SUM(present) AS BIGINT) AS n_true_present,
+         CAST(SUM(hit) AS BIGINT) AS n_hits,
+         CAST(SUM(CASE WHEN hit = 1 AND present = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_false_pos,
+         CASE WHEN COUNT(*) - SUM(present) > 0 THEN
+           ROUND(CAST(SUM(CASE WHEN hit = 1 AND present = 0
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / (COUNT(*) - SUM(present)), 6) END AS fpr
+  FROM audited
+),
+bc AS (SELECT COUNT(*) AS bits_set FROM bits),
+nb AS (SELECT COUNT(*) AS n_build_distinct FROM bvals)
+SELECT {_BLOOM_BITS} AS num_bits, {_BLOOM_K} AS n_hash,
+       bits_set, n_build_distinct, n_probes, n_true_present,
+       n_hits, n_false_pos, fpr
+FROM stats, bc, nb
+"""
+
+
 _BITEXT_KNN, _BITEXT_TOPM = 4, 3
 
 
@@ -6733,4 +6821,5 @@ QUERIES: dict[str, tuple] = {
     "graph_label_propagation": (graph_label_propagation, _lpa_sql()),
     "sample_ht_estimate": (sample_ht_estimate, _ht_sql()),
     "emb_anisotropy": (emb_anisotropy, _anisotropy_sql()),
+    "sketch_bloom_fpr": (sketch_bloom_fpr, _bloom_fpr_sql()),
 }

@@ -397,3 +397,50 @@ def test_stl_decompose_requires_odd_window(spark):
     df = spark.createDataFrame([("k", 1, 1, 0)], "k string, t int, x int, s int")
     with pytest.raises(ValueError):
         ts.stl_decompose(df, "k", "t", "x", "s", trend_window=4)
+
+
+# ---------------------------------------------------------------------------
+# dedup_scale.bloom_fpr_report
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_fpr_no_false_negatives(spark):
+    """Every truly-present probe hits (Bloom's contract); FPR is
+    measured only over the truly-absent probes."""
+    from icnarc_to_philips_linkage_spark.operators import dedup_scale
+
+    build = spark.createDataFrame(
+        [(f"v{i}",) for i in range(50)], "digest string"
+    )
+    probe = spark.createDataFrame(
+        [(f"v{i}",) for i in range(30, 80)], "digest string"
+    )
+    r = dedup_scale.bloom_fpr_report(
+        build, probe, "digest", num_bits=256, k=4
+    ).collect()[0]
+    assert r.n_build_distinct == 50 and r.n_probes == 50
+    assert r.n_true_present == 20
+    # no false negatives: every present probe is among the hits
+    assert r.n_hits >= 20
+    assert r.n_false_pos == r.n_hits - 20
+    if r.n_probes > r.n_true_present:
+        assert r.fpr == pytest.approx(
+            r.n_false_pos / (r.n_probes - r.n_true_present), abs=1e-6
+        )
+    assert 0 < r.bits_set <= 256
+
+
+def test_bloom_fpr_saturated_filter_hits_everything(spark):
+    """An undersized filter saturates: every probe hits."""
+    from icnarc_to_philips_linkage_spark.operators import dedup_scale
+
+    build = spark.createDataFrame(
+        [(f"x{i}",) for i in range(500)], "digest string"
+    )
+    probe = spark.createDataFrame(
+        [(f"y{i}",) for i in range(50)], "digest string"
+    )
+    r = dedup_scale.bloom_fpr_report(
+        build, probe, "digest", num_bits=64, k=3
+    ).collect()[0]
+    assert r.bits_set == 64 and r.fpr == pytest.approx(1.0)
