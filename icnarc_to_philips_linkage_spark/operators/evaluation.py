@@ -1141,3 +1141,148 @@ def krippendorff_alpha_nominal(
             ).alias("alpha"),
         )
     )
+
+
+# truncated-Poisson(1) bootstrap weight pmf: P(0)=P(1)=e^-1,
+# P(2)=e^-1/2, P(3)=rest — the Poisson bootstrap's per-row draw,
+# deterministic via md5 bands (engine-portable like every sampler)
+_BOOT_PMF_CUM = (
+    0.36787944117144233,            # e^-1
+    0.7357588823428846,             # 2·e^-1
+    0.9196986029286058,             # + e^-1/2
+)
+
+
+def auc_bootstrap_ci(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    key_col: str,
+    n_resamples: int = 20,
+    salt: str = "boot",
+    round_dp: int = 9,
+) -> DataFrame:
+    """Bootstrap confidence interval for ROC AUC in ONE corpus pass
+    (Poisson bootstrap, Chamandy et al. 2012 — the resampling scheme
+    built for map-reduce: each row draws an independent ~Poisson(1)
+    replication weight per resample, so B resamples need B weight
+    columns, not B data passes). Weights are md5-band draws from a
+    truncated-Poisson pmf — deterministic, partition-invariant, and
+    bit-replayable in the oracle.
+
+    Every resample's AUC uses the tie-aware integer rank-sum form on
+    the same bounded distinct-score grain as ``roc_auc`` (weighted
+    counts replace counts; the identity survives multiplicity), so
+    the whole computation is: one (score)-grain aggregation carrying
+    2(B+1) exact sums, one bounded ordered pass for the B+1
+    cumulatives, one final aggregation, and an order-statistic pick
+    from the sorted B AUCs. At 100 TB that is the SAME plan shape as
+    a single AUC.
+
+    Output one row: ``(n_resamples, auc, ci_lo, ci_hi, auc_med)`` —
+    ci bounds are the min/max order statistics (the 2.5/97.5%
+    percentile indexes at B=20), auc_med the B/2-th.
+    """
+    from icnarc_to_philips_linkage_spark.operators.sampling import (
+        _threshold_hex,
+    )
+
+    b_n = n_resamples
+    p = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("int")
+    t0, t1, t2 = (_threshold_hex(x) for x in _BOOT_PMF_CUM)
+
+    def w_col(b: int):
+        u = F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(f"{salt}:{b}:"),
+                    F.col(key_col).cast("string"),
+                )
+            ),
+            1,
+            8,
+        )
+        return (
+            F.when(u < t0, F.lit(0))
+            .when(u < t1, F.lit(1))
+            .when(u < t2, F.lit(2))
+            .otherwise(F.lit(3))
+            .cast("long")
+        )
+
+    base = df.filter(
+        p.isNotNull() & y.isNotNull() & F.col(key_col).isNotNull()
+    ).select(
+        p.alias("__s"),
+        y.alias("__y"),
+        *[w_col(b).alias(f"__w{b}") for b in range(b_n)],
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("__c"),
+        F.sum("__y").alias("__pos"),
+    ]
+    for b in range(b_n):
+        aggs.append(F.sum(f"__w{b}").alias(f"__c{b}"))
+        aggs.append(
+            F.sum(F.col(f"__w{b}") * F.col("__y")).alias(f"__p{b}")
+        )
+    per = base.groupBy("__s").agg(*aggs)
+    w = Window.orderBy("__s").rowsBetween(Window.unboundedPreceding, 0)
+    cum_cols = [
+        (F.sum("__c").over(w) - F.col("__c")).alias("__b"),
+        *[
+            (F.sum(f"__c{b}").over(w) - F.col(f"__c{b}")).alias(f"__b{b}")
+            for b in range(b_n)
+        ],
+    ]
+    cum = per.select("*", *cum_cols)
+
+    def rs2(pcol, ccol, bcol):
+        # factors cast BEFORE multiplying (the roc_auc overflow rule:
+        # the long product wraps silently once n_pos·n ≈ 2^63)
+        return F.sum(
+            F.col(pcol).cast("decimal(38,0)")
+            * (2 * F.col(bcol) + F.col(ccol) + 1).cast("decimal(38,0)")
+        )
+
+    final_aggs = [
+        F.sum("__pos").alias("__npos"),
+        F.sum("__c").alias("__n"),
+        rs2("__pos", "__c", "__b").alias("__rs2"),
+    ]
+    for b in range(b_n):
+        final_aggs.append(F.sum(f"__p{b}").alias(f"__npos{b}"))
+        final_aggs.append(F.sum(f"__c{b}").alias(f"__n{b}"))
+        final_aggs.append(
+            rs2(f"__p{b}", f"__c{b}", f"__b{b}").alias(f"__rs2{b}")
+        )
+    agg = cum.agg(*final_aggs)
+
+    def auc_expr(npos, n, r):
+        np_ = F.col(npos).cast("decimal(38,0)")
+        nn = (F.col(n) - F.col(npos)).cast("decimal(38,0)")
+        return F.when(
+            (F.col(npos) > 0) & ((F.col(n) - F.col(npos)) > 0),
+            F.round(
+                (F.col(r) - np_ * (np_ + 1)).cast("double")
+                / (F.lit(2.0) * F.col(npos) * (F.col(n) - F.col(npos))),
+                round_dp,
+            ),
+        )
+
+    arr = F.array_sort(
+        F.array(
+            *[
+                auc_expr(f"__npos{b}", f"__n{b}", f"__rs2{b}")
+                for b in range(b_n)
+            ]
+        )
+    )
+    return agg.select(
+        F.lit(b_n).alias("n_resamples"),
+        auc_expr("__npos", "__n", "__rs2").alias("auc"),
+        F.element_at(arr, 1).alias("ci_lo"),
+        F.element_at(arr, b_n).alias("ci_hi"),
+        F.element_at(arr, b_n // 2).alias("auc_med"),
+    )

@@ -5501,6 +5501,127 @@ def _fs_em_sql() -> str:
     return "WITH " + ",\n".join(ctes) + "\n" + finals
 
 
+_BOOT_B, _BOOT_SALT = 20, "boot"
+
+
+def eval_auc_bootstrap(spark: SparkSession, sf: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the GD classifier's
+    ROC AUC (evaluation.auc_bootstrap_ci): 20 deterministic md5-band
+    resamples, every resample's tie-aware integer rank-sum AUC
+    computed in the SAME single pass over the bounded distinct-score
+    grain — uncertainty quantification at the plan cost of one AUC."""
+    from icnarc_to_philips_linkage_spark.operators import (
+        evaluation,
+        regression,
+    )
+
+    w = _gd_weights(spark, sf)
+    l = load(spark, sf, "lineitem")
+    feats = l.select(
+        (F.col("l_quantity") / F.lit(50.0)).alias("x_qty"),
+        (F.col("l_discount") * F.lit(10.0)).alias("x_disc"),
+        (F.col("l_tax") * F.lit(10.0)).alias("x_tax"),
+        (F.col("l_returnflag") == "R").cast("int").alias("y"),
+        _conf_key().alias("__key"),
+    ).filter(
+        F.col("x_qty").isNotNull()
+        & F.col("x_disc").isNotNull()
+        & F.col("x_tax").isNotNull()
+        & F.col("y").isNotNull()
+    )
+    scored = regression.gd_score(feats, _GD_FEATURES, w)
+    return evaluation.auc_bootstrap_ci(
+        scored, "score", "y", "__key",
+        n_resamples=_BOOT_B, salt=_BOOT_SALT,
+    )
+
+
+def _auc_bootstrap_sql() -> str:
+    from icnarc_to_philips_linkage_spark.operators.evaluation import (
+        _BOOT_PMF_CUM,
+    )
+    from icnarc_to_philips_linkage_spark.operators.sampling import (
+        _threshold_hex,
+    )
+
+    b_n = _BOOT_B
+    t0, t1, t2 = (_threshold_hex(x) for x in _BOOT_PMF_CUM)
+    feats_cte = """feats AS (
+  SELECT CAST(1.0 AS DOUBLE) AS x0,
+         CAST(l_quantity / 50.0 AS DOUBLE) AS x1,
+         CAST(l_discount * 10.0 AS DOUBLE) AS x2,
+         CAST(l_tax * 10.0 AS DOUBLE) AS x3,
+         CAST(l_returnflag = 'R' AS INT) AS y,
+         CAST(l_orderkey AS VARCHAR) || '|'
+           || CAST(l_linenumber AS VARCHAR) AS k
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+    AND l_tax IS NOT NULL AND l_returnflag IS NOT NULL)"""
+    train = _gd_sql(feats_cte=feats_cte)
+    body = train[: train.rindex("\nSELECT")]
+    z = "(((b + w1 * x1) + w2 * x2) + w3 * x3)"
+    sig = f"(0.5 * (1.0 + {z} / (1.0 + abs({z}))))"
+    w_exprs = ", ".join(
+        f"CAST(CASE WHEN substr(md5('{_BOOT_SALT}:{b}:' || k), 1, 8)"
+        f" < '{t0}' THEN 0"
+        f" WHEN substr(md5('{_BOOT_SALT}:{b}:' || k), 1, 8)"
+        f" < '{t1}' THEN 1"
+        f" WHEN substr(md5('{_BOOT_SALT}:{b}:' || k), 1, 8)"
+        f" < '{t2}' THEN 2 ELSE 3 END AS BIGINT) AS w{b}"
+        for b in range(b_n)
+    )
+    per_aggs = ", ".join(
+        f"SUM(w{b}) AS c{b}, SUM(w{b} * y) AS p{b}" for b in range(b_n)
+    )
+    cum_cols = ", ".join(
+        f"SUM(c{b}) OVER win - c{b} AS b{b}" for b in range(b_n)
+    )
+    fin_aggs = ", ".join(
+        f"SUM(p{b}) AS npos{b}, SUM(c{b}) AS n{b}, "
+        f"SUM(CAST(p{b} AS HUGEINT)"
+        f" * CAST(2 * b{b} + c{b} + 1 AS HUGEINT)) AS rs2{b}"
+        for b in range(b_n)
+    )
+
+    def auc(npos, n, r):
+        return (
+            f"CASE WHEN {npos} > 0 AND ({n} - {npos}) > 0 THEN "
+            f"ROUND(CAST({r} - CAST({npos} AS HUGEINT) * ({npos} + 1)"
+            f" AS DOUBLE) / (2.0 * {npos} * ({n} - {npos})), 9) END"
+        )
+
+    arr = (
+        "list_sort(["
+        + ", ".join(auc(f"npos{b}", f"n{b}", f"rs2{b}") for b in range(b_n))
+        + "])"
+    )
+    return f"""{body},
+scored AS (SELECT {sig} AS s, y, k FROM feats, w{_GD_ITERS}),
+weighted AS (SELECT s, y, {w_exprs} FROM scored),
+per AS (
+  SELECT s, COUNT(*) AS c, SUM(y) AS pos, {per_aggs}
+  FROM weighted GROUP BY s
+),
+cum AS (
+  SELECT *, SUM(c) OVER win - c AS b_, {cum_cols}
+  FROM per WINDOW win AS (ORDER BY s ROWS UNBOUNDED PRECEDING)
+),
+agg AS (
+  SELECT SUM(pos) AS npos, SUM(c) AS n,
+         SUM(CAST(pos AS HUGEINT)
+             * CAST(2 * b_ + c + 1 AS HUGEINT)) AS rs2,
+         {fin_aggs}
+  FROM cum
+)
+SELECT {b_n} AS n_resamples,
+  {auc('npos', 'n', 'rs2')} AS auc,
+  ({arr})[1] AS ci_lo,
+  ({arr})[{b_n}] AS ci_hi,
+  ({arr})[{b_n // 2}] AS auc_med
+FROM agg
+"""
+
+
 _STL_EPOCH = "2024-01-01"
 
 
@@ -5730,6 +5851,7 @@ QUERIES: dict[str, tuple] = {
     "e_json_extract": (e_json_extract, E_JSON_SQL),
     "fuzzy_fs_em": (fuzzy_fs_em, _fs_em_sql()),
     "ts_stl_decompose": (ts_stl_decompose, TS_STL_SQL),
+    "eval_auc_bootstrap": (eval_auc_bootstrap, _auc_bootstrap_sql()),
     "ml_gd_conformal": (ml_gd_conformal, _gd_conformal_sql()),
     "ml_gd_cartography": (ml_gd_cartography, _gd_carto_sql()),
     "priv_k_anonymity": (priv_k_anonymity, PRIV_K_ANON_SQL),

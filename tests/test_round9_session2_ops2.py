@@ -444,3 +444,41 @@ def test_bloom_fpr_saturated_filter_hits_everything(spark):
         build, probe, "digest", num_bits=64, k=3
     ).collect()[0]
     assert r.bits_set == 64 and r.fpr == pytest.approx(1.0)
+
+
+# ---------------------------------------------------------------------------
+# evaluation.auc_bootstrap_ci
+# ---------------------------------------------------------------------------
+
+
+def test_auc_bootstrap_perfect_separation(spark):
+    from icnarc_to_philips_linkage_spark.operators import evaluation as ev
+
+    rows = [(i, 0.9 + i * 1e-4, 1) for i in range(30)] + [
+        (100 + i, 0.1 + i * 1e-4, 0) for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "k long, p double, y int")
+    r = ev.auc_bootstrap_ci(df, "p", "y", "k", n_resamples=10).collect()[0]
+    # every resample separates perfectly (weights can't reorder scores)
+    assert r.auc == pytest.approx(1.0)
+    assert r.ci_lo == pytest.approx(1.0) and r.ci_hi == pytest.approx(1.0)
+
+
+def test_auc_bootstrap_ci_brackets_point(spark):
+    import random
+
+    from icnarc_to_philips_linkage_spark.operators import evaluation as ev
+
+    rng = random.Random(3)
+    rows = []
+    for i in range(2000):
+        y = rng.random() < 0.4
+        p = min(1.0, max(0.0, rng.gauss(0.6 if y else 0.45, 0.15)))
+        rows.append((i, round(p, 4), int(y)))
+    df = spark.createDataFrame(rows, "k long, p double, y int")
+    r = ev.auc_bootstrap_ci(df, "p", "y", "k", n_resamples=20).collect()[0]
+    assert 0.5 < r.auc < 1.0
+    assert r.ci_lo <= r.auc <= r.ci_hi
+    assert r.ci_lo <= r.auc_med <= r.ci_hi
+    # the interval is non-degenerate but tight at n=2000
+    assert 0 < (r.ci_hi - r.ci_lo) < 0.1
