@@ -203,6 +203,25 @@ SECTIONS: list[tuple[str, str]] = [
         "and per-query top-m reuse the two-level topk merge — no "
         "second corpus pass.",
     ),
+    (
+        "fuzzy_fs_em",
+        "Fellegi-Sunter EM: the pair corpus collapses to 2^K pattern "
+        "counts in one aggregation (supplier side broadcasts into the "
+        "blocked join); ten EM iterations are driver expressions — "
+        "nothing else touches the data.",
+    ),
+    (
+        "eval_auc_bootstrap",
+        "Poisson-bootstrap AUC: per-row md5 replication weights, 21 "
+        "rank sums (point + 20 resamples) in ONE bounded score-grain "
+        "pass — the same plan shape as a single AUC.",
+    ),
+    (
+        "emb_pca_power",
+        "Power iteration: each of the 4 iterations is one literal-"
+        "direction projection + one 64-decimal map-combined "
+        "aggregation; the output frame is dim driver literals.",
+    ),
 ]
 
 SF = "/root/testdata/sf0.001"
