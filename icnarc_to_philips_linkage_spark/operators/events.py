@@ -330,3 +330,80 @@ def transition_matrix(
             6,
         ).alias("prob"),
     )
+
+
+def markov_steady_state(
+    df: DataFrame,
+    states: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    iters: int = 10,
+    round_dp: int = 9,
+) -> DataFrame:
+    """Long-run occupancy of the per-user event Markov chain: power-
+    iterate π ← πP on the ``transition_matrix`` counts — where does a
+    user's session DRIFT given enough steps (the behavioral summary a
+    single-step transition matrix doesn't show).
+
+    ``states`` is the caller's fixed, SORTED state alphabet (a data
+    contract like the funnel steps); transitions outside it are
+    ignored. The event stream reduces to the K² count matrix in one
+    pass (the lead window shuffles once on user); the power iteration
+    runs on the driver as a deterministic expression tree over the
+    exact integer counts — fixed state order, left-associated sums,
+    ``P_ij = double(c_ij)/double(r_i)`` recomputed identically per
+    use, rows with no out-transitions treated as self-absorbing —
+    bit-reproducible in the oracle's unrolled replay (the
+    fs_em_estimate pattern). Final π floor-quantized at ``round_dp``.
+
+    Output per state: ``(state, pi, out_transitions)``.
+    """
+    import math
+
+    if sorted(states) != list(states):
+        raise ValueError("states must be sorted (the oracle contract)")
+    k = len(states)
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    pairs = df.select(
+        F.col(type_col).alias("__a"),
+        F.lead(type_col).over(w).alias("__b"),
+    ).filter(
+        F.col("__b").isNotNull()
+        & F.col("__a").isin(*states)
+        & F.col("__b").isin(*states)
+    )
+    rows = (
+        pairs.groupBy("__a", "__b")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .collect()
+    )
+    c = {(r["__a"], r["__b"]): int(r["__c"]) for r in rows}
+    r_out = [
+        sum(c.get((states[i], states[j]), 0) for j in range(k))
+        for i in range(k)
+    ]
+
+    def p(i: int, j: int) -> float:
+        if r_out[i] == 0:
+            return 1.0 if i == j else 0.0
+        return float(c.get((states[i], states[j]), 0)) / float(r_out[i])
+
+    pi = [1.0 / k] * k
+    for _ in range(iters):
+        nxt = []
+        for j in range(k):
+            s = 0.0
+            for i in range(k):
+                s = s + pi[i] * p(i, j)
+            nxt.append(s)
+        pi = nxt
+    scale = 10.0**round_dp
+    out = [
+        (states[i], math.floor(pi[i] * scale + 0.5) / scale, r_out[i])
+        for i in range(k)
+    ]
+    return df.sparkSession.createDataFrame(
+        out, "state string, pi double, out_transitions long"
+    )

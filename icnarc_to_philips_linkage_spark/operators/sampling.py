@@ -955,3 +955,61 @@ def ht_total_estimate(
             F.round((ht - true_d) / true_d, round_dp),
         ).alias("rel_err"),
     )
+
+
+def temperature_mixture(
+    df: DataFrame,
+    domain_col: str,
+    alpha: float = 0.5,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Temperature-scaled multilingual/domain sampling weights
+    (the mC4/XLM-R standard: ``p_i ∝ share_i^α`` with α = 1/T < 1
+    flattening the mixture so low-resource domains surface): one
+    domain-keyed aggregation, then the reweighting arithmetic on the
+    bounded domain frame.
+
+    α = 0.5 (the default) computes ``share^α`` as ``sqrt`` — an
+    IEEE-CORRECTLY-ROUNDED operation, so the weights are bit-exact
+    across engines with no rounding escape needed; other α go
+    through ``pow``, whose last-ulp behavior is libm-specific (the
+    BM25 ``ln`` precedent: acceptable under the 6dp output round,
+    but sqrt is strictly stronger). Raw weights quantize to 1e-12
+    integers before normalizing (exact denominator, the
+    mixture_reweight_mwu discipline).
+
+    Output per domain: ``(domain, n_rows, share, weight,
+    effective_epochs)`` — effective_epochs = weight/share, how many
+    times the domain's data is (fractionally) repeated under the
+    flattened mix.
+    """
+    per = (
+        df.filter(F.col(domain_col).isNotNull())
+        .groupBy(F.col(domain_col).alias("domain"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    tot = per.agg(F.sum("n_rows").alias("__n"))
+    share = F.col("n_rows").cast("double") / F.col("__n")
+    if alpha == 0.5:
+        w_raw = F.sqrt(share)
+    else:
+        w_raw = F.pow(share, F.lit(float(alpha)))
+    staged = per.crossJoin(F.broadcast(tot)).select(
+        "domain",
+        "n_rows",
+        share.alias("__share"),
+        F.floor(w_raw * F.lit(1e12) + F.lit(0.5))
+        .cast("decimal(38,0)")
+        .alias("__wq"),
+    )
+    denom = staged.agg(F.sum("__wq").alias("__wsum"))
+    weight = F.col("__wq").cast("double") / F.col("__wsum").cast("double")
+    return staged.crossJoin(F.broadcast(denom)).select(
+        "domain",
+        "n_rows",
+        F.round("__share", round_dp).alias("share"),
+        F.round(weight, round_dp).alias("weight"),
+        F.round(weight / F.col("__share"), round_dp).alias(
+            "effective_epochs"
+        ),
+    )

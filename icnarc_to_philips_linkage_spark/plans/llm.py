@@ -6518,6 +6518,42 @@ FROM per
 """
 
 
+_TEMP_ALPHA = 0.5
+
+
+def sample_temperature_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-scaled source sampling weights
+    (sampling.temperature_mixture, α = 0.5): the mC4/XLM-R mixture
+    flattening that upsamples low-resource sources — share^α via
+    IEEE-exact sqrt, 1e-12 integer normalization, one domain
+    aggregation."""
+    return sampling.temperature_mixture(
+        load(spark, sf, "documents"), "source", alpha=_TEMP_ALPHA
+    )
+
+
+TEMP_MIX_SQL = """
+WITH per AS (
+  SELECT source AS domain, COUNT(*) AS n_rows
+  FROM documents WHERE source IS NOT NULL GROUP BY 1
+),
+tot AS (SELECT SUM(n_rows) AS n FROM per),
+staged AS (
+  SELECT domain, n_rows,
+         CAST(n_rows AS DOUBLE) / n AS share_,
+         CAST(FLOOR(SQRT(CAST(n_rows AS DOUBLE) / n)
+                    * 1000000000000.0 + 0.5) AS HUGEINT) AS wq
+  FROM per, tot
+),
+denom AS (SELECT SUM(wq) AS wsum FROM staged)
+SELECT domain, n_rows, ROUND(share_, 6) AS share,
+  ROUND(CAST(wq AS DOUBLE) / CAST(wsum AS DOUBLE), 6) AS weight,
+  ROUND(CAST(wq AS DOUBLE) / CAST(wsum AS DOUBLE) / share_, 6)
+    AS effective_epochs
+FROM staged, denom
+"""
+
+
 _BLOOM_BITS, _BLOOM_K = 1024, 5
 _BLOOM_BUILD_SRCS = tuple(f"src{i}" for i in range(5))
 
@@ -6822,4 +6858,5 @@ QUERIES: dict[str, tuple] = {
     "sample_ht_estimate": (sample_ht_estimate, _ht_sql()),
     "emb_anisotropy": (emb_anisotropy, _anisotropy_sql()),
     "sketch_bloom_fpr": (sketch_bloom_fpr, _bloom_fpr_sql()),
+    "sample_temperature_mix": (sample_temperature_mix, TEMP_MIX_SQL),
 }

@@ -5501,6 +5501,90 @@ def _fs_em_sql() -> str:
     return "WITH " + ",\n".join(ctes) + "\n" + finals
 
 
+_MARKOV_STATES = ["click", "error", "purchase", "signup", "view"]
+_MARKOV_ITERS = 10
+
+
+def ev_markov_steady(spark: SparkSession, sf: str) -> DataFrame:
+    """Long-run session occupancy (events.markov_steady_state): power-
+    iterate π ← πP on the per-user transition counts — the fixpoint
+    companion to ev_transition_matrix. The event stream reduces to a
+    K² count matrix in one pass; ten iterations are driver
+    expressions over the exact integer counts (the FS-EM driver-loop
+    discipline)."""
+    from icnarc_to_philips_linkage_spark.operators import events as ev
+
+    return ev.markov_steady_state(
+        load(spark, sf, "events"),
+        _MARKOV_STATES,
+        iters=_MARKOV_ITERS,
+    )
+
+
+def _markov_steady_sql() -> str:
+    sts = _MARKOV_STATES
+    k = len(sts)
+    in_list = ", ".join(f"'{s}'" for s in sts)
+    count_cols = ", ".join(
+        "COALESCE(SUM(CASE WHEN event_type = "
+        f"'{sts[i]}' AND next_type = '{sts[j]}' THEN 1 END), 0)"
+        f" AS c{i}_{j}"
+        for i in range(k)
+        for j in range(k)
+    )
+    carry = ", ".join(f"c{i}_{j}" for i in range(k) for j in range(k))
+
+    def r(i: int) -> str:
+        return "(" + " + ".join(f"c{i}_{j}" for j in range(k)) + ")"
+
+    def pexpr(i: int, j: int) -> str:
+        same = "1.0" if i == j else "0.0"
+        return (
+            f"CASE WHEN {r(i)} = 0 THEN {same} "
+            f"ELSE CAST(c{i}_{j} AS DOUBLE)"
+            f" / CAST({r(i)} AS DOUBLE) END"
+        )
+
+    ctes = [
+        f"""pairs AS (
+  SELECT event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+)""",
+        "counts AS (SELECT "
+        + count_cols
+        + f" FROM pairs WHERE next_type IS NOT NULL"
+        f" AND event_type IN ({in_list})"
+        f" AND next_type IN ({in_list}))",
+        "p0 AS (SELECT *, "
+        + ", ".join(
+            f"CAST({1.0 / k!r} AS DOUBLE) AS pi{j}" for j in range(k)
+        )
+        + " FROM counts)",
+    ]
+    for t in range(1, _MARKOV_ITERS + 1):
+        upd = []
+        for j in range(k):
+            s = "0.0"
+            for i in range(k):
+                s = f"({s} + pi{i} * ({pexpr(i, j)}))"
+            upd.append(f"{s} AS pi{j}")
+        ctes.append(
+            f"p{t} AS (SELECT {carry}, "
+            + ", ".join(upd)
+            + f" FROM p{t - 1})"
+        )
+    finals = " UNION ALL ".join(
+        f"SELECT '{sts[i]}' AS state, "
+        f"FLOOR(pi{i} * 1000000000.0 + 0.5) / 1000000000.0 AS pi, "
+        f"CAST({r(i)} AS BIGINT) AS out_transitions "
+        f"FROM p{_MARKOV_ITERS}"
+        for i in range(k)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + finals
+
+
 _BOOT_B, _BOOT_SALT = 20, "boot"
 
 
@@ -5852,6 +5936,7 @@ QUERIES: dict[str, tuple] = {
     "fuzzy_fs_em": (fuzzy_fs_em, _fs_em_sql()),
     "ts_stl_decompose": (ts_stl_decompose, TS_STL_SQL),
     "eval_auc_bootstrap": (eval_auc_bootstrap, _auc_bootstrap_sql()),
+    "ev_markov_steady": (ev_markov_steady, _markov_steady_sql()),
     "ml_gd_conformal": (ml_gd_conformal, _gd_conformal_sql()),
     "ml_gd_cartography": (ml_gd_cartography, _gd_carto_sql()),
     "priv_k_anonymity": (priv_k_anonymity, PRIV_K_ANON_SQL),

@@ -482,3 +482,64 @@ def test_auc_bootstrap_ci_brackets_point(spark):
     assert r.ci_lo <= r.auc_med <= r.ci_hi
     # the interval is non-degenerate but tight at n=2000
     assert 0 < (r.ci_hi - r.ci_lo) < 0.1
+
+
+# ---------------------------------------------------------------------------
+# sampling.temperature_mixture / events.markov_steady_state
+# ---------------------------------------------------------------------------
+
+
+def test_temperature_mixture_hand_computed(spark):
+    from icnarc_to_philips_linkage_spark.operators import sampling as sa
+
+    rows = [("big",)] * 80 + [("small",)] * 20
+    df = spark.createDataFrame(rows, "dom string")
+    out = {r.domain: r for r in sa.temperature_mixture(df, "dom").collect()}
+    # sqrt(.8)/(sqrt(.8)+sqrt(.2)) = 2/3 exactly
+    assert out["big"].weight == pytest.approx(2 / 3, abs=1e-6)
+    assert out["small"].weight == pytest.approx(1 / 3, abs=1e-6)
+    # small domain gets upsampled: effective epochs > 1
+    assert out["small"].effective_epochs == pytest.approx(5 / 3, abs=1e-6)
+    assert out["big"].effective_epochs < 1
+
+
+def test_markov_steady_state_cycle_and_absorbing(spark):
+    import datetime as dt
+
+    from icnarc_to_philips_linkage_spark.operators import events as ev
+
+    t0 = dt.datetime(2024, 1, 1)
+    # user 1 alternates a,b forever (cycle); user 2 ends in c (absorbing)
+    rows = [
+        (1, t0 + dt.timedelta(minutes=i), "a" if i % 2 == 0 else "b", i)
+        for i in range(20)
+    ] + [
+        (2, t0 + dt.timedelta(minutes=i), s, 100 + i)
+        for i, s in enumerate(["a", "c", "c", "c"])
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, event_id long"
+    )
+    out = {
+        r.state: r
+        for r in ev.markov_steady_state(
+            df, ["a", "b", "c"], iters=50
+        ).collect()
+    }
+    # c is absorbing-ish (c->c dominates); mass should accumulate there
+    # relative to the uniform start, and pi sums to ~1
+    total = sum(r.pi for r in out.values())
+    assert total == pytest.approx(1.0, abs=1e-6)
+    assert out["c"].pi > 1 / 3
+    assert out["c"].out_transitions == 2  # c->c twice
+
+
+def test_markov_requires_sorted_states(spark):
+    from icnarc_to_philips_linkage_spark.operators import events as ev
+
+    df = spark.createDataFrame(
+        [(1, None, "a", 1)],
+        "user_id long, ts timestamp, event_type string, event_id long",
+    )
+    with pytest.raises(ValueError):
+        ev.markov_steady_state(df, ["b", "a"])
