@@ -1286,3 +1286,57 @@ def auc_bootstrap_ci(
         F.element_at(arr, b_n).alias("ci_hi"),
         F.element_at(arr, b_n // 2).alias("auc_med"),
     )
+
+
+def mcc_at_threshold(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    threshold: float = 0.5,
+    round_dp: int = 9,
+) -> DataFrame:
+    """Matthews correlation coefficient at a decision threshold — the
+    single-number binary-classifier summary that stays honest under
+    class imbalance (accuracy and F1 both inflate on skewed labels;
+    MCC is the full-confusion-matrix correlation):
+    ``MCC = (tp·tn − fp·fn) / sqrt((tp+fp)(tp+fn)(tn+fp)(tn+fn))``.
+
+    One conditional aggregation to the four exact counts; numerator
+    and the four marginal factors stay exact integers
+    (decimal(38,0) — products reach n² and n⁴), with ONE final
+    sqrt+division on deterministically-cast doubles. NULL when any
+    marginal is empty (MCC undefined).
+    """
+    pred = F.col(score_col).cast("double") >= F.lit(float(threshold))
+    y = F.col(label_col).cast("boolean")
+    conf = df.filter(
+        F.col(score_col).isNotNull() & y.isNotNull()
+    ).agg(
+        F.sum((pred & y).cast("long")).alias("tp"),
+        F.sum((pred & ~y).cast("long")).alias("fp"),
+        F.sum((~pred & y).cast("long")).alias("fn"),
+        F.sum((~pred & ~y).cast("long")).alias("tn"),
+    )
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    num = d("tp") * d("tn") - d("fp") * d("fn")
+    f1_ = d("tp") + d("fp")
+    f2_ = d("tp") + d("fn")
+    f3_ = d("tn") + d("fp")
+    f4_ = d("tn") + d("fn")
+    return conf.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.when(
+            (f1_ > 0) & (f2_ > 0) & (f3_ > 0) & (f4_ > 0),
+            F.round(
+                num.cast("double")
+                / F.sqrt(
+                    (f1_ * f2_).cast("double")
+                    * (f3_ * f4_).cast("double")
+                ),
+                round_dp,
+            ),
+        ).alias("mcc"),
+    )

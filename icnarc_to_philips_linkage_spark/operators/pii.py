@@ -167,3 +167,71 @@ def k_anonymity_report(
         (F.col("group_size") < k).alias("k_violation"),
         (F.col("n_sensitive") < l).alias("l_violation"),
     )
+
+
+def t_closeness_report(
+    df: DataFrame,
+    qi_cols: list[str],
+    sensitive_col: str,
+    t: float = 0.3,
+    round_dp: int = 6,
+) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian 2007) — the
+    distributional upgrade over l-diversity: a QI group leaks when its
+    sensitive-value DISTRIBUTION strays from the table-wide one, even
+    if it is technically diverse. For categorical sensitive values
+    the variational distance is ``d(g) = ½·Σ_s |p_g(s) − p(s)|``,
+    computed here as EXACT integer cross-products:
+    ``Σ_s |n_gs·N − n_s·N_g|`` over observed pairs plus the
+    unobserved-value mass ``(N − Σ_{s∈g} n_s)·N_g``, divided once by
+    ``2·N_g·N`` — bit-reproducible, no per-term float sums.
+
+    Scale shape: one (QI, sensitive) aggregation (grain = QI × value
+    domains, bounded), the global value marginals broadcast back, one
+    QI-grain reduce. Output per QI group: the QI columns,
+    ``group_size``, ``t_distance``, ``t_violation``.
+    """
+    if not qi_cols:
+        raise ValueError("t_closeness_report needs ≥ 1 QI column")
+    base = df.filter(F.col(sensitive_col).isNotNull()).select(
+        *[F.col(c) for c in qi_cols],
+        F.col(sensitive_col).alias("__s"),
+    )
+    grp = base.groupBy(*qi_cols, "__s").agg(
+        F.count(F.lit(1)).alias("__ngs")
+    )
+    glob = base.groupBy("__s").agg(F.count(F.lit(1)).alias("__ns"))
+    tot = base.agg(F.count(F.lit(1)).alias("__n"))
+    gtot = grp.groupBy(*qi_cols).agg(F.sum("__ngs").alias("__ng"))
+    joined = (
+        grp.join(F.broadcast(glob), "__s")
+        .join(F.broadcast(gtot), qi_cols)
+        .crossJoin(F.broadcast(tot))
+    )
+    # observed-pair terms |n_gs*N - n_s*N_g| as exact integers, plus
+    # the observed n_s running total (to back out the unobserved mass)
+    per_g = joined.groupBy(*qi_cols).agg(
+        F.first("__ng").alias("__ng"),
+        F.first("__n").alias("__n"),
+        F.sum(
+            F.abs(
+                F.col("__ngs").cast("decimal(38,0)") * F.col("__n")
+                - F.col("__ns").cast("decimal(38,0)") * F.col("__ng")
+            )
+        ).alias("__obs"),
+        F.sum("__ns").alias("__ns_seen"),
+    )
+    t_num = F.col("__obs") + (
+        F.col("__n").cast("decimal(38,0)") - F.col("__ns_seen")
+    ) * F.col("__ng")
+    t_dist = F.round(
+        t_num.cast("double")
+        / (F.lit(2.0) * F.col("__ng") * F.col("__n")),
+        round_dp,
+    )
+    return per_g.select(
+        *qi_cols,
+        F.col("__ng").alias("group_size"),
+        t_dist.alias("t_distance"),
+        (t_dist > F.lit(float(t))).alias("t_violation"),
+    )

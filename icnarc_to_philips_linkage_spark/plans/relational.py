@@ -5501,6 +5501,118 @@ def _fs_em_sql() -> str:
     return "WITH " + ",\n".join(ctes) + "\n" + finals
 
 
+_TCLOSE_T = 0.25
+
+
+def priv_t_closeness(spark: SparkSession, sf: str) -> DataFrame:
+    """t-closeness audit (pii.t_closeness_report) of the customer
+    (nation, segment) quasi-identifier against the balance-band
+    distribution — the distributional leak check l-diversity misses.
+    Exact integer cross-products; one (QI, value) aggregation."""
+    from icnarc_to_philips_linkage_spark.operators import pii
+
+    c = load(spark, sf, "customer")
+    band = (
+        F.when(F.col("c_acctbal") < 0, F.lit("overdrawn"))
+        .when(F.col("c_acctbal") < 5000, F.lit("mid"))
+        .otherwise(F.lit("high"))
+    )
+    base = c.select(
+        "c_nationkey", "c_mktsegment", band.alias("balance_band")
+    )
+    return pii.t_closeness_report(
+        base, ["c_nationkey", "c_mktsegment"], "balance_band",
+        t=_TCLOSE_T,
+    )
+
+
+PRIV_TCLOSE_SQL = f"""
+WITH base AS (
+  SELECT c_nationkey, c_mktsegment,
+         CASE WHEN c_acctbal < 0 THEN 'overdrawn'
+              WHEN c_acctbal < 5000 THEN 'mid'
+              ELSE 'high' END AS s
+  FROM customer
+),
+grp AS (
+  SELECT c_nationkey, c_mktsegment, s, COUNT(*) AS ngs
+  FROM base GROUP BY 1, 2, 3
+),
+gmarg AS (SELECT s, COUNT(*) AS ns FROM base GROUP BY 1),
+tot AS (SELECT COUNT(*) AS n FROM base),
+gtot AS (
+  SELECT c_nationkey, c_mktsegment, SUM(ngs) AS ng
+  FROM grp GROUP BY 1, 2
+),
+per_g AS (
+  SELECT g.c_nationkey, g.c_mktsegment,
+         MIN(gt.ng) AS ng, MIN(t.n) AS n,
+         SUM(ABS(CAST(g.ngs AS HUGEINT) * t.n
+                 - CAST(gl.ns AS HUGEINT) * gt.ng)) AS obs,
+         SUM(gl.ns) AS ns_seen
+  FROM grp g JOIN gmarg gl USING (s)
+  JOIN gtot gt USING (c_nationkey, c_mktsegment), tot t
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT c_nationkey, c_mktsegment, ng AS group_size,
+         ROUND(CAST(obs + (CAST(n AS HUGEINT) - ns_seen) * ng
+                    AS DOUBLE) / (2.0 * ng * n), 6) AS t_distance
+  FROM per_g
+)
+SELECT *, t_distance > {_TCLOSE_T!r} AS t_violation FROM scored
+"""
+
+
+def eval_mcc(spark: SparkSession, sf: str) -> DataFrame:
+    """Matthews correlation of the GD classifier at threshold 0.5
+    (evaluation.mcc_at_threshold) — the imbalance-honest scalar next
+    to the AUC family. One conditional aggregation to four exact
+    counts."""
+    from icnarc_to_philips_linkage_spark.operators import (
+        evaluation,
+        regression,
+    )
+
+    w = _gd_weights(spark, sf)
+    feats = _gd_feats(spark, sf).filter(
+        F.col("x_qty").isNotNull()
+        & F.col("x_disc").isNotNull()
+        & F.col("x_tax").isNotNull()
+        & F.col("y").isNotNull()
+    )
+    scored = regression.gd_score(feats, _GD_FEATURES, w)
+    return evaluation.mcc_at_threshold(scored, "score", "y", 0.5)
+
+
+def _mcc_sql() -> str:
+    train = _gd_sql()
+    body = train[: train.rindex("\nSELECT")]
+    z = "(((b + w1 * x1) + w2 * x2) + w3 * x3)"
+    sig = f"(0.5 * (1.0 + {z} / (1.0 + abs({z}))))"
+    return f"""{body},
+scored AS (SELECT {sig} AS p, y FROM feats, w{_GD_ITERS}),
+conf AS (
+  SELECT SUM(CASE WHEN p >= 0.5 AND y = 1 THEN 1 ELSE 0 END) AS tp,
+         SUM(CASE WHEN p >= 0.5 AND y = 0 THEN 1 ELSE 0 END) AS fp,
+         SUM(CASE WHEN p < 0.5 AND y = 1 THEN 1 ELSE 0 END) AS fn,
+         SUM(CASE WHEN p < 0.5 AND y = 0 THEN 1 ELSE 0 END) AS tn
+  FROM scored
+)
+SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+  CASE WHEN tp + fp > 0 AND tp + fn > 0 AND tn + fp > 0
+            AND tn + fn > 0 THEN
+    ROUND(CAST(CAST(tp AS HUGEINT) * tn
+               - CAST(fp AS HUGEINT) * fn AS DOUBLE)
+          / SQRT(CAST(CAST(tp + fp AS HUGEINT) * (tp + fn) AS DOUBLE)
+                 * CAST(CAST(tn + fp AS HUGEINT) * (tn + fn)
+                        AS DOUBLE)), 9)
+  END AS mcc
+FROM conf
+"""
+
+
 _MARKOV_STATES = ["click", "error", "purchase", "signup", "view"]
 _MARKOV_ITERS = 10
 
@@ -5937,6 +6049,8 @@ QUERIES: dict[str, tuple] = {
     "ts_stl_decompose": (ts_stl_decompose, TS_STL_SQL),
     "eval_auc_bootstrap": (eval_auc_bootstrap, _auc_bootstrap_sql()),
     "ev_markov_steady": (ev_markov_steady, _markov_steady_sql()),
+    "priv_t_closeness": (priv_t_closeness, PRIV_TCLOSE_SQL),
+    "eval_mcc": (eval_mcc, _mcc_sql()),
     "ml_gd_conformal": (ml_gd_conformal, _gd_conformal_sql()),
     "ml_gd_cartography": (ml_gd_cartography, _gd_carto_sql()),
     "priv_k_anonymity": (priv_k_anonymity, PRIV_K_ANON_SQL),

@@ -543,3 +543,48 @@ def test_markov_requires_sorted_states(spark):
     )
     with pytest.raises(ValueError):
         ev.markov_steady_state(df, ["b", "a"])
+
+
+# ---------------------------------------------------------------------------
+# pii.t_closeness_report / evaluation.mcc_at_threshold
+# ---------------------------------------------------------------------------
+
+
+def test_t_closeness_hand_computed(spark):
+    from icnarc_to_philips_linkage_spark.operators import pii
+
+    # global: x:6, y:4 (N=10); group A: {x:3} -> d = .5(|1-.6|+|0-.4|) = .4
+    rows = [(1, "x")] * 3 + [(2, "x")] * 3 + [(2, "y")] * 4
+    df = spark.createDataFrame(rows, "g int, s string")
+    out = {
+        r.g: r
+        for r in pii.t_closeness_report(df, ["g"], "s", t=0.3).collect()
+    }
+    assert out[1].t_distance == pytest.approx(0.4)
+    assert out[1].t_violation
+    # group 2: {x:3, y:4}, p_g=(3/7,4/7) vs (.6,.4): d = .5(|3/7-.6|+|4/7-.4|)
+    d2 = 0.5 * (abs(3 / 7 - 0.6) + abs(4 / 7 - 0.4))
+    assert out[2].t_distance == pytest.approx(round(d2, 6), abs=1e-6)
+    assert not out[2].t_violation
+
+
+def test_mcc_hand_computed(spark):
+    from icnarc_to_philips_linkage_spark.operators import evaluation as ev
+
+    # tp=4, fp=1, fn=2, tn=3
+    rows = (
+        [(0.9, 1)] * 4 + [(0.9, 0)] * 1 + [(0.1, 1)] * 2 + [(0.1, 0)] * 3
+    )
+    df = spark.createDataFrame(rows, "p double, y int")
+    r = ev.mcc_at_threshold(df, "p", "y", 0.5).collect()[0]
+    assert (r.tp, r.fp, r.fn, r.tn) == (4, 1, 2, 3)
+    num = 4 * 3 - 1 * 2
+    den = (5 * 6 * 4 * 5) ** 0.5
+    assert r.mcc == pytest.approx(num / den, abs=1e-9)
+
+
+def test_mcc_degenerate_is_null(spark):
+    from icnarc_to_philips_linkage_spark.operators import evaluation as ev
+
+    df = spark.createDataFrame([(0.9, 1), (0.8, 1)], "p double, y int")
+    assert ev.mcc_at_threshold(df, "p", "y").collect()[0].mcc is None
