@@ -1193,14 +1193,18 @@ def auc_bootstrap_ci(
     t0, t1, t2 = (_threshold_hex(x) for x in _BOOT_PMF_CUM)
 
     def w_col(b: int):
+        # four independent 8-hex bands per md5 digest: resample b
+        # reads slice (b mod 4) of digest (b div 4) — 4× fewer
+        # digests per row than one-md5-per-resample (measured the
+        # dominant cost at B=20), same uniform bands
         u = F.substring(
             F.md5(
                 F.concat(
-                    F.lit(f"{salt}:{b}:"),
+                    F.lit(f"{salt}:{b // 4}:"),
                     F.col(key_col).cast("string"),
                 )
             ),
-            1,
+            1 + 8 * (b % 4),
             8,
         )
         return (

@@ -5757,13 +5757,17 @@ def _auc_bootstrap_sql() -> str:
     body = train[: train.rindex("\nSELECT")]
     z = "(((b + w1 * x1) + w2 * x2) + w3 * x3)"
     sig = f"(0.5 * (1.0 + {z} / (1.0 + abs({z}))))"
+    def _u(b: int) -> str:
+        # slice (b mod 4) of digest (b div 4) — mirrors w_col
+        return (
+            f"substr(md5('{_BOOT_SALT}:{b // 4}:' || k),"
+            f" {1 + 8 * (b % 4)}, 8)"
+        )
+
     w_exprs = ", ".join(
-        f"CAST(CASE WHEN substr(md5('{_BOOT_SALT}:{b}:' || k), 1, 8)"
-        f" < '{t0}' THEN 0"
-        f" WHEN substr(md5('{_BOOT_SALT}:{b}:' || k), 1, 8)"
-        f" < '{t1}' THEN 1"
-        f" WHEN substr(md5('{_BOOT_SALT}:{b}:' || k), 1, 8)"
-        f" < '{t2}' THEN 2 ELSE 3 END AS BIGINT) AS w{b}"
+        f"CAST(CASE WHEN {_u(b)} < '{t0}' THEN 0"
+        f" WHEN {_u(b)} < '{t1}' THEN 1"
+        f" WHEN {_u(b)} < '{t2}' THEN 2 ELSE 3 END AS BIGINT) AS w{b}"
         for b in range(b_n)
     )
     per_aggs = ", ".join(
