@@ -529,6 +529,11 @@ def rocchio_prf_search(
     """
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
+    # Dedupe (ADVICE r9): a repeated query term would land twice in
+    # the weighted-term frame, double-joining its postings and
+    # inflating score/n_hits for every doc containing it. Order is
+    # preserved (dict.fromkeys) so downstream literals are stable.
+    query_terms = list(dict.fromkeys(query_terms))
     fb = bm25_search(
         docs, query_terms, id_col=id_col, text_col=text_col,
         k1=k1, b=b, top_k=fb_k,

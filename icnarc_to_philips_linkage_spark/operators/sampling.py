@@ -851,9 +851,18 @@ def mixture_reweight_mwu(
         .alias("__pooled"),
         (F.col("n_rows").cast("double") / F.col("__n")).alias("__share"),
     )
-    excess = F.round(
-        (F.col("__mean") - F.col("__pooled")) / F.col("__pooled"), round_dp
-    )
+    # Degenerate-input guard (ADVICE r9): when every loss is 0 the
+    # pooled mean is 0 and 0/0 is NaN in Spark (but NULL in DuckDB) —
+    # NaN then survives greatest(NaN, 0) and every new_weight ends
+    # NULL. Define excess = 0 at pooled == 0, so weights fall back to
+    # the base count shares in both engines.
+    excess = F.when(
+        F.col("__pooled") != 0,
+        F.round(
+            (F.col("__mean") - F.col("__pooled")) / F.col("__pooled"),
+            round_dp,
+        ),
+    ).otherwise(F.lit(0.0))
     w_raw = F.greatest(
         F.col("__share") * (F.lit(1.0) + F.lit(eta) * excess), F.lit(0.0)
     )
@@ -912,6 +921,12 @@ def ht_total_estimate(
     Output per stratum: ``(stratum, pi, n_rows, n_sampled,
     true_total, ht_total, rel_err)``; strata with π = 0 report NULL
     estimates.
+
+    Contracts: rows with a NULL ``id_col`` are excluded from the
+    population entirely (a NULL id can never be sampled — see the
+    filter note below); ``value_col`` must be integer-valued — the
+    exact-sum path casts through ``decimal(38,0)``, which ROUNDS
+    fractional values silently.
     """
     bucket = hash_bucket(id_col, salt)
     thr = None
@@ -929,8 +944,15 @@ def ht_total_estimate(
     kept = (bucket < thr).cast("int")
     v = F.col(value_col).cast("decimal(38,0)")
     per = (
+        # NULL ids are excluded from the POPULATION, not just the
+        # sample (ADVICE r9): the md5 keep-predicate evaluates NULL on
+        # a NULL id, so such rows could never be sampled — counting
+        # them in n_rows/true_total would bias ht_total low. The
+        # estimator's population is "rows with a samplable id".
         df.filter(
-            F.col(strata_col).isNotNull() & F.col(value_col).isNotNull()
+            F.col(strata_col).isNotNull()
+            & F.col(value_col).isNotNull()
+            & F.col(id_col).isNotNull()
         )
         .groupBy(F.col(strata_col).alias("stratum"))
         .agg(

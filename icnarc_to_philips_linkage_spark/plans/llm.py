@@ -5975,10 +5975,14 @@ j AS (
 staged AS (
   SELECT domain, n_rows,
          ROUND(mean_, 6) AS mean_loss,
-         ROUND((mean_ - pooled) / pooled, 6) AS excess,
+         CASE WHEN pooled != 0
+              THEN ROUND((mean_ - pooled) / pooled, 6)
+              ELSE 0.0 END AS excess,
          ROUND(share, 6) AS base_share,
          CAST(FLOOR(GREATEST(share * (1.0 + {eta!r}
-                * ROUND((mean_ - pooled) / pooled, 6)), 0.0)
+                * (CASE WHEN pooled != 0
+                   THEN ROUND((mean_ - pooled) / pooled, 6)
+                   ELSE 0.0 END)), 0.0)
               * 1000000000000.0 + 0.5) AS HUGEINT) AS wq
   FROM j
 ),
@@ -6127,7 +6131,8 @@ def retrieval_rocchio_prf(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _rocchio_sql() -> str:
-    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    # dict.fromkeys mirrors rocchio_prf_search's duplicate-term dedupe
+    terms = ", ".join(f"'{t}'" for t in dict.fromkeys(_BM25_TERMS))
     banned = ", ".join(
         f"'{t}'" for t in sorted(set(_BM25_TERMS) | set(STOPWORDS))
     )
@@ -6497,6 +6502,7 @@ WITH base AS (
                 ELSE '{_threshold_hex(_HT_DEFAULT)}' END
               THEN 1 ELSE 0 END AS kept
   FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+    AND doc_id IS NOT NULL
 ),
 per AS (
   SELECT stratum, MIN(pi) AS pi,
