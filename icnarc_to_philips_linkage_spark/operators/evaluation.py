@@ -1344,3 +1344,122 @@ def mcc_at_threshold(
             ),
         ).alias("mcc"),
     )
+
+
+def bradley_terry_strengths(
+    pairs: DataFrame,
+    winner_col: str = "winner",
+    loser_col: str = "loser",
+    items: list[str] | None = None,
+    iters: int = 12,
+    round_dp: int = 9,
+    max_items: int = 256,
+) -> DataFrame:
+    """Bradley-Terry preference aggregation (Bradley & Terry 1952;
+    Hunter 2004's MM iteration): pairwise win/loss outcomes over a
+    bounded item set -> per-item strengths with ``P(i beats j) =
+    p_i / (p_i + p_j)`` — the preference-data analog of
+    ``fs_em_estimate`` (RLHF preference pairs, ranker battles,
+    A/B tournaments -> one strength scale).
+
+    Scale shape (the FS-EM / ev_markov_steady discipline): the corpus
+    of comparisons collapses to the (winner, loser) count matrix in
+    ONE map-combined aggregation — at most ``|items|²`` cells, a
+    driver-bounded frame by contract (``max_items`` guards the
+    collect) — then ``iters`` synchronous MM updates run on the
+    driver as deterministic float expressions in fixed item order:
+
+        D_i = Σ_{j≠i} g_ij / (p_i + p_j)      (g_ij = games i vs j)
+        p_i' = w_i / D_i   (D_i = 0 -> carry p_i)
+        p_i'' = p_i' / Σ_{gamed items} p_j'   (renormalize each iter)
+
+    All sums left-associate in ascending item order, so every
+    iteration replays bit-identically in an unrolled SQL oracle.
+    Items with zero games stay out of the normalizer and report NULL
+    strength; rows for ties / self-pairs must be filtered by the
+    caller (winner == loser raises here).
+
+    If ``items`` is None the item set is the sorted distinct ids seen
+    in the data; passing it explicitly pins the output rows (and the
+    oracle's literal columns) at every scale factor.
+
+    Output: one row per item, ``(item, n_wins, n_games, strength)``;
+    strengths of gamed items sum to 1 on the ``round_dp`` grid.
+    """
+    import math
+
+    counts_rows = (
+        pairs.filter(
+            F.col(winner_col).isNotNull() & F.col(loser_col).isNotNull()
+        )
+        .groupBy(
+            F.col(winner_col).cast("string").alias("__w"),
+            F.col(loser_col).cast("string").alias("__l"),
+        )
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .collect()
+    )
+    c: dict[tuple[str, str], int] = {}
+    seen: set[str] = set()
+    for r in counts_rows:
+        if r["__w"] == r["__l"]:
+            raise ValueError(
+                f"self-pair {r['__w']!r}: filter ties before calling"
+            )
+        c[(r["__w"], r["__l"])] = int(r["__c"])
+        seen.add(r["__w"])
+        seen.add(r["__l"])
+    its = list(items) if items is not None else sorted(seen)
+    if len(its) > max_items:
+        raise ValueError(
+            f"{len(its)} items exceeds max_items={max_items}; the "
+            "count matrix must stay driver-bounded"
+        )
+    extra = seen - set(its)
+    if extra:
+        raise ValueError(f"data contains items outside `items`: {extra}")
+    k = len(its)
+    w = [0] * k
+    games = [[0] * k for _ in range(k)]
+    for i in range(k):
+        for j in range(k):
+            if i != j:
+                cij = c.get((its[i], its[j]), 0)
+                w[i] += cij
+                games[i][j] = cij + c.get((its[j], its[i]), 0)
+    n_games = [sum(games[i]) for i in range(k)]
+    p = [1.0] * k
+    for _ in range(iters):
+        nxt = list(p)
+        for i in range(k):
+            d = 0.0
+            for j in range(k):
+                if j != i and games[i][j]:
+                    d = d + float(games[i][j]) / (p[i] + p[j])
+            if d != 0.0:
+                nxt[i] = float(w[i]) / d
+        s = 0.0
+        for i in range(k):
+            if n_games[i]:
+                s = s + nxt[i]
+        if s != 0.0:
+            for i in range(k):
+                nxt[i] = nxt[i] / s
+        p = nxt
+    scale = 10.0**round_dp
+
+    def _q(x: float) -> float:
+        return math.floor(x * scale + 0.5) / scale
+
+    rows = [
+        (
+            its[i],
+            w[i],
+            n_games[i],
+            _q(p[i]) if n_games[i] else None,
+        )
+        for i in range(k)
+    ]
+    return pairs.sparkSession.createDataFrame(
+        rows, "item string, n_wins long, n_games long, strength double"
+    )

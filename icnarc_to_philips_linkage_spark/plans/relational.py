@@ -5501,6 +5501,163 @@ def _fs_em_sql() -> str:
     return "WITH " + ",\n".join(ctes) + "\n" + finals
 
 
+_BT_ITERS = 12
+_BT_ITEMS = ["click", "error", "purchase", "signup", "view"]
+
+
+def eval_bradley_terry(spark: SparkSession, sf: str) -> DataFrame:
+    """Bradley-Terry strengths over an event-type 'tournament'
+    (evaluation.bradley_terry_strengths): consecutive events (id 2k
+    vs 2k+1) with different types are a match won by the
+    higher-value event — the RLHF preference-aggregation shape. The
+    comparison corpus collapses to a 5×5 win matrix in ONE
+    aggregation; 12 MM iterations run as driver expressions (the
+    fuzzy_fs_em discipline)."""
+    from icnarc_to_philips_linkage_spark.operators import evaluation
+
+    ev = load(spark, sf, "events")
+    a = ev.filter(F.col("event_id") % 2 == 0).select(
+        (F.col("event_id") / 2).cast("long").alias("mk"),
+        F.col("event_type").alias("m1"),
+        F.col("value").alias("v1"),
+    )
+    b = ev.filter(F.col("event_id") % 2 == 1).select(
+        ((F.col("event_id") - 1) / 2).cast("long").alias("mk"),
+        F.col("event_type").alias("m2"),
+        F.col("value").alias("v2"),
+    )
+    pairs = (
+        a.join(b, "mk")
+        .filter(
+            (F.col("m1") != F.col("m2"))
+            & (F.col("v1") != F.col("v2"))
+            & F.col("v1").isNotNull()
+            & F.col("v2").isNotNull()
+        )
+        .select(
+            F.when(F.col("v1") > F.col("v2"), F.col("m1"))
+            .otherwise(F.col("m2"))
+            .alias("winner"),
+            F.when(F.col("v1") > F.col("v2"), F.col("m2"))
+            .otherwise(F.col("m1"))
+            .alias("loser"),
+        )
+    )
+    return evaluation.bradley_terry_strengths(
+        pairs, items=_BT_ITEMS, iters=_BT_ITERS
+    )
+
+
+def _bradley_terry_sql() -> str:
+    """eval_bradley_terry oracle: the 42-cell win matrix pivoted to
+    one row, then every MM iteration unrolled as a (raw-update,
+    normalize) CTE pair with the SAME left-associated float term
+    order and zero-term skips as bradley_terry_strengths' loop."""
+    k = len(_BT_ITEMS)
+
+    def c(i, j):
+        return f"c{i}_{j}"
+
+    count_cols = ", ".join(
+        f"COALESCE(SUM(CASE WHEN winner = '{_BT_ITEMS[i]}' AND"
+        f" loser = '{_BT_ITEMS[j]}' THEN 1 END), 0) AS {c(i, j)}"
+        for i in range(k)
+        for j in range(k)
+        if i != j
+    )
+    w_cols = [
+        " + ".join(c(i, j) for j in range(k) if j != i) + f" AS w{i}"
+        for i in range(k)
+    ]
+    g_cols = [
+        f"{c(i, j)} + {c(j, i)} AS g{i}_{j}"
+        for i in range(k)
+        for j in range(k)
+        if i < j
+    ]
+
+    def g(i, j):
+        return f"g{min(i, j)}_{max(i, j)}"
+
+    ng_cols = [
+        " + ".join(g(i, j) for j in range(k) if j != i) + f" AS ng{i}"
+        for i in range(k)
+    ]
+    carry = ", ".join(
+        [f"w{i}" for i in range(k)]
+        + [f"ng{i}" for i in range(k)]
+        + [f"g{i}_{j}" for i in range(k) for j in range(k) if i < j]
+    )
+    ctes = [
+        """pairs AS (
+  SELECT CASE WHEN a.v1 > b.v2 THEN a.m1 ELSE b.m2 END AS winner,
+         CASE WHEN a.v1 > b.v2 THEN b.m2 ELSE a.m1 END AS loser
+  FROM (SELECT CAST(event_id / 2 AS BIGINT) AS mk,
+               event_type AS m1, value AS v1
+        FROM events WHERE event_id % 2 = 0) a
+  JOIN (SELECT CAST((event_id - 1) / 2 AS BIGINT) AS mk,
+               event_type AS m2, value AS v2
+        FROM events WHERE event_id % 2 = 1) b USING (mk)
+  WHERE a.m1 != b.m2 AND a.v1 != b.v2
+    AND a.v1 IS NOT NULL AND b.v2 IS NOT NULL)""",
+        f"counts AS (SELECT {count_cols} FROM pairs)",
+        # ng sums reference the g columns, so e0 builds in two steps
+        "e0_g AS (SELECT "
+        + ", ".join(w_cols)
+        + ", "
+        + ", ".join(g_cols)
+        + " FROM counts)",
+        "e0 AS (SELECT *, "
+        + ", ".join(ng_cols)
+        + ", "
+        + ", ".join(f"CAST(1.0 AS DOUBLE) AS p{i}" for i in range(k))
+        + " FROM e0_g)",
+    ]
+    for t in range(1, _BT_ITERS + 1):
+        raws = []
+        for i in range(k):
+            d = "0.0"
+            for j in range(k):
+                if j != i:
+                    term = (
+                        f"(CASE WHEN {g(i, j)} > 0 THEN"
+                        f" CAST({g(i, j)} AS DOUBLE) / (p{i} + p{j})"
+                        " ELSE 0.0 END)"
+                    )
+                    d = f"({d} + {term})"
+            raws.append(
+                f"CASE WHEN {d} != 0 THEN CAST(w{i} AS DOUBLE) / {d}"
+                f" ELSE p{i} END AS r{i}"
+            )
+        ctes.append(
+            f"w{t} AS (SELECT {carry}, "
+            + ", ".join(raws)
+            + f" FROM e{t - 1})"
+        )
+        s = "0.0"
+        for i in range(k):
+            s = f"({s} + (CASE WHEN ng{i} > 0 THEN r{i} ELSE 0.0 END))"
+        ctes.append(
+            f"e{t} AS (SELECT {carry}, "
+            + ", ".join(
+                f"CASE WHEN {s} != 0 THEN r{i} / ({s}) ELSE r{i} END"
+                f" AS p{i}"
+                for i in range(k)
+            )
+            + f" FROM w{t})"
+        )
+    finals = " UNION ALL ".join(
+        f"SELECT '{_BT_ITEMS[i]}' AS item,"
+        f" CAST(w{i} AS BIGINT) AS n_wins,"
+        f" CAST(ng{i} AS BIGINT) AS n_games,"
+        f" CASE WHEN ng{i} > 0 THEN"
+        f" FLOOR(p{i} * 1000000000.0 + 0.5) / 1000000000.0 END"
+        f" AS strength FROM e{_BT_ITERS}"
+        for i in range(k)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + finals
+
+
 _TCLOSE_T = 0.25
 
 
@@ -6050,6 +6207,7 @@ QUERIES: dict[str, tuple] = {
     "e_string_ops": (e_string_ops, E_STRING_SQL),
     "e_json_extract": (e_json_extract, E_JSON_SQL),
     "fuzzy_fs_em": (fuzzy_fs_em, _fs_em_sql()),
+    "eval_bradley_terry": (eval_bradley_terry, _bradley_terry_sql()),
     "ts_stl_decompose": (ts_stl_decompose, TS_STL_SQL),
     "eval_auc_bootstrap": (eval_auc_bootstrap, _auc_bootstrap_sql()),
     "ev_markov_steady": (ev_markov_steady, _markov_steady_sql()),

@@ -83,3 +83,69 @@ def test_rocchio_duplicate_query_terms_deduped(spark):
     assert [(r.doc_id, r.score, r.n_hits) for r in base] == [
         (r.doc_id, r.score, r.n_hits) for r in duped
     ]
+
+
+# ---------------------------------------------------------------------------
+# evaluation.bradley_terry_strengths
+# ---------------------------------------------------------------------------
+
+
+def test_bradley_terry_two_items_exact(spark):
+    """A beats B 3:1 -> MLE strengths (0.75, 0.25) exactly (the MM
+    update lands on the fixed point after one iteration)."""
+    from icnarc_to_philips_linkage_spark.operators import evaluation as ev
+
+    pairs = spark.createDataFrame(
+        [("A", "B")] * 3 + [("B", "A")],
+        "winner string, loser string",
+    )
+    rows = {r.item: r for r in ev.bradley_terry_strengths(pairs).collect()}
+    assert rows["A"].strength == pytest.approx(0.75, abs=1e-9)
+    assert rows["B"].strength == pytest.approx(0.25, abs=1e-9)
+    assert rows["A"].n_wins == 3 and rows["A"].n_games == 4
+
+
+def test_bradley_terry_planted_recovery(spark):
+    """Counts generated at exact 4:2:1 strength proportions are the
+    MLE's sufficient statistics -> recovered ratios match."""
+    from icnarc_to_philips_linkage_spark.operators import evaluation as ev
+
+    data = (
+        [("A", "B")] * 400 + [("B", "A")] * 200   # 4/(4+2)
+        + [("A", "C")] * 480 + [("C", "A")] * 120  # 4/(4+1)
+        + [("B", "C")] * 400 + [("C", "B")] * 200  # 2/(2+1)
+    )
+    pairs = spark.createDataFrame(data, "winner string, loser string")
+    rows = {
+        r.item: r.strength
+        for r in ev.bradley_terry_strengths(pairs, iters=40).collect()
+    }
+    assert rows["A"] / rows["C"] == pytest.approx(4.0, rel=0.02)
+    assert rows["A"] / rows["B"] == pytest.approx(2.0, rel=0.02)
+    assert sum(rows.values()) == pytest.approx(1.0, abs=1e-8)
+
+
+def test_bradley_terry_zero_game_item_null(spark):
+    from icnarc_to_philips_linkage_spark.operators import evaluation as ev
+
+    pairs = spark.createDataFrame(
+        [("A", "B")], "winner string, loser string"
+    )
+    rows = {
+        r.item: r
+        for r in ev.bradley_terry_strengths(
+            pairs, items=["A", "B", "C"]
+        ).collect()
+    }
+    assert rows["C"].strength is None and rows["C"].n_games == 0
+    assert rows["A"].strength is not None
+
+
+def test_bradley_terry_self_pair_raises(spark):
+    from icnarc_to_philips_linkage_spark.operators import evaluation as ev
+
+    pairs = spark.createDataFrame(
+        [("A", "A")], "winner string, loser string"
+    )
+    with pytest.raises(ValueError, match="self-pair"):
+        ev.bradley_terry_strengths(pairs)
