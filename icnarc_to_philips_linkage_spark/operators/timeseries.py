@@ -1208,6 +1208,93 @@ def mann_kendall(
     )
 
 
+def theil_sen_slope(
+    df: DataFrame,
+    key_col: str,
+    time_col: str,
+    value_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Theil-Sen slope per series (Theil 1950; Sen 1968) — the robust
+    trend MAGNITUDE that pairs with ``mann_kendall``'s significance
+    (the standard nonparametric pair: MK says "is it drifting", Sen
+    says "how fast"): the median of all pairwise slopes
+    ``(x_j − x_i) / (t_j − t_i)`` over time order, immune to up to
+    ~29% outliers where the OLS slope (``group_linreg``) is not.
+
+    Same contract and scale shape as ``mann_kendall``: the caller
+    supplies the SERIES frame (one row per (key, time) — a daily
+    pre-aggregation with distinct times per key), so the pairwise
+    self-join is GRID-bounded (pairs per key = days², independent of
+    corpus row count), and the per-key slope-order window runs on
+    that same bounded grain. Slopes are one exact-integer-difference
+    division each (dates diff to integer days), so every slope double
+    is bit-identical across engines; the median interpolates the two
+    middle order statistics for even pair counts (their average —
+    one more IEEE-exact op).
+
+    Output per key: ``(key, n_obs, n_pairs, sen_slope)`` — NULL slope
+    when n_obs < 2.
+    """
+    from pyspark.sql.types import DateType, TimestampType
+
+    t_type = df.schema[time_col].dataType
+    base = df.filter(
+        F.col(key_col).isNotNull()
+        & F.col(time_col).isNotNull()
+        & F.col(value_col).isNotNull()
+    ).select(
+        F.col(key_col).alias("__k"),
+        F.col(time_col).alias("__t"),
+        F.col(value_col).alias("__x"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    if isinstance(t_type, DateType):
+        gap = F.datediff(F.col("b.__t"), F.col("a.__t")).cast("double")
+    elif isinstance(t_type, TimestampType):
+        raise ValueError(
+            "pass an integer/date time grid (e.g. to_date or an epoch "
+            "index), not raw timestamps — the slope unit must be exact"
+        )
+    else:
+        gap = (F.col("b.__t") - F.col("a.__t")).cast("double")
+    slopes = a.join(
+        b,
+        (F.col("a.__k") == F.col("b.__k"))
+        & (F.col("a.__t") < F.col("b.__t")),
+    ).select(
+        F.col("a.__k").alias("__k"),
+        (
+            (F.col("b.__x") - F.col("a.__x")).cast("double") / gap
+        ).alias("__s"),
+    )
+    word = Window.partitionBy("__k").orderBy("__s")
+    wall = Window.partitionBy("__k")
+    staged = slopes.select(
+        "__k",
+        "__s",
+        F.row_number().over(word).alias("__rn"),
+        F.count(F.lit(1)).over(wall).alias("__m"),
+    )
+    lo = F.expr("(__m + 1) div 2")
+    hi = F.expr("__m div 2 + 1")
+    med = (
+        staged.filter((F.col("__rn") == lo) | (F.col("__rn") == hi))
+        .groupBy("__k")
+        .agg(
+            F.avg("__s").alias("__med"),
+            F.max("__m").alias("n_pairs"),
+        )
+    )
+    n_per = base.groupBy("__k").agg(F.count(F.lit(1)).alias("n_obs"))
+    return n_per.join(med, "__k", "left").select(
+        F.col("__k").alias(key_col),
+        "n_obs",
+        F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+        F.round("__med", round_dp).alias("sen_slope"),
+    )
+
+
 def stl_decompose(
     df: DataFrame,
     key_col: str,

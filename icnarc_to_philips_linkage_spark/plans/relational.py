@@ -5346,6 +5346,56 @@ FROM j
 """
 
 
+def ts_theil_sen(spark: SparkSession, sf: str) -> DataFrame:
+    """Theil-Sen robust trend slope (timeseries.theil_sen_slope) on
+    each event type's daily volume — the magnitude companion to
+    ts_mann_kendall's significance, on the SAME (type, day) grid:
+    corpus work is one daily aggregation; the pairwise slope join
+    and the slope-order median window are both grid-bounded."""
+    from icnarc_to_philips_linkage_spark.operators import timeseries
+
+    e = load(spark, sf, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return timeseries.theil_sen_slope(
+        daily, "event_type", "day", "n_events"
+    )
+
+
+TS_THEIL_SEN_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+slopes AS (
+  SELECT a.event_type,
+         CAST(b.n - a.n AS DOUBLE)
+           / CAST(datediff('day', a.day, b.day) AS DOUBLE) AS s
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.day < b.day
+),
+staged AS (
+  SELECT event_type, s,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY s)
+           AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS m
+  FROM slopes
+),
+med AS (
+  SELECT event_type, AVG(s) AS med, MAX(m) AS n_pairs
+  FROM staged
+  WHERE rn = (m + 1) // 2 OR rn = m // 2 + 1
+  GROUP BY 1
+),
+nn AS (SELECT event_type, COUNT(*) AS n_obs FROM daily GROUP BY 1)
+SELECT nn.event_type, nn.n_obs,
+  COALESCE(med.n_pairs, 0) AS n_pairs,
+  ROUND(med.med, 6) AS sen_slope
+FROM nn LEFT JOIN med ON nn.event_type = med.event_type
+"""
+
+
 _FSEM_ITERS = 10
 _FSEM_FIELDS = ["g_mod10", "g_bal", "g_mod7"]
 _FSEM_P0, _FSEM_M0, _FSEM_U0 = 0.1, 0.8, 0.2
@@ -6217,4 +6267,5 @@ QUERIES: dict[str, tuple] = {
     "ml_gd_cartography": (ml_gd_cartography, _gd_carto_sql()),
     "priv_k_anonymity": (priv_k_anonymity, PRIV_K_ANON_SQL),
     "ts_mann_kendall": (ts_mann_kendall, TS_MANN_KENDALL_SQL),
+    "ts_theil_sen": (ts_theil_sen, TS_THEIL_SEN_SQL),
 }

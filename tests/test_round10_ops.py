@@ -149,3 +149,65 @@ def test_bradley_terry_self_pair_raises(spark):
     )
     with pytest.raises(ValueError, match="self-pair"):
         ev.bradley_terry_strengths(pairs)
+
+
+# ---------------------------------------------------------------------------
+# timeseries.theil_sen_slope
+# ---------------------------------------------------------------------------
+
+
+def test_theil_sen_hand_computed_odd(spark):
+    """Points (0,1),(1,3),(2,2): slopes {2, 0.5, -1} -> median 0.5."""
+    from icnarc_to_philips_linkage_spark.operators import timeseries as ts
+
+    df = spark.createDataFrame(
+        [("k", 0, 1), ("k", 1, 3), ("k", 2, 2)],
+        "k string, t int, x int",
+    )
+    r = ts.theil_sen_slope(df, "k", "t", "x").collect()[0]
+    assert r.n_obs == 3 and r.n_pairs == 3
+    assert r.sen_slope == pytest.approx(0.5, abs=1e-9)
+
+
+def test_theil_sen_even_interpolates(spark):
+    """Points (0,0),(1,2),(2,1),(3,3): six slopes sorted
+    [-1, 0.5, 0.5, 1, 2, 2] -> median (0.5+1)/2 = 0.75."""
+    from icnarc_to_philips_linkage_spark.operators import timeseries as ts
+
+    df = spark.createDataFrame(
+        [("k", 0, 0), ("k", 1, 2), ("k", 2, 1), ("k", 3, 3)],
+        "k string, t int, x int",
+    )
+    r = ts.theil_sen_slope(df, "k", "t", "x").collect()[0]
+    assert r.n_pairs == 6
+    assert r.sen_slope == pytest.approx(0.75, abs=1e-9)
+
+
+def test_theil_sen_outlier_robust(spark):
+    """y = 2t with one wild outlier: OLS is dragged, Sen stays 2."""
+    from icnarc_to_philips_linkage_spark.operators import timeseries as ts
+
+    rows = [("k", t, 2 * t) for t in range(20)] + [("k", 20, 100000)]
+    df = spark.createDataFrame(rows, "k string, t int, x int")
+    r = ts.theil_sen_slope(df, "k", "t", "x").collect()[0]
+    assert r.sen_slope == pytest.approx(2.0, abs=1e-9)
+
+
+def test_theil_sen_single_point_null(spark):
+    from icnarc_to_philips_linkage_spark.operators import timeseries as ts
+
+    df = spark.createDataFrame([("k", 0, 1)], "k string, t int, x int")
+    r = ts.theil_sen_slope(df, "k", "t", "x").collect()[0]
+    assert r.n_obs == 1 and r.n_pairs == 0 and r.sen_slope is None
+
+
+def test_theil_sen_rejects_timestamps(spark):
+    from icnarc_to_philips_linkage_spark.operators import timeseries as ts
+    import datetime
+
+    df = spark.createDataFrame(
+        [("k", datetime.datetime(2024, 1, 1), 1)],
+        "k string, t timestamp, x int",
+    )
+    with pytest.raises(ValueError, match="time grid"):
+        ts.theil_sen_slope(df, "k", "t", "x")
