@@ -436,6 +436,82 @@ def weighted_reservoir_topk(
     return ranked.withColumn("rank", F.row_number().over(win))
 
 
+def stratified_reservoir_topk(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    weight_col,
+    k: int,
+    salt: str = "swres",
+) -> DataFrame:
+    """Fixed-size weighted sampling without replacement PER STRATUM
+    (Efraimidis & Spirakis 2006 A-ES keys, one reservoir per group) —
+    the exact-n companion to ``stratified_hash_sample``'s rate-based
+    keep: "exactly k docs per language, weighted by length",
+    reproducible across engines/partitionings because u is md5-derived
+    (the ``weighted_reservoir_topk`` keys, same 9dp rounding + id
+    tiebreak so a libm-pow ulp can't reorder a boundary).
+
+    Scale shape — deliberately NOT a ``row_number() OVER (PARTITION BY
+    stratum)`` window (a corpus-sized stratum funnels through one
+    task) and NOT a single collect_list per stratum (same funnel):
+    a TWO-LEVEL top-k. Level 1 groups on (stratum,
+    spark_partition_id) — the pid in the key spreads every stratum
+    across all partitions, so the one full-data shuffle moves only
+    the narrow (stratum, id, weight, key) projection with zero skew
+    and slices each cell to k. Level 2 aggregates the ≤ partitions×k
+    candidates per stratum — top-k of per-partition top-ks is exactly
+    the global top-k. Ranks fall out of the final k-bounded sorted
+    array's positions; no window anywhere.
+
+    Rows with NULL stratum or non-positive/NULL weight are excluded.
+    Output: (stratum, id, weight, sample_key, rank) — rank 1 = the
+    stratum's largest key; strata with fewer than k rows return all
+    their rows.
+    """
+    w = (
+        F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    ).cast("double")
+    u = (
+        F.conv(hash_bucket(id_col, salt), 16, 10).cast("double") + 1.0
+    ) / float(_HEX_SPACE + 1)
+    key = F.round(F.pow(u, 1.0 / w), 9)
+    # ascending struct sort gives (key DESC, id ASC) via the negated
+    # key — one array_sort, no mixed-direction comparator needed
+    cand = F.struct(
+        (-key).alias("nk"), F.col(id_col).alias("i"), w.alias("w")
+    )
+    base = df.filter(
+        F.col(strata_col).isNotNull() & w.isNotNull() & (w > 0)
+    ).select(
+        F.col(strata_col).alias("__st"),
+        F.spark_partition_id().alias("__pid"),
+        cand.alias("__c"),
+    )
+    local = base.groupBy("__st", "__pid").agg(
+        F.slice(F.array_sort(F.collect_list("__c")), 1, k).alias("__t")
+    )
+    final = (
+        local.select("__st", F.explode("__t").alias("__c"))
+        .groupBy("__st")
+        .agg(
+            F.slice(F.array_sort(F.collect_list("__c")), 1, k).alias(
+                "__t"
+            )
+        )
+    )
+    out = final.select(
+        "__st", F.posexplode("__t").alias("__pos", "__c")
+    )
+    return out.select(
+        F.col("__st").alias(strata_col),
+        F.col("__c.i").alias(id_col),
+        F.col("__c.w").alias("weight"),
+        (-F.col("__c.nk")).alias("sample_key"),
+        (F.col("__pos") + 1).cast("int").alias("rank"),
+    )
+
+
 # Poisson(1) CDF thresholds for inverse-CDF bootstrap weights: P(W<=k)
 # for k = 0..5; a uniform beyond the last threshold draws weight 6.
 POISSON1_CDF = (

@@ -4627,6 +4627,50 @@ QUALIFY rank <= {_WRES_K}
 """
 
 
+_SWRES_K = 20
+
+
+def sample_stratified_reservoir(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-n weighted sample per stratum
+    (sampling.stratified_reservoir_topk): exactly 20 docs per
+    language, n_chars-weighted, via per-stratum Efraimidis-Spirakis
+    reservoirs — two-level top-k, no per-stratum window funnel."""
+    return sampling.stratified_reservoir_topk(
+        load(spark, sf, "documents"),
+        "lang",
+        "doc_id",
+        F.col("n_chars"),
+        k=_SWRES_K,
+    )
+
+
+def _swres_sql() -> str:
+    from icnarc_to_philips_linkage_spark.operators.sampling import _HEX_SPACE
+
+    nib = "(strpos('0123456789abcdef', substr(h, {i}, 1)) - 1)"
+    hv = " + ".join(
+        f"{nib.format(i=i + 1)} * {16 ** (7 - i)}" for i in range(8)
+    )
+    return f"""
+WITH hashed AS (
+  SELECT lang, doc_id, CAST(n_chars AS DOUBLE) AS weight,
+         substr(md5('swres:' || CAST(doc_id AS VARCHAR)), 1, 8) AS h
+  FROM documents
+  WHERE lang IS NOT NULL AND n_chars IS NOT NULL AND n_chars > 0),
+keyed AS (
+  SELECT lang, doc_id, weight,
+         ROUND(pow((({hv}) + 1.0) / {float(_HEX_SPACE + 1)!r},
+                   1.0 / weight), 9) AS sample_key
+  FROM hashed)
+SELECT lang, doc_id, weight, sample_key,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY lang ORDER BY sample_key DESC, doc_id
+       ) AS INTEGER) AS rank
+FROM keyed
+QUALIFY rank <= {_SWRES_K}
+"""
+
+
 def check_split_leakage(spark: SparkSession, sf: str) -> DataFrame:
     """Split-contamination expectation (checks.split_leakage_report):
     content digests spanning train AND test after the id hash split —
@@ -6722,6 +6766,10 @@ FROM pairs2 p JOIN ranked r USING (query_id, neighbor_id)
 QUERIES: dict[str, tuple] = {
     "drift_wasserstein": (drift_wasserstein, _wasserstein_sql()),
     "sample_weighted_topk": (sample_weighted_topk, _wres_sql()),
+    "sample_stratified_reservoir": (
+        sample_stratified_reservoir,
+        _swres_sql(),
+    ),
     "sample_bootstrap_means": (sample_bootstrap_means, _bootstrap_sql()),
     "sample_group_capped": (sample_group_capped, SAMPLE_GROUP_CAPPED_SQL),
     "pack_inference_batches": (pack_inference_batches, PACK_INFER_SQL),

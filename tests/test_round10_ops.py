@@ -5,6 +5,7 @@ operators (Bradley-Terry, Theil-Sen, A-ES reservoir, McNemar/DeLong).
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 
 # ---------------------------------------------------------------------------
@@ -211,3 +212,85 @@ def test_theil_sen_rejects_timestamps(spark):
     )
     with pytest.raises(ValueError, match="time grid"):
         ts.theil_sen_slope(df, "k", "t", "x")
+
+
+# ---------------------------------------------------------------------------
+# sampling.stratified_reservoir_topk
+# ---------------------------------------------------------------------------
+
+
+def test_stratified_reservoir_matches_per_stratum_global(spark):
+    """Each stratum's reservoir equals weighted_reservoir_topk run on
+    that stratum alone with the same salt (two-level top-k is exact)."""
+    from icnarc_to_philips_linkage_spark.operators import sampling as sa
+
+    rows = [(f"s{i % 3}", i, (i % 7) + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "st string, id long, w int")
+    strat = {
+        (r.st, r.id): (r.sample_key, r.rank)
+        for r in sa.stratified_reservoir_topk(
+            df, "st", "id", "w", k=5
+        ).collect()
+    }
+    for s in ("s0", "s1", "s2"):
+        solo = sa.weighted_reservoir_topk(
+            df.filter(F.col("st") == s), "id", "w", k=5, salt="swres"
+        ).collect()
+        assert {
+            (s, r.id): (r.sample_key, r.rank) for r in solo
+        } == {kk: v for kk, v in strat.items() if kk[0] == s}
+
+
+def test_stratified_reservoir_partitioning_invariant(spark):
+    from icnarc_to_philips_linkage_spark.operators import sampling as sa
+
+    rows = [(f"s{i % 2}", i, i + 1) for i in range(100)]
+    df = spark.createDataFrame(rows, "st string, id long, w int")
+    a = sorted(
+        (r.st, r.id, r.rank)
+        for r in sa.stratified_reservoir_topk(
+            df.repartition(7), "st", "id", "w", k=4
+        ).collect()
+    )
+    b = sorted(
+        (r.st, r.id, r.rank)
+        for r in sa.stratified_reservoir_topk(
+            df.repartition(3), "st", "id", "w", k=4
+        ).collect()
+    )
+    assert a == b and len(a) == 8
+
+
+def test_stratified_reservoir_small_stratum_returns_all(spark):
+    from icnarc_to_philips_linkage_spark.operators import sampling as sa
+
+    df = spark.createDataFrame(
+        [("a", 1, 5), ("a", 2, 5), ("b", 3, 5)],
+        "st string, id long, w int",
+    )
+    out = sa.stratified_reservoir_topk(df, "st", "id", "w", k=10).collect()
+    assert len(out) == 3
+    assert {r.id for r in out if r.st == "b"} == {3}
+
+
+def test_stratified_reservoir_inclusion_probability(spark):
+    """A-ES with k=1: P(item wins) = w_i / sum(w). Vary the salt to
+    simulate independent draws; the weight-8 item must win roughly
+    8/15 of the time and strictly more often than the weight-1 item."""
+    from icnarc_to_philips_linkage_spark.operators import sampling as sa
+
+    df = spark.createDataFrame(
+        [("s", "heavy", 8), ("s", "m1", 4), ("s", "m2", 2), ("s", "lt", 1)],
+        "st string, id string, w int",
+    )
+    wins: dict[str, int] = {}
+    n_draws = 60
+    for i in range(n_draws):
+        r = sa.stratified_reservoir_topk(
+            df, "st", "id", "w", k=1, salt=f"trial{i}"
+        ).collect()[0]
+        wins[r.id] = wins.get(r.id, 0) + 1
+    freq_heavy = wins.get("heavy", 0) / n_draws
+    # E = 8/15 ~ 0.533, sd ~ 0.064 at n=60: a +-3sd band
+    assert 0.34 < freq_heavy < 0.73, wins
+    assert wins.get("heavy", 0) > wins.get("lt", 0), wins
