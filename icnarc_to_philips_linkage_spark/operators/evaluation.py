@@ -1463,3 +1463,205 @@ def bradley_terry_strengths(
     return pairs.sparkSession.createDataFrame(
         rows, "item string, n_wins long, n_games long, strength double"
     )
+
+
+def mcnemar_test(
+    df: DataFrame,
+    pred1_col,
+    pred2_col,
+    label_col: str,
+    corrected: bool = True,
+    round_dp: int = 9,
+) -> DataFrame:
+    """McNemar's test for PAIRED classifiers (McNemar 1947): did
+    classifier 1 and classifier 2 — scoring the SAME rows — differ
+    beyond noise? Only the discordant cells carry information:
+    ``b`` = rows only classifier 1 got right, ``c`` = rows only
+    classifier 2 got right; ``χ² = (|b−c|−1)² / (b+c)`` (continuity-
+    corrected by default, the Edwards form; ``corrected=False`` gives
+    the classic ``(b−c)²/(b+c)``), 1 df.
+
+    ONE conditional aggregation to the four exact paired-confusion
+    counts; χ² is a single integer-ratio division. NULL χ² when
+    b + c = 0 (no discordant pairs — the test is undefined, the
+    classifiers agree everywhere).
+
+    Output: ``(n, n_both, n_only1, n_only2, n_neither, chi2)``.
+    """
+    p1 = (
+        F.col(pred1_col) if isinstance(pred1_col, str) else pred1_col
+    ).cast("boolean")
+    p2 = (
+        F.col(pred2_col) if isinstance(pred2_col, str) else pred2_col
+    ).cast("boolean")
+    y = F.col(label_col).cast("boolean")
+    r1 = p1 == y
+    r2 = p2 == y
+    agg = df.filter(
+        p1.isNotNull() & p2.isNotNull() & y.isNotNull()
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((r1 & r2).cast("long")).alias("n_both"),
+        F.sum((r1 & ~r2).cast("long")).alias("n_only1"),
+        F.sum((~r1 & r2).cast("long")).alias("n_only2"),
+        F.sum((~r1 & ~r2).cast("long")).alias("n_neither"),
+    )
+    b, c = F.col("n_only1"), F.col("n_only2")
+    if corrected:
+        num = (F.abs(b - c) - 1) * (F.abs(b - c) - 1)
+    else:
+        num = (b - c) * (b - c)
+    return agg.select(
+        "n",
+        "n_both",
+        "n_only1",
+        "n_only2",
+        "n_neither",
+        F.when(
+            b + c > 0,
+            F.round(num.cast("double") / (b + c).cast("double"), round_dp),
+        ).alias("chi2"),
+    )
+
+
+def delong_paired_auc(
+    df: DataFrame,
+    score1_col,
+    score2_col,
+    label_col: str,
+    round_dp: int = 9,
+) -> DataFrame:
+    """DeLong paired-AUC comparison (DeLong, DeLong & Clarke-Pearson
+    1988): are two classifiers' AUCs on the SAME rows different beyond
+    noise? The correlation between the two score columns (they saw the
+    same data) is what naive ±stderr bands ignore; DeLong estimates it
+    from per-observation placement values.
+
+    Integer form, riding the ``roc_auc`` distinct-score-grain
+    machinery: for classifier k, a positive row's placement numerator
+    is ``u_k = 2·(negatives strictly below its score) + (negatives
+    tied)`` and a negative row's is ``v_k = 2·(positives strictly
+    above) + (positives tied)`` — exact integers read off each score
+    grid's cumulative counts (the grids are bounded by the score
+    emission grid, the roc_auc contract, and broadcast back to the
+    rows). Then ONE conditional aggregation collects the exact sums
+    Σu_k, Σu_k², Σu₁u₂ over positives and Σv_k, Σv_k², Σv₁v₂ over
+    negatives (decimal(38,0) — u ≤ 2n so u² sums pass 2^63 early),
+    and the DeLong covariance algebra
+
+        S10[k,l] = (Σu_k u_l − Σu_k·Σu_l/m) / ((m−1)·(2n)²)
+        S01[k,l] = (Σv_k v_l − Σv_k·Σv_l/n) / ((n−1)·(2m)²)
+        Var(Δ)   = (S10[1,1]+S10[2,2]−2S10[1,2])/m
+                 + (S01[1,1]+S01[2,2]−2S01[1,2])/n
+        z        = (AUC₁ − AUC₂) / sqrt(Var(Δ))
+
+    runs as one deterministic expression tree over those integers —
+    no data-order-dependent float accumulation anywhere, so the whole
+    statistic replays bit-exactly in the SQL oracle.
+
+    Output: one row ``(n_pos, n_neg, auc1, auc2, delta_auc,
+    var_delta, z)`` — z NULL when either class has < 2 rows or
+    Var(Δ) ≤ 0 (identical rankings).
+    """
+    s1 = F.col(score1_col) if isinstance(score1_col, str) else score1_col
+    s2 = F.col(score2_col) if isinstance(score2_col, str) else score2_col
+    y = F.col(label_col).cast("boolean")
+    base = df.filter(
+        s1.isNotNull() & s2.isNotNull() & y.isNotNull()
+    ).select(s1.alias("__s1"), s2.alias("__s2"), y.alias("__y"))
+
+    def grain(col: str, tag: str) -> DataFrame:
+        g = base.groupBy(F.col(col).alias(f"__g{tag}")).agg(
+            F.sum(F.col("__y").cast("long")).alias("__p"),
+            F.sum((~F.col("__y")).cast("long")).alias("__q"),
+        )
+        w = Window.orderBy(f"__g{tag}").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )  # bounded-global-window: the grain is the score grid
+        return g.select(
+            f"__g{tag}",
+            (F.sum("__q").over(w) - F.col("__q")).alias(f"__qlt{tag}"),
+            F.col("__q").alias(f"__qeq{tag}"),
+            (F.sum("__p").over(w) - F.col("__p")).alias(f"__plt{tag}"),
+            F.col("__p").alias(f"__peq{tag}"),
+        )
+
+    g1, g2 = grain("__s1", "1"), grain("__s2", "2")
+    tot = base.agg(
+        F.sum(F.col("__y").cast("long")).alias("__m"),
+        F.sum((~F.col("__y")).cast("long")).alias("__n"),
+    )
+    rows = (
+        base.join(F.broadcast(g1), base["__s1"] == g1["__g1"])
+        .join(F.broadcast(g2), base["__s2"] == g2["__g2"])
+        .crossJoin(F.broadcast(tot))
+    )
+    u1 = 2 * F.col("__qlt1") + F.col("__qeq1")
+    u2 = 2 * F.col("__qlt2") + F.col("__qeq2")
+    v1 = 2 * (F.col("__m") - F.col("__plt1") - F.col("__peq1")) + F.col(
+        "__peq1"
+    )
+    v2 = 2 * (F.col("__m") - F.col("__plt2") - F.col("__peq2")) + F.col(
+        "__peq2"
+    )
+    d = lambda e: e.cast("decimal(38,0)")  # noqa: E731
+    pos, neg = F.col("__y"), ~F.col("__y")
+    zero = F.lit(0).cast("decimal(38,0)")
+    agg = rows.agg(
+        F.sum(pos.cast("long")).alias("m"),
+        F.sum(neg.cast("long")).alias("n"),
+        *[
+            F.sum(F.when(cond, expr).otherwise(zero)).alias(name)
+            for cond, expr, name in [
+                (pos, d(u1), "su1"),
+                (pos, d(u2), "su2"),
+                (pos, d(u1) * d(u1), "su11"),
+                (pos, d(u2) * d(u2), "su22"),
+                (pos, d(u1) * d(u2), "su12"),
+                (neg, d(v1), "sv1"),
+                (neg, d(v2), "sv2"),
+                (neg, d(v1) * d(v1), "sv11"),
+                (neg, d(v2) * d(v2), "sv22"),
+                (neg, d(v1) * d(v2), "sv12"),
+            ]
+        ],
+    )
+    m = F.col("m").cast("double")
+    n = F.col("n").cast("double")
+    auc1 = F.col("su1").cast("double") / (2.0 * m * n)
+    auc2 = F.col("su2").cast("double") / (2.0 * m * n)
+
+    def s10(skl, sk, sl):
+        return (
+            F.col(skl).cast("double")
+            - F.col(sk).cast("double") * F.col(sl).cast("double") / m
+        ) / ((m - 1.0) * (2.0 * n) * (2.0 * n))
+
+    def s01(skl, sk, sl):
+        return (
+            F.col(skl).cast("double")
+            - F.col(sk).cast("double") * F.col(sl).cast("double") / n
+        ) / ((n - 1.0) * (2.0 * m) * (2.0 * m))
+
+    var = (
+        s10("su11", "su1", "su1")
+        + s10("su22", "su2", "su2")
+        - 2.0 * s10("su12", "su1", "su2")
+    ) / m + (
+        s01("sv11", "sv1", "sv1")
+        + s01("sv22", "sv2", "sv2")
+        - 2.0 * s01("sv12", "sv1", "sv2")
+    ) / n
+    ok = (F.col("m") >= 2) & (F.col("n") >= 2)
+    return agg.select(
+        F.col("m").alias("n_pos"),
+        F.col("n").alias("n_neg"),
+        F.round(F.when(ok, auc1), round_dp).alias("auc1"),
+        F.round(F.when(ok, auc2), round_dp).alias("auc2"),
+        F.round(F.when(ok, auc1 - auc2), round_dp).alias("delta_auc"),
+        F.round(F.when(ok, var), round_dp + 3).alias("var_delta"),
+        F.when(
+            ok & (var > 0),
+            F.round((auc1 - auc2) / F.sqrt(var), round_dp),
+        ).alias("z"),
+    )

@@ -5820,6 +5820,175 @@ FROM conf
 """
 
 
+def eval_mcnemar(spark: SparkSession, sf: str) -> DataFrame:
+    """McNemar paired-classifier test (evaluation.mcnemar_test): the
+    trained GD classifier at 0.5 vs the naive quantity-only baseline
+    (x_qty ≥ 0.5, i.e. quantity ≥ 25) on the same lines — did
+    training actually beat the single feature? One conditional
+    aggregation to the four paired-confusion counts."""
+    from icnarc_to_philips_linkage_spark.operators import (
+        evaluation,
+        regression,
+    )
+
+    w = _gd_weights(spark, sf)
+    feats = _gd_feats(spark, sf).filter(
+        F.col("x_qty").isNotNull()
+        & F.col("x_disc").isNotNull()
+        & F.col("x_tax").isNotNull()
+        & F.col("y").isNotNull()
+    )
+    scored = regression.gd_score(feats, _GD_FEATURES, w)
+    return evaluation.mcnemar_test(
+        scored, F.col("score") >= 0.5, F.col("x_qty") >= 0.5, "y"
+    )
+
+
+def _mcnemar_sql() -> str:
+    train = _gd_sql()
+    body = train[: train.rindex("\nSELECT")]
+    z = "(((b + w1 * x1) + w2 * x2) + w3 * x3)"
+    sig = f"(0.5 * (1.0 + {z} / (1.0 + abs({z}))))"
+    return f"""{body},
+scored AS (SELECT {sig} AS p, x1, y FROM feats, w{_GD_ITERS}),
+flags AS (
+  SELECT CASE WHEN (p >= 0.5) = (y = 1) THEN 1 ELSE 0 END AS r1,
+         CASE WHEN (x1 >= 0.5) = (y = 1) THEN 1 ELSE 0 END AS r2
+  FROM scored),
+agg AS (
+  SELECT COUNT(*) AS n,
+         SUM(CASE WHEN r1 = 1 AND r2 = 1 THEN 1 ELSE 0 END) AS n_both,
+         SUM(CASE WHEN r1 = 1 AND r2 = 0 THEN 1 ELSE 0 END) AS n_only1,
+         SUM(CASE WHEN r1 = 0 AND r2 = 1 THEN 1 ELSE 0 END) AS n_only2,
+         SUM(CASE WHEN r1 = 0 AND r2 = 0 THEN 1 ELSE 0 END) AS n_neither
+  FROM flags)
+SELECT CAST(n AS BIGINT) AS n, CAST(n_both AS BIGINT) AS n_both,
+  CAST(n_only1 AS BIGINT) AS n_only1,
+  CAST(n_only2 AS BIGINT) AS n_only2,
+  CAST(n_neither AS BIGINT) AS n_neither,
+  CASE WHEN n_only1 + n_only2 > 0 THEN
+    ROUND(CAST((ABS(n_only1 - n_only2) - 1)
+               * (ABS(n_only1 - n_only2) - 1) AS DOUBLE)
+          / CAST(n_only1 + n_only2 AS DOUBLE), 9)
+  END AS chi2
+FROM agg
+"""
+
+
+def eval_delong_auc(spark: SparkSession, sf: str) -> DataFrame:
+    """DeLong paired-AUC comparison (evaluation.delong_paired_auc):
+    the trained GD classifier's AUC vs the quantity-only baseline's
+    on the SAME lines, with the covariance between the two score
+    columns estimated from placement values — both score grids are
+    bounded (feature grid / 50 quantity levels) and broadcast; the
+    statistic is one conditional aggregation of exact integer
+    placement sums."""
+    from icnarc_to_philips_linkage_spark.operators import (
+        evaluation,
+        regression,
+    )
+
+    w = _gd_weights(spark, sf)
+    feats = _gd_feats(spark, sf).filter(
+        F.col("x_qty").isNotNull()
+        & F.col("x_disc").isNotNull()
+        & F.col("x_tax").isNotNull()
+        & F.col("y").isNotNull()
+    )
+    scored = regression.gd_score(feats, _GD_FEATURES, w)
+    return evaluation.delong_paired_auc(scored, "score", "x_qty", "y")
+
+
+def _delong_sql() -> str:
+    train = _gd_sql()
+    body = train[: train.rindex("\nSELECT")]
+    z = "(((b + w1 * x1) + w2 * x2) + w3 * x3)"
+    sig = f"(0.5 * (1.0 + {z} / (1.0 + abs({z}))))"
+    cum = (
+        "SUM({c}) OVER (ORDER BY g ROWS BETWEEN UNBOUNDED PRECEDING"
+        " AND CURRENT ROW) - {c}"
+    )
+    # sg/cc prefixes: the _gd_sql body already owns g1..gN for its
+    # per-iteration gradient CTEs
+    grain = """sg{t} AS (
+  SELECT s{t} AS g,
+         SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS p,
+         SUM(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS q
+  FROM scored GROUP BY 1),
+cc{t} AS (
+  SELECT g AS g{t}, {qlt} AS qlt{t}, q AS qeq{t},
+         {plt} AS plt{t}, p AS peq{t}
+  FROM sg{t})"""
+    s10 = (
+        "((CAST(su{kl} AS DOUBLE) - CAST(su{k} AS DOUBLE)"
+        " * CAST(su{l} AS DOUBLE) / m) / ((m - 1.0) * (2.0 * n)"
+        " * (2.0 * n)))"
+    )
+    s01 = (
+        "((CAST(sv{kl} AS DOUBLE) - CAST(sv{k} AS DOUBLE)"
+        " * CAST(sv{l} AS DOUBLE) / n) / ((n - 1.0) * (2.0 * m)"
+        " * (2.0 * m)))"
+    )
+    var = (
+        f"(({s10.format(kl='11', k='1', l='1')}"
+        f" + {s10.format(kl='22', k='2', l='2')}"
+        f" - 2.0 * {s10.format(kl='12', k='1', l='2')}) / m"
+        f" + ({s01.format(kl='11', k='1', l='1')}"
+        f" + {s01.format(kl='22', k='2', l='2')}"
+        f" - 2.0 * {s01.format(kl='12', k='1', l='2')}) / n)"
+    )
+    auc1 = "(CAST(su1 AS DOUBLE) / (2.0 * m * n))"
+    auc2 = "(CAST(su2 AS DOUBLE) / (2.0 * m * n))"
+    ok = "mi >= 2 AND ni >= 2"
+    return f"""{body},
+scored AS (SELECT {sig} AS s1, x1 AS s2, y FROM feats, w{_GD_ITERS}),
+{grain.format(t='1', qlt=cum.format(c='q'), plt=cum.format(c='p'))},
+{grain.format(t='2', qlt=cum.format(c='q'), plt=cum.format(c='p'))},
+tot AS (
+  SELECT SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS mm,
+         SUM(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS nn
+  FROM scored),
+rows_ AS (
+  SELECT y,
+         2 * qlt1 + qeq1 AS u1, 2 * qlt2 + qeq2 AS u2,
+         2 * (mm - plt1 - peq1) + peq1 AS v1,
+         2 * (mm - plt2 - peq2) + peq2 AS v2
+  FROM scored JOIN cc1 ON scored.s1 = cc1.g1
+  JOIN cc2 ON scored.s2 = cc2.g2 CROSS JOIN tot),
+agg AS (
+  SELECT SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS mi,
+         SUM(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS ni,
+    SUM(CASE WHEN y = 1 THEN CAST(u1 AS HUGEINT) ELSE 0 END) AS su1,
+    SUM(CASE WHEN y = 1 THEN CAST(u2 AS HUGEINT) ELSE 0 END) AS su2,
+    SUM(CASE WHEN y = 1 THEN CAST(u1 AS HUGEINT) * u1 ELSE 0 END)
+      AS su11,
+    SUM(CASE WHEN y = 1 THEN CAST(u2 AS HUGEINT) * u2 ELSE 0 END)
+      AS su22,
+    SUM(CASE WHEN y = 1 THEN CAST(u1 AS HUGEINT) * u2 ELSE 0 END)
+      AS su12,
+    SUM(CASE WHEN y = 0 THEN CAST(v1 AS HUGEINT) ELSE 0 END) AS sv1,
+    SUM(CASE WHEN y = 0 THEN CAST(v2 AS HUGEINT) ELSE 0 END) AS sv2,
+    SUM(CASE WHEN y = 0 THEN CAST(v1 AS HUGEINT) * v1 ELSE 0 END)
+      AS sv11,
+    SUM(CASE WHEN y = 0 THEN CAST(v2 AS HUGEINT) * v2 ELSE 0 END)
+      AS sv22,
+    SUM(CASE WHEN y = 0 THEN CAST(v1 AS HUGEINT) * v2 ELSE 0 END)
+      AS sv12
+  FROM rows_),
+fin AS (SELECT *, CAST(mi AS DOUBLE) AS m, CAST(ni AS DOUBLE) AS n
+        FROM agg)
+SELECT CAST(mi AS BIGINT) AS n_pos, CAST(ni AS BIGINT) AS n_neg,
+  CASE WHEN {ok} THEN ROUND({auc1}, 9) END AS auc1,
+  CASE WHEN {ok} THEN ROUND({auc2}, 9) END AS auc2,
+  CASE WHEN {ok} THEN ROUND({auc1} - {auc2}, 9) END AS delta_auc,
+  CASE WHEN {ok} THEN ROUND({var}, 12) END AS var_delta,
+  CASE WHEN {ok} AND {var} > 0 THEN
+    ROUND(({auc1} - {auc2}) / SQRT({var}), 9)
+  END AS z
+FROM fin
+"""
+
+
 _MARKOV_STATES = ["click", "error", "purchase", "signup", "view"]
 _MARKOV_ITERS = 10
 
@@ -6263,6 +6432,8 @@ QUERIES: dict[str, tuple] = {
     "ev_markov_steady": (ev_markov_steady, _markov_steady_sql()),
     "priv_t_closeness": (priv_t_closeness, PRIV_TCLOSE_SQL),
     "eval_mcc": (eval_mcc, _mcc_sql()),
+    "eval_mcnemar": (eval_mcnemar, _mcnemar_sql()),
+    "eval_delong_auc": (eval_delong_auc, _delong_sql()),
     "ml_gd_conformal": (ml_gd_conformal, _gd_conformal_sql()),
     "ml_gd_cartography": (ml_gd_cartography, _gd_carto_sql()),
     "priv_k_anonymity": (priv_k_anonymity, PRIV_K_ANON_SQL),

@@ -294,3 +294,104 @@ def test_stratified_reservoir_inclusion_probability(spark):
     # E = 8/15 ~ 0.533, sd ~ 0.064 at n=60: a +-3sd band
     assert 0.34 < freq_heavy < 0.73, wins
     assert wins.get("heavy", 0) > wins.get("lt", 0), wins
+
+
+# ---------------------------------------------------------------------------
+# evaluation.mcnemar_test / evaluation.delong_paired_auc
+# ---------------------------------------------------------------------------
+
+
+def test_mcnemar_hand_computed(spark):
+    """b=6, c=2: corrected chi2 = (|6-2|-1)^2/8 = 1.125; the
+    concordant cells never matter."""
+    from icnarc_to_philips_linkage_spark.operators import evaluation as ev
+
+    rows = (
+        [(True, False, True)] * 6     # only clf1 right
+        + [(False, True, True)] * 2   # only clf2 right
+        + [(True, True, True)] * 10   # both right
+        + [(False, False, True)] * 3  # both wrong
+    )
+    df = spark.createDataFrame(rows, "p1 boolean, p2 boolean, y boolean")
+    r = ev.mcnemar_test(df, "p1", "p2", "y").collect()[0]
+    assert (r.n, r.n_both, r.n_only1, r.n_only2, r.n_neither) == (
+        21, 10, 6, 2, 3,
+    )
+    assert r.chi2 == pytest.approx(1.125, abs=1e-12)
+    r2 = ev.mcnemar_test(df, "p1", "p2", "y", corrected=False).collect()[0]
+    assert r2.chi2 == pytest.approx(2.0, abs=1e-12)
+
+
+def test_mcnemar_no_discordance_null(spark):
+    from icnarc_to_philips_linkage_spark.operators import evaluation as ev
+
+    df = spark.createDataFrame(
+        [(True, True, True), (False, False, True)],
+        "p1 boolean, p2 boolean, y boolean",
+    )
+    r = ev.mcnemar_test(df, "p1", "p2", "y").collect()[0]
+    assert r.chi2 is None
+
+
+def _delong_reference(s1, s2, y):
+    """Pure-Python DeLong (placement-value form, pROC convention)."""
+    def placements(s):
+        xs = [v for v, l in zip(s, y) if l]
+        ys = [v for v, l in zip(s, y) if not l]
+        m, n = len(xs), len(ys)
+        v10 = [
+            (sum(1 for b in ys if b < a) + 0.5 * sum(1 for b in ys if b == a)) / n
+            for a in xs
+        ]
+        v01 = [
+            (sum(1 for a in xs if a > b) + 0.5 * sum(1 for a in xs if a == b)) / m
+            for b in ys
+        ]
+        return v10, v01, sum(v10) / m
+
+    def cov(u, v):
+        mu, mv = sum(u) / len(u), sum(v) / len(v)
+        return sum((a - mu) * (b - mv) for a, b in zip(u, v)) / (len(u) - 1)
+
+    va, wa, auc_a = placements(s1)
+    vb, wb, auc_b = placements(s2)
+    m, n = len(va), len(wa)
+    var = (cov(va, va) + cov(vb, vb) - 2 * cov(va, vb)) / m + (
+        cov(wa, wa) + cov(wb, wb) - 2 * cov(wa, wb)
+    ) / n
+    z = (auc_a - auc_b) / var**0.5 if var > 0 else None
+    return auc_a, auc_b, var, z
+
+
+def test_delong_matches_reference(spark):
+    from icnarc_to_philips_linkage_spark.operators import evaluation as ev
+
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for _ in range(120):
+        y = rng.random() < 0.4
+        # clf1 informative, clf2 weakly informative, with ties
+        s1 = round(rng.random() * 0.5 + (0.4 if y else 0.0), 2)
+        s2 = round(rng.random() * 0.8 + (0.1 if y else 0.0), 1)
+        rows.append((s1, s2, y))
+    df = spark.createDataFrame(rows, "s1 double, s2 double, y boolean")
+    r = ev.delong_paired_auc(df, "s1", "s2", "y").collect()[0]
+    a1, a2, var, z = _delong_reference(
+        [x[0] for x in rows], [x[1] for x in rows], [x[2] for x in rows]
+    )
+    assert r.auc1 == pytest.approx(a1, abs=1e-9)
+    assert r.auc2 == pytest.approx(a2, abs=1e-9)
+    assert r.var_delta == pytest.approx(var, abs=1e-9)
+    assert r.z == pytest.approx(z, abs=1e-6)
+
+
+def test_delong_identical_scores_null_z(spark):
+    from icnarc_to_philips_linkage_spark.operators import evaluation as ev
+
+    rows = [(0.9, 0.9, True), (0.8, 0.8, True), (0.2, 0.2, False),
+            (0.3, 0.3, False)]
+    df = spark.createDataFrame(rows, "s1 double, s2 double, y boolean")
+    r = ev.delong_paired_auc(df, "s1", "s2", "y").collect()[0]
+    assert r.delta_auc == 0.0 and r.z is None
