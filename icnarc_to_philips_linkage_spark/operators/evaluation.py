@@ -1665,3 +1665,263 @@ def delong_paired_auc(
             F.round((auc1 - auc2) / F.sqrt(var), round_dp),
         ).alias("z"),
     )
+
+
+def normal_sf_approx(x) -> Column:
+    """Upper-tail standard normal probability Q(x) = P(Z > x) for
+    x ≥ 0 via Abramowitz & Stegun 26.2.17 (|error| < 7.5e-8): one
+    exp plus a degree-5 polynomial in t = 1/(1 + 0.2316419·x).
+    Neither Spark nor DuckDB ships erf, so p-values ride this FIXED
+    expression — identical term order in the SQL oracles, same-libm
+    exp, error far below the output rounding grid."""
+    t = 1.0 / (1.0 + 0.2316419 * x)
+    poly = t * (
+        0.319381530
+        + t
+        * (
+            -0.356563782
+            + t * (1.781477937 + t * (-1.821255978 + t * 1.330274429))
+        )
+    )
+    phi = F.exp(-(x * x) / 2.0) / 2.5066282746310002  # sqrt(2*pi)
+    return phi * poly
+
+
+def normal_sf_sql(x: str) -> str:
+    """The SQL twin of ``normal_sf_approx`` — same term order."""
+    t = f"(1.0 / (1.0 + 0.2316419 * {x}))"
+    poly = (
+        f"({t} * (0.319381530 + {t} * (-0.356563782 + {t} * "
+        f"(1.781477937 + {t} * (-1.821255978 + {t} * 1.330274429)))))"
+    )
+    return (
+        f"((exp(-({x} * {x}) / 2.0) / 2.5066282746310002) * {poly})"
+    )
+
+
+def wilcoxon_signed_rank(
+    df: DataFrame,
+    value1_col,
+    value2_col,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Wilcoxon signed-rank test for PAIRED measurements (Wilcoxon
+    1945): did metric 1 systematically exceed metric 2 on the same
+    units? The continuous companion to ``mcnemar_test`` (binary) and
+    the paired complement of the two-sample Mann-Whitney.
+
+    Integer discipline: differences must be INTEGER-VALUED (quantize
+    fixed-grid metrics by scaling first — the caller owns the grid,
+    the ``roc_auc`` score-grid contract); zero differences drop per
+    the classic treatment. |d| ranks use the tie-averaged rank-sum
+    identity on the per-distinct-|d| grain (bounded by the difference
+    grid): ``2·W⁺ = Σ_blocks pos·(2b + c + 1)`` stays an exact
+    integer, the tie term ``Σ(t³ − t)`` is exact, and
+
+        z = (4·W⁺ − n(n+1)) / sqrt((2n(n+1)(2n+1) − Σ(t³−t)) / 3)
+
+    divides two exact integers under one sqrt — bit-reproducible.
+
+    Output: one row ``(n_pairs, n_nonzero, w_plus, z)``; z NULL when
+    every difference is 0 or the variance term is ≤ 0 (all |d| tied
+    at one value with nothing to rank against).
+    """
+    v1 = (
+        F.col(value1_col) if isinstance(value1_col, str) else value1_col
+    )
+    v2 = (
+        F.col(value2_col) if isinstance(value2_col, str) else value2_col
+    )
+    d = (v1 - v2).cast("long")
+    base = df.filter(v1.isNotNull() & v2.isNotNull()).select(
+        d.alias("__d")
+    )
+    nz = base.filter(F.col("__d") != 0)
+    grain = nz.groupBy(F.abs(F.col("__d")).alias("__ad")).agg(
+        F.count(F.lit(1)).alias("__c"),
+        F.sum((F.col("__d") > 0).cast("long")).alias("__pos"),
+    )
+    w = Window.orderBy("__ad").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )  # bounded-global-window: the grain is the |difference| grid
+    ranked = grain.withColumn(
+        "__b", F.sum("__c").over(w) - F.col("__c")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = ranked.agg(
+        F.sum("__c").alias("n_nonzero"),
+        F.sum(
+            dec(F.col("__pos"))
+            * dec(2 * F.col("__b") + F.col("__c") + 1)
+        ).alias("__w2"),
+        F.sum(
+            dec(F.col("__c")) * dec(F.col("__c")) * dec(F.col("__c"))
+            - dec(F.col("__c"))
+        ).alias("__ties"),
+    ).crossJoin(
+        F.broadcast(base.agg(F.count(F.lit(1)).alias("n_pairs")))
+    )
+    n = F.col("n_nonzero").cast("decimal(38,0)")
+    s = (
+        F.lit(2).cast("decimal(38,0)")
+        * n
+        * (n + 1)
+        * (2 * n + 1)
+        - F.col("__ties")
+    )
+    num = (
+        F.lit(2).cast("decimal(38,0)") * F.col("__w2") - n * (n + 1)
+    )
+    return agg.select(
+        "n_pairs",
+        F.coalesce("n_nonzero", F.lit(0)).alias("n_nonzero"),
+        (F.col("__w2").cast("double") / 2.0).alias("w_plus"),
+        F.when(
+            (F.col("n_nonzero") > 0) & (s > 0),
+            F.round(
+                num.cast("double") / F.sqrt(s.cast("double") / 3.0),
+                round_dp,
+            ),
+        ).alias("z"),
+    )
+
+
+def bh_fdr(
+    df: DataFrame,
+    key_col: str,
+    p_col: str,
+    alpha: float = 0.05,
+    family_cols: Sequence[str] | None = None,
+    round_dp: int = 9,
+) -> DataFrame:
+    """Benjamini-Hochberg FDR control (Benjamini & Hochberg 1995)
+    over a frame of test results — the multiple-testing step every
+    per-group significance sweep (per-type Mann-Kendall, per-slice
+    AUC deltas) needs before anyone acts on "12 of 80 slices
+    significant at 0.05".
+
+    Contract: ONE ROW PER TEST — the frame is bounded by the number
+    of hypotheses, not the corpus (the corpus-sized work happened in
+    the tests themselves), so the rank / reverse-running-min windows
+    are bounded. Pass ``family_cols`` to correct within families
+    (also keeps the windows partitioned); ties in p break by key so
+    ranks are deterministic.
+
+    Outputs per test: BH critical value ``alpha·i/m``, the step-up
+    ``rejected`` flag (everything up to the LARGEST i with
+    ``p_(i) ≤ crit_i`` — including interior points above their own
+    line, the part naive implementations get wrong), and the
+    monotone ``q_value = min_{j ≥ i} p_(j)·m/j`` capped at 1.
+    """
+    fam = list(family_cols) if family_cols else []
+    base = df.filter(
+        F.col(p_col).isNotNull() & F.col(key_col).isNotNull()
+    ).select(
+        *fam, F.col(key_col), F.col(p_col).cast("double").alias("__p")
+    )
+    wp = (
+        Window.partitionBy(*fam) if fam else Window.partitionBy()
+    )
+    word = wp.orderBy(F.col("__p").asc(), F.col(key_col).asc())
+    staged = base.select(
+        *fam,
+        key_col,
+        "__p",
+        F.row_number().over(word).alias("__i"),
+        F.count(F.lit(1)).over(wp).alias("__m"),
+    )
+    crit = F.lit(float(alpha)) * F.col("__i") / F.col("__m")
+    qraw = F.col("__p") * F.col("__m") / F.col("__i")
+    wrev = wp.orderBy(F.col("__i").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    flagged = staged.select(
+        *fam,
+        key_col,
+        "__p",
+        "__i",
+        "__m",
+        crit.alias("__crit"),
+        F.min(F.least(qraw, F.lit(1.0))).over(wrev).alias("__q"),
+        F.max(
+            F.when(F.col("__p") <= crit, F.col("__i")).otherwise(0)
+        ).over(wp).alias("__imax"),
+    )
+    return flagged.select(
+        *fam,
+        F.col(key_col),
+        F.round("__p", round_dp).alias("p_value"),
+        F.col("__i").alias("rank"),
+        F.col("__m").alias("m_tests"),
+        F.round("__crit", round_dp).alias("bh_critical"),
+        (F.col("__i") <= F.col("__imax")).alias("rejected"),
+        F.round("__q", round_dp).alias("q_value"),
+    )
+
+
+def cliffs_delta(
+    df: DataFrame,
+    value_col: str,
+    group_col,
+    round_dp: int = 9,
+) -> DataFrame:
+    """Cliff's delta ordinal effect size (Cliff 1993):
+    ``δ = (#(x > y) − #(x < y)) / (m·n)`` between the group-true
+    rows (x) and group-false rows (y) — the magnitude companion to
+    rank-based significance (a huge corpus makes ANY difference
+    "significant"; δ says whether it's big), algebraically
+    ``2·AUC − 1``.
+
+    Rides the exact ``roc_auc`` integer rank identity on the
+    per-distinct-value grain: ``δ = (Σ2R⁺ − m(m+1) − m·n) / (m·n)``
+    with every term an exact decimal — one bounded-grain pass, one
+    final division. Output: ``(n_pos, n_neg, delta, magnitude)``
+    with the standard |δ| bands (negligible < 0.147 ≤ small < 0.33
+    ≤ medium < 0.474 ≤ large; Romano et al. 2006). NULL when either
+    group is empty.
+    """
+    g = (
+        F.col(group_col) if isinstance(group_col, str) else group_col
+    ).cast("boolean")
+    per = (
+        df.filter(F.col(value_col).isNotNull() & g.isNotNull())
+        .groupBy(F.col(value_col).alias("__v"))
+        .agg(
+            F.count(F.lit(1)).alias("__c"),
+            F.sum(g.cast("long")).alias("__p"),
+        )
+    )
+    w = Window.orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )  # bounded-global-window: the grain is the value grid
+    ranked = per.withColumn(
+        "__b", F.sum("__c").over(w) - F.col("__c")
+    ).withColumn(
+        "__rs2",
+        F.col("__p").cast("decimal(38,0)")
+        * (2 * F.col("__b") + F.col("__c") + 1).cast("decimal(38,0)"),
+    )
+    agg = ranked.agg(
+        F.sum("__p").alias("n_pos"),
+        (F.sum("__c") - F.sum("__p")).alias("n_neg"),
+        F.sum("__rs2").alias("__rs2_tot"),
+    )
+    m = F.col("n_pos").cast("decimal(38,0)")
+    n = F.col("n_neg").cast("decimal(38,0)")
+    delta = (
+        (F.col("__rs2_tot") - m * (m + 1) - m * n).cast("double")
+        / (m * n).cast("double")
+    )
+    mag = (
+        F.when(F.abs(delta) < 0.147, F.lit("negligible"))
+        .when(F.abs(delta) < 0.33, F.lit("small"))
+        .when(F.abs(delta) < 0.474, F.lit("medium"))
+        .otherwise(F.lit("large"))
+    )
+    ok = (F.col("n_pos") > 0) & (F.col("n_neg") > 0)
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        F.round(F.when(ok, delta), round_dp).alias("delta"),
+        F.when(ok, mag).alias("magnitude"),
+    )

@@ -5989,6 +5989,186 @@ FROM fin
 """
 
 
+def eval_wilcoxon_signed(spark: SparkSession, sf: str) -> DataFrame:
+    """Wilcoxon signed-rank test (evaluation.wilcoxon_signed_rank) on
+    the consecutive-event value pairs (the eval_bradley_terry
+    pairing): is the even-slot value systematically above the odd
+    slot? Differences quantize to the 0.01 value grid (×100 integer
+    cents), so ranks ride the exact bounded-grain machinery."""
+    from icnarc_to_philips_linkage_spark.operators import evaluation
+
+    ev = load(spark, sf, "events")
+    a = ev.filter(F.col("event_id") % 2 == 0).select(
+        (F.col("event_id") / 2).cast("long").alias("mk"),
+        F.round(F.col("value") * 100).cast("long").alias("v1"),
+    )
+    b = ev.filter(F.col("event_id") % 2 == 1).select(
+        ((F.col("event_id") - 1) / 2).cast("long").alias("mk"),
+        F.round(F.col("value") * 100).cast("long").alias("v2"),
+    )
+    pairs = a.join(b, "mk")
+    return evaluation.wilcoxon_signed_rank(pairs, "v1", "v2")
+
+
+EVAL_WILCOXON_SQL = """
+WITH a AS (
+  SELECT CAST(event_id / 2 AS BIGINT) AS mk,
+         CAST(ROUND(value * 100) AS BIGINT) AS v1
+  FROM events WHERE event_id % 2 = 0),
+b AS (
+  SELECT CAST((event_id - 1) / 2 AS BIGINT) AS mk,
+         CAST(ROUND(value * 100) AS BIGINT) AS v2
+  FROM events WHERE event_id % 2 = 1),
+pairs AS (
+  SELECT v1 - v2 AS d FROM a JOIN b USING (mk)
+  WHERE v1 IS NOT NULL AND v2 IS NOT NULL),
+grain AS (
+  SELECT ABS(d) AS ad, COUNT(*) AS c,
+         SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS pos
+  FROM pairs WHERE d != 0 GROUP BY 1),
+ranked AS (
+  SELECT *, SUM(c) OVER (ORDER BY ad
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c AS b_
+  FROM grain),
+agg AS (
+  SELECT SUM(c) AS n_nonzero,
+         SUM(CAST(pos AS HUGEINT) * (2 * b_ + c + 1)) AS w2,
+         SUM(CAST(c AS HUGEINT) * c * c - c) AS ties
+  FROM ranked),
+tot AS (SELECT COUNT(*) AS n_pairs FROM pairs)
+SELECT CAST(n_pairs AS BIGINT) AS n_pairs,
+  CAST(COALESCE(n_nonzero, 0) AS BIGINT) AS n_nonzero,
+  CAST(w2 AS DOUBLE) / 2.0 AS w_plus,
+  CASE WHEN n_nonzero > 0 AND
+    2 * CAST(n_nonzero AS HUGEINT) * (n_nonzero + 1)
+      * (2 * n_nonzero + 1) - ties > 0 THEN
+    ROUND(CAST(2 * CAST(w2 AS HUGEINT)
+               - CAST(n_nonzero AS HUGEINT) * (n_nonzero + 1)
+          AS DOUBLE)
+          / SQRT(CAST(2 * CAST(n_nonzero AS HUGEINT)
+                      * (n_nonzero + 1) * (2 * n_nonzero + 1)
+                      - ties AS DOUBLE) / 3.0), 6)
+  END AS z
+FROM agg, tot
+"""
+
+
+_BH_ALPHA = 0.05
+
+
+def eval_bh_fdr(spark: SparkSession, sf: str) -> DataFrame:
+    """Benjamini-Hochberg FDR (evaluation.bh_fdr) over the per-type
+    Mann-Kendall drift tests: two-sided p-values from the A&S
+    normal-tail approximation (evaluation.normal_sf_approx — neither
+    engine ships erf), then the step-up rejection set and monotone
+    q-values on the test-count-bounded frame."""
+    from icnarc_to_philips_linkage_spark.operators import evaluation
+
+    mk = ts_mann_kendall(spark, sf)
+    tests = mk.select(
+        "event_type",
+        F.when(
+            F.col("z").isNotNull(),
+            F.least(
+                F.lit(1.0),
+                2.0 * evaluation.normal_sf_approx(F.abs(F.col("z"))),
+            ),
+        ).alias("p"),
+    )
+    return evaluation.bh_fdr(tests, "event_type", "p", alpha=_BH_ALPHA)
+
+
+def _bh_fdr_sql() -> str:
+    from icnarc_to_philips_linkage_spark.operators.evaluation import (
+        normal_sf_sql,
+    )
+
+    mk = TS_MANN_KENDALL_SQL.strip()
+    body = mk[: mk.rindex("\nSELECT")]
+    final = mk[mk.rindex("\nSELECT") + 1:]
+    q = normal_sf_sql("ABS(z)")
+    return f"""{body},
+mk AS ({final}),
+tests AS (
+  SELECT event_type,
+         CASE WHEN z IS NOT NULL THEN LEAST(1.0, 2.0 * {q}) END AS p
+  FROM mk),
+staged AS (
+  SELECT event_type, p,
+         ROW_NUMBER() OVER (ORDER BY p ASC, event_type ASC) AS i,
+         COUNT(*) OVER () AS m
+  FROM tests WHERE p IS NOT NULL AND event_type IS NOT NULL),
+flagged AS (
+  SELECT event_type, p, i, m,
+         (({_BH_ALPHA!r} * i) / m) AS crit,
+         MIN(LEAST((p * m) / i, 1.0)) OVER (ORDER BY i DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS q_,
+         MAX(CASE WHEN p <= (({_BH_ALPHA!r} * i) / m) THEN i
+                  ELSE 0 END) OVER () AS imax
+  FROM staged)
+SELECT event_type, ROUND(p, 9) AS p_value,
+  CAST(i AS BIGINT) AS rank, CAST(m AS BIGINT) AS m_tests,
+  ROUND(crit, 9) AS bh_critical,
+  i <= imax AS rejected,
+  ROUND(q_, 9) AS q_value
+FROM flagged
+"""
+
+
+def eval_cliffs_delta(spark: SparkSession, sf: str) -> DataFrame:
+    """Cliff's delta effect size (evaluation.cliffs_delta) of
+    l_quantity between returned lines (l_returnflag = 'R') and the
+    rest — "the return flag is significantly associated with
+    quantity" means nothing at corpus scale without the magnitude.
+    One bounded-grain pass (50 quantity levels)."""
+    from icnarc_to_philips_linkage_spark.operators import evaluation
+
+    li = load(spark, sf, "lineitem")
+    return evaluation.cliffs_delta(
+        li, "l_quantity", F.col("l_returnflag") == "R"
+    )
+
+
+EVAL_CLIFFS_SQL = """
+WITH per AS (
+  SELECT l_quantity AS v, COUNT(*) AS c,
+         SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS p
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_returnflag IS NOT NULL
+  GROUP BY 1),
+ranked AS (
+  SELECT *, SUM(c) OVER (ORDER BY v
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c AS b_
+  FROM per),
+agg AS (
+  SELECT SUM(p) AS n_pos, SUM(c) - SUM(p) AS n_neg,
+         SUM(CAST(p AS HUGEINT) * (2 * b_ + c + 1)) AS rs2
+  FROM ranked)
+SELECT CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+    ROUND(CAST(rs2 - CAST(n_pos AS HUGEINT) * (n_pos + 1)
+               - CAST(n_pos AS HUGEINT) * n_neg AS DOUBLE)
+          / CAST(CAST(n_pos AS HUGEINT) * n_neg AS DOUBLE), 9)
+  END AS delta,
+  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+    CASE WHEN ABS(CAST(rs2 - CAST(n_pos AS HUGEINT) * (n_pos + 1)
+                  - CAST(n_pos AS HUGEINT) * n_neg AS DOUBLE)
+             / CAST(CAST(n_pos AS HUGEINT) * n_neg AS DOUBLE))
+           < 0.147 THEN 'negligible'
+      WHEN ABS(CAST(rs2 - CAST(n_pos AS HUGEINT) * (n_pos + 1)
+               - CAST(n_pos AS HUGEINT) * n_neg AS DOUBLE)
+           / CAST(CAST(n_pos AS HUGEINT) * n_neg AS DOUBLE))
+           < 0.33 THEN 'small'
+      WHEN ABS(CAST(rs2 - CAST(n_pos AS HUGEINT) * (n_pos + 1)
+               - CAST(n_pos AS HUGEINT) * n_neg AS DOUBLE)
+           / CAST(CAST(n_pos AS HUGEINT) * n_neg AS DOUBLE))
+           < 0.474 THEN 'medium'
+      ELSE 'large' END
+  END AS magnitude
+FROM agg
+"""
+
+
 _MARKOV_STATES = ["click", "error", "purchase", "signup", "view"]
 _MARKOV_ITERS = 10
 
@@ -6434,6 +6614,9 @@ QUERIES: dict[str, tuple] = {
     "eval_mcc": (eval_mcc, _mcc_sql()),
     "eval_mcnemar": (eval_mcnemar, _mcnemar_sql()),
     "eval_delong_auc": (eval_delong_auc, _delong_sql()),
+    "eval_wilcoxon_signed": (eval_wilcoxon_signed, EVAL_WILCOXON_SQL),
+    "eval_bh_fdr": (eval_bh_fdr, _bh_fdr_sql()),
+    "eval_cliffs_delta": (eval_cliffs_delta, EVAL_CLIFFS_SQL),
     "ml_gd_conformal": (ml_gd_conformal, _gd_conformal_sql()),
     "ml_gd_cartography": (ml_gd_cartography, _gd_carto_sql()),
     "priv_k_anonymity": (priv_k_anonymity, PRIV_K_ANON_SQL),

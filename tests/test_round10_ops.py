@@ -395,3 +395,127 @@ def test_delong_identical_scores_null_z(spark):
     df = spark.createDataFrame(rows, "s1 double, s2 double, y boolean")
     r = ev.delong_paired_auc(df, "s1", "s2", "y").collect()[0]
     assert r.delta_auc == 0.0 and r.z is None
+
+
+# ---------------------------------------------------------------------------
+# evaluation.wilcoxon_signed_rank / bh_fdr / cliffs_delta / normal_sf
+# ---------------------------------------------------------------------------
+
+
+def test_normal_sf_approx_accuracy(spark):
+    """A&S 26.2.17 claims |err| < 7.5e-8 against the true tail."""
+    import math
+
+    from icnarc_to_philips_linkage_spark.operators import evaluation as ev
+
+    df = spark.createDataFrame(
+        [(x / 10.0,) for x in range(0, 50)], "x double"
+    )
+    rows = df.select(
+        "x", ev.normal_sf_approx(F.col("x")).alias("q")
+    ).collect()
+    for r in rows:
+        true_q = 0.5 * math.erfc(r.x / math.sqrt(2.0))
+        assert abs(r.q - true_q) < 7.5e-8, (r.x, r.q, true_q)
+
+
+def test_wilcoxon_no_ties_hand_computed(spark):
+    """d = [1,-2,3,4,5]: W+ = 13, z = 22/sqrt(220) = 1.483240."""
+    from icnarc_to_philips_linkage_spark.operators import evaluation as ev
+
+    df = spark.createDataFrame(
+        [(1, 0), (0, 2), (3, 0), (4, 0), (5, 0)], "a long, b long"
+    )
+    r = ev.wilcoxon_signed_rank(df, "a", "b").collect()[0]
+    assert r.n_pairs == 5 and r.n_nonzero == 5
+    assert r.w_plus == pytest.approx(13.0)
+    assert r.z == pytest.approx(22.0 / (220.0 ** 0.5), abs=1e-6)
+
+
+def test_wilcoxon_with_ties_and_zeros(spark):
+    """d = [2,2,-2,1,0]: zero drops, |2| ties at avg rank 3 ->
+    W+ = 7, z = 8/sqrt(112) = 0.755929."""
+    from icnarc_to_philips_linkage_spark.operators import evaluation as ev
+
+    df = spark.createDataFrame(
+        [(2, 0), (2, 0), (0, 2), (1, 0), (3, 3)], "a long, b long"
+    )
+    r = ev.wilcoxon_signed_rank(df, "a", "b").collect()[0]
+    assert r.n_pairs == 5 and r.n_nonzero == 4
+    assert r.w_plus == pytest.approx(7.0)
+    assert r.z == pytest.approx(8.0 / (112.0 ** 0.5), abs=1e-6)
+
+
+def test_bh_fdr_step_up_includes_interior_points(spark):
+    """p = [0.001, 0.049, 0.05] at alpha 0.05: p_(2)=0.049 is ABOVE
+    its own line (0.0333) but p_(3)=0.05 <= 0.05, so ALL THREE
+    reject — the step-up subtlety."""
+    from icnarc_to_philips_linkage_spark.operators import evaluation as ev
+
+    df = spark.createDataFrame(
+        [("t1", 0.001), ("t2", 0.049), ("t3", 0.05)],
+        "k string, p double",
+    )
+    rows = {r.k: r for r in ev.bh_fdr(df, "k", "p").collect()}
+    assert all(rows[t].rejected for t in ("t1", "t2", "t3"))
+
+
+def test_bh_fdr_q_values_monotone(spark):
+    from icnarc_to_philips_linkage_spark.operators import evaluation as ev
+
+    df = spark.createDataFrame(
+        [("a", 0.01), ("b", 0.02), ("c", 0.03), ("d", 0.04),
+         ("e", 0.2)],
+        "k string, p double",
+    )
+    rows = sorted(ev.bh_fdr(df, "k", "p").collect(), key=lambda r: r.rank)
+    assert [r.rejected for r in rows] == [True] * 4 + [False]
+    assert [r.q_value for r in rows] == pytest.approx(
+        [0.05, 0.05, 0.05, 0.05, 0.2]
+    )
+    qs = [r.q_value for r in rows]
+    assert qs == sorted(qs)  # monotone by construction
+
+
+def test_bh_fdr_family_partitioning(spark):
+    from icnarc_to_philips_linkage_spark.operators import evaluation as ev
+
+    df = spark.createDataFrame(
+        [("f1", "a", 0.01), ("f1", "b", 0.5), ("f2", "c", 0.01),
+         ("f2", "d", 0.012)],
+        "fam string, k string, p double",
+    )
+    rows = {
+        (r.fam, r.k): r
+        for r in ev.bh_fdr(df, "k", "p", family_cols=["fam"]).collect()
+    }
+    assert rows[("f1", "a")].m_tests == 2
+    assert rows[("f1", "a")].rejected and not rows[("f1", "b")].rejected
+    # f2: p_(2)=0.012 <= 0.05*2/2 -> both reject
+    assert rows[("f2", "c")].rejected and rows[("f2", "d")].rejected
+
+
+def test_cliffs_delta_hand_computed(spark):
+    """x=[3,4,5] vs y=[1,2,3]: (8 wins - 0 losses)/9 = 0.888889."""
+    from icnarc_to_philips_linkage_spark.operators import evaluation as ev
+
+    df = spark.createDataFrame(
+        [(3, True), (4, True), (5, True), (1, False), (2, False),
+         (3, False)],
+        "v long, g boolean",
+    )
+    r = ev.cliffs_delta(df, "v", "g").collect()[0]
+    assert (r.n_pos, r.n_neg) == (3, 3)
+    assert r.delta == pytest.approx(8.0 / 9.0, abs=1e-9)
+    assert r.magnitude == "large"
+
+
+def test_cliffs_delta_identical_groups_zero(spark):
+    from icnarc_to_philips_linkage_spark.operators import evaluation as ev
+
+    df = spark.createDataFrame(
+        [(1, True), (2, True), (1, False), (2, False)],
+        "v long, g boolean",
+    )
+    r = ev.cliffs_delta(df, "v", "g").collect()[0]
+    assert r.delta == 0.0 and r.magnitude == "negligible"
