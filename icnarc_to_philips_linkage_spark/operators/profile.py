@@ -1969,6 +1969,108 @@ def brown_forsythe(
     return anova_oneway(dev, group_col, F.col("__dev2"), round_dp=round_dp)
 
 
+def kendall_tau_b(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    round_dp: int = 9,
+) -> DataFrame:
+    """Kendall's τ-b rank correlation with the tie correction (Kendall
+    1945) — the concordance twin of ``spearman_corr`` (Spearman
+    squares rank gaps; τ counts pair inversions, the quantity bounds
+    and property tests actually reason about):
+
+        τ_b = (C − D) / sqrt((n₀ − n₁)(n₀ − n₂))
+
+    with C/D the concordant/discordant pair counts, n₀ = n(n−1)/2 and
+    n₁/n₂ the per-variable tie-pair sums.
+
+    Scale shape: the corpus collapses to the JOINT (x, y) CELL GRID in
+    one aggregation (bounded by the two grids' product — the ordinal/
+    bounded-grid contract, same as ``chi_square_independence``); C and
+    D come from ONE broadcast self-join over that bounded grid
+    (cell_a strictly below-left of cell_b counts c_a·c_b concordant
+    pairs exactly once), never a corpus pair join. Every count is an
+    exact decimal; one final sqrt division.
+
+    Output: one row ``(n, n_concordant, n_discordant, tau_b)`` —
+    NULL τ when either variable is constant (a tie factor is 0).
+    """
+    cells = (
+        df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .groupBy(F.col(x_col).alias("__x"), F.col(y_col).alias("__y"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    a = cells.select(
+        F.col("__x").alias("__xa"),
+        F.col("__y").alias("__ya"),
+        F.col("__c").alias("__ca"),
+    )
+    b = cells.select(
+        F.col("__x").alias("__xb"),
+        F.col("__y").alias("__yb"),
+        F.col("__c").alias("__cb"),
+    )
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    pairs = a.join(
+        F.broadcast(b), F.col("__xb") > F.col("__xa")
+    ).agg(
+        F.sum(
+            F.when(
+                F.col("__yb") > F.col("__ya"), d("__ca") * d("__cb")
+            ).otherwise(F.lit(0).cast("decimal(38,0)"))
+        ).alias("__conc"),
+        F.sum(
+            F.when(
+                F.col("__yb") < F.col("__ya"), d("__ca") * d("__cb")
+            ).otherwise(F.lit(0).cast("decimal(38,0)"))
+        ).alias("__disc"),
+    )
+    tie = lambda col: (  # noqa: E731
+        cells.groupBy(col)
+        .agg(F.sum("__c").alias("__t"))
+        .agg(
+            F.sum(
+                d("__t") * (d("__t") - 1) / 2
+            ).cast("decimal(38,0)").alias("__tp")
+        )
+    )
+    tot = cells.agg(F.sum("__c").alias("n"))
+    j = (
+        tot.crossJoin(F.broadcast(pairs))
+        .crossJoin(
+            F.broadcast(tie("__x").select(F.col("__tp").alias("__n1")))
+        )
+        .crossJoin(
+            F.broadcast(tie("__y").select(F.col("__tp").alias("__n2")))
+        )
+    )
+    n = F.col("n").cast("decimal(38,0)")
+    n0 = (n * (n - 1) / 2).cast("decimal(38,0)")
+    f1 = (n0 - F.col("__n1")).cast("double")
+    f2 = (n0 - F.col("__n2")).cast("double")
+    return j.select(
+        F.col("n").cast("long").alias("n"),
+        F.coalesce(F.col("__conc").cast("long"), F.lit(0)).alias(
+            "n_concordant"
+        ),
+        F.coalesce(F.col("__disc").cast("long"), F.lit(0)).alias(
+            "n_discordant"
+        ),
+        F.when(
+            (f1 > 0) & (f2 > 0),
+            F.round(
+                (
+                    F.coalesce(F.col("__conc"), F.lit(0).cast("decimal(38,0)"))
+                    - F.coalesce(F.col("__disc"), F.lit(0).cast("decimal(38,0)"))
+                ).cast("double")
+                / F.sqrt(f1 * f2),
+                round_dp,
+            ),
+        ).alias("tau_b"),
+    )
+
+
 def weighted_median_native(
     df: DataFrame,
     group_col: str,

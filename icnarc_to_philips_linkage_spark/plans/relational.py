@@ -5989,6 +5989,48 @@ FROM fin
 """
 
 
+def a39_kendall_tau(spark: SparkSession, sf: str) -> DataFrame:
+    """Kendall τ-b between quantity and discount
+    (profile.kendall_tau_b): the corpus collapses to the 50×11 joint
+    cell grid in one aggregation; concordant/discordant pair counts
+    come from one broadcast self-join over that bounded grid."""
+    li = load(spark, sf, "lineitem")
+    return profile.kendall_tau_b(li, "l_quantity", "l_discount")
+
+
+A39_SQL = """
+WITH cells AS (
+  SELECT l_quantity AS x, l_discount AS y, COUNT(*) AS c
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT
+    SUM(CASE WHEN b.y > a.y
+        THEN CAST(a.c AS HUGEINT) * b.c ELSE 0 END) AS conc,
+    SUM(CASE WHEN b.y < a.y
+        THEN CAST(a.c AS HUGEINT) * b.c ELSE 0 END) AS disc
+  FROM cells a JOIN cells b ON b.x > a.x),
+t1 AS (SELECT SUM(CAST(t AS HUGEINT) * (t - 1) / 2) AS n1
+       FROM (SELECT SUM(c) AS t FROM cells GROUP BY x)),
+t2 AS (SELECT SUM(CAST(t AS HUGEINT) * (t - 1) / 2) AS n2
+       FROM (SELECT SUM(c) AS t FROM cells GROUP BY y)),
+tot AS (SELECT SUM(c) AS n FROM cells)
+SELECT CAST(n AS BIGINT) AS n,
+  CAST(COALESCE(conc, 0) AS BIGINT) AS n_concordant,
+  CAST(COALESCE(disc, 0) AS BIGINT) AS n_discordant,
+  CASE WHEN CAST(CAST(n AS HUGEINT) * (n - 1) / 2 - n1 AS DOUBLE) > 0
+        AND CAST(CAST(n AS HUGEINT) * (n - 1) / 2 - n2 AS DOUBLE) > 0
+  THEN ROUND(
+    CAST(COALESCE(conc, 0) - COALESCE(disc, 0) AS DOUBLE)
+    / SQRT(CAST(CAST(n AS HUGEINT) * (n - 1) / 2 - n1 AS DOUBLE)
+           * CAST(CAST(n AS HUGEINT) * (n - 1) / 2 - n2 AS DOUBLE)),
+    9)
+  END AS tau_b
+FROM tot, pairs, t1, t2
+"""
+
+
 def eval_wilcoxon_signed(spark: SparkSession, sf: str) -> DataFrame:
     """Wilcoxon signed-rank test (evaluation.wilcoxon_signed_rank) on
     the consecutive-event value pairs (the eval_bradley_terry
@@ -6615,6 +6657,7 @@ QUERIES: dict[str, tuple] = {
     "eval_mcnemar": (eval_mcnemar, _mcnemar_sql()),
     "eval_delong_auc": (eval_delong_auc, _delong_sql()),
     "eval_wilcoxon_signed": (eval_wilcoxon_signed, EVAL_WILCOXON_SQL),
+    "a39_kendall_tau": (a39_kendall_tau, A39_SQL),
     "eval_bh_fdr": (eval_bh_fdr, _bh_fdr_sql()),
     "eval_cliffs_delta": (eval_cliffs_delta, EVAL_CLIFFS_SQL),
     "ml_gd_conformal": (ml_gd_conformal, _gd_conformal_sql()),

@@ -519,3 +519,64 @@ def test_cliffs_delta_identical_groups_zero(spark):
     )
     r = ev.cliffs_delta(df, "v", "g").collect()[0]
     assert r.delta == 0.0 and r.magnitude == "negligible"
+
+
+# ---------------------------------------------------------------------------
+# profile.kendall_tau_b
+# ---------------------------------------------------------------------------
+
+
+def test_kendall_tau_matches_scipy_formula(spark):
+    """Hand data with ties in both variables; compare against the
+    direct O(n^2) pair count."""
+    from icnarc_to_philips_linkage_spark.operators import profile as pr
+
+    data = [(1, 2), (2, 1), (2, 3), (3, 3), (3, 3), (4, 5), (5, 4),
+            (5, 6), (1, 1), (4, 4)]
+    df = spark.createDataFrame(data, "x long, y long")
+    r = pr.kendall_tau_b(df, "x", "y").collect()[0]
+    n = len(data)
+    conc = disc = tx = ty = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            dx = data[i][0] - data[j][0]
+            dy = data[i][1] - data[j][1]
+            if dx == 0 and dy == 0:
+                continue
+            if dx == 0:
+                tx += 1
+            elif dy == 0:
+                ty += 1
+            elif dx * dy > 0:
+                conc += 1
+            else:
+                disc += 1
+    n0 = n * (n - 1) // 2
+    n1 = sum(
+        t * (t - 1) // 2
+        for t in __import__("collections").Counter(
+            x for x, _ in data
+        ).values()
+    )
+    n2 = sum(
+        t * (t - 1) // 2
+        for t in __import__("collections").Counter(
+            y for _, y in data
+        ).values()
+    )
+    expected = (conc - disc) / ((n0 - n1) * (n0 - n2)) ** 0.5
+    assert r.n == n and r.n_concordant == conc and r.n_discordant == disc
+    assert r.tau_b == pytest.approx(expected, abs=1e-9)
+
+
+def test_kendall_tau_perfect_and_constant(spark):
+    from icnarc_to_philips_linkage_spark.operators import profile as pr
+
+    mono = spark.createDataFrame(
+        [(i, i * 2) for i in range(10)], "x long, y long"
+    )
+    assert pr.kendall_tau_b(mono, "x", "y").collect()[0].tau_b == 1.0
+    const = spark.createDataFrame(
+        [(i, 7) for i in range(5)], "x long, y long"
+    )
+    assert pr.kendall_tau_b(const, "x", "y").collect()[0].tau_b is None
