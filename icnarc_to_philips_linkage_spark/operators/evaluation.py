@@ -1925,3 +1925,116 @@ def cliffs_delta(
         F.round(F.when(ok, delta), round_dp).alias("delta"),
         F.when(ok, mag).alias("magnitude"),
     )
+
+
+def plackett_luce_strengths(
+    rankings: DataFrame,
+    ranking_col: str,
+    items: list[str] | None = None,
+    iters: int = 10,
+    round_dp: int = 9,
+    max_patterns: int = 5000,
+) -> DataFrame:
+    """Plackett-Luce listwise preference aggregation (Plackett 1975;
+    Hunter 2004's MM) — ``bradley_terry_strengths`` generalized from
+    pairwise wins to full/partial RANKINGS (best→worst arrays): the
+    model where a ranking is a sequence of choices, each stage picking
+    the winner from the remaining set with probability
+    ``p_i / Σ_{j remaining} p_j``. The RLHF listwise-comparison /
+    ranker-battle aggregate.
+
+    Scale shape (the FS-EM / Bradley-Terry discipline): the ranking
+    corpus collapses to DISTINCT-PATTERN counts in ONE aggregation —
+    at most ``|items|!`` full patterns (``max_patterns`` guards the
+    collect) — then ``iters`` synchronous MM updates run on the
+    driver in fixed order (patterns sorted lexicographically, stages
+    ascending, remaining-set sums in pattern order, all
+    left-associated), so every iteration replays bit-identically in
+    an unrolled SQL oracle:
+
+        D_i  = Σ_patterns cnt_π · Σ_{stages s: i ∈ π[s:]}
+                   1 / (Σ_{j ∈ π[s:]} p_j)
+        p_i' = w_i / D_i        (w_i = stages i won; D_i = 0 → carry)
+        p_i''= p_i' / Σ_{appearing items} p_j'
+
+    Rankings must have ≥ 2 DISTINCT items (duplicates raise);
+    the last place of each ranking wins no stage. Items never
+    appearing report NULL strength.
+
+    Output: one row per item, ``(item, n_wins, n_appearances,
+    strength)``; appearing items' strengths sum to 1 on the
+    ``round_dp`` grid.
+    """
+    import math
+
+    pat_rows = (
+        rankings.filter(
+            F.col(ranking_col).isNotNull()
+            & (F.size(ranking_col) >= 2)
+        )
+        .groupBy(F.col(ranking_col).alias("__pat"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .collect()
+    )
+    counts: dict[tuple[str, ...], int] = {}
+    seen: set[str] = set()
+    for r in pat_rows:
+        pat = tuple(str(x) for x in r["__pat"])
+        if len(set(pat)) != len(pat):
+            raise ValueError(f"ranking with duplicate items: {pat}")
+        counts[pat] = counts.get(pat, 0) + int(r["__c"])
+        seen.update(pat)
+    if len(counts) > max_patterns:
+        raise ValueError(
+            f"{len(counts)} distinct patterns exceeds max_patterns="
+            f"{max_patterns}; the pattern frame must stay driver-bounded"
+        )
+    its = list(items) if items is not None else sorted(seen)
+    extra = seen - set(its)
+    if extra:
+        raise ValueError(f"data contains items outside `items`: {extra}")
+    idx = {it: i for i, it in enumerate(its)}
+    k = len(its)
+    wins = [0] * k
+    appear = [0] * k
+    for pat, cnt in counts.items():
+        for pos, it in enumerate(pat):
+            appear[idx[it]] += cnt
+            if pos < len(pat) - 1:
+                wins[idx[it]] += cnt
+    patterns = sorted(counts)
+    p = [1.0] * k
+    for _ in range(iters):
+        d = [0.0] * k
+        for pat in patterns:
+            cnt = float(counts[pat])
+            for s in range(len(pat) - 1):
+                den = 0.0
+                for j in pat[s:]:
+                    den = den + p[idx[j]]
+                for j in pat[s:]:
+                    d[idx[j]] = d[idx[j]] + cnt / den
+        nxt = [
+            (float(wins[i]) / d[i]) if d[i] != 0.0 else p[i]
+            for i in range(k)
+        ]
+        ssum = 0.0
+        for i in range(k):
+            if appear[i]:
+                ssum = ssum + nxt[i]
+        if ssum != 0.0:
+            nxt = [v / ssum for v in nxt]
+        p = nxt
+    scale = 10.0**round_dp
+
+    def _q(x: float) -> float:
+        return math.floor(x * scale + 0.5) / scale
+
+    rows = [
+        (its[i], wins[i], appear[i], _q(p[i]) if appear[i] else None)
+        for i in range(k)
+    ]
+    return rankings.sparkSession.createDataFrame(
+        rows,
+        "item string, n_wins long, n_appearances long, strength double",
+    )

@@ -5989,6 +5989,140 @@ FROM fin
 """
 
 
+_PL_ITEMS = ["click", "error", "purchase", "signup"]
+_PL_ITERS = 8
+
+
+def eval_plackett_luce(spark: SparkSession, sf: str) -> DataFrame:
+    """Plackett-Luce strengths (evaluation.plackett_luce_strengths)
+    over the daily event-type volume rankings: each day with all four
+    types ranks them by count (ties by name) — 'which type
+    consistently tops the daily volume' as one listwise strength
+    scale. The ranking corpus collapses to ≤ 4! = 24 pattern counts
+    in ONE aggregation; 8 MM iterations run as driver expressions
+    (the eval_bradley_terry discipline, listwise)."""
+    from icnarc_to_philips_linkage_spark.operators import evaluation
+
+    e = load(spark, sf, "events").filter(
+        F.col("event_type").isin(_PL_ITEMS)
+    )
+    daily = e.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    ranks = (
+        daily.groupBy("day")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list("
+                "struct(-n AS nn, event_type AS t))), x -> x.t)"
+            ).alias("ranking"),
+            F.count(F.lit(1)).alias("__k"),
+        )
+        .filter(F.col("__k") == len(_PL_ITEMS))
+    )
+    return evaluation.plackett_luce_strengths(
+        ranks, "ranking", items=_PL_ITEMS, iters=_PL_ITERS
+    )
+
+
+def _plackett_luce_sql() -> str:
+    """eval_plackett_luce oracle: the 24 full-permutation pattern
+    counts pivoted to one row, then every MM iteration unrolled with
+    the SAME (sorted-pattern, ascending-stage) term order and
+    pattern-order remaining-set sums as plackett_luce_strengths."""
+    from itertools import permutations
+
+    items = _PL_ITEMS
+    k = len(items)
+    idx = {it: i for i, it in enumerate(items)}
+    perms = sorted(permutations(items))
+
+    def cname(pi):
+        return "c" + "_".join(str(idx[x]) for x in pi)
+
+    in_list = ", ".join(f"'{x}'" for x in items)
+    count_cols = ", ".join(
+        f"COALESCE(SUM(CASE WHEN pat = '{'|'.join(pi)}' THEN 1 END), 0)"
+        f" AS {cname(pi)}"
+        for pi in perms
+    )
+    appear = " + ".join(cname(pi) for pi in perms)
+    wins = []
+    for i, it in enumerate(items):
+        terms = [cname(pi) for pi in perms if pi[-1] != it]
+        wins.append(" + ".join(terms) + f" AS w{i}")
+    carry = ", ".join(
+        [cname(pi) for pi in perms]
+        + [f"w{i}" for i in range(k)]
+        + ["napp"]
+    )
+    ctes = [
+        f"""daily AS (
+  SELECT CAST(ts AS DATE) AS day, event_type AS t, COUNT(*) AS n
+  FROM events WHERE event_type IN ({in_list}) GROUP BY 1, 2)""",
+        """pats AS (
+  SELECT day, string_agg(t, '|' ORDER BY n DESC, t ASC) AS pat,
+         COUNT(*) AS kk
+  FROM daily GROUP BY day HAVING COUNT(*) = 4)""",
+        f"counts AS (SELECT {count_cols} FROM pats)",
+        "e0 AS (SELECT *, "
+        + ", ".join(wins)
+        + f", {appear} AS napp, "
+        + ", ".join(f"CAST(1.0 AS DOUBLE) AS p{i}" for i in range(k))
+        + " FROM counts)",
+    ]
+    for t in range(1, _PL_ITERS + 1):
+        # D_i folds in (sorted pattern, ascending stage) order; the
+        # stage denominator folds in the pattern's own item order
+        d_exprs = ["0.0"] * k
+        for pi in perms:
+            c = f"CAST({cname(pi)} AS DOUBLE)"
+            for s in range(len(pi) - 1):
+                den = "0.0"
+                for j in pi[s:]:
+                    den = f"({den} + p{idx[j]})"
+                for j in pi[s:]:
+                    # the CASE mirrors the Python loop SKIPPING absent
+                    # patterns (c = 0) rather than adding 0.0/den
+                    d_exprs[idx[j]] = (
+                        f"({d_exprs[idx[j]]} + (CASE WHEN {cname(pi)}"
+                        f" > 0 THEN {c} / {den} ELSE 0.0 END))"
+                    )
+        raws = [
+            f"CASE WHEN {d_exprs[i]} != 0 THEN"
+            f" CAST(w{i} AS DOUBLE) / {d_exprs[i]} ELSE p{i} END AS r{i}"
+            for i in range(k)
+        ]
+        ctes.append(
+            f"w{t}_ AS (SELECT {carry}, "
+            + ", ".join(raws)
+            + f" FROM e{t - 1})"
+        )
+        # all four items appear in every full pattern, so the
+        # normalizer gates on napp > 0 once
+        s = "0.0"
+        for i in range(k):
+            s = f"({s} + (CASE WHEN napp > 0 THEN r{i} ELSE 0.0 END))"
+        ctes.append(
+            f"e{t} AS (SELECT {carry}, "
+            + ", ".join(
+                f"CASE WHEN {s} != 0 THEN r{i} / ({s}) ELSE r{i} END"
+                f" AS p{i}"
+                for i in range(k)
+            )
+            + f" FROM w{t}_)"
+        )
+    finals = " UNION ALL ".join(
+        f"SELECT '{items[i]}' AS item, CAST(w{i} AS BIGINT) AS n_wins,"
+        f" CAST(napp AS BIGINT) AS n_appearances,"
+        f" CASE WHEN napp > 0 THEN"
+        f" FLOOR(p{i} * 1000000000.0 + 0.5) / 1000000000.0 END"
+        f" AS strength FROM e{_PL_ITERS}"
+        for i in range(k)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + finals
+
+
 def a39_kendall_tau(spark: SparkSession, sf: str) -> DataFrame:
     """Kendall τ-b between quantity and discount
     (profile.kendall_tau_b): the corpus collapses to the 50×11 joint
@@ -6658,6 +6792,7 @@ QUERIES: dict[str, tuple] = {
     "eval_delong_auc": (eval_delong_auc, _delong_sql()),
     "eval_wilcoxon_signed": (eval_wilcoxon_signed, EVAL_WILCOXON_SQL),
     "a39_kendall_tau": (a39_kendall_tau, A39_SQL),
+    "eval_plackett_luce": (eval_plackett_luce, _plackett_luce_sql()),
     "eval_bh_fdr": (eval_bh_fdr, _bh_fdr_sql()),
     "eval_cliffs_delta": (eval_cliffs_delta, EVAL_CLIFFS_SQL),
     "ml_gd_conformal": (ml_gd_conformal, _gd_conformal_sql()),

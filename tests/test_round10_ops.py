@@ -580,3 +580,72 @@ def test_kendall_tau_perfect_and_constant(spark):
         [(i, 7) for i in range(5)], "x long, y long"
     )
     assert pr.kendall_tau_b(const, "x", "y").collect()[0].tau_b is None
+
+
+# ---------------------------------------------------------------------------
+# evaluation.plackett_luce_strengths
+# ---------------------------------------------------------------------------
+
+
+def test_plackett_luce_reduces_to_bradley_terry_on_pairs(spark):
+    """Length-2 rankings ARE Bradley-Terry pairs: the PL fit must
+    match bradley_terry_strengths on the same data."""
+    from icnarc_to_philips_linkage_spark.operators import evaluation as ev
+
+    pair_data = [("A", "B")] * 3 + [("B", "A")]
+    bt = {
+        r.item: r.strength
+        for r in ev.bradley_terry_strengths(
+            spark.createDataFrame(
+                pair_data, "winner string, loser string"
+            ),
+            iters=30,
+        ).collect()
+    }
+    pl = {
+        r.item: r.strength
+        for r in ev.plackett_luce_strengths(
+            spark.createDataFrame(
+                [([w, l],) for w, l in pair_data],
+                "ranking array<string>",
+            ),
+            "ranking",
+            iters=30,
+        ).collect()
+    }
+    assert pl["A"] == pytest.approx(bt["A"], abs=1e-6)
+    assert pl["B"] == pytest.approx(bt["B"], abs=1e-6)
+
+
+def test_plackett_luce_planted_order_recovered(spark):
+    """A always first, D always last across rotations of the middle:
+    strengths must order A > {B, C} > D."""
+    from icnarc_to_philips_linkage_spark.operators import evaluation as ev
+
+    data = (
+        [(["A", "B", "C", "D"],)] * 6
+        + [(["A", "C", "B", "D"],)] * 6
+        + [(["B", "A", "C", "D"],)] * 2
+    )
+    df = spark.createDataFrame(data, "ranking array<string>")
+    rows = {
+        r.item: r
+        for r in ev.plackett_luce_strengths(df, "ranking", iters=50).collect()
+    }
+    assert rows["A"].strength > rows["B"].strength
+    assert rows["A"].strength > rows["C"].strength
+    assert rows["B"].strength > rows["D"].strength
+    assert rows["C"].strength > rows["D"].strength
+    # A wins a stage in all 14 rankings (12 firsts + 2 seconds)
+    assert rows["A"].n_wins == 14
+    assert rows["D"].n_wins == 0
+
+
+def test_plackett_luce_duplicate_items_raise(spark):
+    from icnarc_to_philips_linkage_spark.operators import evaluation as ev
+
+    df = spark.createDataFrame(
+        [(["A", "A", "B"],)], "ranking array<string>"
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        ev.plackett_luce_strengths(df, "ranking")
