@@ -2038,3 +2038,155 @@ def plackett_luce_strengths(
         rows,
         "item string, n_wins long, n_appearances long, strength double",
     )
+
+
+def isotonic_calibration_grid(
+    df: DataFrame,
+    score_col,
+    label_col: str,
+    round_dp: int = 9,
+) -> DataFrame:
+    """Isotonic (PAV) probability calibration on a BOUNDED score grid
+    — the standard monotone recalibration that ``calibration_bins``
+    diagnoses the need for: fit the best monotone-nondecreasing rate
+    curve to the per-grid empirical positive rates, pooling adjacent
+    violators. Implemented DECLARATIVELY via the minimax
+    characterization of the weighted isotonic fit,
+
+        iso(i) = max_{j ≤ i} min_{k ≥ i} rate(j..k)
+
+    with ``rate(j..k)`` the pooled positive rate of grid blocks j..k
+    from exact prefix sums — no driver loop, no data-dependent
+    pooling iteration, so the whole fit is a fixed plan that replays
+    identically in SQL.
+
+    Scale contract: the GRID must be small (≤ a few hundred rows —
+    bin raw scores first, e.g. ``floor(score·20)``; calibration grids
+    are small by construction). The corpus collapses to the grid in
+    ONE aggregation; the (j ≤ i ≤ k) covering join is grid³/6 rows —
+    trivial at contract size, and the reason the contract exists.
+
+    Output: one row per grid value, ``(score_bin, n, n_pos,
+    raw_rate, iso_rate)`` — iso_rate monotone nondecreasing in the
+    bin by construction.
+    """
+    s = F.col(score_col) if isinstance(score_col, str) else score_col
+    y = F.col(label_col).cast("boolean")
+    grain = (
+        df.filter(s.isNotNull() & y.isNotNull())
+        .groupBy(s.alias("__s"))
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(y.cast("long")).alias("__p"),
+        )
+    )
+    w = Window.orderBy("__s").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )  # bounded-global-window: the grain is the calibration grid
+    pre = grain.select(
+        "__s",
+        "__n",
+        "__p",
+        F.row_number().over(Window.orderBy("__s")).alias("__i"),
+        F.sum("__n").over(w).alias("__cn"),
+        F.sum("__p").over(w).alias("__cp"),
+    )
+    a = pre.select(
+        F.col("__i").alias("__j"),
+        (F.col("__cp") - F.col("__p")).alias("__cp0"),
+        (F.col("__cn") - F.col("__n")).alias("__cn0"),
+    )
+    b = pre.select(
+        F.col("__i").alias("__k"),
+        F.col("__cp").alias("__cpk"),
+        F.col("__cn").alias("__cnk"),
+    )
+    means = a.join(F.broadcast(b), F.col("__k") >= F.col("__j")).select(
+        "__j",
+        "__k",
+        (
+            (F.col("__cpk") - F.col("__cp0")).cast("double")
+            / (F.col("__cnk") - F.col("__cn0")).cast("double")
+        ).alias("__m"),
+    )
+    centers = pre.select(F.col("__i"))
+    covering = centers.join(
+        F.broadcast(means),
+        (F.col("__j") <= F.col("__i")) & (F.col("__k") >= F.col("__i")),
+    )
+    fit = (
+        covering.groupBy("__i", "__j")
+        .agg(F.min("__m").alias("__tmin"))
+        .groupBy("__i")
+        .agg(F.max("__tmin").alias("__iso"))
+    )
+    return (
+        pre.join(F.broadcast(fit), "__i")
+        .select(
+            F.col("__s").alias("score_bin"),
+            F.col("__n").alias("n"),
+            F.col("__p").alias("n_pos"),
+            F.round(
+                F.col("__p").cast("double") / F.col("__n").cast("double"),
+                round_dp,
+            ).alias("raw_rate"),
+            F.round("__iso", round_dp).alias("iso_rate"),
+        )
+    )
+
+
+# Benford expected first-digit probabilities log10(1 + 1/d), embedded
+# as literals so no log evaluates at query time (engine-portable)
+BENFORD_P = {
+    d: __import__("math").log10(1.0 + 1.0 / d) for d in range(1, 10)
+}
+
+
+def benford_first_digit(
+    df: DataFrame,
+    value_col: str,
+    round_dp: int = 9,
+) -> DataFrame:
+    """Benford's-law first-significant-digit audit (Newcomb 1881;
+    Benford 1938) — the data-forensics screen for fabricated or
+    truncated numeric columns (natural multi-scale magnitudes follow
+    P(d) = log10(1 + 1/d); uniform or hand-entered data does not).
+
+    The first significant digit comes from the value's string form
+    (first [1-9] match — robust to scientific notation in either
+    engine), so no log/pow evaluates per row; the expected
+    probabilities are compile-time literals. ONE aggregation to ≤ 9
+    digit rows; chi-square contributions from exact counts.
+
+    Output per digit: ``(digit, n_values, observed_p, expected_p,
+    chi2_contrib)`` — rows only for digits present; zero/NULL values
+    (no significant digit) are excluded.
+    """
+    digit = F.regexp_extract(
+        F.abs(F.col(value_col)).cast("string"), "[1-9]", 0
+    )
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        digit.alias("__d")
+    ).filter(F.col("__d") != "")
+    per = base.groupBy("__d").agg(F.count(F.lit(1)).alias("__c"))
+    tot = per.agg(F.sum("__c").alias("__n"))
+    exp_p = None
+    for d, pv in BENFORD_P.items():
+        exp_p = (F.when if exp_p is None else exp_p.when)(
+            F.col("__d") == str(d), F.lit(pv)
+        )
+    j = per.crossJoin(F.broadcast(tot))
+    obs = F.col("__c").cast("double") / F.col("__n").cast("double")
+    expn = exp_p * F.col("__n").cast("double")
+    return j.select(
+        F.col("__d").cast("int").alias("digit"),
+        F.col("__c").alias("n_values"),
+        F.round(obs, round_dp).alias("observed_p"),
+        F.round(exp_p, round_dp).alias("expected_p"),
+        F.round(
+            (F.col("__c").cast("double") - expn)
+            * (F.col("__c").cast("double") - expn)
+            / expn,
+            round_dp,
+        ).alias("chi2_contrib"),
+    )

@@ -6345,6 +6345,111 @@ FROM agg
 """
 
 
+_ISO_BINS = 20
+
+
+def ml_isotonic_calibration(spark: SparkSession, sf: str) -> DataFrame:
+    """Isotonic (PAV) recalibration of the GD classifier
+    (evaluation.isotonic_calibration_grid): scores bin to a 20-cell
+    grid, then the monotone-nondecreasing rate fit via the declarative
+    minimax form — grid³ covering join on ≤ 20 rows, no driver loop.
+    The repair step for whatever eval_calibration_bins diagnoses."""
+    from icnarc_to_philips_linkage_spark.operators import (
+        evaluation,
+        regression,
+    )
+
+    w = _gd_weights(spark, sf)
+    feats = _gd_feats(spark, sf).filter(
+        F.col("x_qty").isNotNull()
+        & F.col("x_disc").isNotNull()
+        & F.col("x_tax").isNotNull()
+        & F.col("y").isNotNull()
+    )
+    scored = regression.gd_score(feats, _GD_FEATURES, w).select(
+        F.floor(F.col("score") * _ISO_BINS).cast("int").alias("sb"),
+        "y",
+    )
+    return evaluation.isotonic_calibration_grid(scored, "sb", "y")
+
+
+def _isotonic_sql() -> str:
+    train = _gd_sql()
+    body = train[: train.rindex("\nSELECT")]
+    z = "(((b + w1 * x1) + w2 * x2) + w3 * x3)"
+    sig = f"(0.5 * (1.0 + {z} / (1.0 + abs({z}))))"
+    return f"""{body},
+scored AS (SELECT CAST(FLOOR({sig} * {_ISO_BINS}) AS INTEGER) AS sb, y
+           FROM feats, w{_GD_ITERS}),
+grain AS (
+  SELECT sb, COUNT(*) AS n,
+         SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS p
+  FROM scored GROUP BY 1),
+pre AS (
+  SELECT sb, n, p, ROW_NUMBER() OVER (ORDER BY sb) AS i,
+         SUM(n) OVER (ORDER BY sb
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn,
+         SUM(p) OVER (ORDER BY sb
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp
+  FROM grain),
+means AS (
+  SELECT a.i AS j, bb.i AS k,
+         CAST(bb.cp - (a.cp - a.p) AS DOUBLE)
+           / CAST(bb.cn - (a.cn - a.n) AS DOUBLE) AS m
+  FROM pre a JOIN pre bb ON bb.i >= a.i),
+fitj AS (
+  SELECT c.i, m.j, MIN(m.m) AS tmin
+  FROM pre c JOIN means m ON m.j <= c.i AND m.k >= c.i
+  GROUP BY 1, 2),
+fit AS (SELECT i, MAX(tmin) AS iso FROM fitj GROUP BY 1)
+SELECT pre.sb AS score_bin, CAST(pre.n AS BIGINT) AS n,
+  CAST(pre.p AS BIGINT) AS n_pos,
+  ROUND(CAST(pre.p AS DOUBLE) / CAST(pre.n AS DOUBLE), 9) AS raw_rate,
+  ROUND(iso, 9) AS iso_rate
+FROM pre JOIN fit USING (i)
+"""
+
+
+def stat_benford(spark: SparkSession, sf: str) -> DataFrame:
+    """Benford first-digit audit (evaluation.benford_first_digit) of
+    order totals — the fabrication/truncation screen; one aggregation
+    to ≤ 9 digit rows, expected log10(1+1/d) as literals."""
+    from icnarc_to_philips_linkage_spark.operators import evaluation
+
+    return evaluation.benford_first_digit(
+        load(spark, sf, "orders"), "o_totalprice"
+    )
+
+
+def _benford_sql() -> str:
+    from icnarc_to_philips_linkage_spark.operators.evaluation import (
+        BENFORD_P,
+    )
+
+    exp_case = (
+        "CASE d "
+        + " ".join(
+            f"WHEN '{dd}' THEN {pv!r}" for dd, pv in BENFORD_P.items()
+        )
+        + " END"
+    )
+    expn = f"({exp_case} * CAST(n AS DOUBLE))"
+    return f"""
+WITH base AS (
+  SELECT regexp_extract(CAST(ABS(o_totalprice) AS VARCHAR),
+                        '[1-9]', 0) AS d
+  FROM orders WHERE o_totalprice IS NOT NULL),
+per AS (SELECT d, COUNT(*) AS c FROM base WHERE d != '' GROUP BY 1),
+tot AS (SELECT SUM(c) AS n FROM per)
+SELECT CAST(d AS INTEGER) AS digit, CAST(c AS BIGINT) AS n_values,
+  ROUND(CAST(c AS DOUBLE) / CAST(n AS DOUBLE), 9) AS observed_p,
+  ROUND({exp_case}, 9) AS expected_p,
+  ROUND((CAST(c AS DOUBLE) - {expn}) * (CAST(c AS DOUBLE) - {expn})
+        / {expn}, 9) AS chi2_contrib
+FROM per, tot
+"""
+
+
 _MARKOV_STATES = ["click", "error", "purchase", "signup", "view"]
 _MARKOV_ITERS = 10
 
@@ -6793,6 +6898,8 @@ QUERIES: dict[str, tuple] = {
     "eval_wilcoxon_signed": (eval_wilcoxon_signed, EVAL_WILCOXON_SQL),
     "a39_kendall_tau": (a39_kendall_tau, A39_SQL),
     "eval_plackett_luce": (eval_plackett_luce, _plackett_luce_sql()),
+    "ml_isotonic_calibration": (ml_isotonic_calibration, _isotonic_sql()),
+    "stat_benford": (stat_benford, _benford_sql()),
     "eval_bh_fdr": (eval_bh_fdr, _bh_fdr_sql()),
     "eval_cliffs_delta": (eval_cliffs_delta, EVAL_CLIFFS_SQL),
     "ml_gd_conformal": (ml_gd_conformal, _gd_conformal_sql()),

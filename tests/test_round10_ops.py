@@ -649,3 +649,89 @@ def test_plackett_luce_duplicate_items_raise(spark):
     )
     with pytest.raises(ValueError, match="duplicate"):
         ev.plackett_luce_strengths(df, "ranking")
+
+
+# ---------------------------------------------------------------------------
+# evaluation.isotonic_calibration_grid / benford_first_digit
+# ---------------------------------------------------------------------------
+
+
+def _iso_rows(spec):
+    """spec: list of (bin, n, n_pos) -> row tuples."""
+    rows = []
+    for b, n, p in spec:
+        rows += [(b, True)] * p + [(b, False)] * (n - p)
+    return rows
+
+
+def test_isotonic_pools_adjacent_violators(spark):
+    """Rates [0.1, 0.3, 0.2, 0.6]: bins 2 and 3 violate -> pooled
+    to 0.25; ends untouched."""
+    from icnarc_to_philips_linkage_spark.operators import evaluation as ev
+
+    df = spark.createDataFrame(
+        _iso_rows([(0, 10, 1), (1, 10, 3), (2, 10, 2), (3, 10, 6)]),
+        "sb int, y boolean",
+    )
+    rows = {
+        r.score_bin: r
+        for r in ev.isotonic_calibration_grid(df, "sb", "y").collect()
+    }
+    assert rows[0].iso_rate == pytest.approx(0.1)
+    assert rows[1].iso_rate == pytest.approx(0.25)
+    assert rows[2].iso_rate == pytest.approx(0.25)
+    assert rows[3].iso_rate == pytest.approx(0.6)
+    assert rows[1].raw_rate == pytest.approx(0.3)
+
+
+def test_isotonic_weighted_pooling(spark):
+    """Unequal block weights: [n=2 p=2 (1.0), n=8 p=0 (0.0)] pools to
+    2/10 = 0.2 for both."""
+    from icnarc_to_philips_linkage_spark.operators import evaluation as ev
+
+    df = spark.createDataFrame(
+        _iso_rows([(0, 2, 2), (1, 8, 0)]), "sb int, y boolean"
+    )
+    rows = {
+        r.score_bin: r.iso_rate
+        for r in ev.isotonic_calibration_grid(df, "sb", "y").collect()
+    }
+    assert rows[0] == pytest.approx(0.2) and rows[1] == pytest.approx(0.2)
+
+
+def test_isotonic_monotone_and_identity_on_sorted(spark):
+    from icnarc_to_philips_linkage_spark.operators import evaluation as ev
+
+    spec = [(i, 20, i * 2) for i in range(8)]  # already monotone
+    df = spark.createDataFrame(_iso_rows(spec), "sb int, y boolean")
+    rows = sorted(
+        ev.isotonic_calibration_grid(df, "sb", "y").collect(),
+        key=lambda r: r.score_bin,
+    )
+    isos = [r.iso_rate for r in rows]
+    assert isos == sorted(isos)
+    for r in rows:  # monotone input -> fit equals raw rates
+        assert r.iso_rate == pytest.approx(r.raw_rate)
+
+
+def test_benford_digits_and_chi2(spark):
+    from icnarc_to_philips_linkage_spark.operators import evaluation as ev
+    import math
+
+    vals = [1234.0, 0.005, -20.5, 1.0e-7, 999.0, 150.0, 0.0, None]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    rows = {
+        r.digit: r for r in ev.benford_first_digit(df, "v").collect()
+    }
+    # first significant digits: 1, 5, 2, 1, 9, 1 (0.0/None excluded)
+    assert rows[1].n_values == 3
+    assert rows[5].n_values == 1 and rows[2].n_values == 1
+    assert rows[9].n_values == 1
+    assert sum(r.n_values for r in rows.values()) == 6
+    assert sum(r.observed_p for r in rows.values()) == pytest.approx(1.0)
+    exp1 = math.log10(2.0)
+    n = 6
+    assert rows[1].expected_p == pytest.approx(exp1, abs=1e-9)
+    assert rows[1].chi2_contrib == pytest.approx(
+        (3 - exp1 * n) ** 2 / (exp1 * n), abs=1e-6
+    )
