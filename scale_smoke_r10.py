@@ -23,8 +23,15 @@ Corpus B (containment, t=0.8): N_B docs x 20 tokens from a 25M vocab
 FIRST 10 tokens of doc id-1 -> containment(A->B) = 1.0, reverse 0.5
 (not emitted) -> exactly N_B/100 planted directed pairs.
 
+Batch 2 (round-10 statistics/sampling ops with corpus-scale inputs):
+bt, delong, wilcoxon, kendall, reservoir, theilsen — each with a
+closed-form ride-along (lower-id-always-wins strength ordering;
+perfect-separation auc1 = 1.0; all-|d|=1 W+ = pos*(n+1)/2; y = x
+tau_b = 1.0; exactly k rows per stratum; full 366-day grids).
+
 Run: python scale_smoke_r10.py [n_docs_corpus_a]   (default 2.5M ->
-100M tokens). SMOKE_ONLY=span,para,winnow,containment selects a subset.
+100M tokens). SMOKE_ONLY=span,para,winnow,containment,bt,delong,
+wilcoxon,kendall,reservoir,theilsen selects a subset.
 """
 
 from __future__ import annotations
@@ -60,6 +67,7 @@ def main() -> int:
     n_tmpl_docs = (n_docs // 10) * 3  # id % 10 in {0,1,2}
 
     # ---- corpus A: 40 tokens/doc, 20-token planted template prefix
+    need_a = any(want(x) for x in ("span", "para", "winnow"))
     T = 40
     tmpl_id = F.pmod(F.xxhash64("id", F.lit(3)), F.lit(50))
     is_tmpl = F.pmod(F.col("id"), F.lit(10)) < 3
@@ -80,14 +88,16 @@ def main() -> int:
             )
         ),
     )
-    t0 = time.time()
-    spark.range(n_docs).select(
-        F.col("id").alias("doc_id"), F.concat_ws(" ", toks).alias("text")
-    ).write.mode("overwrite").parquet(f"{d}/docs_a")
-    gen_a = round(time.time() - t0, 1)
-    docs_a = spark.read.parquet(f"{d}/docs_a")
-    print(f"corpus A: {n_docs} docs x {T} tokens "
-          f"({n_docs * T} tokens), gen {gen_a}s", flush=True)
+    if need_a:
+        t0 = time.time()
+        spark.range(n_docs).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(" ", toks).alias("text"),
+        ).write.mode("overwrite").parquet(f"{d}/docs_a")
+        gen_a = round(time.time() - t0, 1)
+        docs_a = spark.read.parquet(f"{d}/docs_a")
+        print(f"corpus A: {n_docs} docs x {T} tokens "
+              f"({n_docs * T} tokens), gen {gen_a}s", flush=True)
 
     from icnarc_to_philips_linkage_spark.operators import dedup_scale, text
 
@@ -184,6 +194,161 @@ def main() -> int:
             "expected_planted", n_b // 100, flush=True,
         )
         assert agg.planted == n_b // 100, (agg, n_b // 100)
+
+    # ---- batch 2: the round-10 statistics/sampling operators whose
+    # inputs are corpus-scale (the bounded-grain tail is free; the
+    # corpus pass is what these time). Each carries a closed-form
+    # exactness ride-along.
+    from icnarc_to_philips_linkage_spark.operators import (
+        evaluation as ev,
+        profile as pr,
+        sampling as sa,
+        timeseries as tso,
+    )
+
+    n100 = 100_000_000
+
+    if want("bt"):
+        # pairs: items 0..4 drawn per row; LOWER id always wins ->
+        # strict strength ordering; n_games sums to 2 per pair
+        i1 = F.pmod(F.xxhash64("id", F.lit(1)), F.lit(5))
+        i2 = F.pmod(F.xxhash64("id", F.lit(2)), F.lit(5))
+        pairs = (
+            spark.range(n100)
+            .filter(i1 != i2)
+            .select(
+                F.least(i1, i2).cast("string").alias("winner"),
+                F.greatest(i1, i2).cast("string").alias("loser"),
+            )
+        )
+        t = time.time()
+        rows = {
+            r.item: r
+            for r in ev.bradley_terry_strengths(
+                pairs, items=[str(i) for i in range(5)]
+            ).collect()
+        }
+        timings["bradley_terry_100m_pairs"] = round(time.time() - t, 2)
+        s = [rows[str(i)].strength or 0.0 for i in range(5)]
+        n_games_total = sum(rows[str(i)].n_games for i in range(5))
+        print(
+            "bradley_terry_100m_pairs",
+            timings["bradley_terry_100m_pairs"],
+            "strengths", s, "games2x", n_games_total, flush=True,
+        )
+        assert all(a > b for a, b in zip(s, s[1:])), s
+        assert abs(sum(x for x in s if x) - 1.0) < 1e-6
+
+    if want("delong"):
+        # s1 separates perfectly (auc1 = 1.0 exactly); s2 is noise
+        h = F.pmod(F.xxhash64("id", F.lit(3)), F.lit(1000))
+        scored = spark.range(n100).select(
+            h.cast("double").alias("s1"),
+            F.pmod(F.xxhash64("id", F.lit(4)), F.lit(1000))
+            .cast("double")
+            .alias("s2"),
+            (h >= 500).alias("y"),
+        )
+        t = time.time()
+        r = ev.delong_paired_auc(scored, "s1", "s2", "y").collect()[0]
+        timings["delong_100m_scored"] = round(time.time() - t, 2)
+        print(
+            "delong_100m_scored", timings["delong_100m_scored"],
+            "auc1", r.auc1, "auc2", r.auc2, "z", r.z, flush=True,
+        )
+        assert r.auc1 == 1.0 and abs(r.auc2 - 0.5) < 0.001 and r.z > 0
+
+    if want("wilcoxon"):
+        # every |d| = 1, 60% positive: W+ = pos*(n+1)/2 EXACTLY
+        n_w = 50_000_000
+        pos_row = F.pmod(F.xxhash64("id", F.lit(5)), F.lit(5)) < 3
+        pairs = spark.range(n_w).select(
+            F.when(pos_row, 1).otherwise(0).cast("long").alias("a"),
+            F.when(pos_row, 0).otherwise(1).cast("long").alias("b"),
+        )
+        t = time.time()
+        r = ev.wilcoxon_signed_rank(pairs, "a", "b").collect()[0]
+        timings["wilcoxon_50m_pairs"] = round(time.time() - t, 2)
+        n_pos = pairs.filter(F.col("a") == 1).count()
+        expect_w = n_pos * (n_w + 1) / 2.0
+        print(
+            "wilcoxon_50m_pairs", timings["wilcoxon_50m_pairs"],
+            "w_plus", r.w_plus, "expected", expect_w, "z", r.z,
+            flush=True,
+        )
+        assert r.n_nonzero == n_w and r.w_plus == expect_w and r.z > 0
+
+    if want("kendall"):
+        # y = x exactly -> tau_b = 1.0 on the 50-cell grid
+        x = F.pmod(F.xxhash64("id", F.lit(6)), F.lit(50))
+        rows_df = spark.range(n100).select(
+            x.alias("x"), x.alias("y")
+        )
+        t = time.time()
+        r = pr.kendall_tau_b(rows_df, "x", "y").collect()[0]
+        timings["kendall_100m_rows"] = round(time.time() - t, 2)
+        print(
+            "kendall_100m_rows", timings["kendall_100m_rows"],
+            "tau", r.tau_b, "n", r.n, flush=True,
+        )
+        assert r.n == n100 and r.tau_b == 1.0
+
+    if want("reservoir"):
+        rows_df = spark.range(n100).select(
+            F.pmod(F.xxhash64("id", F.lit(7)), F.lit(20))
+            .cast("string")
+            .alias("st"),
+            F.col("id"),
+            (1 + F.pmod(F.xxhash64("id", F.lit(8)), F.lit(9))).alias(
+                "w"
+            ),
+        )
+        t = time.time()
+        out = sa.stratified_reservoir_topk(
+            rows_df, "st", "id", "w", k=100
+        )
+        agg = out.groupBy("st").agg(
+            F.count(F.lit(1)).alias("n"), F.max("rank").alias("mr")
+        ).collect()
+        timings["reservoir_100m_rows_20_strata"] = round(
+            time.time() - t, 2
+        )
+        print(
+            "reservoir_100m_rows_20_strata",
+            timings["reservoir_100m_rows_20_strata"],
+            "strata", len(agg), flush=True,
+        )
+        assert len(agg) == 20
+        assert all(a.n == 100 and a.mr == 100 for a in agg), agg
+
+    if want("theilsen"):
+        # 100M events -> (20 keys x 366 days) grid; per-key daily
+        # volumes are near-uniform so the Sen slope is ~0
+        ev100 = spark.range(n100).select(
+            F.pmod(F.xxhash64("id", F.lit(9)), F.lit(20))
+            .cast("string")
+            .alias("k"),
+            F.date_add(
+                F.lit("2024-01-01").cast("date"),
+                F.pmod(F.xxhash64("id", F.lit(10)), F.lit(366)).cast(
+                    "int"
+                ),
+            ).alias("day"),
+        )
+        daily = ev100.groupBy("k", "day").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        t = time.time()
+        out = tso.theil_sen_slope(daily, "k", "day", "n").collect()
+        timings["theil_sen_100m_events"] = round(time.time() - t, 2)
+        print(
+            "theil_sen_100m_events", timings["theil_sen_100m_events"],
+            "keys", len(out),
+            "max_abs_slope", max(abs(r.sen_slope) for r in out),
+            flush=True,
+        )
+        assert len(out) == 20
+        assert all(r.n_obs == 366 and r.n_pairs == 66795 for r in out)
 
     print(json.dumps({
         "n_docs_corpus_a": n_docs,
