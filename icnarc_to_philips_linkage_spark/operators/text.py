@@ -1202,3 +1202,49 @@ def top_k_vocab(
         .limit(k)
         .select("token")
     )
+
+
+def vocab_richness_report(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Species-richness estimates of the corpus vocabulary — "how much
+    vocabulary have we NOT seen yet" for crawl-coverage decisions:
+    the bias-corrected Chao1 lower bound on true vocabulary size
+    (Chao 1984, ``V + f₁(f₁−1)/(2(f₂+1))`` — defined even with no
+    doubletons) and the Good-Turing unseen-mass estimate (Good 1953,
+    ``P(next token is a new type) ≈ f₁/N``), from the hapax/dis
+    counts ``corpus_stats`` already surfaces individually.
+
+    Scale shape: one exploded-token aggregation to the term
+    dictionary (md5-uniform key space), then a single-row conditional
+    reduce — the frequency-of-frequencies never materializes beyond
+    two conditional counts. All integers until the two final
+    divisions.
+
+    Output one row: ``(n_tokens, vocab_size, f1_singletons,
+    f2_doubletons, chao1_estimate, unseen_mass, coverage)``.
+    """
+    toks = df.select(F.explode(tokens(text_col)).alias("term")).filter(
+        F.col("term") != ""
+    )
+    per_term = toks.groupBy("term").agg(F.count("*").alias("c"))
+    agg = per_term.agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("vocab_size"),
+        F.count_if(F.col("c") == 1).alias("f1_singletons"),
+        F.count_if(F.col("c") == 2).alias("f2_doubletons"),
+    )
+    f1 = F.col("f1_singletons").cast("double")
+    f2 = F.col("f2_doubletons").cast("double")
+    n = F.col("n_tokens").cast("double")
+    return agg.select(
+        "n_tokens",
+        "vocab_size",
+        "f1_singletons",
+        "f2_doubletons",
+        F.round(
+            F.col("vocab_size").cast("double")
+            + f1 * (f1 - 1.0) / (2.0 * (f2 + 1.0)),
+            6,
+        ).alias("chao1_estimate"),
+        F.round(f1 / n, 9).alias("unseen_mass"),
+        F.round(1.0 - f1 / n, 9).alias("coverage"),
+    )

@@ -2488,6 +2488,46 @@ FROM per_term
 """
 
 
+def text_vocab_richness(spark: SparkSession, sf: str) -> DataFrame:
+    """Chao1 + Good-Turing vocabulary richness
+    (text.vocab_richness_report): the bias-corrected lower bound on
+    TRUE vocabulary size and the unseen-type mass — 'is another
+    crawl worth it' in two numbers. One exploded-token aggregation
+    to the term dictionary, then a single-row conditional reduce."""
+    return text.vocab_richness_report(load(spark, sf, "documents"))
+
+
+VOCAB_RICHNESS_SQL = f"""
+WITH per_term AS (
+  SELECT term, COUNT(*) AS c
+  FROM (SELECT unnest({_TOKS}) AS term FROM documents)
+  WHERE term <> ''
+  GROUP BY term
+),
+agg AS (
+  SELECT SUM(c) AS n_tokens,
+         COUNT(*) AS vocab_size,
+         COUNT(*) FILTER (c = 1) AS f1_singletons,
+         COUNT(*) FILTER (c = 2) AS f2_doubletons
+  FROM per_term
+)
+SELECT CAST(n_tokens AS BIGINT) AS n_tokens,
+  CAST(vocab_size AS BIGINT) AS vocab_size,
+  CAST(f1_singletons AS BIGINT) AS f1_singletons,
+  CAST(f2_doubletons AS BIGINT) AS f2_doubletons,
+  ROUND(CAST(vocab_size AS DOUBLE)
+        + CAST(f1_singletons AS DOUBLE)
+          * (CAST(f1_singletons AS DOUBLE) - 1.0)
+          / (2.0 * (CAST(f2_doubletons AS DOUBLE) + 1.0)),
+        6) AS chao1_estimate,
+  ROUND(CAST(f1_singletons AS DOUBLE) / CAST(n_tokens AS DOUBLE), 9)
+    AS unseen_mass,
+  ROUND(1.0 - CAST(f1_singletons AS DOUBLE)
+              / CAST(n_tokens AS DOUBLE), 9) AS coverage
+FROM agg
+"""
+
+
 def text_pmi_bigrams(spark: SparkSession, sf: str) -> DataFrame:
     """Top-25 bigram collocations by pointwise mutual information
     (count >= 5 floor): bigram and unigram counts each aggregate one
@@ -6819,6 +6859,7 @@ QUERIES: dict[str, tuple] = {
     "text_tfidf_topterms": (text_tfidf_topterms, TFIDF_SQL),
     "text_repetition": (text_repetition, REPETITION_SQL),
     "text_corpus_stats": (text_corpus_stats, CORPUS_STATS_SQL),
+    "text_vocab_richness": (text_vocab_richness, VOCAB_RICHNESS_SQL),
     "text_lexical_diversity": (text_lexical_diversity, LEXICAL_DIVERSITY_SQL),
     "text_pmi_bigrams": (text_pmi_bigrams, PMI_SQL),
     "text_chunk_windows": (text_chunk_windows, CHUNK_SQL),

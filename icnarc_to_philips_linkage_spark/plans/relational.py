@@ -6450,6 +6450,105 @@ FROM per, tot
 """
 
 
+def eval_cuped(spark: SparkSession, sf: str) -> DataFrame:
+    """CUPED adjusted variant means (evaluation.cuped_adjusted_means):
+    users split A/B by id parity; metric = the user's mean H2 event
+    value, covariate = their mean H1 value (the canonical
+    pre-experiment covariate). Per-event cents quantize exactly, the
+    user grain is one corpus aggregation, and CUPED itself is one
+    variant-bounded aggregation + a broadcast pooled row."""
+    from icnarc_to_philips_linkage_spark.operators import evaluation
+
+    e = load(spark, sf, "events").filter(F.col("value").isNotNull())
+    cents = F.round(F.col("value") * 100).cast("long")
+    h1 = F.month("ts") <= 6
+    u = (
+        e.groupBy("user_id")
+        .agg(
+            F.sum(F.when(h1, cents)).alias("__sxc"),
+            F.count(F.when(h1, F.lit(1))).alias("__nx"),
+            F.sum(F.when(~h1, cents)).alias("__syc"),
+            F.count(F.when(~h1, F.lit(1))).alias("__ny"),
+        )
+        .filter((F.col("__nx") > 0) & (F.col("__ny") > 0))
+        .select(
+            F.when(F.col("user_id") % 2 == 0, F.lit("A"))
+            .otherwise(F.lit("B"))
+            .alias("variant"),
+            (
+                F.col("__sxc").cast("double") / F.col("__nx") / 100.0
+            ).alias("x"),
+            (
+                F.col("__syc").cast("double") / F.col("__ny") / 100.0
+            ).alias("y"),
+        )
+    )
+    return evaluation.cuped_adjusted_means(u, "y", "x", "variant")
+
+
+_CUPED_Q = (
+    "(CASE WHEN {c} < 0 THEN -1 ELSE 1 END)"
+    " * CAST(FLOOR(ABS({c}) * 1000000.0 + 0.5) AS HUGEINT)"
+)
+
+
+def _cuped_sql() -> str:
+    qy = _CUPED_Q.format(c="y")
+    qx = _CUPED_Q.format(c="x")
+    cov = (
+        "(CAST(psxy AS DOUBLE) - CAST(psx AS DOUBLE)"
+        " * CAST(psy AS DOUBLE) / CAST(pn AS DOUBLE))"
+    )
+    varx = (
+        "(CAST(psxx AS DOUBLE) - CAST(psx AS DOUBLE)"
+        " * CAST(psx AS DOUBLE) / CAST(pn AS DOUBLE))"
+    )
+    vary = (
+        "(CAST(psyy AS DOUBLE) - CAST(psy AS DOUBLE)"
+        " * CAST(psy AS DOUBLE) / CAST(pn AS DOUBLE))"
+    )
+    theta = f"({cov} / {varx})"
+    mean_y = "(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))"
+    mean_x = "(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))"
+    pool_x = "(CAST(psx AS DOUBLE) / CAST(pn AS DOUBLE))"
+    return f"""
+WITH u AS (
+  SELECT user_id,
+    SUM(CASE WHEN month(ts) <= 6
+        THEN CAST(ROUND(value * 100) AS BIGINT) END) AS sxc,
+    COUNT(CASE WHEN month(ts) <= 6 THEN 1 END) AS nx,
+    SUM(CASE WHEN month(ts) > 6
+        THEN CAST(ROUND(value * 100) AS BIGINT) END) AS syc,
+    COUNT(CASE WHEN month(ts) > 6 THEN 1 END) AS ny
+  FROM events WHERE value IS NOT NULL GROUP BY 1),
+v AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+         CAST(sxc AS DOUBLE) / nx / 100.0 AS x,
+         CAST(syc AS DOUBLE) / ny / 100.0 AS y
+  FROM u WHERE nx > 0 AND ny > 0),
+qv AS (SELECT variant, {qx} AS xq, {qy} AS yq FROM v),
+per AS (
+  SELECT variant, COUNT(*) AS n, SUM(yq) AS sy, SUM(xq) AS sx,
+         SUM(xq * yq) AS sxy, SUM(xq * xq) AS sxx,
+         SUM(yq * yq) AS syy
+  FROM qv GROUP BY 1),
+pool AS (
+  SELECT SUM(n) AS pn, SUM(sy) AS psy, SUM(sx) AS psx,
+         SUM(sxy) AS psxy, SUM(sxx) AS psxx, SUM(syy) AS psyy
+  FROM per)
+SELECT variant, CAST(n AS BIGINT) AS n,
+  ROUND({mean_y} / 1000000.0, 9) AS mean_metric,
+  ROUND({mean_x} / 1000000.0, 9) AS mean_covariate,
+  ROUND(CASE WHEN {varx} > 0
+        THEN ({mean_y} - {theta} * ({mean_x} - {pool_x})) / 1000000.0
+        ELSE {mean_y} / 1000000.0 END, 9) AS mean_adjusted,
+  ROUND(CASE WHEN {varx} > 0 THEN {theta} END, 9) AS theta,
+  ROUND(CASE WHEN {varx} > 0 AND {vary} > 0
+        THEN {cov} * {cov} / ({varx} * {vary}) END, 9) AS rho2
+FROM per, pool
+"""
+
+
 _MARKOV_STATES = ["click", "error", "purchase", "signup", "view"]
 _MARKOV_ITERS = 10
 
@@ -6900,6 +6999,7 @@ QUERIES: dict[str, tuple] = {
     "eval_plackett_luce": (eval_plackett_luce, _plackett_luce_sql()),
     "ml_isotonic_calibration": (ml_isotonic_calibration, _isotonic_sql()),
     "stat_benford": (stat_benford, _benford_sql()),
+    "eval_cuped": (eval_cuped, _cuped_sql()),
     "eval_bh_fdr": (eval_bh_fdr, _bh_fdr_sql()),
     "eval_cliffs_delta": (eval_cliffs_delta, EVAL_CLIFFS_SQL),
     "ml_gd_conformal": (ml_gd_conformal, _gd_conformal_sql()),

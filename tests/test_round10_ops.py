@@ -735,3 +735,88 @@ def test_benford_digits_and_chi2(spark):
     assert rows[1].chi2_contrib == pytest.approx(
         (3 - exp1 * n) ** 2 / (exp1 * n), abs=1e-6
     )
+
+
+# ---------------------------------------------------------------------------
+# text.vocab_richness_report / evaluation.cuped_adjusted_means
+# ---------------------------------------------------------------------------
+
+
+def test_vocab_richness_hand_computed(spark):
+    """'a a b c' + 'd d e': V=5, f1={b,c,e}=3, f2={a,d}=2, N=7;
+    Chao1 = 5 + 3*2/(2*3) = 6; unseen = 3/7."""
+    from icnarc_to_philips_linkage_spark.operators import text as tx
+
+    df = spark.createDataFrame(
+        [("a a b c",), ("d d e",)], "text string"
+    )
+    r = tx.vocab_richness_report(df).collect()[0]
+    assert (r.n_tokens, r.vocab_size) == (7, 5)
+    assert (r.f1_singletons, r.f2_doubletons) == (3, 2)
+    assert r.chao1_estimate == pytest.approx(6.0)
+    assert r.unseen_mass == pytest.approx(3 / 7, abs=1e-9)
+
+
+def test_vocab_richness_no_doubletons_defined(spark):
+    """Bias-corrected Chao1 is finite with f2 = 0."""
+    from icnarc_to_philips_linkage_spark.operators import text as tx
+
+    df = spark.createDataFrame([("x y z",)], "text string")
+    r = tx.vocab_richness_report(df).collect()[0]
+    assert r.f2_doubletons == 0
+    assert r.chao1_estimate == pytest.approx(3 + 3 * 2 / 2.0)
+
+
+def test_cuped_reference_computation(spark):
+    """Compare against a straight numpy-style reference on data where
+    the covariate strongly predicts the metric."""
+    from icnarc_to_philips_linkage_spark.operators import evaluation as ev
+
+    import random
+
+    rng = random.Random(3)
+    rows = []
+    for i in range(400):
+        x = round(rng.random() * 10, 3)
+        noise = round(rng.random(), 3)
+        v = "A" if i % 2 == 0 else "B"
+        lift = 0.5 if v == "B" else 0.0
+        rows.append((v, round(2 * x + noise + lift, 6), x))
+    df = spark.createDataFrame(rows, "variant string, y double, x double")
+    out = {r.variant: r for r in ev.cuped_adjusted_means(
+        df, "y", "x", "variant").collect()}
+
+    ys = [r[1] for r in rows]
+    xs = [r[2] for r in rows]
+    n = len(rows)
+    mx = sum(xs) / n
+    my = sum(ys) / n
+    cov = sum((a - mx) * (b - my) for a, b in zip(xs, ys))
+    varx = sum((a - mx) ** 2 for a in xs)
+    theta = cov / varx
+    for v in ("A", "B"):
+        sel = [(y, x) for (vv, y, x) in rows if vv == v]
+        m_y = sum(y for y, _ in sel) / len(sel)
+        m_x = sum(x for _, x in sel) / len(sel)
+        adj = m_y - theta * (m_x - mx)
+        assert out[v].mean_adjusted == pytest.approx(adj, abs=1e-4)
+        assert out[v].theta == pytest.approx(theta, abs=1e-4)
+    # CUPED must tighten the A/B gap toward the true +0.5 lift
+    raw_gap = out["B"].mean_metric - out["A"].mean_metric
+    adj_gap = out["B"].mean_adjusted - out["A"].mean_adjusted
+    assert abs(adj_gap - 0.5) < abs(raw_gap - 0.5) + 0.05
+    assert out["A"].rho2 is not None and out["A"].rho2 > 0.9
+
+
+def test_cuped_constant_covariate_falls_back(spark):
+    from icnarc_to_philips_linkage_spark.operators import evaluation as ev
+
+    df = spark.createDataFrame(
+        [("A", 1.0, 5.0), ("A", 2.0, 5.0), ("B", 3.0, 5.0),
+         ("B", 4.0, 5.0)],
+        "variant string, y double, x double",
+    )
+    out = {r.variant: r for r in ev.cuped_adjusted_means(
+        df, "y", "x", "variant").collect()}
+    assert out["A"].theta is None
+    assert out["A"].mean_adjusted == pytest.approx(out["A"].mean_metric)
