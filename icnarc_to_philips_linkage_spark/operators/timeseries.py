@@ -1392,3 +1392,141 @@ def stl_decompose(
             F.col("__v") - F.col("__trend") - F.col("__seasonal")
         ).alias("resid"),
     )
+
+
+def _cox_link(z: float) -> float:
+    """The engine-portable Cox link: exp(z) via the compound-interest
+    limit (1 + z/1024)^1024 computed as TEN squarings — every op is
+    exactly-rounded IEEE, so the value is bit-identical in Python,
+    Spark and DuckDB (the fast-sigmoid discipline applied to the Cox
+    partial likelihood; relative error < z²·e^z/2048, ~0.05% at
+    |z| = 1, far below the fit's statistical noise)."""
+    b = 1.0 + z / 1024.0
+    for _ in range(10):
+        b = b * b
+    return b
+
+
+def cox_ph_single(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    x_col: str,
+    iters: int = 8,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Cox proportional-hazards regression with ONE covariate
+    (Cox 1972; Breslow tie handling) — the missing member of the
+    survival family next to ``kaplan_meier`` / ``logrank_test`` /
+    ``km_rmst``: "how much does this covariate scale the hazard",
+    e.g. does activity level predict conversion risk.
+
+    Scale shape (the FS-EM / gd_train discipline): the corpus
+    collapses ONCE to the bounded (duration, x) CELL GRID — subjects
+    ``m`` and events ``d`` per cell; both grids are caller-owned
+    (whole days × a quantized covariate). ``iters`` Newton steps on
+    the Breslow partial likelihood then run on the driver over that
+    bounded frame:
+
+        w(x)    = link(x·β)        (link = (1+z/1024)^1024 — see
+                                    _cox_link: bit-exact everywhere)
+        SE(t)   = Σ_{t'≥t} m·w     (suffix sums over the time grid)
+        g       = Σ d·x − Σ_t d_t·SXE(t)/SE(t)
+        h       = Σ_t d_t·(SX2E(t)/SE(t) − (SXE(t)/SE(t))²)
+        β'      = β + g/h          (h = 0 → carry)
+
+    Every cell/time contribution quantizes to the 1e-12 integer grid
+    before summing, so all sums are order-free exact integers and the
+    whole fit replays bit-identically in an iteration-unrolled SQL
+    oracle operating on the same cell table.
+
+    Output: one row ``(n_subjects, n_events, beta, hazard_ratio)``
+    with ``hazard_ratio = link(β)``; NULL β when no events or the
+    information is 0 (constant covariate).
+    """
+    import math
+
+    cells = (
+        df.filter(
+            F.col(duration_col).isNotNull()
+            & F.col(event_col).isNotNull()
+            & F.col(x_col).isNotNull()
+        )
+        .groupBy(
+            F.col(duration_col).alias("__t"),
+            F.col(x_col).cast("double").alias("__x"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("__m"),
+            F.sum(F.col(event_col).cast("long")).alias("__d"),
+        )
+        .collect()
+    )
+    rows = sorted(
+        ((r["__t"], float(r["__x"]), int(r["__m"]), int(r["__d"]))
+         for r in cells),
+        key=lambda c: (c[0], c[1]),
+    )
+    n_subjects = sum(m for _, _, m, _ in rows)
+    n_events = sum(dd for _, _, _, dd in rows)
+    S = 1e12
+
+    def q(v: float) -> int:
+        return math.floor(v * S + 0.5)
+
+    sdx_q = 0
+    for _, x, _, dd in rows:
+        sdx_q += dd * q(x)
+    times = sorted({t for t, _, _, _ in rows})
+    beta: float | None = 0.0
+    if n_events == 0:
+        beta = None
+    else:
+        for _ in range(iters):
+            per_t: dict = {t: [0, 0, 0, 0] for t in times}
+            for t, x, m, dd in rows:
+                w = _cox_link(x * beta)
+                rec = per_t[t]
+                rec[0] += m * q(w)
+                rec[1] += m * q(x * w)
+                rec[2] += m * q((x * x) * w)
+                rec[3] += dd
+            se = sxe = sx2e = 0
+            sfx: dict = {}
+            for t in reversed(times):
+                se += per_t[t][0]
+                sxe += per_t[t][1]
+                sx2e += per_t[t][2]
+                sfx[t] = (se, sxe, sx2e)
+            g_q = 0
+            h_q = 0
+            for t in times:
+                dt = per_t[t][3]
+                if dt and sfx[t][0]:
+                    r1 = float(sfx[t][1]) / float(sfx[t][0])
+                    r2 = float(sfx[t][2]) / float(sfx[t][0])
+                    g_q += q(dt * r1)
+                    h_q += q(dt * (r2 - r1 * r1))
+            if h_q != 0:
+                g = (sdx_q - g_q) / S
+                h = h_q / S
+                beta = beta + g / h
+    grid = 10.0**round_dp
+    spark = df.sparkSession
+    out = [
+        (
+            n_subjects,
+            n_events,
+            None
+            if beta is None
+            else math.floor(beta * grid + 0.5) / grid,
+            None
+            if beta is None
+            else math.floor(_cox_link(beta) * grid + 0.5) / grid,
+        )
+    ]
+    return spark.createDataFrame(
+        out,
+        "n_subjects long, n_events long, beta double,"
+        " hazard_ratio double",
+    )

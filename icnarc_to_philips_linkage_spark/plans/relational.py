@@ -6549,6 +6549,158 @@ FROM per, pool
 """
 
 
+_COX_ITERS = 8
+
+
+def ts_cox_ph(spark: SparkSession, sf: str) -> DataFrame:
+    """Cox proportional hazards (timeseries.cox_ph_single) on user
+    lifetimes: duration/observed as in ts_kaplan_meier, covariate =
+    the user's activity level (event count capped at 50, scaled to
+    [0,1]) — does activity scale the conversion hazard? The corpus
+    collapses once to the bounded (duration, activity) cell grid;
+    8 Newton steps on the Breslow partial likelihood run as driver
+    expressions with 1e-12-quantized contributions (the gd_train
+    discipline), bit-identical in the unrolled oracle."""
+    from icnarc_to_philips_linkage_spark.operators.timeseries import (
+        cox_ph_single,
+    )
+
+    e = load(spark, sf, "events")
+    spans = (
+        e.filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.datediff(
+                F.max(F.date_trunc("day", "ts")),
+                F.min(F.date_trunc("day", "ts")),
+            ).alias("duration"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("observed"),
+            (
+                F.least(F.count(F.lit(1)), F.lit(50)) / 50.0
+            ).alias("activity"),
+        )
+    )
+    return cox_ph_single(
+        spans, "duration", "observed", "activity", iters=_COX_ITERS
+    )
+
+
+def _cox_sql() -> str:
+    """ts_cox_ph oracle: the (duration, activity) cell table, then
+    every Newton step unrolled — the compound-interest link's ten
+    squarings are CHAINED CTE columns (POWER would go through libm
+    pow, which is not exactly rounded), and every cell/time
+    contribution quantizes to the 1e-12 integer grid exactly as
+    cox_ph_single's driver loop does."""
+    s12 = "1000000000000.0"
+    ctes = [
+        """spans AS (
+  SELECT user_id,
+         date_diff('day', MIN(date_trunc('day', ts)),
+                   MAX(date_trunc('day', ts))) AS duration,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS observed,
+         LEAST(COUNT(*), 50) / 50.0 AS x
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+  GROUP BY user_id)""",
+        """cells AS (
+  SELECT duration AS t, x, COUNT(*) AS m, SUM(observed) AS d
+  FROM spans
+  WHERE duration IS NOT NULL AND observed IS NOT NULL
+    AND x IS NOT NULL
+  GROUP BY 1, 2)""",
+        "tot AS (SELECT CAST(SUM(m) AS BIGINT) AS n_subjects,"
+        " CAST(SUM(d) AS BIGINT) AS n_events FROM cells)",
+        f"sdx AS (SELECT COALESCE(SUM(d * CAST(FLOOR(x * {s12} + 0.5)"
+        " AS HUGEINT)), 0) AS sdxq FROM cells)",
+        "b0 AS (SELECT CAST(0.0 AS DOUBLE) AS beta)",
+    ]
+
+    def link_chain(tag: str, z: str) -> list[str]:
+        # (1 + z/1024)^1024 via ten squaring CTE columns
+        out = [
+            f"{tag}w0 AS (SELECT *, (1.0 + ({z}) / 1024.0) AS v0"
+            f" FROM {tag}base)"
+        ]
+        for i in range(1, 11):
+            out.append(
+                f"{tag}w{i} AS (SELECT *, v{i - 1} * v{i - 1} AS v{i}"
+                f" FROM {tag}w{i - 1})"
+            )
+        return out
+
+    for k in range(1, _COX_ITERS + 1):
+        tag = f"i{k}"
+        ctes.append(
+            f"{tag}base AS (SELECT t, x, m, d, beta"
+            f" FROM cells, b{k - 1})"
+        )
+        ctes.extend(link_chain(tag, "x * beta"))
+        ctes.append(
+            f"""{tag}c AS (
+  SELECT t, d,
+    m * CAST(FLOOR(v10 * {s12} + 0.5) AS HUGEINT) AS mwq,
+    m * CAST(FLOOR((x * v10) * {s12} + 0.5) AS HUGEINT) AS mxwq,
+    m * CAST(FLOOR(((x * x) * v10) * {s12} + 0.5) AS HUGEINT)
+      AS mx2wq
+  FROM {tag}w10)"""
+        )
+        ctes.append(
+            f"{tag}pt AS (SELECT t, SUM(mwq) AS se0, SUM(mxwq) AS"
+            f" sxe0, SUM(mx2wq) AS sx2e0, SUM(d) AS dt FROM {tag}c"
+            " GROUP BY t)"
+        )
+        ctes.append(
+            f"""{tag}sfx AS (
+  SELECT t, dt,
+    SUM(se0) OVER (ORDER BY t DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS se,
+    SUM(sxe0) OVER (ORDER BY t DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sxe,
+    SUM(sx2e0) OVER (ORDER BY t DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sx2e
+  FROM {tag}pt)"""
+        )
+        r1 = "(CAST(sxe AS DOUBLE) / CAST(se AS DOUBLE))"
+        r2 = "(CAST(sx2e AS DOUBLE) / CAST(se AS DOUBLE))"
+        ctes.append(
+            f"""{tag}gh AS (
+  SELECT
+    COALESCE(SUM(CASE WHEN dt > 0 AND se > 0 THEN
+      CAST(FLOOR(dt * {r1} * {s12} + 0.5) AS HUGEINT) END), 0) AS gq,
+    COALESCE(SUM(CASE WHEN dt > 0 AND se > 0 THEN
+      CAST(FLOOR(dt * ({r2} - {r1} * {r1}) * {s12} + 0.5)
+           AS HUGEINT) END), 0) AS hq
+  FROM {tag}sfx)"""
+        )
+        ctes.append(
+            f"""b{k} AS (
+  SELECT CASE WHEN hq != 0 THEN
+    beta + (CAST(sdxq - gq AS DOUBLE) / {s12})
+           / (CAST(hq AS DOUBLE) / {s12})
+  ELSE beta END AS beta
+  FROM b{k - 1}, {tag}gh, sdx)"""
+        )
+    # final link(beta) for the hazard ratio, same squaring chain
+    ctes.append(
+        f"hrbase AS (SELECT beta FROM b{_COX_ITERS})"
+    )
+    ctes.extend(link_chain("hr", "beta"))
+    q6 = lambda e: f"FLOOR({e} * 1000000.0 + 0.5) / 1000000.0"  # noqa: E731
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT n_subjects, n_events,
+  CASE WHEN n_events > 0 THEN {q6('beta')} END AS beta,
+  CASE WHEN n_events > 0 THEN {q6('v10')} END AS hazard_ratio
+FROM tot, hrw10
+"""
+    )
+
+
 _MARKOV_STATES = ["click", "error", "purchase", "signup", "view"]
 _MARKOV_ITERS = 10
 
@@ -7000,6 +7152,7 @@ QUERIES: dict[str, tuple] = {
     "ml_isotonic_calibration": (ml_isotonic_calibration, _isotonic_sql()),
     "stat_benford": (stat_benford, _benford_sql()),
     "eval_cuped": (eval_cuped, _cuped_sql()),
+    "ts_cox_ph": (ts_cox_ph, _cox_sql()),
     "eval_bh_fdr": (eval_bh_fdr, _bh_fdr_sql()),
     "eval_cliffs_delta": (eval_cliffs_delta, EVAL_CLIFFS_SQL),
     "ml_gd_conformal": (ml_gd_conformal, _gd_conformal_sql()),

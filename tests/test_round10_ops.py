@@ -820,3 +820,77 @@ def test_cuped_constant_covariate_falls_back(spark):
         df, "y", "x", "variant").collect()}
     assert out["A"].theta is None
     assert out["A"].mean_adjusted == pytest.approx(out["A"].mean_metric)
+
+
+# ---------------------------------------------------------------------------
+# timeseries.cox_ph_single
+# ---------------------------------------------------------------------------
+
+
+def _cox_reference(data, iters=40):
+    """Pure-Python Newton on the Breslow partial likelihood with TRUE
+    exp (the operator uses the (1+z/1024)^1024 link; at |z| ~ 1 the
+    fits agree to ~1e-3)."""
+    import math
+
+    beta = 0.0
+    for _ in range(iters):
+        times = sorted({t for t, _, _ in data})
+        g = sum(x for t, x, e in data if e)
+        h = 0.0
+        for t in times:
+            dt = sum(e for tt, _, e in data if tt == t)
+            if not dt:
+                continue
+            risk = [(x, math.exp(x * beta)) for tt, x, _ in data
+                    if tt >= t]
+            se = sum(w for _, w in risk)
+            sxe = sum(x * w for x, w in risk)
+            sx2e = sum(x * x * w for x, w in risk)
+            g -= dt * sxe / se
+            h += dt * (sx2e / se - (sxe / se) ** 2)
+        if h > 0:
+            beta += g / h
+    return beta
+
+
+def test_cox_recovers_positive_effect(spark):
+    """x = 1 subjects fail systematically earlier -> beta > 0 and
+    close to the true-exp Newton reference."""
+    from icnarc_to_philips_linkage_spark.operators import timeseries as ts
+
+    data = []
+    for i in range(40):
+        data.append((3 + i % 4, 1.0, 1))      # x=1: early events
+        data.append((8 + i % 5, 0.0, 1))      # x=0: late events
+        if i % 4 == 0:
+            data.append((10, 1.0, 0))          # some censoring
+            data.append((12, 0.0, 0))
+    df = spark.createDataFrame(data, "t int, x double, e int")
+    r = ts.cox_ph_single(df, "t", "e", "x", iters=20).collect()[0]
+    ref = _cox_reference(data)
+    assert r.beta > 0.5
+    assert r.beta == pytest.approx(ref, abs=5e-3)
+    assert r.hazard_ratio == pytest.approx(
+        (1 + r.beta / 1024.0) ** 1024, abs=1e-4
+    )
+
+
+def test_cox_null_effect_near_zero(spark):
+    from icnarc_to_philips_linkage_spark.operators import timeseries as ts
+
+    data = [(5 + i % 7, float(i % 2), 1) for i in range(60)]
+    df = spark.createDataFrame(data, "t int, x double, e int")
+    r = ts.cox_ph_single(df, "t", "e", "x").collect()[0]
+    assert abs(r.beta) < 0.3
+    assert r.n_subjects == 60 and r.n_events == 60
+
+
+def test_cox_no_events_null(spark):
+    from icnarc_to_philips_linkage_spark.operators import timeseries as ts
+
+    df = spark.createDataFrame(
+        [(5, 1.0, 0), (7, 0.0, 0)], "t int, x double, e int"
+    )
+    r = ts.cox_ph_single(df, "t", "e", "x").collect()[0]
+    assert r.beta is None and r.hazard_ratio is None
