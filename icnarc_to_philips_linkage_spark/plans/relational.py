@@ -6145,20 +6145,20 @@ pairs AS (
     SUM(CASE WHEN b.y < a.y
         THEN CAST(a.c AS HUGEINT) * b.c ELSE 0 END) AS disc
   FROM cells a JOIN cells b ON b.x > a.x),
-t1 AS (SELECT SUM(CAST(t AS HUGEINT) * (t - 1) / 2) AS n1
+t1 AS (SELECT SUM(CAST(t AS HUGEINT) * (t - 1) // 2) AS n1
        FROM (SELECT SUM(c) AS t FROM cells GROUP BY x)),
-t2 AS (SELECT SUM(CAST(t AS HUGEINT) * (t - 1) / 2) AS n2
+t2 AS (SELECT SUM(CAST(t AS HUGEINT) * (t - 1) // 2) AS n2
        FROM (SELECT SUM(c) AS t FROM cells GROUP BY y)),
 tot AS (SELECT SUM(c) AS n FROM cells)
 SELECT CAST(n AS BIGINT) AS n,
   CAST(COALESCE(conc, 0) AS BIGINT) AS n_concordant,
   CAST(COALESCE(disc, 0) AS BIGINT) AS n_discordant,
-  CASE WHEN CAST(CAST(n AS HUGEINT) * (n - 1) / 2 - n1 AS DOUBLE) > 0
-        AND CAST(CAST(n AS HUGEINT) * (n - 1) / 2 - n2 AS DOUBLE) > 0
+  CASE WHEN CAST(CAST(n AS HUGEINT) * (n - 1) // 2 - n1 AS DOUBLE) > 0
+        AND CAST(CAST(n AS HUGEINT) * (n - 1) // 2 - n2 AS DOUBLE) > 0
   THEN ROUND(
     CAST(COALESCE(conc, 0) - COALESCE(disc, 0) AS DOUBLE)
-    / SQRT(CAST(CAST(n AS HUGEINT) * (n - 1) / 2 - n1 AS DOUBLE)
-           * CAST(CAST(n AS HUGEINT) * (n - 1) / 2 - n2 AS DOUBLE)),
+    / SQRT(CAST(CAST(n AS HUGEINT) * (n - 1) // 2 - n1 AS DOUBLE)
+           * CAST(CAST(n AS HUGEINT) * (n - 1) // 2 - n2 AS DOUBLE)),
     9)
   END AS tau_b
 FROM tot, pairs, t1, t2
