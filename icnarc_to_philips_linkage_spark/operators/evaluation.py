@@ -2279,3 +2279,60 @@ def cuped_adjusted_means(
         F.round(F.when(ok, theta), round_dp).alias("theta"),
         F.round(F.when(ok & (vary > 0), rho2), round_dp).alias("rho2"),
     )
+
+
+def two_proportion_z(
+    df: DataFrame,
+    group_col,
+    success_col,
+    round_dp: int = 9,
+) -> DataFrame:
+    """Two-proportion z-test (the A/B conversion-rate workhorse,
+    pooled-variance form): does the TRUE group's success rate differ
+    from the FALSE group's?
+    ``z = (p₁ − p₂) / sqrt(p̂(1−p̂)(1/n₁ + 1/n₂))`` with p̂ pooled.
+
+    ONE conditional aggregation to four exact counts; everything
+    after is a deterministic expression tree (two integer ratios, one
+    sqrt). Output: one row ``(n1, x1, n2, x2, p1, p2, lift, z)`` —
+    NULL z when either group is empty or p̂ ∈ {0, 1} (no variance).
+    """
+    g = (
+        F.col(group_col) if isinstance(group_col, str) else group_col
+    ).cast("boolean")
+    s = (
+        F.col(success_col)
+        if isinstance(success_col, str)
+        else success_col
+    ).cast("boolean")
+    agg = df.filter(g.isNotNull() & s.isNotNull()).agg(
+        F.sum(g.cast("long")).alias("n1"),
+        F.sum((g & s).cast("long")).alias("x1"),
+        F.sum((~g).cast("long")).alias("n2"),
+        F.sum((~g & s).cast("long")).alias("x2"),
+    )
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    p1 = F.col("x1").cast("double") / n1
+    p2 = F.col("x2").cast("double") / n2
+    pp = (F.col("x1") + F.col("x2")).cast("double") / (n1 + n2)
+    se = F.sqrt(pp * (1.0 - pp) * (1.0 / n1 + 1.0 / n2))
+    ok = (
+        (F.col("n1") > 0)
+        & (F.col("n2") > 0)
+        & (pp > 0.0)
+        & (pp < 1.0)
+    )
+    return agg.select(
+        "n1",
+        "x1",
+        "n2",
+        "x2",
+        F.round(F.when(F.col("n1") > 0, p1), round_dp).alias("p1"),
+        F.round(F.when(F.col("n2") > 0, p2), round_dp).alias("p2"),
+        F.round(
+            F.when((F.col("n1") > 0) & (F.col("n2") > 0), p1 - p2),
+            round_dp,
+        ).alias("lift"),
+        F.round(F.when(ok, (p1 - p2) / se), round_dp).alias("z"),
+    )

@@ -2169,3 +2169,132 @@ def cochran_armitage_trend(
         "n_pos",
         F.round(F.when(ok, t / F.sqrt(var)), round_dp).alias("z_trend"),
     )
+
+
+def cramers_v(
+    df: DataFrame, col_a: str, col_b: str, round_dp: int = 9
+) -> DataFrame:
+    """Cramér's V association strength for two categoricals (Cramér
+    1946) — the effect size ``chi_square_independence`` needs next to
+    it at corpus scale (with 1e9 rows EVERYTHING is "significant";
+    V says whether the association is material):
+    ``V = sqrt(χ² / (n·(min(r,c)−1)))``.
+
+    χ² comes from the computational identity
+    ``χ² = n·(Σ_cells o²/(rowtot·coltot)) − n`` — zero cells
+    contribute zero, so only OBSERVED combinations enter (no grid
+    completion needed). One corpus aggregation to the cell table;
+    marginals via windows over it; each cell's term quantizes to the
+    1e-9 integer grid before the total (order-free, the engine-parity
+    discipline). Output: one row ``(n, chi2, dof_min, cramers_v)``;
+    NULL V when either variable is constant.
+    """
+    cells = (
+        df.filter(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+        .groupBy(col_a, col_b)
+        .agg(F.count(F.lit(1)).alias("__o"))
+    )
+    wa = Window.partitionBy(col_a)
+    wb = Window.partitionBy(col_b)
+    wall = Window.partitionBy()
+    staged = cells.select(
+        F.col("__o"),
+        F.sum("__o").over(wa).alias("__r"),
+        F.sum("__o").over(wb).alias("__c"),
+        F.sum("__o").over(wall).alias("__n"),
+        F.size(F.collect_set(col_a).over(wall)).alias("__ka"),
+        F.size(F.collect_set(col_b).over(wall)).alias("__kb"),
+    )
+    term = (
+        F.col("__n").cast("double")
+        * (F.col("__o").cast("double") * F.col("__o").cast("double"))
+        / (F.col("__r").cast("double") * F.col("__c").cast("double"))
+    )
+    agg = staged.groupBy().agg(
+        F.max("__n").alias("n"),
+        F.max("__ka").alias("__ka"),
+        F.max("__kb").alias("__kb"),
+        F.sum(
+            F.floor(term * 1e9 + 0.5).cast("decimal(38,0)")
+        ).alias("__tq"),
+    )
+    chi2 = F.col("__tq").cast("double") / 1e9 - F.col("n").cast(
+        "double"
+    )
+    dof_min = F.least("__ka", "__kb") - 1
+    ok = dof_min > 0
+    return agg.select(
+        "n",
+        F.round(F.when(ok, chi2), 6).alias("chi2"),
+        dof_min.cast("int").alias("dof_min"),
+        F.when(
+            ok,
+            F.round(
+                F.sqrt(
+                    F.greatest(chi2, F.lit(0.0))
+                    / (F.col("n").cast("double") * dof_min.cast("double"))
+                ),
+                round_dp,
+            ),
+        ).alias("cramers_v"),
+    )
+
+
+def g_test_independence(
+    df: DataFrame, col_a: str, col_b: str, round_dp: int = 6
+) -> DataFrame:
+    """G-test of independence (log-likelihood ratio; Sokal & Rohlf):
+    ``G = 2·Σ O·ln(O/E)`` with ``E = rowtot·coltot/n`` — the
+    chi-square twin that is additive across partitions of the table
+    and better behaved at small expected counts. Zero-observed cells
+    contribute 0 (O·ln O → 0), so only observed combinations enter.
+
+    One corpus aggregation to the cell table; each cell's
+    ``2·O·ln(O/E)`` rounds to 6dp before the exact integer total (the
+    BM25 ln precedent: last-ulp libm differences cannot survive the
+    per-term round). Output: one row ``(n, g_stat, dof)``.
+    """
+    cells = (
+        df.filter(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+        .groupBy(col_a, col_b)
+        .agg(F.count(F.lit(1)).alias("__o"))
+    )
+    wa = Window.partitionBy(col_a)
+    wb = Window.partitionBy(col_b)
+    wall = Window.partitionBy()
+    staged = cells.select(
+        F.col("__o"),
+        F.sum("__o").over(wa).alias("__r"),
+        F.sum("__o").over(wb).alias("__c"),
+        F.sum("__o").over(wall).alias("__n"),
+        F.size(F.collect_set(col_a).over(wall)).alias("__ka"),
+        F.size(F.collect_set(col_b).over(wall)).alias("__kb"),
+    )
+    e = (
+        F.col("__r").cast("double")
+        * F.col("__c").cast("double")
+        / F.col("__n").cast("double")
+    )
+    term = F.round(
+        2.0 * F.col("__o").cast("double") * F.log(
+            F.col("__o").cast("double") / e
+        ),
+        6,
+    )
+    agg = staged.groupBy().agg(
+        F.max("__n").alias("n"),
+        F.max("__ka").alias("__ka"),
+        F.max("__kb").alias("__kb"),
+        F.sum(
+            F.floor(term * 1e6 + 0.5).cast("decimal(38,0)")
+        ).alias("__gq"),
+    )
+    return agg.select(
+        "n",
+        F.round(
+            F.col("__gq").cast("double") / 1e6, round_dp
+        ).alias("g_stat"),
+        ((F.col("__ka") - 1) * (F.col("__kb") - 1)).cast("int").alias(
+            "dof"
+        ),
+    )

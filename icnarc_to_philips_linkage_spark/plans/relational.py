@@ -6701,6 +6701,143 @@ FROM tot, hrw10
     )
 
 
+def stat_cramers_v(spark: SparkSession, sf: str) -> DataFrame:
+    """Cramér's V (profile.cramers_v) between return flag and line
+    status — the effect size next to a24's chi-square: one corpus
+    aggregation to the observed cell table, per-cell 1e-9-quantized
+    χ² terms via the o²/(r·c) identity (zero cells contribute 0)."""
+    li = load(spark, sf, "lineitem")
+    return profile.cramers_v(li, "l_returnflag", "l_linestatus")
+
+
+STAT_CRAMERS_SQL = """
+WITH cells AS (
+  SELECT l_returnflag AS a, l_linestatus AS b, COUNT(*) AS o
+  FROM lineitem
+  WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
+  GROUP BY 1, 2),
+dims AS (SELECT COUNT(DISTINCT a) AS ka, COUNT(DISTINCT b) AS kb
+         FROM cells),
+staged AS (
+  SELECT o, SUM(o) OVER (PARTITION BY a) AS r,
+         SUM(o) OVER (PARTITION BY b) AS c,
+         SUM(o) OVER () AS n
+  FROM cells),
+agg AS (
+  SELECT MAX(n) AS n,
+    SUM(CAST(FLOOR(CAST(n AS DOUBLE)
+          * (CAST(o AS DOUBLE) * CAST(o AS DOUBLE))
+          / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE))
+          * 1000000000.0 + 0.5) AS HUGEINT)) AS tq
+  FROM staged)
+SELECT CAST(n AS BIGINT) AS n,
+  CASE WHEN LEAST(ka, kb) - 1 > 0 THEN
+    ROUND(CAST(tq AS DOUBLE) / 1000000000.0 - CAST(n AS DOUBLE), 6)
+  END AS chi2,
+  CAST(LEAST(ka, kb) - 1 AS INTEGER) AS dof_min,
+  CASE WHEN LEAST(ka, kb) - 1 > 0 THEN
+    ROUND(SQRT(GREATEST(CAST(tq AS DOUBLE) / 1000000000.0
+                        - CAST(n AS DOUBLE), 0.0)
+               / (CAST(n AS DOUBLE)
+                  * CAST(LEAST(ka, kb) - 1 AS DOUBLE))), 9)
+  END AS cramers_v
+FROM agg, dims
+"""
+
+
+def stat_g_test(spark: SparkSession, sf: str) -> DataFrame:
+    """G-test of independence (profile.g_test_independence) between
+    order priority and status — the additive log-likelihood twin of
+    the chi-square; per-cell 2·O·ln(O/E) rounds to 6dp before the
+    exact integer total (the BM25 ln precedent)."""
+    o = load(spark, sf, "orders")
+    return profile.g_test_independence(
+        o, "o_orderpriority", "o_orderstatus"
+    )
+
+
+STAT_GTEST_SQL = """
+WITH cells AS (
+  SELECT o_orderpriority AS a, o_orderstatus AS b, COUNT(*) AS o
+  FROM orders
+  WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
+  GROUP BY 1, 2),
+dims AS (SELECT COUNT(DISTINCT a) AS ka, COUNT(DISTINCT b) AS kb
+         FROM cells),
+staged AS (
+  SELECT o, SUM(o) OVER (PARTITION BY a) AS r,
+         SUM(o) OVER (PARTITION BY b) AS c,
+         SUM(o) OVER () AS n
+  FROM cells),
+agg AS (
+  SELECT MAX(n) AS n,
+    SUM(CAST(FLOOR(ROUND(
+          2.0 * CAST(o AS DOUBLE)
+          * ln(CAST(o AS DOUBLE)
+               / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE)
+                  / CAST(n AS DOUBLE))), 6)
+          * 1000000.0 + 0.5) AS HUGEINT)) AS gq
+  FROM staged)
+SELECT CAST(n AS BIGINT) AS n,
+  ROUND(CAST(gq AS DOUBLE) / 1000000.0, 6) AS g_stat,
+  CAST((ka - 1) * (kb - 1) AS INTEGER) AS dof
+FROM agg, dims
+"""
+
+
+def eval_two_proportion_z(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-proportion z-test (evaluation.two_proportion_z): does the
+    even-user-id cohort convert (purchase) at a different rate than
+    the odd cohort — the A/B workhorse next to eval_cuped. One
+    conditional aggregation to four exact counts."""
+    from icnarc_to_philips_linkage_spark.operators import evaluation
+
+    e = load(spark, sf, "events")
+    return evaluation.two_proportion_z(
+        e,
+        F.col("user_id") % 2 == 0,
+        F.col("event_type") == "purchase",
+    )
+
+
+EVAL_TWO_PROP_SQL = """
+WITH agg AS (
+  SELECT
+    SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS n1,
+    SUM(CASE WHEN user_id % 2 = 0 AND event_type = 'purchase'
+        THEN 1 ELSE 0 END) AS x1,
+    SUM(CASE WHEN user_id % 2 != 0 THEN 1 ELSE 0 END) AS n2,
+    SUM(CASE WHEN user_id % 2 != 0 AND event_type = 'purchase'
+        THEN 1 ELSE 0 END) AS x2
+  FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL)
+SELECT CAST(n1 AS BIGINT) AS n1, CAST(x1 AS BIGINT) AS x1,
+  CAST(n2 AS BIGINT) AS n2, CAST(x2 AS BIGINT) AS x2,
+  CASE WHEN n1 > 0 THEN
+    ROUND(CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE), 9) END AS p1,
+  CASE WHEN n2 > 0 THEN
+    ROUND(CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE), 9) END AS p2,
+  CASE WHEN n1 > 0 AND n2 > 0 THEN
+    ROUND(CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+          - CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE), 9) END AS lift,
+  CASE WHEN n1 > 0 AND n2 > 0
+        AND CAST(x1 + x2 AS DOUBLE) / (CAST(n1 AS DOUBLE)
+            + CAST(n2 AS DOUBLE)) > 0.0
+        AND CAST(x1 + x2 AS DOUBLE) / (CAST(n1 AS DOUBLE)
+            + CAST(n2 AS DOUBLE)) < 1.0 THEN
+    ROUND((CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+           - CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+          / SQRT(CAST(x1 + x2 AS DOUBLE)
+                 / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                 * (1.0 - CAST(x1 + x2 AS DOUBLE)
+                    / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)))
+                 * (1.0 / CAST(n1 AS DOUBLE)
+                    + 1.0 / CAST(n2 AS DOUBLE))), 9)
+  END AS z
+FROM agg
+"""
+
+
 _MARKOV_STATES = ["click", "error", "purchase", "signup", "view"]
 _MARKOV_ITERS = 10
 
@@ -7153,6 +7290,9 @@ QUERIES: dict[str, tuple] = {
     "stat_benford": (stat_benford, _benford_sql()),
     "eval_cuped": (eval_cuped, _cuped_sql()),
     "ts_cox_ph": (ts_cox_ph, _cox_sql()),
+    "stat_cramers_v": (stat_cramers_v, STAT_CRAMERS_SQL),
+    "stat_g_test": (stat_g_test, STAT_GTEST_SQL),
+    "eval_two_proportion_z": (eval_two_proportion_z, EVAL_TWO_PROP_SQL),
     "eval_bh_fdr": (eval_bh_fdr, _bh_fdr_sql()),
     "eval_cliffs_delta": (eval_cliffs_delta, EVAL_CLIFFS_SQL),
     "ml_gd_conformal": (ml_gd_conformal, _gd_conformal_sql()),

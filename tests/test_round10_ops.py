@@ -894,3 +894,79 @@ def test_cox_no_events_null(spark):
     )
     r = ts.cox_ph_single(df, "t", "e", "x").collect()[0]
     assert r.beta is None and r.hazard_ratio is None
+
+
+# ---------------------------------------------------------------------------
+# profile.cramers_v / g_test_independence, evaluation.two_proportion_z
+# ---------------------------------------------------------------------------
+
+
+def test_cramers_v_perfect_and_independent(spark):
+    from icnarc_to_philips_linkage_spark.operators import profile as pr
+
+    # perfect association: b == a -> V = 1
+    perfect = spark.createDataFrame(
+        [("x", "x")] * 5 + [("y", "y")] * 5, "a string, b string"
+    )
+    r = pr.cramers_v(perfect, "a", "b").collect()[0]
+    assert r.cramers_v == pytest.approx(1.0, abs=1e-6)
+    # exact independence: uniform 2x2 -> chi2 = 0, V = 0
+    indep = spark.createDataFrame(
+        [("x", "u"), ("x", "v"), ("y", "u"), ("y", "v")] * 3,
+        "a string, b string",
+    )
+    r2 = pr.cramers_v(indep, "a", "b").collect()[0]
+    assert r2.chi2 == pytest.approx(0.0, abs=1e-6)
+    assert r2.cramers_v == pytest.approx(0.0, abs=1e-6)
+    # constant column -> NULL
+    const = spark.createDataFrame(
+        [("x", "u"), ("x", "v")], "a string, b string"
+    )
+    assert pr.cramers_v(const, "a", "b").collect()[0].cramers_v is None
+
+
+def test_g_test_matches_reference(spark):
+    import math
+
+    from icnarc_to_philips_linkage_spark.operators import profile as pr
+
+    counts = {("x", "u"): 10, ("x", "v"): 20, ("y", "u"): 30,
+              ("y", "v"): 5}
+    rows = [(a, b) for (a, b), c in counts.items() for _ in range(c)]
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = pr.g_test_independence(df, "a", "b").collect()[0]
+    n = sum(counts.values())
+    ra = {"x": 30, "y": 35}
+    cb = {"u": 40, "v": 25}
+    g = sum(
+        round(2.0 * o * math.log(o / (ra[a] * cb[b] / n)), 6)
+        for (a, b), o in counts.items()
+    )
+    assert r.n == n and r.dof == 1
+    assert r.g_stat == pytest.approx(g, abs=1e-5)
+
+
+def test_two_proportion_z_hand_computed(spark):
+    from icnarc_to_philips_linkage_spark.operators import evaluation as ev
+
+    # group1: 30/100, group2: 20/100
+    rows = (
+        [(True, True)] * 30 + [(True, False)] * 70
+        + [(False, True)] * 20 + [(False, False)] * 80
+    )
+    df = spark.createDataFrame(rows, "g boolean, s boolean")
+    r = ev.two_proportion_z(df, "g", "s").collect()[0]
+    assert (r.n1, r.x1, r.n2, r.x2) == (100, 30, 100, 20)
+    pp = 50 / 200
+    se = (pp * (1 - pp) * (1 / 100 + 1 / 100)) ** 0.5
+    assert r.z == pytest.approx(0.1 / se, abs=1e-9)
+    assert r.lift == pytest.approx(0.1)
+
+
+def test_two_proportion_z_degenerate_null(spark):
+    from icnarc_to_philips_linkage_spark.operators import evaluation as ev
+
+    all_success = spark.createDataFrame(
+        [(True, True), (False, True)], "g boolean, s boolean"
+    )
+    assert ev.two_proportion_z(all_success, "g", "s").collect()[0].z is None
