@@ -350,6 +350,168 @@ def main() -> int:
         assert len(out) == 20
         assert all(r.n_obs == 366 and r.n_pairs == 66795 for r in out)
 
+    # ---- batch 3: the remaining round-10 ops with corpus-scale
+    # inputs (all collapse to bounded grains in one aggregation; the
+    # smoke prices that corpus pass). Closed-form ride-alongs again.
+    from icnarc_to_philips_linkage_spark.operators import text as txt
+
+    if want("cox"):
+        # higher activity -> systematically shorter durations: beta > 0
+        x = (
+            F.pmod(F.xxhash64("id", F.lit(11)), F.lit(50)) / 50.0
+        )
+        noise = F.pmod(F.xxhash64("id", F.lit(12)), F.lit(60))
+        subj = spark.range(n100).select(
+            (
+                F.lit(360) - F.floor(x * 300).cast("int") + noise.cast("int")
+            ).alias("t"),
+            x.alias("x"),
+            (F.pmod(F.xxhash64("id", F.lit(13)), F.lit(10)) < 8)
+            .cast("int")
+            .alias("e"),
+        )
+        t = time.time()
+        r = tso.cox_ph_single(subj, "t", "e", "x").collect()[0]
+        timings["cox_100m_subjects"] = round(time.time() - t, 2)
+        print(
+            "cox_100m_subjects", timings["cox_100m_subjects"],
+            "beta", r.beta, "hr", r.hazard_ratio,
+            "events", r.n_events, flush=True,
+        )
+        assert r.n_subjects == n100 and r.beta > 0.5
+
+    if want("cuped"):
+        xv = F.pmod(F.xxhash64("id", F.lit(14)), F.lit(1000)) / 100.0
+        nz = F.pmod(F.xxhash64("id", F.lit(15)), F.lit(100)) / 100.0
+        rows_df = spark.range(n100).select(
+            F.when(F.col("id") % 2 == 0, "A").otherwise("B")
+            .alias("variant"),
+            (2.0 * xv + nz).alias("y"),
+            xv.alias("x"),
+        )
+        t = time.time()
+        out = {
+            r.variant: r
+            for r in ev.cuped_adjusted_means(
+                rows_df, "y", "x", "variant"
+            ).collect()
+        }
+        timings["cuped_100m_rows"] = round(time.time() - t, 2)
+        print(
+            "cuped_100m_rows", timings["cuped_100m_rows"],
+            "rho2", out["A"].rho2, "theta", out["A"].theta, flush=True,
+        )
+        assert out["A"].rho2 > 0.99  # y = 2x + small noise
+        # no planted lift: adjusted gap ~ 0
+        assert abs(out["A"].mean_adjusted - out["B"].mean_adjusted) < 0.01
+
+    if want("cramers"):
+        # b == a exactly -> V = 1.0 EXACT via the o2/(rc) identity
+        a = F.pmod(F.xxhash64("id", F.lit(16)), F.lit(5)).cast("string")
+        rows_df = spark.range(n100).select(a.alias("a"), a.alias("b"))
+        t = time.time()
+        r = pr.cramers_v(rows_df, "a", "b").collect()[0]
+        timings["cramers_100m_rows"] = round(time.time() - t, 2)
+        print(
+            "cramers_100m_rows", timings["cramers_100m_rows"],
+            "v", r.cramers_v, "n", r.n, flush=True,
+        )
+        assert r.n == n100 and r.cramers_v == 1.0
+
+    if want("gtest"):
+        # perfect diagonal, uniform 5 levels: G = 2n·ln(5) (each cell
+        # contributes (n/5)·ln(5), 6dp-rounded per cell)
+        import math
+
+        a = F.pmod(F.xxhash64("id", F.lit(17)), F.lit(5)).cast("string")
+        rows_df = spark.range(n100).select(a.alias("a"), a.alias("b"))
+        t = time.time()
+        r = pr.g_test_independence(rows_df, "a", "b").collect()[0]
+        timings["gtest_100m_rows"] = round(time.time() - t, 2)
+        print(
+            "gtest_100m_rows", timings["gtest_100m_rows"],
+            "g", r.g_stat, "expected~", 2 * n100 * math.log(5.0),
+            flush=True,
+        )
+        assert abs(r.g_stat - 2 * n100 * math.log(5.0)) < 1000
+
+    if want("twoprop"):
+        g = F.pmod(F.xxhash64("id", F.lit(18)), F.lit(2)) == 0
+        s = F.when(
+            g, F.pmod(F.xxhash64("id", F.lit(19)), F.lit(10)) < 3
+        ).otherwise(F.pmod(F.xxhash64("id", F.lit(19)), F.lit(10)) < 2)
+        rows_df = spark.range(n100).select(g.alias("g"), s.alias("s"))
+        t = time.time()
+        r = ev.two_proportion_z(rows_df, "g", "s").collect()[0]
+        timings["two_prop_100m_rows"] = round(time.time() - t, 2)
+        print(
+            "two_prop_100m_rows", timings["two_prop_100m_rows"],
+            "p1", r.p1, "p2", r.p2, "z", r.z, flush=True,
+        )
+        assert abs(r.p1 - 0.3) < 0.001 and abs(r.p2 - 0.2) < 0.001
+        assert r.z > 100  # a 10-point lift at 50M per arm
+
+    if want("vocab"):
+        # 10M docs x 10 tokens; 10% of positions are structurally
+        # unique singletons -> f1 = 10M exactly (common vocab 1M with
+        # ~90 draws/word adds no singletons)
+        n_docs_v, tpd = 10_000_000, 10
+        toks_v = F.transform(
+            F.sequence(F.lit(0), F.lit(tpd - 1)),
+            lambda i: F.when(
+                F.pmod(F.xxhash64("id", i), F.lit(10)) == 0,
+                F.concat_ws(
+                    "_", F.lit("u"), F.col("id").cast("string"),
+                    i.cast("string"),
+                ),
+            ).otherwise(
+                F.concat(
+                    F.lit("w"),
+                    F.pmod(
+                        F.xxhash64("id", i, F.lit(20)),
+                        F.lit(1_000_000),
+                    ).cast("string"),
+                )
+            ),
+        )
+        docs_v = spark.range(n_docs_v).select(
+            F.concat_ws(" ", toks_v).alias("text")
+        )
+        t = time.time()
+        r = txt.vocab_richness_report(docs_v).collect()[0]
+        timings["vocab_richness_100m_tokens"] = round(time.time() - t, 2)
+        n_singletons_expected = docs_v.select(
+            F.explode(F.split("text", " ")).alias("w")
+        ).filter(F.col("w").startswith("u")).count()
+        print(
+            "vocab_richness_100m_tokens",
+            timings["vocab_richness_100m_tokens"],
+            "f1", r.f1_singletons, "expected", n_singletons_expected,
+            "chao1", r.chao1_estimate, flush=True,
+        )
+        assert r.n_tokens == n_docs_v * tpd
+        assert r.f1_singletons == n_singletons_expected
+        assert r.chao1_estimate > r.vocab_size
+
+    if want("isotonic"):
+        # monotone planted rates -> the PAV fit equals the raw rates
+        sb = F.pmod(F.xxhash64("id", F.lit(21)), F.lit(20)).cast("int")
+        yv = (
+            F.pmod(F.xxhash64("id", F.lit(22)), F.lit(100))
+            < (sb * 4 + 5)
+        )
+        rows_df = spark.range(n100).select(sb.alias("sb"), yv.alias("y"))
+        t = time.time()
+        out = ev.isotonic_calibration_grid(rows_df, "sb", "y").collect()
+        timings["isotonic_100m_rows"] = round(time.time() - t, 2)
+        print(
+            "isotonic_100m_rows", timings["isotonic_100m_rows"],
+            "bins", len(out), flush=True,
+        )
+        assert len(out) == 20
+        for r in out:
+            assert abs(r.iso_rate - r.raw_rate) < 1e-9, r
+
     print(json.dumps({
         "n_docs_corpus_a": n_docs,
         "timings_sec": timings,
