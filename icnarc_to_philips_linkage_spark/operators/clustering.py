@@ -24,6 +24,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from icnarc_to_philips_linkage_spark.operators.scale import (
+    bounded_global_partition,
+    bounded_global_window,
+)
+
 from icnarc_to_philips_linkage_spark.operators.similarity import norm_sq
 
 
@@ -100,7 +105,7 @@ def kmeans(
         F.col(vec_col).alias("embedding"),
         norm_sq(vec_col).alias("p_nsq"),
     ).cache()
-    w = Window.orderBy("vec_id")
+    w = bounded_global_window("vec_id")
     cents = (
         points.orderBy("vec_id")
         .limit(k)

@@ -30,6 +30,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from icnarc_to_philips_linkage_spark.operators.scale import (
+    bounded_global_partition,
+    bounded_global_window,
+)
+
 
 def bucketize(col, lo: float, hi: float, bins: int):
     """Equal-width bucket index in [0, bins-1], clamping out-of-range
@@ -225,8 +230,8 @@ def wasserstein_report(
         )
         .filter(F.col("bucket").isNotNull())
     )
-    tot = Window.partitionBy()
-    cum = Window.orderBy("bucket").rowsBetween(
+    tot = bounded_global_partition("bucket")
+    cum = bounded_global_window("bucket").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     with_p = counts.select(
@@ -234,7 +239,7 @@ def wasserstein_report(
         (F.col("n_ref") / F.sum("n_ref").over(tot)).alias("__pr"),
         (F.col("n_cur") / F.sum("n_cur").over(tot)).alias("__pc"),
     )
-    ordered = Window.orderBy("bucket")
+    ordered = bounded_global_window("bucket")
     with_cdf = with_p.select(
         "bucket",
         F.round("__pr", 6).alias("p_ref"),
@@ -249,7 +254,7 @@ def wasserstein_report(
             F.lead("bucket", 1, bins).over(ordered) - F.col("bucket")
         ).alias("__span"),
     )
-    w1 = Window.partitionBy()
+    w1 = bounded_global_partition("bucket")
     return with_cdf.select(
         "bucket",
         "p_ref",

@@ -51,6 +51,11 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from icnarc_to_philips_linkage_spark.operators.scale import (
+    bounded_global_partition,
+    bounded_global_window,
+)
+
 
 def roc_auc(
     df: DataFrame,
@@ -104,7 +109,11 @@ def roc_auc_by(
         )
     )
     w = (
-        (Window.partitionBy(*gcols) if gcols else Window.partitionBy())
+        (
+            Window.partitionBy(*gcols)
+            if gcols
+            else bounded_global_partition("__s")
+        )
         .orderBy("__s")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
@@ -245,7 +254,9 @@ def calibration_bins(
         F.lit(bins - 1),
         F.floor(F.col(prob_col) * bins).cast("int"),
     )
-    n_tot = Window.partitionBy()  # 1-row aggregate broadcast per bin via window over <=bins rows
+    n_tot = bounded_global_partition(
+        "bin"
+    )  # 1-row aggregate broadcast per bin via window over <=bins rows
     out = (
         base.groupBy(bin_idx.alias("bin"))
         .agg(
@@ -297,12 +308,10 @@ def ks_separation(
             F.sum(lbl.cast("long")).alias("__p"),
         )
     )
-    w = (
-        Window.partitionBy()
-        .orderBy("__s")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w = bounded_global_window("__s").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
     )
-    w_all = Window.partitionBy()
+    w_all = bounded_global_partition("__s")
     cum = (
         per_score.withColumn("__cp", F.sum("__p").over(w))
         .withColumn("__cn", F.sum(F.col("__c") - F.col("__p")).over(w))
@@ -320,8 +329,8 @@ def ks_separation(
         scored.withColumn(
             "__rn",
             F.row_number().over(
-                Window.partitionBy().orderBy(
-                    F.desc("__gap"), F.asc("__s")
+                bounded_global_window(
+                    "__s", F.desc("__gap"), F.asc("__s")
                 )
             ),
         )
@@ -997,12 +1006,14 @@ def conformal_coverage_binary(
         .groupBy("__s")
         .agg(F.count(F.lit(1)).alias("__c"))
     )
-    w = Window.orderBy("__s").rowsBetween(Window.unboundedPreceding, 0)
+    w = bounded_global_window("__s").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
     cum = per_s.select(
         "__s",
         F.sum("__c").over(w).alias("__cum"),
         F.sum("__c").over(
-            Window.orderBy(F.lit(1)).rowsBetween(
+            bounded_global_window("__s", F.lit(1)).rowsBetween(
                 Window.unboundedPreceding, Window.unboundedFollowing
             )
         ).alias("__n"),
@@ -1153,6 +1164,37 @@ _BOOT_PMF_CUM = (
 )
 
 
+def _boot_weight_col(key_col: str, salt: str, b: int):
+    """~Poisson(1) replication weight for resample ``b`` (Chamandy et
+    al. 2012 truncated pmf): four independent 8-hex bands per md5
+    digest — resample b reads slice (b mod 4) of digest (b div 4),
+    4× fewer digests per row than one-md5-per-resample (measured the
+    dominant cost at B=20), same uniform bands. Deterministic,
+    partition-invariant, bit-replayable in the oracle."""
+    from icnarc_to_philips_linkage_spark.operators.sampling import (
+        _threshold_hex,
+    )
+
+    t0, t1, t2 = (_threshold_hex(x) for x in _BOOT_PMF_CUM)
+    u = F.substring(
+        F.md5(
+            F.concat(
+                F.lit(f"{salt}:{b // 4}:"),
+                F.col(key_col).cast("string"),
+            )
+        ),
+        1 + 8 * (b % 4),
+        8,
+    )
+    return (
+        F.when(u < t0, F.lit(0))
+        .when(u < t1, F.lit(1))
+        .when(u < t2, F.lit(2))
+        .otherwise(F.lit(3))
+        .cast("long")
+    )
+
+
 def auc_bootstrap_ci(
     df: DataFrame,
     score_col: str,
@@ -1183,37 +1225,12 @@ def auc_bootstrap_ci(
     ci bounds are the min/max order statistics (the 2.5/97.5%
     percentile indexes at B=20), auc_med the B/2-th.
     """
-    from icnarc_to_philips_linkage_spark.operators.sampling import (
-        _threshold_hex,
-    )
-
     b_n = n_resamples
     p = F.col(score_col).cast("double")
     y = F.col(label_col).cast("int")
-    t0, t1, t2 = (_threshold_hex(x) for x in _BOOT_PMF_CUM)
 
     def w_col(b: int):
-        # four independent 8-hex bands per md5 digest: resample b
-        # reads slice (b mod 4) of digest (b div 4) — 4× fewer
-        # digests per row than one-md5-per-resample (measured the
-        # dominant cost at B=20), same uniform bands
-        u = F.substring(
-            F.md5(
-                F.concat(
-                    F.lit(f"{salt}:{b // 4}:"),
-                    F.col(key_col).cast("string"),
-                )
-            ),
-            1 + 8 * (b % 4),
-            8,
-        )
-        return (
-            F.when(u < t0, F.lit(0))
-            .when(u < t1, F.lit(1))
-            .when(u < t2, F.lit(2))
-            .otherwise(F.lit(3))
-            .cast("long")
-        )
+        return _boot_weight_col(key_col, salt, b)
 
     base = df.filter(
         p.isNotNull() & y.isNotNull() & F.col(key_col).isNotNull()
@@ -1232,7 +1249,9 @@ def auc_bootstrap_ci(
             F.sum(F.col(f"__w{b}") * F.col("__y")).alias(f"__p{b}")
         )
     per = base.groupBy("__s").agg(*aggs)
-    w = Window.orderBy("__s").rowsBetween(Window.unboundedPreceding, 0)
+    w = bounded_global_window("__s").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
     cum_cols = [
         (F.sum("__c").over(w) - F.col("__c")).alias("__b"),
         *[
@@ -1292,6 +1311,148 @@ def auc_bootstrap_ci(
     )
 
 
+def paired_bootstrap_delta_auc(
+    df: DataFrame,
+    score1_col: str,
+    score2_col: str,
+    label_col: str,
+    key_col: str,
+    n_resamples: int = 20,
+    salt: str = "boot",
+    round_dp: int = 9,
+) -> DataFrame:
+    """Paired Poisson-bootstrap CI for ΔAUC = AUC₁ − AUC₂ of two
+    scorers evaluated on the SAME rows — the resampling cross-check
+    of ``delong_paired_auc_test`` (round-10 verdict task #5): DeLong
+    gives the asymptotic z; this brackets the same difference with
+    the ``auc_bootstrap_ci`` machinery.
+
+    PAIRED means each row draws ONE ~Poisson(1) replication weight
+    per resample (md5-band, keyed by ``key_col``+``salt``) and that
+    weight applies to BOTH scorers, so replicate b's two AUCs see the
+    identical resampled population and their difference is a true
+    paired draw. Rows must carry both scores (either NULL drops the
+    pair — the DeLong pairing contract).
+
+    Scale shape: the weighted corpus reduces on each scorer's OWN
+    bounded distinct-score grain (two passes — the joint (s1, s2)
+    grid could be grid² on unrelated scorers, so we don't require a
+    joint-grid contract), each pass the exact plan of one
+    ``auc_bootstrap_ci``; the two 1-row aggregates broadcast-join and
+    the B deltas sort in one array expression.
+
+    Output one row: ``(n_resamples, auc_1, auc_2, delta_auc, ci_lo,
+    ci_hi, delta_med)`` — ci bounds are the min/max order statistics
+    at B=20 (2.5/97.5% indexes), delta_med the B/2-th.
+    """
+    b_n = n_resamples
+    s1 = F.col(score1_col).cast("double")
+    s2 = F.col(score2_col).cast("double")
+    y = F.col(label_col).cast("int")
+    base = df.filter(
+        s1.isNotNull()
+        & s2.isNotNull()
+        & y.isNotNull()
+        & F.col(key_col).isNotNull()
+    ).select(
+        s1.alias("__s1"),
+        s2.alias("__s2"),
+        y.alias("__y"),
+        *[
+            _boot_weight_col(key_col, salt, b).alias(f"__w{b}")
+            for b in range(b_n)
+        ],
+    )
+
+    def rs2(pcol, ccol, bcol):
+        return F.sum(
+            F.col(pcol).cast("decimal(38,0)")
+            * (2 * F.col(bcol) + F.col(ccol) + 1).cast("decimal(38,0)")
+        )
+
+    def auc_expr(npos, n, r):
+        np_ = F.col(npos).cast("decimal(38,0)")
+        return F.when(
+            (F.col(npos) > 0) & ((F.col(n) - F.col(npos)) > 0),
+            F.round(
+                (F.col(r) - np_ * (np_ + 1)).cast("double")
+                / (F.lit(2.0) * F.col(npos) * (F.col(n) - F.col(npos))),
+                round_dp,
+            ),
+        )
+
+    def side(tag: str) -> DataFrame:
+        aggs = [
+            F.count(F.lit(1)).alias("__c"),
+            F.sum("__y").alias("__pos"),
+        ]
+        for b in range(b_n):
+            aggs.append(F.sum(f"__w{b}").alias(f"__c{b}"))
+            aggs.append(
+                F.sum(F.col(f"__w{b}") * F.col("__y")).alias(f"__p{b}")
+            )
+        per = base.groupBy(
+            F.col(f"__s{tag}").alias("__s")
+        ).agg(*aggs)
+        w = bounded_global_window("__s").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        cum = per.select(
+            "*",
+            (F.sum("__c").over(w) - F.col("__c")).alias("__b"),
+            *[
+                (F.sum(f"__c{b}").over(w) - F.col(f"__c{b}")).alias(
+                    f"__b{b}"
+                )
+                for b in range(b_n)
+            ],
+        )
+        final_aggs = [
+            F.sum("__pos").alias("__npos"),
+            F.sum("__c").alias("__n"),
+            rs2("__pos", "__c", "__b").alias("__rs2"),
+        ]
+        for b in range(b_n):
+            final_aggs.append(F.sum(f"__p{b}").alias(f"__npos{b}"))
+            final_aggs.append(F.sum(f"__c{b}").alias(f"__n{b}"))
+            final_aggs.append(
+                rs2(f"__p{b}", f"__c{b}", f"__b{b}").alias(f"__rs2{b}")
+            )
+        agg = cum.agg(*final_aggs)
+        return agg.select(
+            auc_expr("__npos", "__n", "__rs2").alias(f"auc_{tag}"),
+            *[
+                auc_expr(f"__npos{b}", f"__n{b}", f"__rs2{b}").alias(
+                    f"__a{tag}_{b}"
+                )
+                for b in range(b_n)
+            ],
+        )
+
+    joined = side("1").crossJoin(F.broadcast(side("2")))
+    deltas = F.array_sort(
+        F.array(
+            *[
+                F.round(
+                    F.col(f"__a1_{b}") - F.col(f"__a2_{b}"), round_dp
+                )
+                for b in range(b_n)
+            ]
+        )
+    )
+    return joined.select(
+        F.lit(b_n).alias("n_resamples"),
+        "auc_1",
+        "auc_2",
+        F.round(F.col("auc_1") - F.col("auc_2"), round_dp).alias(
+            "delta_auc"
+        ),
+        F.element_at(deltas, 1).alias("ci_lo"),
+        F.element_at(deltas, b_n).alias("ci_hi"),
+        F.element_at(deltas, b_n // 2).alias("delta_med"),
+    )
+
+
 def mcc_at_threshold(
     df: DataFrame,
     score_col: str,
@@ -1346,6 +1507,23 @@ def mcc_at_threshold(
     )
 
 
+def _probe_driver_bounded(df: DataFrame, limit: int, what: str) -> None:
+    """Pre-collect guard for the driver-loop operators: count at most
+    ``limit + 1`` rows of an aggregated frame engine-side (a LIMIT
+    probe — Spark stops the scan as soon as limit+1 rows surface) and
+    raise BEFORE any ``.collect()``, so a contract-violating input can
+    never materialize an unbounded frame on the driver. Round-11
+    hardening of the round-10 ``max_items``/``max_patterns`` guards,
+    which only checked after collecting."""
+    n = df.limit(limit + 1).count()
+    if n > limit:
+        raise ValueError(
+            f"{what} exceeds the driver-bounded contract "
+            f"(> {limit} rows in the aggregated frame); refusing to "
+            "collect"
+        )
+
+
 def bradley_terry_strengths(
     pairs: DataFrame,
     winner_col: str = "winner",
@@ -1388,7 +1566,7 @@ def bradley_terry_strengths(
     """
     import math
 
-    counts_rows = (
+    grouped = (
         pairs.filter(
             F.col(winner_col).isNotNull() & F.col(loser_col).isNotNull()
         )
@@ -1397,8 +1575,15 @@ def bradley_terry_strengths(
             F.col(loser_col).cast("string").alias("__l"),
         )
         .agg(F.count(F.lit(1)).alias("__c"))
-        .collect()
     )
+    _probe_driver_bounded(
+        grouped.select(F.col("__w").alias("__i"))
+        .union(grouped.select(F.col("__l").alias("__i")))
+        .distinct(),
+        max_items,
+        f"distinct items (max_items={max_items})",
+    )
+    counts_rows = grouped.collect()
     c: dict[tuple[str, str], int] = {}
     seen: set[str] = set()
     for r in counts_rows:
@@ -1575,9 +1760,9 @@ def delong_paired_auc(
             F.sum(F.col("__y").cast("long")).alias("__p"),
             F.sum((~F.col("__y")).cast("long")).alias("__q"),
         )
-        w = Window.orderBy(f"__g{tag}").rowsBetween(
+        w = bounded_global_window(f"__g{tag}").rowsBetween(
             Window.unboundedPreceding, Window.currentRow
-        )  # bounded-global-window: the grain is the score grid
+        )  # the grain is the score grid
         return g.select(
             f"__g{tag}",
             (F.sum("__q").over(w) - F.col("__q")).alias(f"__qlt{tag}"),
@@ -1672,8 +1857,12 @@ def normal_sf_approx(x) -> Column:
     x ≥ 0 via Abramowitz & Stegun 26.2.17 (|error| < 7.5e-8): one
     exp plus a degree-5 polynomial in t = 1/(1 + 0.2316419·x).
     Neither Spark nor DuckDB ships erf, so p-values ride this FIXED
-    expression — identical term order in the SQL oracles, same-libm
-    exp, error far below the output rounding grid."""
+    expression — identical term order in the SQL oracles; the one
+    transcendental (exp) is JVM Math.exp vs C libm, which may differ
+    in the last ulp, so downstream comparisons must round the output
+    (the registry rounds to ≤9 dp; a rounding-boundary flip is
+    theoretically possible but has a ~1e-16/ulp-scale window,
+    vs the 7.5e-8 approximation error itself)."""
     t = 1.0 / (1.0 + 0.2316419 * x)
     poly = t * (
         0.319381530
@@ -1732,6 +1921,17 @@ def wilcoxon_signed_rank(
     v2 = (
         F.col(value2_col) if isinstance(value2_col, str) else value2_col
     )
+    dt = df.select((v1 - v2).alias("__d")).schema["__d"].dataType
+    ds = dt.simpleString()
+    if ds not in ("tinyint", "smallint", "int", "bigint") and not (
+        ds.startswith("decimal") and ds.endswith(",0)")
+    ):
+        raise ValueError(
+            f"difference type {ds} is not integer-valued; quantize "
+            "fixed-grid metrics to integers first (the caller owns "
+            "the grid) — a silent cast('long') would truncate toward "
+            "zero and produce plausible-but-wrong ranks"
+        )
     d = (v1 - v2).cast("long")
     base = df.filter(v1.isNotNull() & v2.isNotNull()).select(
         d.alias("__d")
@@ -1741,9 +1941,9 @@ def wilcoxon_signed_rank(
         F.count(F.lit(1)).alias("__c"),
         F.sum((F.col("__d") > 0).cast("long")).alias("__pos"),
     )
-    w = Window.orderBy("__ad").rowsBetween(
+    w = bounded_global_window("__ad").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
-    )  # bounded-global-window: the grain is the |difference| grid
+    )  # the grain is the |difference| grid
     ranked = grain.withColumn(
         "__b", F.sum("__c").over(w) - F.col("__c")
     )
@@ -1820,7 +2020,9 @@ def bh_fdr(
         *fam, F.col(key_col), F.col(p_col).cast("double").alias("__p")
     )
     wp = (
-        Window.partitionBy(*fam) if fam else Window.partitionBy()
+        Window.partitionBy(*fam)
+        if fam
+        else bounded_global_partition("__p")
     )
     word = wp.orderBy(F.col("__p").asc(), F.col(key_col).asc())
     staged = base.select(
@@ -1891,9 +2093,9 @@ def cliffs_delta(
             F.sum(g.cast("long")).alias("__p"),
         )
     )
-    w = Window.orderBy("__v").rowsBetween(
+    w = bounded_global_window("__v").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
-    )  # bounded-global-window: the grain is the value grid
+    )  # the grain is the value grid
     ranked = per.withColumn(
         "__b", F.sum("__c").over(w) - F.col("__c")
     ).withColumn(
@@ -1967,15 +2169,20 @@ def plackett_luce_strengths(
     """
     import math
 
-    pat_rows = (
+    pat_grouped = (
         rankings.filter(
             F.col(ranking_col).isNotNull()
             & (F.size(ranking_col) >= 2)
         )
         .groupBy(F.col(ranking_col).alias("__pat"))
         .agg(F.count(F.lit(1)).alias("__c"))
-        .collect()
     )
+    _probe_driver_bounded(
+        pat_grouped,
+        max_patterns,
+        f"distinct ranking patterns (max_patterns={max_patterns})",
+    )
+    pat_rows = pat_grouped.collect()
     counts: dict[tuple[str, ...], int] = {}
     seen: set[str] = set()
     for r in pat_rows:
@@ -2080,14 +2287,14 @@ def isotonic_calibration_grid(
             F.sum(y.cast("long")).alias("__p"),
         )
     )
-    w = Window.orderBy("__s").rowsBetween(
+    w = bounded_global_window("__s").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
-    )  # bounded-global-window: the grain is the calibration grid
+    )  # the grain is the calibration grid
     pre = grain.select(
         "__s",
         "__n",
         "__p",
-        F.row_number().over(Window.orderBy("__s")).alias("__i"),
+        F.row_number().over(bounded_global_window("__s")).alias("__i"),
         F.sum("__n").over(w).alias("__cn"),
         F.sum("__p").over(w).alias("__cp"),
     )

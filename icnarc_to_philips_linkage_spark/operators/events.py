@@ -25,6 +25,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from icnarc_to_philips_linkage_spark.operators.scale import (
+    bounded_global_partition,
+    bounded_global_window,
+)
+
 from . import cachereg
 
 
@@ -224,7 +229,7 @@ def concurrency_profile(
         .groupBy("b")
         .agg(F.sum("d").alias("delta"))
     )
-    w = Window.orderBy("b").rowsBetween(
+    w = bounded_global_window("b").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     return deltas.select(

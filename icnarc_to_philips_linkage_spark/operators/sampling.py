@@ -20,6 +20,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from icnarc_to_philips_linkage_spark.operators.scale import (
+    bounded_global_partition,
+    bounded_global_window,
+)
+
 _HEX_SPACE = 16**8  # the 8-hex-char prefix spans [0, 16^8)
 
 
@@ -432,7 +437,9 @@ def weighted_reservoir_topk(
         .orderBy(F.desc("sample_key"), F.asc(id_col))
         .limit(k)
     )
-    win = Window.orderBy(F.desc("sample_key"), F.asc(id_col))
+    win = bounded_global_window(
+        "sample_key", F.desc("sample_key"), F.asc(id_col)
+    )
     return ranked.withColumn("rank", F.row_number().over(win))
 
 
@@ -782,8 +789,10 @@ def unimax_allocation(
     if budget_tokens <= 0:
         raise ValueError("budget_tokens must be positive")
     b = F.lit(budget_tokens)
-    w_ord = Window.orderBy(F.asc("cap_tokens"), F.asc(source_col))
-    w_all = Window.partitionBy()
+    w_ord = bounded_global_window(
+        "cap_tokens", F.asc("cap_tokens"), F.asc(source_col)
+    )
+    w_all = bounded_global_partition("cap_tokens")
     idx = (
         per.withColumn("__i", F.row_number().over(w_ord))
         .withColumn(

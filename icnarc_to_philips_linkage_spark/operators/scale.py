@@ -276,6 +276,44 @@ def grouped_global_rank(
     )
 
 
+def bounded_global_window(key_col: str, *order_cols):
+    """WindowSpec for a TOTAL-order window over a DRIVER-BOUNDED grain
+    (score grid, |difference| grid, calibration grid, merge table —
+    the ``roc_auc`` precedent): semantically identical to
+    ``Window.orderBy(*order_cols)``, but with a constant NON-FOLDABLE
+    partition key so WindowExec sees a defined partition spec and does
+    not emit its "Moving all data to a single partition" warning.
+    Bounded grains declare their boundedness here; a WindowExec
+    warning in the logs is therefore a REAL signal again — a
+    corpus-scale frame missing the ``global_prefix_sums`` /
+    ``global_rank`` rewrite (round-10 verdict task #6).
+
+    The key must be non-foldable or Catalyst folds it out of the
+    partition spec, restoring the warning (``F.lit(0)`` does NOT
+    work): ``substring(coalesce(cast(key_col as string), ''), 1, 0)``
+    is ``''`` for every row — null-safe, any input type — and hashes
+    all rows to the same single partition, exactly the physical shape
+    the empty spec had. ``key_col`` is any column of the frame
+    (conventionally the first order column); ``order_cols`` defaults
+    to ``(key_col,)``.
+    """
+    ordering = order_cols if order_cols else (key_col,)
+    return bounded_global_partition(key_col).orderBy(*ordering)
+
+
+def bounded_global_partition(key_col: str):
+    """The order-free sibling of ``bounded_global_window``: a
+    whole-frame window (``Window.partitionBy()``) over a DRIVER-BOUNDED
+    grain, with the same constant non-foldable partition key so
+    WindowExec does not emit the single-partition warning. Use for
+    pct-of-total style aggregates over bounded frames; corpus-scale
+    totals belong in a real aggregation instead."""
+    key = F.substring(
+        F.coalesce(F.col(key_col).cast("string"), F.lit("")), 1, 0
+    )
+    return Window.partitionBy(key)
+
+
 def global_prefix_sums(
     df: DataFrame,
     order_cols: list[str],

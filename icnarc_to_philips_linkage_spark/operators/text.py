@@ -16,6 +16,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from icnarc_to_philips_linkage_spark.operators.scale import (
+    bounded_global_partition,
+    bounded_global_window,
+)
+
 from . import cachereg
 
 # Deterministic marker lexicons for the language-ID heuristic. A real
@@ -788,7 +793,9 @@ def bpe_pair_counts(
         )
     )
     counts = pairs.groupBy("pair").agg(F.sum("freq").alias("pair_n"))
-    w = Window.orderBy(F.desc("pair_n"), F.asc("pair"))
+    w = bounded_global_window(
+        "pair_n", F.desc("pair_n"), F.asc("pair")
+    )
     return (
         counts.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= top_k)
@@ -832,7 +839,9 @@ def tokens_to_ids(
     )
     vocab = top.withColumn(
         "id",
-        F.row_number().over(Window.orderBy(F.desc("freq"), F.asc("tok"))),
+        F.row_number().over(
+            bounded_global_window("freq", F.desc("freq"), F.asc("tok"))
+        ),
     ).select("tok", "id")
     mapped = toks.join(F.broadcast(vocab), "tok", "left").select(
         doc_id,

@@ -26,6 +26,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from icnarc_to_philips_linkage_spark.operators.scale import (
+    bounded_global_partition,
+    bounded_global_window,
+)
+
 from ..functions.expressions import ts_micros
 
 _UNIT_US = {
@@ -938,7 +943,7 @@ def kaplan_meier(
             .alias("n_censored"),
         )
     )
-    w = Window.orderBy("duration")
+    w = bounded_global_window("duration")
     # at-risk at t = subjects whose duration is >= t: one reverse
     # running sum over the tiny risk table
     staged = risk.select(
@@ -1019,7 +1024,7 @@ def logrank_test(
             F.sum("in_a").alias("tot1"),
         )
     )
-    w = Window.orderBy("t").rowsBetween(
+    w = bounded_global_window("t").rowsBetween(
         Window.currentRow, Window.unboundedFollowing
     )
     staged = risk.select(
@@ -1414,6 +1419,7 @@ def cox_ph_single(
     x_col: str,
     iters: int = 8,
     round_dp: int = 6,
+    max_cells: int = 10_000,
 ) -> DataFrame:
     """Cox proportional-hazards regression with ONE covariate
     (Cox 1972; Breslow tie handling) — the missing member of the
@@ -1424,7 +1430,12 @@ def cox_ph_single(
     Scale shape (the FS-EM / gd_train discipline): the corpus
     collapses ONCE to the bounded (duration, x) CELL GRID — subjects
     ``m`` and events ``d`` per cell; both grids are caller-owned
-    (whole days × a quantized covariate). ``iters`` Newton steps on
+    (whole days × a quantized covariate), and ``max_cells`` ENFORCES
+    the contract with a pre-collect LIMIT probe (the
+    ``bradley_terry_strengths``/``plackett_luce_strengths``
+    ``max_items``/``max_patterns`` precedent): an unquantized
+    continuous covariate raises instead of silently collecting a
+    corpus-sized cell table on the driver. ``iters`` Newton steps on
     the Breslow partial likelihood then run on the driver over that
     bounded frame:
 
@@ -1446,7 +1457,11 @@ def cox_ph_single(
     """
     import math
 
-    cells = (
+    from icnarc_to_philips_linkage_spark.operators.evaluation import (
+        _probe_driver_bounded,
+    )
+
+    grid = (
         df.filter(
             F.col(duration_col).isNotNull()
             & F.col(event_col).isNotNull()
@@ -1460,8 +1475,11 @@ def cox_ph_single(
             F.count(F.lit(1)).alias("__m"),
             F.sum(F.col(event_col).cast("long")).alias("__d"),
         )
-        .collect()
     )
+    _probe_driver_bounded(
+        grid, max_cells, f"(duration, x) cells (max_cells={max_cells})"
+    )
+    cells = grid.collect()
     rows = sorted(
         ((r["__t"], float(r["__x"]), int(r["__m"]), int(r["__d"]))
          for r in cells),

@@ -15,6 +15,11 @@ import pandas as pd  # module-level: pandas_udf type hints resolve here
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from icnarc_to_philips_linkage_spark.operators.scale import (
+    bounded_global_partition,
+    bounded_global_window,
+)
+
 from icnarc_to_philips_linkage_spark.operators import (
     dedup_scale,
     evaluation,
@@ -3751,14 +3756,18 @@ def retrieval_rrf_fusion(spark: SparkSession, sf: str) -> DataFrame:
     bm = retrieval.bm25_search(
         docs, _BM25_TERMS, k1=_BM25_K1, b=_BM25_B, top_k=_RRF_POOL
     )
-    w_bm = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    w_bm = bounded_global_window(
+        "score", F.desc("score"), F.asc("doc_id")
+    )
     bm_ranked = bm.select(
         "doc_id", F.row_number().over(w_bm).alias("rank")
     )
     cos = similarity.knn_brute_force(
         emb, emb.filter(F.col("vec_id") == _RRF_QVEC), k=_RRF_POOL
     )
-    w_cos = Window.orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    w_cos = bounded_global_window(
+        "cos_sim", F.desc("cos_sim"), F.asc("neighbor_id")
+    )
     cos_ranked = cos.select(
         F.col("neighbor_id").alias("doc_id"),
         F.row_number().over(w_cos).alias("rank"),

@@ -21,6 +21,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from icnarc_to_philips_linkage_spark.operators.scale import (
+    bounded_global_partition,
+    bounded_global_window,
+)
+
 from icnarc_to_philips_linkage_spark.functions.expressions import (
     decimal_sum,
     decode_map,
@@ -143,15 +148,18 @@ WHERE p_brand NOT IN ('Brand#1', 'Brand#2', 'Brand#3')
 
 def f6_like(spark: SparkSession, sf: str) -> DataFrame:
     """F6: LIKE pattern scan over a dimension (longLabel LIKE '%heart rate%'
-    analog, variable_location_in_ICCA.sql:28)."""
+    analog, variable_location_in_ICCA.sql:28). Pattern '%MED%'
+    intersects the testdata p_type domain (MEDIUM) so the scan selects
+    real rows — the TPC-H-style '%BRASS%' matched nothing for ten
+    rounds (round-10 verdict task #2)."""
     return (
         load(spark, sf, "part")
-        .filter(F.col("p_type").like("%BRASS%"))
+        .filter(F.col("p_type").like("%MED%"))
         .select("p_partkey", "p_type")
     )
 
 
-F6_SQL = "SELECT p_partkey, p_type FROM part WHERE p_type LIKE '%BRASS%'"
+F6_SQL = "SELECT p_partkey, p_type FROM part WHERE p_type LIKE '%MED%'"
 
 
 def f7_semi_subquery(spark: SparkSession, sf: str) -> DataFrame:
@@ -1453,7 +1461,7 @@ def e14_time_of_day_hist(spark: SparkSession, sf: str) -> DataFrame:
     out = e.groupBy(F.hour("ts").alias("hod")).agg(
         F.count(F.lit(1)).alias("n")
     )
-    total = Window.partitionBy()
+    total = bounded_global_partition("n")
     return out.select(
         "hod",
         "n",
@@ -2730,7 +2738,7 @@ def a22_benford_digits(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy(digit.alias("digit"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    total = Window.partitionBy()
+    total = bounded_global_partition("n")
     observed = F.col("n") / F.sum("n").over(total)
     expected = F.log10(F.lit(1) + F.lit(1) / F.col("digit"))
     return counts.select(
@@ -2943,7 +2951,7 @@ def w9_share_of_parent(spark: SparkSession, sf: str) -> DataFrame:
         .select("r_name", "n_name", "bal")
     )
     wr = Window.partitionBy("r_name")
-    wall = Window.partitionBy()
+    wall = bounded_global_partition("bal")
     return per_nation.select(
         "r_name",
         "n_name",
@@ -2994,9 +3002,8 @@ def w10_cumulative_distinct(spark: SparkSession, sf: str) -> DataFrame:
     daily = firsts.groupBy("day").agg(
         F.count(F.lit(1)).alias("new_users")
     )
-    w = (
-        Window.orderBy("day")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w = bounded_global_window("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
     )
     return daily.select(
         "day",
@@ -6454,14 +6461,18 @@ def eval_cuped(spark: SparkSession, sf: str) -> DataFrame:
     """CUPED adjusted variant means (evaluation.cuped_adjusted_means):
     users split A/B by id parity; metric = the user's mean H2 event
     value, covariate = their mean H1 value (the canonical
-    pre-experiment covariate). Per-event cents quantize exactly, the
-    user grain is one corpus aggregation, and CUPED itself is one
-    variant-bounded aggregation + a broadcast pooled row."""
+    pre-experiment covariate). The H1/H2 split is by day-of-month
+    (<=15 vs >15) so both halves populate on the single-month
+    testdata — a month split left H2 empty at every SF and the
+    CUPED math never executed (round-10 verdict). Per-event cents
+    quantize exactly, the user grain is one corpus aggregation, and
+    CUPED itself is one variant-bounded aggregation + a broadcast
+    pooled row."""
     from icnarc_to_philips_linkage_spark.operators import evaluation
 
     e = load(spark, sf, "events").filter(F.col("value").isNotNull())
     cents = F.round(F.col("value") * 100).cast("long")
-    h1 = F.month("ts") <= 6
+    h1 = F.dayofmonth("ts") <= 15
     u = (
         e.groupBy("user_id")
         .agg(
@@ -6514,12 +6525,12 @@ def _cuped_sql() -> str:
     return f"""
 WITH u AS (
   SELECT user_id,
-    SUM(CASE WHEN month(ts) <= 6
+    SUM(CASE WHEN dayofmonth(ts) <= 15
         THEN CAST(ROUND(value * 100) AS BIGINT) END) AS sxc,
-    COUNT(CASE WHEN month(ts) <= 6 THEN 1 END) AS nx,
-    SUM(CASE WHEN month(ts) > 6
+    COUNT(CASE WHEN dayofmonth(ts) <= 15 THEN 1 END) AS nx,
+    SUM(CASE WHEN dayofmonth(ts) > 15
         THEN CAST(ROUND(value * 100) AS BIGINT) END) AS syc,
-    COUNT(CASE WHEN month(ts) > 6 THEN 1 END) AS ny
+    COUNT(CASE WHEN dayofmonth(ts) > 15 THEN 1 END) AS ny
   FROM events WHERE value IS NOT NULL GROUP BY 1),
 v AS (
   SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
@@ -7047,6 +7058,240 @@ FROM agg
 """
 
 
+def eval_dunn_bh(spark: SparkSession, sf: str) -> DataFrame:
+    """Dunn's pairwise post-hoc (profile.dunn_posthoc) across the
+    returnflag groups on line quantity — WHICH groups differ after
+    a34_kruskal_wallis says SOME do — with the k(k−1)/2 pairwise
+    p-values fed family-wise into BH-FDR (evaluation.bh_fdr), the
+    canonical multiple-testing consumer (round-10 verdict task #4).
+    The pairwise stage is a k-row self-join; everything corpus-sized
+    happened in the one (group, value) aggregation."""
+    from icnarc_to_philips_linkage_spark.operators import (
+        evaluation,
+        profile,
+    )
+
+    l = load(spark, sf, "lineitem")
+    pairs = profile.dunn_posthoc(l, "l_returnflag", "l_quantity")
+    tests = pairs.select(
+        F.concat_ws("|", "group_a", "group_b").alias("pair"),
+        F.col("p_value").alias("p"),
+    )
+    return evaluation.bh_fdr(tests, "pair", "p", alpha=_BH_ALPHA)
+
+
+def _dunn_bh_sql() -> str:
+    from icnarc_to_philips_linkage_spark.operators.evaluation import (
+        normal_sf_sql,
+    )
+
+    nd = "CAST(nn AS DOUBLE)"
+    sigma2 = (
+        f"({nd} * ({nd} + 1.0) / 12.0"
+        f" - CAST(ties AS DOUBLE) / (12.0 * ({nd} - 1.0)))"
+    )
+    q = normal_sf_sql("ABS(zraw)")
+    return f"""
+WITH gv AS (
+  SELECT l_returnflag AS g, l_quantity AS v, COUNT(*) AS c
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_returnflag IS NOT NULL
+  GROUP BY g, v
+),
+vgrain AS (SELECT v, SUM(c) AS cv FROM gv GROUP BY v),
+ranks AS (
+  SELECT v, cv,
+         2 * SUM(cv) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - cv + 1
+           AS r2
+  FROM vgrain
+),
+per_group AS (
+  SELECT g, SUM(c) AS n,
+         SUM(CAST(c AS HUGEINT) * CAST(r2 AS HUGEINT)) AS r2g
+  FROM gv JOIN ranks USING (v) GROUP BY g
+),
+tot AS (
+  SELECT SUM(cv) AS nn,
+         SUM(CAST(cv AS HUGEINT) * cv * cv - cv) AS ties
+  FROM ranks
+),
+prs AS (
+  SELECT a.g AS ga, b.g AS gb, a.n AS na, b.n AS nb,
+         a.r2g AS r2a, b.r2g AS r2b, nn, ties
+  FROM per_group a JOIN per_group b ON a.g < b.g CROSS JOIN tot
+),
+stats AS (
+  SELECT ga || '|' || gb AS pair,
+    CASE WHEN nn >= 2 AND {sigma2} > 0 THEN
+      (CAST(r2a AS DOUBLE) / 2.0 / CAST(na AS DOUBLE)
+       - CAST(r2b AS DOUBLE) / 2.0 / CAST(nb AS DOUBLE))
+      / SQRT({sigma2} * (1.0 / CAST(na AS DOUBLE)
+                         + 1.0 / CAST(nb AS DOUBLE)))
+    END AS zraw
+  FROM prs
+),
+tests AS (SELECT pair, ROUND(2.0 * {q}, 9) AS p FROM stats),
+staged AS (
+  SELECT pair, p,
+         ROW_NUMBER() OVER (ORDER BY p ASC, pair ASC) AS i,
+         COUNT(*) OVER () AS m
+  FROM tests WHERE p IS NOT NULL AND pair IS NOT NULL),
+flagged AS (
+  SELECT pair, p, i, m,
+         (({_BH_ALPHA!r} * i) / m) AS crit,
+         MIN(LEAST((p * m) / i, 1.0)) OVER (ORDER BY i DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS q_,
+         MAX(CASE WHEN p <= (({_BH_ALPHA!r} * i) / m) THEN i
+                  ELSE 0 END) OVER () AS imax
+  FROM staged)
+SELECT pair, ROUND(p, 9) AS p_value,
+  CAST(i AS BIGINT) AS rank, CAST(m AS BIGINT) AS m_tests,
+  ROUND(crit, 9) AS bh_critical,
+  i <= imax AS rejected,
+  ROUND(q_, 9) AS q_value
+FROM flagged
+"""
+
+
+def eval_paired_boot_delta(spark: SparkSession, sf: str) -> DataFrame:
+    """Paired Poisson-bootstrap CI for the ΔAUC between the trained
+    GD classifier and the quantity-only baseline on the SAME lines
+    (evaluation.paired_bootstrap_delta_auc) — the resampling
+    cross-check of eval_delong_auc (round-10 verdict task #5): each
+    line draws ONE md5-band replication weight per resample, applied
+    to both scorers, so the B deltas are true paired draws. Same
+    bounded distinct-score grains and single-pass rank-sum algebra
+    as eval_auc_bootstrap, once per scorer."""
+    from icnarc_to_philips_linkage_spark.operators import (
+        evaluation,
+        regression,
+    )
+
+    w = _gd_weights(spark, sf)
+    l = load(spark, sf, "lineitem")
+    feats = l.select(
+        (F.col("l_quantity") / F.lit(50.0)).alias("x_qty"),
+        (F.col("l_discount") * F.lit(10.0)).alias("x_disc"),
+        (F.col("l_tax") * F.lit(10.0)).alias("x_tax"),
+        (F.col("l_returnflag") == "R").cast("int").alias("y"),
+        _conf_key().alias("__key"),
+    ).filter(
+        F.col("x_qty").isNotNull()
+        & F.col("x_disc").isNotNull()
+        & F.col("x_tax").isNotNull()
+        & F.col("y").isNotNull()
+    )
+    scored = regression.gd_score(feats, _GD_FEATURES, w)
+    return evaluation.paired_bootstrap_delta_auc(
+        scored, "score", "x_qty", "y", "__key",
+        n_resamples=_BOOT_B, salt=_BOOT_SALT,
+    )
+
+
+def _paired_boot_delta_sql() -> str:
+    from icnarc_to_philips_linkage_spark.operators.evaluation import (
+        _BOOT_PMF_CUM,
+    )
+    from icnarc_to_philips_linkage_spark.operators.sampling import (
+        _threshold_hex,
+    )
+
+    b_n = _BOOT_B
+    t0, t1, t2 = (_threshold_hex(x) for x in _BOOT_PMF_CUM)
+    feats_cte = """feats AS (
+  SELECT CAST(1.0 AS DOUBLE) AS x0,
+         CAST(l_quantity / 50.0 AS DOUBLE) AS x1,
+         CAST(l_discount * 10.0 AS DOUBLE) AS x2,
+         CAST(l_tax * 10.0 AS DOUBLE) AS x3,
+         CAST(l_returnflag = 'R' AS INT) AS y,
+         CAST(l_orderkey AS VARCHAR) || '|'
+           || CAST(l_linenumber AS VARCHAR) AS k
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+    AND l_tax IS NOT NULL AND l_returnflag IS NOT NULL)"""
+    train = _gd_sql(feats_cte=feats_cte)
+    body = train[: train.rindex("\nSELECT")]
+    z = "(((b + w1 * x1) + w2 * x2) + w3 * x3)"
+    sig = f"(0.5 * (1.0 + {z} / (1.0 + abs({z}))))"
+
+    def _u(b: int) -> str:
+        return (
+            f"substr(md5('{_BOOT_SALT}:{b // 4}:' || k),"
+            f" {1 + 8 * (b % 4)}, 8)"
+        )
+
+    w_exprs = ", ".join(
+        f"CAST(CASE WHEN {_u(b)} < '{t0}' THEN 0"
+        f" WHEN {_u(b)} < '{t1}' THEN 1"
+        f" WHEN {_u(b)} < '{t2}' THEN 2 ELSE 3 END AS BIGINT) AS w{b}"
+        for b in range(b_n)
+    )
+    per_aggs = ", ".join(
+        f"SUM(w{b}) AS c{b}, SUM(w{b} * y) AS p{b}" for b in range(b_n)
+    )
+    cum_cols = ", ".join(
+        f"SUM(c{b}) OVER win - c{b} AS b{b}" for b in range(b_n)
+    )
+    fin_aggs = ", ".join(
+        f"SUM(p{b}) AS npos{b}, SUM(c{b}) AS n{b}, "
+        f"SUM(CAST(p{b} AS HUGEINT)"
+        f" * CAST(2 * b{b} + c{b} + 1 AS HUGEINT)) AS rs2{b}"
+        for b in range(b_n)
+    )
+
+    def auc(tag: str, npos: str, n: str, r: str) -> str:
+        np_, n_, r_ = f"{tag}.{npos}", f"{tag}.{n}", f"{tag}.{r}"
+        return (
+            f"CASE WHEN {np_} > 0 AND ({n_} - {np_}) > 0 THEN "
+            f"ROUND(CAST({r_} - CAST({np_} AS HUGEINT) * ({np_} + 1)"
+            f" AS DOUBLE) / (2.0 * {np_} * ({n_} - {np_})), 9) END"
+        )
+
+    def side(tag: str, scol: str) -> str:
+        return f"""per{tag} AS (
+  SELECT {scol} AS s, COUNT(*) AS c, SUM(y) AS pos, {per_aggs}
+  FROM weighted GROUP BY 1
+),
+cum{tag} AS (
+  SELECT *, SUM(c) OVER win - c AS b_, {cum_cols}
+  FROM per{tag} WINDOW win AS (ORDER BY s ROWS UNBOUNDED PRECEDING)
+),
+agg{tag} AS (
+  SELECT SUM(pos) AS npos, SUM(c) AS n,
+         SUM(CAST(pos AS HUGEINT)
+             * CAST(2 * b_ + c + 1 AS HUGEINT)) AS rs2,
+         {fin_aggs}
+  FROM cum{tag}
+)"""
+
+    deltas = (
+        "list_sort(["
+        + ", ".join(
+            f"ROUND({auc('agga', f'npos{b}', f'n{b}', f'rs2{b}')}"
+            f" - {auc('aggb', f'npos{b}', f'n{b}', f'rs2{b}')}, 9)"
+            for b in range(b_n)
+        )
+        + "])"
+    )
+    a1 = auc("agga", "npos", "n", "rs2")
+    a2 = auc("aggb", "npos", "n", "rs2")
+    return f"""{body},
+scored AS (SELECT {sig} AS s1, x1 AS s2, y, k
+           FROM feats, w{_GD_ITERS}),
+weighted AS (SELECT s1, s2, y, {w_exprs} FROM scored),
+{side('a', 's1')},
+{side('b', 's2')}
+SELECT {b_n} AS n_resamples,
+  {a1} AS auc_1,
+  {a2} AS auc_2,
+  ROUND({a1} - {a2}, 9) AS delta_auc,
+  ({deltas})[1] AS ci_lo,
+  ({deltas})[{b_n}] AS ci_hi,
+  ({deltas})[{b_n // 2}] AS delta_med
+FROM agga CROSS JOIN aggb
+"""
+
+
 _STL_EPOCH = "2024-01-01"
 
 
@@ -7278,6 +7523,11 @@ QUERIES: dict[str, tuple] = {
     "eval_bradley_terry": (eval_bradley_terry, _bradley_terry_sql()),
     "ts_stl_decompose": (ts_stl_decompose, TS_STL_SQL),
     "eval_auc_bootstrap": (eval_auc_bootstrap, _auc_bootstrap_sql()),
+    "eval_dunn_bh": (eval_dunn_bh, _dunn_bh_sql()),
+    "eval_paired_boot_delta": (
+        eval_paired_boot_delta,
+        _paired_boot_delta_sql(),
+    ),
     "ev_markov_steady": (ev_markov_steady, _markov_steady_sql()),
     "priv_t_closeness": (priv_t_closeness, PRIV_TCLOSE_SQL),
     "eval_mcc": (eval_mcc, _mcc_sql()),

@@ -31,7 +31,7 @@ def _sql(text: str):
 SQL_DIM_SEARCH = """
 SELECT p_brand, MIN(p_name) AS first_name, COUNT(DISTINCT p_type) AS n_types
 FROM part
-WHERE p_type LIKE '%STEEL%'
+WHERE p_type LIKE '%STAND%'
 GROUP BY p_brand
 ORDER BY n_types DESC, p_brand
 LIMIT 10
@@ -44,7 +44,7 @@ SELECT l_returnflag, COUNT(*) AS n,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
 FROM lineitem
 WHERE l_partkey IN (SELECT p_partkey FROM part
-                    WHERE p_size < 15 AND p_type LIKE '%BRASS%')
+                    WHERE p_size < 15 AND p_type LIKE '%MED%')
 GROUP BY l_returnflag
 """
 
