@@ -155,12 +155,18 @@ def psi_from_bucket_counts(
     # Window levels are materialized stepwise (Spark forbids nesting a
     # window function inside another window's argument).
     parts = [strata_col] if strata_col else []
-    w_all = Window.partitionBy(*parts)
-    w_cum = (
-        Window.partitionBy(*parts)
-        .orderBy("bucket")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    if strata_col:
+        w_all = Window.partitionBy(strata_col)
+        w_cum = (
+            Window.partitionBy(strata_col)
+            .orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+    else:
+        w_all = bounded_global_partition("bucket")
+        w_cum = bounded_global_window("bucket").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
     out = (
         counts.withColumn("__tot_ref", F.sum("n_ref").over(w_all))
         .withColumn("__tot_cur", F.sum("n_cur").over(w_all))
