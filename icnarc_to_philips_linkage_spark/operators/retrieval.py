@@ -375,9 +375,15 @@ def mmr_rerank(
     if frac.denominator > 1_000_000:
         raise ValueError("lam must be an exact short decimal (e.g. 0.7)")
     p, q = frac.numerator, frac.denominator
+    # every frame below is parameter-bounded (|queries|·pool or
+    # |queries|·pool²) — coalesce to ONE partition before persisting so
+    # the k greedy rounds schedule 1 task per stage instead of
+    # spark.sql.shuffle.partitions tasks over a few hundred rows
+    # (measured round-11: ~7 s → ~2 s at sf0.1, identical results; the
+    # corpus-touching scans above the coalesce keep full parallelism)
     cands = knn_brute_force(
         corpus, queries, k=pool, id_col=id_col, vec_col=vec_col
-    ).persist()
+    ).coalesce(1).persist()
     cachereg.track(cands)
     cv = corpus.select(
         F.col(id_col).alias("__cid"),
@@ -395,6 +401,7 @@ def mmr_rerank(
             F.transform("__vec", lambda x: x.cast("double") * x.cast("double")),
             F.lit(0.0), lambda acc, x: acc + x,
         ))
+        .coalesce(1)
         .persist()
     )
     cachereg.track(with_vec)
@@ -419,6 +426,7 @@ def mmr_rerank(
                 cosine_with_norms("a_vec", "b_vec", "a_nsq", "b_nsq"), 6
             ).alias("pair_sim"),
         )
+        .coalesce(1)
         .persist()
     )
     cachereg.track(psim)
@@ -458,29 +466,37 @@ def mmr_rerank(
         # alone — persist caches DATA but every round still re-analyzes
         # the full history). localCheckpoint reroots the plan at the
         # materialized ≤ |queries|·k-row frame — the graph.pagerank
-        # iteration pattern.
-        return df.localCheckpoint(eager=True)
+        # iteration pattern. coalesce(1) first: checkpointing a
+        # 32-partition tiny frame costs 32 tasks per round.
+        return df.coalesce(1).localCheckpoint(eager=True)
 
     sel = _pin(_argmax(
         u_cands.withColumn("__score_u", F.lit(p) * F.col("__rel_u")), 1
     ))
     for r in range(2, k + 1):
+        # broadcast the ≤ |queries|·(r−1)-row selected set and the
+        # pool-bounded penalty table: every per-round join is then
+        # shuffle-free (BroadcastHashJoin over the 1-partition pool)
         rem = u_cands.join(
-            sel.select("query_id", "neighbor_id"),
+            F.broadcast(sel.select("query_id", "neighbor_id")),
             ["query_id", "neighbor_id"],
             "left_anti",
         )
         pen = (
             u_psim.join(
-                sel.select(
-                    "query_id", F.col("neighbor_id").alias("b_id")
+                F.broadcast(
+                    sel.select(
+                        "query_id", F.col("neighbor_id").alias("b_id")
+                    )
                 ),
                 ["query_id", "b_id"],
             )
             .groupBy("query_id", F.col("a_id").alias("neighbor_id"))
             .agg(F.max("__ps_u").alias("__pen_u"))
         )
-        scored = rem.join(pen, ["query_id", "neighbor_id"], "left").select(
+        scored = rem.join(
+            F.broadcast(pen), ["query_id", "neighbor_id"], "left"
+        ).select(
             "query_id", "neighbor_id", "cos_sim",
             (
                 F.lit(p) * F.col("__rel_u")
