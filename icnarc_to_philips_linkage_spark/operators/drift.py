@@ -202,6 +202,91 @@ def psi_from_bucket_counts(
     )
 
 
+def js_divergence(
+    df: DataFrame,
+    is_ref: Column,
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int = 10,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Binned Jensen–Shannon divergence between the reference and
+    current slices — the symmetric, always-finite cousin PSI's
+    eps-smoothing approximates: ``JSD = ½Σ p·ln(p/m) + ½Σ q·ln(q/m)``
+    with ``m = (p+q)/2``; a bucket empty on one side contributes its
+    defined 0 on that side (no smoothing constant to tune), and
+    ``√JSD`` is a proper metric, reported alongside. Completes the
+    drift family: PSI (support-sensitive), KS (worst gap),
+    W1 (mass distance), JSD (information distance).
+
+    Same single-scan tagged shape as ``psi_report_tagged`` — one
+    bins-cardinality aggregation; probabilities are exact count
+    ratios and the only float reduction folds over the bucket-sorted
+    array (ln is the one transcendental, tolerated under the ≥6dp
+    output round, the BM25 precedent).
+
+    Output one row: ``(n_ref, n_cur, js_divergence, js_distance)``
+    in nats — NULL when either side is empty.
+    """
+    import math  # noqa: F401  (documentation parity with SQL's ln)
+
+    tagged = df.filter(is_ref.isNotNull()).select(
+        bucketize(F.col(value_col).cast("double"), lo, hi, bins).alias(
+            "bucket"
+        ),
+        F.when(is_ref, 1).otherwise(0).alias("__is_ref"),
+    )
+    counts = (
+        tagged.groupBy("bucket")
+        .agg(
+            F.count(F.when(F.col("__is_ref") == 1, 1)).alias("n_ref"),
+            F.count(F.when(F.col("__is_ref") == 0, 1)).alias("n_cur"),
+        )
+        .filter(F.col("bucket").isNotNull())
+    )
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("bucket").alias("b"),
+                F.col("n_ref").cast("double").alias("r"),
+                F.col("n_cur").cast("double").alias("c"),
+            )
+        )
+    )
+    agg = (
+        counts.agg(
+            F.sum("n_ref").alias("n_ref"),
+            F.sum("n_cur").alias("n_cur"),
+            arr.alias("__arr"),
+        )
+        .withColumn("__tr", F.col("n_ref").cast("double"))
+        .withColumn("__tc", F.col("n_cur").cast("double"))
+    )
+    jsd = F.aggregate(
+        F.expr(
+            "transform(__arr, x -> "
+            "(CASE WHEN x.r > 0 THEN 0.5 * (x.r / __tr)"
+            " * ln((x.r / __tr)"
+            "      / ((x.r / __tr + x.c / __tc) / 2.0)) ELSE 0.0 END)"
+            " + (CASE WHEN x.c > 0 THEN 0.5 * (x.c / __tc)"
+            " * ln((x.c / __tc)"
+            "      / ((x.r / __tr + x.c / __tc) / 2.0)) ELSE 0.0 END))"
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    ok = (F.col("n_ref") > 0) & (F.col("n_cur") > 0)
+    return agg.select(
+        F.col("n_ref").cast("long").alias("n_ref"),
+        F.col("n_cur").cast("long").alias("n_cur"),
+        F.round(F.when(ok, jsd), round_dp).alias("js_divergence"),
+        F.round(
+            F.when(ok, F.sqrt(F.greatest(jsd, F.lit(0.0)))), round_dp
+        ).alias("js_distance"),
+    )
+
+
 def wasserstein_report(
     df: DataFrame,
     is_ref: Column,

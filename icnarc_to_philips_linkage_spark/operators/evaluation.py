@@ -2061,6 +2061,282 @@ def bh_fdr(
     )
 
 
+def cmh_test(
+    df: DataFrame,
+    stratum_col: str,
+    exposure_col,
+    outcome_col,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Cochran–Mantel–Haenszel test + Mantel–Haenszel common odds
+    ratio (Mantel & Haenszel 1959) over STRATIFIED 2×2 tables — "is
+    exposure associated with outcome after controlling for the
+    stratum?", the guardrail against Simpson's paradox that a pooled
+    chi-square walks straight into:
+
+        χ²_CMH = (Σ_s (a_s − n1_s·m1_s/N_s))²
+                 / Σ_s n1_s·n0_s·m1_s·m0_s / (N_s²·(N_s−1))
+        OR_MH  = Σ_s (a_s·d_s/N_s) / Σ_s (b_s·c_s/N_s)
+
+    (no continuity correction; margins n1/n0 = exposure, m1/m0 =
+    outcome rows of stratum s).
+
+    Scale shape: ONE conditional aggregation to the per-stratum 2×2
+    cells (the frame is |strata|-bounded — the caller owns the
+    stratum cardinality, the ``bh_fdr`` one-row-per-test contract);
+    each stratum's rational terms quantize to the 1e-6 grid before
+    summing (order-free exact decimals, the CUPED discipline), so the
+    statistic replays bit-identically in SQL. Degenerate strata
+    (N_s < 2 or an empty margin) contribute their defined zeros.
+
+    Output: one row ``(n_strata, n, cmh_chi2, mh_or)`` — χ² NULL when
+    the variance sum is 0, OR NULL when Σb·c/N = 0.
+    """
+    ex = (
+        F.col(exposure_col)
+        if isinstance(exposure_col, str)
+        else exposure_col
+    ).cast("boolean")
+    oc = (
+        F.col(outcome_col)
+        if isinstance(outcome_col, str)
+        else outcome_col
+    ).cast("boolean")
+    cells = (
+        df.filter(
+            F.col(stratum_col).isNotNull()
+            & ex.isNotNull()
+            & oc.isNotNull()
+        )
+        .groupBy(F.col(stratum_col).alias("__s"))
+        .agg(
+            F.sum((ex & oc).cast("long")).alias("__a"),
+            F.sum((ex & ~oc).cast("long")).alias("__b"),
+            F.sum((~ex & oc).cast("long")).alias("__c"),
+            F.sum((~ex & ~oc).cast("long")).alias("__d"),
+        )
+    )
+    a, b, c, dd = (F.col(x).cast("double") for x in ("__a", "__b", "__c", "__d"))
+    n1, n0 = a + b, c + dd
+    m1, m0 = a + c, b + dd
+    nn = n1 + n0
+    diff = F.when(nn > 0, a - n1 * m1 / nn).otherwise(F.lit(0.0))
+    var = F.when(
+        nn > 1, n1 * n0 * m1 * m0 / (nn * nn * (nn - 1.0))
+    ).otherwise(F.lit(0.0))
+    ad = F.when(nn > 0, a * dd / nn).otherwise(F.lit(0.0))
+    bc = F.when(nn > 0, b * c / nn).otherwise(F.lit(0.0))
+    q = lambda x: (  # noqa: E731  1e-6 grid, order-free exact sums
+        F.floor(x * 1_000_000.0 + 0.5).cast("decimal(38,0)")
+    )
+    agg = cells.agg(
+        F.count(F.lit(1)).alias("n_strata"),
+        (F.sum("__a") + F.sum("__b") + F.sum("__c") + F.sum("__d"))
+        .alias("n"),
+        F.sum(q(diff)).alias("__qdiff"),
+        F.sum(q(var)).alias("__qvar"),
+        F.sum(q(ad)).alias("__qad"),
+        F.sum(q(bc)).alias("__qbc"),
+    )
+    sdiff = F.col("__qdiff").cast("double") / 1_000_000.0
+    svar = F.col("__qvar").cast("double") / 1_000_000.0
+    sad = F.col("__qad").cast("double") / 1_000_000.0
+    sbc = F.col("__qbc").cast("double") / 1_000_000.0
+    return agg.select(
+        F.col("n_strata").cast("long").alias("n_strata"),
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            F.when(svar > 0, sdiff * sdiff / svar), round_dp
+        ).alias("cmh_chi2"),
+        F.round(F.when(sbc > 0, sad / sbc), round_dp).alias("mh_or"),
+    )
+
+
+def hosmer_lemeshow(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    bins: int = 10,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Hosmer–Lemeshow goodness-of-fit χ² for probability predictions:
+    bin scores into ``bins`` equal-width groups (the
+    ``calibration_bins`` grid — fixed-width, not sample deciles, so
+    the grid is data-independent and the plan scale-free), compare
+    observed vs expected event counts per bin in BOTH outcome columns:
+
+        χ² = Σ_bins (O1−E1)²/E1 + (O0−E0)²/E0,   E1 = Σ_bin p
+
+    Exactness: scores live on the classifier's 1e-6 grid, so each
+    bin's expected count E1 accumulates as exact micro-unit longs
+    (the ``brier_score`` recipe); observed counts are exact integers;
+    the only float reduction folds over the bin-sorted array
+    (``kruskal_wallis`` recipe). Bins where E1 or E0 is 0 are
+    excluded from the sum with their count reported, per the standard
+    treatment (df = bins_used − 2 is the caller's concern).
+
+    Output: one row ``(n, n_bins_used, hl_chi2)``.
+    """
+    lbl = F.col(label_col).cast("boolean")
+    p = F.col(score_col).cast("double")
+    p_u = F.round(p * F.lit(1_000_000)).cast("long")
+    bin_idx = F.least(
+        F.lit(bins - 1), F.floor(p * bins).cast("int")
+    )
+    per_bin = (
+        df.filter(p.isNotNull() & lbl.isNotNull())
+        .groupBy(bin_idx.alias("__bin"))
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(lbl.cast("long")).alias("__o1"),
+            F.sum(p_u).alias("__e1u"),
+        )
+    )
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("__bin").alias("bin"),
+                F.col("__n").cast("double").alias("n"),
+                F.col("__o1").cast("double").alias("o1"),
+                (F.col("__e1u").cast("double") / 1_000_000.0).alias(
+                    "e1"
+                ),
+            )
+        )
+    )
+    agg = per_bin.agg(
+        F.sum("__n").alias("n"), arr.alias("__arr")
+    ).withColumn(
+        "__used",
+        F.size(
+            F.expr(
+                "filter(__arr, x -> x.e1 > 0 AND (x.n - x.e1) > 0)"
+            )
+        ),
+    )
+    chi = F.aggregate(
+        F.expr(
+            "transform(filter(__arr, x -> x.e1 > 0 AND"
+            " (x.n - x.e1) > 0), x -> "
+            "(x.o1 - x.e1) * (x.o1 - x.e1) / x.e1"
+            " + ((x.n - x.o1) - (x.n - x.e1))"
+            " * ((x.n - x.o1) - (x.n - x.e1)) / (x.n - x.e1))"
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("__used").cast("long").alias("n_bins_used"),
+        F.round(
+            F.when(F.col("__used") > 0, chi), round_dp
+        ).alias("hl_chi2"),
+    )
+
+
+def brier_decomposition(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    bins: int = 10,
+    round_dp: int = 9,
+) -> DataFrame:
+    """Murphy (1973) decomposition of the Brier score on the
+    ``calibration_bins`` grid: REL − RES + UNC, where
+
+        REL = Σ_b n_b·(p̄_b − ō_b)² / N    (calibration badness)
+        RES = Σ_b n_b·(ō_b − ō)² / N      (discrimination captured)
+        UNC = ō·(1 − ō)                    (irreducible label entropy)
+
+    — the diagnosis that splits a bad Brier into "miscalibrated" vs
+    "can't discriminate" (binned p̄_b makes the identity approximate
+    vs the unbinned ``brier_score``, reported alongside; the residual
+    is the within-bin variance the grid absorbs).
+
+    Exactness: one corpus aggregation to the bins-bounded grain
+    carrying exact micro-unit score sums, exact label counts, AND the
+    exact unbinned Brier sum (the ``brier_score`` integer identity —
+    no second pass); REL/RES fold over the bin-sorted array.
+
+    Output one row: ``(n, n_pos, brier, reliability, resolution,
+    uncertainty)`` — NULL decomposition on an empty frame.
+    """
+    lbl = F.col(label_col).cast("boolean")
+    p = F.col(score_col).cast("double")
+    p_u = F.round(p * F.lit(1_000_000)).cast("long")
+    e = p_u - lbl.cast("long") * F.lit(1_000_000)
+    bin_idx = F.least(
+        F.lit(bins - 1), F.floor(p * bins).cast("int")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    per_bin = (
+        df.filter(p.isNotNull() & lbl.isNotNull())
+        .groupBy(bin_idx.alias("__bin"))
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(lbl.cast("long")).alias("__o1"),
+            F.sum(dec(p_u)).alias("__pu"),
+            F.sum(dec(e) * dec(e)).alias("__se"),
+        )
+    )
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("__bin").alias("bin"),
+                F.col("__n").cast("double").alias("n"),
+                F.col("__o1").cast("double").alias("o1"),
+                (F.col("__pu").cast("double") / 1_000_000.0).alias(
+                    "ps"
+                ),
+            )
+        )
+    )
+    agg = (
+        per_bin.agg(
+            F.sum("__n").alias("__nt"),
+            F.sum("__o1").alias("__o1t"),
+            F.sum("__se").alias("__set"),
+            arr.alias("__arr"),
+        )
+        .withColumn("__nd", F.col("__nt").cast("double"))
+        .withColumn(
+            "__obar",
+            F.col("__o1t").cast("double") / F.col("__nt").cast("double"),
+        )
+    )
+    rel = F.aggregate(
+        F.expr(
+            "transform(__arr, x -> x.n * (x.ps / x.n - x.o1 / x.n)"
+            " * (x.ps / x.n - x.o1 / x.n) / __nd)"
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    res = F.aggregate(
+        F.expr(
+            "transform(__arr, x -> x.n * (x.o1 / x.n - __obar)"
+            " * (x.o1 / x.n - __obar) / __nd)"
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    ok = F.col("__nt") > 0
+    brier = F.col("__set").cast("double") / (
+        F.col("__nd") * F.lit(1e12)
+    )
+    return agg.select(
+        F.col("__nt").cast("long").alias("n"),
+        F.col("__o1t").cast("long").alias("n_pos"),
+        F.round(F.when(ok, brier), round_dp).alias("brier"),
+        F.round(F.when(ok, rel), round_dp).alias("reliability"),
+        F.round(F.when(ok, res), round_dp).alias("resolution"),
+        F.round(
+            F.when(ok, F.col("__obar") * (1.0 - F.col("__obar"))),
+            round_dp,
+        ).alias("uncertainty"),
+    )
+
+
 def cliffs_delta(
     df: DataFrame,
     value_col: str,

@@ -1858,6 +1858,454 @@ def kruskal_wallis(
     )
 
 
+def friedman_test(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    value_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Friedman test (Friedman 1937): the BLOCKED k-sample rank test —
+    did any treatment systematically rank higher when every block
+    (user, day, prompt) scores all k treatments? The repeated-measures
+    complement of ``kruskal_wallis`` (which assumes independent
+    groups), with the standard tie correction
+    ``C = 1 − Σ(t³−t)/(n·k·(k²−1))`` over within-block value ties.
+
+    Cells aggregate as ``max(value)`` per (block, treatment) — the
+    one-observation-per-cell contract made deterministic — and only
+    COMPLETE blocks (all k treatments present) enter, per the classic
+    treatment. Doubled tie-averaged within-block ranks come from two
+    block-partitioned windows (``2·RANK() + tied − 1`` — exact
+    integers, and the partitioning key is the BLOCK, so the windows
+    are corpus-parallel, never single-partition); per-treatment rank
+    sums and the tie term are exact decimal sums, and the only float
+    reduction Σ_j R_j² folds sequentially over the treatment-sorted
+    array (the ``kruskal_wallis`` determinism recipe).
+
+    Output: one row ``(k, n_blocks, chi2_f)`` — NULL when k < 2,
+    n_blocks = 0, or every block is fully tied (C = 0).
+    """
+    cells = (
+        df.filter(
+            F.col(block_col).isNotNull()
+            & F.col(treatment_col).isNotNull()
+            & F.col(value_col).isNotNull()
+        )
+        .groupBy(
+            F.col(block_col).alias("__b"),
+            F.col(treatment_col).alias("__t"),
+        )
+        .agg(F.max(value_col).alias("__v"))
+    )
+    k_row = cells.agg(
+        F.countDistinct("__t").cast("long").alias("__k")
+    )
+    sized = cells.join(
+        cells.groupBy("__b").agg(F.count(F.lit(1)).alias("__bk")),
+        "__b",
+    ).crossJoin(F.broadcast(k_row))
+    complete = sized.filter(F.col("__bk") == F.col("__k")).drop("__bk")
+    wr = Window.partitionBy("__b").orderBy("__v")
+    wt = Window.partitionBy("__b", "__v")
+    ranked = complete.select(
+        "__b",
+        "__t",
+        "__k",
+        (
+            2 * F.rank().over(wr) + F.count(F.lit(1)).over(wt) - 1
+        ).alias("__r2"),
+        (F.count(F.lit(1)).over(wt)).alias("__tied"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    per_t = ranked.groupBy("__t").agg(
+        F.sum(dec(F.col("__r2"))).alias("__rs2"),
+        F.count(F.lit(1)).alias("__nb"),
+    )
+    # within-block tie term: each (block, v) run of size t contributes
+    # t³ − t; every member row carries __tied = t, so summing
+    # (t² − 1) per row gives the same total without a second grain
+    tie_row = ranked.agg(
+        F.sum(
+            dec(F.col("__tied")) * dec(F.col("__tied")) - 1
+        ).cast("double").alias("__ties")
+    )
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("__t").cast("string").alias("t"),
+                F.col("__rs2").cast("double").alias("rs2"),
+            )
+        )
+    )
+    agg = (
+        per_t.agg(
+            F.max("__nb").alias("__n"),
+            F.count(F.lit(1)).alias("__kk"),
+            arr.alias("__arr"),
+        )
+        .join(F.broadcast(tie_row))
+    )
+    rsum = F.aggregate(
+        F.expr("transform(__arr, x -> (x.rs2 / 2.0) * (x.rs2 / 2.0))"),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    n = F.col("__n").cast("double")
+    k = F.col("__kk").cast("double")
+    chi = (F.lit(12.0) / (n * k * (k + 1.0))) * rsum - 3.0 * n * (
+        k + 1.0
+    )
+    corr = F.lit(1.0) - F.col("__ties") / (n * k * (k * k - 1.0))
+    ok = (F.col("__kk") >= 2) & (F.col("__n") > 0) & (corr > 0)
+    return agg.select(
+        F.col("__kk").cast("long").alias("k"),
+        F.col("__n").cast("long").alias("n_blocks"),
+        F.round(F.when(ok, chi / corr), round_dp).alias("chi2_f"),
+    )
+
+
+def cochran_q(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    success_col,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Cochran's Q (Cochran 1950): the BINARY repeated-measures test —
+    k treatments scored pass/fail by the same n blocks; did any
+    treatment succeed more often? (``friedman_test`` degenerates on
+    binary data; Q is its exact binary form, and McNemar is its
+    k = 2 special case.) Integer-exact identity:
+
+        Q = (k−1) · (k·ΣG_j² − N²) / (k·N − ΣB_i²)
+
+    with G_j treatment success totals, B_i block success totals,
+    N = ΣG = ΣB — every term an exact decimal; ONE final division.
+
+    Cells aggregate as ``max(success)`` per (block, treatment); only
+    complete blocks enter. Scale shape: one (block, treatment)
+    aggregation, one block-grain and one treatment-grain reduction —
+    no windows at all.
+
+    Output: one row ``(k, n_blocks, n_success, q_stat)`` — NULL when
+    the denominator is 0 (every block all-0 or all-1).
+    """
+    s = (
+        F.col(success_col)
+        if isinstance(success_col, str)
+        else success_col
+    ).cast("boolean")
+    cells = (
+        df.filter(
+            F.col(block_col).isNotNull()
+            & F.col(treatment_col).isNotNull()
+            & s.isNotNull()
+        )
+        .groupBy(
+            F.col(block_col).alias("__b"),
+            F.col(treatment_col).alias("__t"),
+        )
+        .agg(F.max(s.cast("long")).alias("__x"))
+    )
+    k_row = cells.agg(
+        F.countDistinct("__t").cast("long").alias("__k")
+    )
+    sized = cells.join(
+        cells.groupBy("__b").agg(F.count(F.lit(1)).alias("__bk")),
+        "__b",
+    ).crossJoin(F.broadcast(k_row))
+    complete = sized.filter(F.col("__bk") == F.col("__k"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    per_b = complete.groupBy("__b").agg(
+        F.sum("__x").alias("__bs"), F.max("__k").alias("__k")
+    )
+    blocks = per_b.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.max("__k").alias("__kk"),
+        F.sum(dec(F.col("__bs"))).alias("__nn"),
+        F.sum(dec(F.col("__bs")) * dec(F.col("__bs"))).alias("__b2"),
+    )
+    per_t = complete.groupBy("__t").agg(F.sum("__x").alias("__g"))
+    treats = per_t.agg(
+        F.sum(dec(F.col("__g")) * dec(F.col("__g"))).alias("__g2")
+    )
+    j = blocks.crossJoin(F.broadcast(treats))
+    kk = F.col("__kk").cast("decimal(38,0)")
+    num = (kk - 1) * (kk * F.col("__g2") - F.col("__nn") * F.col("__nn"))
+    den = kk * F.col("__nn") - F.col("__b2")
+    return j.select(
+        F.col("__kk").cast("long").alias("k"),
+        F.col("__n").cast("long").alias("n_blocks"),
+        F.col("__nn").cast("long").alias("n_success"),
+        F.round(
+            F.when(
+                den.cast("double") > 0,
+                num.cast("double") / den.cast("double"),
+            ),
+            round_dp,
+        ).alias("q_stat"),
+    )
+
+
+def mood_median_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Mood's median test: count each group's values above vs at-or-
+    below the POOLED grand median, then Pearson chi-square on the
+    k×2 table — the robust (if low-power) k-sample location test that
+    survives wild outliers and ordinal scales, the blunt companion to
+    ``kruskal_wallis``.
+
+    Exactness layout: the pooled lower median comes off the value
+    grain via ``scale.global_prefix_sums`` (range exchange — the
+    grain may be corpus-sized) as the minimum value whose cumulative
+    count reaches ⌈N/2⌉ — an exact order statistic, broadcast back as
+    a 1-row frame. The k×2 observed counts are exact integers from
+    the same (group, value) grain; expected counts and χ²
+    contributions fold sequentially over the group-sorted array (the
+    ``kruskal_wallis`` recipe).
+
+    Output: one row ``(k, n, grand_median, chi2)`` — NULL χ² when
+    k < 2 or a marginal is empty (every value on one side).
+    """
+    from icnarc_to_philips_linkage_spark.operators.scale import (
+        global_prefix_sums,
+    )
+
+    gv = (
+        df.filter(
+            F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+        )
+        .groupBy(
+            F.col(group_col).alias("__g"), F.col(value_col).alias("__v")
+        )
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    vgrain = gv.groupBy("__v").agg(F.sum("__c").alias("__cv"))
+    staged, totals = global_prefix_sums(vgrain, ["__v"], ["__cv"])
+    n_total = totals["__cv"]
+    half = (n_total + 1) // 2
+    med_row = staged.filter(F.col("cum___cv") >= half).agg(
+        F.min("__v").alias("__med")
+    )
+    per_g = (
+        gv.crossJoin(F.broadcast(med_row))
+        .groupBy("__g")
+        .agg(
+            F.sum(
+                F.when(F.col("__v") > F.col("__med"), F.col("__c"))
+                .otherwise(F.lit(0))
+            ).alias("__ab"),
+            F.sum("__c").alias("__ng"),
+        )
+    )
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("__g").cast("string").alias("g"),
+                F.col("__ab").cast("double").alias("ab"),
+                F.col("__ng").cast("double").alias("ng"),
+            )
+        )
+    )
+    agg = (
+        per_g.agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum("__ab").alias("__abt"),
+            F.sum("__ng").alias("__nt"),
+            arr.alias("__arr"),
+        )
+        .crossJoin(F.broadcast(med_row))
+        .withColumn("__abtd", F.col("__abt").cast("double"))
+        .withColumn("__ntd", F.col("__nt").cast("double"))
+    )
+    # per group: (o_above − e_above)²/e_above + (o_le − e_le)²/e_le
+    # with e_above = n_g·ab_tot/N, e_le = n_g·(N−ab_tot)/N
+    chi = F.aggregate(
+        F.expr(
+            "transform(__arr, x -> "
+            "(x.ab - x.ng * __abtd / __ntd)"
+            " * (x.ab - x.ng * __abtd / __ntd)"
+            " / (x.ng * __abtd / __ntd)"
+            " + ((x.ng - x.ab) - x.ng * (__ntd - __abtd) / __ntd)"
+            " * ((x.ng - x.ab) - x.ng * (__ntd - __abtd) / __ntd)"
+            " / (x.ng * (__ntd - __abtd) / __ntd))"
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    ok = (
+        (F.col("k") >= 2)
+        & (F.col("__abtd") > 0)
+        & (F.col("__abtd") < F.col("__ntd"))
+    )
+    return agg.select(
+        F.col("k").cast("long").alias("k"),
+        F.col("__nt").cast("long").alias("n"),
+        F.col("__med").alias("grand_median"),
+        F.round(F.when(ok, chi), round_dp).alias("chi2"),
+    )
+
+
+def jonckheere_trend(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_order: list[str],
+    round_dp: int = 9,
+) -> DataFrame:
+    """Jonckheere–Terpstra test for an ORDERED alternative
+    (Jonckheere 1954): do values trend upward along a caller-given
+    group ordering (dose levels, model generations, data-quality
+    tiers)? Strictly more powerful than ``kruskal_wallis`` when the
+    hypothesis IS the ordering. ``JT = Σ_{i<j} U_ij`` over ordered
+    group pairs (ties count ½); equivalently Kendall's S between the
+    group ordinal and the value, which gives the exact tie-corrected
+    null variance (the Mann–Kendall/τ-b algebra with group sizes as
+    the x-tie blocks):
+
+        z = S / sqrt(v1/18 + v2 + v3),   S = 2·JT − Σ_{i<j} n_i n_j
+
+    Scale shape: the corpus collapses to the (group ordinal, value)
+    CELL GRID in one aggregation (the ``kendall_tau_b`` contract —
+    bounded by k × the value grid); C and the cross-group tie count
+    come from one broadcast self-join over that grid; every variance
+    term is an exact decimal off the k-row group sizes and the value
+    tie blocks. Two-sided p via the shared A&S normal tail.
+
+    ``group_order`` pins the ordinal explicitly (ascending
+    hypothesis); rows in groups outside it are dropped.
+
+    Output one row: ``(k, n, jt_stat, z, p_value)`` — z NULL when
+    the variance is 0 (one group, or all values tied).
+    """
+    from icnarc_to_philips_linkage_spark.operators.evaluation import (
+        normal_sf_approx,
+    )
+
+    ordmap = F.create_map(
+        *[
+            x
+            for g, i in ((g, i) for i, g in enumerate(group_order))
+            for x in (F.lit(g), F.lit(i))
+        ]
+    )
+    cells = (
+        df.filter(
+            F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+        )
+        .select(
+            ordmap[F.col(group_col).cast("string")].alias("__g"),
+            F.col(value_col).alias("__v"),
+        )
+        .filter(F.col("__g").isNotNull())
+        .groupBy("__g", "__v")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    a = cells.select(
+        F.col("__g").alias("__ga"),
+        F.col("__v").alias("__va"),
+        F.col("__c").alias("__ca"),
+    )
+    b = cells.select(
+        F.col("__g").alias("__gb"),
+        F.col("__v").alias("__vb"),
+        F.col("__c").alias("__cb"),
+    )
+    z0 = F.lit(0).cast("decimal(38,0)")
+    pairs = a.join(F.broadcast(b), F.col("__gb") > F.col("__ga")).agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("__vb") > F.col("__va"),
+                    dec(F.col("__ca")) * dec(F.col("__cb")),
+                ).otherwise(z0)
+            ),
+            z0,
+        ).alias("__conc"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("__vb") == F.col("__va"),
+                    dec(F.col("__ca")) * dec(F.col("__cb")),
+                ).otherwise(z0)
+            ),
+            z0,
+        ).alias("__xt"),
+    )
+
+    def tie_sums(key: str, n1: str, n2: str, n3: str) -> DataFrame:
+        t = cells.groupBy(key).agg(F.sum("__c").alias("__t"))
+        td = dec(F.col("__t"))
+        return t.agg(
+            F.sum(td * (td - 1) * (2 * td + 5)).alias(n1),
+            F.sum(td * (td - 1) * (td - 2)).alias(n2),
+            F.sum(td * (td - 1)).alias(n3),
+        )
+    gt = tie_sums("__g", "__gt1", "__gt2", "__gt3")
+    vt = tie_sums("__v", "__vt1", "__vt2", "__vt3")
+    sizes = cells.groupBy("__g").agg(F.sum("__c").alias("__ng"))
+    ksum = sizes.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("__ng").alias("n"),
+        F.sum(dec(F.col("__ng")) * dec(F.col("__ng"))).alias("__sn2"),
+    )
+    j = (
+        ksum.crossJoin(F.broadcast(pairs))
+        .crossJoin(F.broadcast(gt))
+        .crossJoin(F.broadcast(vt))
+    )
+    nD = dec(F.col("n"))
+    # cross-group pairs P = (n² − Σn²)/2 exactly (always even)
+    p_pairs = (nD * nD - F.col("__sn2")) / 2
+    s = (
+        2 * F.col("__conc") + F.col("__xt") - p_pairs
+    ).cast("decimal(38,1)")
+    nd = F.col("n").cast("double")
+    v1 = (
+        (nD * (nD - 1) * (2 * nD + 5)).cast("double")
+        - F.col("__gt1").cast("double")
+        - F.col("__vt1").cast("double")
+    ) / 18.0
+    v2 = (
+        F.col("__gt2").cast("double") * F.col("__vt2").cast("double")
+    ) / (9.0 * nd * (nd - 1.0) * (nd - 2.0))
+    v3 = (
+        F.col("__gt3").cast("double") * F.col("__vt3").cast("double")
+    ) / (2.0 * nd * (nd - 1.0))
+    staged = j.select(
+        F.col("k").cast("long").alias("k"),
+        F.col("n").cast("long").alias("n"),
+        (
+            (F.col("__conc").cast("double"))
+            + F.col("__xt").cast("double") / 2.0
+        ).alias("jt_stat"),
+        s.cast("double").alias("s_raw"),
+        v1.alias("__v1"),
+        v2.alias("__v2"),
+        v3.alias("__v3"),
+    )
+    var2 = F.col("__v1") + F.col("__v2") + F.col("__v3")
+    zz = F.when(
+        (F.col("k") >= 2) & (F.col("n") >= 3) & (var2 > 0),
+        F.col("s_raw") / F.sqrt(var2),
+    )
+    return staged.select(
+        "k",
+        "n",
+        "jt_stat",
+        F.round(zz, round_dp).alias("z"),
+        F.round(
+            F.lit(2.0) * normal_sf_approx(F.abs(zz)), round_dp
+        ).alias("p_value"),
+    )
+
+
 def dunn_posthoc(
     df: DataFrame,
     group_col: str,

@@ -1213,6 +1213,90 @@ def top_k_vocab(
     )
 
 
+def zipf_slope(
+    df: DataFrame,
+    text_col: str = "text",
+    min_freq: int = 1,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Zipf rank–frequency fit: OLS of ln(freq) on ln(rank) over the
+    term dictionary — natural corpora slope ≈ −1; a much flatter
+    slope flags synthetic/template text, a much steeper one a
+    degenerate vocabulary. The distributional companion to
+    ``vocab_richness_report`` (which prices the tail mass; this
+    prices the SHAPE).
+
+    Scale shape: one exploded-token aggregation to the term grain,
+    ranks from ``scale.global_rank`` (freq DESC, term ASC — a total
+    order; range exchange, never a single-partition sort), then one
+    map-combined aggregation of the four OLS sums. Each term's
+    ln(rank)/ln(freq) quantize to the 1e-6 integer grid before
+    summing (order-free exact decimals); ln is the one
+    transcendental, tolerated under the coarse ``round_dp`` output
+    round (slope to 4dp).
+
+    Output one row: ``(vocab_size, n_tokens, slope, intercept,
+    r2)`` — NULL fit when fewer than 2 distinct (rank, freq) points
+    or zero variance.
+    """
+    from icnarc_to_philips_linkage_spark.operators.scale import (
+        global_rank,
+    )
+
+    toks = df.select(F.explode(tokens(text_col)).alias("term")).filter(
+        F.col("term") != ""
+    )
+    per_term = toks.groupBy("term").agg(F.count("*").alias("freq"))
+    if min_freq > 1:
+        per_term = per_term.filter(F.col("freq") >= min_freq)
+    ranked = global_rank(
+        per_term.select(
+            (-F.col("freq")).alias("__negf"), "term", "freq"
+        ),
+        ["__negf", "term"],
+        rank_col="rank",
+    )
+    q = lambda x: (  # noqa: E731  1e-6 grid, order-free exact sums
+        F.floor(x * 1_000_000.0 + 0.5).cast("decimal(38,0)")
+    )
+    lx = F.log(F.col("rank").cast("double"))
+    ly = F.log(F.col("freq").cast("double"))
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.sum("freq").alias("n_tokens"),
+        F.sum(q(lx)).alias("__sx"),
+        F.sum(q(ly)).alias("__sy"),
+        F.sum(q(lx * ly)).alias("__sxy"),
+        F.sum(q(lx * lx)).alias("__sxx"),
+        F.sum(q(ly * ly)).alias("__syy"),
+    )
+    v = F.col("vocab_size").cast("double")
+    sx = F.col("__sx").cast("double") / 1e6
+    sy = F.col("__sy").cast("double") / 1e6
+    sxy = F.col("__sxy").cast("double") / 1e6
+    sxx = F.col("__sxx").cast("double") / 1e6
+    syy = F.col("__syy").cast("double") / 1e6
+    cov = sxy - sx * sy / v
+    varx = sxx - sx * sx / v
+    vary = syy - sy * sy / v
+    ok = (F.col("vocab_size") >= 2) & (varx > 0)
+    slope = cov / varx
+    return agg.select(
+        F.col("vocab_size").cast("long").alias("vocab_size"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(F.when(ok, slope), round_dp).alias("slope"),
+        F.round(
+            F.when(ok, (sy - slope * sx) / v), round_dp
+        ).alias("intercept"),
+        F.round(
+            F.when(
+                ok & (vary > 0), cov * cov / (varx * vary)
+            ).otherwise(F.when(ok, F.lit(None))),
+            round_dp,
+        ).alias("r2"),
+    )
+
+
 def vocab_richness_report(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Species-richness estimates of the corpus vocabulary — "how much
     vocabulary have we NOT seen yet" for crawl-coverage decisions:

@@ -5903,6 +5903,255 @@ FROM u
 """
 
 
+def eval_hosmer_lemeshow(spark: SparkSession, sf: str) -> DataFrame:
+    """Hosmer-Lemeshow goodness-of-fit chi-square of the quality
+    classifier against the long-document label
+    (evaluation.hosmer_lemeshow): observed vs expected event counts
+    per fixed-width probability bin, expected counts accumulated as
+    exact micro-unit longs — the scalar confirmation of what
+    eval_calibration's reliability diagram shows per bin."""
+    return evaluation.hosmer_lemeshow(
+        _scored_with_label(spark, sf), "p_quality", "label", bins=10
+    )
+
+
+def _hosmer_lemeshow_sql() -> str:
+    term = (
+        "(x.o1 - x.e1) * (x.o1 - x.e1) / x.e1"
+        " + ((x.n - x.o1) - (x.n - x.e1))"
+        " * ((x.n - x.o1) - (x.n - x.e1)) / (x.n - x.e1)"
+    )
+    return f"""
+WITH {_eval_labeled_cte()},
+per AS (
+  SELECT LEAST(9, CAST(FLOOR(p * 10) AS INT)) AS bin,
+         COUNT(*) AS n,
+         SUM(CASE WHEN y THEN 1 ELSE 0 END) AS o1,
+         SUM(CAST(ROUND(p * 1000000) AS HUGEINT)) AS e1u
+  FROM lab GROUP BY 1
+),
+agg AS (
+  SELECT SUM(n) AS n,
+         list(struct_pack(bin := bin, n := CAST(n AS DOUBLE),
+                          o1 := CAST(o1 AS DOUBLE),
+                          e1 := CAST(e1u AS DOUBLE) / 1000000.0)
+              ORDER BY bin) AS arr
+  FROM per
+),
+flt AS (
+  SELECT n,
+         list_filter(arr, x -> x.e1 > 0 AND (x.n - x.e1) > 0) AS ok
+  FROM agg
+)
+SELECT CAST(n AS BIGINT) AS n,
+  CAST(len(ok) AS BIGINT) AS n_bins_used,
+  CASE WHEN len(ok) > 0 THEN
+    ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(ok, x -> {term})), (a, x) -> a + x), 6)
+  END AS hl_chi2
+FROM flt
+"""
+
+
+def eval_brier_decomp(spark: SparkSession, sf: str) -> DataFrame:
+    """Murphy decomposition of the quality classifier's Brier score
+    (evaluation.brier_decomposition): reliability - resolution +
+    uncertainty on the 10-bin calibration grid, with the exact
+    unbinned Brier riding the SAME one-pass aggregation — splits a
+    bad eval_brier_score into miscalibration vs missing
+    discrimination."""
+    return evaluation.brier_decomposition(
+        _scored_with_label(spark, sf), "p_quality", "label", bins=10
+    )
+
+
+def _brier_decomp_sql() -> str:
+    rel_t = (
+        "x.n * (x.ps / x.n - x.o1 / x.n)"
+        " * (x.ps / x.n - x.o1 / x.n) / nd"
+    )
+    res_t = (
+        "x.n * (x.o1 / x.n - obar)"
+        " * (x.o1 / x.n - obar) / nd"
+    )
+    fold = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+        " list_transform(arr, x -> {t})), (a, x) -> a + x)"
+    )
+    return f"""
+WITH {_eval_labeled_cte()},
+per AS (
+  SELECT LEAST(9, CAST(FLOOR(p * 10) AS INT)) AS bin,
+         COUNT(*) AS n,
+         SUM(CASE WHEN y THEN 1 ELSE 0 END) AS o1,
+         SUM(CAST(ROUND(p * 1000000) AS HUGEINT)) AS pu,
+         SUM(CAST(CAST(ROUND(p * 1000000) AS HUGEINT)
+               - CASE WHEN y THEN 1000000 ELSE 0 END AS HUGEINT)
+             * (CAST(ROUND(p * 1000000) AS HUGEINT)
+               - CASE WHEN y THEN 1000000 ELSE 0 END)) AS se
+  FROM lab GROUP BY 1
+),
+agg AS (
+  SELECT SUM(n) AS nt, SUM(o1) AS o1t, SUM(se) AS sett,
+         list(struct_pack(bin := bin, n := CAST(n AS DOUBLE),
+                          o1 := CAST(o1 AS DOUBLE),
+                          ps := CAST(pu AS DOUBLE) / 1000000.0)
+              ORDER BY bin) AS arr
+  FROM per
+),
+st AS (
+  SELECT *, CAST(nt AS DOUBLE) AS nd,
+         CAST(o1t AS DOUBLE) / CAST(nt AS DOUBLE) AS obar
+  FROM agg
+)
+SELECT CAST(nt AS BIGINT) AS n, CAST(o1t AS BIGINT) AS n_pos,
+  CASE WHEN nt > 0 THEN
+    ROUND(CAST(sett AS DOUBLE) / (nd * 1e12), 9) END AS brier,
+  CASE WHEN nt > 0 THEN
+    ROUND({fold.format(t=rel_t)}, 9) END AS reliability,
+  CASE WHEN nt > 0 THEN
+    ROUND({fold.format(t=res_t)}, 9) END AS resolution,
+  CASE WHEN nt > 0 THEN
+    ROUND(obar * (1.0 - obar), 9) END AS uncertainty
+FROM st
+"""
+
+
+def drift_js_divergence(spark: SparkSession, sf: str) -> DataFrame:
+    """Jensen-Shannon divergence between the existing corpus (src0-9)
+    and the incoming batch (src10+) over document length
+    (drift.js_divergence) — the smoothing-free information-distance
+    member of the drift family (PSI needs an eps; JSD's empty-bucket
+    terms are defined zeros, and sqrt(JSD) is a metric). Same
+    single-scan tagged shape and bucket grid as drift_psi."""
+    from icnarc_to_philips_linkage_spark.operators import drift
+
+    d = load(spark, sf, "documents")
+    batch_no = F.substring("source", 4, 10).cast("int")
+    return drift.js_divergence(
+        d, batch_no < 10, "n_chars",
+        lo=_PSI_LO, hi=_PSI_HI, bins=_PSI_BINS,
+    )
+
+
+def _js_divergence_sql() -> str:
+    width = (_PSI_HI - _PSI_LO) / _PSI_BINS
+    term = (
+        "(CASE WHEN x.r > 0 THEN 0.5 * (x.r / tr)"
+        " * ln((x.r / tr) / ((x.r / tr + x.c / tc) / 2.0))"
+        " ELSE 0.0 END)"
+        " + (CASE WHEN x.c > 0 THEN 0.5 * (x.c / tc)"
+        " * ln((x.c / tc) / ((x.r / tr + x.c / tc) / 2.0))"
+        " ELSE 0.0 END)"
+    )
+    return f"""
+WITH tagged AS (
+  SELECT LEAST({_PSI_BINS - 1}, GREATEST(0,
+           CAST(FLOOR((CAST(n_chars AS DOUBLE) - {_PSI_LO}) / {width})
+                AS BIGINT))) AS bucket,
+         CASE WHEN TRY_CAST(SUBSTR(source, 4) AS INT) IS NULL THEN NULL
+              WHEN TRY_CAST(SUBSTR(source, 4) AS INT) < 10 THEN 1
+              ELSE 0 END AS is_ref
+  FROM documents
+),
+counts AS (
+  SELECT bucket,
+         COUNT(*) FILTER (is_ref = 1) AS n_ref,
+         COUNT(*) FILTER (is_ref = 0) AS n_cur
+  FROM tagged WHERE bucket IS NOT NULL AND is_ref IS NOT NULL
+  GROUP BY 1
+),
+agg AS (
+  SELECT SUM(n_ref) AS n_ref, SUM(n_cur) AS n_cur,
+         list(struct_pack(b := bucket, r := CAST(n_ref AS DOUBLE),
+                          c := CAST(n_cur AS DOUBLE))
+              ORDER BY bucket) AS arr
+  FROM counts
+),
+st AS (
+  SELECT *, CAST(n_ref AS DOUBLE) AS tr, CAST(n_cur AS DOUBLE) AS tc
+  FROM agg
+),
+fin AS (
+  SELECT n_ref, n_cur,
+    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      list_transform(arr, x -> {term})), (a, x) -> a + x) AS jsd
+  FROM st
+)
+SELECT CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+  CASE WHEN n_ref > 0 AND n_cur > 0 THEN ROUND(jsd, 6)
+  END AS js_divergence,
+  CASE WHEN n_ref > 0 AND n_cur > 0
+       THEN ROUND(SQRT(GREATEST(jsd, 0.0)), 6)
+  END AS js_distance
+FROM fin
+"""
+
+
+def text_zipf_slope(spark: SparkSession, sf: str) -> DataFrame:
+    """Zipf rank-frequency OLS over the corpus term dictionary
+    (text.zipf_slope): slope of ln(freq) on ln(rank) — natural text
+    sits near -1; the distributional-shape companion to
+    text_vocab_richness. Ranks ride scale.global_rank (range
+    exchange); the four OLS sums quantize per term to the 1e-6 grid
+    (order-free exact decimals)."""
+    return text.zipf_slope(load(spark, sf, "documents"))
+
+
+def _zipf_slope_sql() -> str:
+    q = "CAST(FLOOR({x} * 1000000.0 + 0.5) AS HUGEINT)"
+    lx = "ln(CAST(rank AS DOUBLE))"
+    ly = "ln(CAST(freq AS DOUBLE))"
+    return f"""
+WITH per_term AS (
+  SELECT term, COUNT(*) AS freq
+  FROM (SELECT unnest({_TOKS}) AS term FROM documents)
+  WHERE term <> ''
+  GROUP BY term
+),
+ranked AS (
+  SELECT freq,
+         ROW_NUMBER() OVER (ORDER BY freq DESC, term ASC) AS rank
+  FROM per_term
+),
+sums AS (
+  SELECT COUNT(*) AS v, SUM(freq) AS n_tokens,
+         SUM({q.format(x=lx)}) AS qsx,
+         SUM({q.format(x=ly)}) AS qsy,
+         SUM({q.format(x=f"({lx} * {ly})")}) AS qsxy,
+         SUM({q.format(x=f"({lx} * {lx})")}) AS qsxx,
+         SUM({q.format(x=f"({ly} * {ly})")}) AS qsyy
+  FROM ranked
+),
+st AS (
+  SELECT v, n_tokens,
+         CAST(v AS DOUBLE) AS vd,
+         CAST(qsx AS DOUBLE) / 1e6 AS sx,
+         CAST(qsy AS DOUBLE) / 1e6 AS sy,
+         CAST(qsxy AS DOUBLE) / 1e6 AS sxy,
+         CAST(qsxx AS DOUBLE) / 1e6 AS sxx,
+         CAST(qsyy AS DOUBLE) / 1e6 AS syy
+  FROM sums
+),
+fit AS (
+  SELECT *,
+         (sxy - sx * sy / vd) AS cov,
+         (sxx - sx * sx / vd) AS varx,
+         (syy - sy * sy / vd) AS vary
+  FROM st
+)
+SELECT CAST(v AS BIGINT) AS vocab_size,
+  CAST(n_tokens AS BIGINT) AS n_tokens,
+  CASE WHEN v >= 2 AND varx > 0
+       THEN ROUND(cov / varx, 4) END AS slope,
+  CASE WHEN v >= 2 AND varx > 0
+       THEN ROUND((sy - (cov / varx) * sx) / vd, 4) END AS intercept,
+  CASE WHEN v >= 2 AND varx > 0 AND vary > 0
+       THEN ROUND(cov * cov / (varx * vary), 4) END AS r2
+FROM fit
+"""
+
+
 def eval_confusion_langid(spark: SparkSession, sf: str) -> DataFrame:
     """Per-class precision/recall/F1 of the marker language-ID against
     the gold lang column (evaluation.confusion_report) — the
@@ -6837,6 +7086,13 @@ QUERIES: dict[str, tuple] = {
     "text_bpe_merge_pairs": (text_bpe_merge_pairs, BPE_PAIRS_SQL),
     "sample_curriculum_order": (sample_curriculum_order, CURRICULUM_SQL),
     "drift_psi": (drift_psi, _psi_sql()),
+    "drift_js_divergence": (drift_js_divergence, _js_divergence_sql()),
+    "eval_hosmer_lemeshow": (
+        eval_hosmer_lemeshow,
+        _hosmer_lemeshow_sql(),
+    ),
+    "eval_brier_decomp": (eval_brier_decomp, _brier_decomp_sql()),
+    "text_zipf_slope": (text_zipf_slope, _zipf_slope_sql()),
     "drift_psi_by_lang": (drift_psi_by_lang, _psi_strata_sql()),
     "text_bm25_topk": (text_bm25_topk, _bm25_sql()),
     "dedup_containment": (dedup_containment, _containment_sql()),

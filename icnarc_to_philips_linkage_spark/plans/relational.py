@@ -4395,6 +4395,332 @@ FROM (SELECT *, CAST(n AS DOUBLE) AS nd FROM folded)
 """
 
 
+def a41_friedman(spark: SparkSession, sf: str) -> DataFrame:
+    """Friedman blocked rank test (profile.friedman_test): does any
+    event type systematically rank higher WITHIN each user's own
+    activity (block = user, treatment = event type, cell = the user's
+    max event value of that type)? The repeated-measures complement
+    of a34_kruskal_wallis; within-block ranks ride block-partitioned
+    windows (corpus-parallel), the only float fold is
+    treatment-sorted."""
+    e = load(spark, sf, "events")
+    return profile.friedman_test(e, "user_id", "event_type", "value")
+
+
+A41_SQL = """
+WITH cells AS (
+  SELECT user_id AS b, event_type AS t, MAX(value) AS v
+  FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    AND value IS NOT NULL
+  GROUP BY 1, 2
+),
+kk AS (SELECT COUNT(DISTINCT t) AS k FROM cells),
+complete AS (
+  SELECT c.b, c.t, c.v FROM cells c
+  JOIN (SELECT b, COUNT(*) AS bk FROM cells GROUP BY 1) s USING (b)
+  CROSS JOIN kk WHERE s.bk = kk.k
+),
+ranked AS (
+  SELECT b, t,
+         2 * RANK() OVER (PARTITION BY b ORDER BY v)
+           + COUNT(*) OVER (PARTITION BY b, v) - 1 AS r2,
+         COUNT(*) OVER (PARTITION BY b, v) AS tied
+  FROM complete
+),
+per_t AS (
+  SELECT t, SUM(CAST(r2 AS HUGEINT)) AS rs2, COUNT(*) AS nb
+  FROM ranked GROUP BY 1
+),
+tie_row AS (
+  SELECT CAST(SUM(CAST(tied AS HUGEINT) * tied - 1) AS DOUBLE) AS ties
+  FROM ranked
+),
+agg AS (
+  SELECT MAX(nb) AS n, COUNT(*) AS k,
+         list((CAST(rs2 AS DOUBLE) / 2.0) * (CAST(rs2 AS DOUBLE) / 2.0)
+              ORDER BY t) AS terms
+  FROM per_t
+),
+folded AS (
+  SELECT n, k, ties,
+    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), terms),
+                (a, x) -> a + x) AS rsum
+  FROM agg, tie_row
+)
+SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n_blocks,
+  ROUND(CASE WHEN k >= 2 AND n > 0
+              AND (1.0 - ties / (nd * kd * (kd * kd - 1.0))) > 0
+        THEN ((12.0 / (nd * kd * (kd + 1.0))) * rsum
+              - 3.0 * nd * (kd + 1.0))
+             / (1.0 - ties / (nd * kd * (kd * kd - 1.0))) END,
+        6) AS chi2_f
+FROM (SELECT *, CAST(n AS DOUBLE) AS nd, CAST(k AS DOUBLE) AS kd
+      FROM folded)
+"""
+
+
+def a42_cochran_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Cochran's Q (profile.cochran_q): did any event type clear the
+    value-50 bar for more users than the others, with each user as
+    their own control? The binary repeated-measures member next to
+    a41_friedman — pure integer identity, no windows."""
+    e = load(spark, sf, "events")
+    return profile.cochran_q(
+        e, "user_id", "event_type", F.col("value") > 50
+    )
+
+
+A42_SQL = """
+WITH cells AS (
+  SELECT user_id AS b, event_type AS t,
+         MAX(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS x
+  FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    AND value IS NOT NULL
+  GROUP BY 1, 2
+),
+kk AS (SELECT COUNT(DISTINCT t) AS k FROM cells),
+complete AS (
+  SELECT c.b, c.t, c.x FROM cells c
+  JOIN (SELECT b, COUNT(*) AS bk FROM cells GROUP BY 1) s USING (b)
+  CROSS JOIN kk WHERE s.bk = kk.k
+),
+per_b AS (SELECT b, SUM(x) AS bs FROM complete GROUP BY 1),
+blocks AS (
+  SELECT COUNT(*) AS n, SUM(CAST(bs AS HUGEINT)) AS nn,
+         SUM(CAST(bs AS HUGEINT) * bs) AS b2
+  FROM per_b
+),
+per_t AS (SELECT t, SUM(x) AS g FROM complete GROUP BY 1),
+treats AS (SELECT SUM(CAST(g AS HUGEINT) * g) AS g2 FROM per_t)
+SELECT CAST(kk.k AS BIGINT) AS k, CAST(n AS BIGINT) AS n_blocks,
+  CAST(nn AS BIGINT) AS n_success,
+  ROUND(CASE WHEN CAST(kk.k * nn - b2 AS DOUBLE) > 0 THEN
+    CAST((kk.k - 1) * (kk.k * g2 - nn * nn) AS DOUBLE)
+    / CAST(kk.k * nn - b2 AS DOUBLE) END, 6) AS q_stat
+FROM blocks, treats, kk
+"""
+
+
+def a43_jonckheere(spark: SparkSession, sf: str) -> DataFrame:
+    """Jonckheere-Terpstra ordered trend (profile.jonckheere_trend):
+    do line quantities trend upward along the returnflag ordering
+    A < N < R? The directional sharpening of a34_kruskal_wallis —
+    Kendall-S algebra on the 3x50 (group ordinal, quantity) cell
+    grid with the exact tie-corrected variance."""
+    l = load(spark, sf, "lineitem")
+    return profile.jonckheere_trend(
+        l, "l_returnflag", "l_quantity", ["A", "N", "R"]
+    )
+
+
+def _jonckheere_sql() -> str:
+    from icnarc_to_philips_linkage_spark.operators.evaluation import (
+        normal_sf_sql,
+    )
+
+    q = normal_sf_sql("ABS(z)")
+    return f"""
+WITH cells AS (
+  SELECT CASE l_returnflag WHEN 'A' THEN 0 WHEN 'N' THEN 1
+         WHEN 'R' THEN 2 END AS g,
+         l_quantity AS v, COUNT(*) AS c
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_returnflag IS NOT NULL
+  GROUP BY 1, 2
+),
+prs AS (
+  SELECT
+    COALESCE(SUM(CASE WHEN b.v > a.v
+      THEN CAST(a.c AS HUGEINT) * b.c ELSE 0 END), 0) AS conc,
+    COALESCE(SUM(CASE WHEN b.v = a.v
+      THEN CAST(a.c AS HUGEINT) * b.c ELSE 0 END), 0) AS xt
+  FROM cells a JOIN cells b ON b.g > a.g
+),
+gt AS (
+  SELECT SUM(t * (t - 1) * (2 * t + 5)) AS gt1,
+         SUM(t * (t - 1) * (t - 2)) AS gt2,
+         SUM(t * (t - 1)) AS gt3
+  FROM (SELECT CAST(SUM(c) AS HUGEINT) AS t FROM cells GROUP BY g)
+),
+vt AS (
+  SELECT SUM(t * (t - 1) * (2 * t + 5)) AS vt1,
+         SUM(t * (t - 1) * (t - 2)) AS vt2,
+         SUM(t * (t - 1)) AS vt3
+  FROM (SELECT CAST(SUM(c) AS HUGEINT) AS t FROM cells GROUP BY v)
+),
+ks AS (
+  SELECT COUNT(*) AS k, CAST(SUM(ng) AS HUGEINT) AS n,
+         SUM(CAST(ng AS HUGEINT) * ng) AS sn2
+  FROM (SELECT g, SUM(c) AS ng FROM cells GROUP BY g)
+),
+st AS (
+  SELECT k, n, conc, xt,
+    CAST(2 * conc + xt - (n * n - sn2) // 2 AS DOUBLE) AS s_raw,
+    (CAST(n * (n - 1) * (2 * n + 5) AS DOUBLE)
+     - CAST(gt1 AS DOUBLE) - CAST(vt1 AS DOUBLE)) / 18.0 AS v1,
+    CAST(gt2 AS DOUBLE) * CAST(vt2 AS DOUBLE)
+      / (9.0 * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
+         * (CAST(n AS DOUBLE) - 2.0)) AS v2,
+    CAST(gt3 AS DOUBLE) * CAST(vt3 AS DOUBLE)
+      / (2.0 * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS v3
+  FROM ks, prs, gt, vt
+),
+zed AS (
+  SELECT k, n,
+    CAST(conc AS DOUBLE) + CAST(xt AS DOUBLE) / 2.0 AS jt_stat,
+    CASE WHEN k >= 2 AND n >= 3 AND (v1 + v2 + v3) > 0
+         THEN s_raw / SQRT(v1 + v2 + v3) END AS z
+  FROM st
+)
+SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n, jt_stat,
+  ROUND(z, 9) AS z,
+  ROUND(2.0 * {q}, 9) AS p_value
+FROM zed
+"""
+
+
+def a40_mood_median(spark: SparkSession, sf: str) -> DataFrame:
+    """Mood's median test (profile.mood_median_test): returnflag
+    groups split above vs at-or-below the pooled grand median of
+    line price — the outlier-proof k-sample location check. The
+    pooled median is an exact order statistic off
+    scale.global_prefix_sums; the k x 2 chi-square folds
+    group-sorted."""
+    l = load(spark, sf, "lineitem")
+    return profile.mood_median_test(l, "l_returnflag", "l_extendedprice")
+
+
+A40_SQL = """
+WITH gv AS (
+  SELECT l_returnflag AS g, l_extendedprice AS v, COUNT(*) AS c
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL
+  GROUP BY 1, 2
+),
+vgrain AS (SELECT v, SUM(c) AS cv FROM gv GROUP BY 1),
+tot AS (SELECT SUM(cv) AS n FROM vgrain),
+cum AS (
+  SELECT v, SUM(cv) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cc
+  FROM vgrain
+),
+med AS (
+  SELECT MIN(v) AS med FROM cum, tot WHERE cc >= (n + 1) // 2
+),
+per_g AS (
+  SELECT g,
+         SUM(CASE WHEN v > med THEN c ELSE 0 END) AS ab,
+         SUM(c) AS ng
+  FROM gv CROSS JOIN med GROUP BY g
+),
+agg AS (
+  SELECT COUNT(*) AS k, SUM(ab) AS abt, SUM(ng) AS nt,
+         list(struct_pack(g := g, ab := CAST(ab AS DOUBLE),
+                          ng := CAST(ng AS DOUBLE))
+              ORDER BY g) AS arr
+  FROM per_g
+),
+st AS (
+  SELECT *, CAST(abt AS DOUBLE) AS abtd, CAST(nt AS DOUBLE) AS ntd
+  FROM agg CROSS JOIN med
+),
+fin AS (
+  SELECT k, nt, med, abtd, ntd,
+    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      list_transform(arr, x ->
+        (x.ab - x.ng * abtd / ntd)
+        * (x.ab - x.ng * abtd / ntd)
+        / (x.ng * abtd / ntd)
+        + ((x.ng - x.ab) - x.ng * (ntd - abtd) / ntd)
+        * ((x.ng - x.ab) - x.ng * (ntd - abtd) / ntd)
+        / (x.ng * (ntd - abtd) / ntd))), (a, x) -> a + x) AS chi
+  FROM st
+)
+SELECT CAST(k AS BIGINT) AS k, CAST(nt AS BIGINT) AS n,
+  med AS grand_median,
+  ROUND(CASE WHEN k >= 2 AND abtd > 0 AND abtd < ntd THEN chi END,
+        6) AS chi2
+FROM fin
+"""
+
+
+def eval_cmh(spark: SparkSession, sf: str) -> DataFrame:
+    """Cochran-Mantel-Haenszel test + MH common odds ratio
+    (evaluation.cmh_test): is order fulfillment (status F) associated
+    with big-ticket orders (> 150k) after controlling for order
+    priority? One conditional aggregation to the 5 per-priority 2x2
+    cells; per-stratum rationals quantize to the 1e-6 grid before
+    summing (order-free)."""
+    from icnarc_to_philips_linkage_spark.operators import evaluation
+
+    o = load(spark, sf, "orders")
+    return evaluation.cmh_test(
+        o,
+        "o_orderpriority",
+        F.col("o_orderstatus") == "F",
+        F.col("o_totalprice") > 150000,
+    )
+
+
+EVAL_CMH_SQL = """
+WITH cells AS (
+  SELECT o_orderpriority AS s,
+    SUM(CASE WHEN o_orderstatus = 'F' AND o_totalprice > 150000
+        THEN 1 ELSE 0 END) AS a,
+    SUM(CASE WHEN o_orderstatus = 'F' AND NOT (o_totalprice > 150000)
+        THEN 1 ELSE 0 END) AS b,
+    SUM(CASE WHEN o_orderstatus <> 'F' AND o_totalprice > 150000
+        THEN 1 ELSE 0 END) AS c,
+    SUM(CASE WHEN o_orderstatus <> 'F' AND NOT (o_totalprice > 150000)
+        THEN 1 ELSE 0 END) AS d
+  FROM orders
+  WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
+    AND o_totalprice IS NOT NULL
+  GROUP BY 1
+),
+terms AS (
+  SELECT s, a, b, c, d,
+    CAST(a AS DOUBLE) AS ad_, CAST(b AS DOUBLE) AS bd_,
+    CAST(c AS DOUBLE) AS cd_, CAST(d AS DOUBLE) AS dd_
+  FROM cells
+),
+qt AS (
+  SELECT s, a + b + c + d AS sz,
+    CASE WHEN (ad_ + bd_ + cd_ + dd_) > 0 THEN
+      ad_ - (ad_ + bd_) * (ad_ + cd_) / (ad_ + bd_ + cd_ + dd_)
+    ELSE 0.0 END AS diff,
+    CASE WHEN (ad_ + bd_ + cd_ + dd_) > 1 THEN
+      (ad_ + bd_) * (cd_ + dd_) * (ad_ + cd_) * (bd_ + dd_)
+      / ((ad_ + bd_ + cd_ + dd_) * (ad_ + bd_ + cd_ + dd_)
+         * ((ad_ + bd_ + cd_ + dd_) - 1.0))
+    ELSE 0.0 END AS var,
+    CASE WHEN (ad_ + bd_ + cd_ + dd_) > 0 THEN
+      ad_ * dd_ / (ad_ + bd_ + cd_ + dd_) ELSE 0.0 END AS adn,
+    CASE WHEN (ad_ + bd_ + cd_ + dd_) > 0 THEN
+      bd_ * cd_ / (ad_ + bd_ + cd_ + dd_) ELSE 0.0 END AS bcn
+  FROM terms
+),
+agg AS (
+  SELECT COUNT(*) AS n_strata, SUM(sz) AS n,
+    SUM(CAST(FLOOR(diff * 1000000.0 + 0.5) AS HUGEINT)) AS qdiff,
+    SUM(CAST(FLOOR(var * 1000000.0 + 0.5) AS HUGEINT)) AS qvar,
+    SUM(CAST(FLOOR(adn * 1000000.0 + 0.5) AS HUGEINT)) AS qad,
+    SUM(CAST(FLOOR(bcn * 1000000.0 + 0.5) AS HUGEINT)) AS qbc
+  FROM qt
+)
+SELECT CAST(n_strata AS BIGINT) AS n_strata, CAST(n AS BIGINT) AS n,
+  ROUND(CASE WHEN CAST(qvar AS DOUBLE) / 1000000.0 > 0 THEN
+    (CAST(qdiff AS DOUBLE) / 1000000.0)
+    * (CAST(qdiff AS DOUBLE) / 1000000.0)
+    / (CAST(qvar AS DOUBLE) / 1000000.0) END, 6) AS cmh_chi2,
+  ROUND(CASE WHEN CAST(qbc AS DOUBLE) / 1000000.0 > 0 THEN
+    (CAST(qad AS DOUBLE) / 1000000.0)
+    / (CAST(qbc AS DOUBLE) / 1000000.0) END, 6) AS mh_or
+FROM agg
+"""
+
+
 def a35_ks_exact(spark: SparkSession, sf: str) -> DataFrame:
     """Exact two-sample KS D between returned and delivered line
     prices (profile.ks_two_sample_exact): ECDF gap maximized on the
@@ -7450,6 +7776,11 @@ QUERIES: dict[str, tuple] = {
     "a32_anova_f": (a32_anova_f, A32_SQL),
     "a33_mann_whitney": (a33_mann_whitney, A33_SQL),
     "a34_kruskal_wallis": (a34_kruskal_wallis, A34_SQL),
+    "a41_friedman": (a41_friedman, A41_SQL),
+    "a42_cochran_q": (a42_cochran_q, A42_SQL),
+    "a43_jonckheere": (a43_jonckheere, _jonckheere_sql()),
+    "a40_mood_median": (a40_mood_median, A40_SQL),
+    "eval_cmh": (eval_cmh, EVAL_CMH_SQL),
     "a35_ks_exact": (a35_ks_exact, A35_SQL),
     "a36_brown_forsythe": (a36_brown_forsythe, A36_SQL),
     "a37_weighted_median": (a37_weighted_median, A37_SQL),

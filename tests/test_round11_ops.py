@@ -226,3 +226,292 @@ def test_wilcoxon_accepts_integer_and_decimal_scale0(spark):
     )
     r2 = wilcoxon_signed_rank(dec, "a", "b").collect()[0]
     assert r2.w_plus == r.w_plus and r2.z == r.z
+
+
+# ---------------------------------------------------------------------------
+# round-11 batch 2: blocked/ordered/stratified tests + calibration + drift
+# ---------------------------------------------------------------------------
+
+
+def test_friedman_classic_no_ties(spark):
+    """Ranks are (3,2,1) in every block -> R = (12,8,4), chi2 = 8."""
+    from icnarc_to_philips_linkage_spark.operators.profile import (
+        friedman_test,
+    )
+
+    vals = {1: (9, 4, 1), 2: (6, 5, 2), 3: (8, 7, 3), 4: (7, 5.5, 2.5)}
+    data = [
+        (b, t, float(v))
+        for b, vs in vals.items()
+        for t, v in zip(("t1", "t2", "t3"), vs)
+    ]
+    df = spark.createDataFrame(data, "b int, t string, v double")
+    r = friedman_test(df, "b", "t", "v").collect()[0]
+    assert r.k == 3 and r.n_blocks == 4 and r.chi2_f == 8.0
+
+
+def test_friedman_incomplete_blocks_dropped_and_ties(spark):
+    from icnarc_to_philips_linkage_spark.operators.profile import (
+        friedman_test,
+    )
+
+    data = [
+        (1, "t1", 1.0), (1, "t2", 1.0), (1, "t3", 2.0),  # tie in block
+        (2, "t1", 3.0), (2, "t2", 1.0), (2, "t3", 2.0),
+        (3, "t1", 5.0), (3, "t2", 4.0),  # incomplete -> dropped
+    ]
+    df = spark.createDataFrame(data, "b int, t string, v double")
+    r = friedman_test(df, "b", "t", "v").collect()[0]
+    assert r.n_blocks == 2
+    # block1 doubled ranks: t1/t2 tied at avg 1.5 (r2=3), t3 r2=6
+    # block2: t2=1,t3=2,t1=3. R = (1.5+3, 1.5+1, 3+2) = (4.5, 2.5, 5)
+    # chi2_raw = 12/(2*3*4)*(20.25+6.25+25) - 3*2*4 = 25.75 - 24 = 1.75
+    # tie term: one pair tied -> 2^3-2 = 6; C = 1 - 6/(2*3*8) = 0.875
+    assert r.chi2_f == pytest.approx(1.75 / 0.875, abs=1e-6)
+
+
+def test_cochran_q_hand_example(spark):
+    from icnarc_to_philips_linkage_spark.operators.profile import (
+        cochran_q,
+    )
+
+    rows = [
+        (1, 1, 1), (1, 1, 0), (1, 0, 0), (0, 1, 1), (1, 1, 1),
+        (0, 0, 0), (1, 1, 0), (0, 1, 0), (1, 0, 0), (1, 1, 1),
+    ]
+    data = [
+        (i, f"t{j}", x) for i, r in enumerate(rows) for j, x in enumerate(r)
+    ]
+    df = spark.createDataFrame(data, "b int, t string, x int")
+    r = cochran_q(df, "b", "t", "x").collect()[0]
+    # G=(7,7,4), N=18, sumB2=42: Q = 2*(3*114-324)/(3*18-42) = 3.0
+    assert r.k == 3 and r.n_blocks == 10 and r.n_success == 18
+    assert r.q_stat == 3.0
+
+
+def test_cochran_q_degenerate_all_ones(spark):
+    from icnarc_to_philips_linkage_spark.operators.profile import (
+        cochran_q,
+    )
+
+    data = [(b, t, 1) for b in range(3) for t in ("t1", "t2")]
+    df = spark.createDataFrame(data, "b int, t string, x int")
+    r = cochran_q(df, "b", "t", "x").collect()[0]
+    assert r.q_stat is None  # kN - sumB^2 = 12 - 12 = 0
+
+
+def test_mood_median_hand_example(spark):
+    from icnarc_to_philips_linkage_spark.operators.profile import (
+        mood_median_test,
+    )
+
+    md = (
+        [("a", v) for v in [1, 2, 3, 4, 5]]
+        + [("b", v) for v in [4, 5, 6, 7, 8]]
+        + [("c", v) for v in [7, 8, 9, 10, 11]]
+    )
+    df = spark.createDataFrame(md, "g string, v int")
+    r = mood_median_test(df, "g", "v").collect()[0]
+    # pooled lower median = 6; above: a=0,b=2,c=5 (tot 7 of 15)
+    # chi2 = 4.375 + 0.0892857 + 5.7142857 = 10.178571
+    assert r.k == 3 and r.n == 15 and r.grand_median == 6
+    assert r.chi2 == pytest.approx(10.178571, abs=1e-6)
+
+
+def test_jonckheere_matches_bruteforce(spark):
+    import itertools
+    import math
+
+    from icnarc_to_philips_linkage_spark.operators.profile import (
+        jonckheere_trend,
+    )
+
+    groups = {
+        "a": [1, 2, 3, 4, 5],
+        "b": [3, 4, 5, 6, 7],
+        "c": [6, 7, 8, 9, 10],
+    }
+    order = ["a", "b", "c"]
+    df = spark.createDataFrame(
+        [(g, v) for g, vs in groups.items() for v in vs],
+        "g string, v int",
+    )
+    r = jonckheere_trend(df, "g", "v", order).collect()[0]
+    jt = sum(
+        1.0 if y > x else (0.5 if y == x else 0.0)
+        for i, j in itertools.combinations(range(3), 2)
+        for x in groups[order[i]]
+        for y in groups[order[j]]
+    )
+    assert r.jt_stat == jt == 68.5
+    # independent variance replay (Kendall S with group-size x-ties)
+    vals = sorted(v for vs in groups.values() for v in vs)
+    n = len(vals)
+    gsz = [len(groups[g]) for g in order]
+    from collections import Counter
+
+    tv = Counter(vals).values()
+    t1 = lambda xs: sum(t * (t - 1) * (2 * t + 5) for t in xs)
+    t2 = lambda xs: sum(t * (t - 1) * (t - 2) for t in xs)
+    t3 = lambda xs: sum(t * (t - 1) for t in xs)
+    v_s = (
+        (n * (n - 1) * (2 * n + 5) - t1(gsz) - t1(tv)) / 18.0
+        + t2(gsz) * t2(tv) / (9.0 * n * (n - 1) * (n - 2))
+        + t3(gsz) * t3(tv) / (2.0 * n * (n - 1))
+    )
+    p_pairs = (n * n - sum(g * g for g in gsz)) / 2
+    z = (2 * jt - p_pairs) / math.sqrt(v_s)
+    assert r.z == pytest.approx(z, abs=1e-6)
+    assert r.p_value < 0.01  # clear planted ascending trend
+
+
+def test_jonckheere_descending_gives_negative_z(spark):
+    from icnarc_to_philips_linkage_spark.operators.profile import (
+        jonckheere_trend,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 10), ("a", 9), ("b", 5), ("b", 4), ("c", 1), ("c", 2)],
+        "g string, v int",
+    )
+    r = jonckheere_trend(df, "g", "v", ["a", "b", "c"]).collect()[0]
+    assert r.jt_stat == 0.0 and r.z < 0
+
+
+def test_cmh_hand_example_and_simpson_guard(spark):
+    from icnarc_to_philips_linkage_spark.operators.evaluation import (
+        cmh_test,
+    )
+
+    rows = []
+
+    def add(s, e, o, cnt):
+        rows.extend([(s, e, o)] * cnt)
+
+    add("s1", True, True, 20)
+    add("s1", True, False, 10)
+    add("s1", False, True, 10)
+    add("s1", False, False, 20)
+    add("s2", True, True, 30)
+    add("s2", True, False, 30)
+    add("s2", False, True, 10)
+    add("s2", False, False, 30)
+    df = spark.createDataFrame(rows, "s string, e boolean, o boolean")
+    r = cmh_test(df, "s", "e", "o").collect()[0]
+    # diff = 5 + 6 = 11; var = 900*900/(3600*59) + 60*40*40*60/(1e4*99)
+    var = 30 * 30 * 30 * 30 / (3600.0 * 59) + 60 * 40 * 40 * 60 / (
+        10000.0 * 99
+    )
+    assert r.n_strata == 2 and r.n == 160
+    assert r.cmh_chi2 == pytest.approx(121.0 / var, abs=1e-4)
+    orr = (20 * 20 / 60.0 + 30 * 30 / 100.0) / (
+        10 * 10 / 60.0 + 30 * 10 / 100.0
+    )
+    assert r.mh_or == pytest.approx(orr, abs=1e-5)
+
+
+def test_hosmer_lemeshow_hand_computation(spark):
+    from icnarc_to_philips_linkage_spark.operators.evaluation import (
+        hosmer_lemeshow,
+    )
+
+    pts = [
+        (0.1, 0), (0.15, 0), (0.2, 1), (0.7, 1),
+        (0.75, 0), (0.9, 1), (0.95, 1), (0.5, 0),
+    ]
+    df = spark.createDataFrame(pts, "p double, y int")
+    r = hosmer_lemeshow(df, "p", "y", bins=4).collect()[0]
+    # bins (width .25): b0 {.1,.15,.2}: n=3 o1=1 e1=.45
+    #                   b2 {.5,.7}:     n=2 o1=1 e1=1.2
+    #                   b3 {.75,.9,.95}: n=3 o1=2 e1=2.6
+    exp = (
+        (1 - 0.45) ** 2 / 0.45 + (2 - 2.55) ** 2 / 2.55
+        + (1 - 1.2) ** 2 / 1.2 + (1 - 0.8) ** 2 / 0.8
+        + (2 - 2.6) ** 2 / 2.6 + (1 - 0.4) ** 2 / 0.4
+    )
+    assert r.n == 8 and r.n_bins_used == 3
+    assert r.hl_chi2 == pytest.approx(exp, abs=1e-5)
+
+
+def test_brier_decomposition_identity_on_constant_bins(spark):
+    """Scores constant within each bin -> the Murphy identity is
+    EXACT: brier = REL - RES + UNC."""
+    from icnarc_to_philips_linkage_spark.operators.evaluation import (
+        brier_decomposition,
+    )
+
+    pts = (
+        [(0.15, 1)] * 2 + [(0.15, 0)] * 8
+        + [(0.85, 1)] * 7 + [(0.85, 0)] * 3
+    )
+    df = spark.createDataFrame(pts, "p double, y int")
+    r = brier_decomposition(df, "p", "y", bins=10).collect()[0]
+    assert r.n == 20 and r.n_pos == 9
+    assert r.uncertainty == pytest.approx(0.45 * 0.55, abs=1e-9)
+    assert r.brier == pytest.approx(
+        r.reliability - r.resolution + r.uncertainty, abs=1e-8
+    )
+
+
+def test_js_divergence_disjoint_shift_closed_form(spark):
+    """Uniform 0-9 vs uniform 2-11: 2 disjoint buckets each side ->
+    JSD = 0.2 ln 2 exactly."""
+    import math
+
+    from pyspark.sql import functions as F2
+
+    from icnarc_to_philips_linkage_spark.operators.drift import (
+        js_divergence,
+    )
+
+    rows = [(True, float(i % 10)) for i in range(100)] + [
+        (False, float((i % 10) + 2)) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "r boolean, v double")
+    r = js_divergence(df, F2.col("r"), "v", 0.0, 12.0, bins=12).collect()[0]
+    assert r.n_ref == 100 and r.n_cur == 100
+    assert r.js_divergence == pytest.approx(0.2 * math.log(2), abs=1e-6)
+    assert r.js_distance == pytest.approx(
+        (0.2 * math.log(2)) ** 0.5, abs=1e-6
+    )
+
+
+def test_js_divergence_identical_is_zero(spark):
+    from pyspark.sql import functions as F2
+
+    from icnarc_to_philips_linkage_spark.operators.drift import (
+        js_divergence,
+    )
+
+    rows = [(True, float(i % 5)) for i in range(50)] + [
+        (False, float(i % 5)) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "r boolean, v double")
+    r = js_divergence(df, F2.col("r"), "v", 0.0, 5.0, bins=5).collect()[0]
+    assert r.js_divergence == 0.0 and r.js_distance == 0.0
+
+
+def test_zipf_slope_hand_ols(spark):
+    import math
+
+    from icnarc_to_philips_linkage_spark.operators.text import zipf_slope
+
+    df = spark.createDataFrame(
+        [("w1 w1 w1 w1 w2 w2 w3",), ("w1 w2 w2 w3 w4",)],
+        "text string",
+    )
+    r = zipf_slope(df, "text").collect()[0]
+    # freqs: w1=5, w2=4, w3=2, w4=1 -> ranks 1..4 (freq desc)
+    xs = [math.log(i) for i in (1, 2, 3, 4)]
+    ys = [math.log(f) for f in (5, 4, 2, 1)]
+    # replay the operator's 1e-6 quantization
+    q = lambda v: math.floor(v * 1e6 + 0.5) / 1e6
+    sx = sum(q(x) for x in xs)
+    sy = sum(q(y) for y in ys)
+    sxy = sum(q(x * y) for x, y in zip(xs, ys))
+    sxx = sum(q(x * x) for x in xs)
+    v = 4.0
+    slope = (sxy - sx * sy / v) / (sxx - sx * sx / v)
+    assert r.vocab_size == 4 and r.n_tokens == 12
+    assert r.slope == pytest.approx(slope, abs=1e-4)
+    assert -2.0 < r.slope < -0.5  # Zipf-ish
