@@ -175,6 +175,230 @@ def main() -> int:
         assert r.delta_auc == 0.5
         assert r.ci_lo == 0.5 and r.ci_hi == 0.5 and r.delta_med == 0.5
 
+    # ---- round-11 batch-2 operators, same closed-form discipline
+    from icnarc_to_philips_linkage_spark.operators import (
+        drift as dr,
+        text as tx,
+    )
+
+    if want("friedman"):
+        # 20M blocks × 5 treatments; value = treatment ordinal ⇒
+        # every block ranks (1..5) ⇒ R_j = n·j and χ² = 4n EXACTLY
+        rows = spark.range(n100).select(
+            (F.col("id") / 5).cast("long").alias("b"),
+            F.concat(
+                F.lit("t"), F.pmod(F.col("id"), F.lit(5)).cast("string")
+            ).alias("t"),
+            F.pmod(F.col("id"), F.lit(5)).cast("double").alias("v"),
+        )
+        t = time.time()
+        r = pr.friedman_test(rows, "b", "t", "v").collect()[0]
+        timings["friedman_100m_cells"] = round(time.time() - t, 2)
+        nb = n100 // 5
+        print(
+            "friedman_100m_cells", timings["friedman_100m_cells"],
+            "chi2", r.chi2_f, "expected", 4.0 * nb, flush=True,
+        )
+        assert r.k == 5 and r.n_blocks == nb
+        assert r.chi2_f == 4.0 * nb, r
+
+    if want("cochranq"):
+        # same blocks; success iff treatment ordinal < 2 ⇒ Q = 4n
+        rows = spark.range(n100).select(
+            (F.col("id") / 5).cast("long").alias("b"),
+            F.concat(
+                F.lit("t"), F.pmod(F.col("id"), F.lit(5)).cast("string")
+            ).alias("t"),
+            (F.pmod(F.col("id"), F.lit(5)) < 2).alias("x"),
+        )
+        t = time.time()
+        r = pr.cochran_q(rows, "b", "t", "x").collect()[0]
+        timings["cochran_q_100m_cells"] = round(time.time() - t, 2)
+        nb = n100 // 5
+        print(
+            "cochran_q_100m_cells", timings["cochran_q_100m_cells"],
+            "q", r.q_stat, "expected", 4.0 * nb, flush=True,
+        )
+        assert r.n_blocks == nb and r.n_success == 2 * nb
+        assert r.q_stat == 4.0 * nb, r
+
+    if want("jonck"):
+        # values strictly separated by group ⇒ JT = all cross pairs
+        g = F.pmod(F.col("id"), F.lit(4))
+        rows = spark.range(n100).select(
+            F.concat(F.lit("g"), g.cast("string")).alias("g"),
+            (
+                g * 1000
+                + F.pmod((F.col("id") - g) / 4, F.lit(1000))
+            ).cast("long").alias("v"),
+        )
+        t = time.time()
+        r = pr.jonckheere_trend(
+            rows, "g", "v", ["g0", "g1", "g2", "g3"]
+        ).collect()[0]
+        timings["jonckheere_100m_rows"] = round(time.time() - t, 2)
+        nd = n100 // 4
+        p_pairs = 6 * nd * nd  # C(4,2) ordered group pairs
+        print(
+            "jonckheere_100m_rows", timings["jonckheere_100m_rows"],
+            "jt", r.jt_stat, "expected", float(p_pairs), "z", r.z,
+            flush=True,
+        )
+        assert r.jt_stat == float(p_pairs) and r.z > 1000
+
+    if want("mood"):
+        # identical multiset per group ⇒ χ² = 0 EXACTLY
+        g = F.pmod(F.col("id"), F.lit(4))
+        rows = spark.range(n100).select(
+            F.concat(F.lit("g"), g.cast("string")).alias("g"),
+            F.pmod((F.col("id") - g) / 4, F.lit(1000))
+            .cast("long")
+            .alias("v"),
+        )
+        t = time.time()
+        r = pr.mood_median_test(rows, "g", "v").collect()[0]
+        timings["mood_median_100m_rows"] = round(time.time() - t, 2)
+        print(
+            "mood_median_100m_rows", timings["mood_median_100m_rows"],
+            "median", r.grand_median, "chi2", r.chi2, flush=True,
+        )
+        assert r.n == n100 and r.grand_median == 499 and r.chi2 == 0.0
+
+    if want("cmh"):
+        # id = q·20 + arm·10 + s is a bijection: 10 strata × 2 arms ×
+        # 5M rows, outcome = (q % 100) < 30 (exposed) / 20 (control)
+        # ⇒ per stratum a=1.5M b=3.5M c=1M d=4M; OR_MH = 12/7 EXACT
+        s = F.pmod(F.col("id"), F.lit(10))
+        arm = F.pmod((F.col("id") - s) / 10, F.lit(2))
+        q_ = (F.col("id") - s - arm * 10) / 20
+        rows = spark.range(n100).select(
+            F.concat(F.lit("s"), s.cast("string")).alias("s"),
+            (arm == 0).alias("e"),
+            (
+                F.pmod(q_, F.lit(100))
+                < F.when(arm == 0, 30).otherwise(20)
+            ).alias("o"),
+        )
+        t = time.time()
+        r = ev.cmh_test(rows, "s", "e", "o").collect()[0]
+        timings["cmh_100m_rows"] = round(time.time() - t, 2)
+        print(
+            "cmh_100m_rows", timings["cmh_100m_rows"],
+            "or", r.mh_or, "chi2", r.cmh_chi2, flush=True,
+        )
+        assert r.n_strata == 10 and r.n == n100
+        assert r.mh_or == round(12.0 / 7.0, 6) and r.cmh_chi2 > 100000
+
+    if want("hl"):
+        # perfectly calibrated planted rates ⇒ O1 = E1 per bin ⇒
+        # HL χ² = 0 EXACTLY (and Murphy REL = 0 on the same frame)
+        b = F.pmod(F.col("id"), F.lit(10))
+        qq = (F.col("id") - b) / 10
+        rows = spark.range(n100).select(
+            (b.cast("double") * 0.1 + 0.05).alias("p"),
+            (F.pmod(qq, F.lit(1000)) < (b * 100 + 50)).cast("int")
+            .alias("y"),
+        )
+        t = time.time()
+        r = ev.hosmer_lemeshow(rows, "p", "y", bins=10).collect()[0]
+        t_hl = round(time.time() - t, 2)
+        timings["hosmer_lemeshow_100m_rows"] = t_hl
+        t = time.time()
+        d2 = ev.brier_decomposition(rows, "p", "y", bins=10).collect()[0]
+        timings["brier_decomp_100m_rows"] = round(time.time() - t, 2)
+        print(
+            "hosmer_lemeshow_100m_rows", t_hl, "chi2", r.hl_chi2,
+            "| brier_decomp", timings["brier_decomp_100m_rows"],
+            "rel", d2.reliability, "brier", d2.brier, flush=True,
+        )
+        assert r.n == n100 and r.n_bins_used == 10 and r.hl_chi2 == 0.0
+        assert d2.reliability == 0.0
+        # bin-constant scores ⇒ Murphy identity exact
+        assert abs(
+            d2.brier - (d2.reliability - d2.resolution + d2.uncertainty)
+        ) < 1e-8
+
+    if want("js"):
+        # uniform 0-9 vs uniform 2-11 on a 12-bucket grid ⇒
+        # JSD = 0.2·ln 2 (two disjoint buckets each side)
+        import math
+
+        rows = spark.range(n100).select(
+            (F.pmod(F.col("id"), F.lit(2)) == 0).alias("r"),
+            (
+                F.pmod((F.col("id") / 2).cast("long"), F.lit(10))
+                + F.when(F.pmod(F.col("id"), F.lit(2)) == 0, 0)
+                .otherwise(2)
+            ).cast("double").alias("v"),
+        )
+        t = time.time()
+        r = dr.js_divergence(
+            rows, F.col("r"), "v", 0.0, 12.0, bins=12
+        ).collect()[0]
+        timings["js_divergence_100m_rows"] = round(time.time() - t, 2)
+        print(
+            "js_divergence_100m_rows",
+            timings["js_divergence_100m_rows"],
+            "jsd", r.js_divergence, "expected",
+            round(0.2 * math.log(2), 6), flush=True,
+        )
+        assert r.n_ref == r.n_cur == n100 // 2
+        assert abs(r.js_divergence - 0.2 * math.log(2)) < 1e-6
+
+    if want("zipf"):
+        # two-point frequency vocabulary with EXACT planted counts:
+        # 500k words × 132 + 500k words × 68 = 100M tokens; the OLS
+        # replays in Python over the 1M (rank, freq) points with the
+        # operator's own 1e-6 quantization
+        import math
+
+        v_half, f_hi, f_lo = 500_000, 132, 68
+        cut = v_half * f_hi  # 66M positions of high-freq words
+        tok = F.transform(
+            F.sequence(F.lit(0), F.lit(9)),
+            lambda j: F.when(
+                F.col("id") * 10 + j < cut,
+                F.concat(
+                    F.lit("w"),
+                    F.pmod(F.col("id") * 10 + j, F.lit(v_half))
+                    .cast("string"),
+                ),
+            ).otherwise(
+                F.concat(
+                    F.lit("x"),
+                    F.pmod(
+                        F.col("id") * 10 + j - cut, F.lit(v_half)
+                    ).cast("string"),
+                )
+            ),
+        )
+        docs = spark.range(n100 // 10).select(
+            F.concat_ws(" ", tok).alias("text")
+        )
+        t = time.time()
+        r = tx.zipf_slope(docs).collect()[0]
+        timings["zipf_slope_100m_tokens"] = round(time.time() - t, 2)
+        qz = lambda x: math.floor(x * 1e6 + 0.5)  # noqa: E731
+        sx = sy = sxy = sxx = 0
+        for rank in range(1, 2 * v_half + 1):
+            f = f_hi if rank <= v_half else f_lo
+            lx, ly = math.log(rank), math.log(f)
+            sx += qz(lx)
+            sy += qz(ly)
+            sxy += qz(lx * ly)
+            sxx += qz(lx * lx)
+        v = float(2 * v_half)
+        sxd, syd, sxyd, sxxd = (x / 1e6 for x in (sx, sy, sxy, sxx))
+        cov = sxyd - sxd * syd / v
+        varx = sxxd - sxd * sxd / v
+        print(
+            "zipf_slope_100m_tokens", timings["zipf_slope_100m_tokens"],
+            "slope", r.slope, "expected~", round(cov / varx, 4),
+            flush=True,
+        )
+        assert r.vocab_size == 2 * v_half and r.n_tokens == n100
+        assert abs(r.slope - cov / varx) < 2e-4, (r.slope, cov / varx)
+
     print(json.dumps({"timings_sec": timings}))
     spark.stop()
     return 0
