@@ -2061,6 +2061,93 @@ def bh_fdr(
     )
 
 
+def gwet_ac1(
+    df: DataFrame,
+    rater1_col: str,
+    rater2_col: str,
+    round_dp: int = 9,
+) -> DataFrame:
+    """Gwet's AC1 inter-rater agreement (Gwet 2008) — the
+    paradox-resistant alternative to Cohen's kappa: kappa collapses
+    toward 0 under skewed category prevalence even at near-perfect
+    observed agreement (the "kappa paradox"); AC1's chance term uses
+    the probability a RANDOM rater pair agrees by accident,
+
+        Pe = Σ_k π_k(1 − π_k) / (K − 1),
+        π_k = (n1_k + n2_k) / (2N),   AC1 = (Pa − Pe) / (1 − Pe)
+
+    Scale shape: ONE conditional aggregation to the K×K-bounded cell
+    table (the ``cohens_kappa`` contract); marginals and Pa are exact
+    integers, and the only float reduction folds over the
+    category-sorted array. Categories are the union of both raters'.
+
+    Output one row: ``(n, n_categories, p_agree, p_chance, ac1)`` —
+    NULL AC1 when K < 2 or Pe = 1.
+    """
+    r1 = F.col(rater1_col).cast("string")
+    r2 = F.col(rater2_col).cast("string")
+    base = df.filter(r1.isNotNull() & r2.isNotNull()).select(
+        r1.alias("__r1"), r2.alias("__r2")
+    )
+    m1 = base.groupBy(F.col("__r1").alias("__k")).agg(
+        F.count(F.lit(1)).alias("__c1")
+    )
+    m2 = base.groupBy(F.col("__r2").alias("__k")).agg(
+        F.count(F.lit(1)).alias("__c2")
+    )
+    marg = (
+        m1.join(m2, "__k", "full")
+        .select(
+            "__k",
+            (
+                F.coalesce("__c1", F.lit(0))
+                + F.coalesce("__c2", F.lit(0))
+            ).alias("__m"),
+        )
+    )
+    tot = base.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum((F.col("__r1") == F.col("__r2")).cast("long")).alias(
+            "__agree"
+        ),
+    )
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("__k").alias("k"),
+                F.col("__m").cast("double").alias("m"),
+            )
+        )
+    )
+    agg = (
+        marg.agg(F.count(F.lit(1)).alias("__kk"), arr.alias("__arr"))
+        .crossJoin(F.broadcast(tot))
+        .withColumn("__nd", F.col("__n").cast("double"))
+    )
+    pe = F.aggregate(
+        F.expr(
+            "transform(__arr, x -> "
+            "(x.m / (2.0 * __nd)) * (1.0 - x.m / (2.0 * __nd)))"
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    ) / (F.col("__kk").cast("double") - 1.0)
+    pa = F.col("__agree").cast("double") / F.col("__nd")
+    ok = (F.col("__kk") >= 2) & (F.col("__n") > 0)
+    return agg.select(
+        F.col("__n").cast("long").alias("n"),
+        F.col("__kk").cast("long").alias("n_categories"),
+        F.round(F.when(F.col("__n") > 0, pa), round_dp).alias(
+            "p_agree"
+        ),
+        F.round(F.when(ok, pe), round_dp).alias("p_chance"),
+        F.round(
+            F.when(ok & (pe < 1.0), (pa - pe) / (1.0 - pe)),
+            round_dp,
+        ).alias("ac1"),
+    )
+
+
 def cmh_test(
     df: DataFrame,
     stratum_col: str,

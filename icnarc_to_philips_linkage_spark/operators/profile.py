@@ -2151,6 +2151,206 @@ def mood_median_test(
     )
 
 
+def page_l_trend(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    value_col: str,
+    treatment_order: list[str],
+    round_dp: int = 9,
+) -> DataFrame:
+    """Page's L trend test (Page 1963): the DIRECTIONAL sibling of
+    ``friedman_test`` — do within-block ranks increase along a
+    caller-given treatment ordering? ``L = Σ_j c_j·R_j`` with
+    ``c_j`` the 1-based ordinal of treatment j. The null moments are
+    computed EXACTLY conditional on the observed (possibly tied)
+    mid-ranks under within-block label permutation:
+
+        E[L]   = Σ_b (Σc)·(ΣR_b)/k
+        Var[L] = Σ_b [Σc² − (Σc)²/k]·[ΣR_b² − (ΣR_b)²/k]/(k−1)
+
+    so ties need no approximate correction — blocks that are fully
+    tied simply contribute zero variance. One-sided upper-tail p
+    (the ordered alternative) via the shared A&S normal tail.
+
+    Scale shape: the ``friedman_test`` machinery — (block, treatment)
+    cells via ``max``, complete blocks only (treatments outside
+    ``treatment_order`` are dropped first), block-partitioned doubled
+    mid-rank windows (corpus-parallel), then ONE aggregation of exact
+    integer L2/ΣR2² sums; every moment is an expression over exact
+    decimals with a single final sqrt.
+
+    Output one row: ``(k, n_blocks, l_stat, z, p_value)`` — z NULL
+    when the permutation variance is 0.
+    """
+    from icnarc_to_philips_linkage_spark.operators.evaluation import (
+        normal_sf_approx,
+    )
+
+    k = len(treatment_order)
+    if k < 2:
+        raise ValueError("treatment_order needs >= 2 treatments")
+    ordmap = F.create_map(
+        *[
+            x
+            for t, i in (
+                (t, i + 1) for i, t in enumerate(treatment_order)
+            )
+            for x in (F.lit(t), F.lit(i))
+        ]
+    )
+    cells = (
+        df.filter(
+            F.col(block_col).isNotNull()
+            & F.col(treatment_col).isNotNull()
+            & F.col(value_col).isNotNull()
+        )
+        .select(
+            F.col(block_col).alias("__b"),
+            ordmap[F.col(treatment_col).cast("string")].alias("__c"),
+            F.col(value_col).alias("__raw"),
+        )
+        .filter(F.col("__c").isNotNull())
+        .groupBy("__b", "__c")
+        .agg(F.max("__raw").alias("__v"))
+    )
+    complete = cells.join(
+        cells.groupBy("__b").agg(F.count(F.lit(1)).alias("__bk")),
+        "__b",
+    ).filter(F.col("__bk") == k)
+    wr = Window.partitionBy("__b").orderBy("__v")
+    wt = Window.partitionBy("__b", "__v")
+    ranked = complete.select(
+        "__b",
+        "__c",
+        (
+            2 * F.rank().over(wr) + F.count(F.lit(1)).over(wt) - 1
+        ).alias("__r2"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    per_b = ranked.groupBy("__b").agg(
+        F.sum(dec(F.col("__c")) * dec(F.col("__r2")))
+        .alias("__l2b"),
+        F.sum(dec(F.col("__r2")) * dec(F.col("__r2")))
+        .alias("__r2sq"),
+    )
+    sum_c = k * (k + 1) // 2
+    sum_c2 = sum(
+        (i + 1) * (i + 1) for i in range(k)
+    )
+    sum_r2 = k * (k + 1)  # doubled rank sum per block, tie-invariant
+    # per-block doubled-L permutation variance numerator:
+    # (k·Σc² − (Σc)²)·(k·ΣR2² − (ΣR2)²); divide by k²(k−1) once
+    cfac = k * sum_c2 - sum_c * sum_c
+    agg = per_b.agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.sum("__l2b").alias("__l2"),
+        F.sum(
+            F.lit(cfac).cast("decimal(38,0)")
+            * (
+                F.lit(k).cast("decimal(38,0)") * F.col("__r2sq")
+                - F.lit(sum_r2 * sum_r2).cast("decimal(38,0)")
+            )
+        ).alias("__varnum"),
+    )
+    nb = F.col("n_blocks").cast("decimal(38,0)")
+    # E2 per block = (Σc)·(ΣR2)/k = Σc·(k+1) — an exact integer
+    e2 = nb * F.lit(sum_c * (k + 1)).cast("decimal(38,0)")
+    var4 = F.col("__varnum").cast("double") / float(k * k * (k - 1))
+    zz = F.when(
+        (F.col("n_blocks") > 0) & (var4 > 0),
+        (F.col("__l2").cast("double") - e2.cast("double"))
+        / F.sqrt(var4),
+    )
+    return agg.select(
+        F.lit(k).cast("long").alias("k"),
+        F.col("n_blocks").cast("long").alias("n_blocks"),
+        (F.col("__l2").cast("double") / 2.0).alias("l_stat"),
+        F.round(zz, round_dp).alias("z"),
+        F.round(
+            F.when(zz >= 0, normal_sf_approx(zz)).otherwise(
+                F.lit(1.0) - normal_sf_approx(-zz)
+            ),
+            round_dp,
+        ).alias("p_value_one_sided"),
+    )
+
+
+def cvm_two_sample_exact(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    round_dp: int = 9,
+) -> DataFrame:
+    """Two-sample Cramér–von Mises statistic — the WHOLE-curve ECDF
+    distance next to ``ks_two_sample_exact``'s single worst gap:
+
+        T = (n_a·n_b / N²) · Σ_pooled obs (F_A(x) − F_B(x))²
+
+    evaluated on the pooled distinct-value grain (each value v
+    contributes ``count(v)·gap(v)²``). KS misses a distribution pair
+    that differs slightly EVERYWHERE; CvM integrates it.
+
+    Exactness: ``gap(v) = (cumA·n_b − cumB·n_a)/(n_a·n_b)`` rides the
+    exact integer cross-products of the KS recipe (running counts via
+    ``scale.global_prefix_sums`` — the grain may be corpus-sized);
+    each value's term quantizes to the 1e-9 grid before summing
+    (order-free exact decimals; the squared integer form would pass
+    decimal(38,0) at ~50M rows/side, so the quantized-double form is
+    the scale-safe one and its error is below the output round).
+
+    Output one row: ``(n_a, n_b, t_stat)`` — NULL when either group
+    is empty.
+    """
+    from icnarc_to_philips_linkage_spark.operators.scale import (
+        global_prefix_sums,
+    )
+
+    base = df.filter(
+        F.col(value_col).isNotNull()
+        & F.col(group_col).isin([group_a, group_b])
+    ).select(
+        (F.col(group_col) == group_a).alias("__is_a"),
+        F.col(value_col),
+    )
+    counts = base.groupBy(value_col).agg(
+        F.count(F.when(F.col("__is_a"), F.lit(1))).alias("__ca"),
+        F.count(F.when(~F.col("__is_a"), F.lit(1))).alias("__cb"),
+    )
+    staged, totals = global_prefix_sums(
+        counts, [value_col], ["__ca", "__cb"]
+    )
+    na, nb = totals["__ca"], totals["__cb"]
+    if na == 0 or nb == 0:
+        sess = df.sparkSession
+        return sess.createDataFrame(
+            [(na, nb, None)],
+            "n_a long, n_b long, t_stat double",
+        )
+    gap = (
+        F.col("cum___ca").cast("double") * float(nb)
+        - F.col("cum___cb").cast("double") * float(na)
+    ) / float(na * nb)
+    cv = (F.col("__ca") + F.col("__cb")).cast("double")
+    term_q = F.floor(cv * (gap * gap) * 1e9 + 0.5).cast(
+        "decimal(38,0)"
+    )
+    agg = staged.agg(F.sum(term_q).alias("__qsum"))
+    nn = float(na + nb)
+    t_stat = (
+        F.col("__qsum").cast("double")
+        / 1e9
+        * (float(na) * float(nb) / (nn * nn))
+    )
+    return agg.select(
+        F.lit(na).cast("long").alias("n_a"),
+        F.lit(nb).cast("long").alias("n_b"),
+        F.round(t_stat, round_dp).alias("t_stat"),
+    )
+
+
 def jonckheere_trend(
     df: DataFrame,
     group_col: str,

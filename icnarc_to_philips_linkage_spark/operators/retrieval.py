@@ -320,6 +320,87 @@ def rrf_fuse(
     )
 
 
+def ql_search(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mu: float = 2000.0,
+    top_k: int = 20,
+) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood retrieval (Ponte & Croft
+    1998; Zhai & Lafferty 2001) — the language-model ranking function
+    next to ``bm25_search``:
+
+        score(d) = Σ_t ln( (tf_t(d) + μ·p(t|C)) / (|d| + μ) ),
+        p(t|C) = cf_t / total_tokens
+
+    Smoothing means every document scores against every query term
+    (absent terms contribute the collection prior), the property that
+    makes QL calibrated across query lengths where raw ML estimates
+    zero out. Terms unseen in the whole collection carry weight 0
+    (their ln is undefined and they cannot discriminate).
+
+    Same two-scan zero-wide-shuffle plan as ``bm25_search``: query
+    terms are literals (per-doc tf via map-side array filters), ONE
+    1-row aggregate collects N, total token count, and every term's
+    collection frequency together, broadcast back into a codegen
+    scoring projection, TakeOrderedAndProject top-k. Per-term weights
+    round to 6dp before the fixed-order sum; the summed score rounds
+    again (the BM25 ln precedent); ties break by ascending id.
+
+    Output: ``(id, score, n_hits)`` — n_hits counts query terms
+    present in the document; smoothing scores hit-less documents too.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    for t in query_terms:
+        if "'" in t or "\\" in t:
+            raise ValueError(f"unsupported character in query term: {t!r}")
+    if mu <= 0:
+        raise ValueError("mu must be positive")
+    tf_cols = [
+        F.expr(f"size(filter(_toks, x -> x = '{t}'))").alias(f"_tf_{i}")
+        for i, t in enumerate(query_terms)
+    ]
+    base = df.select(
+        F.col(id_col), tokens(text_col).alias("_toks")
+    ).select(F.col(id_col), F.size("_toks").alias("dl"), *tf_cols)
+    stats = base.agg(
+        F.sum(F.col("dl").cast("long")).alias("total_tokens"),
+        *[
+            F.sum(F.col(f"_tf_{i}").cast("long")).alias(f"_cf_{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+    scored_base = base.crossJoin(F.broadcast(stats))
+
+    def _w(i: int):
+        tf = F.col(f"_tf_{i}").cast("double")
+        cf = F.col(f"_cf_{i}").cast("double")
+        p_c = cf / F.col("total_tokens").cast("double")
+        w = F.log(
+            (tf + F.lit(mu) * p_c)
+            / (F.col("dl").cast("double") + F.lit(mu))
+        )
+        return F.when(cf > 0, F.round(w, 6)).otherwise(F.lit(0.0))
+
+    score = _w(0)
+    n_hits = (F.col("_tf_0") > 0).cast("long")
+    for i in range(1, len(query_terms)):
+        score = score + _w(i)
+        n_hits = n_hits + (F.col(f"_tf_{i}") > 0).cast("long")
+    return (
+        scored_base.select(
+            F.col(id_col),
+            F.round(score, 6).alias("score"),
+            n_hits.alias("n_hits"),
+        )
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(top_k)
+    )
+
+
 def mmr_rerank(
     corpus: DataFrame,
     queries: DataFrame,

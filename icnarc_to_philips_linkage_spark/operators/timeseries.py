@@ -1213,6 +1213,121 @@ def mann_kendall(
     )
 
 
+def seasonal_mann_kendall(
+    df: DataFrame,
+    key_col: str,
+    season_col: str,
+    time_col: str,
+    value_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Seasonal Mann-Kendall trend test (Hirsch & Slack 1984,
+    independent-seasons form): ``mann_kendall`` comparing only
+    LIKE seasons — Mondays with Mondays, Januaries with Januaries —
+    so a strong weekly/monthly cycle can't masquerade as (or mask) a
+    real monotone drift. ``S = Σ_seasons S_s`` and
+    ``Var(S) = Σ_seasons Var_s`` (seasons independent under H₀), then
+    the same continuity-corrected z.
+
+    Same contract and scale shape as ``mann_kendall``: the caller
+    supplies the series frame (one row per (key, season, time)), the
+    pairwise join runs within (key, season) — grid-bounded, and
+    |season| times cheaper than unstratified MK on the same grid —
+    and S / 18·Var(S) stay exact integers to the final division.
+
+    Output per key: ``(key, n_obs, n_seasons, s_stat, var_s, z)`` —
+    z NULL when Var(S) = 0.
+    """
+    base = df.filter(
+        F.col(key_col).isNotNull()
+        & F.col(season_col).isNotNull()
+        & F.col(time_col).isNotNull()
+        & F.col(value_col).isNotNull()
+    ).select(
+        F.col(key_col).alias("__k"),
+        F.col(season_col).alias("__s"),
+        F.col(time_col).alias("__t"),
+        F.col(value_col).alias("__x"),
+    )
+    a = base.alias("a")
+    b = base.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.__k") == F.col("b.__k"))
+            & (F.col("a.__s") == F.col("b.__s"))
+            & (F.col("a.__t") < F.col("b.__t")),
+        )
+        .groupBy(F.col("a.__k").alias("__k"))
+        .agg(
+            F.sum(
+                F.signum(F.col("b.__x") - F.col("a.__x")).cast("long")
+            ).alias("s_stat")
+        )
+    )
+    n_per = base.groupBy("__k").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.countDistinct("__s").alias("n_seasons"),
+    )
+    # per-(key, season) tie-corrected 18·Var, summed over seasons
+    per_season = base.groupBy("__k", "__s").agg(
+        F.count(F.lit(1)).alias("__ns")
+    )
+    ties = (
+        base.groupBy("__k", "__s", "__x")
+        .agg(F.count(F.lit(1)).alias("__t_g"))
+        .groupBy("__k", "__s")
+        .agg(
+            F.sum(
+                F.col("__t_g")
+                * (F.col("__t_g") - 1)
+                * (2 * F.col("__t_g") + 5)
+            ).alias("__tie_term")
+        )
+    )
+    var18 = (
+        per_season.join(ties, ["__k", "__s"])
+        .select(
+            "__k",
+            (
+                F.col("__ns")
+                * (F.col("__ns") - 1)
+                * (2 * F.col("__ns") + 5)
+                - F.col("__tie_term")
+            ).alias("__v18s"),
+        )
+        .groupBy("__k")
+        .agg(F.sum("__v18s").alias("__v18"))
+    )
+    s = F.coalesce(F.col("s_stat"), F.lit(0))
+    v18 = F.col("__v18")
+    zraw = (
+        F.when(
+            s > 0,
+            (s - 1).cast("double") / F.sqrt(v18.cast("double") / 18.0),
+        )
+        .when(
+            s < 0,
+            (s + 1).cast("double") / F.sqrt(v18.cast("double") / 18.0),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    return (
+        n_per.join(var18, "__k")
+        .join(pairs, "__k", "left")
+        .select(
+            F.col("__k").alias(key_col),
+            "n_obs",
+            "n_seasons",
+            s.alias("s_stat"),
+            F.round(v18.cast("double") / 18.0, round_dp).alias(
+                "var_s"
+            ),
+            F.when(v18 > 0, F.round(zraw, round_dp)).alias("z"),
+        )
+    )
+
+
 def theil_sen_slope(
     df: DataFrame,
     key_col: str,

@@ -6152,6 +6152,127 @@ FROM fit
 """
 
 
+def eval_gwet_ac1(spark: SparkSession, sf: str) -> DataFrame:
+    """Gwet's AC1 between the gold lang column and the marker-word
+    language-ID prediction (evaluation.gwet_ac1) — the
+    paradox-resistant agreement coefficient next to
+    eval_cohens_kappa: kappa collapses under skewed class prevalence
+    even at high observed agreement; AC1 does not. Same single-scan
+    projection and K-bounded marginal algebra."""
+    pred = text.with_lang_id(load(spark, sf, "documents"))
+    return evaluation.gwet_ac1(pred, "lang", "lang_pred")
+
+
+def _gwet_ac1_sql() -> str:
+    pred_sql = _lang_id_sql().strip()
+    return f"""
+WITH pred AS (
+{pred_sql}
+),
+lab AS (
+  SELECT d.lang AS r1, p.lang_pred AS r2
+  FROM documents d JOIN pred p USING (doc_id)
+  WHERE d.lang IS NOT NULL AND p.lang_pred IS NOT NULL
+),
+m1 AS (SELECT r1 AS k, COUNT(*) AS c1 FROM lab GROUP BY 1),
+m2 AS (SELECT r2 AS k, COUNT(*) AS c2 FROM lab GROUP BY 1),
+marg AS (
+  SELECT COALESCE(m1.k, m2.k) AS k,
+         COALESCE(c1, 0) + COALESCE(c2, 0) AS m
+  FROM m1 FULL JOIN m2 ON m1.k = m2.k
+),
+tot AS (
+  SELECT COUNT(*) AS n,
+         SUM(CASE WHEN r1 = r2 THEN 1 ELSE 0 END) AS agree
+  FROM lab
+),
+agg AS (
+  SELECT COUNT(*) AS kk,
+         list(struct_pack(k := k, m := CAST(m AS DOUBLE))
+              ORDER BY k) AS arr
+  FROM marg
+),
+st AS (
+  SELECT kk, arr, n, agree, CAST(n AS DOUBLE) AS nd FROM agg, tot
+),
+fin AS (
+  SELECT kk, n, agree, nd,
+    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      list_transform(arr, x ->
+        (x.m / (2.0 * nd)) * (1.0 - x.m / (2.0 * nd)))),
+      (a, x) -> a + x) / (CAST(kk AS DOUBLE) - 1.0) AS pe
+  FROM st
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(kk AS BIGINT) AS n_categories,
+  CASE WHEN n > 0 THEN
+    ROUND(CAST(agree AS DOUBLE) / nd, 9) END AS p_agree,
+  CASE WHEN kk >= 2 AND n > 0 THEN ROUND(pe, 9) END AS p_chance,
+  CASE WHEN kk >= 2 AND n > 0 AND pe < 1.0 THEN
+    ROUND((CAST(agree AS DOUBLE) / nd - pe) / (1.0 - pe), 9)
+  END AS ac1
+FROM fin
+"""
+
+
+_QL_MU, _QL_TOPK = 2000.0, 20
+
+
+def retrieval_ql_dirichlet(spark: SparkSession, sf: str) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood retrieval
+    (retrieval.ql_search) for the shared BM25 query bag — the
+    language-model ranking next to text_bm25_topk: absent terms
+    contribute the collection prior, so every document scores
+    (hit-less ones too). Two scans, one broadcast 1-row stats
+    aggregate, zero wide shuffles."""
+    from icnarc_to_philips_linkage_spark.operators import retrieval
+
+    return retrieval.ql_search(
+        load(spark, sf, "documents"),
+        _BM25_TERMS,
+        mu=_QL_MU,
+        top_k=_QL_TOPK,
+    )
+
+
+def _ql_sql() -> str:
+    mu = _QL_MU
+    terms_vals = ", ".join(f"('{t}')" for t in _BM25_TERMS)
+    terms_in = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+stats AS (SELECT SUM(CAST(dl AS BIGINT)) AS total_tokens FROM dl),
+posting AS (SELECT doc_id, unnest(t) AS term FROM toks),
+qterms AS (SELECT * FROM (VALUES {terms_vals}) AS q(term)),
+cf AS (
+  SELECT q.term, COUNT(p.term) AS cf
+  FROM qterms q LEFT JOIN posting p ON p.term = q.term
+  GROUP BY q.term
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM posting
+  WHERE term IN ({terms_in}) GROUP BY 1, 2
+),
+w AS (
+  SELECT dl.doc_id,
+    CASE WHEN cf.cf > 0 THEN
+      ROUND(ln((CAST(COALESCE(tf.tf, 0) AS DOUBLE)
+                + {mu!r} * (CAST(cf.cf AS DOUBLE)
+                            / CAST(s.total_tokens AS DOUBLE)))
+               / (CAST(dl.dl AS DOUBLE) + {mu!r})), 6)
+    ELSE 0.0 END AS w,
+    CASE WHEN COALESCE(tf.tf, 0) > 0 THEN 1 ELSE 0 END AS hit
+  FROM dl CROSS JOIN cf
+  LEFT JOIN tf ON tf.doc_id = dl.doc_id AND tf.term = cf.term
+  CROSS JOIN stats s
+)
+SELECT doc_id, ROUND(SUM(w), 6) AS score,
+  CAST(SUM(hit) AS BIGINT) AS n_hits
+FROM w GROUP BY doc_id
+ORDER BY score DESC, doc_id LIMIT {_QL_TOPK}
+"""
+
+
 def eval_confusion_langid(spark: SparkSession, sf: str) -> DataFrame:
     """Per-class precision/recall/F1 of the marker language-ID against
     the gold lang column (evaluation.confusion_report) — the
@@ -7072,6 +7193,8 @@ QUERIES: dict[str, tuple] = {
     "sample_group_capped": (sample_group_capped, SAMPLE_GROUP_CAPPED_SQL),
     "pack_inference_batches": (pack_inference_batches, PACK_INFER_SQL),
     "retrieval_rrf_fusion": (retrieval_rrf_fusion, _rrf_sql()),
+    "retrieval_ql_dirichlet": (retrieval_ql_dirichlet, _ql_sql()),
+    "eval_gwet_ac1": (eval_gwet_ac1, _gwet_ac1_sql()),
     "retrieval_mmr_rerank": (retrieval_mmr_rerank, _mmr_sql()),
     "check_split_leakage": (check_split_leakage, _leakage_sql()),
     "text_tokens_to_ids": (text_tokens_to_ids, TOKENS_TO_IDS_SQL),

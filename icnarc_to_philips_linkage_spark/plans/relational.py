@@ -5679,6 +5679,214 @@ FROM j
 """
 
 
+_PAGE_ORDER = ["click", "error", "purchase", "signup", "view"]
+
+
+def a44_page_trend(spark: SparkSession, sf: str) -> DataFrame:
+    """Page's L trend test (profile.page_l_trend): do within-user
+    ranks of the five event types increase along the alphabetical
+    type ordering? The directional sibling of a41_friedman on the
+    same (user, type) cell grid, with EXACT conditional permutation
+    moments (ties contribute their true zero variance)."""
+    e = load(spark, sf, "events")
+    return profile.page_l_trend(
+        e, "user_id", "event_type", "value", _PAGE_ORDER
+    )
+
+
+def _page_trend_sql() -> str:
+    from icnarc_to_philips_linkage_spark.operators.evaluation import (
+        normal_sf_sql,
+    )
+
+    k = len(_PAGE_ORDER)
+    sum_c = k * (k + 1) // 2
+    sum_c2 = sum((i + 1) * (i + 1) for i in range(k))
+    sum_r2 = k * (k + 1)
+    cfac = k * sum_c2 - sum_c * sum_c
+    case = " ".join(
+        f"WHEN '{t}' THEN {i + 1}" for i, t in enumerate(_PAGE_ORDER)
+    )
+    qp = normal_sf_sql("z")
+    qn = normal_sf_sql("-z")
+    return f"""
+WITH cells AS (
+  SELECT user_id AS b, CASE event_type {case} END AS c,
+         MAX(value) AS v
+  FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    AND value IS NOT NULL
+    AND event_type IN ({", ".join(f"'{t}'" for t in _PAGE_ORDER)})
+  GROUP BY 1, 2
+),
+complete AS (
+  SELECT c.b, c.c, c.v FROM cells c
+  JOIN (SELECT b, COUNT(*) AS bk FROM cells GROUP BY 1) s USING (b)
+  WHERE s.bk = {k}
+),
+ranked AS (
+  SELECT b, c,
+         2 * RANK() OVER (PARTITION BY b ORDER BY v)
+           + COUNT(*) OVER (PARTITION BY b, v) - 1 AS r2
+  FROM complete
+),
+per_b AS (
+  SELECT b,
+         SUM(CAST(c AS HUGEINT) * r2) AS l2b,
+         SUM(CAST(r2 AS HUGEINT) * r2) AS r2sq
+  FROM ranked GROUP BY 1
+),
+agg AS (
+  SELECT COUNT(*) AS n_blocks, SUM(l2b) AS l2,
+         SUM({cfac} * ({k} * r2sq - {sum_r2 * sum_r2})) AS varnum
+  FROM per_b
+),
+zed AS (
+  SELECT n_blocks, l2,
+    CASE WHEN n_blocks > 0
+              AND CAST(varnum AS DOUBLE) / {float(k * k * (k - 1))!r} > 0
+         THEN (CAST(l2 AS DOUBLE)
+               - CAST(n_blocks * {sum_c * (k + 1)} AS DOUBLE))
+              / SQRT(CAST(varnum AS DOUBLE)
+                     / {float(k * k * (k - 1))!r})
+    END AS z
+  FROM agg
+)
+SELECT CAST({k} AS BIGINT) AS k, CAST(n_blocks AS BIGINT) AS n_blocks,
+  CAST(l2 AS DOUBLE) / 2.0 AS l_stat,
+  ROUND(z, 9) AS z,
+  ROUND(CASE WHEN z >= 0 THEN {qp} ELSE 1.0 - {qn} END, 9)
+    AS p_value_one_sided
+FROM zed
+"""
+
+
+def a45_cvm_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-sample Cramér–von Mises (profile.cvm_two_sample_exact)
+    between returned and delivered line prices — the whole-curve
+    ECDF distance on the same pooled value grain as a35_ks_exact's
+    single worst gap. Exact integer cross-products; per-value terms
+    quantize to the 1e-9 grid before the order-free sum."""
+    l = load(spark, sf, "lineitem")
+    return profile.cvm_two_sample_exact(
+        l, "l_returnflag", "l_extendedprice", "R", "N"
+    )
+
+
+A45_SQL = """
+WITH base AS (
+  SELECT (l_returnflag = 'R') AS is_a, l_extendedprice AS v
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_returnflag IN ('R', 'N')
+),
+counts AS (
+  SELECT v, COUNT(*) FILTER (WHERE is_a) AS ca,
+         COUNT(*) FILTER (WHERE NOT is_a) AS cb
+  FROM base GROUP BY v
+),
+tot AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM counts),
+staged AS (
+  SELECT v, ca, cb,
+         SUM(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cca,
+         SUM(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS ccb
+  FROM counts
+),
+terms AS (
+  SELECT CAST(FLOOR(CAST(ca + cb AS DOUBLE)
+           * (((CAST(cca AS DOUBLE) * CAST(nb AS DOUBLE)
+                - CAST(ccb AS DOUBLE) * CAST(na AS DOUBLE))
+               / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)))
+              * ((CAST(cca AS DOUBLE) * CAST(nb AS DOUBLE)
+                  - CAST(ccb AS DOUBLE) * CAST(na AS DOUBLE))
+                 / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))))
+           * 1e9 + 0.5) AS HUGEINT) AS tq
+  FROM staged CROSS JOIN tot
+),
+agg AS (SELECT SUM(tq) AS qsum FROM terms)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+  ROUND(CAST(qsum AS DOUBLE) / 1e9
+        * (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+           / ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+              * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)))),
+        9) AS t_stat
+FROM agg CROSS JOIN tot
+"""
+
+
+def ts_seasonal_mk(spark: SparkSession, sf: str) -> DataFrame:
+    """Seasonal Mann-Kendall (timeseries.seasonal_mann_kendall) on
+    each event type's daily volume with day-of-week seasons — drift
+    detection that a weekly cycle can neither fake nor hide. Same
+    (type, day) grid as ts_mann_kendall; the pairwise join runs
+    within (type, weekday), |seasons|× cheaper on the same grid."""
+    from icnarc_to_philips_linkage_spark.operators import timeseries
+
+    e = load(spark, sf, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.to_date("ts").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    daily = daily.withColumn("weekday", F.dayofweek("day"))
+    return timeseries.seasonal_mann_kendall(
+        daily, "event_type", "weekday", "day", "n_events"
+    )
+
+
+TS_SEASONAL_MK_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+sd AS (SELECT event_type, dayofweek(day) + 1 AS wd, day, n FROM daily),
+pairs AS (
+  SELECT a.event_type,
+         SUM(CAST(SIGN(b.n - a.n) AS BIGINT)) AS s_stat
+  FROM sd a JOIN sd b
+    ON a.event_type = b.event_type AND a.wd = b.wd AND a.day < b.day
+  GROUP BY 1
+),
+nn AS (
+  SELECT event_type, COUNT(*) AS n_obs, COUNT(DISTINCT wd) AS n_seasons
+  FROM sd GROUP BY 1
+),
+per_season AS (
+  SELECT event_type, wd, COUNT(*) AS ns FROM sd GROUP BY 1, 2
+),
+ties AS (
+  SELECT event_type, wd,
+         SUM(c * (c - 1) * (2 * c + 5)) AS tie_term
+  FROM (SELECT event_type, wd, n, COUNT(*) AS c FROM sd GROUP BY 1, 2, 3)
+  GROUP BY 1, 2
+),
+v18 AS (
+  SELECT p.event_type,
+         SUM(p.ns * (p.ns - 1) * (2 * p.ns + 5) - t.tie_term) AS var18
+  FROM per_season p JOIN ties t
+    ON p.event_type = t.event_type AND p.wd = t.wd
+  GROUP BY 1
+),
+j AS (
+  SELECT nn.event_type, nn.n_obs, nn.n_seasons,
+         COALESCE(p.s_stat, 0) AS s_stat, v.var18
+  FROM nn JOIN v18 v ON nn.event_type = v.event_type
+  LEFT JOIN pairs p ON nn.event_type = p.event_type
+)
+SELECT event_type, n_obs, CAST(n_seasons AS BIGINT) AS n_seasons,
+  s_stat,
+  ROUND(CAST(var18 AS DOUBLE) / 18.0, 6) AS var_s,
+  CASE WHEN var18 > 0 THEN
+    ROUND(CASE WHEN s_stat > 0 THEN
+            CAST(s_stat - 1 AS DOUBLE)
+            / SQRT(CAST(var18 AS DOUBLE) / 18.0)
+          WHEN s_stat < 0 THEN
+            CAST(s_stat + 1 AS DOUBLE)
+            / SQRT(CAST(var18 AS DOUBLE) / 18.0)
+          ELSE 0.0 END, 6)
+  END AS z
+FROM j
+"""
+
+
 def ts_theil_sen(spark: SparkSession, sf: str) -> DataFrame:
     """Theil-Sen robust trend slope (timeseries.theil_sen_slope) on
     each event type's daily volume — the magnitude companion to
@@ -7777,6 +7985,9 @@ QUERIES: dict[str, tuple] = {
     "a33_mann_whitney": (a33_mann_whitney, A33_SQL),
     "a34_kruskal_wallis": (a34_kruskal_wallis, A34_SQL),
     "a41_friedman": (a41_friedman, A41_SQL),
+    "a44_page_trend": (a44_page_trend, _page_trend_sql()),
+    "a45_cvm_exact": (a45_cvm_exact, A45_SQL),
+    "ts_seasonal_mk": (ts_seasonal_mk, TS_SEASONAL_MK_SQL),
     "a42_cochran_q": (a42_cochran_q, A42_SQL),
     "a43_jonckheere": (a43_jonckheere, _jonckheere_sql()),
     "a40_mood_median": (a40_mood_median, A40_SQL),

@@ -399,6 +399,167 @@ def main() -> int:
         assert r.vocab_size == 2 * v_half and r.n_tokens == n100
         assert abs(r.slope - cov / varx) < 2e-4, (r.slope, cov / varx)
 
+    # ---- round-11 batch-3 operators
+    from icnarc_to_philips_linkage_spark.operators import (
+        retrieval as rt,
+        timeseries as tso,
+    )
+
+    if want("page"):
+        # perfect ascending trend in every block ⇒ L = n·Σc² = 55n
+        rows = spark.range(n100).select(
+            (F.col("id") / 5).cast("long").alias("b"),
+            F.concat(
+                F.lit("t"), F.pmod(F.col("id"), F.lit(5)).cast("string")
+            ).alias("t"),
+            F.pmod(F.col("id"), F.lit(5)).cast("double").alias("v"),
+        )
+        t = time.time()
+        r = pr.page_l_trend(
+            rows, "b", "t", "v", [f"t{i}" for i in range(5)]
+        ).collect()[0]
+        timings["page_trend_100m_cells"] = round(time.time() - t, 2)
+        nb = n100 // 5
+        print(
+            "page_trend_100m_cells", timings["page_trend_100m_cells"],
+            "L", r.l_stat, "expected", 55.0 * nb, "z", r.z, flush=True,
+        )
+        assert r.n_blocks == nb and r.l_stat == 55.0 * nb
+        assert r.z > 1000 and r.p_value_one_sided < 1e-6
+
+    if want("cvm"):
+        # identical per-group multisets ⇒ every ECDF gap 0 ⇒ T = 0
+        rows = spark.range(n100).select(
+            (F.pmod(F.col("id"), F.lit(2)) == 0).alias("is_a"),
+            F.pmod((F.col("id") / 2).cast("long"), F.lit(10000)).alias(
+                "v"
+            ),
+        ).select(
+            F.when(F.col("is_a"), "a").otherwise("b").alias("g"), "v"
+        )
+        t = time.time()
+        r = pr.cvm_two_sample_exact(rows, "g", "v", "a", "b").collect()[
+            0
+        ]
+        timings["cvm_100m_rows"] = round(time.time() - t, 2)
+        print(
+            "cvm_100m_rows", timings["cvm_100m_rows"],
+            "t_stat", r.t_stat, flush=True,
+        )
+        assert r.n_a == r.n_b == n100 // 2 and r.t_stat == 0.0
+
+    if want("gwet"):
+        # raters always agree over 5 categories ⇒ Pa = 1, AC1 = 1
+        c = F.concat(
+            F.lit("c"), F.pmod(F.col("id"), F.lit(5)).cast("string")
+        )
+        rows = spark.range(n100).select(
+            c.alias("r1"), c.alias("r2")
+        )
+        t = time.time()
+        r = ev.gwet_ac1(rows, "r1", "r2").collect()[0]
+        timings["gwet_ac1_100m_rows"] = round(time.time() - t, 2)
+        print(
+            "gwet_ac1_100m_rows", timings["gwet_ac1_100m_rows"],
+            "ac1", r.ac1, flush=True,
+        )
+        assert r.n == n100 and r.n_categories == 5
+        assert r.p_agree == 1.0 and r.ac1 == 1.0
+
+    if want("ql"):
+        # 10M docs × 10 tokens; doc 0 carries 5 'hot' tokens, every
+        # 1000th other doc carries 1 ⇒ cf/total/dl all exact: the
+        # top-1 score replays in closed form under the 6dp rounds
+        import math
+
+        n_docs, tpd = 10_000_000, 10
+        is_planted = (
+            F.pmod(F.col("id"), F.lit(1000)) == 0
+        ) & (F.col("id") > 0)
+        tok = F.transform(
+            F.sequence(F.lit(0), F.lit(tpd - 1)),
+            lambda j: F.when(
+                (F.col("id") == 0) & (j < 5), F.lit("hot")
+            )
+            .when(is_planted & (j == 0), F.lit("hot"))
+            .otherwise(
+                F.concat_ws(
+                    "_",
+                    F.lit("f"),
+                    F.col("id").cast("string"),
+                    j.cast("string"),
+                )
+            ),
+        )
+        docs = spark.range(n_docs).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(" ", tok).alias("text"),
+        )
+        t = time.time()
+        top = rt.ql_search(docs, ["hot"], mu=2000.0, top_k=3).collect()
+        timings["ql_dirichlet_100m_tokens"] = round(time.time() - t, 2)
+        cf = 5 + (n_docs // 1000 - 1)
+        total = n_docs * tpd
+        w = math.log((5 + 2000.0 * (cf / total)) / (tpd + 2000.0))
+        want_score = (
+            math.floor(w * 1e6 + 0.5) / 1e6
+            if w >= 0
+            else -math.floor(-w * 1e6 + 0.5) / 1e6
+        )
+        print(
+            "ql_dirichlet_100m_tokens",
+            timings["ql_dirichlet_100m_tokens"],
+            "top1", top[0].doc_id, "score", top[0].score,
+            "expected", round(want_score, 6), flush=True,
+        )
+        assert top[0].doc_id == 0 and top[0].n_hits == 1
+        assert abs(top[0].score - want_score) < 2e-6
+
+    if want("seasonalmk"):
+        # day d of 364 gets exactly 13000 + d rows per key ⇒ within
+        # every weekday the 52 weekly counts strictly ascend ⇒
+        # S = 7·C(52,2) per key, no within-season ties
+        import math
+
+        grid = spark.range(20 * 364).select(
+            F.concat(
+                F.lit("k"),
+                (F.col("id") / 364).cast("long").cast("string"),
+            ).alias("k"),
+            F.pmod(F.col("id"), F.lit(364)).cast("int").alias("day"),
+        )
+        events = grid.select(
+            "k",
+            "day",
+            F.explode(
+                F.sequence(F.lit(1), F.lit(13000) + F.col("day"))
+            ).alias("__i"),
+        )
+        t = time.time()
+        daily = events.groupBy("k", "day").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        daily = daily.withColumn(
+            "wd", F.pmod(F.col("day"), F.lit(7))
+        )
+        out = tso.seasonal_mann_kendall(
+            daily, "k", "wd", "day", "n"
+        ).collect()
+        timings["seasonal_mk_96m_events"] = round(time.time() - t, 2)
+        s_want = 7 * (52 * 51 // 2)
+        var18 = 7 * (52 * 51 * 109)
+        z_want = (s_want - 1) / math.sqrt(var18 / 18.0)
+        print(
+            "seasonal_mk_96m_events", timings["seasonal_mk_96m_events"],
+            "keys", len(out), "s", out[0].s_stat,
+            "expected_s", s_want, flush=True,
+        )
+        assert len(out) == 20
+        for r in out:
+            assert r.n_obs == 364 and r.n_seasons == 7
+            assert r.s_stat == s_want
+            assert abs(r.z - z_want) < 1e-4
+
     print(json.dumps({"timings_sec": timings}))
     spark.stop()
     return 0

@@ -515,3 +515,184 @@ def test_zipf_slope_hand_ols(spark):
     assert r.vocab_size == 4 and r.n_tokens == 12
     assert r.slope == pytest.approx(slope, abs=1e-4)
     assert -2.0 < r.slope < -0.5  # Zipf-ish
+
+
+# ---------------------------------------------------------------------------
+# round-11 batch 3: Page's L, CvM, Gwet AC1, QL retrieval, seasonal MK
+# ---------------------------------------------------------------------------
+
+
+def test_page_l_perfect_trend(spark):
+    import math
+
+    from icnarc_to_philips_linkage_spark.operators.profile import (
+        page_l_trend,
+    )
+
+    data = [
+        (b, t, float(i))
+        for b in range(4)
+        for i, t in enumerate(("t1", "t2", "t3"))
+    ]
+    df = spark.createDataFrame(data, "b int, t string, v double")
+    r = page_l_trend(df, "b", "t", "v", ["t1", "t2", "t3"]).collect()[0]
+    assert r.k == 3 and r.n_blocks == 4
+    assert r.l_stat == 4 * (1 * 1 + 2 * 2 + 3 * 3)  # 56
+    # exact permutation moments, no ties: E=48, Var per block =
+    # [Sc2-(Sc)^2/k][SR2-(SR)^2/k]/(k-1) = 2*2/2 = 2 -> Var=8
+    assert r.z == pytest.approx((56 - 48) / math.sqrt(8), abs=1e-9)
+    assert r.p_value_one_sided < 0.01
+
+
+def test_page_l_descending_large_p(spark):
+    from icnarc_to_philips_linkage_spark.operators.profile import (
+        page_l_trend,
+    )
+
+    data = [
+        (b, t, float(-i))
+        for b in range(4)
+        for i, t in enumerate(("t1", "t2", "t3"))
+    ]
+    df = spark.createDataFrame(data, "b int, t string, v double")
+    r = page_l_trend(df, "b", "t", "v", ["t1", "t2", "t3"]).collect()[0]
+    assert r.z < 0 and r.p_value_one_sided > 0.99
+
+
+def test_page_l_all_tied_null(spark):
+    from icnarc_to_philips_linkage_spark.operators.profile import (
+        page_l_trend,
+    )
+
+    data = [(b, t, 1.0) for b in range(3) for t in ("t1", "t2")]
+    df = spark.createDataFrame(data, "b int, t string, v double")
+    r = page_l_trend(df, "b", "t", "v", ["t1", "t2"]).collect()[0]
+    assert r.z is None  # zero permutation variance
+
+
+def test_cvm_matches_python_replay(spark):
+    import math
+
+    from icnarc_to_philips_linkage_spark.operators.profile import (
+        cvm_two_sample_exact,
+    )
+
+    a_vals = [1, 2, 3, 4, 5]
+    b_vals = [3, 4, 5, 6, 7]
+    df = spark.createDataFrame(
+        [("a", v) for v in a_vals] + [("b", v) for v in b_vals],
+        "g string, v int",
+    )
+    r = cvm_two_sample_exact(df, "g", "v", "a", "b").collect()[0]
+    na, nb = len(a_vals), len(b_vals)
+    total = 0
+    for v in sorted(set(a_vals + b_vals)):
+        ca = sum(1 for x in a_vals if x <= v)
+        cb = sum(1 for x in b_vals if x <= v)
+        cv = sum(1 for x in a_vals + b_vals if x == v)
+        gap = (ca * nb - cb * na) / (na * nb)
+        total += math.floor(cv * gap * gap * 1e9 + 0.5)
+    want = total / 1e9 * (na * nb / ((na + nb) ** 2))
+    assert r.n_a == na and r.n_b == nb
+    assert r.t_stat == pytest.approx(want, abs=1e-9)
+
+
+def test_cvm_identical_samples_zero(spark):
+    from icnarc_to_philips_linkage_spark.operators.profile import (
+        cvm_two_sample_exact,
+    )
+
+    df = spark.createDataFrame(
+        [("a", v) for v in range(10)] + [("b", v) for v in range(10)],
+        "g string, v int",
+    )
+    r = cvm_two_sample_exact(df, "g", "v", "a", "b").collect()[0]
+    assert r.t_stat == 0.0
+
+
+def test_gwet_ac1_hand_example_and_kappa_paradox(spark):
+    from icnarc_to_philips_linkage_spark.operators.evaluation import (
+        gwet_ac1,
+    )
+
+    gd = (
+        [("x", "x")] * 40 + [("x", "y")] * 5
+        + [("y", "x")] * 5 + [("y", "y")] * 10
+    )
+    df = spark.createDataFrame(gd, "r1 string, r2 string")
+    r = gwet_ac1(df, "r1", "r2").collect()[0]
+    # pi_x = 90/120, Pe = 2*(0.75*0.25) = 0.375, Pa = 50/60
+    assert r.p_agree == pytest.approx(50 / 60, abs=1e-9)
+    assert r.p_chance == pytest.approx(0.375, abs=1e-9)
+    assert r.ac1 == pytest.approx((50 / 60 - 0.375) / 0.625, abs=1e-9)
+    # skewed-prevalence case: high agreement must keep AC1 high
+    sk = [("x", "x")] * 98 + [("x", "y")] * 1 + [("y", "x")] * 1
+    r2 = gwet_ac1(
+        spark.createDataFrame(sk, "r1 string, r2 string"), "r1", "r2"
+    ).collect()[0]
+    assert r2.p_agree == 0.98 and r2.ac1 > 0.95
+
+
+def test_ql_search_hand_scores_and_smoothing(spark):
+    import math
+
+    from icnarc_to_philips_linkage_spark.operators.retrieval import (
+        ql_search,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark shuffle join"),
+            (2, "spark spark streaming"),
+            (3, "pandas numpy"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {r.doc_id: r for r in ql_search(docs, ["spark", "join"], mu=100.0, top_k=3).collect()}
+    total = 8.0  # 3 + 3 + 2 tokens
+    cf = {"spark": 3.0, "join": 1.0}
+
+    def score(tfs, dl):
+        s = 0.0
+        for t, tf in tfs.items():
+            w = math.log((tf + 100.0 * cf[t] / total) / (dl + 100.0))
+            s += math.floor(w * 1e6 + 0.5) / 1e6 if w >= 0 else -math.floor(-w * 1e6 + 0.5) / 1e6
+        return s
+
+    for did, tfs, dl, hits in [
+        (1, {"spark": 1, "join": 1}, 3, 2),
+        (2, {"spark": 2, "join": 0}, 3, 1),
+        (3, {"spark": 0, "join": 0}, 2, 0),
+    ]:
+        assert out[did].n_hits == hits
+        assert out[did].score == pytest.approx(score(tfs, dl), abs=2e-6)
+    # unseen-in-collection terms contribute 0, not -inf
+    r = ql_search(docs, ["zzz"], top_k=1).collect()[0]
+    assert r.score == 0.0 and r.n_hits == 0
+
+
+def test_seasonal_mk_separates_cycle_from_trend(spark):
+    from icnarc_to_philips_linkage_spark.operators.timeseries import (
+        mann_kendall,
+        seasonal_mann_kendall,
+    )
+
+    # strong weekly cycle + genuine upward drift across weeks
+    rows = [
+        ("a", d % 7, d, float((d % 7) * 10 + d // 7)) for d in range(28)
+    ]
+    df = spark.createDataFrame(rows, "k string, s int, t int, v double")
+    r = seasonal_mann_kendall(df, "k", "s", "t", "v").collect()[0]
+    # within each weekday values ascend: S = 7 * C(4,2) = 42, no ties
+    assert r.n_obs == 28 and r.n_seasons == 7 and r.s_stat == 42
+    assert r.var_s == pytest.approx(7 * 4 * 3 * 13 / 18.0, abs=1e-6)
+    assert r.z > 5
+    # pure cycle, no drift: seasonal S = 0, z = 0
+    cyc = [("a", d % 7, d, float(d % 7)) for d in range(28)]
+    df2 = spark.createDataFrame(cyc, "k string, s int, t int, v double")
+    r2 = seasonal_mann_kendall(df2, "k", "s", "t", "v").collect()[0]
+    assert r2.s_stat == 0 and r2.z is None  # all like-season values tied
+    # while unstratified MK is whipsawed by the cycle (huge tie term,
+    # nonzero S from cross-season pairs)
+    mk = mann_kendall(df2, "k", "t", "v").collect()[0]
+    assert mk.s_stat != 0
