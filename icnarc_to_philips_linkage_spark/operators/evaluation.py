@@ -2061,6 +2061,71 @@ def bh_fdr(
     )
 
 
+def poisson_two_rate(
+    df: DataFrame,
+    group_col,
+    exposure1: float,
+    exposure2: float,
+    round_dp: int = 9,
+) -> DataFrame:
+    """Two-sample Poisson rate test (conditional / binomial form,
+    Przyborowski & Wilenski 1940): are events arriving faster in
+    stream 1 than stream 2, given exposures T₁/T₂ (machine-hours,
+    node-days, request volume)? Conditional on the total count
+    ``N = c₁ + c₂``, c₁ ~ Binomial(N, p₀) with
+    ``p₀ = T₁/(T₁+T₂)``, so
+
+        z = (c₁ − N·p₀) / sqrt(N·p₀·(1 − p₀))
+
+    — the event-RATE member of the A/B family next to
+    ``two_proportion_z`` (which compares per-row probabilities, not
+    per-exposure intensities).
+
+    Scale shape: ONE conditional aggregation to the two exact counts;
+    exposures are caller literals, so z is a fixed expression over
+    two integers. Two-sided p via the shared A&S tail.
+
+    Output one row: ``(n_events_1, n_events_2, rate_1, rate_2, z,
+    p_value)`` — z NULL when no events at all.
+    """
+    if exposure1 <= 0 or exposure2 <= 0:
+        raise ValueError("exposures must be positive")
+    g = (
+        F.col(group_col) if isinstance(group_col, str) else group_col
+    ).cast("boolean")
+    agg = df.filter(g.isNotNull()).agg(
+        F.sum(g.cast("long")).alias("__c1"),
+        F.sum((~g).cast("long")).alias("__c2"),
+    )
+    p0 = exposure1 / (exposure1 + exposure2)
+    c1 = F.coalesce(F.col("__c1"), F.lit(0)).cast("double")
+    c2 = F.coalesce(F.col("__c2"), F.lit(0)).cast("double")
+    nn = c1 + c2
+    zz = F.when(
+        nn > 0,
+        (c1 - nn * F.lit(p0))
+        / F.sqrt(nn * F.lit(p0) * F.lit(1.0 - p0)),
+    )
+    return agg.select(
+        F.coalesce(F.col("__c1"), F.lit(0)).cast("long").alias(
+            "n_events_1"
+        ),
+        F.coalesce(F.col("__c2"), F.lit(0)).cast("long").alias(
+            "n_events_2"
+        ),
+        F.round(c1 / F.lit(float(exposure1)), round_dp).alias(
+            "rate_1"
+        ),
+        F.round(c2 / F.lit(float(exposure2)), round_dp).alias(
+            "rate_2"
+        ),
+        F.round(zz, round_dp).alias("z"),
+        F.round(
+            F.lit(2.0) * normal_sf_approx(F.abs(zz)), round_dp
+        ).alias("p_value"),
+    )
+
+
 def gwet_ac1(
     df: DataFrame,
     rater1_col: str,

@@ -2151,6 +2151,88 @@ def mood_median_test(
     )
 
 
+def runs_test(
+    df: DataFrame,
+    key_col: str,
+    time_col: str,
+    flag_col,
+    round_dp: int = 9,
+) -> DataFrame:
+    """Wald–Wolfowitz runs test per key: is a binary sequence over
+    time RANDOM, or does it cluster (fewer runs — regime/batch
+    effects) or alternate (more runs — oscillation)? R = number of
+    runs; under H₀ conditional on n₁ ones and n₀ zeros,
+
+        E[R] = 1 + 2n₁n₀/n,
+        Var  = 2n₁n₀(2n₁n₀ − n) / (n²(n − 1))
+
+    Scale shape: ONE per-key window ordered by time (corpus-parallel
+    — the partition key is the series key) counts boundaries
+    ``flag ≠ lag(flag)``; R, n₁, n₀ are exact integers and the
+    moments exact-integer ratios, so z is one fixed expression.
+    Two-sided p via the shared A&S tail. Ties in ``time_col`` must
+    be broken by the caller (include a tiebreak column via a
+    pre-sorted composite if needed — the MK series contract).
+
+    Output per key: ``(key, n, n_ones, n_runs, z, p_value)`` — z
+    NULL when either symbol is absent or n < 2.
+    """
+    from icnarc_to_philips_linkage_spark.operators.evaluation import (
+        normal_sf_approx,
+    )
+
+    fl = (
+        F.col(flag_col) if isinstance(flag_col, str) else flag_col
+    ).cast("boolean")
+    base = df.filter(
+        F.col(key_col).isNotNull()
+        & F.col(time_col).isNotNull()
+        & fl.isNotNull()
+    ).select(
+        F.col(key_col).alias("__k"),
+        F.col(time_col).alias("__t"),
+        fl.alias("__x"),
+    )
+    w = Window.partitionBy("__k").orderBy("__t")
+    flagged = base.select(
+        "__k",
+        "__x",
+        (
+            F.lag("__x", 1).over(w).isNull()
+            | (F.col("__x") != F.lag("__x", 1).over(w))
+        ).cast("long").alias("__new_run"),
+    )
+    agg = flagged.groupBy("__k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("__x").cast("long")).alias("n_ones"),
+        F.sum("__new_run").alias("n_runs"),
+    )
+    n = F.col("n").cast("double")
+    n1 = F.col("n_ones").cast("double")
+    n0 = (F.col("n") - F.col("n_ones")).cast("double")
+    e_r = 1.0 + 2.0 * n1 * n0 / n
+    var_r = (
+        2.0 * n1 * n0 * (2.0 * n1 * n0 - n) / (n * n * (n - 1.0))
+    )
+    ok = (F.col("n_ones") > 0) & (F.col("n_ones") < F.col("n")) & (
+        F.col("n") >= 2
+    )
+    zz = F.when(
+        ok & (var_r > 0),
+        (F.col("n_runs").cast("double") - e_r) / F.sqrt(var_r),
+    )
+    return agg.select(
+        F.col("__k").alias(key_col),
+        F.col("n").cast("long").alias("n"),
+        F.col("n_ones").cast("long").alias("n_ones"),
+        F.col("n_runs").cast("long").alias("n_runs"),
+        F.round(zz, round_dp).alias("z"),
+        F.round(
+            F.lit(2.0) * normal_sf_approx(F.abs(zz)), round_dp
+        ).alias("p_value"),
+    )
+
+
 def page_l_trend(
     df: DataFrame,
     block_col: str,

@@ -1213,6 +1213,154 @@ def top_k_vocab(
     )
 
 
+def distinct_ngram_diversity(
+    df: DataFrame,
+    group_col: str | None = None,
+    text_col: str = "text",
+    max_n: int = 3,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Distinct-n diversity (the corpus-level distinct-1/2/3 of Li et
+    al. 2016): distinct n-grams / total n-grams for n = 1..``max_n``,
+    per ``group_col`` (source, model, shard) — the canonical
+    mode-collapse / template-flood detector: synthetic or boilerplate
+    text repeats n-grams, so its distinct ratios crater long before
+    exact dedup fires.
+
+    Scale shape: one exploded (group, n, gram) aggregation per n,
+    unioned — each is the ``tfidf`` vocabulary-grain shape (md5-ish
+    uniform keys, no skew); totals and distincts are exact longs from
+    the SAME aggregation (count + count of first-occurrence rows),
+    one final division.
+
+    Output: one row per (group, n): ``(group, n, total_ngrams,
+    distinct_ngrams, distinct_ratio)`` — groups with no n-gram of
+    order n (all docs shorter than n) are absent.
+    """
+    g = (
+        F.col(group_col).cast("string")
+        if group_col
+        else F.lit("all")
+    )
+    toks = df.select(
+        g.alias("__g"), tokens(text_col).alias("__t")
+    ).filter(F.size("__t") > 0)
+    frames = []
+    for n in range(1, max_n + 1):
+        # docs shorter than n are filtered BEFORE the sequence —
+        # sequence(0, negative) would generate a DESCENDING range
+        grams = toks.filter(F.size("__t") >= n).select(
+            "__g",
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0), F.size("__t") - F.lit(n)
+                    ),
+                    lambda i: F.concat_ws(
+                        " ", F.slice("__t", i + 1, n)
+                    ),
+                )
+            ).alias("__gram"),
+        )
+        per = grams.groupBy("__g", "__gram").agg(
+            F.count(F.lit(1)).alias("__c")
+        )
+        frames.append(
+            per.groupBy("__g").agg(
+                F.lit(n).cast("long").alias("n"),
+                F.sum("__c").alias("total_ngrams"),
+                F.count(F.lit(1)).alias("distinct_ngrams"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.select(
+        F.col("__g").alias(group_col if group_col else "group"),
+        "n",
+        F.col("total_ngrams").cast("long").alias("total_ngrams"),
+        F.col("distinct_ngrams").cast("long").alias(
+            "distinct_ngrams"
+        ),
+        F.round(
+            F.col("distinct_ngrams").cast("double")
+            / F.col("total_ngrams").cast("double"),
+            round_dp,
+        ).alias("distinct_ratio"),
+    )
+
+
+def heaps_law_fit(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+    round_dp: int = 4,
+) -> DataFrame:
+    """Heaps'-law fit across corpus slices: OLS of ln(V) on ln(N)
+    over the per-``group_col`` (token count, vocabulary size) points
+    — natural text grows vocabulary as ``V ≈ k·N^β`` with β ≈
+    0.4-0.6; a β near 0 flags a closed template vocabulary, near 1
+    near-random strings. The growth-curve companion to
+    ``zipf_slope`` (same OLS discipline) and
+    ``vocab_richness_report`` (which prices ONE slice's tail).
+
+    Scale shape: one exploded-token (group, term) aggregation →
+    per-group exact (N, V) integers — a |groups|-bounded frame — then
+    the four quantized OLS sums fold over it (1e-6 grid, order-free).
+
+    Output one row: ``(n_groups, beta, ln_k, r2)`` — NULL fit when
+    fewer than 2 groups or zero variance in ln(N).
+    """
+    toks = df.select(
+        F.col(group_col).cast("string").alias("__g"),
+        F.explode(tokens(text_col)).alias("__term"),
+    ).filter(F.col("__term") != "")
+    per_g = (
+        toks.groupBy("__g", "__term")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy("__g")
+        .agg(
+            F.sum("__c").alias("__n"),
+            F.count(F.lit(1)).alias("__v"),
+        )
+    )
+    q = lambda x: (  # noqa: E731
+        F.floor(x * 1_000_000.0 + 0.5).cast("decimal(38,0)")
+    )
+    lx = F.log(F.col("__n").cast("double"))
+    ly = F.log(F.col("__v").cast("double"))
+    agg = per_g.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(q(lx)).alias("__sx"),
+        F.sum(q(ly)).alias("__sy"),
+        F.sum(q(lx * ly)).alias("__sxy"),
+        F.sum(q(lx * lx)).alias("__sxx"),
+        F.sum(q(ly * ly)).alias("__syy"),
+    )
+    m = F.col("n_groups").cast("double")
+    sx = F.col("__sx").cast("double") / 1e6
+    sy = F.col("__sy").cast("double") / 1e6
+    sxy = F.col("__sxy").cast("double") / 1e6
+    sxx = F.col("__sxx").cast("double") / 1e6
+    syy = F.col("__syy").cast("double") / 1e6
+    cov = sxy - sx * sy / m
+    varx = sxx - sx * sx / m
+    vary = syy - sy * sy / m
+    ok = (F.col("n_groups") >= 2) & (varx > 0)
+    beta = cov / varx
+    return agg.select(
+        F.col("n_groups").cast("long").alias("n_groups"),
+        F.round(F.when(ok, beta), round_dp).alias("beta"),
+        F.round(F.when(ok, (sy - beta * sx) / m), round_dp).alias(
+            "ln_k"
+        ),
+        F.round(
+            F.when(ok & (vary > 0), cov * cov / (varx * vary)),
+            round_dp,
+        ).alias("r2"),
+    )
+
+
 def zipf_slope(
     df: DataFrame,
     text_col: str = "text",

@@ -1213,6 +1213,108 @@ def mann_kendall(
     )
 
 
+def ljung_box(
+    df: DataFrame,
+    key_col: str,
+    time_col: str,
+    value_col,
+    lags: int = 5,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Ljung–Box portmanteau test per series (Ljung & Box 1978): is
+    there ANY autocorrelation in the first ``lags`` lags —
+    ``Q = n(n+2)·Σ_k r_k²/(n−k)`` with the classical fixed-mean
+    sample autocorrelations — the residual-whiteness check behind
+    every forecasting/STL fit.
+
+    Exactness: values quantize to integer cents; each ``r_k`` is an
+    EXACT integer ratio via the n²-scaled identity
+
+        n²·c_k = n²·Σx_t·x_{t+k} − n·Sx·(H_k + T_k) + (n−k)·Sx²
+
+    (H/T = head/tail sums of the overlap window), so Q is ``lags``
+    float terms folded in lag order — no mean-centered accumulation
+    anywhere. Series contract as ``mann_kendall``: one row per
+    (key, time), the caller owns the grid; the single window pass is
+    partitioned by key (corpus-parallel) and adds all ``lags`` lag
+    columns at once.
+
+    Output per key: ``(key, n, n_lags, q_stat)`` — NULL when
+    n ≤ lags or the series is constant (c₀ = 0).
+    """
+    if lags < 1:
+        raise ValueError("lags must be >= 1")
+    v = (
+        F.col(value_col)
+        if isinstance(value_col, str)
+        else value_col
+    )
+    base = df.filter(
+        F.col(key_col).isNotNull()
+        & F.col(time_col).isNotNull()
+        & v.isNotNull()
+    ).select(
+        F.col(key_col).alias("__k"),
+        F.col(time_col).alias("__t"),
+        F.round(v * 100).cast("long").alias("__x"),
+    )
+    w = Window.partitionBy("__k").orderBy("__t")
+    lagged = base.select(
+        "__k",
+        "__x",
+        *[
+            F.lag("__x", j).over(w).alias(f"__l{j}")
+            for j in range(1, lags + 1)
+        ],
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    aggs = [
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(dec(F.col("__x"))).alias("__sx"),
+        F.sum(dec(F.col("__x")) * dec(F.col("__x"))).alias("__sxx"),
+    ]
+    for j in range(1, lags + 1):
+        lj = F.col(f"__l{j}")
+        aggs.append(
+            F.sum(F.when(lj.isNotNull(), dec(F.col("__x")) * dec(lj)))
+            .alias(f"__sxy{j}")
+        )
+        aggs.append(
+            F.sum(F.when(lj.isNotNull(), dec(F.col("__x"))))
+            .alias(f"__h{j}")
+        )
+        aggs.append(
+            F.sum(F.when(lj.isNotNull(), dec(lj))).alias(f"__t{j}")
+        )
+    agg = lagged.groupBy("__k").agg(*aggs)
+    nD = dec(F.col("__n"))
+    c0n2 = nD * nD * F.col("__sxx") - nD * F.col("__sx") * F.col("__sx")
+    q = None
+    n_d = F.col("__n").cast("double")
+    for j in range(1, lags + 1):
+        ckn2 = (
+            nD * nD * F.coalesce(F.col(f"__sxy{j}"), F.lit(0).cast("decimal(38,0)"))
+            - nD
+            * F.col("__sx")
+            * (
+                F.coalesce(F.col(f"__h{j}"), F.lit(0).cast("decimal(38,0)"))
+                + F.coalesce(F.col(f"__t{j}"), F.lit(0).cast("decimal(38,0)"))
+            )
+            + (nD - j) * F.col("__sx") * F.col("__sx")
+        )
+        rj = ckn2.cast("double") / c0n2.cast("double")
+        term = rj * rj / (n_d - float(j))
+        q = term if q is None else q + term
+    q_stat = n_d * (n_d + 2.0) * q
+    ok = (F.col("__n") > lags) & (c0n2.cast("double") > 0)
+    return agg.select(
+        F.col("__k").alias(key_col),
+        F.col("__n").cast("long").alias("n"),
+        F.lit(lags).cast("long").alias("n_lags"),
+        F.round(F.when(ok, q_stat), round_dp).alias("q_stat"),
+    )
+
+
 def seasonal_mann_kendall(
     df: DataFrame,
     key_col: str,

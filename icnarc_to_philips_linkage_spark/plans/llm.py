@@ -6273,6 +6273,114 @@ ORDER BY score DESC, doc_id LIMIT {_QL_TOPK}
 """
 
 
+def text_distinct_ngrams(spark: SparkSession, sf: str) -> DataFrame:
+    """Distinct-1/2/3 n-gram diversity per source
+    (text.distinct_ngram_diversity) — the mode-collapse /
+    template-flood detector: boilerplate repeats n-grams, so its
+    distinct ratios crater long before exact dedup fires. One
+    vocabulary-grain aggregation per n."""
+    return text.distinct_ngram_diversity(
+        load(spark, sf, "documents"), "source"
+    )
+
+
+def _distinct_ngrams_sql() -> str:
+    def cte(n: int) -> str:
+        if n == 1:
+            gram = "t[i]"
+        else:
+            gram = f"array_to_string(t[i:i + {n - 1}], ' ')"
+        return f"""g{n} AS (
+  SELECT source AS g, {n} AS n, {gram} AS gram
+  FROM toks, UNNEST(generate_series(1, len(t) - {n - 1})) AS u(i)
+  WHERE len(t) >= {n}
+),
+a{n} AS (
+  SELECT g, n, COUNT(*) AS total_ngrams,
+         COUNT(DISTINCT gram) AS distinct_ngrams
+  FROM g{n} GROUP BY 1, 2
+)"""
+
+    return f"""
+WITH toks AS (
+  SELECT source, {_TOKS} AS t FROM documents
+  WHERE len({_TOKS}) > 0
+),
+{cte(1)},
+{cte(2)},
+{cte(3)},
+u AS (
+  SELECT * FROM a1 UNION ALL SELECT * FROM a2
+  UNION ALL SELECT * FROM a3
+)
+SELECT g AS source, CAST(n AS BIGINT) AS n,
+  CAST(total_ngrams AS BIGINT) AS total_ngrams,
+  CAST(distinct_ngrams AS BIGINT) AS distinct_ngrams,
+  ROUND(CAST(distinct_ngrams AS DOUBLE)
+        / CAST(total_ngrams AS DOUBLE), 6) AS distinct_ratio
+FROM u
+"""
+
+
+def text_heaps_fit(spark: SparkSession, sf: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit across sources
+    (text.heaps_law_fit): OLS of ln(V) on ln(N) over the per-source
+    (tokens, types) points — β far from the natural 0.4-0.6 band
+    flags template or near-random vocabularies. The growth-curve
+    companion to text_zipf_slope."""
+    return text.heaps_law_fit(load(spark, sf, "documents"), "source")
+
+
+def _heaps_fit_sql() -> str:
+    q = "CAST(FLOOR({x} * 1000000.0 + 0.5) AS HUGEINT)"
+    lx = "ln(CAST(nn AS DOUBLE))"
+    ly = "ln(CAST(vv AS DOUBLE))"
+    return f"""
+WITH per_g AS (
+  SELECT source AS g, SUM(c) AS nn, COUNT(*) AS vv
+  FROM (
+    SELECT source, term, COUNT(*) AS c
+    FROM (SELECT source, unnest({_TOKS}) AS term FROM documents)
+    WHERE term <> ''
+    GROUP BY source, term
+  ) GROUP BY 1
+),
+sums AS (
+  SELECT COUNT(*) AS m,
+         SUM({q.format(x=lx)}) AS qsx,
+         SUM({q.format(x=ly)}) AS qsy,
+         SUM({q.format(x=f"({lx} * {ly})")}) AS qsxy,
+         SUM({q.format(x=f"({lx} * {lx})")}) AS qsxx,
+         SUM({q.format(x=f"({ly} * {ly})")}) AS qsyy
+  FROM per_g
+),
+st AS (
+  SELECT m, CAST(m AS DOUBLE) AS md,
+         CAST(qsx AS DOUBLE) / 1e6 AS sx,
+         CAST(qsy AS DOUBLE) / 1e6 AS sy,
+         CAST(qsxy AS DOUBLE) / 1e6 AS sxy,
+         CAST(qsxx AS DOUBLE) / 1e6 AS sxx,
+         CAST(qsyy AS DOUBLE) / 1e6 AS syy
+  FROM sums
+),
+fit AS (
+  SELECT *,
+         (sxy - sx * sy / md) AS cov,
+         (sxx - sx * sx / md) AS varx,
+         (syy - sy * sy / md) AS vary
+  FROM st
+)
+SELECT CAST(m AS BIGINT) AS n_groups,
+  CASE WHEN m >= 2 AND varx > 0
+       THEN ROUND(cov / varx, 4) END AS beta,
+  CASE WHEN m >= 2 AND varx > 0
+       THEN ROUND((sy - (cov / varx) * sx) / md, 4) END AS ln_k,
+  CASE WHEN m >= 2 AND varx > 0 AND vary > 0
+       THEN ROUND(cov * cov / (varx * vary), 4) END AS r2
+FROM fit
+"""
+
+
 def eval_confusion_langid(spark: SparkSession, sf: str) -> DataFrame:
     """Per-class precision/recall/F1 of the marker language-ID against
     the gold lang column (evaluation.confusion_report) — the
@@ -7248,6 +7356,8 @@ QUERIES: dict[str, tuple] = {
     "text_repetition": (text_repetition, REPETITION_SQL),
     "text_corpus_stats": (text_corpus_stats, CORPUS_STATS_SQL),
     "text_vocab_richness": (text_vocab_richness, VOCAB_RICHNESS_SQL),
+    "text_distinct_ngrams": (text_distinct_ngrams, _distinct_ngrams_sql()),
+    "text_heaps_fit": (text_heaps_fit, _heaps_fit_sql()),
     "text_lexical_diversity": (text_lexical_diversity, LEXICAL_DIVERSITY_SQL),
     "text_pmi_bigrams": (text_pmi_bigrams, PMI_SQL),
     "text_chunk_windows": (text_chunk_windows, CHUNK_SQL),

@@ -5887,6 +5887,204 @@ FROM j
 """
 
 
+def a46_runs_test(spark: SparkSession, sf: str) -> DataFrame:
+    """Wald–Wolfowitz runs test (profile.runs_test) per event type on
+    the big-value flag (value > 50) over event order — do big events
+    cluster in time or alternate? One per-type window ordered by the
+    unique (ts, event_id) composite; R and the moments are exact
+    integers."""
+    e = load(spark, sf, "events").filter(F.col("value").isNotNull())
+    keyed = e.withColumn("__ord", F.struct("ts", "event_id"))
+    return profile.runs_test(
+        keyed, "event_type", "__ord", F.col("value") > 50
+    )
+
+
+def _runs_sql() -> str:
+    from icnarc_to_philips_linkage_spark.operators.evaluation import (
+        normal_sf_sql,
+    )
+
+    q = normal_sf_sql("ABS(z)")
+    return f"""
+WITH base AS (
+  SELECT event_type AS k, ts, event_id, (value > 50) AS x
+  FROM events
+  WHERE value IS NOT NULL AND event_type IS NOT NULL
+    AND ts IS NOT NULL
+),
+flagged AS (
+  SELECT k, x,
+         CASE WHEN LAG(x) OVER (PARTITION BY k ORDER BY ts, event_id)
+                   IS NULL
+              OR x <> LAG(x) OVER (PARTITION BY k ORDER BY ts, event_id)
+              THEN 1 ELSE 0 END AS new_run
+  FROM base
+),
+agg AS (
+  SELECT k, COUNT(*) AS n,
+         SUM(CASE WHEN x THEN 1 ELSE 0 END) AS n_ones,
+         SUM(new_run) AS n_runs
+  FROM flagged GROUP BY 1
+),
+st AS (
+  SELECT k, n, n_ones, n_runs,
+    CAST(n AS DOUBLE) AS nd, CAST(n_ones AS DOUBLE) AS n1,
+    CAST(n - n_ones AS DOUBLE) AS n0
+  FROM agg
+),
+zed AS (
+  SELECT k, n, n_ones, n_runs,
+    CASE WHEN n_ones > 0 AND n_ones < n AND n >= 2
+              AND (2.0 * n1 * n0 * (2.0 * n1 * n0 - nd)
+                   / (nd * nd * (nd - 1.0))) > 0
+         THEN (CAST(n_runs AS DOUBLE) - (1.0 + 2.0 * n1 * n0 / nd))
+              / SQRT(2.0 * n1 * n0 * (2.0 * n1 * n0 - nd)
+                     / (nd * nd * (nd - 1.0)))
+    END AS z
+  FROM st
+)
+SELECT k AS event_type, CAST(n AS BIGINT) AS n,
+  CAST(n_ones AS BIGINT) AS n_ones,
+  CAST(n_runs AS BIGINT) AS n_runs,
+  ROUND(z, 9) AS z,
+  ROUND(2.0 * {q}, 9) AS p_value
+FROM zed
+"""
+
+
+_LB_LAGS = 5
+
+
+def ts_ljung_box(spark: SparkSession, sf: str) -> DataFrame:
+    """Ljung–Box whiteness test (timeseries.ljung_box) on each event
+    type's daily volume — is there ANY autocorrelation in the first
+    5 lags? The residual-diagnostic companion to ts_autocorrelation's
+    single lag-1 readout; exact integer-cent autocorrelations on the
+    (type, day) grid."""
+    from icnarc_to_philips_linkage_spark.operators import timeseries
+
+    e = load(spark, sf, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return timeseries.ljung_box(
+        daily, "event_type", "day", "n_events", lags=_LB_LAGS
+    )
+
+
+def _ljung_box_sql() -> str:
+    lag_cols = ",\n         ".join(
+        f"LAG(x, {j}) OVER w AS l{j}" for j in range(1, _LB_LAGS + 1)
+    )
+    lag_aggs = ",\n  ".join(
+        f"SUM(CASE WHEN l{j} IS NOT NULL THEN CAST(x AS HUGEINT) * l{j} END) AS sxy{j},\n"
+        f"  SUM(CASE WHEN l{j} IS NOT NULL THEN CAST(x AS HUGEINT) END) AS h{j},\n"
+        f"  SUM(CASE WHEN l{j} IS NOT NULL THEN CAST(l{j} AS HUGEINT) END) AS t{j}"
+        for j in range(1, _LB_LAGS + 1)
+    )
+
+    def ck(j: int) -> str:
+        return (
+            f"(CAST(nn * nn * COALESCE(sxy{j}, 0)"
+            f" - nn * sx * (COALESCE(h{j}, 0) + COALESCE(t{j}, 0))"
+            f" + (nn - {j}) * sx * sx AS DOUBLE) / CAST(c0n2 AS DOUBLE))"
+        )
+
+    terms = " + ".join(
+        f"({ck(j)} * {ck(j)} / (CAST(n AS DOUBLE) - {float(j)!r}))"
+        for j in range(1, _LB_LAGS + 1)
+    )
+    return f"""
+WITH daily AS (
+  SELECT event_type AS k, CAST(ts AS DATE) AS day,
+         CAST(ROUND(COUNT(*) * 100) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+lagged AS (
+  SELECT k, x,
+         {lag_cols}
+  FROM daily
+  WINDOW w AS (PARTITION BY k ORDER BY day)
+),
+agg AS (
+  SELECT k, COUNT(*) AS n,
+  SUM(CAST(x AS HUGEINT)) AS sx,
+  SUM(CAST(x AS HUGEINT) * x) AS sxx,
+  {lag_aggs}
+  FROM lagged GROUP BY 1
+),
+st AS (
+  SELECT *, CAST(n AS HUGEINT) AS nn,
+         CAST(n AS HUGEINT) * n * sxx
+           - CAST(n AS HUGEINT) * sx * sx AS c0n2
+  FROM agg
+)
+SELECT k AS event_type, CAST(n AS BIGINT) AS n,
+  CAST({_LB_LAGS} AS BIGINT) AS n_lags,
+  ROUND(CASE WHEN n > {_LB_LAGS} AND CAST(c0n2 AS DOUBLE) > 0 THEN
+    CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0) * ({terms})
+  END, 6) AS q_stat
+FROM st
+"""
+
+
+_PR_T1, _PR_T2 = 1.0, 4.0
+
+
+def eval_poisson_rates(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-sample Poisson rate test (evaluation.poisson_two_rate):
+    do click events arrive faster per type-slot than the other four
+    types combined (exposures 1 vs 4)? One conditional aggregation
+    to two exact counts; the conditional binomial z is a fixed
+    expression."""
+    from icnarc_to_philips_linkage_spark.operators import evaluation
+
+    e = load(spark, sf, "events").filter(
+        F.col("event_type").isNotNull()
+    )
+    return evaluation.poisson_two_rate(
+        e, F.col("event_type") == "click", _PR_T1, _PR_T2
+    )
+
+
+def _poisson_rates_sql() -> str:
+    from icnarc_to_philips_linkage_spark.operators.evaluation import (
+        normal_sf_sql,
+    )
+
+    p0 = _PR_T1 / (_PR_T1 + _PR_T2)
+    q = normal_sf_sql("ABS(z)")
+    return f"""
+WITH agg AS (
+  SELECT SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c1,
+         SUM(CASE WHEN event_type = 'click' THEN 0 ELSE 1 END) AS c2
+  FROM events WHERE event_type IS NOT NULL
+),
+st AS (
+  SELECT c1, c2,
+    CAST(COALESCE(c1, 0) AS DOUBLE) AS c1d,
+    CAST(COALESCE(c2, 0) AS DOUBLE) AS c2d
+  FROM agg
+),
+zed AS (
+  SELECT c1, c2, c1d, c2d,
+    CASE WHEN c1d + c2d > 0 THEN
+      (c1d - (c1d + c2d) * {p0!r})
+      / SQRT((c1d + c2d) * {p0!r} * {1.0 - p0!r})
+    END AS z
+  FROM st
+)
+SELECT CAST(COALESCE(c1, 0) AS BIGINT) AS n_events_1,
+  CAST(COALESCE(c2, 0) AS BIGINT) AS n_events_2,
+  ROUND(c1d / {_PR_T1!r}, 9) AS rate_1,
+  ROUND(c2d / {_PR_T2!r}, 9) AS rate_2,
+  ROUND(z, 9) AS z,
+  ROUND(2.0 * {q}, 9) AS p_value
+FROM zed
+"""
+
+
 def ts_theil_sen(spark: SparkSession, sf: str) -> DataFrame:
     """Theil-Sen robust trend slope (timeseries.theil_sen_slope) on
     each event type's daily volume — the magnitude companion to
@@ -7988,6 +8186,9 @@ QUERIES: dict[str, tuple] = {
     "a44_page_trend": (a44_page_trend, _page_trend_sql()),
     "a45_cvm_exact": (a45_cvm_exact, A45_SQL),
     "ts_seasonal_mk": (ts_seasonal_mk, TS_SEASONAL_MK_SQL),
+    "a46_runs_test": (a46_runs_test, _runs_sql()),
+    "ts_ljung_box": (ts_ljung_box, _ljung_box_sql()),
+    "eval_poisson_rates": (eval_poisson_rates, _poisson_rates_sql()),
     "a42_cochran_q": (a42_cochran_q, A42_SQL),
     "a43_jonckheere": (a43_jonckheere, _jonckheere_sql()),
     "a40_mood_median": (a40_mood_median, A40_SQL),

@@ -560,6 +560,201 @@ def main() -> int:
             assert r.s_stat == s_want
             assert abs(r.z - z_want) < 1e-4
 
+    # ---- round-11 batch-4 operators
+    if want("runs"):
+        # flag alternates within every key ⇒ R = n EXACTLY per key
+        rows = spark.range(n100).select(
+            F.concat(
+                F.lit("k"),
+                F.pmod(F.col("id"), F.lit(20)).cast("string"),
+            ).alias("k"),
+            (F.col("id") / 20).cast("long").alias("t"),
+            (F.pmod((F.col("id") / 20).cast("long"), F.lit(2)) == 0)
+            .alias("x"),
+        )
+        t = time.time()
+        out = pr.runs_test(rows, "k", "t", "x").collect()
+        timings["runs_test_100m_rows"] = round(time.time() - t, 2)
+        nk = n100 // 20
+        print(
+            "runs_test_100m_rows", timings["runs_test_100m_rows"],
+            "keys", len(out), "runs", out[0].n_runs,
+            "expected", nk, flush=True,
+        )
+        assert len(out) == 20
+        for r in out:
+            assert r.n == nk and r.n_runs == nk and r.z > 1000
+
+    if want("ljungbox"):
+        # day d gets exactly 13000 + (d%7)·1000 rows per key — a
+        # strong planted weekly cycle whose Q replays in closed form
+        import math
+
+        grid = spark.range(20 * 364).select(
+            F.concat(
+                F.lit("k"),
+                (F.col("id") / 364).cast("long").cast("string"),
+            ).alias("k"),
+            F.pmod(F.col("id"), F.lit(364)).cast("int").alias("day"),
+        )
+        events = grid.select(
+            "k",
+            "day",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.lit(13000)
+                    + F.pmod(F.col("day"), F.lit(7)) * 1000,
+                )
+            ).alias("__i"),
+        )
+        t = time.time()
+        daily = events.groupBy("k", "day").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        out = tso.ljung_box(daily, "k", "day", "n", lags=5).collect()
+        timings["ljung_box_116m_events"] = round(time.time() - t, 2)
+        cs = [(13000 + (d % 7) * 1000) * 100 for d in range(364)]
+        n = len(cs)
+        sx = sum(cs)
+        sxx = sum(c * c for c in cs)
+        c0n2 = n * n * sxx - n * sx * sx
+        qq = 0.0
+        for kk in range(1, 6):
+            sxy = sum(cs[t_] * cs[t_ - kk] for t_ in range(kk, n))
+            head = sum(cs[t_] for t_ in range(kk, n))
+            tail = sum(cs[t_ - kk] for t_ in range(kk, n))
+            ckn2 = (
+                n * n * sxy - n * sx * (head + tail)
+                + (n - kk) * sx * sx
+            )
+            rr = ckn2 / c0n2
+            qq += rr * rr / (n - kk)
+        q_want = n * (n + 2) * qq
+        print(
+            "ljung_box_116m_events", timings["ljung_box_116m_events"],
+            "q", out[0].q_stat, "expected", round(q_want, 6),
+            flush=True,
+        )
+        assert len(out) == 20
+        for r in out:
+            assert r.n == 364 and abs(r.q_stat - q_want) < 1e-4
+
+    if want("ngrams"):
+        # half the docs are ONE shared 10-token template, half are
+        # all-unique fillers ⇒ every distinct count is closed-form
+        n_docs, tpd = 10_000_000, 10
+        is_tmpl = F.pmod(F.col("id"), F.lit(2)) == 0
+        tok = F.transform(
+            F.sequence(F.lit(0), F.lit(tpd - 1)),
+            lambda j: F.when(
+                is_tmpl, F.concat(F.lit("tmpl"), j.cast("string"))
+            ).otherwise(
+                F.concat_ws(
+                    "_",
+                    F.lit("u"),
+                    F.col("id").cast("string"),
+                    j.cast("string"),
+                )
+            ),
+        )
+        docs = spark.range(n_docs).select(
+            F.concat_ws(" ", tok).alias("text")
+        )
+        from icnarc_to_philips_linkage_spark.operators import (
+            text as tx2,
+        )
+
+        t = time.time()
+        out = {
+            r.n: r
+            for r in tx2.distinct_ngram_diversity(docs).collect()
+        }
+        timings["distinct_ngrams_100m_tokens"] = round(
+            time.time() - t, 2
+        )
+        uniq = n_docs // 2
+        print(
+            "distinct_ngrams_100m_tokens",
+            timings["distinct_ngrams_100m_tokens"],
+            "d1", out[1].distinct_ngrams,
+            "expected", tpd + uniq * tpd, flush=True,
+        )
+        for n in (1, 2, 3):
+            span = tpd - n + 1
+            assert out[n].total_ngrams == n_docs * span
+            assert out[n].distinct_ngrams == span + uniq * span, out[n]
+
+    if want("heaps"):
+        # source s: N = 1e6·4^s tokens over vocab V = 1000·2^s ⇒
+        # V = N^0.5 · 10^(3−3) exactly in log-space ⇒ β = 0.5
+        import math
+
+        tpd = 10
+        bounds = [0]
+        for s in range(4):
+            bounds.append(bounds[-1] + 1_000_000 * 4 ** s // tpd)
+        src_expr = None
+        for s in range(4):
+            cond = (F.col("id") >= bounds[s]) & (
+                F.col("id") < bounds[s + 1]
+            )
+            pick = F.lit(f"s{s}")
+            src_expr = (
+                F.when(cond, pick)
+                if src_expr is None
+                else src_expr.when(cond, pick)
+            )
+        vocab_expr = (
+            F.when(F.col("id") < bounds[1], 1000)
+            .when(F.col("id") < bounds[2], 2000)
+            .when(F.col("id") < bounds[3], 4000)
+            .otherwise(8000)
+        )
+        tok = F.transform(
+            F.sequence(F.lit(0), F.lit(tpd - 1)),
+            lambda j: F.concat(
+                F.lit("w"),
+                F.pmod(F.col("id") * tpd + j, vocab_expr).cast(
+                    "string"
+                ),
+            ),
+        )
+        docs = spark.range(bounds[-1]).select(
+            src_expr.alias("source"),
+            F.concat_ws(" ", tok).alias("text"),
+        )
+        from icnarc_to_philips_linkage_spark.operators import (
+            text as tx3,
+        )
+
+        t = time.time()
+        r = tx3.heaps_law_fit(docs, "source").collect()[0]
+        timings["heaps_fit_85m_tokens"] = round(time.time() - t, 2)
+        print(
+            "heaps_fit_85m_tokens", timings["heaps_fit_85m_tokens"],
+            "beta", r.beta, "r2", r.r2, flush=True,
+        )
+        assert r.n_groups == 4
+        assert abs(r.beta - 0.5) < 1e-3 and r.r2 > 0.9999
+
+    if want("poissonrate"):
+        # exactly 20M clicks vs 80M others at exposures 1:4 ⇒ the
+        # conditional z is 0.0 EXACT (c1 = N·p0 on the nose)
+        rows = spark.range(n100).select(
+            (F.pmod(F.col("id"), F.lit(5)) == 0).alias("g")
+        )
+        t = time.time()
+        r = ev.poisson_two_rate(rows, "g", 1.0, 4.0).collect()[0]
+        timings["poisson_rate_100m_rows"] = round(time.time() - t, 2)
+        print(
+            "poisson_rate_100m_rows",
+            timings["poisson_rate_100m_rows"],
+            "z", r.z, "rates", (r.rate_1, r.rate_2), flush=True,
+        )
+        assert r.n_events_1 == n100 // 5
+        assert r.rate_1 == r.rate_2 and r.z == 0.0
+
     print(json.dumps({"timings_sec": timings}))
     spark.stop()
     return 0

@@ -696,3 +696,165 @@ def test_seasonal_mk_separates_cycle_from_trend(spark):
     # nonzero S from cross-season pairs)
     mk = mann_kendall(df2, "k", "t", "v").collect()[0]
     assert mk.s_stat != 0
+
+
+# ---------------------------------------------------------------------------
+# round-11 batch 4: runs test, Ljung-Box, distinct-n, Heaps, Poisson rates
+# ---------------------------------------------------------------------------
+
+
+def test_runs_test_alternating_and_clustered(spark):
+    import math
+
+    from icnarc_to_philips_linkage_spark.operators.profile import (
+        runs_test,
+    )
+
+    alt = [("a", t, t % 2 == 0) for t in range(10)]
+    clu = [("b", t, t < 5) for t in range(10)]
+    df = spark.createDataFrame(alt + clu, "k string, t int, x boolean")
+    out = {r.k: r for r in runs_test(df, "k", "t", "x").collect()}
+    # alternating: R=10, E=6, Var=2.2222 -> z = 4/sqrt(20/9)
+    assert out["a"].n_runs == 10
+    assert out["a"].z == pytest.approx(4 / math.sqrt(20 / 9.0), abs=1e-9)
+    # clustered: R=2 -> strongly negative
+    assert out["b"].n_runs == 2
+    assert out["b"].z == pytest.approx(-4 / math.sqrt(20 / 9.0), abs=1e-9)
+    assert out["a"].p_value < 0.01 and out["b"].p_value < 0.01
+
+
+def test_runs_test_degenerate_single_symbol(spark):
+    from icnarc_to_philips_linkage_spark.operators.profile import (
+        runs_test,
+    )
+
+    df = spark.createDataFrame(
+        [("a", t, True) for t in range(5)], "k string, t int, x boolean"
+    )
+    r = runs_test(df, "k", "t", "x").collect()[0]
+    assert r.n_runs == 1 and r.z is None
+
+
+def _py_ljung_box(xs: list[float], lags: int):
+    """Classical fixed-mean Ljung-Box replay on integer cents."""
+    cs = [round(x * 100) for x in xs]
+    n = len(cs)
+    sx = sum(cs)
+    sxx = sum(c * c for c in cs)
+    c0n2 = n * n * sxx - n * sx * sx
+    q = 0.0
+    for k in range(1, lags + 1):
+        sxy = sum(cs[t] * cs[t - k] for t in range(k, n))
+        head = sum(cs[t] for t in range(k, n))
+        tail = sum(cs[t - k] for t in range(k, n))
+        ckn2 = n * n * sxy - n * sx * (head + tail) + (n - k) * sx * sx
+        r = ckn2 / c0n2
+        q += r * r / (n - k)
+    return n * (n + 2) * q
+
+
+def test_ljung_box_matches_python_replay(spark):
+    import math
+
+    from icnarc_to_philips_linkage_spark.operators.timeseries import (
+        ljung_box,
+    )
+
+    xs = [math.sin(t / 2.0) * 10 + 50 for t in range(30)]
+    df = spark.createDataFrame(
+        [("a", t, x) for t, x in enumerate(xs)],
+        "k string, t int, v double",
+    )
+    r = ljung_box(df, "k", "t", "v", lags=3).collect()[0]
+    assert r.n == 30 and r.n_lags == 3
+    assert r.q_stat == pytest.approx(_py_ljung_box(xs, 3), abs=1e-5)
+    # hash-scrambled noise (near-white) has far smaller Q than the
+    # sine; note an ALTERNATING series is NOT white — its strong
+    # negative lag-1 autocorrelation scores a large Q too
+    ys = [((t * 2654435761) % 97) / 97.0 for t in range(30)]
+    df2 = spark.createDataFrame(
+        [("a", t, y) for t, y in enumerate(ys)],
+        "k string, t int, v double",
+    )
+    r2 = ljung_box(df2, "k", "t", "v", lags=3).collect()[0]
+    assert r2.q_stat == pytest.approx(_py_ljung_box(ys, 3), abs=1e-5)
+    assert r.q_stat > r2.q_stat
+
+
+def test_ljung_box_constant_series_null(spark):
+    from icnarc_to_philips_linkage_spark.operators.timeseries import (
+        ljung_box,
+    )
+
+    df = spark.createDataFrame(
+        [("a", t, 5.0) for t in range(10)], "k string, t int, v double"
+    )
+    r = ljung_box(df, "k", "t", "v", lags=2).collect()[0]
+    assert r.q_stat is None
+
+
+def test_distinct_ngram_diversity_hand_counts(spark):
+    from icnarc_to_philips_linkage_spark.operators.text import (
+        distinct_ngram_diversity,
+    )
+
+    docs = spark.createDataFrame(
+        [("s1", "a b a b a b"), ("s1", "a a a a"), ("s2", "x y z w")],
+        "src string, text string",
+    )
+    out = {
+        (r.src, r.n): r
+        for r in distinct_ngram_diversity(docs, "src").collect()
+    }
+    # s1 unigrams: 10 tokens {a, b}; bigrams: 'a b','b a' x2 + 'a a' x3
+    assert out[("s1", 1)].total_ngrams == 10
+    assert out[("s1", 1)].distinct_ngrams == 2
+    assert out[("s1", 2)].total_ngrams == 8
+    assert out[("s1", 2)].distinct_ngrams == 3
+    assert out[("s2", 3)].total_ngrams == 2
+    assert out[("s2", 3)].distinct_ratio == 1.0
+    # docs shorter than n contribute nothing (no descending sequence)
+    tiny = spark.createDataFrame([("t", "solo")], "src string, text string")
+    rows = distinct_ngram_diversity(tiny, "src").collect()
+    assert {(r.n) for r in rows} == {1}
+
+
+def test_heaps_law_fit_exact_power_law(spark):
+    """Planted V = N^0.5 exactly on the quantized grid -> beta 0.5."""
+    import math
+
+    from icnarc_to_philips_linkage_spark.operators.text import (
+        heaps_law_fit,
+    )
+
+    rows = []
+    for s, (n_tok, vocab) in enumerate(
+        [(100, 10), (400, 20), (2500, 50), (10000, 100)]
+    ):
+        toks = " ".join(f"w{i % vocab}" for i in range(n_tok))
+        rows.append((f"s{s}", toks))
+    df = spark.createDataFrame(rows, "src string, text string")
+    r = heaps_law_fit(df, "src").collect()[0]
+    assert r.n_groups == 4
+    assert r.beta == pytest.approx(0.5, abs=1e-3)
+    assert r.r2 == pytest.approx(1.0, abs=1e-3)
+
+
+def test_poisson_two_rate_hand_z(spark):
+    import math
+
+    from icnarc_to_philips_linkage_spark.operators.evaluation import (
+        poisson_two_rate,
+    )
+
+    df = spark.createDataFrame([(True,)] * 30 + [(False,)] * 10, "g boolean")
+    r = poisson_two_rate(df, "g", 100.0, 50.0).collect()[0]
+    p0 = 100.0 / 150.0
+    z = (30 - 40 * p0) / math.sqrt(40 * p0 * (1 - p0))
+    assert r.n_events_1 == 30 and r.n_events_2 == 10
+    assert r.rate_1 == pytest.approx(0.3) and r.rate_2 == pytest.approx(0.2)
+    assert r.z == pytest.approx(z, abs=1e-9)
+    # equal rates at equal exposure: z = 0 exactly on balanced counts
+    df2 = spark.createDataFrame([(True,)] * 5 + [(False,)] * 5, "g boolean")
+    r2 = poisson_two_rate(df2, "g", 10.0, 10.0).collect()[0]
+    assert r2.z == 0.0 and r2.p_value > 0.99
