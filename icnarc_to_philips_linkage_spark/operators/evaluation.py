@@ -2061,6 +2061,67 @@ def bh_fdr(
     )
 
 
+def odds_ratio_woolf(
+    df: DataFrame,
+    exposure_col,
+    outcome_col,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Single 2×2 odds ratio with the Woolf (1955) log-interval —
+    the unstratified companion of ``cmh_test``'s pooled OR:
+
+        OR = a·d / (b·c),
+        ln OR ± 1.96·sqrt(1/a + 1/b + 1/c + 1/d)
+
+    Scale shape: ONE conditional aggregation to four exact counts;
+    OR is an exact-integer ratio and the interval a fixed expression
+    (ln/exp under the ``round_dp`` output round — the BM25
+    precedent). Any empty cell → NULL OR/CI (use an exact or
+    continuity-corrected method there; this operator reports the
+    asymptotic form honestly rather than silently adding 0.5).
+
+    Output one row: ``(a, b, c, d, odds_ratio, ci_lo, ci_hi)``.
+    """
+    ex = (
+        F.col(exposure_col)
+        if isinstance(exposure_col, str)
+        else exposure_col
+    ).cast("boolean")
+    oc = (
+        F.col(outcome_col)
+        if isinstance(outcome_col, str)
+        else outcome_col
+    ).cast("boolean")
+    agg = df.filter(ex.isNotNull() & oc.isNotNull()).agg(
+        F.sum((ex & oc).cast("long")).alias("a"),
+        F.sum((ex & ~oc).cast("long")).alias("b"),
+        F.sum((~ex & oc).cast("long")).alias("c"),
+        F.sum((~ex & ~oc).cast("long")).alias("d"),
+    )
+    a, b, c, dd = (
+        F.coalesce(F.col(x), F.lit(0)).cast("double")
+        for x in ("a", "b", "c", "d")
+    )
+    ok = (a > 0) & (b > 0) & (c > 0) & (dd > 0)
+    orr = a * dd / (b * c)
+    half = F.lit(1.96) * F.sqrt(
+        1.0 / a + 1.0 / b + 1.0 / c + 1.0 / dd
+    )
+    return agg.select(
+        F.coalesce(F.col("a"), F.lit(0)).cast("long").alias("a"),
+        F.coalesce(F.col("b"), F.lit(0)).cast("long").alias("b"),
+        F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("c"),
+        F.coalesce(F.col("d"), F.lit(0)).cast("long").alias("d"),
+        F.round(F.when(ok, orr), round_dp).alias("odds_ratio"),
+        F.round(
+            F.when(ok, F.exp(F.log(orr) - half)), round_dp
+        ).alias("ci_lo"),
+        F.round(
+            F.when(ok, F.exp(F.log(orr) + half)), round_dp
+        ).alias("ci_hi"),
+    )
+
+
 def poisson_two_rate(
     df: DataFrame,
     group_col,

@@ -2151,6 +2151,65 @@ def mood_median_test(
     )
 
 
+def dispersion_index(
+    df: DataFrame,
+    key_col: str,
+    value_col,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Index of dispersion per key (variance-to-mean ratio) with the
+    chi-square overdispersion statistic ``(n−1)·s²/x̄`` — the
+    "is this count stream Poisson or bursty" screen (VMR ≈ 1 Poisson,
+    ≫ 1 clumped/bursty, ≪ 1 regular) that decides whether
+    ``poisson_two_rate``'s model even applies.
+
+    Exactness: values quantize to integer cents; n, Σx, Σx² are exact
+    decimals per key in ONE map-combined aggregation, and both
+    statistics are fixed expressions over them (the sample variance
+    uses the n·Σx² − (Σx)² integer form — no mean-centered float
+    accumulation).
+
+    Output per key: ``(key, n, mean, vmr, chi2)`` — NULL vmr/chi2
+    when n < 2 or the mean is 0.
+    """
+    v = (
+        F.col(value_col)
+        if isinstance(value_col, str)
+        else value_col
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    base = df.filter(F.col(key_col).isNotNull() & v.isNotNull()).select(
+        F.col(key_col).alias("__k"),
+        F.round(v * 100).cast("long").alias("__x"),
+    )
+    agg = base.groupBy("__k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(F.col("__x"))).alias("__sx"),
+        F.sum(dec(F.col("__x")) * dec(F.col("__x"))).alias("__sxx"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("__sx").cast("double")
+    # n·Σx² − (Σx)² is exact BEFORE the cast (cents² headroom)
+    dev2 = (
+        dec(F.col("n")) * F.col("__sxx")
+        - F.col("__sx") * F.col("__sx")
+    ).cast("double")
+    mean_c = sx / n  # cents
+    var_c = dev2 / (n * (n - 1.0))  # cents², sample variance
+    ok = (F.col("n") >= 2) & (F.col("__sx") > 0)
+    vmr = var_c / mean_c  # cents cancel once: VMR is in cents of x
+    return agg.select(
+        F.col("__k").alias(key_col),
+        F.col("n").cast("long").alias("n"),
+        F.round(mean_c / 100.0, round_dp).alias("mean"),
+        F.round(F.when(ok, vmr / 100.0), round_dp).alias("vmr"),
+        F.round(
+            F.when(ok, (n - 1.0) * var_c / mean_c / 100.0),
+            round_dp,
+        ).alias("chi2"),
+    )
+
+
 def runs_test(
     df: DataFrame,
     key_col: str,

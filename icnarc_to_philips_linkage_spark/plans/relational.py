@@ -6085,6 +6085,105 @@ FROM zed
 """
 
 
+def eval_odds_ratio(spark: SparkSession, sf: str) -> DataFrame:
+    """Single 2×2 odds ratio + Woolf log-interval
+    (evaluation.odds_ratio_woolf): fulfillment (status F) vs
+    big-ticket orders — the UNSTRATIFIED marginal that eval_cmh then
+    controls by priority; reading both is the Simpson's-paradox
+    drill. One conditional aggregation to four exact counts."""
+    from icnarc_to_philips_linkage_spark.operators import evaluation
+
+    o = load(spark, sf, "orders")
+    return evaluation.odds_ratio_woolf(
+        o,
+        F.col("o_orderstatus") == "F",
+        F.col("o_totalprice") > 150000,
+    )
+
+
+EVAL_ODDS_SQL = """
+WITH agg AS (
+  SELECT
+    SUM(CASE WHEN o_orderstatus = 'F' AND o_totalprice > 150000
+        THEN 1 ELSE 0 END) AS a,
+    SUM(CASE WHEN o_orderstatus = 'F' AND NOT (o_totalprice > 150000)
+        THEN 1 ELSE 0 END) AS b,
+    SUM(CASE WHEN o_orderstatus <> 'F' AND o_totalprice > 150000
+        THEN 1 ELSE 0 END) AS c,
+    SUM(CASE WHEN o_orderstatus <> 'F' AND NOT (o_totalprice > 150000)
+        THEN 1 ELSE 0 END) AS d
+  FROM orders
+  WHERE o_orderstatus IS NOT NULL AND o_totalprice IS NOT NULL
+),
+st AS (
+  SELECT COALESCE(a, 0) AS a, COALESCE(b, 0) AS b,
+         COALESCE(c, 0) AS c, COALESCE(d, 0) AS d,
+    CAST(COALESCE(a, 0) AS DOUBLE) AS ad_,
+    CAST(COALESCE(b, 0) AS DOUBLE) AS bd_,
+    CAST(COALESCE(c, 0) AS DOUBLE) AS cd_,
+    CAST(COALESCE(d, 0) AS DOUBLE) AS dd_
+  FROM agg
+)
+SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+  CAST(c AS BIGINT) AS c, CAST(d AS BIGINT) AS d,
+  ROUND(CASE WHEN ad_ > 0 AND bd_ > 0 AND cd_ > 0 AND dd_ > 0
+        THEN ad_ * dd_ / (bd_ * cd_) END, 6) AS odds_ratio,
+  ROUND(CASE WHEN ad_ > 0 AND bd_ > 0 AND cd_ > 0 AND dd_ > 0
+        THEN exp(ln(ad_ * dd_ / (bd_ * cd_))
+                 - 1.96 * SQRT(1.0 / ad_ + 1.0 / bd_
+                               + 1.0 / cd_ + 1.0 / dd_)) END,
+        6) AS ci_lo,
+  ROUND(CASE WHEN ad_ > 0 AND bd_ > 0 AND cd_ > 0 AND dd_ > 0
+        THEN exp(ln(ad_ * dd_ / (bd_ * cd_))
+                 + 1.96 * SQRT(1.0 / ad_ + 1.0 / bd_
+                               + 1.0 / cd_ + 1.0 / dd_)) END,
+        6) AS ci_hi
+FROM st
+"""
+
+
+def a47_dispersion(spark: SparkSession, sf: str) -> DataFrame:
+    """Index of dispersion per event type
+    (profile.dispersion_index): variance-to-mean of event values —
+    Poisson-like or bursty? One map-combined aggregation of exact
+    cent power sums; the sample variance uses the n·Σx² − (Σx)²
+    integer form."""
+    e = load(spark, sf, "events")
+    return profile.dispersion_index(e, "event_type", "value")
+
+
+A47_SQL = """
+WITH base AS (
+  SELECT event_type AS k,
+         CAST(ROUND(value * 100) AS BIGINT) AS x
+  FROM events
+  WHERE event_type IS NOT NULL AND value IS NOT NULL
+),
+agg AS (
+  SELECT k, COUNT(*) AS n,
+         SUM(CAST(x AS HUGEINT)) AS sx,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx
+  FROM base GROUP BY 1
+),
+st AS (
+  SELECT k, n,
+    CAST(n AS DOUBLE) AS nd,
+    CAST(sx AS DOUBLE) AS sxd,
+    CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE) AS dev2,
+    sx
+  FROM agg
+)
+SELECT k AS event_type, CAST(n AS BIGINT) AS n,
+  ROUND(sxd / nd / 100.0, 6) AS mean,
+  ROUND(CASE WHEN n >= 2 AND sx > 0 THEN
+    (dev2 / (nd * (nd - 1.0))) / (sxd / nd) / 100.0 END, 6) AS vmr,
+  ROUND(CASE WHEN n >= 2 AND sx > 0 THEN
+    (nd - 1.0) * (dev2 / (nd * (nd - 1.0))) / (sxd / nd) / 100.0
+  END, 6) AS chi2
+FROM st
+"""
+
+
 def ts_theil_sen(spark: SparkSession, sf: str) -> DataFrame:
     """Theil-Sen robust trend slope (timeseries.theil_sen_slope) on
     each event type's daily volume — the magnitude companion to
@@ -8189,6 +8288,8 @@ QUERIES: dict[str, tuple] = {
     "a46_runs_test": (a46_runs_test, _runs_sql()),
     "ts_ljung_box": (ts_ljung_box, _ljung_box_sql()),
     "eval_poisson_rates": (eval_poisson_rates, _poisson_rates_sql()),
+    "eval_odds_ratio": (eval_odds_ratio, EVAL_ODDS_SQL),
+    "a47_dispersion": (a47_dispersion, A47_SQL),
     "a42_cochran_q": (a42_cochran_q, A42_SQL),
     "a43_jonckheere": (a43_jonckheere, _jonckheere_sql()),
     "a40_mood_median": (a40_mood_median, A40_SQL),

@@ -755,6 +755,59 @@ def main() -> int:
         assert r.n_events_1 == n100 // 5
         assert r.rate_1 == r.rate_2 and r.z == 0.0
 
+    if want("oddsratio"):
+        # id%10 slices plant (a,b,c,d) = (30,20,10,40)M ⇒ OR = 6 EXACT
+        m = F.pmod(F.col("id"), F.lit(10))
+        rows = spark.range(n100).select(
+            (m < 5).alias("e"),
+            ((m < 3) | ((m >= 5) & (m < 6))).alias("o"),
+        )
+        t = time.time()
+        r = ev.odds_ratio_woolf(rows, "e", "o").collect()[0]
+        timings["odds_ratio_100m_rows"] = round(time.time() - t, 2)
+        import math
+
+        orr = 6.0
+        half = 1.96 * math.sqrt(
+            1 / 3e7 + 1 / 2e7 + 1 / 1e7 + 1 / 4e7
+        )
+        print(
+            "odds_ratio_100m_rows", timings["odds_ratio_100m_rows"],
+            "or", r.odds_ratio, "ci", (r.ci_lo, r.ci_hi), flush=True,
+        )
+        assert (r.a, r.b, r.c, r.d) == (
+            30_000_000, 20_000_000, 10_000_000, 40_000_000,
+        )
+        assert r.odds_ratio == 6.0
+        assert abs(r.ci_lo - math.exp(math.log(orr) - half)) < 1e-5
+        assert abs(r.ci_hi - math.exp(math.log(orr) + half)) < 1e-5
+
+    if want("dispersion"):
+        # values 0..4 uniform per key ⇒ mean 2, sample var 2.5·n/(n−1)
+        rows = spark.range(n100).select(
+            F.concat(
+                F.lit("k"),
+                F.pmod(F.col("id"), F.lit(20)).cast("string"),
+            ).alias("k"),
+            F.pmod((F.col("id") / 20).cast("long"), F.lit(5))
+            .cast("double")
+            .alias("v"),
+        )
+        t = time.time()
+        out = pr.dispersion_index(rows, "k", "v").collect()
+        timings["dispersion_100m_rows"] = round(time.time() - t, 2)
+        nk = n100 // 20
+        var_s = 2.0 * nk / (nk - 1.0)  # population var 2 exactly
+        print(
+            "dispersion_100m_rows", timings["dispersion_100m_rows"],
+            "vmr", out[0].vmr, "expected", round(var_s / 2.0, 6),
+            flush=True,
+        )
+        assert len(out) == 20
+        for r in out:
+            assert r.n == nk and r.mean == 2.0
+            assert abs(r.vmr - var_s / 2.0) < 1e-6
+
     print(json.dumps({"timings_sec": timings}))
     spark.stop()
     return 0

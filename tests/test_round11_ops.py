@@ -858,3 +858,48 @@ def test_poisson_two_rate_hand_z(spark):
     df2 = spark.createDataFrame([(True,)] * 5 + [(False,)] * 5, "g boolean")
     r2 = poisson_two_rate(df2, "g", 10.0, 10.0).collect()[0]
     assert r2.z == 0.0 and r2.p_value > 0.99
+
+
+def test_odds_ratio_woolf_hand(spark):
+    import math
+
+    from icnarc_to_philips_linkage_spark.operators.evaluation import (
+        odds_ratio_woolf,
+    )
+
+    rows = (
+        [(True, True)] * 20 + [(True, False)] * 10
+        + [(False, True)] * 5 + [(False, False)] * 15
+    )
+    df = spark.createDataFrame(rows, "e boolean, o boolean")
+    r = odds_ratio_woolf(df, "e", "o").collect()[0]
+    orr = 20 * 15 / (10 * 5.0)
+    half = 1.96 * math.sqrt(1 / 20 + 1 / 10 + 1 / 5.0 + 1 / 15.0)
+    assert (r.a, r.b, r.c, r.d) == (20, 10, 5, 15)
+    assert r.odds_ratio == pytest.approx(orr, abs=1e-6)
+    assert r.ci_lo == pytest.approx(math.exp(math.log(orr) - half), abs=1e-5)
+    assert r.ci_hi == pytest.approx(math.exp(math.log(orr) + half), abs=1e-5)
+    # empty cell -> NULL (no silent 0.5 correction)
+    df2 = spark.createDataFrame(
+        [(True, True)] * 3 + [(False, False)] * 3, "e boolean, o boolean"
+    )
+    r2 = odds_ratio_woolf(df2, "e", "o").collect()[0]
+    assert r2.odds_ratio is None and r2.ci_lo is None
+
+
+def test_dispersion_index_hand(spark):
+    from icnarc_to_philips_linkage_spark.operators.profile import (
+        dispersion_index,
+    )
+
+    # Poisson-ish: values 1..5 -> mean 3, var 2.5, VMR 2.5/3
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in (1, 2, 3, 4, 5)]
+        + [("b", 7.0)] * 4,  # constant -> vmr 0
+        "k string, v double",
+    )
+    out = {r.k: r for r in dispersion_index(df, "k", "v").collect()}
+    assert out["a"].n == 5 and out["a"].mean == 3.0
+    assert out["a"].vmr == pytest.approx(2.5 / 3.0, abs=1e-6)
+    assert out["a"].chi2 == pytest.approx(4 * 2.5 / 3.0, abs=1e-6)
+    assert out["b"].vmr == 0.0 and out["b"].chi2 == 0.0
