@@ -2321,8 +2321,8 @@ def page_l_trend(
     integer L2/ΣR2² sums; every moment is an expression over exact
     decimals with a single final sqrt.
 
-    Output one row: ``(k, n_blocks, l_stat, z, p_value)`` — z NULL
-    when the permutation variance is 0.
+    Output one row: ``(k, n_blocks, l_stat, z, p_value_one_sided)``
+    — z NULL when the permutation variance is 0.
     """
     from icnarc_to_philips_linkage_spark.operators.evaluation import (
         normal_sf_approx,

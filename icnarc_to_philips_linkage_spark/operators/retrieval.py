@@ -482,7 +482,13 @@ def mmr_rerank(
             F.transform("__vec", lambda x: x.cast("double") * x.cast("double")),
             F.lit(0.0), lambda acc, x: acc + x,
         ))
-        .coalesce(1)
+        # repartition(1), NOT coalesce(1): there is no shuffle boundary
+        # between the corpus scan and this point (scan -> broadcast join
+        # -> project), so coalesce(1) would collapse the corpus-side
+        # scan itself into a single task.  repartition inserts a shuffle
+        # above the scan — the scan/join stays corpus-parallel and only
+        # the tiny |queries|·pool-row output lands on one partition.
+        .repartition(1)
         .persist()
     )
     cachereg.track(with_vec)
