@@ -1875,47 +1875,96 @@ def friedman_test(
     Cells aggregate as ``max(value)`` per (block, treatment) — the
     one-observation-per-cell contract made deterministic — and only
     COMPLETE blocks (all k treatments present) enter, per the classic
-    treatment. Doubled tie-averaged within-block ranks come from two
-    block-partitioned windows (``2·RANK() + tied − 1`` — exact
-    integers, and the partitioning key is the BLOCK, so the windows
-    are corpus-parallel, never single-partition); per-treatment rank
-    sums and the tie term are exact decimal sums, and the only float
+    treatment. Blocks are tiny (k treatments each, per-cell
+    multiplicity ~1 by the contract), so the whole block machinery is
+    ONE corpus shuffle and zero window sorts:
+    ``groupBy(block).agg(collect_list(struct(t, v)))`` builds the
+    per-block array directly from raw rows; the max-per-cell dedupe,
+    the completeness check (k distinct treatments), and the doubled
+    tie-averaged mid-rank (``2·#(y<x) + #(y==x) + 1`` — exact
+    integers) are all O(k²) array folds in whole-stage codegen. The
+    global k is one map-combined ``countDistinct`` pass; per-
+    treatment rank sums ride an explode + map-combined groupBy
+    (k rows per map task on the wire). Per-treatment rank sums and
+    the tie term are exact decimal sums, and the only float
     reduction Σ_j R_j² folds sequentially over the treatment-sorted
-    array (the ``kruskal_wallis`` determinism recipe).
+    array (the ``kruskal_wallis`` determinism recipe). If per-cell
+    multiplicity were ever corpus-scale (a hot cell), pre-aggregate
+    to cells with ``groupBy(block, treatment).max`` before calling —
+    the arrays here are sized by the RAW rows of a block.
 
     Output: one row ``(k, n_blocks, chi2_f)`` — NULL when k < 2,
     n_blocks = 0, or every block is fully tied (C = 0).
     """
-    cells = (
-        df.filter(
-            F.col(block_col).isNotNull()
-            & F.col(treatment_col).isNotNull()
-            & F.col(value_col).isNotNull()
-        )
-        .groupBy(
-            F.col(block_col).alias("__b"),
-            F.col(treatment_col).alias("__t"),
-        )
-        .agg(F.max(value_col).alias("__v"))
+    src = df.filter(
+        F.col(block_col).isNotNull()
+        & F.col(treatment_col).isNotNull()
+        & F.col(value_col).isNotNull()
+    ).select(
+        F.col(block_col).alias("__b"),
+        F.col(treatment_col).alias("__t"),
+        F.col(value_col).alias("__v"),
     )
-    k_row = cells.agg(
+    # global k: map-combined partial-distinct scalar pass (k values
+    # per map task on the wire)
+    k_row = src.agg(
         F.countDistinct("__t").cast("long").alias("__k")
     )
-    sized = cells.join(
-        cells.groupBy("__b").agg(F.count(F.lit(1)).alias("__bk")),
-        "__b",
-    ).crossJoin(F.broadcast(k_row))
-    complete = sized.filter(F.col("__bk") == F.col("__k")).drop("__bk")
-    wr = Window.partitionBy("__b").orderBy("__v")
-    wt = Window.partitionBy("__b", "__v")
-    ranked = complete.select(
-        "__b",
-        "__t",
-        "__k",
-        (
-            2 * F.rank().over(wr) + F.count(F.lit(1)).over(wt) - 1
-        ).alias("__r2"),
-        (F.count(F.lit(1)).over(wt)).alias("__tied"),
+    raw = F.col("__raw")
+    # max-per-(block, treatment) cell dedupe INSIDE the array — the
+    # window-free equivalent of groupBy(b, t).agg(max(v))
+    cellarr = F.transform(
+        F.array_distinct(F.transform(raw, lambda x: x["t"])),
+        lambda t: F.struct(
+            t.alias("t"),
+            F.array_max(
+                F.transform(
+                    F.filter(raw, lambda y: y["t"] == t),
+                    lambda y: y["v"],
+                )
+            ).alias("v"),
+        ),
+    )
+    blocks = (
+        src.groupBy("__b")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("__t").alias("t"), F.col("__v").alias("v")
+                )
+            ).alias("__raw")
+        )
+        .crossJoin(F.broadcast(k_row))
+        .select(F.col("__k"), cellarr.alias("__a"))
+        # cell arrays are distinct per treatment, so a block is
+        # complete iff it holds exactly k entries
+        .filter(F.size("__a") == F.col("__k"))
+    )
+    arr = F.col("__a")
+    # doubled tie-averaged mid-rank of x within its block:
+    # 2·#(strictly smaller) + #(equal) + 1 — identical to the window
+    # form 2·RANK() + tied − 1, but computed by an O(k²) array fold
+    ranked_arr = F.transform(
+        arr,
+        lambda x: F.struct(
+            x["t"].alias("t"),
+            (
+                F.lit(2)
+                * F.size(F.filter(arr, lambda y: y["v"] < x["v"]))
+                + F.size(F.filter(arr, lambda y: y["v"] == x["v"]))
+                + F.lit(1)
+            ).cast("long").alias("r2"),
+            F.size(F.filter(arr, lambda y: y["v"] == x["v"]))
+            .cast("long")
+            .alias("tied"),
+        ),
+    )
+    ranked = blocks.select(
+        F.explode(ranked_arr).alias("__e")
+    ).select(
+        F.col("__e.t").alias("__t"),
+        F.col("__e.r2").alias("__r2"),
+        F.col("__e.tied").alias("__tied"),
     )
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     per_t = ranked.groupBy("__t").agg(
@@ -2314,12 +2363,16 @@ def page_l_trend(
     tied simply contribute zero variance. One-sided upper-tail p
     (the ordered alternative) via the shared A&S normal tail.
 
-    Scale shape: the ``friedman_test`` machinery — (block, treatment)
-    cells via ``max``, complete blocks only (treatments outside
-    ``treatment_order`` are dropped first), block-partitioned doubled
-    mid-rank windows (corpus-parallel), then ONE aggregation of exact
-    integer L2/ΣR2² sums; every moment is an expression over exact
-    decimals with a single final sqrt.
+    Scale shape: the ``friedman_test`` machinery, minus even the
+    global-k pass (k is statically known): treatments outside
+    ``treatment_order`` are dropped first, then ONE
+    ``collect_list(struct(c, v))`` per block — the single corpus
+    shuffle — and every remaining step is an O(k²) array fold in
+    whole-stage codegen (max-per-cell dedupe, completeness, doubled
+    tie-averaged mid-ranks, per-block L2/ΣR2² exact-long sums), then
+    ONE aggregation of exact integer sums; every moment is an
+    expression over exact decimals with a single final sqrt. Zero
+    window sorts, zero joins.
 
     Output one row: ``(k, n_blocks, l_stat, z, p_value_one_sided)``
     — z NULL when the permutation variance is 0.
@@ -2340,7 +2393,7 @@ def page_l_trend(
             for x in (F.lit(t), F.lit(i))
         ]
     )
-    cells = (
+    src = (
         df.filter(
             F.col(block_col).isNotNull()
             & F.col(treatment_col).isNotNull()
@@ -2349,31 +2402,71 @@ def page_l_trend(
         .select(
             F.col(block_col).alias("__b"),
             ordmap[F.col(treatment_col).cast("string")].alias("__c"),
-            F.col(value_col).alias("__raw"),
+            F.col(value_col).alias("__v"),
         )
         .filter(F.col("__c").isNotNull())
-        .groupBy("__b", "__c")
-        .agg(F.max("__raw").alias("__v"))
-    )
-    complete = cells.join(
-        cells.groupBy("__b").agg(F.count(F.lit(1)).alias("__bk")),
-        "__b",
-    ).filter(F.col("__bk") == k)
-    wr = Window.partitionBy("__b").orderBy("__v")
-    wt = Window.partitionBy("__b", "__v")
-    ranked = complete.select(
-        "__b",
-        "__c",
-        (
-            2 * F.rank().over(wr) + F.count(F.lit(1)).over(wt) - 1
-        ).alias("__r2"),
     )
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
-    per_b = ranked.groupBy("__b").agg(
-        F.sum(dec(F.col("__c")) * dec(F.col("__r2")))
-        .alias("__l2b"),
-        F.sum(dec(F.col("__r2")) * dec(F.col("__r2")))
-        .alias("__r2sq"),
+    raw = F.col("__rawa")
+    # max-per-(block, ordinal) cell dedupe inside the array — the
+    # window-free groupBy(b, c).agg(max(v)); k is static so no
+    # global countDistinct pass is needed at all
+    arr = F.transform(
+        F.array_distinct(F.transform(raw, lambda x: x["c"])),
+        lambda c: F.struct(
+            c.alias("c"),
+            F.array_max(
+                F.transform(
+                    F.filter(raw, lambda y: y["c"] == c),
+                    lambda y: y["v"],
+                )
+            ).alias("v"),
+        ),
+    )
+    # doubled tie-averaged mid-rank (2·#(y<x) + #(y==x) + 1) paired
+    # with the treatment ordinal — an O(k²) array fold per block
+    # replaces the two block-partitioned rank windows; per-block sums
+    # are exact longs (c ≤ k, r2 ≤ 2k+1), widened to decimal before
+    # the global reduction
+    rc_arr = F.transform(
+        arr,
+        lambda x: F.struct(
+            x["c"].cast("long").alias("c"),
+            (
+                F.lit(2)
+                * F.size(F.filter(arr, lambda y: y["v"] < x["v"]))
+                + F.size(F.filter(arr, lambda y: y["v"] == x["v"]))
+                + F.lit(1)
+            ).cast("long").alias("r2"),
+        ),
+    )
+    per_b = (
+        src.groupBy("__b")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("__c").alias("c"), F.col("__v").alias("v")
+                )
+            ).alias("__rawa")
+        )
+        # deduped cell array is distinct per ordinal: complete ⇔ k
+        .filter(F.size(arr) == k)
+        .select(
+            dec(
+                F.aggregate(
+                    rc_arr,
+                    F.lit(0).cast("long"),
+                    lambda a, x: a + x["c"] * x["r2"],
+                )
+            ).alias("__l2b"),
+            dec(
+                F.aggregate(
+                    rc_arr,
+                    F.lit(0).cast("long"),
+                    lambda a, x: a + x["r2"] * x["r2"],
+                )
+            ).alias("__r2sq"),
+        )
     )
     sum_c = k * (k + 1) // 2
     sum_c2 = sum(

@@ -6322,6 +6322,55 @@ FROM u
 """
 
 
+_DNG_EPS = 0.06  # 3x the rsd=0.02 HLL++ standard error — the a8c
+# discipline: deterministic-in-practice boolean over a randomized
+# sketch; tightness additionally pinned by tests/test_round12_ops.py
+
+
+def text_distinct_ngrams_approx(spark: SparkSession, sf: str) -> DataFrame:
+    """`text_distinct_ngrams` at scale
+    (text.distinct_ngram_diversity_approx): HLL++ over xxhash64(gram)
+    replaces the exact vocabulary-grain groupBy — map-combined
+    sketches, ZERO vocabulary-grain shuffles. The estimate is
+    RANDOMIZED, so (a8c pattern) the hash-matchable output is the
+    exact values plus ``within_bound``: the estimate's observed
+    relative error checked against 3× its rsd ON the Spark side; the
+    DuckDB oracle contributes the deterministic exact counts and
+    emits TRUE."""
+    d = load(spark, sf, "documents")
+    ex = text.distinct_ngram_diversity(d, "source")
+    ap = text.distinct_ngram_diversity_approx(d, "source")
+    return ex.join(
+        ap.select("source", "n", "distinct_ngrams_approx"),
+        ["source", "n"],
+    ).select(
+        "source",
+        "n",
+        "total_ngrams",
+        "distinct_ngrams",
+        (
+            F.abs(
+                F.col("distinct_ngrams_approx").cast("double")
+                - F.col("distinct_ngrams").cast("double")
+            )
+            / F.col("distinct_ngrams").cast("double")
+            <= F.lit(_DNG_EPS)
+        ).alias("within_bound"),
+    )
+
+
+def _distinct_ngrams_approx_sql() -> str:
+    # same exact CTE chain as text_distinct_ngrams; the boolean is
+    # unconditionally TRUE — the Spark side verifies the sketch
+    # against the exact count, DuckDB pins the exact values
+    base = _distinct_ngrams_sql()
+    head, _, _ = base.rpartition("ROUND(")
+    return (
+        head.rstrip().rstrip(",")
+        + ",\n  TRUE AS within_bound\nFROM u\n"
+    )
+
+
 def text_heaps_fit(spark: SparkSession, sf: str) -> DataFrame:
     """Heaps'-law vocabulary-growth fit across sources
     (text.heaps_law_fit): OLS of ln(V) on ln(N) over the per-source
@@ -7357,6 +7406,10 @@ QUERIES: dict[str, tuple] = {
     "text_corpus_stats": (text_corpus_stats, CORPUS_STATS_SQL),
     "text_vocab_richness": (text_vocab_richness, VOCAB_RICHNESS_SQL),
     "text_distinct_ngrams": (text_distinct_ngrams, _distinct_ngrams_sql()),
+    "text_distinct_ngrams_approx": (
+        text_distinct_ngrams_approx,
+        _distinct_ngrams_approx_sql(),
+    ),
     "text_heaps_fit": (text_heaps_fit, _heaps_fit_sql()),
     "text_lexical_diversity": (text_lexical_diversity, LEXICAL_DIVERSITY_SQL),
     "text_pmi_bigrams": (text_pmi_bigrams, PMI_SQL),
