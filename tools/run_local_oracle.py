@@ -9,7 +9,19 @@ queries carry a committed hash record each round.
 Usage:
     python tools/run_local_oracle.py \
         --sf /root/testdata/sf0.001 --sf /root/testdata/sf0.01 \
-        --out CORRECTNESS_LOCAL_r7.json [--only q1,q2,...]
+        --out CORRECTNESS_LOCAL_r7.json [--only q1,q2,...] [--jobs 6]
+
+    # round-N institutionalized new-query re-run (VERDICT r11 #4):
+    # diff the registry against the PRIOR round's committed artifact
+    # and oracle-check exactly the new queries at sf0.01
+    python tools/run_local_oracle.py \
+        --new-since CORRECTNESS_LOCAL_r11.json --out ORACLE_NEW_r12.json
+
+``--jobs N`` runs N queries concurrently from driver threads (py4j
+and DuckDB both release work off the Python thread; each query uses
+<= shuffle_partitions tasks, so a few jobs fill the local[32] cores).
+Records are built per query and merged, so the artifact is byte-
+identical to a serial run (sort_keys dump).
 
 Output shape (mirrors the driver's CORRECTNESS_r{N}.json rows):
     {"<query>": {"<sf>": {"rows": true, "schema": true, "hash": true,
@@ -73,9 +85,18 @@ def main() -> int:
         help="verify an existing artifact's key set equals the current "
         "registry (and every check is green), then exit",
     )
+    ap.add_argument(
+        "--new-since",
+        default=None,
+        help="path to a prior round's artifact; run ONLY registry "
+        "queries absent from it (default SF sf0.01 unless --sf given)",
+    )
+    ap.add_argument("--jobs", type=int, default=1)
     args = ap.parse_args()
     if args.check_artifact:
         return check_artifact(args.check_artifact)
+    if args.new_since and not args.sf:
+        args.sf = ["/root/testdata/sf0.01"]
     # default = ALL THREE scale factors (VERDICT r7 #1: the sf0.1
     # sweep is a standing per-round gate — it caught a real
     # cross-engine rounding divergence the smaller SFs could not)
@@ -96,13 +117,17 @@ def main() -> int:
     names = sorted(queries)
     if args.only:
         names = [n for n in names if n in set(args.only.split(","))]
+    if args.new_since:
+        with open(args.new_since) as f:
+            prior = json.load(f)
+        prior_keys = set(prior.get("results", prior))
+        names = [n for n in names if n not in prior_keys]
+        print(f"new since {args.new_since}: {len(names)} queries")
     stray = set(oracles) - set(queries)
     assert not stray, f"oracle_sql entries without queries(): {stray}"
 
-    results: dict[str, dict] = {}
-    t0 = time.time()
-    for name in names:
-        results[name] = {}
+    def run_one(name: str) -> dict[str, dict]:
+        out: dict[str, dict] = {}
         for sf_dir in sf_dirs:
             sf_key = sf_dir.rstrip("/").rsplit("/", 1)[-1]
             rec: dict = {"mode": "oracle" if name in oracles else "rows_only"}
@@ -134,12 +159,33 @@ def main() -> int:
             except Exception as e:  # noqa: BLE001 - record, keep sweeping
                 rec["err"] = f"{type(e).__name__}: {e}"[:500]
                 rec["rows"] = rec["schema"] = rec["hash"] = False
-            results[name][sf_key] = rec
-            spark.catalog.clearCache()
+            out[sf_key] = rec
+        return out
+
+    results: dict[str, dict] = {}
+    t0 = time.time()
+
+    def record(name: str, res: dict[str, dict]) -> None:
+        results[name] = res
+        # cache hygiene: eviction is always safe (an unpersisted block
+        # recomputes from lineage), so clearing under concurrency can
+        # only cost recomputation, never correctness
+        spark.catalog.clearCache()
         status = all(
-            r.get("hash", r.get("rows", False)) for r in results[name].values()
+            r.get("hash", r.get("rows", False)) for r in res.values()
         )
         print(f"{'ok ' if status else 'FAIL'} {name}", flush=True)
+
+    if args.jobs > 1:
+        from concurrent.futures import ThreadPoolExecutor, as_completed
+
+        with ThreadPoolExecutor(max_workers=args.jobs) as ex:
+            futs = {ex.submit(run_one, n): n for n in names}
+            for fut in as_completed(futs):
+                record(futs[fut], fut.result())
+    else:
+        for name in names:
+            record(name, run_one(name))
 
     n_fail = sum(
         1
