@@ -29,6 +29,23 @@ def _col(c: Column | str) -> Column:
     return F.col(c) if isinstance(c, str) else c
 
 
+def let(value: Column, body) -> Column:
+    """Let-binding for expensive array/struct expressions:
+    ``transform(array(value), v -> body(v))[1]`` evaluates ``value``
+    exactly ONCE per row and hands the result to ``body`` as a lambda
+    variable it may reference any number of times.
+
+    Why it matters: higher-order array functions are interpreted
+    (no whole-stage-codegen CSE), so an O(k²)-cost array expression
+    referenced N times inside one projection is otherwise evaluated N
+    times per row — and Catalyst rewrites (CollapseProject, predicate
+    pushdown through aliases) can silently re-inline an aliased
+    expression into several consumers. A lambda variable can never be
+    re-inlined, making single evaluation a structural guarantee
+    rather than an optimizer accident."""
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
 def ts_micros(c: Column | str) -> Column:
     """Microseconds since epoch, tolerant of TIMESTAMP_NTZ input.
 

@@ -17,6 +17,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from icnarc_to_philips_linkage_spark.functions import expressions
 from icnarc_to_philips_linkage_spark.operators.scale import (
     bounded_global_partition,
     bounded_global_window,
@@ -1910,22 +1911,52 @@ def friedman_test(
     k_row = src.agg(
         F.countDistinct("__t").cast("long").alias("__k")
     )
-    raw = F.col("__raw")
     # max-per-(block, treatment) cell dedupe INSIDE the array — the
     # window-free equivalent of groupBy(b, t).agg(max(v))
-    cellarr = F.transform(
-        F.array_distinct(F.transform(raw, lambda x: x["t"])),
-        lambda t: F.struct(
-            t.alias("t"),
-            F.array_max(
-                F.transform(
-                    F.filter(raw, lambda y: y["t"] == t),
-                    lambda y: y["v"],
-                )
-            ).alias("v"),
-        ),
+    def cell_arr(raw):
+        return F.transform(
+            F.array_distinct(F.transform(raw, lambda x: x["t"])),
+            lambda t: F.struct(
+                t.alias("t"),
+                F.array_max(
+                    F.transform(
+                        F.filter(raw, lambda y: y["t"] == t),
+                        lambda y: y["v"],
+                    )
+                ).alias("v"),
+            ),
+        )
+
+    # doubled tie-averaged mid-rank of x within its block:
+    # 2·#(strictly smaller) + #(equal) + 1 — identical to the window
+    # form 2·RANK() + tied − 1, but computed by an O(k²) array fold
+    def rank_arr(a):
+        return F.transform(
+            a,
+            lambda x: F.struct(
+                x["t"].alias("t"),
+                (
+                    F.lit(2)
+                    * F.size(F.filter(a, lambda y: y["v"] < x["v"]))
+                    + F.size(F.filter(a, lambda y: y["v"] == x["v"]))
+                    + F.lit(1)
+                ).cast("long").alias("r2"),
+                F.size(F.filter(a, lambda y: y["v"] == x["v"]))
+                .cast("long")
+                .alias("tied"),
+            ),
+        )
+
+    # `let` binds the deduped cell array ONCE per block (HOFs are
+    # interpreted — no codegen CSE — and Catalyst can re-inline plain
+    # aliases into every consumer); NULL for incomplete blocks, which
+    # explode() then drops.  Cell arrays are distinct per treatment,
+    # so a block is complete iff the deduped array holds k entries.
+    ranked_expr = expressions.let(
+        cell_arr(F.col("__raw")),
+        lambda a: F.when(F.size(a) == F.col("__k"), rank_arr(a)),
     )
-    blocks = (
+    ranked = (
         src.groupBy("__b")
         .agg(
             F.collect_list(
@@ -1935,49 +1966,27 @@ def friedman_test(
             ).alias("__raw")
         )
         .crossJoin(F.broadcast(k_row))
-        .select(F.col("__k"), cellarr.alias("__a"))
-        # cell arrays are distinct per treatment, so a block is
-        # complete iff it holds exactly k entries
-        .filter(F.size("__a") == F.col("__k"))
-    )
-    arr = F.col("__a")
-    # doubled tie-averaged mid-rank of x within its block:
-    # 2·#(strictly smaller) + #(equal) + 1 — identical to the window
-    # form 2·RANK() + tied − 1, but computed by an O(k²) array fold
-    ranked_arr = F.transform(
-        arr,
-        lambda x: F.struct(
-            x["t"].alias("t"),
-            (
-                F.lit(2)
-                * F.size(F.filter(arr, lambda y: y["v"] < x["v"]))
-                + F.size(F.filter(arr, lambda y: y["v"] == x["v"]))
-                + F.lit(1)
-            ).cast("long").alias("r2"),
-            F.size(F.filter(arr, lambda y: y["v"] == x["v"]))
-            .cast("long")
-            .alias("tied"),
-        ),
-    )
-    ranked = blocks.select(
-        F.explode(ranked_arr).alias("__e")
-    ).select(
-        F.col("__e.t").alias("__t"),
-        F.col("__e.r2").alias("__r2"),
-        F.col("__e.tied").alias("__tied"),
+        .select(ranked_expr.alias("__ra"))
+        .select(F.explode("__ra").alias("__e"))
+        .select(
+            F.col("__e.t").alias("__t"),
+            F.col("__e.r2").alias("__r2"),
+            F.col("__e.tied").alias("__tied"),
+        )
     )
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    # within-block tie term: each (block, v) run of size t contributes
+    # t³ − t; every member row carries __tied = t, so summing
+    # (t² − 1) per row gives the same total — folded into the SAME
+    # treatment-grain aggregation so the expensive per-block array
+    # folds run exactly once (a second global-agg branch over
+    # ``ranked`` would re-execute them)
     per_t = ranked.groupBy("__t").agg(
         F.sum(dec(F.col("__r2"))).alias("__rs2"),
         F.count(F.lit(1)).alias("__nb"),
-    )
-    # within-block tie term: each (block, v) run of size t contributes
-    # t³ − t; every member row carries __tied = t, so summing
-    # (t² − 1) per row gives the same total without a second grain
-    tie_row = ranked.agg(
         F.sum(
             dec(F.col("__tied")) * dec(F.col("__tied")) - 1
-        ).cast("double").alias("__ties")
+        ).alias("__tiet"),
     )
     arr = F.array_sort(
         F.collect_list(
@@ -1987,13 +1996,11 @@ def friedman_test(
             )
         )
     )
-    agg = (
-        per_t.agg(
-            F.max("__nb").alias("__n"),
-            F.count(F.lit(1)).alias("__kk"),
-            arr.alias("__arr"),
-        )
-        .join(F.broadcast(tie_row))
+    agg = per_t.agg(
+        F.max("__nb").alias("__n"),
+        F.count(F.lit(1)).alias("__kk"),
+        arr.alias("__arr"),
+        F.sum("__tiet").cast("double").alias("__ties"),
     )
     rsum = F.aggregate(
         F.expr("transform(__arr, x -> (x.rs2 / 2.0) * (x.rs2 / 2.0))"),
@@ -2407,37 +2414,67 @@ def page_l_trend(
         .filter(F.col("__c").isNotNull())
     )
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
-    raw = F.col("__rawa")
+
     # max-per-(block, ordinal) cell dedupe inside the array — the
     # window-free groupBy(b, c).agg(max(v)); k is static so no
     # global countDistinct pass is needed at all
-    arr = F.transform(
-        F.array_distinct(F.transform(raw, lambda x: x["c"])),
-        lambda c: F.struct(
-            c.alias("c"),
-            F.array_max(
-                F.transform(
-                    F.filter(raw, lambda y: y["c"] == c),
-                    lambda y: y["v"],
-                )
-            ).alias("v"),
-        ),
-    )
+    def cell_arr(raw):
+        return F.transform(
+            F.array_distinct(F.transform(raw, lambda x: x["c"])),
+            lambda c: F.struct(
+                c.alias("c"),
+                F.array_max(
+                    F.transform(
+                        F.filter(raw, lambda y: y["c"] == c),
+                        lambda y: y["v"],
+                    )
+                ).alias("v"),
+            ),
+        )
+
     # doubled tie-averaged mid-rank (2·#(y<x) + #(y==x) + 1) paired
     # with the treatment ordinal — an O(k²) array fold per block
     # replaces the two block-partitioned rank windows; per-block sums
     # are exact longs (c ≤ k, r2 ≤ 2k+1), widened to decimal before
     # the global reduction
-    rc_arr = F.transform(
-        arr,
-        lambda x: F.struct(
-            x["c"].cast("long").alias("c"),
-            (
-                F.lit(2)
-                * F.size(F.filter(arr, lambda y: y["v"] < x["v"]))
-                + F.size(F.filter(arr, lambda y: y["v"] == x["v"]))
-                + F.lit(1)
-            ).cast("long").alias("r2"),
+    def rc_of(a):
+        return F.transform(
+            a,
+            lambda x: F.struct(
+                x["c"].cast("long").alias("c"),
+                (
+                    F.lit(2)
+                    * F.size(F.filter(a, lambda y: y["v"] < x["v"]))
+                    + F.size(F.filter(a, lambda y: y["v"] == x["v"]))
+                    + F.lit(1)
+                ).cast("long").alias("r2"),
+            ),
+        )
+
+    # nested `let`s bind the deduped cell array and the ranked array
+    # ONCE per block each (HOFs are interpreted — no codegen CSE);
+    # incomplete blocks yield a NULL struct, which count()/sum() in
+    # the final aggregation then skip — deduped cell arrays are
+    # distinct per ordinal, so complete ⇔ size k
+    block_expr = expressions.let(
+        cell_arr(F.col("__rawa")),
+        lambda a: F.when(
+            F.size(a) == k,
+            expressions.let(
+                rc_of(a),
+                lambda rc: F.struct(
+                    F.aggregate(
+                        rc,
+                        F.lit(0).cast("long"),
+                        lambda s, x: s + x["c"] * x["r2"],
+                    ).alias("l2b"),
+                    F.aggregate(
+                        rc,
+                        F.lit(0).cast("long"),
+                        lambda s, x: s + x["r2"] * x["r2"],
+                    ).alias("r2sq"),
+                ),
+            ),
         ),
     )
     per_b = (
@@ -2449,24 +2486,7 @@ def page_l_trend(
                 )
             ).alias("__rawa")
         )
-        # deduped cell array is distinct per ordinal: complete ⇔ k
-        .filter(F.size(arr) == k)
-        .select(
-            dec(
-                F.aggregate(
-                    rc_arr,
-                    F.lit(0).cast("long"),
-                    lambda a, x: a + x["c"] * x["r2"],
-                )
-            ).alias("__l2b"),
-            dec(
-                F.aggregate(
-                    rc_arr,
-                    F.lit(0).cast("long"),
-                    lambda a, x: a + x["r2"] * x["r2"],
-                )
-            ).alias("__r2sq"),
-        )
+        .select(block_expr.alias("__s"))
     )
     sum_c = k * (k + 1) // 2
     sum_c2 = sum(
@@ -2477,12 +2497,12 @@ def page_l_trend(
     # (k·Σc² − (Σc)²)·(k·ΣR2² − (ΣR2)²); divide by k²(k−1) once
     cfac = k * sum_c2 - sum_c * sum_c
     agg = per_b.agg(
-        F.count(F.lit(1)).alias("n_blocks"),
-        F.sum("__l2b").alias("__l2"),
+        F.count("__s").alias("n_blocks"),
+        F.sum(dec(F.col("__s.l2b"))).alias("__l2"),
         F.sum(
             F.lit(cfac).cast("decimal(38,0)")
             * (
-                F.lit(k).cast("decimal(38,0)") * F.col("__r2sq")
+                F.lit(k).cast("decimal(38,0)") * dec(F.col("__s.r2sq"))
                 - F.lit(sum_r2 * sum_r2).cast("decimal(38,0)")
             )
         ).alias("__varnum"),
