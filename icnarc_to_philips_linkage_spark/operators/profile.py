@@ -2266,12 +2266,94 @@ def dispersion_index(
     )
 
 
+def _runs_segmented(base: DataFrame, segments: int) -> DataFrame:
+    """Skew-immune run counting for ``runs_test(segments=B)``: split
+    every key's series into ≤B time-contiguous segments at per-key
+    approximate t-quantile fences, count runs per (key, segment) with
+    the usual lag window — parallelism #keys·B instead of #keys —
+    then merge exactly: R = Σ R_seg − #[adjacent segments whose
+    touching flags agree]. Exactness does not depend on the fences
+    (any time-contiguous segmentation merges associatively); the
+    quantiles only balance segment sizes. Requires a numeric or
+    timestamp ``time_col`` (fences come from percentile_approx over
+    its double image, a monotone map) and a key cardinality small
+    enough to broadcast the per-key fence rows — the fat-key regime
+    this path exists for."""
+    tnum = F.col("__t").cast("double")
+    probs = [i / segments for i in range(1, segments)]
+    fences = base.groupBy("__k").agg(
+        F.percentile_approx(tnum, probs, 1000).alias("__f")
+    )
+    seg = base.join(F.broadcast(fences), "__k").select(
+        "__k",
+        "__t",
+        "__x",
+        F.size(
+            F.filter(F.col("__f"), lambda f: f < tnum)
+        ).alias("__seg"),
+    )
+    w = Window.partitionBy("__k", "__seg").orderBy("__t")
+    flagged = seg.select(
+        "__k",
+        "__seg",
+        "__t",
+        "__x",
+        (
+            F.lag("__x", 1).over(w).isNull()
+            | (F.col("__x") != F.lag("__x", 1).over(w))
+        ).cast("long").alias("__new_run"),
+    )
+    units = flagged.groupBy("__k", "__seg").agg(
+        F.count(F.lit(1)).alias("un"),
+        F.sum(F.col("__x").cast("long")).alias("u1"),
+        F.sum("__new_run").alias("uruns"),
+        F.min_by("__x", "__t").alias("ufirst"),
+        F.max_by("__x", "__t").alias("ulast"),
+    )
+    merged = units.groupBy("__k").agg(
+        F.sum("un").alias("n"),
+        F.sum("u1").alias("n_ones"),
+        F.sum("uruns").alias("__rsum"),
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("__seg").alias("s"),
+                    F.col("ufirst").alias("f"),
+                    F.col("ulast").alias("l"),
+                )
+            )
+        ).alias("__ua"),
+    )
+    ua = F.col("__ua")
+    # a run spanning two adjacent present segments was counted twice;
+    # empty segments between present ones change nothing (their
+    # neighbours' rows are still time-adjacent). sequence() guard:
+    # sequence(1, 0) would generate a DESCENDING range
+    joins = F.when(
+        F.size(ua) > 1,
+        F.size(
+            F.filter(
+                F.sequence(F.lit(1), F.size(ua) - 1),
+                lambda i: F.element_at(ua, i)["l"]
+                == F.element_at(ua, i + 1)["f"],
+            )
+        ),
+    ).otherwise(F.lit(0))
+    return merged.select(
+        "__k",
+        "n",
+        "n_ones",
+        (F.col("__rsum") - joins).alias("n_runs"),
+    )
+
+
 def runs_test(
     df: DataFrame,
     key_col: str,
     time_col: str,
     flag_col,
     round_dp: int = 9,
+    segments: int | None = None,
 ) -> DataFrame:
     """Wald–Wolfowitz runs test per key: is a binary sequence over
     time RANDOM, or does it cluster (fewer runs — regime/batch
@@ -2281,13 +2363,25 @@ def runs_test(
         E[R] = 1 + 2n₁n₀/n,
         Var  = 2n₁n₀(2n₁n₀ − n) / (n²(n − 1))
 
-    Scale shape: ONE per-key window ordered by time (corpus-parallel
-    — the partition key is the series key) counts boundaries
-    ``flag ≠ lag(flag)``; R, n₁, n₀ are exact integers and the
-    moments exact-integer ratios, so z is one fixed expression.
-    Two-sided p via the shared A&S tail. Ties in ``time_col`` must
-    be broken by the caller (include a tiebreak column via a
-    pre-sorted composite if needed — the MK series contract).
+    Scale shape, default path: ONE per-key window ordered by time
+    (corpus-parallel — the partition key is the series key) counts
+    boundaries ``flag ≠ lag(flag)``; R, n₁, n₀ are exact integers
+    and the moments exact-integer ratios, so z is one fixed
+    expression. Two-sided p via the shared A&S tail. Ties in
+    ``time_col`` must be broken by the caller (include a tiebreak
+    column via a pre-sorted composite if needed — the MK series
+    contract).
+
+    ``segments=B`` selects the SKEW-IMMUNE path for fat keys (a
+    per-key window serializes each key onto one task): per-key
+    approximate t-quantile fences split every series into ≤B
+    time-contiguous segments, the boundary window partitions by
+    (key, segment) — parallelism #keys·B — and runs merge exactly
+    across segments (R = Σ R_seg − #[adjacent segments whose
+    touching flags agree], folded over a ≤B-element sorted array per
+    key). Identical output to the default path: run counting is
+    associative over any time-contiguous segmentation, and the fence
+    quantiles only steer BALANCE, never values.
 
     Output per key: ``(key, n, n_ones, n_runs, z, p_value)`` — z
     NULL when either symbol is absent or n < 2.
@@ -2308,20 +2402,23 @@ def runs_test(
         F.col(time_col).alias("__t"),
         fl.alias("__x"),
     )
-    w = Window.partitionBy("__k").orderBy("__t")
-    flagged = base.select(
-        "__k",
-        "__x",
-        (
-            F.lag("__x", 1).over(w).isNull()
-            | (F.col("__x") != F.lag("__x", 1).over(w))
-        ).cast("long").alias("__new_run"),
-    )
-    agg = flagged.groupBy("__k").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("__x").cast("long")).alias("n_ones"),
-        F.sum("__new_run").alias("n_runs"),
-    )
+    if segments and segments > 1:
+        agg = _runs_segmented(base, segments)
+    else:
+        w = Window.partitionBy("__k").orderBy("__t")
+        flagged = base.select(
+            "__k",
+            "__x",
+            (
+                F.lag("__x", 1).over(w).isNull()
+                | (F.col("__x") != F.lag("__x", 1).over(w))
+            ).cast("long").alias("__new_run"),
+        )
+        agg = flagged.groupBy("__k").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("__x").cast("long")).alias("n_ones"),
+            F.sum("__new_run").alias("n_runs"),
+        )
     n = F.col("n").cast("double")
     n1 = F.col("n_ones").cast("double")
     n0 = (F.col("n") - F.col("n_ones")).cast("double")
