@@ -2274,12 +2274,15 @@ def _runs_segmented(base: DataFrame, segments: int) -> DataFrame:
     then merge exactly: R = Σ R_seg − #[adjacent segments whose
     touching flags agree]. Exactness does not depend on the fences
     (any time-contiguous segmentation merges associatively); the
-    quantiles only balance segment sizes. Requires a numeric or
-    timestamp ``time_col`` (fences come from percentile_approx over
-    its double image, a monotone map) and a key cardinality small
-    enough to broadcast the per-key fence rows — the fat-key regime
-    this path exists for."""
-    tnum = F.col("__t").cast("double")
+    quantiles only balance segment sizes. Fences come from
+    percentile_approx over ``__g``, a numeric MONOTONE image of the
+    time order (the double cast of ``time_col`` by default; for
+    composite/struct times the caller supplies one via ``seg_col`` —
+    it may be non-injective: rows sharing an image value land in the
+    same segment, which preserves contiguity). Requires a key
+    cardinality small enough to broadcast the per-key fence rows —
+    the fat-key regime this path exists for."""
+    tnum = F.col("__g")
     probs = [i / segments for i in range(1, segments)]
     fences = base.groupBy("__k").agg(
         F.percentile_approx(tnum, probs, 1000).alias("__f")
@@ -2289,7 +2292,7 @@ def _runs_segmented(base: DataFrame, segments: int) -> DataFrame:
         "__t",
         "__x",
         F.size(
-            F.filter(F.col("__f"), lambda f: f < tnum)
+            F.filter(F.col("__f"), lambda f: f < F.col("__g"))
         ).alias("__seg"),
     )
     w = Window.partitionBy("__k", "__seg").orderBy("__t")
@@ -2354,6 +2357,7 @@ def runs_test(
     flag_col,
     round_dp: int = 9,
     segments: int | None = None,
+    seg_col=None,
 ) -> DataFrame:
     """Wald–Wolfowitz runs test per key: is a binary sequence over
     time RANDOM, or does it cluster (fewer runs — regime/batch
@@ -2381,7 +2385,10 @@ def runs_test(
     touching flags agree], folded over a ≤B-element sorted array per
     key). Identical output to the default path: run counting is
     associative over any time-contiguous segmentation, and the fence
-    quantiles only steer BALANCE, never values.
+    quantiles only steer BALANCE, never values. ``seg_col`` supplies
+    the numeric monotone image of the time order the fences cut
+    (default: the double cast of ``time_col``); pass one whenever
+    ``time_col`` is a composite/struct.
 
     Output per key: ``(key, n, n_ones, n_runs, z, p_value)`` — z
     NULL when either symbol is absent or n < 2.
@@ -2393,6 +2400,7 @@ def runs_test(
     fl = (
         F.col(flag_col) if isinstance(flag_col, str) else flag_col
     ).cast("boolean")
+    seg_on = bool(segments and segments > 1)
     base = df.filter(
         F.col(key_col).isNotNull()
         & F.col(time_col).isNotNull()
@@ -2401,8 +2409,22 @@ def runs_test(
         F.col(key_col).alias("__k"),
         F.col(time_col).alias("__t"),
         fl.alias("__x"),
+        # the fence image column exists only on the segmented path —
+        # a struct time_col has no double cast, and the default path
+        # must keep accepting composite times
+        *(
+            [
+                (
+                    seg_col
+                    if seg_col is not None
+                    else F.col(time_col)
+                ).cast("double").alias("__g")
+            ]
+            if seg_on
+            else []
+        ),
     )
-    if segments and segments > 1:
+    if seg_on:
         agg = _runs_segmented(base, segments)
     else:
         w = Window.partitionBy("__k").orderBy("__t")

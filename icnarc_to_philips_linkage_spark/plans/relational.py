@@ -5900,6 +5900,27 @@ def a46_runs_test(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def a46b_runs_segmented(spark: SparkSession, sf: str) -> DataFrame:
+    """a46 through the SKEW-IMMUNE segmented path (VERDICT r11 #5):
+    per-key t-quantile fences split each series into ≤4 time-
+    contiguous segments, boundaries count per (key, segment) —
+    parallelism #keys·B instead of #keys — and runs merge exactly
+    across segments. The fence image is the monotone double cast of
+    ``ts`` (the struct's dominant field). Oracle = the SAME SQL as
+    a46_runs_test: the segmentation is an execution strategy, not a
+    semantic change."""
+    e = load(spark, sf, "events").filter(F.col("value").isNotNull())
+    keyed = e.withColumn("__ord", F.struct("ts", "event_id"))
+    return profile.runs_test(
+        keyed,
+        "event_type",
+        "__ord",
+        F.col("value") > 50,
+        segments=4,
+        seg_col=F.col("ts").cast("double"),
+    )
+
+
 def _runs_sql() -> str:
     from icnarc_to_philips_linkage_spark.operators.evaluation import (
         normal_sf_sql,
@@ -8286,6 +8307,7 @@ QUERIES: dict[str, tuple] = {
     "a45_cvm_exact": (a45_cvm_exact, A45_SQL),
     "ts_seasonal_mk": (ts_seasonal_mk, TS_SEASONAL_MK_SQL),
     "a46_runs_test": (a46_runs_test, _runs_sql()),
+    "a46b_runs_segmented": (a46b_runs_segmented, _runs_sql()),
     "ts_ljung_box": (ts_ljung_box, _ljung_box_sql()),
     "eval_poisson_rates": (eval_poisson_rates, _poisson_rates_sql()),
     "eval_odds_ratio": (eval_odds_ratio, EVAL_ODDS_SQL),
