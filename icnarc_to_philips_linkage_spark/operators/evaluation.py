@@ -1453,6 +1453,105 @@ def paired_bootstrap_delta_auc(
     )
 
 
+def paired_permutation_test(
+    df: DataFrame,
+    value_a_col: str,
+    value_b_col: str,
+    key_col: str,
+    n_resamples: int = 64,
+    salt: str = "perm",
+    round_dp: int = 9,
+) -> DataFrame:
+    """Paired two-sample permutation (sign-flip randomization) test:
+    under H0 the pair difference d = a - b is symmetric about 0, so
+    every sign pattern s in {-1, +1}^n is equally likely. Each
+    resample draws INDEPENDENT per-pair signs - for the PAIRED design
+    that IS the exact permutation scheme (the 2^n sign patterns are
+    the orbit; no fixed-margin machinery is needed, unlike the
+    unpaired relabeling test). Signs are md5 hex-digit bits keyed by
+    (salt, b//32, key) with resample b reading digit b%32 - the
+    Poisson-bootstrap band discipline (_boot_weight_col) at 1 bit:
+    deterministic, partition-invariant, bit-replayable in the oracle.
+
+    T = sum(d_i) on the 1e-6 integer grid (exact decimal sums); the
+    two-sided p compares |T_b| >= |T_obs| as exact integers - no
+    float comparison anywhere - with the add-one Monte-Carlo
+    estimator p = (1 + #{b: |T_b| >= |T_obs|}) / (B + 1).
+
+    Scale shape: ONE map-combined corpus aggregation carrying B+1
+    exact decimal sums (B sign columns ride the same pass - columns,
+    not data passes); the comparison folds over a B-element array on
+    the single output row.
+
+    Output one row: ``(n_pairs, n_resamples, mean_diff, p_value)`` -
+    mean_diff/p NULL when n = 0.
+    """
+    b_n = n_resamples
+    a = F.col(value_a_col).cast("double")
+    b = F.col(value_b_col).cast("double")
+
+    def q6(v):
+        return (
+            F.signum(v) * F.floor(F.abs(v) * F.lit(1e6) + F.lit(0.5))
+        ).cast("decimal(38,0)")
+
+    def sign_col(i: int):
+        digit = F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(f"{salt}:{i // 32}:"),
+                    F.col(key_col).cast("string"),
+                )
+            ),
+            1 + (i % 32),
+            1,
+        )
+        return F.when(digit < F.lit("8"), F.lit(1)).otherwise(
+            F.lit(-1)
+        ).cast("decimal(38,0)")
+
+    base = df.filter(
+        a.isNotNull() & b.isNotNull() & F.col(key_col).isNotNull()
+    ).select(
+        (q6(a) - q6(b)).alias("__d"),
+        *[sign_col(i).alias(f"__s{i}") for i in range(b_n)],
+    )
+    agg = base.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__d").alias("__t"),
+        *[
+            F.sum(F.col("__d") * F.col(f"__s{i}")).alias(f"__t{i}")
+            for i in range(b_n)
+        ],
+    )
+    arr = F.array(*[F.col(f"__t{i}") for i in range(b_n)])
+    cnt = F.size(
+        F.filter(arr, lambda t: F.abs(t) >= F.abs(F.col("__t")))
+    )
+    ok = F.col("__n") > 0
+    return agg.select(
+        F.col("__n").cast("long").alias("n_pairs"),
+        F.lit(b_n).cast("long").alias("n_resamples"),
+        F.round(
+            F.when(
+                ok,
+                F.col("__t").cast("double")
+                / F.lit(1e6)
+                / F.col("__n").cast("double"),
+            ),
+            round_dp,
+        ).alias("mean_diff"),
+        F.round(
+            F.when(
+                ok,
+                (F.lit(1) + cnt).cast("double")
+                / F.lit(float(b_n + 1)),
+            ),
+            round_dp,
+        ).alias("p_value"),
+    )
+
+
 def mcc_at_threshold(
     df: DataFrame,
     score_col: str,

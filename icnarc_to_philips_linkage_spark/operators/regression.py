@@ -162,6 +162,111 @@ def gd_train_trajectory(
         feats.unpersist()
 
 
+def quantile_gd_train_trajectory(
+    df: DataFrame,
+    feature_cols: list[str],
+    y_col: str,
+    tau: float,
+    lr: float = 0.5,
+    iters: int = 10,
+) -> list[list[float]]:
+    """Linear QUANTILE regression (Koenker & Bassett 1978) by
+    full-batch subgradient descent on the pinball loss
+    ``ρ_τ(r) = r·(τ − 1[r < 0])`` with ``r = y − (b + w·x)``; returns
+    the weight vector after each iteration (``gd_train_trajectory``'s
+    contract, same scale shape: per iteration ONE map-combined
+    aggregation to k+1 exact decimal sums, weights live as driver
+    literals).
+
+    Engine-exactness: the subgradient contribution per row is
+    ``(1[y < z] − τ)·x_j`` — the indicator is an exact double
+    comparison (the measure-zero tie r = 0 takes the left branch,
+    indicator 0, deterministically in both engines), τ a short
+    decimal literal, so contributions quantize to exact 1e-12
+    integers and the update ``w ← w − lr·(S/1e12)/n`` replays
+    bit-identically in the unrolled DuckDB oracle. Same
+    max|x| ≤ 2^53/1e12 pre-scaling guard as ``gd_train`` (|ind − τ|
+    ≤ 1 bounds each contribution by |x_j|); ``y`` enters only
+    through the comparison, so it needs no guard.
+    """
+    cols = [F.lit(1.0).alias("__x0")] + [
+        F.col(c).cast("double").alias(f"__x{i+1}")
+        for i, c in enumerate(feature_cols)
+    ]
+    cond = F.col(y_col).isNotNull()
+    for c in feature_cols:
+        cond = cond & F.col(c).isNotNull()
+    feats = (
+        df.filter(cond)
+        .select(*cols, F.col(y_col).cast("double").alias("__y"))
+        .persist()
+    )
+    try:
+        k = len(feature_cols) + 1
+        max_abs_x = 2.0**53 / GRID
+        # intercept-only fits (k = 1) have no feature to guard
+        xmax_row = (
+            feats.agg(
+                *[
+                    F.max(F.abs(F.col(f"__x{j}"))).alias(f"m{j}")
+                    for j in range(1, k)
+                ]
+            ).collect()
+            if k > 1
+            else []
+        )
+        if xmax_row:
+            for j in range(1, k):
+                m = xmax_row[0][f"m{j}"]
+                if m is not None and m > max_abs_x:
+                    raise ValueError(
+                        f"quantile_gd_train: feature "
+                        f"{feature_cols[j - 1]!r} has max|x| = "
+                        f"{m:.4g} > {max_abs_x:.4g}; pre-scale to O(1)."
+                    )
+        w = [0.0] * k
+        traj: list[list[float]] = []
+        for _ in range(iters):
+            z = F.lit(w[0]) * F.col("__x0")
+            for j in range(1, k):
+                z = z + F.lit(w[j]) * F.col(f"__x{j}")
+            resid = (F.col("__y") < z).cast("double") - F.lit(tau)
+            row = feats.agg(
+                F.count(F.lit(1)).alias("n"),
+                *[
+                    F.sum(_qint(resid * F.col(f"__x{j}"))).alias(f"s{j}")
+                    for j in range(k)
+                ],
+            ).collect()[0]
+            n = float(row["n"])
+            if n == 0:
+                break
+            w = [
+                w[j] - lr * (float(row[f"s{j}"]) / GRID) / n
+                for j in range(k)
+            ]
+            traj.append(list(w))
+        if not traj:
+            traj.append(list(w))
+        return traj
+    finally:
+        feats.unpersist()
+
+
+def pinball_loss_expr(
+    feature_cols: list[str], weights: list[float], tau: float, y_col: str
+):
+    """Per-row pinball loss ρ_τ(y − z) as a Column, with the SAME
+    left-associated z and exact indicator as training — feed through
+    ``_qint`` + sum for the engine-exact mean loss."""
+    z = F.lit(weights[0])
+    for j, c in enumerate(feature_cols):
+        z = z + F.lit(weights[j + 1]) * F.col(c).cast("double")
+    r = F.col(y_col).cast("double") - z
+    ind = (r < F.lit(0.0)).cast("double")
+    return r * (F.lit(tau) - ind)
+
+
 def gd_train_frame(
     df: DataFrame,
     feature_cols: list[str],

@@ -1302,17 +1302,23 @@ def distinct_ngram_diversity_approx(
     from ``approx_count_distinct`` (HLL++) over the xxhash64 of each
     n-gram instead of an exact vocabulary-grain groupBy.
 
-    Scale shape: ZERO vocabulary-grain shuffles — HLL++ partials are
-    map-side combined, so each map task ships ONE sketch per
-    (group, n) and the wire carries #groups·#map-tasks sketches
-    instead of every distinct n-gram (the exact path shuffles the
-    whole exploded vocabulary once per n). ``total_ngrams`` stays an
-    exact long (plain count, also map-combined). The estimate is
-    relative-error-bounded by ``rsd`` (HLL++ standard error); the
-    agreement bound is pinned by tests and the 100M-token smoke.
+    Scale shape: ZERO vocabulary-grain shuffles AND a single corpus
+    explode — positions explode ONCE (the exact path explodes per n)
+    and every order's gram is hashed straight off the token-array
+    slice (``xxhash64(slice)``, no gram STRING is ever built — the
+    concat was the exact path's CPU bottleneck, not the shuffle).
+    One map-combined aggregation then carries ``max_n`` HLL++
+    sketches + exact counts per group: each map task ships one
+    sketch row per group and the wire carries #groups·#map-tasks
+    sketches instead of every distinct n-gram. ``total_ngrams``
+    stays an exact long. The estimate is relative-error-bounded by
+    ``rsd`` (HLL++ standard error); the agreement bound is pinned by
+    tests and the 100M-token smoke.
 
     Output: one row per (group, n): ``(group, n, total_ngrams,
-    distinct_ngrams_approx, distinct_ratio_approx)``.
+    distinct_ngrams_approx, distinct_ratio_approx)`` — (group, n)
+    pairs with no n-gram of order n (all docs shorter than n) are
+    absent, matching the exact operator.
     """
     g = (
         F.col(group_col).cast("string")
@@ -1322,45 +1328,65 @@ def distinct_ngram_diversity_approx(
     toks = df.select(
         g.alias("__g"), tokens(text_col).alias("__t")
     ).filter(F.size("__t") > 0)
-    frames = []
-    for n in range(1, max_n + 1):
-        grams = toks.filter(F.size("__t") >= n).select(
-            "__g",
-            F.explode(
-                F.transform(
-                    F.sequence(
-                        F.lit(0), F.size("__t") - F.lit(n)
-                    ),
-                    lambda i: F.concat_ws(
-                        " ", F.slice("__t", i + 1, n)
-                    ),
-                )
-            ).alias("__gram"),
-        )
-        frames.append(
-            grams.groupBy("__g").agg(
-                F.lit(n).cast("long").alias("n"),
-                F.count(F.lit(1)).alias("total_ngrams"),
-                F.approx_count_distinct(
-                    F.xxhash64("__gram"), rsd
-                ).alias("distinct_ngrams_approx"),
+    # one row per token POSITION; order-n grams exist at positions
+    # i <= size - n, hashed off the array slice (NULL otherwise —
+    # both count() and the HLL skip NULLs)
+    pos = toks.select(
+        "__g",
+        F.size("__t").alias("__len"),
+        F.explode(
+            F.sequence(F.lit(0), F.size("__t") - F.lit(1))
+        ).alias("__i"),
+        F.col("__t"),
+    )
+    per_n = [
+        F.when(
+            F.col("__i") <= F.col("__len") - n,
+            F.xxhash64(F.slice("__t", F.col("__i") + 1, n)),
+        ).alias(f"__h{n}")
+        for n in range(1, max_n + 1)
+    ]
+    hashed = pos.select("__g", *per_n)
+    agg = hashed.groupBy("__g").agg(
+        *[
+            c
+            for n in range(1, max_n + 1)
+            for c in (
+                F.count(F.col(f"__h{n}")).alias(f"__tot{n}"),
+                F.approx_count_distinct(f"__h{n}", rsd).alias(
+                    f"__d{n}"
+                ),
             )
+        ]
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(n).cast("long").alias("n"),
+                F.col(f"__tot{n}").cast("long").alias("total_ngrams"),
+                F.col(f"__d{n}")
+                .cast("long")
+                .alias("distinct_ngrams_approx"),
+            )
+            for n in range(1, max_n + 1)
+        ]
+    )
+    return (
+        agg.select("__g", F.explode(rows).alias("__r"))
+        .filter(F.col("__r.total_ngrams") > 0)
+        .select(
+            F.col("__g").alias(group_col if group_col else "group"),
+            F.col("__r.n").alias("n"),
+            F.col("__r.total_ngrams").alias("total_ngrams"),
+            F.col("__r.distinct_ngrams_approx").alias(
+                "distinct_ngrams_approx"
+            ),
+            F.round(
+                F.col("__r.distinct_ngrams_approx").cast("double")
+                / F.col("__r.total_ngrams").cast("double"),
+                round_dp,
+            ).alias("distinct_ratio_approx"),
         )
-    out = frames[0]
-    for f in frames[1:]:
-        out = out.unionByName(f)
-    return out.select(
-        F.col("__g").alias(group_col if group_col else "group"),
-        "n",
-        F.col("total_ngrams").cast("long").alias("total_ngrams"),
-        F.col("distinct_ngrams_approx")
-        .cast("long")
-        .alias("distinct_ngrams_approx"),
-        F.round(
-            F.col("distinct_ngrams_approx").cast("double")
-            / F.col("total_ngrams").cast("double"),
-            round_dp,
-        ).alias("distinct_ratio_approx"),
     )
 
 

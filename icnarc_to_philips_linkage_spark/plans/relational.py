@@ -8235,6 +8235,221 @@ FROM tr t LEFT JOIN sm USING (event_type, season)
 """
 
 
+# ---------------------------------------------------------------------------
+# round-12: paired sign-flip permutation test + quantile regression
+# ---------------------------------------------------------------------------
+
+_PERM_B, _PERM_SALT = 64, "perm"
+
+
+def eval_perm_paired(spark: SparkSession, sf: str) -> DataFrame:
+    """Paired sign-flip permutation test
+    (evaluation.paired_permutation_test) comparing each line's actual
+    discounted price against a flat-5%-discount counterfactual — is
+    the realized discount schedule different from flat 5%? 64
+    deterministic md5-bit sign resamples ride ONE map-combined
+    aggregation; |T_b| >= |T_obs| compares exact integers."""
+    from icnarc_to_philips_linkage_spark.operators import evaluation
+
+    l = load(spark, sf, "lineitem").filter(
+        F.col("l_orderkey").isNotNull()
+        & F.col("l_linenumber").isNotNull()
+    ).select(
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+        .alias("pa"),
+        (F.col("l_extendedprice") * F.lit(0.95)).alias("pb"),
+        F.concat_ws(
+            "|",
+            F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+        ).alias("pair_key"),
+    )
+    return evaluation.paired_permutation_test(
+        l, "pa", "pb", "pair_key",
+        n_resamples=_PERM_B, salt=_PERM_SALT,
+    )
+
+
+def _perm_paired_sql(b_n: int = _PERM_B, salt: str = _PERM_SALT) -> str:
+    """Oracle: bit-replay of the md5 sign bands + exact HUGEINT sums;
+    the comparison count and add-one p mirror the operator."""
+
+    def q6(v: str) -> str:
+        return f"(sign({v}) * floor(abs({v}) * 1000000.0 + 0.5))"
+
+    def sign(i: int) -> str:
+        return (
+            f"CASE WHEN substr(md5('{salt}:{i // 32}:' || k),"
+            f" {1 + (i % 32)}, 1) < '8' THEN 1 ELSE -1 END"
+        )
+
+    signs = ", ".join(
+        f"CAST({sign(i)} AS HUGEINT) AS s{i}" for i in range(b_n)
+    )
+    tsums = ", ".join(
+        f"SUM(d * s{i}) AS t{i}" for i in range(b_n)
+    )
+    hits = " + ".join(
+        f"CASE WHEN abs(t{i}) >= abs(t) THEN 1 ELSE 0 END"
+        for i in range(b_n)
+    )
+    return f"""
+WITH base AS (
+  SELECT CAST({q6("(l_extendedprice * (1.0 - l_discount))")} AS HUGEINT)
+         - CAST({q6("(l_extendedprice * 0.95)")} AS HUGEINT) AS d,
+         CAST(l_orderkey AS VARCHAR) || '|'
+           || CAST(l_linenumber AS VARCHAR) AS k
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_discount IS NOT NULL
+    AND l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
+),
+signed AS (SELECT d, {signs} FROM base),
+agg AS (
+  SELECT COUNT(*) AS n, SUM(d) AS t, {tsums} FROM signed
+)
+SELECT CAST(n AS BIGINT) AS n_pairs,
+  CAST({b_n} AS BIGINT) AS n_resamples,
+  ROUND(CASE WHEN n > 0
+        THEN CAST(t AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE) END,
+        9) AS mean_diff,
+  ROUND(CASE WHEN n > 0
+        THEN CAST(1 + {hits} AS DOUBLE) / {float(b_n + 1)!r} END,
+        9) AS p_value
+FROM agg
+"""
+
+
+_QR_TAU, _QR_LR, _QR_ITERS = 0.75, 0.5, 12
+_QR_CACHE: dict = {}
+
+
+def _qr_feats(spark: SparkSession, sf: str) -> DataFrame:
+    """Quantile-regression projection: predict the (scaled) gross
+    line price from scaled quantity — the conditional-quantile twin
+    of the a20 group OLS."""
+    l = load(spark, sf, "lineitem")
+    return l.select(
+        (F.col("l_quantity") / F.lit(50.0)).alias("x_qty"),
+        (F.col("l_extendedprice") / F.lit(100000.0)).alias("y_price"),
+    )
+
+
+def _qr_trajectory(spark: SparkSession, sf: str) -> list:
+    if sf not in _QR_CACHE:
+        from icnarc_to_philips_linkage_spark.operators import regression
+
+        _QR_CACHE[sf] = regression.quantile_gd_train_trajectory(
+            _qr_feats(spark, sf),
+            ["x_qty"],
+            "y_price",
+            tau=_QR_TAU,
+            lr=_QR_LR,
+            iters=_QR_ITERS,
+        )
+    return _QR_CACHE[sf]
+
+
+def ml_quantile_reg(spark: SparkSession, sf: str) -> DataFrame:
+    """Linear QUANTILE regression (Koenker-Bassett pinball loss,
+    tau=0.75) of scaled gross price on scaled quantity by full-batch
+    subgradient descent (regression.quantile_gd_train_trajectory —
+    VERDICT r11 #8). Per iteration ONE map-combined aggregation to 2
+    exact decimal subgradient sums; the exact-comparison indicator +
+    1e-12 contribution quantization make training bit-replayable in
+    the unrolled DuckDB oracle. Output: the fitted coefficients plus
+    the achieved mean pinball loss (computed with the SAME
+    left-associated expression, 1e-12 grid, 9dp round)."""
+    from icnarc_to_philips_linkage_spark.operators import regression
+
+    w = _qr_trajectory(spark, sf)[-1]
+    rho = regression.pinball_loss_expr(
+        ["x_qty"], w, _QR_TAU, "y_price"
+    )
+    feats = _qr_feats(spark, sf).filter(
+        F.col("x_qty").isNotNull() & F.col("y_price").isNotNull()
+    )
+    loss = feats.agg(
+        (
+            F.round(
+                F.sum(
+                    (
+                        F.signum(rho)
+                        * F.floor(F.abs(rho) * F.lit(1e12) + F.lit(0.5))
+                    ).cast("decimal(38,0)")
+                ).cast("double")
+                / F.lit(1e12)
+                / F.count(F.lit(1)).cast("double"),
+                9,
+            )
+        ).alias("weight")
+    ).select(F.lit("pinball_loss").alias("feature"), "weight")
+    coefs = spark.createDataFrame(
+        [("intercept", w[0]), ("x_qty", w[1])],
+        "feature string, weight double",
+    )
+    return coefs.unionByName(loss)
+
+
+def _qr_sql(
+    tau: float = _QR_TAU,
+    lr: float = _QR_LR,
+    iters: int = _QR_ITERS,
+) -> str:
+    """Unrolled subgradient replay (the _gd_sql pattern with qr-
+    prefixed CTE names): exact-comparison indicator, 1e-12 HUGEINT
+    contributions, identical double update; the final SELECT adds
+    the mean pinball loss at the last weights."""
+
+    def q(v: str) -> str:
+        return f"(sign({v}) * floor(abs({v}) * 1000000000000.0 + 0.5))"
+
+    ctes = [
+        """qrfeats AS (
+  SELECT CAST(1.0 AS DOUBLE) AS x0,
+         CAST(l_quantity / 50.0 AS DOUBLE) AS x1,
+         CAST(l_extendedprice / 100000.0 AS DOUBLE) AS y
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL)""",
+        "qrw0 AS (SELECT CAST(0.0 AS DOUBLE) AS b,"
+        " CAST(0.0 AS DOUBLE) AS w1)",
+    ]
+    for i in range(1, iters + 1):
+        z = "(b * x0 + w1 * x1)"
+        resid = f"(CAST(y < {z} AS DOUBLE) - {tau!r})"
+        sums = ", ".join(
+            f"SUM(CAST({q(f'({resid} * x{j})')} AS HUGEINT)) AS s{j}"
+            for j in range(2)
+        )
+        ctes.append(
+            f"qrg{i} AS (SELECT b, w1, COUNT(*) AS n, {sums} "
+            f"FROM qrfeats, qrw{i-1} GROUP BY b, w1)"
+        )
+        upd = ", ".join(
+            f"{c} - {lr!r} * "
+            f"((CAST(s{j} AS DOUBLE) / 1000000000000.0) / n) AS {c}"
+            for j, c in enumerate(["b", "w1"])
+        )
+        ctes.append(f"qrw{i} AS (SELECT {upd} FROM qrg{i})")
+    last = f"qrw{iters}"
+    z = "(b + w1 * x1)"
+    rho = f"((y - {z}) * ({tau!r} - CAST((y - {z}) < 0.0 AS DOUBLE)))"
+    ctes.append(
+        f"""qrloss AS (
+  SELECT ROUND(CAST(SUM(CAST({q(rho)} AS HUGEINT)) AS DOUBLE)
+               / 1000000000000.0 / CAST(COUNT(*) AS DOUBLE), 9)
+         AS weight
+  FROM qrfeats, {last})"""
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT * FROM (
+  SELECT 'intercept' AS feature, b AS weight FROM {last}
+  UNION ALL SELECT 'x_qty', w1 FROM {last}
+  UNION ALL SELECT 'pinball_loss', weight FROM qrloss
+)"""
+    )
+
+
 QUERIES: dict[str, tuple] = {
     "report_key_skew": (report_key_skew, KEY_SKEW_SQL),
     "report_column_profile": (report_column_profile, _column_profile_sql()),
@@ -8398,6 +8613,8 @@ QUERIES: dict[str, tuple] = {
     "priv_t_closeness": (priv_t_closeness, PRIV_TCLOSE_SQL),
     "eval_mcc": (eval_mcc, _mcc_sql()),
     "eval_mcnemar": (eval_mcnemar, _mcnemar_sql()),
+    "eval_perm_paired": (eval_perm_paired, _perm_paired_sql()),
+    "ml_quantile_reg": (ml_quantile_reg, _qr_sql()),
     "eval_delong_auc": (eval_delong_auc, _delong_sql()),
     "eval_wilcoxon_signed": (eval_wilcoxon_signed, EVAL_WILCOXON_SQL),
     "a39_kendall_tau": (a39_kendall_tau, A39_SQL),

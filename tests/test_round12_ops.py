@@ -98,3 +98,130 @@ def test_distinct_ngrams_approx_agreement(spark):
         assert abs(r.distinct_ngrams_approx - exact) / exact <= 0.06
         # totals are exact longs on both paths
         assert r.total_ngrams > 0
+
+# ---------------------------------------------------------------------------
+# paired sign-flip permutation test
+# ---------------------------------------------------------------------------
+
+
+def test_perm_paired_identical_pairs_p_one(spark):
+    from icnarc_to_philips_linkage_spark.operators.evaluation import (
+        paired_permutation_test,
+    )
+
+    df = spark.createDataFrame(
+        [(str(i), 3.5, 3.5) for i in range(40)],
+        "k string, a double, b double",
+    )
+    r = paired_permutation_test(df, "a", "b", "k", n_resamples=64).collect()[0]
+    # every d = 0 -> T_obs = 0 and every T_b = 0 -> all 64 hits
+    assert r.n_pairs == 40 and r.mean_diff == 0.0
+    assert r.p_value == pytest.approx(1.0)
+
+
+def test_perm_paired_strong_effect(spark):
+    from icnarc_to_philips_linkage_spark.operators.evaluation import (
+        paired_permutation_test,
+    )
+
+    df = spark.createDataFrame(
+        [(str(i), float(i) + 10.0, float(i)) for i in range(50)],
+        "k string, a double, b double",
+    )
+    r = paired_permutation_test(df, "a", "b", "k", n_resamples=64).collect()[0]
+    assert r.mean_diff == pytest.approx(10.0)
+    # |T_b| >= |T_obs| needs ALL 50 md5 sign bits equal — no band does
+    assert r.p_value == pytest.approx(1.0 / 65.0, abs=1e-9)
+
+
+def test_perm_paired_empty(spark):
+    from icnarc_to_philips_linkage_spark.operators.evaluation import (
+        paired_permutation_test,
+    )
+
+    df = spark.createDataFrame([], "k string, a double, b double")
+    r = paired_permutation_test(df, "a", "b", "k", n_resamples=8).collect()[0]
+    assert r.n_pairs == 0 and r.mean_diff is None and r.p_value is None
+
+
+# ---------------------------------------------------------------------------
+# quantile regression (pinball subgradient descent)
+# ---------------------------------------------------------------------------
+
+
+def _py_qr(rows, feature_idx, tau, lr, iters):
+    """Pure-Python replay of quantile_gd_train_trajectory's exact
+    arithmetic: left-associated z, exact comparison indicator, 1e-12
+    integer contributions, the verbatim update expression."""
+    GRID = 1e12
+    k = len(feature_idx) + 1
+    w = [0.0] * k
+    traj = []
+    for _ in range(iters):
+        sums = [0] * k
+        n = 0
+        for r in rows:
+            xs = [1.0] + [float(r[j]) for j in feature_idx]
+            y = float(r[-1])
+            z = w[0] * xs[0]
+            for j in range(1, k):
+                z = z + w[j] * xs[j]
+            resid = (1.0 if y < z else 0.0) - tau
+            for j in range(k):
+                v = resid * xs[j]
+                q = 0 if v == 0 else (
+                    (1 if v > 0 else -1) * math.floor(abs(v) * GRID + 0.5)
+                )
+                sums[j] += int(q)
+            n += 1
+        w = [w[j] - lr * (float(sums[j]) / GRID) / n for j in range(k)]
+        traj.append(list(w))
+    return traj
+
+
+def test_quantile_gd_matches_python_replay(spark):
+    from icnarc_to_philips_linkage_spark.operators.regression import (
+        quantile_gd_train_trajectory,
+    )
+
+    rng = random.Random(5)
+    rows = [(rng.random(), rng.random() * 2.0 + 0.3) for _ in range(200)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    got = quantile_gd_train_trajectory(
+        df, ["x"], "y", tau=0.75, lr=0.5, iters=8
+    )
+    want = _py_qr(rows, [0], 0.75, 0.5, 8)
+    assert got == want  # bit-exact
+
+
+def test_quantile_gd_intercept_converges_to_quantile(spark):
+    from icnarc_to_philips_linkage_spark.operators.regression import (
+        quantile_gd_train_trajectory,
+    )
+
+    ys = [float(v) for v in range(10)]  # q50 between 4 and 5
+    df = spark.createDataFrame([(y,) for y in ys], "y double")
+    w = quantile_gd_train_trajectory(
+        df, [], "y", tau=0.5, lr=1.0, iters=40
+    )[-1]
+    assert 3.5 <= w[0] <= 5.5
+
+
+def test_pinball_loss_expr_hand(spark):
+    from icnarc_to_philips_linkage_spark.operators.regression import (
+        pinball_loss_expr,
+    )
+
+    # w = [1.0, 2.0], tau = 0.25: z = 1 + 2x
+    # (x=1, y=5) -> r=2  -> rho = 2*0.25 = 0.5
+    # (x=1, y=1) -> r=-2 -> rho = -2*(0.25-1) = 1.5
+    df = spark.createDataFrame(
+        [(1.0, 5.0), (1.0, 1.0)], "x double, y double"
+    )
+    vals = sorted(
+        r[0]
+        for r in df.select(
+            pinball_loss_expr(["x"], [1.0, 2.0], 0.25, "y")
+        ).collect()
+    )
+    assert vals == pytest.approx([0.5, 1.5])
