@@ -287,6 +287,86 @@ def js_divergence(
     )
 
 
+def hellinger_distance(
+    df: DataFrame,
+    is_ref: Column,
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int = 10,
+    round_dp: int = 9,
+) -> DataFrame:
+    """Binned Hellinger distance between the reference and current
+    slices: ``BC = Σ√(p_i·q_i)`` (the Bhattacharyya coefficient),
+    ``H = √(1 − BC)`` — a bounded [0,1] proper metric. Unlike JSD's
+    ``ln``, ``sqrt`` is an IEEE exactly-rounded primitive, so the
+    whole computation is engine-exact and reports at 9dp with no
+    transcendental tolerance; empty buckets contribute their defined
+    0 (√0), no smoothing constant.
+
+    Same single-scan tagged shape as ``js_divergence`` — one
+    bins-cardinality aggregation; probabilities are exact count
+    ratios and the only float reduction folds over the bucket-sorted
+    array.
+
+    Output one row: ``(n_ref, n_cur, bhattacharyya, hellinger)`` —
+    NULL when either side is empty.
+    """
+    tagged = df.filter(is_ref.isNotNull()).select(
+        bucketize(F.col(value_col).cast("double"), lo, hi, bins).alias(
+            "bucket"
+        ),
+        F.when(is_ref, 1).otherwise(0).alias("__is_ref"),
+    )
+    counts = (
+        tagged.groupBy("bucket")
+        .agg(
+            F.count(F.when(F.col("__is_ref") == 1, 1)).alias("n_ref"),
+            F.count(F.when(F.col("__is_ref") == 0, 1)).alias("n_cur"),
+        )
+        .filter(F.col("bucket").isNotNull())
+    )
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("bucket").alias("b"),
+                F.col("n_ref").cast("double").alias("r"),
+                F.col("n_cur").cast("double").alias("c"),
+            )
+        )
+    )
+    agg = (
+        counts.agg(
+            F.sum("n_ref").alias("n_ref"),
+            F.sum("n_cur").alias("n_cur"),
+            arr.alias("__arr"),
+        )
+        .withColumn("__tr", F.col("n_ref").cast("double"))
+        .withColumn("__tc", F.col("n_cur").cast("double"))
+    )
+    bc = F.aggregate(
+        F.expr(
+            "transform(__arr, x -> "
+            "sqrt((x.r / __tr) * (x.c / __tc)))"
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    ok = (F.col("n_ref") > 0) & (F.col("n_cur") > 0)
+    return agg.select(
+        F.col("n_ref").cast("long").alias("n_ref"),
+        F.col("n_cur").cast("long").alias("n_cur"),
+        F.round(F.when(ok, bc), round_dp).alias("bhattacharyya"),
+        F.round(
+            F.when(
+                ok,
+                F.sqrt(F.greatest(F.lit(1.0) - bc, F.lit(0.0))),
+            ),
+            round_dp,
+        ).alias("hellinger"),
+    )
+
+
 def wasserstein_report(
     df: DataFrame,
     is_ref: Column,

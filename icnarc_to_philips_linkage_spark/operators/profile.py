@@ -2021,6 +2021,44 @@ def friedman_test(
     )
 
 
+def kendall_w(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    value_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Kendall's coefficient of concordance W (Kendall & Babington
+    Smith 1939): how strongly do m raters (blocks) AGREE on the
+    ranking of k items (treatments)? The normalized ``friedman_test``
+    — ``W = χ²_F / (m·(k−1))``, tie-corrected through Friedman's C —
+    so 0 = no agreement, 1 = perfect concordance. Same scale shape
+    (one collect_list corpus shuffle, O(k²) array rank folds); the
+    χ² is taken at 9dp and the division is one exact double
+    expression replayed verbatim in the oracle.
+
+    Output one row: ``(k, n_raters, w, chi2_f)`` — NULL W when the
+    Friedman χ² is undefined (k < 2, no complete blocks, or all
+    blocks fully tied).
+    """
+    f = friedman_test(
+        df, block_col, treatment_col, value_col, round_dp=9
+    )
+    return f.select(
+        "k",
+        F.col("n_blocks").alias("n_raters"),
+        F.round(
+            F.col("chi2_f")
+            / (
+                F.col("n_blocks").cast("double")
+                * (F.col("k").cast("double") - F.lit(1.0))
+            ),
+            round_dp,
+        ).alias("w"),
+        "chi2_f",
+    )
+
+
 def cochran_q(
     df: DataFrame,
     block_col: str,

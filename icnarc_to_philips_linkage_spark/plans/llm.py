@@ -6088,6 +6088,70 @@ FROM fin
 """
 
 
+def drift_hellinger(spark: SparkSession, sf: str) -> DataFrame:
+    """Hellinger distance between the existing corpus (src0-9) and
+    the incoming batch (src10+) over document length
+    (drift.hellinger_distance) — the transcendental-free bounded
+    metric member of the drift family: sqrt is IEEE exactly-rounded,
+    so the value is engine-exact at 9dp. Same single-scan tagged
+    shape and bucket grid as drift_psi / drift_js_divergence."""
+    from icnarc_to_philips_linkage_spark.operators import drift
+
+    d = load(spark, sf, "documents")
+    batch_no = F.substring("source", 4, 10).cast("int")
+    return drift.hellinger_distance(
+        d, batch_no < 10, "n_chars",
+        lo=_PSI_LO, hi=_PSI_HI, bins=_PSI_BINS,
+    )
+
+
+def _hellinger_sql() -> str:
+    width = (_PSI_HI - _PSI_LO) / _PSI_BINS
+    return f"""
+WITH tagged AS (
+  SELECT LEAST({_PSI_BINS - 1}, GREATEST(0,
+           CAST(FLOOR((CAST(n_chars AS DOUBLE) - {_PSI_LO}) / {width})
+                AS BIGINT))) AS bucket,
+         CASE WHEN TRY_CAST(SUBSTR(source, 4) AS INT) IS NULL THEN NULL
+              WHEN TRY_CAST(SUBSTR(source, 4) AS INT) < 10 THEN 1
+              ELSE 0 END AS is_ref
+  FROM documents
+),
+counts AS (
+  SELECT bucket,
+         COUNT(*) FILTER (is_ref = 1) AS n_ref,
+         COUNT(*) FILTER (is_ref = 0) AS n_cur
+  FROM tagged WHERE bucket IS NOT NULL AND is_ref IS NOT NULL
+  GROUP BY 1
+),
+agg AS (
+  SELECT SUM(n_ref) AS n_ref, SUM(n_cur) AS n_cur,
+         list(struct_pack(b := bucket, r := CAST(n_ref AS DOUBLE),
+                          c := CAST(n_cur AS DOUBLE))
+              ORDER BY bucket) AS arr
+  FROM counts
+),
+st AS (
+  SELECT *, CAST(n_ref AS DOUBLE) AS tr, CAST(n_cur AS DOUBLE) AS tc
+  FROM agg
+),
+fin AS (
+  SELECT n_ref, n_cur,
+    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      list_transform(arr, x -> sqrt((x.r / tr) * (x.c / tc)))),
+      (a, x) -> a + x) AS bc
+  FROM st
+)
+SELECT CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+  CASE WHEN n_ref > 0 AND n_cur > 0 THEN ROUND(bc, 9)
+  END AS bhattacharyya,
+  CASE WHEN n_ref > 0 AND n_cur > 0
+       THEN ROUND(SQRT(GREATEST(1.0 - bc, 0.0)), 9)
+  END AS hellinger
+FROM fin
+"""
+
+
 def text_zipf_slope(spark: SparkSession, sf: str) -> DataFrame:
     """Zipf rank-frequency OLS over the corpus term dictionary
     (text.zipf_slope): slope of ln(freq) on ln(rank) — natural text
@@ -7367,6 +7431,7 @@ QUERIES: dict[str, tuple] = {
     "sample_curriculum_order": (sample_curriculum_order, CURRICULUM_SQL),
     "drift_psi": (drift_psi, _psi_sql()),
     "drift_js_divergence": (drift_js_divergence, _js_divergence_sql()),
+    "drift_hellinger": (drift_hellinger, _hellinger_sql()),
     "eval_hosmer_lemeshow": (
         eval_hosmer_lemeshow,
         _hosmer_lemeshow_sql(),

@@ -4460,6 +4460,31 @@ FROM (SELECT *, CAST(n AS DOUBLE) AS nd, CAST(k AS DOUBLE) AS kd
 """
 
 
+def a48_kendall_w(spark: SparkSession, sf: str) -> DataFrame:
+    """Kendall's coefficient of concordance W (profile.kendall_w): do
+    users AGREE on the ranking of event types by their own max
+    values? The normalized a41_friedman — W = chi2/(m(k-1)),
+    tie-corrected; same single collect_list shuffle + O(k^2) array
+    rank folds."""
+    e = load(spark, sf, "events")
+    return profile.kendall_w(e, "user_id", "event_type", "value")
+
+
+def _kendall_w_sql() -> str:
+    """Oracle: the a41 Friedman chain at 9dp, then the one-expression
+    normalization W = chi2_f/(n_blocks*(k-1)) at 6dp."""
+    inner = A41_SQL.replace("        6) AS chi2_f", "        9) AS chi2_f")
+    assert "9) AS chi2_f" in inner
+    return f"""
+WITH fr AS ({inner})
+SELECT k, n_blocks AS n_raters,
+  ROUND(chi2_f / (CAST(n_blocks AS DOUBLE) * (CAST(k AS DOUBLE) - 1.0)),
+        6) AS w,
+  chi2_f
+FROM fr
+"""
+
+
 def a42_cochran_q(spark: SparkSession, sf: str) -> DataFrame:
     """Cochran's Q (profile.cochran_q): did any event type clear the
     value-50 bar for more users than the others, with each user as
@@ -8522,6 +8547,7 @@ QUERIES: dict[str, tuple] = {
     "a45_cvm_exact": (a45_cvm_exact, A45_SQL),
     "ts_seasonal_mk": (ts_seasonal_mk, TS_SEASONAL_MK_SQL),
     "a46_runs_test": (a46_runs_test, _runs_sql()),
+    "a48_kendall_w": (a48_kendall_w, _kendall_w_sql()),
     "a46b_runs_segmented": (a46b_runs_segmented, _runs_sql()),
     "ts_ljung_box": (ts_ljung_box, _ljung_box_sql()),
     "eval_poisson_rates": (eval_poisson_rates, _poisson_rates_sql()),

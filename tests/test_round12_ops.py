@@ -225,3 +225,79 @@ def test_pinball_loss_expr_hand(spark):
         ).collect()
     )
     assert vals == pytest.approx([0.5, 1.5])
+
+
+# ---------------------------------------------------------------------------
+# Hellinger drift distance + Kendall's W
+# ---------------------------------------------------------------------------
+
+
+def test_hellinger_hand_computed(spark):
+    from icnarc_to_philips_linkage_spark.operators.drift import (
+        hellinger_distance,
+    )
+
+    # ref uniform over 2 buckets, cur all in bucket 0:
+    # BC = sqrt(0.5) ; H = sqrt(1 - sqrt(0.5))
+    rows = [(True, 0.5), (True, 1.5), (False, 0.5), (False, 0.5)]
+    df = spark.createDataFrame(rows, "ref boolean, v double")
+    r = hellinger_distance(
+        df, F.col("ref"), "v", lo=0.0, hi=2.0, bins=2
+    ).collect()[0]
+    assert r.n_ref == 2 and r.n_cur == 2
+    assert r.bhattacharyya == pytest.approx(math.sqrt(0.5), abs=1e-9)
+    assert r.hellinger == pytest.approx(
+        math.sqrt(1.0 - math.sqrt(0.5)), abs=1e-9
+    )
+
+
+def test_hellinger_identical_and_disjoint(spark):
+    from icnarc_to_philips_linkage_spark.operators.drift import (
+        hellinger_distance,
+    )
+
+    same = [(True, 0.5), (False, 0.5)]
+    df = spark.createDataFrame(same, "ref boolean, v double")
+    r = hellinger_distance(df, F.col("ref"), "v", 0.0, 2.0, 2).collect()[0]
+    assert r.bhattacharyya == 1.0 and r.hellinger == 0.0
+    disj = [(True, 0.5), (False, 1.5)]
+    df = spark.createDataFrame(disj, "ref boolean, v double")
+    r = hellinger_distance(df, F.col("ref"), "v", 0.0, 2.0, 2).collect()[0]
+    assert r.bhattacharyya == 0.0 and r.hellinger == 1.0
+
+
+def test_kendall_w_perfect_and_null_concordance(spark):
+    from icnarc_to_philips_linkage_spark.operators.profile import (
+        kendall_w,
+    )
+
+    # 3 raters rank 3 items identically -> chi2 = m(k-1) = 6, W = 1
+    perfect = [
+        (r, it, float(v))
+        for r in ("r1", "r2", "r3")
+        for it, v in (("a", 1), ("b", 2), ("c", 3))
+    ]
+    df = spark.createDataFrame(perfect, "b string, t string, v double")
+    out = kendall_w(df, "b", "t", "v").collect()[0]
+    assert out.k == 3 and out.n_raters == 3
+    assert out.w == 1.0 and out.chi2_f == 6.0
+    # rotations cancel: every item's rank sum equal -> chi2 = 0, W = 0
+    rot = [
+        ("r1", "a", 1.0), ("r1", "b", 2.0), ("r1", "c", 3.0),
+        ("r2", "a", 2.0), ("r2", "b", 3.0), ("r2", "c", 1.0),
+        ("r3", "a", 3.0), ("r3", "b", 1.0), ("r3", "c", 2.0),
+    ]
+    df = spark.createDataFrame(rot, "b string, t string, v double")
+    out = kendall_w(df, "b", "t", "v").collect()[0]
+    assert out.w == 0.0
+
+
+def test_kendall_w_all_tied_null(spark):
+    from icnarc_to_philips_linkage_spark.operators.profile import (
+        kendall_w,
+    )
+
+    rows = [(r, t, 1.0) for r in ("r1", "r2") for t in ("a", "b")]
+    df = spark.createDataFrame(rows, "b string, t string, v double")
+    out = kendall_w(df, "b", "t", "v").collect()[0]
+    assert out.w is None and out.chi2_f is None
