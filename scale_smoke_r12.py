@@ -10,6 +10,15 @@ operator ships a 100M-row smoke with a closed-form planted assertion).
   half unique filler => every exact distinct count closed-form)
   through distinct_ngram_diversity_approx — totals must be EXACT,
   HLL++ estimates within 3x rsd of the closed form.
+- perm: 100M pairs, every d = +1 => T_obs = n exactly; no 64-bit md5
+  sign band reaches |T_b| = n => p = 1/65 EXACT, mean_diff = 1.0.
+- qr: 100M rows over 10 planted (x, y) cells — per-row quantized
+  subgradient contributions are identical within a cell, so a pure-
+  Python 10-cell replay reproduces the whole trajectory EXACTLY.
+- hellinger: ref uniform over 10 buckets vs cur uniform over 5 =>
+  BC = 5*sqrt(0.02) closed form (sqrt is exactly rounded).
+- kendallw: the friedman corpus (identical within-block ordering) =>
+  W = 1 EXACT, chi2 = 4n.
 
 Run: python scale_smoke_r12.py   (SMOKE_ONLY=runs_seg,... selects a
 subset).
@@ -136,6 +145,130 @@ def main() -> int:
             assert out[n].total_ngrams == n_docs * span, out[n]
             got = out[n].distinct_ngrams_approx
             assert abs(got - exact) / exact <= 3 * rsd, (n, got, exact)
+
+    if want("perm"):
+        # every pair's d = +1 => T_obs = n on the 1e-6 grid; no md5
+        # sign band can reach |T_b| = n => p = 1/65 EXACT, mean = 1.0
+        from icnarc_to_philips_linkage_spark.operators import (
+            evaluation as ev,
+        )
+
+        rows = spark.range(n100).select(
+            F.col("id").cast("string").alias("k"),
+            (F.col("id") % 7 + 1).cast("double").alias("b"),
+            (F.col("id") % 7 + 2).cast("double").alias("a"),
+        )
+        t = time.time()
+        r = ev.paired_permutation_test(
+            rows, "a", "b", "k", n_resamples=64
+        ).collect()[0]
+        timings["perm_paired_100m_pairs"] = round(time.time() - t, 2)
+        print(
+            "perm_paired_100m_pairs",
+            timings["perm_paired_100m_pairs"],
+            "p", r.p_value, "mean", r.mean_diff, flush=True,
+        )
+        assert r.n_pairs == n100 and r.mean_diff == 1.0
+        assert abs(r.p_value - 1.0 / 65.0) < 1e-9
+
+    if want("qr"):
+        # 10 planted (x, y) cells x 10M rows each: per-row quantized
+        # contributions are identical within a cell, so the pure-
+        # Python cell replay is EXACT for the whole 100M-row fit
+        import math as m
+
+        from icnarc_to_philips_linkage_spark.operators import (
+            regression as rg,
+        )
+
+        rows = spark.range(n100).select(
+            (F.pmod(F.col("id"), F.lit(10)) / 10.0).alias("x"),
+            (F.pmod(F.col("id"), F.lit(10)) / 10.0).alias("y"),
+        )
+        tau, lr, iters = 0.75, 0.5, 8
+        t = time.time()
+        got = rg.quantile_gd_train_trajectory(
+            rows, ["x"], "y", tau=tau, lr=lr, iters=iters
+        )
+        timings["quantile_gd_100m_rows"] = round(time.time() - t, 2)
+        cells = [(v / 10.0, v / 10.0, n100 // 10) for v in range(10)]
+        w = [0.0, 0.0]
+        want_traj = []
+        for _ in range(iters):
+            sums = [0, 0]
+            n = 0
+            for x, y, cnt in cells:
+                z = w[0] * 1.0 + w[1] * x
+                resid = (1.0 if y < z else 0.0) - tau
+                for j, xj in enumerate((1.0, x)):
+                    v = resid * xj
+                    q = 0 if v == 0 else (
+                        (1 if v > 0 else -1)
+                        * m.floor(abs(v) * 1e12 + 0.5)
+                    )
+                    sums[j] += cnt * int(q)
+                n += cnt
+            w = [
+                w[j] - lr * (float(sums[j]) / 1e12) / n
+                for j in range(2)
+            ]
+            want_traj.append(list(w))
+        print(
+            "quantile_gd_100m_rows",
+            timings["quantile_gd_100m_rows"],
+            "w", got[-1], flush=True,
+        )
+        assert got == want_traj
+
+    if want("hellinger"):
+        # ref uniform over buckets 0-9, cur uniform over 0-4 =>
+        # BC = 5*sqrt(0.1*0.2) EXACT closed form
+        import math as m
+
+        from icnarc_to_philips_linkage_spark.operators import (
+            drift as dr,
+        )
+
+        rows = spark.range(n100).select(
+            (F.pmod(F.col("id"), F.lit(2)) == 0).alias("ref"),
+            F.when(
+                F.pmod(F.col("id"), F.lit(2)) == 0,
+                F.pmod(F.col("id") / 2, F.lit(10)) + 0.5,
+            )
+            .otherwise(F.pmod(F.col("id") / 2, F.lit(5)) + 0.5)
+            .alias("v"),
+        )
+        t = time.time()
+        r = dr.hellinger_distance(
+            rows, F.col("ref"), "v", lo=0.0, hi=10.0, bins=10
+        ).collect()[0]
+        timings["hellinger_100m_rows"] = round(time.time() - t, 2)
+        bc = 5.0 * m.sqrt(0.1 * 0.2)
+        print(
+            "hellinger_100m_rows", timings["hellinger_100m_rows"],
+            "bc", r.bhattacharyya, "expected", bc, flush=True,
+        )
+        assert abs(r.bhattacharyya - bc) < 1e-9
+        assert abs(r.hellinger - m.sqrt(1.0 - bc)) < 1e-9
+
+    if want("kendallw"):
+        # the friedman corpus (identical within-block ordering) =>
+        # perfect concordance: W = 1 EXACT, chi2 = 4n
+        rows = spark.range(n100).select(
+            (F.col("id") / 5).cast("long").alias("b"),
+            F.concat(
+                F.lit("t"), F.pmod(F.col("id"), F.lit(5)).cast("string")
+            ).alias("t"),
+            F.pmod(F.col("id"), F.lit(5)).cast("double").alias("v"),
+        )
+        t = time.time()
+        r = pr.kendall_w(rows, "b", "t", "v").collect()[0]
+        timings["kendall_w_100m_cells"] = round(time.time() - t, 2)
+        print(
+            "kendall_w_100m_cells", timings["kendall_w_100m_cells"],
+            "W", r.w, "chi2", r.chi2_f, flush=True,
+        )
+        assert r.w == 1.0 and r.chi2_f == 4.0 * (n100 // 5)
 
     print(json.dumps({"timings_sec": timings}), flush=True)
     spark.stop()
