@@ -984,11 +984,101 @@ def kaplan_meier(
     )
 
 
+def nelson_aalen(
+    df,
+    duration_col: str,
+    event_col: str,
+):
+    """Nelson–Aalen cumulative-hazard estimator with right censoring
+    — ``kaplan_meier``'s additive sibling: ``H(t) = Σ_{s≤t} d_s/n_s``
+    with the standard variance ``Var(t) = Σ_{s≤t} d_s/n_s²``. H is
+    preferred when curves must be AGGREGATED or differenced (hazards
+    add; survival products don't), and exp(−H) ≈ S without ever
+    computing exp (which this estimator deliberately does not — libm
+    exp is not engine-portable; callers wanting S use
+    ``kaplan_meier``).
+
+    Same exactness argument and scale shape as KM: one corpus
+    aggregation to the bounded duration grain, reverse running
+    at-risk sums over the tiny risk table, and BOTH running sums
+    computed as sequential slice-folds over the duration-ordered
+    array (Spark ``aggregate(slice)``, DuckDB ``list_reduce`` — NOT
+    window running sums, whose segment-tree accumulation order in
+    DuckDB differs from Spark's sequential one).
+
+    Output per distinct duration: ``(duration, n_risk, n_events,
+    n_censored, cum_hazard, var_hazard)``.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    risk = (
+        df.filter(F.col(duration_col).isNotNull())
+        .groupBy(F.col(duration_col).alias("duration"))
+        .agg(
+            F.sum(F.when(F.col(event_col).cast("int") == 1, 1).otherwise(0))
+            .alias("n_events"),
+            F.sum(F.when(F.col(event_col).cast("int") == 1, 0).otherwise(1))
+            .alias("n_censored"),
+        )
+    )
+    w = bounded_global_window("duration")
+    staged = risk.select(
+        "duration",
+        "n_events",
+        "n_censored",
+        F.sum(F.col("n_events") + F.col("n_censored"))
+        .over(w.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+        .alias("n_risk"),
+        F.row_number().over(w).alias("__rn"),
+    )
+    terms = staged.select(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    "duration",
+                    (
+                        F.col("n_events").cast("double")
+                        / F.col("n_risk").cast("double")
+                    ).alias("h"),
+                    (
+                        F.col("n_events").cast("double")
+                        / (
+                            F.col("n_risk").cast("double")
+                            * F.col("n_risk").cast("double")
+                        )
+                    ).alias("vh"),
+                )
+            )
+        ).alias("__ts")
+    ).select(
+        F.expr("transform(__ts, x -> x.h)").alias("__hh"),
+        F.expr("transform(__ts, x -> x.vh)").alias("__vv"),
+    )
+    return staged.join(F.broadcast(terms)).select(
+        "duration",
+        "n_risk",
+        "n_events",
+        "n_censored",
+        F.aggregate(
+            F.slice(F.col("__hh"), 1, F.col("__rn")),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("cum_hazard"),
+        F.aggregate(
+            F.slice(F.col("__vv"), 1, F.col("__rn")),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("var_hazard"),
+    )
+
+
 def logrank_test(
     df,
     duration_col: str,
     event_col: str,
     group_col,
+    weight: str = "logrank",
 ):
     """Two-cohort log-rank test — the hypothesis-test companion of
     ``kaplan_meier`` (is cohort A's survival curve different?).
@@ -1002,8 +1092,16 @@ def logrank_test(
     bit-identical in DuckDB's list_reduce replay (the KM/Holt IEEE
     determinism argument). z = (O−E)/√V in one final expression.
 
+    ``weight="gehan"`` selects the Gehan–Breslow–Wilcoxon variant:
+    each time's contribution is weighted by the at-risk count n_t,
+    emphasizing EARLY differences (the plain log-rank weights all
+    times equally, so late-hazard differences dominate). The weighted
+    numerator U = Σ n·d1 − d·n1 is integer-exact (every factor is a
+    count); V picks up n² per term. Output columns become
+    ``(n_subjects, n_times, u_g, v_g, z)``.
+
     Scale shape: one corpus aggregation to the duration grain, one
-    tiny window, one bounded fold. Output: one row
+    tiny window, one bounded fold. Default output: one row
     ``(n_subjects, n_times, o_a, e_a, v_a, z)``; NULL z when V = 0.
     """
     from pyspark.sql import Window
@@ -1034,6 +1132,51 @@ def logrank_test(
         F.sum("tot").over(w).alias("n"),
         F.sum("tot1").over(w).alias("n1"),
     )
+    if weight not in ("logrank", "gehan"):
+        raise ValueError("weight must be 'logrank' or 'gehan'")
+    if weight == "gehan":
+        garr = F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("t").cast("long").alias("t"),
+                    F.col("d").cast("double").alias("d"),
+                    F.col("d1").cast("double").alias("d1"),
+                    F.col("n").cast("double").alias("n"),
+                    F.col("n1").cast("double").alias("n1"),
+                )
+            )
+        )
+        gagg = staged.agg(
+            F.max("n").alias("n_subjects"),
+            F.count(F.lit(1)).alias("n_times"),
+            garr.alias("__arr"),
+        )
+        # U term n·d1 − d·n1 is a product/difference of exact counts;
+        # V term = n²·v_t = d·n1·(n−n1)·(n−d)/(n−1)
+        gterms = F.expr(
+            "transform(__arr, x -> struct("
+            "  (x.n * x.d1) - (x.d * x.n1) AS u,"
+            "  CASE WHEN x.n > 1.0 THEN"
+            "    ((x.d * x.n1) * (x.n - x.n1))"
+            "    * ((x.n - x.d) / (x.n - 1.0))"
+            "  ELSE 0.0 END AS v))"
+        )
+        gfold = F.aggregate(
+            gterms,
+            F.struct(F.lit(0.0).alias("u"), F.lit(0.0).alias("v")),
+            lambda a, x: F.struct(
+                (a["u"] + x["u"]).alias("u"),
+                (a["v"] + x["v"]).alias("v"),
+            ),
+        )
+        gz = gfold["u"] / F.sqrt(gfold["v"])
+        return gagg.select(
+            "n_subjects",
+            "n_times",
+            F.round(gfold["u"], 6).alias("u_g"),
+            F.round(gfold["v"], 6).alias("v_g"),
+            F.round(F.when(gfold["v"] > 0, gz), 6).alias("z"),
+        )
     arr = F.array_sort(
         F.collect_list(
             F.struct(

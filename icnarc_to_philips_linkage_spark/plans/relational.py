@@ -4972,6 +4972,158 @@ FROM folded
 """
 
 
+def ts_nelson_aalen(spark: SparkSession, sf: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard of user lifetimes
+    (timeseries.nelson_aalen) on the same spans as ts_kaplan_meier:
+    H(t) = sum d/n and Var(t) = sum d/n^2, both as sequential
+    slice-folds over the duration-ordered risk table (NOT window
+    running sums - DuckDB's segment-tree window accumulation order
+    differs from Spark's sequential one)."""
+    from icnarc_to_philips_linkage_spark.operators.timeseries import (
+        nelson_aalen,
+    )
+
+    e = load(spark, sf, "events")
+    spans = (
+        e.filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.datediff(
+                F.max(F.date_trunc("day", "ts")),
+                F.min(F.date_trunc("day", "ts")),
+            ).alias("duration"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("observed"),
+        )
+    )
+    return nelson_aalen(spans, "duration", "observed")
+
+
+TS_NELSON_AALEN_SQL = """
+WITH spans AS (
+  SELECT user_id,
+         date_diff('day', MIN(date_trunc('day', ts)),
+                   MAX(date_trunc('day', ts))) AS duration,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS observed
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+  GROUP BY user_id
+),
+risk AS (
+  SELECT duration,
+         SUM(CASE WHEN observed = 1 THEN 1 ELSE 0 END) AS n_events,
+         SUM(CASE WHEN observed = 1 THEN 0 ELSE 1 END) AS n_censored
+  FROM spans WHERE duration IS NOT NULL GROUP BY duration
+),
+staged AS (
+  SELECT duration, n_events, n_censored,
+         SUM(n_events + n_censored)
+           OVER (ORDER BY duration
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+           AS n_risk,
+         ROW_NUMBER() OVER (ORDER BY duration) AS rn
+  FROM risk
+),
+ff AS (
+  SELECT list(CAST(n_events AS DOUBLE) / CAST(n_risk AS DOUBLE)
+              ORDER BY duration) AS hh,
+         list(CAST(n_events AS DOUBLE)
+              / (CAST(n_risk AS DOUBLE) * CAST(n_risk AS DOUBLE))
+              ORDER BY duration) AS vv
+  FROM staged
+)
+SELECT duration, n_risk, n_events, n_censored,
+       list_reduce(list_prepend(CAST(0.0 AS DOUBLE), hh[1:rn]),
+                   (a, x) -> a + x) AS cum_hazard,
+       list_reduce(list_prepend(CAST(0.0 AS DOUBLE), vv[1:rn]),
+                   (a, x) -> a + x) AS var_hazard
+FROM staged, ff
+"""
+
+
+def ts_logrank_gehan(spark: SparkSession, sf: str) -> DataFrame:
+    """Gehan-Breslow-Wilcoxon weighted log-rank
+    (timeseries.logrank_test weight='gehan') on the same cohorts as
+    ts_logrank: each time weighted by its at-risk count, emphasizing
+    EARLY survival differences; U = sum(n*d1 - d*n1) is a fold of
+    exact-count products."""
+    from icnarc_to_philips_linkage_spark.operators.timeseries import (
+        logrank_test,
+    )
+
+    e = load(spark, sf, "events")
+    spans = (
+        e.filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.datediff(
+                F.max(F.date_trunc("day", "ts")),
+                F.min(F.date_trunc("day", "ts")),
+            ).alias("duration"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("observed"),
+        )
+    )
+    return logrank_test(
+        spans, "duration", "observed", F.col("user_id") % 2 == 0,
+        weight="gehan",
+    )
+
+
+TS_LOGRANK_GEHAN_SQL = """
+WITH spans AS (
+  SELECT user_id,
+         date_diff('day', MIN(date_trunc('day', ts)),
+                   MAX(date_trunc('day', ts))) AS duration,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS observed,
+         CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS in_a
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+  GROUP BY user_id
+),
+risk AS (
+  SELECT duration AS t, SUM(observed) AS d, SUM(observed * in_a) AS d1,
+         COUNT(*) AS tot, SUM(in_a) AS tot1
+  FROM spans WHERE duration IS NOT NULL GROUP BY duration
+),
+staged AS (
+  SELECT t, d, d1,
+         SUM(tot) OVER (ORDER BY t
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+           AS n,
+         SUM(tot1) OVER (ORDER BY t
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+           AS n1
+  FROM risk
+),
+agg AS (
+  SELECT MAX(n) AS n_subjects, COUNT(*) AS n_times,
+    list(CAST([
+      (CAST(n AS DOUBLE) * CAST(d1 AS DOUBLE))
+        - (CAST(d AS DOUBLE) * CAST(n1 AS DOUBLE)),
+      CASE WHEN CAST(n AS DOUBLE) > 1.0 THEN
+        ((CAST(d AS DOUBLE) * CAST(n1 AS DOUBLE))
+         * (CAST(n AS DOUBLE) - CAST(n1 AS DOUBLE)))
+        * ((CAST(n AS DOUBLE) - CAST(d AS DOUBLE))
+           / (CAST(n AS DOUBLE) - 1.0))
+      ELSE 0.0 END] AS DOUBLE[]) ORDER BY t) AS terms
+  FROM staged
+),
+folded AS (
+  SELECT n_subjects, n_times,
+    list_reduce(list_prepend(CAST([0.0, 0.0] AS DOUBLE[]), terms),
+                (a, x) -> [a[1] + x[1], a[2] + x[2]]) AS uv
+  FROM agg
+)
+SELECT n_subjects, n_times,
+  ROUND(uv[1], 6) AS u_g, ROUND(uv[2], 6) AS v_g,
+  ROUND(CASE WHEN uv[2] > 0 THEN uv[1] / SQRT(uv[2]) END, 6) AS z
+FROM folded
+"""
+
+
 def ev_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
     """RFM (recency / frequency / monetary) quintile segmentation of
     users — the classic marketing cut, built at scale: each metric's
@@ -8548,6 +8700,8 @@ QUERIES: dict[str, tuple] = {
     "ts_seasonal_mk": (ts_seasonal_mk, TS_SEASONAL_MK_SQL),
     "a46_runs_test": (a46_runs_test, _runs_sql()),
     "a48_kendall_w": (a48_kendall_w, _kendall_w_sql()),
+    "ts_nelson_aalen": (ts_nelson_aalen, TS_NELSON_AALEN_SQL),
+    "ts_logrank_gehan": (ts_logrank_gehan, TS_LOGRANK_GEHAN_SQL),
     "a46b_runs_segmented": (a46b_runs_segmented, _runs_sql()),
     "ts_ljung_box": (ts_ljung_box, _ljung_box_sql()),
     "eval_poisson_rates": (eval_poisson_rates, _poisson_rates_sql()),

@@ -301,3 +301,51 @@ def test_kendall_w_all_tied_null(spark):
     df = spark.createDataFrame(rows, "b string, t string, v double")
     out = kendall_w(df, "b", "t", "v").collect()[0]
     assert out.w is None and out.chi2_f is None
+
+
+# ---------------------------------------------------------------------------
+# Nelson-Aalen + Gehan-weighted log-rank
+# ---------------------------------------------------------------------------
+
+
+def test_nelson_aalen_hand_computed(spark):
+    from icnarc_to_philips_linkage_spark.operators.timeseries import (
+        nelson_aalen,
+    )
+
+    rows = [(1, 1), (1, 1), (2, 0), (3, 1)]
+    df = spark.createDataFrame(rows, "duration int, observed int")
+    out = {r.duration: r for r in nelson_aalen(df, "duration", "observed").collect()}
+    # t=1: n=4,d=2 -> h=.5, vh=.125; t=2: censored only; t=3: n=1,d=1
+    assert out[1].n_risk == 4 and out[1].n_events == 2
+    assert out[1].cum_hazard == pytest.approx(0.5)
+    assert out[1].var_hazard == pytest.approx(0.125)
+    assert out[2].cum_hazard == pytest.approx(0.5)
+    assert out[3].cum_hazard == pytest.approx(1.5)
+    assert out[3].var_hazard == pytest.approx(1.125)
+
+
+def test_logrank_gehan_hand_computed(spark):
+    from icnarc_to_philips_linkage_spark.operators.timeseries import (
+        logrank_test,
+    )
+
+    rows = [("a", 1, 1), ("a", 2, 1), ("b", 1, 1), ("b", 3, 1)]
+    df = spark.createDataFrame(rows, "g string, duration int, observed int")
+    r = logrank_test(
+        df, "duration", "observed", F.col("g") == "a", weight="gehan"
+    ).collect()[0]
+    # t1: u=4*1-2*2=0, v=2*2*2*2/3; t2: u=2*1-1*1=1, v=1; t3: u=0,v=0
+    assert r.u_g == pytest.approx(1.0)
+    assert r.v_g == pytest.approx(16.0 / 3.0 + 1.0, abs=1e-6)
+    assert r.z == pytest.approx(1.0 / math.sqrt(19.0 / 3.0), abs=1e-6)
+
+
+def test_logrank_weight_validation(spark):
+    from icnarc_to_philips_linkage_spark.operators.timeseries import (
+        logrank_test,
+    )
+
+    df = spark.createDataFrame([(1, 1)], "duration int, observed int")
+    with pytest.raises(ValueError):
+        logrank_test(df, "duration", "observed", F.lit(True), weight="peto")
