@@ -19,6 +19,11 @@ operator ships a 100M-row smoke with a closed-form planted assertion).
   BC = 5*sqrt(0.02) closed form (sqrt is exactly rounded).
 - kendallw: the friedman corpus (identical within-block ordering) =>
   W = 1 EXACT, chi2 = 4n.
+- na: 100M subjects / 365 durations — the 365-row exact-integer risk
+  table makes a pure-Python sequential fold replay cum_hazard
+  BIT-EXACTLY at every duration.
+- gehan: even/odd cohorts share the duration distribution exactly =>
+  every time's u = n*d1 - d*n1 = 0 => U = 0, z = 0 EXACT.
 
 Run: python scale_smoke_r12.py   (SMOKE_ONLY=runs_seg,... selects a
 subset).
@@ -269,6 +274,68 @@ def main() -> int:
             "W", r.w, "chi2", r.chi2_f, flush=True,
         )
         assert r.w == 1.0 and r.chi2_f == 4.0 * (n100 // 5)
+
+    if want("na"):
+        # 100M subjects over 365 duration days, all observed: the
+        # 365-row risk table is exact integers, so a pure-Python
+        # sequential fold over it replays cum_hazard BIT-EXACTLY
+        from icnarc_to_philips_linkage_spark.operators import (
+            timeseries as tso,
+        )
+
+        rows = spark.range(n100).select(
+            (F.pmod(F.col("id"), F.lit(365)) + 1).alias("duration"),
+            F.lit(1).alias("observed"),
+        )
+        t = time.time()
+        out = sorted(
+            tso.nelson_aalen(rows, "duration", "observed").collect(),
+            key=lambda r: r.duration,
+        )
+        timings["nelson_aalen_100m_subjects"] = round(time.time() - t, 2)
+        counts = [
+            n100 // 365 + (1 if d <= n100 % 365 else 0)
+            for d in range(1, 366)
+        ]
+        n_risk = sum(counts)
+        h = 0.0
+        for i, r in enumerate(out):
+            assert r.n_events == counts[i] and r.n_risk == n_risk
+            h = h + float(counts[i]) / float(n_risk)
+            assert r.cum_hazard == h, (r.duration, r.cum_hazard, h)
+            n_risk -= counts[i]
+        print(
+            "nelson_aalen_100m_subjects",
+            timings["nelson_aalen_100m_subjects"],
+            "H(365)", out[-1].cum_hazard, flush=True,
+        )
+
+    if want("gehan"):
+        # even/odd groups share the duration distribution EXACTLY =>
+        # every time's u = n*d1 - d*n1 = 0 => U = 0, z = 0
+        from icnarc_to_philips_linkage_spark.operators import (
+            timeseries as tso,
+        )
+
+        rows = spark.range(n100).select(
+            F.col("id").alias("subj"),
+            ((F.col("id") / 2).cast("long") % 365 + 1).alias("duration"),
+            F.lit(1).alias("observed"),
+        )
+        t = time.time()
+        r = tso.logrank_test(
+            rows, "duration", "observed",
+            F.col("subj") % 2 == 0, weight="gehan",
+        ).collect()[0]
+        timings["logrank_gehan_100m_subjects"] = round(
+            time.time() - t, 2
+        )
+        print(
+            "logrank_gehan_100m_subjects",
+            timings["logrank_gehan_100m_subjects"],
+            "U", r.u_g, "z", r.z, flush=True,
+        )
+        assert r.n_subjects == n100 and r.u_g == 0.0 and r.z == 0.0
 
     print(json.dumps({"timings_sec": timings}), flush=True)
     spark.stop()
