@@ -542,3 +542,48 @@ def test_global_dense_rank_single_wide_exchange(spark):
     assert spread_plan.count(" THEN ") >= 1, (
         f"offsets must fold in as a literal CASE map:\n{spread_plan}"
     )
+
+
+def test_friedman_family_has_no_windows(spark):
+    """Round-12 shape: friedman/page/kendall_w rank WITHOUT window
+    sorts — one collect_list aggregation + interpreted array folds.
+    A WindowExec in any of these plans means the block-partitioned
+    rank windows crept back (the 288->69s regression direction)."""
+    for name in ("a41_friedman", "a44_page_trend", "a48_kendall_w"):
+        fn, _ = all_queries()[name]
+        plan = plan_of(fn(spark, SF_SMOKE))
+        assert "Window" not in plan, f"{name} reintroduced a window:\n{plan}"
+        assert "SortMergeJoin" not in plan, name
+
+
+def test_distinct_ngrams_approx_single_explode_no_vocab_shuffle(spark):
+    """The approx tier's contract: ONE position Generate (the exact
+    path explodes once per n) and the only exchange under the HLL
+    aggregation is the #groups-row partial-agg shuffle — no
+    vocabulary-grain groupBy anywhere."""
+    from icnarc_to_philips_linkage_spark.operators.text import (
+        distinct_ngram_diversity_approx,
+    )
+
+    docs = load(spark, SF_SMOKE, "documents")
+    plan = plan_of(distinct_ngram_diversity_approx(docs, "source"))
+    assert plan.count("Generate explode") == 2, plan  # positions + unpivot
+    # partial HLL (objHashAggregate) must appear below a single exchange
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_perm_paired_single_aggregation_no_join(spark):
+    """B=64 sign resamples must ride ONE corpus aggregation — no
+    joins, no extra exchanges beyond the scalar-agg reduction."""
+    fn, _ = all_queries()["eval_perm_paired"]
+    plan = plan_of(fn(spark, SF_SMOKE))
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") <= 1, plan
+
+
+def test_runs_segmented_window_partitions_by_key_and_segment(spark):
+    """The skew-immune path's point: the boundary window partitions by
+    (key, segment), never by key alone."""
+    fn, _ = all_queries()["a46b_runs_segmented"]
+    plan = plan_of(fn(spark, SF_SMOKE))
+    assert "__seg" in plan and "Window" in plan, plan
