@@ -3131,3 +3131,192 @@ def two_proportion_z(
         ).alias("lift"),
         F.round(F.when(ok, (p1 - p2) / se), round_dp).alias("z"),
     )
+
+
+def lin_ccc(
+    df: DataFrame,
+    x_col,
+    y_col,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Lin's concordance correlation coefficient (Lin 1989) for
+    paired continuous measurements — "do two scorers give the SAME
+    number", not merely "do they covary": Pearson's r penalized by
+    location and scale shift,
+
+        CCC = 2*s_xy / (s_x^2 + s_y^2 + (mean_x - mean_y)^2)
+
+    with POPULATION moments (divide by n — Lin's original estimator).
+    The continuous counterpart of ``cohens_kappa``; r alone is 1 for
+    y = 2x + 3, CCC is not.
+
+    Exactness: integer-grid contract on both columns; ONE corpus
+    aggregation to exact decimal sums (S_x, S_y, S_xx, S_yy, S_xy),
+    then the n^2-scaled identity — n^2*CCC_num = 2*(n*S_xy - S_x*S_y)
+    etc. — divides exact decimals once.
+
+    Output one row: ``(n, mean_x, mean_y, pearson_r, ccc)`` — NULL
+    when n < 2 or either variance is 0 (r) / the denominator is 0
+    (ccc).
+    """
+    from icnarc_to_philips_linkage_spark.operators.profile import (
+        _require_integer_valued,
+    )
+
+    x = F.col(x_col) if isinstance(x_col, str) else x_col
+    y = F.col(y_col) if isinstance(y_col, str) else y_col
+    _require_integer_valued(df, x, "x")
+    _require_integer_valued(df, y, "y")
+    cx = x.cast("decimal(18,0)")
+    cy = y.cast("decimal(18,0)")
+    agg = df.filter(x.isNotNull() & y.isNotNull()).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cx).alias("__sx"),
+        F.sum(cy).alias("__sy"),
+        F.sum((cx * cx).cast("decimal(38,0)")).alias("__sxx"),
+        F.sum((cy * cy).cast("decimal(38,0)")).alias("__syy"),
+        F.sum((cx * cy).cast("decimal(38,0)")).alias("__sxy"),
+    )
+    n = F.col("n").cast("decimal(38,0)")
+    cov2 = (n * F.col("__sxy") - F.col("__sx") * F.col("__sy")).cast(
+        "double"
+    )
+    vx2 = (n * F.col("__sxx") - F.col("__sx") * F.col("__sx")).cast(
+        "double"
+    )
+    vy2 = (n * F.col("__syy") - F.col("__sy") * F.col("__sy")).cast(
+        "double"
+    )
+    dm = (F.col("__sx") - F.col("__sy")).cast("double")
+    den = vx2 + vy2 + dm * dm
+    nn = F.col("n").cast("double")
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("__sx").cast("double") / nn, round_dp).alias(
+            "mean_x"
+        ),
+        F.round(F.col("__sy").cast("double") / nn, round_dp).alias(
+            "mean_y"
+        ),
+        F.round(
+            F.when(
+                (F.col("n") >= 2) & (vx2 > 0) & (vy2 > 0),
+                cov2 / F.sqrt(vx2 * vy2),
+            ),
+            round_dp,
+        ).alias("pearson_r"),
+        F.round(
+            F.when((F.col("n") >= 2) & (den > 0), 2.0 * cov2 / den),
+            round_dp,
+        ).alias("ccc"),
+    )
+
+
+def cronbach_alpha(
+    df: DataFrame,
+    unit_col: str,
+    item_col: str,
+    value_col,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Cronbach's alpha internal-consistency reliability (Cronbach
+    1951) over a LONG (unit, item, value) frame — do the k items of
+    a battery (rubric dimensions, judge criteria, quality sub-scores)
+    measure one construct:
+
+        alpha = k/(k-1) * (1 - sum_i var(item_i) / var(total))
+
+    with SAMPLE variances over the LISTWISE-COMPLETE units (units
+    scoring every one of the k globally observed items — the classic
+    treatment; k is data-dependent, so completeness is established
+    by count, not pivot).
+
+    Scale shape: one aggregation to the (unit, item) grain (exact
+    decimal value sums handle duplicate observations), a unit-grain
+    reduction for totals, a broadcast of the 1-row global k to filter
+    complete units, then per-item and total variance aggregations off
+    exact sums — no pivot, no collect; the item grid (k rows) and the
+    scalar frame are the only broadcasts.
+
+    Output one row: ``(k, n_units, alpha)`` — NULL when k < 2, no
+    complete units, or zero total variance.
+    """
+    from icnarc_to_philips_linkage_spark.operators.profile import (
+        _require_integer_valued,
+    )
+
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    _require_integer_valued(df, v, "value")
+    cell = (
+        df.filter(
+            v.isNotNull()
+            & F.col(unit_col).isNotNull()
+            & F.col(item_col).isNotNull()
+        )
+        .groupBy(
+            F.col(unit_col).alias("__u"), F.col(item_col).alias("__i")
+        )
+        .agg(F.sum(v.cast("decimal(18,0)")).alias("__v"))
+    )
+    kk = cell.agg(
+        F.countDistinct("__i").cast("long").alias("__k")
+    )
+    per_unit = cell.groupBy("__u").agg(
+        F.count(F.lit(1)).alias("__ni"),
+        F.sum("__v").cast("decimal(38,0)").alias("__tot"),
+    )
+    complete = per_unit.join(F.broadcast(kk), F.col("__ni") == F.col("__k"))
+    tot_var = complete.agg(
+        F.max("__k").alias("k"),
+        F.count(F.lit(1)).alias("n_units"),
+        F.sum("__tot").alias("__s1"),
+        F.sum(
+            (F.col("__tot") * F.col("__tot")).cast("decimal(38,0)")
+        ).alias("__s2"),
+    )
+    item_cells = cell.join(
+        complete.select("__u"), "__u", "left_semi"
+    )
+    item_var = (
+        item_cells.groupBy("__i")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum("__v").cast("decimal(38,0)").alias("__is1"),
+            F.sum((F.col("__v") * F.col("__v")).cast("decimal(38,0)")).alias(
+                "__is2"
+            ),
+        )
+        .select(
+            (
+                (
+                    F.col("__n").cast("decimal(38,0)") * F.col("__is2")
+                    - F.col("__is1") * F.col("__is1")
+                ).cast("double")
+                / (
+                    F.col("__n").cast("double")
+                    * (F.col("__n").cast("double") - 1.0)
+                )
+            ).alias("__iv")
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("__iv") * 1e9 + 0.5).cast("decimal(38,0)")
+            ).alias("__qiv")
+        )
+    )
+    j = tot_var.crossJoin(F.broadcast(item_var))
+    nu = F.col("n_units").cast("double")
+    tv = (
+        F.col("n_units").cast("decimal(38,0)") * F.col("__s2")
+        - F.col("__s1") * F.col("__s1")
+    ).cast("double") / (nu * (nu - 1.0))
+    siv = F.col("__qiv").cast("double") / 1e9
+    kd = F.col("k").cast("double")
+    ok = (F.col("k") >= 2) & (F.col("n_units") >= 2) & (tv > 0)
+    return j.select(
+        F.col("k").cast("int").alias("k"),
+        F.col("n_units").cast("long").alias("n_units"),
+        F.round(
+            F.when(ok, kd / (kd - 1.0) * (1.0 - siv / tv)), round_dp
+        ).alias("alpha"),
+    )

@@ -3476,3 +3476,315 @@ def g_test_independence(
             "dof"
         ),
     )
+
+
+def _require_integer_valued(df: DataFrame, col: Column, what: str) -> None:
+    """Shared guard for the integer-grid contract (the
+    ``wilcoxon_signed_rank`` discipline): moment/rank statistics only
+    accept integer-valued columns so their power/rank sums stay exact
+    decimals; quantize fixed-grid metrics by scaling first (the caller
+    owns the grid)."""
+    dt = df.select(col.alias("__v")).schema["__v"].dataType
+    ds = dt.simpleString()
+    if ds not in ("tinyint", "smallint", "int", "bigint") and not (
+        ds.startswith("decimal") and ds.endswith(",0)")
+    ):
+        raise ValueError(
+            f"{what} type {ds} is not integer-valued; quantize "
+            "fixed-grid values to integers first (the caller owns "
+            "the grid)"
+        )
+
+
+def jarque_bera(
+    df: DataFrame,
+    group_col: str,
+    value_col,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-group Jarque-Bera normality test (Jarque & Bera 1980) —
+    the hypothesis-test companion of the ``a23_grouped_moments``
+    profile: JB = n/6 * (g1^2 + g2^2/4) with g1 the population
+    skewness and g2 the population EXCESS kurtosis, asymptotically
+    chi-square with df=2 under normality, whose survival function is
+    CLOSED FORM: p = exp(-JB/2) — no CDF approximation needed.
+
+    Exactness: values must be integer-valued (grid contract,
+    ``_require_integer_valued``); the 1st-4th power sums accumulate as
+    decimal(38,0) (order-independent, identical across engines), the
+    moment algebra runs in doubles with the SAME expression tree as
+    the SQL oracle, and the one transcendental (exp) hides under the
+    >=6dp output round (the BM25 ln/exp precedent).
+
+    Scale shape: ONE hash aggregation over the corpus (map-side
+    partials), k output rows. Output per group: ``(group, n,
+    skewness, excess_kurtosis, jb_stat, p_value)`` — NULLs when the
+    group variance is 0 or n < 2.
+    """
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    _require_integer_valued(df, v, "value")
+    c = v.cast("decimal(18,0)")
+    c2 = (c * c).cast("decimal(38,0)")
+    agg = df.filter(v.isNotNull()).groupBy(
+        F.col(group_col).alias(group_col)
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(c).cast("double").alias("__s1"),
+        F.sum(c2).cast("double").alias("__s2"),
+        F.sum((c2 * c).cast("decimal(38,0)")).cast("double").alias("__s3"),
+        F.sum((c2 * c2).cast("decimal(38,0)")).cast("double").alias("__s4"),
+    )
+    n = F.col("n").cast("double")
+    mu = F.col("__s1") / n
+    m2 = F.col("__s2") / n - mu * mu
+    m3 = (
+        F.col("__s3") / n
+        - 3 * mu * (F.col("__s2") / n)
+        + 2 * mu * mu * mu
+    )
+    m4 = (
+        F.col("__s4") / n
+        - 4 * mu * (F.col("__s3") / n)
+        + 6 * mu * mu * (F.col("__s2") / n)
+        - 3 * mu * mu * mu * mu
+    )
+    ok = (F.col("n") >= 2) & (m2 > 0)
+    g1 = m3 / (F.sqrt(m2) * m2)
+    g2 = m4 / (m2 * m2) - 3
+    jb = n / 6.0 * (g1 * g1 + g2 * g2 / 4.0)
+    return agg.select(
+        group_col,
+        F.col("n").cast("long").alias("n"),
+        F.round(F.when(ok, g1), round_dp).alias("skewness"),
+        F.round(F.when(ok, g2), round_dp).alias("excess_kurtosis"),
+        F.round(F.when(ok, jb), round_dp).alias("jb_stat"),
+        F.round(F.when(ok, F.exp(-jb / 2.0)), round_dp).alias("p_value"),
+    )
+
+
+def bartlett_test(
+    df: DataFrame,
+    group_col: str,
+    value_col,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Bartlett's test for homogeneity of variances across k groups
+    (Bartlett 1937) — the parametric, normality-assuming sibling of
+    ``brown_forsythe`` (which is robust but less powerful when the
+    data IS normal):
+
+        T = [(N-k) ln(Sp^2) - sum (n_i - 1) ln(s_i^2)] / C
+        C = 1 + (sum 1/(n_i-1) - 1/(N-k)) / (3 (k-1))
+
+    with s_i^2 the SAMPLE group variances and Sp^2 their pooled
+    average. T ~ chi-square(k-1) under the null; the statistic and
+    df are emitted, not a p-value (no closed-form chi-square tail for
+    data-dependent df — the ``a24_chi_square`` / ``cramers_v``
+    convention).
+
+    Exactness: integer-grid contract; per-group sums are exact
+    decimals, s_i^2 = (n_i*S2 - S1^2)/(n_i*(n_i-1)) divides exact
+    integers once; the k-row reduction quantizes each ln/reciprocal
+    term to the 1e-9 grid before a decimal sum (order-free — the
+    ``g_test`` recipe), and ln hides under the >=6dp output round.
+    Groups with n_i < 2 or zero variance drop (k counts survivors).
+
+    Scale shape: ONE corpus aggregation to k rows, then a k-row
+    bounded reduction. Output one row: ``(k, n, t_stat, dof)`` —
+    NULL T when k < 2.
+    """
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    _require_integer_valued(df, v, "value")
+    c = v.cast("decimal(18,0)")
+    c2 = (c * c).cast("decimal(38,0)")
+    per = (
+        df.filter(v.isNotNull())
+        .groupBy(F.col(group_col).alias("__g"))
+        .agg(
+            F.count(F.lit(1)).alias("__ni"),
+            F.sum(c).alias("__s1"),
+            F.sum(c2).alias("__s2"),
+        )
+    )
+    ni = F.col("__ni").cast("double")
+    s1 = F.col("__s1").cast("double")
+    s2 = F.col("__s2").cast("double")
+    var_i = (ni * s2 - s1 * s1) / (ni * (ni - 1.0))
+    staged = per.filter(F.col("__ni") >= 2).select(
+        "__ni",
+        var_i.alias("__var"),
+    ).filter(F.col("__var") > 0)
+    q = lambda x: F.floor(x * 1e9 + 0.5).cast("decimal(38,0)")  # noqa: E731
+    agg = staged.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("__ni").alias("n"),
+        F.sum(q((ni - 1.0) * F.col("__var"))).alias("__qss"),
+        F.sum(q((ni - 1.0) * F.log("__var"))).alias("__qln"),
+        F.sum(q(1.0 / (ni - 1.0))).alias("__qinv"),
+    )
+    kk = F.col("k").cast("double")
+    nn = F.col("n").cast("double")
+    pooled = (F.col("__qss").cast("double") / 1e9) / (nn - kk)
+    num = (nn - kk) * F.log(pooled) - F.col("__qln").cast(
+        "double"
+    ) / 1e9
+    corr = 1.0 + (
+        F.col("__qinv").cast("double") / 1e9 - 1.0 / (nn - kk)
+    ) / (3.0 * (kk - 1.0))
+    ok = (F.col("k") >= 2) & (pooled > 0)
+    return agg.select(
+        F.col("k").cast("int").alias("k"),
+        F.col("n").cast("long").alias("n"),
+        F.round(F.when(ok, num / corr), round_dp).alias("t_stat"),
+        (F.col("k") - 1).cast("int").alias("dof"),
+    )
+
+
+def cohens_d(
+    df: DataFrame,
+    group_col: str,
+    value_col,
+    group_a,
+    group_b,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Cohen's d standardized mean difference with the Hedges' g
+    small-sample correction (Hedges 1981) — the EFFECT-SIZE companion
+    of ``welch_ttest`` (which answers "is there a difference", not
+    "how big"): d = (mean_a - mean_b) / s_pooled with the
+    (n-1)-weighted pooled SAMPLE standard deviation, g = J * d with
+    J = 1 - 3/(4*df - 1) (the standard rational approximation of the
+    exact gamma-ratio correction — deterministic algebra, identical
+    both engines), and a normal-approximation 95% CI on d via
+    SE = sqrt((n_a+n_b)/(n_a*n_b) + d^2/(2*df)).
+
+    Exactness: integer-grid contract; one corpus aggregation to exact
+    decimal sums per group (conditional aggregation, no join), every
+    downstream op a deterministic double expression shared with the
+    SQL oracle (sqrt is exactly rounded — no libm divergence).
+
+    Output one row: ``(n_a, n_b, mean_a, mean_b, pooled_sd, d,
+    hedges_g, ci_lo, ci_hi)`` — NULL d when either group has n < 2
+    or the pooled variance is 0.
+    """
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    _require_integer_valued(df, v, "value")
+    g = F.col(group_col)
+    c = v.cast("decimal(18,0)")
+    c2 = (c * c).cast("decimal(38,0)")
+    is_a, is_b = g == group_a, g == group_b
+    agg = df.filter(v.isNotNull() & (is_a | is_b)).agg(
+        F.count(F.when(is_a, F.lit(1))).alias("n_a"),
+        F.count(F.when(is_b, F.lit(1))).alias("n_b"),
+        F.sum(F.when(is_a, c)).cast("double").alias("__sa"),
+        F.sum(F.when(is_b, c)).cast("double").alias("__sb"),
+        F.sum(F.when(is_a, c2)).cast("double").alias("__qa"),
+        F.sum(F.when(is_b, c2)).cast("double").alias("__qb"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    ma, mb = F.col("__sa") / na, F.col("__sb") / nb
+    va = (na * F.col("__qa") - F.col("__sa") * F.col("__sa")) / (
+        na * (na - 1.0)
+    )
+    vb = (nb * F.col("__qb") - F.col("__sb") * F.col("__sb")) / (
+        nb * (nb - 1.0)
+    )
+    dof = na + nb - 2.0
+    pooled = F.sqrt(((na - 1.0) * va + (nb - 1.0) * vb) / dof)
+    ok = (F.col("n_a") >= 2) & (F.col("n_b") >= 2) & (pooled > 0)
+    d = (ma - mb) / pooled
+    jj = 1.0 - 3.0 / (4.0 * dof - 1.0)
+    se = F.sqrt((na + nb) / (na * nb) + d * d / (2.0 * dof))
+    z975 = 1.959963984540054
+    return agg.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(ma, round_dp).alias("mean_a"),
+        F.round(mb, round_dp).alias("mean_b"),
+        F.round(F.when(ok, pooled), round_dp).alias("pooled_sd"),
+        F.round(F.when(ok, d), round_dp).alias("d"),
+        F.round(F.when(ok, jj * d), round_dp).alias("hedges_g"),
+        F.round(F.when(ok, d - z975 * se), round_dp).alias("ci_lo"),
+        F.round(F.when(ok, d + z975 * se), round_dp).alias("ci_hi"),
+    )
+
+
+def ad_two_sample_exact(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    round_dp: int = 9,
+) -> DataFrame:
+    """Two-sample Anderson-Darling statistic (Pettitt 1976; the k=2
+    case of Scholz & Stephens 1987, right-continuous ECDF version
+    without the midrank tie adjustment, summed over the pooled
+    distinct-value grain excluding the last cell) — completing the
+    ECDF-distance trio: KS takes the worst gap, CvM integrates the
+    squared gap uniformly, AD re-weights it by 1/(B(N-B)) so the
+    TAILS count, where distribution shifts hide from both:
+
+        A^2 = (1/(n_a*n_b)) * sum_j l_j * D_j^2 / (B_j*(N-B_j))
+
+    with l_j the pooled count at value j, B_j the cumulative pooled
+    count, and D_j = n_b*cumA_j - n_a*cumB_j the SAME exact integer
+    cross-product gap as the KS/CvM recipe (both samples' terms
+    collapse onto D^2 algebraically, which is what makes the one-gap
+    form exact). Under H0, E[A^2] = 1.
+
+    Exactness and scale shape are the ``cvm_two_sample_exact``
+    contract verbatim: running counts via ``global_prefix_sums``
+    (the grain may be corpus-sized), D as an exactly-representable
+    double of an exact integer, each cell's term quantized to the
+    1e-9 grid before an order-free decimal sum.
+
+    Output one row: ``(n_a, n_b, a2_stat)`` — NULL when either
+    group is empty.
+    """
+    from icnarc_to_philips_linkage_spark.operators.scale import (
+        global_prefix_sums,
+    )
+
+    base = df.filter(
+        F.col(value_col).isNotNull()
+        & F.col(group_col).isin([group_a, group_b])
+    ).select(
+        (F.col(group_col) == group_a).alias("__is_a"),
+        F.col(value_col),
+    )
+    counts = base.groupBy(value_col).agg(
+        F.count(F.when(F.col("__is_a"), F.lit(1))).alias("__ca"),
+        F.count(F.when(~F.col("__is_a"), F.lit(1))).alias("__cb"),
+    )
+    staged, totals = global_prefix_sums(
+        counts, [value_col], ["__ca", "__cb"]
+    )
+    na, nb = totals["__ca"], totals["__cb"]
+    if na == 0 or nb == 0:
+        sess = df.sparkSession
+        return sess.createDataFrame(
+            [(na, nb, None)],
+            "n_a long, n_b long, a2_stat double",
+        )
+    nn = float(na + nb)
+    gap = (
+        F.col("cum___ca").cast("double") * float(nb)
+        - F.col("cum___cb").cast("double") * float(na)
+    )
+    bj = (F.col("cum___ca") + F.col("cum___cb")).cast("double")
+    lj = (F.col("__ca") + F.col("__cb")).cast("double")
+    term = lj * gap * gap / (bj * (nn - bj))
+    term_q = F.floor(term / (float(na) * float(nb)) * 1e9 + 0.5).cast(
+        "decimal(38,0)"
+    )
+    agg = staged.filter(
+        (F.col("cum___ca") + F.col("cum___cb")) < (na + nb)
+    ).agg(F.sum(term_q).alias("__qsum"))
+    return agg.select(
+        F.lit(na).cast("long").alias("n_a"),
+        F.lit(nb).cast("long").alias("n_b"),
+        F.round(
+            F.col("__qsum").cast("double") / 1e9, round_dp
+        ).alias("a2_stat"),
+    )

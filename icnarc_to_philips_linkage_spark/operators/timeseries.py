@@ -1908,3 +1908,252 @@ def cox_ph_single(
         "n_subjects long, n_events long, beta double,"
         " hazard_ratio double",
     )
+
+
+def durbin_watson(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    value_col,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-key Durbin-Watson statistic (Durbin & Watson 1950) for
+    lag-1 serial correlation in a time-ordered series — the
+    autocorrelation DIAGNOSTIC next to ``ljung_box``'s portmanteau
+    test: DW = sum (x_t - x_{t-1})^2 / sum (x_t - xbar)^2, ~2 when
+    successive deviations are uncorrelated, ->0 under positive and
+    ->4 under negative serial correlation. Computed on the mean-
+    centered series, for which the textbook OLS-residual form (a
+    regression on a constant) reduces exactly.
+
+    Exactness: integer-grid contract; both quadratic forms ride the
+    n-scaled integer identity — numerator sum of squared integer
+    lag diffs, denominator n*S2 - S1^2 — so DW = n*num/(n*S2 - S1^2)
+    divides exact decimals once (never accumulates centered floats,
+    the ``ljung_box`` discipline).
+
+    Scale shape: ONE per-key window (lag over the caller's total
+    order) + ONE hash aggregation. Output per key: ``(key, n,
+    dw_stat)`` — NULL when n < 2 or the series is constant.
+    """
+    from icnarc_to_philips_linkage_spark.operators.profile import (
+        _require_integer_valued,
+    )
+
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    _require_integer_valued(df, v, "value")
+    w = Window.partitionBy(key_col).orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    c = v.cast("decimal(18,0)")
+    staged = df.filter(v.isNotNull()).select(
+        F.col(key_col).alias("__k"),
+        c.alias("__c"),
+        (c - F.lag(c).over(w)).alias("__d"),
+    )
+    agg = staged.groupBy("__k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("__d") * F.col("__d")).cast("decimal(38,0)")).alias(
+            "__num"
+        ),
+        F.sum("__c").alias("__s1"),
+        F.sum((F.col("__c") * F.col("__c")).cast("decimal(38,0)")).alias(
+            "__s2"
+        ),
+    )
+    n = F.col("n").cast("decimal(38,0)")
+    den = (n * F.col("__s2") - F.col("__s1") * F.col("__s1")).cast(
+        "double"
+    )
+    ok = (F.col("n") >= 2) & (den > 0)
+    dw = (
+        F.col("n").cast("double") * F.col("__num").cast("double") / den
+    )
+    return agg.select(
+        F.col("__k").alias(key_col),
+        F.col("n").cast("long").alias("n"),
+        F.round(F.when(ok, dw), round_dp).alias("dw_stat"),
+    )
+
+
+def pettitt_test(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-key Pettitt change-point test (Pettitt 1979) — the
+    nonparametric "WHERE did the level shift" companion of
+    ``mann_kendall``'s "is there a trend": U_t = sum_{i<=t, j>t}
+    sgn(x_i - x_j), K = max_t |U_t| over the split points t=1..n-1,
+    with the closed-form approximate significance p = 2 exp(-6K^2 /
+    (n^3 + n^2)) (capped at 1 — no CDF table needed).
+
+    Rank identity (what makes one pass suffice): with tie-averaged
+    midranks r_i over the key's values, U_t = 2*sum_{i<=t} r_i -
+    t*(n+1). Midranks ride exact integer doubles (2r = 2*rank +
+    ties - 1), so every U_t is an exact integer; the argmax
+    tie-breaks to the EARLIEST split (min struct(-|U|, t) — a
+    deterministic single aggregation).
+
+    Scale shape: two windows on the SAME per-key partitioning (rank
+    by value, running sum by time) + one hash aggregation; values
+    need not be integers (only ranks enter the statistic).
+
+    Output per key: ``(key, n, k_stat, t_split, p_value)`` — the
+    split index t in 1..n-1 (change AFTER the t-th observation in
+    the caller's order); NULLs when n < 2.
+    """
+    wv = Window.partitionBy("__k").orderBy(F.col(value_col))
+    wt = (
+        Window.partitionBy("__k")
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy("__k", value_col)
+    staged = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            F.col(key_col).alias("__k"),
+            F.col(value_col),
+            *[F.col(c) for c in order_cols],
+        )
+        .withColumn(
+            "__r2",
+            (
+                2 * F.rank().over(wv)
+                + F.count(F.lit(1)).over(wn)
+                - 1
+            ).cast("long"),
+        )
+        .withColumn("__cum2", F.sum("__r2").over(wt))
+        .withColumn(
+            "__t",
+            F.row_number().over(
+                Window.partitionBy("__k").orderBy(
+                    *[F.col(c) for c in order_cols]
+                )
+            ),
+        )
+    )
+    nw = Window.partitionBy("__k")
+    staged = staged.withColumn("__n", F.count(F.lit(1)).over(nw))
+    u2 = F.col("__cum2") - F.col("__t").cast("long") * (
+        F.col("__n").cast("long") + 1
+    )
+    cand = staged.filter(F.col("__t") < F.col("__n")).select(
+        "__k",
+        "__n",
+        F.abs(u2).alias("__au2"),
+        F.col("__t").cast("long").alias("__ti"),
+    )
+    agg = cand.groupBy("__k").agg(
+        F.max("__n").alias("n"),
+        F.min(
+            F.struct(
+                (-F.col("__au2")).alias("nu"), F.col("__ti").alias("ti")
+            )
+        ).alias("__best"),
+    )
+    n = F.col("n").cast("double")
+    k2 = (-F.col("__best.nu")).cast("double")
+    p = F.least(
+        F.lit(1.0), 2.0 * F.exp(-6.0 * k2 * k2 / (n * n * n + n * n))
+    )
+    return agg.select(
+        F.col("__k").alias(key_col),
+        F.col("n").cast("long").alias("n"),
+        F.round(k2, round_dp).alias("k_stat"),
+        F.col("__best.ti").alias("t_split"),
+        F.round(p, round_dp).alias("p_value"),
+    )
+
+
+def harrell_c_index(
+    df: DataFrame,
+    time_col: str,
+    event_col: str,
+    score_col: str,
+    round_dp: int = 9,
+) -> DataFrame:
+    """Harrell's concordance index (Harrell et al. 1982) for a risk
+    score against censored survival times — the survival-analysis
+    AUC, and the discrimination companion of ``cox_ph_single``
+    (whose linear predictor is the canonical score): over textbook
+    comparable pairs (t_i < t_j AND the earlier subject's event was
+    OBSERVED — tied times are not comparable), a pair is concordant
+    when the earlier-failing subject has the HIGHER risk score; score
+    ties count 1/2:
+
+        C = (n_conc + 0.5 * n_tied) / (n_conc + n_disc + n_tied)
+
+    Scale shape: the ``kendall_tau_b`` cell-grid contract — the
+    corpus collapses to the (time, event, score) CELL GRID in one
+    aggregation (bounded: day-grain durations x binary event x the
+    caller's score grid), and every pair count comes from ONE
+    broadcast self-join over that bounded grid (cell_a strictly
+    earlier AND observed vs cell_b later counts c_a*c_b pairs
+    exactly once) — never a corpus pair join. Counts are exact
+    decimals; one final division.
+
+    Output one row: ``(n_comparable, n_concordant, n_discordant,
+    n_tied_score, c_index)`` — NULL C when no pair is comparable.
+    """
+    cells = (
+        df.filter(
+            F.col(time_col).isNotNull()
+            & F.col(event_col).isNotNull()
+            & F.col(score_col).isNotNull()
+        )
+        .groupBy(
+            F.col(time_col).alias("__t"),
+            F.col(event_col).cast("int").alias("__e"),
+            F.col(score_col).alias("__s"),
+        )
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    a = cells.filter(F.col("__e") == 1).select(
+        F.col("__t").alias("__ta"),
+        F.col("__s").alias("__sa"),
+        F.col("__c").alias("__ca"),
+    )
+    b = cells.select(
+        F.col("__t").alias("__tb"),
+        F.col("__s").alias("__sb"),
+        F.col("__c").alias("__cb"),
+    )
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    pairs = a.join(F.broadcast(b), F.col("__ta") < F.col("__tb")).agg(
+        F.sum(
+            F.when(F.col("__sa") > F.col("__sb"), d("__ca") * d("__cb"))
+            .otherwise(F.lit(0).cast("decimal(38,0)"))
+        ).alias("__conc"),
+        F.sum(
+            F.when(F.col("__sa") < F.col("__sb"), d("__ca") * d("__cb"))
+            .otherwise(F.lit(0).cast("decimal(38,0)"))
+        ).alias("__disc"),
+        F.sum(
+            F.when(F.col("__sa") == F.col("__sb"), d("__ca") * d("__cb"))
+            .otherwise(F.lit(0).cast("decimal(38,0)"))
+        ).alias("__tied"),
+    )
+    z = F.lit(0).cast("decimal(38,0)")
+    conc = F.coalesce(F.col("__conc"), z)
+    disc = F.coalesce(F.col("__disc"), z)
+    tied = F.coalesce(F.col("__tied"), z)
+    tot = conc + disc + tied
+    return pairs.select(
+        tot.cast("long").alias("n_comparable"),
+        conc.cast("long").alias("n_concordant"),
+        disc.cast("long").alias("n_discordant"),
+        tied.cast("long").alias("n_tied_score"),
+        F.round(
+            F.when(
+                tot > 0,
+                (2 * conc + tied).cast("double")
+                / (2 * tot).cast("double"),
+            ),
+            round_dp,
+        ).alias("c_index"),
+    )

@@ -7571,3 +7571,13 @@ QUERIES: dict[str, tuple] = {
     "sketch_bloom_fpr": (sketch_bloom_fpr, _bloom_fpr_sql()),
     "sample_temperature_mix": (sample_temperature_mix, TEMP_MIX_SQL),
 }
+
+
+# These two probe queries lazily BUILD the shared per-sf persisted
+# IVF-PQ warehouse table behind a tableExists memo (_pq_index) — two
+# concurrent probes of the same sf both miss the memo and race the
+# overwrite write. Everything else in this module is side-effect-free
+# per call (plain dict memos recompute the same value idempotently).
+EXCLUSIVE: frozenset[str] = frozenset(
+    {"sim_pq_index_probe", "sim_pq_index_probe2"}
+)

@@ -25,3 +25,15 @@ def all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], s
                 raise ValueError(f"duplicate query name: {name}")
             out[name] = pair
     return out
+
+
+def exclusive_queries() -> frozenset[str]:
+    """Names whose callables touch PROCESS-GLOBAL named state —
+    fixed-name temp views (the sql surface) or memo-guarded persisted
+    warehouse tables (the PQ index probes). Concurrent runners must
+    execute these serially; everything else is safe to interleave on
+    one SparkSession."""
+    out: set[str] = set()
+    for mod in _MODULES:
+        out |= getattr(mod, "EXCLUSIVE", frozenset())
+    return frozenset(out)

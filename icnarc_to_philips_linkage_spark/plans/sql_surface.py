@@ -378,3 +378,10 @@ QUERIES: dict[str, tuple] = {
     "s2_pivot_wide": (s2_pivot_wide, S2_PIVOT_SQL),
     "u2_unpivot_melt": (u2_unpivot_melt, U2_UNPIVOT_SQL),
 }
+
+# Every _sql() query registers the FIXED-NAME temp views (tables.py
+# register_views) and materializes lazily afterwards — two of these
+# in flight for different sf dirs clobber each other's views. The
+# pivot/unpivot DataFrame queries also call register_views-free load()
+# only, but s2/u2 share QUERIES for simplicity of the exclusion set.
+EXCLUSIVE: frozenset[str] = frozenset(QUERIES)

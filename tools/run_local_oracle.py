@@ -165,24 +165,39 @@ def main() -> int:
     results: dict[str, dict] = {}
     t0 = time.time()
 
-    def record(name: str, res: dict[str, dict]) -> None:
+    def record(name: str, res: dict[str, dict], clear: bool = True) -> None:
         results[name] = res
-        # cache hygiene: eviction is always safe (an unpersisted block
-        # recomputes from lineage), so clearing under concurrency can
-        # only cost recomputation, never correctness
-        spark.catalog.clearCache()
+        # cache hygiene between SERIAL queries only: clearCache()
+        # removes blocks outright (memory AND disk), which kills any
+        # in-flight query that localCheckpoint'd — checkpoints truncate
+        # lineage, so an evicted block has nothing to recompute from
+        # (this failed 13 queries in the first threaded sweep).
+        if clear:
+            spark.catalog.clearCache()
         status = all(
             r.get("hash", r.get("rows", False)) for r in res.values()
         )
         print(f"{'ok ' if status else 'FAIL'} {name}", flush=True)
 
+    from icnarc_to_philips_linkage_spark.plans.registry import (
+        exclusive_queries,
+    )
+
+    exclusive = exclusive_queries()
     if args.jobs > 1:
         from concurrent.futures import ThreadPoolExecutor, as_completed
 
+        pooled = [n for n in names if n not in exclusive]
+        serial = [n for n in names if n in exclusive]
         with ThreadPoolExecutor(max_workers=args.jobs) as ex:
-            futs = {ex.submit(run_one, n): n for n in names}
+            futs = {ex.submit(run_one, n): n for n in pooled}
             for fut in as_completed(futs):
-                record(futs[fut], fut.result())
+                record(futs[fut], fut.result(), clear=False)
+        spark.catalog.clearCache()
+        # queries touching process-global named state (temp views,
+        # warehouse index tables) run alone, after the pool drains
+        for name in serial:
+            record(name, run_one(name))
     else:
         for name in names:
             record(name, run_one(name))
