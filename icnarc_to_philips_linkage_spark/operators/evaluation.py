@@ -3257,6 +3257,10 @@ def cronbach_alpha(
             F.col(unit_col).alias("__u"), F.col(item_col).alias("__i")
         )
         .agg(F.sum(v.cast("decimal(18,0)")).alias("__v"))
+        # three consumers (global k, per-unit totals, per-item
+        # variances) would each re-scan the corpus; pin the (unit,
+        # item) grain once — the global_prefix_sums discipline
+        .localCheckpoint(eager=True)
     )
     kk = cell.agg(
         F.countDistinct("__i").cast("long").alias("__k")

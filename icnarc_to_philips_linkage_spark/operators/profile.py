@@ -3614,7 +3614,13 @@ def bartlett_test(
         "__ni",
         var_i.alias("__var"),
     ).filter(F.col("__var") > 0)
-    q = lambda x: F.floor(x * 1e9 + 0.5).cast("decimal(38,0)")  # noqa: E731
+    # F.floor on a DOUBLE returns LONG, which the (n_i-1)*var*1e9
+    # terms overflow (~4e19 at sf0.01) — route through decimal so the
+    # floor happens in decimal space; the double value itself is
+    # identical to DuckDB's FLOOR(double)->HUGEINT path.
+    q = lambda x: F.floor(  # noqa: E731
+        (x * 1e9 + 0.5).cast("decimal(38,6)")
+    ).cast("decimal(38,0)")
     agg = staged.agg(
         F.count(F.lit(1)).alias("k"),
         F.sum("__ni").alias("n"),

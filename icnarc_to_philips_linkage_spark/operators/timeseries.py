@@ -1942,14 +1942,21 @@ def durbin_watson(
 
     v = F.col(value_col) if isinstance(value_col, str) else value_col
     _require_integer_valued(df, v, "value")
-    w = Window.partitionBy(key_col).orderBy(
+    # alias the key BEFORE the window so the downstream groupBy sees
+    # the window's hash partitioning on the same attribute and reuses
+    # it (one exchange total, the pettitt_test shape)
+    base = df.filter(v.isNotNull()).select(
+        F.col(key_col).alias("__k"),
+        v.cast("decimal(18,0)").alias("__c"),
+        *[F.col(c) for c in order_cols],
+    )
+    w = Window.partitionBy("__k").orderBy(
         *[F.col(c) for c in order_cols]
     )
-    c = v.cast("decimal(18,0)")
-    staged = df.filter(v.isNotNull()).select(
-        F.col(key_col).alias("__k"),
-        c.alias("__c"),
-        (c - F.lag(c).over(w)).alias("__d"),
+    staged = base.select(
+        "__k",
+        "__c",
+        (F.col("__c") - F.lag("__c").over(w)).alias("__d"),
     )
     agg = staged.groupBy("__k").agg(
         F.count(F.lit(1)).alias("n"),

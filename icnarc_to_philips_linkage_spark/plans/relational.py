@@ -8627,6 +8627,538 @@ SELECT * FROM (
     )
 
 
+
+
+def a49_jarque_bera(spark: SparkSession, sf: str) -> DataFrame:
+    """Jarque-Bera normality test (profile.jarque_bera) per return
+    flag on exact price-cent power sums — the hypothesis-test twin of
+    a23_grouped_moments (same moment algebra; JB's chi2(2) tail is
+    CLOSED FORM, p = exp(-JB/2), so no CDF approximation enters)."""
+    l = load(spark, sf, "lineitem")
+    return profile.jarque_bera(
+        l.select(
+            "l_returnflag",
+            (F.col("l_extendedprice") * 100)
+            .cast("decimal(18,0)")
+            .alias("cents"),
+        ),
+        "l_returnflag",
+        "cents",
+    )
+
+
+A49_SQL = """
+WITH sums AS (
+  SELECT l_returnflag, COUNT(*) AS n,
+         CAST(SUM(c) AS DOUBLE) AS s1,
+         CAST(SUM(c*c) AS DOUBLE) AS s2,
+         CAST(SUM(c*c*c) AS DOUBLE) AS s3,
+         CAST(SUM(c*c*c*c) AS DOUBLE) AS s4
+  FROM (SELECT l_returnflag,
+               CAST(l_extendedprice * 100 AS HUGEINT) AS c
+        FROM lineitem WHERE l_extendedprice IS NOT NULL)
+  GROUP BY l_returnflag
+),
+mom AS (
+  SELECT l_returnflag, n,
+         s2/n - (s1/n)*(s1/n) AS m2,
+         (s3/n - 3*(s1/n)*(s2/n) + 2*(s1/n)*(s1/n)*(s1/n))
+           / (SQRT(s2/n - (s1/n)*(s1/n))
+              * (s2/n - (s1/n)*(s1/n))) AS g1,
+         (s4/n - 4*(s1/n)*(s3/n) + 6*(s1/n)*(s1/n)*(s2/n)
+          - 3*(s1/n)*(s1/n)*(s1/n)*(s1/n))
+           / ((s2/n - (s1/n)*(s1/n)) * (s2/n - (s1/n)*(s1/n))) - 3
+           AS g2
+  FROM sums
+)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+  ROUND(CASE WHEN n >= 2 AND m2 > 0 THEN g1 END, 6) AS skewness,
+  ROUND(CASE WHEN n >= 2 AND m2 > 0 THEN g2 END, 6)
+    AS excess_kurtosis,
+  ROUND(CASE WHEN n >= 2 AND m2 > 0 THEN
+    n/6.0 * (g1*g1 + g2*g2/4.0) END, 6) AS jb_stat,
+  ROUND(CASE WHEN n >= 2 AND m2 > 0 THEN
+    EXP(-(n/6.0 * (g1*g1 + g2*g2/4.0))/2.0) END, 6) AS p_value
+FROM mom
+"""
+
+
+def a50_bartlett(spark: SparkSession, sf: str) -> DataFrame:
+    """Bartlett variance-homogeneity test (profile.bartlett_test)
+    of quantity cents across the return-flag groups — the parametric
+    sibling of a36_brown_forsythe on the same decomposition; k-row
+    ln terms quantize to the 1e-9 grid before the order-free sum."""
+    l = load(spark, sf, "lineitem")
+    return profile.bartlett_test(
+        l.select(
+            "l_returnflag",
+            (F.col("l_quantity") * 100)
+            .cast("decimal(18,0)")
+            .alias("cents"),
+        ),
+        "l_returnflag",
+        "cents",
+    )
+
+
+A50_SQL = """
+WITH per AS (
+  SELECT l_returnflag, COUNT(*) AS ni,
+         CAST(SUM(c) AS DOUBLE) AS s1,
+         CAST(SUM(c*c) AS DOUBLE) AS s2
+  FROM (SELECT l_returnflag,
+               CAST(l_quantity * 100 AS HUGEINT) AS c
+        FROM lineitem WHERE l_quantity IS NOT NULL)
+  GROUP BY l_returnflag
+),
+st AS (
+  SELECT ni, (ni*s2 - s1*s1) / (ni*(ni-1.0)) AS var
+  FROM per WHERE ni >= 2
+),
+st2 AS (SELECT * FROM st WHERE var > 0),
+agg AS (
+  SELECT COUNT(*) AS k, SUM(ni) AS n,
+    SUM(CAST(FLOOR((ni-1.0)*var * 1e9 + 0.5) AS HUGEINT)) AS qss,
+    SUM(CAST(FLOOR((ni-1.0)*LN(var) * 1e9 + 0.5) AS HUGEINT)) AS qln,
+    SUM(CAST(FLOOR(1.0/(ni-1.0) * 1e9 + 0.5) AS HUGEINT)) AS qinv
+  FROM st2
+)
+SELECT CAST(k AS INT) AS k, CAST(n AS BIGINT) AS n,
+  ROUND(CASE WHEN k >= 2
+               AND (CAST(qss AS DOUBLE)/1e9)
+                   / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)) > 0 THEN
+    ((CAST(n AS DOUBLE) - CAST(k AS DOUBLE))
+       * LN((CAST(qss AS DOUBLE)/1e9)
+            / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)))
+     - CAST(qln AS DOUBLE)/1e9)
+    / (1.0 + (CAST(qinv AS DOUBLE)/1e9
+              - 1.0/(CAST(n AS DOUBLE) - CAST(k AS DOUBLE)))
+             / (3.0*(CAST(k AS DOUBLE) - 1.0)))
+  END, 6) AS t_stat,
+  CAST(k - 1 AS INT) AS dof
+FROM agg
+"""
+
+
+def a51_cohens_d(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohen's d / Hedges' g effect size (profile.cohens_d) for
+    urgent- vs low-priority order totals — the magnitude companion
+    of a30_welch_ttest's significance on the same conditional-sum
+    recipe (one aggregation, no join)."""
+    o = load(spark, sf, "orders")
+    return profile.cohens_d(
+        o.select(
+            "o_orderpriority",
+            (F.col("o_totalprice") * 100)
+            .cast("decimal(18,0)")
+            .alias("cents"),
+        ),
+        "o_orderpriority",
+        "cents",
+        "1-URGENT",
+        "5-LOW",
+    )
+
+
+A51_SQL = """
+WITH agg AS (
+  SELECT
+    COUNT(*) FILTER (WHERE g = '1-URGENT') AS n_a,
+    COUNT(*) FILTER (WHERE g = '5-LOW') AS n_b,
+    CAST(SUM(c) FILTER (WHERE g = '1-URGENT') AS DOUBLE) AS sa,
+    CAST(SUM(c) FILTER (WHERE g = '5-LOW') AS DOUBLE) AS sb,
+    CAST(SUM(c*c) FILTER (WHERE g = '1-URGENT') AS DOUBLE) AS qa,
+    CAST(SUM(c*c) FILTER (WHERE g = '5-LOW') AS DOUBLE) AS qb
+  FROM (SELECT o_orderpriority AS g,
+               CAST(o_totalprice * 100 AS HUGEINT) AS c
+        FROM orders WHERE o_totalprice IS NOT NULL
+          AND o_orderpriority IN ('1-URGENT', '5-LOW'))
+),
+m AS (
+  SELECT n_a, n_b, sa/n_a AS ma, sb/n_b AS mb,
+    (n_a*qa - sa*sa) / (n_a*(n_a-1.0)) AS va,
+    (n_b*qb - sb*sb) / (n_b*(n_b-1.0)) AS vb,
+    CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 2.0 AS dof
+  FROM agg
+),
+p AS (
+  SELECT n_a, n_b, ma, mb, dof,
+    SQRT(((n_a-1.0)*va + (n_b-1.0)*vb) / dof) AS pooled
+  FROM m
+),
+d AS (
+  SELECT n_a, n_b, ma, mb, dof, pooled,
+    (n_a >= 2 AND n_b >= 2 AND pooled > 0) AS ok,
+    (ma - mb) / pooled AS dd,
+    1.0 - 3.0/(4.0*dof - 1.0) AS jj
+  FROM p
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+  ROUND(ma, 6) AS mean_a, ROUND(mb, 6) AS mean_b,
+  ROUND(CASE WHEN ok THEN pooled END, 6) AS pooled_sd,
+  ROUND(CASE WHEN ok THEN dd END, 6) AS d,
+  ROUND(CASE WHEN ok THEN jj * dd END, 6) AS hedges_g,
+  ROUND(CASE WHEN ok THEN
+    dd - 1.959963984540054
+         * SQRT((n_a + n_b)/(CAST(n_a AS DOUBLE)*CAST(n_b AS DOUBLE))
+                + dd*dd/(2.0*dof)) END, 6) AS ci_lo,
+  ROUND(CASE WHEN ok THEN
+    dd + 1.959963984540054
+         * SQRT((n_a + n_b)/(CAST(n_a AS DOUBLE)*CAST(n_b AS DOUBLE))
+                + dd*dd/(2.0*dof)) END, 6) AS ci_hi
+FROM d
+"""
+
+
+def a52_ad_two_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Anderson-Darling two-sample statistic
+    (profile.ad_two_sample_exact) between returned and delivered
+    line prices — the tail-weighted third of the ECDF trio next to
+    a35_ks_exact and a45_cvm_exact, on the SAME pooled grain and
+    exact integer gap D."""
+    l = load(spark, sf, "lineitem")
+    return profile.ad_two_sample_exact(
+        l, "l_returnflag", "l_extendedprice", "R", "N"
+    )
+
+
+A52_SQL = """
+WITH base AS (
+  SELECT (l_returnflag = 'R') AS is_a, l_extendedprice AS v
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_returnflag IN ('R', 'N')
+),
+counts AS (
+  SELECT v, COUNT(*) FILTER (WHERE is_a) AS ca,
+         COUNT(*) FILTER (WHERE NOT is_a) AS cb
+  FROM base GROUP BY v
+),
+tot AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM counts),
+staged AS (
+  SELECT v, ca, cb,
+         SUM(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cca,
+         SUM(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS ccb
+  FROM counts
+),
+terms AS (
+  SELECT CAST(FLOOR(
+    ((CAST(ca + cb AS DOUBLE)
+      * (CAST(cca AS DOUBLE) * CAST(nb AS DOUBLE)
+         - CAST(ccb AS DOUBLE) * CAST(na AS DOUBLE)))
+     * (CAST(cca AS DOUBLE) * CAST(nb AS DOUBLE)
+        - CAST(ccb AS DOUBLE) * CAST(na AS DOUBLE)))
+    / (CAST(cca + ccb AS DOUBLE)
+       * ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+          - CAST(cca + ccb AS DOUBLE)))
+    / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) * 1e9 + 0.5)
+    AS HUGEINT) AS tq
+  FROM staged CROSS JOIN tot
+  WHERE (cca + ccb) < (na + nb)
+),
+agg AS (SELECT SUM(tq) AS qsum FROM terms)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+  ROUND(CAST(qsum AS DOUBLE) / 1e9, 9) AS a2_stat
+FROM agg CROSS JOIN tot
+"""
+
+
+def ts_durbin_watson(spark: SparkSession, sf: str) -> DataFrame:
+    """Durbin-Watson lag-1 serial-correlation statistic
+    (timeseries.durbin_watson) per user over the time-ordered event
+    value stream (cent grid) — the diagnostic twin of ts_ljung_box
+    on the same exact-integer quadratic-form discipline."""
+    from icnarc_to_philips_linkage_spark.operators.timeseries import (
+        durbin_watson,
+    )
+
+    e = load(spark, sf, "events")
+    q = e.filter(
+        F.col("value").isNotNull() & F.col("user_id").isNotNull()
+    ).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 100 + 0.5).alias("cents"),
+    )
+    return durbin_watson(q, "user_id", ["ts", "event_id"], "cents")
+
+
+TS_DW_SQL = """
+WITH q AS (
+  SELECT user_id, ts, event_id,
+         CAST(FLOOR(value * 100 + 0.5) AS HUGEINT) AS c
+  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+),
+d AS (
+  SELECT user_id, c,
+         c - LAG(c) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS dd
+  FROM q
+),
+agg AS (
+  SELECT user_id, COUNT(*) AS n, SUM(dd*dd) AS num,
+         SUM(c) AS s1, SUM(c*c) AS s2
+  FROM d GROUP BY user_id
+)
+SELECT user_id, CAST(n AS BIGINT) AS n,
+  ROUND(CASE WHEN n >= 2 AND CAST(n*s2 - s1*s1 AS DOUBLE) > 0 THEN
+    CAST(n AS DOUBLE) * CAST(num AS DOUBLE)
+      / CAST(n*s2 - s1*s1 AS DOUBLE) END, 6) AS dw_stat
+FROM agg
+"""
+
+
+def ts_pettitt_change(spark: SparkSession, sf: str) -> DataFrame:
+    """Pettitt change-point test (timeseries.pettitt_test) per user
+    over the time-ordered value stream — WHERE does each user's
+    spending level shift, with the closed-form significance
+    p = 2 exp(-6K^2/(n^3+n^2)); midranks ride exact integers."""
+    from icnarc_to_philips_linkage_spark.operators.timeseries import (
+        pettitt_test,
+    )
+
+    e = load(spark, sf, "events")
+    q = e.filter(
+        F.col("value").isNotNull() & F.col("user_id").isNotNull()
+    ).select("user_id", "ts", "event_id", "value")
+    return pettitt_test(q, "user_id", ["ts", "event_id"], "value")
+
+
+TS_PETTITT_SQL = """
+WITH base AS (
+  SELECT user_id, ts, event_id, value
+  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+),
+r AS (
+  SELECT user_id, ts, event_id,
+         2*RANK() OVER (PARTITION BY user_id ORDER BY value)
+           + COUNT(*) OVER (PARTITION BY user_id, value) - 1 AS r2
+  FROM base
+),
+s AS (
+  SELECT user_id,
+         SUM(r2) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS cum2,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS t,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM r
+),
+cand AS (
+  SELECT user_id, n, ABS(cum2 - t*(n+1)) AS au2, t
+  FROM s WHERE t < n
+),
+best AS (
+  SELECT user_id, n, au2, t
+  FROM cand
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                             ORDER BY au2 DESC, t) = 1
+)
+SELECT user_id, CAST(n AS BIGINT) AS n,
+  ROUND(CAST(au2 AS DOUBLE), 6) AS k_stat,
+  CAST(t AS BIGINT) AS t_split,
+  ROUND(LEAST(1.0,
+    2.0 * EXP(-6.0 * CAST(au2 AS DOUBLE) * CAST(au2 AS DOUBLE)
+              / (CAST(n AS DOUBLE)*CAST(n AS DOUBLE)*CAST(n AS DOUBLE)
+                 + CAST(n AS DOUBLE)*CAST(n AS DOUBLE)))), 6)
+    AS p_value
+FROM best
+"""
+
+
+def ts_harrell_c(spark: SparkSession, sf: str) -> DataFrame:
+    """Harrell's C-index (timeseries.harrell_c_index) — does a
+    user's activity level (event count) predict WHEN their first-
+    to-last span ends in a purchase, on the same censored spans as
+    ts_kaplan_meier/ts_cox_ph; kendall_tau_b cell-grid pair counts,
+    never a corpus pair join."""
+    from icnarc_to_philips_linkage_spark.operators.timeseries import (
+        harrell_c_index,
+    )
+
+    e = load(spark, sf, "events")
+    spans = (
+        e.filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.datediff(
+                F.max(F.date_trunc("day", "ts")),
+                F.min(F.date_trunc("day", "ts")),
+            ).alias("duration"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("observed"),
+            F.count(F.lit(1)).alias("score"),
+        )
+    )
+    return harrell_c_index(spans, "duration", "observed", "score")
+
+
+TS_HARRELL_SQL = """
+WITH spans AS (
+  SELECT user_id,
+         date_diff('day', MIN(date_trunc('day', ts)),
+                   MAX(date_trunc('day', ts))) AS t,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS e,
+         COUNT(*) AS s
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+  GROUP BY user_id
+),
+cells AS (
+  SELECT t, e, s, COUNT(*) AS c FROM spans
+  WHERE t IS NOT NULL AND e IS NOT NULL AND s IS NOT NULL
+  GROUP BY t, e, s
+),
+p AS (
+  SELECT
+    COALESCE(SUM(CASE WHEN a.s > b.s THEN
+      CAST(a.c AS HUGEINT) * CAST(b.c AS HUGEINT) ELSE 0 END), 0)
+      AS conc,
+    COALESCE(SUM(CASE WHEN a.s < b.s THEN
+      CAST(a.c AS HUGEINT) * CAST(b.c AS HUGEINT) ELSE 0 END), 0)
+      AS disc,
+    COALESCE(SUM(CASE WHEN a.s = b.s THEN
+      CAST(a.c AS HUGEINT) * CAST(b.c AS HUGEINT) ELSE 0 END), 0)
+      AS tied
+  FROM cells a JOIN cells b ON a.e = 1 AND a.t < b.t
+)
+SELECT CAST(conc + disc + tied AS BIGINT) AS n_comparable,
+  CAST(conc AS BIGINT) AS n_concordant,
+  CAST(disc AS BIGINT) AS n_discordant,
+  CAST(tied AS BIGINT) AS n_tied_score,
+  ROUND(CASE WHEN (conc + disc + tied) > 0 THEN
+    CAST(2*conc + tied AS DOUBLE)
+      / CAST(2*(conc + disc + tied) AS DOUBLE) END, 9) AS c_index
+FROM p
+"""
+
+
+def eval_lin_ccc(spark: SparkSession, sf: str) -> DataFrame:
+    """Lin's concordance correlation (evaluation.lin_ccc) between
+    each line's realized discounted price and the flat-5% -discount
+    counterfactual (the eval_perm_paired pairing, cent grid) —
+    "same number", not merely "covary": r is ~1 here, CCC is not."""
+    from icnarc_to_philips_linkage_spark.operators.evaluation import (
+        lin_ccc,
+    )
+
+    l = load(spark, sf, "lineitem")
+    q = l.select(
+        F.floor(
+            (
+                F.col("l_extendedprice")
+                * (F.lit(1.0) - F.col("l_discount"))
+            )
+            * 100
+            + 0.5
+        ).alias("x"),
+        F.floor(
+            (F.col("l_extendedprice") * F.lit(0.95)) * 100 + 0.5
+        ).alias("y"),
+    )
+    return lin_ccc(q, "x", "y")
+
+
+EVAL_LIN_CCC_SQL = """
+WITH q AS (
+  SELECT CAST(FLOOR((l_extendedprice * (1.0 - l_discount)) * 100
+              + 0.5) AS HUGEINT) AS x,
+         CAST(FLOOR((l_extendedprice * 0.95) * 100 + 0.5) AS HUGEINT)
+           AS y
+  FROM lineitem
+),
+agg AS (
+  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x*x) AS sxx, SUM(y*y) AS syy, SUM(x*y) AS sxy
+  FROM q
+),
+m AS (
+  SELECT n, sx, sy,
+    CAST(n*sxy - sx*sy AS DOUBLE) AS cov2,
+    CAST(n*sxx - sx*sx AS DOUBLE) AS vx2,
+    CAST(n*syy - sy*sy AS DOUBLE) AS vy2,
+    CAST(sx - sy AS DOUBLE) AS dm
+  FROM agg
+)
+SELECT CAST(n AS BIGINT) AS n,
+  ROUND(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_x,
+  ROUND(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_y,
+  ROUND(CASE WHEN n >= 2 AND vx2 > 0 AND vy2 > 0 THEN
+    cov2 / SQRT(vx2 * vy2) END, 6) AS pearson_r,
+  ROUND(CASE WHEN n >= 2 AND vx2 + vy2 + dm * dm > 0 THEN
+    2.0 * cov2 / (vx2 + vy2 + dm * dm) END, 6) AS ccc
+FROM m
+"""
+
+
+def eval_cronbach_alpha(spark: SparkSession, sf: str) -> DataFrame:
+    """Cronbach's alpha (evaluation.cronbach_alpha) over the user x
+    event-type spending battery (cent totals as item scores,
+    listwise-complete users) — do the five event types measure one
+    engagement construct; no pivot, no collect."""
+    from icnarc_to_philips_linkage_spark.operators.evaluation import (
+        cronbach_alpha,
+    )
+
+    e = load(spark, sf, "events")
+    q = e.filter(
+        F.col("value").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+    ).select(
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).alias("cents"),
+    )
+    return cronbach_alpha(q, "user_id", "event_type", "cents")
+
+
+EVAL_CRONBACH_SQL = """
+WITH cell AS (
+  SELECT user_id AS u, event_type AS i,
+         SUM(CAST(FLOOR(value * 100 + 0.5) AS HUGEINT)) AS v
+  FROM events
+  WHERE value IS NOT NULL AND user_id IS NOT NULL
+    AND event_type IS NOT NULL
+  GROUP BY user_id, event_type
+),
+kk AS (SELECT COUNT(DISTINCT i) AS k FROM cell),
+pu AS (SELECT u, COUNT(*) AS ni, SUM(v) AS tot FROM cell GROUP BY u),
+complete AS (
+  SELECT pu.u, pu.tot, kk.k FROM pu CROSS JOIN kk WHERE pu.ni = kk.k
+),
+tv AS (
+  SELECT MAX(k) AS k, COUNT(*) AS n_units,
+         SUM(tot) AS s1, SUM(tot*tot) AS s2
+  FROM complete
+),
+ivp AS (
+  SELECT i, COUNT(*) AS n, SUM(v) AS is1, SUM(v*v) AS is2
+  FROM cell WHERE u IN (SELECT u FROM complete)
+  GROUP BY i
+),
+iv AS (
+  SELECT SUM(CAST(FLOOR(
+    (CAST(n*is2 - is1*is1 AS DOUBLE)
+     / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+    * 1e9 + 0.5) AS HUGEINT)) AS qiv
+  FROM ivp
+)
+SELECT CAST(k AS INT) AS k, CAST(n_units AS BIGINT) AS n_units,
+  ROUND(CASE WHEN k >= 2 AND n_units >= 2
+    AND CAST(n_units*s2 - s1*s1 AS DOUBLE)
+        / (CAST(n_units AS DOUBLE)
+           * (CAST(n_units AS DOUBLE) - 1.0)) > 0 THEN
+    CAST(k AS DOUBLE) / (CAST(k AS DOUBLE) - 1.0)
+      * (1.0 - (CAST(qiv AS DOUBLE)/1e9)
+               / (CAST(n_units*s2 - s1*s1 AS DOUBLE)
+                  / (CAST(n_units AS DOUBLE)
+                     * (CAST(n_units AS DOUBLE) - 1.0))))
+  END, 6) AS alpha
+FROM tv CROSS JOIN iv
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "report_key_skew": (report_key_skew, KEY_SKEW_SQL),
     "report_column_profile": (report_column_profile, _column_profile_sql()),
@@ -8813,4 +9345,13 @@ QUERIES: dict[str, tuple] = {
     "priv_k_anonymity": (priv_k_anonymity, PRIV_K_ANON_SQL),
     "ts_mann_kendall": (ts_mann_kendall, TS_MANN_KENDALL_SQL),
     "ts_theil_sen": (ts_theil_sen, TS_THEIL_SEN_SQL),
+    "a49_jarque_bera": (a49_jarque_bera, A49_SQL),
+    "a50_bartlett": (a50_bartlett, A50_SQL),
+    "a51_cohens_d": (a51_cohens_d, A51_SQL),
+    "a52_ad_two_sample": (a52_ad_two_sample, A52_SQL),
+    "ts_durbin_watson": (ts_durbin_watson, TS_DW_SQL),
+    "ts_pettitt_change": (ts_pettitt_change, TS_PETTITT_SQL),
+    "ts_harrell_c": (ts_harrell_c, TS_HARRELL_SQL),
+    "eval_lin_ccc": (eval_lin_ccc, EVAL_LIN_CCC_SQL),
+    "eval_cronbach_alpha": (eval_cronbach_alpha, EVAL_CRONBACH_SQL),
 }
