@@ -3324,3 +3324,102 @@ def cronbach_alpha(
             F.when(ok, kd / (kd - 1.0) * (1.0 - siv / tv)), round_dp
         ).alias("alpha"),
     )
+
+
+def icc_oneway(
+    df: DataFrame,
+    unit_col: str,
+    item_col: str,
+    value_col,
+    round_dp: int = 6,
+) -> DataFrame:
+    """One-way random-effects intraclass correlation ICC(1,1)
+    (Shrout & Fleiss 1979, case 1) over the same LONG (unit, item,
+    value) battery as ``cronbach_alpha``: how much of the score
+    variance is BETWEEN units rather than within —
+
+        ICC = (MSB - MSW) / (MSB + (k-1) * MSW)
+
+    with MSB = SSB/(n-1), MSW = SSW/(n(k-1)) from the one-way ANOVA
+    decomposition over listwise-complete units (every unit scored by
+    all k globally observed items; k by count, not pivot).
+
+    Exactness: integer-grid contract; SSB = (k*St2 - G^2/n)/k^2...
+    computed as St2/k - G*G/(n*k) and SSW = Sq - St2/k off THREE
+    exact decimal sums (G = grand total, St2 = sum of squared unit
+    totals, Sq = sum of squared values) — single corpus aggregation
+    to the (unit, item) grain (localCheckpoint-pinned, the
+    cronbach_alpha shape), then unit-grain algebra in fixed double
+    expressions shared with the SQL oracle.
+
+    Output one row: ``(k, n_units, msb, msw, icc)`` — NULL when
+    k < 2, fewer than 2 complete units, or the denominator is 0.
+    """
+    from icnarc_to_philips_linkage_spark.operators.profile import (
+        _require_integer_valued,
+    )
+
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    _require_integer_valued(df, v, "value")
+    cell = (
+        df.filter(
+            v.isNotNull()
+            & F.col(unit_col).isNotNull()
+            & F.col(item_col).isNotNull()
+        )
+        .groupBy(
+            F.col(unit_col).alias("__u"), F.col(item_col).alias("__i")
+        )
+        .agg(
+            F.sum(v.cast("decimal(18,0)")).alias("__v"),
+            F.sum(
+                (v.cast("decimal(18,0)") * v.cast("decimal(18,0)"))
+                .cast("decimal(38,0)")
+            ).alias("__vq"),
+            F.count(F.lit(1)).alias("__c"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    kk = cell.agg(F.countDistinct("__i").cast("long").alias("__k"))
+    per_unit = cell.groupBy("__u").agg(
+        F.count(F.lit(1)).alias("__ni"),
+        F.sum("__c").alias("__nobs"),
+        F.sum("__v").cast("decimal(38,0)").alias("__tot"),
+        F.sum("__vq").alias("__sq"),
+    )
+    complete = per_unit.join(
+        F.broadcast(kk),
+        (F.col("__ni") == F.col("__k"))
+        & (F.col("__nobs") == F.col("__k")),
+    )
+    agg = complete.agg(
+        F.max("__k").alias("k"),
+        F.count(F.lit(1)).alias("n_units"),
+        F.sum("__tot").alias("__g"),
+        F.sum(
+            (F.col("__tot") * F.col("__tot")).cast("decimal(38,0)")
+        ).alias("__st2"),
+        F.sum("__sq").alias("__sqq"),
+    )
+    kd = F.col("k").cast("double")
+    nd = F.col("n_units").cast("double")
+    g = F.col("__g").cast("double")
+    st2 = F.col("__st2").cast("double")
+    sq = F.col("__sqq").cast("double")
+    ssb = st2 / kd - g * g / (nd * kd)
+    ssw = sq - st2 / kd
+    msb = ssb / (nd - 1.0)
+    msw = ssw / (nd * (kd - 1.0))
+    den = msb + (kd - 1.0) * msw
+    ok = (
+        (F.col("k") >= 2)
+        & (F.col("n_units") >= 2)
+        & (den != 0)
+    )
+    return agg.select(
+        F.col("k").cast("int").alias("k"),
+        F.col("n_units").cast("long").alias("n_units"),
+        F.round(F.when(ok, msb), round_dp).alias("msb"),
+        F.round(F.when(ok, msw), round_dp).alias("msw"),
+        F.round(F.when(ok, (msb - msw) / den), round_dp).alias("icc"),
+    )

@@ -2164,3 +2164,115 @@ def harrell_c_index(
             round_dp,
         ).alias("c_index"),
     )
+
+
+def granger_lag1(
+    df: DataFrame,
+    time_col: str,
+    y_col,
+    x_col,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Lag-1 Granger causality F-test (Granger 1969): does x's past
+    improve the prediction of y beyond y's own past? Unrestricted
+    OLS y_t ~ (1, y_{t-1}, x_{t-1}) against restricted y_t ~
+    (1, y_{t-1}); F = (RSS_r - RSS_u) / (RSS_u / (n - 3)) with 1
+    restriction. The statistic and dfs are emitted, not a p-value
+    (no closed-form F tail — the ``a24_chi_square`` convention).
+
+    The input frame is ONE ROW PER TIME STEP on a DRIVER-BOUNDED
+    grain (hourly/daily rollups — the ``roc_auc`` bounded-window
+    precedent), so the lag rides ``bounded_global_window``; gaps in
+    the observed grain lag across (observed-grain contract, the
+    caller owns regularization via ``resample_ffill``).
+
+    Exactness: integer-grid contract on y and x; BOTH regressions
+    solve their normal equations in CLOSED FORM (Cramer's rule for
+    the 3x3, the ``a20_group_linreg`` 2x2 identity for the nested
+    model) off ONE aggregation of exact decimal cross-moments; every
+    determinant/RSS is a fixed double expression shared with the SQL
+    oracle. RSS via the normal-equation identity RSS = Syy - b'X'y.
+
+    Output one row: ``(n, b_y1, b_x1, rss_r, rss_u, f_stat, df2)``
+    — NULLs when n < 4, a determinant is 0, or RSS_u <= 0.
+    """
+    from icnarc_to_philips_linkage_spark.operators.profile import (
+        _require_integer_valued,
+    )
+    from icnarc_to_philips_linkage_spark.operators.scale import (
+        bounded_global_window,
+    )
+
+    y = F.col(y_col) if isinstance(y_col, str) else y_col
+    x = F.col(x_col) if isinstance(x_col, str) else x_col
+    _require_integer_valued(df, y, "y")
+    _require_integer_valued(df, x, "x")
+    w = bounded_global_window(time_col, time_col)
+    d = lambda c: c.cast("decimal(18,0)")  # noqa: E731
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    staged = (
+        df.select(
+            F.col(time_col),
+            d(y).alias("__y"),
+            d(x).alias("__x"),
+        )
+        .select(
+            "__y",
+            F.lag("__y").over(w).alias("__y1"),
+            F.lag("__x").over(w).alias("__x1"),
+        )
+        .filter(F.col("__y1").isNotNull() & F.col("__x1").isNotNull())
+    )
+    c = lambda a, b: F.sum(d38(F.col(a) * F.col(b)))  # noqa: E731
+    agg = staged.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__y").cast("double").alias("sy"),
+        F.sum("__y1").cast("double").alias("sy1"),
+        F.sum("__x1").cast("double").alias("sx1"),
+        c("__y", "__y").cast("double").alias("syy"),
+        c("__y1", "__y1").cast("double").alias("sy1y1"),
+        c("__x1", "__x1").cast("double").alias("sx1x1"),
+        c("__y", "__y1").cast("double").alias("syy1"),
+        c("__y", "__x1").cast("double").alias("syx1"),
+        c("__y1", "__x1").cast("double").alias("sy1x1"),
+    )
+    n = F.col("n").cast("double")
+    sy, sy1, sx1 = F.col("sy"), F.col("sy1"), F.col("sx1")
+    syy, syy1, syx1 = F.col("syy"), F.col("syy1"), F.col("syx1")
+    sy1y1, sx1x1, sy1x1 = (
+        F.col("sy1y1"),
+        F.col("sx1x1"),
+        F.col("sy1x1"),
+    )
+
+    def det3(a, b, cc, dd, e, f, g, h, i):
+        return (
+            a * (e * i - f * h) - b * (dd * i - f * g)
+            + cc * (dd * h - e * g)
+        )
+
+    det = det3(n, sy1, sx1, sy1, sy1y1, sy1x1, sx1, sy1x1, sx1x1)
+    b0 = det3(sy, sy1, sx1, syy1, sy1y1, sy1x1, syx1, sy1x1, sx1x1) / det
+    b1 = det3(n, sy, sx1, sy1, syy1, sy1x1, sx1, syx1, sx1x1) / det
+    b2 = det3(n, sy1, sy, sy1, sy1y1, syy1, sx1, sy1x1, syx1) / det
+    rss_u = syy - (b0 * sy + b1 * syy1 + b2 * syx1)
+    d2 = n * sy1y1 - sy1 * sy1
+    b0r = (sy * sy1y1 - sy1 * syy1) / d2
+    b1r = (n * syy1 - sy1 * sy) / d2
+    rss_r = syy - (b0r * sy + b1r * syy1)
+    fstat = (rss_r - rss_u) / (rss_u / (n - 3.0))
+    ok = (
+        (F.col("n") >= 4)
+        & (det != 0)
+        & (d2 != 0)
+        & (rss_u > 0)
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(F.when(ok, b1), round_dp).alias("b_y1"),
+        F.round(F.when(ok, b2), round_dp).alias("b_x1"),
+        F.round(F.when(ok, rss_r), round_dp).alias("rss_r"),
+        F.round(F.when(ok, rss_u), round_dp).alias("rss_u"),
+        F.round(F.when(ok, fstat), round_dp).alias("f_stat"),
+        F.when(ok, (F.col("n") - 3).cast("long")).alias("df2"),
+    )

@@ -9159,6 +9159,194 @@ FROM tv CROSS JOIN iv
 """
 
 
+
+
+def ts_granger_lag1(spark: SparkSession, sf: str) -> DataFrame:
+    """Lag-1 Granger causality (timeseries.granger_lag1): does the
+    hourly click count improve next-hour purchase-count prediction
+    beyond purchases' own past? Hour-grain rollup (driver-bounded,
+    the roc_auc window precedent), then ONE aggregation to exact
+    cross-moments and closed-form Cramer OLS both models."""
+    from icnarc_to_philips_linkage_spark.operators.timeseries import (
+        granger_lag1,
+    )
+
+    e = load(spark, sf, "events")
+    hourly = (
+        e.filter(F.col("ts").isNotNull())
+        .groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(
+            F.count(
+                F.when(F.col("event_type") == "purchase", F.lit(1))
+            ).alias("y"),
+            F.count(
+                F.when(F.col("event_type") == "click", F.lit(1))
+            ).alias("x"),
+        )
+    )
+    return granger_lag1(hourly, "h", "y", "x")
+
+
+def _granger_sql() -> str:
+    """Oracle: identical hour rollup, lag pair, exact HUGEINT
+    cross-moments, and the SAME det3/RSS double expression tree."""
+
+    def det3(a, b, c, d, e, f, g, h, i):
+        return (
+            f"({a} * ({e} * {i} - {f} * {h}) - {b} * ({d} * {i} - {f}"
+            f" * {g}) + {c} * ({d} * {h} - {e} * {g}))"
+        )
+
+    n, sy, sy1, sx1 = "n", "sy", "sy1", "sx1"
+    syy, syy1, syx1 = "syy", "syy1", "syx1"
+    sy1y1, sx1x1, sy1x1 = "sy1y1", "sx1x1", "sy1x1"
+    det = det3(n, sy1, sx1, sy1, sy1y1, sy1x1, sx1, sy1x1, sx1x1)
+    b0 = (
+        det3(sy, sy1, sx1, syy1, sy1y1, sy1x1, syx1, sy1x1, sx1x1)
+        + " / det"
+    )
+    b1 = (
+        det3(n, sy, sx1, sy1, syy1, sy1x1, sx1, syx1, sx1x1)
+        + " / det"
+    )
+    b2 = (
+        det3(n, sy1, sy, sy1, sy1y1, syy1, sx1, sy1x1, syx1)
+        + " / det"
+    )
+    return f"""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h,
+         COUNT(*) FILTER (WHERE event_type = 'purchase') AS y,
+         COUNT(*) FILTER (WHERE event_type = 'click') AS x
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY date_trunc('hour', ts)
+),
+lagged AS (
+  SELECT CAST(y AS HUGEINT) AS y,
+         LAG(CAST(y AS HUGEINT)) OVER (ORDER BY h) AS y1,
+         LAG(CAST(x AS HUGEINT)) OVER (ORDER BY h) AS x1
+  FROM hourly
+),
+pairs AS (
+  SELECT * FROM lagged WHERE y1 IS NOT NULL AND x1 IS NOT NULL
+),
+sums AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(y1) AS DOUBLE) AS sy1,
+         CAST(SUM(x1) AS DOUBLE) AS sx1,
+         CAST(SUM(y*y) AS DOUBLE) AS syy,
+         CAST(SUM(y1*y1) AS DOUBLE) AS sy1y1,
+         CAST(SUM(x1*x1) AS DOUBLE) AS sx1x1,
+         CAST(SUM(y*y1) AS DOUBLE) AS syy1,
+         CAST(SUM(y*x1) AS DOUBLE) AS syx1,
+         CAST(SUM(y1*x1) AS DOUBLE) AS sy1x1
+  FROM pairs
+),
+dets AS (
+  SELECT *, {det} AS det, (n * sy1y1 - sy1 * sy1) AS d2 FROM sums
+),
+beta AS (
+  SELECT *, {b0} AS b0, {b1} AS b1, {b2} AS b2,
+         (sy * sy1y1 - sy1 * syy1) / d2 AS b0r,
+         (n * syy1 - sy1 * sy) / d2 AS b1r
+  FROM dets
+),
+rss AS (
+  SELECT *,
+         syy - (b0 * sy + b1 * syy1 + b2 * syx1) AS rss_u,
+         syy - (b0r * sy + b1r * syy1) AS rss_r
+  FROM beta
+),
+fin AS (
+  SELECT *,
+    (n >= 4 AND det <> 0 AND d2 <> 0 AND rss_u > 0) AS ok
+  FROM rss
+)
+SELECT CAST(n AS BIGINT) AS n,
+  ROUND(CASE WHEN ok THEN b1 END, 6) AS b_y1,
+  ROUND(CASE WHEN ok THEN b2 END, 6) AS b_x1,
+  ROUND(CASE WHEN ok THEN rss_r END, 6) AS rss_r,
+  ROUND(CASE WHEN ok THEN rss_u END, 6) AS rss_u,
+  ROUND(CASE WHEN ok THEN
+    (rss_r - rss_u) / (rss_u / (n - 3.0)) END, 6) AS f_stat,
+  CASE WHEN ok THEN CAST(n AS BIGINT) - 3 END AS df2
+FROM fin
+"""
+
+
+def eval_icc_oneway(spark: SparkSession, sf: str) -> DataFrame:
+    """ICC(1,1) intraclass correlation (evaluation.icc_oneway) over
+    the user x event-type spend battery — one observation per cell
+    (the per-type cent total), the same battery as
+    eval_cronbach_alpha viewed through the one-way ANOVA lens."""
+    from icnarc_to_philips_linkage_spark.operators.evaluation import (
+        icc_oneway,
+    )
+
+    e = load(spark, sf, "events")
+    cell = (
+        e.filter(
+            F.col("value").isNotNull()
+            & F.col("user_id").isNotNull()
+            & F.col("event_type").isNotNull()
+        )
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + 0.5)).alias("cents")
+        )
+    )
+    return icc_oneway(cell, "user_id", "event_type", "cents")
+
+
+EVAL_ICC_SQL = """
+WITH cell AS (
+  SELECT user_id AS u, event_type AS i,
+         SUM(CAST(FLOOR(value * 100 + 0.5) AS HUGEINT)) AS v
+  FROM events
+  WHERE value IS NOT NULL AND user_id IS NOT NULL
+    AND event_type IS NOT NULL
+  GROUP BY user_id, event_type
+),
+kk AS (SELECT COUNT(DISTINCT i) AS k FROM cell),
+pu AS (
+  SELECT u, COUNT(*) AS ni, SUM(v) AS tot, SUM(v*v) AS sq
+  FROM cell GROUP BY u
+),
+complete AS (
+  SELECT pu.tot, pu.sq, kk.k FROM pu CROSS JOIN kk
+  WHERE pu.ni = kk.k
+),
+agg AS (
+  SELECT MAX(k) AS k, COUNT(*) AS n_units, SUM(tot) AS g,
+         SUM(tot*tot) AS st2, SUM(sq) AS sqq
+  FROM complete
+),
+m AS (
+  SELECT k, n_units,
+    (CAST(st2 AS DOUBLE) / CAST(k AS DOUBLE)
+     - CAST(g AS DOUBLE) * CAST(g AS DOUBLE)
+       / (CAST(n_units AS DOUBLE) * CAST(k AS DOUBLE)))
+      / (CAST(n_units AS DOUBLE) - 1.0) AS msb,
+    (CAST(sqq AS DOUBLE) - CAST(st2 AS DOUBLE) / CAST(k AS DOUBLE))
+      / (CAST(n_units AS DOUBLE) * (CAST(k AS DOUBLE) - 1.0)) AS msw
+  FROM agg
+),
+fin AS (
+  SELECT *,
+    (k >= 2 AND n_units >= 2
+     AND msb + (CAST(k AS DOUBLE) - 1.0) * msw <> 0) AS ok
+  FROM m
+)
+SELECT CAST(k AS INT) AS k, CAST(n_units AS BIGINT) AS n_units,
+  ROUND(CASE WHEN ok THEN msb END, 6) AS msb,
+  ROUND(CASE WHEN ok THEN msw END, 6) AS msw,
+  ROUND(CASE WHEN ok THEN (msb - msw)
+    / (msb + (CAST(k AS DOUBLE) - 1.0) * msw) END, 6) AS icc
+FROM fin
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "report_key_skew": (report_key_skew, KEY_SKEW_SQL),
     "report_column_profile": (report_column_profile, _column_profile_sql()),
@@ -9354,4 +9542,6 @@ QUERIES: dict[str, tuple] = {
     "ts_harrell_c": (ts_harrell_c, TS_HARRELL_SQL),
     "eval_lin_ccc": (eval_lin_ccc, EVAL_LIN_CCC_SQL),
     "eval_cronbach_alpha": (eval_cronbach_alpha, EVAL_CRONBACH_SQL),
+    "ts_granger_lag1": (ts_granger_lag1, _granger_sql()),
+    "eval_icc_oneway": (eval_icc_oneway, EVAL_ICC_SQL),
 }

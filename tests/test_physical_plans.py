@@ -587,3 +587,72 @@ def test_runs_segmented_window_partitions_by_key_and_segment(spark):
     fn, _ = all_queries()["a46b_runs_segmented"]
     plan = plan_of(fn(spark, SF_SMOKE))
     assert "__seg" in plan and "Window" in plan, plan
+
+
+def test_r12b_single_aggregation_moment_ops(spark):
+    """Jarque-Bera / Cohen's d / AD two-sample / Lin's CCC collapse
+    the corpus in ONE aggregation (or one prefix-sum range exchange)
+    — no joins, no windows over corpus grains."""
+    for name in (
+        "a49_jarque_bera",
+        "a51_cohens_d",
+        "eval_lin_ccc",
+    ):
+        fn, _ = all_queries()[name]
+        plan = plan_of(fn(spark, SF_SMOKE))
+        assert "Join" not in plan, f"{name}:\n{plan}"
+        assert plan.count("Exchange") <= 1, f"{name}:\n{plan}"
+
+
+def test_r12b_durbin_watson_one_exchange(spark):
+    """The per-key lag window and the per-key aggregation must share
+    ONE hash exchange (the alias-before-window discipline)."""
+    fn, _ = all_queries()["ts_durbin_watson"]
+    plan = plan_of(fn(spark, SF_SMOKE))
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_r12b_pettitt_windows_share_one_exchange(spark):
+    """All four per-key windows (value rank, tie count, time cumsum,
+    row number) plus the final aggregation ride ONE key exchange."""
+    fn, _ = all_queries()["ts_pettitt_change"]
+    plan = plan_of(fn(spark, SF_SMOKE))
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_r12b_harrell_c_grid_join_is_broadcast(spark):
+    """Pair counts come from a broadcast self-join over the bounded
+    (time, event, score) cell grid — never a corpus SortMergeJoin."""
+    fn, _ = all_queries()["ts_harrell_c"]
+    plan = plan_of(fn(spark, SF_SMOKE))
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_r12b_cronbach_checkpoints_cell_grain(spark):
+    """The (unit, item) cell grain is localCheckpoint-pinned so its
+    three consumers read the checkpoint instead of re-scanning the
+    corpus (Scan ExistingRDD, no parquet scan in the final plan)."""
+    fn, _ = all_queries()["eval_cronbach_alpha"]
+    plan = plan_of(fn(spark, SF_SMOKE))
+    assert "Scan ExistingRDD" in plan, plan
+    assert "Scan parquet" not in plan, plan
+
+
+def test_r12b_granger_one_corpus_exchange(spark):
+    """The hourly rollup is the only corpus shuffle; the bounded lag
+    window and the moment aggregation ride the rollup's grain (no
+    joins anywhere — both OLS solves are closed-form expressions)."""
+    fn, _ = all_queries()["ts_granger_lag1"]
+    plan = plan_of(fn(spark, SF_SMOKE))
+    assert "Join" not in plan, plan
+
+
+def test_r12b_icc_checkpoints_cell_grain(spark):
+    """Same contract as cronbach: the (unit, item) grain is pinned
+    once; no parquet re-scan above the checkpoint."""
+    fn, _ = all_queries()["eval_icc_oneway"]
+    plan = plan_of(fn(spark, SF_SMOKE))
+    assert "Scan ExistingRDD" in plan, plan
+    assert "Scan parquet" not in plan, plan

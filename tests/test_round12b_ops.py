@@ -446,3 +446,160 @@ def test_cronbach_alpha_duplicate_observations_sum(spark):
     df = spark.createDataFrame(rows, "u string, i string, v long")
     r = cronbach_alpha(df, "u", "i", "v").collect()[0]
     assert r.alpha == pytest.approx(104.0 / 107.0, abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# granger_lag1
+# ---------------------------------------------------------------------------
+
+
+def _granger_replay(ys, xs):
+    """Pure-Python float replay of the operator's fixed expression
+    tree (exact integer sums -> Cramer's rule -> RSS identity)."""
+    pairs = [
+        (ys[t], ys[t - 1], xs[t - 1]) for t in range(1, len(ys))
+    ]
+    n = float(len(pairs))
+    sy = float(sum(p[0] for p in pairs))
+    sy1 = float(sum(p[1] for p in pairs))
+    sx1 = float(sum(p[2] for p in pairs))
+    syy = float(sum(p[0] * p[0] for p in pairs))
+    sy1y1 = float(sum(p[1] * p[1] for p in pairs))
+    sx1x1 = float(sum(p[2] * p[2] for p in pairs))
+    syy1 = float(sum(p[0] * p[1] for p in pairs))
+    syx1 = float(sum(p[0] * p[2] for p in pairs))
+    sy1x1 = float(sum(p[1] * p[2] for p in pairs))
+
+    def det3(a, b, c, d, e, f, g, h, i):
+        return a * (e * i - f * h) - b * (d * i - f * g) + c * (
+            d * h - e * g
+        )
+
+    det = det3(n, sy1, sx1, sy1, sy1y1, sy1x1, sx1, sy1x1, sx1x1)
+    b0 = det3(sy, sy1, sx1, syy1, sy1y1, sy1x1, syx1, sy1x1, sx1x1) / det
+    b1 = det3(n, sy, sx1, sy1, syy1, sy1x1, sx1, syx1, sx1x1) / det
+    b2 = det3(n, sy1, sy, sy1, sy1y1, syy1, sx1, sy1x1, syx1) / det
+    rss_u = syy - (b0 * sy + b1 * syy1 + b2 * syx1)
+    d2 = n * sy1y1 - sy1 * sy1
+    b0r = (sy * sy1y1 - sy1 * syy1) / d2
+    b1r = (n * syy1 - sy1 * sy) / d2
+    rss_r = syy - (b0r * sy + b1r * syy1)
+    fstat = (rss_r - rss_u) / (rss_u / (n - 3.0))
+
+    def r6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6 if x >= 0 else -(
+            math.floor(-x * 1e6 + 0.5) / 1e6
+        )
+
+    return {
+        "n": int(n), "b_y1": r6(b1), "b_x1": r6(b2),
+        "rss_r": r6(rss_r), "rss_u": r6(rss_u), "f_stat": r6(fstat),
+    }
+
+
+def test_granger_lag1_matches_python_replay(spark):
+    from icnarc_to_philips_linkage_spark.operators.timeseries import (
+        granger_lag1,
+    )
+
+    xs = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3]
+    ys = [2, 7, 1, 8, 2, 8, 1, 8, 2, 8]
+    df = spark.createDataFrame(
+        [(t, ys[t], xs[t]) for t in range(10)],
+        "t int, y long, x long",
+    )
+    r = granger_lag1(df, "t", "y", "x").collect()[0]
+    want = _granger_replay(ys, xs)
+    assert r.n == want["n"]
+    for k in ("b_y1", "b_x1", "rss_r", "rss_u", "f_stat"):
+        assert getattr(r, k) == pytest.approx(want[k], abs=2e-6), k
+    assert r.df2 == want["n"] - 3
+
+
+def test_granger_lag1_informative_x_raises_f(spark):
+    from icnarc_to_philips_linkage_spark.operators.timeseries import (
+        granger_lag1,
+    )
+
+    # y_t tracks x_{t-1} with a small wobble: x's past is informative
+    xs = [1, 5, 2, 6, 1, 5, 2, 6, 1, 5, 2, 6]
+    ys = [0] + [xs[t - 1] + (t % 2) for t in range(1, 12)]
+    df = spark.createDataFrame(
+        [(t, ys[t], xs[t]) for t in range(12)],
+        "t int, y long, x long",
+    )
+    r = granger_lag1(df, "t", "y", "x").collect()[0]
+    assert r.f_stat is not None and r.f_stat > 10.0
+    assert r.rss_u < r.rss_r
+
+
+def test_granger_lag1_constant_y_null(spark):
+    from icnarc_to_philips_linkage_spark.operators.timeseries import (
+        granger_lag1,
+    )
+
+    df = spark.createDataFrame(
+        [(t, 7, t % 3) for t in range(10)], "t int, y long, x long"
+    )
+    r = granger_lag1(df, "t", "y", "x").collect()[0]
+    assert r.f_stat is None  # rss_u = 0: nothing left to explain
+
+
+# ---------------------------------------------------------------------------
+# icc_oneway
+# ---------------------------------------------------------------------------
+
+
+def test_icc_oneway_hand_computed(spark):
+    from icnarc_to_philips_linkage_spark.operators.evaluation import (
+        icc_oneway,
+    )
+
+    rows = [
+        ("u1", "i1", 1), ("u1", "i2", 2),
+        ("u2", "i1", 2), ("u2", "i2", 3),
+        ("u3", "i1", 3), ("u3", "i2", 4),
+        ("u4", "i1", 4), ("u4", "i2", 6),
+    ]
+    df = spark.createDataFrame(rows, "u string, i string, v long")
+    r = icc_oneway(df, "u", "i", "v").collect()[0]
+    # SSB = 183/2 - 625/8 = 13.375, SSW = 95 - 91.5 = 3.5
+    # MSB = 13.375/3, MSW = 3.5/4 -> ICC = 0.671875
+    assert r.k == 2 and r.n_units == 4
+    assert r.msb == pytest.approx(13.375 / 3.0, abs=1e-6)
+    assert r.msw == pytest.approx(0.875, abs=1e-9)
+    assert r.icc == pytest.approx(0.671875, abs=1e-6)
+
+
+def test_icc_oneway_no_within_variance(spark):
+    from icnarc_to_philips_linkage_spark.operators.evaluation import (
+        icc_oneway,
+    )
+
+    rows = [
+        (u, i, v)
+        for u, v in (("a", 1), ("b", 5), ("c", 9))
+        for i in ("i1", "i2", "i3")
+    ]
+    df = spark.createDataFrame(rows, "u string, i string, v long")
+    r = icc_oneway(df, "u", "i", "v").collect()[0]
+    assert r.msw == 0.0 and r.icc == pytest.approx(1.0)
+
+
+def test_icc_oneway_drops_incomplete_and_duplicated_units(spark):
+    from icnarc_to_philips_linkage_spark.operators.evaluation import (
+        icc_oneway,
+    )
+
+    rows = [
+        ("u1", "i1", 1), ("u1", "i2", 2),
+        ("u2", "i1", 2), ("u2", "i2", 3),
+        ("u3", "i1", 3), ("u3", "i2", 4),
+        ("u4", "i1", 4), ("u4", "i2", 6),
+        ("u5", "i1", 9),                     # incomplete
+        ("u6", "i1", 1), ("u6", "i1", 2), ("u6", "i2", 3),  # duplicate
+    ]
+    df = spark.createDataFrame(rows, "u string, i string, v long")
+    r = icc_oneway(df, "u", "i", "v").collect()[0]
+    assert r.n_units == 4
+    assert r.icc == pytest.approx(0.671875, abs=1e-6)
