@@ -3794,3 +3794,115 @@ def ad_two_sample_exact(
             F.col("__qsum").cast("double") / 1e9, round_dp
         ).alias("a2_stat"),
     )
+
+
+def ansari_bradley(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Ansari-Bradley two-sample SCALE test (Ansari & Bradley 1960)
+    — the dispersion alternative beside the location family
+    (``mann_whitney`` shifts, ``mood_median`` medians): score each
+    pooled rank from BOTH ends, a(i) = min(i, N+1-i), so a sample
+    concentrated in the middle scores HIGH and one spread into the
+    tails scores LOW; AB = sum of sample A's (midrank-tied) scores,
+
+        z = (AB - m*TS/N) / sqrt(m*n*(SSq - TS^2/N) / (N*(N-1)))
+
+    the exact conditional null moments GIVEN the tie pattern (TS =
+    sum of all scores, SSq = sum of squared midrank scores).
+
+    Exactness: the pooled distinct-value grain with running counts
+    via ``global_prefix_sums`` (the KS/CvM recipe); each cell's rank
+    interval (lo, hi] has CLOSED-FORM integer score sums — with
+    c = floor((N+1)/2) and T(x) = x(x+1)/2 (exact long halving via
+    shiftright; ranks are bounded by N so x(x+1) fits a long to
+    N ~ 3e9), S = [T(min(hi,c)) - T(min(lo,c))] + [(N+1)*(hi - g) -
+    (T(hi) - T(g))] for g = max(lo,c) when hi > c. Tied cells share
+    the midrank score S/l, so the AB and SSq contributions are
+    ca*S/l and S*S/l — quantized to the 1e-9 grid before order-free
+    decimal sums; TS rides exactly as an integer.
+
+    Output one row: ``(n_a, n_b, ab_stat, z, p_value)`` — NULL z
+    when either group is empty or the variance is 0 (all values
+    tied). Two-sided p via the shared A&S normal tail.
+    """
+    from icnarc_to_philips_linkage_spark.operators.evaluation import (
+        normal_sf_approx,
+    )
+    from icnarc_to_philips_linkage_spark.operators.scale import (
+        global_prefix_sums,
+    )
+
+    base = df.filter(
+        F.col(value_col).isNotNull()
+        & F.col(group_col).isin([group_a, group_b])
+    ).select(
+        (F.col(group_col) == group_a).alias("__is_a"),
+        F.col(value_col),
+    )
+    counts = base.groupBy(value_col).agg(
+        F.count(F.when(F.col("__is_a"), F.lit(1))).alias("__ca"),
+        F.count(F.when(~F.col("__is_a"), F.lit(1))).alias("__cb"),
+    )
+    staged, totals = global_prefix_sums(
+        counts, [value_col], ["__ca", "__cb"]
+    )
+    na, nb = totals["__ca"], totals["__cb"]
+    sess = df.sparkSession
+    if na == 0 or nb == 0:
+        return sess.createDataFrame(
+            [(na, nb, None, None, None)],
+            "n_a long, n_b long, ab_stat double, z double, "
+            "p_value double",
+        )
+    nn = na + nb
+    c = (nn + 1) // 2
+
+    def tri(x):
+        return F.shiftright(x * (x + 1), 1)
+
+    hi = (F.col("cum___ca") + F.col("cum___cb")).cast("long")
+    lj = (F.col("__ca") + F.col("__cb")).cast("long")
+    lo = hi - lj
+    part1 = tri(F.least(hi, F.lit(c))) - tri(F.least(lo, F.lit(c)))
+    g = F.greatest(lo, F.lit(c))
+    part2 = F.when(
+        hi > c,
+        F.lit(nn + 1) * (hi - g) - (tri(hi) - tri(g)),
+    ).otherwise(F.lit(0))
+    s = (part1 + part2).cast("double")
+    ld = lj.cast("double")
+    q = lambda x: F.floor(  # noqa: E731
+        (x * 1e9 + 0.5).cast("decimal(38,6)")
+    ).cast("decimal(38,0)")
+    agg = staged.agg(
+        F.sum(q(F.col("__ca").cast("double") * s / ld)).alias("__qab"),
+        F.sum(q(s * s / ld)).alias("__qss"),
+    )
+    m, n_, nd = float(na), float(nb), float(nn)
+    # TS = sum of all scores is a pure integer function of N:
+    # N even -> N(N+2)/4, N odd -> (N+1)^2/4
+    ts = (
+        nn * (nn + 2) // 4 if nn % 2 == 0 else (nn + 1) * (nn + 1) // 4
+    )
+    ab = F.col("__qab").cast("double") / 1e9
+    ssq = F.col("__qss").cast("double") / 1e9
+    mean = m * float(ts) / nd
+    var = m * n_ * (ssq - float(ts) * float(ts) / nd) / (
+        nd * (nd - 1.0)
+    )
+    zz = F.when(var > 0, (ab - mean) / F.sqrt(var))
+    return agg.select(
+        F.lit(na).cast("long").alias("n_a"),
+        F.lit(nb).cast("long").alias("n_b"),
+        F.round(ab, round_dp).alias("ab_stat"),
+        F.round(zz, round_dp).alias("z"),
+        F.round(
+            F.lit(2.0) * normal_sf_approx(F.abs(zz)), round_dp
+        ).alias("p_value"),
+    )

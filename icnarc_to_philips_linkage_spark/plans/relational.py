@@ -9347,6 +9347,102 @@ FROM fin
 """
 
 
+
+
+def a53_ansari_bradley(spark: SparkSession, sf: str) -> DataFrame:
+    """Ansari-Bradley scale test (profile.ansari_bradley) between
+    returned and delivered line prices — the DISPERSION alternative
+    completing the rank family on the a35/a45/a52 pooled grain: do
+    returned prices spread differently, not shift differently."""
+    l = load(spark, sf, "lineitem")
+    return profile.ansari_bradley(
+        l, "l_returnflag", "l_extendedprice", "R", "N"
+    )
+
+
+def _ansari_sql() -> str:
+    from icnarc_to_philips_linkage_spark.operators.evaluation import (
+        normal_sf_sql,
+    )
+
+    zz = (
+        "((CAST(qab AS DOUBLE)/1e9 - CAST(na AS DOUBLE) * ts / nn)"
+        " / SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)"
+        " * (CAST(qss AS DOUBLE)/1e9 - ts * ts / nn)"
+        " / (nn * (nn - 1.0))))"
+    )
+    return f"""
+WITH base AS (
+  SELECT (l_returnflag = 'R') AS is_a, l_extendedprice AS v
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_returnflag IN ('R', 'N')
+),
+counts AS (
+  SELECT v, COUNT(*) FILTER (WHERE is_a) AS ca,
+         COUNT(*) FILTER (WHERE NOT is_a) AS cb
+  FROM base GROUP BY v
+),
+tot AS (
+  SELECT SUM(ca) AS na, SUM(cb) AS nb,
+         (SUM(ca) + SUM(cb) + 1) // 2 AS c,
+         SUM(ca) + SUM(cb) AS nt
+  FROM counts
+),
+staged AS (
+  SELECT v, ca, cb,
+         SUM(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cca,
+         SUM(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS ccb
+  FROM counts
+),
+sc AS (
+  SELECT ca, ca + cb AS l,
+    (LEAST(cca + ccb, c) * (LEAST(cca + ccb, c) + 1) // 2
+     - LEAST(cca + ccb - (ca + cb), c)
+       * (LEAST(cca + ccb - (ca + cb), c) + 1) // 2)
+    + CASE WHEN (cca + ccb) > c THEN
+        (nt + 1) * ((cca + ccb) - GREATEST(cca + ccb - (ca + cb), c))
+        - ((cca + ccb) * ((cca + ccb) + 1) // 2
+           - GREATEST(cca + ccb - (ca + cb), c)
+             * (GREATEST(cca + ccb - (ca + cb), c) + 1) // 2)
+      ELSE 0 END AS s
+  FROM staged CROSS JOIN tot
+),
+agg AS (
+  SELECT
+    SUM(CAST(FLOOR((CAST(ca AS DOUBLE) * CAST(s AS DOUBLE)
+        / CAST(l AS DOUBLE)) * 1e9 + 0.5) AS HUGEINT)) AS qab,
+    SUM(CAST(FLOOR((CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        / CAST(l AS DOUBLE)) * 1e9 + 0.5) AS HUGEINT)) AS qss
+  FROM sc
+),
+fin AS (
+  SELECT na, nb, qab, qss,
+    CAST(na + nb AS DOUBLE) AS nn,
+    CAST(CASE WHEN (na + nb) % 2 = 0
+      THEN (na + nb) * (na + nb + 2) // 4
+      ELSE (na + nb + 1) * (na + nb + 1) // 4 END AS DOUBLE) AS ts,
+    (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+     * (CAST(qss AS DOUBLE)/1e9
+        - CAST(CASE WHEN (na + nb) % 2 = 0
+            THEN (na + nb) * (na + nb + 2) // 4
+            ELSE (na + nb + 1) * (na + nb + 1) // 4 END AS DOUBLE)
+          * CAST(CASE WHEN (na + nb) % 2 = 0
+            THEN (na + nb) * (na + nb + 2) // 4
+            ELSE (na + nb + 1) * (na + nb + 1) // 4 END AS DOUBLE)
+          / CAST(na + nb AS DOUBLE))
+     / (CAST(na + nb AS DOUBLE) * (CAST(na + nb AS DOUBLE) - 1.0)))
+      AS var
+  FROM agg CROSS JOIN tot
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+  ROUND(CAST(qab AS DOUBLE)/1e9, 6) AS ab_stat,
+  ROUND(CASE WHEN var > 0 THEN {zz} END, 6) AS z,
+  ROUND(CASE WHEN var > 0 THEN
+    2.0 * {normal_sf_sql("ABS(" + zz + ")")} END, 6) AS p_value
+FROM fin
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "report_key_skew": (report_key_skew, KEY_SKEW_SQL),
     "report_column_profile": (report_column_profile, _column_profile_sql()),
@@ -9544,4 +9640,5 @@ QUERIES: dict[str, tuple] = {
     "eval_cronbach_alpha": (eval_cronbach_alpha, EVAL_CRONBACH_SQL),
     "ts_granger_lag1": (ts_granger_lag1, _granger_sql()),
     "eval_icc_oneway": (eval_icc_oneway, EVAL_ICC_SQL),
+    "a53_ansari_bradley": (a53_ansari_bradley, _ansari_sql()),
 }

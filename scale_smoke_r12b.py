@@ -375,6 +375,32 @@ def main() -> int:
             "icc", r.icc, flush=True,
         )
 
+
+    if want("ansari"):
+        # identical distributions with equal per-cell counts =>
+        # AB = TS/2 EXACTLY (each cell's a-count is half its l),
+        # z = 0, p = 1
+        rows = spark.range(n100).select(
+            F.when(
+                F.pmod(F.col("id"), F.lit(2)) == 0, F.lit("A")
+            )
+            .otherwise(F.lit("B"))
+            .alias("g"),
+            F.pmod((F.col("id") / 2).cast("long"), F.lit(100)).alias(
+                "v"
+            ),
+        )
+        t = time.time()
+        r = pr.ansari_bradley(rows, "g", "v", "A", "B").collect()[0]
+        timings["ansari_100m_rows"] = round(time.time() - t, 2)
+        ts_total = n100 * (n100 + 2) // 4
+        assert r.ab_stat == ts_total / 2.0, (r.ab_stat, ts_total / 2.0)
+        assert r.z == 0.0 and r.p_value == 1.0, r
+        print(
+            "ansari_100m_rows", timings["ansari_100m_rows"],
+            "AB", r.ab_stat, "z", r.z, flush=True,
+        )
+
     print(json.dumps({"timings_sec": timings}), flush=True)
     spark.stop()
     return 0

@@ -656,3 +656,11 @@ def test_r12b_icc_checkpoints_cell_grain(spark):
     plan = plan_of(fn(spark, SF_SMOKE))
     assert "Scan ExistingRDD" in plan, plan
     assert "Scan parquet" not in plan, plan
+
+
+def test_r12b_ansari_prefix_sum_plan(spark):
+    """The AB scores ride the KS/CvM global_prefix_sums recipe — a
+    range exchange, never a single-partition window or a join."""
+    fn, _ = all_queries()["a53_ansari_bradley"]
+    plan = plan_of(fn(spark, SF_SMOKE))
+    assert "Join" not in plan, plan

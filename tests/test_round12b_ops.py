@@ -603,3 +603,86 @@ def test_icc_oneway_drops_incomplete_and_duplicated_units(spark):
     r = icc_oneway(df, "u", "i", "v").collect()[0]
     assert r.n_units == 4
     assert r.icc == pytest.approx(0.671875, abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# ansari_bradley
+# ---------------------------------------------------------------------------
+
+
+def _ab_reference(xs_a, xs_b):
+    """Direct midrank-score loop: a(i) = min(i, N+1-i), tied values
+    share the mean score; returns (AB, mean, var)."""
+    pooled = sorted(xs_a + xs_b)
+    nn = len(pooled)
+    scores = [min(i, nn + 1 - i) for i in range(1, nn + 1)]
+    # midrank scores per distinct value
+    by_val = {}
+    i = 0
+    for v in pooled:
+        by_val.setdefault(v, []).append(scores[i])
+        i += 1
+    mid = {v: sum(s) / len(s) for v, s in by_val.items()}
+    ab = sum(mid[v] for v in xs_a)
+    ts = sum(scores)
+    ssq = sum(len(s) * mid[v] ** 2 for v, s in by_val.items())
+    m, n_ = len(xs_a), len(xs_b)
+    mean = m * ts / nn
+    var = m * n_ * (ssq - ts * ts / nn) / (nn * (nn - 1.0))
+    return ab, mean, var
+
+
+def test_ansari_bradley_hand_computed(spark):
+    from icnarc_to_philips_linkage_spark.operators.profile import (
+        ansari_bradley,
+    )
+
+    rows = [("A", 1), ("A", 4), ("B", 2), ("B", 3)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    r = ansari_bradley(df, "g", "v", "A", "B").collect()[0]
+    # A in the tails: AB = 2, mean = 3, var = 1/3
+    assert r.ab_stat == pytest.approx(2.0, abs=1e-9)
+    assert r.z == pytest.approx(-1.0 / math.sqrt(1.0 / 3.0), abs=1e-6)
+
+
+def test_ansari_bradley_tied_symmetric(spark):
+    from icnarc_to_philips_linkage_spark.operators.profile import (
+        ansari_bradley,
+    )
+
+    rows = [("A", 1), ("A", 2), ("B", 2), ("B", 3)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    r = ansari_bradley(df, "g", "v", "A", "B").collect()[0]
+    # tied cell shares score 2: AB = 3 = mean -> z = 0, p = 1
+    assert r.ab_stat == pytest.approx(3.0, abs=1e-9)
+    assert r.z == 0.0 and r.p_value == pytest.approx(1.0, abs=1e-6)
+
+
+def test_ansari_bradley_matches_reference_loop(spark):
+    import random
+
+    from icnarc_to_philips_linkage_spark.operators.profile import (
+        ansari_bradley,
+    )
+
+    rng = random.Random(11)
+    xs_a = [rng.randint(0, 25) for _ in range(90)]
+    xs_b = [rng.randint(5, 20) for _ in range(70)]
+    rows = [("A", v) for v in xs_a] + [("B", v) for v in xs_b]
+    df = spark.createDataFrame(rows, "g string, v long")
+    r = ansari_bradley(df, "g", "v", "A", "B").collect()[0]
+    ab, mean, var = _ab_reference(xs_a, xs_b)
+    assert r.n_a == 90 and r.n_b == 70
+    assert r.ab_stat == pytest.approx(ab, abs=1e-6)
+    assert r.z == pytest.approx((ab - mean) / math.sqrt(var), abs=1e-5)
+
+
+def test_ansari_bradley_all_tied_null_z(spark):
+    from icnarc_to_philips_linkage_spark.operators.profile import (
+        ansari_bradley,
+    )
+
+    rows = [("A", 5), ("A", 5), ("B", 5)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    r = ansari_bradley(df, "g", "v", "A", "B").collect()[0]
+    assert r.z is None and r.p_value is None
