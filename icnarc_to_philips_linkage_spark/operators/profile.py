@@ -3906,3 +3906,224 @@ def ansari_bradley(
             F.lit(2.0) * normal_sf_approx(F.abs(zz)), round_dp
         ).alias("p_value"),
     )
+
+
+def lepage_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Lepage two-sample JOINT location-scale test (Lepage 1971):
+    L = z_W^2 + z_AB^2 — the standardized Wilcoxon rank-sum
+    (location) plus the standardized Ansari-Bradley (scale),
+    asymptotically chi-square(2) under H0, whose tail is CLOSED
+    FORM: p = exp(-L/2). Catches the alternative both parents miss
+    alone (a shift AND a spread change partially masking each
+    other).
+
+    ONE pass over the shared pooled-value grid computes both
+    components: doubled midranks r2 = 2B - l + 1 give the exact
+    W rank-sum and tie term (the ``mann_whitney_u`` algebra
+    verbatim), the closed-form triangular score sums give AB and
+    its conditional moments (the ``ansari_bradley`` algebra
+    verbatim) — same exactness, same ``global_prefix_sums`` scale
+    shape, one extra aggregation column each.
+
+    Output one row: ``(n_a, n_b, z_w, z_ab, l_stat, p_value)`` —
+    NULLs when either group is empty or either variance is 0.
+    """
+    from icnarc_to_philips_linkage_spark.operators.scale import (
+        global_prefix_sums,
+    )
+
+    base = df.filter(
+        F.col(value_col).isNotNull()
+        & F.col(group_col).isin([group_a, group_b])
+    ).select(
+        (F.col(group_col) == group_a).alias("__is_a"),
+        F.col(value_col),
+    )
+    counts = base.groupBy(value_col).agg(
+        F.count(F.when(F.col("__is_a"), F.lit(1))).alias("__ca"),
+        F.count(F.when(~F.col("__is_a"), F.lit(1))).alias("__cb"),
+    )
+    staged, totals = global_prefix_sums(
+        counts, [value_col], ["__ca", "__cb"]
+    )
+    na, nb = totals["__ca"], totals["__cb"]
+    sess = df.sparkSession
+    if na == 0 or nb == 0:
+        return sess.createDataFrame(
+            [(na, nb, None, None, None, None)],
+            "n_a long, n_b long, z_w double, z_ab double, "
+            "l_stat double, p_value double",
+        )
+    nn = na + nb
+    c = (nn + 1) // 2
+
+    def tri(x):
+        return F.shiftright(x * (x + 1), 1)
+
+    hi = (F.col("cum___ca") + F.col("cum___cb")).cast("long")
+    lj = (F.col("__ca") + F.col("__cb")).cast("long")
+    lo = hi - lj
+    part1 = tri(F.least(hi, F.lit(c))) - tri(F.least(lo, F.lit(c)))
+    g = F.greatest(lo, F.lit(c))
+    part2 = F.when(
+        hi > c,
+        F.lit(nn + 1) * (hi - g) - (tri(hi) - tri(g)),
+    ).otherwise(F.lit(0))
+    s = (part1 + part2).cast("double")
+    ld = lj.cast("double")
+    q = lambda x: F.floor(  # noqa: E731
+        (x * 1e9 + 0.5).cast("decimal(38,6)")
+    ).cast("decimal(38,0)")
+    r2 = (2 * hi - lj + 1).cast("decimal(38,0)")
+    cdec = lj.cast("decimal(38,0)")
+    agg = staged.agg(
+        F.sum(
+            (F.col("__ca").cast("decimal(38,0)") * r2).cast(
+                "decimal(38,0)"
+            )
+        )
+        .cast("double")
+        .alias("__r2a"),
+        F.sum((cdec * cdec * cdec - cdec).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("__ties"),
+        F.sum(q(F.col("__ca").cast("double") * s / ld)).alias("__qab"),
+        F.sum(q(s * s / ld)).alias("__qss"),
+    )
+    m, n_, nd = float(na), float(nb), float(nn)
+    u2 = F.col("__r2a") - m * (m + 1)
+    mu2 = m * n_
+    var_w = (m * n_ / 12.0) * (
+        (nd + 1) - F.col("__ties") / (nd * (nd - 1))
+    )
+    z_w = (u2 - mu2) / (2.0 * F.sqrt(var_w))
+    ts = (
+        nn * (nn + 2) // 4 if nn % 2 == 0 else (nn + 1) * (nn + 1) // 4
+    )
+    ab = F.col("__qab").cast("double") / 1e9
+    ssq = F.col("__qss").cast("double") / 1e9
+    mean_ab = m * float(ts) / nd
+    var_ab = m * n_ * (ssq - float(ts) * float(ts) / nd) / (
+        nd * (nd - 1.0)
+    )
+    z_ab = (ab - mean_ab) / F.sqrt(var_ab)
+    ok = (var_w > 0) & (var_ab > 0)
+    l_stat = z_w * z_w + z_ab * z_ab
+    return agg.select(
+        F.lit(na).cast("long").alias("n_a"),
+        F.lit(nb).cast("long").alias("n_b"),
+        F.round(F.when(ok, z_w), round_dp).alias("z_w"),
+        F.round(F.when(ok, z_ab), round_dp).alias("z_ab"),
+        F.round(F.when(ok, l_stat), round_dp).alias("l_stat"),
+        F.round(
+            F.when(ok, F.exp(-l_stat / 2.0)), round_dp
+        ).alias("p_value"),
+    )
+
+
+def cucconi_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Cucconi two-sample location-scale test (Cucconi 1968) — the
+    older, squared-ranks route to the same joint alternative as
+    ``lepage_test``, with its own CLOSED-FORM tail p = exp(-C):
+
+        U = (6 sum R_B^2 - n(N+1)(2N+1)) / D
+        V = (6 sum (N+1-R_B)^2 - n(N+1)(2N+1)) / D
+        D = sqrt(m n (N+1)(2N+1)(8N+11) / 5)
+        C = (U^2 + V^2 - 2 rho U V) / (2 (1 - rho^2)),
+        rho = 2(N^2-4)/((2N+1)(8N+11)) - 1
+
+    Midrank ties: R = r2/2 keeps sum R_B^2 = (sum cb*r2^2)/4 an
+    exact quarter-integer, and the antirank square sum derives
+    algebraically — sum(N+1-R)^2 = ((2(N+1))^2 n - 4(N+1) sum
+    cb*r2 + sum cb*r2^2)/4 — off the SAME two exact decimal sums;
+    the null moments are literal functions of (m, n, N).
+
+    Same one-aggregation + ``global_prefix_sums`` scale shape as
+    the rest of the rank family. Output one row: ``(n_a, n_b, u, v,
+    c_stat, p_value)`` — NULLs when either group is empty or N < 3
+    (the correlation is undefined).
+    """
+    from icnarc_to_philips_linkage_spark.operators.scale import (
+        global_prefix_sums,
+    )
+
+    base = df.filter(
+        F.col(value_col).isNotNull()
+        & F.col(group_col).isin([group_a, group_b])
+    ).select(
+        (F.col(group_col) == group_a).alias("__is_a"),
+        F.col(value_col),
+    )
+    counts = base.groupBy(value_col).agg(
+        F.count(F.when(F.col("__is_a"), F.lit(1))).alias("__ca"),
+        F.count(F.when(~F.col("__is_a"), F.lit(1))).alias("__cb"),
+    )
+    staged, totals = global_prefix_sums(
+        counts, [value_col], ["__ca", "__cb"]
+    )
+    na, nb = totals["__ca"], totals["__cb"]
+    sess = df.sparkSession
+    if na == 0 or nb == 0 or na + nb < 3:
+        return sess.createDataFrame(
+            [(na, nb, None, None, None, None)],
+            "n_a long, n_b long, u double, v double, "
+            "c_stat double, p_value double",
+        )
+    hi = (F.col("cum___ca") + F.col("cum___cb")).cast("long")
+    lj = (F.col("__ca") + F.col("__cb")).cast("long")
+    r2 = (2 * hi - lj + 1).cast("decimal(38,0)")
+    cb = F.col("__cb").cast("decimal(38,0)")
+    agg = staged.agg(
+        F.sum((cb * r2).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("__s1b"),
+        F.sum((cb * (r2 * r2).cast("decimal(38,0)")).cast(
+            "decimal(38,0)"
+        ))
+        .cast("double")
+        .alias("__s2b"),
+    )
+    import math
+
+    m, n_, nd = float(na), float(nb), float(na + nb)
+    srb = F.col("__s2b") / 4.0
+    srtb = (
+        (2.0 * (nd + 1.0)) * (2.0 * (nd + 1.0)) * n_
+        - 4.0 * (nd + 1.0) * F.col("__s1b")
+        + F.col("__s2b")
+    ) / 4.0
+    den = math.sqrt(
+        m * n_ * (nd + 1.0) * (2.0 * nd + 1.0) * (8.0 * nd + 11.0)
+        / 5.0
+    )
+    mu = n_ * (nd + 1.0) * (2.0 * nd + 1.0)
+    u = (6.0 * srb - mu) / den
+    v = (6.0 * srtb - mu) / den
+    rho = 2.0 * (nd * nd - 4.0) / (
+        (2.0 * nd + 1.0) * (8.0 * nd + 11.0)
+    ) - 1.0
+    c_stat = (u * u + v * v - 2.0 * rho * u * v) / (
+        2.0 * (1.0 - rho * rho)
+    )
+    return agg.select(
+        F.lit(na).cast("long").alias("n_a"),
+        F.lit(nb).cast("long").alias("n_b"),
+        F.round(u, round_dp).alias("u"),
+        F.round(v, round_dp).alias("v"),
+        F.round(c_stat, round_dp).alias("c_stat"),
+        F.round(F.exp(-c_stat), round_dp).alias("p_value"),
+    )

@@ -2276,3 +2276,106 @@ def granger_lag1(
         F.round(F.when(ok, fstat), round_dp).alias("f_stat"),
         F.when(ok, (F.col("n") - 3).cast("long")).alias("df2"),
     )
+
+
+def page_hinkley(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    delta: float = 0.0,
+    lam: float = 50.0,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-key Page-Hinkley drift detector (Page 1954; Hinkley 1971)
+    for an upward MEAN shift in a time-ordered stream — the
+    sequential companion of ``pettitt_test``'s retrospective change
+    point and ``cusum_alarms``' known-target CUSUM (PH needs no
+    target: it tracks deviations from the RUNNING mean):
+
+        m_t = sum_{i<=t} (x_i - mean_i - delta),   mean_i = S_i / i
+        PH_t = m_t - min_{i<=t} m_i,   alarm when PH_t > lambda
+
+    Exactness: x quantizes to the 1e-6 grid (exact decimal running
+    sum S_i), the per-row deviation is ONE fixed double expression
+    off exact integers, and m_t accumulates 1e-9-quantized deviation
+    terms as decimals — both running aggregations are order-free
+    exact, so the running max and every alarm comparison are exact
+    integer comparisons (no float drift across engines; the
+    ``nelson_aalen`` no-float-window discipline).
+
+    Scale shape: row_number + two running sums + one running max on
+    ONE per-key partitioning (the ``pettitt_test`` single-exchange
+    shape) + one hash aggregation.
+
+    Output per key: ``(key, n, max_ph, n_alarms, first_alarm_t)``
+    — first_alarm_t is the 1-based index of the first alarming
+    observation in the caller's order (NULL when none).
+    """
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wr = Window.partitionBy("__k").orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(key_col).alias("__k"),
+        F.floor(
+            (F.col(value_col) * 1e6 + 0.5).cast("decimal(38,6)")
+        )
+        .cast("decimal(38,0)")
+        .alias("__xq"),
+        *[F.col(c) for c in order_cols],
+    )
+    staged = base.select(
+        "__k",
+        "__xq",
+        F.row_number().over(wr).alias("__i"),
+        F.sum("__xq").over(w).alias("__s"),
+        *[F.col(c) for c in order_cols],
+    )
+    dev = (
+        F.col("__xq").cast("double") / 1e6
+        - F.col("__s").cast("double") / 1e6 / F.col("__i").cast("double")
+        - F.lit(float(delta))
+    )
+    wi = (
+        Window.partitionBy("__k")
+        .orderBy("__i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = staged.select(
+        "__k",
+        "__i",
+        F.floor((dev * 1e9 + 0.5).cast("decimal(38,6)"))
+        .cast("decimal(38,0)")
+        .alias("__dq"),
+    ).select(
+        "__k",
+        "__i",
+        F.sum("__dq").over(wi).alias("__m"),
+    )
+    staged = staged.select(
+        "__k",
+        "__i",
+        (F.col("__m") - F.min("__m").over(wi)).alias("__ph"),
+    )
+    lam_q = int(round(float(lam) * 1e9))
+    alarm = F.col("__ph") > F.lit(lam_q).cast("decimal(38,0)")
+    agg = staged.groupBy("__k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("__ph").alias("__maxph"),
+        F.count(F.when(alarm, F.lit(1))).alias("n_alarms"),
+        F.min(F.when(alarm, F.col("__i"))).alias("first_alarm_t"),
+    )
+    return agg.select(
+        F.col("__k").alias(key_col),
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            F.col("__maxph").cast("double") / 1e9, round_dp
+        ).alias("max_ph"),
+        F.col("n_alarms").cast("long").alias("n_alarms"),
+        F.col("first_alarm_t").cast("long").alias("first_alarm_t"),
+    )

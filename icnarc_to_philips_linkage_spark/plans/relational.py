@@ -9443,6 +9443,248 @@ FROM fin
 """
 
 
+
+
+def a54_lepage(spark: SparkSession, sf: str) -> DataFrame:
+    """Lepage joint location-scale test (profile.lepage_test)
+    between returned and delivered prices — z_W^2 + z_AB^2 on ONE
+    pass of the shared pooled grid; chi2(2) tail is closed form."""
+    l = load(spark, sf, "lineitem")
+    return profile.lepage_test(
+        l, "l_returnflag", "l_extendedprice", "R", "N"
+    )
+
+
+def _lepage_sql() -> str:
+    zw = (
+        "(((CAST(r2a AS DOUBLE) - CAST(na AS DOUBLE)"
+        " * (CAST(na AS DOUBLE) + 1)) - CAST(na AS DOUBLE)"
+        " * CAST(nb AS DOUBLE))"
+        " / (2.0 * SQRT((CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)"
+        " / 12.0) * ((CAST(na + nb AS DOUBLE) + 1)"
+        " - CAST(ties AS DOUBLE) / (CAST(na + nb AS DOUBLE)"
+        " * (CAST(na + nb AS DOUBLE) - 1))))))"
+    )
+    zab = (
+        "((CAST(qab AS DOUBLE)/1e9 - CAST(na AS DOUBLE) * ts / nn)"
+        " / SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)"
+        " * (CAST(qss AS DOUBLE)/1e9 - ts * ts / nn)"
+        " / (nn * (nn - 1.0))))"
+    )
+    lstat = f"({zw} * {zw} + {zab} * {zab})"
+    okw = (
+        "((CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0)"
+        " * ((CAST(na + nb AS DOUBLE) + 1)"
+        " - CAST(ties AS DOUBLE) / (CAST(na + nb AS DOUBLE)"
+        " * (CAST(na + nb AS DOUBLE) - 1))) > 0)"
+    )
+    okab = (
+        "(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)"
+        " * (CAST(qss AS DOUBLE)/1e9 - ts * ts / nn)"
+        " / (nn * (nn - 1.0)) > 0)"
+    )
+    return f"""
+WITH base AS (
+  SELECT (l_returnflag = 'R') AS is_a, l_extendedprice AS v
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_returnflag IN ('R', 'N')
+),
+counts AS (
+  SELECT v, COUNT(*) FILTER (WHERE is_a) AS ca,
+         COUNT(*) FILTER (WHERE NOT is_a) AS cb
+  FROM base GROUP BY v
+),
+tot AS (
+  SELECT SUM(ca) AS na, SUM(cb) AS nb,
+         (SUM(ca) + SUM(cb) + 1) // 2 AS c,
+         SUM(ca) + SUM(cb) AS nt
+  FROM counts
+),
+staged AS (
+  SELECT v, ca, cb,
+         SUM(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cca,
+         SUM(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS ccb
+  FROM counts
+),
+sc AS (
+  SELECT ca, cb, ca + cb AS l,
+    2 * (cca + ccb) - (ca + cb) + 1 AS r2,
+    (LEAST(cca + ccb, c) * (LEAST(cca + ccb, c) + 1) // 2
+     - LEAST(cca + ccb - (ca + cb), c)
+       * (LEAST(cca + ccb - (ca + cb), c) + 1) // 2)
+    + CASE WHEN (cca + ccb) > c THEN
+        (nt + 1) * ((cca + ccb) - GREATEST(cca + ccb - (ca + cb), c))
+        - ((cca + ccb) * ((cca + ccb) + 1) // 2
+           - GREATEST(cca + ccb - (ca + cb), c)
+             * (GREATEST(cca + ccb - (ca + cb), c) + 1) // 2)
+      ELSE 0 END AS s
+  FROM staged CROSS JOIN tot
+),
+agg AS (
+  SELECT
+    SUM(CAST(ca AS HUGEINT) * CAST(r2 AS HUGEINT)) AS r2a,
+    SUM(CAST(l AS HUGEINT) * CAST(l AS HUGEINT) * CAST(l AS HUGEINT)
+        - CAST(l AS HUGEINT)) AS ties,
+    SUM(CAST(FLOOR((CAST(ca AS DOUBLE) * CAST(s AS DOUBLE)
+        / CAST(l AS DOUBLE)) * 1e9 + 0.5) AS HUGEINT)) AS qab,
+    SUM(CAST(FLOOR((CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        / CAST(l AS DOUBLE)) * 1e9 + 0.5) AS HUGEINT)) AS qss
+  FROM sc
+),
+fin AS (
+  SELECT na, nb, r2a, ties, qab, qss,
+    CAST(na + nb AS DOUBLE) AS nn,
+    CAST(CASE WHEN (na + nb) % 2 = 0
+      THEN (na + nb) * (na + nb + 2) // 4
+      ELSE (na + nb + 1) * (na + nb + 1) // 4 END AS DOUBLE) AS ts
+  FROM agg CROSS JOIN tot
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+  ROUND(CASE WHEN {okw} AND {okab} THEN {zw} END, 6) AS z_w,
+  ROUND(CASE WHEN {okw} AND {okab} THEN {zab} END, 6) AS z_ab,
+  ROUND(CASE WHEN {okw} AND {okab} THEN {lstat} END, 6) AS l_stat,
+  ROUND(CASE WHEN {okw} AND {okab} THEN
+    EXP(-{lstat}/2.0) END, 6) AS p_value
+FROM fin
+"""
+
+
+def a55_cucconi(spark: SparkSession, sf: str) -> DataFrame:
+    """Cucconi joint location-scale test (profile.cucconi_test) on
+    the same cohorts as a54_lepage — the squared-ranks route, own
+    closed-form tail p = exp(-C)."""
+    l = load(spark, sf, "lineitem")
+    return profile.cucconi_test(
+        l, "l_returnflag", "l_extendedprice", "R", "N"
+    )
+
+
+def _cucconi_sql() -> str:
+    den = (
+        "SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) * (nn + 1.0)"
+        " * (2.0 * nn + 1.0) * (8.0 * nn + 11.0) / 5.0)"
+    )
+    mu = "(CAST(nb AS DOUBLE) * (nn + 1.0) * (2.0 * nn + 1.0))"
+    uu = f"((6.0 * (CAST(s2b AS DOUBLE) / 4.0) - {mu}) / {den})"
+    srtb = (
+        "(((2.0 * (nn + 1.0)) * (2.0 * (nn + 1.0))"
+        " * CAST(nb AS DOUBLE) - 4.0 * (nn + 1.0)"
+        " * CAST(s1b AS DOUBLE) + CAST(s2b AS DOUBLE)) / 4.0)"
+    )
+    vv = f"((6.0 * {srtb} - {mu}) / {den})"
+    rho = (
+        "(2.0 * (nn * nn - 4.0) / ((2.0 * nn + 1.0)"
+        " * (8.0 * nn + 11.0)) - 1.0)"
+    )
+    cst = (
+        f"(({uu} * {uu} + {vv} * {vv} - 2.0 * {rho} * {uu} * {vv})"
+        f" / (2.0 * (1.0 - {rho} * {rho})))"
+    )
+    return f"""
+WITH base AS (
+  SELECT (l_returnflag = 'R') AS is_a, l_extendedprice AS v
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_returnflag IN ('R', 'N')
+),
+counts AS (
+  SELECT v, COUNT(*) FILTER (WHERE is_a) AS ca,
+         COUNT(*) FILTER (WHERE NOT is_a) AS cb
+  FROM base GROUP BY v
+),
+tot AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM counts),
+staged AS (
+  SELECT v, ca, cb,
+         SUM(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cca,
+         SUM(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS ccb
+  FROM counts
+),
+agg AS (
+  SELECT
+    SUM(CAST(cb AS HUGEINT)
+        * CAST(2 * (cca + ccb) - (ca + cb) + 1 AS HUGEINT)) AS s1b,
+    SUM(CAST(cb AS HUGEINT)
+        * (CAST(2 * (cca + ccb) - (ca + cb) + 1 AS HUGEINT)
+           * CAST(2 * (cca + ccb) - (ca + cb) + 1 AS HUGEINT)))
+      AS s2b
+  FROM staged
+),
+fin AS (
+  SELECT na, nb, s1b, s2b, CAST(na + nb AS DOUBLE) AS nn
+  FROM agg CROSS JOIN tot
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+  ROUND({uu}, 6) AS u,
+  ROUND({vv}, 6) AS v,
+  ROUND({cst}, 6) AS c_stat,
+  ROUND(EXP(-{cst}), 6) AS p_value
+FROM fin
+"""
+
+
+def ts_page_hinkley(spark: SparkSession, sf: str) -> DataFrame:
+    """Page-Hinkley upward-drift detector (timeseries.page_hinkley)
+    per user over the time-ordered spend stream (lambda = 400, the
+    calibrated mixed-alarm threshold) — the sequential companion of
+    ts_pettitt_change; exact decimal running sums, no float
+    accumulation."""
+    from icnarc_to_philips_linkage_spark.operators.timeseries import (
+        page_hinkley,
+    )
+
+    e = load(spark, sf, "events")
+    q = e.filter(
+        F.col("value").isNotNull() & F.col("user_id").isNotNull()
+    ).select("user_id", "ts", "event_id", "value")
+    return page_hinkley(
+        q, "user_id", ["ts", "event_id"], "value",
+        delta=0.0, lam=400.0,
+    )
+
+
+TS_PH_SQL = """
+WITH base AS (
+  SELECT user_id, ts, event_id,
+         CAST(FLOOR(value * 1e6 + 0.5) AS HUGEINT) AS xq
+  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+),
+s AS (
+  SELECT user_id,
+         ROW_NUMBER() OVER w AS i,
+         xq,
+         SUM(xq) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS ss
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+d AS (
+  SELECT user_id, i,
+    CAST(FLOOR((CAST(xq AS DOUBLE) / 1e6
+                - CAST(ss AS DOUBLE) / 1e6 / CAST(i AS DOUBLE)
+                - 0.0) * 1e9 + 0.5) AS HUGEINT) AS dq
+  FROM s
+),
+m AS (
+  SELECT user_id, i,
+         SUM(dq) OVER (PARTITION BY user_id ORDER BY i
+                       ROWS UNBOUNDED PRECEDING) AS mm
+  FROM d
+),
+ph AS (
+  SELECT user_id, i,
+         mm - MIN(mm) OVER (PARTITION BY user_id ORDER BY i
+                            ROWS UNBOUNDED PRECEDING) AS phv
+  FROM m
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+  ROUND(CAST(MAX(phv) AS DOUBLE) / 1e9, 6) AS max_ph,
+  CAST(COUNT(*) FILTER (WHERE phv > 400000000000) AS BIGINT)
+    AS n_alarms,
+  CAST(MIN(CASE WHEN phv > 400000000000 THEN i END) AS BIGINT)
+    AS first_alarm_t
+FROM ph GROUP BY user_id
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "report_key_skew": (report_key_skew, KEY_SKEW_SQL),
     "report_column_profile": (report_column_profile, _column_profile_sql()),
@@ -9641,4 +9883,7 @@ QUERIES: dict[str, tuple] = {
     "ts_granger_lag1": (ts_granger_lag1, _granger_sql()),
     "eval_icc_oneway": (eval_icc_oneway, EVAL_ICC_SQL),
     "a53_ansari_bradley": (a53_ansari_bradley, _ansari_sql()),
+    "a54_lepage": (a54_lepage, _lepage_sql()),
+    "a55_cucconi": (a55_cucconi, _cucconi_sql()),
+    "ts_page_hinkley": (ts_page_hinkley, TS_PH_SQL),
 }

@@ -401,6 +401,129 @@ def main() -> int:
             "AB", r.ab_stat, "z", r.z, flush=True,
         )
 
+
+    if want("lepage"):
+        # identical distributions, equal per-cell counts => R_A at
+        # its null expectation AND AB = TS/2 => z_W = z_AB = 0,
+        # L = 0, p = 1 EXACTLY
+        rows = spark.range(n100).select(
+            F.when(
+                F.pmod(F.col("id"), F.lit(2)) == 0, F.lit("A")
+            )
+            .otherwise(F.lit("B"))
+            .alias("g"),
+            F.pmod((F.col("id") / 2).cast("long"), F.lit(100)).alias(
+                "v"
+            ),
+        )
+        t = time.time()
+        r = pr.lepage_test(rows, "g", "v", "A", "B").collect()[0]
+        timings["lepage_100m_rows"] = round(time.time() - t, 2)
+        assert r.z_w == 0.0 and r.z_ab == 0.0, r
+        assert r.l_stat == 0.0 and r.p_value == 1.0, r
+        print(
+            "lepage_100m_rows", timings["lepage_100m_rows"],
+            "L", r.l_stat, flush=True,
+        )
+
+    if want("cucconi"):
+        # same planted grid; U/V/C replayed on the 100-cell grid in
+        # pure Python (the grid is bounded, the corpus is not)
+        rows = spark.range(n100).select(
+            F.when(
+                F.pmod(F.col("id"), F.lit(2)) == 0, F.lit("A")
+            )
+            .otherwise(F.lit("B"))
+            .alias("g"),
+            F.pmod((F.col("id") / 2).cast("long"), F.lit(100)).alias(
+                "v"
+            ),
+        )
+        t = time.time()
+        r = pr.cucconi_test(rows, "g", "v", "A", "B").collect()[0]
+        timings["cucconi_100m_rows"] = round(time.time() - t, 2)
+        half = n100 // 2
+        per = half // 100  # per-cell count per group
+        m_f, n_f, nd = float(half), float(half), float(n100)
+        s1b = s2b = 0
+        cum = 0
+        for j in range(100):
+            l = 2 * per
+            cum += l
+            r2 = 2 * cum - l + 1
+            s1b += per * r2
+            s2b += per * r2 * r2
+        srb = float(s2b) / 4.0
+        srtb = (
+            (2.0 * (nd + 1.0)) * (2.0 * (nd + 1.0)) * n_f
+            - 4.0 * (nd + 1.0) * float(s1b)
+            + float(s2b)
+        ) / 4.0
+        den = math.sqrt(
+            m_f * n_f * (nd + 1.0) * (2.0 * nd + 1.0)
+            * (8.0 * nd + 11.0) / 5.0
+        )
+        mu = n_f * (nd + 1.0) * (2.0 * nd + 1.0)
+        uu = (6.0 * srb - mu) / den
+        vv = (6.0 * srtb - mu) / den
+        rho = 2.0 * (nd * nd - 4.0) / (
+            (2.0 * nd + 1.0) * (8.0 * nd + 11.0)
+        ) - 1.0
+        cc = (uu * uu + vv * vv - 2.0 * rho * uu * vv) / (
+            2.0 * (1.0 - rho * rho)
+        )
+        assert abs(r.u - uu) < 1e-5 and abs(r.v - vv) < 1e-5, r
+        assert abs(r.c_stat - cc) < 1e-4, (r.c_stat, cc)
+        print(
+            "cucconi_100m_rows", timings["cucconi_100m_rows"],
+            "C", r.c_stat, "expected", round(cc, 6), flush=True,
+        )
+
+    if want("ph"):
+        # level shift 0 -> 1 at the key midpoint h: m_t = 0 through
+        # the first half, then climbs by q9(h/j) per step (exact
+        # integer cumsum) — pure-Python replay of max_ph and the
+        # first lambda crossing; m is monotone so alarms are a
+        # suffix: n_alarms = n - first + 1
+        rows = spark.range(n100).select(
+            F.concat(
+                F.lit("k"),
+                F.pmod(F.col("id"), F.lit(20)).cast("string"),
+            ).alias("k"),
+            (F.col("id") / 20).cast("long").alias("t"),
+            (
+                (F.col("id") / 20).cast("long")
+                >= F.lit(n100 // 40)
+            )
+            .cast("double")
+            .alias("v"),
+        )
+        nk, h = n100 // 20, n100 // 40
+        lam = 1000.0
+        t = time.time()
+        out = ts.page_hinkley(
+            rows, "k", ["t"], "v", delta=0.0, lam=lam
+        ).collect()
+        timings["page_hinkley_100m_rows"] = round(time.time() - t, 2)
+        acc = 0
+        first = None
+        lam_q = int(lam * 1e9)
+        for j in range(h + 1, nk + 1):
+            acc += math.floor(float(h) / float(j) * 1e9 + 0.5)
+            if first is None and acc > lam_q:
+                first = j
+        exp_max = math.floor(acc / 1e9 * 1e6 + 0.5) / 1e6
+        assert len(out) == 20
+        for r in out:
+            assert r.n == nk and r.max_ph == exp_max, (r, exp_max)
+            assert r.first_alarm_t == first, (r, first)
+            assert r.n_alarms == nk - first + 1, r
+        print(
+            "page_hinkley_100m_rows",
+            timings["page_hinkley_100m_rows"],
+            "max_ph", out[0].max_ph, "first", first, flush=True,
+        )
+
     print(json.dumps({"timings_sec": timings}), flush=True)
     spark.stop()
     return 0

@@ -664,3 +664,22 @@ def test_r12b_ansari_prefix_sum_plan(spark):
     fn, _ = all_queries()["a53_ansari_bradley"]
     plan = plan_of(fn(spark, SF_SMOKE))
     assert "Join" not in plan, plan
+
+
+def test_r12b_lepage_cucconi_prefix_sum_no_join(spark):
+    """Both joint location-scale tests ride the KS/CvM prefix-sum
+    grain in ONE pass — no joins, no corpus windows."""
+    for name in ("a54_lepage", "a55_cucconi"):
+        fn, _ = all_queries()[name]
+        plan = plan_of(fn(spark, SF_SMOKE))
+        assert "Join" not in plan, f"{name}:\n{plan}"
+
+
+def test_r12b_page_hinkley_one_exchange(spark):
+    """row_number, both running sums, and the running min ride ONE
+    per-key exchange (the pettitt shape); the final aggregation
+    reuses it."""
+    fn, _ = all_queries()["ts_page_hinkley"]
+    plan = plan_of(fn(spark, SF_SMOKE))
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan, plan

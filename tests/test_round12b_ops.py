@@ -686,3 +686,183 @@ def test_ansari_bradley_all_tied_null_z(spark):
     df = spark.createDataFrame(rows, "g string, v long")
     r = ansari_bradley(df, "g", "v", "A", "B").collect()[0]
     assert r.z is None and r.p_value is None
+
+
+# ---------------------------------------------------------------------------
+# lepage_test
+# ---------------------------------------------------------------------------
+
+
+def test_lepage_hand_computed(spark):
+    from icnarc_to_philips_linkage_spark.operators.profile import (
+        lepage_test,
+    )
+
+    rows = [("A", 1), ("A", 4), ("B", 2), ("B", 3)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    r = lepage_test(df, "g", "v", "A", "B").collect()[0]
+    # W: R_A = 5 = E[R_A] -> z_w = 0; AB: z_ab = -sqrt(3)
+    assert r.z_w == pytest.approx(0.0, abs=1e-9)
+    assert r.z_ab == pytest.approx(-math.sqrt(3.0), abs=1e-6)
+    assert r.l_stat == pytest.approx(3.0, abs=1e-6)
+    assert r.p_value == pytest.approx(math.exp(-1.5), abs=1e-6)
+
+
+def _mw_z_reference(xs_a, xs_b):
+    pooled = sorted(xs_a + xs_b)
+    nn = len(pooled)
+    import collections
+
+    cnt = collections.Counter(pooled)
+    # midranks
+    rank, mid = 0, {}
+    for v in sorted(cnt):
+        mid[v] = rank + (cnt[v] + 1) / 2.0
+        rank += cnt[v]
+    ra = sum(mid[v] for v in xs_a)
+    m, n_ = len(xs_a), len(xs_b)
+    u = ra - m * (m + 1) / 2.0
+    ties = sum(c**3 - c for c in cnt.values())
+    var = (m * n_ / 12.0) * ((nn + 1) - ties / (nn * (nn - 1)))
+    return (u - m * n_ / 2.0) / math.sqrt(var)
+
+
+def test_lepage_matches_reference_loops(spark):
+    import random
+
+    from icnarc_to_philips_linkage_spark.operators.profile import (
+        lepage_test,
+    )
+
+    rng = random.Random(23)
+    xs_a = [rng.randint(0, 20) for _ in range(70)]
+    xs_b = [rng.randint(3, 30) for _ in range(50)]
+    rows = [("A", v) for v in xs_a] + [("B", v) for v in xs_b]
+    df = spark.createDataFrame(rows, "g string, v long")
+    r = lepage_test(df, "g", "v", "A", "B").collect()[0]
+    zw = _mw_z_reference(xs_a, xs_b)
+    ab, mean, var = _ab_reference(xs_a, xs_b)
+    zab = (ab - mean) / math.sqrt(var)
+    assert r.z_w == pytest.approx(zw, abs=1e-5)
+    assert r.z_ab == pytest.approx(zab, abs=1e-5)
+    assert r.l_stat == pytest.approx(zw * zw + zab * zab, abs=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# cucconi_test
+# ---------------------------------------------------------------------------
+
+
+def _cucconi_reference(xs_a, xs_b):
+    import collections
+
+    pooled = sorted(xs_a + xs_b)
+    nn = len(pooled)
+    cnt = collections.Counter(pooled)
+    rank, mid = 0, {}
+    for v in sorted(cnt):
+        mid[v] = rank + (cnt[v] + 1) / 2.0
+        rank += cnt[v]
+    m, n_, nd = float(len(xs_a)), float(len(xs_b)), float(nn)
+    srb = sum(mid[v] ** 2 for v in xs_b)
+    srtb = sum((nn + 1 - mid[v]) ** 2 for v in xs_b)
+    den = math.sqrt(
+        m * n_ * (nd + 1.0) * (2.0 * nd + 1.0) * (8.0 * nd + 11.0)
+        / 5.0
+    )
+    mu = n_ * (nd + 1.0) * (2.0 * nd + 1.0)
+    u = (6.0 * srb - mu) / den
+    v = (6.0 * srtb - mu) / den
+    rho = 2.0 * (nd * nd - 4.0) / (
+        (2.0 * nd + 1.0) * (8.0 * nd + 11.0)
+    ) - 1.0
+    c = (u * u + v * v - 2.0 * rho * u * v) / (
+        2.0 * (1.0 - rho * rho)
+    )
+    return u, v, c
+
+
+def test_cucconi_hand_computed(spark):
+    from icnarc_to_philips_linkage_spark.operators.profile import (
+        cucconi_test,
+    )
+
+    rows = [("A", 1), ("A", 4), ("B", 2), ("B", 3)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    r = cucconi_test(df, "g", "v", "A", "B").collect()[0]
+    u, v, c = _cucconi_reference([1, 4], [2, 3])
+    assert r.u == pytest.approx(u, abs=1e-6)
+    assert r.v == pytest.approx(v, abs=1e-6)
+    assert r.c_stat == pytest.approx(c, abs=1e-6)
+    assert r.p_value == pytest.approx(math.exp(-c), abs=1e-6)
+
+
+def test_cucconi_matches_reference_loop_with_ties(spark):
+    import random
+
+    from icnarc_to_philips_linkage_spark.operators.profile import (
+        cucconi_test,
+    )
+
+    rng = random.Random(31)
+    xs_a = [rng.randint(0, 15) for _ in range(60)]
+    xs_b = [rng.randint(0, 25) for _ in range(80)]
+    rows = [("A", v) for v in xs_a] + [("B", v) for v in xs_b]
+    df = spark.createDataFrame(rows, "g string, v long")
+    r = cucconi_test(df, "g", "v", "A", "B").collect()[0]
+    u, v, c = _cucconi_reference(xs_a, xs_b)
+    assert r.u == pytest.approx(u, abs=1e-5)
+    assert r.v == pytest.approx(v, abs=1e-5)
+    assert r.c_stat == pytest.approx(c, abs=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# page_hinkley
+# ---------------------------------------------------------------------------
+
+
+def test_page_hinkley_hand_computed(spark):
+    from icnarc_to_philips_linkage_spark.operators.timeseries import (
+        page_hinkley,
+    )
+
+    xs = [0.0, 0.0, 0.0, 10.0, 10.0, 10.0]
+    df = spark.createDataFrame(
+        [("a", t, x) for t, x in enumerate(xs)],
+        "k string, t int, v double",
+    )
+    r = page_hinkley(df, "k", ["t"], "v", delta=0.0, lam=10.0).collect()[0]
+    # m = 0,0,0,7.5,13.5,18.5; min m = 0 -> PH = m
+    assert r.n == 6
+    assert r.max_ph == pytest.approx(18.5, abs=1e-6)
+    assert r.n_alarms == 2 and r.first_alarm_t == 5
+
+
+def test_page_hinkley_stable_series_no_alarm(spark):
+    from icnarc_to_philips_linkage_spark.operators.timeseries import (
+        page_hinkley,
+    )
+
+    xs = [5.0, 5.0, 5.0, 5.0]
+    df = spark.createDataFrame(
+        [("a", t, x) for t, x in enumerate(xs)],
+        "k string, t int, v double",
+    )
+    r = page_hinkley(df, "k", ["t"], "v", lam=1.0).collect()[0]
+    assert r.max_ph == 0.0 and r.n_alarms == 0
+    assert r.first_alarm_t is None
+
+
+def test_page_hinkley_downward_shift_invisible(spark):
+    from icnarc_to_philips_linkage_spark.operators.timeseries import (
+        page_hinkley,
+    )
+
+    # the one-sided (upward) detector must NOT alarm on a drop
+    xs = [10.0, 10.0, 10.0, 0.0, 0.0, 0.0]
+    df = spark.createDataFrame(
+        [("a", t, x) for t, x in enumerate(xs)],
+        "k string, t int, v double",
+    )
+    r = page_hinkley(df, "k", ["t"], "v", lam=5.0).collect()[0]
+    assert r.n_alarms == 0
