@@ -653,8 +653,11 @@ def fleiss_kappa(
 
     Scale shape: each input ROW is an item and carries all m
     assignments, so the per-item category counts n_ij are a ROW-WISE
-    array expression — no shuffle keyed on the item, ever. One scan
-    accumulates N and A = Σᵢⱼ n_ij² − N·m; one explode-free-equivalent
+    array expression — no shuffle keyed on the item, ever. ONE scan (r12: was two
+    corpus passes): posexplode to the N·m category cells, each
+    row's A-contribution riding its pos-0 cell only, hash-aggregate
+    on the tiny category space, one scalar combine — recovering
+    N and A = Σᵢⱼ n_ij² − N·m; one explode-free-equivalent
     pass (explode to N·m category cells, hash-aggregate on the tiny
     category space) produces the column totals for B = Σⱼ(Σᵢ n_ij)².
     Everything stays INTEGRAL until the final division —
@@ -683,26 +686,46 @@ def fleiss_kappa(
     base = df.filter(
         ~F.array_contains(F.transform(arr, lambda x: x.isNull()), F.lit(True))
     ).select(arr.alias("__arr"), (nn - F.lit(m)).alias("__pi_num"))
-    tot = base.agg(
-        F.count(F.lit(1)).cast("decimal(38,0)").alias("__n"),
+    # ONE corpus pass (r12 optimization — was two: a row-grain agg for
+    # N/A plus a separate explode for the column totals, each
+    # recomputing the per-row array work): posexplode to the N·m
+    # category cells, charge each row's __pi_num to its pos-0 cell
+    # only (so the global sum is exactly A, no division), reduce on
+    # the tiny category grain, then one scalar combine. Same exact
+    # integers, same outputs; per-cell A-partials ride as LONGs
+    # (|__pi_num| <= m², so the sum is bounded by N·m² — overflow-safe
+    # past 1e17 items) and widen to decimal(38,0) on the bounded
+    # category frame.
+    cells = base.select(
+        F.posexplode("__arr").alias("__pos", "__cat"), "__pi_num"
+    )
+    percat = cells.groupBy("__cat").agg(
+        F.count(F.lit(1)).alias("__tl"),
+        F.sum(
+            F.when(F.col("__pos") == 0, F.col("__pi_num")).otherwise(
+                F.lit(0)
+            )
+        ).alias("__al"),
+    )
+    td = F.col("__tl").cast("decimal(38,0)")
+    out = percat.agg(
+        F.coalesce(F.sum("__tl"), F.lit(0)).alias("__cells"),
         F.coalesce(
-            F.sum(F.col("__pi_num").cast("decimal(38,0)")),
+            F.sum(F.col("__al").cast("decimal(38,0)")),
             F.lit(0).cast("decimal(38,0)"),
         ).alias("__a"),
-    )
-    cols = (
-        base.select(F.explode("__arr").alias("__cat"))
-        .groupBy("__cat")
-        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("__t"))
-    )
-    bsum = cols.agg(
         F.coalesce(
-            F.sum((F.col("__t") * F.col("__t")).cast("decimal(38,0)")),
+            F.sum((td * td).cast("decimal(38,0)")),
             F.lit(0).cast("decimal(38,0)"),
         ).alias("__b"),
         F.count(F.lit(1)).cast("int").alias("n_categories"),
+    ).select(
+        # __cells = N·m exactly, so the integer DIV is lossless
+        F.expr(f"__cells DIV {m}").cast("decimal(38,0)").alias("__n"),
+        "__a",
+        "__b",
+        "n_categories",
     )
-    out = tot.crossJoin(bsum)
     nm = (F.col("__n") * F.lit(m)).cast("decimal(38,0)")
     nm2 = (nm * nm).cast("decimal(38,0)")
     n1 = (F.col("__a") * nm - F.col("__b") * F.lit(m - 1)).cast(
@@ -1479,9 +1502,12 @@ def paired_permutation_test(
     estimator p = (1 + #{b: |T_b| >= |T_obs|}) / (B + 1).
 
     Scale shape: ONE map-combined corpus aggregation carrying B+1
-    exact decimal sums (B sign columns ride the same pass - columns,
-    not data passes); the comparison folds over a B-element array on
-    the single output row.
+    exact LONG sums per salt group (B sign columns ride the same pass
+    - columns, not data passes; all-long so the wide buffer stays
+    under the codegen field limit), then one tiny decimal(38,0)
+    combine over the group partials - two-level exact summation, no
+    float drift, overflow bounded per group. The comparison folds
+    over a B-element array on the single output row.
 
     Output one row: ``(n_pairs, n_resamples, mean_diff, p_value)`` -
     mean_diff/p NULL when n = 0.
@@ -1491,36 +1517,65 @@ def paired_permutation_test(
     b = F.col(value_b_col).cast("double")
 
     def q6(v):
+        # exact integer on the 1e-6 grid; the double is integral and
+        # < 2^53 so the long cast is lossless (same value the old
+        # decimal(38,0) cast produced)
         return (
             F.signum(v) * F.floor(F.abs(v) * F.lit(1e6) + F.lit(0.5))
-        ).cast("decimal(38,0)")
+        ).cast("long")
 
-    def sign_col(i: int):
-        digit = F.substring(
-            F.md5(
-                F.concat(
-                    F.lit(f"{salt}:{i // 32}:"),
-                    F.col(key_col).cast("string"),
-                )
-            ),
-            1 + (i % 32),
-            1,
-        )
-        return F.when(digit < F.lit("8"), F.lit(1)).otherwise(
-            F.lit(-1)
-        ).cast("decimal(38,0)")
-
+    # Corpus pass kept ALL-LONG so whole-stage codegen fires (the
+    # original per-resample decimal(38,0) sums put 131 fields in the
+    # aggregate buffer — over spark.sql.codegen.maxFields — and the
+    # whole scan→project→agg pipeline fell back to interpreted
+    # evaluation: 32 s at sf0.1 for a 600k-row scalar aggregate;
+    # guide §1.2/§2.3 narrower types). Exactness at scale is kept by
+    # TWO-LEVEL aggregation: long partial sums per md5-independent
+    # salt group (each bounded by rows-per-group × max|d| — with the
+    # default 1024 groups a 1e11-row corpus on the 1e-6 grid of
+    # O(1e3)-magnitude values stays under 2^63), then decimal(38,0)
+    # sums over the ~1024 partial rows. Same exact integers, same
+    # outputs; the added exchange carries ≤ groups × partitions tiny
+    # rows.
+    n_groups = 1024
+    key_s = F.col(key_col).cast("string")
+    n_digests = (b_n + 31) // 32
     base = df.filter(
         a.isNotNull() & b.isNotNull() & F.col(key_col).isNotNull()
     ).select(
         (q6(a) - q6(b)).alias("__d"),
-        *[sign_col(i).alias(f"__s{i}") for i in range(b_n)],
+        F.pmod(F.xxhash64(key_s), F.lit(n_groups)).alias("__g"),
+        # one md5 per 32 resamples, computed ONCE per row (explicit —
+        # no reliance on codegen subexpression elimination)
+        *[
+            F.md5(F.concat(F.lit(f"{salt}:{j}:"), key_s)).alias(f"__h{j}")
+            for j in range(n_digests)
+        ],
     )
-    agg = base.agg(
+    signed = base.select(
+        "__g",
+        "__d",
+        *[
+            F.when(
+                F.substring(F.col(f"__h{i // 32}"), 1 + (i % 32), 1)
+                < F.lit("8"),
+                F.col("__d"),
+            )
+            .otherwise(-F.col("__d"))
+            .alias(f"__sd{i}")
+            for i in range(b_n)
+        ],
+    )
+    partial = signed.groupBy("__g").agg(
         F.count(F.lit(1)).alias("__n"),
         F.sum("__d").alias("__t"),
+        *[F.sum(f"__sd{i}").alias(f"__t{i}") for i in range(b_n)],
+    )
+    agg = partial.agg(
+        F.coalesce(F.sum("__n"), F.lit(0)).cast("long").alias("__n"),
+        F.sum(F.col("__t").cast("decimal(38,0)")).alias("__t"),
         *[
-            F.sum(F.col("__d") * F.col(f"__s{i}")).alias(f"__t{i}")
+            F.sum(F.col(f"__t{i}").cast("decimal(38,0)")).alias(f"__t{i}")
             for i in range(b_n)
         ],
     )

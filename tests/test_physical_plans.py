@@ -574,11 +574,15 @@ def test_distinct_ngrams_approx_single_explode_no_vocab_shuffle(spark):
 
 def test_perm_paired_single_aggregation_no_join(spark):
     """B=64 sign resamples must ride ONE corpus aggregation — no
-    joins, no extra exchanges beyond the scalar-agg reduction."""
+    joins, no corpus-grain exchange beyond the salt-group reduction.
+    Two exchanges allowed since the r12 two-level exact-sum rewrite:
+    corpus → ≤1024 salt-group partials (long sums, codegen-wide),
+    partials → scalar (decimal combine); both post-corpus exchanges
+    carry group-count-bounded rows only."""
     fn, _ = all_queries()["eval_perm_paired"]
     plan = plan_of(fn(spark, SF_SMOKE))
     assert "Join" not in plan, plan
-    assert plan.count("Exchange") <= 1, plan
+    assert plan.count("Exchange") <= 2, plan
 
 
 def test_runs_segmented_window_partitions_by_key_and_segment(spark):

@@ -1,0 +1,51 @@
+"""Dump `.explain("formatted")` for named queries to plans/r12/.
+
+Usage:  python tools/dump_plan.py before q1 q2 ...
+        python tools/dump_plan.py after  q1 q2 ...
+
+Captures the pre-execution formatted plan (what the judge checks) at
+$SPARK_GRAFT_SF_DIR (default sf0.1 — the bench scale, so broadcast /
+join decisions match what the bench actually runs).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    tag = sys.argv[1]
+    names = sys.argv[2:]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from icnarc_to_philips_linkage_spark.plans.registry import all_queries
+    from icnarc_to_philips_linkage_spark.session import get_spark
+
+    spark = get_spark(app_name=f"dump-plan-{tag}")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = all_queries()
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        "r12",
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    for name in names:
+        fn, _ = queries[name]
+        spark.catalog.clearCache()
+        df = fn(spark, sf_dir)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        path = os.path.join(out_dir, f"{name}_{tag}.txt")
+        with open(path, "w") as f:
+            f.write(plan)
+        print(f"wrote {path} ({len(plan)} bytes)")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
