@@ -1372,6 +1372,10 @@ def paired_bootstrap_delta_auc(
     s1 = F.col(score1_col).cast("double")
     s2 = F.col(score2_col).cast("double")
     y = F.col(label_col).cast("int")
+    from pyspark import StorageLevel
+
+    from . import cachereg
+
     base = df.filter(
         s1.isNotNull()
         & s2.isNotNull()
@@ -1386,6 +1390,12 @@ def paired_bootstrap_delta_auc(
             for b in range(b_n)
         ],
     )
+    # both scorers' passes consume the SAME weighted base (scores,
+    # label, B md5-band weights): persist so the upstream scan/score
+    # projection and the B/4 md5 digests per row compute once, not
+    # twice (guide §5 reuse rule)
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    cachereg.track(base)
 
     def rs2(pcol, ccol, bcol):
         return F.sum(
@@ -1501,13 +1511,14 @@ def paired_permutation_test(
     float comparison anywhere - with the add-one Monte-Carlo
     estimator p = (1 + #{b: |T_b| >= |T_obs|}) / (B + 1).
 
-    Scale shape: ONE map-combined corpus aggregation carrying B+1
-    exact LONG sums per salt group (B sign columns ride the same pass
-    - columns, not data passes; all-long so the wide buffer stays
-    under the codegen field limit), then one tiny decimal(38,0)
-    combine over the group partials - two-level exact summation, no
-    float drift, overflow bounded per group. The comparison folds
-    over a B-element array on the single output row.
+    Scale shape: ONE corpus pass - each row posexplodes its B signed
+    contributions and a map-combined aggregation reduces them to
+    (salt-group, resample) exact LONG partials (all-long and plan-
+    narrow, so codegen fires and Catalyst analysis stays O(1) in B);
+    two bounded aggregations above (per-resample decimal(38,0) sums,
+    then one scalar row) finish the exact two-level summation - no
+    float drift, overflow bounded per cell. The comparison folds over
+    the collected B-element array on the single output row.
 
     Output one row: ``(n_pairs, n_resamples, mean_diff, p_value)`` -
     mean_diff/p NULL when n = 0.
@@ -1524,19 +1535,22 @@ def paired_permutation_test(
             F.signum(v) * F.floor(F.abs(v) * F.lit(1e6) + F.lit(0.5))
         ).cast("long")
 
-    # Corpus pass kept ALL-LONG so whole-stage codegen fires (the
-    # original per-resample decimal(38,0) sums put 131 fields in the
-    # aggregate buffer — over spark.sql.codegen.maxFields — and the
-    # whole scan→project→agg pipeline fell back to interpreted
-    # evaluation: 32 s at sf0.1 for a 600k-row scalar aggregate;
-    # guide §1.2/§2.3 narrower types). Exactness at scale is kept by
-    # TWO-LEVEL aggregation: long partial sums per md5-independent
-    # salt group (each bounded by rows-per-group × max|d| — with the
-    # default 1024 groups a 1e11-row corpus on the 1e-6 grid of
-    # O(1e3)-magnitude values stays under 2^63), then decimal(38,0)
-    # sums over the ~1024 partial rows. Same exact integers, same
-    # outputs; the added exchange carries ≤ groups × partitions tiny
-    # rows.
+    # Corpus pass kept ALL-LONG and PLAN-NARROW (r12, guide §1.2/§2.3):
+    # the original B decimal(38,0) sum columns put 131 fields in the
+    # aggregate buffer — over spark.sql.codegen.maxFields, so the whole
+    # scan→project→agg pipeline ran interpreted (32 s at sf0.1 for a
+    # 600k-row scalar aggregate) — and a 64-column when() projection
+    # costs ~2.5 s of Catalyst analysis per call. Instead each row
+    # posexplodes its B signed contributions (a transform over the
+    # concatenated md5 hex digits — one md5 per 32 resamples, computed
+    # once), and three bounded aggregations reduce them:
+    #   (salt-group, resample) long partials → per-resample decimal
+    #   sums → one scalar row. Long partials stay exact because each
+    #   (group, resample) cell sees rows/n_groups inputs (1024 groups:
+    #   a 1e12-row corpus of 1e-6-grid values of O(1e3) magnitude
+    #   stays under 2^63); the decimal combine above is overflow-free.
+    # Same exact integers, same outputs; both post-corpus exchanges
+    # carry ≤ n_groups·B tiny rows.
     n_groups = 1024
     key_s = F.col(key_col).cast("string")
     n_digests = (b_n + 31) // 32
@@ -1545,43 +1559,48 @@ def paired_permutation_test(
     ).select(
         (q6(a) - q6(b)).alias("__d"),
         F.pmod(F.xxhash64(key_s), F.lit(n_groups)).alias("__g"),
-        # one md5 per 32 resamples, computed ONCE per row (explicit —
-        # no reliance on codegen subexpression elimination)
-        *[
-            F.md5(F.concat(F.lit(f"{salt}:{j}:"), key_s)).alias(f"__h{j}")
-            for j in range(n_digests)
-        ],
+        F.concat(
+            *[
+                F.md5(F.concat(F.lit(f"{salt}:{j}:"), key_s))
+                for j in range(n_digests)
+            ]
+        ).alias("__hx"),
     )
-    signed = base.select(
-        "__g",
-        "__d",
-        *[
-            F.when(
-                F.substring(F.col(f"__h{i // 32}"), 1 + (i % 32), 1)
-                < F.lit("8"),
-                F.col("__d"),
-            )
-            .otherwise(-F.col("__d"))
-            .alias(f"__sd{i}")
-            for i in range(b_n)
-        ],
+    # resample i reads hex digit i%32 of digest i//32 == digit i of
+    # the concatenation; sign + when digit < '8' (same schedule as
+    # the original per-column form)
+    sd = F.transform(
+        F.slice(F.split(F.col("__hx"), ""), 1, b_n),
+        lambda ch: F.when(ch < F.lit("8"), F.col("__d")).otherwise(
+            -F.col("__d")
+        ),
     )
-    partial = signed.groupBy("__g").agg(
-        F.count(F.lit(1)).alias("__n"),
-        F.sum("__d").alias("__t"),
-        *[F.sum(f"__sd{i}").alias(f"__t{i}") for i in range(b_n)],
+    cells = base.select(
+        "__g", "__d", F.posexplode(sd).alias("__i", "__sd")
     )
-    agg = partial.agg(
-        F.coalesce(F.sum("__n"), F.lit(0)).cast("long").alias("__n"),
-        F.sum(F.col("__t").cast("decimal(38,0)")).alias("__t"),
-        *[
-            F.sum(F.col(f"__t{i}").cast("decimal(38,0)")).alias(f"__t{i}")
-            for i in range(b_n)
-        ],
+    partial = cells.groupBy("__g", "__i").agg(
+        F.sum("__sd").alias("__ti"),
+        # T_obs and the pair count ride each row's resample-0 cell so
+        # ONE pass carries everything
+        F.sum(
+            F.when(F.col("__i") == 0, F.col("__d")).otherwise(F.lit(0))
+        ).alias("__tp"),
+        F.count(F.when(F.col("__i") == 0, F.lit(1))).alias("__np"),
     )
-    arr = F.array(*[F.col(f"__t{i}") for i in range(b_n)])
+    per_i = partial.groupBy("__i").agg(
+        F.sum(F.col("__ti").cast("decimal(38,0)")).alias("__tb"),
+        F.sum(F.col("__tp").cast("decimal(38,0)")).alias("__tpart"),
+        F.sum("__np").alias("__npart"),
+    )
+    agg = per_i.agg(
+        F.coalesce(F.sum("__npart"), F.lit(0)).cast("long").alias("__n"),
+        F.sum("__tpart").alias("__t"),
+        F.collect_list("__tb").alias("__arr"),
+    )
     cnt = F.size(
-        F.filter(arr, lambda t: F.abs(t) >= F.abs(F.col("__t")))
+        F.filter(
+            F.col("__arr"), lambda t: F.abs(t) >= F.abs(F.col("__t"))
+        )
     )
     ok = F.col("__n") > 0
     return agg.select(

@@ -5359,8 +5359,11 @@ _GD_WEIGHTS_CACHE: dict = {}
 
 def _gd_feats(spark: SparkSession, sf: str) -> DataFrame:
     """The shared GD feature projection: (quantity, discount, tax)
-    scaled onto [0,1] plus the returned-flag label."""
-    l = load(spark, sf, "lineitem")
+    scaled onto [0,1] plus the returned-flag label. The scan is
+    spread() (no-op at real scale): training persists this frame and
+    re-scans it 25×, and the bench parquet is a single row group, so
+    without the spread every iteration ran on <=3 tasks."""
+    l = spread(load(spark, sf, "lineitem"), "l_orderkey")
     return l.select(
         (F.col("l_quantity") / F.lit(50.0)).alias("x_qty"),
         (F.col("l_discount") * F.lit(10.0)).alias("x_disc"),
@@ -5576,7 +5579,9 @@ def ml_gd_conformal(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     w = _gd_weights(spark, sf)
-    l = load(spark, sf, "lineitem")
+    # spread(): md5-band / scoring projections dominate; single-row-
+    # group bench parquet scans as <=3 tasks otherwise (no-op at scale)
+    l = spread(load(spark, sf, "lineitem"), "l_orderkey")
     feats = l.select(
         (F.col("l_quantity") / F.lit(50.0)).alias("x_qty"),
         (F.col("l_discount") * F.lit(10.0)).alias("x_disc"),
@@ -7977,7 +7982,9 @@ def eval_auc_bootstrap(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     w = _gd_weights(spark, sf)
-    l = load(spark, sf, "lineitem")
+    # spread(): md5-band / scoring projections dominate; single-row-
+    # group bench parquet scans as <=3 tasks otherwise (no-op at scale)
+    l = spread(load(spark, sf, "lineitem"), "l_orderkey")
     feats = l.select(
         (F.col("l_quantity") / F.lit(50.0)).alias("x_qty"),
         (F.col("l_discount") * F.lit(10.0)).alias("x_disc"),
@@ -8197,7 +8204,9 @@ def eval_paired_boot_delta(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     w = _gd_weights(spark, sf)
-    l = load(spark, sf, "lineitem")
+    # spread(): md5-band / scoring projections dominate; single-row-
+    # group bench parquet scans as <=3 tasks otherwise (no-op at scale)
+    l = spread(load(spark, sf, "lineitem"), "l_orderkey")
     feats = l.select(
         (F.col("l_quantity") / F.lit(50.0)).alias("x_qty"),
         (F.col("l_discount") * F.lit(10.0)).alias("x_disc"),
@@ -8425,10 +8434,13 @@ def eval_perm_paired(spark: SparkSession, sf: str) -> DataFrame:
     discounted price against a flat-5%-discount counterfactual — is
     the realized discount schedule different from flat 5%? 64
     deterministic md5-bit sign resamples ride ONE map-combined
-    aggregation; |T_b| >= |T_obs| compares exact integers."""
+    aggregation; |T_b| >= |T_obs| compares exact integers. The scan
+    is spread() first: per-row md5+sign work dominates, and the
+    bench parquet is a single row group (1-3 scan tasks) — a no-op
+    at real scale where the table is thousands of splits."""
     from icnarc_to_philips_linkage_spark.operators import evaluation
 
-    l = load(spark, sf, "lineitem").filter(
+    l = spread(load(spark, sf, "lineitem"), "l_orderkey").filter(
         F.col("l_orderkey").isNotNull()
         & F.col("l_linenumber").isNotNull()
     ).select(
@@ -8504,7 +8516,7 @@ def _qr_feats(spark: SparkSession, sf: str) -> DataFrame:
     """Quantile-regression projection: predict the (scaled) gross
     line price from scaled quantity — the conditional-quantile twin
     of the a20 group OLS."""
-    l = load(spark, sf, "lineitem")
+    l = spread(load(spark, sf, "lineitem"), "l_orderkey")
     return l.select(
         (F.col("l_quantity") / F.lit(50.0)).alias("x_qty"),
         (F.col("l_extendedprice") / F.lit(100000.0)).alias("y_price"),
