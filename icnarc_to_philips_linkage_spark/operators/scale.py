@@ -165,6 +165,7 @@ def global_dense_rank(
     rank_col: str = "rank",
     partitions: int | None = None,
     return_total: bool = False,
+    return_rows: bool = False,
 ):
     """Equality-consistent DENSE global rank (equal keys → equal rank,
     ranks 1..#distinct) without materializing a distinct frame: range
@@ -181,7 +182,10 @@ def global_dense_rank(
     join (prefix doubling drops a corpus-wide join per round — see
     operators/suffixes.py). ``return_total`` returns
     ``(frame, n_distinct)`` driver-side for free, as in
-    ``global_rank``.
+    ``global_rank``; ``return_rows`` additionally appends the ROW
+    count (``(frame, n_distinct, n_rows)``) — it rides the same
+    per-partition counts collect, so callers that would otherwise
+    ``df.count()`` (one full extra pass) get it for zero jobs.
     """
     ordering = [F.col(c) for c in order_cols]
     ranged = (
@@ -198,14 +202,19 @@ def global_dense_rank(
     local = local.localCheckpoint(eager=True)
     counts = (
         local.groupBy("__pid")
-        .agg(F.max("__local_dr").alias("__n"))
+        .agg(
+            F.max("__local_dr").alias("__n"),
+            F.count(F.lit(1)).alias("__rows"),
+        )
         .orderBy("__pid")
         .collect()
     )
     offsets, acc = {}, 0
+    n_rows = 0
     for r in counts:
         offsets[r["__pid"]] = acc
         acc += r["__n"]
+        n_rows += r["__rows"]
     off = None
     for pid, o in offsets.items():
         off = (F.when if off is None else off.when)(
@@ -215,6 +224,8 @@ def global_dense_rank(
     out = local.withColumn(
         rank_col, (off + F.col("__local_dr")).cast("long")
     ).drop("__pid", "__local_dr")
+    if return_rows:
+        return out, acc, n_rows
     if return_total:
         return out, acc
     return out

@@ -44,7 +44,7 @@ surface.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from . import cachereg
@@ -72,7 +72,7 @@ def token_positions(
 
 def suffix_rank(
     arrays: DataFrame,
-    positions: DataFrame,
+    positions: DataFrame | None = None,
     id_col: str = "doc_id",
     levels: int = 6,
     base_level: int = 4,
@@ -97,26 +97,57 @@ def suffix_rank(
     distinct + rank + join-back). Pushing the base much further
     starts to pay the naive-sort shuffle-width cost the doubling
     exists to avoid.
+
+    Round-12 shuffle diet (guide §2.3/§2.4), three structural cuts:
+
+    - the base keys are computed MAP-SIDE from the per-doc token
+      arrays (one ``transform`` + ``posexplode``), replacing the
+      positions⋈arrays join — the exploded position frame never
+      existed just to be joined back to its own source row;
+    - ``n_pos`` rides the base rank pass's per-partition counts
+      (``global_dense_rank(return_rows=True)``) instead of a separate
+      ``positions.count()`` full pass;
+    - each doubling round fetches the rank at ``off + 2^k`` with
+      ``lead(r, h)`` over a per-doc window (offsets are the dense
+      1..len integers by construction, so ``lead`` h rows ahead IS
+      position off+h; beyond-end → NULL → 0, exactly the old left
+      join's coalesce) — ONE hash exchange of the rank frame per
+      round where the self-join shuffled it twice and needed a
+      persist. Per-doc windows are bounded by document length, the
+      same bound the old (id, off) join keys had — no skew regression
+      at scale.
+
+    ``positions`` is accepted for backwards compatibility and ignored
+    (the base pass derives positions from ``arrays`` itself).
+
+    REJECTED refinement (measured round 12): pinning the rank passes
+    to an explicit data-derived partition count
+    (``max(defaultParallelism, n_pos/128k)``) to stop AQE's
+    byte-targeted coalescing narrowing the checkpointed frames to 3-7
+    tasks. Interleaved keep-min A/B at sf0.1: explicit widths 10.4-10.8 s
+    vs 9.0-9.7 s leaving AQE alone — the extra 32-way sampling + sort
+    tasks across 4 rank passes cost more than the narrow LCP tail
+    saves. AQE's ``parallelismFirst`` already restores width once
+    partitions exceed the 1 MB min at real scale.
     """
     base = 1 << base_level
-    keyed = positions.join(
-        arrays.select(F.col(id_col), F.col("toks").alias("__t")), id_col
-    ).select(
+    keyed = arrays.select(
         F.col(id_col),
-        "off",
-        F.array_join(
-            F.slice(F.col("__t"), F.col("off"), base), " "
-        ).alias("__k"),
-    )
-    n_pos = positions.count()
+        F.posexplode(
+            F.expr(
+                f"transform(toks, (t, i) -> "
+                f"array_join(slice(toks, i + 1, {base}), ' '))"
+            )
+        ).alias("__p0", "__k"),
+    ).select(F.col(id_col), (F.col("__p0") + 1).alias("off"), "__k")
     # dense rank directly on the position frame: one range exchange,
     # no distinct frame, no corpus-wide join back (global_dense_rank
-    # docstring; measured ~2× on the base pass at sf0.1). The
-    # distinct-key cardinality falls out driver-side for the
+    # docstring; measured ~2× on the base pass at sf0.1). Distinct-key
+    # AND row cardinalities fall out driver-side for the
     # singleton-ranks exit below — zero extra jobs.
-    ranked, n_keys = global_dense_rank(
+    ranked, n_keys, n_pos = global_dense_rank(
         keyed, ["__k"], rank_col="r", partitions=partitions,
-        return_total=True,
+        return_rows=True,
     )
     r = ranked.select(F.col(id_col), "off", "r")
     for k in range(base_level, levels):
@@ -130,20 +161,14 @@ def suffix_rank(
         # round count data-bounded instead of always log2(cap).
         if n_keys == n_pos:
             break
-        r = r.persist()
-        cachereg.track(r)
-        nxt = r.select(
-            F.col(id_col),
-            (F.col("off") - h).alias("off"),
-            F.col("r").alias("rb"),
-        )
-        paired = r.join(nxt, [id_col, "off"], "left").select(
+        wd = Window.partitionBy(id_col).orderBy("off")
+        paired = r.select(
             F.col(id_col),
             "off",
             F.col("r").alias("ra"),
             # 0 = suffix ends within h tokens; real ranks start at 1,
             # so a shorter prefix sorts before every extension of it
-            F.coalesce("rb", F.lit(0)).alias("rb"),
+            F.coalesce(F.lead("r", h).over(wd), F.lit(0)).alias("rb"),
         )
         ranked, n_keys = global_dense_rank(
             paired, ["ra", "rb"], rank_col="r", partitions=partitions,
@@ -166,13 +191,11 @@ def longest_repeated_sequences(
     per adjacent suffix pair, ranked by LCP:
     (doc_a, off_a, doc_b, off_b, lcp_tokens, excerpt)."""
     cap = 1 << levels
-    arrays, positions = token_positions(df, id_col, text_col)
-    positions = positions.persist()
-    cachereg.track(positions)
+    arrays, _ = token_positions(df, id_col, text_col)
     arrays = arrays.persist()
     cachereg.track(arrays)
     ranks = suffix_rank(
-        arrays, positions, id_col, levels, partitions=partitions
+        arrays, None, id_col, levels, partitions=partitions
     )
     sa = global_rank(
         ranks, ["r", id_col, "off"], rank_col="__idx", partitions=partitions
