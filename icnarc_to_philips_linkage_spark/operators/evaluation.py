@@ -1218,6 +1218,61 @@ def _boot_weight_col(key_col: str, salt: str, b: int):
     )
 
 
+def _boot_digests_col(key_col: str, salt: str, b_n: int):
+    """Concatenated md5 digests covering ``b_n`` resample bands — the
+    per-ROW cost of the Poisson-bootstrap weights (⌈B/4⌉ digests; each
+    digest serves four 8-hex bands, as in ``_boot_weight_col``).
+    Computing the digests once per row and DECODING per exploded
+    (row, resample) pair is the ``paired_permutation_test`` recipe:
+    the projection stays O(1) columns wide, so Catalyst analysis and
+    the aggregate buffer are independent of B and whole-stage codegen
+    fires (B weight COLUMNS put 2(B+1) sums in one aggregate buffer,
+    over spark.sql.codegen.maxFields — the whole pipeline ran
+    interpreted)."""
+    return F.concat(
+        *[
+            F.md5(
+                F.concat(
+                    F.lit(f"{salt}:{j}:"), F.col(key_col).cast("string")
+                )
+            )
+            for j in range((b_n + 3) // 4)
+        ]
+    )
+
+
+def _boot_weight_from_digests(b_expr, digests_col: str = "__d"):
+    """Decode resample ``b``'s ~Poisson(1) band weight from the
+    concatenated digests (band layout identical to
+    ``_boot_weight_col``: resample b reads slice (b mod 4) of digest
+    (b div 4), i.e. chars [32·(b div 4) + 8·(b mod 4) + 1, +8))."""
+    t0, t1, t2 = (_threshold_hex_cached(x) for x in _BOOT_PMF_CUM)
+    u = F.substring(
+        F.col(digests_col),
+        (
+            F.lit(1)
+            + F.lit(32) * (b_expr / 4).cast("int")
+            + F.lit(8) * (b_expr % 4)
+        ).cast("int"),
+        8,
+    )
+    return (
+        F.when(u < t0, F.lit(0))
+        .when(u < t1, F.lit(1))
+        .when(u < t2, F.lit(2))
+        .otherwise(F.lit(3))
+        .cast("long")
+    )
+
+
+def _threshold_hex_cached(x: float) -> str:
+    from icnarc_to_philips_linkage_spark.operators.sampling import (
+        _threshold_hex,
+    )
+
+    return _threshold_hex(x)
+
+
 def auc_bootstrap_ci(
     df: DataFrame,
     score_col: str,
@@ -1247,91 +1302,118 @@ def auc_bootstrap_ci(
     Output one row: ``(n_resamples, auc, ci_lo, ci_hi, auc_med)`` —
     ci bounds are the min/max order statistics (the 2.5/97.5%
     percentile indexes at B=20), auc_med the B/2-th.
+
+    Round-12 shape (guide §1.2/§4 analog of the
+    ``paired_permutation_test`` rewrite): resamples are ROWS, not
+    columns. Each row carries its ⌈B/4⌉ concatenated md5 digests,
+    posexplodes B+1 (resample, weight) pairs (index 0 = the observed
+    sample at weight 1), and the whole computation is a narrow
+    (resample, score)-grain aggregation, ONE running-count window
+    partitioned BY RESAMPLE (B+1-way parallel where the column form
+    was a single bounded pass carrying 2(B+1) running sums), a
+    per-resample rank-sum aggregate, and a scalar order-statistic
+    fold. Arithmetic identical (exact long/decimal sums, same bands,
+    same rounding); the aggregate buffers are O(1) in B so codegen
+    fires — the 2(B+1)-sum buffers exceeded
+    spark.sql.codegen.maxFields and ran interpreted.
     """
     b_n = n_resamples
     p = F.col(score_col).cast("double")
     y = F.col(label_col).cast("int")
-
-    def w_col(b: int):
-        return _boot_weight_col(key_col, salt, b)
 
     base = df.filter(
         p.isNotNull() & y.isNotNull() & F.col(key_col).isNotNull()
     ).select(
         p.alias("__s"),
         y.alias("__y"),
-        *[w_col(b).alias(f"__w{b}") for b in range(b_n)],
+        _boot_digests_col(key_col, salt, b_n).alias("__d"),
     )
-    aggs = [
-        F.count(F.lit(1)).alias("__c"),
-        F.sum("__y").alias("__pos"),
-    ]
-    for b in range(b_n):
-        aggs.append(F.sum(f"__w{b}").alias(f"__c{b}"))
-        aggs.append(
-            F.sum(F.col(f"__w{b}") * F.col("__y")).alias(f"__p{b}")
-        )
-    per = base.groupBy("__s").agg(*aggs)
-    w = bounded_global_window("__s").rowsBetween(
-        Window.unboundedPreceding, 0
+    perb = _boot_auc_by_resample(base, "__s", b_n, round_dp)
+    INF = F.lit(float("inf"))
+    agg = perb.agg(
+        F.max(F.when(F.col("__b") == 0, F.col("__auc"))).alias("__auc0"),
+        F.array_sort(
+            F.collect_list(
+                F.when(
+                    F.col("__b") > 0, F.coalesce("__auc", INF)
+                )
+            )
+        ).alias("__arr"),
     )
-    cum_cols = [
-        (F.sum("__c").over(w) - F.col("__c")).alias("__b"),
-        *[
-            (F.sum(f"__c{b}").over(w) - F.col(f"__c{b}")).alias(f"__b{b}")
-            for b in range(b_n)
-        ],
-    ]
-    cum = per.select("*", *cum_cols)
 
-    def rs2(pcol, ccol, bcol):
-        # factors cast BEFORE multiplying (the roc_auc overflow rule:
-        # the long product wraps silently once n_pos·n ≈ 2^63)
-        return F.sum(
-            F.col(pcol).cast("decimal(38,0)")
-            * (2 * F.col(bcol) + F.col(ccol) + 1).cast("decimal(38,0)")
-        )
+    def pick(i: int):
+        el = F.element_at("__arr", i)
+        return F.when(el != INF, el)
 
-    final_aggs = [
-        F.sum("__pos").alias("__npos"),
-        F.sum("__c").alias("__n"),
-        rs2("__pos", "__c", "__b").alias("__rs2"),
-    ]
-    for b in range(b_n):
-        final_aggs.append(F.sum(f"__p{b}").alias(f"__npos{b}"))
-        final_aggs.append(F.sum(f"__c{b}").alias(f"__n{b}"))
-        final_aggs.append(
-            rs2(f"__p{b}", f"__c{b}", f"__b{b}").alias(f"__rs2{b}")
-        )
-    agg = cum.agg(*final_aggs)
-
-    def auc_expr(npos, n, r):
-        np_ = F.col(npos).cast("decimal(38,0)")
-        nn = (F.col(n) - F.col(npos)).cast("decimal(38,0)")
-        return F.when(
-            (F.col(npos) > 0) & ((F.col(n) - F.col(npos)) > 0),
-            F.round(
-                (F.col(r) - np_ * (np_ + 1)).cast("double")
-                / (F.lit(2.0) * F.col(npos) * (F.col(n) - F.col(npos))),
-                round_dp,
-            ),
-        )
-
-    arr = F.array_sort(
-        F.array(
-            *[
-                auc_expr(f"__npos{b}", f"__n{b}", f"__rs2{b}")
-                for b in range(b_n)
-            ]
-        )
-    )
     return agg.select(
         F.lit(b_n).alias("n_resamples"),
-        auc_expr("__npos", "__n", "__rs2").alias("auc"),
-        F.element_at(arr, 1).alias("ci_lo"),
-        F.element_at(arr, b_n).alias("ci_hi"),
-        F.element_at(arr, b_n // 2).alias("auc_med"),
+        F.col("__auc0").alias("auc"),
+        pick(1).alias("ci_lo"),
+        pick(b_n).alias("ci_hi"),
+        pick(b_n // 2).alias("auc_med"),
     )
+
+
+def _boot_auc_by_resample(
+    base: DataFrame,
+    score_col: str,
+    b_n: int,
+    round_dp: int = 9,
+) -> DataFrame:
+    """(resample, AUC) rows for a digest-carrying weighted base:
+    explode B+1 (b, w) pairs (b=0 observed, w=1), aggregate the
+    (b, score) grain with exact long sums, cumulate the below-score
+    count with a per-resample window, and reduce each resample to the
+    tie-aware integer rank-sum AUC. Shared by ``auc_bootstrap_ci``
+    and ``paired_bootstrap_delta_auc`` (each scorer = one call)."""
+    ex = base.select(
+        F.col(score_col).alias("__s"),
+        "__y",
+        "__d",
+        F.explode(F.sequence(F.lit(0), F.lit(b_n))).alias("__b"),
+    ).select(
+        "__s",
+        "__y",
+        "__b",
+        F.when(F.col("__b") == 0, F.lit(1).cast("long"))
+        .otherwise(_boot_weight_from_digests(F.col("__b") - 1))
+        .alias("__w"),
+    )
+    per = ex.groupBy("__b", "__s").agg(
+        F.sum("__w").alias("__c"),
+        F.sum(F.col("__w") * F.col("__y")).alias("__p"),
+    )
+    w = Window.partitionBy("__b").orderBy("__s").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = per.select(
+        "*", (F.sum("__c").over(w) - F.col("__c")).alias("__lo")
+    )
+    # factors cast BEFORE multiplying (the roc_auc overflow rule: the
+    # long product wraps silently once n_pos·n ≈ 2^63)
+    rs2 = F.sum(
+        F.col("__p").cast("decimal(38,0)")
+        * (2 * F.col("__lo") + F.col("__c") + 1).cast("decimal(38,0)")
+    )
+    perb = cum.groupBy("__b").agg(
+        F.sum("__p").alias("__npos"),
+        F.sum("__c").alias("__n"),
+        rs2.alias("__rs2"),
+    )
+    np_ = F.col("__npos").cast("decimal(38,0)")
+    auc = F.when(
+        (F.col("__npos") > 0) & ((F.col("__n") - F.col("__npos")) > 0),
+        F.round(
+            (F.col("__rs2") - np_ * (np_ + 1)).cast("double")
+            / (
+                F.lit(2.0)
+                * F.col("__npos")
+                * (F.col("__n") - F.col("__npos"))
+            ),
+            round_dp,
+        ),
+    )
+    return perb.select("__b", auc.alias("__auc"))
 
 
 def paired_bootstrap_delta_auc(
@@ -1367,6 +1449,13 @@ def paired_bootstrap_delta_auc(
     Output one row: ``(n_resamples, auc_1, auc_2, delta_auc, ci_lo,
     ci_hi, delta_med)`` — ci bounds are the min/max order statistics
     at B=20 (2.5/97.5% indexes), delta_med the B/2-th.
+
+    Round-12 shape: resamples are ROWS (``_boot_auc_by_resample``,
+    the ``auc_bootstrap_ci`` rewrite) — each scorer reduces its
+    shared digest-carrying base to B+1 (resample, AUC) rows, the two
+    sides join ON RESAMPLE (the paired draw), and one scalar fold
+    sorts the B deltas. Same exact arithmetic and md5 bands; the
+    3(B+1)-sum aggregate buffers that ran interpreted are gone.
     """
     b_n = n_resamples
     s1 = F.col(score1_col).cast("double")
@@ -1385,104 +1474,52 @@ def paired_bootstrap_delta_auc(
         s1.alias("__s1"),
         s2.alias("__s2"),
         y.alias("__y"),
-        *[
-            _boot_weight_col(key_col, salt, b).alias(f"__w{b}")
-            for b in range(b_n)
-        ],
+        _boot_digests_col(key_col, salt, b_n).alias("__d"),
     )
     # both scorers' passes consume the SAME weighted base (scores,
-    # label, B md5-band weights): persist so the upstream scan/score
-    # projection and the B/4 md5 digests per row compute once, not
-    # twice (guide §5 reuse rule)
+    # label, ⌈B/4⌉ md5 digests): persist so the upstream scan/score
+    # projection and the digests compute once, not twice (guide §5
+    # reuse rule)
     base = base.persist(StorageLevel.MEMORY_AND_DISK)
     cachereg.track(base)
-
-    def rs2(pcol, ccol, bcol):
-        return F.sum(
-            F.col(pcol).cast("decimal(38,0)")
-            * (2 * F.col(bcol) + F.col(ccol) + 1).cast("decimal(38,0)")
-        )
-
-    def auc_expr(npos, n, r):
-        np_ = F.col(npos).cast("decimal(38,0)")
-        return F.when(
-            (F.col(npos) > 0) & ((F.col(n) - F.col(npos)) > 0),
-            F.round(
-                (F.col(r) - np_ * (np_ + 1)).cast("double")
-                / (F.lit(2.0) * F.col(npos) * (F.col(n) - F.col(npos))),
-                round_dp,
-            ),
-        )
-
-    def side(tag: str) -> DataFrame:
-        aggs = [
-            F.count(F.lit(1)).alias("__c"),
-            F.sum("__y").alias("__pos"),
-        ]
-        for b in range(b_n):
-            aggs.append(F.sum(f"__w{b}").alias(f"__c{b}"))
-            aggs.append(
-                F.sum(F.col(f"__w{b}") * F.col("__y")).alias(f"__p{b}")
-            )
-        per = base.groupBy(
-            F.col(f"__s{tag}").alias("__s")
-        ).agg(*aggs)
-        w = bounded_global_window("__s").rowsBetween(
-            Window.unboundedPreceding, 0
-        )
-        cum = per.select(
-            "*",
-            (F.sum("__c").over(w) - F.col("__c")).alias("__b"),
-            *[
-                (F.sum(f"__c{b}").over(w) - F.col(f"__c{b}")).alias(
-                    f"__b{b}"
-                )
-                for b in range(b_n)
-            ],
-        )
-        final_aggs = [
-            F.sum("__pos").alias("__npos"),
-            F.sum("__c").alias("__n"),
-            rs2("__pos", "__c", "__b").alias("__rs2"),
-        ]
-        for b in range(b_n):
-            final_aggs.append(F.sum(f"__p{b}").alias(f"__npos{b}"))
-            final_aggs.append(F.sum(f"__c{b}").alias(f"__n{b}"))
-            final_aggs.append(
-                rs2(f"__p{b}", f"__c{b}", f"__b{b}").alias(f"__rs2{b}")
-            )
-        agg = cum.agg(*final_aggs)
-        return agg.select(
-            auc_expr("__npos", "__n", "__rs2").alias(f"auc_{tag}"),
-            *[
-                auc_expr(f"__npos{b}", f"__n{b}", f"__rs2{b}").alias(
-                    f"__a{tag}_{b}"
-                )
-                for b in range(b_n)
-            ],
-        )
-
-    joined = side("1").crossJoin(F.broadcast(side("2")))
-    deltas = F.array_sort(
-        F.array(
-            *[
-                F.round(
-                    F.col(f"__a1_{b}") - F.col(f"__a2_{b}"), round_dp
-                )
-                for b in range(b_n)
-            ]
-        )
+    a1 = _boot_auc_by_resample(base, "__s1", b_n, round_dp)
+    a2 = _boot_auc_by_resample(base, "__s2", b_n, round_dp).select(
+        "__b", F.col("__auc").alias("__auc2")
     )
-    return joined.select(
+    both = a1.join(a2, "__b")
+    INF = F.lit(float("inf"))
+    agg = both.agg(
+        F.max(F.when(F.col("__b") == 0, F.col("__auc"))).alias("__a1"),
+        F.max(F.when(F.col("__b") == 0, F.col("__auc2"))).alias("__a2"),
+        F.array_sort(
+            F.collect_list(
+                F.when(
+                    F.col("__b") > 0,
+                    F.coalesce(
+                        F.round(
+                            F.col("__auc") - F.col("__auc2"), round_dp
+                        ),
+                        INF,
+                    ),
+                )
+            )
+        ).alias("__arr"),
+    )
+
+    def pick(i: int):
+        el = F.element_at("__arr", i)
+        return F.when(el != INF, el)
+
+    return agg.select(
         F.lit(b_n).alias("n_resamples"),
-        "auc_1",
-        "auc_2",
-        F.round(F.col("auc_1") - F.col("auc_2"), round_dp).alias(
+        F.col("__a1").alias("auc_1"),
+        F.col("__a2").alias("auc_2"),
+        F.round(F.col("__a1") - F.col("__a2"), round_dp).alias(
             "delta_auc"
         ),
-        F.element_at(deltas, 1).alias("ci_lo"),
-        F.element_at(deltas, b_n).alias("ci_hi"),
-        F.element_at(deltas, b_n // 2).alias("delta_med"),
+        pick(1).alias("ci_lo"),
+        pick(b_n).alias("ci_hi"),
+        pick(b_n // 2).alias("delta_med"),
     )
 
 
