@@ -169,7 +169,20 @@ def triangle_count(
 
     Output one row: ``(n_nodes, n_edges, n_triangles, n_wedges,
     transitivity)`` — NULL transitivity on a wedge-free graph.
+
+    The edge frame is PERSISTED (and registered with ``cachereg``):
+    ``und`` feeds four consumers (degree counts, the orientation join,
+    the edge-count aggregate) and ``oriented`` three (both wedge sides
+    plus the closing join) — without the pins every consumer replays
+    the caller's whole edge-derivation pipeline (for the kNN graph:
+    the LSH bucket self-join and top-k), k× the cost for zero benefit.
+    Same discipline as ``pagerank``'s loop-invariant edge cache; both
+    frames are edge-sized, orders of magnitude under the corpus.
     """
+    from pyspark import StorageLevel
+
+    from . import cachereg
+
     a = F.col(src_col).cast("string")
     b = F.col(dst_col).cast("string")
     und = (
@@ -177,13 +190,17 @@ def triangle_count(
         .filter(F.col("u") != F.col("v"))
         .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    cachereg.track(und)
     deg = (
         und.select(F.col("u").alias("n"))
         .unionAll(und.select(F.col("v").alias("n")))
         .groupBy("n")
         .agg(F.count(F.lit(1)).alias("d"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    cachereg.track(deg)
     e = und.join(
         deg.select(F.col("n").alias("u"), F.col("d").alias("du")), "u"
     ).join(deg.select(F.col("n").alias("v"), F.col("d").alias("dv")), "v")
@@ -194,7 +211,8 @@ def triangle_count(
         F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("s"),
         F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("t"),
         F.when(lo_first, F.col("dv")).otherwise(F.col("du")).alias("dt"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    cachereg.track(oriented)
     o1 = oriented.select(
         "s", F.col("t").alias("b"), F.col("dt").alias("db")
     )
@@ -262,6 +280,11 @@ def resource_allocation_links(
     Output: ``(node_a, node_b, n_common, ra_score)`` with
     ``node_a < node_b``, ranked by (ra_score desc, node_a, node_b).
     """
+    # NOT pinned (measured): the three consumers' subtrees are
+    # identical up to the distinct, so AQE's runtime exchange reuse
+    # already deduplicates the edge derivation — persisting e was
+    # measured SLOWER (keep-min ~2.8 → ~4.0 s at sf0.1 on the kNN
+    # graph: materialization cost without saved work)
     e = edges.select(
         F.col(src_col).alias("__u"), F.col(dst_col).alias("__v")
     ).distinct()
@@ -333,12 +356,21 @@ def label_propagation(
     PageRank message-passing shape; k rounds = k bounded passes, no
     driver data. Returns the final (node, label) frame.
     """
+    from pyspark import StorageLevel
+
+    from . import cachereg
+
     e = edges.select(
         F.col(src_col).alias("__s"), F.col(dst_col).alias("__d")
     )
+    # pin the symmetrized edge list: it is the loop invariant — every
+    # round joins against it, and the union's two branches each replay
+    # the caller's edge derivation (the kNN LSH self-join + top-k)
+    # without the pin, so k rounds would cost 2k corpus-side replays
     sym = e.unionByName(
         e.select(F.col("__d").alias("__s"), F.col("__s").alias("__d"))
-    ).distinct()
+    ).distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    cachereg.track(sym)
     labels = sym.select(F.col("__s").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
