@@ -111,8 +111,16 @@ def fuzzy_join(
             l, r = rekey(l, left_col), rekey(r, right_col)
     # spread the probe side across the cluster by block: a small input
     # (few file splits) would otherwise evaluate every within-block
-    # comparison on one or two tasks, serializing the Levenshtein work
-    l = l.repartition("__blk")
+    # comparison on one or two tasks, serializing the Levenshtein work.
+    # The partition count is EXPLICIT (core-derived): without it, AQE's
+    # byte-based coalescing sees ~0.1 MB of shuffled keys and folds the
+    # whole join into ONE partition — but the work here is the O(block²)
+    # compare loop, quadratic CPU on tiny bytes, which AQE cannot see
+    # (measured: 3.9 s single-task stage vs spread across the cluster).
+    # An explicit numPartitions is exempt from AQE coalescing.
+    l = l.repartition(
+        l.sparkSession.sparkContext.defaultParallelism, "__blk"
+    )
     return (
         l.join(r, on="__blk")
         # 3-arg levenshtein: banded DP that early-exits past the

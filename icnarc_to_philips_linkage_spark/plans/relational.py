@@ -1799,7 +1799,14 @@ def fuzzy_jaro_winkler(spark: SparkSession, sf: str) -> DataFrame:
         "edit_distance",
         norm("c_name").alias("__sa"),
         norm("match_name").alias("__sb"),
-    ).repartition(F.col("c_custkey"), F.col("match_key"))
+    ).repartition(
+        # explicit count: AQE would coalesce the ~5 MB pair shuffle to
+        # a handful of tasks, serializing the per-pair Python UDF work
+        # that the bytes don't predict
+        spark.sparkContext.defaultParallelism,
+        F.col("c_custkey"),
+        F.col("match_key"),
+    )
     return base.select(
         "c_custkey",
         "match_key",
@@ -3391,19 +3398,28 @@ def graph_pagerank_parts(spark: SparkSession, sf: str) -> DataFrame:
     arithmetic (rank × 10^12 as BIGINT, integer DIV per out-edge) so
     the ranks are bit-exact across engines. Top-20 nodes by rank.
 
-    Runs in a CLONED session (readers.py pattern) with a small
-    shuffle-partition count: every shuffle in the loop is over
-    |nodes|-sized frames (contributions aggregate to one row per
-    node), so the session default of 32 reduce tasks per stage ×
-    2 shuffles × 5 iterations is pure task-launch overhead at this
-    grain — AQE coalesces reads, but the first stage still launches
-    wide. At real scale the same knob sizes the rank shuffles to the
-    NODE count while corpus-sized stages elsewhere keep their own
-    width."""
+    Runs in a CLONED session (readers.py pattern) with a CORE-DERIVED
+    shuffle-partition count (cores/2, floor 4): the conf does double
+    duty — it sizes the node-grain reduce stages of the loop (where
+    fewer tasks mean less launch overhead) AND the partition count of
+    the persisted edge cache that every per-iteration join/aggregate
+    scans (where too few tasks serialize real CPU work: at 4
+    partitions the per-iteration stages ran 4-way on a 32-core box,
+    ~2 s of single-stage CPU each). cores/2 was the measured optimum
+    at sf0.1 (4/8/16/32 → 5.0/5.7/4.1/7.3 s keep-min); at real scale
+    defaultParallelism grows with the cluster so the knob keeps
+    sizing the rank shuffles to the hardware, not to this testbed."""
     from icnarc_to_philips_linkage_spark.operators.graph import pagerank
 
     scoped = spark.newSession()
-    scoped.conf.set("spark.sql.shuffle.partitions", "4")
+    # CORE-DERIVED, not a constant (guide §2 scale-adaptive rule): the
+    # per-iteration stages scan the persisted edge cache, whose
+    # partition count this conf sizes — cores/2 keeps them parallel on
+    # any box while AQE still coalesces the node-sized reduce reads.
+    # Measured at sf0.1 (keep-min of 3, two sweeps each): 4 -> 5.1/4.9 s,
+    # 8 -> 5.7 s, 16 (=cores/2 here) -> 4.2/4.0 s, 32 -> 7.3 s.
+    pr_par = max(4, spark.sparkContext.defaultParallelism // 2)
+    scoped.conf.set("spark.sql.shuffle.partitions", str(pr_par))
     l = load(scoped, sf, "lineitem")
     # dedup the RAW integer key pairs, then decorate: the distinct
     # shuffles two ints per row instead of two concatenated strings,
