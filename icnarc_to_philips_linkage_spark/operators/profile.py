@@ -1207,6 +1207,7 @@ def countmin_sketch(
     depth: int = 4,
     width: int = 256,
     salt: str = "cms",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Count-Min sketch as pure DataFrame algebra — a depth×width grid
     of counters where row d increments cell (d, h_d(key)). The sketch
@@ -1217,18 +1218,26 @@ def countmin_sketch(
     twin of the HLL distinct and KLL quantile sketches. Hashing is one
     md5 per input row (digest slices are the row hashes), so the
     sketch is deterministic and the DuckDB oracle reproduces it
-    exactly. Output: (d, bucket, n)."""
+    exactly. Output: (d, bucket, n).
+
+    ``weight_col`` builds the sketch from PRE-AGGREGATED (key, count)
+    rows — cell (d, h_d(k)) accumulates Σ weight instead of the row
+    count, so a sketch built from a key-grain frame is cell-identical
+    to one built from the raw rows (r12 optimization: callers that
+    already hold exact per-key counts skip a second corpus pass)."""
+    w = F.lit(1) if weight_col is None else F.col(weight_col)
     keyed = df.select(
-        F.col(key_col).cast("string").alias("__k")
+        F.col(key_col).cast("string").alias("__k"), w.alias("__w")
     ).filter(F.col("__k").isNotNull())
     return (
         keyed.select(
+            F.col("__w"),
             F.posexplode(
                 _cms_buckets(F.col("__k"), depth, width, salt)
-            ).alias("d", "bucket")
+            ).alias("d", "bucket"),
         )
         .groupBy("d", "bucket")
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum("__w").cast("long").alias("n"))
     )
 
 
@@ -1496,30 +1505,52 @@ def spearman_corr(
 ) -> DataFrame:
     """Per-group Spearman rank correlation with average-tie ranks,
     engine-exact end to end. Ranks are derived on the DISTINCT-VALUE
-    grain, not the corpus: one groupBy to (group, value, count) per
-    variable, a running count over that (much smaller) table gives the
-    min-rank, and ``2·avg_rank = 2·cum − cnt + 1`` keeps the tie-
-    averaged rank an exact INTEGER (doubling clears the half — Pearson
-    is affine-invariant so ρ is unchanged). The doubled ranks join
-    back on (group, value) and feed the same exact decimal(38,0)
-    power-sum machinery as ``grouped_ols``; only the final ρ is a
-    double (identical expression tree in the DuckDB oracle).
+    grain, not the corpus: each variable's (group, value, count)
+    marginal comes off the joint cell grid, a running count over that
+    (much smaller) table gives the min-rank, and ``2·avg_rank = 2·cum
+    − cnt + 1`` keeps the tie-averaged rank an exact INTEGER (doubling
+    clears the half — Pearson is affine-invariant so ρ is unchanged).
+    The doubled ranks join back on (group, value) onto the CELL GRID
+    and feed the same exact decimal(38,0) power-sum machinery as
+    ``grouped_ols``, weighted by the cell counts; only the final ρ is
+    a double (identical expression tree in the DuckDB oracle).
 
-    Scale shape: two corpus shuffles (one per variable's value-grain
-    aggregate + join-back on the same key, so each variable's exchange
-    is reused), and the rank windows run over the distinct-value grain
-    partitioned by group — never a corpus-wide sorted window. The
-    rank maps for low-cardinality variables broadcast.
+    Scale shape: ONE corpus shuffle — the corpus collapses to the
+    JOINT (group, x, y) cell grid in a single aggregation (the
+    ``kendall_tau_b`` contract: the grid is bounded by the two value
+    grids' product and never exceeds the corpus), each variable's
+    rank map derives from the grid's own marginals (grid-sized
+    aggregations, never a second corpus pass), the join-backs are
+    GRID-sized, and the power sums ride the grid as count-weighted
+    exact decimals (Σ_rows rx·ry = Σ_cells c·rx·ry — identical
+    integers, so the doubles below are bit-identical to the row-grain
+    form this replaces; r12 optimization, guide §2.3/§2.4: was two
+    extra corpus scans + two corpus-wide broadcast join-backs). The
+    rank windows run over the marginal grain partitioned by group —
+    never a corpus-wide sorted window.
 
     Output: ``(group, n, rho)``; NULL rho when either variable is
     constant within the group.
     """
+    filtered = df.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    )
+    # explicit core-derived width on the cell-grid exchange: the
+    # downstream marginal aggregations, rank join-backs and decimal
+    # power sums are CPU-bound on a few MB of shuffled cells, which
+    # AQE's byte-based coalescing would fold into 3-6 tasks (guide
+    # §2.5 — the fuzzy_join lesson); explicit numPartitions is exempt
+    # and the groupBy reuses the same exchange
+    par = filtered.sparkSession.sparkContext.defaultParallelism
+    cells = (
+        filtered.repartition(par, group_col, x_col, y_col)
+        .groupBy(group_col, x_col, y_col)
+        .agg(F.count(F.lit(1)).alias("__cc"))
+    )
 
     def rank2(col: str, alias: str) -> DataFrame:
-        counts = (
-            df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
-            .groupBy(group_col, col)
-            .agg(F.count(F.lit(1)).alias("__c"))
+        counts = cells.groupBy(group_col, col).agg(
+            F.sum("__cc").alias("__c")
         )
         w = (
             Window.partitionBy(group_col)
@@ -1532,19 +1563,25 @@ def spearman_corr(
             (2 * F.sum("__c").over(w) - F.col("__c") + 1).alias(alias),
         )
 
-    base = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
-    ranked = base.join(rank2(x_col, "__rx"), [group_col, x_col]).join(
+    ranked = cells.join(rank2(x_col, "__rx"), [group_col, x_col]).join(
         rank2(y_col, "__ry"), [group_col, y_col]
     )
+    c = F.col("__cc").cast("decimal(38,0)")
     rx = F.col("__rx").cast("decimal(38,0)")
     ry = F.col("__ry").cast("decimal(38,0)")
     agg = ranked.groupBy(group_col).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(rx).cast("double").alias("sx"),
-        F.sum(ry).cast("double").alias("sy"),
-        F.sum((rx * rx).cast("decimal(38,0)")).cast("double").alias("sxx"),
-        F.sum((rx * ry).cast("decimal(38,0)")).cast("double").alias("sxy"),
-        F.sum((ry * ry).cast("decimal(38,0)")).cast("double").alias("syy"),
+        F.sum(c).cast("long").alias("n"),
+        F.sum((c * rx).cast("decimal(38,0)")).cast("double").alias("sx"),
+        F.sum((c * ry).cast("decimal(38,0)")).cast("double").alias("sy"),
+        F.sum((c * rx * rx).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum((c * rx * ry).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum((c * ry * ry).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("syy"),
     )
     n = F.col("n").cast("double")
     vx = n * F.col("sxx") - F.col("sx") * F.col("sx")
@@ -2170,6 +2207,13 @@ def mood_median_test(
         global_prefix_sums,
     )
 
+    # r12 optimization EXAMINED AND REJECTED (guide §1.1): deriving
+    # the median grain straight from the base scan and the k×2 table
+    # from a second base scan (skipping this shared (group, value)
+    # intermediate) measured 4.0 → 4.8 s keep-min at sf0.1 — the
+    # shared gv exchange is REUSED by both consumers at runtime,
+    # while the "direct" shape pays a BroadcastNestedLoopJoin over
+    # the full corpus instead of over the deduplicated grain.
     gv = (
         df.filter(
             F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
@@ -3137,6 +3181,13 @@ def brown_forsythe(
     base = df.filter(
         value_col.isNotNull() & F.col(group_col).isNotNull()
     ).select(F.col(group_col), v2)
+    # r12 optimization EXAMINED AND REJECTED (guide §1.1 empirical
+    # loop): replacing the per-group percentile ObjectHashAggregate
+    # with a (group, value)-grain running-count order statistic was
+    # measured 4.8 → 8.4 s keep-min at sf0.1 — the k-partition rank
+    # window serializes the grain into k tasks, while percentile's
+    # partial aggregation collapses each of the 32 map partitions to
+    # a counts map before the k-row merge. The object-agg shape wins.
     meds = base.groupBy(group_col).agg(
         F.expr("percentile(__v2, 0.5)").cast("decimal(38,0)").alias("__m2")
     )
@@ -3262,7 +3313,11 @@ def weighted_median_native(
     UDF-free to demonstrate the escape hatch wasn't needed: one
     (group, value) aggregation, one running-sum window over that
     grain, and a min-reduce. All comparisons are exact integers
-    (2·cumw ≥ totw — no halving, no floats anywhere).
+    (2·cumw ≥ totw — no halving, no floats anywhere). The per-group
+    row/weight totals ride the SAME window pass as whole-partition
+    sums (every surviving row carries them, so a max() in the final
+    reduce recovers them — r12 optimization, guide §2.4: was a second
+    aggregation over the grain plus a join).
 
     Output: ``(group, n_rows, total_weight, weighted_median)``.
     Zero/negative weights are excluded up front (they have no mass).
@@ -3285,20 +3340,17 @@ def weighted_median_native(
     staged = grain.select(
         group_col,
         value_col,
-        "__n",
         F.sum("__w").over(wrun).alias("__cum"),
         F.sum("__w").over(wtot).alias("__tot"),
+        F.sum("__n").over(wtot).alias("__nr"),
     )
     return (
         staged.filter(2 * F.col("__cum") >= F.col("__tot"))
         .groupBy(group_col)
-        .agg(F.min(value_col).alias("weighted_median"))
-        .join(
-            grain.groupBy(group_col).agg(
-                F.sum("__n").alias("n_rows"),
-                F.sum("__w").cast("double").alias("total_weight"),
-            ),
-            group_col,
+        .agg(
+            F.max("__nr").alias("n_rows"),
+            F.max("__tot").cast("double").alias("total_weight"),
+            F.min(value_col).alias("weighted_median"),
         )
         .select(group_col, "n_rows", "total_weight", "weighted_median")
     )

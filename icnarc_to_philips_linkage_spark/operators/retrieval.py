@@ -648,26 +648,41 @@ def rocchio_prf_search(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
     # the (doc, term) grain feeds four consumers (feedback tf, two df
-    # passes, pass-2 scoring); it is deliberately NOT persisted —
-    # measured at sf0.1, materializing the full grain costs more than
-    # the column-pruned codegen recomputes (9.0 s vs 5.2 s), and at
-    # full-corpus scale the right move is paying the layout once at
-    # ingest via write_postings_index, not caching per query
-    posting = (
-        toks.select(F.col(id_col), "dl", F.explode("__toks").alias("term"))
-        .groupBy(F.col(id_col), "term")
-        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+    # passes, pass-2 scoring). r12 optimization (guide §2.3 "project/
+    # filter before the exchange", §3.2 semi-join prefiltering): the
+    # FULL grain is never aggregated — every consumer first filters
+    # the exploded token stream by its broadcast doc set (fb_k rows)
+    # or term set (≤ |query|+expand_k rows) and only then aggregates,
+    # so each exchange carries a few terms' postings instead of the
+    # whole vocabulary×corpus grain. (Persisting the full grain was
+    # measured WORSE — 9.0 s vs 5.2 s at sf0.1 — and at full-corpus
+    # scale the right move is paying the layout once at ingest via
+    # write_postings_index, not caching per query.)
+    exploded = toks.select(
+        F.col(id_col), "dl", F.explode("__toks").alias("term")
     )
+
+    def posting_for(term_frame: DataFrame) -> DataFrame:
+        """(doc, term, tf, dl) grain restricted to the given terms —
+        identical rows to the full grain filtered post-hoc."""
+        return (
+            exploded.join(F.broadcast(term_frame.select("term")), "term")
+            .groupBy(F.col(id_col), "term")
+            .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+        )
+
     banned = set(query_terms) | set(exclude_terms)
+    # Σ tf over feedback docs == the raw occurrence count of the term
+    # in those docs, so the (doc, term) intermediate is unnecessary
     fb_terms = (
-        posting.join(F.broadcast(fb), id_col)
+        exploded.join(F.broadcast(fb), id_col)
         .filter(~F.col("term").isin(*banned))
         .groupBy("term")
-        .agg(F.sum("tf").alias("__fb_tf"))
+        .agg(F.count(F.lit(1)).alias("__fb_tf"))
     )
-    dfreq = posting.join(
-        F.broadcast(fb_terms.select("term")), "term"
-    ).groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    dfreq = posting_for(fb_terms).groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
     idf = F.log(
         F.lit(1.0)
         + (F.col("n_docs") - F.col("df") + F.lit(0.5))
@@ -689,9 +704,10 @@ def rocchio_prf_search(
         [(t, 1.0) for t in query_terms], "term string, q_weight double"
     )
     weighted = orig.unionByName(expansion)
-    q_dfreq = posting.join(
-        F.broadcast(weighted.select("term")), "term"
-    ).groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    q_posting = posting_for(weighted)
+    q_dfreq = q_posting.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
     tf_part = (
         F.col("tf")
         * (F.lit(k1) + 1.0)
@@ -702,7 +718,7 @@ def rocchio_prf_search(
         )
     )
     scored = (
-        posting.join(F.broadcast(weighted), "term")
+        q_posting.join(F.broadcast(weighted), "term")
         .join(F.broadcast(q_dfreq), "term")
         .crossJoin(F.broadcast(stats))
         .select(

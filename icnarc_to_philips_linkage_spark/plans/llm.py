@@ -1686,15 +1686,39 @@ def curate_token_budget(spark: SparkSession, sf: str) -> DataFrame:
     fits. The budget scalar derives from one 1-row aggregate; the
     prefix sum is the distributed two-level pack_sequences shape, not
     a single-task global window."""
-    q = text_quality(spark, sf).select("doc_id", "n_tokens")
-    s = quality_classifier_score(spark, sf).select("doc_id", "p_quality")
-    docs = q.join(s, "doc_id")
-    total = (
-        docs.filter(F.col("p_quality").isNotNull() & (F.col("n_tokens") > 0))
-        .agg(F.sum("n_tokens"))
-        .collect()[0][0]
-        or 0
+    from icnarc_to_philips_linkage_spark.operators import cachereg
+
+    # r12 optimization (guide §5/§8, §2.4): n_tokens and p_quality
+    # both derive from ONE with_quality projection — the old shape
+    # ran text_quality and quality_classifier_score as two separate
+    # single-task document pipelines and joined them on doc_id. The
+    # scan is spread (documents.parquet is one row group → one task
+    # otherwise), the classifier logit is the same literal fold as
+    # quality_classifier_score (same rounding, so p_quality is
+    # bit-identical to the joined form), and the 3-column doc-grain
+    # frame persists so the budget total and the selection pass run
+    # the scoring pipeline once.
+    wq = text.with_quality(spread(load(spark, sf, "documents"), "doc_id"))
+    logit = F.round(
+        F.lit(_QCLS_W["bias"])
+        + F.lit(_QCLS_W["n_tokens"]) * F.col("n_tokens")
+        + F.lit(_QCLS_W["avg_token_len"]) * F.col("avg_token_len")
+        + F.lit(_QCLS_W["punct_ratio"]) * F.col("punct_ratio")
+        + F.lit(_QCLS_W["stopword_ratio"]) * F.col("stopword_ratio"),
+        9,
     )
+    docs = cachereg.track(
+        wq.select(
+            "doc_id",
+            "n_tokens",
+            F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6).alias(
+                "p_quality"
+            ),
+        )
+        .filter(F.col("p_quality").isNotNull() & (F.col("n_tokens") > 0))
+        .persist()
+    )
+    total = docs.agg(F.sum("n_tokens")).collect()[0][0] or 0
     return sampling.select_token_budget(
         docs, budget_tokens=max(1, total * 3 // 10)
     )

@@ -3765,16 +3765,36 @@ def sketch_countmin_topk(spark: SparkSession, sf: str) -> DataFrame:
     the sketch. md5 hashing makes the sketch deterministic, so the
     estimates — including the est >= exact domination invariant — hash-
     match the DuckDB reconstruction exactly."""
+    from icnarc_to_philips_linkage_spark.operators import cachereg
+
     l = load(spark, sf, "lineitem")
-    exact = l.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("exact_n"))
+    # the exact (key, count) grain feeds the top-k probe set AND the
+    # sketch build below; persisting it means the eager top-k action
+    # materializes it once and the sketch pass never re-aggregates
+    # the corpus (r12 optimization, guide §5 reuse-beats-recompute —
+    # the grain is two longs per key, the §8 "small rows" proxy)
+    exact = cachereg.track(
+        l.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .persist()
+    )
     # the top-k feeds BOTH the probe side and the final join; pinning
     # the 10-row result stops Catalyst planning the corpus aggregation
     # twice (k-bounded eager materialization, same trade as global_rank)
     top = profile.top_k(
         exact, [F.desc("exact_n"), F.asc("l_partkey")], 10
     ).localCheckpoint(eager=True)
+    # r12 optimization (guide §2.3 "aggregate before you shuffle"):
+    # the sketch is built from the exact (key, count) grain — cell
+    # sums are identical to hashing every raw row (Σ over keys in a
+    # cell of count(key)), the corpus is scanned once instead of
+    # twice, and the explode runs over key-grain rows, not line rows
     sk = profile.countmin_sketch(
-        l, "l_partkey", depth=_CMS_DEPTH, width=_CMS_WIDTH
+        exact,
+        "l_partkey",
+        depth=_CMS_DEPTH,
+        width=_CMS_WIDTH,
+        weight_col="exact_n",
     )
     est = profile.countmin_estimate(
         sk,
