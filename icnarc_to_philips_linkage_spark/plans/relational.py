@@ -727,7 +727,12 @@ def a14b_equidepth_histogram(spark: SparkSession, sf: str) -> DataFrame:
     ``exact=True`` is pinned HERE (oracle parity needs bit-identical
     quantiles); the operator's default is the approx sketch."""
     return profile.equi_depth_histogram(
-        load(spark, sf, "lineitem"), "l_extendedprice", 10, exact=True
+        # spread(): no-op at real scale; locally the 3-row-group scan
+        # otherwise serializes the exact-percentile buffers into 3 tasks
+        spread(load(spark, sf, "lineitem"), "l_orderkey"),
+        "l_extendedprice",
+        10,
+        exact=True,
     )
 
 
@@ -4839,7 +4844,9 @@ def a36_brown_forsythe(spark: SparkSession, sf: str) -> DataFrame:
     on price-in-cents (profile.brown_forsythe): exact doubled group
     medians broadcast back, then the sequential-fold ANOVA on the
     integer deviations."""
-    l = load(spark, sf, "lineitem")
+    # spread(): no-op at real scale; locally the 3-row-group scan
+    # otherwise serializes the corpus-side CPU into 3 tasks
+    l = spread(load(spark, sf, "lineitem"), "l_orderkey")
     return profile.brown_forsythe(
         l,
         "l_returnflag",
@@ -4894,7 +4901,9 @@ def a37_weighted_median(spark: SparkSession, sf: str) -> DataFrame:
     (profile.weighted_median_native): the UDF-free counterpart of the
     ud3 pandas-UDF weighted median — exact integer 2·cumw ≥ totw
     threshold on the (group, value) grain."""
-    l = load(spark, sf, "lineitem")
+    # spread(): no-op at real scale; locally the 3-row-group scan
+    # otherwise serializes the corpus-side CPU into 3 tasks
+    l = spread(load(spark, sf, "lineitem"), "l_orderkey")
     return profile.weighted_median_native(
         l, "l_returnflag", "l_extendedprice", "l_quantity"
     )
@@ -8682,7 +8691,9 @@ def a49_jarque_bera(spark: SparkSession, sf: str) -> DataFrame:
     flag on exact price-cent power sums — the hypothesis-test twin of
     a23_grouped_moments (same moment algebra; JB's chi2(2) tail is
     CLOSED FORM, p = exp(-JB/2), so no CDF approximation enters)."""
-    l = load(spark, sf, "lineitem")
+    # spread(): no-op at real scale; locally the 3-row-group scan
+    # otherwise serializes the corpus-side CPU into 3 tasks
+    l = spread(load(spark, sf, "lineitem"), "l_orderkey")
     return profile.jarque_bera(
         l.select(
             "l_returnflag",
