@@ -200,6 +200,13 @@ def longest_repeated_sequences(
     sa = global_rank(
         ranks, ["r", id_col, "off"], rank_col="__idx", partitions=partitions
     ).select(F.col(id_col), "off", "__idx")
+    # REJECTED refinement (measured round 12): repartitioning sa to
+    # core width so the LCP tail (3.5 s CPU in 3 tasks at bench
+    # scale) runs wide made pass2 6.5 → 7.5 s — the token-array
+    # attach joins BROADCAST a ~29 MB relation, and every extra task
+    # pays its own broadcast deserialization (32 × ≈ 0.6 s dwarfs the
+    # spread CPU). The checkpoint's narrow width is the cheaper trade
+    # while the attach stays a broadcast join.
     a = sa.select(
         F.col(id_col).alias("doc_a"),
         F.col("off").alias("off_a"),

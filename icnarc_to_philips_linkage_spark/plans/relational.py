@@ -1836,7 +1836,13 @@ def fuzzy_osa1_join(spark: SparkSession, sf: str) -> DataFrame:
         osa1_neighborhood_join,
     )
 
-    c = load(spark, sf, "customer").select("c_custkey", "c_name")
+    # spread(): the single-row-group customer scan otherwise runs the
+    # map-side deletion-neighborhood explode (the CPU of this query —
+    # measured a 1-task stage writing the whole 10.8 MB variant
+    # shuffle) in one task; no-op at real scale
+    c = spread(load(spark, sf, "customer"), "c_custkey").select(
+        "c_custkey", "c_name"
+    )
     r = c.select(
         F.col("c_custkey").alias("match_key"),
         F.col("c_name").alias("match_name"),
