@@ -423,19 +423,23 @@ def ndcg_mrr_per_query(
         .withColumn("__rank", F.row_number().over(w))
         .filter(F.col("__rank") <= k)
     )
-    hits = rk.join(
-        truth.select("query_id", id_col), ["query_id", id_col]
+    # ONE consumption of ``truth`` (r12 — was an inner-join hits
+    # subtree PLUS a separate per-query totals aggregation, each
+    # replaying the truth derivation; for a brute-force truth that was
+    # two full corpus passes): left-join each truth pair against the
+    # cut ranking (both sides pair-unique), then a single aggregate
+    # yields n_rel, DCG (NULL ranks drop out of the sum) and the first
+    # hit rank. Same exact integers, same NULL→0 paths.
+    marked = truth.select("query_id", id_col).join(
+        rk, ["query_id", id_col], "left"
     )
-    hq = hits.groupBy("query_id").agg(
+    tn = marked.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_rel"),
         F.sum(F.element_at(disc_lit, F.col("__rank"))).alias("__dcg"),
         F.min("__rank").alias("__first"),
     )
-    tn = truth.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_rel"))
     idcg = F.element_at(cum_lit, F.least(F.col("n_rel"), F.lit(k)).cast("int"))
-    # no broadcast hint on hq: it is one row per query, i.e. it GROWS
-    # with the query workload exactly like tn — AQE picks broadcast
-    # when a given evaluation's query set is small
-    return tn.join(hq, "query_id", "left").select(
+    return tn.select(
         "query_id",
         "n_rel",
         F.round(
@@ -575,10 +579,25 @@ def cohens_kappa(
     """
     a = F.col(rater_a_col).cast("string")
     b = F.col(rater_b_col).cast("string")
-    cont = (
-        df.filter(a.isNotNull() & b.isNotNull())
-        .groupBy(a.alias("__a"), b.alias("__b"))
+    # Aggregate FIRST (null label groups retained), persist the tiny
+    # k²-bounded frame, and drop null-key cells ABOVE the persist: a
+    # .filter() on rater columns derived from heavy caller expressions
+    # (e.g. the lang-id pipelines) is pushed by Catalyst to the scan
+    # with the whole derivation inlined — evaluated once in the filter
+    # and again in the grouping keys — and the contingency frame's
+    # THREE consumers (rows/cols/totals) each replayed that corpus
+    # pass. The persist is a k²+nulls-row cache, corpus-independent.
+    from pyspark import StorageLevel
+
+    from . import cachereg
+
+    cont = cachereg.track(
+        df.groupBy(a.alias("__a"), b.alias("__b"))
         .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("__c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    cont = cont.filter(
+        F.col("__a").isNotNull() & F.col("__b").isNotNull()
     )
     rows = cont.groupBy("__a").agg(F.sum("__c").alias("__ra"))
     cols = cont.groupBy("__b").agg(F.sum("__c").alias("__cb"))
@@ -683,9 +702,22 @@ def fleiss_kappa(
     nn = F.aggregate(
         F.array_distinct(arr), F.lit(0), lambda acc, v: acc + _sq(v)
     )
-    base = df.filter(
-        ~F.array_contains(F.transform(arr, lambda x: x.isNull()), F.lit(True))
-    ).select(arr.alias("__arr"), (nn - F.lit(m)).alias("__pi_num"))
+    # NULL-rated items dropped by CONDITIONAL ARRAY, not .filter():
+    # the same reasoning as krippendorff_alpha_nominal — a filter on
+    # rater columns derived from heavy caller expressions is pushed
+    # below any spread exchange with the whole derivation inlined and
+    # the labeling then runs single-task AND twice. An empty array
+    # explodes to zero cells; every aggregate below derives from the
+    # cells, so the result is row-identical.
+    complete = ~F.array_contains(
+        F.transform(arr, lambda x: x.isNull()), F.lit(True)
+    )
+    base = df.select(
+        F.when(complete, arr)
+        .otherwise(F.expr("CAST(array() AS array<string>)"))
+        .alias("__arr"),
+        (nn - F.lit(m)).alias("__pi_num"),
+    )
     # ONE corpus pass (r12 optimization — was two: a row-grain agg for
     # N/A plus a separate explode for the column totals, each
     # recomputing the per-row array work): posexplode to the N·m
@@ -696,9 +728,15 @@ def fleiss_kappa(
     # (|__pi_num| <= m², so the sum is bounded by N·m² — overflow-safe
     # past 1e17 items) and widen to decimal(38,0) on the bounded
     # category frame.
+    # posexplode_OUTER + pos-not-null for the same reason as
+    # krippendorff_alpha_nominal: the non-outer generate makes Catalyst
+    # infer a size/not-null filter and push the whole labeling
+    # derivation below the caller's spread exchange (single-task,
+    # evaluated twice). Row-identical: the outer row for an empty
+    # array is (NULL, NULL) and is dropped on the generated column.
     cells = base.select(
-        F.posexplode("__arr").alias("__pos", "__cat"), "__pi_num"
-    )
+        F.posexplode_outer("__arr").alias("__pos", "__cat"), "__pi_num"
+    ).filter(F.col("__pos").isNotNull())
     percat = cells.groupBy("__cat").agg(
         F.count(F.lit(1)).alias("__tl"),
         F.sum(
@@ -925,10 +963,21 @@ def confusion_report(
     """
     g = F.col(gold_col).cast("string")
     p = F.col(pred_col).cast("string")
-    cont = (
-        df.filter(g.isNotNull() & p.isNotNull())
-        .groupBy(g.alias("__g"), p.alias("__p"))
+    # Aggregate-then-filter-above-a-persist, for the cohens_kappa
+    # reason: a filter on derived label columns pushes to the scan
+    # (derivation inlined twice) and the contingency's four consumers
+    # (classes×2, rows, cols, diag) each replayed the corpus pass.
+    from pyspark import StorageLevel
+
+    from . import cachereg
+
+    cont = cachereg.track(
+        df.groupBy(g.alias("__g"), p.alias("__p"))
         .agg(F.count(F.lit(1)).alias("__c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    cont = cont.filter(
+        F.col("__g").isNotNull() & F.col("__p").isNotNull()
     )
     classes = (
         cont.select(F.col("__g").alias("cls"))
@@ -1115,10 +1164,11 @@ def krippendorff_alpha_nominal(
 
     Every term is an exact integer until the single final division, so
     the statistic is bit-reproducible across engines and partition
-    layouts (the ``fleiss_kappa`` discipline). Scale shape: one
-    row-wise array projection builds the per-item counts (no shuffle
-    keyed on the item), then a category-bounded aggregation for the
-    marginals — two scans, one tiny shuffle.
+    layouts (the ``fleiss_kappa`` discipline). Scale shape: ONE scan —
+    a row-wise array projection builds the per-item counts (no shuffle
+    keyed on the item), the item-grain terms ride the pos-0 cell of
+    one posexplode, and a category-bounded aggregation recovers both
+    the marginals and the item totals (one tiny shuffle).
     """
     m = len(rater_cols)
     if m < 2:
@@ -1128,7 +1178,20 @@ def krippendorff_alpha_nominal(
         k = F.col(c).isNotNull()
         cond = k if cond is None else (cond & k)
     arr = F.array(*[F.col(c).cast("string") for c in rater_cols])
-    lab = df.filter(cond).select(arr.alias("__r"))
+    # Incomplete items are dropped by CONDITIONAL ARRAY, not by
+    # .filter(): a filter on rater columns derived from heavy caller
+    # expressions is pushed by Catalyst below any spread/repartition
+    # exchange with the whole derivation inlined — the entire labeling
+    # pipeline then runs single-task on a one-row-group scan AND again
+    # above the exchange (guide §4.4's duplicated-evaluation shape in
+    # pure JVM). An empty array explodes to zero cells, so incomplete
+    # items contribute nothing to any aggregate — same rows, no
+    # pushable Filter node.
+    lab = df.select(
+        F.when(cond, arr)
+        .otherwise(F.expr("CAST(array() AS array<string>)"))
+        .alias("__r")
+    )
     # per-item Σ_c n_uc(n_uc−1): for each distinct category in the
     # row, count occurrences — an array expression, never a shuffle
     per_item = lab.select(
@@ -1139,24 +1202,47 @@ def krippendorff_alpha_nominal(
         ).alias("__same_pairs"),
         F.col("__r"),
     )
-    items = per_item.agg(
-        F.count(F.lit(1)).alias("__n"),
+    # ONE corpus pass (r12 — was two: a row-grain agg for n/Do plus a
+    # separate explode for the category marginals, each replaying the
+    # caller's full labeling pipeline; on a single-row-group scan that
+    # serialized the heavy per-row expression work twice). The
+    # fleiss_kappa trick: posexplode to the n·m category cells, charge
+    # each item's row-grain contributions (its existence for n, its
+    # __same_pairs for Do) to its pos-0 cell only, reduce on the tiny
+    # category grain, then one scalar combine. Same exact integers,
+    # same output schema/rounding — oracle-proven, not assumed.
+    # posexplode_OUTER + pos-not-null: a plain posexplode makes
+    # Catalyst infer `size(__r) > 0 AND isnotnull(__r)` (rule
+    # InferFiltersFromGenerate) and push it below the caller's spread
+    # exchange with the whole labeling derivation inlined — the exact
+    # single-task duplicate-evaluation this rewrite removes. The outer
+    # variant infers nothing; empty arrays emit one (NULL, NULL) row
+    # dropped by a filter on the GENERATED column (not pushable below
+    # the Generate). Row-identical to posexplode.
+    cells = per_item.select(
+        F.posexplode_outer("__r").alias("__pos", "__cat"), "__same_pairs"
+    ).filter(F.col("__pos").isNotNull())
+    at0 = F.col("__pos") == 0
+    percat = cells.groupBy("__cat").agg(
+        F.count(F.lit(1)).alias("__t"),
+        F.sum(F.when(at0, 1).otherwise(0)).alias("__np"),
         F.sum(
-            F.lit(m * (m - 1)) - F.col("__same_pairs")
-        ).alias("__do_pairs"),
+            F.when(at0, F.col("__same_pairs")).otherwise(F.lit(0).cast("long"))
+        ).alias("__sp"),
     )
-    marg = (
-        lab.select(F.explode("__r").alias("__cat"))
-        .groupBy("__cat")
-        .agg(F.count(F.lit(1)).alias("__t"))
-        .agg(
-            F.sum(F.col("__t") * F.col("__t")).alias("__sum_t2"),
-            F.count(F.lit(1)).alias("n_categories"),
-        )
+    tot = percat.agg(
+        # coalesce: count() on the old row-grain agg yielded 0 on an
+        # empty input where sum() yields NULL
+        F.coalesce(F.sum("__np"), F.lit(0).cast("long")).alias("__n"),
+        (
+            F.lit(m * (m - 1)) * F.sum("__np") - F.sum("__sp")
+        ).alias("__do_pairs"),
+        F.sum(F.col("__t") * F.col("__t")).alias("__sum_t2"),
+        F.count(F.lit(1)).alias("n_categories"),
     )
     big = F.col("__n") * F.lit(m)  # N
     return (
-        items.crossJoin(F.broadcast(marg))
+        tot
         .select(
             F.col("__n").alias("n_items"),
             F.lit(m).alias("m_raters"),
@@ -2422,14 +2508,31 @@ def gwet_ac1(
     """
     r1 = F.col(rater1_col).cast("string")
     r2 = F.col(rater2_col).cast("string")
-    base = df.filter(r1.isNotNull() & r2.isNotNull()).select(
-        r1.alias("__r1"), r2.alias("__r2")
+    # ONE K×K contingency aggregation, persisted, null cells dropped
+    # ABOVE the persist (the cohens_kappa discipline): the old
+    # row-grain ``base`` was consumed by THREE subtrees (two marginal
+    # aggs + the totals agg), each replaying the caller's full label
+    # derivation over the corpus, with the not-null filter pushed to
+    # the scan and the derivation inlined twice more. Marginals and
+    # totals now reduce the tiny cached cell table — same exact
+    # integers.
+    from pyspark import StorageLevel
+
+    from . import cachereg
+
+    cont = cachereg.track(
+        df.groupBy(r1.alias("__r1"), r2.alias("__r2"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    m1 = base.groupBy(F.col("__r1").alias("__k")).agg(
-        F.count(F.lit(1)).alias("__c1")
+    cont = cont.filter(
+        F.col("__r1").isNotNull() & F.col("__r2").isNotNull()
     )
-    m2 = base.groupBy(F.col("__r2").alias("__k")).agg(
-        F.count(F.lit(1)).alias("__c2")
+    m1 = cont.groupBy(F.col("__r1").alias("__k")).agg(
+        F.sum("__c").alias("__c1")
+    )
+    m2 = cont.groupBy(F.col("__r2").alias("__k")).agg(
+        F.sum("__c").alias("__c2")
     )
     marg = (
         m1.join(m2, "__k", "full")
@@ -2441,11 +2544,15 @@ def gwet_ac1(
             ).alias("__m"),
         )
     )
-    tot = base.agg(
-        F.count(F.lit(1)).alias("__n"),
-        F.sum((F.col("__r1") == F.col("__r2")).cast("long")).alias(
-            "__agree"
-        ),
+    tot = cont.agg(
+        # coalesce: the old row-grain count() yielded 0 on an empty
+        # input where sum() yields NULL
+        F.coalesce(F.sum("__c"), F.lit(0).cast("long")).alias("__n"),
+        F.sum(
+            F.when(F.col("__r1") == F.col("__r2"), F.col("__c")).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias("__agree"),
     )
     arr = F.array_sort(
         F.collect_list(

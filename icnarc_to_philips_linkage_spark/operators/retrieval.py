@@ -647,17 +647,17 @@ def rocchio_prf_search(
     stats = toks.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
-    # the (doc, term) grain feeds four consumers (feedback tf, two df
-    # passes, pass-2 scoring). r12 optimization (guide §2.3 "project/
-    # filter before the exchange", §3.2 semi-join prefiltering): the
-    # FULL grain is never aggregated — every consumer first filters
-    # the exploded token stream by its broadcast doc set (fb_k rows)
-    # or term set (≤ |query|+expand_k rows) and only then aggregates,
-    # so each exchange carries a few terms' postings instead of the
-    # whole vocabulary×corpus grain. (Persisting the full grain was
-    # measured WORSE — 9.0 s vs 5.2 s at sf0.1 — and at full-corpus
-    # scale the right move is paying the layout once at ingest via
-    # write_postings_index, not caching per query.)
+    # r12 (guide §2.3 "project/filter before the exchange", §3.2
+    # semi-join prefiltering): the FULL (doc, term) grain is never
+    # aggregated — consumers filter the exploded token stream by a
+    # broadcast doc/term set BEFORE aggregating, so each exchange
+    # carries a few terms' postings instead of the whole
+    # vocabulary×corpus grain. (Persisting the full grain was measured
+    # WORSE — 9.0 s vs 5.2 s at sf0.1 — and at full-corpus scale the
+    # right move is paying the layout once at ingest via
+    # write_postings_index, not caching per query.) r12 session 4:
+    # feedback tf tokenizes only the fb_k joined docs (one full-corpus
+    # tokenize pass saved, no added orchestration).
     exploded = toks.select(
         F.col(id_col), "dl", F.explode("__toks").alias("term")
     )
@@ -673,13 +673,28 @@ def rocchio_prf_search(
 
     banned = set(query_terms) | set(exclude_terms)
     # Σ tf over feedback docs == the raw occurrence count of the term
-    # in those docs, so the (doc, term) intermediate is unnecessary
+    # in those docs, so the (doc, term) intermediate is unnecessary.
+    # r12 session 4: the fb broadcast semi-join moved BELOW the
+    # tokenizer — joining the RAW docs on id first means only the fb_k
+    # surviving documents are tokenized/exploded at all, where the old
+    # shape tokenized and exploded the whole corpus and then threw
+    # away every non-feedback row at the join (one full-corpus
+    # tokenize pass saved; identical rows by construction).
     fb_terms = (
-        exploded.join(F.broadcast(fb), id_col)
+        docs.join(F.broadcast(fb), id_col)
+        .select(F.explode(tokens(text_col)).alias("term"))
         .filter(~F.col("term").isin(*banned))
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("__fb_tf"))
     )
+    # (A shared candidate-postings pass — one explode serving both the
+    # df statistics and pass-2 scoring via a persisted (doc, term, tf,
+    # dl) grain — was measured WORSE at sf0.1: 5.4 -> 7.3 s keep-min.
+    # The saved explode is ~0.5 s of CPU at bench scale while the
+    # persist materialization plus the extra broadcast-build chain
+    # (fb_terms -> union -> distinct -> cache) adds ~2 s of fixed
+    # driver orchestration. Rejected; the two remaining explode passes
+    # stay term-filtered before their exchanges.)
     dfreq = posting_for(fb_terms).groupBy("term").agg(
         F.count(F.lit(1)).alias("df")
     )

@@ -387,28 +387,31 @@ def recall_per_query(truth: DataFrame, approx: DataFrame) -> DataFrame:
     BOTH sides in SQL (the brute-force truth and the deterministic
     LSH approximation are each exactly SQL-expressible).
 
-    Both inputs are (query_id, neighbor_id) frames. A semi-ish inner
-    join on the pair counts hits; truth cardinality per query is the
-    denominator (queries missing from ``approx`` score 0 via the left
-    join). Output: (query_id, n_truth, n_hit, recall)."""
+    Both inputs are (query_id, neighbor_id) frames with UNIQUE pairs
+    (top-k outputs — every in-repo producer). One LEFT join marks each
+    truth pair hit/miss and one aggregation produces both the
+    denominator and the hit count (r12 — was an inner-join subtree
+    PLUS a separate totals aggregation, each consuming ``truth``: when
+    the truth side is an unpersisted brute-force pass, that replayed
+    the whole corpus scan twice). Queries missing from ``approx``
+    still score 0 (their marks are all NULL). Output: (query_id,
+    n_truth, n_hit, recall)."""
     t = truth.select("query_id", "neighbor_id")
-    a = approx.select("query_id", "neighbor_id")
-    hits = (
-        t.join(a, ["query_id", "neighbor_id"], "inner")
-        .groupBy("query_id")
-        .agg(F.count(F.lit(1)).alias("n_hit"))
+    a = approx.select(
+        "query_id", "neighbor_id", F.lit(1).alias("__m")
     )
     return (
-        t.groupBy("query_id")
-        .agg(F.count(F.lit(1)).alias("n_truth"))
-        .join(hits, "query_id", "left")
+        t.join(a, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_truth"),
+            F.coalesce(F.sum("__m"), F.lit(0)).cast("long").alias("__h"),
+        )
         .select(
             "query_id",
             "n_truth",
-            F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
-            F.round(
-                F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_truth"), 6
-            ).alias("recall"),
+            F.col("__h").alias("n_hit"),
+            F.round(F.col("__h") / F.col("n_truth"), 6).alias("recall"),
         )
     )
 
@@ -639,52 +642,129 @@ def matryoshka_recall(
     width at 100 TB: storage and ADC cost scale linearly in d, recall
     doesn't — this report shows where the knee is.
 
-    Scale shape: truncation is ``slice()`` — a zero-copy-ish map
-    projection; each arm is the same broadcast-queries brute-force
-    shape as ``knn_brute_force`` (corpus streams, never shuffles), and
-    the per-arm recall join runs over k·|queries| rows. Every
-    neighbor-pair frame is k·|queries| rows but costs a full corpus
-    scan to produce, and the recall join consumes each frame TWICE
-    (hits + per-query totals) — so truth and every arm persist: four
-    tiny cached frames buy back ~⅔ of the corpus scans (measured 172 →
-    ~30 s at a 2M-vector corpus in scale_smoke.py).
+    Scale shape (r12 fused): ONE corpus pass scores every arm — the
+    per-pair element products are computed once (``zip_with``) and
+    each arm's dot is a fold over a PREFIX slice of that product
+    array (bit-identical to dotting the sliced vectors: same products,
+    same left-to-right fold), so truth and all truncation arms ride
+    one broadcast-queries stream of the corpus (was 1 + |trunc_dims|
+    full scans, each persisted). The per-arm top-k partials share one
+    map-side (query, partition) aggregation; the merge reduces
+    |parts|·k rows per query; recall is an array intersection on the
+    merged per-query row (identical to the old pair join: top-k
+    neighbor ids are distinct). Exactly the ``topk_per_key`` ranking —
+    same structs, same array_sort, same slice.
     """
-    from pyspark import StorageLevel
-
     if not trunc_dims:
         raise ValueError("trunc_dims must be non-empty")
-    truth = cachereg.track(
-        knn_brute_force(corpus, queries, k, id_col, vec_col).persist(
-            StorageLevel.MEMORY_AND_DISK
+    dims = list(trunc_dims)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm_sq(vec_col).alias("q_nsq"),
+        *[
+            norm_sq(F.slice(F.col(vec_col), 1, d)).alias(f"q_nsq_{d}")
+            for d in dims
+        ],
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm_sq(vec_col).alias("c_nsq"),
+        *[
+            norm_sq(F.slice(F.col(vec_col), 1, d)).alias(f"c_nsq_{d}")
+            for d in dims
+        ],
+    )
+    prods = F.zip_with(
+        F.col("q_vec"),
+        F.col("c_vec"),
+        lambda x, y: x.cast("double") * y.cast("double"),
+    )
+    pairs = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("__prods", prods)
+    )
+
+    def _fold(arr):
+        return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+    def _cos(dot_col, qn, cn):
+        return F.round(dot_col / (F.sqrt(qn) * F.sqrt(cn)), 6)
+
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        _cos(
+            _fold(F.col("__prods")), F.col("q_nsq"), F.col("c_nsq")
+        ).alias("__cos_full"),
+        *[
+            _cos(
+                _fold(F.slice(F.col("__prods"), 1, d)),
+                F.col(f"q_nsq_{d}"),
+                F.col(f"c_nsq_{d}"),
+            ).alias(f"__cos_{d}")
+            for d in dims
+        ],
+    )
+
+    def _ranked(cos_name):
+        return F.struct(
+            (-F.col(cos_name)).alias("__neg"),
+            F.col("neighbor_id").alias("neighbor_id"),
+        )
+
+    arm_names = ["full"] + [str(d) for d in dims]
+    partial = (
+        scored.withColumn("__part", F.spark_partition_id())
+        .groupBy("query_id", "__part")
+        .agg(
+            *[
+                F.slice(
+                    F.array_sort(F.collect_list(_ranked(f"__cos_{a}"))),
+                    1,
+                    k,
+                ).alias(f"__t_{a}")
+                for a in arm_names
+            ]
         )
     )
-    outs = []
-    for d in trunc_dims:
-        tc = corpus.select(
-            F.col(id_col), F.slice(F.col(vec_col), 1, d).alias(vec_col)
-        )
-        tq = queries.select(
-            F.col(id_col), F.slice(F.col(vec_col), 1, d).alias(vec_col)
-        )
-        approx = cachereg.track(
-            knn_brute_force(tc, tq, k, id_col, vec_col).persist(
-                StorageLevel.MEMORY_AND_DISK
-            )
-        )
-        per_q = recall_per_query(truth, approx)
-        outs.append(
-            per_q.agg(
+    merged = partial.groupBy("query_id").agg(
+        *[
+            F.slice(
+                F.array_sort(F.flatten(F.collect_list(f"__t_{a}"))), 1, k
+            ).alias(f"__t_{a}")
+            for a in arm_names
+        ]
+    )
+
+    def _ids(name):
+        return F.expr(f"transform({name}, x -> x.neighbor_id)")
+
+    stats = merged.agg(
+        F.count(F.lit(1)).alias("__nq"),
+        F.sum(F.size("__t_full")).alias("__truth"),
+        *[
+            F.sum(
+                F.size(F.array_intersect(_ids("__t_full"), _ids(f"__t_{d}")))
+            ).alias(f"__hit_{d}")
+            for d in dims
+        ],
+    )
+    arms = F.array(
+        *[
+            F.struct(
                 F.lit(d).alias("trunc_dim"),
-                F.count(F.lit(1)).alias("n_queries"),
+                F.col("__nq").alias("n_queries"),
                 F.round(
-                    F.sum("n_hit") / F.sum("n_truth"), 6
+                    F.col(f"__hit_{d}") / F.col("__truth"), 6
                 ).alias("mean_recall"),
             )
-        )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out
+            for d in dims
+        ]
+    )
+    return stats.select(F.inline(arms))
 
 
 def sq8_train(
@@ -757,20 +837,86 @@ def sq8_recall(
     the PQ family).
 
     Scale shape: training is one dim-grain aggregation; encode/decode
-    is a literal-array map expression; both search arms are the
-    broadcast-queries brute-force shape (corpus streams, never
-    shuffles). MSE rides per-row 6dp-rounded errors ×1e6 as exact
+    is a literal-array map expression; the exact and dequantized arms
+    share ONE broadcast-queries brute-force pass (r12 fused — was two
+    full corpus streams): each pair scores cos(q, c) and cos(q,
+    deq(c)) side by side, the per-arm top-k partials share one
+    map-side aggregation, and recall is an array intersection on the
+    merged per-query row (identical to the pair join: top-k ids are
+    distinct). MSE rides per-row 6dp-rounded errors ×1e6 as exact
     decimal sums — partition order cannot perturb it.
 
     Output: one row ``(n_queries, mean_recall, mse)``.
     """
     mins, maxs = sq8_train(corpus, vec_col)
-    truth = knn_brute_force(corpus, queries, k, id_col, vec_col)
-    deq_c = sq8_dequantized(corpus, mins, maxs, vec_col, levels)
-    approx = knn_brute_force(deq_c, queries, k, id_col, vec_col)
-    rec = recall_per_query(truth, approx).agg(
+    base = sq8_dequantized(
+        corpus.withColumn("__orig", F.col(vec_col)), mins, maxs,
+        vec_col, levels,
+    )
+    c = base.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("__orig").alias("c_vec"),
+        norm_sq("__orig").alias("c_nsq"),
+        F.col(vec_col).alias("d_vec"),
+        norm_sq(vec_col).alias("d_nsq"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm_sq(vec_col).alias("q_nsq"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine_with_norms("q_vec", "c_vec", "q_nsq", "c_nsq"), 6
+            ).alias("__cos_t"),
+            F.round(
+                cosine_with_norms("q_vec", "d_vec", "q_nsq", "d_nsq"), 6
+            ).alias("__cos_a"),
+        )
+    )
+
+    def _ranked(cos_name):
+        return F.struct(
+            (-F.col(cos_name)).alias("__neg"),
+            F.col("neighbor_id").alias("neighbor_id"),
+        )
+
+    partial = (
+        scored.withColumn("__part", F.spark_partition_id())
+        .groupBy("query_id", "__part")
+        .agg(
+            *[
+                F.slice(
+                    F.array_sort(F.collect_list(_ranked(f"__cos_{a}"))),
+                    1,
+                    k,
+                ).alias(f"__t_{a}")
+                for a in ("t", "a")
+            ]
+        )
+    )
+    merged = partial.groupBy("query_id").agg(
+        *[
+            F.slice(
+                F.array_sort(F.flatten(F.collect_list(f"__t_{a}"))), 1, k
+            ).alias(f"__t_{a}")
+            for a in ("t", "a")
+        ]
+    )
+    ids_t = F.expr("transform(__t_t, x -> x.neighbor_id)")
+    ids_a = F.expr("transform(__t_a, x -> x.neighbor_id)")
+    rec = merged.agg(
         F.count(F.lit(1)).alias("n_queries"),
-        F.round(F.sum("n_hit") / F.sum("n_truth"), 6).alias("mean_recall"),
+        F.round(
+            F.sum(F.size(F.array_intersect(ids_t, ids_a)))
+            / F.sum(F.size("__t_t")),
+            6,
+        ).alias("mean_recall"),
     )
     err = F.round(
         F.aggregate(

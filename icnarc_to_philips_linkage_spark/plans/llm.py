@@ -5191,8 +5191,10 @@ def eval_cohens_kappa(spark: SparkSession, sf: str) -> DataFrame:
     aggregation, integer arithmetic to the final division.
     ``with_lang_id`` RETAINS the gold column, so gold and prediction
     ride the same scan projection — the corpus is never self-joined
-    (one exchange: the k²-row contingency aggregation)."""
-    pred = text.with_lang_id(load(spark, sf, "documents"))
+    (one exchange: the k²-row contingency aggregation). Spread, for
+    the eval_fleiss_kappa reason (heavy labeling CPU, one-row-group
+    scan)."""
+    pred = text.with_lang_id(spread(load(spark, sf, "documents"), "doc_id"))
     return evaluation.cohens_kappa(pred, "lang", "lang_pred")
 
 
@@ -5561,9 +5563,13 @@ def eval_fleiss_kappa(spark: SparkSession, sf: str) -> DataFrame:
     predictions chain onto ONE scan (each ``with_lang_id*`` retains
     its input columns), so the m assignments ride a single projection
     — the per-item category counts are row-wise array expressions,
-    never a shuffle keyed on the document."""
+    never a shuffle keyed on the document. The scan is spread: the
+    two labeling pipelines are heavy per-row expression CPU (split +
+    16 chargram splits per doc) and documents.parquet is a
+    single-row-group file at bench scale, so without the exchange the
+    whole labeling ran one-task (measured; no-op at real scale)."""
     labeled = text.with_lang_id_chargram(
-        text.with_lang_id(load(spark, sf, "documents"))
+        text.with_lang_id(spread(load(spark, sf, "documents"), "doc_id"))
     )
     return evaluation.fleiss_kappa(
         labeled, ["lang", "lang_pred", "lang_pred_chargram"]
@@ -6246,8 +6252,10 @@ def eval_gwet_ac1(spark: SparkSession, sf: str) -> DataFrame:
     paradox-resistant agreement coefficient next to
     eval_cohens_kappa: kappa collapses under skewed class prevalence
     even at high observed agreement; AC1 does not. Same single-scan
-    projection and K-bounded marginal algebra."""
-    pred = text.with_lang_id(load(spark, sf, "documents"))
+    projection and K-bounded marginal algebra. Spread scan: the
+    marker-word labeling is heavy per-row CPU on a single-row-group
+    file (the eval_fleiss_kappa lesson; no-op at real scale)."""
+    pred = text.with_lang_id(spread(load(spark, sf, "documents"), "doc_id"))
     return evaluation.gwet_ac1(pred, "lang", "lang_pred")
 
 
@@ -6522,8 +6530,10 @@ def eval_confusion_langid(spark: SparkSession, sf: str) -> DataFrame:
     """Per-class precision/recall/F1 of the marker language-ID against
     the gold lang column (evaluation.confusion_report) — the
     class-level breakdown behind eval_cohens_kappa's scalar; both ride
-    the same single scan projection."""
-    pred = text.with_lang_id(load(spark, sf, "documents"))
+    the same single scan projection — spread, for the
+    eval_fleiss_kappa reason (heavy labeling CPU, one-row-group
+    scan)."""
+    pred = text.with_lang_id(spread(load(spark, sf, "documents"), "doc_id"))
     return evaluation.confusion_report(pred, "lang", "lang_pred")
 
 
@@ -6707,9 +6717,11 @@ def eval_krippendorff_alpha(spark: SparkSession, sf: str) -> DataFrame:
     ``lang``, marker-word and char-trigram predictions — the
     eval_fleiss_kappa panel) via
     evaluation.krippendorff_alpha_nominal: the generalized chance-
-    corrected agreement, exact integers until one division."""
+    corrected agreement, exact integers until one division. Spread
+    scan for the same reason as eval_fleiss_kappa: the labeling
+    pipelines are heavy per-row CPU on a single-row-group file."""
     labeled = text.with_lang_id_chargram(
-        text.with_lang_id(load(spark, sf, "documents"))
+        text.with_lang_id(spread(load(spark, sf, "documents"), "doc_id"))
     )
     return evaluation.krippendorff_alpha_nominal(
         labeled, ["lang", "lang_pred", "lang_pred_chargram"]
