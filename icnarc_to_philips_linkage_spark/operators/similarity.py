@@ -1188,6 +1188,14 @@ def margin_bitext_mine(
             F.round(F.col("cos_sim") * F.lit(1e6)).cast("long").alias("__ci"),
         )
     )
+    # pairs feeds THREE consumers (both NN-average aggregations and
+    # the final margin join); unpersisted, each replayed the corpus
+    # scan + cosine scoring (r12: measured as three single-task corpus
+    # stages). The cached frame is 4 scalars per (query, candidate)
+    # pair — the bounded per-batch mining working set, no vectors.
+    from pyspark import StorageLevel
+
+    pairs = cachereg.track(pairs.persist(StorageLevel.MEMORY_AND_DISK))
     x_nn = (
         topk_per_key(pairs, "query_id", knn)
         .groupBy("query_id")

@@ -1342,8 +1342,9 @@ def quality_classifier_score(spark: SparkSession, sf: str) -> DataFrame:
     the weights fold in as literals, which is exactly how a trained
     linear/fastText-style filter deploys onto 100 TB). Logit rounded
     to 9dp BEFORE the sigmoid so both engines exponentiate the same
-    double."""
-    df = text.with_quality(load(spark, sf, "documents"))
+    double. Spread scan: the quality-signal derivation is heavy
+    per-row CPU on a single-row-group file (no-op at real scale)."""
+    df = text.with_quality(spread(load(spark, sf, "documents"), "doc_id"))
     logit = F.round(
         F.lit(_QCLS_W["bias"])
         + F.lit(_QCLS_W["n_tokens"]) * F.col("n_tokens")
@@ -1390,10 +1391,28 @@ _EVAL_LABEL_CHARS = 300
 
 
 def _scored_with_label(spark: SparkSession, sf: str) -> DataFrame:
+    # Persisted (doc_id, p_quality, label) frame — three scalars per
+    # doc. Every consumer (roc_auc, ks_separation, avg_precision,
+    # pr_thresholds, calibration, brier, hosmer) filters on the
+    # DERIVED p_quality column; unpersisted, Catalyst pushed that
+    # filter to the scan with the whole quality-signal pipeline
+    # inlined (evaluated twice, single-task), and multi-consumer
+    # operators (e.g. average_precision's eager total + rank passes)
+    # replayed the scoring per consumer. The cache is a barrier: score
+    # once, filter above it.
+    from pyspark import StorageLevel
+
+    from icnarc_to_philips_linkage_spark.operators import cachereg
+
     lab = load(spark, sf, "documents").select(
         "doc_id", (F.col("n_chars") >= _EVAL_LABEL_CHARS).alias("label")
     )
-    return quality_classifier_score(spark, sf).join(lab, "doc_id")
+    scored = (
+        quality_classifier_score(spark, sf)
+        .join(lab, "doc_id")
+        .select("doc_id", "p_quality", "label")
+    )
+    return cachereg.track(scored.persist(StorageLevel.MEMORY_AND_DISK))
 
 
 def eval_roc_auc(spark: SparkSession, sf: str) -> DataFrame:
