@@ -164,47 +164,74 @@ def power_iteration_top_pc(
     """
     import math
 
-    from icnarc_to_philips_linkage_spark.operators.regression import _qint
+    from icnarc_to_philips_linkage_spark.operators.regression import (
+        _qint,
+        _train_width,
+    )
 
-    base = df.select(F.col(vec_col).alias("__v")).filter(
-        F.col("__v").isNotNull() & (F.size("__v") == dim)
+    # Persisted at bounded width (the gd_train discipline): the loop
+    # re-scans this frame every iteration, so width = cores/4 keeps
+    # the per-iteration CPU parallel without core-wide fixed costs.
+    base = (
+        df.select(F.col(vec_col).alias("__v"))
+        .filter(F.col("__v").isNotNull() & (F.size("__v") == dim))
+        .repartition(_train_width(df))
+        .persist()
     )
     v = [1.0 / math.sqrt(float(dim))] * dim
     z_int: list[int] = [0] * dim
     norm2 = 0
     n = 0
-    for _ in range(iters):
-        vlit = F.array(*[F.lit(x) for x in v])
-        projected = base.select(
-            "__v",
-            F.aggregate(
-                F.zip_with(
-                    "__v", vlit, lambda a, b: a.cast("double") * b
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ).alias("__y"),
-        )
-        row = projected.agg(
-            F.count(F.lit(1)).alias("n"),
-            *[
-                F.sum(
-                    _qint(
-                        F.col("__y")
-                        * F.element_at("__v", j + 1).cast("double")
-                    )
-                ).alias(f"z{j}")
-                for j in range(dim)
-            ],
-        ).collect()[0]
-        n = int(row["n"])
-        z_int = [int(row[f"z{j}"] or 0) for j in range(dim)]
-        norm2 = sum(z * z for z in z_int)
-        if norm2 == 0:
-            break
-        nrm = math.sqrt(float(norm2))
-        v = [float(z) / nrm for z in z_int]
-    return v, z_int, norm2, n
+    try:
+        for _ in range(iters):
+            vlit = F.array(*[F.lit(x) for x in v])
+            projected = base.select(
+                "__v",
+                F.aggregate(
+                    F.zip_with(
+                        "__v", vlit, lambda a, b: a.cast("double") * b
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("__y"),
+            )
+            # z_j as GROUPED ROWS, not dim aggregate columns: a
+            # 64-column decimal aggregate blows past codegen's field
+            # budget and costs ~1 s of plan+codegen per iteration
+            # (the eval_auc_bootstrap pathology r12 fixed the same
+            # way). posexplode pairs each x_j with its position; the
+            # per-position decimal sums are exact integers, so the
+            # regrouping is bit-identical to the column form.
+            # element_at(v, j+1) == posexplode pos j by construction.
+            rows = (
+                projected.select(
+                    "__y", F.posexplode("__v").alias("__j", "__xj")
+                )
+                .groupBy("__j")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(
+                        _qint(
+                            F.col("__y") * F.col("__xj").cast("double")
+                        )
+                    ).alias("z"),
+                )
+                .collect()
+            )
+            if not rows:
+                n = 0
+                break
+            n = int(rows[0]["n"])
+            zmap = {int(r["__j"]): int(r["z"] or 0) for r in rows}
+            z_int = [zmap.get(j, 0) for j in range(dim)]
+            norm2 = sum(z * z for z in z_int)
+            if norm2 == 0:
+                break
+            nrm = math.sqrt(float(norm2))
+            v = [float(z) / nrm for z in z_int]
+        return v, z_int, norm2, n
+    finally:
+        base.unpersist()
 
 
 def anisotropy_report(

@@ -356,21 +356,19 @@ def label_propagation(
     PageRank message-passing shape; k rounds = k bounded passes, no
     driver data. Returns the final (node, label) frame.
     """
-    from pyspark import StorageLevel
-
-    from . import cachereg
-
     e = edges.select(
         F.col(src_col).alias("__s"), F.col(dst_col).alias("__d")
     )
-    # pin the symmetrized edge list: it is the loop invariant — every
-    # round joins against it, and the union's two branches each replay
-    # the caller's edge derivation (the kNN LSH self-join + top-k)
-    # without the pin, so k rounds would cost 2k corpus-side replays
+    # NOT pinned (r12 tried a persist here, r13 reverted it): the
+    # symmetrized edge list is the loop invariant, but AQE's runtime
+    # exchange reuse already deduplicates the identical edge-derivation
+    # subtrees (the resource_allocation_links adjudication), and the
+    # persist regressed in BOTH the driver bench (3.92 → 4.86 s) and
+    # the keep-min (3.21 → 4.03 s) — materialization cost without
+    # saved work.
     sym = e.unionByName(
         e.select(F.col("__d").alias("__s"), F.col("__s").alias("__d"))
-    ).distinct().persist(StorageLevel.MEMORY_AND_DISK)
-    cachereg.track(sym)
+    ).distinct()
     labels = sym.select(F.col("__s").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )

@@ -1535,17 +1535,23 @@ def spearman_corr(
     filtered = df.filter(
         F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
     )
-    # explicit core-derived width on the cell-grid exchange: the
-    # downstream marginal aggregations, rank join-backs and decimal
-    # power sums are CPU-bound on a few MB of shuffled cells, which
-    # AQE's byte-based coalescing would fold into 3-6 tasks (guide
-    # §2.5 — the fuzzy_join lesson); explicit numPartitions is exempt
-    # and the groupBy reuses the same exchange
-    par = filtered.sparkSession.sparkContext.defaultParallelism
-    cells = (
-        filtered.repartition(par, group_col, x_col, y_col)
-        .groupBy(group_col, x_col, y_col)
+    # The joint cell grid feeds THREE consumers (two marginal rank
+    # maps + the final count-weighted power sums). Persist it so the
+    # corpus aggregates exactly once; everything downstream is
+    # grid-sized. NO explicit width: r12 pinned this exchange to
+    # defaultParallelism and the rank-map broadcast joins then paid
+    # per-task broadcast deserialization on every grid task — 4×
+    # slower at 32 cores than at 8 (VERDICT r12 #1). AQE coalesces
+    # the grid shuffle to its byte size; the downstream work is
+    # grid-bounded, not corpus-bounded, so narrow is correct.
+    from pyspark import StorageLevel
+
+    from icnarc_to_philips_linkage_spark.operators import cachereg
+
+    cells = cachereg.track(
+        filtered.groupBy(group_col, x_col, y_col)
         .agg(F.count(F.lit(1)).alias("__cc"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
     def rank2(col: str, alias: str) -> DataFrame:

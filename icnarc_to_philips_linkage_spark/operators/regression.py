@@ -50,6 +50,20 @@ def fast_sigmoid(z):
     return F.lit(0.5) * (F.lit(1.0) + z / (F.lit(1.0) + F.abs(z)))
 
 
+def _train_width(df: DataFrame) -> int:
+    """Partition width for the PERSISTED training frame that an
+    iterative driver loop re-scans every iteration. Bounded low on
+    purpose: each iteration is one map-combined aggregation whose
+    per-task fixed costs (launch, plan, collect) scale with this
+    width, so core-wide frames anti-scale — r12 spread the scan to
+    defaultParallelism and ml_gd_classifier ran 19.4 s at 32 cores vs
+    6.8 s at 8 (VERDICT r12 #2); width 1 (the raw single-row-group
+    scan) serializes the decimal-sum CPU instead (~1 s × iters).
+    cores/4 keeps real parallelism for the per-iteration CPU while
+    capping the fixed costs, and still grows with the hardware."""
+    return max(4, df.sparkSession.sparkContext.defaultParallelism // 4)
+
+
 def gd_train(
     df: DataFrame,
     feature_cols: list[str],
@@ -111,6 +125,7 @@ def gd_train_trajectory(
     feats = (
         df.filter(cond)
         .select(*cols, F.col(label_col).cast("double").alias("__y"))
+        .repartition(_train_width(df))
         .persist()
     )
     try:
@@ -199,6 +214,7 @@ def quantile_gd_train_trajectory(
     feats = (
         df.filter(cond)
         .select(*cols, F.col(y_col).cast("double").alias("__y"))
+        .repartition(_train_width(df))
         .persist()
     )
     try:

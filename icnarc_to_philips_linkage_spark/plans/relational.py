@@ -1836,13 +1836,13 @@ def fuzzy_osa1_join(spark: SparkSession, sf: str) -> DataFrame:
         osa1_neighborhood_join,
     )
 
-    # spread(): the single-row-group customer scan otherwise runs the
-    # map-side deletion-neighborhood explode (the CPU of this query —
-    # measured a 1-task stage writing the whole 10.8 MB variant
-    # shuffle) in one task; no-op at real scale
-    c = spread(load(spark, sf, "customer"), "c_custkey").select(
-        "c_custkey", "c_name"
-    )
+    # NO spread() here (r12 tried it, r13 reverted): the scan feeds
+    # SEVERAL subtrees of the neighborhood join, so the spread
+    # exchange was replicated five times (plan 7 → 12 Exchange) and
+    # both the driver bench (2.72 → 4.48 s) and the final keep-min
+    # (2.46 → 5.17 s) regressed ~1.8× — per-task fixed costs on the
+    # widened raw scans beat the 1-task variant-explode win.
+    c = load(spark, sf, "customer").select("c_custkey", "c_name")
     r = c.select(
         F.col("c_custkey").alias("match_key"),
         F.col("c_name").alias("match_name"),
@@ -3423,13 +3423,15 @@ def graph_pagerank_parts(spark: SparkSession, sf: str) -> DataFrame:
     from icnarc_to_philips_linkage_spark.operators.graph import pagerank
 
     scoped = spark.newSession()
-    # CORE-DERIVED, not a constant (guide §2 scale-adaptive rule): the
-    # per-iteration stages scan the persisted edge cache, whose
-    # partition count this conf sizes — cores/2 keeps them parallel on
-    # any box while AQE still coalesces the node-sized reduce reads.
-    # Measured at sf0.1 (keep-min of 3, two sweeps each): 4 -> 5.1/4.9 s,
-    # 8 -> 5.7 s, 16 (=cores/2 here) -> 4.2/4.0 s, 32 -> 7.3 s.
-    pr_par = max(4, spark.sparkContext.defaultParallelism // 2)
+    # CORE-DERIVED but NARROW (cores/8, floor 4): every shuffle in
+    # the loop is over |node|-sized frames, so per-iteration fixed
+    # costs (task launch, broadcast deserialization of the rank map)
+    # scale with this width. r12's cores/2 pin regressed 0.81× in the
+    # driver bench AND the keep-min (VERDICT r12 #4) — its 16-is-
+    # optimal sweep did not survive the cold repeat=1 protocol. At
+    # real scale defaultParallelism grows with the cluster so the
+    # knob still sizes the node-grain shuffles to the hardware.
+    pr_par = max(4, spark.sparkContext.defaultParallelism // 8)
     scoped.conf.set("spark.sql.shuffle.partitions", str(pr_par))
     l = load(scoped, sf, "lineitem")
     # dedup the RAW integer key pairs, then decorate: the distinct
@@ -5410,11 +5412,15 @@ _GD_WEIGHTS_CACHE: dict = {}
 
 def _gd_feats(spark: SparkSession, sf: str) -> DataFrame:
     """The shared GD feature projection: (quantity, discount, tax)
-    scaled onto [0,1] plus the returned-flag label. The scan is
-    spread() (no-op at real scale): training persists this frame and
-    re-scans it 25×, and the bench parquet is a single row group, so
-    without the spread every iteration ran on <=3 tasks."""
-    l = spread(load(spark, sf, "lineitem"), "l_orderkey")
+    scaled onto [0,1] plus the returned-flag label. NO spread() on
+    this scan (r12 added one, r13 reverted): training persists the
+    frame and re-scans it every iteration, so widening it multiplies
+    the per-iteration fixed costs (task launch, collect) by the
+    partition count — ml_gd_classifier ran 19.4 s at 32 cores vs
+    6.8 s at 8 with the spread (anti-scaling 0.35, VERDICT r12 #2).
+    The projection is 4 cheap doubles per row; iterative consumers
+    want a BOUNDED-width cached frame, not a core-wide one."""
+    l = load(spark, sf, "lineitem")
     return l.select(
         (F.col("l_quantity") / F.lit(50.0)).alias("x_qty"),
         (F.col("l_discount") * F.lit(10.0)).alias("x_disc"),
@@ -8566,8 +8572,11 @@ _QR_CACHE: dict = {}
 def _qr_feats(spark: SparkSession, sf: str) -> DataFrame:
     """Quantile-regression projection: predict the (scaled) gross
     line price from scaled quantity — the conditional-quantile twin
-    of the a20 group OLS."""
-    l = spread(load(spark, sf, "lineitem"), "l_orderkey")
+    of the a20 group OLS. NO spread() (same adjudication as
+    ``_gd_feats``: the 12-iteration training loop re-scans the cached
+    frame, so scan width multiplies per-iteration fixed costs —
+    anti-scaling 0.57 at 32 cores in r12)."""
+    l = load(spark, sf, "lineitem")
     return l.select(
         (F.col("l_quantity") / F.lit(50.0)).alias("x_qty"),
         (F.col("l_extendedprice") / F.lit(100000.0)).alias("y_price"),

@@ -597,7 +597,10 @@ def test_runs_segmented_window_partitions_by_key_and_segment(spark):
 def test_r12b_single_aggregation_moment_ops(spark):
     """Jarque-Bera / Cohen's d / AD two-sample / Lin's CCC collapse
     the corpus in ONE aggregation (or one prefix-sum range exchange)
-    — no joins, no windows over corpus grains."""
+    — no joins, no windows over corpus grains. A scan-side spread()
+    exchange (REPARTITION_BY_NUM below the aggregation, r12's a49
+    adjudication) is allowed on top of the single aggregation
+    exchange; any OTHER extra exchange still fails."""
     for name in (
         "a49_jarque_bera",
         "a51_cohens_d",
@@ -606,7 +609,11 @@ def test_r12b_single_aggregation_moment_ops(spark):
         fn, _ = all_queries()[name]
         plan = plan_of(fn(spark, SF_SMOKE))
         assert "Join" not in plan, f"{name}:\n{plan}"
-        assert plan.count("Exchange") <= 1, f"{name}:\n{plan}"
+        non_spread = plan.count("Exchange") - plan.count(
+            "REPARTITION_BY_NUM"
+        )
+        assert non_spread <= 1, f"{name}:\n{plan}"
+        assert plan.count("Exchange") <= 2, f"{name}:\n{plan}"
 
 
 def test_r12b_durbin_watson_one_exchange(spark):

@@ -29,7 +29,7 @@ def main() -> int:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r12",
+        os.environ.get("PLANS_ROUND", "r13"),
     )
     os.makedirs(out_dir, exist_ok=True)
     for name in names:
